@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.config.TableSpec
+import graft.envelope.FlinkDebeziumCdc
+import graft.operators.{Dedup, MergeOps}
+import graft.sources.CdcGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full CDC spine end-to-end: synthesize Debezium envelopes from
+    * `events` → route one table → parse+normalize → last-write-wins dedup →
+    * merge (upsert + physical delete) into a customer-derived target. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val spec = TableSpec(db = "cdc_db", table = "t0", primaryKey = Seq("id"))
+    val target = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"), col("c_acctbal").as("val"))
+    val raw = CdcGen.debezium(Tables.events(spark, dir))
+    val routed = raw.filter(FlinkDebeziumCdc.route(col("value"), spec))
+    val norm = FlinkDebeziumCdc.normalize(routed, CdcGen.payloadSchema)
+    val stage = Dedup.latestPerKey(norm, spec.primaryKey,
+      Seq(col("ts_ms_aws"), col("idx_aws"), col("event_id")))
+      .select(col("id"), concat(lit("user_"), col("id")).as("name"),
+        col("val"), col("op_aws"))
+    MergeOps.merge(target, stage, Seq("id"), col("op_aws") === "d",
+      dropCols = Seq("op_aws"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,113 @@
+package graft.config
+
+/** Per-table sync spec — the behavioral switches the reference parses in
+  * `run_task` (ref: cdc_util/redshift_sink.py:549-579; samples in
+  * config/job.properties:31-86). One entry per logical source table.
+  *
+  * Notes vs the reference:
+  *  - `primary_key` is a comma-separated composite in the config; we split
+  *    it eagerly into `primaryKey: Seq[String]`.
+  *  - the reference compares `skip_delete` against the literal `"ture"`
+  *    [sic] (redshift_sink.py:456-457); we accept both spellings plus
+  *    "true" so configs written for either engine behave.
+  *  - `table` may be a regex (ref README.md:42) — `tableIsRegex` opts in.
+  */
+final case class TableSpec(
+    db: String,
+    table: String,
+    primaryKey: Seq[String] = Nil,
+    targetTable: Option[String] = None,
+    ignoreDdl: Boolean = false,
+    saveDelete: Boolean = false,
+    onlySaveDelete: Boolean = false,
+    skipDelete: Boolean = false,
+    superColumns: Seq[String] = Nil,
+    /** "col" or "col|fmt" entries (ref redshift_sink.py:170-190). */
+    timestampColumns: Seq[String] = Nil,
+    dateColumns: Seq[String] = Nil,
+    tableIsRegex: Boolean = false
+) {
+  def resolvedTarget: String = targetTable.getOrElse(table)
+}
+
+object TableSpec {
+  private def truthy(v: String): Boolean =
+    v != null && (v.equalsIgnoreCase("true") || v.equalsIgnoreCase("ture") || v == "1")
+
+  private def csv(v: String): Seq[String] =
+    Option(v).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Build from a loose string map (one parsed JSON object of
+    * `sync_table_list`). Unknown keys are ignored, as in the reference. */
+  def fromMap(m: Map[String, String]): TableSpec = TableSpec(
+    db = m.getOrElse("db", ""),
+    table = m.getOrElse("table", ""),
+    primaryKey = csv(m.getOrElse("primary_key", "")),
+    targetTable = m.get("target_table").filter(_.nonEmpty),
+    ignoreDdl = truthy(m.getOrElse("ignore_ddl", "")),
+    saveDelete = truthy(m.getOrElse("save_delete", "")),
+    onlySaveDelete = truthy(m.getOrElse("only_save_delete", "")),
+    skipDelete = truthy(m.getOrElse("skip_delete", "")),
+    superColumns = csv(m.getOrElse("super_columns", "")),
+    timestampColumns = csv(m.getOrElse("timestamp_columns", "")),
+    dateColumns = csv(m.getOrElse("date_columns", "")),
+    tableIsRegex = truthy(m.getOrElse("table_is_regex", ""))
+  )
+}
+
+/** Job-level config (ref: config/job.properties + the three drivers'
+  * property reads, e.g. emr_ec2/cdc_redshift.py:36-103). */
+final case class JobConfig(
+    brokers: String = "",
+    topic: String = "",
+    consumerGroup: String = "graft-cdc",
+    startingOffsets: String = "earliest",
+    startingTimestamp: Option[Long] = None,
+    maxOffsetsPerTrigger: Long = 1000000L,
+    triggerInterval: String = "30 seconds", // or "availableNow"
+    checkpointLocation: String = "",
+    cdcFormat: String = "FLINK-CDC",
+    threadMaxWorkers: Int = 30,
+    batchTimeoutMinutes: Int = 360,
+    tables: Seq[TableSpec] = Nil
+)
+
+object JobConfig {
+
+  /** Parse a java.util.Properties-style text plus its embedded
+    * `sync_table_list` JSON array. Pure, no I/O (callers load the text). */
+  def fromProperties(text: String): JobConfig = {
+    val props = new java.util.Properties()
+    props.load(new java.io.StringReader(text))
+    def p(k: String, dflt: String) = Option(props.getProperty(k)).map(_.trim).getOrElse(dflt)
+    JobConfig(
+      brokers = p("kafka_broker", ""),
+      topic = p("topic", ""),
+      consumerGroup = p("consumer_group", "graft-cdc"),
+      startingOffsets = p("startingOffsets", "earliest"),
+      startingTimestamp = Option(props.getProperty("startingTimestamp")).map(_.trim.toLong),
+      maxOffsetsPerTrigger = p("max_offsets_per_trigger", "1000000").toLong,
+      triggerInterval = p("checkpoint_interval", "30 seconds"),
+      checkpointLocation = p("checkpoint_location", ""),
+      cdcFormat = p("cdc_format", "FLINK-CDC"),
+      threadMaxWorkers = p("thread_max_workers", "30").toInt,
+      batchTimeoutMinutes = p("batch_timeout", "360").toInt,
+      tables = parseTableList(p("sync_table_list", "[]"))
+    )
+  }
+
+  /** Minimal JSON array-of-flat-objects parser for `sync_table_list`
+    * (values are always strings/numbers/bools in the reference configs);
+    * avoids adding a JSON dependency for config parsing. */
+  def parseTableList(json: String): Seq[TableSpec] = {
+    val objPat = "\\{[^{}]*\\}".r
+    objPat.findAllIn(json).toSeq.map { obj =>
+      val kvPat = "\"([^\"]+)\"\\s*:\\s*(\"([^\"]*)\"|true|false|-?[0-9.]+)".r
+      val m = kvPat
+        .findAllMatchIn(obj)
+        .map(g => g.group(1) -> Option(g.group(3)).getOrElse(g.group(2)))
+        .toMap
+      TableSpec.fromMap(m)
+    }
+  }
+}
