@@ -1,0 +1,270 @@
+package graft
+
+import graft.functions.{DedupFunctions, Multimodal, Similarity, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators (dedup / similarity / text analysis /
+  * multimodal) and scale-representative analytics queries, each declared
+  * with a DuckDB oracle where the math is engine-reproducible (integer,
+  * string, or order-deterministic double folds). xxhash64-based operators
+  * (MinHash, SimHash, SRP buckets) have no DuckDB twin → rows-only checks
+  * here, exact properties covered in ScalaTest instead.
+  */
+object QueriesExt {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  /** Oracle token split shared by several queries (DuckDB side). */
+  private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  // ---------------------------------------------------------------- q13
+  /** Exact dedup: hash-groupBy on the canonical fingerprint; shuffles
+    * 16-byte keys, never text. */
+  def q13ExactDedup(s: SparkSession, dir: String): DataFrame =
+    DedupFunctions.exactDedup(docs(s, dir), "text", "doc_id")
+  val q13Sql: String =
+    """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+      |       min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** MinHash+LSH near-dup candidates, exact-verified (rows-only check:
+    * xxhash64 signatures are not reproducible in the oracle engine;
+    * recall/precision properties are ScalaTest'd in DedupSpec). */
+  def q14MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    DedupFunctions.minhashLshPairs(
+      docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
+      n = 2, numHashes = 32, bands = 16, threshold = 0.05)
+
+  // ---------------------------------------------------------------- q15
+  /** Exact n-gram Jaccard near-dup pairs (the oracle twin of q14): bigram
+    * shingles, candidates from a shingle equi-join (never all-pairs),
+    * 10% document sample to bound the candidate count at bench scale. */
+  def q15NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    DedupFunctions.ngramJaccardPairs(
+      docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
+      n = 2, threshold = 0.05)
+  val q15Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
+       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+       |FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** SimHash signatures (rows-only: xxhash64). Pair-finding via chunk
+    * pigeonhole is exercised in DedupSpec. */
+  def q16Simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextFunctions.simhash64(col("text")).as("sig"))
+
+  // ---------------------------------------------------------------- q17
+  /** Brute-force cosine top-10 for 8 query vectors — broadcast queries,
+    * one corpus scan, top-k window. Double fold is left-to-right on both
+    * engines → bit-identical sims → identical ranks. */
+  def q17AnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 10)
+  }
+  val q17Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+      |s AS (SELECT qid, nid,
+      |        list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
+      |        (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+      |         sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+      |      FROM q, c WHERE qid <> nid)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT qid AS query_id, nid AS neighbor_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rank
+      |  FROM s) WHERE rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Heuristic language ID: argmax of per-language distinct-stopword hits,
+    * struct-lexicographic tie-break — reproducible in both engines. */
+  def q18LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      TextFunctions.langId(col("text")).as("lang_detected"))
+  val q18Sql: String = {
+    val entries = TextFunctions.stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"{'score': len(list_intersect(list_distinct(toks), [${ws.map(w => s"'$w'").mkString(", ")}])), 'lang': '$lang'}"
+    }.mkString(", ")
+    s"""SELECT doc_id, lang,
+       |       list_aggregate([$entries], 'max').lang AS lang_detected
+       |FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Text-quality scoring: token stats + punctuation + stopword density →
+    * composite score. Per-row double arithmetic, no aggregation → FP-safe. */
+  def q19TextQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      round(TextFunctions.avgTokenLen(col("text")), 6).as("avg_token_len"),
+      round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+  val q19Sql: String = {
+    val anyStop = TextFunctions.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |        len(toks) AS n_tokens,
+       |        list_sum(list_transform(toks, x -> strlen(x)))::DOUBLE /
+       |          greatest(len(toks), 1) AS atl,
+       |        (strlen(text) - strlen(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE /
+       |          greatest(strlen(text), 1) AS pr,
+       |        len(list_intersect(list_distinct(toks), [$anyStop]))::DOUBLE /
+       |          greatest(len(toks), 1) AS sr
+       |      FROM t)
+       |SELECT doc_id, n_tokens, round(atl, 6) AS avg_token_len,
+       |       round(pr, 6) AS punct_ratio,
+       |       round(least(n_tokens / 64.0, 1.0) * 0.4 +
+       |             (1.0 - least(pr * 4.0, 1.0)) * 0.3 +
+       |             least(sr * 4.0, 1.0) * 0.3, 6) AS quality
+       |FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q20
+  /** Token counting: whitespace tokens + BPE-ish subword count. */
+  def q20TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_ws"),
+      TextFunctions.bpeishTokenCount(col("text")).as("n_bpe"))
+  val q20Sql: String =
+    s"""SELECT doc_id, len($toksSql) AS n_ws,
+       |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Canonical-form document fingerprint (formatting-noise-proof md5). */
+  def q21Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+  val q21Sql: String =
+    """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Multimodal plumbing: opaque binary payload + typed metadata struct.
+    * Oracle covers the content-addressed metadata; the stub decode fields
+    * (xxhash-derived) are ScalaTest'd. */
+  def q22Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.multimodalize(docs(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+        col("meta.sha256").as("sha256"), col("meta.mime").as("mime"))
+  val q22Sql: String =
+    """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+      |       sha256(text) AS sha256, 'text/plain' AS mime
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- qa*
+  /** TPC-H-Q1-shaped pricing summary: partial-agg groupBy, 2 group cols.
+    * Double sums rounded to 2dp (accumulation-order noise ≪ 0.005). */
+  def qa1Pricing(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sq"),
+        sum(col("l_extendedprice")).as("sb"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sd"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("sq"), 2).as("sum_qty"), round(col("sb"), 2).as("sum_base"),
+        round(col("sd"), 2).as("sum_disc"), col("n"))
+  val qa1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** Star join: revenue by nation — both dims broadcast, lineitem never
+    * shuffled before the final small aggregation. */
+  def qa2Revenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sup = broadcast(Tables.supplier(s, dir))
+    val nat = broadcast(Tables.nation(s, dir))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+  }
+  val qa2Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** Ranking window: top-3 orders per priority class. */
+  def qa3TopK(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+  }
+  val qa3Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) t
+      |WHERE rnk <= 3""".stripMargin
+
+  /** Streaming-shaped batch agg: hourly event counts + value sums. */
+  def qa4EventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  val qa4Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |       count(*) AS n, round(sum("value"), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_exact_dedup" -> (q13ExactDedup _),
+    "q14_minhash_lsh" -> (q14MinhashLsh _),
+    "q15_ngram_jaccard" -> (q15NgramJaccard _),
+    "q16_simhash" -> (q16Simhash _),
+    "q17_ann_cosine" -> (q17AnnCosine _),
+    "q18_langid" -> (q18LangId _),
+    "q19_text_quality" -> (q19TextQuality _),
+    "q20_token_count" -> (q20TokenCount _),
+    "q21_fingerprint" -> (q21Fingerprint _),
+    "q22_multimodal" -> (q22Multimodal _),
+    "qa1_pricing" -> (qa1Pricing _),
+    "qa2_revenue" -> (qa2Revenue _),
+    "qa3_topk" -> (qa3TopK _),
+    "qa4_events_hourly" -> (qa4EventsHourly _)
+  )
+
+  /** q14/q16 omitted: xxhash64-based, not SQL-expressible → rows-only. */
+  val oracles: Map[String, String] = Map(
+    "q13_exact_dedup" -> q13Sql,
+    "q15_ngram_jaccard" -> q15Sql,
+    "q17_ann_cosine" -> q17Sql,
+    "q18_langid" -> q18Sql,
+    "q19_text_quality" -> q19Sql,
+    "q20_token_count" -> q20Sql,
+    "q21_fingerprint" -> q21Sql,
+    "q22_multimodal" -> q22Sql,
+    "qa1_pricing" -> qa1Sql,
+    "qa2_revenue" -> qa2Sql,
+    "qa3_topk" -> qa3Sql,
+    "qa4_events_hourly" -> qa4Sql
+  )
+}

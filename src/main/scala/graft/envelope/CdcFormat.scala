@@ -47,6 +47,11 @@ sealed trait CdcFormat {
     * `payload` is the payload StructType (explicit or inferred per batch). */
   def normalize(df: DataFrame, payload: StructType, valueCol: String = "value"): DataFrame
 
+  /** Extract the payload StructType out of a per-batch *inferred* envelope
+    * schema (ref S4: the reference infers the whole envelope then flattens
+    * the payload member — redshift_sink.py:592-594). */
+  def payloadFromEnvelope(envelope: StructType): StructType
+
   final def isDelete(df: DataFrame): Column = col(OpCol) === "d"
 
   /** Operational-event whitelist on the canonical op (ref redshift_sink.py
@@ -92,6 +97,20 @@ case object FlinkDebeziumCdc extends CdcFormat {
         lit(0).as(IdxCol))
       .select(col("r.*"), col(OpCol), col(TsCol), col(IdxCol))
   }
+
+  /** Union of the inferred `after` and `before` member fields (deletes may
+    * be the only rows carrying a column, in `before`). `after` wins on
+    * name collisions. */
+  def payloadFromEnvelope(envelope: StructType): StructType = {
+    def member(n: String): Seq[StructField] = envelope.fields
+      .find(_.name == n).map(_.dataType) match {
+      case Some(st: StructType) => st.fields.toSeq
+      case _ => Nil
+    }
+    val after = member("after")
+    val names = after.map(_.name).toSet
+    StructType(after ++ member("before").filterNot(f => names.contains(f.name)))
+  }
 }
 
 /** AWS DMS shape: {data, metadata:{timestamp, record-type, operation,
@@ -135,6 +154,12 @@ case object DmsCdc extends CdcFormat {
       unix_millis(to_timestamp(col("e.metadata.timestamp"))).as(TsCol),
       lit(0).as(IdxCol))
   }
+
+  def payloadFromEnvelope(envelope: StructType): StructType =
+    envelope.fields.find(_.name == "data").map(_.dataType) match {
+      case Some(st: StructType) => st
+      case _ => new StructType()
+    }
 }
 
 /** Canal shape: {data: ARRAY of rows, database, table, ts, type}
@@ -170,6 +195,12 @@ case object CanalCdc extends CdcFormat {
         col("e.ts").as(TsCol))
       .select(col("r.*"), col(OpCol), col(TsCol), col("pos").cast(IntegerType).as(IdxCol))
   }
+
+  def payloadFromEnvelope(envelope: StructType): StructType =
+    envelope.fields.find(_.name == "data").map(_.dataType) match {
+      case Some(ArrayType(st: StructType, _)) => st
+      case _ => new StructType()
+    }
 }
 
 /** MongoDB change-stream shape (ref README.md:418-525,
@@ -216,6 +247,10 @@ case object MongoCdc extends CdcFormat {
         col("e.ts_ms").as(TsCol),
         lit(0).as(IdxCol))
   }
+
+  /** Mongo keeps the document as a raw JSON string column; no payload
+    * struct is ever flattened. */
+  def payloadFromEnvelope(envelope: StructType): StructType = new StructType()
 }
 
 object CdcFormat {

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash. Designed for corpus scale:
+  *
+  *  - exact dedup is one hash-aggregate (map-side combine, single shuffle
+  *    on a 16-byte key — never shuffles document text);
+  *  - near-dup never does an all-pairs comparison: candidates come from an
+  *    equi-join on shingles (n-gram path) or LSH band buckets (MinHash
+  *    path), so the shuffle key is a token/band hash and skew is bounded
+  *    by dropping ultra-frequent shingles (stopword shingles are the skew
+  *    risk at 100 TB — `maxShingleFreq` caps them);
+  *  - everything is column algebra (higher-order functions + joins); no
+  *    UDFs, no driver-side loops.
+  */
+object DedupFunctions {
+
+  /** Distinct word n-gram shingles of a document. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(0), count - 1), i =>
+      concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact dedup: one representative (min id) per identical canonical
+    * text, with the duplicate count. Shuffles only (fingerprint, id). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextFunctions.fingerprint(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Exact n-gram Jaccard near-dup pairs above `threshold`.
+    *
+    * Plan shape: explode shingles → self-equi-join on shingle (only docs
+    * sharing ≥1 shingle ever meet) → count shared per pair → Jaccard from
+    * per-doc distinct-shingle counts. The join is the scale knob: shingle
+    * frequency is capped (`maxShingleFreq`) because a shingle shared by f
+    * docs contributes f² candidate pairs.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double,
+                        maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded0 = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val exploded = maxShingleFreq match {
+      case Some(cap) =>
+        // Drop shingles more frequent than `cap`: they are stopword-like and
+        // would dominate the join (skew); rare shingles carry the signal.
+        val freq = exploded0.groupBy(col("s")).agg(count(lit(1)).as("f"))
+          .filter(col("f") <= cap)
+        exploded0.join(freq.select(col("s")), Seq("s"))
+      case None => exploded0
+    }
+    val a = exploded.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = exploded.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the document's shingles. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)), seed =>
+      array_min(transform(sh, s => xxhash64(s, seed))))
+
+  /** MinHash + LSH banding near-dup candidates, exact-verified.
+    *
+    * sig → `bands` bands of `numHashes/bands` rows each; docs colliding on
+    * any full band are candidates; candidates are then verified with the
+    * exact Jaccard over shingles (so precision is exact; recall is the
+    * standard LSH probability curve). Shuffle keys are (band, bandHash) —
+    * uniformly distributed by construction.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      n: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sh.select(col("id"), col("sh"), col("n_sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"),
+      col("sh").as("sh_a"), col("n_sh").as("n_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"),
+      col("sh").as("sh_b"), col("n_sh").as("n_b"))
+    val cand = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
+        col("n_a"), col("n_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: documents whose 64-bit signatures are within
+    * `maxHamming`. Candidates come from equality on 4 16-bit signature
+    * chunks (any pair within Hamming ≤3 must agree on ≥1 chunk —
+    * pigeonhole), so again an equi-join, never all-pairs. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      TextFunctions.simhash64(col(textCol)).as("sig"))
+    val chunked = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "cv")))
+    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", TextFunctions.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), two tiers:
+  *
+  *  - `bruteForceTopK` — exact cosine top-k. The query side is broadcast
+  *    (queries ≪ corpus), so the corpus is scanned once, never shuffled;
+  *    the only shuffle is the final per-query top-k (window over
+  *    #queries × k rows). This is the correctness baseline and is already
+  *    the right plan for "score 1e9 docs against 100 queries".
+  *
+  *  - `lshTopK` — the scale path: sign-random-projection (SRP) bucketing.
+  *    Each vector hashes to a `bits`-bit bucket by the signs of dot
+  *    products with deterministic pseudo-random hyperplanes (derived from
+  *    xxhash64 — no stored model, reproducible across engines/runs).
+  *    Queries probe their own bucket plus all buckets within Hamming
+  *    distance `probeHamming`; candidates are re-ranked exactly. Corpus
+  *    cost per query drops by ~2^bits / (#probed buckets).
+  *
+  * All dot products fold in DOUBLE, left-to-right (`aggregate` over
+  * `zip_with`) — deterministic bit-for-bit, which the DuckDB oracle can
+  * reproduce.
+  */
+object Similarity {
+
+  /** Element-wise dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, x) => s + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank) — rank 1 = most similar;
+    * deterministic tie-break on neighbor id. Self-matches excluded when
+    * ids collide. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** SRP bucket id: for hyperplane j, component i has deterministic
+    * pseudo-random sign from xxhash64(i, j); bucket bit j = sign of the
+    * dot product with that ±1 hyperplane. Integer decisions on top of
+    * double folds — engine-reproducible. */
+  def srpBucket(vec: Column, bits: Int): Column = {
+    val planes = (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          when(xxhash64(i, lit(j)).bitwiseAND(1) === 1, x.cast("double"))
+            .otherwise(-x.cast("double"))),
+        lit(0.0), (s, x) => s + x)
+      when(proj > 0, shiftleft(lit(1), j)).otherwise(0)
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via SRP-LSH: candidates from the query's bucket ∪ buckets
+    * within Hamming `probeHamming` (multi-probe), exact re-rank. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bits: Int = 8, probeHamming: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      srpBucket(col(vecCol), bits).as("bucket"))
+    // Probe set: all buckets within Hamming distance of the query's bucket
+    // (bits choose ≤probeHamming masks — tiny, built as a literal array).
+    val masks: Seq[Int] = 0 +: (if (probeHamming >= 1) (0 until bits).map(1 << _) else Nil)
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          srpBucket(col(vecCol), bits).as("qb"))
+        .withColumn("bucket", explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
+        .drop("qb"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within the corpus: bucket with
+    * SRP, compare only within buckets, keep pairs with cosine ≥ threshold.
+    * The near-dup variant of ANN — one equi-join, no all-pairs. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 8,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpBucket(col(vecCol), bits).as("bucket"))
+    val a = c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All are pure column expressions (codegen-friendly or JVM higher-order
+  * functions — never Python/Scala UDFs), so they distribute trivially and
+  * stay inside Catalyst: at 100 TB these run as a single narrow map stage
+  * over the corpus with full predicate/column pushdown intact.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization after lower-casing. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, single digits, and single
+    * punctuation marks each count as one token — a cheap, deterministic
+    * stand-in for a real BPE vocab that tracks its token-count shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Small fixed stopword lists per language — enough signal for a
+    * deterministic n-gram/stopword language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "en", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "ist"),
+    "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta", "men")
+  )
+
+  /** Ratio of tokens found in `words` (as a fraction of all tokens). */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(array_intersect(toks, array(words.map(lit): _*)))
+    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Heuristic language ID: argmax of distinct-stopword hits per language,
+    * deterministic tie-break by language code order. */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang) is lexicographic: highest score wins,
+    // then highest lang code — fixed, engine-reproducible tie-break.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Punctuation character ratio (per character). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards mid-length docs, low
+    * punctuation, presence of any known stopwords. Deterministic per-row
+    * double arithmetic (no aggregation → no FP order sensitivity). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lengthScore = least(n / lit(64.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val anyStop = stopwords.values.flatten.toSeq.distinct
+    val stopScore = least(stopwordRatio(text, anyStop) * lit(4.0), lit(1.0))
+    round(lengthScore * lit(0.4) + punctScore * lit(0.3) + stopScore * lit(0.3), 6)
+  }
+
+  /** Canonical-form fingerprint: md5 of lower-cased, whitespace-collapsed
+    * text — the exact-dedup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** 64-bit SimHash over whitespace tokens: each token's xxhash64 votes
+    * ±1 per bit position; the sign of each bit's vote total forms the
+    * signature. Pure higher-order-function fold — distributes as a map. */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    val votes = aggregate(
+      toks,
+      array((0 until 64).map(_ => lit(0L)): _*),
+      (acc, t) => {
+        val h = xxhash64(t)
+        array((0 until 64).map(i =>
+          acc.getItem(i) +
+            when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*)
+      })
+    (0 until 64).map(i =>
+      when(votes.getItem(i) > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash64 signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

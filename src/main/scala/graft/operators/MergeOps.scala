@@ -36,7 +36,10 @@ object MergeOps {
             dropCols: Seq[String] = Nil, broadcastStage: Boolean = true): DataFrame = {
     val stageKeys0 = stage.select(keys.map(col): _*)
     val stageKeys = if (broadcastStage) broadcast(stageKeys0) else stageKeys0
+    // A using-columns join moves the keys to the front; restore the target's
+    // column order so the merged schema is stable across batches.
     val kept = target.join(stageKeys, keys, "left_anti")
+      .select(target.columns.map(col).toIndexedSeq: _*)
     val upserts = stage.filter(!isDelete).drop(dropCols: _*)
     kept.unionByName(upserts, allowMissingColumns = true)
   }
@@ -59,6 +62,7 @@ object MergeOps {
     val kept = target.join(sk, keys, "left")
       .filter(col("__stage_ts").isNull || col(tsCol) > col("__stage_ts"))
       .drop("__stage_ts")
+      .select(target.columns.map(col).toIndexedSeq: _*)
     val winners = stage.filter(!isDelete).drop(dropCols: _*)
       // Only insert stage rows that actually won (no stale resurrect):
       .join(kept.select(keys.map(col): _*), keys, "left_anti")

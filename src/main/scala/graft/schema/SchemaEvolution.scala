@@ -81,11 +81,13 @@ object SchemaEvolution {
 
   /** CREATE TABLE with the primary key as compound sort key (ref
     * redshift_sink.py:331-334,498-501). */
-  def createTableDdl(table: String, schema: StructType, sortKeys: Seq[String]): String = {
+  def createTableDdl(table: String, schema: StructType, sortKeys: Seq[String],
+                     ifNotExists: Boolean = true): String = {
     val cols = schema.fields.map(f => s""""${f.name}" ${sparkToSql(f)}""").mkString(", ")
     val sk = if (sortKeys.nonEmpty) s""" SORTKEY (${sortKeys.map(k => s""""$k"""").mkString(", ")})"""
              else ""
-    s"CREATE TABLE IF NOT EXISTS $table ($cols)$sk"
+    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    s"CREATE TABLE $ine$table ($cols)$sk"
   }
 
   /** `ignore_ddl` mode: the user manages DDL; the engine casts the batch to

@@ -1,0 +1,200 @@
+package graft.sink
+
+import graft.config.TableSpec
+import graft.operators.MergeOps
+import graft.schema.SchemaEvolution
+import graft.schema.SchemaEvolution.ColumnDef
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+/** Keyed-merge sinks. The reference merges through Redshift (staging table
+  * + `DELETE USING` / `INSERT SELECT` in one transaction —
+  * cdc_util/redshift_sink.py:465-547); we provide the same algebra against
+  * two targets:
+  *
+  *  - [[ParquetMergeTarget]] — pure-Spark merge into a parquet "table";
+  *    lets every merge semantics be oracle-tested with no warehouse.
+  *  - [[JdbcMergeSink]] — staging-table batch insert (Spark's executor-side
+  *    JDBC writer) + a single driver-side transaction running portable
+  *    ANSI merge SQL (`DELETE WHERE EXISTS` + `INSERT SELECT`), with
+  *    auto-create, add/drop-column schema evolution, staging TRUNCATE
+  *    (not drop — catalog churn with hundreds of tables, ref README.md:46)
+  *    and the reference's retry-once-after-staging-reset policy
+  *    (redshift_sink.py:528-547).
+  */
+trait MergeTarget {
+  /** Merge a deduped stage batch (one row per key, carrying `op_aws`). */
+  def merge(stage: DataFrame, spec: TableSpec): Unit
+  /** Current target snapshot (empty DataFrame with schema if absent). */
+  def snapshot(spark: SparkSession): DataFrame
+}
+
+/** Parquet-backed merge target: read-modify-write with an atomic directory
+  * swap. Suitable for tests and for lakehouse-style targets; at scale the
+  * anti-join broadcasts the stage keys so the big side streams. */
+final class ParquetMergeTarget(path: String, metaCols: Seq[String] = Seq("op_aws", "ts_ms_aws", "idx_aws"))
+  extends MergeTarget {
+
+  private def exists: Boolean = new java.io.File(path).exists()
+
+  def snapshot(spark: SparkSession): DataFrame = {
+    require(exists, s"no target at $path")
+    spark.read.parquet(path)
+  }
+
+  def merge(stage: DataFrame, spec: TableSpec): Unit = {
+    val spark = stage.sparkSession
+    val isDelete = col("op_aws") === "d"
+    val merged =
+      if (!exists) stage.filter(if (spec.skipDelete) lit(true) else !isDelete)
+        .drop(metaCols: _*)
+      else {
+        val target = spark.read.parquet(path)
+        if (spec.skipDelete) MergeOps.mergeSkipDelete(target, stage, spec.primaryKey, metaCols)
+        else MergeOps.merge(target, stage, spec.primaryKey, isDelete, metaCols)
+      }
+    // Write to a sibling tmp dir, then swap — a crashed batch never leaves
+    // a half-written target (same discipline as the reference's
+    // single-transaction merge).
+    val tmp = path + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(); ()
+    }
+    val dst = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    if (old.exists()) rmTree(old)
+    if (dst.exists() && !dst.renameTo(old))
+      throw new java.io.IOException(s"cannot swap out $path")
+    if (!new java.io.File(tmp).renameTo(dst))
+      throw new java.io.IOException(s"cannot swap in $tmp")
+    if (old.exists()) rmTree(old)
+  }
+}
+
+/** JDBC merge sink: the warehouse path. One instance per table task, with
+  * its own connection lifecycle (ref SURVEY.md §2.10 C3). */
+final class JdbcMergeSink(url: String, connProps: Properties = new Properties(),
+                          maxVarchar: Int = 65535) {
+
+  /** Clamp generated VARCHAR widths to the engine's limit (Redshift allows
+    * 65535; Derby tops out at 32672). */
+  private def clampVarchar(ddl: String): String =
+    "VARCHAR\\((\\d+)\\)".r.replaceAllIn(ddl, m =>
+      s"VARCHAR(${math.min(m.group(1).toInt, maxVarchar)})")
+
+  private def withConnection[A](f: Connection => A): A = {
+    val conn = DriverManager.getConnection(url, connProps)
+    try f(conn) finally conn.close()
+  }
+
+  /** Columns of `table` from JDBC metadata (exact name, then the engine's
+    * upper-cased fold), None if the table is absent. */
+  def catalogColumns(table: String): Option[Seq[ColumnDef]] = withConnection { conn =>
+    def lookup(name: String): List[ColumnDef] = {
+      val rs = conn.getMetaData.getColumns(null, null, name, null)
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => ColumnDef(r.getString("COLUMN_NAME").toLowerCase, r.getString("TYPE_NAME")))
+        .toList
+    }
+    val cols = lookup(table) match {
+      case Nil => lookup(table.toUpperCase)
+      case c => c
+    }
+    if (cols.isEmpty) None else Some(cols)
+  }
+
+  private def execute(conn: Connection, sql: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(sql) finally st.close()
+  }
+
+  /** Merge `stage` (deduped, one row per key, op in `op_aws`) into
+    * `spec.resolvedTarget`:
+    *  1. auto-create target / evolve schema (unless `ignore_ddl`);
+    *  2. load staging table via Spark's distributed JDBC writer;
+    *  3. one transaction: DELETE matched keys, INSERT non-deletes,
+    *     TRUNCATE staging;
+    *  4. on failure: drop staging, retry once (schema-drifted staging
+    *     leftovers are the usual cause, as in the reference).
+    */
+  private def q(id: String): String = "\"" + id + "\""
+
+  def writeBatch(stage0: DataFrame, spec: TableSpec): Unit = {
+    val target = spec.resolvedTarget
+    val staging = s"${target}_stage_aws"
+    val dataCols = stage0.columns.filterNot(Seq("ts_ms_aws", "idx_aws").contains)
+    val stage = stage0.select(dataCols.map(col): _*)
+    def attempt(dropStagingFirst: Boolean): Unit = {
+      withConnection { conn =>
+        if (dropStagingFirst)
+          try execute(conn, s"DROP TABLE $staging") catch { case _: Exception => }
+        ensureTargetSchema(conn, stage.drop("op_aws"), spec)
+      }
+      stage.write.mode(SaveMode.Overwrite)
+        .option("truncate", "true") // reuse staging table when shape matches
+        // `op_aws` is compared in the merge SQL — force a comparable type
+        // (dialects like Derby map StringType to CLOB, which cannot equal a
+        // literal).
+        .option("createTableColumnTypes", "op_aws VARCHAR(8)")
+        .jdbc(url, staging, connProps)
+      withConnection { conn =>
+        conn.setAutoCommit(false)
+        try {
+          // Table names stay unquoted (engines upper-fold them consistently);
+          // column names are quoted lower-case to match Spark's JDBC writer.
+          val on = spec.primaryKey
+            .map(k => s"$target.${q(k)} = $staging.${q(k)}").mkString(" AND ")
+          // Delete phase always clears matched keys; with skip_delete the
+          // "deleted" row is then re-inserted as a regular upsert.
+          execute(conn,
+            s"DELETE FROM $target WHERE EXISTS (SELECT 1 FROM $staging WHERE $on)")
+          val insertCols = stage.columns.filterNot(_ == "op_aws").map(q)
+          val opPredicate = if (spec.skipDelete) "1=1" else s"${q("op_aws")} <> 'd'"
+          execute(conn,
+            s"INSERT INTO $target (${insertCols.mkString(", ")}) " +
+              s"SELECT ${insertCols.mkString(", ")} FROM $staging WHERE $opPredicate")
+          execute(conn, s"TRUNCATE TABLE $staging")
+          conn.commit()
+        } catch {
+          case e: Exception => conn.rollback(); throw e
+        } finally conn.setAutoCommit(true)
+      }
+    }
+    try attempt(dropStagingFirst = false)
+    catch { case _: Exception => attempt(dropStagingFirst = true) }
+  }
+
+  /** Create the target if missing; otherwise diff + ALTER (add/drop), the
+    * reference's auto-evolution (redshift_schema_evolution.py:188-241).
+    * With `ignore_ddl`, neither create nor alter runs. */
+  private def ensureTargetSchema(conn: Connection, data: DataFrame, spec: TableSpec): Unit = {
+    if (spec.ignoreDdl) return
+    val target = spec.resolvedTarget
+    def lookup(name: String): List[ColumnDef] = {
+      val rs = conn.getMetaData.getColumns(null, null, name, null)
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => ColumnDef(r.getString("COLUMN_NAME").toLowerCase, r.getString("TYPE_NAME")))
+        .toList
+    }
+    val existing = lookup(target) match {
+      case Nil => lookup(target.toUpperCase)
+      case c => c
+    }
+    if (existing.isEmpty) {
+      // Plain CREATE (existence already checked): Derby and several other
+      // engines lack IF NOT EXISTS. Identifiers stay quoted (lower-case) so
+      // the merge SQL and Spark's quoted JDBC writer agree on names.
+      execute(conn, clampVarchar(SchemaEvolution.createTableDdl(target, data.schema, Nil,
+        ifNotExists = false)))
+    } else {
+      val (adds, drops) = SchemaEvolution.diff(data.schema, existing)
+      SchemaEvolution.alterDdl(target, adds, drops)
+        .map(clampVarchar)
+        .foreach(execute(conn, _))
+    }
+  }
+}

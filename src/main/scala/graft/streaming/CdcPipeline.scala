@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.config.{JobConfig, TableSpec}
+import graft.envelope.CdcFormat
+import graft.operators.{Coerce, Dedup}
+import graft.schema.SchemaInference
+import graft.sink.MergeTarget
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+import java.util.concurrent.Executors
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** The streaming spine (ref SURVEY.md §3): Kafka source → foreachBatch →
+  * per-table concurrent pipelines → keyed merge sinks.
+  *
+  * Differences from the reference, all scale-motivated:
+  *  - routing/normalization are native expressions (no Python UDF barrier);
+  *  - the filtered per-table subset is cached once and reused by the
+  *    emptiness probe, schema inference, and parse (the reference re-scans
+  *    the whole batch three times per table — redshift_sink.py:585-594);
+  *  - table fan-out uses Scala Futures on a fixed pool with the FAIR
+  *    scheduler, plus the EMR driver's batch timeout (§2.10 C1, §2.9 T6).
+  */
+object CdcPipeline {
+
+  /** Per-table batch pipeline: route → [infer schema] → normalize →
+    * op-filter → LWW dedup → coercions. Returns None for an empty subset.
+    * The returned frame still carries op/ts/idx meta columns for the sink. */
+  def tableBatch(batch: DataFrame, spec: TableSpec, format: CdcFormat,
+                 payload: Option[StructType] = None,
+                 valueCol: String = "value"): Option[DataFrame] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val routed = batch.filter(format.route(col(valueCol), spec))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (routed.isEmpty) { routed.unpersist(); None }
+    else {
+      val schema = payload.getOrElse {
+        val env = SchemaInference.nullSafe(
+          SchemaInference.infer(spark, routed.select(col(valueCol)).as[String]))
+        // Envelope inference returns the whole envelope; extract the payload
+        // member the format flattens (before/after | data | element type).
+        format.payloadFromEnvelope(env)
+      }
+      val norm0 = format.normalize(routed, schema, valueCol)
+      val norm = norm0.filter(format.opFilter(norm0))
+      val keys = if (spec.primaryKey.nonEmpty) spec.primaryKey else Seq("doc_id")
+      val order = Seq(col(format.TsCol), col(format.IdxCol))
+      val deduped = Dedup.latestPerKey(norm, keys, order)
+      Some(Coerce(deduped, spec))
+    }
+  }
+
+  /** Delete-audit variant (save_delete / only_save_delete — ref
+    * redshift_sink.py:213-227,599-607): latest delete per key. */
+  def deleteAuditBatch(batch: DataFrame, spec: TableSpec, format: CdcFormat,
+                       payload: Option[StructType] = None): Option[DataFrame] =
+    tableBatch(batch, spec, format, payload).map { df =>
+      df.filter(col(format.OpCol) === "d")
+    }
+
+  /** One micro-batch for every configured table, fanned out on `pool`
+    * threads with a hard timeout (ref emr_ec2/cdc_redshift.py:120-143).
+    * Any task failure fails the batch (fail-fast + checkpoint-restart). */
+  def processBatch(batch: DataFrame, cfg: JobConfig, format: CdcFormat,
+                   sinkFor: TableSpec => MergeTarget,
+                   payloadFor: TableSpec => Option[StructType] = _ => None): Unit = {
+    val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    val pool = Executors.newFixedThreadPool(math.max(1, cfg.threadMaxWorkers))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val tasks = cfg.tables.map { spec =>
+        Future {
+          tableBatch(cached, spec, format, payloadFor(spec)).foreach { staged =>
+            if (!spec.onlySaveDelete) sinkFor(spec).merge(staged, spec)
+            if (spec.saveDelete || spec.onlySaveDelete) {
+              val audit = spec.copy(table = spec.table + "_delete",
+                targetTable = Some(spec.resolvedTarget + "_delete"),
+                skipDelete = true) // audit table keeps the delete rows
+              val deletes = staged.filter(col(format.OpCol) === "d")
+              if (!deletes.isEmpty) sinkFor(audit).merge(deletes, audit)
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(tasks), cfg.batchTimeoutMinutes.minutes)
+    } finally {
+      pool.shutdown()
+      cached.unpersist()
+    }
+  }
+
+  /** Kafka source per the reference's options (S1/S2 —
+    * emr_ec2/cdc_redshift.py:91-105). Produces a single string column
+    * `value`. */
+  def kafkaSource(spark: SparkSession, cfg: JobConfig): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.brokers)
+      .option("subscribe", cfg.topic)
+      .option("maxOffsetsPerTrigger", cfg.maxOffsetsPerTrigger)
+      .option("kafka.group.id", cfg.consumerGroup)
+      .option("failOnDataLoss", "false")
+    val withStart = cfg.startingTimestamp match {
+      case Some(ts) => base.option("startingTimestamp", ts)
+      case None => base.option("startingOffsets", cfg.startingOffsets)
+    }
+    withStart.load().selectExpr("CAST(value AS STRING) AS value")
+  }
+
+  /** Stream driver wiring (S3/T1/T3): append mode, processingTime or
+    * availableNow trigger, checkpointed foreachBatch. */
+  def streamWriter(source: DataFrame, cfg: JobConfig, format: CdcFormat,
+                   sinkFor: TableSpec => MergeTarget): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val trigger =
+      if (cfg.triggerInterval.equalsIgnoreCase("availableNow")) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(cfg.triggerInterval)
+    source.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", cfg.checkpointLocation)
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        processBatch(df.toDF(), cfg, format, sinkFor)
+      }
+  }
+}

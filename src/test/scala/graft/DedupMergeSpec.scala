@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Dedup, MergeOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** W1/W2 dedup semantics + J1–J3 merge algebra properties
+  * (SURVEY.md §7.4 risk register: idempotence, delete matrix, ordering). */
+class DedupMergeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  //              id, ts, idx, v,      op
+  private val batch = Seq(
+    (1L, 100L, 0, "a", "c"),
+    (1L, 200L, 0, "b", "u"), // winner for id=1 (latest ts)
+    (2L, 100L, 0, "c", "u"),
+    (2L, 100L, 1, "d", "u"), // winner for id=2 (same ts, higher idx — Canal)
+    (3L, 300L, 0, "e", "d"), // delete wins for id=3
+    (3L, 100L, 0, "f", "c")
+  ).toDF("id", "ts_ms_aws", "idx_aws", "v", "op_aws")
+
+  private val order = Seq(col("ts_ms_aws"), col("idx_aws"))
+
+  test("window LWW picks latest ts with idx tie-break") {
+    val got = Dedup.latestPerKey(batch, Seq("id"), order)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "b", 2L -> "d", 3L -> "e"))
+  }
+
+  test("max_by aggregate LWW ≡ window LWW") {
+    val w = Dedup.latestPerKey(batch, Seq("id"), order)
+    val a = Dedup.latestPerKeyAgg(batch, Seq("id"), order)
+    assert(sameRows(w, a))
+  }
+
+  test("staging dedup is deterministic (lowest tie-break wins)") {
+    val got = Dedup.stagingDedup(batch, Seq("id"), Seq(col("ts_ms_aws"), col("idx_aws")))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "c", 3L -> "f"))
+  }
+
+  private val target = Seq((1L, "t1"), (3L, "t3"), (9L, "t9")).toDF("id", "v")
+  private def stageOf(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("id", "v", "op_aws")
+
+  test("merge: upsert replaces, delete removes, unmatched target kept") {
+    val stage = stageOf((1L, "new1", "u"), (3L, "gone", "d"), (5L, "new5", "c"))
+    val m = MergeOps.merge(target, stage, Seq("id"), col("op_aws") === "d", Seq("op_aws"))
+    val got = m.as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "new1", 5L -> "new5", 9L -> "t9"))
+  }
+
+  test("merge is idempotent: merge(merge(T,B),B) == merge(T,B)") {
+    val stage = stageOf((1L, "new1", "u"), (3L, "gone", "d"), (5L, "new5", "c"))
+    val once = MergeOps.merge(target, stage, Seq("id"), col("op_aws") === "d", Seq("op_aws"))
+    val twice = MergeOps.merge(once, stage, Seq("id"), col("op_aws") === "d", Seq("op_aws"))
+    assert(sameRows(once, twice))
+  }
+
+  test("skip_delete retains delete rows as upserts") {
+    val stage = stageOf((3L, "kept", "d"))
+    val m = MergeOps.mergeSkipDelete(target, stage, Seq("id"), Seq("op_aws"))
+    val got = m.as[(Long, String)].collect().toMap
+    assert(got(3L) == "kept" && got.size == 3)
+  }
+
+  test("ts-guard merge refuses stale batches (cross-batch regression guard)") {
+    val t = Seq((1L, "cur", 500L), (2L, "cur2", 500L)).toDF("id", "v", "ts")
+    val stale = Seq((1L, "old", 100L, "u")).toDF("id", "v", "ts", "op_aws")
+    val fresh = Seq((2L, "new2", 900L, "u")).toDF("id", "v", "ts", "op_aws")
+    val g1 = MergeOps.mergeWithTsGuard(t, stale, Seq("id"), col("op_aws") === "d", "ts", Seq("op_aws"))
+    assert(g1.filter(col("id") === 1L).select("v").as[String].head() == "cur")
+    val g2 = MergeOps.mergeWithTsGuard(t, fresh, Seq("id"), col("op_aws") === "d", "ts", Seq("op_aws"))
+    assert(g2.filter(col("id") === 2L).select("v").as[String].head() == "new2")
+  }
+
+  test("merge with composite keys") {
+    val t2 = Seq((1L, "a", "x"), (1L, "b", "y")).toDF("k1", "k2", "v")
+    val s2 = Seq((1L, "a", "z", "u")).toDF("k1", "k2", "v", "op_aws")
+    val m = MergeOps.merge(t2, s2, Seq("k1", "k2"), col("op_aws") === "d", Seq("op_aws"))
+    val got = m.select("k1", "k2", "v").as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "a", "z"), (1L, "b", "y")))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import graft.functions.{DedupFunctions, Multimodal, Similarity, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators: text analysis, near-dup families,
+  * ANN, multimodal stubs — the properties the DuckDB oracle can't check
+  * (xxhash64-based paths) are asserted here. */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokenization + counts") {
+    val df = Seq("The  quick Brown fox", "", "one").toDF("text")
+    val got = df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect()
+    assert(got(0) == 4 && got(2) == 1)
+    val bpe = Seq("ab 12 c.").toDF("text")
+      .select(TextFunctions.bpeishTokenCount(col("text"))).as[Int].head()
+    assert(bpe == 5) // ab, 1, 2, c, .
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq(("A  b\tC", "a b c"), ("x", "y")).toDF("t1", "t2")
+    val eq = df.select((TextFunctions.fingerprint(col("t1")) ===
+      TextFunctions.fingerprint(col("t2"))).as("e")).as[Boolean].collect()
+    assert(eq(0) && !eq(1))
+  }
+
+  test("langId picks the language with most distinct stopword hits") {
+    val df = Seq("the cat of the house and a dog", "el perro de la casa y un gato").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(got(0) == "en" && got(1) == "es")
+  }
+
+  test("simhash: identical text → identical sig; near-identical → small hamming") {
+    val base = "spark window merge join filter scan table batch stream row column"
+    val near = base.replace("column", "columns")
+    val far = "completely different words entirely unrelated content here now"
+    val df = Seq(base, base, near, far).toDF("text")
+    val sigs = df.select(TextFunctions.simhash64(col("text"))).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(3)))
+  }
+
+  test("shingles: distinct word n-grams") {
+    val got = Seq("a b c b c").toDF("t")
+      .select(DedupFunctions.shingles(col("t"), 2)).as[Seq[String]].head()
+    assert(got.toSet == Set("a b", "b c", "c b"))
+  }
+
+  test("exactDedup groups identical canonical texts") {
+    val df = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val got = DedupFunctions.exactDedup(df, "text", "doc_id")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds injected near-duplicates with exact jaccard") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(60)
+    // inject: copy of doc 0's text with one word appended → jaccard ≈ 0.95+
+    val dup = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(dup)
+    val pairs = DedupFunctions.minhashLshPairs(corpus, "text", "doc_id",
+      n = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100000L)))
+    // precision: every reported pair really has jaccard ≥ 0.5 (exact verify path)
+    val exact = DedupFunctions.ngramJaccardPairs(corpus, "text", "doc_id", 2, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact))
+  }
+
+  test("simhashPairs finds exact duplicates via chunk pigeonhole") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "unrelated totally different text body")).toDF("doc_id", "text")
+    val pairs = DedupFunctions.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("brute-force ANN: identical vector is rank-1 neighbor") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val clone = e.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(clone)
+    val top = Similarity.bruteForceTopK(corpus.filter(col("vec_id") === 100003), corpus, 5)
+    val first = top.filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    assert(first == 3L)
+  }
+
+  test("SRP-LSH ANN: identical vectors share a bucket; results ⊆ brute-force order") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val clone = e.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(clone)
+    val q = corpus.filter(col("vec_id") === 100007)
+    val got = Similarity.lshTopK(q, corpus, k = 5, bits = 8, probeHamming = 1)
+    val first = got.filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    assert(first == 7L) // exact twin guaranteed same bucket
+  }
+
+  test("cosineNearDupPairs finds the injected twin") {
+    val e = Tables.embeddings(spark, sf("sf0.001")).limit(100)
+    val clone = e.filter(col("vec_id") === 9)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Similarity.cosineNearDupPairs(e.unionByName(clone), threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9L, 100009L)))
+  }
+
+  test("multimodal: payload schema, deterministic stubs, metadata grouping") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
+    val mm = Multimodal.multimodalize(docs, "text", "doc_id")
+    assert(mm.schema("payload").dataType == BinaryType)
+    val metaFields = mm.schema("meta").dataType.asInstanceOf[StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.metaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val img = mm.select(col("image.width"), col("image.height"), col("image.channels"))
+      .as[(Int, Int, Int)].collect()
+    assert(img.forall { case (w, h, c) => w >= 32 && h >= 32 && c >= 1 && c <= 3 })
+    // determinism: same content → same stub decode
+    val again = Multimodal.multimodalize(docs, "text", "doc_id")
+      .select(col("image.width")).as[Int].collect()
+    assert(again.toSeq == mm.select(col("image.width")).as[Int].collect().toSeq)
+    // feature stub: right dim, bounded values
+    val feats = docs.select(Multimodal.extractFeaturesStub(
+      Multimodal.toPayload(col("text")), 16).as("f")).as[Seq[Double]].head()
+    assert(feats.length == 16 && feats.forall(v => v >= -0.5 && v < 0.5))
+    // frame sampling stub: monotonically increasing timestamps
+    val frames = docs.limit(1).select(Multimodal.frameSampleStub(
+      Multimodal.toPayload(col("text")), 5000).as("fr"))
+      .select(col("fr.frame_ts_ms")).as[Seq[Long]].head()
+    assert(frames == frames.sorted && frames.nonEmpty)
+  }
+
+  test("quality score is in [0,1] and favors stopword-bearing prose") {
+    val df = Seq("the cat and the dog in the house with a ball",
+      "zxqv wvut ppo").toDF("text")
+    val got = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
+    assert(got.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(0) > got(1))
+  }
+}
