@@ -63,8 +63,7 @@ object QueriesExt {
   /** SimHash signatures (rows-only: xxhash64). Pair-finding via chunk
     * pigeonhole is exercised in DedupSpec. */
   def q16Simhash(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      TextFunctions.simhash64(col("text")).as("sig"))
+    TextFunctions.simhashSignatures(docs(s, dir), "text", "doc_id")
 
   // ---------------------------------------------------------------- q17
   /** Brute-force cosine top-10 for 8 query vectors — broadcast queries,

@@ -70,10 +70,27 @@ object DedupFunctions {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the document's shingles. */
+    * the minimum xxhash64 over the document's shingles. Column-level
+    * (nested higher-order functions); for whole-table signatures prefer
+    * [[minhashSignatures]] — codegen'd and partially aggregated. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
     transform(sequence(lit(1), lit(numHashes)), seed =>
       array_min(transform(sh, s => xxhash64(s, seed))))
+
+  /** MinHash signatures for a whole table: explode shingles → `numHashes`
+    * min-aggregates (map-side combine: one row per doc leaves each
+    * mapper) → signature array. Returns (id, n_sh, sig). */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tok = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val mins = (1 to numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    tok.groupBy(col("id"), col("n_sh"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), col("n_sh"),
+        array((1 to numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** MinHash + LSH banding near-dup candidates, exact-verified.
     *
@@ -88,24 +105,24 @@ object DedupFunctions {
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("n_sh", size(col("sh")))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sh.select(col("id"), col("sh"), col("n_sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+    val sig = minhashSignatures(df, textCol, idCol, n, numHashes)
+    val banded = sig.select(col("id"), col("n_sh"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)),
+          lit(b))): _*))
         .as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"),
-      col("sh").as("sh_a"), col("n_sh").as("n_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"),
-      col("sh").as("sh_b"), col("n_sh").as("n_b"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("n_sh").as("n_b"))
     val cand = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
-        col("n_a"), col("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .dropDuplicates("id_a", "id_b")
+    // Exact verification: join the (small) candidate set back to the
+    // shingle arrays — precision stays exact, only recall is probabilistic.
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("shared").cast("double") /
@@ -120,8 +137,8 @@ object DedupFunctions {
     * pigeonhole), so again an equi-join, never all-pairs. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      TextFunctions.simhash64(col(textCol)).as("sig"))
+    val sig = TextFunctions.simhashSignatures(df, textCol, idCol)
+      .withColumnRenamed(idCol, "id")
     val chunked = sig.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))

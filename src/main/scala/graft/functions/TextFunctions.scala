@@ -84,9 +84,35 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** 64-bit SimHash signatures for a whole table: explode tokens → hash →
+    * 64 per-bit ±1 vote sums as a hash aggregate → combine sign bits.
+    *
+    * Preferred over the Column-level [[simhash64]]: the 64 small `sum`
+    * aggregates whole-stage-codegen and partially aggregate map-side
+    * (explode is narrow, so each doc's tokens collapse to one 64-long row
+    * before the shuffle — the shuffle carries #docs rows, not #tokens).
+    * The fold-expression variant builds a ~1000-node interpreted tree that
+    * costs seconds of planning per query. */
+  def simhashSignatures(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        idCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode_outer(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"b$i"))
+    tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: each token's xxhash64 votes
     * ±1 per bit position; the sign of each bit's vote total forms the
-    * signature. Pure higher-order-function fold — distributes as a map. */
+    * signature. Pure higher-order-function fold — distributes as a map,
+    * but plans as a large interpreted tree: prefer [[simhashSignatures]]
+    * for whole-table scoring. */
   def simhash64(text: Column): Column = {
     val toks = tokens(text)
     val votes = aggregate(

@@ -26,6 +26,22 @@ import org.apache.spark.sql.types._
   */
 object CdcGen {
 
+  /** Materialization barrier appended to every generator: a round-robin
+    * exchange that makes the generated JSON behave like an ingested Kafka
+    * batch. Without it, CollapseProject inlines the `to_json` into every
+    * downstream `get_json_object` routing predicate — the envelope gets
+    * serialized 3× per row and the fused codegen blows up (seconds of
+    * janino compilation per query). With it, the strings are produced once
+    * at the exchange, exactly like a real source. */
+  private def asBatch(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** The testdata parquet files are single-row-group → the scan is one
+    * task. Spread the (tiny) raw columns across cores *before* the
+    * expensive per-row JSON serialization so `to_json` parallelizes. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Explicit payload schema for the explicit-schema parse path. */
   val payloadSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -49,13 +65,13 @@ object CdcGen {
       .when(col("event_type") === "error", "d")
       .when(col("event_type") === "view", "r")
       .otherwise("u")
-    events.select(to_json(struct(
+    asBatch(spread(events).select(to_json(struct(
       when(op === "d", payload).as("before"),
       when(op =!= "d", payload).as("after"),
       struct(lit("cdc_db").as("db"), tableName.as("table"), col("ts_ms")).as("source"),
       op.as("op"),
       col("ts_ms")
-    )).as("value"))
+    )).as("value")))
   }
 
   def dms(events: DataFrame): DataFrame = {
@@ -63,7 +79,7 @@ object CdcGen {
       .when(col("event_type") === "error", "delete")
       .otherwise("update")
     val recordType = when(col("event_type") === "view", "control").otherwise("data")
-    events.select(to_json(struct(
+    asBatch(spread(events).select(to_json(struct(
       payload.as("data"),
       struct(
         date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
@@ -73,7 +89,7 @@ object CdcGen {
         lit("cdc_db").as("schema-name"),
         tableName.as("table-name")
       ).as("metadata")
-    )).as("value"))
+    )).as("value")))
   }
 
   /** Canal batches many rows per envelope; we group by (user_id,
@@ -84,7 +100,7 @@ object CdcGen {
     val op = when(col("event_type") === "error", "DELETE")
       .when(col("event_type").isin("signup", "view"), "INSERT")
       .otherwise("UPDATE")
-    events
+    asBatch(events
       .groupBy(col("user_id"), col("event_type"))
       .agg(
         sort_array(collect_list(payload)).as("data"),
@@ -95,7 +111,7 @@ object CdcGen {
         tableName.as("table"),
         col("ts"),
         op.as("type")
-      )).as("value"))
+      )).as("value")))
   }
 
   /** Mongo change stream. `view` maps to `invalidate` (a real change-stream
@@ -113,13 +129,13 @@ object CdcGen {
     val fullDoc = when(col("event_type") =!= "error",
       to_json(struct(col("event_id"), get_json_object(col("props"), "$.k")
         .cast(IntegerType).as("k"))))
-    events.select(to_json(struct(
+    asBatch(spread(events).select(to_json(struct(
       col("event_id").cast(StringType).as("_id"),
       op.as("operationType"),
       fullDoc.as("fullDocument"),
       concat(lit("{\"_id\": "), col("user_id"), lit("}")).as("documentKey"),
       struct(lit("cdc_db").as("db"), tableName.as("coll")).as("ns"),
       col("ts_ms")
-    )).as("value"))
+    )).as("value")))
   }
 }
