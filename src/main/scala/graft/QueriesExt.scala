@@ -223,6 +223,17 @@ object QueriesExt {
       |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) t
       |WHERE rnk <= 3""".stripMargin
 
+  /** Rollup aggregation (multi-level grouping in one pass — the kind of
+    * warehouse rollup the reference delegates to Redshift, SURVEY §2.4). */
+  def qa5Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  val qa5Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   /** Streaming-shaped batch agg: hourly event counts + value sums. */
   def qa4EventsHourly(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -248,7 +259,8 @@ object QueriesExt {
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
-    "qa4_events_hourly" -> (qa4EventsHourly _)
+    "qa4_events_hourly" -> (qa4EventsHourly _),
+    "qa5_rollup" -> (qa5Rollup _)
   )
 
   /** q14/q16 omitted: xxhash64-based, not SQL-expressible → rows-only. */
@@ -264,6 +276,7 @@ object QueriesExt {
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,
-    "qa4_events_hourly" -> qa4Sql
+    "qa4_events_hourly" -> qa4Sql,
+    "qa5_rollup" -> qa5Sql
   )
 }

@@ -127,7 +127,18 @@ final class JdbcMergeSink(url: String, connProps: Properties = new Properties(),
     val target = spec.resolvedTarget
     val staging = s"${target}_stage_aws"
     val dataCols = stage0.columns.filterNot(Seq("ts_ms_aws", "idx_aws").contains)
-    val stage = stage0.select(dataCols.map(col): _*)
+    val stage1 = stage0.select(dataCols.map(col): _*)
+    // ignore_ddl: the user manages DDL; cast the batch to the existing
+    // catalog's types instead of evolving the table (ref
+    // redshift_schema_evolution.py:97-155; README.md:107-115).
+    val stage = if (!spec.ignoreDdl) stage1 else {
+      val catalog = catalogColumns(target).getOrElse(throw new IllegalStateException(
+        s"ignore_ddl=true but target table $target does not exist"))
+      val present = stage1.columns.map(_.toLowerCase).toSet
+      val castCols = catalog.filter(c => present.contains(c.name.toLowerCase))
+        .map(c => col(c.name).cast(SchemaEvolution.sqlToSpark(c.sqlType)).as(c.name))
+      stage1.select(castCols :+ col("op_aws"): _*)
+    }
     def attempt(dropStagingFirst: Boolean): Unit = {
       withConnection { conn =>
         if (dropStagingFirst)

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.config.{JobConfig, TableSpec}
+import graft.envelope.CdcFormat
+import graft.sink.{JdbcMergeSink, MergeTarget, ParquetMergeTarget}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** The single app driver, replacing the reference's three near-identical
+  * entry points (emr_ec2 / glue / emr_serverless `cdc_redshift.py` —
+  * platform differences are config here, SURVEY.md §3).
+  *
+  * Usage: `runMain graft.streaming.CdcApp <config.properties> [jdbcUrl]`
+  *  - config: the reference's property names (`kafka_broker`, `topic`,
+  *    `cdc_format`, `sync_table_list`, ...; see JobConfig).
+  *  - sink: `jdbc:` URL → [[JdbcMergeSink]] per table; otherwise treated
+  *    as a directory for parquet merge targets (lakehouse/test mode).
+  */
+object CdcApp {
+
+  /** Batch-progress listener (ref T4: KafkaOffsetCommitterListener commits
+    * consumer offsets for lag monitoring; with no Kafka admin client in
+    * scope we surface the same signal — per-batch source offsets and row
+    * counts — through the listener API for any monitoring hook). */
+  final class ProgressListener extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      println(s"[graft] query started ${e.id}")
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      println(s"[graft] batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
+        s"offsets=${Option(e.progress.sources).map(_.map(_.endOffset).mkString(",")).getOrElse("")}")
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      println(s"[graft] query terminated ${e.id} error=${e.exception.getOrElse("none")}")
+  }
+
+  def session(appName: String, workers: Int): SparkSession =
+    SparkSession.builder()
+      .appName(appName)
+      // FAIR scheduling so the per-table concurrent jobs share executors
+      // (ref emr_ec2/cdc_redshift.py:30).
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // Speculation duplicates staging writes (ref README.md:141).
+      .config("spark.speculation", "false")
+      .getOrCreate()
+
+  def sinkFactory(spark: SparkSession, sinkSpec: String): TableSpec => MergeTarget = {
+    if (sinkSpec.startsWith("jdbc:")) {
+      val jdbc = new JdbcMergeSink(sinkSpec)
+      spec => new MergeTarget {
+        def merge(stage: DataFrame, s: TableSpec): Unit = jdbc.writeBatch(stage, s)
+        def snapshot(sp: SparkSession): DataFrame =
+          sp.read.format("jdbc").option("url", sinkSpec)
+            .option("dbtable", spec.resolvedTarget).load()
+      }
+    } else {
+      val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
+      spec => sinks.getOrElseUpdate(spec.resolvedTarget,
+        new ParquetMergeTarget(s"$sinkSpec/${spec.resolvedTarget}"))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CdcApp <config.properties> [sink]")
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(args(0))), java.nio.charset.StandardCharsets.UTF_8)
+    val cfg = JobConfig.fromProperties(text)
+    val sinkSpec = if (args.length > 1) args(1) else "/tmp/graft-targets"
+    val spark = session("graft-cdc", cfg.threadMaxWorkers)
+    spark.streams.addListener(new ProgressListener)
+    val format = CdcFormat.forName(cfg.cdcFormat)
+    val source = CdcPipeline.kafkaSource(spark, cfg)
+    val query = CdcPipeline.streamWriter(source, cfg, format,
+      sinkFactory(spark, sinkSpec)).start()
+    query.awaitTermination()
+  }
+}

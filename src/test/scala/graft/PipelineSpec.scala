@@ -94,6 +94,22 @@ class PipelineSpec extends SparkSuite {
     assert(cols.contains("extra"))
   }
 
+  test("jdbc sink ignore_ddl: casts to catalog, never alters the table") {
+    val db = Files.createTempDirectory("graft-derby2").toString + "/db"
+    val sink = new JdbcMergeSink(s"jdbc:derby:$db;create=true", maxVarchar = 32672)
+    val spec = TableSpec("cdc_db", "fixed", Seq("id"))
+    sink.writeBatch(Seq((1L, "a", "c")).toDF("id", "v", "op_aws"), spec)
+    val before = sink.catalogColumns("fixed").get.map(_.name)
+    // drifted batch: new column `extra`, id arrives as STRING → cast to catalog
+    val drifted = Seq(("2", "b", 7L, "c")).toDF("id", "v", "extra", "op_aws")
+    sink.writeBatch(drifted, spec.copy(ignoreDdl = true))
+    assert(sink.catalogColumns("fixed").get.map(_.name) == before) // no ALTER
+    val rows = spark.read.format("jdbc").option("url", s"jdbc:derby:$db")
+      .option("dbtable", "fixed").load()
+      .select(col("id").cast("long"), col("v")).as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a", 2L -> "b"))
+  }
+
   test("streaming: MemoryStream micro-batches through foreachBatch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

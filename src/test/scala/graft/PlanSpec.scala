@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions: the properties that make these operators hold
+  * at 1000× the data are plan shapes, not constants — guard them.
+  * (SURVEY.md §4; the "would this survive a 100× scale-up" checklist.) */
+class PlanSpec extends SparkSuite {
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planString(df: DataFrame): String = executed(df).toString
+
+  test("qa2 star join broadcasts both dimensions (lineitem never shuffled pre-agg)") {
+    val p = planString(QueriesExt.qa2Revenue(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("q7 merge anti-join broadcasts the stage key set (target side streams)") {
+    val p = planString(Queries.q7Merge(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("LWW dedup plans as WindowGroupLimit (rank filter pushed below shuffle)") {
+    val p = planString(Queries.q5LwwDedup(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("qa1 projection prunes lineitem scan to the aggregated columns") {
+    val p = executed(QueriesExt.qa1Pricing(spark, sf("sf0.001")))
+    val scan = p.collectLeaves().map(_.toString).find(_.contains("lineitem")).get
+    assert(scan.contains("l_returnflag") && !scan.contains("l_shipdate"),
+      "scan reads columns the query never uses:\n" + scan.take(1000))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.lineitem(spark, sf("sf0.001"))
+      .filter(col("l_orderkey") === 1L).select(col("l_quantity"))
+    val scan = executed(df).collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("IsNotNull(l_orderkey)"),
+      scan.take(1000))
+  }
+
+  test("partial aggregation before the shuffle (map-side combine) for qa1") {
+    val p = planString(QueriesExt.qa1Pricing(spark, sf("sf0.001")))
+    // Two HashAggregate levels around one Exchange = partial + final.
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("simhash signatures partially aggregate (docs, not tokens, shuffle)") {
+    val p = planString(graft.functions.TextFunctions.simhashSignatures(
+      Tables.documents(spark, sf("sf0.001")).limit(50), "text", "doc_id"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+}
