@@ -28,12 +28,18 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   */
 object CdcPipeline {
 
-  /** Per-table batch pipeline: route → [infer schema] → normalize →
-    * op-filter → LWW dedup → coercions. Returns None for an empty subset.
-    * The returned frame still carries op/ts/idx meta columns for the sink. */
-  def tableBatch(batch: DataFrame, spec: TableSpec, format: CdcFormat,
-                 payload: Option[StructType] = None,
-                 valueCol: String = "value"): Option[DataFrame] = {
+  private def keysOf(spec: TableSpec): Seq[String] =
+    if (spec.primaryKey.nonEmpty) spec.primaryKey else Seq("doc_id")
+
+  /** Route → [infer schema] → normalize → op-filter → quarantine for one
+    * table's slice of the batch; None if the routed subset is empty.
+    * NOT yet deduped — both the upsert path and the delete-audit path
+    * dedup this independently (the reference runs separate ranking windows,
+    * redshift_sink.py:193-227: a delete that lost last-write-wins to a
+    * later update must still reach the `_delete` audit table). */
+  def normalizedBatch(batch: DataFrame, spec: TableSpec, format: CdcFormat,
+                      payload: Option[StructType] = None,
+                      valueCol: String = "value"): Option[DataFrame] = {
     val spark = batch.sparkSession
     import spark.implicits._
     val routed = batch.filter(format.route(col(valueCol), spec))
@@ -48,20 +54,34 @@ object CdcPipeline {
         format.payloadFromEnvelope(env)
       }
       val norm0 = format.normalize(routed, schema, valueCol)
-      val norm = norm0.filter(format.opFilter(norm0))
-      val keys = if (spec.primaryKey.nonEmpty) spec.primaryKey else Seq("doc_id")
-      val order = Seq(col(format.TsCol), col(format.IdxCol))
-      val deduped = Dedup.latestPerKey(norm, keys, order)
-      Some(Coerce(deduped, spec))
+      // Quarantine (T7, the reference's `maxerror` tolerance): a malformed
+      // record parses to an all-null payload → all-null key. Letting it
+      // through would form a spurious null-key group in the dedup and a
+      // null-key upsert; drop it instead of failing the batch.
+      val keyPresent = keysOf(spec).map(col(_).isNotNull).reduce(_ || _)
+      Some(norm0.filter(format.opFilter(norm0)).filter(keyPresent))
     }
   }
 
+  private def lwwOrder(format: CdcFormat) = Seq(col(format.TsCol), col(format.IdxCol))
+
+  /** Per-table batch pipeline: normalizedBatch → LWW dedup → coercions.
+    * The returned frame still carries op/ts/idx meta columns for the sink. */
+  def tableBatch(batch: DataFrame, spec: TableSpec, format: CdcFormat,
+                 payload: Option[StructType] = None,
+                 valueCol: String = "value"): Option[DataFrame] =
+    normalizedBatch(batch, spec, format, payload, valueCol).map { norm =>
+      Coerce(Dedup.latestPerKey(norm, keysOf(spec), lwwOrder(format)), spec)
+    }
+
   /** Delete-audit variant (save_delete / only_save_delete — ref
-    * redshift_sink.py:213-227,599-607): latest delete per key. */
+    * redshift_sink.py:213-227,599-607): latest *delete* per key, deduped
+    * independently of the upsert stream. */
   def deleteAuditBatch(batch: DataFrame, spec: TableSpec, format: CdcFormat,
                        payload: Option[StructType] = None): Option[DataFrame] =
-    tableBatch(batch, spec, format, payload).map { df =>
-      df.filter(col(format.OpCol) === "d")
+    normalizedBatch(batch, spec, format, payload).map { norm =>
+      Coerce(Dedup.latestDeletePerKey(norm, keysOf(spec), lwwOrder(format),
+        col(format.OpCol) === "d"), spec)
     }
 
   /** One micro-batch for every configured table, fanned out on `pool`
@@ -76,13 +96,19 @@ object CdcPipeline {
     try {
       val tasks = cfg.tables.map { spec =>
         Future {
-          tableBatch(cached, spec, format, payloadFor(spec)).foreach { staged =>
-            if (!spec.onlySaveDelete) sinkFor(spec).merge(staged, spec)
+          normalizedBatch(cached, spec, format, payloadFor(spec)).foreach { norm =>
+            if (!spec.onlySaveDelete) {
+              val staged = Coerce(Dedup.latestPerKey(norm, keysOf(spec), lwwOrder(format)), spec)
+              sinkFor(spec).merge(staged, spec)
+            }
             if (spec.saveDelete || spec.onlySaveDelete) {
               val audit = spec.copy(table = spec.table + "_delete",
                 targetTable = Some(spec.resolvedTarget + "_delete"),
                 skipDelete = true) // audit table keeps the delete rows
-              val deletes = staged.filter(col(format.OpCol) === "d")
+              // Independent dedup over deletes only: a delete that lost LWW
+              // to a later update still reaches the audit table (P8).
+              val deletes = Coerce(Dedup.latestDeletePerKey(norm, keysOf(spec),
+                lwwOrder(format), col(format.OpCol) === "d"), spec)
               if (!deletes.isEmpty) sinkFor(audit).merge(deletes, audit)
             }
           }

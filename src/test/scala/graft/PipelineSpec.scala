@@ -2,6 +2,7 @@ package graft
 
 import graft.config.{JobConfig, TableSpec}
 import graft.envelope.FlinkDebeziumCdc
+import graft.operators.Dedup
 import graft.sink.{JdbcMergeSink, MergeTarget, ParquetMergeTarget}
 import graft.sources.CdcGen
 import graft.streaming.CdcPipeline
@@ -63,10 +64,47 @@ class PipelineSpec extends SparkSuite {
       sinks.getOrElseUpdate(s.resolvedTarget, new ParquetMergeTarget(s"$dir/${s.resolvedTarget}"))
     CdcPipeline.processBatch(CdcGen.debezium(events), cfg, FlinkDebeziumCdc, sinkFor)
     val audit = spark.read.parquet(s"$dir/t0_delete")
-    assert(audit.count() > 0)
+    // audit keys = every routed user with ≥1 delete event (deletes dedup
+    // independently of the upsert stream — P8)
+    val expected = events
+      .filter(col("user_id") % 2 === 0 && col("event_type") === "error")
+      .select(col("user_id")).distinct().count()
+    assert(audit.count() == expected && expected > 0)
+    // main excludes exactly the keys whose LAST op was a delete
     val main = spark.read.parquet(s"$dir/t0")
-    // audit keys are exactly the keys whose latest op was delete → absent from main
-    assert(main.join(audit, Seq("id"), "inner").count() == 0)
+    val lastIsDelete = Dedup.latestPerKey(
+      events.filter(col("user_id") % 2 === 0), Seq("user_id"),
+      Seq(col("ts_ms"), col("event_id")))
+      .filter(col("event_type") === "error")
+    assert(main.join(lastIsDelete, main("id") === lastIsDelete("user_id")).count() == 0)
+  }
+
+  test("delete then later update: audit gets the delete, main gets the update") {
+    val dir = Files.createTempDirectory("graft-aud2").toString
+    val spec = t0.copy(saveDelete = true)
+    val cfg = JobConfig(tables = Seq(spec), threadMaxWorkers = 1, batchTimeoutMinutes = 5)
+    val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
+    def sinkFor(s: TableSpec): MergeTarget =
+      sinks.getOrElseUpdate(s.resolvedTarget, new ParquetMergeTarget(s"$dir/${s.resolvedTarget}"))
+    val batch = Seq(
+      """{"before":{"id":2,"event_id":1,"k":1,"val":1.0},"after":null,"source":{"db":"cdc_db","table":"t0","ts_ms":100},"op":"d","ts_ms":100}""",
+      """{"before":null,"after":{"id":2,"event_id":2,"k":2,"val":2.0},"source":{"db":"cdc_db","table":"t0","ts_ms":200},"op":"u","ts_ms":200}"""
+    ).toDF("value")
+    CdcPipeline.processBatch(batch, cfg, FlinkDebeziumCdc, sinkFor)
+    val main = spark.read.parquet(s"$dir/t0")
+    assert(main.select("k").as[Long].collect().toSeq == Seq(2L)) // update won
+    val audit = spark.read.parquet(s"$dir/t0_delete")
+    assert(audit.select("k").as[Long].collect().toSeq == Seq(1L)) // delete audited
+  }
+
+  test("malformed records are quarantined, not merged as null keys") {
+    val batch = CdcGen.debezium(events).unionByName(Seq(
+      """{"source":{"db":"cdc_db","table":"t0"},"op":"u","ts_ms":5}""", // no payload
+      """not json at all"""
+    ).toDF("value"))
+    val out = CdcPipeline.tableBatch(batch, t0, FlinkDebeziumCdc,
+      Some(CdcGen.payloadSchema)).get
+    assert(out.filter(col("id").isNull).count() == 0)
   }
 
   test("jdbc sink: auto-create, merge, schema evolution, idempotent replay") {
