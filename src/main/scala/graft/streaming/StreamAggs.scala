@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming aggregations — capabilities beyond the reference's
+  * stateless micro-batches (it keeps all state in the warehouse,
+  * SURVEY.md §2.9 T5), provided as the natural Structured Streaming layer
+  * over the same event stream:
+  *
+  *  - watermarked tumbling / sliding window aggregates (late data dropped
+  *    deterministically after the watermark);
+  *  - built-in session windows (gap-based);
+  *  - custom per-key running state via `flatMapGroupsWithState` for
+  *    whatever the declarative windows can't express.
+  *
+  * All operate on a frame shaped like the testdata `events` table
+  * (ts: timestamp, user_id, event_type, value). State is keyed and
+  * watermark-bounded → memory per executor is O(active keys), not O(rows).
+  */
+object StreamAggs {
+
+  /** Tumbling-window counts/sums per event type. */
+  def tumbling(events: DataFrame, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window aggregation (overlapping windows). */
+  def sliding(events: DataFrame, window: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"), col("n"))
+
+  /** Gap-based session windows per user (built-in `session_window`). */
+  def sessions(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Input/row types for the custom-state path. */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state: running per-user totals emitted every batch —
+    * the `flatMapGroupsWithState` escape hatch for semantics the built-in
+    * windows can't express (ref SURVEY.md §7.5 shape). With the default
+    * ProcessingTime timeout, idle keys are evicted so state stays bounded
+    * (note: timeout evaluation keeps the trigger busy — pair it with a
+    * ProcessingTime trigger, not continuous processing). */
+  def runningTotals(events: Dataset[Ev],
+                    idleTimeoutMs: Long = 3600000L,
+                    timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    val evict = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
+        (user: Long, rows: Iterator[Ev], state: GroupState[UserRunning]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+            val (n, total) = rows.foldLeft((prev.n, prev.total)) {
+              case ((c, t), ev) => (c + 1, t + ev.value)
+            }
+            val next = UserRunning(user, n, total)
+            state.update(next)
+            if (evict) state.setTimeoutDuration(idleTimeoutMs)
+            Iterator.single(next)
+          }
+        })
+  }
+}

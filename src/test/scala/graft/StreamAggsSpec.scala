@@ -1,0 +1,91 @@
+package graft
+
+import graft.streaming.StreamAggs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Event-time streaming: watermarked windows, sessions, custom state —
+  * each driven through MemoryStream micro-batches and cross-checked
+  * against the equivalent batch computation. */
+class StreamAggsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
+
+  private val rows = Seq(
+    (ts(0), 1L, "click", 1.0), (ts(1), 1L, "click", 2.0),
+    (ts(2), 2L, "view", 3.0), (ts(7), 1L, "click", 4.0),
+    (ts(62), 2L, "view", 5.0) // next hour
+  )
+
+  private def toDf(mem: MemoryStream[(Timestamp, Long, String, Double)]) =
+    mem.toDF().toDF("ts", "user_id", "event_type", "value")
+
+  test("tumbling window counts equal the batch groupBy") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    mem.addData(rows)
+    val q = StreamAggs.tumbling(toDf(mem), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumb").select("ws", "event_type", "n")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val expected = rows.toDF("ts", "user_id", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == expected && got.size == 3)
+  }
+
+  test("session windows split on the gap") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    mem.addData(rows)
+    val q = StreamAggs.sessions(toDf(mem), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess")
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // user 1: events at m0,m1 (one session) and m7 (gap >5m → new session)
+    assert(got(1L) == Seq(1L, 2L))
+    // user 2: m2 and m62 → two singleton sessions
+    assert(got(2L) == Seq(1L, 1L))
+  }
+
+  test("watermark drops events later than the bound") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = StreamAggs.tumbling(toDf(mem), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    mem.addData(rows)
+    q.processAllAvailable()
+    // advance the watermark far past hour 0, then send a straggler into hour 0
+    mem.addData(Seq((ts(180), 3L, "click", 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((ts(3), 9L, "late", 9.9)))
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits finalized windows only; the straggler's window was
+    // already finalized → the late row must not appear
+    assert(!spark.table("late").select("event_type").as[String].collect().contains("late"))
+  }
+
+  test("flatMapGroupsWithState running totals accumulate across batches") {
+    val mem = MemoryStream[StreamAggs.Ev]
+    val q = StreamAggs.runningTotals(mem.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("run").outputMode("update").start()
+    mem.addData(StreamAggs.Ev(1L, ts(0), 10.0), StreamAggs.Ev(1L, ts(1), 5.0))
+    q.processAllAvailable()
+    mem.addData(StreamAggs.Ev(1L, ts(2), 1.0), StreamAggs.Ev(2L, ts(2), 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("run").as[StreamAggs.UserRunning].collect()
+      .groupBy(_.user_id).view.mapValues(_.maxBy(_.n)).toMap
+    assert(last(1L).n == 3 && last(1L).total == 16.0)
+    assert(last(2L).n == 1 && last(2L).total == 7.0)
+  }
+}
