@@ -280,6 +280,59 @@ object Queries {
       |  FROM e WHERE user_id % 2 = 0 AND event_type <> 'view')
       |SELECT doc_id, doc, ts_date, op_aws FROM m WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** Canal cross-envelope LWW: the full ordering (envelope ts DESC, array
+    * position DESC, unique id DESC) across many envelopes per key — the
+    * ordering SURVEY §7.4 flags as easy to get wrong. */
+  def q23CanalLww(s: SparkSession, dir: String): DataFrame = {
+    val routed = canalBatch(s, dir).filter(CanalCdc.route(col("value"), specT0))
+    val norm = CanalCdc.normalize(routed, CdcGen.payloadSchema)
+    Dedup.latestPerKey(norm, Seq("id"), lwwOrder(norm))
+      .select(col("id"), col("event_id"), col("k"), col("val"), col("op_aws"))
+  }
+  val q23Sql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, $kSql AS k, "value" AS val,
+       |         CASE WHEN event_type IN ('signup','view') THEN 'c'
+       |              WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op_aws,
+       |         MAX(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type) AS env_ts,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) - 1 AS idx
+       |  FROM events WHERE user_id % 2 = 0)
+       |SELECT user_id AS id, event_id, k, val, op_aws
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |        ORDER BY env_ts DESC, idx DESC, event_id DESC) AS rn FROM x) t
+       |WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Scaled spine: the full route→parse→normalize→LWW pipeline over a 10×
+    * key- and row-expanded batch (≈1M records at the bench scale factor) —
+    * the reference's 1M-records-per-trigger operating envelope
+    * (BASELINE.md) exercised as one query. */
+  def q24SpineScaled(s: SparkSession, dir: String): DataFrame = {
+    val copies = broadcast(s.range(10).select(col("id").as("copy")))
+    val expanded = events(s, dir).crossJoin(copies).select(
+      (col("event_id") * 10 + col("copy")).as("event_id"),
+      col("ts"), col("ts_ms"),
+      (col("user_id") + col("copy") * 1000).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val raw = CdcGen.debezium(expanded) // not cached: single-use, 10× size
+    val routed = raw.filter(FlinkDebeziumCdc.route(col("value"), specT0))
+    val norm = FlinkDebeziumCdc.normalize(routed, CdcGen.payloadSchema)
+    Dedup.latestPerKey(norm, Seq("id"), lwwOrder(norm))
+      .select(col("id"), col("event_id"), col("k"), col("val"), col("op_aws"))
+  }
+  val q24Sql: String =
+    s"""WITH ex AS (
+       |  SELECT event_id * 10 + copy AS event_id, ts,
+       |         user_id + copy * 1000 AS user_id, event_type, "value", props
+       |  FROM events, (SELECT unnest(range(10)) AS copy))
+       |SELECT user_id AS id, event_id,
+       |       $kSql AS k, "value" AS val, $opSql AS op_aws
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |        ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+       |      FROM ex WHERE user_id % 2 = 0) t
+       |WHERE rn = 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_route_filter" -> (q1RouteFilter _),
@@ -293,7 +346,9 @@ object Queries {
     "q9_staging_dedup" -> (q9StagingDedup _),
     "q10_super_repair" -> (q10SuperRepair _),
     "q11_schema_drift" -> (q11SchemaDrift _),
-    "q12_mongo" -> (q12Mongo _)
+    "q12_mongo" -> (q12Mongo _),
+    "q23_canal_lww" -> (q23CanalLww _),
+    "q24_spine_scaled" -> (q24SpineScaled _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -308,6 +363,8 @@ object Queries {
     "q9_staging_dedup" -> q9Sql,
     "q10_super_repair" -> q10Sql,
     "q11_schema_drift" -> q11Sql,
-    "q12_mongo" -> q12Sql
+    "q12_mongo" -> q12Sql,
+    "q23_canal_lww" -> q23Sql,
+    "q24_spine_scaled" -> q24Sql
   )
 }
