@@ -51,7 +51,7 @@ object Queries {
 
   /** LWW ordering used everywhere: event time desc, intra-envelope index
     * desc (Canal), unique event id desc as total-order tie-break. */
-  private def lwwOrder(df: DataFrame): Seq[Column] =
+  private val lwwOrder: Seq[Column] =
     Seq(col("ts_ms_aws"), col("idx_aws"), col("event_id"))
 
   // ---------------------------------------------------------------- q1
@@ -134,7 +134,7 @@ object Queries {
     val routed = raw.filter(FlinkDebeziumCdc.route(col("value"), specT0))
     val norm0 = FlinkDebeziumCdc.normalize(routed, CdcGen.payloadSchema)
     val norm = norm0.filter(FlinkDebeziumCdc.opFilter(norm0)) // op whitelist P7
-    Dedup.latestPerKey(norm, specT0.primaryKey, lwwOrder(norm))
+    Dedup.latestPerKey(norm, specT0.primaryKey, lwwOrder)
       .select(col("id"), col("event_id"), col("k"), col("val"), col("op_aws"))
   }
   val q5Sql: String =
@@ -150,7 +150,7 @@ object Queries {
     val raw = debeziumBatch(s, dir)
     val routed = raw.filter(FlinkDebeziumCdc.route(col("value"), specT0))
     val norm = FlinkDebeziumCdc.normalize(routed, CdcGen.payloadSchema)
-    Dedup.latestDeletePerKey(norm, specT0.primaryKey, lwwOrder(norm), col("op_aws") === "d")
+    Dedup.latestDeletePerKey(norm, specT0.primaryKey, lwwOrder, col("op_aws") === "d")
       .select(col("id"), col("event_id"), col("val"))
   }
   val q6Sql: String =
@@ -170,7 +170,7 @@ object Queries {
     val raw = debeziumBatch(s, dir)
     val routed = raw.filter(FlinkDebeziumCdc.route(col("value"), specT0))
     val norm = FlinkDebeziumCdc.normalize(routed, CdcGen.payloadSchema)
-    val stage = Dedup.latestPerKey(norm, Seq("id"), lwwOrder(norm))
+    val stage = Dedup.latestPerKey(norm, Seq("id"), lwwOrder)
       .select(col("id"), concat(lit("user_"), col("id")).as("name"),
         col("val"), col("op_aws"))
     MergeOps.merge(target, stage, Seq("id"), col("op_aws") === "d",
@@ -287,7 +287,7 @@ object Queries {
   def q23CanalLww(s: SparkSession, dir: String): DataFrame = {
     val routed = canalBatch(s, dir).filter(CanalCdc.route(col("value"), specT0))
     val norm = CanalCdc.normalize(routed, CdcGen.payloadSchema)
-    Dedup.latestPerKey(norm, Seq("id"), lwwOrder(norm))
+    Dedup.latestPerKey(norm, Seq("id"), lwwOrder)
       .select(col("id"), col("event_id"), col("k"), col("val"), col("op_aws"))
   }
   val q23Sql: String =
@@ -318,7 +318,7 @@ object Queries {
     val raw = CdcGen.debezium(expanded) // not cached: single-use, 10× size
     val routed = raw.filter(FlinkDebeziumCdc.route(col("value"), specT0))
     val norm = FlinkDebeziumCdc.normalize(routed, CdcGen.payloadSchema)
-    Dedup.latestPerKey(norm, Seq("id"), lwwOrder(norm))
+    Dedup.latestPerKey(norm, Seq("id"), lwwOrder)
       .select(col("id"), col("event_id"), col("k"), col("val"), col("op_aws"))
   }
   val q24Sql: String =

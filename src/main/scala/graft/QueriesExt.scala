@@ -117,10 +117,10 @@ object QueriesExt {
     s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
        |m AS (SELECT doc_id,
        |        len(toks) AS n_tokens,
-       |        list_sum(list_transform(toks, x -> strlen(x)))::DOUBLE /
+       |        list_sum(list_transform(toks, x -> length(x)))::DOUBLE /
        |          greatest(len(toks), 1) AS atl,
-       |        (strlen(text) - strlen(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE /
-       |          greatest(strlen(text), 1) AS pr,
+       |        (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE /
+       |          greatest(length(text), 1) AS pr,
        |        len(list_intersect(list_distinct(toks), [$anyStop]))::DOUBLE /
        |          greatest(len(toks), 1) AS sr
        |      FROM t)

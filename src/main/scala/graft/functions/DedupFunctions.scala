@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
-  /** Distinct word n-gram shingles of a document. */
+  /** Distinct word n-gram shingles of a document; empty array for docs
+    * shorter than n tokens (sequence() would otherwise step backwards and
+    * produce an invalid slice start). */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextFunctions.tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(transform(sequence(lit(0), count - 1), i =>
-      concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val count = size(toks) - (n - 1)
+    array_distinct(
+      when(count > 0, transform(sequence(lit(1), count), i =>
+        concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Exact dedup: one representative (min id) per identical canonical
@@ -132,16 +136,21 @@ object DedupFunctions {
   }
 
   /** SimHash near-dup pairs: documents whose 64-bit signatures are within
-    * `maxHamming`. Candidates come from equality on 4 16-bit signature
-    * chunks (any pair within Hamming ≤3 must agree on ≥1 chunk —
-    * pigeonhole), so again an equi-join, never all-pairs. */
+    * `maxHamming`. Candidates come from equality on `maxHamming + 1`
+    * signature chunks (a pair within Hamming ≤ h differing in every one of
+    * h+1 chunks would need h+1 differing bits — pigeonhole guarantees a
+    * matching chunk), so again an equi-join, never all-pairs. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming out of range")
+    val numChunks = maxHamming + 1
+    val chunkBits = (64 + numChunks - 1) / numChunks
+    val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     val sig = TextFunctions.simhashSignatures(df, textCol, idCol)
       .withColumnRenamed(idCol, "id")
     val chunked = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until numChunks).map(i =>
+        shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*))
         .as(Seq("chunk", "cv")))
     val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b"))

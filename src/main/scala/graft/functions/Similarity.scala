@@ -79,8 +79,10 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       srpBucket(col(vecCol), bits).as("bucket"))
     // Probe set: all buckets within Hamming distance of the query's bucket
-    // (bits choose ≤probeHamming masks — tiny, built as a literal array).
-    val masks: Seq[Int] = 0 +: (if (probeHamming >= 1) (0 until bits).map(1 << _) else Nil)
+    // (sum of bits-choose-h masks for h ≤ probeHamming — tiny for the
+    // practical bits/probeHamming ranges, built as a literal array).
+    val masks: Seq[Int] = (0 to probeHamming).flatMap(h =>
+      (0 until bits).combinations(h).map(_.foldLeft(0)((m, b) => m | (1 << b))))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           srpBucket(col(vecCol), bits).as("qb"))

@@ -91,20 +91,27 @@ final class JdbcMergeSink(url: String, connProps: Properties = new Properties(),
     try f(conn) finally conn.close()
   }
 
-  /** Columns of `table` from JDBC metadata (exact name, then the engine's
-    * upper-cased fold), None if the table is absent. */
-  def catalogColumns(table: String): Option[Seq[ColumnDef]] = withConnection { conn =>
-    def lookup(name: String): List[ColumnDef] = {
-      val rs = conn.getMetaData.getColumns(null, null, name, null)
+  /** Catalog columns of `name` on an open connection: exact name first,
+    * then the engine's upper-cased fold. */
+  private def lookupColumns(conn: Connection, name: String): List[ColumnDef] = {
+    def one(n: String): List[ColumnDef] = {
+      val rs = conn.getMetaData.getColumns(null, null, n, null)
       Iterator.continually(rs).takeWhile(_.next())
         .map(r => ColumnDef(r.getString("COLUMN_NAME").toLowerCase, r.getString("TYPE_NAME")))
         .toList
     }
-    val cols = lookup(table) match {
-      case Nil => lookup(table.toUpperCase)
+    one(name) match {
+      case Nil => one(name.toUpperCase)
       case c => c
     }
-    if (cols.isEmpty) None else Some(cols)
+  }
+
+  /** Columns of `table` from JDBC metadata, None if the table is absent. */
+  def catalogColumns(table: String): Option[Seq[ColumnDef]] = withConnection { conn =>
+    lookupColumns(conn, table) match {
+      case Nil => None
+      case c => Some(c)
+    }
   }
 
   private def execute(conn: Connection, sql: String): Unit = {
@@ -185,16 +192,7 @@ final class JdbcMergeSink(url: String, connProps: Properties = new Properties(),
   private def ensureTargetSchema(conn: Connection, data: DataFrame, spec: TableSpec): Unit = {
     if (spec.ignoreDdl) return
     val target = spec.resolvedTarget
-    def lookup(name: String): List[ColumnDef] = {
-      val rs = conn.getMetaData.getColumns(null, null, name, null)
-      Iterator.continually(rs).takeWhile(_.next())
-        .map(r => ColumnDef(r.getString("COLUMN_NAME").toLowerCase, r.getString("TYPE_NAME")))
-        .toList
-    }
-    val existing = lookup(target) match {
-      case Nil => lookup(target.toUpperCase)
-      case c => c
-    }
+    val existing = lookupColumns(conn, target)
     if (existing.isEmpty) {
       // Plain CREATE (existence already checked): Derby and several other
       // engines lack IF NOT EXISTS. Identifiers stay quoted (lower-case) so

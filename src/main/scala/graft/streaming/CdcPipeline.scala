@@ -28,8 +28,11 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   */
 object CdcPipeline {
 
-  private def keysOf(spec: TableSpec): Seq[String] =
-    if (spec.primaryKey.nonEmpty) spec.primaryKey else Seq("doc_id")
+  private def keysOf(spec: TableSpec, format: CdcFormat): Seq[String] =
+    if (spec.primaryKey.nonEmpty) spec.primaryKey
+    else if (format == graft.envelope.MongoCdc) Seq("doc_id") // Mongo key is always doc_id
+    else throw new IllegalArgumentException(
+      s"table ${spec.db}.${spec.table}: primary_key is required for ${format.name}")
 
   /** Route → [infer schema] → normalize → op-filter → quarantine for one
     * table's slice of the batch; None if the routed subset is empty.
@@ -40,11 +43,29 @@ object CdcPipeline {
   def normalizedBatch(batch: DataFrame, spec: TableSpec, format: CdcFormat,
                       payload: Option[StructType] = None,
                       valueCol: String = "value"): Option[DataFrame] = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val routed = batch.filter(format.route(col(valueCol), spec))
+    val routed = routeAndCache(batch, spec, format, valueCol)
+    val out = normalizeRouted(routed, spec, format, payload, valueCol)
+    if (out.isEmpty) routed.unpersist()
+    // Non-empty: the routed cache stays pinned for the caller's actions.
+    // One-shot callers (Verify/Bench/tests) release it with the session;
+    // the long-running path (processBatch) unpersists per table task.
+    out
+  }
+
+  /** Route one table's slice and cache it — the cache feeds the emptiness
+    * probe, schema inference and the parse from one materialization
+    * (the reference re-scans three times, SURVEY §4.2). */
+  private def routeAndCache(batch: DataFrame, spec: TableSpec, format: CdcFormat,
+                            valueCol: String): DataFrame =
+    batch.filter(format.route(col(valueCol), spec))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (routed.isEmpty) { routed.unpersist(); None }
+
+  private def normalizeRouted(routed: DataFrame, spec: TableSpec, format: CdcFormat,
+                              payload: Option[StructType],
+                              valueCol: String): Option[DataFrame] = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    if (routed.isEmpty) None
     else {
       val schema = payload.getOrElse {
         val env = SchemaInference.nullSafe(
@@ -58,7 +79,7 @@ object CdcPipeline {
       // record parses to an all-null payload → all-null key. Letting it
       // through would form a spurious null-key group in the dedup and a
       // null-key upsert; drop it instead of failing the batch.
-      val keyPresent = keysOf(spec).map(col(_).isNotNull).reduce(_ || _)
+      val keyPresent = keysOf(spec, format).map(col(_).isNotNull).reduce(_ || _)
       Some(norm0.filter(format.opFilter(norm0)).filter(keyPresent))
     }
   }
@@ -71,7 +92,7 @@ object CdcPipeline {
                  payload: Option[StructType] = None,
                  valueCol: String = "value"): Option[DataFrame] =
     normalizedBatch(batch, spec, format, payload, valueCol).map { norm =>
-      Coerce(Dedup.latestPerKey(norm, keysOf(spec), lwwOrder(format)), spec)
+      Coerce(Dedup.latestPerKey(norm, keysOf(spec, format), lwwOrder(format)), spec)
     }
 
   /** Delete-audit variant (save_delete / only_save_delete — ref
@@ -80,7 +101,7 @@ object CdcPipeline {
   def deleteAuditBatch(batch: DataFrame, spec: TableSpec, format: CdcFormat,
                        payload: Option[StructType] = None): Option[DataFrame] =
     normalizedBatch(batch, spec, format, payload).map { norm =>
-      Coerce(Dedup.latestDeletePerKey(norm, keysOf(spec), lwwOrder(format),
+      Coerce(Dedup.latestDeletePerKey(norm, keysOf(spec, format), lwwOrder(format),
         col(format.OpCol) === "d"), spec)
     }
 
@@ -96,9 +117,13 @@ object CdcPipeline {
     try {
       val tasks = cfg.tables.map { spec =>
         Future {
-          normalizedBatch(cached, spec, format, payloadFor(spec)).foreach { norm =>
+          // Per-task routed cache, released when this table's merges finish
+          // (otherwise a 24/7 stream leaks one cached RDD per table per
+          // micro-batch).
+          val routed = routeAndCache(cached, spec, format, "value")
+          try normalizeRouted(routed, spec, format, payloadFor(spec), "value").foreach { norm =>
             if (!spec.onlySaveDelete) {
-              val staged = Coerce(Dedup.latestPerKey(norm, keysOf(spec), lwwOrder(format)), spec)
+              val staged = Coerce(Dedup.latestPerKey(norm, keysOf(spec, format), lwwOrder(format)), spec)
               sinkFor(spec).merge(staged, spec)
             }
             if (spec.saveDelete || spec.onlySaveDelete) {
@@ -107,11 +132,11 @@ object CdcPipeline {
                 skipDelete = true) // audit table keeps the delete rows
               // Independent dedup over deletes only: a delete that lost LWW
               // to a later update still reaches the audit table (P8).
-              val deletes = Coerce(Dedup.latestDeletePerKey(norm, keysOf(spec),
+              val deletes = Coerce(Dedup.latestDeletePerKey(norm, keysOf(spec, format),
                 lwwOrder(format), col(format.OpCol) === "d"), spec)
               if (!deletes.isEmpty) sinkFor(audit).merge(deletes, audit)
             }
-          }
+          } finally routed.unpersist()
         }
       }
       Await.result(Future.sequence(tasks), cfg.batchTimeoutMinutes.minutes)

@@ -62,6 +62,10 @@ object StreamAggs {
                     timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[UserRunning] = {
     import events.sparkSession.implicits._
+    require(timeout == GroupStateTimeout.ProcessingTimeTimeout ||
+      timeout == GroupStateTimeout.NoTimeout,
+      "runningTotals supports ProcessingTimeTimeout (evicting) or NoTimeout; " +
+        "EventTimeTimeout would need a watermark + setTimeoutTimestamp wiring")
     val evict = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events
       .groupByKey(_.user_id)

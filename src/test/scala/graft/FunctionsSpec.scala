@@ -49,6 +49,25 @@ class FunctionsSpec extends SparkSuite {
     assert(got.toSet == Set("a b", "b c", "c b"))
   }
 
+  test("shingles: docs shorter than n yield an empty array, not a crash") {
+    val got = Seq("hello", "", "a b").toDF("t")
+      .select(DedupFunctions.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0).isEmpty && got(1).isEmpty && got(2).isEmpty)
+    // and the pair finders survive a corpus containing short docs
+    val corpus = Seq((1L, "x"), (2L, "a b c d"), (3L, "a b c d")).toDF("doc_id", "text")
+    val pairs = DedupFunctions.ngramJaccardPairs(corpus, "text", "doc_id", 2, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+
+  test("simhashPairs with larger maxHamming uses more chunks (pigeonhole holds)") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = DedupFunctions.simhashPairs(docs, "text", "doc_id", maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("exactDedup groups identical canonical texts") {
     val df = Seq((1L, "Hello  world"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val got = DedupFunctions.exactDedup(df, "text", "doc_id")

@@ -6,8 +6,9 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Registers each testdata parquet as a DuckDB view named after the table,
 runs every oracle SQL from <verifyOutDir>/oracle_sql.json, and compares
 against the Spark result parquet at <verifyOutDir>/<name>/ —
-column-name-sorted, row-sorted, value-compared (with a small float
-tolerance reported separately from exact hash equality).
+column-name-sorted, row-sorted, exact value equality (no float
+tolerance: oracles are written so double results are bit-identical
+or rounded on both sides).
 """
 import json, sys, glob, os
 import duckdb
