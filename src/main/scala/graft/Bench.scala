@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the host's cores (capped at 32, the target local[32]
+    // envelope) when the driver doesn't pin SPARK_GRAFT_CPUS.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,8 +22,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One warm-up action so JVM/codegen startup is not billed to the first query.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+    // One cheap fixed warm-up action so JVM/codegen startup is not billed
+    // to the first timed query (Map head could be the expensive q24).
+    SparkEntry.queries.get("qa1_pricing").foreach { fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }

@@ -57,10 +57,14 @@ object CdcGen {
     col("value").as("val")
   )
 
-  private def tableName: Column = concat(lit("t"), col("user_id") % 2)
+  private def tableName: Column = tableName(2)
+  private def tableName(numTables: Int): Column =
+    concat(lit("t"), col("user_id") % numTables)
 
-  /** events must already carry `ts_ms` (see graft.Tables.events). */
-  def debezium(events: DataFrame): DataFrame = {
+  /** events must already carry `ts_ms` (see graft.Tables.events).
+    * `numTables` spreads rows over t0..t{n-1} for multi-table fan-out
+    * scenarios (the oracle queries assume the default 2). */
+  def debezium(events: DataFrame, numTables: Int = 2): DataFrame = {
     val op = when(col("event_type") === "signup", "c")
       .when(col("event_type") === "error", "d")
       .when(col("event_type") === "view", "r")
@@ -68,7 +72,7 @@ object CdcGen {
     asBatch(spread(events).select(to_json(struct(
       when(op === "d", payload).as("before"),
       when(op =!= "d", payload).as("after"),
-      struct(lit("cdc_db").as("db"), tableName.as("table"), col("ts_ms")).as("source"),
+      struct(lit("cdc_db").as("db"), tableName(numTables).as("table"), col("ts_ms")).as("source"),
       op.as("op"),
       col("ts_ms")
     )).as("value")))

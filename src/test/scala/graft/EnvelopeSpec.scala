@@ -136,7 +136,9 @@ class EnvelopeSpec extends SparkSuite {
 
   test("generators emit parseable envelopes for every format") {
     val ev = Tables.events(spark, sf("sf0.001")).limit(50)
-    for (gen <- Seq(CdcGen.debezium _, CdcGen.dms _, CdcGen.mongo _)) {
+    val gens: Seq[DataFrame => DataFrame] =
+      Seq(CdcGen.debezium(_), CdcGen.dms, CdcGen.mongo)
+    for (gen <- gens) {
       val parsed = spark.read.json(gen(ev).as[String])
       assert(parsed.count() == 50)
     }

@@ -107,6 +107,67 @@ class PipelineSpec extends SparkSuite {
     assert(out.filter(col("id").isNull).count() == 0)
   }
 
+  test("wide fan-out: 8 concurrent table pipelines, each target exact") {
+    val dir = Files.createTempDirectory("graft-wide").toString
+    val n = 8
+    val specs = (0 until n).map(i => TableSpec("cdc_db", s"t$i", Seq("id")))
+    val cfg = JobConfig(tables = specs, threadMaxWorkers = n, batchTimeoutMinutes = 5)
+    val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
+    def sinkFor(s: TableSpec): MergeTarget =
+      sinks.getOrElseUpdate(s.resolvedTarget, new ParquetMergeTarget(s"$dir/${s.resolvedTarget}"))
+    CdcPipeline.processBatch(CdcGen.debezium(events, numTables = n), cfg,
+      FlinkDebeziumCdc, sinkFor)
+    // Every table holds exactly its users' LWW winners (minus deletes).
+    val expected = Dedup.latestPerKey(events, Seq("user_id"),
+      Seq(col("ts_ms"), col("event_id")))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"))
+    for (i <- 0 until n) {
+      val got = spark.read.parquet(s"$dir/t$i").select(col("id"), col("event_id"))
+      val want = expected.filter(col("user_id") % n === i)
+      assert(got.count() == want.count(), s"t$i row count")
+      assert(got.join(want, got("id") === want("user_id") &&
+        got("event_id") === want("event_id")).count() == got.count(), s"t$i contents")
+    }
+  }
+
+  test("checkpoint restart: second run processes only the new files, target converges") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-ckpt").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = JobConfig(tables = Seq(t0), threadMaxWorkers = 2, batchTimeoutMinutes = 5,
+      checkpointLocation = s"$root/ckpt")
+    val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
+    def sinkFor(s: TableSpec): MergeTarget =
+      sinks.getOrElseUpdate(s.resolvedTarget, new ParquetMergeTarget(s"$root/${s.resolvedTarget}"))
+    def lines(rows: Seq[String], f: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$f"),
+        rows.mkString("\n").getBytes)
+    def run(): Long = {
+      val src = spark.readStream.text(in).withColumnRenamed("value", "value")
+      val q = CdcPipeline.streamWriter(src.toDF(), cfg, FlinkDebeziumCdc, sinkFor)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    def ev(id: Long, eid: Long, ts: Long, op: String): String = {
+      val p = s"""{"id":$id,"event_id":$eid,"k":1,"val":1.0}"""
+      val (before, after) = if (op == "d") (p, "null") else ("null", p)
+      s"""{"before":$before,"after":$after,"source":{"db":"cdc_db","table":"t0","ts_ms":$ts},"op":"$op","ts_ms":$ts}"""
+    }
+    lines(Seq(ev(2, 1, 100, "c"), ev(4, 2, 100, "c")), "a.json")
+    val rows1 = run()
+    assert(rows1 == 2)
+    assert(spark.read.parquet(s"$root/t0").count() == 2)
+    // restart with new data only: id=2 updated, id=4 deleted, id=6 created
+    lines(Seq(ev(2, 3, 200, "u"), ev(4, 4, 200, "d"), ev(6, 5, 200, "c")), "b.json")
+    val rows2 = run()
+    assert(rows2 == 3, s"restart reprocessed old files: $rows2 rows")
+    val got = spark.read.parquet(s"$root/t0").select("id", "event_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 3L, 6L -> 5L))
+  }
+
   test("jdbc sink: auto-create, merge, schema evolution, idempotent replay") {
     val db = Files.createTempDirectory("graft-derby").toString + "/db"
     val sink = new JdbcMergeSink(s"jdbc:derby:$db;create=true", maxVarchar = 32672)

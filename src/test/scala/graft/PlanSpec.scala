@@ -57,6 +57,11 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
+  test("ANN top-k plans as WindowGroupLimit (per-partition k before shuffle)") {
+    val p = planString(QueriesExt.q17AnnCosine(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("simhash signatures partially aggregate (docs, not tokens, shuffle)") {
     val p = planString(graft.functions.TextFunctions.simhashSignatures(
       Tables.documents(spark, sf("sf0.001")).limit(50), "text", "doc_id"))
