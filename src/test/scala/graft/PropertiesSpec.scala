@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Dedup, MergeOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Model-based property tests (SURVEY.md §5 strategy: ScalaCheck for W1/J3
+  * idempotence + convergence): random CDC event logs are replayed through
+  * the real dedup+merge operators and compared against an imperative
+  * in-memory model of "last writer wins, deletes remove". */
+object PropertiesSpec {
+  /** Top-level so Spark can derive an Encoder (inner classes cannot). */
+  final case class E(id: Long, ts: Long, idx: Int, eid: Long, v: String, op: String)
+}
+
+class PropertiesSpec extends SparkSuite {
+  import PropertiesSpec.E
+
+  /** Deterministic sampling of a ScalaCheck generator (the scalatest
+    * bridge artifact is not in the offline dep set — raw Gen + fixed
+    * seeds keep the properties reproducible). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+  import spark.implicits._
+
+  private val genEvent: Gen[(Long, Long, Int, String)] = for {
+    id <- Gen.choose(0L, 6L)       // small key space → heavy per-key traffic
+    ts <- Gen.choose(0L, 5L)       // coarse time → frequent ts ties
+    idx <- Gen.choose(0, 2)        // Canal-style intra-envelope position
+    op <- Gen.oneOf("c", "u", "u", "d") // deletes common but minority
+  } yield (id, ts, idx, op)
+
+  private val genLog: Gen[List[E]] = for {
+    n <- Gen.choose(0, 60)
+    raw <- Gen.listOfN(n, genEvent)
+  } yield raw.zipWithIndex.map { case ((id, ts, idx, op), i) =>
+    E(id, ts, idx, i.toLong, s"v$i", op) // eid unique → total LWW order
+  }
+
+  private val order = Seq(col("ts"), col("idx"), col("eid"))
+
+  private def dedup(b: DataFrame): DataFrame = Dedup.latestPerKey(b, Seq("id"), order)
+
+  private def merge(t: DataFrame, b: DataFrame): DataFrame = {
+    // Materialize each step: chained lazy merges over many batches build a
+    // deep plan; checkpoint-by-collect keeps the property fast and stable.
+    val m = MergeOps.merge(t, dedup(b), Seq("id"), col("op") === "d",
+      dropCols = Seq("op", "ts", "idx"))
+    m.sparkSession.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(m.collect(): _*)), m.schema)
+  }
+
+  /** The spec: per key, the (ts, idx, eid)-max event wins; a winning
+    * delete removes the key. Applied batch-by-batch (cross-batch: later
+    * batch simply overwrites — reference T5 semantics). */
+  private def model(batches: List[List[E]]): Map[Long, Long] =
+    batches.foldLeft(Map.empty[Long, Long]) { (state, batch) =>
+      val winners = batch.groupBy(_.id).map { case (id, es) =>
+        id -> es.maxBy(e => (e.ts, e.idx, e.eid))
+      }
+      winners.foldLeft(state) { case (st, (id, w)) =>
+        if (w.op == "d") st - id else st + (id -> w.eid)
+      }
+    }
+
+  private def df(es: List[E]): DataFrame =
+    es.toDF("id", "ts", "idx", "eid", "v", "op")
+
+  private val emptyTarget = Seq.empty[(Long, Long, String)].toDF("id", "eid", "v")
+
+  test("merge of random batch sequences equals the LWW model") {
+    for (batches <- samples(Gen.listOfN(3, genLog), 8)) {
+      val finalState = batches.foldLeft(emptyTarget)((t, b) => merge(t, df(b)))
+        .select("id", "eid").as[(Long, Long)].collect().toMap
+      assert(finalState == model(batches), s"batches=$batches")
+    }
+  }
+
+  test("merge is idempotent on random batches: replaying the last batch is a no-op") {
+    for ((b1, b2) <- samples(Gen.zip(genLog, genLog), 8)) {
+      val once = merge(merge(emptyTarget, df(b1)), df(b2))
+      val twice = merge(once, df(b2))
+      val a = once.as[(Long, Long, String)].collect().toSet
+      val b = twice.as[(Long, Long, String)].collect().toSet
+      assert(a == b, s"b1=$b1 b2=$b2")
+    }
+  }
+
+  test("window LWW ≡ max_by LWW on random logs (incl. ties)") {
+    for (log <- samples(genLog, 8) if log.nonEmpty) {
+      val w = dedup(df(log)).as[(Long, Long, Int, Long, String, String)].collect().toSet
+      val a = Dedup.latestPerKeyAgg(df(log), Seq("id"), order)
+        .as[(Long, Long, Int, Long, String, String)].collect().toSet
+      assert(w == a, s"log=$log")
+    }
+  }
+}
