@@ -244,6 +244,17 @@ object QueriesExt {
       |       count(*) AS n, round(sum("value"), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Approximate aggregates (north-star extension, SURVEY §2.4): HLL
+    * distinct counts next to exact ones. Rows-only check — HLL estimates
+    * are implementation-specific across engines. */
+  def qa6ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -260,7 +271,8 @@ object QueriesExt {
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
     "qa4_events_hourly" -> (qa4EventsHourly _),
-    "qa5_rollup" -> (qa5Rollup _)
+    "qa5_rollup" -> (qa5Rollup _),
+    "qa6_approx_distinct" -> (qa6ApproxDistinct _)
   )
 
   /** q14/q16 omitted: xxhash64-based, not SQL-expressible → rows-only. */

@@ -77,6 +77,19 @@ class DedupMergeSpec extends SparkSuite {
     assert(g2.filter(col("id") === 2L).select("v").as[String].head() == "new2")
   }
 
+  test("salted LWW ≡ plain LWW (hot-key skew path)") {
+    import graft.operators.Skew
+    // hot key: 500 events on id=1, a few on others
+    val hot = (1 to 500).map(i => (1L, i.toLong, 0, s"h$i", "u")) ++
+      Seq((2L, 5L, 0, "x", "u"), (3L, 1L, 0, "y", "d"))
+    val df = hot.toDF("id", "ts_ms_aws", "idx_aws", "v", "op_aws")
+    val plain = Dedup.latestPerKey(df, Seq("id"), order :+ col("v"))
+    val salted = Skew.saltedLatestPerKey(df, Seq("id"), order :+ col("v"),
+      unique = col("v"), saltBuckets = 8)
+    assert(sameRows(plain, salted))
+    assert(salted.filter(col("id") === 1L).select("v").as[String].head() == "h500")
+  }
+
   test("merge with composite keys") {
     val t2 = Seq((1L, "a", "x"), (1L, "b", "y")).toDF("k1", "k2", "v")
     val s2 = Seq((1L, "a", "z", "u")).toDF("k1", "k2", "v", "op_aws")
