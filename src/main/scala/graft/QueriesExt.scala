@@ -275,7 +275,8 @@ object QueriesExt {
     "qa6_approx_distinct" -> (qa6ApproxDistinct _)
   )
 
-  /** q14/q16 omitted: xxhash64-based, not SQL-expressible → rows-only. */
+  /** q14/q16 (xxhash64-based) and qa6 (HLL) omitted: not reproducible in
+    * the oracle engine → rows-only checks. */
   val oracles: Map[String, String] = Map(
     "q13_exact_dedup" -> q13Sql,
     "q15_ngram_jaccard" -> q15Sql,

@@ -142,16 +142,29 @@ object DedupFunctions {
     * matching chunk), so again an equi-join, never all-pairs. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, "maxHamming out of range")
-    val numChunks = maxHamming + 1
-    val chunkBits = (64 + numChunks - 1) / numChunks
-    val mask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     val sig = TextFunctions.simhashSignatures(df, textCol, idCol)
       .withColumnRenamed(idCol, "id")
+    simhashPairsFromSignatures(sig, maxHamming)
+  }
+
+  /** Pair-finding over precomputed (id, sig) signatures. The 64 bits are
+    * partitioned into exactly `maxHamming + 1` disjoint chunks of width
+    * ⌊64/n⌋ or ⌈64/n⌉ (ceil-width uniform chunks would exceed 64 bits for
+    * many n and alias back to chunk 0 through Java's shift-mod-64). */
+  def simhashPairsFromSignatures(sig: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming out of range")
+    val numChunks = maxHamming + 1
+    // Disjoint cover of bits [0,64): first (64 % n) chunks get the extra bit.
+    val base = 64 / numChunks
+    val extra = 64 % numChunks
+    val widths = Seq.tabulate(numChunks)(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkExprs = offsets.zip(widths).map { case (off, w) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftright(col("sig"), off).bitwiseAND(mask)
+    }
     val chunked = sig.select(col("id"), col("sig"),
-      posexplode(array((0 until numChunks).map(i =>
-        shiftright(col("sig"), i * chunkBits).bitwiseAND(mask)): _*))
-        .as(Seq("chunk", "cv")))
+      posexplode(array(chunkExprs: _*)).as(Seq("chunk", "cv")))
     val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "cv"))

@@ -5,7 +5,7 @@ import graft.envelope.CdcFormat
 import graft.operators.{Coerce, Dedup}
 import graft.schema.SchemaInference
 import graft.sink.MergeTarget
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -44,7 +44,9 @@ object CdcPipeline {
                       payload: Option[StructType] = None,
                       valueCol: String = "value"): Option[DataFrame] = {
     val routed = routeAndCache(batch, spec, format, valueCol)
-    val out = normalizeRouted(routed, spec, format, payload, valueCol)
+    val out =
+      try normalizeRouted(routed, spec, format, payload, valueCol)
+      catch { case e: Throwable => routed.unpersist(); throw e }
     if (out.isEmpty) routed.unpersist()
     // Non-empty: the routed cache stays pinned for the caller's actions.
     // One-shot callers (Verify/Bench/tests) release it with the session;
@@ -84,7 +86,14 @@ object CdcPipeline {
     }
   }
 
-  private def lwwOrder(format: CdcFormat) = Seq(col(format.TsCol), col(format.IdxCol))
+  /** LWW ordering for the streaming path. (ts, idx) alone is not a total
+    * order for formats whose idx is constant — a timestamp tie would pick
+    * an arbitrary winner and break replay convergence (T3). A content hash
+    * of the full row is appended: deterministic across replays, and only
+    * byte-identical rows remain tied (either winner is the same row). */
+  private def lwwOrder(format: CdcFormat, df: DataFrame): Seq[Column] =
+    Seq(col(format.TsCol), col(format.IdxCol),
+      xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)))
 
   /** Per-table batch pipeline: normalizedBatch → LWW dedup → coercions.
     * The returned frame still carries op/ts/idx meta columns for the sink. */
@@ -92,7 +101,7 @@ object CdcPipeline {
                  payload: Option[StructType] = None,
                  valueCol: String = "value"): Option[DataFrame] =
     normalizedBatch(batch, spec, format, payload, valueCol).map { norm =>
-      Coerce(Dedup.latestPerKey(norm, keysOf(spec, format), lwwOrder(format)), spec)
+      Coerce(Dedup.latestPerKey(norm, keysOf(spec, format), lwwOrder(format, norm)), spec)
     }
 
   /** Delete-audit variant (save_delete / only_save_delete — ref
@@ -101,7 +110,7 @@ object CdcPipeline {
   def deleteAuditBatch(batch: DataFrame, spec: TableSpec, format: CdcFormat,
                        payload: Option[StructType] = None): Option[DataFrame] =
     normalizedBatch(batch, spec, format, payload).map { norm =>
-      Coerce(Dedup.latestDeletePerKey(norm, keysOf(spec, format), lwwOrder(format),
+      Coerce(Dedup.latestDeletePerKey(norm, keysOf(spec, format), lwwOrder(format, norm),
         col(format.OpCol) === "d"), spec)
     }
 
@@ -111,6 +120,9 @@ object CdcPipeline {
   def processBatch(batch: DataFrame, cfg: JobConfig, format: CdcFormat,
                    sinkFor: TableSpec => MergeTarget,
                    payloadFor: TableSpec => Option[StructType] = _ => None): Unit = {
+    // Misconfigured specs (missing primary_key) fail here, at batch entry,
+    // not mid-stream when the table's first row happens to arrive.
+    cfg.tables.foreach(keysOf(_, format))
     val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
     val pool = Executors.newFixedThreadPool(math.max(1, cfg.threadMaxWorkers))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -123,7 +135,7 @@ object CdcPipeline {
           val routed = routeAndCache(cached, spec, format, "value")
           try normalizeRouted(routed, spec, format, payloadFor(spec), "value").foreach { norm =>
             if (!spec.onlySaveDelete) {
-              val staged = Coerce(Dedup.latestPerKey(norm, keysOf(spec, format), lwwOrder(format)), spec)
+              val staged = Coerce(Dedup.latestPerKey(norm, keysOf(spec, format), lwwOrder(format, norm)), spec)
               sinkFor(spec).merge(staged, spec)
             }
             if (spec.saveDelete || spec.onlySaveDelete) {
@@ -133,7 +145,7 @@ object CdcPipeline {
               // Independent dedup over deletes only: a delete that lost LWW
               // to a later update still reaches the audit table (P8).
               val deletes = Coerce(Dedup.latestDeletePerKey(norm, keysOf(spec, format),
-                lwwOrder(format), col(format.OpCol) === "d"), spec)
+                lwwOrder(format, norm), col(format.OpCol) === "d"), spec)
               if (!deletes.isEmpty) sinkFor(audit).merge(deletes, audit)
             }
           } finally routed.unpersist()

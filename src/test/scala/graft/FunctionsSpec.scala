@@ -60,12 +60,27 @@ class FunctionsSpec extends SparkSuite {
     assert(pairs == Set((2L, 3L)))
   }
 
-  test("simhashPairs with larger maxHamming uses more chunks (pigeonhole holds)") {
-    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
-      (3L, "x y z w")).toDF("doc_id", "text")
-    val pairs = DedupFunctions.simhashPairs(docs, "text", "doc_id", maxHamming = 7)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)))
+  test("simhashPairs pigeonhole boundary: h bits spread one-per-chunk still pair") {
+    // For each maxHamming, craft the adversarial signature: exactly
+    // maxHamming differing bits, one in each of the first maxHamming
+    // chunks — the pair must still collide on the last chunk.
+    for (h <- Seq(3, 7, 8, 16, 23, 31)) {
+      val numChunks = h + 1
+      val base = 64 / numChunks
+      val extra = 64 % numChunks
+      val widths = Seq.tabulate(numChunks)(i => if (i < extra) base + 1 else base)
+      val offsets = widths.scanLeft(0)(_ + _).init
+      val flipped = offsets.take(h).foldLeft(0L)((sig, off) => sig | (1L << off))
+      val sigs = Seq((1L, 0L), (2L, flipped)).toDF("id", "sig")
+      val pairs = DedupFunctions.simhashPairsFromSignatures(sigs, h)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      assert(pairs == Set((1L, 2L, h)), s"maxHamming=$h")
+      // one more bit than allowed → excluded by the hamming filter
+      val over = flipped | (1L << offsets(h))
+      val none = DedupFunctions.simhashPairsFromSignatures(
+        Seq((1L, 0L), (2L, over)).toDF("id", "sig"), h).count()
+      assert(none == 0, s"maxHamming=$h over-distance pair leaked")
+    }
   }
 
   test("exactDedup groups identical canonical texts") {
