@@ -209,6 +209,29 @@ class PipelineSpec extends SparkSuite {
     assert(rows == Map(1L -> "a", 2L -> "b"))
   }
 
+  test("concurrent table tasks into one JDBC warehouse (C1+C3+S5 topology)") {
+    val db = Files.createTempDirectory("graft-derby3").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val jdbc = new JdbcMergeSink(url, maxVarchar = 32672)
+    val specs = Seq(t0, t1)
+    val cfg = JobConfig(tables = specs, threadMaxWorkers = 2, batchTimeoutMinutes = 5)
+    def sinkFor(spec: TableSpec): MergeTarget = new MergeTarget {
+      def merge(stage: org.apache.spark.sql.DataFrame, s: TableSpec): Unit =
+        jdbc.writeBatch(stage, s)
+      def snapshot(sp: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+        sp.read.format("jdbc").option("url", url)
+          .option("dbtable", spec.resolvedTarget).load()
+    }
+    CdcPipeline.processBatch(CdcGen.debezium(events), cfg, FlinkDebeziumCdc, sinkFor)
+    for ((spec, parity) <- specs.zip(Seq(0, 1))) {
+      val got = spark.read.format("jdbc").option("url", url)
+        .option("dbtable", spec.resolvedTarget).load()
+        .select(col("id").cast("long")).as[Long].collect()
+      assert(got.nonEmpty && got.forall(_ % 2 == parity), s"${spec.table}")
+      assert(got.length == got.distinct.length, s"${spec.table} key uniqueness")
+    }
+  }
+
   test("streaming: MemoryStream micro-batches through foreachBatch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
