@@ -244,6 +244,25 @@ object QueriesExt {
       |       count(*) AS n, round(sum("value"), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Semi/anti joins (§2.7: the set-op algebra the merge path uses
+    * internally, as a user-facing query): customers with any open order
+    * (semi) and customers with none (anti), one row each with a marker. */
+  def qa7SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("status"))
+    val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("status"))
+    withOrders.unionByName(without)
+  }
+  val qa7Sql: String =
+    """SELECT c_custkey, 'has_orders' AS status FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS status FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin
+
   /** Approximate aggregates (north-star extension, SURVEY §2.4): HLL
     * distinct counts next to exact ones. Rows-only check — HLL estimates
     * are implementation-specific across engines. */
@@ -272,7 +291,8 @@ object QueriesExt {
     "qa3_topk" -> (qa3TopK _),
     "qa4_events_hourly" -> (qa4EventsHourly _),
     "qa5_rollup" -> (qa5Rollup _),
-    "qa6_approx_distinct" -> (qa6ApproxDistinct _)
+    "qa6_approx_distinct" -> (qa6ApproxDistinct _),
+    "qa7_semi_anti" -> (qa7SemiAnti _)
   )
 
   /** q14/q16 (xxhash64-based) and qa6 (HLL) omitted: not reproducible in
@@ -290,6 +310,7 @@ object QueriesExt {
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,
     "qa4_events_hourly" -> qa4Sql,
-    "qa5_rollup" -> qa5Sql
+    "qa5_rollup" -> qa5Sql,
+    "qa7_semi_anti" -> qa7Sql
   )
 }
