@@ -166,6 +166,61 @@ object QueriesExt {
       |       sha256(text) AS sha256, 'text/plain' AS mime
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** Deterministic train/val/test split: md5-bucketed, reproducible across
+    * engines/runs/backfills — no RNG, no shuffle. */
+  def q25Split(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Splits.withSplit(docs(s, dir), "doc_id")
+      .groupBy(col("split")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+  val q25Sql: String =
+    """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+      |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n, min(doc_id) AS min_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Decontamination: near-dup pairs straddling a split boundary (eval
+    * leakage). Same shingle-join candidates as q15, 10% sample. */
+  def q26Decontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Splits.crossSplitContamination(
+      docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
+      n = 2, threshold = 0.05)
+  val q26Sql: String = {
+    val splitOf = (c: String) =>
+      s"""CASE WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+         |     WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
+       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |p AS (SELECT id_a, id_b,
+       |             round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+       |      FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05)
+       |SELECT id_a, id_b, jaccard,
+       |       ${splitOf("id_a")} AS split_a,
+       |       ${splitOf("id_b")} AS split_b
+       |FROM p WHERE ${splitOf("id_a")} <> ${splitOf("id_b")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Gopher-style repetition signal: repeated-bigram ratio per doc. */
+  def q27Repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      graft.functions.Splits.repetitionScore(col("text"), 2).as("rep_ratio"))
+  val q27Sql: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN len(x) - 1 > 0
+       |            THEN round(1.0 - len(list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]))::DOUBLE
+       |                       / (len(x) - 1), 6)
+       |            ELSE 0.0 END AS rep_ratio
+       |FROM (SELECT doc_id, $toksSql AS x FROM documents)""".stripMargin
+
   // ---------------------------------------------------------------- qa*
   /** TPC-H-Q1-shaped pricing summary: partial-agg groupBy, 2 group cols.
     * Double sums rounded to 2dp (accumulation-order noise ≪ 0.005). */
@@ -286,6 +341,9 @@ object QueriesExt {
     "q20_token_count" -> (q20TokenCount _),
     "q21_fingerprint" -> (q21Fingerprint _),
     "q22_multimodal" -> (q22Multimodal _),
+    "q25_split" -> (q25Split _),
+    "q26_decontaminate" -> (q26Decontaminate _),
+    "q27_repetition" -> (q27Repetition _),
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
@@ -306,6 +364,9 @@ object QueriesExt {
     "q20_token_count" -> q20Sql,
     "q21_fingerprint" -> q21Sql,
     "q22_multimodal" -> q22Sql,
+    "q25_split" -> q25Sql,
+    "q26_decontaminate" -> q26Sql,
+    "q27_repetition" -> q27Sql,
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,

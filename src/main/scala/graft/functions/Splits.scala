@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-splitting and decontamination operators for training-data
+  * pipelines:
+  *
+  *  - `splitAssign` — deterministic, engine-reproducible train/val/test
+  *    assignment from the md5 of a stable key (no RNG state, no shuffle;
+  *    re-runs and backfills land every row in the same split);
+  *  - `crossSplitContamination` — near-duplicate pairs that straddle a
+  *    split boundary (test-set leakage): the standard decontamination
+  *    check, reusing the shingle-join Jaccard machinery (never all-pairs);
+  *  - `repetitionScore` — intra-document repeated-n-gram ratio (a
+  *    Gopher-style repetition filter signal): 1 − distinct/total n-grams.
+  *
+  * All pure column algebra; the split hash uses md5 (not xxhash) so SQL
+  * oracles in other engines can reproduce assignments byte-for-byte.
+  */
+object Splits {
+
+  /** Split by the first hex digit of md5(key): 0..b → train (12/16),
+    * c..d → val (2/16), e..f → test (2/16). */
+  def splitAssign(key: Column): Column = {
+    val h = substring(md5(key.cast("string")), 1, 1)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  }
+
+  /** Documents flagged with their split (adds a `split` column). */
+  def withSplit(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("split", splitAssign(col(idCol)))
+
+  /** Near-duplicate pairs (n-gram Jaccard ≥ threshold) whose members fall
+    * in different splits — training-set contamination of eval splits. */
+  def crossSplitContamination(df: DataFrame, textCol: String, idCol: String,
+                              n: Int, threshold: Double): DataFrame = {
+    val pairs = DedupFunctions.ngramJaccardPairs(df, textCol, idCol, n, threshold)
+    pairs
+      .withColumn("split_a", splitAssign(col("id_a")))
+      .withColumn("split_b", splitAssign(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+  }
+
+  /** Repeated-n-gram ratio: 0 = all n-grams distinct, → 1 as the document
+    * repeats itself. Single narrow map; no shuffle. */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val distinctN = size(DedupFunctions.shingles(text, n))
+    when(total > 0,
+      round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+}

@@ -171,6 +171,25 @@ class FunctionsSpec extends SparkSuite {
     assert(frames == frames.sorted && frames.nonEmpty)
   }
 
+  test("splits are deterministic, complete, and roughly proportioned") {
+    import graft.functions.Splits
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val s1 = Splits.withSplit(docs, "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val s2 = Splits.withSplit(docs, "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2 && s1.size == 500)
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
+    assert(frac("train") > 0.6 && frac("val") > 0.05 && frac("test") > 0.05)
+  }
+
+  test("repetition score: repeated text scores high, varied text zero") {
+    import graft.functions.Splits
+    val df = Seq("spam spam spam spam spam spam", "one two three four five", "x").toDF("text")
+    val got = df.select(Splits.repetitionScore(col("text"), 2)).as[Double].collect()
+    assert(got(0) > 0.7 && got(1) == 0.0 && got(2) == 0.0)
+  }
+
   test("quality score is in [0,1] and favors stopword-bearing prose") {
     val df = Seq("the cat and the dog in the house with a ball",
       "zxqv wvut ppo").toDF("text")
