@@ -221,6 +221,36 @@ object QueriesExt {
        |            ELSE 0.0 END AS rep_ratio
        |FROM (SELECT doc_id, $toksSql AS x FROM documents)""".stripMargin
 
+  // ---------------------------------------------------------------- q28
+  /** As-of join: each event enriched with the customer's most recent order
+    * at event time (order dates deterministically remapped into the event
+    * window: 1995-2001 → Jan 2024, exact integer epoch arithmetic). Oracle
+    * is DuckDB's native ASOF LEFT JOIN. */
+  def q28AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_ms"))
+    val base2024 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val base1995 = java.time.Instant.parse("1995-01-01T00:00:00Z").toEpochMilli
+    val o0 = Tables.orders(s, dir).select(
+      col("o_custkey").as("user_id"),
+      (lit(base2024) + (unix_millis(col("o_orderdate").cast("timestamp")) - lit(base1995))
+        .cast("long") / 80).cast("long").as("o_ms"),
+      col("o_orderkey"))
+    val o = o0.groupBy(col("user_id"), col("o_ms"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    graft.operators.AsOfJoin.asOfJoin(e, o, Seq("user_id"), "ts_ms", "o_ms")
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("o_orderkey"), col("o_ms"))
+  }
+  val q28Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS user_id,
+      |         epoch_ms(TIMESTAMP '2024-01-01')
+      |           + (epoch_ms(o_orderdate) - epoch_ms(TIMESTAMP '1995-01-01')) // 80 AS o_ms,
+      |         max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events)
+      |SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey, o.o_ms
+      |FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND o.o_ms <= e.ts_ms""".stripMargin
+
   // ---------------------------------------------------------------- qa*
   /** TPC-H-Q1-shaped pricing summary: partial-agg groupBy, 2 group cols.
     * Double sums rounded to 2dp (accumulation-order noise ≪ 0.005). */
@@ -344,6 +374,7 @@ object QueriesExt {
     "q25_split" -> (q25Split _),
     "q26_decontaminate" -> (q26Decontaminate _),
     "q27_repetition" -> (q27Repetition _),
+    "q28_asof_join" -> (q28AsofJoin _),
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
@@ -367,6 +398,7 @@ object QueriesExt {
     "q25_split" -> q25Sql,
     "q26_decontaminate" -> q26Sql,
     "q27_repetition" -> q27Sql,
+    "q28_asof_join" -> q28Sql,
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,

@@ -90,6 +90,20 @@ class DedupMergeSpec extends SparkSuite {
     assert(salted.filter(col("id") === 1L).select("v").as[String].head() == "h500")
   }
 
+  test("as-of join: latest right ≤ left ts, same-instant visible, no-match null") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 10L, "e3"))
+      .toDF("k", "lts", "ev")
+    val r = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "rx"))
+      .toDF("k", "rts", "rv")
+    val got = AsOfJoin.asOfJoin(l, r, Seq("k"), "lts", "rts")
+      .select("ev", "rv").as[(String, String)].collect().toMap
+    assert(got("e0") == null)    // before any right row
+    assert(got("e1") == "r10")   // same-instant right row is visible (≤)
+    assert(got("e2") == "r15")   // latest ≤ 20
+    assert(got("e3") == null)    // key with no right rows at all
+  }
+
   test("merge with composite keys") {
     val t2 = Seq((1L, "a", "x"), (1L, "b", "y")).toDF("k1", "k2", "v")
     val s2 = Seq((1L, "a", "z", "u")).toDF("k1", "k2", "v", "op_aws")
