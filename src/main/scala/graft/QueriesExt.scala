@@ -251,6 +251,43 @@ object QueriesExt {
       |SELECT e.event_id, e.user_id, e.ts_ms, o.o_orderkey, o.o_ms
       |FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND o.o_ms <= e.ts_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** Batch sessionization via analytic windows (lag + running sum of
+    * session starts — the lag/lead family the reference lacks entirely):
+    * 30-minute-gap sessions per user with per-session stats. */
+  def q29Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    val prev = lag(col("ts_ms"), 1).over(w)
+    val isNew = when(prev.isNull || col("ts_ms") - prev > gapMs, 1L).otherwise(0L)
+    Tables.events(s, dir)
+      .withColumn("session_id",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+  }
+  val q29Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      |x AS (
+      |  SELECT user_id, ts_ms,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      |       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+      |       max(ts_ms) - min(ts_ms) AS duration_ms
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- qa*
   /** TPC-H-Q1-shaped pricing summary: partial-agg groupBy, 2 group cols.
     * Double sums rounded to 2dp (accumulation-order noise ≪ 0.005). */
@@ -375,6 +412,7 @@ object QueriesExt {
     "q26_decontaminate" -> (q26Decontaminate _),
     "q27_repetition" -> (q27Repetition _),
     "q28_asof_join" -> (q28AsofJoin _),
+    "q29_sessionize" -> (q29Sessionize _),
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
@@ -399,6 +437,7 @@ object QueriesExt {
     "q26_decontaminate" -> q26Sql,
     "q27_repetition" -> q27Sql,
     "q28_asof_join" -> q28Sql,
+    "q29_sessionize" -> q29Sql,
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,
