@@ -396,6 +396,32 @@ object QueriesExt {
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
 
+  /** Pivot: one column per event type (fixed column set so the plan is a
+    * single pass; Spark's pivot with explicit values = CASE aggregation). */
+  def qa8Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  val qa8Sql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (event_type = 'click') AS click,
+      |       count(*) FILTER (event_type = 'view') AS view,
+      |       count(*) FILTER (event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (event_type = 'signup') AS signup,
+      |       count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Cube: all grouping-set combinations over two dimensions. */
+  def qa9Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+  val qa9Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -419,7 +445,9 @@ object QueriesExt {
     "qa4_events_hourly" -> (qa4EventsHourly _),
     "qa5_rollup" -> (qa5Rollup _),
     "qa6_approx_distinct" -> (qa6ApproxDistinct _),
-    "qa7_semi_anti" -> (qa7SemiAnti _)
+    "qa7_semi_anti" -> (qa7SemiAnti _),
+    "qa8_pivot" -> (qa8Pivot _),
+    "qa9_cube" -> (qa9Cube _)
   )
 
   /** q14/q16 (xxhash64-based) and qa6 (HLL) omitted: not reproducible in
@@ -443,6 +471,8 @@ object QueriesExt {
     "qa3_topk" -> qa3Sql,
     "qa4_events_hourly" -> qa4Sql,
     "qa5_rollup" -> qa5Sql,
-    "qa7_semi_anti" -> qa7Sql
+    "qa7_semi_anti" -> qa7Sql,
+    "qa8_pivot" -> qa8Sql,
+    "qa9_cube" -> qa9Sql
   )
 }

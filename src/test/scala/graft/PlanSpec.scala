@@ -62,6 +62,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("CDC spine stays inside whole-stage codegen (no interpreter barriers)") {
+    val p = planString(Queries.q5LwwDedup(spark, sf("sf0.001")))
+    // executed plans print codegen stages as *(n) prefixes
+    assert(p.contains("*("), p.take(2000))
+  }
+
   test("simhash signatures partially aggregate (docs, not tokens, shuffle)") {
     val p = planString(graft.functions.TextFunctions.simhashSignatures(
       Tables.documents(spark, sf("sf0.001")).limit(50), "text", "doc_id"))
