@@ -315,7 +315,11 @@ object Queries {
       col("ts"), col("ts_ms"),
       (col("user_id") + col("copy") * 1000).as("user_id"),
       col("event_type"), col("value"), col("props"))
-    val raw = CdcGen.debezium(expanded) // not cached: single-use, 10× size
+    // Single-pass, pre-spread input → barrier-free generation: no 600 MB
+    // string exchange; routing re-serializes (CPU) instead (cheaper and far
+    // less sensitive to disk contention at this size).
+    val raw = CdcGen.debezium(expanded.repartition(
+      s.sparkContext.defaultParallelism), barrier = false)
     val routed = raw.filter(FlinkDebeziumCdc.route(col("value"), specT0))
     val norm = FlinkDebeziumCdc.normalize(routed, CdcGen.payloadSchema)
     Dedup.latestPerKey(norm, Seq("id"), lwwOrder)

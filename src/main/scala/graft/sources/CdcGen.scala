@@ -63,19 +63,26 @@ object CdcGen {
 
   /** events must already carry `ts_ms` (see graft.Tables.events).
     * `numTables` spreads rows over t0..t{n-1} for multi-table fan-out
-    * scenarios (the oracle queries assume the default 2). */
-  def debezium(events: DataFrame, numTables: Int = 2): DataFrame = {
+    * scenarios (the oracle queries assume the default 2). With
+    * `barrier=false` the generator emits a plain narrow projection — no
+    * exchange of the serialized strings; downstream routing re-evaluates
+    * the serialization (CPU) instead of shuffling it (I/O). Right for
+    * single-pass scaled runs where the caller already spread the input;
+    * keep the default for anything consumed more than once. */
+  def debezium(events: DataFrame, numTables: Int = 2,
+               barrier: Boolean = true): DataFrame = {
     val op = when(col("event_type") === "signup", "c")
       .when(col("event_type") === "error", "d")
       .when(col("event_type") === "view", "r")
       .otherwise("u")
-    asBatch(spread(events).select(to_json(struct(
+    val raw = (if (barrier) spread(events) else events).select(to_json(struct(
       when(op === "d", payload).as("before"),
       when(op =!= "d", payload).as("after"),
       struct(lit("cdc_db").as("db"), tableName(numTables).as("table"), col("ts_ms")).as("source"),
       op.as("op"),
       col("ts_ms")
-    )).as("value")))
+    )).as("value"))
+    if (barrier) asBatch(raw) else raw
   }
 
   def dms(events: DataFrame): DataFrame = {
