@@ -19,6 +19,23 @@ object QueriesExt {
   /** Oracle token split shared by several queries (DuckDB side). */
   private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** Shared oracle fragments: md5-bucket split CASE (q25/q26) and the
+    * bigram-Jaccard candidate CTE chain (q15/q26) — single source so the
+    * composed oracles cannot drift apart. */
+  private def splitSql(c: String): String =
+    s"""CASE WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |     WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  private val jaccardCtes: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
+       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)""".stripMargin
+
   // ---------------------------------------------------------------- q13
   /** Exact dedup: hash-groupBy on the canonical fingerprint; shuffles
     * 16-byte keys, never text. */
@@ -47,14 +64,7 @@ object QueriesExt {
       docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
       n = 2, threshold = 0.05)
   val q15Sql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
-       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
-       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
-       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
-       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
-       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2)
+    s"""$jaccardCtes
        |SELECT id_a, id_b,
        |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
        |FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
@@ -173,11 +183,9 @@ object QueriesExt {
     graft.functions.Splits.withSplit(docs(s, dir), "doc_id")
       .groupBy(col("split")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
   val q25Sql: String =
-    """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
-      |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
-      |            ELSE 'test' END AS split,
-      |       count(*) AS n, min(doc_id) AS min_id
-      |FROM documents GROUP BY 1""".stripMargin
+    s"""SELECT ${splitSql("doc_id")} AS split,
+       |       count(*) AS n, min(doc_id) AS min_id
+       |FROM documents GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q26
   /** Decontamination: near-dup pairs straddling a split boundary (eval
@@ -186,27 +194,15 @@ object QueriesExt {
     graft.functions.Splits.crossSplitContamination(
       docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
       n = 2, threshold = 0.05)
-  val q26Sql: String = {
-    val splitOf = (c: String) =>
-      s"""CASE WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) < 'c' THEN 'train'
-         |     WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) < 'e' THEN 'val'
-         |     ELSE 'test' END""".stripMargin
-    s"""WITH t AS (
-       |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
-       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
-       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
-       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
-       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
-       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2),
+  val q26Sql: String =
+    s"""$jaccardCtes,
        |p AS (SELECT id_a, id_b,
        |             round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
        |      FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05)
        |SELECT id_a, id_b, jaccard,
-       |       ${splitOf("id_a")} AS split_a,
-       |       ${splitOf("id_b")} AS split_b
-       |FROM p WHERE ${splitOf("id_a")} <> ${splitOf("id_b")}""".stripMargin
-  }
+       |       ${splitSql("id_a")} AS split_a,
+       |       ${splitSql("id_b")} AS split_b
+       |FROM p WHERE ${splitSql("id_a")} <> ${splitSql("id_b")}""".stripMargin
 
   // ---------------------------------------------------------------- q27
   /** Gopher-style repetition signal: repeated-bigram ratio per doc. */

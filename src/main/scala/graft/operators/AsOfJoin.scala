@@ -31,28 +31,32 @@ object AsOfJoin {
     require(rightVals.nonEmpty, "right side has no value columns")
     require(!leftOnly.exists(rightVals.contains),
       "left/right non-key column names must not collide")
+    require(!rightVals.contains(leftTs),
+      s"right column '$leftTs' collides with the left time column — rename one side")
 
-    def nullOf(df: DataFrame, c: String): Column =
-      lit(null).cast(df.schema(c).dataType).as(c)
-
+    // The right row travels as ONE struct: present-but-null right values
+    // stay null (a per-column ignoreNulls fill would skip them and stitch
+    // together values from *different* right rows).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
-      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__lft")) ++
-        leftOnly.map(col) ++ rightVals.map(nullOf(right, _)): _*)
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__lft"),
+        lit(null).cast(rStructType).as("__r")) ++ leftOnly.map(col): _*)
     val r = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__lft")) ++
-        leftOnly.map(nullOf(left, _)) ++ rightVals.map(col): _*)
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__lft"),
+        struct(rightVals.map(col): _*).as("__r")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // Right rows sort before left rows at equal time (__lft asc) so a
     // same-instant right row is visible to the left row (ts ≤ semantics).
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__lft").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(l.unionByName(r)) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__lft") === 1)
-      .drop("__lft")
+    l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__lft") === 1)
       .withColumnRenamed("__ts", leftTs)
-      .select((left.columns ++ rightVals).map(col).toIndexedSeq: _*)
+      .select(left.columns.map(col).toIndexedSeq ++
+        rightVals.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

@@ -104,6 +104,18 @@ class DedupMergeSpec extends SparkSuite {
     assert(got("e3") == null)    // key with no right rows at all
   }
 
+  test("as-of join: null right values stay null (no stale stitching)") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 12L, "e")).toDF("k", "lts", "ev")
+    val r = Seq((1L, 5L, Some("old"), Some(1)), (1L, 10L, None, Some(2)))
+      .toDF("k", "rts", "rv", "rn")
+    val got = AsOfJoin.asOfJoin(l, r, Seq("k"), "lts", "rts")
+      .select("rv", "rn").as[(Option[String], Option[Int])].head()
+    // the ts=10 row wins atomically: rv is its genuine NULL, rn its value —
+    // never "old" stitched from the ts=5 row
+    assert(got == (None, Some(2)))
+  }
+
   test("merge with composite keys") {
     val t2 = Seq((1L, "a", "x"), (1L, "b", "y")).toDF("k1", "k2", "v")
     val s2 = Seq((1L, "a", "z", "u")).toDF("k1", "k2", "v", "op_aws")

@@ -62,10 +62,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
-  test("CDC spine stays inside whole-stage codegen (no interpreter barriers)") {
-    val p = planString(Queries.q5LwwDedup(spark, sf("sf0.001")))
-    // executed plans print codegen stages as *(n) prefixes
-    assert(p.contains("*("), p.take(2000))
+  test("CDC spine's routing filter and parse execute inside codegen stages") {
+    // q24 is the barrier-free path: the routing Filter and the payload
+    // Project must carry a *(n) codegen prefix — an interpreter barrier on
+    // the spine (the janino-blowup regression) would strip it.
+    val p = planString(Queries.q24SpineScaled(spark, sf("sf0.001")))
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(p).isDefined, p.take(3000))
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
   test("simhash signatures partially aggregate (docs, not tokens, shuffle)") {
