@@ -284,6 +284,54 @@ object QueriesExt {
       |       max(ts_ms) - min(ts_ms) AS duration_ms
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  /** PII redaction (pre-training scrub): deterministic fake PII injected
+    * per doc, then emails/phones/IPv4 replaced with type tags. */
+  def q30PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com or 555-123-4567 at 192.168.0."),
+      col("doc_id") % 250)
+    docs(s, dir).select(col("doc_id"),
+      TextFunctions.redactPii(injected).as("redacted"))
+  }
+  val q30Sql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || ' contact user' || doc_id || '@mail.example.com or 555-123-4567 at 192.168.0.' || (doc_id % 250),
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\+?[0-9]{0,2}[-. (]*[0-9]{3}[-. )]*[0-9]{3}[-. ]*[0-9]{4}', '[PHONE]', 'g'),
+      |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** One-pass column profiling (nulls / distincts / min / max per column)
+    * melted to one row per column — the "analyze table" shape. */
+  def q31Profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    Tables.lineitem(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+          .mkString(", ") +
+        ") as (column_name, n_nulls, n_distinct, min_s, max_s)"))
+  }
+  val q31Sql: String = {
+    val per = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus").map(c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin)
+    per.mkString("\nUNION ALL\n")
+  }
+
   // ---------------------------------------------------------------- qa*
   /** TPC-H-Q1-shaped pricing summary: partial-agg groupBy, 2 group cols.
     * Double sums rounded to 2dp (accumulation-order noise ≪ 0.005). */
@@ -435,6 +483,8 @@ object QueriesExt {
     "q27_repetition" -> (q27Repetition _),
     "q28_asof_join" -> (q28AsofJoin _),
     "q29_sessionize" -> (q29Sessionize _),
+    "q30_pii_redact" -> (q30PiiRedact _),
+    "q31_profile" -> (q31Profile _),
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
@@ -462,6 +512,8 @@ object QueriesExt {
     "q27_repetition" -> q27Sql,
     "q28_asof_join" -> q28Sql,
     "q29_sessionize" -> q29Sql,
+    "q30_pii_redact" -> q30Sql,
+    "q31_profile" -> q31Sql,
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,

@@ -79,6 +79,19 @@ object TextFunctions {
     round(lengthScore * lit(0.4) + punctScore * lit(0.3) + stopScore * lit(0.3), 6)
   }
 
+  /** PII redaction: emails, North-American-style phone numbers, and IPv4
+    * addresses replaced with type tags — the pre-training scrub pass.
+    * Plain regexp_replace chain (codegen'd, reproducible in SQL engines;
+    * patterns deliberately RE2-compatible: no backrefs or lookaround). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val phone = regexp_replace(email,
+      "\\+?[0-9]{0,2}[-. (]*[0-9]{3}[-. )]*[0-9]{3}[-. ]*[0-9]{4}", "[PHONE]")
+    regexp_replace(phone,
+      "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "[IP]")
+  }
+
   /** Canonical-form fingerprint: md5 of lower-cased, whitespace-collapsed
     * text — the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

@@ -190,6 +190,19 @@ class FunctionsSpec extends SparkSuite {
     assert(got(0) > 0.7 && got(1) == 0.0 && got(2) == 0.0)
   }
 
+  test("PII redaction replaces emails, phones, IPs; leaves prose intact") {
+    val df = Seq(
+      "reach me at jane.doe+spam@corp.example.org today",
+      "call (555) 123-4567 or +1 555.987.6543",
+      "server 10.0.254.3 responded",
+      "no pii here at all").toDF("text")
+    val got = df.select(TextFunctions.redactPii(col("text"))).as[String].collect()
+    assert(got(0) == "reach me at [EMAIL] today")
+    assert(got(1).contains("[PHONE]") && !got(1).exists(_.isDigit))
+    assert(got(2) == "server [IP] responded")
+    assert(got(3) == "no pii here at all")
+  }
+
   test("quality score is in [0,1] and favors stopword-bearing prose") {
     val df = Seq("the cat and the dog in the house with a ball",
       "zxqv wvut ppo").toDF("text")
