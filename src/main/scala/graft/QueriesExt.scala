@@ -466,6 +466,22 @@ object QueriesExt {
     """SELECT l_returnflag, l_linestatus, count(*) AS n
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Exact interpolated percentiles per group (both engines implement
+    * linear interpolation over the sorted values; rounded to 4dp). */
+  def qa10Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"))
+  val qa10Sql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -493,7 +509,8 @@ object QueriesExt {
     "qa6_approx_distinct" -> (qa6ApproxDistinct _),
     "qa7_semi_anti" -> (qa7SemiAnti _),
     "qa8_pivot" -> (qa8Pivot _),
-    "qa9_cube" -> (qa9Cube _)
+    "qa9_cube" -> (qa9Cube _),
+    "qa10_percentiles" -> (qa10Percentiles _)
   )
 
   /** q14/q16 (xxhash64-based) and qa6 (HLL) omitted: not reproducible in
@@ -521,6 +538,7 @@ object QueriesExt {
     "qa5_rollup" -> qa5Sql,
     "qa7_semi_anti" -> qa7Sql,
     "qa8_pivot" -> qa8Sql,
-    "qa9_cube" -> qa9Sql
+    "qa9_cube" -> qa9Sql,
+    "qa10_percentiles" -> qa10Sql
   )
 }
