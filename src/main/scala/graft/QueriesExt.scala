@@ -482,6 +482,31 @@ object QueriesExt {
       |       round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Winsorized aggregation (feature normalization): per-group p05/p95
+    * computed once, broadcast back, values clipped, then averaged — the
+    * two-pass normalize pattern (group stats ≪ data, so the big side is
+    * joined by broadcast and never shuffled twice). */
+  def qa11Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val stats = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.05)").as("lo"),
+      expr("percentile(l_extendedprice, 0.95)").as("hi"))
+    li.join(broadcast(stats), Seq("l_returnflag"))
+      .withColumn("clipped", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .groupBy(col("l_returnflag"))
+      .agg(round(avg(col("clipped")), 2).as("wins_mean"), count(lit(1)).as("n"))
+  }
+  val qa11Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo,
+      |         quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag,
+      |       round(avg(least(greatest(l.l_extendedprice, s.lo), s.hi)), 2) AS wins_mean,
+      |       count(*) AS n
+      |FROM lineitem l JOIN s USING (l_returnflag)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -510,7 +535,8 @@ object QueriesExt {
     "qa7_semi_anti" -> (qa7SemiAnti _),
     "qa8_pivot" -> (qa8Pivot _),
     "qa9_cube" -> (qa9Cube _),
-    "qa10_percentiles" -> (qa10Percentiles _)
+    "qa10_percentiles" -> (qa10Percentiles _),
+    "qa11_winsorize" -> (qa11Winsorize _)
   )
 
   /** q14/q16 (xxhash64-based) and qa6 (HLL) omitted: not reproducible in
@@ -539,6 +565,7 @@ object QueriesExt {
     "qa7_semi_anti" -> qa7Sql,
     "qa8_pivot" -> qa8Sql,
     "qa9_cube" -> qa9Sql,
-    "qa10_percentiles" -> qa10Sql
+    "qa10_percentiles" -> qa10Sql,
+    "qa11_winsorize" -> qa11Sql
   )
 }
