@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants on the query/oracle registries (the t2 gate
+  * silently skips an oracle whose query name doesn't match — guard the
+  * wiring, not just the queries). */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("rows-only queries are exactly the documented hash-based set") {
+    val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(rowsOnly == Set("q14_minhash_lsh", "q16_simhash", "qa6_approx_distinct"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("oracle SQL is DuckDB-shaped: non-empty, no Spark-only functions") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, name)
+      // Spark-isms that DuckDB would reject — catch drift early.
+      for (bad <- Seq("get_json_object", "posexplode", "xxhash64", "unix_millis"))
+        assert(!sql.contains(bad), s"$name oracle uses Spark-only '$bad'")
+    }
+  }
+}
