@@ -209,6 +209,26 @@ class PipelineSpec extends SparkSuite {
     assert(rows == Map(1L -> "a", 2L -> "b"))
   }
 
+  test("jdbc sink retry-once: schema-drifted staging leftover is dropped and retried") {
+    val db = Files.createTempDirectory("graft-derby4").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val sink = new JdbcMergeSink(url, maxVarchar = 32672)
+    // Poison the staging table with an incompatible leftover shape (the
+    // reference's retry-once trigger: schema changed between batches).
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE rt_stage_aws ("wrong_col" INTEGER)""")
+      st.close()
+    } finally conn.close()
+    val spec = TableSpec("cdc_db", "rt", Seq("id"))
+    sink.writeBatch(Seq((1L, "a", "c"), (2L, "b", "d")).toDF("id", "v", "op_aws"), spec)
+    val rows = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "rt").load()
+      .select(col("id").cast("long"), col("v")).as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a")) // merged despite the poisoned staging
+  }
+
   test("concurrent table tasks into one JDBC warehouse (C1+C3+S5 topology)") {
     val db = Files.createTempDirectory("graft-derby3").toString + "/db"
     val url = s"jdbc:derby:$db;create=true"
