@@ -13,8 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object QueriesExt {
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
-  private def embs(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+  /** The testdata parquet files are single-row-group, so a scan is one
+    * task; a real corpus is thousands of files and parallelizes on its
+    * own. Spread the (tiny) rows across cores before the heavy per-row
+    * work — n-gram HOFs, hashing, per-column aggregates — so local runs
+    * exercise the same parallel shape as a cluster scan. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(Tables.documents(s, dir))
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    spread(Tables.embeddings(s, dir))
 
   /** Oracle token split shared by several queries (DuckDB side). */
   private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -315,7 +325,7 @@ object QueriesExt {
       countDistinct(col(c)).as(s"${c}__distinct"),
       min(col(c)).cast("string").as(s"${c}__min"),
       max(col(c)).cast("string").as(s"${c}__max")))
-    Tables.lineitem(s, dir)
+    spread(Tables.lineitem(s, dir).select(cols.map(col): _*))
       .agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, " +
         cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
