@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
   * multimodal) and scale-representative analytics queries, each declared
   * with a DuckDB oracle where the math is engine-reproducible (integer,
-  * string, or order-deterministic double folds). xxhash64-based operators
-  * (MinHash, SimHash, SRP buckets) have no DuckDB twin → rows-only checks
-  * here, exact properties covered in ScalaTest instead.
+  * string, or order-deterministic double folds). MinHash and SimHash run
+  * their *portable* md5-based hash family here so even they are
+  * value-checked end-to-end; only the HLL estimate (qa6) stays rows-only.
   */
 object QueriesExt {
 
@@ -57,13 +57,36 @@ object QueriesExt {
       |FROM documents GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q14
-  /** MinHash+LSH near-dup candidates, exact-verified (rows-only check:
-    * xxhash64 signatures are not reproducible in the oracle engine;
-    * recall/precision properties are ScalaTest'd in DedupSpec). */
+  /** MinHash+LSH near-dup candidates, exact-verified. Runs the *portable*
+    * hash family (md5-derived 60-bit ints, string band keys) so the DuckDB
+    * oracle replays the identical MinHash → banding → candidate → exact-
+    * verify pipeline value-for-value; the xxhash64 production default is
+    * property-tested in FunctionsSpec. */
   def q14MinhashLsh(s: SparkSession, dir: String): DataFrame =
     DedupFunctions.minhashLshPairs(
       docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
-      n = 2, numHashes = 32, bands = 16, threshold = 0.05)
+      n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
+  val q14Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
+       |tt AS (SELECT doc_id, len(sh) AS n_sh, sh FROM t WHERE len(sh) > 0),
+       |tok AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM tt),
+       |mh AS (SELECT doc_id, n_sh, seed,
+       |         min(('0x' || substring(md5(seed::VARCHAR || ':' || s), 1, 15))::BIGINT) AS hv
+       |       FROM tok, (SELECT unnest(range(1, 33)) AS seed) seeds
+       |       GROUP BY 1, 2, 3),
+       |sig AS (SELECT doc_id, n_sh, list(hv ORDER BY seed) AS sig FROM mh GROUP BY 1, 2),
+       |band AS (SELECT doc_id, n_sh, b, array_to_string(sig[b*2+1 : b*2+2], ',') AS bh
+       |         FROM sig, (SELECT unnest(range(0, 16)) AS b) bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                a.n_sh AS n_a, b.n_sh AS n_b
+       |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |ver AS (SELECT c.id_a, c.id_b, c.n_a, c.n_b,
+       |          len(list_intersect(ta.sh, tb.sh)) AS shared
+       |        FROM cand c JOIN tt ta ON ta.doc_id = c.id_a JOIN tt tb ON tb.doc_id = c.id_b)
+       |SELECT id_a, id_b, round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+       |FROM ver WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
 
   // ---------------------------------------------------------------- q15
   /** Exact n-gram Jaccard near-dup pairs (the oracle twin of q14): bigram
@@ -80,10 +103,34 @@ object QueriesExt {
        |FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
 
   // ---------------------------------------------------------------- q16
-  /** SimHash signatures (rows-only: xxhash64). Pair-finding via chunk
-    * pigeonhole is exercised in DedupSpec. */
+  /** SimHash signatures, portable variant: md5-derived per-token bits,
+    * signature emitted as a 16-char hex string — value-checked against a
+    * DuckDB oracle that replays the explode → vote → sign pipeline. The
+    * xxhash64/BIGINT production variant (and chunk-pigeonhole pairing) is
+    * property-tested in FunctionsSpec. */
   def q16Simhash(s: SparkSession, dir: String): DataFrame =
-    TextFunctions.simhashSignatures(docs(s, dir), "text", "doc_id")
+    TextFunctions.simhashSignaturesHex(docs(s, dir), "text", "doc_id")
+  val q16Sql: String = {
+    def bitSql(i: Int): String =
+      if (i < 60) s"((h1 >> $i) & 1) = 1" else s"((h2 >> ${i - 60}) & 1) = 1"
+    val votes = (0 until 64).map(i =>
+      s"sum(CASE WHEN ${bitSql(i)} THEN 1 ELSE -1 END) AS b$i").mkString(",\n        ")
+    def chunkSql(c: Int): String =
+      (0 until 16).map(i =>
+        s"(CASE WHEN b${c * 16 + i} > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |h AS (SELECT doc_id,
+       |        ('0x' || substring(md5(t), 1, 15))::BIGINT AS h1,
+       |        ('0x' || substring(md5(t), 16, 15))::BIGINT AS h2
+       |      FROM tok),
+       |v AS (SELECT doc_id,
+       |        $votes
+       |      FROM h GROUP BY doc_id)
+       |SELECT doc_id, printf('%04x%04x%04x%04x',
+       |  (${chunkSql(3)})::BIGINT, (${chunkSql(2)})::BIGINT,
+       |  (${chunkSql(1)})::BIGINT, (${chunkSql(0)})::BIGINT) AS sig
+       |FROM v""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q17
   /** Brute-force cosine top-10 for 8 query vectors — broadcast queries,
@@ -549,10 +596,12 @@ object QueriesExt {
     "qa11_winsorize" -> (qa11Winsorize _)
   )
 
-  /** q14/q16 (xxhash64-based) and qa6 (HLL) omitted: not reproducible in
-    * the oracle engine → rows-only checks. */
+  /** qa6 (HLL) omitted: estimate internals are engine-specific → rows-only
+    * check (the query itself also emits the exact count for comparison). */
   val oracles: Map[String, String] = Map(
     "q13_exact_dedup" -> q13Sql,
+    "q14_minhash_lsh" -> q14Sql,
+    "q16_simhash" -> q16Sql,
     "q15_ngram_jaccard" -> q15Sql,
     "q17_ann_cosine" -> q17Sql,
     "q18_langid" -> q18Sql,

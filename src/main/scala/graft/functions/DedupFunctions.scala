@@ -81,15 +81,25 @@ object DedupFunctions {
     transform(sequence(lit(1), lit(numHashes)), seed =>
       array_min(transform(sh, s => xxhash64(s, seed))))
 
+  /** Seeded shingle hash family. Default: xxhash64 (fused codegen, the
+    * production choice). Portable: 60-bit md5-derived ints
+    * ([[TextFunctions.md5Long]]) reproducible in any md5-capable SQL
+    * engine, so MinHash results can be value-checked against an oracle. */
+  def seededHash(portable: Boolean): (Column, Int) => Column =
+    if (portable) (c, i) => TextFunctions.md5Long(concat(lit(i), lit(":"), c))
+    else (c, i) => xxhash64(c, lit(i))
+
   /** MinHash signatures for a whole table: explode shingles → `numHashes`
     * min-aggregates (map-side combine: one row per doc leaves each
     * mapper) → signature array. Returns (id, n_sh, sig). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
+                        n: Int, numHashes: Int,
+                        portable: Boolean = false): DataFrame = {
+    val h = seededHash(portable)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val tok = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val mins = (1 to numHashes).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i"))
+    val mins = (1 to numHashes).map(i => min(h(col("s"), i)).as(s"h$i"))
     tok.groupBy(col("id"), col("n_sh"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), col("n_sh"),
@@ -106,14 +116,20 @@ object DedupFunctions {
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int, numHashes: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(df, textCol, idCol, n, numHashes)
+    val sig = minhashSignatures(df, textCol, idCol, n, numHashes, portable)
+    // Band bucket key: the row-slice of the signature, compressed through
+    // xxhash64 by default (8-byte shuffle key); left as the joined string
+    // in portable mode so the oracle engine can form the same key.
+    def bandKey(b: Column, s: Column): Column =
+      if (portable) s else xxhash64(s, b)
     val banded = sig.select(col("id"), col("n_sh"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)),
-          lit(b))): _*))
+        bandKey(lit(b),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
         .as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("n_sh").as("n_b"))

@@ -97,6 +97,19 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** 60-bit integer from the first 15 hex chars of md5 — the *portable*
+    * hash: any SQL engine with md5 + hex parsing reproduces it exactly,
+    * so operators built on it can be value-checked against an external
+    * oracle. The production default elsewhere stays xxhash64 (one fused
+    * codegen'd op, no hex round-trip) — use this variant when
+    * cross-engine reproducibility matters more than raw hash throughput. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Second independent 60-bit value from the same md5 (hex chars 16-30). */
+  def md5LongHi(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash signatures for a whole table: explode tokens → hash →
     * 64 per-bit ±1 vote sums as a hash aggregate → combine sign bits.
     *
@@ -145,4 +158,33 @@ object TextFunctions {
   /** Hamming distance between two simhash64 signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Portable 64-bit SimHash signatures as a 16-char hex string.
+    *
+    * Same explode → vote → sign shape as [[simhashSignatures]], but the
+    * per-token bits come from md5 (bits 0-59 from hex chars 1-15, bits
+    * 60-63 from chars 16-30) instead of xxhash64, and the signature is
+    * emitted as four 16-bit chunks formatted `%04x` — both choices so an
+    * external SQL oracle can rebuild the value exactly (a BIGINT signature
+    * would need a `1<<63` the oracle engine rejects as overflow). */
+  def simhashSignaturesHex(df: org.apache.spark.sql.DataFrame, textCol: String,
+                           idCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol), explode_outer(tokens(col(textCol))).as("tok"))
+      .withColumn("h1", md5Long(col("tok")))
+      .withColumn("h2", md5LongHi(col("tok")))
+    def bit(i: Int): Column =
+      if (i < 60) shiftright(col("h1"), i).bitwiseAND(1)
+      else shiftright(col("h2"), i - 60).bitwiseAND(1)
+    val votes = (0 until 64).map(i =>
+      sum(when(bit(i) === 1, 1L).otherwise(-1L)).as(s"b$i"))
+    def chunk(c: Int): Column =
+      (0 until 16).map(i =>
+        when(col(s"b${c * 16 + i}") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+    tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        format_string("%04x%04x%04x%04x",
+          chunk(3), chunk(2), chunk(1), chunk(0)).as("sig"))
+  }
 }

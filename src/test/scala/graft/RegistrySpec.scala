@@ -14,7 +14,7 @@ class RegistrySpec extends AnyFunSuite {
 
   test("rows-only queries are exactly the documented hash-based set") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly == Set("q14_minhash_lsh", "q16_simhash", "qa6_approx_distinct"),
+    assert(rowsOnly == Set("qa6_approx_distinct"),
       s"unexpected rows-only set: $rowsOnly")
   }
 
