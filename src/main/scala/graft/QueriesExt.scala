@@ -233,6 +233,84 @@ object QueriesExt {
       |       sha256(text) AS sha256, 'text/plain' AS mime
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Shared SRP machinery for q32/q33: 8 deterministic ±1 hyperplanes
+    * over the 64-dim embeddings, generated in plain Scala and embedded as
+    * literals in BOTH the Spark expression and the DuckDB oracle — the
+    * oracle replays bucketing, candidate generation, and exact re-scoring
+    * value-for-value. */
+  private val srpPlanes: Seq[Seq[Int]] = Similarity.deterministicPlanes(8, 64)
+  private def planeSql(j: Int): String =
+    srpPlanes(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+  private def projSql(v: String, j: Int): String =
+    s"list_sum(list_transform(list_zip($v, ${planeSql(j)}), x -> x[1] * x[2]))"
+  private val bucketFromPs: String =
+    (0 until 8).map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+       |        (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |         sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucketed candidates (one
+    * equi-join, never all-pairs), exact cosine re-scoring. The corpus has
+    * no natural near-dups, so the query injects deterministic perturbed
+    * copies (component 0 nudged by +0.25, id offset by 1e6) — the operator
+    * must find exactly those pairs. */
+  def q32CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val dups = e.filter(col("vec_id") % 17 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + lit(0.25)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    Similarity.cosineNearDupPairs(e.unionByName(dups), threshold = 0.9,
+      planes = srpPlanes)
+  }
+  val q32Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.25] || v[2:64] AS v
+       |      FROM e WHERE vec_id % 17 = 0),
+       |u AS (SELECT * FROM e UNION ALL SELECT * FROM d),
+       |b0 AS (SELECT vec_id, v,
+       |         ${(0 until 8).map(j => s"${projSql("v", j)} AS p$j").mkString(",\n       |         ")}
+       |       FROM u),
+       |b AS (SELECT vec_id, v, $bucketFromPs AS bucket FROM b0),
+       |pair AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
+       |         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |s AS (SELECT id_a, id_b,
+       |        ${cosSql("va", "vb")} AS sim
+       |      FROM pair)
+       |SELECT id_a, id_b, round(sim, 6) AS sim FROM s WHERE sim >= 0.9""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** ANN top-10 via SRP-LSH with multi-probe (Hamming-1 neighbors of the
+    * query bucket), exact re-rank of candidates — the scale path next to
+    * q17's brute-force baseline: corpus cost per query drops by
+    * ~2^bits/9, and the oracle replays probing + re-ranking exactly. */
+  def q33LshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e.filter(col("vec_id") < 8), e, k = 10,
+      bits = 8, probeHamming = 1, planes = srpPlanes)
+  }
+  val q33Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b0 AS (SELECT vec_id, v,
+       |         ${(0 until 8).map(j => s"${projSql("v", j)} AS p$j").mkString(",\n       |         ")}
+       |       FROM e),
+       |b AS (SELECT vec_id, v, $bucketFromPs AS bucket FROM b0),
+       |q AS (SELECT vec_id AS query_id, v AS qv, xor(bucket, m) AS bucket
+       |      FROM b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) masks
+       |      WHERE vec_id < 8),
+       |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |        ${cosSql("q.qv", "c.v")} AS sim
+       |      FROM q JOIN b c USING (bucket)
+       |      WHERE q.query_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM s) WHERE rank <= 10""".stripMargin
+
   // ---------------------------------------------------------------- q25
   /** Deterministic train/val/test split: md5-bucketed, reproducible across
     * engines/runs/backfills — no RNG, no shuffle. */
@@ -583,6 +661,8 @@ object QueriesExt {
     "q29_sessionize" -> (q29Sessionize _),
     "q30_pii_redact" -> (q30PiiRedact _),
     "q31_profile" -> (q31Profile _),
+    "q32_cosine_neardup" -> (q32CosineNearDup _),
+    "q33_lsh_ann" -> (q33LshAnn _),
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
@@ -616,6 +696,8 @@ object QueriesExt {
     "q29_sessionize" -> q29Sql,
     "q30_pii_redact" -> q30Sql,
     "q31_profile" -> q31Sql,
+    "q32_cosine_neardup" -> q32Sql,
+    "q33_lsh_ann" -> q33Sql,
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,

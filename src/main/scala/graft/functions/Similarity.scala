@@ -55,6 +55,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Deterministic ±1 hyperplanes (`bits` × `dim`), computed in plain
+    * Scala with splitmix64-style mixing — engine-independent constants
+    * that can be embedded as literals in both the Spark expression and an
+    * external SQL oracle's replay of the same bucketing. */
+  def deterministicPlanes(bits: Int, dim: Int): Seq[Seq[Int]] =
+    Seq.tabulate(bits, dim) { (j, i) =>
+      var z = j.toLong * 0x9E3779B97F4A7C15L +
+        i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 1L) 1 else -1
+    }
+
+  /** SRP bucket id from explicit literal hyperplanes (see
+    * [[deterministicPlanes]]): bucket bit j = sign of the dot product
+    * with plane j. Double folds left-to-right → engine-reproducible. */
+  def srpBucketPlanes(vec: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (signs, j) =>
+      val proj = aggregate(
+        zip_with(vec, array(signs.map(s => lit(s.toDouble)): _*),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (a, x) => a + x)
+      when(proj > 0, shiftleft(lit(1), j)).otherwise(0)
+    }.reduce(_ bitwiseOR _)
+
   /** SRP bucket id: for hyperplane j, component i has deterministic
     * pseudo-random sign from xxhash64(i, j); bucket bit j = sign of the
     * dot product with that ±1 hyperplane. Integer decisions on top of
@@ -75,9 +101,12 @@ object Similarity {
     * within Hamming `probeHamming` (multi-probe), exact re-rank. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               bits: Int = 8, probeHamming: Int = 1,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              planes: Seq[Seq[Int]] = Nil): DataFrame = {
+    def bucketOf(v: Column): Column =
+      if (planes.nonEmpty) srpBucketPlanes(v, planes) else srpBucket(v, bits)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      srpBucket(col(vecCol), bits).as("bucket"))
+      bucketOf(col(vecCol)).as("bucket"))
     // Probe set: all buckets within Hamming distance of the query's bucket
     // (sum of bits-choose-h masks for h ≤ probeHamming — tiny for the
     // practical bits/probeHamming ranges, built as a literal array).
@@ -85,7 +114,7 @@ object Similarity {
       (0 until bits).combinations(h).map(_.foldLeft(0)((m, b) => m | (1 << b))))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          srpBucket(col(vecCol), bits).as("qb"))
+          bucketOf(col(vecCol)).as("qb"))
         .withColumn("bucket", explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
         .drop("qb"))
     val scored = c.join(q, Seq("bucket"))
@@ -103,9 +132,12 @@ object Similarity {
     * SRP, compare only within buckets, keep pairs with cosine ≥ threshold.
     * The near-dup variant of ANN — one equi-join, no all-pairs. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 8,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         planes: Seq[Seq[Int]] = Nil): DataFrame = {
+    val bucketOf: Column => Column =
+      if (planes.nonEmpty) srpBucketPlanes(_, planes) else srpBucket(_, bits)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      srpBucket(col(vecCol), bits).as("bucket"))
+      bucketOf(col(vecCol)).as("bucket"))
     val a = c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

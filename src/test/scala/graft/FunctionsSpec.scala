@@ -146,6 +146,70 @@ class FunctionsSpec extends SparkSuite {
     assert(pairs.contains((9L, 100009L)))
   }
 
+  test("portable md5 hash: known value, and portable minhash pairs match default recall") {
+    // md5("abc") = 900150983cd24fb0... -> first 15 hex chars as a 60-bit int.
+    val v = Seq("abc").toDF("s")
+      .select(TextFunctions.md5Long(col("s"))).as[Long].head()
+    assert(v == 648541476951500027L)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val pairs = DedupFunctions.minhashLshPairs(docs, "text", "doc_id",
+      n = 2, numHashes = 32, bands = 16, threshold = 0.3, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhashSignaturesHex: 16-char hex, identical text identical, disjoint text differs") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "xx yy zz ww"))
+      .toDF("doc_id", "text")
+    val sigs = TextFunctions.simhashSignaturesHex(docs, "text", "doc_id")
+      .orderBy("doc_id").select("sig").as[String].collect()
+    assert(sigs.forall(s => s.length == 16 && s.matches("[0-9a-f]{16}")))
+    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
+  }
+
+  test("deterministic SRP planes: stable values, scaled copies share a bucket") {
+    val p1 = Similarity.deterministicPlanes(8, 64)
+    val p2 = Similarity.deterministicPlanes(8, 64)
+    assert(p1 == p2 && p1.length == 8 && p1.head.length == 64)
+    assert(p1.flatten.forall(s => s == 1 || s == -1))
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 2.0f, 0.25f)),
+      (2L, Array(1.0f, -2.0f, 4.0f, 0.5f)), // 2x scaling: same direction
+      (3L, Array(-0.5f, 1.0f, -2.0f, -0.25f))
+    ).toDF("vec_id", "embedding")
+    val planes = Similarity.deterministicPlanes(8, 4)
+    val b = vecs.select(col("vec_id"),
+      Similarity.srpBucketPlanes(col("embedding"), planes).as("b"))
+      .orderBy("vec_id").select("b").as[Int].collect()
+    assert(b(0) == b(1))
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.99,
+      planes = planes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lshTopK with literal planes agrees with brute force on shared buckets") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))).toDF("vec_id", "embedding")
+    val planes = Similarity.deterministicPlanes(6, 8)
+    val lsh = Similarity.lshTopK(vecs.filter(col("vec_id") < 2), vecs, k = 5,
+      bits = 6, probeHamming = 1, planes = planes)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val brute = Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 2), vecs, k = 40)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // LSH candidates are a subset; their relative order must match brute force.
+    for ((q, grp) <- lsh.groupBy(_._1)) {
+      val got = grp.sortBy(_._3).map(_._2).toSeq
+      val expectOrder = brute(q).filter(got.contains)
+      assert(got == expectOrder.take(got.length))
+    }
+  }
+
   test("multimodal: payload schema, deterministic stubs, metadata grouping") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
     val mm = Multimodal.multimodalize(docs, "text", "doc_id")
