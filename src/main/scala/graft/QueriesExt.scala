@@ -441,21 +441,25 @@ object QueriesExt {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- q31
-  /** One-pass column profiling (nulls / distincts / min / max per column)
-    * melted to one row per column — the "analyze table" shape. */
+  /** Column profiling (nulls / distincts / min / max per column), one row
+    * per column — the "analyze table" shape. One aggregation branch per
+    * column, unioned: parquet prunes each branch to its single column, so
+    * total I/O equals a one-pass scan while each exact-distinct shuffles
+    * only its own column's values (the multi-distinct Expand alternative
+    * pushes #cols+1 copies of every row through one shuffle). Locally the
+    * branches share one ReusedExchange over the spread scan. */
   def q31Profile(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max")))
-    spread(Tables.lineitem(s, dir).select(cols.map(col): _*))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, " +
-        cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
-          .mkString(", ") +
-        ") as (column_name, n_nulls, n_distinct, min_s, max_s)"))
+    val li = spread(Tables.lineitem(s, dir).select(cols.map(col): _*))
+    cols.map { c =>
+      li.agg(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+          col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
   }
   val q31Sql: String = {
     val per = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus").map(c =>
