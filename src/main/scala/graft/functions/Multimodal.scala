@@ -55,6 +55,27 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)), i =>
       (pmod(xxhash64(bin, i), lit(1000L)).cast("double") / 1000.0) - 0.5)
 
+  /** STUB: image resize. A real implementation re-encodes pixels; this
+    * keeps the plumbing honest — output is a (payload, image) pair whose
+    * decoded dims are the requested box (aspect-preserving fit) and whose
+    * payload is a content-derived stand-in (the sha256 re-keys, exactly
+    * as a real resize would produce new bytes). */
+  def resizeStub(bin: Column, maxW: Int, maxH: Int): Column = {
+    val img = decodeImageStub(bin)
+    val scaleNum = least(lit(maxW) * img.getField("height"),
+      lit(maxH) * img.getField("width"))
+    val den = img.getField("width") * img.getField("height")
+    struct(
+      // fake resized bytes: payload re-keyed by the target box
+      encode(concat(lower(sha2(bin, 256)), lit(s":${maxW}x$maxH")), "UTF-8")
+        .as("payload"),
+      struct(
+        (img.getField("width") * scaleNum / den).cast(IntegerType).as("width"),
+        (img.getField("height") * scaleNum / den).cast(IntegerType).as("height"),
+        img.getField("channels").as("channels"),
+        lit("fakeimg").as("format")).as("image"))
+  }
+
   /** STUB: video frame sampling — every `everyMs` up to `durationMsOf`
     * fake duration; emits (frame_ts_ms, frame_hash) structs. */
   def frameSampleStub(bin: Column, everyMs: Int): Column = {

@@ -233,6 +233,14 @@ class FunctionsSpec extends SparkSuite {
       Multimodal.toPayload(col("text")), 5000).as("fr"))
       .select(col("fr.frame_ts_ms")).as[Seq[Long]].head()
     assert(frames == frames.sorted && frames.nonEmpty)
+    // resize stub: dims fit the requested box, aspect preserved-ish,
+    // payload re-keyed (new bytes, as a real re-encode would produce)
+    val rz = mm.select(col("payload"),
+        Multimodal.resizeStub(col("payload"), 640, 480).as("r"))
+      .select(col("r.image.width"), col("r.image.height"),
+        (col("r.payload") =!= col("payload")).as("rekeyed"))
+      .as[(Int, Int, Boolean)].collect()
+    assert(rz.forall { case (w, h, rk) => w <= 640 && h <= 480 && rk })
   }
 
   test("splits are deterministic, complete, and roughly proportioned") {
