@@ -443,11 +443,11 @@ object QueriesExt {
   // ---------------------------------------------------------------- q31
   /** Column profiling (nulls / distincts / min / max per column), one row
     * per column — the "analyze table" shape. One aggregation branch per
-    * column, unioned: parquet prunes each branch to its single column, so
-    * total I/O equals a one-pass scan while each exact-distinct shuffles
-    * only its own column's values (the multi-distinct Expand alternative
-    * pushes #cols+1 copies of every row through one shuffle). Locally the
-    * branches share one ReusedExchange over the spread scan. */
+    * column, unioned: column pruning pushes through the repartition, so
+    * each branch scans and exchanges exactly one column — total I/O equals
+    * a one-pass scan — and each exact-distinct shuffles only its own
+    * column's values (the multi-distinct Expand alternative pushes
+    * #cols+1 copies of every row through one shuffle). */
   def q31Profile(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
     val li = spread(Tables.lineitem(s, dir).select(cols.map(col): _*))
@@ -608,7 +608,8 @@ object QueriesExt {
   /** Exact interpolated percentiles per group (both engines implement
     * linear interpolation over the sorted values; rounded to 4dp). */
   def qa10Percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    spread(Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")))
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
@@ -626,7 +627,8 @@ object QueriesExt {
     * two-pass normalize pattern (group stats ≪ data, so the big side is
     * joined by broadcast and never shuffled twice). */
   def qa11Winsorize(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val li = spread(Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice")))
     val stats = li.groupBy(col("l_returnflag")).agg(
       expr("percentile(l_extendedprice, 0.05)").as("lo"),
       expr("percentile(l_extendedprice, 0.95)").as("hi"))

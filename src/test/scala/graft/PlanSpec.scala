@@ -71,6 +71,30 @@ class PlanSpec extends SparkSuite {
     assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("q31 profile: pruning pushes through the repartition — one column per branch scan") {
+    val df = QueriesExt.q31Profile(spark, sf("sf0.001"))
+    df.collect()
+    // AQE wraps subtrees in query stages; read the scans off the full tree.
+    val p = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.size >= 4, s"expected one pruned scan per branch:\n${p.take(1500)}")
+    schemas.foreach { s =>
+      assert(s.count(_ == ':') == 1, s"branch scan reads more than one column: $s")
+    }
+  }
+
+  test("q33 LSH ANN broadcasts the probe-expanded query side") {
+    val p = planString(QueriesExt.q33LshAnn(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "bucket join degraded to cartesian")
+  }
+
+  test("q32 near-dup pairing is a bucket equi-join, never all-pairs") {
+    val p = planString(QueriesExt.q32CosineNearDup(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "SRP bucket join degraded to an all-pairs physical join:\n" + p.take(2000))
+  }
+
   test("simhash signatures partially aggregate (docs, not tokens, shuffle)") {
     val p = planString(graft.functions.TextFunctions.simhashSignatures(
       Tables.documents(spark, sf("sf0.001")).limit(50), "text", "doc_id"))
