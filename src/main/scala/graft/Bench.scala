@@ -23,14 +23,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.spreadSmallScans", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed: materialize the synthesized Kafka-batch stand-ins, plus one
     // cheap fixed warm-up action so JVM/codegen startup is not billed to
-    // the first timed query.
-    try Queries.warmGeneratedInputs(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] warm failed: ${e.getMessage}") }
+    // the first timed query. A warm failure is flagged in the JSON line —
+    // the timed numbers would silently re-include generation cost.
+    val warmFailed =
+      try { Queries.warmGeneratedInputs(spark, sfDir); false }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm failed: ${e.getMessage}"); true
+      }
     SparkEntry.queries.get("qa1_pricing").foreach { fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
@@ -46,7 +51,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val warm = if (warmFailed) ""","warm_failed":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$warm}""")
     spark.stop()
   }
 }

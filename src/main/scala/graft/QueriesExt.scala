@@ -15,11 +15,16 @@ object QueriesExt {
 
   /** The testdata parquet files are single-row-group, so a scan is one
     * task; a real corpus is thousands of files and parallelizes on its
-    * own. Spread the (tiny) rows across cores before the heavy per-row
-    * work — n-gram HOFs, hashing, per-column aggregates — so local runs
-    * exercise the same parallel shape as a cluster scan. */
+    * own. When the harness opts in (`spark.graft.spreadSmallScans`, set by
+    * the Bench/Verify mains), spread the (tiny) rows across cores before
+    * the heavy per-row work — n-gram HOFs, hashing, per-column
+    * aggregates — so local runs exercise the same parallel shape as a
+    * cluster scan. Library consumers keep the narrow no-shuffle plans the
+    * operator docs promise (e.g. exact dedup never exchanges text). */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if (df.sparkSession.conf.get("spark.graft.spreadSmallScans", "false") == "true")
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     spread(Tables.documents(s, dir))

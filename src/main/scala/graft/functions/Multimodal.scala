@@ -62,16 +62,19 @@ object Multimodal {
     * as a real resize would produce new bytes). */
   def resizeStub(bin: Column, maxW: Int, maxH: Int): Column = {
     val img = decodeImageStub(bin)
-    val scaleNum = least(lit(maxW) * img.getField("height"),
-      lit(maxH) * img.getField("width"))
-    val den = img.getField("width") * img.getField("height")
+    // Long arithmetic: width * scaleNum peaks around 4e9 for large target
+    // boxes — Int would silently wrap.
+    val w = img.getField("width").cast(LongType)
+    val h = img.getField("height").cast(LongType)
+    val scaleNum = least(lit(maxW.toLong) * h, lit(maxH.toLong) * w)
+    val den = w * h
     struct(
       // fake resized bytes: payload re-keyed by the target box
       encode(concat(lower(sha2(bin, 256)), lit(s":${maxW}x$maxH")), "UTF-8")
         .as("payload"),
       struct(
-        (img.getField("width") * scaleNum / den).cast(IntegerType).as("width"),
-        (img.getField("height") * scaleNum / den).cast(IntegerType).as("height"),
+        (w * scaleNum / den).cast(IntegerType).as("width"),
+        (h * scaleNum / den).cast(IntegerType).as("height"),
         img.getField("channels").as("channels"),
         lit("fakeimg").as("format")).as("image"))
   }

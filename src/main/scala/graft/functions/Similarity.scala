@@ -105,13 +105,17 @@ object Similarity {
               planes: Seq[Seq[Int]] = Nil): DataFrame = {
     def bucketOf(v: Column): Column =
       if (planes.nonEmpty) srpBucketPlanes(v, planes) else srpBucket(v, bits)
+    // The bucket space width follows the planes when given — probing masks
+    // built from a mismatched `bits` would silently miss (or invent)
+    // Hamming neighbors.
+    val effBits = if (planes.nonEmpty) planes.length else bits
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       bucketOf(col(vecCol)).as("bucket"))
     // Probe set: all buckets within Hamming distance of the query's bucket
     // (sum of bits-choose-h masks for h ≤ probeHamming — tiny for the
     // practical bits/probeHamming ranges, built as a literal array).
     val masks: Seq[Int] = (0 to probeHamming).flatMap(h =>
-      (0 until bits).combinations(h).map(_.foldLeft(0)((m, b) => m | (1 << b))))
+      (0 until effBits).combinations(h).map(_.foldLeft(0)((m, b) => m | (1 << b))))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           bucketOf(col(vecCol)).as("qb"))

@@ -166,10 +166,14 @@ object TextFunctions {
     * 60-63 from chars 16-30) instead of xxhash64, and the signature is
     * emitted as four 16-bit chunks formatted `%04x` — both choices so an
     * external SQL oracle can rebuild the value exactly (a BIGINT signature
-    * would need a `1<<63` the oracle engine rejects as overflow). */
+    * would need a `1<<63` the oracle engine rejects as overflow).
+    *
+    * NULL-text documents are dropped (plain explode), matching SQL
+    * `unnest` semantics — `explode_outer` would emit an all-minus-one-vote
+    * signature row the oracle engine cannot produce. */
   def simhashSignaturesHex(df: org.apache.spark.sql.DataFrame, textCol: String,
                            idCol: String): org.apache.spark.sql.DataFrame = {
-    val tok = df.select(col(idCol), explode_outer(tokens(col(textCol))).as("tok"))
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h1", md5Long(col("tok")))
       .withColumn("h2", md5LongHi(col("tok")))
     def bit(i: Int): Column =

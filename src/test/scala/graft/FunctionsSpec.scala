@@ -241,6 +241,10 @@ class FunctionsSpec extends SparkSuite {
         (col("r.payload") =!= col("payload")).as("rekeyed"))
       .as[(Int, Int, Boolean)].collect()
     assert(rz.forall { case (w, h, rk) => w <= 640 && h <= 480 && rk })
+    // large target box: width*scale crosses Int range — stays positive
+    val big = mm.select(Multimodal.resizeStub(col("payload"), 1920, 1080).as("r"))
+      .select(col("r.image.width"), col("r.image.height")).as[(Int, Int)].collect()
+    assert(big.forall { case (w, h) => w > 0 && w <= 1920 && h > 0 && h <= 1080 })
   }
 
   test("splits are deterministic, complete, and roughly proportioned") {
