@@ -12,10 +12,9 @@ class RegistrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only queries are exactly the documented hash-based set") {
+  test("every declared query has an oracle (no rows-only checks remain)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly == Set("qa6_approx_distinct"),
-      s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 
   test("oracle SQL is DuckDB-shaped: non-empty, no Spark-only functions") {
