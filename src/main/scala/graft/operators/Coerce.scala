@@ -64,6 +64,25 @@ object Coerce {
       }
     }
 
+  /** Spark-4-native alternative for semi-structured columns: the same
+    * null/empty repair, then `parse_json` into a real `VariantType` column
+    * (binary-encoded, field-accessible via `variant_get` without
+    * re-parsing, storable in parquet). The reference keeps SUPER columns
+    * as JSON text because Redshift parses them on COPY
+    * (redshift_sink.py:276-290); for lake-house targets the variant form
+    * is strictly better — parse once at ingest, prune fields at read.
+    * `parse_json` (not `try_parse_json`): a malformed SUPER payload should
+    * fail the batch loudly, matching the sink's fail-fast policy. */
+  def superColumnsVariant(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val repaired = when(col(c).isNull || col(c) === "", lit("{}"))
+          .otherwise(col(c).cast(StringType))
+        d.withColumn(c, parse_json(repaired).as(c, superMetadata))
+      }
+    }
+
   /** Apply every coercion a TableSpec declares, in reference order. */
   def apply(df: DataFrame, spec: graft.config.TableSpec): DataFrame = {
     val t = timestampColumns(df, spec.timestampColumns)

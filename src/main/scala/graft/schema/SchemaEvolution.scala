@@ -56,6 +56,8 @@ object SchemaEvolution {
       case TimestampNTZType => "TIMESTAMP"
       case DateType => "DATE"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      // Spark 4 native semi-structured column (Coerce.superColumnsVariant).
+      case VariantType => "SUPER"
       case StringType => "VARCHAR(65535)"
       case NullType => "VARCHAR(65535)" // all-null batch column (README.md:64-67)
       case other =>

@@ -113,4 +113,30 @@ class CoerceSchemaSpec extends SparkSuite {
     val t = TableSpec.fromMap(Map("db" -> "d", "table" -> "t"))
     assert(!t.skipDelete && !t.saveDelete && t.primaryKey.isEmpty && t.resolvedTarget == "t")
   }
+
+  test("superColumnsVariant: VariantType column, null repair, field access, parquet round-trip") {
+    import org.apache.spark.sql.functions.{col, to_json, try_variant_get}
+    import org.apache.spark.sql.types.VariantType
+    val df = Seq(
+      (1L, """{"a": 1, "b": {"c": "x"}}"""),
+      (2L, null.asInstanceOf[String]),
+      (3L, "")
+    ).toDF("id", "props")
+    val v = graft.operators.Coerce.superColumnsVariant(df, Seq("props"))
+    assert(v.schema("props").dataType == VariantType)
+    assert(graft.schema.SchemaEvolution.sparkToSql(v.schema("props")) == "SUPER")
+    val got = v.select(col("id"),
+        try_variant_get(col("props"), "$.b.c", "string").as("c"),
+        to_json(col("props")).as("j"))
+      .orderBy("id").as[(Long, Option[String], String)].collect()
+    assert(got(0)._2.contains("x"))
+    assert(got(1)._3 == "{}" && got(2)._3 == "{}")
+    // variant survives a parquet round-trip (parse once at ingest)
+    val dir = java.nio.file.Files.createTempDirectory("variant").toString
+    v.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("props").dataType == VariantType)
+    assert(back.select(try_variant_get(col("props"), "$.a", "int").as("a"))
+      .as[Option[Int]].collect().flatten.toSet == Set(1))
+  }
 }
