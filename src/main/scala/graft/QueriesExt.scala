@@ -581,7 +581,8 @@ object QueriesExt {
     * exact (both implementations target ~2-5% error here) — plus the
     * exact counts themselves. */
   def qa6ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    spread(Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey")))
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("ap"),

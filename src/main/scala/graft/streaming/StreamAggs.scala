@@ -47,6 +47,23 @@ object StreamAggs {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup across micro-batches: state-backed
+    * `dropDuplicatesWithinWatermark` on the canonical text fingerprint —
+    * the streaming twin of [[graft.functions.DedupFunctions.exactDedup]].
+    * A duplicate arriving in ANY later batch within the watermark horizon
+    * is dropped; state is bounded by the watermark (keys older than the
+    * horizon are evicted), so memory is O(docs per horizon), not O(corpus).
+    * For an unbounded-horizon dedup, the batch merge path (key-anti-join
+    * against the accumulated target) is the right tool instead — this is
+    * the "suppress re-crawls/retries" shape. */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+                          watermark: String): DataFrame =
+    docs
+      .withColumn("fp_aws", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp_aws")
+      .drop("fp_aws")
+
   /** Input/row types for the custom-state path. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)

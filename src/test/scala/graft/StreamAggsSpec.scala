@@ -88,4 +88,24 @@ class StreamAggsSpec extends SparkSuite {
     assert(last(1L).n == 3 && last(1L).total == 16.0)
     assert(last(2L).n == 1 && last(2L).total == 7.0)
   }
+
+  test("streaming exact dedup drops cross-batch duplicates within the watermark") {
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.streamingExactDedup(docs, "ts", "text", "1 hour")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    // Batch 1: two distinct docs + an in-batch duplicate (same canonical text).
+    mem.addData(Seq((ts(0), 1L, "Hello  World"), (ts(1), 2L, "hello world"),
+      (ts(2), 3L, "other doc")))
+    q.processAllAvailable()
+    // Batch 2: cross-batch duplicate of doc 1 + one genuinely new doc.
+    mem.addData(Seq((ts(5), 4L, "HELLO WORLD"), (ts(6), 5L, "brand new")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+    // One representative of the "hello world" family survives (the first),
+    // both cross- and in-batch duplicates are dropped.
+    assert(kept.intersect(Set(1L, 2L, 4L)).size == 1)
+    assert(kept.contains(3L) && kept.contains(5L))
+  }
 }
