@@ -317,6 +317,33 @@ object QueriesExt {
        |           ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
        |  FROM s) WHERE rank <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** Salted last-write-wins under deliberate hot-key skew: 30% of the
+    * batch is remapped onto ONE key before the two-phase salted dedup
+    * (partial winners on (key, salt), then true winner per key). The plain
+    * `PARTITION BY pk` window would make the hot key's partition the
+    * straggler at 1M-row batches; salting bounds every task at
+    * batch/saltBuckets rows. Semantics identical to plain LWW — the
+    * oracle is the ordinary ROW_NUMBER replay. */
+  def q34SaltedLww(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      when(col("event_id") % 10 < 3, 4242L).otherwise(col("user_id")).as("id"),
+      col("event_id"), col("ts_ms"), col("event_type"), col("value").as("val"))
+    graft.operators.Skew.saltedLatestPerKey(
+        e, Seq("id"), Seq(col("ts_ms"), col("event_id")),
+        unique = col("event_id"), saltBuckets = 16)
+      .select(col("id"), col("event_id"), col("event_type"), col("val"))
+  }
+  val q34Sql: String =
+    """SELECT id, event_id, event_type, val
+      |FROM (SELECT CASE WHEN event_id % 10 < 3 THEN 4242 ELSE user_id END AS id,
+      |             event_id, epoch_ms(ts) AS ts_ms, event_type, "value" AS val,
+      |             ROW_NUMBER() OVER (PARTITION BY (CASE WHEN event_id % 10 < 3
+      |                 THEN 4242 ELSE user_id END)
+      |               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------- q25
   /** Deterministic train/val/test split: md5-bucketed, reproducible across
     * engines/runs/backfills — no RNG, no shuffle. */
@@ -694,6 +721,7 @@ object QueriesExt {
     "q31_profile" -> (q31Profile _),
     "q32_cosine_neardup" -> (q32CosineNearDup _),
     "q33_lsh_ann" -> (q33LshAnn _),
+    "q34_salted_lww" -> (q34SaltedLww _),
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
@@ -727,6 +755,7 @@ object QueriesExt {
     "q31_profile" -> q31Sql,
     "q32_cosine_neardup" -> q32Sql,
     "q33_lsh_ann" -> q33Sql,
+    "q34_salted_lww" -> q34Sql,
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,
