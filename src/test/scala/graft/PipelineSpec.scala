@@ -107,9 +107,9 @@ class PipelineSpec extends SparkSuite {
     assert(out.filter(col("id").isNull).count() == 0)
   }
 
-  test("wide fan-out: 8 concurrent table pipelines, each target exact") {
+  test("wide fan-out: 30 concurrent table pipelines (the reference's thread_max_workers envelope), each target exact") {
     val dir = Files.createTempDirectory("graft-wide").toString
-    val n = 8
+    val n = 30 // config/job.properties:10 — 30 concurrent table writers
     val specs = (0 until n).map(i => TableSpec("cdc_db", s"t$i", Seq("id")))
     val cfg = JobConfig(tables = specs, threadMaxWorkers = n, batchTimeoutMinutes = 5)
     val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
@@ -123,11 +123,18 @@ class PipelineSpec extends SparkSuite {
       .filter(col("event_type") =!= "error")
       .select(col("user_id"), col("event_id"))
     for (i <- 0 until n) {
-      val got = spark.read.parquet(s"$dir/t$i").select(col("id"), col("event_id"))
       val want = expected.filter(col("user_id") % n === i)
-      assert(got.count() == want.count(), s"t$i row count")
-      assert(got.join(want, got("id") === want("user_id") &&
-        got("event_id") === want("event_id")).count() == got.count(), s"t$i contents")
+      if (!new java.io.File(s"$dir/t$i").exists()) {
+        // Routed-empty tables are skipped by the isEmpty gate (ref A2):
+        // no target is ever created. (A table whose only winners were
+        // deletes DOES get a — then emptied — target.)
+        assert(want.isEmpty, s"t$i missing but rows expected")
+      } else {
+        val got = spark.read.parquet(s"$dir/t$i").select(col("id"), col("event_id"))
+        assert(got.count() == want.count(), s"t$i row count")
+        assert(got.join(want, got("id") === want("user_id") &&
+          got("event_id") === want("event_id")).count() == got.count(), s"t$i contents")
+      }
     }
   }
 
