@@ -607,20 +607,22 @@ object QueriesExt {
     * the *property* — each engine's own estimate lands within 10% of
     * exact (both implementations target ~2-5% error here) — plus the
     * exact counts themselves. */
-  def qa6ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    spread(Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey")))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("ap"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("ao"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+  def qa6ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // One branch per distinct column (as in q31): two exact distincts in a
+    // single agg would plan through a 3x Expand of every row.
+    def branch(c: String, okName: String, exactName: String): DataFrame =
+      spread(Tables.lineitem(s, dir).select(col("l_returnflag"), col(c)))
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col(c)).as("ap"),
+          countDistinct(col(c)).as(exactName))
+        .select(col("l_returnflag"), col(exactName),
+          (abs(col("ap") - col(exactName)).cast("double") / col(exactName)
+            <= 0.10).as(okName))
+    branch("l_partkey", "parts_ok", "exact_parts")
+      .join(branch("l_orderkey", "orders_ok", "exact_orders"), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
-        (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts")
-          <= 0.10).as("parts_ok"),
-        (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders")
-          <= 0.10).as("orders_ok"))
+        col("parts_ok"), col("orders_ok"))
+  }
   val qa6Sql: String =
     """SELECT l_returnflag,
       |       count(DISTINCT l_partkey) AS exact_parts,

@@ -51,17 +51,20 @@ object Coerce {
   val superMetadata: Metadata = new MetadataBuilder()
     .putBoolean("super", true).putString("redshift_type", "super").build()
 
+  /** Shared P10 repair: null/empty semi-structured payload → "{}" so the
+    * downstream JSON parse cannot fail — one definition for both the
+    * text-SUPER and variant-SUPER paths. */
+  private def repairJson(c: String) =
+    when(col(c).isNull || col(c) === "", lit("{}"))
+      .otherwise(col(c).cast(StringType))
+
   /** `super_columns`: (1) repair null/empty to "{}" so the sink's JSON
     * parse cannot fail (ref P10, redshift_sink.py:276-278), (2) stamp the
     * field metadata used by DDL generation (ref P11). */
   def superColumns(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df) { (d, c) =>
       if (!d.columns.contains(c)) d
-      else {
-        val repaired = when(col(c).isNull || col(c) === "", lit("{}"))
-          .otherwise(col(c).cast(StringType))
-        d.withColumn(c, repaired.as(c, superMetadata))
-      }
+      else d.withColumn(c, repairJson(c).as(c, superMetadata))
     }
 
   /** Spark-4-native alternative for semi-structured columns: the same
@@ -76,11 +79,7 @@ object Coerce {
   def superColumnsVariant(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df) { (d, c) =>
       if (!d.columns.contains(c)) d
-      else {
-        val repaired = when(col(c).isNull || col(c) === "", lit("{}"))
-          .otherwise(col(c).cast(StringType))
-        d.withColumn(c, parse_json(repaired).as(c, superMetadata))
-      }
+      else d.withColumn(c, parse_json(repairJson(c)).as(c, superMetadata))
     }
 
   /** Apply every coercion a TableSpec declares, in reference order. */
