@@ -72,15 +72,22 @@ object QueriesExt {
     DedupFunctions.minhashLshPairs(
       docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
       n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
-  val q14Sql: String =
+  val q14Sql: String = {
+    val coeffs = (1 to 32).map { i =>
+      val (a, b) = DedupFunctions.minhashCoeff(i)
+      s"($i, $a, $b)"
+    }.mkString(", ")
     s"""WITH t AS (
        |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
        |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
        |tt AS (SELECT doc_id, len(sh) AS n_sh, sh FROM t WHERE len(sh) > 0),
-       |tok AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM tt),
+       |tok AS (SELECT doc_id, n_sh,
+       |          ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT
+       |            & ${DedupFunctions.MinhashBaseMask} AS h0
+       |        FROM tt),
        |mh AS (SELECT doc_id, n_sh, seed,
-       |         min(('0x' || substring(md5(seed::VARCHAR || ':' || s), 1, 15))::BIGINT) AS hv
-       |       FROM tok, (SELECT unnest(range(1, 33)) AS seed) seeds
+       |         min((h0 * a + b) & ${DedupFunctions.MinhashOutMask}) AS hv
+       |       FROM tok, (VALUES $coeffs) coeffs(seed, a, b)
        |       GROUP BY 1, 2, 3),
        |sig AS (SELECT doc_id, n_sh, list(hv ORDER BY seed) AS sig FROM mh GROUP BY 1, 2),
        |band AS (SELECT doc_id, n_sh, b, array_to_string(sig[b*2+1 : b*2+2], ',') AS bh
@@ -93,6 +100,7 @@ object QueriesExt {
        |        FROM cand c JOIN tt ta ON ta.doc_id = c.id_a JOIN tt tb ON tb.doc_id = c.id_b)
        |SELECT id_a, id_b, round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
        |FROM ver WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q15
   /** Exact n-gram Jaccard near-dup pairs (the oracle twin of q14): bigram

@@ -81,25 +81,51 @@ object DedupFunctions {
     transform(sequence(lit(1), lit(numHashes)), seed =>
       array_min(transform(sh, s => xxhash64(s, seed))))
 
-  /** Seeded shingle hash family. Default: xxhash64 (fused codegen, the
-    * production choice). Portable: 60-bit md5-derived ints
-    * ([[TextFunctions.md5Long]]) reproducible in any md5-capable SQL
-    * engine, so MinHash results can be value-checked against an oracle. */
-  def seededHash(portable: Boolean): (Column, Int) => Column =
-    if (portable) (c, i) => TextFunctions.md5Long(concat(lit(i), lit(":"), c))
-    else (c, i) => xxhash64(c, lit(i))
+  /** Affine MinHash family for the portable path: ONE base hash per
+    * shingle (35 low bits of [[TextFunctions.md5Long]]), then per seed i
+    * `h_i = (a_i * h0 + b_i) & (2^40 - 1)` — the classic a·x+b universal
+    * family, with widths chosen so the product never exceeds 2^55 (the
+    * oracle engine's BIGINT errors on overflow instead of wrapping).
+    * Constants come from the same splitmix mixing as
+    * [[Similarity.deterministicPlanes]] — plain Scala, embeddable as
+    * literals in an external SQL replay. */
+  final val MinhashBaseMask: Long = (1L << 35) - 1
+  final val MinhashOutMask: Long = (1L << 40) - 1
+  def minhashCoeff(i: Int): (Long, Long) = {
+    def mix(z0: Long): Long = {
+      var z = z0 * 0x9E3779B97F4A7C15L + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val a = (mix(i.toLong) & ((1L << 20) - 1)) | 1L // odd, < 2^20
+    val b = mix(i.toLong + 1000) & MinhashOutMask   // < 2^40
+    (a, b)
+  }
 
   /** MinHash signatures for a whole table: explode shingles → `numHashes`
     * min-aggregates (map-side combine: one row per doc leaves each
-    * mapper) → signature array. Returns (id, n_sh, sig). */
+    * mapper) → signature array. Returns (id, n_sh, sig). Default hashes
+    * with seeded xxhash64 (fused codegen, the production choice);
+    * `portable` switches to the md5-based affine family above so results
+    * are value-checkable against any md5-capable SQL engine. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int, numHashes: Int,
                         portable: Boolean = false): DataFrame = {
-    val h = seededHash(portable)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val tok = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val mins = (1 to numHashes).map(i => min(h(col("s"), i)).as(s"h$i"))
+    val tok0 = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    // Portable: materialize the single base hash as a column so the 32
+    // affine mins share it instead of re-hashing per seed.
+    val tok = if (portable)
+      tok0.withColumn("h0", TextFunctions.md5Long(col("s")).bitwiseAND(MinhashBaseMask))
+    else tok0
+    def seeded(i: Int): Column =
+      if (portable) {
+        val (a, b) = minhashCoeff(i)
+        (col("h0") * a + b).bitwiseAND(MinhashOutMask)
+      } else xxhash64(col("s"), lit(i))
+    val mins = (1 to numHashes).map(i => min(seeded(i)).as(s"h$i"))
     tok.groupBy(col("id"), col("n_sh"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), col("n_sh"),
