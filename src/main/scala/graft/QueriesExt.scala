@@ -116,6 +116,32 @@ object QueriesExt {
        |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
        |FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** q15 with the skew control engaged: shingles shared by more than
+    * `cap` documents are dropped before the candidate join. At 100 TB
+    * this is the knob that keeps stopword-like shingles (shared by f
+    * docs → f² candidate pairs) from dominating the shuffle; the cap is
+    * low here so the oracle provably exercises the filter (the result
+    * differs from q15's). */
+  def q35CappedJaccard(s: SparkSession, dir: String): DataFrame =
+    DedupFunctions.ngramJaccardPairs(
+      docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
+      n = 2, threshold = 0.05, maxShingleFreq = Some(5))
+  val q35Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
+       |e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       |keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 5),
+       |e AS (SELECT e0.* FROM e0 JOIN keep USING (s)),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+       |FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
+
   // ---------------------------------------------------------------- q16
   /** SimHash signatures, portable variant: md5-derived per-token bits,
     * signature emitted as a 16-char hex string — value-checked against a
@@ -732,6 +758,7 @@ object QueriesExt {
     "q32_cosine_neardup" -> (q32CosineNearDup _),
     "q33_lsh_ann" -> (q33LshAnn _),
     "q34_salted_lww" -> (q34SaltedLww _),
+    "q35_capped_jaccard" -> (q35CappedJaccard _),
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
@@ -766,6 +793,7 @@ object QueriesExt {
     "q32_cosine_neardup" -> q32Sql,
     "q33_lsh_ann" -> q33Sql,
     "q34_salted_lww" -> q34Sql,
+    "q35_capped_jaccard" -> q35Sql,
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,
