@@ -35,22 +35,53 @@ object QueriesExt {
   /** Oracle token split shared by several queries (DuckDB side). */
   private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
-  /** Shared oracle fragments: md5-bucket split CASE (q25/q26) and the
-    * bigram-Jaccard candidate CTE chain (q15/q26) — single source so the
-    * composed oracles cannot drift apart. */
+  /** Shared oracle fragments — single source so composed oracles cannot
+    * drift apart: md5-bucket split CASE (q25/q26); the bigram-shingle CTE
+    * (q14/q15/q26/q35); the Jaccard select/threshold tail (q14/q15/q26/
+    * q35); the SRP plane + cosine fragments (q17/q32/q33). */
   private def splitSql(c: String): String =
     s"""CASE WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) < 'c' THEN 'train'
        |     WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) < 'e' THEN 'val'
        |     ELSE 'test' END""".stripMargin
-  private val jaccardCtes: String =
-    s"""WITH t AS (
+
+  /** `t` = distinct bigram shingles of the 10% document sample — the one
+    * definition every shingle-based oracle starts from. */
+  private val shingleCteSql: String =
+    s"""t AS (
        |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
-       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
+       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0))""".stripMargin
+
+  /** Jaccard from (id_a, id_b, shared, n_a, n_b) rows in `src`, with the
+    * shared 0.05 threshold. */
+  private def jaccardSelectSql(src: String): String =
+    s"""SELECT id_a, id_b,
+       |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+       |FROM $src WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
+
+  private val jaccardCtes: String =
+    s"""WITH $shingleCteSql,
        |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
        |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
        |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2)""".stripMargin
+
+  /** SRP machinery for q17/q32/q33: 8 deterministic ±1 hyperplanes over
+    * the 64-dim embeddings, generated in plain Scala and embedded as
+    * literals in BOTH the Spark expression and the DuckDB oracle — the
+    * oracle replays bucketing, candidate generation, and exact re-scoring
+    * value-for-value. */
+  private val srpPlanes: Seq[Seq[Int]] = Similarity.deterministicPlanes(8, 64)
+  private def planeSql(j: Int): String =
+    srpPlanes(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+  private def projSql(v: String, j: Int): String =
+    s"list_sum(list_transform(list_zip($v, ${planeSql(j)}), x -> x[1] * x[2]))"
+  private val bucketFromPs: String =
+    (0 until 8).map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+       |        (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |         sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
 
   // ---------------------------------------------------------------- q13
   /** Exact dedup: hash-groupBy on the canonical fingerprint; shuffles
@@ -77,9 +108,7 @@ object QueriesExt {
       val (a, b) = DedupFunctions.minhashCoeff(i)
       s"($i, $a, $b)"
     }.mkString(", ")
-    s"""WITH t AS (
-       |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
-       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
+    s"""WITH $shingleCteSql,
        |tt AS (SELECT doc_id, len(sh) AS n_sh, sh FROM t WHERE len(sh) > 0),
        |tok AS (SELECT doc_id, n_sh,
        |          ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT
@@ -98,8 +127,7 @@ object QueriesExt {
        |ver AS (SELECT c.id_a, c.id_b, c.n_a, c.n_b,
        |          len(list_intersect(ta.sh, tb.sh)) AS shared
        |        FROM cand c JOIN tt ta ON ta.doc_id = c.id_a JOIN tt tb ON tb.doc_id = c.id_b)
-       |SELECT id_a, id_b, round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
-       |FROM ver WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
+       |${jaccardSelectSql("ver")}""".stripMargin
   }
 
   // ---------------------------------------------------------------- q15
@@ -112,9 +140,7 @@ object QueriesExt {
       n = 2, threshold = 0.05)
   val q15Sql: String =
     s"""$jaccardCtes
-       |SELECT id_a, id_b,
-       |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
-       |FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
+       |${jaccardSelectSql("j")}""".stripMargin
 
   // ---------------------------------------------------------------- q35
   /** q15 with the skew control engaged: shingles shared by more than
@@ -128,9 +154,7 @@ object QueriesExt {
       docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
       n = 2, threshold = 0.05, maxShingleFreq = Some(5))
   val q35Sql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
-       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
+    s"""WITH $shingleCteSql,
        |e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
        |keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 5),
        |e AS (SELECT e0.* FROM e0 JOIN keep USING (s)),
@@ -138,9 +162,7 @@ object QueriesExt {
        |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2)
-       |SELECT id_a, id_b,
-       |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
-       |FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
+       |${jaccardSelectSql("j")}""".stripMargin
 
   // ---------------------------------------------------------------- q16
   /** SimHash signatures, portable variant: md5-derived per-token bits,
@@ -181,12 +203,10 @@ object QueriesExt {
     Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 10)
   }
   val q17Sql: String =
-    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
       |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
       |s AS (SELECT qid, nid,
-      |        list_sum(list_transform(list_zip(qv, cv), x -> x[1] * x[2])) /
-      |        (sqrt(list_sum(list_transform(qv, x -> x * x))) *
-      |         sqrt(list_sum(list_transform(cv, x -> x * x)))) AS sim
+      |        ${cosSql("qv", "cv")} AS sim
       |      FROM q, c WHERE qid <> nid)
       |SELECT query_id, neighbor_id, rank FROM (
       |  SELECT qid AS query_id, nid AS neighbor_id,
@@ -274,23 +294,6 @@ object QueriesExt {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- q32
-  /** Shared SRP machinery for q32/q33: 8 deterministic ±1 hyperplanes
-    * over the 64-dim embeddings, generated in plain Scala and embedded as
-    * literals in BOTH the Spark expression and the DuckDB oracle — the
-    * oracle replays bucketing, candidate generation, and exact re-scoring
-    * value-for-value. */
-  private val srpPlanes: Seq[Seq[Int]] = Similarity.deterministicPlanes(8, 64)
-  private def planeSql(j: Int): String =
-    srpPlanes(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-  private def projSql(v: String, j: Int): String =
-    s"list_sum(list_transform(list_zip($v, ${planeSql(j)}), x -> x[1] * x[2]))"
-  private val bucketFromPs: String =
-    (0 until 8).map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-  private def cosSql(a: String, b: String): String =
-    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
-       |        (sqrt(list_sum(list_transform($a, x -> x * x))) *
-       |         sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
-
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed candidates (one
     * equi-join, never all-pairs), exact cosine re-scoring. The corpus has
     * no natural near-dups, so the query injects deterministic perturbed
@@ -398,9 +401,7 @@ object QueriesExt {
       n = 2, threshold = 0.05)
   val q26Sql: String =
     s"""$jaccardCtes,
-       |p AS (SELECT id_a, id_b,
-       |             round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
-       |      FROM j WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05)
+       |p AS (${jaccardSelectSql("j")})
        |SELECT id_a, id_b, jaccard,
        |       ${splitSql("id_a")} AS split_a,
        |       ${splitSql("id_b")} AS split_b

@@ -192,6 +192,18 @@ class FunctionsSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("q32 finds the injected perturbed embedding copies (not just oracle-equal)") {
+    // The oracle gate proves Spark == DuckDB; this pins that the answer is
+    // also non-degenerate: injected near-dup pairs are actually found and
+    // every reported pair is an injected one (the corpus has no natural
+    // near-dups above the threshold).
+    val got = QueriesExt.q32CosineNearDup(spark, sf("sf0.001"))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.nonEmpty, "no injected near-dup pairs found")
+    assert(got.forall { case (a, b) => b == a + 1000000L },
+      s"unexpected non-injected pair among ${got.take(5).toSeq}")
+  }
+
   test("lshTopK with literal planes agrees with brute force on shared buckets") {
     val vecs = (0L until 40L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))).toDF("vec_id", "embedding")
@@ -199,6 +211,7 @@ class FunctionsSpec extends SparkSuite {
     val lsh = Similarity.lshTopK(vecs.filter(col("vec_id") < 2), vecs, k = 5,
       bits = 6, probeHamming = 1, planes = planes)
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(lsh.nonEmpty, "LSH returned no candidates — bucket join broken")
     val brute = Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 2), vecs, k = 40)
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap

@@ -72,8 +72,15 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q31 profile: pruning pushes through the repartition — one column per branch scan") {
-    val df = QueriesExt.q31Profile(spark, sf("sf0.001"))
+    // Opt into the harness spread (as Bench/Verify do) so the tested plan
+    // actually contains the repartition the assertion is about.
+    spark.conf.set("spark.graft.spreadSmallScans", "true")
+    val df =
+      try QueriesExt.q31Profile(spark, sf("sf0.001"))
+      finally spark.conf.unset("spark.graft.spreadSmallScans")
     df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("RoundRobinPartitioning"),
+      "expected the spread repartition in the tested plan")
     // AQE wraps subtrees in query stages; read the scans off the full tree.
     val p = df.queryExecution.executedPlan.toString
     val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
