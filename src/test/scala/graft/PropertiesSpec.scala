@@ -96,4 +96,24 @@ class PropertiesSpec extends SparkSuite {
       assert(w == a, s"log=$log")
     }
   }
+
+  test("affine MinHash family: coeffs in range, distinct, and collision-free on random bases") {
+    import graft.functions.DedupFunctions._
+    val coeffs = (1 to 64).map(minhashCoeff)
+    assert(coeffs.distinct.size == 64, "coefficient pairs repeat")
+    coeffs.foreach { case (a, b) =>
+      assert(a % 2 == 1 && a > 0 && a < (1L << 20), s"a out of range: $a")
+      assert(b >= 0 && b <= MinhashOutMask, s"b out of range: $b")
+    }
+    // For every seed, the map h0 -> (a*h0+b)&M40 must be injective on the
+    // 35-bit base domain (odd multiplier mod a power of two) — sample it.
+    val bases = samples(Gen.chooseNum(0L, MinhashBaseMask), 500).distinct
+    for ((a, b) <- coeffs.take(8)) {
+      val out = bases.map(h0 => (a * h0 + b) & MinhashOutMask)
+      assert(out.distinct.size == bases.size, s"collision under a=$a b=$b")
+      assert(out.forall(v => v >= 0 && v <= MinhashOutMask))
+      // no overflow anywhere near Long range (the oracle engine errors on it)
+      assert(bases.forall(h0 => a * h0 + b < (1L << 56)))
+    }
+  }
 }
