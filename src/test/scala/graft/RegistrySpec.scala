@@ -17,6 +17,12 @@ class RegistrySpec extends AnyFunSuite {
     assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 
+  test("flagship entry returns rows (the driver's smoke check)") {
+    // entry() hardcodes sf0.001, per the driver contract.
+    val spark = SparkSuite.session
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("oracle SQL is DuckDB-shaped: non-empty, no Spark-only functions") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, name)
