@@ -62,7 +62,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warm = if (warmFailed) ""","warm_failed":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$warm}""")
+    // Spine throughput vs the reference's 1M-records/30s-trigger envelope
+    // (BASELINE.md): q24 runs route→parse→normalize→LWW over the scaled
+    // batch; records/sec makes the comparison explicit.
+    val spine = (for {
+      t <- results.toMap.get("q24_spine_scaled").filter(_ > 0)
+      n <- try Some(Queries.scaledSpineCount(spark, sfDir)) catch { case _: Throwable => None }
+    } yield s""","spine_records":$n,"spine_records_per_sec":${(n / t).toLong}""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$spine$warm}""")
     spark.stop()
   }
 }

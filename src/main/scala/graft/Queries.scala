@@ -79,6 +79,12 @@ object Queries {
       mongoBatch(s, dir), debezium10xBatch(s, dir))
       .foreach(_.write.format("noop").mode("overwrite").save())
 
+  /** Record count of the scaled spine input (cheap — counts the persisted
+    * batch), so Bench can report spine throughput against the reference's
+    * 1M-records-per-trigger envelope (BASELINE.md). */
+  def scaledSpineCount(s: SparkSession, dir: String): Long =
+    debezium10xBatch(s, dir).count()
+
   /** LWW ordering used everywhere: event time desc, intra-envelope index
     * desc (Canal), unique event id desc as total-order tie-break. */
   private val lwwOrder: Seq[Column] =
