@@ -95,10 +95,11 @@ object QueriesExt {
 
   // ---------------------------------------------------------------- q14
   /** MinHash+LSH near-dup candidates, exact-verified. Runs the *portable*
-    * hash family (md5-derived 60-bit ints, string band keys) so the DuckDB
-    * oracle replays the identical MinHash → banding → candidate → exact-
-    * verify pipeline value-for-value; the xxhash64 production default is
-    * property-tested in FunctionsSpec. */
+    * hash family (affine transforms of one md5 base hash per shingle,
+    * string band keys) so the DuckDB oracle replays the identical
+    * MinHash → banding → candidate → exact-verify pipeline
+    * value-for-value; the xxhash64 production default is property-tested
+    * in FunctionsSpec. */
   def q14MinhashLsh(s: SparkSession, dir: String): DataFrame =
     DedupFunctions.minhashLshPairs(
       docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
