@@ -738,6 +738,74 @@ object QueriesExt {
       |FROM lineitem l JOIN s USING (l_returnflag)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Analytic windows the reference lacks entirely (SURVEY §2.5 "absent"):
+    * lead (time to the user's next event) and ntile (per-user value
+    * quartile). Both engines share the ntile bucket-distribution rule
+    * (extra rows go to the first buckets) given a total order. */
+  def q36LeadNtile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val byValue = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      (lead(col("ts_ms"), 1).over(byTime) - col("ts_ms")).as("gap_ms"),
+      ntile(4).over(byValue).as("value_quartile"))
+  }
+  val q36Sql: String =
+    """SELECT event_id, user_id,
+      |       lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |         - epoch_ms(ts) AS gap_ms,
+      |       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY "value", event_id) AS INTEGER)
+      |         AS value_quartile
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Interval/range join (SURVEY §2.3 "absent"): per order, the number of
+    * the customer's events inside the hour after order time. The equi key
+    * (user) carries the join — the range predicate is a residual filter on
+    * the hash join, so the plan shuffles on user, never builds an
+    * all-pairs product. Order times reuse q28's deterministic remap. */
+  def q37RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val base2024 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val base1995 = java.time.Instant.parse("1995-01-01T00:00:00Z").toEpochMilli
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_custkey").as("user_id"),
+      (lit(base2024) + (unix_millis(col("o_orderdate").cast("timestamp")) - lit(base1995))
+        .cast("long") / 80).cast("long").as("o_ms"))
+    val e = Tables.events(s, dir).select(col("user_id"), col("ts_ms"))
+    o.join(e, o("user_id") === e("user_id") &&
+        e("ts_ms") >= o("o_ms") && e("ts_ms") < o("o_ms") + 3600000L, "left")
+      .groupBy(o("o_orderkey"), o("user_id"), o("o_ms"))
+      .agg(count(e("ts_ms")).as("n_events"))
+  }
+  val q37Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey AS user_id,
+      |         epoch_ms(TIMESTAMP '2024-01-01')
+      |           + (epoch_ms(o_orderdate) - epoch_ms(TIMESTAMP '1995-01-01')) // 80 AS o_ms
+      |  FROM orders),
+      |e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events)
+      |SELECT o.o_orderkey, o.user_id, o.o_ms, count(e.ts_ms) AS n_events
+      |FROM o LEFT JOIN e ON o.user_id = e.user_id
+      |  AND e.ts_ms >= o.o_ms AND e.ts_ms < o.o_ms + 3600000
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Arbitrary grouping sets (beyond qa5's rollup / qa9's cube): the
+    * two single-dimension marginals in one pass — not expressible as
+    * either rollup or cube. */
+  def qa12GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  val qa12Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -761,6 +829,9 @@ object QueriesExt {
     "q33_lsh_ann" -> (q33LshAnn _),
     "q34_salted_lww" -> (q34SaltedLww _),
     "q35_capped_jaccard" -> (q35CappedJaccard _),
+    "q36_lead_ntile" -> (q36LeadNtile _),
+    "q37_range_join" -> (q37RangeJoin _),
+    "qa12_grouping_sets" -> (qa12GroupingSets _),
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
@@ -796,6 +867,9 @@ object QueriesExt {
     "q33_lsh_ann" -> q33Sql,
     "q34_salted_lww" -> q34Sql,
     "q35_capped_jaccard" -> q35Sql,
+    "q36_lead_ntile" -> q36Sql,
+    "q37_range_join" -> q37Sql,
+    "qa12_grouping_sets" -> qa12Sql,
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,
