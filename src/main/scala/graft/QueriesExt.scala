@@ -806,6 +806,63 @@ object QueriesExt {
       |       round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Time-series resample + forward fill (the sensor/metrics shape): each
+    * user's events bucketed to hours, a dense hourly spine generated per
+    * user between their first and last hour, gaps carried forward with
+    * last-non-null. The spine is born distributed — sequence+explode per
+    * user — and the fill is one analytic window; nothing touches the
+    * driver. */
+  def q38ResampleFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+    val actual = e.groupBy(col("user_id"), col("hour"))
+      .agg(round(sum(col("value")), 2).as("hour_value"))
+    val bounds = e.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val spine = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+    spine.join(actual, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        last(col("hour_value"), ignoreNulls = true).over(w).as("filled"))
+  }
+  val q38Sql: String =
+    """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, "value" FROM events),
+      |a AS (SELECT user_id, hour, round(sum("value"), 2) AS hour_value FROM e GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM e GROUP BY 1),
+      |spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b)
+      |SELECT s.user_id, CAST(s.hour AS TIMESTAMP) AS hour,
+      |       last_value(a.hour_value IGNORE NULLS) OVER (
+      |         PARTITION BY s.user_id ORDER BY s.hour
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM spine s LEFT JOIN a USING (user_id, hour)""".stripMargin
+
+  /** Set operations (SURVEY §2.7: none exist in the reference): customer
+    * cohorts via INTERSECT (ordered in both halves of the window) and
+    * EXCEPT (first half only) — set semantics, deduplicated, on both
+    * engines. */
+  def qa13SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val mid = lit("1996-07-01").cast("timestamp_ntz")
+    val early = o.filter(col("o_orderdate") < mid).select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= mid).select(col("o_custkey"))
+    early.intersect(late).select(col("o_custkey"), lit("both").as("cohort"))
+      .unionByName(
+        early.except(late).select(col("o_custkey"), lit("early_only").as("cohort")))
+  }
+  val qa13Sql: String =
+    """SELECT o_custkey, 'both' AS cohort FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01')
+      |UNION ALL
+      |SELECT o_custkey, 'early_only' AS cohort FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01')""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -832,6 +889,8 @@ object QueriesExt {
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
+    "q38_resample_fill" -> (q38ResampleFill _),
+    "qa13_setops" -> (qa13SetOps _),
     "qa1_pricing" -> (qa1Pricing _),
     "qa2_revenue" -> (qa2Revenue _),
     "qa3_topk" -> (qa3TopK _),
@@ -870,6 +929,8 @@ object QueriesExt {
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,
+    "q38_resample_fill" -> q38Sql,
+    "qa13_setops" -> qa13Sql,
     "qa1_pricing" -> qa1Sql,
     "qa2_revenue" -> qa2Sql,
     "qa3_topk" -> qa3Sql,
