@@ -46,22 +46,30 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(2)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).map(_ max 1).getOrElse(2)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Only successful reps count: a rep that fails fast must not win
+      // the min and masquerade as the query's time.
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
+    val failed = timed.collect { case (k, ts) if ts.isEmpty => k }
+    val results = timed.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else ts.min) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val warm = if (warmFailed) ""","warm_failed":true""" else ""
+    val total = results.collect { case (_, v) if v > 0 => v }.sum
+    val failedJson = if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val warm = (if (warmFailed) ""","warm_failed":true""" else "") + failedJson
     // Spine throughput vs the reference's 1M-records/30s-trigger envelope
     // (BASELINE.md): q24 runs route→parse→normalize→LWW over the scaled
     // batch; records/sec makes the comparison explicit.

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{DedupFunctions, Multimodal, Similarity, TextFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators (dedup / similarity / text analysis /
@@ -82,6 +82,18 @@ object QueriesExt {
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
        |        (sqrt(list_sum(list_transform($a, x -> x * x))) *
        |         sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  /** q28/q37 shared: deterministic remap of the 1995-2001 order dates
+    * into the events window (Jan 2024) — exact integer epoch arithmetic,
+    * one definition per engine so the two oracles cannot drift. */
+  private val base2024 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+  private val base1995 = java.time.Instant.parse("1995-01-01T00:00:00Z").toEpochMilli
+  private def orderMs: Column =
+    (lit(base2024) + (unix_millis(col("o_orderdate").cast("timestamp")) - lit(base1995))
+      .cast("long") / 80).cast("long")
+  private val orderMsSql: String =
+    """epoch_ms(TIMESTAMP '2024-01-01')
+      |           + (epoch_ms(o_orderdate) - epoch_ms(TIMESTAMP '1995-01-01')) // 80""".stripMargin
 
   // ---------------------------------------------------------------- q13
   /** Exact dedup: hash-groupBy on the canonical fingerprint; shuffles
@@ -428,23 +440,17 @@ object QueriesExt {
     * is DuckDB's native ASOF LEFT JOIN. */
   def q28AsofJoin(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_ms"))
-    val base2024 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
-    val base1995 = java.time.Instant.parse("1995-01-01T00:00:00Z").toEpochMilli
     val o0 = Tables.orders(s, dir).select(
-      col("o_custkey").as("user_id"),
-      (lit(base2024) + (unix_millis(col("o_orderdate").cast("timestamp")) - lit(base1995))
-        .cast("long") / 80).cast("long").as("o_ms"),
-      col("o_orderkey"))
+      col("o_custkey").as("user_id"), orderMs.as("o_ms"), col("o_orderkey"))
     val o = o0.groupBy(col("user_id"), col("o_ms"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
     graft.operators.AsOfJoin.asOfJoin(e, o, Seq("user_id"), "ts_ms", "o_ms")
       .select(col("event_id"), col("user_id"), col("ts_ms"), col("o_orderkey"), col("o_ms"))
   }
   val q28Sql: String =
-    """WITH o AS (
+    s"""WITH o AS (
       |  SELECT o_custkey AS user_id,
-      |         epoch_ms(TIMESTAMP '2024-01-01')
-      |           + (epoch_ms(o_orderdate) - epoch_ms(TIMESTAMP '1995-01-01')) // 80 AS o_ms,
+      |         $orderMsSql AS o_ms,
       |         max(o_orderkey) AS o_orderkey
       |  FROM orders GROUP BY 1, 2),
       |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events)
@@ -746,7 +752,11 @@ object QueriesExt {
   def q36LeadNtile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-    val byValue = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    // NULLS LAST pinned: Spark windows default nulls-first, the oracle
+    // engine nulls-last — parity must not depend on the data having no
+    // null values.
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").asc_nulls_last, col("event_id"))
     Tables.events(s, dir).select(
       col("event_id"), col("user_id"),
       (lead(col("ts_ms"), 1).over(byTime) - col("ts_ms")).as("gap_ms"),
@@ -756,8 +766,8 @@ object QueriesExt {
     """SELECT event_id, user_id,
       |       lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
       |         - epoch_ms(ts) AS gap_ms,
-      |       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY "value", event_id) AS INTEGER)
-      |         AS value_quartile
+      |       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY "value" NULLS LAST, event_id)
+      |         AS INTEGER) AS value_quartile
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------- q37
@@ -767,13 +777,8 @@ object QueriesExt {
     * the hash join, so the plan shuffles on user, never builds an
     * all-pairs product. Order times reuse q28's deterministic remap. */
   def q37RangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val base2024 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
-    val base1995 = java.time.Instant.parse("1995-01-01T00:00:00Z").toEpochMilli
     val o = Tables.orders(s, dir).select(
-      col("o_orderkey"),
-      col("o_custkey").as("user_id"),
-      (lit(base2024) + (unix_millis(col("o_orderdate").cast("timestamp")) - lit(base1995))
-        .cast("long") / 80).cast("long").as("o_ms"))
+      col("o_orderkey"), col("o_custkey").as("user_id"), orderMs.as("o_ms"))
     val e = Tables.events(s, dir).select(col("user_id"), col("ts_ms"))
     o.join(e, o("user_id") === e("user_id") &&
         e("ts_ms") >= o("o_ms") && e("ts_ms") < o("o_ms") + 3600000L, "left")
@@ -781,10 +786,9 @@ object QueriesExt {
       .agg(count(e("ts_ms")).as("n_events"))
   }
   val q37Sql: String =
-    """WITH o AS (
+    s"""WITH o AS (
       |  SELECT o_orderkey, o_custkey AS user_id,
-      |         epoch_ms(TIMESTAMP '2024-01-01')
-      |           + (epoch_ms(o_orderdate) - epoch_ms(TIMESTAMP '1995-01-01')) // 80 AS o_ms
+      |         $orderMsSql AS o_ms
       |  FROM orders),
       |e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events)
       |SELECT o.o_orderkey, o.user_id, o.o_ms, count(e.ts_ms) AS n_events
