@@ -64,6 +64,23 @@ object StreamAggs {
       .dropDuplicatesWithinWatermark("fp_aws")
       .drop("fp_aws")
 
+  /** Streaming training-data ingest: the corpus-side composition of the
+    * batch operators — quality gate → cross-batch exact dedup (watermark-
+    * bounded state) → deterministic split assignment → language tag →
+    * token count. Everything except the dedup state is a narrow map, so
+    * the stage parallelizes with the source; downstream writers typically
+    * `partitionBy("split")`. */
+  def corpusIngest(docs: DataFrame, tsCol: String, textCol: String, idCol: String,
+                   watermark: String, minQuality: Double): DataFrame = {
+    import graft.functions.{Splits, TextFunctions}
+    streamingExactDedup(
+        docs.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality),
+        tsCol, textCol, watermark)
+      .withColumn("split", Splits.splitAssign(col(idCol)))
+      .withColumn("lang", TextFunctions.langId(col(textCol)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+  }
+
   /** Input/row types for the custom-state path. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)

@@ -108,4 +108,31 @@ class StreamAggsSpec extends SparkSuite {
     assert(kept.intersect(Set(1L, 2L, 4L)).size == 1)
     assert(kept.contains(3L) && kept.contains(5L))
   }
+
+  test("streaming corpus ingest: quality gate + dedup + split/lang/token tagging") {
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.corpusIngest(docs, "ts", "text", "doc_id",
+      watermark = "1 hour", minQuality = 0.3)
+      .writeStream.format("memory").queryName("corpus").outputMode("append").start()
+    mem.addData(Seq(
+      (ts(0), 1L, "the cat of the house and a dog sat in the sun"),
+      (ts(1), 2L, "!!!"), // fails the quality gate
+      (ts(2), 3L, "the cat of the house and a dog sat in the sun") // duplicate of 1
+    ))
+    q.processAllAvailable()
+    mem.addData(Seq((ts(5), 4L, "el perro de la casa y un gato en el sol")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("corpus")
+      .select("doc_id", "split", "lang", "n_tokens")
+      .as[(Long, String, String, Int)].collect()
+    val ids = rows.map(_._1).toSet
+    assert(!ids.contains(2L), "low-quality doc passed the gate")
+    assert(ids.intersect(Set(1L, 3L)).size == 1, "duplicate not collapsed")
+    assert(ids.contains(4L))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(Set("train", "val", "test").contains(byId(4L)._2))
+    assert(byId(4L)._3 == "es" && byId(4L)._4 == 11)
+  }
 }
