@@ -73,10 +73,11 @@ object StreamAggs {
   def corpusIngest(docs: DataFrame, tsCol: String, textCol: String, idCol: String,
                    watermark: String, minQuality: Double): DataFrame = {
     import graft.functions.{Splits, TextFunctions}
-    streamingExactDedup(
-        docs.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality),
-        tsCol, textCol, watermark)
-      .withColumn("split", Splits.splitAssign(col(idCol)))
+    Splits.withSplit(
+        streamingExactDedup(
+          docs.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality),
+          tsCol, textCol, watermark),
+        idCol)
       .withColumn("lang", TextFunctions.langId(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
   }

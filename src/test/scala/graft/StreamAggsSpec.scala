@@ -132,7 +132,8 @@ class StreamAggsSpec extends SparkSuite {
     assert(ids.intersect(Set(1L, 3L)).size == 1, "duplicate not collapsed")
     assert(ids.contains(4L))
     val byId = rows.map(r => r._1 -> r).toMap
-    assert(Set("train", "val", "test").contains(byId(4L)._2))
+    // md5("4") starts with 'a' < 'c' -> train; pins the boundary logic.
+    assert(byId(4L)._2 == "train")
     assert(byId(4L)._3 == "es" && byId(4L)._4 == 11)
   }
 }
