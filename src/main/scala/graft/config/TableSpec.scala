@@ -25,7 +25,15 @@ final case class TableSpec(
     /** "col" or "col|fmt" entries (ref redshift_sink.py:170-190). */
     timestampColumns: Seq[String] = Nil,
     dateColumns: Seq[String] = Nil,
-    tableIsRegex: Boolean = false
+    tableIsRegex: Boolean = false,
+    /** LWW dedup physical strategy: "window" (WindowGroupLimit top-1),
+      * "agg" (partial-aggregating max_by — spill-free under per-key skew),
+      * or "salted" (two-phase (key,salt)→key — bounded task size for hot
+      * keys taking a large fraction of a batch). Semantics are identical;
+      * see [[graft.operators.Dedup]] / [[graft.operators.Skew]]. */
+    dedupStrategy: String = "window",
+    /** Salt fan-out for `dedup_strategy=salted`. */
+    saltBuckets: Int = 16
 ) {
   def resolvedTarget: String = targetTable.getOrElse(table)
 }
@@ -51,7 +59,9 @@ object TableSpec {
     superColumns = csv(m.getOrElse("super_columns", "")),
     timestampColumns = csv(m.getOrElse("timestamp_columns", "")),
     dateColumns = csv(m.getOrElse("date_columns", "")),
-    tableIsRegex = truthy(m.getOrElse("table_is_regex", ""))
+    tableIsRegex = truthy(m.getOrElse("table_is_regex", "")),
+    dedupStrategy = m.getOrElse("dedup_strategy", "window").toLowerCase,
+    saltBuckets = m.getOrElse("salt_buckets", "16").toInt
   )
 }
 
@@ -69,6 +79,11 @@ final case class JobConfig(
     cdcFormat: String = "FLINK-CDC",
     threadMaxWorkers: Int = 30,
     batchTimeoutMinutes: Int = 360,
+    /** Bounded error tolerance (ref `maxerror`, redshift_sink.py:356-358,
+      * config/job-ec2.properties:19): a table-batch with more than this
+      * many quarantined (malformed / null-key) records fails instead of
+      * silently dropping them. 0 = strict (any malformed record fails). */
+    maxError: Long = 0L,
     tables: Seq[TableSpec] = Nil
 )
 
@@ -92,6 +107,7 @@ object JobConfig {
       cdcFormat = p("cdc_format", "FLINK-CDC"),
       threadMaxWorkers = p("thread_max_workers", "30").toInt,
       batchTimeoutMinutes = p("batch_timeout", "360").toInt,
+      maxError = p("maxerror", "0").toLong,
       tables = parseTableList(p("sync_table_list", "[]"))
     )
   }

@@ -99,19 +99,24 @@ class CoerceSchemaSpec extends SparkSuite {
         |topic=t1
         |max_offsets_per_trigger=5000
         |thread_max_workers=7
-        |sync_table_list=[{"db":"d1","table":"t1","primary_key":"pk1,pk2","skip_delete":"ture"},{"db":"d2","table":"t2","target_table":"t2x","super_columns":"sc1","ignore_ddl":"true"}]
+        |maxerror=100
+        |sync_table_list=[{"db":"d1","table":"t1","primary_key":"pk1,pk2","skip_delete":"ture","dedup_strategy":"SALTED","salt_buckets":"8"},{"db":"d2","table":"t2","target_table":"t2x","super_columns":"sc1","ignore_ddl":"true"}]
         |""".stripMargin)
     assert(cfg.cdcFormat == "CANAL-CDC" && cfg.maxOffsetsPerTrigger == 5000L)
     assert(cfg.threadMaxWorkers == 7 && cfg.tables.size == 2)
+    assert(cfg.maxError == 100L)
     val t1 = cfg.tables.head
     assert(t1.primaryKey == Seq("pk1", "pk2") && t1.skipDelete)
+    assert(t1.dedupStrategy == "salted" && t1.saltBuckets == 8)
     val t2 = cfg.tables(1)
     assert(t2.resolvedTarget == "t2x" && t2.ignoreDdl && t2.superColumns == Seq("sc1"))
+    assert(t2.dedupStrategy == "window" && t2.saltBuckets == 16)
   }
 
   test("TableSpec defaults") {
     val t = TableSpec.fromMap(Map("db" -> "d", "table" -> "t"))
     assert(!t.skipDelete && !t.saveDelete && t.primaryKey.isEmpty && t.resolvedTarget == "t")
+    assert(t.dedupStrategy == "window" && t.saltBuckets == 16)
   }
 
   test("superColumnsVariant: VariantType column, null repair, field access, parquet round-trip") {
