@@ -84,6 +84,10 @@ final case class JobConfig(
       * many quarantined (malformed / null-key) records fails instead of
       * silently dropping them. 0 = strict (any malformed record fails). */
     maxError: Long = 0L,
+    /** Drift-probe cadence of the cross-batch schema cache (SURVEY §7.4):
+      * re-infer a table's payload schema every N-th non-empty batch;
+      * batches in between run zero inference jobs. */
+    schemaProbeBatches: Int = 20,
     tables: Seq[TableSpec] = Nil
 )
 
@@ -108,6 +112,7 @@ object JobConfig {
       threadMaxWorkers = p("thread_max_workers", "30").toInt,
       batchTimeoutMinutes = p("batch_timeout", "360").toInt,
       maxError = p("maxerror", "0").toLong,
+      schemaProbeBatches = p("schema_probe_batches", "20").toInt,
       tables = parseTableList(p("sync_table_list", "[]"))
     )
   }

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.config.{JobConfig, TableSpec}
 import graft.envelope.CdcFormat
 import graft.operators.{Coerce, Dedup, Skew}
-import graft.schema.SchemaInference
+import graft.schema.{SchemaCache, SchemaInference}
 import graft.sink.MergeTarget
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -108,17 +108,28 @@ object CdcPipeline {
     * ignore it and pay nothing (it is never evaluated unless acted on). */
   private def normalizeSplit(routed: DataFrame, spec: TableSpec, format: CdcFormat,
                              payload: Option[StructType],
-                             valueCol: String): Option[(DataFrame, DataFrame)] = {
+                             valueCol: String,
+                             cache: Option[SchemaCache] = None): Option[(DataFrame, DataFrame)] = {
     val spark = routed.sparkSession
     import spark.implicits._
     if (routed.isEmpty) None
     else {
-      val schema = payload.getOrElse {
+      def freshInfer(): StructType = {
         val env = SchemaInference.nullSafe(
           SchemaInference.infer(spark, routed.select(col(valueCol)).as[String]))
         // Envelope inference returns the whole envelope; extract the payload
         // member the format flattens (before/after | data | element type).
         format.payloadFromEnvelope(env)
+      }
+      val schema = payload.getOrElse {
+        // Cross-batch cache (SURVEY §7.4): steady-state batches reuse the
+        // cached payload schema — no per-trigger inference scan; the cache
+        // itself re-infers on its probe cadence to catch drift.
+        cache match {
+          case Some(c) =>
+            c.payloadFor(s"${format.name}/${spec.db}.${spec.table}", freshInfer _)
+          case None => freshInfer()
+        }
       }
       val norm0 = format.normalize(routed, schema, valueCol)
       // Quarantine (T7, the reference's `maxerror` tolerance): a malformed
@@ -163,7 +174,8 @@ object CdcPipeline {
     * Any task failure fails the batch (fail-fast + checkpoint-restart). */
   def processBatch(batch: DataFrame, cfg: JobConfig, format: CdcFormat,
                    sinkFor: TableSpec => MergeTarget,
-                   payloadFor: TableSpec => Option[StructType] = _ => None): Unit = {
+                   payloadFor: TableSpec => Option[StructType] = _ => None,
+                   schemaCache: Option[SchemaCache] = None): Unit = {
     // Misconfigured specs (missing primary_key, bad dedup_strategy) fail
     // here, at batch entry, not mid-stream when the table's first row
     // happens to arrive.
@@ -178,7 +190,7 @@ object CdcPipeline {
           // (otherwise a 24/7 stream leaks one cached RDD per table per
           // micro-batch).
           val routed = routeAndCache(cached, spec, format, "value")
-          try normalizeSplit(routed, spec, format, payloadFor(spec), "value").foreach {
+          try normalizeSplit(routed, spec, format, payloadFor(spec), "value", schemaCache).foreach {
             case (norm, quarantined) =>
               // Bounded error tolerance (ref `maxerror`): quarantined rows
               // are counted — one cheap job over the cached routed slice —
@@ -229,18 +241,22 @@ object CdcPipeline {
   }
 
   /** Stream driver wiring (S3/T1/T3): append mode, processingTime or
-    * availableNow trigger, checkpointed foreachBatch. */
+    * availableNow trigger, checkpointed foreachBatch. A query-scoped
+    * [[SchemaCache]] carries inferred payload schemas across micro-batches
+    * (steady-state triggers run zero inference jobs; drift is caught by
+    * the cache's probe cadence, `cfg.schemaProbeBatches`). */
   def streamWriter(source: DataFrame, cfg: JobConfig, format: CdcFormat,
                    sinkFor: TableSpec => MergeTarget): DataStreamWriter[org.apache.spark.sql.Row] = {
     val trigger =
       if (cfg.triggerInterval.equalsIgnoreCase("availableNow")) Trigger.AvailableNow()
       else Trigger.ProcessingTime(cfg.triggerInterval)
+    val cache = new SchemaCache(cfg.schemaProbeBatches)
     source.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", cfg.checkpointLocation)
       .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        processBatch(df.toDF(), cfg, format, sinkFor)
+        processBatch(df.toDF(), cfg, format, sinkFor, schemaCache = Some(cache))
       }
   }
 }

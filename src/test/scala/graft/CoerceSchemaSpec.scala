@@ -93,6 +93,24 @@ class CoerceSchemaSpec extends SparkSuite {
     assert(s("a").dataType == StringType && s("b").dataType == LongType)
   }
 
+  test("SchemaCache: steady state serves cached, probe merges drift, absent fields retained") {
+    val cache = new graft.schema.SchemaCache(probeEvery = 2)
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val v2 = StructType(Seq(StructField("id", LongType), StructField("extra", LongType)))
+    var served = cache.payloadFor("t", () => v1)
+    assert(served == v1 && cache.inferCount == 1)
+    served = cache.payloadFor("t", () => fail("must not re-infer on a cached batch"))
+    assert(served == v1 && cache.inferCount == 1)
+    // probe batch: fresh schema gains `extra`, lost `v` — merge keeps both
+    served = cache.payloadFor("t", () => v2)
+    assert(cache.inferCount == 2)
+    assert(served.fieldNames.toSeq == Seq("id", "v", "extra"))
+    // type drift takes the fresh type on the next probe
+    cache.invalidate("t")
+    val v3 = StructType(Seq(StructField("id", StringType)))
+    assert(cache.payloadFor("t", () => v3)("id").dataType == StringType)
+  }
+
   test("properties + sync_table_list parsing (incl. the 'ture' typo)") {
     val cfg = JobConfig.fromProperties(
       """cdc_format=CANAL-CDC

@@ -155,6 +155,39 @@ class PipelineSpec extends SparkSuite {
       causes(e).map(c => Option(c.getMessage).getOrElse("")).exists(_.contains("maxerror")))
   }
 
+  test("schema cache: unchanged second batch runs no inference; drift probe triggers ALTER") {
+    val db = Files.createTempDirectory("graft-derby5").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val jdbc = new JdbcMergeSink(url, maxVarchar = 32672)
+    val cache = new graft.schema.SchemaCache(probeEvery = 2)
+    val cfg = JobConfig(tables = Seq(t0), threadMaxWorkers = 1, batchTimeoutMinutes = 5)
+    def sinkFor(spec: TableSpec): MergeTarget = new MergeTarget {
+      def merge(stage: DataFrame, s: TableSpec): Unit = jdbc.writeBatch(stage, s)
+      def snapshot(sp: org.apache.spark.sql.SparkSession): DataFrame =
+        sp.read.format("jdbc").option("url", url)
+          .option("dbtable", spec.resolvedTarget).load()
+    }
+    def ev(id: Long, eid: Long, extra: Option[Long]): String = {
+      val x = extra.map(e => s""","extra":$e""").getOrElse("")
+      s"""{"before":null,"after":{"id":$id,"event_id":$eid$x},"source":{"db":"cdc_db","table":"t0","ts_ms":$eid},"op":"u","ts_ms":$eid}"""
+    }
+    def run(rows: Seq[String]): Unit =
+      CdcPipeline.processBatch(rows.toDF("value"), cfg, FlinkDebeziumCdc, sinkFor,
+        schemaCache = Some(cache))
+    run(Seq(ev(2, 1, None), ev(4, 2, None))) // batch 1: infer + create
+    assert(cache.inferCount == 1)
+    run(Seq(ev(2, 3, None))) // batch 2: cached — zero inference jobs
+    assert(cache.inferCount == 1, "cached batch must not re-infer")
+    assert(!jdbc.catalogColumns("t0").get.map(_.name).contains("extra"))
+    run(Seq(ev(4, 4, Some(9L)))) // batch 3: probe sees drift → ALTER ADD
+    assert(cache.inferCount == 2, "probe batch must re-infer")
+    assert(jdbc.catalogColumns("t0").get.map(_.name).contains("extra"))
+    val got = spark.read.format("jdbc").option("url", url).option("dbtable", "t0").load()
+      .select(col("id").cast("long"), col("extra").cast("long")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got == Map(2L -> None, 4L -> Some(9L)))
+  }
+
   test("malformed records are quarantined, not merged as null keys") {
     val batch = CdcGen.debezium(events).unionByName(Seq(
       """{"source":{"db":"cdc_db","table":"t0"},"op":"u","ts_ms":5}""", // no payload
