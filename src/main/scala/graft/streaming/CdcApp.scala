@@ -4,7 +4,6 @@ import graft.config.{JobConfig, TableSpec}
 import graft.envelope.CdcFormat
 import graft.sink.{JdbcMergeSink, MergeTarget, ParquetMergeTarget}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** The single app driver, replacing the reference's three near-identical
   * entry points (emr_ec2 / glue / emr_serverless `cdc_redshift.py` —
@@ -17,20 +16,6 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *    as a directory for parquet merge targets (lakehouse/test mode).
   */
 object CdcApp {
-
-  /** Batch-progress listener (ref T4: KafkaOffsetCommitterListener commits
-    * consumer offsets for lag monitoring; with no Kafka admin client in
-    * scope we surface the same signal — per-batch source offsets and row
-    * counts — through the listener API for any monitoring hook). */
-  final class ProgressListener extends StreamingQueryListener {
-    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-      println(s"[graft] query started ${e.id}")
-    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-      println(s"[graft] batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
-        s"offsets=${Option(e.progress.sources).map(_.map(_.endOffset).mkString(",")).getOrElse("")}")
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-      println(s"[graft] query terminated ${e.id} error=${e.exception.getOrElse("none")}")
-  }
 
   def session(appName: String, workers: Int): SparkSession =
     SparkSession.builder()
@@ -67,7 +52,11 @@ object CdcApp {
     val cfg = JobConfig.fromProperties(text)
     val sinkSpec = if (args.length > 1) args(1) else "/tmp/graft-targets"
     val spark = session("graft-cdc", cfg.threadMaxWorkers)
-    spark.streams.addListener(new ProgressListener)
+    // Per-batch progress + consumer-group offset commit (T4 — ref
+    // README.md:141: KafkaOffsetCommitterListener). Print-only committer
+    // here; a broker deployment plugs an AdminClient-backed one.
+    spark.streams.addListener(
+      new OffsetCommit.CommittingProgressListener(cfg.consumerGroup))
     val format = CdcFormat.forName(cfg.cdcFormat)
     val source = CdcPipeline.kafkaSource(spark, cfg)
     val query = CdcPipeline.streamWriter(source, cfg, format,
