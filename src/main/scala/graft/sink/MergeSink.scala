@@ -31,9 +31,29 @@ trait MergeTarget {
   def snapshot(spark: SparkSession): DataFrame
 }
 
+private[sink] object DirSwap {
+  def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Replace `dst` with `src` via a `.old` hop; `src` absent ⇒ `dst` is
+    * removed (the "bucket emptied by deletes" case). */
+  def swap(src: java.io.File, dst: java.io.File): Unit = {
+    val old = new java.io.File(dst.getPath + ".old")
+    if (old.exists()) rmTree(old)
+    if (dst.exists() && !dst.renameTo(old))
+      throw new java.io.IOException(s"cannot swap out $dst")
+    if (src.exists() && !src.renameTo(dst))
+      throw new java.io.IOException(s"cannot swap in $src")
+    if (old.exists()) rmTree(old)
+  }
+}
+
 /** Parquet-backed merge target: read-modify-write with an atomic directory
-  * swap. Suitable for tests and for lakehouse-style targets; at scale the
-  * anti-join broadcasts the stage keys so the big side streams. */
+  * swap. Its documented role is the TEST ORACLE for merge semantics (and a
+  * small-table target): every batch rewrites the whole table, O(|target|)
+  * I/O. The scale path is [[BucketedParquetMergeTarget]]. */
 final class ParquetMergeTarget(path: String, metaCols: Seq[String] = Seq("op_aws", "ts_ms_aws", "idx_aws"))
   extends MergeTarget {
 
@@ -60,18 +80,71 @@ final class ParquetMergeTarget(path: String, metaCols: Seq[String] = Seq("op_aws
     // single-transaction merge).
     val tmp = path + ".tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(); ()
+    DirSwap.swap(new java.io.File(tmp), new java.io.File(path))
+  }
+}
+
+/** Scale path for lakehouse targets (SURVEY §7.5): the table is laid out
+  * as parquet partitioned by a stable key bucket
+  * `kb_aws = pmod(xxhash64(primary key), buckets)`, and a merge reads and
+  * rewrites ONLY the buckets whose keys appear in the stage batch:
+  *
+  *  - the target scan is partition-pruned to the touched buckets (a CDC
+  *    micro-batch touches few buckets relative to a 100 TB table);
+  *  - the rewrite swaps only the touched bucket directories; untouched
+  *    buckets keep their files bit- and mtime-identical, so per-batch I/O
+  *    is O(touched data), not O(|target|);
+  *  - bucket assignment is a pure hash of the key — stable across batches
+  *    and replays, so checkpoint-replayed batches rewrite the same buckets
+  *    idempotently. A crash mid-swap leaves some buckets merged and some
+  *    not; the replay re-merges all of them and converges (same
+  *    idempotence argument as the whole-table swap, per bucket).
+  *
+  * Equivalent semantics to [[ParquetMergeTarget]] (asserted in tests);
+  * `snapshot` drops the internal bucket column so readers see the same
+  * schema either way. */
+final class BucketedParquetMergeTarget(path: String, buckets: Int = 64,
+                                       metaCols: Seq[String] = Seq("op_aws", "ts_ms_aws", "idx_aws"))
+  extends MergeTarget {
+
+  private final val Kb = "kb_aws"
+  private def exists: Boolean = new java.io.File(path).exists()
+
+  def snapshot(spark: SparkSession): DataFrame = {
+    require(exists, s"no target at $path")
+    spark.read.parquet(path).drop(Kb)
+  }
+
+  def merge(stage: DataFrame, spec: TableSpec): Unit = {
+    val spark = stage.sparkSession
+    // Mongo specs key on the extracted doc id (see CdcPipeline.keysOf).
+    val keys = if (spec.primaryKey.nonEmpty) spec.primaryKey else Seq("doc_id")
+    val isDelete = col("op_aws") === "d"
+    val staged = stage.withColumn(Kb,
+      pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong)).cast("int"))
+    // ≤ `buckets` distinct values — a bounded driver-side collect by design.
+    val touched = staged.select(Kb).distinct().collect().map(_.getInt(0)).sorted
+    val merged =
+      if (!exists) staged.filter(if (spec.skipDelete) lit(true) else !isDelete)
+        .drop(metaCols: _*)
+      else {
+        // Partition pruning: only the touched bucket directories are read.
+        val target = spark.read.parquet(path).filter(col(Kb).isin(touched.toIndexedSeq: _*))
+        if (spec.skipDelete) MergeOps.mergeSkipDelete(target, staged, keys, metaCols)
+        else MergeOps.merge(target, staged, keys, isDelete, metaCols)
+      }
+    val tmp = path + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).partitionBy(Kb).parquet(tmp)
+    if (!exists) {
+      DirSwap.swap(new java.io.File(tmp), new java.io.File(path))
+    } else {
+      // Swap only the touched buckets; a bucket whose merged output is
+      // empty (all rows deleted) has no tmp dir and is removed.
+      touched.foreach { b =>
+        DirSwap.swap(new java.io.File(s"$tmp/$Kb=$b"), new java.io.File(s"$path/$Kb=$b"))
+      }
+      DirSwap.rmTree(new java.io.File(tmp))
     }
-    val dst = new java.io.File(path)
-    val old = new java.io.File(path + ".old")
-    if (old.exists()) rmTree(old)
-    if (dst.exists() && !dst.renameTo(old))
-      throw new java.io.IOException(s"cannot swap out $path")
-    if (!new java.io.File(tmp).renameTo(dst))
-      throw new java.io.IOException(s"cannot swap in $tmp")
-    if (old.exists()) rmTree(old)
   }
 }
 

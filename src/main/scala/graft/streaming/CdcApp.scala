@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.config.{JobConfig, TableSpec}
 import graft.envelope.CdcFormat
-import graft.sink.{JdbcMergeSink, MergeTarget, ParquetMergeTarget}
+import graft.sink.{BucketedParquetMergeTarget, JdbcMergeSink, MergeTarget}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The single app driver, replacing the reference's three near-identical
@@ -40,8 +40,9 @@ object CdcApp {
       }
     } else {
       val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
+      // Bucketed layout: per-batch I/O is O(touched buckets), not O(table).
       spec => sinks.getOrElseUpdate(spec.resolvedTarget,
-        new ParquetMergeTarget(s"$sinkSpec/${spec.resolvedTarget}"))
+        new BucketedParquetMergeTarget(s"$sinkSpec/${spec.resolvedTarget}"))
     }
   }
 
