@@ -22,6 +22,10 @@ final case class TableSpec(
     onlySaveDelete: Boolean = false,
     skipDelete: Boolean = false,
     superColumns: Seq[String] = Nil,
+    /** Route `super_columns` through Spark 4's native VariantType
+      * (parse once at ingest, `variant_get` field access at read) instead
+      * of repaired JSON text — the lakehouse-target form. */
+    superAsVariant: Boolean = false,
     /** "col" or "col|fmt" entries (ref redshift_sink.py:170-190). */
     timestampColumns: Seq[String] = Nil,
     dateColumns: Seq[String] = Nil,
@@ -57,6 +61,7 @@ object TableSpec {
     onlySaveDelete = truthy(m.getOrElse("only_save_delete", "")),
     skipDelete = truthy(m.getOrElse("skip_delete", "")),
     superColumns = csv(m.getOrElse("super_columns", "")),
+    superAsVariant = truthy(m.getOrElse("super_as_variant", "")),
     timestampColumns = csv(m.getOrElse("timestamp_columns", "")),
     dateColumns = csv(m.getOrElse("date_columns", "")),
     tableIsRegex = truthy(m.getOrElse("table_is_regex", "")),

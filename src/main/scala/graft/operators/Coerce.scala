@@ -82,10 +82,13 @@ object Coerce {
       else d.withColumn(c, parse_json(repairJson(c)).as(c, superMetadata))
     }
 
-  /** Apply every coercion a TableSpec declares, in reference order. */
+  /** Apply every coercion a TableSpec declares, in reference order.
+    * `super_as_variant` picks the native VariantType form over repaired
+    * JSON text (same repair, parsed once; SUPER DDL either way). */
   def apply(df: DataFrame, spec: graft.config.TableSpec): DataFrame = {
     val t = timestampColumns(df, spec.timestampColumns)
     val d = dateColumns(t, spec.dateColumns)
-    superColumns(d, spec.superColumns)
+    if (spec.superAsVariant) superColumnsVariant(d, spec.superColumns)
+    else superColumns(d, spec.superColumns)
   }
 }

@@ -266,6 +266,83 @@ class PipelineSpec extends SparkSuite {
     assert(got == Map(2L -> 3L, 6L -> 5L))
   }
 
+  test("bucketed parquet target: untouched buckets keep file identity, semantics match whole-table merge") {
+    import graft.sink.BucketedParquetMergeTarget
+    val root = Files.createTempDirectory("graft-bucket").toString
+    val spec = TableSpec("d", "t", Seq("id"))
+    val nb = 8
+    val bt = new BucketedParquetMergeTarget(s"$root/b", buckets = nb)
+    val pt = new ParquetMergeTarget(s"$root/p")
+    def stage(rows: Seq[(Long, String, String)]) = rows.toDF("id", "v", "op_aws")
+    def bucketOf(ids: Seq[Long]): Set[Int] = ids.toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(nb.toLong)).cast("int").as("b"))
+      .as[Int].collect().toSet
+    def fingerprint(): Map[String, Set[(String, Long)]] =
+      new java.io.File(s"$root/b").listFiles().filter(_.getName.startsWith("kb_aws="))
+        .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.lastModified())).toSet)
+        .toMap
+    def snapshots(): (Set[(Long, String)], Set[(Long, String)]) = (
+      bt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toSet,
+      pt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toSet)
+
+    val s1 = stage((1 to 64).map(i => (i.toLong, s"v$i", "c")))
+    bt.merge(s1, spec); pt.merge(s1, spec)
+    assert(snapshots()._1 == snapshots()._2)
+    val before = fingerprint()
+    assert(before.keySet.size == nb) // 64 keys cover all 8 buckets
+
+    // touch two keys only: update id=1, delete id=2
+    Thread.sleep(1100) // ensure mtime resolution cannot mask a rewrite
+    val s2 = stage(Seq((1L, "v1x", "u"), (2L, "x", "d")))
+    bt.merge(s2, spec); pt.merge(s2, spec)
+    val after = fingerprint()
+    val touched = bucketOf(Seq(1L, 2L)).map(b => s"kb_aws=$b")
+    for ((dir, files) <- before if !touched.contains(dir))
+      assert(after(dir) == files, s"untouched $dir was rewritten")
+    for (dir <- touched)
+      assert(after(dir) != before(dir), s"touched $dir not rewritten")
+    val (bs, ps) = snapshots()
+    assert(bs == ps && bs.contains((1L, "v1x")) && !bs.exists(_._1 == 2L))
+
+    // replay the same batch: idempotent
+    bt.merge(s2, spec)
+    assert(bt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toSet == bs)
+
+    // empty one bucket entirely via deletes → its directory is removed
+    val victim = bucketOf(Seq(5L)).head
+    val victimIds = (1 to 64).map(_.toLong).filter(i => bucketOf(Seq(i)).head == victim)
+      .filterNot(_ == 2L)
+    bt.merge(stage(victimIds.map(i => (i, "x", "d"))), spec)
+    assert(!new java.io.File(s"$root/b/kb_aws=$victim").exists())
+    assert(!bt.snapshot(spark).select("id").as[Long].collect().toSet.exists(victimIds.contains))
+  }
+
+  test("super_as_variant: variant column survives bucketed merge + replay, variant_get readable") {
+    import graft.sink.BucketedParquetMergeTarget
+    import org.apache.spark.sql.functions.try_variant_get
+    import org.apache.spark.sql.types.VariantType
+    val dir = Files.createTempDirectory("graft-variant").toString
+    val spec = t0.copy(superColumns = Seq("props"), superAsVariant = true)
+    val cfg = JobConfig(tables = Seq(spec), threadMaxWorkers = 1, batchTimeoutMinutes = 5)
+    def ev(id: Long, eid: Long, props: String): String =
+      s"""{"before":null,"after":{"id":$id,"event_id":$eid,"props":$props},"source":{"db":"cdc_db","table":"t0","ts_ms":$eid},"op":"u","ts_ms":$eid}"""
+    val batch = Seq(
+      ev(2, 1, """"{\"a\":7,\"b\":{\"c\":\"x\"}}""""),
+      ev(4, 2, "null"), // repaired to {} before the variant parse
+      ev(2, 3, """"{\"a\":8}"""") // later update wins LWW
+    ).toDF("value")
+    val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
+    def run(): Unit = CdcPipeline.processBatch(batch, cfg, FlinkDebeziumCdc, s =>
+      sinks.getOrElseUpdate(s.resolvedTarget, new BucketedParquetMergeTarget(s"$dir/${s.resolvedTarget}", buckets = 4)))
+    run(); run() // replay: idempotent with a variant column through the sink
+    val tgt = sinks("t0").snapshot(spark)
+    assert(tgt.schema("props").dataType == VariantType)
+    val got = tgt.select(col("id"),
+        try_variant_get(col("props"), "$.a", "long").as("a")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got == Map(2L -> Some(8L), 4L -> None))
+  }
+
   test("jdbc sink: auto-create, merge, schema evolution, idempotent replay") {
     val db = Files.createTempDirectory("graft-derby").toString + "/db"
     val sink = new JdbcMergeSink(s"jdbc:derby:$db;create=true", maxVarchar = 32672)
