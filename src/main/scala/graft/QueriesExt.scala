@@ -146,11 +146,13 @@ object QueriesExt {
   // ---------------------------------------------------------------- q15
   /** Exact n-gram Jaccard near-dup pairs (the oracle twin of q14): bigram
     * shingles, candidates from a shingle equi-join (never all-pairs),
-    * 10% document sample to bound the candidate count at bench scale. */
+    * 10% document sample to bound the candidate count at bench scale.
+    * Explicitly Uncapped — the textbook-Jaccard oracle; production callers
+    * get the Auto frequency cap by default (q26 exercises it). */
   def q15NgramJaccard(s: SparkSession, dir: String): DataFrame =
     DedupFunctions.ngramJaccardPairs(
       docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
-      n = 2, threshold = 0.05)
+      n = 2, threshold = 0.05, cap = DedupFunctions.ShingleCap.Uncapped)
   val q15Sql: String =
     s"""$jaccardCtes
        |${jaccardSelectSql("j")}""".stripMargin
@@ -165,7 +167,7 @@ object QueriesExt {
   def q35CappedJaccard(s: SparkSession, dir: String): DataFrame =
     DedupFunctions.ngramJaccardPairs(
       docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
-      n = 2, threshold = 0.05, maxShingleFreq = Some(5))
+      n = 2, threshold = 0.05, cap = DedupFunctions.ShingleCap.Fixed(5))
   val q35Sql: String =
     s"""WITH $shingleCteSql,
        |e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
@@ -407,13 +409,24 @@ object QueriesExt {
 
   // ---------------------------------------------------------------- q26
   /** Decontamination: near-dup pairs straddling a split boundary (eval
-    * leakage). Same shingle-join candidates as q15, 10% sample. */
+    * leakage). Same shingle-join candidates as q15, 10% sample — but on
+    * the production default (ShingleCap.Auto: cap = max(64, ⌈√N⌉) over the
+    * N-doc corpus), so the oracle replays the derived cap too. */
   def q26Decontaminate(s: SparkSession, dir: String): DataFrame =
     graft.functions.Splits.crossSplitContamination(
       docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
       n = 2, threshold = 0.05)
   val q26Sql: String =
-    s"""$jaccardCtes,
+    s"""WITH $shingleCteSql,
+       |nd AS (SELECT greatest(64, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cap
+       |       FROM documents WHERE doc_id % 10 = 0),
+       |e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       |keep AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= (SELECT cap FROM nd)),
+       |e AS (SELECT e0.* FROM e0 JOIN keep USING (s)),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
        |p AS (${jaccardSelectSql("j")})
        |SELECT id_a, id_b, jaccard,
        |       ${splitSql("id_a")} AS split_a,

@@ -18,6 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
+  /** Shingle-frequency cap policy for the candidate joins. A shingle
+    * shared by f documents contributes f² candidate pairs, so uncapped
+    * stopword-like shingles dominate the shuffle at corpus scale. Default
+    * is [[ShingleCap.Auto]]: cap = max(64, ⌈√N⌉) for an N-document corpus
+    * — ultra-frequent shingles carry no near-dup signal (they match
+    * everything), while anything rarer than √N stays. [[ShingleCap.Uncapped]]
+    * is the explicit opt-out (exact textbook Jaccard, e.g. the q15 oracle). */
+  sealed trait ShingleCap
+  object ShingleCap {
+    case object Auto extends ShingleCap
+    case object Uncapped extends ShingleCap
+    final case class Fixed(cap: Int) extends ShingleCap
+
+    /** The Auto policy's cap for an `nDocs`-document corpus. */
+    def derive(nDocs: Long): Int =
+      math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong).toInt
+
+    private[functions] def resolve(cap: ShingleCap, df: DataFrame): Option[Int] =
+      cap match {
+        case Uncapped => None
+        case Fixed(c) => Some(c)
+        case Auto => Some(derive(df.count())) // one cheap count on the corpus
+      }
+  }
+
   /** Distinct word n-gram shingles of a document; empty array for docs
     * shorter than n tokens (sequence() would otherwise step backwards and
     * produce an invalid slice start). */
@@ -42,21 +67,21 @@ object DedupFunctions {
     * Plan shape: explode shingles → self-equi-join on shingle (only docs
     * sharing ≥1 shingle ever meet) → count shared per pair → Jaccard from
     * per-doc distinct-shingle counts. The join is the scale knob: shingle
-    * frequency is capped (`maxShingleFreq`) because a shingle shared by f
-    * docs contributes f² candidate pairs.
+    * frequency is capped by default ([[ShingleCap]]) because a shingle
+    * shared by f docs contributes f² candidate pairs.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
-                        maxShingleFreq: Option[Int] = None): DataFrame = {
+                        cap: ShingleCap = ShingleCap.Auto): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val exploded0 = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val exploded = maxShingleFreq match {
-      case Some(cap) =>
-        // Drop shingles more frequent than `cap`: they are stopword-like and
+    val exploded = ShingleCap.resolve(cap, df) match {
+      case Some(c) =>
+        // Drop shingles more frequent than `c`: they are stopword-like and
         // would dominate the join (skew); rare shingles carry the signal.
         val freq = exploded0.groupBy(col("s")).agg(count(lit(1)).as("f"))
-          .filter(col("f") <= cap)
+          .filter(col("f") <= c)
         exploded0.join(freq.select(col("s")), Seq("s"))
       case None => exploded0
     }

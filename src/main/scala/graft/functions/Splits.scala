@@ -32,10 +32,14 @@ object Splits {
     df.withColumn("split", splitAssign(col(idCol)))
 
   /** Near-duplicate pairs (n-gram Jaccard ≥ threshold) whose members fall
-    * in different splits — training-set contamination of eval splits. */
+    * in different splits — training-set contamination of eval splits.
+    * Inherits the default-on shingle-frequency cap
+    * ([[DedupFunctions.ShingleCap.Auto]]) — decontamination sweeps run over
+    * the full corpus, where the uncapped join is the skew hazard. */
   def crossSplitContamination(df: DataFrame, textCol: String, idCol: String,
-                              n: Int, threshold: Double): DataFrame = {
-    val pairs = DedupFunctions.ngramJaccardPairs(df, textCol, idCol, n, threshold)
+                              n: Int, threshold: Double,
+                              cap: DedupFunctions.ShingleCap = DedupFunctions.ShingleCap.Auto): DataFrame = {
+    val pairs = DedupFunctions.ngramJaccardPairs(df, textCol, idCol, n, threshold, cap)
     pairs
       .withColumn("split_a", splitAssign(col("id_a")))
       .withColumn("split_b", splitAssign(col("id_b")))

@@ -60,6 +60,23 @@ class FunctionsSpec extends SparkSuite {
     assert(pairs == Set((2L, 3L)))
   }
 
+  test("ShingleCap: Auto derives max(64, ceil(sqrt(N))); cap actually drops frequent shingles") {
+    import DedupFunctions.ShingleCap
+    assert(ShingleCap.derive(0) == 64 && ShingleCap.derive(100) == 64)
+    assert(ShingleCap.derive(4096) == 64 && ShingleCap.derive(10000) == 100)
+    assert(ShingleCap.derive(1000000) == 1000)
+    // corpus where one shingle ("a b") is in every doc, rare shingles pair up
+    val corpus = (1L to 6L).map(i => (i, s"a b c$i d${i % 2}")).toDF("doc_id", "text")
+    val uncapped = DedupFunctions.ngramJaccardPairs(corpus, "text", "doc_id", 2, 0.1,
+      ShingleCap.Uncapped).count()
+    val capped = DedupFunctions.ngramJaccardPairs(corpus, "text", "doc_id", 2, 0.1,
+      ShingleCap.Fixed(2)).count()
+    assert(uncapped == 15 && capped < uncapped) // cap provably filters
+    // Auto on a tiny corpus: cap=64 never fires → identical to uncapped
+    val auto = DedupFunctions.ngramJaccardPairs(corpus, "text", "doc_id", 2, 0.1).count()
+    assert(auto == uncapped)
+  }
+
   test("simhashPairs pigeonhole boundary: h bits spread one-per-chunk still pair") {
     // For each maxHamming, craft the adversarial signature: exactly
     // maxHamming differing bits, one in each of the first maxHamming
