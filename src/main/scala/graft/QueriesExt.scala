@@ -31,6 +31,12 @@ object QueriesExt {
     spread(Tables.documents(s, dir))
   private def embs(s: SparkSession, dir: String): DataFrame =
     spread(Tables.embeddings(s, dir))
+  /** The 10% document sample the shingle queries share. The sample filter
+    * runs BEFORE the spread exchange, so only the sampled rows' text ever
+    * moves (spreading first shuffles 10× the bytes for the same plan —
+    * the r2→r3 q15 regression). */
+  private def docsSample(s: SparkSession, dir: String): DataFrame =
+    spread(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
 
   /** Oracle token split shared by several queries (DuckDB side). */
   private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -114,7 +120,7 @@ object QueriesExt {
     * in FunctionsSpec. */
   def q14MinhashLsh(s: SparkSession, dir: String): DataFrame =
     DedupFunctions.minhashLshPairs(
-      docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
+      docsSample(s, dir), "text", "doc_id",
       n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
   val q14Sql: String = {
     val coeffs = (1 to 32).map { i =>
@@ -151,7 +157,7 @@ object QueriesExt {
     * get the Auto frequency cap by default (q26 exercises it). */
   def q15NgramJaccard(s: SparkSession, dir: String): DataFrame =
     DedupFunctions.ngramJaccardPairs(
-      docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
+      docsSample(s, dir), "text", "doc_id",
       n = 2, threshold = 0.05, cap = DedupFunctions.ShingleCap.Uncapped)
   val q15Sql: String =
     s"""$jaccardCtes
@@ -166,7 +172,7 @@ object QueriesExt {
     * differs from q15's). */
   def q35CappedJaccard(s: SparkSession, dir: String): DataFrame =
     DedupFunctions.ngramJaccardPairs(
-      docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
+      docsSample(s, dir), "text", "doc_id",
       n = 2, threshold = 0.05, cap = DedupFunctions.ShingleCap.Fixed(5))
   val q35Sql: String =
     s"""WITH $shingleCteSql,
@@ -414,7 +420,7 @@ object QueriesExt {
     * N-doc corpus), so the oracle replays the derived cap too. */
   def q26Decontaminate(s: SparkSession, dir: String): DataFrame =
     graft.functions.Splits.crossSplitContamination(
-      docs(s, dir).filter(col("doc_id") % 10 === 0), "text", "doc_id",
+      docsSample(s, dir), "text", "doc_id",
       n = 2, threshold = 0.05)
   val q26Sql: String =
     s"""WITH $shingleCteSql,
@@ -665,8 +671,11 @@ object QueriesExt {
   def qa6ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     // One branch per distinct column (as in q31): two exact distincts in a
     // single agg would plan through a 3x Expand of every row.
+    // No `spread` here: the per-row work (HLL hashing) is trivial, so the
+    // extra exchange cost more than it bought (the r2 qa6 regression) —
+    // the partial aggregate parallelizes on the scan partitioning.
     def branch(c: String, okName: String, exactName: String): DataFrame =
-      spread(Tables.lineitem(s, dir).select(col("l_returnflag"), col(c)))
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col(c))
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col(c)).as("ap"),
           countDistinct(col(c)).as(exactName))
