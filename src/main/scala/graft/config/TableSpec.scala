@@ -43,7 +43,7 @@ final case class TableSpec(
 }
 
 object TableSpec {
-  private def truthy(v: String): Boolean =
+  private[config] def truthy(v: String): Boolean =
     v != null && (v.equalsIgnoreCase("true") || v.equalsIgnoreCase("ture") || v == "1")
 
   private def csv(v: String): Seq[String] =
@@ -93,6 +93,10 @@ final case class JobConfig(
       * re-infer a table's payload schema every N-th non-empty batch;
       * batches in between run zero inference jobs. */
     schemaProbeBatches: Int = 20,
+    /** `disable_msg` (ref redshift_sink.py:128-136): when false, each
+      * table-batch logs its schema tree and a 5-row/20-char sample before
+      * the merge. Quiet (true) by default, as in the reference configs. */
+    disableMsg: Boolean = true,
     tables: Seq[TableSpec] = Nil
 )
 
@@ -118,6 +122,7 @@ object JobConfig {
       batchTimeoutMinutes = p("batch_timeout", "360").toInt,
       maxError = p("maxerror", "0").toLong,
       schemaProbeBatches = p("schema_probe_batches", "20").toInt,
+      disableMsg = TableSpec.truthy(p("disable_msg", "true")),
       tables = parseTableList(p("sync_table_list", "[]"))
     )
   }

@@ -202,6 +202,13 @@ object CdcPipeline {
                   s"exceed maxerror=${cfg.maxError}; failing the batch")
               if (!spec.onlySaveDelete) {
                 val staged = Coerce(lwwDedup(norm, spec, format), spec)
+                // Debug sample (ref `disable_msg`, redshift_sink.py:128-136):
+                // schema tree + 5-row/20-char sample, off by default.
+                if (!cfg.disableMsg) {
+                  println(s"[graft] ${spec.db}.${spec.table} stage schema:\n" +
+                    staged.schema.treeString)
+                  staged.show(5, 20)
+                }
                 sinkFor(spec).merge(staged, spec)
               }
               if (spec.saveDelete || spec.onlySaveDelete) {

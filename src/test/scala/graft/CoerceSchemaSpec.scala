@@ -118,11 +118,14 @@ class CoerceSchemaSpec extends SparkSuite {
         |max_offsets_per_trigger=5000
         |thread_max_workers=7
         |maxerror=100
+        |disable_msg=false
+        |schema_probe_batches=5
         |sync_table_list=[{"db":"d1","table":"t1","primary_key":"pk1,pk2","skip_delete":"ture","dedup_strategy":"SALTED","salt_buckets":"8"},{"db":"d2","table":"t2","target_table":"t2x","super_columns":"sc1","ignore_ddl":"true"}]
         |""".stripMargin)
     assert(cfg.cdcFormat == "CANAL-CDC" && cfg.maxOffsetsPerTrigger == 5000L)
     assert(cfg.threadMaxWorkers == 7 && cfg.tables.size == 2)
     assert(cfg.maxError == 100L)
+    assert(!cfg.disableMsg && cfg.schemaProbeBatches == 5)
     val t1 = cfg.tables.head
     assert(t1.primaryKey == Seq("pk1", "pk2") && t1.skipDelete)
     assert(t1.dedupStrategy == "salted" && t1.saltBuckets == 8)

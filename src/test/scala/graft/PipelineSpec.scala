@@ -188,6 +188,24 @@ class PipelineSpec extends SparkSuite {
     assert(got == Map(2L -> None, 4L -> Some(9L)))
   }
 
+  test("disable_msg=false: table batch logs schema tree and a row sample") {
+    val dir = Files.createTempDirectory("graft-msg").toString
+    val cfg = JobConfig(tables = Seq(t0), threadMaxWorkers = 1,
+      batchTimeoutMinutes = 5, disableMsg = false)
+    val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
+    val buf = new java.io.ByteArrayOutputStream()
+    // println goes through Console.out (a DynamicVariable inherited by the
+    // pool threads created inside the scope), not System.out.
+    Console.withOut(new java.io.PrintStream(buf, true)) {
+      CdcPipeline.processBatch(CdcGen.debezium(events), cfg, FlinkDebeziumCdc, s =>
+        sinks.getOrElseUpdate(s.resolvedTarget, new ParquetMergeTarget(s"$dir/${s.resolvedTarget}")))
+    }
+    val out = buf.toString
+    assert(out.contains("cdc_db.t0 stage schema") && out.contains("id: long"))
+    assert(out.contains("op_aws")) // the 5-row sample table header
+    assert(spark.read.parquet(s"$dir/t0").count() > 0) // merge still ran
+  }
+
   test("malformed records are quarantined, not merged as null keys") {
     val batch = CdcGen.debezium(events).unionByName(Seq(
       """{"source":{"db":"cdc_db","table":"t0"},"op":"u","ts_ms":5}""", // no payload
