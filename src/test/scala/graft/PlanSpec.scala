@@ -107,4 +107,24 @@ class PlanSpec extends SparkSuite {
       Tables.documents(spark, sf("sf0.001")).limit(50), "text", "doc_id"))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
+
+  test("bucketed merge target: the touched-bucket read is partition-pruned at the scan") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/t"
+    (1L to 64L).map(i => (i, s"v$i")).toDF("id", "v")
+      .withColumn("kb_aws", pmod(xxhash64(col("id")), lit(8L)).cast("int"))
+      .write.partitionBy("kb_aws").parquet(root)
+    // The exact read the bucketed merge issues for a 2-bucket batch:
+    val pruned = spark.read.parquet(root).filter(col("kb_aws").isin(0, 3))
+    val scan = executed(pruned).collectLeaves().map(_.toString).mkString
+    // Partition filters (not data filters) carry the bucket predicate, so
+    // only 2 of the 8 bucket directories are ever opened.
+    assert(scan.contains("PartitionFilters") && scan.contains("kb_aws"), scan.take(1000))
+    val parts = executed(pruned).collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(parts.nonEmpty && parts.head == 2, s"expected 2 pruned partitions, got $parts")
+  }
 }
