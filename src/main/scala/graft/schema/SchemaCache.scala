@@ -51,8 +51,16 @@ final class SchemaCache(probeEvery: Int = 20) {
         merged
     }
 
-  /** Force re-inference on the next batch (e.g. after a quarantine spike
-    * signalled parse trouble). */
+  /** Make the next batch a probe — re-infer and MERGE into the cached
+    * schema — without waiting out the cadence (used after a quarantine
+    * spike signals parse trouble). Merging matters: discarding the entry
+    * would let a batch that happens to lack an optional column drop that
+    * column from the target. */
+  def forceProbe(key: String): Unit =
+    entries.get(key).foreach(e => entries.update(key, e.copy(age = Int.MaxValue)))
+
+  /** Drop the entry entirely — the next batch's inference REPLACES the
+    * schema instead of merging (ops override for a known type change). */
   def invalidate(key: String): Unit = { entries.remove(key); () }
 }
 

@@ -36,6 +36,9 @@ object CdcPipeline {
 
   private val DedupStrategies = Set("window", "agg", "salted")
 
+  private def cacheKey(spec: TableSpec, format: CdcFormat): String =
+    s"${format.name}/${spec.db}.${spec.table}"
+
   /** Validate a spec at batch entry (fail fast, not mid-stream). */
   private def validate(spec: TableSpec, format: CdcFormat): Unit = {
     keysOf(spec, format)
@@ -126,8 +129,7 @@ object CdcPipeline {
         // cached payload schema — no per-trigger inference scan; the cache
         // itself re-infers on its probe cadence to catch drift.
         cache match {
-          case Some(c) =>
-            c.payloadFor(s"${format.name}/${spec.db}.${spec.table}", freshInfer _)
+          case Some(c) => c.payloadFor(cacheKey(spec, format), freshInfer _)
           case None => freshInfer()
         }
       }
@@ -200,6 +202,10 @@ object CdcPipeline {
               if (bad > cfg.maxError) throw new IllegalStateException(
                 s"table ${spec.db}.${spec.table}: $bad malformed (null-key) records " +
                   s"exceed maxerror=${cfg.maxError}; failing the batch")
+              // Tolerated quarantine may mean the cached schema drifted
+              // under us (not just garbage input) — make the next batch a
+              // probe (re-infer + merge) instead of waiting out the cadence.
+              if (bad > 0) schemaCache.foreach(_.forceProbe(cacheKey(spec, format)))
               if (!spec.onlySaveDelete) {
                 val staged = Coerce(lwwDedup(norm, spec, format), spec)
                 // Debug sample (ref `disable_msg`, redshift_sink.py:128-136):

@@ -182,6 +182,18 @@ class PipelineSpec extends SparkSuite {
     run(Seq(ev(4, 4, Some(9L)))) // batch 3: probe sees drift → ALTER ADD
     assert(cache.inferCount == 2, "probe batch must re-infer")
     assert(jdbc.catalogColumns("t0").get.map(_.name).contains("extra"))
+    // tolerated quarantine forces a probe: the NEXT batch re-infers (and
+    // MERGES — `extra` survives a batch that lacks it) instead of waiting
+    // out the cadence
+    val cfgTolerant = cfg.copy(maxError = 5)
+    CdcPipeline.processBatch(
+      (Seq(ev(2, 5, None)) ++ Seq("""{"source":{"db":"cdc_db","table":"t0"},"op":"u","ts_ms":9}"""))
+        .toDF("value"), cfgTolerant, FlinkDebeziumCdc, sinkFor, schemaCache = Some(cache))
+    val n = cache.inferCount // this batch may itself have been a cache hit
+    run(Seq(ev(2, 6, None)))
+    assert(cache.inferCount == n + 1, "batch after a quarantine spike must re-infer")
+    assert(jdbc.catalogColumns("t0").get.map(_.name).contains("extra"),
+      "probe-after-quarantine must merge, not drop, known columns")
     val got = spark.read.format("jdbc").option("url", url).option("dbtable", "t0").load()
       .select(col("id").cast("long"), col("extra").cast("long")).as[(Long, Option[Long])]
       .collect().toMap
