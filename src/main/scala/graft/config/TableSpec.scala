@@ -40,6 +40,11 @@ final case class TableSpec(
     saltBuckets: Int = 16
 ) {
   def resolvedTarget: String = targetTable.getOrElse(table)
+
+  /** Keys the sinks merge on: the configured primary key, else the Mongo
+    * doc-id column the pipeline extracts (one definition shared by every
+    * MergeTarget so the layouts cannot diverge). */
+  def mergeKeys: Seq[String] = if (primaryKey.nonEmpty) primaryKey else Seq("doc_id")
 }
 
 object TableSpec {
@@ -86,8 +91,10 @@ final case class JobConfig(
     batchTimeoutMinutes: Int = 360,
     /** Bounded error tolerance (ref `maxerror`, redshift_sink.py:356-358,
       * config/job-ec2.properties:19): a table-batch with more than this
-      * many quarantined (malformed / null-key) records fails instead of
-      * silently dropping them. 0 = strict (any malformed record fails). */
+      * many quarantined records — data rows whose payload parsed to an
+      * all-null key — fails instead of silently dropping them. 0 = strict.
+      * Rows dropped by the operational-event whitelist (DDL/control/
+      * invalidate) are routine traffic, not errors, and never count. */
     maxError: Long = 0L,
     /** Drift-probe cadence of the cross-batch schema cache (SURVEY §7.4):
       * re-infer a table's payload schema every N-th non-empty batch;

@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt from a unique tie-break column (so re-runs salt
-    * identically — required for checkpoint-replay convergence). */
+  /** Stable bucket id from key columns — one definition for the salting
+    * path and the bucketed merge target's layout (re-runs must bucket
+    * identically for checkpoint-replay convergence). */
+  def keyBucket(keys: Seq[Column], buckets: Int): Column =
+    pmod(xxhash64(keys: _*), lit(buckets.toLong)).cast("int")
+
+  /** Deterministic salt from a unique tie-break column. */
   def saltFrom(unique: Column, saltBuckets: Int): Column =
-    pmod(xxhash64(unique), lit(saltBuckets.toLong)).cast("int")
+    keyBucket(Seq(unique), saltBuckets)
 
   /** Two-phase last-write-wins: identical semantics to
     * [[Dedup.latestPerKey]] for any total `order`, straggler-free under

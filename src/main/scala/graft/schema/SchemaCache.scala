@@ -1,6 +1,6 @@
 package graft.schema
 
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, StructType}
 
 /** Cross-batch payload-schema cache with a periodic drift probe
   * (SURVEY.md §7.4; judge r2 item 2).
@@ -68,12 +68,25 @@ object SchemaCache {
 
   /** Merge a freshly probed schema into the cached one: cached field order
     * is kept (stable target layout), drifted types take the fresh type,
-    * fields absent from the probe batch are retained, new fields append. */
+    * fields absent from the probe batch are retained, new fields append.
+    * Recursive through structs (and arrays of structs): a probe batch
+    * whose records lack a *nested* optional field must not narrow the
+    * parent struct either. */
   def merge(cached: StructType, fresh: StructType): StructType = {
     val freshByName = fresh.fields.map(f => f.name -> f).toMap
     val cachedNames = cached.fieldNames.toSet
     StructType(
-      cached.fields.map(f => freshByName.getOrElse(f.name, f)) ++
-        fresh.fields.filterNot(f => cachedNames.contains(f.name)))
+      cached.fields.map { f =>
+        freshByName.get(f.name) match {
+          case Some(nf) => (f.dataType, nf.dataType) match {
+            case (o: StructType, n: StructType) =>
+              nf.copy(dataType = merge(o, n))
+            case (ArrayType(o: StructType, _), ArrayType(n: StructType, ncn)) =>
+              nf.copy(dataType = ArrayType(merge(o, n), ncn))
+            case _ => nf
+          }
+          case None => f
+        }
+      } ++ fresh.fields.filterNot(f => cachedNames.contains(f.name)))
   }
 }

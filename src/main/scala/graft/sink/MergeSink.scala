@@ -1,7 +1,7 @@
 package graft.sink
 
 import graft.config.TableSpec
-import graft.operators.MergeOps
+import graft.operators.{MergeOps, Skew}
 import graft.schema.SchemaEvolution
 import graft.schema.SchemaEvolution.ColumnDef
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -37,10 +37,16 @@ private[sink] object DirSwap {
     f.delete(); ()
   }
 
-  /** Replace `dst` with `src` via a `.old` hop; `src` absent ⇒ `dst` is
-    * removed (the "bucket emptied by deletes" case). */
-  def swap(src: java.io.File, dst: java.io.File): Unit = {
-    val old = new java.io.File(dst.getPath + ".old")
+  /** Replace `dst` with `src` via an `old` hop directory. `old` must live
+    * OUTSIDE any directory Spark lists as a table (a hop inside a
+    * partitioned table path would be discovered as a bogus partition after
+    * a crash). With `allowMissingSrc` (the "bucket emptied by deletes"
+    * case) a missing `src` removes `dst`; otherwise it throws — a missing
+    * tmp on the whole-table path is a failed write, not a delete. */
+  def swap(src: java.io.File, dst: java.io.File, old: java.io.File,
+           allowMissingSrc: Boolean = false): Unit = {
+    if (!allowMissingSrc && !src.exists())
+      throw new java.io.IOException(s"cannot swap in $src: missing")
     if (old.exists()) rmTree(old)
     if (dst.exists() && !dst.renameTo(old))
       throw new java.io.IOException(s"cannot swap out $dst")
@@ -72,15 +78,16 @@ final class ParquetMergeTarget(path: String, metaCols: Seq[String] = Seq("op_aws
         .drop(metaCols: _*)
       else {
         val target = spark.read.parquet(path)
-        if (spec.skipDelete) MergeOps.mergeSkipDelete(target, stage, spec.primaryKey, metaCols)
-        else MergeOps.merge(target, stage, spec.primaryKey, isDelete, metaCols)
+        if (spec.skipDelete) MergeOps.mergeSkipDelete(target, stage, spec.mergeKeys, metaCols)
+        else MergeOps.merge(target, stage, spec.mergeKeys, isDelete, metaCols)
       }
     // Write to a sibling tmp dir, then swap — a crashed batch never leaves
     // a half-written target (same discipline as the reference's
     // single-transaction merge).
     val tmp = path + ".tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    DirSwap.swap(new java.io.File(tmp), new java.io.File(path))
+    DirSwap.swap(new java.io.File(tmp), new java.io.File(path),
+      new java.io.File(path + ".old"))
   }
 }
 
@@ -112,36 +119,59 @@ final class BucketedParquetMergeTarget(path: String, buckets: Int = 64,
 
   def snapshot(spark: SparkSession): DataFrame = {
     require(exists, s"no target at $path")
-    spark.read.parquet(path).drop(Kb)
+    spark.read.option("mergeSchema", "true").parquet(path).drop(Kb)
   }
+
+  /** The layout marker: a table is bucketed iff it has `kb_aws=` partition
+    * directories. A pre-existing unbucketed target (written by
+    * [[ParquetMergeTarget]]) is migrated in one whole-table rewrite on its
+    * first merge here, then every later batch takes the pruned path. */
+  private def isBucketedLayout: Boolean =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith(s"$Kb="))
 
   def merge(stage: DataFrame, spec: TableSpec): Unit = {
     val spark = stage.sparkSession
-    // Mongo specs key on the extracted doc id (see CdcPipeline.keysOf).
-    val keys = if (spec.primaryKey.nonEmpty) spec.primaryKey else Seq("doc_id")
+    val keys = spec.mergeKeys
     val isDelete = col("op_aws") === "d"
-    val staged = stage.withColumn(Kb,
-      pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong)).cast("int"))
-    // ≤ `buckets` distinct values — a bounded driver-side collect by design.
-    val touched = staged.select(Kb).distinct().collect().map(_.getInt(0)).sorted
-    val merged =
-      if (!exists) staged.filter(if (spec.skipDelete) lit(true) else !isDelete)
-        .drop(metaCols: _*)
-      else {
-        // Partition pruning: only the touched bucket directories are read.
-        val target = spark.read.parquet(path).filter(col(Kb).isin(touched.toIndexedSeq: _*))
+    val bucketOf = Skew.keyBucket(keys.map(col), buckets)
+    val staged = stage.withColumn(Kb, bucketOf)
+    val tmp = path + ".tmp"
+    if (!exists || !isBucketedLayout) {
+      // Create — or migrate an unbucketed target in one whole-table pass.
+      val merged =
+        if (!exists) staged.filter(if (spec.skipDelete) lit(true) else !isDelete)
+          .drop(metaCols: _*)
+        else {
+          val target = spark.read.parquet(path) // legacy layout: no Kb column
+          val m = if (spec.skipDelete)
+            MergeOps.mergeSkipDelete(target, staged.drop(Kb), keys, metaCols)
+          else MergeOps.merge(target, staged.drop(Kb), keys, isDelete, metaCols)
+          m.withColumn(Kb, bucketOf)
+        }
+      merged.write.mode(SaveMode.Overwrite).partitionBy(Kb).parquet(tmp)
+      DirSwap.swap(new java.io.File(tmp), new java.io.File(path),
+        new java.io.File(path + ".old"))
+    } else {
+      // ≤ `buckets` distinct values — a bounded driver-side collect by design.
+      val touched = staged.select(Kb).distinct().collect().map(_.getInt(0)).sorted
+      // Partition pruning: only the touched bucket directories are read.
+      // mergeSchema: buckets rewritten after a schema drift carry wider
+      // files than untouched ones; a single-footer sample must not drop
+      // the drifted columns from kept rows (footer-only cost).
+      val target = spark.read.option("mergeSchema", "true").parquet(path)
+        .filter(col(Kb).isin(touched.toIndexedSeq: _*))
+      val merged =
         if (spec.skipDelete) MergeOps.mergeSkipDelete(target, staged, keys, metaCols)
         else MergeOps.merge(target, staged, keys, isDelete, metaCols)
-      }
-    val tmp = path + ".tmp"
-    merged.write.mode(SaveMode.Overwrite).partitionBy(Kb).parquet(tmp)
-    if (!exists) {
-      DirSwap.swap(new java.io.File(tmp), new java.io.File(path))
-    } else {
+      merged.write.mode(SaveMode.Overwrite).partitionBy(Kb).parquet(tmp)
       // Swap only the touched buckets; a bucket whose merged output is
-      // empty (all rows deleted) has no tmp dir and is removed.
+      // empty (all rows deleted) has no tmp dir and is removed. The `.old`
+      // hops are SIBLINGS of the table directory — a crash mid-swap must
+      // not leave a bogus `kb_aws=N.old` partition inside the table.
       touched.foreach { b =>
-        DirSwap.swap(new java.io.File(s"$tmp/$Kb=$b"), new java.io.File(s"$path/$Kb=$b"))
+        DirSwap.swap(new java.io.File(s"$tmp/$Kb=$b"), new java.io.File(s"$path/$Kb=$b"),
+          new java.io.File(s"$path.old-$Kb=$b"), allowMissingSrc = true)
       }
       DirSwap.rmTree(new java.io.File(tmp))
     }

@@ -45,6 +45,8 @@ object CdcPipeline {
     require(DedupStrategies.contains(spec.dedupStrategy),
       s"table ${spec.db}.${spec.table}: unknown dedup_strategy '${spec.dedupStrategy}' " +
         s"(expected one of ${DedupStrategies.mkString("/")})")
+    require(spec.saltBuckets >= 1,
+      s"table ${spec.db}.${spec.table}: salt_buckets must be >= 1, got ${spec.saltBuckets}")
   }
 
   /** Strategy-dispatching LWW dedup (judge r2 item 1: hot-key protection in
@@ -108,7 +110,14 @@ object CdcPipeline {
     * records that routed and passed the op filter yet parse to an all-null
     * key (malformed payload). The streaming path counts this side against
     * `maxerror` (T7 — ref redshift_sink.py:356-358); query/one-shot callers
-    * ignore it and pay nothing (it is never evaluated unless acted on). */
+    * ignore it and pay nothing (it is never evaluated unless acted on).
+    *
+    * Scope, deliberately: rows dropped by the op whitelist do NOT count —
+    * they are operational traffic by definition (Canal DDL, Mongo
+    * invalidate, DMS control; ref P7 filters them routinely), and a record
+    * whose op failed to canonicalize is indistinguishable from those at
+    * this layer. `maxerror` bounds *payload-malformed data rows*, the same
+    * class the reference's COPY-stage maxerror tolerates. */
   private def normalizeSplit(routed: DataFrame, spec: TableSpec, format: CdcFormat,
                              payload: Option[StructType],
                              valueCol: String,

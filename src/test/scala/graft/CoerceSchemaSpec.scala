@@ -109,6 +109,13 @@ class CoerceSchemaSpec extends SparkSuite {
     cache.invalidate("t")
     val v3 = StructType(Seq(StructField("id", StringType)))
     assert(cache.payloadFor("t", () => v3)("id").dataType == StringType)
+    // nested: a probe lacking an optional nested field keeps it (recursive merge)
+    val metaAB = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val metaA = StructType(Seq(StructField("a", LongType)))
+    val mergedNested = graft.schema.SchemaCache.merge(
+      StructType(Seq(StructField("meta", metaAB))),
+      StructType(Seq(StructField("meta", metaA))))
+    assert(mergedNested("meta").dataType == metaAB)
   }
 
   test("properties + sync_table_list parsing (incl. the 'ture' typo)") {

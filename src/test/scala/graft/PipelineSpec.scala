@@ -347,6 +347,26 @@ class PipelineSpec extends SparkSuite {
     assert(!bt.snapshot(spark).select("id").as[Long].collect().toSet.exists(victimIds.contains))
   }
 
+  test("bucketed target migrates a legacy unbucketed layout in place") {
+    import graft.sink.BucketedParquetMergeTarget
+    val root = Files.createTempDirectory("graft-migrate").toString
+    val spec = TableSpec("d", "t", Seq("id"))
+    def stage(rows: Seq[(Long, String, String)]) = rows.toDF("id", "v", "op_aws")
+    // legacy target written by the whole-table sink
+    new ParquetMergeTarget(s"$root/t").merge(stage((1 to 20).map(i => (i.toLong, s"v$i", "c"))), spec)
+    assert(!new java.io.File(s"$root/t").listFiles().exists(_.getName.startsWith("kb_aws=")))
+    // first bucketed merge migrates and applies the batch
+    val bt = new BucketedParquetMergeTarget(s"$root/t", buckets = 4)
+    bt.merge(stage(Seq((1L, "v1x", "u"), (2L, "x", "d"), (21L, "v21", "c"))), spec)
+    assert(new java.io.File(s"$root/t").listFiles().exists(_.getName.startsWith("kb_aws=")))
+    val got = bt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 20 && got(1L) == "v1x" && !got.contains(2L) && got(21L) == "v21")
+    // and the next merge takes the pruned per-bucket path on the new layout
+    bt.merge(stage(Seq((3L, "v3x", "u"))), spec)
+    assert(bt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toMap
+      .get(3L).contains("v3x"))
+  }
+
   test("super_as_variant: variant column survives bucketed merge + replay, variant_get readable") {
     import graft.sink.BucketedParquetMergeTarget
     import org.apache.spark.sql.functions.try_variant_get
