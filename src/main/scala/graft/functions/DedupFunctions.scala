@@ -75,20 +75,34 @@ object DedupFunctions {
                         cap: ShingleCap = ShingleCap.Auto): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val exploded0 = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val exploded = ShingleCap.resolve(cap, df) match {
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val cand = ShingleCap.resolve(cap, df) match {
       case Some(c) =>
-        // Drop shingles more frequent than `c`: they are stopword-like and
-        // would dominate the join (skew); rare shingles carry the signal.
-        val freq = exploded0.groupBy(col("s")).agg(count(lit(1)).as("f"))
-          .filter(col("f") <= c)
-        exploded0.join(freq.select(col("s")), Seq("s"))
-      case None => exploded0
+        // Capped path: collect each shingle's (bounded, ≤ c) doc group in
+        // ONE aggregation — shingles more frequent than `c` are dropped
+        // (stopword-like; they would dominate the join) — then expand the
+        // ≤ c·(c−1)/2 pairs per group with a higher-order function. One
+        // exchange on the shingle + one on the pair, vs the join
+        // formulation's four; the per-row group is bounded by the cap so
+        // the collect can never blow a task.
+        val grouped = exploded.groupBy(col("s"))
+          .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
+          .filter(size(col("ds")) <= c)
+        grouped.select(explode(flatten(transform(col("ds"), a =>
+            transform(filter(col("ds"), b => b("id") > a("id")), b =>
+              struct(a("id").as("id_a"), b("id").as("id_b"),
+                a("n_sh").as("n_a"), b("n_sh").as("n_b")))))).as("p"))
+          .select(col("p.id_a"), col("p.id_b"), col("p.n_a"), col("p.n_b"))
+      case None =>
+        // Uncapped (textbook) path: shingle self-equi-join. Group sizes are
+        // unbounded here, so the join form is the safe one.
+        val a = exploded.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
+        val b = exploded.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
+        a.join(b, Seq("s"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
     }
-    val a = exploded.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = exploded.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+    cand
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
