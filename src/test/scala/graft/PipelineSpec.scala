@@ -347,6 +347,25 @@ class PipelineSpec extends SparkSuite {
     assert(!bt.snapshot(spark).select("id").as[Long].collect().toSet.exists(victimIds.contains))
   }
 
+  test("bucketed target under schema drift: untouched old-schema buckets keep their values") {
+    import graft.sink.BucketedParquetMergeTarget
+    val root = Files.createTempDirectory("graft-drift").toString
+    val spec = TableSpec("d", "t", Seq("id"))
+    val bt = new BucketedParquetMergeTarget(s"$root/t", buckets = 8)
+    bt.merge((1 to 64).map(i => (i.toLong, s"v$i", "c")).toDF("id", "v", "op_aws"), spec)
+    // drifted batch adds `extra`; only its buckets are rewritten wider
+    bt.merge(Seq((1L, "v1x", 7L, "u")).toDF("id", "v", "extra", "op_aws"), spec)
+    val snap = bt.snapshot(spark)
+    assert(snap.columns.contains("extra"), "drifted column lost to a narrow footer sample")
+    val byId = snap.select(col("id"), col("extra")).as[(Long, Option[Long])].collect().toMap
+    assert(byId(1L).contains(7L) && byId(2L).isEmpty && byId.size == 64)
+    // a later merge must not lose old-bucket values either (read-side merge)
+    bt.merge(Seq((2L, "v2x", 8L, "u")).toDF("id", "v", "extra", "op_aws"), spec)
+    val byId2 = bt.snapshot(spark).select(col("id"), col("extra"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(byId2(1L).contains(7L) && byId2(2L).contains(8L))
+  }
+
   test("bucketed target migrates a legacy unbucketed layout in place") {
     import graft.sink.BucketedParquetMergeTarget
     val root = Files.createTempDirectory("graft-migrate").toString
