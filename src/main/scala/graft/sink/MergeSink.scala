@@ -54,6 +54,19 @@ private[sink] object DirSwap {
       throw new java.io.IOException(s"cannot swap in $src")
     if (old.exists()) rmTree(old)
   }
+
+  /** Recover an interrupted [[swap]]: a surviving hop with a missing live
+    * directory means the crash hit between swap-out and swap-in — the hop
+    * holds the ONLY copy, so restore it (a checkpoint replay would
+    * otherwise see an empty target and lose every key not in the replayed
+    * batch). A hop next to a live directory is completed-swap garbage. */
+  def recover(hop: java.io.File, dst: java.io.File): Unit =
+    if (hop.exists()) {
+      if (!dst.exists()) {
+        if (!hop.renameTo(dst))
+          throw new java.io.IOException(s"cannot restore $hop to $dst")
+      } else rmTree(hop)
+    }
 }
 
 /** Parquet-backed merge target: read-modify-write with an atomic directory
@@ -65,12 +78,17 @@ final class ParquetMergeTarget(path: String, metaCols: Seq[String] = Seq("op_aws
 
   private def exists: Boolean = new java.io.File(path).exists()
 
+  private def recover(): Unit =
+    DirSwap.recover(new java.io.File(path + ".old"), new java.io.File(path))
+
   def snapshot(spark: SparkSession): DataFrame = {
+    recover()
     require(exists, s"no target at $path")
     spark.read.parquet(path)
   }
 
   def merge(stage: DataFrame, spec: TableSpec): Unit = {
+    recover()
     val spark = stage.sparkSession
     val isDelete = col("op_aws") === "d"
     val merged =
@@ -117,7 +135,20 @@ final class BucketedParquetMergeTarget(path: String, buckets: Int = 64,
   private final val Kb = "kb_aws"
   private def exists: Boolean = new java.io.File(path).exists()
 
+  /** Restore any hop left by an interrupted swap — whole-table
+    * (`<name>.old`) and per-bucket (`<name>.old-kb_aws=N`) alike. */
+  private def recover(): Unit = {
+    val table = new java.io.File(path).getAbsoluteFile
+    DirSwap.recover(new java.io.File(table.getPath + ".old"), table)
+    val prefix = table.getName + ".old-"
+    Option(table.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+      .foreach(hop => DirSwap.recover(hop,
+        new java.io.File(table, hop.getName.stripPrefix(prefix))))
+  }
+
   def snapshot(spark: SparkSession): DataFrame = {
+    recover()
     require(exists, s"no target at $path")
     spark.read.option("mergeSchema", "true").parquet(path).drop(Kb)
   }
@@ -131,6 +162,7 @@ final class BucketedParquetMergeTarget(path: String, buckets: Int = 64,
       .exists(_.getName.startsWith(s"$Kb="))
 
   def merge(stage: DataFrame, spec: TableSpec): Unit = {
+    recover()
     val spark = stage.sparkSession
     val keys = spec.mergeKeys
     val isDelete = col("op_aws") === "d"

@@ -366,6 +366,34 @@ class PipelineSpec extends SparkSuite {
     assert(byId2(1L).contains(7L) && byId2(2L).contains(8L))
   }
 
+  test("interrupted swap recovery: a surviving .old hop is restored, not lost") {
+    import graft.sink.BucketedParquetMergeTarget
+    val root = Files.createTempDirectory("graft-recover").toString
+    val spec = TableSpec("d", "t", Seq("id"))
+    def stage(rows: Seq[(Long, String, String)]) = rows.toDF("id", "v", "op_aws")
+    // bucketed: crash left a bucket's only copy in its sibling hop
+    val bt = new BucketedParquetMergeTarget(s"$root/t", buckets = 4)
+    bt.merge(stage((1 to 32).map(i => (i.toLong, s"v$i", "c"))), spec)
+    val all = bt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toMap
+    val someBucket = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.startsWith("kb_aws=")).head
+    assert(someBucket.renameTo(new java.io.File(s"$root/t.old-${someBucket.getName}")))
+    assert(bt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toMap == all)
+    // and a merge after the "crash" still sees every pre-crash key
+    val other = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.startsWith("kb_aws=")).head
+    assert(other.renameTo(new java.io.File(s"$root/t.old-${other.getName}")))
+    bt.merge(stage(Seq((1L, "v1x", "u"))), spec)
+    val after = bt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toMap
+    assert(after == all + (1L -> "v1x"))
+    // whole-table target: same crash shape on the table directory itself
+    val pt = new ParquetMergeTarget(s"$root/p")
+    pt.merge(stage(Seq((1L, "a", "c"), (2L, "b", "c"))), spec)
+    assert(new java.io.File(s"$root/p").renameTo(new java.io.File(s"$root/p.old")))
+    assert(pt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b"))
+  }
+
   test("bucketed target migrates a legacy unbucketed layout in place") {
     import graft.sink.BucketedParquetMergeTarget
     val root = Files.createTempDirectory("graft-migrate").toString
