@@ -78,16 +78,21 @@ object DedupFunctions {
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val cand = ShingleCap.resolve(cap, df) match {
       case Some(c) =>
-        // Capped path: collect each shingle's (bounded, ≤ c) doc group in
-        // ONE aggregation — shingles more frequent than `c` are dropped
-        // (stopword-like; they would dominate the join) — then expand the
-        // ≤ c·(c−1)/2 pairs per group with a higher-order function. One
-        // exchange on the shingle + one on the pair, vs the join
-        // formulation's four; the per-row group is bounded by the cap so
-        // the collect can never blow a task.
-        val grouped = exploded.groupBy(col("s"))
+        // Capped path, in two constant-memory phases:
+        //  1. count per shingle (partial-agg counters — NOT a collect; a
+        //     hyper-frequent stopword shingle must never be materialized
+        //     as one in-memory group) and keep only shingles ≤ c;
+        //  2. join the keep-set back, THEN collect each surviving
+        //     shingle's doc group — now genuinely bounded by the cap —
+        //     and expand its ≤ c·(c−1)/2 pairs with a higher-order
+        //     function. The collect agg reuses the join's shingle
+        //     partitioning (no extra exchange), and the pair expansion
+        //     replaces the self-join's two exchanges with none.
+        val keep = exploded.groupBy(col("s")).agg(count(lit(1)).as("f"))
+          .filter(col("f") <= c).select(col("s"))
+        val grouped = exploded.join(keep, Seq("s"))
+          .groupBy(col("s"))
           .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
-          .filter(size(col("ds")) <= c)
         grouped.select(explode(flatten(transform(col("ds"), a =>
             transform(filter(col("ds"), b => b("id") > a("id")), b =>
               struct(a("id").as("id_a"), b("id").as("id_b"),

@@ -161,6 +161,14 @@ final class BucketedParquetMergeTarget(path: String, buckets: Int = 64,
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .exists(_.getName.startsWith(s"$Kb="))
 
+  /** A legacy (unbucketed) table has data files at the top level. A
+    * directory with neither bucket dirs nor data files — e.g. a bucketed
+    * table whose every key was deleted (all bucket dirs removed) — must be
+    * treated as absent, not migrated (reading it would fail forever). */
+  private def hasLegacyDataFiles: Boolean =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".parquet"))
+
   def merge(stage: DataFrame, spec: TableSpec): Unit = {
     recover()
     val spark = stage.sparkSession
@@ -171,9 +179,12 @@ final class BucketedParquetMergeTarget(path: String, buckets: Int = 64,
     val tmp = path + ".tmp"
     if (!exists || !isBucketedLayout) {
       // Create — or migrate an unbucketed target in one whole-table pass.
+      // A dir with neither layout (bucketed table fully emptied by
+      // deletes) is a create, not a migration.
       val merged =
-        if (!exists) staged.filter(if (spec.skipDelete) lit(true) else !isDelete)
-          .drop(metaCols: _*)
+        if (!exists || !hasLegacyDataFiles)
+          staged.filter(if (spec.skipDelete) lit(true) else !isDelete)
+            .drop(metaCols: _*)
         else {
           val target = spark.read.parquet(path) // legacy layout: no Kb column
           val m = if (spec.skipDelete)
@@ -187,15 +198,27 @@ final class BucketedParquetMergeTarget(path: String, buckets: Int = 64,
     } else {
       // ≤ `buckets` distinct values — a bounded driver-side collect by design.
       val touched = staged.select(Kb).distinct().collect().map(_.getInt(0)).sorted
-      // Partition pruning: only the touched bucket directories are read.
-      // mergeSchema: buckets rewritten after a schema drift carry wider
-      // files than untouched ones; a single-footer sample must not drop
-      // the drifted columns from kept rows (footer-only cost).
-      val target = spark.read.option("mergeSchema", "true").parquet(path)
-        .filter(col(Kb).isin(touched.toIndexedSeq: _*))
+      // Read ONLY the touched bucket directories (listed explicitly with
+      // basePath so Kb survives as a partition column): both the data AND
+      // the mergeSchema footer pass stay O(touched buckets) — a
+      // whole-table read with a runtime filter would still pay schema
+      // inference over every file in the table each trigger. mergeSchema:
+      // buckets rewritten after a schema drift carry wider files than
+      // untouched ones; a single-footer sample must not drop the drifted
+      // columns from kept rows.
+      val touchedDirs = touched.map(b => new java.io.File(s"$path/$Kb=$b"))
+        .filter(_.exists()).map(_.getPath)
       val merged =
-        if (spec.skipDelete) MergeOps.mergeSkipDelete(target, staged, keys, metaCols)
-        else MergeOps.merge(target, staged, keys, isDelete, metaCols)
+        if (touchedDirs.isEmpty)
+          // none of the batch's buckets exist yet: nothing to merge against
+          staged.filter(if (spec.skipDelete) lit(true) else !isDelete)
+            .drop(metaCols: _*)
+        else {
+          val target = spark.read.option("mergeSchema", "true")
+            .option("basePath", path).parquet(touchedDirs.toIndexedSeq: _*)
+          if (spec.skipDelete) MergeOps.mergeSkipDelete(target, staged, keys, metaCols)
+          else MergeOps.merge(target, staged, keys, isDelete, metaCols)
+        }
       merged.write.mode(SaveMode.Overwrite).partitionBy(Kb).parquet(tmp)
       // Swap only the touched buckets; a bucket whose merged output is
       // empty (all rows deleted) has no tmp dir and is removed. The `.old`
@@ -299,7 +322,9 @@ final class JdbcMergeSink(url: String, connProps: Properties = new Properties(),
         try {
           // Table names stay unquoted (engines upper-fold them consistently);
           // column names are quoted lower-case to match Spark's JDBC writer.
-          val on = spec.primaryKey
+          // mergeKeys, not primaryKey: a Mongo spec with no configured key
+          // merges on the extracted doc_id, same as the parquet targets.
+          val on = spec.mergeKeys
             .map(k => s"$target.${q(k)} = $staging.${q(k)}").mkString(" AND ")
           // Delete phase always clears matched keys; with skip_delete the
           // "deleted" row is then re-inserted as a regular upsert.

@@ -28,11 +28,15 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   */
 object CdcPipeline {
 
-  private def keysOf(spec: TableSpec, format: CdcFormat): Seq[String] =
-    if (spec.primaryKey.nonEmpty) spec.primaryKey
-    else if (format == graft.envelope.MongoCdc) Seq("doc_id") // Mongo key is always doc_id
-    else throw new IllegalArgumentException(
-      s"table ${spec.db}.${spec.table}: primary_key is required for ${format.name}")
+  private def keysOf(spec: TableSpec, format: CdcFormat): Seq[String] = {
+    // Mongo's extracted doc_id is the only permitted fallback; the actual
+    // key selection is TableSpec.mergeKeys — ONE definition shared with
+    // every sink so dedup, bucketing, and merge can never key differently.
+    if (spec.primaryKey.isEmpty && format != graft.envelope.MongoCdc)
+      throw new IllegalArgumentException(
+        s"table ${spec.db}.${spec.table}: primary_key is required for ${format.name}")
+    spec.mergeKeys
+  }
 
   private val DedupStrategies = Set("window", "agg", "salted")
 

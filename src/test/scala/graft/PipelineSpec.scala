@@ -394,6 +394,20 @@ class PipelineSpec extends SparkSuite {
       Map(1L -> "a", 2L -> "b"))
   }
 
+  test("bucketed target survives a batch deleting every key") {
+    import graft.sink.BucketedParquetMergeTarget
+    val root = Files.createTempDirectory("graft-empty").toString
+    val spec = TableSpec("d", "t", Seq("id"))
+    def stage(rows: Seq[(Long, String, String)]) = rows.toDF("id", "v", "op_aws")
+    val bt = new BucketedParquetMergeTarget(s"$root/t", buckets = 4)
+    bt.merge(stage((1 to 8).map(i => (i.toLong, s"v$i", "c"))), spec)
+    bt.merge(stage((1 to 8).map(i => (i.toLong, "x", "d"))), spec) // empties every bucket
+    // the next merge must treat the data-less dir as absent, not "legacy"
+    bt.merge(stage(Seq((9L, "v9", "c"))), spec)
+    assert(bt.snapshot(spark).select("id", "v").as[(Long, String)].collect().toMap ==
+      Map(9L -> "v9"))
+  }
+
   test("bucketed target migrates a legacy unbucketed layout in place") {
     import graft.sink.BucketedParquetMergeTarget
     val root = Files.createTempDirectory("graft-migrate").toString
