@@ -17,8 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CdcApp {
 
-  def session(appName: String, workers: Int): SparkSession =
-    SparkSession.builder()
+  def session(appName: String, workers: Int): SparkSession = {
+    val b = SparkSession.builder()
       .appName(appName)
       // FAIR scheduling so the per-table concurrent jobs share executors
       // (ref emr_ec2/cdc_redshift.py:30).
@@ -27,7 +27,12 @@ object CdcApp {
       .config("spark.sql.session.timeZone", "UTC")
       // Speculation duplicates staging writes (ref README.md:141).
       .config("spark.speculation", "false")
-      .getOrCreate()
+    // CDC micro-batches are small relative to the 200 default; 32 suits a
+    // single-host run and AQE coalesces further at runtime. A cluster
+    // submit that passes --conf spark.sql.shuffle.partitions wins.
+    (if (sys.props.contains("spark.sql.shuffle.partitions")) b
+     else b.config("spark.sql.shuffle.partitions", "32")).getOrCreate()
+  }
 
   def sinkFactory(spark: SparkSession, sinkSpec: String): TableSpec => MergeTarget = {
     if (sinkSpec.startsWith("jdbc:")) {
