@@ -538,6 +538,28 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("CdcApp wiring: sinkFactory directory mode streams into bucketed targets") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-app").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val cfg = JobConfig(tables = Seq(t0, t1), threadMaxWorkers = 2,
+      batchTimeoutMinutes = 5, checkpointLocation = s"$root/ckpt")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.json"),
+      CdcGen.debezium(events).as[String].collect().mkString("\n").getBytes)
+    val sinkFor = graft.streaming.CdcApp.sinkFactory(spark, s"$root/targets")
+    val q = CdcPipeline.streamWriter(spark.readStream.text(in).toDF(), cfg,
+        FlinkDebeziumCdc, sinkFor)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the factory's targets are bucketed: kb_aws partition dirs on disk,
+    // snapshot hides the layout column
+    assert(new java.io.File(s"$root/targets/t0").listFiles()
+      .exists(_.getName.startsWith("kb_aws=")))
+    val snap = sinkFor(t0).snapshot(spark)
+    assert(!snap.columns.contains("kb_aws"))
+    assert(snap.select("id").as[Long].collect().forall(_ % 2 == 0) && snap.count() > 0)
+  }
+
   test("streaming: MemoryStream micro-batches through foreachBatch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
