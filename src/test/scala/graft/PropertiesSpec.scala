@@ -88,12 +88,46 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
-  test("window LWW ≡ max_by LWW on random logs (incl. ties)") {
+  test("window LWW ≡ max_by LWW ≡ salted LWW on random logs (incl. ties)") {
     for (log <- samples(genLog, 8) if log.nonEmpty) {
       val w = dedup(df(log)).as[(Long, Long, Int, Long, String, String)].collect().toSet
       val a = Dedup.latestPerKeyAgg(df(log), Seq("id"), order)
         .as[(Long, Long, Int, Long, String, String)].collect().toSet
       assert(w == a, s"log=$log")
+      for (buckets <- Seq(1, 3, 16)) {
+        val s = graft.operators.Skew.saltedLatestPerKey(df(log), Seq("id"), order,
+            col("eid"), buckets)
+          .as[(Long, Long, Int, Long, String, String)].collect().toSet
+        assert(w == s, s"buckets=$buckets log=$log")
+      }
+    }
+  }
+
+  test("SchemaCache.merge: idempotent, name-preserving, fresh types win (random nested schemas)") {
+    import org.apache.spark.sql.types._
+    val leaf: Gen[DataType] = Gen.oneOf(StringType, LongType, DoubleType, BooleanType)
+    def genStruct(depth: Int): Gen[StructType] = for {
+      n <- Gen.choose(1, 4)
+      names <- Gen.pick(n, Seq("a", "b", "c", "d", "e", "f"))
+      fields <- Gen.sequence[Seq[StructField], StructField](names.map { nm =>
+        (if (depth > 0) Gen.frequency(3 -> leaf, 1 -> genStruct(depth - 1)) else leaf)
+          .map(dt => StructField(nm, dt))
+      })
+    } yield StructType(fields)
+    val pairs = samples(Gen.zip(genStruct(2), genStruct(2)), 40)
+    for ((cached, fresh) <- pairs) {
+      val m = graft.schema.SchemaCache.merge(cached, fresh)
+      // idempotent on itself; never loses a name from either side
+      assert(graft.schema.SchemaCache.merge(cached, cached) == cached)
+      assert((cached.fieldNames ++ fresh.fieldNames).toSet == m.fieldNames.toSet)
+      // cached order is a prefix; fresh-only names append in fresh order
+      assert(m.fieldNames.take(cached.fieldNames.length).toSeq == cached.fieldNames.toSeq)
+      // for shared non-struct fields the fresh type wins
+      for (f <- fresh.fields; cf <- cached.fields.find(_.name == f.name)
+           if !cf.dataType.isInstanceOf[StructType] || !f.dataType.isInstanceOf[StructType])
+        assert(m(f.name).dataType == f.dataType, s"cached=$cached fresh=$fresh")
+      // merging the merge with fresh again changes nothing (stable)
+      assert(graft.schema.SchemaCache.merge(m, fresh) == m)
     }
   }
 
