@@ -32,8 +32,10 @@ final case class TableSpec(
     tableIsRegex: Boolean = false,
     /** LWW dedup physical strategy: "window" (WindowGroupLimit top-1),
       * "agg" (partial-aggregating max_by — spill-free under per-key skew),
-      * or "salted" (two-phase (key,salt)→key — bounded task size for hot
-      * keys taking a large fraction of a batch). Semantics are identical;
+      * "salted" (two-phase (key,salt)→key — bounded task size for hot
+      * keys taking a large fraction of a batch), or "auto" (per-batch
+      * sampled hot-key probe picks one of the three — see
+      * [[graft.operators.Skew.chooseStrategy]]). Semantics are identical;
       * see [[graft.operators.Dedup]] / [[graft.operators.Skew]]. */
     dedupStrategy: String = "window",
     /** Salt fan-out for `dedup_strategy=salted`. */

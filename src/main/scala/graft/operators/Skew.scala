@@ -38,4 +38,48 @@ object Skew {
     val partial = Dedup.latestPerKey(salted, keys :+ "salt_aws", order)
     Dedup.latestPerKey(partial.drop("salt_aws"), keys, order)
   }
+
+  /** Sampled strategy chooser backing `dedup_strategy=auto`: picks the LWW
+    * physical strategy from the batch's *actual* key distribution instead
+    * of a static per-table setting (the distribution shifts over a stream's
+    * life — a key is hot during a backfill, cold after).
+    *
+    * Probe cost: one `count` over the (already cached) routed slice plus
+    * one aggregation over a ~`sampleTarget`-row hash sample — the sample
+    * shuffle carries only sampled keys. The sample is taken by hashing the
+    * full row (`pmod(xxhash64(*), n/sampleTarget) = 0`), so it is
+    * row-level (per-key share is preserved in expectation) and
+    * deterministic across checkpoint replays — the same batch always
+    * probes, and therefore dedups, the same way (T3). All three outcomes
+    * produce identical winners regardless, so a sampling misjudgment costs
+    * only efficiency, never correctness.
+    *
+    * Decision rule:
+    *  - fewer than `minRows` rows: `window` — skew cannot form a straggler
+    *    on a batch this small, and the probe itself would dominate;
+    *  - one key holds ≥ `hotKeyShare` of the sample: `salted` — bounded
+    *    task size no matter how dominant the key;
+    *  - mean rows-per-key ≥ `dupFactor`: `agg` — map-side combine collapses
+    *    the duplication before the shuffle;
+    *  - otherwise `window` (shuffle already carries ~#keys rows). */
+  def chooseStrategy(df: DataFrame, keys: Seq[String],
+                     minRows: Long = 100000L, sampleTarget: Long = 10000L,
+                     hotKeyShare: Double = 0.05, dupFactor: Double = 4.0): String = {
+    val n = df.count()
+    if (n < minRows) "window"
+    else {
+      val everyNth = math.max(1L, n / sampleTarget)
+      val sampled = df.filter(
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(everyNth)) === 0)
+      val row = sampled.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(sum("c"), max("c"), count(lit(1))).head()
+      if (row.isNullAt(0) || row.getLong(0) == 0L) "window"
+      else {
+        val (total, maxc, distinct) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        if (maxc.toDouble / total >= hotKeyShare) "salted"
+        else if (total.toDouble / distinct >= dupFactor) "agg"
+        else "window"
+      }
+    }
+  }
 }

@@ -38,7 +38,7 @@ object CdcPipeline {
     spec.mergeKeys
   }
 
-  private val DedupStrategies = Set("window", "agg", "salted")
+  private val DedupStrategies = Set("window", "agg", "salted", "auto")
 
   private def cacheKey(spec: TableSpec, format: CdcFormat): String =
     s"${format.name}/${spec.db}.${spec.table}"
@@ -68,7 +68,14 @@ object CdcPipeline {
     val base = if (deleteOnly) df.filter(col(format.OpCol) === "d") else df
     val keys = keysOf(spec, format)
     val order = lwwOrder(format, base)
-    spec.dedupStrategy match {
+    // `auto` resolves per batch from the observed key distribution (a key
+    // is hot during a backfill, cold after) — deterministic hash-sampled
+    // probe, so replays of the same batch resolve identically (T3).
+    val strategy = spec.dedupStrategy match {
+      case "auto" => Skew.chooseStrategy(base, keys)
+      case s => s
+    }
+    strategy match {
       case "agg" => Dedup.latestPerKeyAgg(base, keys, order)
       // The content hash (last order component) is the deterministic salt
       // source: identical across checkpoint replays (T3).

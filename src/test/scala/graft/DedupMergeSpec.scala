@@ -90,6 +90,25 @@ class DedupMergeSpec extends SparkSuite {
     assert(salted.filter(col("id") === 1L).select("v").as[String].head() == "h500")
   }
 
+  test("chooseStrategy: hot key → salted, high dup → agg, unique/small → window") {
+    import graft.operators.Skew
+    val spark2 = spark
+    import spark2.implicits._
+    // below minRows the probe short-circuits to window regardless of shape
+    val small = (1L to 10000L).map(x => (1L, x)).toDF("id", "u")
+    assert(Skew.chooseStrategy(small, Seq("id")) == "window")
+    // one key takes 30% of 150k rows → salted
+    val hot = spark.range(150000).select(
+      when(col("id") < 45000, 1L).otherwise(col("id")).as("id"), col("id").as("u"))
+    assert(Skew.chooseStrategy(hot, Seq("id")) == "salted")
+    // uniform 150× duplication, no key above the hot share → agg
+    val dup = spark.range(150000).select((col("id") % 1000).as("id"), col("id").as("u"))
+    assert(Skew.chooseStrategy(dup, Seq("id")) == "agg")
+    // mostly-unique keys → window
+    val uniq = spark.range(150000).select(col("id"), col("id").as("u"))
+    assert(Skew.chooseStrategy(uniq, Seq("id")) == "window")
+  }
+
   test("as-of join: latest right ≤ left ts, same-instant visible, no-match null") {
     import graft.operators.AsOfJoin
     val l = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 10L, "e3"))

@@ -110,7 +110,7 @@ class PipelineSpec extends SparkSuite {
     val cold = (1 to 7000).map(i => ev(2L * (i % 500) + 4, 3000L + i, i.toLong,
       if (i % 11 == 0) "d" else "u"))
     val batch = scala.util.Random.shuffle(hot ++ cold).toDF("value")
-    val targets = Seq("window", "agg", "salted").map { strategy =>
+    val targets = Seq("window", "agg", "salted", "auto").map { strategy =>
       val dir = Files.createTempDirectory(s"graft-skew-$strategy").toString
       val spec = t0.copy(saveDelete = true, dedupStrategy = strategy, saltBuckets = 8)
       val cfg = JobConfig(tables = Seq(spec), threadMaxWorkers = 2,
@@ -124,6 +124,7 @@ class PipelineSpec extends SparkSuite {
     assert(targets(0)._1.nonEmpty && targets(0)._2.nonEmpty)
     assert(targets(1) == targets(0), "agg != window")
     assert(targets(2) == targets(0), "salted != window")
+    assert(targets(3) == targets(0), "auto != window")
   }
 
   test("maxerror: under-threshold quarantines, over-threshold fails the batch") {
