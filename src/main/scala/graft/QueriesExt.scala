@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{DedupFunctions, Multimodal, Similarity, TextFunctions}
+import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -184,6 +185,39 @@ object QueriesExt {
        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2)
        |${jaccardSelectSql("j")}""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Near-dup *clusters*: q15's pair list closed into connected components
+    * ([[ConnectedComponents]] — alternating large-star/small-star), every
+    * sampled document labeled with its cluster's minimum doc_id and a
+    * `keep` flag on the canonical representative. This is the step that
+    * makes pair-finding actionable at corpus scale: "drop all but one doc
+    * per duplicate cluster" is a transitive property, not a pairwise one.
+    * The oracle replays the transitive closure with a recursive CTE. */
+  def q39DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupFunctions.ngramJaccardPairs(
+      docsSample(s, dir), "text", "doc_id",
+      n = 2, threshold = 0.05, cap = DedupFunctions.ShingleCap.Uncapped)
+    val comp = ConnectedComponents.components(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    docsSample(s, dir).select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("keep", col("doc_id") === col("component"))
+  }
+  val q39Sql: String =
+    s"""WITH RECURSIVE ${jaccardCtes.stripPrefix("WITH ")},
+       |p AS (${jaccardSelectSql("j")}),
+       |ed AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(id, comp) AS (
+       |  SELECT s, s FROM ed
+       |  UNION
+       |  SELECT ed.d, r.comp FROM reach r JOIN ed ON ed.s = r.id),
+       |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+       |nodes AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+       |SELECT n.doc_id, coalesce(c.component, n.doc_id) AS component,
+       |       n.doc_id = coalesce(c.component, n.doc_id) AS keep
+       |FROM nodes n LEFT JOIN cc c ON c.id = n.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q16
   /** SimHash signatures, portable variant: md5-derived per-token bits,
@@ -912,6 +946,7 @@ object QueriesExt {
     "q33_lsh_ann" -> (q33LshAnn _),
     "q34_salted_lww" -> (q34SaltedLww _),
     "q35_capped_jaccard" -> (q35CappedJaccard _),
+    "q39_dedup_clusters" -> (q39DedupClusters _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -952,6 +987,7 @@ object QueriesExt {
     "q33_lsh_ann" -> q33Sql,
     "q34_salted_lww" -> q34Sql,
     "q35_capped_jaccard" -> q35Sql,
+    "q39_dedup_clusters" -> q39Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

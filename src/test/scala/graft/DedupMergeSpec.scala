@@ -109,6 +109,36 @@ class DedupMergeSpec extends SparkSuite {
     assert(Skew.chooseStrategy(uniq, Seq("id")) == "window")
   }
 
+  test("connected components: chains, shared endpoints, disjoint pairs, self-loops") {
+    import graft.operators.ConnectedComponents
+    // 1-2-3-4 chain (via shared endpoints), a disjoint pair, a self-loop
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (7L, 7L)).toDF("src", "dst")
+    val got = ConnectedComponents.components(edges).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+    // empty edge set
+    assert(ConnectedComponents.components(edges.filter(col("src") < 0)).isEmpty)
+  }
+
+  test("connected components match plain-Scala union-find on a random graph") {
+    import graft.operators.ConnectedComponents
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(p => p._1 != p._2)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.groupBy(id => find(id.toInt))
+      .flatMap { case (_, ids) => val m = ids.min; ids.map(_ -> m) }.toSet
+    val got = ConnectedComponents.components(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("as-of join: latest right ≤ left ts, same-instant visible, no-match null") {
     import graft.operators.AsOfJoin
     val l = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 10L, "e3"))
