@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DedupFunctions, Multimodal, Similarity, TextFunctions}
+import graft.functions.{DedupFunctions, Multimodal, Packing, Similarity, TextFunctions}
 import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -326,6 +326,30 @@ object QueriesExt {
        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe
        |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Sequence packing ([[Packing.packDocs]]): documents laid end-to-end
+    * per shard and cut every 512 tokens — the concatenate-and-chunk
+    * scheme a training loader consumes. Packing is per-shard (shard =
+    * doc_id % 8 here; the parallelism knob at corpus scale), never a
+    * global sort. */
+  def q40PackSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.packDocs(
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        pmod(col("doc_id"), lit(8)).as("shard")),
+      col("n_tok"), 512L, col("shard"), Seq(col("doc_id")))
+  val q40Sql: String =
+    s"""WITH d AS (SELECT doc_id, len($toksSql) AS n_tok, doc_id % 8 AS shard FROM documents),
+       |c AS (SELECT doc_id, n_tok, shard,
+       |        CAST(sum(greatest(n_tok, 0)) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM d)
+       |SELECT doc_id, n_tok, shard,
+       |       (cum - greatest(n_tok, 0)) // 512 AS pack_id,
+       |       (cum - greatest(n_tok, 0)) % 512 AS pack_offset,
+       |       n_tok > 0 AND (cum - 1) // 512 > (cum - greatest(n_tok, 0)) // 512 AS straddles
+       |FROM c""".stripMargin
+
   // ---------------------------------------------------------------- q21
   /** Canonical-form document fingerprint (formatting-noise-proof md5). */
   def q21Fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -403,6 +427,49 @@ object QueriesExt {
        |        ${cosSql("q.qv", "c.v")} AS sim
        |      FROM q JOIN b c USING (bucket)
        |      WHERE q.query_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM s) WHERE rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** ANN top-10 via IVF(-flat) — the inverted-list tier next to q17
+    * (brute force) and q33 (SRP-LSH). Coarse quantizer: the deterministic
+    * corpus sample vec_id < 16 (the classic sampled-centroid init); each
+    * corpus vector joins exactly one inverted list, queries probe their 4
+    * nearest lists and re-rank exactly. The oracle recomputes assignment,
+    * probing, and re-ranking from the same table — bit-identical double
+    * folds on both engines. */
+  def q41IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    // Load the centroid model (16 rows — plan literals, like srpPlanes).
+    val centroids = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 10, nprobe = 4,
+      centroids)
+  }
+  val q41Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |a0 AS (SELECT e.vec_id, e.v, c.cid,
+       |         ${cosSql("e.v", "c.cv")} AS sim
+       |       FROM e, cent c),
+       |assign AS (SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT vec_id, v, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM a0) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+       |    SELECT vec_id, v, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM a0 WHERE vec_id < 8) WHERE rn <= 4),
+       |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |        ${cosSql("p.qv", "a.v")} AS sim
+       |      FROM probes p JOIN assign a USING (cell)
+       |      WHERE p.query_id <> a.vec_id)
        |SELECT query_id, neighbor_id, rank FROM (
        |  SELECT query_id, neighbor_id,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -947,6 +1014,8 @@ object QueriesExt {
     "q34_salted_lww" -> (q34SaltedLww _),
     "q35_capped_jaccard" -> (q35CappedJaccard _),
     "q39_dedup_clusters" -> (q39DedupClusters _),
+    "q40_pack_sequences" -> (q40PackSequences _),
+    "q41_ivf_ann" -> (q41IvfAnn _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -988,6 +1057,8 @@ object QueriesExt {
     "q34_salted_lww" -> q34Sql,
     "q35_capped_jaccard" -> q35Sql,
     "q39_dedup_clusters" -> q39Sql,
+    "q40_pack_sequences" -> q40Sql,
+    "q41_ivf_ann" -> q41Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

@@ -132,6 +132,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Cosine against a literal centroid vector (plan-time constants — the
+    * model travels in the plan, like [[srpBucketPlanes]]' planes). */
+  private def cosineLit(vec: Column, centroid: Seq[Double]): Column =
+    cosine(vec, array(centroid.map(lit): _*))
+
+  /** Scored centroid array for IVF: (sim, -id) structs, so lexicographic
+    * max/sort = highest similarity, ties to the lower centroid id. */
+  private def ivfScored(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array(centroids.map { case (id, cv) =>
+      struct(cosineLit(vec, cv).as("sim"), lit(-id).as("nid"))
+    }: _*)
+
+  /** IVF cell assignment: id of the nearest centroid (by cosine; ties →
+    * lower id). Computed inside the scan projection — the corpus is never
+    * shuffled or joined to assign cells. */
+  def ivfCell(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    (-array_max(ivfScored(vec, centroids)).getField("nid")).cast("int")
+
+  /** The `nprobe` nearest centroid ids for a query vector, best first. */
+  def ivfProbeCells(vec: Column, centroids: Seq[(Int, Seq[Double])],
+                    nprobe: Int): Column =
+    transform(slice(reverse(array_sort(ivfScored(vec, centroids))), 1, nprobe),
+      s => (-s.getField("nid")).cast("int"))
+
+  /** ANN top-k via IVF(-flat): the third tier next to [[bruteForceTopK]]
+    * (exact) and [[lshTopK]] (SRP buckets). Each corpus vector lands in
+    * exactly one inverted list (nearest centroid); a query scans only its
+    * `nprobe` nearest lists and re-ranks those candidates exactly. Corpus
+    * cost per query drops by ~nlist/nprobe, and unlike SRP the partition
+    * adapts to the data's actual geometry via the centroid set.
+    *
+    * `centroids` is an explicit (id, vector) model: a deterministic corpus
+    * sample (the classic random-sample coarse quantizer — what the q41
+    * oracle replays) or centroids refined offline (e.g. k-means). Cell
+    * assignment is a literal expression in the scan projection, so the
+    * plan shape is: one corpus scan → equi-join on cell id with the
+    * broadcast probe-expanded queries → per-query top-k window. No
+    * all-pairs, no corpus shuffle. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+              centroids: Seq[(Int, Seq[Double])],
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1, "need centroids and nprobe >= 1")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      ivfCell(col(vecCol), centroids).as("cell"))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(ivfProbeCells(col(vecCol), centroids, nprobe)).as("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within the corpus: bucket with
     * SRP, compare only within buckets, keep pairs with cosine ≥ threshold.
     * The near-dup variant of ANN — one equi-join, no all-pairs. */

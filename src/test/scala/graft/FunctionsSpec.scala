@@ -154,6 +154,27 @@ class FunctionsSpec extends SparkSuite {
     assert(first == 7L) // exact twin guaranteed same bucket
   }
 
+  test("IVF ANN: centroids self-assign; identical twin found at rank 1") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val centroids = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    // a centroid vector's nearest centroid is itself (cosine 1)
+    val cells = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), Similarity.ivfCell(col("embedding"), centroids).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(cells.forall { case (id, cell) => cell == id.toInt })
+    // an exact twin lands in the same cell, which the query probes first
+    val clone = e.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(clone)
+    val got = Similarity.ivfTopK(corpus.filter(col("vec_id") === 100007), corpus,
+      k = 5, nprobe = 4, centroids)
+    val first = got.filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    assert(first == 7L)
+  }
+
   test("cosineNearDupPairs finds the injected twin") {
     val e = Tables.embeddings(spark, sf("sf0.001")).limit(100)
     val clone = e.filter(col("vec_id") === 9)
@@ -287,6 +308,23 @@ class FunctionsSpec extends SparkSuite {
     assert(s1 == s2 && s1.size == 500)
     val frac = s1.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
     assert(frac("train") > 0.6 && frac("val") > 0.05 && frac("test") > 0.05)
+  }
+
+  test("packDocs: concat-and-chunk assignment, straddle flag, zero-token docs") {
+    import graft.functions.Packing
+    // budget 10, one shard: tokens 4,4,4 start at 0,4,8 — the third doc
+    // crosses the first cut; a zero-token doc occupies no space.
+    val df = Seq((1L, 4L, 0), (2L, 4L, 0), (3L, 4L, 0), (4L, 0L, 0), (5L, 12L, 0),
+      (6L, 3L, 1)) // second shard packs independently from offset 0
+      .toDF("doc_id", "n_tok", "shard")
+    val got = Packing.packDocs(df, col("n_tok"), 10L, col("shard"), Seq(col("doc_id")))
+      .select("doc_id", "pack_id", "pack_offset", "straddles")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, false), (2L, 0L, 4L, false), (3L, 0L, 8L, true),
+      (4L, 1L, 2L, false), // zero tokens: inherits position 12, no straddle
+      (5L, 1L, 2L, true),  // spans 12..24: crosses two cuts
+      (6L, 0L, 0L, false)))
   }
 
   test("repetition score: repeated text scores high, varied text zero") {
