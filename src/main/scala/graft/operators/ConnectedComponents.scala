@@ -48,9 +48,9 @@ object ConnectedComponents {
       .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
-    var converged = e.isEmpty
-    var iter = 0
     var checksum = edgeChecksum(e)
+    var converged = checksum._1 == 0L
+    var iter = 0
     while (!converged && iter < maxIter) {
       e = smallStar(largeStar(e)).localCheckpoint(true)
       val next = edgeChecksum(e)
@@ -74,7 +74,8 @@ object ConnectedComponents {
     und.select(col("dst").as("id"), m.as("m"), col("src").as("u"))
       .filter(col("id") > col("u") && col("id") =!= col("m"))
       .select(col("id").as("src"), col("m").as("dst"))
-      .distinct()
+    // No distinct here: the window min is duplicate-insensitive and
+    // small-star dedups the round's output — one exchange saved per round.
   }
 
   /** Small-star: orient edges larger→smaller; for each node u, connect
