@@ -156,6 +156,38 @@ object Similarity {
     transform(slice(reverse(array_sort(ivfScored(vec, centroids))), 1, nprobe),
       s => (-s.getField("nid")).cast("int"))
 
+  /** Spherical-k-means (Lloyd) refinement of an IVF centroid set,
+    * distributed: each iteration assigns every corpus vector to its
+    * nearest centroid with the same zero-shuffle literal expression
+    * [[ivfCell]] uses, then recomputes each cell's mean direction via
+    * `posexplode → groupBy(cell, pos) → avg` — the shuffle carries
+    * k×dim partial sums per mapper (map-side combine), never the
+    * vectors themselves. Only the centroid model (k×dim doubles) passes
+    * through the driver between iterations, exactly like loading planes;
+    * cells that lose all members keep their previous centroid. Assignment
+    * is by cosine, so the mean update is the spherical k-means step (the
+    * mean's direction is what cosine scores against). */
+  def kmeansRefine(corpus: DataFrame, init: Seq[(Int, Seq[Double])], iters: Int,
+                   vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    require(iters >= 0, "iters must be >= 0")
+    var cents = init
+    for (_ <- 1 to iters) {
+      // Two selects: a generator (posexplode) resolved in the same
+      // projection as ivfCell's named structs loses the field names.
+      val means = corpus
+        .select(ivfCell(col(vecCol), cents).as("cell"), col(vecCol).as("v_aws"))
+        .select(col("cell"), posexplode(col("v_aws")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    cents
+  }
+
   /** ANN top-k via IVF(-flat): the third tier next to [[bruteForceTopK]]
     * (exact) and [[lshTopK]] (SRP buckets). Each corpus vector lands in
     * exactly one inverted list (nearest centroid); a query scans only its

@@ -82,6 +82,28 @@ object StreamAggs {
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
   }
 
+  /** Watermarked stream-stream interval join (e.g. clicks to the
+    * impression that preceded them within `within`): inner equi-join on
+    * `leftKey = rightKey` with the right event time constrained to
+    * [left ts − within, left ts]. Both sides carry watermarks and the
+    * join condition bounds event time on both sides, so Spark derives a
+    * state-eviction horizon for each side — state is O(events per
+    * horizon), not O(stream). The two frames are aliased `l`/`r`;
+    * output carries every column of both (qualified names collide only
+    * if the caller selects ambiguously). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   leftWatermark: String, rightWatermark: String,
+                   within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark).alias("l")
+    val r = right.withWatermark(rightTs, rightWatermark).alias("r")
+    l.join(r,
+      col(s"l.$leftKey") === col(s"r.$rightKey") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
   /** Input/row types for the custom-state path. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)

@@ -175,6 +175,29 @@ class FunctionsSpec extends SparkSuite {
     assert(first == 7L)
   }
 
+  test("kmeansRefine improves the mean cosine to the assigned centroid") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    def model(c: Seq[(Int, Seq[Double])]): Double = {
+      val cellSims = c.map { case (id, cv) =>
+        struct(Similarity.cosine(col("embedding"),
+          array(cv.map(lit): _*)).as("sim"), lit(-id).as("nid"))
+      }
+      e.select(array_max(array(cellSims: _*)).getField("sim").as("best"))
+        .agg(avg("best")).as[Double].head()
+    }
+    val init = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val refined = Similarity.kmeansRefine(e, init, iters = 2)
+    assert(refined.map(_._1) == init.map(_._1)) // ids preserved
+    assert(refined.forall(_._2.length == 64))
+    // Lloyd steps cannot worsen the spherical objective (tolerance for FP)
+    assert(model(refined) >= model(init) - 1e-9)
+    // and on this data the sampled init is genuinely improvable
+    assert(model(refined) > model(init))
+  }
+
   test("cosineNearDupPairs finds the injected twin") {
     val e = Tables.embeddings(spark, sf("sf0.001")).limit(100)
     val clone = e.filter(col("vec_id") === 9)

@@ -136,4 +136,27 @@ class StreamAggsSpec extends SparkSuite {
     assert(byId(4L)._2 == "train")
     assert(byId(4L)._3 == "es" && byId(4L)._4 == 11)
   }
+
+  test("stream-stream interval join: clicks match the impression within the window") {
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamAggs.intervalJoin(
+      clicks.toDF().toDF("c_ts", "c_user", "click_id"),
+      imps.toDF().toDF("i_ts", "i_user", "imp_id"),
+      leftKey = "c_user", rightKey = "i_user",
+      leftTs = "c_ts", rightTs = "i_ts",
+      leftWatermark = "30 minutes", rightWatermark = "30 minutes",
+      within = "10 minutes")
+    val q = joined.select("click_id", "imp_id")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    imps.addData(Seq((ts(0), 1L, "i1"), (ts(3), 2L, "i2"), (ts(40), 1L, "i3")))
+    q.processAllAvailable()
+    // Click in a LATER batch still matches the stored impression state;
+    // user 2's click at ts(20) is outside [ts(10)-10m, ts(10)] — no match.
+    clicks.addData(Seq((ts(5), 1L, "c1"), (ts(20), 2L, "c2"), (ts(42), 1L, "c3")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin").as[(String, String)].collect().toSet
+    assert(got == Set(("c1", "i1"), ("c3", "i3")))
+  }
 }
