@@ -96,6 +96,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "bucket join degraded to cartesian")
   }
 
+  test("q41 IVF ANN: broadcast cell join, top-k limited before the shuffle, no cartesian") {
+    val p = planString(QueriesExt.q41IvfAnn(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "cell join degraded to cartesian")
+  }
+
   test("q32 near-dup pairing is a bucket equi-join, never all-pairs") {
     val p = planString(QueriesExt.q32CosineNearDup(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
