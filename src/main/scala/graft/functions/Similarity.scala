@@ -36,15 +36,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Exact top-k cosine neighbors for each query vector.
-    * Output: (query_id, neighbor_id, rank) — rank 1 = most similar;
-    * deterministic tie-break on neighbor id. Self-matches excluded when
-    * ids collide. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = c.crossJoin(q)
+  /** Shared exact re-rank tail of every ANN tier: drop self-matches,
+    * score (query_id, qv) × (neighbor_id, cv) candidates with exact
+    * cosine, keep each query's top k (ties → lower neighbor id). */
+  private def rerankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
@@ -53,6 +49,17 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank) — rank 1 = most similar;
+    * deterministic tie-break on neighbor id. Self-matches excluded when
+    * ids collide. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    rerankTopK(c.crossJoin(q), k)
   }
 
   /** Deterministic ±1 hyperplanes (`bits` × `dim`), computed in plain
@@ -121,15 +128,7 @@ object Similarity {
           bucketOf(col(vecCol)).as("qb"))
         .withColumn("bucket", explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
         .drop("qb"))
-    val scored = c.join(q, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    rerankTopK(c.join(q, Seq("bucket")), k)
   }
 
   /** Cosine against a literal centroid vector (plan-time constants — the
@@ -165,8 +164,11 @@ object Similarity {
     * vectors themselves. Only the centroid model (k×dim doubles) passes
     * through the driver between iterations, exactly like loading planes;
     * cells that lose all members keep their previous centroid. Assignment
-    * is by cosine, so the mean update is the spherical k-means step (the
-    * mean's direction is what cosine scores against). */
+    * is by cosine, so the update is the TRUE spherical k-means step: the
+    * mean of the members' *unit* vectors. Averaging raw vectors would let
+    * one large-norm member drag the centroid and break Lloyd's
+    * monotone-objective guarantee; zero-norm vectors are excluded (they
+    * have no direction to contribute). */
   def kmeansRefine(corpus: DataFrame, init: Seq[(Int, Seq[Double])], iters: Int,
                    vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
     require(iters >= 0, "iters must be >= 0")
@@ -175,9 +177,12 @@ object Similarity {
       // Two selects: a generator (posexplode) resolved in the same
       // projection as ivfCell's named structs loses the field names.
       val means = corpus
-        .select(ivfCell(col(vecCol), cents).as("cell"), col(vecCol).as("v_aws"))
-        .select(col("cell"), posexplode(col("v_aws")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x").cast("double")).as("m"))
+        .select(ivfCell(col(vecCol), cents).as("cell"), col(vecCol).as("v_aws"),
+          l2Norm(col(vecCol)).as("nrm_aws"))
+        .filter(col("nrm_aws") > 0)
+        .select(col("cell"), col("nrm_aws"), posexplode(col("v_aws")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double") / col("nrm_aws")).as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c"))
@@ -211,15 +216,7 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(ivfProbeCells(col(vecCol), centroids, nprobe)).as("cell")))
-    val scored = c.join(q, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    rerankTopK(c.join(q, Seq("cell")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs within the corpus: bucket with

@@ -58,6 +58,12 @@ object ConnectedComponents {
       checksum = next
       iter += 1
     }
+    // A non-converged edge set is NOT a star forest — a node could carry
+    // two labels and a dedup built on it would silently over/under-drop.
+    // Fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds " +
+        s"(${checksum._1} edges remain); raise maxIter")
     // Converged form is a star per component: src = member, dst = root.
     // Roots appear only on the dst side; emit their self-labels too.
     e.select(col("src").as("id"), col("dst").as("component"))

@@ -44,41 +44,68 @@ object Skew {
     * of a static per-table setting (the distribution shifts over a stream's
     * life — a key is hot during a backfill, cold after).
     *
-    * Probe cost: one `count` over the (already cached) routed slice plus
-    * one aggregation over a ~`sampleTarget`-row hash sample — the sample
-    * shuffle carries only sampled keys. The sample is taken by hashing the
-    * full row (`pmod(xxhash64(*), n/sampleTarget) = 0`), so it is
-    * row-level (per-key share is preserved in expectation) and
-    * deterministic across checkpoint replays — the same batch always
-    * probes, and therefore dedups, the same way (T3). All three outcomes
-    * produce identical winners regardless, so a sampling misjudgment costs
-    * only efficiency, never correctness.
+    * Probe cost: one row count (pass `knownCount` when the caller already
+    * has one — e.g. from the cached routed slice — to skip the job) plus
+    * one aggregation over a ~`sampleTarget`-row Bernoulli sample; the
+    * sample shuffle carries only sampled keys. Sampling is per-row
+    * `rand(42)` — NOT a content hash: byte-identical redelivered rows
+    * would all share one hash and enter the sample all-or-nothing, hiding
+    * exactly the hot key the probe exists to find. The seeded sample can
+    * differ across checkpoint replays (partition layout dependent); that
+    * is safe because every strategy produces identical winners — a
+    * different choice on replay changes the plan, never the result.
     *
     * Decision rule:
     *  - fewer than `minRows` rows: `window` — skew cannot form a straggler
     *    on a batch this small, and the probe itself would dominate;
     *  - one key holds ≥ `hotKeyShare` of the sample: `salted` — bounded
     *    task size no matter how dominant the key;
-    *  - mean rows-per-key ≥ `dupFactor`: `agg` — map-side combine collapses
-    *    the duplication before the shuffle;
+    *  - estimated mean rows-per-key ≥ `dupFactor`: `agg` — map-side
+    *    combine collapses the duplication before the shuffle. The raw
+    *    sample mean is biased toward 1 (thinning drops most of each key's
+    *    rows), so the estimate inverts the Poisson-thinning curve
+    *    d = λ/(1−e^−λ) — see [[estimatedDupFactor]];
     *  - otherwise `window` (shuffle already carries ~#keys rows). */
   def chooseStrategy(df: DataFrame, keys: Seq[String],
+                     knownCount: Option[Long] = None,
                      minRows: Long = 100000L, sampleTarget: Long = 10000L,
                      hotKeyShare: Double = 0.05, dupFactor: Double = 4.0): String = {
-    val n = df.count()
+    val n = knownCount.getOrElse(df.count())
     if (n < minRows) "window"
     else {
-      val everyNth = math.max(1L, n / sampleTarget)
-      val sampled = df.filter(
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(everyNth)) === 0)
+      val frac = math.min(1.0, sampleTarget.toDouble / n)
+      val sampled = if (frac >= 1.0) df else df.filter(rand(42) < frac)
       val row = sampled.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
         .agg(sum("c"), max("c"), count(lit(1))).head()
       if (row.isNullAt(0) || row.getLong(0) == 0L) "window"
       else {
         val (total, maxc, distinct) = (row.getLong(0), row.getLong(1), row.getLong(2))
         if (maxc.toDouble / total >= hotKeyShare) "salted"
-        else if (total.toDouble / distinct >= dupFactor) "agg"
+        else if (estimatedDupFactor(total, distinct, frac) >= dupFactor) "agg"
         else "window"
+      }
+    }
+  }
+
+  /** Corrected mean-duplication estimate from a Bernoulli(frac) row sample.
+    * A key duplicated c times contributes Poisson(λ = c·frac) sampled rows,
+    * so the observed rows-per-*observed*-key is d = λ/(1−e^−λ), which
+    * tends to 1 for small frac no matter how large c is. Inverting d for λ
+    * (monotone — bisection) and dividing by frac recovers ĉ. At frac = 1
+    * the sample is the batch and d IS the duplication factor. */
+  private[operators] def estimatedDupFactor(total: Long, distinct: Long,
+                                            frac: Double): Double = {
+    val d = total.toDouble / distinct
+    if (frac >= 1.0) d
+    else if (d <= 1.0 + 1e-9) 1.0 // every observed key seen once: no evidence
+    else {
+      def f(lambda: Double): Double = lambda / (1.0 - math.exp(-lambda))
+      var (lo, hi) = (1e-12, 60.0)
+      if (d >= f(hi)) hi / frac
+      else {
+        var i = 0
+        while (i < 80) { val mid = (lo + hi) / 2; if (f(mid) < d) lo = mid else hi = mid; i += 1 }
+        ((lo + hi) / 2) / frac
       }
     }
   }

@@ -43,6 +43,12 @@ object CdcPipeline {
   private def cacheKey(spec: TableSpec, format: CdcFormat): String =
     s"${format.name}/${spec.db}.${spec.table}"
 
+  /** Minimum batch size before the `auto` dedup probe samples (below it,
+    * `window` is always right and the probe would dominate). Conf-gated so
+    * tests and unusual deployments can lower it. */
+  private def autoMinRows(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.autoDedupMinRows", "100000").toLong
+
   /** Validate a spec at batch entry (fail fast, not mid-stream). */
   private def validate(spec: TableSpec, format: CdcFormat): Unit = {
     keysOf(spec, format)
@@ -69,10 +75,11 @@ object CdcPipeline {
     val keys = keysOf(spec, format)
     val order = lwwOrder(format, base)
     // `auto` resolves per batch from the observed key distribution (a key
-    // is hot during a backfill, cold after) — deterministic hash-sampled
-    // probe, so replays of the same batch resolve identically (T3).
+    // is hot during a backfill, cold after). processBatch resolves it ONCE
+    // per table-batch (against the cached routed count) and passes a
+    // concrete strategy down; this fallback covers direct callers.
     val strategy = spec.dedupStrategy match {
-      case "auto" => Skew.chooseStrategy(base, keys)
+      case "auto" => Skew.chooseStrategy(base, keys, minRows = autoMinRows(df))
       case s => s
     }
     strategy match {
@@ -226,8 +233,20 @@ object CdcPipeline {
               // under us (not just garbage input) — make the next batch a
               // probe (re-infer + merge) instead of waiting out the cadence.
               if (bad > 0) schemaCache.foreach(_.forceProbe(cacheKey(spec, format)))
+              // Resolve `auto` ONCE per table-batch: the minRows gate
+              // counts the CACHED routed slice (no re-parse; the op-filter
+              // delta is within the decision's tolerance), and both the
+              // upsert and delete-audit paths reuse the one resolution —
+              // a single sampled probe instead of two.
+              val rspec =
+                if (spec.dedupStrategy == "auto")
+                  spec.copy(dedupStrategy = Skew.chooseStrategy(
+                    norm, keysOf(spec, format),
+                    knownCount = Some(routed.count()),
+                    minRows = autoMinRows(norm)))
+                else spec
               if (!spec.onlySaveDelete) {
-                val staged = Coerce(lwwDedup(norm, spec, format), spec)
+                val staged = Coerce(lwwDedup(norm, rspec, format), spec)
                 // Debug sample (ref `disable_msg`, redshift_sink.py:128-136):
                 // schema tree + 5-row/20-char sample, off by default.
                 if (!cfg.disableMsg) {
@@ -243,7 +262,7 @@ object CdcPipeline {
                   skipDelete = true) // audit table keeps the delete rows
                 // Independent dedup over deletes only: a delete that lost LWW
                 // to a later update still reaches the audit table (P8).
-                val deletes = Coerce(lwwDedup(norm, spec, format, deleteOnly = true), spec)
+                val deletes = Coerce(lwwDedup(norm, rspec, format, deleteOnly = true), spec)
                 if (!deletes.isEmpty) sinkFor(audit).merge(deletes, audit)
               }
           } finally routed.unpersist()

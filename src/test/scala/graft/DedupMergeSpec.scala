@@ -101,6 +101,13 @@ class DedupMergeSpec extends SparkSuite {
     val hot = spark.range(150000).select(
       when(col("id") < 45000, 1L).otherwise(col("id")).as("id"), col("id").as("u"))
     assert(Skew.chooseStrategy(hot, Seq("id")) == "salted")
+    // same hot key but BYTE-IDENTICAL rows (Kafka redelivery): row-level
+    // sampling must still see it (a content-hash sample would take the
+    // whole group or none of it)
+    val redelivered = spark.range(150000).select(
+      when(col("id") < 45000, 1L).otherwise(col("id")).as("id"),
+      when(col("id") < 45000, 0L).otherwise(col("id")).as("u"))
+    assert(Skew.chooseStrategy(redelivered, Seq("id")) == "salted")
     // uniform 150× duplication, no key above the hot share → agg
     val dup = spark.range(150000).select((col("id") % 1000).as("id"), col("id").as("u"))
     assert(Skew.chooseStrategy(dup, Seq("id")) == "agg")

@@ -110,21 +110,32 @@ class PipelineSpec extends SparkSuite {
     val cold = (1 to 7000).map(i => ev(2L * (i % 500) + 4, 3000L + i, i.toLong,
       if (i % 11 == 0) "d" else "u"))
     val batch = scala.util.Random.shuffle(hot ++ cold).toDF("value")
-    val targets = Seq("window", "agg", "salted", "auto").map { strategy =>
-      val dir = Files.createTempDirectory(s"graft-skew-$strategy").toString
-      val spec = t0.copy(saveDelete = true, dedupStrategy = strategy, saltBuckets = 8)
-      val cfg = JobConfig(tables = Seq(spec), threadMaxWorkers = 2,
-        batchTimeoutMinutes = 5, maxError = 0)
-      val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
-      CdcPipeline.processBatch(batch, cfg, FlinkDebeziumCdc, s =>
-        sinks.getOrElseUpdate(s.resolvedTarget, new ParquetMergeTarget(s"$dir/${s.resolvedTarget}")))
-      (spark.read.parquet(s"$dir/t0").orderBy("id").collect().toSeq,
-        spark.read.parquet(s"$dir/t0_delete").orderBy("id").collect().toSeq)
-    }
-    assert(targets(0)._1.nonEmpty && targets(0)._2.nonEmpty)
-    assert(targets(1) == targets(0), "agg != window")
-    assert(targets(2) == targets(0), "salted != window")
-    assert(targets(3) == targets(0), "auto != window")
+    // Lower the auto probe's minRows gate so this 10k-row batch actually
+    // exercises the sampled probe + auto→salted dispatch (not the
+    // small-batch window short-circuit).
+    spark.conf.set("spark.graft.autoDedupMinRows", "1000")
+    try {
+      val targets = Seq("window", "agg", "salted", "auto").map { strategy =>
+        val dir = Files.createTempDirectory(s"graft-skew-$strategy").toString
+        val spec = t0.copy(saveDelete = true, dedupStrategy = strategy, saltBuckets = 8)
+        val cfg = JobConfig(tables = Seq(spec), threadMaxWorkers = 2,
+          batchTimeoutMinutes = 5, maxError = 0)
+        val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
+        CdcPipeline.processBatch(batch, cfg, FlinkDebeziumCdc, s =>
+          sinks.getOrElseUpdate(s.resolvedTarget, new ParquetMergeTarget(s"$dir/${s.resolvedTarget}")))
+        (spark.read.parquet(s"$dir/t0").orderBy("id").collect().toSeq,
+          spark.read.parquet(s"$dir/t0_delete").orderBy("id").collect().toSeq)
+      }
+      assert(targets(0)._1.nonEmpty && targets(0)._2.nonEmpty)
+      assert(targets(1) == targets(0), "agg != window")
+      assert(targets(2) == targets(0), "salted != window")
+      assert(targets(3) == targets(0), "auto != window")
+      // the probe must actually fire here: 30% hot key over the gate → salted
+      import graft.operators.Skew
+      val norm = CdcPipeline.normalizedBatch(batch, t0, FlinkDebeziumCdc,
+        payload = Some(CdcGen.payloadSchema)).get
+      assert(Skew.chooseStrategy(norm, Seq("id"), minRows = 1000) == "salted")
+    } finally spark.conf.unset("spark.graft.autoDedupMinRows")
   }
 
   test("maxerror: under-threshold quarantines, over-threshold fails the batch") {
