@@ -841,6 +841,36 @@ object QueriesExt {
       |       round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Approximate percentiles (the 100 TB path next to qa10's exact sort):
+    * Spark's Greenwald-Khanna summary is a partial aggregate — mappers
+    * emit bounded sketches, never sorted rows. Like qa6, raw estimates
+    * are engine-specific sketches, so the oracle checks the error-bound
+    * property (within 2% of the engine's own exact percentile) plus the
+    * exact values both engines agree on. */
+  def qa14ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    spread(Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"),
+        expr("percentile(l_extendedprice, 0.95)").as("ex95"))
+      .select(col("l_returnflag"),
+        round(col("ex50"), 4).as("exact_p50"),
+        round(col("ex95"), 4).as("exact_p95"),
+        (abs(col("ap50") - col("ex50")) / col("ex50") <= 0.02).as("p50_ok"),
+        (abs(col("ap95") - col("ex95")) / col("ex95") <= 0.02).as("p95_ok"))
+  val qa14Sql: String =
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+      |       round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+      |       abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+      |         / quantile_cont(l_extendedprice, 0.5) <= 0.02 AS p50_ok,
+      |       abs(approx_quantile(l_extendedprice, 0.95) - quantile_cont(l_extendedprice, 0.95))
+      |         / quantile_cont(l_extendedprice, 0.95) <= 0.02 AS p95_ok
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Winsorized aggregation (feature normalization): per-group p05/p95
     * computed once, broadcast back, values clipped, then averaged — the
     * two-pass normalize pattern (group stats ≪ data, so the big side is
@@ -1031,7 +1061,8 @@ object QueriesExt {
     "qa8_pivot" -> (qa8Pivot _),
     "qa9_cube" -> (qa9Cube _),
     "qa10_percentiles" -> (qa10Percentiles _),
-    "qa11_winsorize" -> (qa11Winsorize _)
+    "qa11_winsorize" -> (qa11Winsorize _),
+    "qa14_approx_percentile" -> (qa14ApproxPercentile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1074,6 +1105,7 @@ object QueriesExt {
     "qa8_pivot" -> qa8Sql,
     "qa9_cube" -> qa9Sql,
     "qa10_percentiles" -> qa10Sql,
-    "qa11_winsorize" -> qa11Sql
+    "qa11_winsorize" -> qa11Sql,
+    "qa14_approx_percentile" -> qa14Sql
   )
 }

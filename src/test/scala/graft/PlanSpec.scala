@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
@@ -94,6 +95,33 @@ class PlanSpec extends SparkSuite {
     val p = planString(QueriesExt.q33LshAnn(spark, sf("sf0.001")))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), "bucket join degraded to cartesian")
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The 100 TB idiom: a selective dimension filter injects a bloom
+    // filter into the fact scan, so most probe rows die before the join
+    // shuffle. Pinned here with the conf the cluster profile would set;
+    // broadcast is disabled to force the shuffle-join path the filter
+    // targets (tiny local tables would otherwise broadcast).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, sf("sf0.001"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf("sf0.001"))
+      val p = planString(li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority")).count())
+      // the probe-side Filter prints as might_contain(<bloom subquery>, …)
+      assert(p.contains("might_contain"), p.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q41 IVF ANN: broadcast cell join, top-k limited before the shuffle, no cartesian") {
