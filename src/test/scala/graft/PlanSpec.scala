@@ -124,6 +124,31 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("pre-bucketed tables join with zero exchanges (co-located join)") {
+    // The other 100 TB join idiom: two fact tables bucketed the same way
+    // on the join key join WITHOUT any shuffle — output layout is read
+    // layout. This is what a nightly "bucketize once, join often"
+    // pipeline relies on; pin that Spark honors it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+      .write.format("parquet").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$dir/ta").saveAsTable("graft_ta")
+    (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
+      .write.format("parquet").bucketBy(8, "k").sortBy("k")
+      .option("path", s"$dir/tb").saveAsTable("graft_tb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planString(spark.table("graft_ta").join(spark.table("graft_tb"), "k"))
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"), "bucketed join still shuffles:\n" + p.take(2000))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_ta")
+      spark.sql("DROP TABLE IF EXISTS graft_tb")
+    }
+  }
+
   test("q41 IVF ANN: broadcast cell join, top-k limited before the shuffle, no cartesian") {
     val p = planString(QueriesExt.q41IvfAnn(spark, sf("sf0.001")))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
