@@ -104,6 +104,73 @@ object StreamAggs {
         col(s"r.$rightTs") <= col(s"l.$leftTs"))
   }
 
+  /** Row types for the streaming near-dup path. */
+  final case class BandRow(band: Int, bh: Long, id: Long, ts: java.sql.Timestamp)
+  final case class BandOwner(id: Long, tsMs: Long)
+  final case class NearDupCandidate(doc_id: Long, dup_of: Long, band: Int)
+
+  /** Streaming near-duplicate *candidates* across micro-batches — the
+    * streaming twin of [[graft.functions.DedupFunctions.minhashLshPairs]]'
+    * banding stage. Each document's MinHash signature is cut into `bands`
+    * band keys; per band bucket, keyed state remembers the earliest
+    * document seen, and any later document hitting the same bucket is
+    * emitted as a candidate (doc_id, dup_of, band). Exact verification is
+    * the consumer's batch join (candidates ≪ stream), mirroring the batch
+    * operator's verify step — LSH recall, exact precision downstream.
+    *
+    * Scale: state is one (id, ts) per *occupied band bucket*, evicted
+    * `stateTtlMs` after the bucket's last event time (the analog of the
+    * batch horizon); band keys are uniform by construction, so the state
+    * store shards evenly. A doc emits ≤ `bands` candidate rows, deduped
+    * per (doc, owner) downstream. */
+  def streamingNearDupCandidates(docs: DataFrame, tsCol: String, textCol: String,
+                                 idCol: String, watermark: String, stateTtlMs: Long,
+                                 n: Int = 2, numHashes: Int = 32,
+                                 bands: Int = 16): Dataset[NearDupCandidate] = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    import docs.sparkSession.implicits._
+    import graft.functions.DedupFunctions
+    val sig = docs
+      .withColumn("sh_aws", DedupFunctions.shingles(col(textCol), n))
+      .filter(size(col("sh_aws")) > 0)
+      .withColumn("sig_aws", DedupFunctions.minhashSignature(col("sh_aws"), numHashes))
+    val banded = sig.select(col(idCol).as("id"), col(tsCol).as("ts"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("sig_aws"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
+          .as(Seq("band", "bh")))
+      .withWatermark("ts", watermark)
+      .select(col("band").cast("int").as("band"), col("bh"), col("id"), col("ts"))
+      .as[BandRow]
+    banded
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[BandOwner]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // Deterministic in-batch order: earliest (ts, id) wins the
+            // bucket; everyone later in the bucket is a candidate.
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.id))
+            val owner0 = state.getOption
+            var owner = owner0
+            val out = Seq.newBuilder[NearDupCandidate]
+            sorted.foreach { r =>
+              owner match {
+                case Some(o) if o.id != r.id =>
+                  out += NearDupCandidate(r.id, o.id, key._1)
+                case Some(_) => () // bucket owner re-observed
+                case None => owner = Some(BandOwner(r.id, r.ts.getTime))
+              }
+            }
+            owner.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o.tsMs + stateTtlMs)
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   /** Input/row types for the custom-state path. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)

@@ -137,6 +137,26 @@ class StreamAggsSpec extends SparkSuite {
     assert(byId(4L)._3 == "es" && byId(4L)._4 == 11)
   }
 
+  test("streaming near-dup candidates: cross-batch twin flagged, unrelated docs quiet") {
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.streamingNearDupCandidates(docs, "ts", "text", "doc_id",
+        watermark = "1 hour", stateTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("snd").outputMode("append").start()
+    mem.addData(Seq(
+      (ts(0), 1L, "the quick brown fox jumps over the lazy dog"),
+      (ts(1), 2L, "completely different prose about spark streaming pipelines")))
+    q.processAllAvailable()
+    mem.addData(Seq(
+      (ts(5), 3L, "the quick brown fox jumps over the lazy dog"), // twin of 1
+      (ts(6), 4L, "unrelated corpus material with entirely novel wording")))
+    q.processAllAvailable()
+    q.stop()
+    val cands = spark.table("snd").select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(cands == Set((3L, 1L))) // the identical twin, nothing else
+  }
+
   test("stream-stream interval join: clicks match the impression within the window") {
     val imps = MemoryStream[(Timestamp, Long, String)]
     val clicks = MemoryStream[(Timestamp, Long, String)]
