@@ -198,13 +198,22 @@ object CdcPipeline {
       Coerce(lwwDedup(norm, spec, format, deleteOnly = true), spec)
     }
 
+  /** Per-table micro-batch outcome, for ops surfaces (lag dashboards, the
+    * reference's batch-count prints — §2.4 A1). Counts ride the merge
+    * job itself via `Dataset.observe` — metrics cost zero extra jobs. */
+  final case class TableBatchMetrics(db: String, table: String,
+                                     staged: Long, deleteAudited: Long,
+                                     quarantined: Long, elapsedMs: Long)
+
   /** One micro-batch for every configured table, fanned out on `pool`
     * threads with a hard timeout (ref emr_ec2/cdc_redshift.py:120-143).
-    * Any task failure fails the batch (fail-fast + checkpoint-restart). */
+    * Any task failure fails the batch (fail-fast + checkpoint-restart).
+    * Returns per-table metrics (tables whose routed slice was empty are
+    * omitted). */
   def processBatch(batch: DataFrame, cfg: JobConfig, format: CdcFormat,
                    sinkFor: TableSpec => MergeTarget,
                    payloadFor: TableSpec => Option[StructType] = _ => None,
-                   schemaCache: Option[SchemaCache] = None): Unit = {
+                   schemaCache: Option[SchemaCache] = None): Seq[TableBatchMetrics] = {
     // Misconfigured specs (missing primary_key, bad dedup_strategy) fail
     // here, at batch entry, not mid-stream when the table's first row
     // happens to arrive.
@@ -215,11 +224,12 @@ object CdcPipeline {
     try {
       val tasks = cfg.tables.map { spec =>
         Future {
+          val t0 = System.nanoTime()
           // Per-task routed cache, released when this table's merges finish
           // (otherwise a 24/7 stream leaks one cached RDD per table per
           // micro-batch).
           val routed = routeAndCache(cached, spec, format, "value")
-          try normalizeSplit(routed, spec, format, payloadFor(spec), "value", schemaCache).foreach {
+          try normalizeSplit(routed, spec, format, payloadFor(spec), "value", schemaCache).map {
             case (norm, quarantined) =>
               // Bounded error tolerance (ref `maxerror`): quarantined rows
               // are counted — one cheap job over the cached routed slice —
@@ -245,16 +255,23 @@ object CdcPipeline {
                     knownCount = Some(routed.count()),
                     minRows = autoMinRows(norm)))
                 else spec
+              var stagedRows = 0L
+              var auditRows = 0L
               if (!spec.onlySaveDelete) {
-                val staged = Coerce(lwwDedup(norm, rspec, format), spec)
+                val staged0 = Coerce(lwwDedup(norm, rspec, format), spec)
                 // Debug sample (ref `disable_msg`, redshift_sink.py:128-136):
                 // schema tree + 5-row/20-char sample, off by default.
                 if (!cfg.disableMsg) {
                   println(s"[graft] ${spec.db}.${spec.table} stage schema:\n" +
-                    staged.schema.treeString)
-                  staged.show(5, 20)
+                    staged0.schema.treeString)
+                  staged0.show(5, 20)
                 }
-                sinkFor(spec).merge(staged, spec)
+                // Staged-row count observed on the merge's own scan of the
+                // frame (no extra job; the sink's first full action
+                // publishes it).
+                val obs = new org.apache.spark.sql.Observation()
+                sinkFor(spec).merge(staged0.observe(obs, count(lit(1)).as("rows")), spec)
+                stagedRows = obs.get("rows").asInstanceOf[Long]
               }
               if (spec.saveDelete || spec.onlySaveDelete) {
                 val audit = spec.copy(table = spec.table + "_delete",
@@ -263,12 +280,21 @@ object CdcPipeline {
                 // Independent dedup over deletes only: a delete that lost LWW
                 // to a later update still reaches the audit table (P8).
                 val deletes = Coerce(lwwDedup(norm, rspec, format, deleteOnly = true), spec)
-                if (!deletes.isEmpty) sinkFor(audit).merge(deletes, audit)
+                // NOTE: the observation wraps only the frame the merge
+                // consumes — the isEmpty probe's partial scan would publish
+                // a truncated count if it ran on the observed frame.
+                if (!deletes.isEmpty) {
+                  val aobs = new org.apache.spark.sql.Observation()
+                  sinkFor(audit).merge(deletes.observe(aobs, count(lit(1)).as("rows")), audit)
+                  auditRows = aobs.get("rows").asInstanceOf[Long]
+                }
               }
+              TableBatchMetrics(spec.db, spec.table, stagedRows, auditRows, bad,
+                (System.nanoTime() - t0) / 1000000L)
           } finally routed.unpersist()
         }
       }
-      Await.result(Future.sequence(tasks), cfg.batchTimeoutMinutes.minutes)
+      Await.result(Future.sequence(tasks), cfg.batchTimeoutMinutes.minutes).flatten
     } finally {
       pool.shutdown()
       cached.unpersist()
@@ -307,8 +333,12 @@ object CdcPipeline {
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", cfg.checkpointLocation)
-      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        processBatch(df.toDF(), cfg, format, sinkFor, schemaCache = Some(cache))
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val metrics = processBatch(df.toDF(), cfg, format, sinkFor, schemaCache = Some(cache))
+        if (!cfg.disableMsg) metrics.foreach { m =>
+          println(s"[graft] batch $batchId ${m.db}.${m.table}: staged=${m.staged} " +
+            s"deletes=${m.deleteAudited} quarantined=${m.quarantined} in ${m.elapsedMs}ms")
+        }
       }
   }
 }

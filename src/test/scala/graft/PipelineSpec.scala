@@ -43,11 +43,18 @@ class PipelineSpec extends SparkSuite {
     def sinkFor(s: TableSpec): MergeTarget =
       sinks.getOrElseUpdate(s.resolvedTarget, new ParquetMergeTarget(s"$dir/${s.resolvedTarget}"))
     val batch = CdcGen.debezium(events)
-    CdcPipeline.processBatch(batch, cfg, FlinkDebeziumCdc, sinkFor)
+    val metrics = CdcPipeline.processBatch(batch, cfg, FlinkDebeziumCdc, sinkFor)
     val m0 = spark.read.parquet(s"$dir/t0")
     val m1 = spark.read.parquet(s"$dir/t1")
     assert(m0.select("id").as[Long].collect().forall(_ % 2 == 0))
     assert(m1.select("id").as[Long].collect().forall(_ % 2 == 1))
+    // metrics observed on the merge's own jobs: one entry per routed table,
+    // staged = LWW winners per key = the rows the upsert consumed
+    val byTable = metrics.map(m => m.table -> m).toMap
+    assert(metrics.size == 2 && byTable("t0").quarantined == 0)
+    val t0Keys = CdcPipeline.tableBatch(batch, t0, FlinkDebeziumCdc).get.count()
+    assert(byTable("t0").staged == t0Keys && byTable("t0").deleteAudited == 0)
+    assert(byTable("t0").elapsedMs >= 0 && byTable("t1").staged > 0)
     // replay the same batch: idempotent (checkpoint-restart convergence)
     val before = m0.orderBy("id").collect().toSeq
     CdcPipeline.processBatch(batch, cfg, FlinkDebeziumCdc, sinkFor)
@@ -62,7 +69,7 @@ class PipelineSpec extends SparkSuite {
     val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
     def sinkFor(s: TableSpec): MergeTarget =
       sinks.getOrElseUpdate(s.resolvedTarget, new ParquetMergeTarget(s"$dir/${s.resolvedTarget}"))
-    CdcPipeline.processBatch(CdcGen.debezium(events), cfg, FlinkDebeziumCdc, sinkFor)
+    val metrics = CdcPipeline.processBatch(CdcGen.debezium(events), cfg, FlinkDebeziumCdc, sinkFor)
     val audit = spark.read.parquet(s"$dir/t0_delete")
     // audit keys = every routed user with ≥1 delete event (deletes dedup
     // independently of the upsert stream — P8)
@@ -70,6 +77,7 @@ class PipelineSpec extends SparkSuite {
       .filter(col("user_id") % 2 === 0 && col("event_type") === "error")
       .select(col("user_id")).distinct().count()
     assert(audit.count() == expected && expected > 0)
+    assert(metrics.head.deleteAudited == expected) // observed on the audit merge itself
     // main excludes exactly the keys whose LAST op was a delete
     val main = spark.read.parquet(s"$dir/t0")
     val lastIsDelete = Dedup.latestPerKey(
