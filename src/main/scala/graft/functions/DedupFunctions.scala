@@ -176,6 +176,18 @@ object DedupFunctions {
         array((1 to numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Band keys of a MinHash signature: band b's key is the (hashed, or in
+    * portable mode raw joined-string) b-th row-slice of the signature.
+    * ONE definition shared by the batch ([[minhashLshPairs]]) and
+    * streaming ([[graft.streaming.StreamAggs.streamingNearDupCandidates]])
+    * banding stages, so their buckets can never silently drift apart. */
+  def bandKeyColumns(sig: Column, bands: Int, rowsPerBand: Int,
+                     portable: Boolean = false): Seq[Column] =
+    (0 until bands).map { b =>
+      val s = concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))
+      if (portable) s else xxhash64(s, lit(b))
+    }
+
   /** MinHash + LSH banding near-dup candidates, exact-verified.
     *
     * sig → `bands` bands of `numHashes/bands` rows each; docs colliding on
@@ -194,12 +206,8 @@ object DedupFunctions {
     // Band bucket key: the row-slice of the signature, compressed through
     // xxhash64 by default (8-byte shuffle key); left as the joined string
     // in portable mode so the oracle engine can form the same key.
-    def bandKey(b: Column, s: Column): Column =
-      if (portable) s else xxhash64(s, b)
     val banded = sig.select(col("id"), col("n_sh"),
-      posexplode(array((0 until bands).map(b =>
-        bandKey(lit(b),
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))): _*))
+      posexplode(array(bandKeyColumns(col("sig"), bands, rowsPerBand, portable): _*))
         .as(Seq("band", "bh")))
     val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("n_sh").as("n_b"))

@@ -199,8 +199,11 @@ object CdcPipeline {
     }
 
   /** Per-table micro-batch outcome, for ops surfaces (lag dashboards, the
-    * reference's batch-count prints — §2.4 A1). Counts ride the merge
-    * job itself via `Dataset.observe` — metrics cost zero extra jobs. */
+    * reference's batch-count prints — §2.4 A1). The staged frame is
+    * persisted for the duration of its merge, so the count is a cache
+    * read — and sinks that scan the stage more than once (the bucketed
+    * target reads it for touched buckets, then writes it) stop
+    * re-deriving it from the raw batch. */
   final case class TableBatchMetrics(db: String, table: String,
                                      staged: Long, deleteAudited: Long,
                                      quarantined: Long, elapsedMs: Long)
@@ -257,21 +260,25 @@ object CdcPipeline {
                 else spec
               var stagedRows = 0L
               var auditRows = 0L
+              // Persist the (small, post-dedup) staged frames for their
+              // merge: any count is then a cache read, immune to a sink's
+              // internal retries (an observation latched by a failed first
+              // attempt would report a partial count), and multi-action
+              // sinks stop re-deriving the stage from the raw batch.
+              def withPersisted(df: DataFrame)(use: DataFrame => Unit): Long = {
+                val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+                try { use(p); p.count() } finally p.unpersist()
+              }
               if (!spec.onlySaveDelete) {
-                val staged0 = Coerce(lwwDedup(norm, rspec, format), spec)
+                val staged = Coerce(lwwDedup(norm, rspec, format), spec)
                 // Debug sample (ref `disable_msg`, redshift_sink.py:128-136):
                 // schema tree + 5-row/20-char sample, off by default.
                 if (!cfg.disableMsg) {
                   println(s"[graft] ${spec.db}.${spec.table} stage schema:\n" +
-                    staged0.schema.treeString)
-                  staged0.show(5, 20)
+                    staged.schema.treeString)
+                  staged.show(5, 20)
                 }
-                // Staged-row count observed on the merge's own scan of the
-                // frame (no extra job; the sink's first full action
-                // publishes it).
-                val obs = new org.apache.spark.sql.Observation()
-                sinkFor(spec).merge(staged0.observe(obs, count(lit(1)).as("rows")), spec)
-                stagedRows = obs.get("rows").asInstanceOf[Long]
+                stagedRows = withPersisted(staged)(sinkFor(spec).merge(_, spec))
               }
               if (spec.saveDelete || spec.onlySaveDelete) {
                 val audit = spec.copy(table = spec.table + "_delete",
@@ -280,13 +287,8 @@ object CdcPipeline {
                 // Independent dedup over deletes only: a delete that lost LWW
                 // to a later update still reaches the audit table (P8).
                 val deletes = Coerce(lwwDedup(norm, rspec, format, deleteOnly = true), spec)
-                // NOTE: the observation wraps only the frame the merge
-                // consumes — the isEmpty probe's partial scan would publish
-                // a truncated count if it ran on the observed frame.
-                if (!deletes.isEmpty) {
-                  val aobs = new org.apache.spark.sql.Observation()
-                  sinkFor(audit).merge(deletes.observe(aobs, count(lit(1)).as("rows")), audit)
-                  auditRows = aobs.get("rows").asInstanceOf[Long]
+                auditRows = withPersisted(deletes) { d =>
+                  if (!d.isEmpty) sinkFor(audit).merge(d, audit)
                 }
               }
               TableBatchMetrics(spec.db, spec.table, stagedRows, auditRows, bad,
