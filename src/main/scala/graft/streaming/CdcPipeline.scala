@@ -247,15 +247,16 @@ object CdcPipeline {
               // probe (re-infer + merge) instead of waiting out the cadence.
               if (bad > 0) schemaCache.foreach(_.forceProbe(cacheKey(spec, format)))
               // Resolve `auto` ONCE per table-batch: the minRows gate
-              // counts the CACHED routed slice (no re-parse; the op-filter
-              // delta is within the decision's tolerance), and both the
-              // upsert and delete-audit paths reuse the one resolution —
-              // a single sampled probe instead of two.
+              // counts the CACHED routed slice net of quarantine (both are
+              // cache reads — no re-parse; the remaining op-filter delta is
+              // within the decision's tolerance), and both the upsert and
+              // delete-audit paths reuse the one resolution — a single
+              // sampled probe instead of two.
               val rspec =
                 if (spec.dedupStrategy == "auto")
                   spec.copy(dedupStrategy = Skew.chooseStrategy(
                     norm, keysOf(spec, format),
-                    knownCount = Some(routed.count()),
+                    knownCount = Some(math.max(0L, routed.count() - bad)),
                     minRows = autoMinRows(norm)))
                 else spec
               var stagedRows = 0L

@@ -135,9 +135,11 @@ object StreamAggs {
       .withColumn("sh_aws", DedupFunctions.shingles(col(textCol), n))
       .filter(size(col("sh_aws")) > 0)
       .withColumn("sig_aws", DedupFunctions.minhashSignature(col("sh_aws"), numHashes))
+    // Band keys come from the SAME definition as the batch banding stage
+    // (DedupFunctions.bandKeyColumns) so streaming and batch buckets can
+    // never silently drift apart.
     val banded = sig.select(col(idCol).as("id"), col(tsCol).as("ts"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice(col("sig_aws"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*))
+        posexplode(array(DedupFunctions.bandKeyColumns(col("sig_aws"), bands, rowsPerBand): _*))
           .as(Seq("band", "bh")))
       .withWatermark("ts", watermark)
       .select(col("band").cast("int").as("band"), col("bh"), col("id"), col("ts"))
@@ -163,8 +165,18 @@ object StreamAggs {
               }
             }
             owner.foreach { o =>
-              state.update(o)
-              state.setTimeoutTimestamp(o.tsMs + stateTtlMs)
+              // Eviction is stateTtlMs after the bucket's LAST event time:
+              // refresh the owner's clock to the max event time observed in
+              // this batch (keeping the owner id). Without the refresh, a
+              // bucket re-hit after ttl would set a timeout earlier than the
+              // current watermark — GroupStateImpl rejects that and crashes
+              // the query. The watermark clamp covers the remaining race
+              // (data groups are processed before timed-out groups, so a
+              // batch can deliver to a bucket whose timeout already passed).
+              val lastTs = math.max(o.tsMs, sorted.last.ts.getTime)
+              state.update(BandOwner(o.id, lastTs))
+              state.setTimeoutTimestamp(
+                math.max(lastTs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }

@@ -157,6 +157,38 @@ class StreamAggsSpec extends SparkSuite {
     assert(cands == Set((3L, 1L))) // the identical twin, nothing else
   }
 
+  test("near-dup bucket re-hit after ttl refreshes the owner clock instead of crashing") {
+    // Regression: the owner's timeout was set from its ORIGINAL event time.
+    // A bucket re-hit after stateTtlMs then computed a timeout earlier than
+    // the current watermark, which GroupStateImpl rejects → query crash.
+    // No-data micro-batches would fire the timeout between our two data
+    // batches; in production data keeps arriving, so the re-hit races the
+    // timeout inside ONE batch — disable them to pin that exact ordering.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val docs = mem.toDF().toDF("ts", "doc_id", "text")
+      val q = StreamAggs.streamingNearDupCandidates(docs, "ts", "text", "doc_id",
+          watermark = "10 minutes", stateTtlMs = 60000L) // ttl ≪ watermark horizon
+        .writeStream.format("memory").queryName("sndttl").outputMode("append").start()
+      // Batch 1: bucket owner at m0; an unrelated doc at m15 drags the
+      // watermark to m5 — past the owner's m0 + 1-minute ttl.
+      mem.addData(Seq(
+        (ts(0), 1L, "the quick brown fox jumps over the lazy dog"),
+        (ts(15), 2L, "completely different prose about spark streaming pipelines")))
+      q.processAllAvailable()
+      // Batch 2: a twin re-hits the owner's bucket in the same batch where
+      // the owner's stale timeout fires (data groups run first). Must emit
+      // the candidate, not crash on setTimeoutTimestamp < watermark.
+      mem.addData(Seq((ts(6), 3L, "the quick brown fox jumps over the lazy dog")))
+      q.processAllAvailable()
+      q.stop()
+      val cands = spark.table("sndttl").select("doc_id", "dup_of")
+        .as[(Long, Long)].collect().toSet
+      assert(cands == Set((3L, 1L)))
+    } finally spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+  }
+
   test("stream-stream interval join: clicks match the impression within the window") {
     val imps = MemoryStream[(Timestamp, Long, String)]
     val clicks = MemoryStream[(Timestamp, Long, String)]
