@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DedupFunctions, Multimodal, Packing, Similarity, TextFunctions}
+import graft.functions.{Boilerplate, DedupFunctions, Multimodal, Packing, Relevance, Similarity, Splits, TextFunctions}
 import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1020,6 +1020,77 @@ object QueriesExt {
       |  EXCEPT
       |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01')""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** BM25 top-terms per document (k1=1.2, b=0.75, top 3). Every factor
+    * except the final ln is exact integer / IEEE-division arithmetic;
+    * ranking uses the rounded score + term tie-break, so the top-k set is
+    * engine-reproducible. */
+  def q42Bm25(s: SparkSession, dir: String): DataFrame =
+    Relevance.bm25TopTerms(docs(s, dir), "text", "doc_id")
+  val q42Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |              CAST(sum(tf) AS BIGINT) AS tot FROM tf),
+       |j AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, sc.n_docs, sc.tot,
+       |             CAST(sum(tf.tf) OVER (PARTITION BY tf.doc_id) AS BIGINT) AS dl
+       |      FROM tf JOIN dfq USING (term) CROSS JOIN sc),
+       |s AS (SELECT doc_id, term, tf, round(
+       |        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+       |          (tf + 1.2 * (0.25 + 0.75 * (dl / (tot / n_docs)))), 3) AS bm25
+       |      FROM j)
+       |SELECT doc_id, term, tf, bm25 FROM (
+       |  SELECT s.*, row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY bm25 DESC, term) AS rk FROM s)
+       |WHERE rk <= 3""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** Corpus-frequency boilerplate removal: 2-word blocks present in >4%
+    * of documents are dropped everywhere; docs reassembled in order. */
+  def q43Boilerplate(s: SparkSession, dir: String): DataFrame =
+    Boilerplate.stripBoilerplate(docs(s, dir), "text", "doc_id",
+      blockWords = 2, maxDocShare = 0.04)
+  val q43Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents),
+       |b AS (SELECT doc_id, u.pos AS pos, u.block AS block
+       |      FROM (SELECT doc_id,
+       |              unnest([{'pos': i, 'block': array_to_string(x[i*2+1:i*2+2], ' ')}
+       |                      for i in range(0, (len(x)+1)//2)]) AS u FROM t)),
+       |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM t),
+       |bd AS (SELECT block, count(*)::BIGINT AS bdf
+       |       FROM (SELECT DISTINCT doc_id, block FROM b) GROUP BY 1),
+       |boiler AS (SELECT block FROM bd CROSS JOIN nd WHERE bdf > n_docs * 0.04)
+       |SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |       string_agg(block, ' ' ORDER BY pos) AS clean_text
+       |FROM b ANTI JOIN boiler USING (block)
+       |GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** Exact corpus heavy hitters: global top-20 tokens by occurrence, with
+    * document frequency; ties at the boundary break on the term. */
+  def q44HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Relevance.heavyHitters(docs(s, dir), "text", "doc_id", k = 20)
+  val q44Sql: String =
+    s"""SELECT term, count(*)::BIGINT AS cnt,
+       |       count(DISTINCT doc_id)::BIGINT AS doc_df
+       |FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** Deterministic stratified sampling: per-language md5-bucket rates
+    * (en 50%, fr 25%, default 10%) — reproducible across engines and
+    * re-runs, no RNG. */
+  def q45StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Splits.stratifiedSample(docs(s, dir), "lang", "doc_id",
+        rates = Seq("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"))
+  val q45Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      |      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 100
+      |""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1046,6 +1117,10 @@ object QueriesExt {
     "q39_dedup_clusters" -> (q39DedupClusters _),
     "q40_pack_sequences" -> (q40PackSequences _),
     "q41_ivf_ann" -> (q41IvfAnn _),
+    "q42_bm25" -> (q42Bm25 _),
+    "q43_boilerplate" -> (q43Boilerplate _),
+    "q44_heavy_hitters" -> (q44HeavyHitters _),
+    "q45_stratified_sample" -> (q45StratifiedSample _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1090,6 +1165,10 @@ object QueriesExt {
     "q39_dedup_clusters" -> q39Sql,
     "q40_pack_sequences" -> q40Sql,
     "q41_ivf_ann" -> q41Sql,
+    "q42_bm25" -> q42Sql,
+    "q43_boilerplate" -> q43Sql,
+    "q44_heavy_hitters" -> q44Sql,
+    "q45_stratified_sample" -> q45Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

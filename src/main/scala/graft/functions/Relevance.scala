@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus term-relevance statistics for training-data curation: BM25
+  * per-document term scoring (Robertson/Spärck Jones probabilistic
+  * relevance — the standard lexical retrieval score) and corpus-level
+  * heavy-hitter terms. Both are pure declarative aggregations — no UDFs,
+  * fully whole-stage-codegen, partial-aggregate friendly.
+  */
+object Relevance {
+
+  /** Top-`topK` BM25-scored terms per document.
+    *
+    * Pipeline: tokenize → (doc, term) frequencies → per-term document
+    * frequency → per-doc length via a window over the tf frame → score →
+    * per-doc top-k.
+    *
+    * Scale shape: the tf aggregation partially aggregates map-side
+    * (explode is narrow); the corpus scalars (doc count, total tokens)
+    * reduce to ONE broadcast row; the per-term df frame joins on `term`;
+    * length + top-k are two window functions over ONE doc_id exchange
+    * (same partitioning → one shuffle, and the rank is a
+    * WindowGroupLimit so only ~topK rows per doc survive the sort).
+    * Nothing in the plan is proportional to corpus size on the driver.
+    *
+    * Determinism: every arithmetic step is IEEE +,-,*,/ over exact
+    * integer inputs except the final `ln` (sub-ulp engine variance,
+    * absorbed by round-to-3); ranking uses the ROUNDED score with the
+    * term as tie-break, so the top-k set is engine-reproducible.
+    */
+  def bm25TopTerms(df: DataFrame, textCol: String, idCol: String,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   topK: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // avgdl = tot / n_docs (exact-integer division in both engines) —
+    // identical to avg(per-doc length) without materializing it.
+    val scalars = tf.agg(countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("tot"))
+    val j = tf.join(dfreq, "term")
+      .crossJoin(broadcast(scalars))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy("doc_id")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / (col("tot") / col("n_docs"))))
+    val scored = j.withColumn("bm25",
+      round(idf * (col("tf") * lit(k1 + 1.0)) / denom, 3))
+    val rk = row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("term").asc))
+    scored.withColumn("rk", rk).filter(col("rk") <= topK)
+      .select("doc_id", "term", "tf", "bm25")
+  }
+
+  /** Corpus-level heavy-hitter terms: exact global top-`k` tokens by
+    * occurrence count, with their document frequency. The count is a
+    * hash aggregate with map-side combine (per-partition partials are
+    * vocabulary-sized, not corpus-sized) and the top-k is
+    * TakeOrderedAndProject — each partition keeps k rows, the driver
+    * merges #partitions × k, never a full sort. Ties at the boundary
+    * break on the term so the selected set is deterministic.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 20): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_df"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+}

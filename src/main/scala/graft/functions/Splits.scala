@@ -46,6 +46,25 @@ object Splits {
       .filter(col("split_a") =!= col("split_b"))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its key's md5
+    * bucket (0..99) falls under the stratum's rate. Same engine-
+    * reproducible hash family as [[splitAssign]] — no RNG, no seed
+    * state, re-runs and backfills keep exactly the same rows, and the
+    * filter is a narrow map that pushes to the scan (no shuffle, no
+    * per-stratum pass). `rates` maps stratum value → sampling fraction;
+    * unlisted strata use `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       rates: Seq[(String, Double)],
+                       defaultRate: Double): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      "sampling rates must be within [0, 1]")
+    val bucket = pmod(TextFunctions.md5Long(col(keyCol).cast("string")), lit(100))
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((stratum, r), acc) => when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate * lit(100))
+  }
+
   /** Repeated-n-gram ratio: 0 = all n-grams distinct, → 1 as the document
     * repeats itself. Single narrow map; no shuffle. */
   def repetitionScore(text: Column, n: Int): Column = {

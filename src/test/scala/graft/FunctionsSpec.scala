@@ -377,4 +377,72 @@ class FunctionsSpec extends SparkSuite {
     assert(got.forall(v => v >= 0.0 && v <= 1.0))
     assert(got(0) > got(1))
   }
+
+  test("bm25TopTerms: rare discriminating term outranks ubiquitous filler") {
+    import graft.functions.Relevance
+    // "rust" appears only in doc 1; "the" is in every doc and repeats —
+    // classic BM25: the rare term must score above the stopword.
+    val docs = Seq(
+      (1L, "the the rust compiler the the"),
+      (2L, "the the spark engine the the"),
+      (3L, "the the query planner the the")).toDF("doc_id", "text")
+    val top = Relevance.bm25TopTerms(docs, "text", "doc_id", topK = 4)
+      .select("doc_id", "term", "bm25")
+      .as[(Long, String, Double)].collect()
+    val d1 = top.filter(_._1 == 1L).sortBy(-_._3)
+    assert(d1.head._2 == "rust" || d1.head._2 == "compiler")
+    val rust = d1.find(_._2 == "rust").get._3
+    val the = d1.find(_._2 == "the").map(_._3).getOrElse(0.0)
+    assert(rust > the, s"rust=$rust should outrank the=$the")
+    // top-k bound respected per doc
+    assert(top.groupBy(_._1).forall(_._2.length <= 4))
+  }
+
+  test("heavyHitters: exact counts, deterministic tie-break, limit k") {
+    import graft.functions.Relevance
+    val docs = Seq((1L, "b a a c"), (2L, "a b c"), (3L, "b z")).toDF("doc_id", "text")
+    val hh = Relevance.heavyHitters(docs, "text", "doc_id", k = 3)
+      .as[(String, Long, Long)].collect()
+    // a: 3 occurrences / 2 docs; b: 3 / 3 docs; c: 2 / 2; z: 1 / 1.
+    // Count ties (a, b) break alphabetically.
+    assert(hh.map(_._1).toSeq == Seq("a", "b", "c"))
+    assert(hh(0) == ("a", 3L, 2L) && hh(1) == ("b", 3L, 3L) && hh(2) == ("c", 2L, 2L))
+  }
+
+  test("stripBoilerplate drops only corpus-frequent blocks, preserves order") {
+    import graft.functions.Boilerplate
+    // Block "copyright acme" opens every doc (boilerplate); the rest is
+    // unique per doc. blockWords=2, threshold 50% of 4 docs.
+    val docs = Seq(
+      (1L, "copyright acme alpha beta gamma delta"),
+      (2L, "copyright acme epsilon zeta eta theta"),
+      (3L, "copyright acme iota kappa lambda mu"),
+      (4L, "copyright acme nu xi omicron pi")).toDF("doc_id", "text")
+    val out = Boilerplate.stripBoilerplate(docs, "text", "doc_id",
+        blockWords = 2, maxDocShare = 0.5)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.length == 4)
+    assert(out(0) == ((1L, 2L, "alpha beta gamma delta")))
+    assert(out(3) == ((4L, 2L, "nu xi omicron pi")))
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    import graft.functions.Splits
+    val n = 2000
+    val df = (1 to n).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val pick = Splits.stratifiedSample(df, "lang", "doc_id",
+      rates = Seq("en" -> 0.5), defaultRate = 0.1)
+    val a = pick.select("doc_id").as[Long].collect().toSet
+    val b = pick.select("doc_id").as[Long].collect().toSet
+    assert(a == b, "re-run must select exactly the same rows")
+    val byLang = pick.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // md5 buckets are uniform: 1000 en rows at 50% and 1000 fr at 10%.
+    assert(math.abs(byLang("en") - 500L) < 75, s"en=${byLang("en")}")
+    assert(math.abs(byLang("fr") - 100L) < 40, s"fr=${byLang("fr")}")
+    // rates outside [0,1] rejected
+    intercept[IllegalArgumentException] {
+      Splits.stratifiedSample(df, "lang", "doc_id", Seq("en" -> 1.5), 0.1)
+    }
+  }
 }

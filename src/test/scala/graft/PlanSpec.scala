@@ -188,4 +188,27 @@ class PlanSpec extends SparkSuite {
     }
     assert(parts.nonEmpty && parts.head == 2, s"expected 2 selected partitions, got $parts")
   }
+
+  test("q43 boilerplate removal anti-joins a BROADCAST dictionary (corpus never reshuffled)") {
+    val p = planString(QueriesExt.q43Boilerplate(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "boilerplate dictionary join degraded from broadcast anti:\n" + p.take(2000))
+  }
+
+  test("q44 heavy hitters plans as TakeOrderedAndProject (no full sort)") {
+    val p = planString(QueriesExt.q44HeavyHitters(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q42 BM25 top-k is a WindowGroupLimit; corpus scalars broadcast") {
+    val p = planString(QueriesExt.q42Bm25(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row scalar frame should broadcast:\n" + p.take(2000))
+  }
+
+  test("q45 stratified sample filter pushes to a narrow scan (no shuffle at all)") {
+    val p = planString(QueriesExt.q45StratifiedSample(spark, sf("sf0.001")))
+    assert(!p.contains("Exchange"), "deterministic sampling must not shuffle:\n" + p.take(2000))
+  }
 }
