@@ -1091,6 +1091,23 @@ object QueriesExt {
       |      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 100
       |""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** RAG chunking: 32-token windows, stride 24 (8-token overlap); every
+    * token covered, no sub-stride tail chunks. */
+  def q46ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkDocs(docs(s, dir), "text", "doc_id", window = 32, stride = 24)
+  val q46Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents),
+       |c AS (SELECT doc_id,
+       |        unnest([{'cid': i,
+       |                 'txt': array_to_string(x[i*24+1 : i*24+32], ' '),
+       |                 'ntok': least(32, len(x) - i*24)}
+       |                for i in range(0, 1 + greatest(0, (len(x) - 32 + 23) // 24))]) AS u
+       |      FROM t)
+       |SELECT doc_id, u.cid AS chunk_id, u.ntok::BIGINT AS n_tok,
+       |       u.txt AS chunk_text
+       |FROM c""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1121,6 +1138,7 @@ object QueriesExt {
     "q43_boilerplate" -> (q43Boilerplate _),
     "q44_heavy_hitters" -> (q44HeavyHitters _),
     "q45_stratified_sample" -> (q45StratifiedSample _),
+    "q46_chunk_docs" -> (q46ChunkDocs _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1169,6 +1187,7 @@ object QueriesExt {
     "q43_boilerplate" -> q43Sql,
     "q44_heavy_hitters" -> q44Sql,
     "q45_stratified_sample" -> q45Sql,
+    "q46_chunk_docs" -> q46Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

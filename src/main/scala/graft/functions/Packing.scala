@@ -44,4 +44,33 @@ object Packing {
       .withColumn("straddles",
         tokenCol > 0 && floor((cum - 1) / budget) > floor(start / budget))
   }
+
+  /** Sliding-window document chunking (the retrieval/RAG complement of
+    * [[packDocs]]): cut each document into token windows of `window`
+    * tokens advancing by `stride` (overlap = window − stride). Chunk
+    * starts are 0, stride, 2·stride, …; the last start is the smallest
+    * multiple of stride covering the tail, so every token lands in ≥1
+    * chunk and no degenerate sub-stride tail chunks are emitted. Returns
+    * one row per chunk: (doc_id, chunk_id, n_tok, chunk_text).
+    *
+    * Scale: pure narrow map + generator — no shuffle, no state; the
+    * expansion factor is ~window/stride. Deterministic: chunk ids and
+    * boundaries are integer arithmetic on token positions. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    // extra chunks past the first = ceil((n - window) / stride), min 0
+    val nExtra = greatest(lit(0),
+      floor((n - lit(window) + lit(stride) - lit(1)) / lit(stride)).cast("int"))
+    val chunks = transform(sequence(lit(0), nExtra), i =>
+      struct(
+        concat_ws(" ", slice(toks, i * stride + 1, lit(window))).as("txt"),
+        least(lit(window), n - i * stride).cast("long").as("ntok")))
+    df.select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("cid", "c")))
+      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+        col("c.ntok").as("n_tok"), col("c.txt").as("chunk_text"))
+  }
 }

@@ -426,6 +426,27 @@ class FunctionsSpec extends SparkSuite {
     assert(out(3) == ((4L, 2L, "nu xi omicron pi")))
   }
 
+  test("chunkDocs: full coverage, overlap, no degenerate tails") {
+    import graft.functions.Packing
+    // 10 tokens, window 4, stride 2 → starts 0,2,4,6 (ceil((10-4)/2)=3
+    // extra chunks); last chunk covers tokens 7..10, nothing degenerate.
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Packing.chunkDocs(docs, "text", "doc_id", window = 4, stride = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.head._4 == "t1 t2 t3 t4" && d1.last._4 == "t7 t8 t9 t10")
+    assert(d1.forall(_._3 == 4L))
+    // overlap: chunk 1 starts at token 3
+    assert(d1(1)._4 == "t3 t4 t5 t6")
+    // short doc → single chunk, actual token count
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == 2L && d2.head._4 == "a b")
+    intercept[IllegalArgumentException] {
+      Packing.chunkDocs(docs, "text", "doc_id", window = 4, stride = 5)
+    }
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     import graft.functions.Splits
     val n = 2000
