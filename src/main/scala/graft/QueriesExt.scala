@@ -1057,7 +1057,8 @@ object QueriesExt {
        |      FROM (SELECT doc_id,
        |              unnest([{'pos': i, 'block': array_to_string(x[i*2+1:i*2+2], ' ')}
        |                      for i in range(0, (len(x)+1)//2)]) AS u FROM t)),
-       |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM t),
+       |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+       |       FROM t WHERE x IS NOT NULL),
        |bd AS (SELECT block, count(*)::BIGINT AS bdf
        |       FROM (SELECT DISTINCT doc_id, block FROM b) GROUP BY 1),
        |boiler AS (SELECT block FROM bd CROSS JOIN nd WHERE bdf > n_docs * 0.04)
@@ -1097,7 +1098,8 @@ object QueriesExt {
   def q46ChunkDocs(s: SparkSession, dir: String): DataFrame =
     Packing.chunkDocs(docs(s, dir), "text", "doc_id", window = 32, stride = 24)
   val q46Sql: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents),
+    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents
+       |           WHERE text IS NOT NULL),
        |c AS (SELECT doc_id,
        |        unnest([{'cid': i,
        |                 'txt': array_to_string(x[i*24+1 : i*24+32], ' '),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus-frequency boilerplate removal (the CCNet/C4 cleaning shape:
@@ -33,16 +33,24 @@ object Boilerplate {
                        blockWords: Int = 2,
                        maxDocShare: Double = 0.04): DataFrame = {
     require(blockWords >= 1, "blockWords must be >= 1")
+    // Null-text docs take no part: they emit no blocks and don't count
+    // toward the document-share denominator (under legacy non-ANSI mode
+    // size(NULL) = -1 would otherwise yield a DESCENDING sequence and
+    // phantom empty blocks).
+    val src = df.filter(col(textCol).isNotNull)
     val toks = TextFunctions.tokens(col(textCol))
     // Consecutive non-overlapping blocks of `blockWords` tokens; the last
-    // block may be short. sequence upper bound (n-1)/bw = ceil(n/bw)-1.
+    // block may be short. sequence upper bound (n-1)/bw = ceil(n/bw)-1,
+    // clamped at 0 for safety.
     val blockList = transform(
-      sequence(lit(0),
-        floor((size(toks) - lit(1)) / lit(blockWords)).cast("int")),
+      sequence(lit(0), greatest(lit(0),
+        floor((size(toks) - lit(1)) / lit(blockWords)).cast("int"))),
       i => concat_ws(" ", slice(toks, i * blockWords + 1, lit(blockWords))))
-    val blocks = df.select(col(idCol).as("doc_id"),
+    val blocks = src.select(col(idCol).as("doc_id"),
       posexplode(blockList).as(Seq("pos", "block")))
-    val nDocs = blocks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // Narrow single-column count — NOT derived from `blocks`, which would
+    // re-tokenize and re-explode the corpus a third time just to count it.
+    val nDocs = src.agg(countDistinct(col(idCol)).as("n_docs"))
     val boiler = blocks.dropDuplicates("doc_id", "block")
       .groupBy("block").agg(count(lit(1)).as("bdf"))
       .crossJoin(broadcast(nDocs))

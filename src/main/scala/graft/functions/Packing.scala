@@ -62,6 +62,9 @@ object Packing {
       s"need 1 <= stride <= window, got window=$window stride=$stride")
     val toks = TextFunctions.tokens(col(textCol))
     val n = size(toks)
+    // Null-text docs produce no chunks (size(NULL) would otherwise turn
+    // into a phantom chunk under ANSI, or n = -1 under legacy mode).
+    val src = df.filter(col(textCol).isNotNull)
     // extra chunks past the first = ceil((n - window) / stride), min 0
     val nExtra = greatest(lit(0),
       floor((n - lit(window) + lit(stride) - lit(1)) / lit(stride)).cast("int"))
@@ -69,7 +72,7 @@ object Packing {
       struct(
         concat_ws(" ", slice(toks, i * stride + 1, lit(window))).as("txt"),
         least(lit(window), n - i * stride).cast("long").as("ntok")))
-    df.select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("cid", "c")))
+    src.select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("cid", "c")))
       .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
         col("c.ntok").as("n_tok"), col("c.txt").as("chunk_text"))
   }
