@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Boilerplate, DedupFunctions, Multimodal, Packing, Relevance, Similarity, Splits, TextFunctions}
+import graft.functions.{Boilerplate, DedupFunctions, Mixture, Multimodal, Packing, Relevance, Similarity, Splits, TextFunctions}
 import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1110,6 +1110,35 @@ object QueriesExt {
        |       u.txt AS chunk_text
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Per-source document cap: at most 15 docs per source in deterministic
+    * md5 order (domain balancing; WindowGroupLimit shape). */
+  def q47DomainCap(s: SparkSession, dir: String): DataFrame =
+    Mixture.capPerGroup(docs(s, dir), "source", "doc_id", k = 15)
+      .select(col("doc_id"), col("source"))
+  val q47Sql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+      |    ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |             doc_id) AS rk
+      |  FROM documents) WHERE rk <= 15""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Token-budget mixture: per source, take docs in deterministic md5
+    * order while the running whitespace-token total stays within 600. */
+  def q48TokenBudget(s: SparkSession, dir: String): DataFrame =
+    Mixture.tokenBudgetPerGroup(docs(s, dir), "source", "doc_id",
+        TextFunctions.tokenCount(col("text")), budget = 600L)
+      .select(col("doc_id"), col("source"), col("cum_tokens"))
+  val q48Sql: String =
+    s"""SELECT doc_id, source, cum_tokens FROM (
+       |  SELECT doc_id, source,
+       |         CAST(sum(len($toksSql)) OVER (PARTITION BY source
+       |           ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+       |                    doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM documents) WHERE cum_tokens <= 600""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1141,6 +1170,8 @@ object QueriesExt {
     "q44_heavy_hitters" -> (q44HeavyHitters _),
     "q45_stratified_sample" -> (q45StratifiedSample _),
     "q46_chunk_docs" -> (q46ChunkDocs _),
+    "q47_domain_cap" -> (q47DomainCap _),
+    "q48_token_budget" -> (q48TokenBudget _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1190,6 +1221,8 @@ object QueriesExt {
     "q44_heavy_hitters" -> q44Sql,
     "q45_stratified_sample" -> q45Sql,
     "q46_chunk_docs" -> q46Sql,
+    "q47_domain_cap" -> q47Sql,
+    "q48_token_budget" -> q48Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition ("data mixture") operators: bound how much any one
+  * source/domain contributes to a training corpus. Both selections order
+  * each group by the md5 of the document key — a deterministic shuffle
+  * that is engine-reproducible and identical across re-runs/backfills
+  * (same hash family as [[Splits.splitAssign]]), with the raw key as the
+  * total-order tie-break.
+  *
+  * Scale shape: both are one shuffle on the group key followed by a
+  * bounded window. The per-group cap ranks with `row_number ≤ k`, which
+  * Spark plans as WindowGroupLimit — every partition keeps at most k rows
+  * per group BEFORE the exchange, so a hot domain never materializes its
+  * full row set on one task. The token-budget variant needs the true
+  * running sum, so its window is a full per-group scan — its guard
+  * against a monster group is the upstream cap (compose: cap first,
+  * budget second).
+  */
+object Mixture {
+
+  /** Hash-order rank within a group: 1, 2, … by (md5(key), key). */
+  private def hashRank(groupCol: String, keyCol: String): Column =
+    row_number().over(Window.partitionBy(col(groupCol))
+      .orderBy(TextFunctions.md5Long(col(keyCol).cast("string")), col(keyCol)))
+
+  /** Keep at most `k` rows per group, chosen by deterministic hash order —
+    * the "cap documents per domain" balancing step. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    df.withColumn("rank_aws", hashRank(groupCol, keyCol))
+      .filter(col("rank_aws") <= k)
+      .drop("rank_aws")
+  }
+
+  /** Select documents per group in deterministic hash order until the
+    * group's running token total reaches `budget` — the "mix N tokens of
+    * each source" selection. A document is kept iff it fits entirely
+    * within the remaining budget; appends `cum_tokens` (the running total
+    * through the kept row). */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                          tokenCol: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(TextFunctions.md5Long(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("cum_tokens", sum(tokenCol.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

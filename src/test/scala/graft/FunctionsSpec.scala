@@ -447,6 +447,33 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("capPerGroup keeps exactly k per group, deterministically") {
+    import graft.functions.Mixture
+    val df = (1 to 100).map(i => (i.toLong, s"src${i % 4}")).toDF("doc_id", "source")
+    val capped = Mixture.capPerGroup(df, "source", "doc_id", k = 7)
+    val counts = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 7L) && counts.size == 4)
+    val again = Mixture.capPerGroup(df, "source", "doc_id", k = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == capped.select("doc_id").as[Long].collect().toSet)
+    // k larger than the group keeps everything
+    assert(Mixture.capPerGroup(df, "source", "doc_id", 1000).count() == 100)
+  }
+
+  test("tokenBudgetPerGroup: running total never exceeds budget, prefix property") {
+    import graft.functions.Mixture
+    val df = (1 to 60).map(i => (i.toLong, s"s${i % 3}", 10 + i % 5)).toDF("doc_id", "source", "n_tok")
+    val sel = Mixture.tokenBudgetPerGroup(df, "source", "doc_id", col("n_tok"), budget = 55L)
+      .select("doc_id", "source", "cum_tokens").as[(Long, String, Long)].collect()
+    assert(sel.forall(_._3 <= 55L))
+    assert(sel.nonEmpty && sel.groupBy(_._2).size == 3)
+    // prefix property: the selected set per group is closed under the
+    // hash order — re-running with a bigger budget only ADDS rows.
+    val bigger = Mixture.tokenBudgetPerGroup(df, "source", "doc_id", col("n_tok"), budget = 90L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel.map(_._1).toSet.subsetOf(bigger))
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     import graft.functions.Splits
     val n = 2000

@@ -207,6 +207,12 @@ class PlanSpec extends SparkSuite {
       "the one-row scalar frame should broadcast:\n" + p.take(2000))
   }
 
+  test("q47 domain cap plans as WindowGroupLimit (k rows per group pre-shuffle)") {
+    val p = planString(QueriesExt.q47DomainCap(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"),
+      "per-group cap degraded to a full window sort:\n" + p.take(2000))
+  }
+
   test("q45 stratified sample filter pushes to a narrow scan (no shuffle at all)") {
     val p = planString(QueriesExt.q45StratifiedSample(spark, sf("sf0.001")))
     assert(!p.contains("Exchange"), "deterministic sampling must not shuffle:\n" + p.take(2000))
