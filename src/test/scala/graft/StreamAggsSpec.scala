@@ -189,6 +189,28 @@ class StreamAggsSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
   }
 
+  test("narrow curation ops (stratified sample → chunking) run unchanged on a stream") {
+    import graft.functions.{Packing, Splits}
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "lang", "text")
+    // Both ops are pure narrow maps/generators — the SAME library calls
+    // compose on a streaming frame with no watermark or state required.
+    val q = Packing.chunkDocs(
+        Splits.stratifiedSample(docs, "lang", "doc_id",
+          rates = Seq("en" -> 1.0), defaultRate = 0.0),
+        "text", "doc_id", window = 3, stride = 2)
+      .writeStream.format("memory").queryName("curate").outputMode("append").start()
+    mem.addData(Seq(
+      (ts(0), 1L, "en", "a b c d e"),
+      (ts(1), 2L, "fr", "un deux trois"))) // rate 0 → filtered out
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("curate")
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    assert(got.map(_._1).forall(_ == 1L), "fr doc must be sampled out")
+    assert(got.map(_._3).toSeq == Seq("a b c", "c d e"))
+  }
+
   test("stream-stream interval join: clicks match the impression within the window") {
     val imps = MemoryStream[(Timestamp, Long, String)]
     val clicks = MemoryStream[(Timestamp, Long, String)]
