@@ -1139,6 +1139,55 @@ object QueriesExt {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
        |  FROM documents) WHERE cum_tokens <= 600""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** The end-to-end curation pipeline as ONE query — the user story the
+    * individual operators exist for: strip corpus-frequent boilerplate →
+    * exact-dedup the CLEANED text (min-id representative) → cap 10 docs
+    * per source (md5 order) → assign train/val/test splits. Every stage
+    * is the same library call its standalone query uses, and the oracle
+    * replays the whole composition in SQL. */
+  def q49CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cleaned = Boilerplate.stripBoilerplate(d, "text", "doc_id",
+      blockWords = 2, maxDocShare = 0.04)
+    val rep = DedupFunctions.exactDedup(cleaned, "clean_text", "doc_id")
+      .select(col("doc_id"))
+    val kept = cleaned.join(rep, Seq("doc_id"))
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+    Splits.withSplit(Mixture.capPerGroup(kept, "source", "doc_id", k = 10), "doc_id")
+      .select(col("doc_id"), col("source"), col("split"), col("n_kept"))
+  }
+  val q49Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents),
+       |b AS (SELECT doc_id, u.pos AS pos, u.block AS block
+       |      FROM (SELECT doc_id,
+       |              unnest([{'pos': i, 'block': array_to_string(x[i*2+1:i*2+2], ' ')}
+       |                      for i in range(0, (len(x)+1)//2)]) AS u FROM t)),
+       |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+       |       FROM t WHERE x IS NOT NULL),
+       |bd AS (SELECT block, count(*)::BIGINT AS bdf
+       |       FROM (SELECT DISTINCT doc_id, block FROM b) GROUP BY 1),
+       |boiler AS (SELECT block FROM bd CROSS JOIN nd WHERE bdf > n_docs * 0.04),
+       |cleaned AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |                   string_agg(block, ' ' ORDER BY pos) AS clean_text
+       |            FROM b ANTI JOIN boiler USING (block) GROUP BY doc_id),
+       |rep AS (SELECT min(doc_id) AS doc_id FROM (
+       |          SELECT doc_id,
+       |                 md5(regexp_replace(trim(lower(clean_text)), '\\s+', ' ', 'g')) AS fp
+       |          FROM cleaned) GROUP BY fp),
+       |ks AS (SELECT c.doc_id, c.n_kept, d.source
+       |       FROM cleaned c JOIN rep USING (doc_id)
+       |       JOIN documents d USING (doc_id)),
+       |capped AS (SELECT doc_id, source, n_kept FROM (
+       |    SELECT ks.*, row_number() OVER (PARTITION BY source
+       |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+       |               doc_id) AS rk
+       |    FROM ks) WHERE rk <= 10)
+       |SELECT doc_id, source,
+       |       ${splitSql("doc_id")} AS split,
+       |       n_kept
+       |FROM capped""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1172,6 +1221,7 @@ object QueriesExt {
     "q46_chunk_docs" -> (q46ChunkDocs _),
     "q47_domain_cap" -> (q47DomainCap _),
     "q48_token_budget" -> (q48TokenBudget _),
+    "q49_curation_pipeline" -> (q49CurationPipeline _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1223,6 +1273,7 @@ object QueriesExt {
     "q46_chunk_docs" -> q46Sql,
     "q47_domain_cap" -> q47Sql,
     "q48_token_budget" -> q48Sql,
+    "q49_curation_pipeline" -> q49Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,
