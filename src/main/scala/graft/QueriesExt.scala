@@ -1051,8 +1051,12 @@ object QueriesExt {
   def q43Boilerplate(s: SparkSession, dir: String): DataFrame =
     Boilerplate.stripBoilerplate(docs(s, dir), "text", "doc_id",
       blockWords = 2, maxDocShare = 0.04)
-  val q43Sql: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents),
+  /** Shared boilerplate-strip CTE chain (2-word blocks, 4% doc-share
+    * threshold) ending in `cleaned(doc_id, n_kept, clean_text)` — ONE
+    * definition for q43 and the q49 composition so the two oracles
+    * cannot drift apart. */
+  private val boilerplateCteSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS x FROM documents),
        |b AS (SELECT doc_id, u.pos AS pos, u.block AS block
        |      FROM (SELECT doc_id,
        |              unnest([{'pos': i, 'block': array_to_string(x[i*2+1:i*2+2], ' ')}
@@ -1061,11 +1065,13 @@ object QueriesExt {
        |       FROM t WHERE x IS NOT NULL),
        |bd AS (SELECT block, count(*)::BIGINT AS bdf
        |       FROM (SELECT DISTINCT doc_id, block FROM b) GROUP BY 1),
-       |boiler AS (SELECT block FROM bd CROSS JOIN nd WHERE bdf > n_docs * 0.04)
-       |SELECT doc_id, count(*)::BIGINT AS n_kept,
-       |       string_agg(block, ' ' ORDER BY pos) AS clean_text
-       |FROM b ANTI JOIN boiler USING (block)
-       |GROUP BY doc_id""".stripMargin
+       |boiler AS (SELECT block FROM bd CROSS JOIN nd WHERE bdf > n_docs * 0.04),
+       |cleaned AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |                   string_agg(block, ' ' ORDER BY pos) AS clean_text
+       |            FROM b ANTI JOIN boiler USING (block) GROUP BY doc_id)""".stripMargin
+  val q43Sql: String =
+    s"""WITH $boilerplateCteSql
+       |SELECT doc_id, n_kept, clean_text FROM cleaned""".stripMargin
 
   // ---------------------------------------------------------------- q44
   /** Exact corpus heavy hitters: global top-20 tokens by occurrence, with
@@ -1147,30 +1153,25 @@ object QueriesExt {
     * is the same library call its standalone query uses, and the oracle
     * replays the whole composition in SQL. */
   def q49CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val cleaned = Boilerplate.stripBoilerplate(d, "text", "doc_id",
       blockWords = 2, maxDocShare = 0.04)
-    val rep = DedupFunctions.exactDedup(cleaned, "clean_text", "doc_id")
-      .select(col("doc_id"))
-    val kept = cleaned.join(rep, Seq("doc_id"))
+    // Exact dedup as a rank over `cleaned` directly (min-id representative
+    // per cleaned-text fingerprint): one pass — a self-join against
+    // exactDedup's output would execute the whole boilerplate-strip
+    // subtree a second time.
+    val kept = cleaned
+      .withColumn("rn_aws", row_number().over(
+        Window.partitionBy(TextFunctions.fingerprint(col("clean_text")))
+          .orderBy(col("doc_id"))))
+      .filter(col("rn_aws") === 1).drop("rn_aws")
       .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
     Splits.withSplit(Mixture.capPerGroup(kept, "source", "doc_id", k = 10), "doc_id")
       .select(col("doc_id"), col("source"), col("split"), col("n_kept"))
   }
   val q49Sql: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents),
-       |b AS (SELECT doc_id, u.pos AS pos, u.block AS block
-       |      FROM (SELECT doc_id,
-       |              unnest([{'pos': i, 'block': array_to_string(x[i*2+1:i*2+2], ' ')}
-       |                      for i in range(0, (len(x)+1)//2)]) AS u FROM t)),
-       |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
-       |       FROM t WHERE x IS NOT NULL),
-       |bd AS (SELECT block, count(*)::BIGINT AS bdf
-       |       FROM (SELECT DISTINCT doc_id, block FROM b) GROUP BY 1),
-       |boiler AS (SELECT block FROM bd CROSS JOIN nd WHERE bdf > n_docs * 0.04),
-       |cleaned AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
-       |                   string_agg(block, ' ' ORDER BY pos) AS clean_text
-       |            FROM b ANTI JOIN boiler USING (block) GROUP BY doc_id),
+    s"""WITH $boilerplateCteSql,
        |rep AS (SELECT min(doc_id) AS doc_id FROM (
        |          SELECT doc_id,
        |                 md5(regexp_replace(trim(lower(clean_text)), '\\s+', ' ', 'g')) AS fp

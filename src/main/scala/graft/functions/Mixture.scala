@@ -22,32 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** Hash-order rank within a group: 1, 2, … by (md5(key), key). */
-  private def hashRank(groupCol: String, keyCol: String): Column =
-    row_number().over(Window.partitionBy(col(groupCol))
-      .orderBy(TextFunctions.md5Long(col(keyCol).cast("string")), col(keyCol)))
+  /** THE deterministic order both selections share: (md5(key), key)
+    * within the group. One definition so a hash-family change can never
+    * silently diverge the two operators' selections. */
+  private def hashWindow(groupCol: String, keyCol: String) =
+    Window.partitionBy(col(groupCol))
+      .orderBy(TextFunctions.md5Long(col(keyCol).cast("string")), col(keyCol))
 
   /** Keep at most `k` rows per group, chosen by deterministic hash order —
     * the "cap documents per domain" balancing step. */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                   k: Int): DataFrame = {
     require(k >= 1, s"cap must be >= 1, got $k")
-    df.withColumn("rank_aws", hashRank(groupCol, keyCol))
+    require(!df.columns.contains("rank_aws"),
+      "input already has a rank_aws column; rename it before capPerGroup")
+    df.withColumn("rank_aws", row_number().over(hashWindow(groupCol, keyCol)))
       .filter(col("rank_aws") <= k)
       .drop("rank_aws")
   }
 
-  /** Select documents per group in deterministic hash order until the
-    * group's running token total reaches `budget` — the "mix N tokens of
-    * each source" selection. A document is kept iff it fits entirely
-    * within the remaining budget; appends `cum_tokens` (the running total
-    * through the kept row). */
+  /** Select the maximal hash-order PREFIX of each group whose running
+    * token total stays within `budget` — the "mix N tokens of each
+    * source" selection. The cutoff is on the cumulative total: once a
+    * document pushes the running sum past the budget, it and every later
+    * document in the group are dropped (no best-fit backfill — that
+    * would break the prefix-closure property that makes mixtures
+    * reproducible and monotone in the budget). A group whose FIRST doc
+    * exceeds the budget contributes nothing. Appends `cum_tokens`, the
+    * running total through the kept row. */
   def tokenBudgetPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                           tokenCol: Column, budget: Long): DataFrame = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(TextFunctions.md5Long(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn("cum_tokens", sum(tokenCol.cast("long")).over(w))
+    require(!df.columns.contains("cum_tokens"),
+      "input already has a cum_tokens column; rename it before tokenBudgetPerGroup")
+    df.withColumn("cum_tokens",
+        sum(tokenCol.cast("long")).over(hashWindow(groupCol, keyCol)))
       .filter(col("cum_tokens") <= budget)
   }
 }
