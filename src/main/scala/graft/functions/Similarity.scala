@@ -20,29 +20,42 @@ import org.apache.spark.sql.functions._
   *    distance `probeHamming`; candidates are re-ranked exactly. Corpus
   *    cost per query drops by ~2^bits / (#probed buckets).
   *
-  * All dot products fold in DOUBLE, left-to-right (`aggregate` over
-  * `zip_with`) — deterministic bit-for-bit, which the DuckDB oracle can
-  * reproduce.
+  * All dot products fold in DOUBLE, left-to-right — deterministic
+  * bit-for-bit, which the DuckDB oracle can reproduce. The fold runs in
+  * the native codegen'd kernels ([[graft.functions.VectorExpressions]]):
+  * a fused Java loop instead of `aggregate`-over-`zip_with` higher-order
+  * functions, same IEEE result (see the bit-compatibility contract
+  * there, pinned by VectorExprSpec's property test).
   */
 object Similarity {
 
   /** Element-wise dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, x) => s + x)
+  def dot(a: Column, b: Column): Column = VectorExpressions.vecDot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosineSim(a, b)
+
+  /** The declarative higher-order-function forms the native kernels
+    * replaced — kept as the independent reference implementation that
+    * VectorExprSpec checks the kernels against, bit for bit. */
+  def foldDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, x) => s + x)
+
+  def foldCosine(a: Column, b: Column): Column =
+    try_divide(foldDot(a, b), sqrt(foldDot(a, a)) * sqrt(foldDot(b, b)))
 
   /** Shared exact re-rank tail of every ANN tier: drop self-matches,
     * score (query_id, qv) × (neighbor_id, cv) candidates with exact
-    * cosine, keep each query's top k (ties → lower neighbor id). */
+    * cosine, keep each query's top k (ties → lower neighbor id).
+    * Candidates carry per-vector norms (`qn`, `cn`) computed once at the
+    * scan — per pair only the dot remains; `dot/(qn*cn)` is the same
+    * double as `cosine(qv, cv)` (same folds, same order). */
   private def rerankTopK(candidates: DataFrame, k: Int): DataFrame = {
     val scored = candidates
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", try_divide(dot(col("qv"), col("cv")), col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -57,8 +70,10 @@ object Similarity {
     * ids collide. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
     rerankTopK(c.crossJoin(q), k)
   }
 
@@ -81,10 +96,7 @@ object Similarity {
     * with plane j. Double folds left-to-right → engine-reproducible. */
   def srpBucketPlanes(vec: Column, planes: Seq[Seq[Int]]): Column =
     planes.zipWithIndex.map { case (signs, j) =>
-      val proj = aggregate(
-        zip_with(vec, array(signs.map(s => lit(s.toDouble)): _*),
-          (x, s) => x.cast("double") * s),
-        lit(0.0), (a, x) => a + x)
+      val proj = dot(vec, array(signs.map(s => lit(s.toDouble)): _*))
       when(proj > 0, shiftleft(lit(1), j)).otherwise(0)
     }.reduce(_ bitwiseOR _)
 
@@ -117,7 +129,7 @@ object Similarity {
     // Hamming neighbors.
     val effBits = if (planes.nonEmpty) planes.length else bits
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      bucketOf(col(vecCol)).as("bucket"))
+      l2Norm(col(vecCol)).as("cn"), bucketOf(col(vecCol)).as("bucket"))
     // Probe set: all buckets within Hamming distance of the query's bucket
     // (sum of bits-choose-h masks for h ≤ probeHamming — tiny for the
     // practical bits/probeHamming ranges, built as a literal array).
@@ -125,7 +137,7 @@ object Similarity {
       (0 until effBits).combinations(h).map(_.foldLeft(0)((m, b) => m | (1 << b))))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          bucketOf(col(vecCol)).as("qb"))
+          l2Norm(col(vecCol)).as("qn"), bucketOf(col(vecCol)).as("qb"))
         .withColumn("bucket", explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)))
         .drop("qb"))
     rerankTopK(c.join(q, Seq("bucket")), k)
@@ -212,9 +224,10 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty && nprobe >= 1, "need centroids and nprobe >= 1")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      ivfCell(col(vecCol), centroids).as("cell"))
+      l2Norm(col(vecCol)).as("cn"), ivfCell(col(vecCol), centroids).as("cell"))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2Norm(col(vecCol)).as("qn"),
         explode(ivfProbeCells(col(vecCol), centroids, nprobe)).as("cell")))
     rerankTopK(c.join(q, Seq("cell")), k)
   }
@@ -228,12 +241,14 @@ object Similarity {
     val bucketOf: Column => Column =
       if (planes.nonEmpty) srpBucketPlanes(_, planes) else srpBucket(_, bits)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      bucketOf(col(vecCol)).as("bucket"))
-    val a = c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      l2Norm(col(vecCol)).as("nrm"), bucketOf(col(vecCol)).as("bucket"))
+    val a = c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"))
+    val b = c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("sim", try_divide(dot(col("v_a"), col("v_b")), col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }

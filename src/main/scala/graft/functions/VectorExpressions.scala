@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst kernels for the embedding hot path.
+  *
+  * The ANN tiers score every (query, candidate) pair with a cosine; the
+  * declarative form (`aggregate` over `zip_with`) is correct but allocates
+  * an intermediate array per pair and evaluates a lambda per element —
+  * higher-order functions don't participate in whole-stage codegen's tight
+  * loop. These expressions generate a plain fused Java loop instead
+  * (`doGenCode`), with an interpreted `nullSafeEval` twin for the
+  * non-codegen paths.
+  *
+  * Bit-compatibility contract (what lets these swap in under the DuckDB
+  * oracles without changing a single hash): every accumulator folds in
+  * DOUBLE, left-to-right, exactly like the
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+  * 0.0, _ + _)` form they replace — interleaving the three cosine
+  * accumulators in one pass does not change any individual accumulator's
+  * operation order, so the result is the same IEEE double. Null semantics
+  * mirror the fold form: unequal lengths or a null element → null
+  * (zip_with pads with null, which poisons the fold). The one deliberate
+  * divergence: cosine's zero denominator returns null (`try_divide`
+  * semantics) instead of raising ANSI DIVIDE_BY_ZERO — a zero-norm vector
+  * in a trillion-row corpus should score as "no similarity defined", not
+  * kill the job. No oracle is affected (similarity oracles only ever see
+  * non-degenerate vectors; a null sim also fails every `>= threshold`
+  * gate).
+  */
+object VectorExpressions {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  private[functions] def checkVec(name: String, left: Expression,
+                                  right: Expression): TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  /** Java source for element i of `arr` as a double, by element type. */
+  private def getElem(arr: String, i: String, et: DataType): String = et match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case _         => s"$arr.getDouble($i)"
+  }
+
+  private def readElem(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _         => arr.getDouble(i)
+  }
+
+  /** `vec_dot(a, b)` — dot product in double, left-to-right. */
+  case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // length mismatch / null element
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = checkVec("vec_dot", left, right)
+    override def prettyName: String = "vec_dot"
+
+    private def lt = elemType(left.dataType).get
+    private def rt = elemType(right.dataType).get
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var s = 0.0; var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += readElem(x, i, lt) * readElem(y, i, rt)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val bad = ctx.freshName("bad")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |else {
+           |  double $s = 0.0; boolean $bad = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |    $s += (${getElem(a, i, lt)}) * (${getElem(b, i, rt)});
+           |  }
+           |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `cosine_sim(a, b)` — one fused pass accumulating a·b, a·a, b·b;
+    * returns a·b / (sqrt(a·a) * sqrt(b·b)), null if the denominator is 0. */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = checkVec("cosine_sim", left, right)
+    override def prettyName: String = "cosine_sim"
+
+    private def lt = elemType(left.dataType).get
+    private def rt = elemType(right.dataType).get
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xi = readElem(x, i, lt); val yi = readElem(y, i, rt)
+        ab += xi * yi; aa += xi * xi; bb += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(aa) * math.sqrt(bb)
+      if (denom == 0.0) null else ab / denom
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
+        val bb = ctx.freshName("bb"); val bad = ctx.freshName("bad")
+        val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+        val den = ctx.freshName("den")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |else {
+           |  double $ab = 0.0, $aa = 0.0, $bb = 0.0; boolean $bad = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |    double $xi = ${getElem(a, i, lt)}; double $yi = ${getElem(b, i, rt)};
+           |    $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
+           |  }
+           |  double $den = Math.sqrt($aa) * Math.sqrt($bb);
+           |  if ($bad || $den == 0.0) { ${ev.isNull} = true; }
+           |  else { ${ev.value} = $ab / $den; }
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ---- Column API (no registry needed — used by the Similarity tiers) ----
+
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  // ---- SQL registration (spark.sql.extensions = graft.GraftExtensions) ----
+
+  private def twoArg(name: String, f: (Expression, Expression) => Expression)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getCanonicalName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"$name expects 2 arguments, got ${exprs.length}")
+        f(exprs(0), exprs(1))
+      })
+
+  val vecDotDescriptor = twoArg("vec_dot", VecDot.apply)
+  val cosineSimDescriptor = twoArg("cosine_sim", CosineSim.apply)
+}

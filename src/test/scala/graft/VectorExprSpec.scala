@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.{Similarity, VectorExpressions}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The native codegen kernels (vec_dot / cosine_sim) vs the declarative
+  * higher-order-function folds they replaced: the swap is only legal if it
+  * is BIT-identical — the DuckDB oracles hash raw doubles. */
+class VectorExprSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def bits(d: java.lang.Double): java.lang.Long =
+    if (d == null) null else java.lang.Double.doubleToRawLongBits(d)
+
+  /** Deterministic Gen sampling (same pattern as PropertiesSpec — the
+    * scalatest bridge artifact is not in the offline dep set). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1337L + i)))
+
+  test("vec_dot and cosine_sim are bit-identical to the fold forms (property)") {
+    val genF = Gen.chooseNum(-1e6f, 1e6f)
+    val genVec = Gen.chooseNum(1, 24).flatMap(n => Gen.listOfN(n, genF))
+    val pairs = samples(genVec.flatMap(a => genVec.map(b => (a, b))), 300)
+    assert(pairs.size >= 250)
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a.toArray, b.toArray) }
+      .toDF("id", "a", "b")
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("nd"),
+      Similarity.foldDot(col("a"), col("b")).as("fd"),
+      Similarity.cosine(col("a"), col("b")).as("nc"),
+      Similarity.foldCosine(col("a"), col("b")).as("fc"))
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()
+    // the generator produces both matched and mismatched lengths — make
+    // sure both branches (value and null) are actually exercised
+    assert(rows.exists(_._1.isDefined) && rows.exists(_._1.isEmpty))
+    rows.foreach { case (nd, fd, nc, fc) =>
+      assert(nd.map(java.lang.Double.doubleToRawLongBits)
+        == fd.map(java.lang.Double.doubleToRawLongBits))
+      assert(nc.map(java.lang.Double.doubleToRawLongBits)
+        == fc.map(java.lang.Double.doubleToRawLongBits))
+    }
+  }
+
+  test("null semantics mirror the folds: length mismatch, null element, zero norm") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // length mismatch
+      (2L, Array(1.0f, 2.0f), Array(3.0f, 4.0f))        // clean
+    ).toDF("id", "a", "b")
+    val withNull = df.withColumn("an",
+      when(col("id") === 2, array(lit(1.0f), lit(null).cast("float")))
+        .otherwise(col("a")))
+    val got = withNull.orderBy("id").select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.cosine(col("a"), col("b")).as("c"),
+      Similarity.dot(col("an"), col("b")).as("dn"))
+      .collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1)) // mismatch → null
+    assert(!got(1).isNullAt(0) && !got(1).isNullAt(1))
+    assert(got(1).isNullAt(2)) // null element → null
+    assert(got(1).getDouble(0) == 11.0)
+    // zero vector → zero denominator → null cosine (Divide-on-zero parity)
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val zr = z.select(Similarity.cosine(col("a"), col("b")).as("c"),
+      Similarity.foldCosine(col("a"), col("b")).as("f")).collect()(0)
+    assert(zr.isNullAt(0) && zr.isNullAt(1))
+  }
+
+  test("mixed element types: float corpus vs double literal centroid") {
+    val df = Seq((1L, Array(3.0f, 4.0f))).toDF("id", "v")
+    val c = df.select(
+      Similarity.cosine(col("v"), array(lit(3.0), lit(4.0))).as("c"),
+      Similarity.dot(col("v"), array(lit(0.5), lit(0.25))).as("d"))
+      .as[(Double, Double)].head()
+    assert(math.abs(c._1 - 1.0) < 1e-12)
+    assert(c._2 == 3.0 * 0.5 + 4.0 * 0.25)
+  }
+
+  test("SQL names resolve after GraftExtensions.register") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0F, 2.0F), array(2.0F, 4.0F)) AS c,
+        |       vec_dot(array(1.0F, 2.0F), array(3.0F, 5.0F)) AS d
+        |""".stripMargin).as[(Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-12 && r._2 == 13.0)
+    // arity errors are surfaced, not swallowed
+    intercept[Exception](spark.sql("SELECT vec_dot(array(1.0F))").collect())
+  }
+
+  test("interpreted eval agrees with codegen (constant folding path)") {
+    // Literal-only input is constant-folded through eval(); compare with
+    // the same computation over a column (codegen path).
+    GraftExtensions.register(spark)
+    val lit = spark.sql(
+      "SELECT vec_dot(array(1.5D, -2.0D), array(4.0D, 0.5D)) AS d")
+      .as[Double].head()
+    val codegen = Seq((Array(1.5, -2.0), Array(4.0, 0.5))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).as[Double].head()
+    assert(bits(lit) == bits(codegen))
+  }
+
+  test("ANN rerank scores carry no higher-order functions in the plan") {
+    val e = Tables.embeddings(spark, sf("sf0.001")).limit(200)
+    val q = e.limit(4)
+    val plan = Similarity.bruteForceTopK(q, e, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("aggregate(") && !plan.contains("zip_with("),
+      s"fold-form HOFs still in the hot path:\n$plan")
+    assert(plan.contains("vec_dot"), s"native kernel missing:\n$plan")
+  }
+}
