@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Boilerplate, DedupFunctions, Mixture, Multimodal, Packing, Relevance, Similarity, Splits, TextFunctions}
+import graft.functions.{Boilerplate, DedupFunctions, Layout, Mixture, Multimodal, Packing, Relevance, Similarity, Splits, TextFunctions}
 import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -89,6 +89,23 @@ object QueriesExt {
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
        |        (sqrt(list_sum(list_transform($a, x -> x * x))) *
        |         sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  /** Banded SRP candidate CTEs shared by q32/q52 (replays
+    * [[Similarity.cosineNearDupPairs]]' 2-band OR-construction over a
+    * source CTE named `u` with columns (vec_id, v)): full 8-bit bucket →
+    * 2 × 4-bit band keys → same-band equi-join, pair-deduped. */
+  private val bandedPairCteSql: String =
+    s"""b0 AS (SELECT vec_id, v,
+       |         ${(0 until 8).map(j => s"${projSql("v", j)} AS p$j").mkString(",\n       |         ")}
+       |       FROM u),
+       |b AS (SELECT vec_id, v, $bucketFromPs AS bucket FROM b0),
+       |bb AS (SELECT vec_id, v, band, (bucket >> (band * 4)) & 15 AS bkey
+       |       FROM b, (SELECT unnest([0, 1]) AS band) bands),
+       |pair AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |                any_value(a.v) AS va, any_value(c.v) AS vb
+       |         FROM bb a JOIN bb c
+       |           ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id
+       |         GROUP BY 1, 2)""".stripMargin
 
   /** q28/q37 shared: deterministic remap of the 1995-2001 order dates
     * into the events window (Jan 2024) — exact integer epoch arithmetic,
@@ -393,12 +410,7 @@ object QueriesExt {
        |d AS (SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.25] || v[2:64] AS v
        |      FROM e WHERE vec_id % 17 = 0),
        |u AS (SELECT * FROM e UNION ALL SELECT * FROM d),
-       |b0 AS (SELECT vec_id, v,
-       |         ${(0 until 8).map(j => s"${projSql("v", j)} AS p$j").mkString(",\n       |         ")}
-       |       FROM u),
-       |b AS (SELECT vec_id, v, $bucketFromPs AS bucket FROM b0),
-       |pair AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.v AS va, c.v AS vb
-       |         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |$bandedPairCteSql,
        |s AS (SELECT id_a, id_b,
        |        ${cosSql("va", "vb")} AS sim
        |      FROM pair)
@@ -1189,6 +1201,115 @@ object QueriesExt {
        |       n_kept
        |FROM capped""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Gopher-style rule-based quality filter: five named hard rules
+    * (length bounds, mean word length, distinct-token ratio, stopword
+    * presence) with per-document reject reasons — the auditable sibling
+    * of q19's soft score. Pure per-row arithmetic on exact integers: a
+    * single narrow map at any corpus size, and every rule decision
+    * replays bit-identically in the oracle. */
+  def q50QualityRules(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.gopherRules(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.mean_wl").as("mean_wl"),
+        col("r.distinct_ratio").as("distinct_ratio"),
+        col("r.stop_hits").as("stop_hits"), col("r.passed").as("passed"),
+        col("r.reasons").as("reasons"))
+  val q50Sql: String = {
+    val stopList = TextFunctions.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents),
+       |m AS (SELECT doc_id, len(x) AS n_words,
+       |        list_aggregate(list_transform(x, w -> length(w)), 'sum') * 1.0
+       |          / greatest(len(x), 1) AS mean_wl,
+       |        len(list_distinct(x)) * 1.0 / greatest(len(x), 1) AS distinct_ratio,
+       |        len(list_intersect(list_distinct(x), $stopList)) AS stop_hits
+       |      FROM t)
+       |SELECT doc_id, n_words, round(mean_wl, 6) AS mean_wl,
+       |       round(distinct_ratio, 6) AS distinct_ratio, stop_hits,
+       |       NOT (n_words < 30 OR n_words > 90 OR mean_wl < 4.0 OR mean_wl > 5.1
+       |            OR distinct_ratio < 0.35 OR stop_hits < 1) AS passed,
+       |       concat_ws(',',
+       |         CASE WHEN n_words < 30 THEN 'too_short' END,
+       |         CASE WHEN n_words > 90 THEN 'too_long' END,
+       |         CASE WHEN mean_wl < 4.0 OR mean_wl > 5.1 THEN 'word_len' END,
+       |         CASE WHEN distinct_ratio < 0.35 THEN 'repetition' END,
+       |         CASE WHEN stop_hits < 1 THEN 'no_stopwords' END) AS reasons
+       |FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q51
+  /** Z-order layout audit over orders: bucketize (custkey, order-day) to
+    * 10 bits each, Morton-interleave, take the key's top 6 bits as the
+    * file id (a fixed quad-tree level — no sort, no sample, no window),
+    * and report each file's row count + bounding box in BOTH dimensions.
+    * Tight boxes on both columns are what lets a reader prune files on
+    * either predicate ([[graft.functions.Layout]]). */
+  def q51Zorder(s: SparkSession, dir: String): DataFrame = {
+    val o = spread(Tables.orders(s, dir))
+    Layout.zorderFileStats(o, col("o_custkey"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")),
+      bits = 10, nFiles = 64)
+  }
+  val q51Sql: String = {
+    val interleave = (0 until 10).map(i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT o_custkey % 1024 AS xb,
+       |        date_diff('day', DATE '1992-01-01', o_orderdate::DATE) % 1024 AS yb
+       |      FROM orders),
+       |z AS (SELECT xb, yb, ($interleave) AS zval FROM b)
+       |SELECT zval >> 14 AS zfile, count(*) AS cnt,
+       |       min(xb) AS min_x, max(xb) AS max_x,
+       |       min(yb) AS min_y, max(yb) AS max_y
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q52
+  /** Semantic dedup end-to-end: q32's SRP-bucketed embedding near-dup
+    * pairs closed into clusters ([[ConnectedComponents]]), every vector
+    * labeled with its cluster's minimum id and a keep flag on the
+    * representative — the embedding-space twin of q39's shingle-based
+    * dedup clusters (same injected perturbed copies as q32, so the
+    * clusters are known non-degenerate). */
+  def q52SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val dups = e.filter(col("vec_id") % 17 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + lit(0.25)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    val u = e.unionByName(dups)
+    val pairs = Similarity.cosineNearDupPairs(u, threshold = 0.9,
+      planes = srpPlanes)
+    val comp = ConnectedComponents.components(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    u.select(col("vec_id"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("keep", col("vec_id") === col("component"))
+  }
+  val q52Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.25] || v[2:64] AS v
+       |      FROM e WHERE vec_id % 17 = 0),
+       |u AS (SELECT * FROM e UNION ALL SELECT * FROM d),
+       |$bandedPairCteSql,
+       |p AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+       |        ${cosSql("va", "vb")} AS sim
+       |      FROM pair) WHERE sim >= 0.9),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+       |       UNION SELECT id_b, id_a FROM p),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM ed
+       |  UNION
+       |  SELECT ed.dst, r.comp FROM reach r JOIN ed ON ed.src = r.id),
+       |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+       |SELECT u.vec_id, coalesce(cc.component, u.vec_id) AS component,
+       |       u.vec_id = coalesce(cc.component, u.vec_id) AS keep
+       |FROM u LEFT JOIN cc ON cc.id = u.vec_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1223,6 +1344,9 @@ object QueriesExt {
     "q47_domain_cap" -> (q47DomainCap _),
     "q48_token_budget" -> (q48TokenBudget _),
     "q49_curation_pipeline" -> (q49CurationPipeline _),
+    "q50_quality_rules" -> (q50QualityRules _),
+    "q51_zorder" -> (q51Zorder _),
+    "q52_semantic_dedup" -> (q52SemanticDedup _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1275,6 +1399,9 @@ object QueriesExt {
     "q47_domain_cap" -> q47Sql,
     "q48_token_budget" -> q48Sql,
     "q49_curation_pipeline" -> q49Sql,
+    "q50_quality_rules" -> q50Sql,
+    "q51_zorder" -> q51Sql,
+    "q52_semantic_dedup" -> q52Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

@@ -232,24 +232,39 @@ object Similarity {
     rerankTopK(c.join(q, Seq("cell")), k)
   }
 
-  /** Embedding-cosine near-duplicate pairs within the corpus: bucket with
-    * SRP, compare only within buckets, keep pairs with cosine ≥ threshold.
-    * The near-dup variant of ANN — one equi-join, no all-pairs. */
+  /** Embedding-cosine near-duplicate pairs within the corpus: banded
+    * SRP-LSH. The `bits` hyperplane signs are split into `bands`
+    * independent hash tables of `bits/bands` bits each; two vectors are
+    * candidates when they share ANY band's bucket (the MinHash-banding
+    * OR-construction — a single wide bucket misses a near-dup whenever
+    * one plane disagrees, so its recall decays with `bits`; with bands
+    * the pair must disagree in EVERY band to be missed). Candidates are
+    * scored exactly and deduped across bands. Still one equi-join per
+    * band on a bounded key, never all-pairs. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 8,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         planes: Seq[Seq[Int]] = Nil): DataFrame = {
+                         planes: Seq[Seq[Int]] = Nil, bands: Int = 2): DataFrame = {
+    val effBits = if (planes.nonEmpty) planes.length else bits
+    require(bands >= 1 && effBits % bands == 0,
+      s"bands ($bands) must divide the bucket width ($effBits)")
+    val w = effBits / bands
     val bucketOf: Column => Column =
       if (planes.nonEmpty) srpBucketPlanes(_, planes) else srpBucket(_, bits)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"), bucketOf(col(vecCol)).as("bucket"))
-    val a = c.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"),
-      col("nrm").as("nrm_a"))
-    val b = c.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"),
-      col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket"))
+    val banded = c.select(col("id"), col("v"), col("nrm"),
+      posexplode(array((0 until bands).map(k =>
+        shiftright(col("bucket"), k * w).bitwiseAND(lit((1 << w) - 1))): _*))
+        .as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", try_divide(dot(col("v_a"), col("v_b")), col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct() // a pair co-bucketed in several bands scores identically
   }
 }

@@ -79,6 +79,45 @@ object TextFunctions {
     round(lengthScore * lit(0.4) + punctScore * lit(0.3) + stopScore * lit(0.3), 6)
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1 shape):
+    * hard per-document rules instead of q19's soft score, each failure
+    * named so downstream can audit WHY a document was dropped. All
+    * signals are per-row integer counts or single divisions of exact
+    * integers — no aggregation, so the doubles are engine-reproducible
+    * bit-for-bit and every rule decision replays identically in an
+    * external SQL oracle. One narrow map over the corpus at any scale.
+    *
+    * Returns a struct: n_words, mean_wl, distinct_ratio, stop_hits,
+    * passed, reasons (comma-joined failed-rule names, '' when passed). */
+  def gopherRules(text: Column,
+                  minWords: Int = 30, maxWords: Int = 90,
+                  minWordLen: Double = 4.0, maxWordLen: Double = 5.1,
+                  minDistinctRatio: Double = 0.35,
+                  minStopHits: Int = 1): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val meanWl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / greatest(n, lit(1)).cast("double")
+    val distinctRatio =
+      size(array_distinct(toks)).cast("double") / greatest(n, lit(1)).cast("double")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(stopwords("en").map(lit): _*)))
+    val fails: Seq[(Column, String)] = Seq(
+      (n < minWords)                                   -> "too_short",
+      (n > maxWords)                                   -> "too_long",
+      ((meanWl < minWordLen) || (meanWl > maxWordLen)) -> "word_len",
+      (distinctRatio < minDistinctRatio)               -> "repetition",
+      (stopHits < minStopHits)                         -> "no_stopwords")
+    struct(
+      n.as("n_words"),
+      round(meanWl, 6).as("mean_wl"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      stopHits.as("stop_hits"),
+      (!fails.map(_._1).reduce(_ || _)).as("passed"),
+      concat_ws(",", fails.map { case (c, name) => when(c, lit(name)) }: _*)
+        .as("reasons"))
+  }
+
   /** PII redaction: emails, North-American-style phone numbers, and IPv4
     * addresses replaced with type tags — the pre-training scrub pass.
     * Plain regexp_replace chain (codegen'd, reproducible in SQL engines;

@@ -493,4 +493,82 @@ class FunctionsSpec extends SparkSuite {
       Splits.stratifiedSample(df, "lang", "doc_id", Seq("en" -> 1.5), 0.1)
     }
   }
+
+  test("gopherRules: each rule fires on a crafted document and names itself") {
+    val good = (("the quick brown fox jumps over lazy dogs near riverbank " * 4)
+      + "with many different other words appearing here once only today").trim
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "the tiny one"),                        // too_short
+      (3L, ("word " * 200).trim),                  // too_long + repetition + no_stopwords + word_len(4.0 excl? len=4)
+      (4L, ("it " + "ab " * 40).trim),             // word_len (mean ~2)
+      (5L, ("the different sample " * 20).trim)    // repetition (3 distinct / 60)
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.gopherRules(col("text")).as("r"))
+      .select(col("doc_id"), col("r.passed"), col("r.reasons"))
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    assert(r(0)._2, s"good doc rejected: ${r(0)._3}")
+    assert(r(0)._3 == "")
+    assert(!r(1)._2 && r(1)._3.contains("too_short"))
+    assert(!r(2)._2 && r(2)._3.contains("too_long") && r(2)._3.contains("repetition")
+      && r(2)._3.contains("no_stopwords"))
+    assert(!r(3)._2 && r(3)._3.contains("word_len"))
+    assert(!r(4)._2 && r(4)._3.contains("repetition"))
+    // non-degenerate on the corpus: both outcomes occur
+    val onCorpus = QueriesExt.q50QualityRules(spark, sf("sf0.001"))
+      .groupBy("passed").count().as[(Boolean, Long)].collect().toMap
+    assert(onCorpus.keySet == Set(true, false), s"degenerate: $onCorpus")
+  }
+
+  test("morton interleave: known values and zorder bounding-box locality") {
+    import graft.functions.Layout
+    // x=3 (011), y=5 (101) -> bits x0,y0,x1,y1,x2,y2 = 1,1,1,0,0,1 -> 100111
+    val z = Seq((3, 5)).toDF("x", "y")
+      .select(Layout.morton(col("x"), col("y"), 3)).as[Int].head()
+    assert(z == 39)
+    // every zfile is the zval's top quad-tree bits, and each file's
+    // bounding box is one 128x128 square of the 1024x1024 bucket grid
+    val o = Tables.orders(spark, sf("sf0.001"))
+    val assigned = Layout.zorderAssign(o, col("o_custkey"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")), 10, 64)
+    assert(assigned.filter(col("zfile") =!= shiftright(col("zval"), 14)).isEmpty)
+    val stats = QueriesExt.q51Zorder(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Int, Int)].collect()
+    assert(stats.nonEmpty && stats.length <= 64)
+    stats.foreach { case (f, cnt, minX, maxX, minY, maxY) =>
+      assert(f >= 0 && f < 64 && cnt > 0)
+      assert(maxX - minX <= 127, s"file $f x-box too wide: $minX..$maxX")
+      assert(maxY - minY <= 127, s"file $f y-box too wide: $minY..$maxY")
+    }
+    // nFiles not a power of 4 rejected
+    intercept[IllegalArgumentException] {
+      Layout.zorderAssign(o, col("o_custkey"), col("o_custkey"), 10, 32)
+    }
+  }
+
+  test("q52 semantic dedup: injected twin clustered with its original, originals kept") {
+    val out = QueriesExt.q52SemanticDedup(spark, sf("sf0.001"))
+      .as[(Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    val dups = out.filter(_._1 >= 1000000L)
+    assert(dups.nonEmpty, "no injected duplicates surfaced")
+    // SRP-LSH recall is not 1.0: a perturbed copy can cross a hyperplane
+    // and land in a different bucket. Most must cluster; the ones that do
+    // must cluster with their original and lose the keep flag.
+    val clustered = dups.filter(d => d._2 == d._1 - 1000000L)
+    assert(clustered.length * 2 >= dups.length,
+      s"LSH recall collapsed: ${clustered.length}/${dups.length}")
+    clustered.foreach { case (id, _, keep) =>
+      assert(!keep, s"dup $id kept")
+      assert(byId(id - 1000000L)._3, s"original ${id - 1000000L} dropped")
+    }
+    // a missed dup is its own singleton cluster (kept) — honest recall
+    dups.diff(clustered).foreach { case (id, comp, keep) =>
+      assert(comp == id && keep)
+    }
+    // untouched vectors are their own singleton component and kept
+    val singles = out.filter(r => r._1 < 1000000L && r._1 % 17 != 0)
+    assert(singles.forall(r => r._2 == r._1 && r._3))
+  }
 }
