@@ -71,12 +71,18 @@ object StreamAggs {
     * the stage parallelizes with the source; downstream writers typically
     * `partitionBy("split")`. */
   def corpusIngest(docs: DataFrame, tsCol: String, textCol: String, idCol: String,
-                   watermark: String, minQuality: Double): DataFrame = {
+                   watermark: String, minQuality: Double,
+                   gopherGate: Boolean = false): DataFrame = {
     import graft.functions.{Splits, TextFunctions}
+    // Quality gate: the q19 soft score, optionally AND'd with q50's hard
+    // Gopher rules — both are per-row column predicates, so the streaming
+    // plan stays a stateless narrow filter ahead of the dedup state store.
+    val gated = docs
+      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      .transform(d => if (gopherGate)
+        d.filter(TextFunctions.gopherRules(col(textCol)).getField("passed")) else d)
     Splits.withSplit(
-        streamingExactDedup(
-          docs.filter(TextFunctions.qualityScore(col(textCol)) >= minQuality),
-          tsCol, textCol, watermark),
+        streamingExactDedup(gated, tsCol, textCol, watermark),
         idCol)
       .withColumn("lang", TextFunctions.langId(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))

@@ -137,6 +137,23 @@ class StreamAggsSpec extends SparkSuite {
     assert(byId(4L)._3 == "es" && byId(4L)._4 == 11)
   }
 
+  test("streaming corpus ingest: optional Gopher rule gate drops what the soft score passes") {
+    val good = (("the quick brown fox jumps over lazy dogs near riverbank " * 4)
+      + "with many different other words appearing here once only today").trim
+    val shortButClean = "the cat of the house and a dog sat in the sun"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.corpusIngest(docs, "ts", "text", "doc_id",
+      watermark = "1 hour", minQuality = 0.3, gopherGate = true)
+      .writeStream.format("memory").queryName("corpus_gopher")
+      .outputMode("append").start()
+    mem.addData(Seq((ts(0), 1L, good), (ts(1), 2L, shortButClean)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("corpus_gopher").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L), s"gopher gate let the 12-word doc through: $ids")
+  }
+
   test("streaming near-dup candidates: cross-batch twin flagged, unrelated docs quiet") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF().toDF("ts", "doc_id", "text")
