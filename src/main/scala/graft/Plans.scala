@@ -46,7 +46,19 @@ object Plans {
       "exchange, and the rank plans as WindowGroupLimit so only ~k rows per doc survive the sort."),
     "q47_domain_cap" -> ("per-domain cap: row_number <= k over the md5 hash order plans as " +
       "WindowGroupLimit — every partition keeps at most k rows per source BEFORE the exchange, " +
-      "so a hot domain never materializes its full row set on one task.")
+      "so a hot domain never materializes its full row set on one task."),
+    "q17_ann_cosine" -> ("brute-force ANN baseline: the query side broadcasts (nested-loop over " +
+      "8 rows, not a shuffle); every pair scores through the native vec_dot codegen kernel with " +
+      "per-vector norms computed once at each scan — no higher-order functions, no per-pair " +
+      "array allocation, one WindowGroupLimit top-k."),
+    "q51_zorder" -> ("Z-order layout audit: the Morton key and file id are per-row bit " +
+      "arithmetic inside the scan projection (no sort, no sample pass, no window — compare a " +
+      "global ORDER BY layout); the only exchange carries partial per-file min/max/count " +
+      "aggregates, i.e. at most #files rows per mapper."),
+    "q52_semantic_dedup" -> ("semantic dedup: banded SRP-LSH candidates come from a (band, " +
+      "bucket) equi-join — two 4-bit tables OR'd, never an all-pairs product — and the " +
+      "connected-components loop that closes pairs into clusters ran eagerly before the shown " +
+      "label join, touching only the pair edge set (embeddings never enter the loop).")
   )
 
   def main(args: Array[String]): Unit = {

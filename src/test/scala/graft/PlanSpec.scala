@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.Similarity
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.SparkPlan
@@ -216,5 +217,30 @@ class PlanSpec extends SparkSuite {
   test("q45 stratified sample filter pushes to a narrow scan (no shuffle at all)") {
     val p = planString(QueriesExt.q45StratifiedSample(spark, sf("sf0.001")))
     assert(!p.contains("Exchange"), "deterministic sampling must not shuffle:\n" + p.take(2000))
+  }
+
+  test("q50 quality rules: one narrow map, no shuffle, two-column scan") {
+    val p = planString(QueriesExt.q50QualityRules(spark, sf("sf0.001")))
+    assert(!p.contains("Exchange"), "per-row rules must not shuffle:\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "rule filter must prune the scan to (doc_id, text):\n" + p.take(2000))
+  }
+
+  test("q51 zorder: no sort/window — the only exchange carries partial file aggregates") {
+    val p = planString(QueriesExt.q51Zorder(spark, sf("sf0.001")))
+    assert(!p.contains("Sort") && !p.contains("Window"),
+      "Z-order assignment must be pure arithmetic, not a sort:\n" + p.take(2000))
+    assert(p.contains("partial_"), "file stats must aggregate map-side first:\n" + p.take(2000))
+    assert("Exchange".r.findAllIn(p).length == 1,
+      "exactly one exchange (the partial-agg shuffle) expected:\n" + p.take(2000))
+  }
+
+  test("q52 semantic dedup pairs: banded candidates stay an equi-join, never all-pairs") {
+    // pin the pair generator (the CC loop runs eagerly off-plan, like q39)
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val p = planString(graft.functions.Similarity.cosineNearDupPairs(
+      e, threshold = 0.9, planes = Similarity.deterministicPlanes(8, 64)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "banded near-dup must join on (band, bucket):\n" + p.take(2000))
   }
 }
