@@ -51,12 +51,15 @@ object QueriesExt {
        |     WHEN substring(md5(CAST($c AS VARCHAR)), 1, 1) < 'e' THEN 'val'
        |     ELSE 'test' END""".stripMargin
 
-  /** `t` = distinct bigram shingles of the 10% document sample — the one
+  /** Distinct-bigram-shingle CTE over a documents subset — the one
     * definition every shingle-based oracle starts from. */
-  private val shingleCteSql: String =
-    s"""t AS (
+  private def shingleCteFor(cteName: String, whereSql: String): String =
+    s"""$cteName AS (
        |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
-       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0))""".stripMargin
+       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE $whereSql))""".stripMargin
+
+  /** `t` = the 10% document sample's shingles (q14/q15/q26/q35/q39). */
+  private val shingleCteSql: String = shingleCteFor("t", "doc_id % 10 = 0")
 
   /** Jaccard from (id_a, id_b, shared, n_a, n_b) rows in `src`, with the
     * shared 0.05 threshold. */
@@ -1310,6 +1313,28 @@ object QueriesExt {
        |       u.vec_id = coalesce(cc.component, u.vec_id) AS keep
        |FROM u LEFT JOIN cc ON cc.id = u.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Contamination score against a fixed eval set: fraction of each
+    * sampled training doc's distinct bigrams that occur anywhere in the
+    * eval subset (doc_id % 10 = 7) — the direct benchmark-overlap metric
+    * next to q26's pairwise sweep. Eval shingle set broadcasts; the
+    * corpus is scanned once ([[graft.functions.Splits.contaminationScore]]). */
+  def q53ContaminationScore(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Splits.contaminationScore(
+      docsSample(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
+      "text", "doc_id", n = 2)
+  val q53Sql: String =
+    s"""WITH ${shingleCteFor("tr", "doc_id % 10 = 0")},
+       |${shingleCteFor("evd", "doc_id % 10 = 7")},
+       |ev AS (SELECT DISTINCT unnest(sh) AS sg FROM evd),
+       |tok AS (SELECT doc_id, unnest(sh) AS sg FROM tr WHERE len(sh) > 0),
+       |h AS (SELECT doc_id, count(*) AS n_hit FROM tok JOIN ev USING (sg) GROUP BY 1)
+       |SELECT t.doc_id, t.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+       |       round(coalesce(h.n_hit, 0) * 1.0 / t.n_sh, 6) AS score
+       |FROM (SELECT doc_id, len(sh) AS n_sh FROM tr WHERE len(sh) > 0) t
+       |LEFT JOIN h USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1347,6 +1372,7 @@ object QueriesExt {
     "q50_quality_rules" -> (q50QualityRules _),
     "q51_zorder" -> (q51Zorder _),
     "q52_semantic_dedup" -> (q52SemanticDedup _),
+    "q53_contamination_score" -> (q53ContaminationScore _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1402,6 +1428,7 @@ object QueriesExt {
     "q50_quality_rules" -> q50Sql,
     "q51_zorder" -> q51Sql,
     "q52_semantic_dedup" -> q52Sql,
+    "q53_contamination_score" -> q53Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

@@ -46,6 +46,38 @@ object Splits {
       .filter(col("split_a") =!= col("split_b"))
   }
 
+  /** Per-document contamination score against a FIXED evaluation corpus:
+    * the fraction of the document's distinct n-gram shingles that occur
+    * anywhere in the eval set — the direct "n-gram overlap with the
+    * benchmark" metric (GPT-3 appendix C shape), complementing
+    * [[crossSplitContamination]]'s pairwise within-corpus sweep.
+    *
+    * Scale shape: the eval shingle set is benchmark-sized (thousands of
+    * docs), so it broadcasts; the 100 TB training corpus is scanned ONCE,
+    * its shingles semi-joined against the broadcast set and the hit
+    * count aggregated map-side per doc. No corpus self-join, no shuffle
+    * of text. Score = n_hit / n_sh (exact integers, one division —
+    * engine-reproducible). */
+  def contaminationScore(train: DataFrame, eval: DataFrame,
+                         textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val tr = train.select(col(idCol).as("doc_id"),
+        DedupFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalShingles = eval
+      .select(explode(DedupFunctions.shingles(col(textCol), n)).as("s"))
+      .distinct()
+    val hits = tr.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(evalShingles), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tr.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("score",
+        round(col("n_hit").cast("double") / col("n_sh").cast("double"), 6))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its key's md5
     * bucket (0..99) falls under the stratum's rate. Same engine-
     * reproducible hash family as [[splitAssign]] — no RNG, no seed

@@ -494,6 +494,22 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("contaminationScore: full overlap 1.0, disjoint 0.0, partial in between") {
+    import graft.functions.Splits
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // every bigram in eval
+      (2L, "totally unrelated words appear here now"), // none
+      (3L, "alpha beta gamma unseen tail words")       // 2 of 5 bigrams hit
+    ).toDF("doc_id", "text")
+    val got = Splits.contaminationScore(train, eval, "text", "doc_id", n = 2)
+      .select("doc_id", "n_sh", "n_hit", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 4, 4L, 1.0)))
+    assert(got(1) == ((2L, 5, 0L, 0.0)))
+    assert(got(2) == ((3L, 5, 2L, 0.4)))
+  }
+
   test("gopherRules: each rule fires on a crafted document and names itself") {
     val good = (("the quick brown fox jumps over lazy dogs near riverbank " * 4)
       + "with many different other words appearing here once only today").trim

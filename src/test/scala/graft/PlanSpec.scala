@@ -235,6 +235,12 @@ class PlanSpec extends SparkSuite {
       "exactly one exchange (the partial-agg shuffle) expected:\n" + p.take(2000))
   }
 
+  test("q53 contamination: the eval shingle set broadcasts (corpus never reshuffled by it)") {
+    val p = planString(QueriesExt.q53ContaminationScore(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "eval-set membership must be a broadcast semi join:\n" + p.take(2000))
+  }
+
   test("q52 semantic dedup pairs: banded candidates stay an equi-join, never all-pairs") {
     // pin the pair generator (the CC loop runs eagerly off-plan, like q39)
     val e = Tables.embeddings(spark, sf("sf0.001"))
