@@ -1,0 +1,77 @@
+package graft.config
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Warehouse-credential injection — the S8 inventory row.
+  *
+  * The reference resolves `redshift_secret_id` through AWS Secrets
+  * Manager and lets the returned SecretString JSON override any
+  * explicitly-configured username/password
+  * (`cdc_util/redshift_sink.py:101-110,621-645`). A local/portable
+  * engine can't assume that service, so the same contract is kept with
+  * pluggable schemes in the reference id's place:
+  *
+  *   - `env:NAME`    — the secret is the value of environment var NAME
+  *   - `file:/path`  — the secret is the file's contents (k8s/Docker
+  *                     mounted-secret convention)
+  *   - `literal:...` — inline (tests only)
+  *
+  * The resolved SecretString uses the reference's dict shape
+  * (`{"username": ..., "password": ..., "host": ..., "port": ...}`), and
+  * — like the reference — whatever the secret provides WINS over the
+  * explicit properties. Values never appear in toString/logs.
+  */
+object Secrets {
+
+  /** JDBC credentials; toString is redacted so a config dump or log line
+    * can never leak the password. */
+  final case class Credentials(username: Option[String], password: Option[String],
+                               host: Option[String], port: Option[Int]) {
+    override def toString: String =
+      s"Credentials(username=${username.map(_ => "***")}, password=${password.map(_ => "***")}, " +
+        s"host=$host, port=$port)"
+    /** Explicit properties as the base, secret values on top (the
+      * reference's precedence, redshift_sink.py:104-110). */
+    def over(explicitUser: Option[String], explicitPassword: Option[String]): Credentials =
+      copy(username = username.orElse(explicitUser),
+        password = password.orElse(explicitPassword))
+  }
+
+  /** Resolve a secret reference to its raw SecretString. `env` is
+    * injectable for tests (defaults to the process environment). */
+  def resolve(ref: String, env: String => Option[String] = sys.env.get): String =
+    ref.split(":", 2) match {
+      case Array("env", name) =>
+        env(name).getOrElse(
+          throw new IllegalArgumentException(s"secret env var not set: $name"))
+      case Array("file", path) =>
+        new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8).trim
+      case Array("literal", v) => v
+      case _ => throw new IllegalArgumentException(
+        s"unsupported secret scheme (want env:/file:/literal:): $ref")
+    }
+
+  /** Parse the SecretString. A JSON object uses the reference's dict
+    * shape; anything else is treated as a bare password (the common
+    * mounted-file convention). */
+  def parse(secretString: String): Credentials = {
+    val s = secretString.trim
+    if (s.startsWith("{")) {
+      val kvPat = "\"([^\"]+)\"\\s*:\\s*(\"([^\"]*)\"|-?[0-9]+)".r
+      val m = kvPat.findAllMatchIn(s)
+        .map(g => g.group(1) -> Option(g.group(3)).getOrElse(g.group(2))).toMap
+      Credentials(m.get("username"), m.get("password"), m.get("host"),
+        m.get("port").flatMap(_.toIntOption))
+    } else Credentials(None, Some(s), None, None)
+  }
+
+  /** One-call path: resolve + parse + apply the secret-wins precedence. */
+  def credentials(ref: Option[String],
+                  explicitUser: Option[String], explicitPassword: Option[String],
+                  env: String => Option[String] = sys.env.get): Credentials =
+    ref match {
+      case Some(r) => parse(resolve(r, env)).over(explicitUser, explicitPassword)
+      case None => Credentials(explicitUser, explicitPassword, None, None)
+    }
+}

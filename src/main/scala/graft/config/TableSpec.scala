@@ -106,8 +106,20 @@ final case class JobConfig(
       * table-batch logs its schema tree and a 5-row/20-char sample before
       * the merge. Quiet (true) by default, as in the reference configs. */
     disableMsg: Boolean = true,
+    /** Warehouse credential injection (S8): a [[Secrets]] reference
+      * (`env:NAME` / `file:/path`) in the reference's
+      * `redshift_secret_id` position; secret values override the
+      * explicit `jdbc_user`/`jdbc_password` properties, as in
+      * `redshift_sink.py:104-110`. */
+    secretId: Option[String] = None,
+    jdbcUser: Option[String] = None,
+    jdbcPassword: Option[String] = None,
     tables: Seq[TableSpec] = Nil
-)
+) {
+  /** Resolved JDBC credentials (secret wins over explicit). */
+  def credentials(env: String => Option[String] = sys.env.get): Secrets.Credentials =
+    Secrets.credentials(secretId, jdbcUser, jdbcPassword, env)
+}
 
 object JobConfig {
 
@@ -132,6 +144,13 @@ object JobConfig {
       maxError = p("maxerror", "0").toLong,
       schemaProbeBatches = p("schema_probe_batches", "20").toInt,
       disableMsg = TableSpec.truthy(p("disable_msg", "true")),
+      // both the generic key and the reference's name are accepted, so a
+      // reference job.properties drops in unchanged
+      secretId = Option(props.getProperty("secret_id"))
+        .orElse(Option(props.getProperty("redshift_secret_id")))
+        .map(_.trim).filter(_.nonEmpty),
+      jdbcUser = Option(props.getProperty("jdbc_user")).map(_.trim).filter(_.nonEmpty),
+      jdbcPassword = Option(props.getProperty("jdbc_password")).map(_.trim).filter(_.nonEmpty),
       tables = parseTableList(p("sync_table_list", "[]"))
     )
   }

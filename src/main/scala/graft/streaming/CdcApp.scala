@@ -34,14 +34,25 @@ object CdcApp {
      else b.config("spark.sql.shuffle.partitions", "32")).getOrCreate()
   }
 
-  def sinkFactory(spark: SparkSession, sinkSpec: String): TableSpec => MergeTarget = {
+  def sinkFactory(spark: SparkSession, sinkSpec: String,
+                  cfg: JobConfig = JobConfig()): TableSpec => MergeTarget = {
     if (sinkSpec.startsWith("jdbc:")) {
-      val jdbc = new JdbcMergeSink(sinkSpec)
+      // S8: credentials from the secret reference (env:/file:), secret
+      // values overriding explicit jdbc_user/jdbc_password properties.
+      val creds = cfg.credentials()
+      val props = new java.util.Properties()
+      creds.username.foreach(props.setProperty("user", _))
+      creds.password.foreach(props.setProperty("password", _))
+      val jdbc = new JdbcMergeSink(sinkSpec, props)
       spec => new MergeTarget {
         def merge(stage: DataFrame, s: TableSpec): Unit = jdbc.writeBatch(stage, s)
-        def snapshot(sp: SparkSession): DataFrame =
-          sp.read.format("jdbc").option("url", sinkSpec)
-            .option("dbtable", spec.resolvedTarget).load()
+        def snapshot(sp: SparkSession): DataFrame = {
+          val r = sp.read.format("jdbc").option("url", sinkSpec)
+            .option("dbtable", spec.resolvedTarget)
+          creds.username.foldLeft(
+            creds.password.foldLeft(r)(_.option("password", _)))(_.option("user", _))
+            .load()
+        }
       }
     } else {
       val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
@@ -66,7 +77,7 @@ object CdcApp {
     val format = CdcFormat.forName(cfg.cdcFormat)
     val source = CdcPipeline.kafkaSource(spark, cfg)
     val query = CdcPipeline.streamWriter(source, cfg, format,
-      sinkFactory(spark, sinkSpec)).start()
+      sinkFactory(spark, sinkSpec, cfg)).start()
     query.awaitTermination()
   }
 }

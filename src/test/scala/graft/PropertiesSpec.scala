@@ -131,6 +131,41 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("secrets (S8): scheme resolution, dict parse, secret-wins precedence, redaction") {
+    import graft.config.{JobConfig, Secrets}
+    // env scheme (injected env), JSON dict shape like the reference's
+    // SecretString (redshift_sink.py:104-110)
+    val env = Map("WH_SECRET" -> """{"username": "svc", "password": "p@ss", "port": 5439}""")
+    val c = Secrets.credentials(Some("env:WH_SECRET"),
+      explicitUser = Some("ignored"), explicitPassword = Some("also_ignored"),
+      env = env.get)
+    assert(c.username.contains("svc") && c.password.contains("p@ss"))
+    assert(c.port.contains(5439))
+    // secret missing a field -> the explicit property fills it
+    val env2 = Map("WH_SECRET" -> """{"password": "only_pw"}""")
+    val c2 = Secrets.credentials(Some("env:WH_SECRET"), Some("cfg_user"), None, env2.get)
+    assert(c2.username.contains("cfg_user") && c2.password.contains("only_pw"))
+    // file scheme with a bare (non-JSON) secret = password
+    val f = java.nio.file.Files.createTempFile("graft-secret", ".txt")
+    java.nio.file.Files.writeString(f, "filepw\n")
+    val c3 = Secrets.credentials(Some(s"file:$f"), Some("u"), None, _ => None)
+    assert(c3.password.contains("filepw") && c3.username.contains("u"))
+    java.nio.file.Files.delete(f)
+    // no reference -> explicit properties pass through
+    val c4 = Secrets.credentials(None, Some("u"), Some("p"), _ => None)
+    assert(c4.username.contains("u") && c4.password.contains("p"))
+    // unknown scheme / unset env fail loudly
+    intercept[IllegalArgumentException](Secrets.resolve("vault:x", _ => None))
+    intercept[IllegalArgumentException](Secrets.resolve("env:MISSING", _ => None))
+    // toString never leaks
+    assert(!c.toString.contains("p@ss") && !c.toString.contains("svc"))
+    // properties: the reference's key name drops in unchanged
+    val cfg = JobConfig.fromProperties(
+      "redshift_secret_id = env:WH_SECRET\njdbc_user = u2\n")
+    assert(cfg.secretId.contains("env:WH_SECRET") && cfg.jdbcUser.contains("u2"))
+    assert(JobConfig.fromProperties("secret_id = file:/s\n").secretId.contains("file:/s"))
+  }
+
   test("affine MinHash family: coeffs in range, distinct, and collision-free on random bases") {
     import graft.functions.DedupFunctions._
     val coeffs = (1 to 64).map(minhashCoeff)
