@@ -398,16 +398,23 @@ object QueriesExt {
     * no natural near-dups, so the query injects deterministic perturbed
     * copies (component 0 nudged by +0.25, id offset by 1e6) — the operator
     * must find exactly those pairs. */
-  def q32CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus + deterministic perturbed copies (component 0 nudged by
+    * +0.25, id offset by 1e6) — ONE definition for q32 and q52, and the
+    * `d AS` CTE in both oracles mirrors it; the two queries' docs rely on
+    * these being the same injected duplicates. */
+  private def withInjectedNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
     val dups = e.filter(col("vec_id") % 17 === 0).select(
       (col("vec_id") + 1000000L).as("vec_id"),
       concat(array(element_at(col("embedding"), 1) + lit(0.25)),
         slice(col("embedding"), 2, 63)).as("embedding"))
-    Similarity.cosineNearDupPairs(e.unionByName(dups), threshold = 0.9,
-      planes = srpPlanes)
+    e.unionByName(dups)
   }
+
+  def q32CosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(withInjectedNearDups(s, dir), threshold = 0.9,
+      planes = srpPlanes)
   val q32Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |d AS (SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.25] || v[2:64] AS v
@@ -1097,6 +1104,7 @@ object QueriesExt {
     s"""SELECT term, count(*)::BIGINT AS cnt,
        |       count(DISTINCT doc_id)::BIGINT AS doc_df
        |FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |WHERE length(term) > 0
        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- q45
@@ -1276,13 +1284,7 @@ object QueriesExt {
     * dedup clusters (same injected perturbed copies as q32, so the
     * clusters are known non-degenerate). */
   def q52SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).select(col("vec_id"),
-      col("embedding").cast("array<double>").as("embedding"))
-    val dups = e.filter(col("vec_id") % 17 === 0).select(
-      (col("vec_id") + 1000000L).as("vec_id"),
-      concat(array(element_at(col("embedding"), 1) + lit(0.25)),
-        slice(col("embedding"), 2, 63)).as("embedding"))
-    val u = e.unionByName(dups)
+    val u = withInjectedNearDups(s, dir)
     val pairs = Similarity.cosineNearDupPairs(u, threshold = 0.9,
       planes = srpPlanes)
     val comp = ConnectedComponents.components(

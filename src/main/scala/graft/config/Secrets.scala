@@ -36,6 +36,22 @@ object Secrets {
     def over(explicitUser: Option[String], explicitPassword: Option[String]): Credentials =
       copy(username = username.orElse(explicitUser),
         password = password.orElse(explicitPassword))
+
+    /** Rewrite a `jdbc:engine://host[:port]/...` URL's endpoint with the
+      * secret's host/port — a rotated secret that moves the warehouse
+      * must win over the configured URL, exactly like username/password
+      * (the reference builds its whole endpoint from the secret). URLs
+      * without an authority (e.g. `jdbc:derby:memory:db`) and secrets
+      * without host/port pass through unchanged. */
+    def applyTo(url: String): String = {
+      val auth = "^(jdbc:[a-zA-Z0-9]+://)([^/:]+)(?::(\\d+))?(.*)$".r
+      (host, url) match {
+        case (Some(h), auth(prefix, _, oldPort, rest)) =>
+          val p = port.map(_.toString).orElse(Option(oldPort))
+          s"$prefix$h${p.map(":" + _).getOrElse("")}$rest"
+        case _ => url
+      }
+    }
   }
 
   /** Resolve a secret reference to its raw SecretString. `env` is
@@ -52,15 +68,27 @@ object Secrets {
         s"unsupported secret scheme (want env:/file:/literal:): $ref")
     }
 
+  /** JSON string unescape for the SecretString values (quotes,
+    * backslashes, and the common control escapes — passwords legally
+    * contain any of them). */
+  private def unescape(s: String): String =
+    "\\\\([\"\\\\/bfnrt])".r.replaceAllIn(s, m => m.group(1) match {
+      case "b" => "\b"; case "f" => "\f"; case "n" => "\n"
+      case "r" => "\r"; case "t" => "\t"
+      case c => java.util.regex.Matcher.quoteReplacement(c)
+    })
+
   /** Parse the SecretString. A JSON object uses the reference's dict
     * shape; anything else is treated as a bare password (the common
-    * mounted-file convention). */
+    * mounted-file convention). String values may contain escaped quotes
+    * and backslashes. */
   def parse(secretString: String): Credentials = {
     val s = secretString.trim
     if (s.startsWith("{")) {
-      val kvPat = "\"([^\"]+)\"\\s*:\\s*(\"([^\"]*)\"|-?[0-9]+)".r
+      val kvPat = "\"((?:[^\"\\\\]|\\\\.)+)\"\\s*:\\s*(\"((?:[^\"\\\\]|\\\\.)*)\"|-?[0-9]+)".r
       val m = kvPat.findAllMatchIn(s)
-        .map(g => g.group(1) -> Option(g.group(3)).getOrElse(g.group(2))).toMap
+        .map(g => unescape(g.group(1)) ->
+          Option(g.group(3)).map(unescape).getOrElse(g.group(2))).toMap
       Credentials(m.get("username"), m.get("password"), m.get("host"),
         m.get("port").flatMap(_.toIntOption))
     } else Credentials(None, Some(s), None, None)

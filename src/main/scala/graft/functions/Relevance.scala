@@ -69,6 +69,10 @@ object Relevance {
                    k: Int = 20): DataFrame =
     df.select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
+      // tokens('') = [''] — drop the empty-text artifact token, matching
+      // ApproxHeavyHitters.approxTopTokens so the exact-regime
+      // equivalence holds on corpora with blank documents
+      .filter(length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_df"))
       .orderBy(col("cnt").desc, col("term").asc)

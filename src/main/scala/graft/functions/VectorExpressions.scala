@@ -70,8 +70,9 @@ object VectorExpressions {
     override def checkInputDataTypes(): TypeCheckResult = checkVec("vec_dot", left, right)
     override def prettyName: String = "vec_dot"
 
-    private def lt = elemType(left.dataType).get
-    private def rt = elemType(right.dataType).get
+    // hoisted: one type dispatch per expression instance, not per element
+    @transient private lazy val lt = elemType(left.dataType).get
+    @transient private lazy val rt = elemType(right.dataType).get
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -118,8 +119,8 @@ object VectorExpressions {
     override def checkInputDataTypes(): TypeCheckResult = checkVec("cosine_sim", left, right)
     override def prettyName: String = "cosine_sim"
 
-    private def lt = elemType(left.dataType).get
-    private def rt = elemType(right.dataType).get
+    @transient private lazy val lt = elemType(left.dataType).get
+    @transient private lazy val rt = elemType(right.dataType).get
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]

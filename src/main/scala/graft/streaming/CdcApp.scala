@@ -38,16 +38,19 @@ object CdcApp {
                   cfg: JobConfig = JobConfig()): TableSpec => MergeTarget = {
     if (sinkSpec.startsWith("jdbc:")) {
       // S8: credentials from the secret reference (env:/file:), secret
-      // values overriding explicit jdbc_user/jdbc_password properties.
+      // values overriding explicit jdbc_user/jdbc_password properties —
+      // and a secret-provided host/port overriding the URL's endpoint
+      // (a rotated secret that moves the warehouse must win).
       val creds = cfg.credentials()
+      val url = creds.applyTo(sinkSpec)
       val props = new java.util.Properties()
       creds.username.foreach(props.setProperty("user", _))
       creds.password.foreach(props.setProperty("password", _))
-      val jdbc = new JdbcMergeSink(sinkSpec, props)
+      val jdbc = new JdbcMergeSink(url, props)
       spec => new MergeTarget {
         def merge(stage: DataFrame, s: TableSpec): Unit = jdbc.writeBatch(stage, s)
         def snapshot(sp: SparkSession): DataFrame = {
-          val r = sp.read.format("jdbc").option("url", sinkSpec)
+          val r = sp.read.format("jdbc").option("url", url)
             .option("dbtable", spec.resolvedTarget)
           creds.username.foldLeft(
             creds.password.foldLeft(r)(_.option("password", _)))(_.option("user", _))

@@ -166,6 +166,33 @@ class PropertiesSpec extends SparkSuite {
     assert(JobConfig.fromProperties("secret_id = file:/s\n").secretId.contains("file:/s"))
   }
 
+  test("secrets (S8): endpoint override and escaped-JSON credential values") {
+    import graft.config.Secrets
+    // a rotated secret that moves the warehouse wins over the configured URL
+    val moved = Secrets.parse(
+      """{"username": "svc", "password": "pw", "host": "wh-new.internal", "port": 5440}""")
+    assert(moved.applyTo("jdbc:postgresql://wh-old:5439/dev?ssl=true") ==
+      "jdbc:postgresql://wh-new.internal:5440/dev?ssl=true")
+    // secret host without port keeps the URL's port
+    val hostOnly = Secrets.parse("""{"host": "wh-new"}""")
+    assert(hostOnly.applyTo("jdbc:postgresql://wh-old:5439/dev") ==
+      "jdbc:postgresql://wh-new:5439/dev")
+    // and no port anywhere -> none emitted
+    assert(hostOnly.applyTo("jdbc:postgresql://wh-old/dev") == "jdbc:postgresql://wh-new/dev")
+    // secrets without a host, and URLs without an authority, pass through
+    assert(Secrets.parse("""{"password": "p"}""").applyTo("jdbc:postgresql://h:1/db") ==
+      "jdbc:postgresql://h:1/db")
+    assert(moved.applyTo("jdbc:derby:memory:graft;create=true") ==
+      "jdbc:derby:memory:graft;create=true")
+    // escaped quotes/backslashes/control escapes in JSON string values
+    // survive the parse intact (passwords legally contain any of them)
+    val esc = Secrets.parse(
+      """{"username": "dom\\svc", "password": "a\"b\\c\td", "host": "h"}""")
+    assert(esc.username.contains("dom\\svc"), esc.username)
+    assert(esc.password.contains("a\"b\\c\td"), "escaped password must round-trip")
+    assert(esc.host.contains("h"))
+  }
+
   test("affine MinHash family: coeffs in range, distinct, and collision-free on random bases") {
     import graft.functions.DedupFunctions._
     val coeffs = (1 to 64).map(minhashCoeff)
