@@ -58,7 +58,16 @@ object Plans {
     "q52_semantic_dedup" -> ("semantic dedup: banded SRP-LSH candidates come from a (band, " +
       "bucket) equi-join — two 4-bit tables OR'd, never an all-pairs product — and the " +
       "connected-components loop that closes pairs into clusters ran eagerly before the shown " +
-      "label join, touching only the pair edge set (embeddings never enter the loop).")
+      "label join, touching only the pair edge set (embeddings never enter the loop)."),
+    "q54_span_dedup" -> ("exact span dedup: the first-occurrence dictionary is corpus-sized " +
+      "(every distinct block), so unlike q43 it cannot broadcast — instead BOTH window mins " +
+      "(first doc, then first pos) stack over ONE unordered block-content exchange with no " +
+      "sort, marking survivors co-partitioned without any join-back; the reassembly group-by " +
+      "is the only other shuffle and its per-group state is one document."),
+    "q55_temperature_mixture" -> ("temperature mixture: per-source stats partially aggregate " +
+      "(rows out = #sources), the sqrt-weight normalizer folds over the group-sorted stats " +
+      "array (one defined FP-sum order, no driver round-trip), and the rate table broadcasts " +
+      "back into the corpus scan — the corpus itself is never shuffled.")
   )
 
   def main(args: Array[String]): Unit = {

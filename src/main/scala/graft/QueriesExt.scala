@@ -1337,6 +1337,75 @@ object QueriesExt {
        |FROM (SELECT doc_id, len(sh) AS n_sh FROM tr WHERE len(sh) > 0) t
        |LEFT JOIN h USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** Exact cross-document span dedup, first occurrence kept (the
+    * exact-substring-dedup shape at 3-token-block grain) — q43 removes
+    * ALL copies of corpus-frequent boilerplate; this removes the LATER
+    * copies of anything repeated ([[graft.functions.Boilerplate.dedupSpans]]). */
+  def q54SpanDedup(s: SparkSession, dir: String): DataFrame =
+    Boilerplate.dedupSpans(docs(s, dir), "text", "doc_id", blockWords = 3)
+  val q54Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT doc_id, u.pos AS pos, u.block AS block
+       |      FROM (SELECT doc_id,
+       |              unnest([{'pos': i, 'block': array_to_string(x[i*3+1:i*3+3], ' ')}
+       |                      for i in range(0, (len(x)+2)//3)]) AS u FROM t)),
+       |m AS (SELECT doc_id, pos, block,
+       |             min(doc_id) OVER (PARTITION BY block) AS d0
+       |      FROM b),
+       |e AS (SELECT *, min(CASE WHEN doc_id = d0 THEN pos END)
+       |               OVER (PARTITION BY block) AS p0 FROM m)
+       |SELECT doc_id, count(*)::BIGINT AS n_blocks,
+       |       sum(CASE WHEN doc_id = d0 AND pos = p0 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |       coalesce(string_agg(CASE WHEN doc_id = d0 AND pos = p0 THEN block END,
+       |                           ' ' ORDER BY pos), '') AS dedup_text
+       |FROM e GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  /** α = 0.5 temperature mixture over sources: per-source sampling
+    * weights ∝ sqrt(token mass), md5-deterministic Bernoulli keep at the
+    * rate hitting a 10k-token budget in expectation
+    * ([[graft.functions.Mixture.temperatureMixture]]). */
+  def q55TemperatureMixture(s: SparkSession, dir: String): DataFrame =
+    Mixture.temperatureMixture(docs(s, dir), "source", "doc_id",
+      TextFunctions.tokenCount(col("text")), budgetTokens = 10000)
+  val q55Sql: String =
+    s"""WITH r AS (SELECT source AS grp, doc_id AS key,
+       |                  len($toksSql) AS tok FROM documents),
+       |s AS (SELECT grp, count(*)::BIGINT AS n_docs,
+       |             sum(tok)::BIGINT AS n_tokens FROM r GROUP BY 1),
+       |z AS (SELECT list_sum(list(sqrt(n_tokens::DOUBLE) ORDER BY grp)) AS z FROM s),
+       |rated AS (SELECT grp, weight,
+       |                 least(1.0, 10000.0 * weight / n_tokens::DOUBLE) AS rate
+       |          FROM (SELECT grp, n_tokens, sqrt(n_tokens::DOUBLE) / z AS weight
+       |                FROM s CROSS JOIN z)),
+       |c AS (SELECT grp, tok,
+       |             ('0x' || substring(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+       |               / 1152921504606846976.0 AS u
+       |      FROM r)
+       |SELECT grp AS source, count(*)::BIGINT AS n_docs,
+       |       sum(c.tok)::BIGINT AS n_tokens,
+       |       round(min(rated.weight), 6) AS weight,
+       |       sum(CASE WHEN u < rate THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+       |       sum(CASE WHEN u < rate THEN c.tok ELSE 0 END)::BIGINT AS kept_tokens
+       |FROM c JOIN rated USING (grp) GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Adjacent-pair (bigram-merge) counts: the first BPE merge-selection
+    * statistic, global top-20 with document frequency
+    * ([[graft.functions.Relevance.adjacentPairCounts]]). */
+  def q56BpePairs(s: SparkSession, dir: String): DataFrame =
+    Relevance.adjacentPairCounts(docs(s, dir), "text", "doc_id", k = 20)
+  val q56Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS x FROM documents),
+       |p AS (SELECT doc_id,
+       |        unnest(list_transform(generate_series(1, len(x) - 1),
+       |                              i -> x[i] || ' ' || x[i + 1])) AS pair
+       |      FROM t)
+       |SELECT pair, count(*)::BIGINT AS cnt,
+       |       count(DISTINCT doc_id)::BIGINT AS doc_df
+       |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1375,6 +1444,9 @@ object QueriesExt {
     "q51_zorder" -> (q51Zorder _),
     "q52_semantic_dedup" -> (q52SemanticDedup _),
     "q53_contamination_score" -> (q53ContaminationScore _),
+    "q54_span_dedup" -> (q54SpanDedup _),
+    "q55_temperature_mixture" -> (q55TemperatureMixture _),
+    "q56_bpe_pairs" -> (q56BpePairs _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1431,6 +1503,9 @@ object QueriesExt {
     "q51_zorder" -> q51Sql,
     "q52_semantic_dedup" -> q52Sql,
     "q53_contamination_score" -> q53Sql,
+    "q54_span_dedup" -> q54Sql,
+    "q55_temperature_mixture" -> q55Sql,
+    "q56_bpe_pairs" -> q56Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

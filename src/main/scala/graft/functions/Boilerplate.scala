@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-frequency boilerplate removal (the CCNet/C4 cleaning shape:
@@ -29,25 +30,32 @@ object Boilerplate {
     * by position inside the aggregate — per-group memory is one
     * document, never the corpus.
     */
-  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
-                       blockWords: Int = 2,
-                       maxDocShare: Double = 0.04): DataFrame = {
-    require(blockWords >= 1, "blockWords must be >= 1")
-    // Null-text docs take no part: they emit no blocks and don't count
-    // toward the document-share denominator (under legacy non-ANSI mode
-    // size(NULL) = -1 would otherwise yield a DESCENDING sequence and
-    // phantom empty blocks).
-    val src = df.filter(col(textCol).isNotNull)
+  /** (doc_id, pos, block): consecutive non-overlapping `blockWords`-token
+    * blocks of each document; the last block may be short. Null-text docs
+    * take no part: they emit no blocks (under legacy non-ANSI mode
+    * size(NULL) = -1 would otherwise yield a DESCENDING sequence and
+    * phantom empty blocks). sequence upper bound (n-1)/bw = ceil(n/bw)-1,
+    * clamped at 0 for safety. ONE definition shared by
+    * [[stripBoilerplate]] and [[dedupSpans]] so the two operators' block
+    * grids can never silently drift apart. */
+  private def blockify(df: DataFrame, textCol: String, idCol: String,
+                       blockWords: Int): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    // Consecutive non-overlapping blocks of `blockWords` tokens; the last
-    // block may be short. sequence upper bound (n-1)/bw = ceil(n/bw)-1,
-    // clamped at 0 for safety.
     val blockList = transform(
       sequence(lit(0), greatest(lit(0),
         floor((size(toks) - lit(1)) / lit(blockWords)).cast("int"))),
       i => concat_ws(" ", slice(toks, i * blockWords + 1, lit(blockWords))))
-    val blocks = src.select(col(idCol).as("doc_id"),
-      posexplode(blockList).as(Seq("pos", "block")))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(blockList).as(Seq("pos", "block")))
+  }
+
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                       blockWords: Int = 2,
+                       maxDocShare: Double = 0.04): DataFrame = {
+    require(blockWords >= 1, "blockWords must be >= 1")
+    val src = df.filter(col(textCol).isNotNull)
+    val blocks = blockify(df, textCol, idCol, blockWords)
     // Narrow single-column count — NOT derived from `blocks`, which would
     // re-tokenize and re-explode the corpus a third time just to count it.
     val nDocs = src.agg(countDistinct(col(idCol)).as("n_docs"))
@@ -62,5 +70,49 @@ object Boilerplate {
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("block")))),
           x => x.getField("block"))).as("clean_text"))
+  }
+
+  /** Exact cross-document span dedup with FIRST-occurrence retention (the
+    * "deduplicating training data" exact-substring shape at block grain:
+    * any block of `blockWords` tokens that already occurred earlier in the
+    * corpus — in (doc_id, pos) order — is removed; its first occurrence
+    * survives). Complements [[stripBoilerplate]], which removes ALL
+    * occurrences of corpus-frequent blocks: here a span occurring twice
+    * loses only its second copy, the generic repeated-content case rather
+    * than the header/footer case.
+    *
+    * Returns one row per non-null-text document:
+    * (doc_id, n_blocks, n_kept, dedup_text) — docs whose every block is a
+    * re-occurrence keep an empty dedup_text rather than vanishing, so the
+    * caller can distinguish "fully duplicated" from "absent".
+    *
+    * Scale shape: exact span dedup fundamentally shuffles block content —
+    * the first-occurrence dictionary is corpus-sized (every distinct
+    * block), so unlike [[stripBoilerplate]]'s bounded boilerplate set it
+    * can never broadcast. The plan keeps that to ONE exchange: both
+    * window mins partition by `block` with no ordering (no sort, and the
+    * second min reuses the first's partitioning), and first-occurrence
+    * marking happens co-partitioned — rows are never joined back. The
+    * reassembly group-by is the second and last shuffle, and its
+    * per-group state is one document. */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String,
+                 blockWords: Int = 3): DataFrame = {
+    require(blockWords >= 1, "blockWords must be >= 1")
+    val byBlock = Window.partitionBy(col("block"))
+    // First occurrence = lexicographic min of (doc_id, pos), computed as
+    // two stacked unordered window mins (min doc, then min pos within
+    // that doc) — no struct-ordering dependence, no per-partition sort.
+    val marked = blockify(df, textCol, idCol, blockWords)
+      .withColumn("d0", min(col("doc_id")).over(byBlock))
+      .withColumn("p0",
+        min(when(col("doc_id") === col("d0"), col("pos"))).over(byBlock))
+      .withColumn("keep", col("doc_id") === col("d0") && col("pos") === col("p0"))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("block"))))),
+          x => x.getField("block"))).as("dedup_text"))
   }
 }

@@ -59,4 +59,58 @@ object Mixture {
         sum(tokenCol.cast("long")).over(hashWindow(groupCol, keyCol)))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** α-temperature source weighting + deterministic Bernoulli subsample
+    * (the multilingual-LM mixing rule: sampling weight w_s ∝ mass_s^α
+    * with α < 1 flattening the distribution toward low-resource sources;
+    * α is fixed at 0.5 here because sqrt is the one fractional power
+    * IEEE-754 guarantees correctly rounded, so the weights are
+    * bit-reproducible on any engine). Each source's per-document keep
+    * rate is chosen so the EXPECTED kept-token total is `budgetTokens`
+    * (clamped at 1.0 — a source asked for more than it has keeps
+    * everything), and the coin flip is the md5 of the document key, not
+    * an RNG: re-runs, backfills, and external replays select the exact
+    * same documents.
+    *
+    * Returns one row per group: (groupCol, n_docs, n_tokens, weight,
+    * kept_docs, kept_tokens).
+    *
+    * Scale shape: one partial-agg pass for the per-source stats (rows
+    * out = #sources), a driver-free fold of the weight normalizer over
+    * the group-sorted stats array (sum order pinned — FP addition is not
+    * associative), then one scan of the corpus with the rate table
+    * broadcast back. The corpus is never shuffled; both passes are
+    * map-side. */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+                         tokenCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"token budget must be >= 1, got $budgetTokens")
+    val rows = df.select(col(groupCol).as("grp"), col(keyCol).as("key"),
+      tokenCol.cast("long").as("tok"))
+    val stats = rows.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    // Normalizer Z = Σ_s sqrt(tokens_s), folded left-to-right over the
+    // group-name-sorted stats so the FP sum has ONE defined order.
+    val z = stats
+      .agg(collect_list(struct(col("grp"), sqrt(col("n_tokens").cast("double")).as("w"))).as("ws"))
+      .select(aggregate(transform(array_sort(col("ws")), x => x.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("z"))
+    val rated = stats.crossJoin(broadcast(z))
+      .withColumn("weight", sqrt(col("n_tokens").cast("double")) / col("z"))
+      .withColumn("rate", least(lit(1.0),
+        lit(budgetTokens.toDouble) * col("weight") / col("n_tokens").cast("double")))
+      .select(col("grp"), col("weight"), col("rate"))
+    // Uniform-[0,1) coin from the 60-bit md5 prefix: an exact dyadic
+    // rational, so the `u < rate` boundary is engine-independent.
+    val u = TextFunctions.md5Long(col("key").cast("string")).cast("double") /
+      lit(math.pow(2, 60))
+    rows.join(broadcast(rated), Seq("grp"))
+      .withColumn("u", u)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        round(min(col("weight")), 6).as("weight"),
+        sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("u") < col("rate"), col("tok")).otherwise(0L)).as("kept_tokens"))
+      .withColumnRenamed("grp", groupCol)
+  }
 }

@@ -77,4 +77,27 @@ object Relevance {
       .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_df"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
+
+  /** Adjacent-token-pair frequencies: the global top-`k` bigrams by
+    * occurrence count — the statistic behind the first BPE merge
+    * selection (the pair-merge loop greedily merges the most frequent
+    * adjacent pair; this operator is one iteration of that count at
+    * corpus scale). Same plan spine as [[heavyHitters]]: narrow explode
+    * off the scan, map-side-combined hash aggregate (partials are
+    * bigram-vocabulary-sized), TakeOrderedAndProject top-k, term
+    * tie-break. A single-token document emits no pairs, which also
+    * covers the tokens('') = [''] artifact. */
+  def adjacentPairCounts(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 20): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("doc_id"), explode(pairs).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_df"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
 }

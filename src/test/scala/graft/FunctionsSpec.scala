@@ -426,6 +426,56 @@ class FunctionsSpec extends SparkSuite {
     assert(out(3) == ((4L, 2L, "nu xi omicron pi")))
   }
 
+  test("dedupSpans keeps first occurrence only, in and across documents") {
+    import graft.functions.Boilerplate
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),  // first occurrences of both blocks
+      (2L, "alpha beta epsilon zeta"), // "alpha beta" is a re-occurrence
+      (3L, "gamma delta alpha beta"),  // every block already seen
+      (4L, "rho rho rho rho")          // within-doc repeat: second copy drops
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupSpans(docs, "text", "doc_id", blockWords = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 2L, "alpha beta gamma delta")))
+    assert(out(1) == ((2L, 2L, 1L, "epsilon zeta")))
+    // fully-duplicated doc stays present with empty text, not dropped
+    assert(out(2) == ((3L, 2L, 0L, "")))
+    assert(out(3) == ((4L, 2L, 1L, "rho rho")))
+  }
+
+  test("temperatureMixture: sqrt flattening, budget clamp, determinism") {
+    import graft.functions.Mixture
+    // srcA has 4x the token mass of srcB -> sqrt temperature gives it
+    // only 2x the sampling weight (2/3 vs 1/3).
+    val docs = ((1 to 16).map(i => (i.toLong, "srcA", "w x y z")) ++
+      (17 to 20).map(i => (i.toLong, "srcB", "w x y z")))
+      .toDF("doc_id", "source", "text")
+    val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+    val out = Mixture.temperatureMixture(docs, "source", "doc_id", toks, 40)
+      .as[(String, Long, Long, Double, Long, Long)].collect().sortBy(_._1).toList
+    val Seq(a, b) = out.map(_._4)
+    assert(math.abs(a - 2.0 / 3) < 1e-6 && math.abs(b - 1.0 / 3) < 1e-6)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5, "weights sum to 1")
+    // a budget beyond the corpus clamps every rate at 1: keep everything
+    val full = Mixture.temperatureMixture(docs, "source", "doc_id", toks, 1000000)
+      .as[(String, Long, Long, Double, Long, Long)].collect()
+    assert(full.forall(r => r._5 == r._2 && r._6 == r._3))
+    // md5 coin, not an RNG: identical selection on re-run
+    val again = Mixture.temperatureMixture(docs, "source", "doc_id", toks, 40)
+      .as[(String, Long, Long, Double, Long, Long)].collect().sortBy(_._1).toList
+    assert(again == out)
+  }
+
+  test("adjacentPairCounts: exact bigram counts, doc frequency, no pairs from single tokens") {
+    import graft.functions.Relevance
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = Relevance.adjacentPairCounts(docs, "text", "doc_id", k = 10)
+      .as[(String, Long, Long)].collect().toList
+    assert(out.head == (("a b", 3L, 2L))) // twice in doc 1, once in doc 2
+    assert(out.contains(("b a", 1L, 1L)))
+    assert(out.length == 2) // "solo" emits no pairs
+  }
+
   test("chunkDocs: full coverage, overlap, no degenerate tails") {
     import graft.functions.Packing
     // 10 tokens, window 4, stride 2 → starts 0,2,4,6 (ceil((10-4)/2)=3
