@@ -1390,6 +1390,29 @@ object QueriesExt {
        |       sum(CASE WHEN u < rate THEN c.tok ELSE 0 END)::BIGINT AS kept_tokens
        |FROM c JOIN rated USING (grp) GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Unigram-LM quality score: per-doc mean token log-probability under
+    * a self-trained unigram model — the perplexity-filter shape
+    * ([[graft.functions.Relevance.unigramLogProb]]). */
+  def q57UnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    Relevance.unigramLogProb(docs(s, dir), "text", "doc_id")
+  val q57Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |                  list_filter($toksSql, x -> length(x) > 0) AS toks
+       |           FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) > 0),
+       |c AS (SELECT term, count(*)::BIGINT AS cnt
+       |      FROM (SELECT unnest(toks) AS term FROM d) GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+       |p AS (SELECT doc_id, pos, ln(c.cnt::DOUBLE / tot.tot) AS lp
+       |      FROM (SELECT doc_id, unnest(toks) AS term,
+       |                   generate_subscripts(toks, 1) AS pos FROM d) x
+       |      JOIN c USING (term) CROSS JOIN tot),
+       |s AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) AS lps
+       |      FROM p GROUP BY 1)
+       |SELECT d.doc_id, d.n_tok, round(s.lps / d.n_tok, 6) AS mean_logp
+       |FROM d JOIN s USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- q56
   /** Adjacent-pair (bigram-merge) counts: the first BPE merge-selection
     * statistic, global top-20 with document frequency
@@ -1447,6 +1470,7 @@ object QueriesExt {
     "q54_span_dedup" -> (q54SpanDedup _),
     "q55_temperature_mixture" -> (q55TemperatureMixture _),
     "q56_bpe_pairs" -> (q56BpePairs _),
+    "q57_unigram_logprob" -> (q57UnigramLogprob _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1506,6 +1530,7 @@ object QueriesExt {
     "q54_span_dedup" -> q54Sql,
     "q55_temperature_mixture" -> q55Sql,
     "q56_bpe_pairs" -> q56Sql,
+    "q57_unigram_logprob" -> q57Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

@@ -100,4 +100,45 @@ object Relevance {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** Per-document mean token log-probability under a unigram LM trained
+    * on the corpus itself — the CCNet/KenLM perplexity-filter shape with
+    * the LM reduced to unigrams (low scores = improbable token mix:
+    * gibberish, boilerplate soup, wrong-language fragments; the
+    * filtering decision is a threshold on this column). No smoothing is
+    * needed: the model is trained on the scored corpus, so every token
+    * has count ≥ 1.
+    *
+    * Returns (doc_id, n_tok, mean_logp), empty-token docs dropped.
+    *
+    * Scale shape: the unigram model is vocabulary-sized — counts partial
+    * aggregate map-side, then the (term → count) map and token total
+    * broadcast back as ONE row, and each document scores inside the scan
+    * projection via a fold over its own token array. The corpus is never
+    * shuffled and the per-doc FP sum has one defined order (position
+    * order), so scores are engine-reproducible. A 100 TB corpus with a
+    * beyond-broadcast vocabulary would swap the map for an equi-join on
+    * term; the testdata (and most natural-language vocabularies after
+    * minimum-count pruning) fit the broadcast comfortably. */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val docs = df.select(col(idCol).as("doc_id"),
+        filter(toks, t => length(t) > 0).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+    val counts = docs.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // Two collect_lists in one aggregate pass see rows in the same order,
+    // so term[i] pairs with cnt[i].
+    val model = counts.agg(
+      map_from_arrays(collect_list(col("term")), collect_list(col("cnt"))).as("m"),
+      sum(col("cnt")).cast("double").as("tot"))
+    docs.crossJoin(broadcast(model))
+      .withColumn("logp_sum",
+        aggregate(transform(col("toks"),
+            t => log(element_at(col("m"), t).cast("double") / col("tot"))),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        round(col("logp_sum") / col("n_tok"), 6).as("mean_logp"))
+  }
 }

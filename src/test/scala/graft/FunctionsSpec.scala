@@ -476,6 +476,21 @@ class FunctionsSpec extends SparkSuite {
     assert(out.length == 2) // "solo" emits no pairs
   }
 
+  test("unigramLogProb: common-token docs outscore rare-token docs; exact tiny-corpus value") {
+    import graft.functions.Relevance
+    // corpus: "the" x 6, "zyx" x 1, "qqq" x 1 -> total 8
+    val docs = Seq(
+      (1L, "the the the"), (2L, "the the the"),
+      (3L, "zyx qqq"), (4L, "")).toDF("doc_id", "text")
+    val out = Relevance.unigramLogProb(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(out.map(_._1) == List(1L, 2L, 3L), "empty doc dropped")
+    // doc1: mean ln(6/8); doc3: mean ln(1/8)
+    assert(math.abs(out.head._3 - math.log(6.0 / 8)) < 1e-6)
+    assert(math.abs(out(2)._3 - math.log(1.0 / 8)) < 1e-6)
+    assert(out.head._3 > out(2)._3, "prose-like beats rare-token soup")
+  }
+
   test("chunkDocs: full coverage, overlap, no degenerate tails") {
     import graft.functions.Packing
     // 10 tokens, window 4, stride 2 → starts 0,2,4,6 (ceil((10-4)/2)=3
