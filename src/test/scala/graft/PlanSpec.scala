@@ -249,4 +249,32 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "banded near-dup must join on (band, bucket):\n" + p.take(2000))
   }
+
+  test("q54 span dedup: both window mins stack over ONE block exchange, no join-back") {
+    val p = planString(QueriesExt.q54SpanDedup(spark, sf("sf0.001")))
+    assert(!p.contains("Join"), "first-occurrence marking must stay co-partitioned:\n" + p.take(2000))
+    // exchanges: one on block content (shared by both windows), one for
+    // the per-doc reassembly aggregate — nothing else
+    assert("Exchange".r.findAllIn(p).length == 2,
+      "expected exactly 2 exchanges (block windows + reassembly):\n" + p.take(2000))
+    assert("(?s)Window.*Window".r.findFirstIn(p).isDefined &&
+      "(?s)Sort.*Sort".r.findFirstIn(p).isEmpty,
+      "the stacked windows must share one sort:\n" + p.take(2000))
+  }
+
+  test("q55 temperature mixture: rate table broadcasts; corpus never shuffled") {
+    val p = planString(QueriesExt.q55TemperatureMixture(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source rates must broadcast into the corpus scan:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus must not shuffle for the rate join:\n" + p.take(2000))
+  }
+
+  test("q57 unigram scoring: model broadcasts as one row; docs score in the scan") {
+    val p = planString(QueriesExt.q57UnigramLogprob(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row vocab model must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must not shuffle to meet the model:\n" + p.take(2000))
+  }
 }
