@@ -61,9 +61,9 @@ object Plans {
       "label join, touching only the pair edge set (embeddings never enter the loop)."),
     "q54_span_dedup" -> ("exact span dedup: the first-occurrence dictionary is corpus-sized " +
       "(every distinct block), so unlike q43 it cannot broadcast — instead BOTH window mins " +
-      "(first doc, then first pos) stack over ONE unordered block-content exchange with no " +
-      "sort, marking survivors co-partitioned without any join-back; the reassembly group-by " +
-      "is the only other shuffle and its per-group state is one document."),
+      "(first doc, then first pos) stack over ONE block-content exchange and share a single " +
+      "partition-key sort, marking survivors co-partitioned without any join-back; the " +
+      "reassembly group-by is the only other shuffle and its per-group state is one document."),
     "q55_temperature_mixture" -> ("temperature mixture: per-source stats partially aggregate " +
       "(rows out = #sources), the sqrt-weight normalizer folds over the group-sorted stats " +
       "array (one defined FP-sum order, no driver round-trip), and the rate table broadcasts " +

@@ -37,16 +37,23 @@ object Secrets {
       copy(username = username.orElse(explicitUser),
         password = password.orElse(explicitPassword))
 
-    /** Rewrite a `jdbc:engine://host[:port]/...` URL's endpoint with the
-      * secret's host/port — a rotated secret that moves the warehouse
-      * must win over the configured URL, exactly like username/password
-      * (the reference builds its whole endpoint from the secret). URLs
-      * without an authority (e.g. `jdbc:derby:memory:db`) and secrets
-      * without host/port pass through unchanged. */
+    /** Rewrite a `jdbc:engine://host[:port]...` URL's endpoint with the
+      * secret's host and/or port — a rotated secret that moves the
+      * warehouse must win over the configured URL, exactly like
+      * username/password (the reference builds its whole endpoint from
+      * the secret). A port-only secret rewrites just the port. The host
+      * ends at the first `/`, `;` or `?` so driver suffixes
+      * (`;databaseName=…`, `?useSSL=…`) survive, and a bracketed IPv6
+      * authority is treated as one host token. URLs without an authority
+      * (e.g. `jdbc:derby:memory:db`) and secrets without host/port pass
+      * through unchanged. */
     def applyTo(url: String): String = {
-      val auth = "^(jdbc:[a-zA-Z0-9]+://)([^/:]+)(?::(\\d+))?(.*)$".r
-      (host, url) match {
-        case (Some(h), auth(prefix, _, oldPort, rest)) =>
+      val auth =
+        "^(jdbc:[a-zA-Z0-9]+://)(\\[[^\\]]+\\]|[^/:;?]+)(?::(\\d+))?((?:[/;?].*)?)$".r
+      if (host.isEmpty && port.isEmpty) url
+      else url match {
+        case auth(prefix, oldHost, oldPort, rest) =>
+          val h = host.getOrElse(oldHost)
           val p = port.map(_.toString).orElse(Option(oldPort))
           s"$prefix$h${p.map(":" + _).getOrElse("")}$rest"
         case _ => url
@@ -69,14 +76,19 @@ object Secrets {
     }
 
   /** JSON string unescape for the SecretString values (quotes,
-    * backslashes, and the common control escapes — passwords legally
-    * contain any of them). */
+    * backslashes, `\\uXXXX`, and the common control escapes — passwords
+    * legally contain any of them, and ensure-ascii JSON encoders emit
+    * `\\uXXXX` for every non-ASCII character). */
   private def unescape(s: String): String =
-    "\\\\([\"\\\\/bfnrt])".r.replaceAllIn(s, m => m.group(1) match {
-      case "b" => "\b"; case "f" => "\f"; case "n" => "\n"
-      case "r" => "\r"; case "t" => "\t"
-      case c => java.util.regex.Matcher.quoteReplacement(c)
-    })
+    "\\\\u([0-9a-fA-F]{4})|\\\\([\"\\\\/bfnrt])".r.replaceAllIn(s, m =>
+      if (m.group(1) != null)
+        java.util.regex.Matcher.quoteReplacement(
+          Integer.parseInt(m.group(1), 16).toChar.toString)
+      else m.group(2) match {
+        case "b" => "\b"; case "f" => "\f"; case "n" => "\n"
+        case "r" => "\r"; case "t" => "\t"
+        case c => java.util.regex.Matcher.quoteReplacement(c)
+      })
 
   /** Parse the SecretString. A JSON object uses the reference's dict
     * shape; anything else is treated as a bare password (the common

@@ -90,18 +90,20 @@ object Boilerplate {
     * the first-occurrence dictionary is corpus-sized (every distinct
     * block), so unlike [[stripBoilerplate]]'s bounded boilerplate set it
     * can never broadcast. The plan keeps that to ONE exchange: both
-    * window mins partition by `block` with no ordering (no sort, and the
-    * second min reuses the first's partitioning), and first-occurrence
-    * marking happens co-partitioned — rows are never joined back. The
-    * reassembly group-by is the second and last shuffle, and its
-    * per-group state is one document. */
+    * window mins partition by `block` with an empty orderSpec, sharing a
+    * single partition-key sort (WindowExec requires child ordering on
+    * the partition keys; the second min adds no sort of its own), and
+    * first-occurrence marking happens co-partitioned — rows are never
+    * joined back. The reassembly group-by is the second and last
+    * shuffle, and its per-group state is one document. */
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
                  blockWords: Int = 3): DataFrame = {
     require(blockWords >= 1, "blockWords must be >= 1")
     val byBlock = Window.partitionBy(col("block"))
     // First occurrence = lexicographic min of (doc_id, pos), computed as
     // two stacked unordered window mins (min doc, then min pos within
-    // that doc) — no struct-ordering dependence, no per-partition sort.
+    // that doc) — no struct-ordering dependence, and both windows share
+    // one exchange + one partition-key sort.
     val marked = blockify(df, textCol, idCol, blockWords)
       .withColumn("d0", min(col("doc_id")).over(byBlock))
       .withColumn("p0",

@@ -84,8 +84,12 @@ object Mixture {
   def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
                          tokenCol: Column, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 1, s"token budget must be >= 1, got $budgetTokens")
+    // NULL token counts participate as 0, not NULL: a source of all-NULL
+    // docs must contribute 0 to the normalizer (sum-of-NULLs = NULL would
+    // poison the Z fold and zero every source's selection), and its own
+    // weight/rate must come out 0, not NaN.
     val rows = df.select(col(groupCol).as("grp"), col(keyCol).as("key"),
-      tokenCol.cast("long").as("tok"))
+      coalesce(tokenCol.cast("long"), lit(0L)).as("tok"))
     val stats = rows.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
     // Normalizer Z = Σ_s sqrt(tokens_s), folded left-to-right over the
@@ -94,10 +98,15 @@ object Mixture {
       .agg(collect_list(struct(col("grp"), sqrt(col("n_tokens").cast("double")).as("w"))).as("ws"))
       .select(aggregate(transform(array_sort(col("ws")), x => x.getField("w")),
         lit(0.0), (acc, x) => acc + x).as("z"))
+    // Zero-mass groups pin weight AND rate to 0.0 explicitly: the naive
+    // budget*0/0 is NaN, and least(1.0, NaN) = 1.0 would keep ALL of a
+    // zero-weight source — the opposite of the temperature contract.
     val rated = stats.crossJoin(broadcast(z))
-      .withColumn("weight", sqrt(col("n_tokens").cast("double")) / col("z"))
-      .withColumn("rate", least(lit(1.0),
+      .withColumn("weight", when(col("n_tokens") > 0,
+        sqrt(col("n_tokens").cast("double")) / col("z")).otherwise(lit(0.0)))
+      .withColumn("rate", when(col("n_tokens") > 0, least(lit(1.0),
         lit(budgetTokens.toDouble) * col("weight") / col("n_tokens").cast("double")))
+        .otherwise(lit(0.0)))
       .select(col("grp"), col("weight"), col("rate"))
     // Uniform-[0,1) coin from the 60-bit md5 prefix: an exact dyadic
     // rational, so the `u < rate` boundary is engine-independent.

@@ -464,6 +464,17 @@ class FunctionsSpec extends SparkSuite {
     val again = Mixture.temperatureMixture(docs, "source", "doc_id", toks, 40)
       .as[(String, Long, Long, Double, Long, Long)].collect().sortBy(_._1).toList
     assert(again == out)
+    // a zero-mass / all-NULL source gets weight 0 and keeps NOTHING (not
+    // NaN -> keep-all), and must not poison the other sources' weights
+    val withDead = docs.unionByName(
+      Seq((21L, "srcC", null.asInstanceOf[String])).toDF("doc_id", "source", "text"))
+    val w3 = Mixture.temperatureMixture(withDead, "source", "doc_id",
+        when(col("text").isNotNull, toks), 40)
+      .as[(String, Long, Long, Double, Long, Long)].collect().sortBy(_._1).toList
+    val dead = w3.find(_._1 == "srcC").get
+    assert(dead._4 == 0.0 && dead._5 == 0L && dead._6 == 0L, dead.toString)
+    assert(math.abs(w3.find(_._1 == "srcA").get._4 - 2.0 / 3) < 1e-6,
+      "healthy sources keep their weights")
   }
 
   test("adjacentPairCounts: exact bigram counts, doc frequency, no pairs from single tokens") {

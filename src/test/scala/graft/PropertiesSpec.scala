@@ -179,11 +179,27 @@ class PropertiesSpec extends SparkSuite {
       "jdbc:postgresql://wh-new:5439/dev")
     // and no port anywhere -> none emitted
     assert(hostOnly.applyTo("jdbc:postgresql://wh-old/dev") == "jdbc:postgresql://wh-new/dev")
-    // secrets without a host, and URLs without an authority, pass through
+    // secrets without a host or port, and URLs without an authority, pass through
     assert(Secrets.parse("""{"password": "p"}""").applyTo("jdbc:postgresql://h:1/db") ==
       "jdbc:postgresql://h:1/db")
     assert(moved.applyTo("jdbc:derby:memory:graft;create=true") ==
       "jdbc:derby:memory:graft;create=true")
+    // a port-only secret rewrites just the port (a rotation can move the
+    // listener without moving the host)
+    assert(Secrets.parse("""{"port": 5440}""").applyTo("jdbc:postgresql://wh:5439/dev") ==
+      "jdbc:postgresql://wh:5440/dev")
+    // driver suffixes delimited by ; or ? survive the rewrite
+    assert(hostOnly.applyTo("jdbc:sqlserver://wh-old;databaseName=dev") ==
+      "jdbc:sqlserver://wh-new;databaseName=dev")
+    assert(Secrets.parse("""{"host": "wh-new", "port": 5440}""")
+      .applyTo("jdbc:mysql://wh-old:3306?useSSL=false&load=1") ==
+      "jdbc:mysql://wh-new:5440?useSSL=false&load=1")
+    // bracketed IPv6 authorities rewrite as one host token
+    assert(hostOnly.applyTo("jdbc:postgresql://[::1]:5432/dev") ==
+      "jdbc:postgresql://wh-new:5432/dev")
+    assert(Secrets.parse("""{"host": "[2001:db8::7]"}""")
+      .applyTo("jdbc:postgresql://wh-old:5432/dev") ==
+      "jdbc:postgresql://[2001:db8::7]:5432/dev")
     // escaped quotes/backslashes/control escapes in JSON string values
     // survive the parse intact (passwords legally contain any of them)
     val esc = Secrets.parse(
@@ -191,6 +207,11 @@ class PropertiesSpec extends SparkSuite {
     assert(esc.username.contains("dom\\svc"), esc.username)
     assert(esc.password.contains("a\"b\\c\td"), "escaped password must round-trip")
     assert(esc.host.contains("h"))
+    // \uXXXX escapes decode (ensure-ascii JSON encoders emit them for
+    // every non-ASCII character); the JSON below carries a literal
+    // backslash-u sequence, built with \\ so the Scala lexer leaves it be
+    val uni = Secrets.parse("{\"password\": \"p\\u00e4ss\\u20ac\"}")
+    assert(uni.password.contains("päss€"), uni.password)
   }
 
   test("affine MinHash family: coeffs in range, distinct, and collision-free on random bases") {
