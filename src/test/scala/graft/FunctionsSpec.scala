@@ -487,6 +487,37 @@ class FunctionsSpec extends SparkSuite {
     assert(out.length == 2) // "solo" emits no pairs
   }
 
+  test("BPE training: classic merges on a toy corpus, leftmost non-overlap, determinism") {
+    import graft.functions.Bpe
+    // corpus: "aa" x2, "aab" x1 -> pair (a,a) freq 3 beats (a,b) freq 1;
+    // after merge 1, (aa,b) freq 1 < 2 -> training stops early
+    val docs = Seq("aa aa aab").toDF("text")
+    val vocab = Bpe.wordFrequencies(docs, "text")
+    assert(vocab.as[(String, Long)].collect().toMap == Map("aa" -> 2L, "aab" -> 1L))
+    val (merges, dict) = Bpe.trainMerges(vocab, numMerges = 5)
+    assert(merges == Seq(("a", "a")), "stops when no pair repeats")
+    val seg = dict.select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(seg("aa") == Seq("aa") && seg("aab") == Seq("aa", "b"))
+    // leftmost non-overlapping: "aaa" under (a,a) -> [aa, a], never [a, aa]
+    val tri = Seq(Seq("a", "a", "a")).toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), "a", "a")).as[Seq[String]].head()
+    assert(tri == Seq("aa", "a"))
+    // a richer corpus learns a second-order merge (merged symbol on the left)
+    val docs2 = Seq("ab ab ab abc abc").toDF("text")
+    val (m2, d2) = Bpe.trainMerges(Bpe.wordFrequencies(docs2, "text"), 5)
+    assert(m2 == Seq(("a", "b"), ("ab", "c")), m2.toString)
+    assert(d2.select("word", "syms").as[(String, Seq[String])].collect().toMap
+      .apply("abc") == Seq("abc"))
+    // deterministic: same corpus, same merges
+    val (m3, _) = Bpe.trainMerges(Bpe.wordFrequencies(docs2, "text"), 5)
+    assert(m3 == m2)
+    // corpus smoke: 4 merges over the real documents table, repeatably
+    val corpusVocab = Bpe.wordFrequencies(Tables.documents(spark, sf("sf0.001")), "text")
+    val (cm, _) = Bpe.trainMerges(corpusVocab, 4)
+    val (cm2, _) = Bpe.trainMerges(corpusVocab, 4)
+    assert(cm.length == 4 && cm == cm2, cm.toString)
+  }
+
   test("unigramLogProb: common-token docs outscore rare-token docs; exact tiny-corpus value") {
     import graft.functions.Relevance
     // corpus: "the" x 6, "zyx" x 1, "qqq" x 1 -> total 8
