@@ -106,4 +106,29 @@ object Bpe {
     }
     (merges.result(), syms)
   }
+
+  /** Tokenize a corpus with a trained segmentation dictionary: each
+    * document's words explode with position, broadcast-join the
+    * (word → syms) dict — segmentation is per-DISTINCT-word work done
+    * once at training, never per occurrence — and the per-word symbol
+    * arrays flatten back in word order inside the per-doc aggregate.
+    * Out-of-vocabulary words fall back to character symbols (the classic
+    * BPE fallback: every learned merge starts from characters, so an
+    * unseen word simply gets no merges).
+    *
+    * Returns (doc_id, n_bpe_tokens, bpe_tokens). */
+  def tokenize(df: DataFrame, textCol: String, idCol: String,
+               dict: DataFrame): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      posexplode(filter(TextFunctions.tokens(col(textCol)),
+        t => length(t) > 0)).as(Seq("pos", "word")))
+    words.join(broadcast(dict.select(col("word"), col("syms"))), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"), split(col("word"), "")))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          x => x.getField("syms"))).as("bpe_tokens"))
+      .select(col("doc_id"), size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+        col("bpe_tokens"))
+  }
 }

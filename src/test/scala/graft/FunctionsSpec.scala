@@ -516,6 +516,13 @@ class FunctionsSpec extends SparkSuite {
     val (cm, _) = Bpe.trainMerges(corpusVocab, 4)
     val (cm2, _) = Bpe.trainMerges(corpusVocab, 4)
     assert(cm.length == 4 && cm == cm2, cm.toString)
+    // tokenize with the trained dict: in-vocab words use their learned
+    // segmentation in word order; OOV words fall back to characters
+    val toTok = Seq((1L, "abc ab zz"), (2L, "ab")).toDF("doc_id", "text")
+    val tok = Bpe.tokenize(toTok, "text", "doc_id", d2)
+      .as[(Long, Long, Seq[String])].collect().sortBy(_._1).toList
+    assert(tok(0) == ((1L, 4L, Seq("abc", "ab", "z", "z"))), tok(0).toString)
+    assert(tok(1) == ((2L, 1L, Seq("ab"))))
   }
 
   test("unigramLogProb: common-token docs outscore rare-token docs; exact tiny-corpus value") {
