@@ -48,7 +48,13 @@ object Bench {
     }
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).map(_ max 1).getOrElse(2)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Comma-separated query-name filter for isolating one query while
+    // iterating on it (unset = the full declared set, the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Only successful reps count: a rep that fails fast must not win
       // the min and masquerade as the query's time.
       val times = (1 to reps).flatMap { _ =>

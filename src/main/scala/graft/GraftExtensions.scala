@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.vecDotDescriptor)
     ext.injectFunction(VectorExpressions.cosineSimDescriptor)
+    ext.injectFunction(VectorExpressions.vecL2SqDescriptor)
   }
 }
 
@@ -20,7 +21,8 @@ object GraftExtensions {
   /** Post-hoc registration for sessions built without the extensions
     * config (e.g. a shared test session). */
   def register(spark: SparkSession): Unit = {
-    Seq(VectorExpressions.vecDotDescriptor, VectorExpressions.cosineSimDescriptor)
+    Seq(VectorExpressions.vecDotDescriptor, VectorExpressions.cosineSimDescriptor,
+        VectorExpressions.vecL2SqDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

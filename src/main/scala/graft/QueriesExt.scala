@@ -1429,6 +1429,148 @@ object QueriesExt {
        |       count(DISTINCT doc_id)::BIGINT AS doc_df
        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** DSIR importance log-weights: score every non-src0 document by the
+    * hashed-unigram importance ratio between the src0 (target) and
+    * remaining (raw) distributions ([[graft.functions.Relevance
+    * .dsirLogWeights]]) — the data-selection score that picks
+    * target-domain-looking documents out of a raw crawl. */
+  def q58Dsir(s: SparkSession, dir: String): DataFrame =
+    Relevance.dsirLogWeights(docs(s, dir), "text", "doc_id",
+      targetPred = col("source") === "src0", buckets = 256)
+  val q58Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |                  list_filter($toksSql, x -> length(x) > 0) AS toks
+       |           FROM documents),
+       |d AS (SELECT doc_id, source = 'src0' AS is_target, toks,
+       |             len(toks) AS n_tok FROM t WHERE len(toks) > 0),
+       |tok AS (SELECT is_target,
+       |               ('0x' || substring(md5(u.term), 1, 15))::BIGINT % 256 AS b
+       |        FROM (SELECT is_target, unnest(toks) AS term FROM d) u),
+       |c AS (SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |             sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cr
+       |      FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM c),
+       |m AS (SELECT b, ln((ct + 1.0) / (tt + 256.0)) -
+       |             ln((cr + 1.0) / (tr + 256.0)) AS lr
+       |      FROM c CROSS JOIN tot),
+       |p AS (SELECT x.doc_id, x.pos, m.lr
+       |      FROM (SELECT doc_id, unnest(toks) AS term,
+       |                   generate_subscripts(toks, 1) AS pos
+       |            FROM d WHERE NOT is_target) x
+       |      JOIN m ON m.b = ('0x' || substring(md5(x.term), 1, 15))::BIGINT % 256),
+       |sm AS (SELECT doc_id, list_sum(list(lr ORDER BY pos)) AS lw
+       |       FROM p GROUP BY 1)
+       |SELECT d.doc_id, d.n_tok::BIGINT AS n_tok,
+       |       round(sm.lw / d.n_tok, 6) AS mean_logw
+       |FROM d JOIN sm USING (doc_id) WHERE NOT d.is_target""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** Product-quantization ANN with asymmetric distance: 4 subspaces ×
+    * 16 dims, 16 codes per subspace (codebook = the first 16 vectors'
+    * subvectors, the same deterministic model choice as q41's IVF
+    * centroids), queries vec_id < 8, ADC top-10
+    * ([[graft.functions.Similarity.pqAdcTopK]]). The corpus moves as
+    * 4-int code arrays — the raw vectors never leave the encode scan. */
+  def q59PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    // Codebook model (16 × 64 doubles — plan literals, like q41's
+    // centroids): codebook(m)(k) = subspace m of vector k.
+    val base = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1)
+    val codebook: Seq[Seq[Seq[Double]]] = (0 until 4).map(m =>
+      base.map { case (_, v) => v.slice(m * 16, m * 16 + 16) }.toSeq)
+    Similarity.pqAdcTopK(e.filter(col("vec_id") < 8), e, k = 10, codebook)
+  }
+  val q59Sql: String = {
+    val l2 = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+       |sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS s FROM e, ms),
+       |cb AS (SELECT m, vec_id::INT AS k, s AS cv FROM sub WHERE vec_id < 16),
+       |dd AS (SELECT sub.vec_id, sub.m, cb.k,
+       |              round(${l2.format("sub.s", "cb.cv")}, 6) AS d
+       |       FROM sub JOIN cb USING (m)),
+       |enc AS (SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+       |    FROM dd) WHERE rn = 1),
+       |qd AS (SELECT sub.vec_id AS query_id, sub.m, cb.k,
+       |              ${l2.format("sub.s", "cb.cv")} AS d
+       |       FROM sub JOIN cb USING (m) WHERE sub.vec_id < 8),
+       |a0 AS (SELECT qd.query_id, enc.vec_id AS neighbor_id, qd.m, qd.d
+       |       FROM qd JOIN enc ON qd.m = enc.m AND qd.k = enc.code
+       |       WHERE qd.query_id <> enc.vec_id),
+       |a AS (SELECT query_id, neighbor_id,
+       |             round(list_sum(list(d ORDER BY m)), 6) AS adc
+       |      FROM a0 GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rank, adc FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+       |  FROM a) WHERE rank <= 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q60
+  /** Interpolated bigram-LM quality score (λ = 0.75): the KenLM-filter
+    * shape one order above q57, deliberately on the join-based
+    * beyond-broadcast scoring path
+    * ([[graft.functions.Relevance.bigramLogProb]]). */
+  def q60BigramLm(s: SparkSession, dir: String): DataFrame =
+    Relevance.bigramLogProb(docs(s, dir), "text", "doc_id", lambda = 0.75)
+  val q60Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |                  list_filter($toksSql, x -> length(x) > 0) AS toks
+       |           FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) >= 2),
+       |u AS (SELECT term, count(*)::BIGINT AS c1
+       |      FROM (SELECT unnest(toks) AS term FROM d) GROUP BY 1),
+       |tot AS (SELECT sum(c1)::DOUBLE AS tot FROM u),
+       |pr AS (SELECT doc_id, pos, toks[pos-1] AS w1, toks[pos] AS w2
+       |       FROM (SELECT doc_id, toks,
+       |               unnest(generate_series(2, n_tok)) AS pos FROM d)),
+       |big AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pr GROUP BY 1, 2),
+       |p AS (SELECT pr.doc_id, pr.pos,
+       |             ln(0.75 * big.c2 / u1.c1 + 0.25 * u2.c1 / tot.tot) AS lp
+       |      FROM pr JOIN big USING (w1, w2)
+       |      JOIN u u1 ON u1.term = pr.w1
+       |      JOIN u u2 ON u2.term = pr.w2
+       |      CROSS JOIN tot),
+       |sm AS (SELECT doc_id, list_sum(list(lp ORDER BY pos)) AS lps
+       |       FROM p GROUP BY 1)
+       |SELECT d.doc_id, d.n_tok::BIGINT AS n_tok,
+       |       round(sm.lps / (d.n_tok - 1), 6) AS mean_logp
+       |FROM d JOIN sm USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Count-min sketch point estimates (4 rows × 64 counters, portable
+    * md5 hash family) for the top-20 exact tokens, next to the exact
+    * q44 and the Misra-Gries under-counting summary — est ≥ exact by
+    * construction, and the whole sketch is a fixed 256-cell aggregate
+    * regardless of vocabulary
+    * ([[graft.functions.ApproxHeavyHitters.countMinEstimates]]). */
+  def q61CountMin(s: SparkSession, dir: String): DataFrame =
+    graft.functions.ApproxHeavyHitters.countMinEstimates(
+      docs(s, dir), "text", rows = 4, width = 64, k = 20)
+  val q61Sql: String =
+    s"""WITH tok AS (SELECT unnest(list_filter($toksSql, x -> length(x) > 0)) AS term
+       |             FROM documents),
+       |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       |cells AS (SELECT r,
+       |            ('0x' || substring(md5(r::VARCHAR || ':' || term), 1, 15))::BIGINT % 64 AS b,
+       |            count(*)::BIGINT AS c
+       |          FROM tok CROSS JOIN rs GROUP BY 1, 2),
+       |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+       |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20),
+       |probe AS (SELECT top.term, top.cnt, rs.r,
+       |            ('0x' || substring(md5(rs.r::VARCHAR || ':' || top.term), 1, 15))::BIGINT % 64 AS b
+       |          FROM top CROSS JOIN rs)
+       |SELECT probe.term, probe.cnt AS exact_cnt, min(cells.c) AS cms_est
+       |FROM probe JOIN cells USING (r, b)
+       |GROUP BY probe.term, probe.cnt""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1471,6 +1613,10 @@ object QueriesExt {
     "q55_temperature_mixture" -> (q55TemperatureMixture _),
     "q56_bpe_pairs" -> (q56BpePairs _),
     "q57_unigram_logprob" -> (q57UnigramLogprob _),
+    "q58_dsir" -> (q58Dsir _),
+    "q59_pq_ann" -> (q59PqAnn _),
+    "q60_bigram_lm" -> (q60BigramLm _),
+    "q61_countmin" -> (q61CountMin _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1531,6 +1677,10 @@ object QueriesExt {
     "q55_temperature_mixture" -> q55Sql,
     "q56_bpe_pairs" -> q56Sql,
     "q57_unigram_logprob" -> q57Sql,
+    "q58_dsir" -> q58Sql,
+    "q59_pq_ann" -> q59Sql,
+    "q60_bigram_lm" -> q60Sql,
+    "q61_countmin" -> q61Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

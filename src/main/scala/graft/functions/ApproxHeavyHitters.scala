@@ -158,4 +158,45 @@ object ApproxHeavyHitters {
       .orderBy(col("est").desc, col("token"))
       .limit(k)
   }
+
+  /** Count-min sketch point estimates for the corpus's top-`k` exact
+    * tokens — the OVER-counting sketch next to Misra-Gries'
+    * under-counting summary: `rows` hash rows × `width` counters; a
+    * token's estimate is the MIN over rows of its counter, guaranteeing
+    * est ≥ true with overshoot ≤ 2·n/width at ≥ 1 − (1/2)^rows
+    * probability. Where Misra-Gries answers "what are the heavy items",
+    * the CMS answers point queries for ANY item after one pass.
+    *
+    * Fully declarative, and deterministic given the portable md5 hash
+    * family (row r hashes token t to bucket md5Long("r:t") mod width):
+    * the counter table is a (row, bucket) hash aggregate of FIXED size
+    * rows×width — partials are sketch-sized regardless of vocabulary,
+    * the same bounded-state story as the Misra-Gries buffer, and unlike
+    * it the result is a pure function of the input multiset, so a SQL
+    * engine replays it value-for-value (q61's oracle does).
+    *
+    * Output: (term, exact_cnt, cms_est) for the top-k exact tokens
+    * (count desc, term tie-break), est ≥ exact always. */
+  def countMinEstimates(df: DataFrame, textCol: String,
+                        rows: Int = 4, width: Int = 64,
+                        k: Int = 20): DataFrame = {
+    val terms = df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    def bucketOf(r: Int, t: Column): Column =
+      pmod(TextFunctions.md5Long(concat(lit(s"$r:"), t)), lit(width))
+    val counters = terms
+      .select(posexplode(array((0 until rows).map(r => bucketOf(r, col("term"))): _*))
+        .as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val top = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+    val probes = top.select(col("term"), col("cnt"),
+      posexplode(array((0 until rows).map(r => bucketOf(r, col("term"))): _*))
+        .as(Seq("r", "b")))
+    probes.join(counters, Seq("r", "b"))
+      .groupBy("term", "cnt")
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("term"), col("cnt").as("exact_cnt"), col("cms_est"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,108 @@ object Relevance {
     * beyond-broadcast vocabulary would swap the map for an equi-join on
     * term; the testdata (and most natural-language vocabularies after
     * minimum-count pruning) fit the broadcast comfortably. */
+  /** DSIR-style importance log-weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every non-target document by how
+    * much more likely its hashed-unigram bag is under the TARGET
+    * distribution than under the RAW distribution. Both distributions
+    * are bag-of-buckets models over `buckets` md5-hashed token buckets
+    * with add-1 smoothing; a doc's log-weight is the position-ordered
+    * sum of its tokens' per-bucket log-ratios, normalized by length.
+    * High scores = "looks like the target domain" — the selection step
+    * thresholds or top-ks this column (q48/q55 are those ops).
+    *
+    * Scale shape: ONE corpus pass builds both bucket tables at once
+    * (explode → groupBy(bucket) with conditional sums — partials are
+    * `buckets`-sized, map-side combined); the two totals and the
+    * per-bucket log-ratios reduce to a single broadcast map row
+    * (`buckets` entries); scoring is a fold inside the scan projection,
+    * so the corpus itself is never shuffled or joined. The md5 bucket
+    * hash is the portable family — any engine replays it exactly.
+    *
+    * Output: (doc_id, n_tok, mean_logw) over documents NOT matching
+    * `targetPred`, empty-token docs dropped. */
+  def dsirLogWeights(df: DataFrame, textCol: String, idCol: String,
+                     targetPred: Column, buckets: Int = 256): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val docs = df.select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        filter(toks, t => length(t) > 0).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+    def bucketOf(t: Column): Column =
+      pmod(TextFunctions.md5Long(t), lit(buckets))
+    val counts = docs.select(col("is_target"), explode(col("toks")).as("term"))
+      .select(col("is_target"), bucketOf(col("term")).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+    val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val ratios = counts.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets.toDouble))) -
+        log((col("cr") + lit(1.0)) / (col("tr") + lit(buckets.toDouble)))).as("lr"))
+    val model = ratios.agg(
+      map_from_arrays(collect_list(col("b")), collect_list(col("lr"))).as("m"))
+    docs.filter(!col("is_target"))
+      .crossJoin(broadcast(model))
+      .withColumn("logw",
+        aggregate(transform(col("toks"),
+            t => element_at(col("m"), bucketOf(t))),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        round(col("logw") / col("n_tok"), 6).as("mean_logw"))
+  }
+
+  /** Per-document mean log-probability under an interpolated bigram LM
+    * trained on the corpus itself — the KenLM-perplexity-filter shape
+    * one order up from [[unigramLogProb]]:
+    * p(w2 | w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/T. λ defaults to 0.75
+    * so both mixture weights are exact dyadic doubles.
+    *
+    * Where q57's unigram model broadcasts as one map row, the bigram
+    * table is vocabulary² — this operator deliberately exercises the
+    * BEYOND-BROADCAST scoring path unigramLogProb's doc promises: the
+    * token-pair stream equi-joins the bigram and unigram count tables on
+    * their keys (counts partially aggregate map-side; every join key is
+    * bounded by vocabulary, and AQE may still elect broadcast when the
+    * tables fit). The per-doc sum folds in position order via a sorted
+    * collect_list, so the double result is engine-reproducible.
+    *
+    * Output: (doc_id, n_tok, mean_logp) over docs with ≥ 2 tokens;
+    * mean is over the n_tok − 1 scored positions. */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String,
+                    lambda: Double = 0.75): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val docs = df.select(col(idCol).as("doc_id"),
+        filter(toks, t => length(t) > 0).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") >= 2)
+    val uni = docs.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("double").as("tot"))
+    // (doc, pos, w1, w2) pair stream; pos is the 2-based position of w2.
+    val pairs = docs.select(col("doc_id"), col("n_tok"),
+        explode(transform(sequence(lit(2), col("n_tok")), i =>
+          struct(i.as("pos"), element_at(col("toks"), i - 1).as("w1"),
+            element_at(col("toks"), i).as("w2")))).as("p"))
+      .select(col("doc_id"), col("n_tok"), col("p.pos").as("pos"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val u1 = uni.select(col("term").as("w1"), col("c1").as("c1w1"))
+    val u2 = uni.select(col("term").as("w2"), col("c1").as("c1w2"))
+    val scored = pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(u1, Seq("w1"))
+      .join(u2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(
+        lit(lambda) * col("c2") / col("c1w1") +
+          lit(1.0 - lambda) * col("c1w2") / col("tot")))
+    scored.groupBy(col("doc_id"), col("n_tok"))
+      .agg(aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
+        lit(0.0), (acc, x) => acc + x.getField("lp")).as("lps"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        round(col("lps") / (col("n_tok") - 1), 6).as("mean_logp"))
+  }
+
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val docs = df.select(col(idCol).as("doc_id"),

@@ -46,6 +46,11 @@ object Similarity {
   def foldCosine(a: Column, b: Column): Column =
     try_divide(foldDot(a, b), sqrt(foldDot(a, a)) * sqrt(foldDot(b, b)))
 
+  def foldL2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (s, x) => s + x)
+
   /** Shared exact re-rank tail of every ANN tier: drop self-matches,
     * score (query_id, qv) × (neighbor_id, cv) candidates with exact
     * cosine, keep each query's top k (ties → lower neighbor id).
@@ -230,6 +235,82 @@ object Similarity {
         l2Norm(col(vecCol)).as("qn"),
         explode(ivfProbeCells(col(vecCol), centroids, nprobe)).as("cell")))
     rerankTopK(c.join(q, Seq("cell")), k)
+  }
+
+  /** Squared Euclidean distance (double, left-to-right fold) — the
+    * product-quantization kernel. */
+  def l2Sq(a: Column, b: Column): Column = VectorExpressions.vecL2Sq(a, b)
+
+  /** Subvector `m` (0-based) of a `vec` split into equal `subDim`-wide
+    * subspaces — 1-based inclusive slice, mirroring SQL list slicing. */
+  private def subvec(vec: Column, m: Int, subDim: Int): Column =
+    slice(vec, m * subDim + 1, subDim)
+
+  /** Product-quantization codes for one vector. `codebook(m)(k)` is
+    * centroid `k` of subspace `m`; the vector's code for subspace m is
+    * the argmin centroid by squared L2 over that subspace (distance
+    * rounded to 6 decimals before the argmin, ties → lower code — the
+    * same engine-reproducible ranking rule as the ANN tiers). The
+    * codebook travels as plan literals like [[srpBucketPlanes]]' planes.
+    * Output: `array<int>` of length M — a 64-dim float vector (256 B)
+    * compresses to M small ints, which is the entire 100 TB story: the
+    * corpus index is ~64× smaller than the raw embeddings, and encode is
+    * a narrow per-row projection in the scan (no shuffle, no join). */
+  def pqCodes(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column = {
+    require(codebook.nonEmpty && codebook.head.nonEmpty, "empty codebook")
+    val subDim = codebook.head.head.length
+    array(codebook.zipWithIndex.map { case (cents, m) =>
+      val s = subvec(vec, m, subDim)
+      val scored = array(cents.zipWithIndex.map { case (cv, k) =>
+        struct(round(l2Sq(s, array(cv.map(lit): _*)), 6).as("d"),
+          lit(k).as("k"))
+      }: _*)
+      array_min(scored).getField("k")
+    }: _*)
+  }
+
+  /** ANN top-k via product quantization with asymmetric distance
+    * computation (ADC) — the memory-bound tier next to [[bruteForceTopK]]
+    * / [[lshTopK]] / [[ivfTopK]]. The corpus is one-pass encoded to
+    * M-int code arrays ([[pqCodes]]) and the full vectors are DROPPED
+    * from the dataflow; each query precomputes an M×K lookup table of
+    * exact subspace distances to every centroid (in its own broadcast
+    * projection), and a candidate's approximate distance is just M table
+    * lookups summed left-to-right — no per-pair vector arithmetic at
+    * all. Ranking uses the rounded ADC with neighbor-id tie-break, so
+    * the result set is engine-reproducible. Self-pairs are excluded.
+    *
+    * Output: (query_id, neighbor_id, rank, adc). */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                codebook: Seq[Seq[Seq[Double]]],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(codebook.nonEmpty && codebook.head.nonEmpty, "empty codebook")
+    val m = codebook.length
+    val subDim = codebook.head.head.length
+    // Corpus side: codes ONLY — the vector does not survive the encode
+    // projection, so everything downstream moves M ints per row.
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      pqCodes(col(vecCol), codebook).as("codes"))
+    // Query side: per-subspace distance LUTs (exact, unrounded — the
+    // rounding happens once, on the final sum).
+    val luts = codebook.zipWithIndex.map { case (cents, mm) =>
+      array(cents.map(cv =>
+        l2Sq(subvec(col(vecCol), mm, subDim), array(cv.map(lit): _*))): _*)
+        .as(s"lut$mm")
+    }
+    val q = broadcast(queries.select(col(idCol).as("query_id") +: luts: _*))
+    val adc = (0 until m).map(mm =>
+        element_at(col(s"lut$mm"), element_at(col("codes"), mm + 1) + 1))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    enc.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
   }
 
   /** Embedding-cosine near-duplicate pairs within the corpus: banded

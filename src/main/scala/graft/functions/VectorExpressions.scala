@@ -110,6 +110,61 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `vec_l2sq(a, b)` — squared Euclidean distance in double: the fold
+    * `s += (x - y) * (x - y)`, left-to-right. The product-quantization
+    * hot path (encode = argmin over centroids, ADC = lookup-table sums)
+    * is entirely this kernel; the same bit-compatibility contract as
+    * [[VecDot]] holds against the `aggregate(zip_with(a, b,
+    * (x, y) => (x - y) * (x - y)), 0.0, _ + _)` declarative form. */
+  case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = checkVec("vec_l2sq", left, right)
+    override def prettyName: String = "vec_l2sq"
+
+    @transient private lazy val lt = elemType(left.dataType).get
+    @transient private lazy val rt = elemType(right.dataType).get
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements()) return null
+      var s = 0.0; var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = readElem(x, i, lt) - readElem(y, i, rt)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val bad = ctx.freshName("bad")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |else {
+           |  double $s = 0.0; boolean $bad = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |    double $d = (${getElem(a, i, lt)}) - (${getElem(b, i, rt)});
+           |    $s += $d * $d;
+           |  }
+           |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** `cosine_sim(a, b)` — one fused pass accumulating a·b, a·a, b·b;
     * returns a·b / (sqrt(a·a) * sqrt(b·b)), null if the denominator is 0. */
   case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
@@ -174,6 +229,9 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def vecL2Sq(a: Column, b: Column): Column =
+    ColumnBridge.column(VecL2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   // ---- SQL registration (spark.sql.extensions = graft.GraftExtensions) ----
 
   private def twoArg(name: String, f: (Expression, Expression) => Expression)
@@ -187,4 +245,5 @@ object VectorExpressions {
 
   val vecDotDescriptor = twoArg("vec_dot", VecDot.apply)
   val cosineSimDescriptor = twoArg("cosine_sim", CosineSim.apply)
+  val vecL2SqDescriptor = twoArg("vec_l2sq", VecL2Sq.apply)
 }

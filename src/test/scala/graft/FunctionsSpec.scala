@@ -701,4 +701,88 @@ class FunctionsSpec extends SparkSuite {
     val singles = out.filter(r => r._1 < 1000000L && r._1 % 17 != 0)
     assert(singles.forall(r => r._2 == r._1 && r._3))
   }
+
+  test("dsirLogWeights: target-vocabulary docs outscore off-vocabulary docs") {
+    import graft.functions.Relevance
+    // target domain speaks {alpha beta}; raw pool has one doc in the
+    // target vocabulary and one in a disjoint vocabulary.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta beta alpha", true),
+      (3L, "alpha beta alpha", false),
+      (4L, "zork quux grue", false),
+      (5L, "", false)).toDF("doc_id", "text", "is_t")
+    val out = Relevance.dsirLogWeights(docs, "text", "doc_id",
+        targetPred = col("is_t"), buckets = 64)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(out.map(_._1) == List(3L, 4L), "only raw docs scored, empty dropped")
+    val Seq(inVocab, offVocab) = out.map(_._3)
+    assert(inVocab > offVocab,
+      s"target-like doc must outscore off-domain doc: $inVocab <= $offVocab")
+    assert(inVocab > 0 && offVocab < 0,
+      "log-ratio sign: target-vocab positive, raw-only vocab negative")
+  }
+
+  test("bigramLogProb: corpus-frequent bigrams outscore shuffled ones; n_tok<2 dropped") {
+    import graft.functions.Relevance
+    // "a b" appears 4x; doc 3 uses the same unigrams in unseen order.
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b a b"),
+      (3L, "b b a a"), (4L, "solo")).toDF("doc_id", "text")
+    val out = Relevance.bigramLogProb(docs, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(out.map(_._1) == List(1L, 2L, 3L), "single-token doc dropped")
+    assert(out.head._3 > out(2)._3, "seen bigrams must outscore unseen order")
+    assert(out.head._3 == out(1)._3, "identical docs score identically")
+  }
+
+  test("pqCodes/pqAdcTopK: centroid self-encode, exact-duplicate retrieval") {
+    import graft.functions.Similarity
+    // 2 subspaces x 2 dims, 2 centroids per subspace.
+    val codebook: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
+      Seq(Seq(0.0, 0.0), Seq(-10.0, -10.0)))
+    val vecs = Seq(
+      (0L, Array(0.1f, -0.1f, 0.2f, 0.1f)),      // codes (0, 0)
+      (1L, Array(9.8f, 10.1f, -9.9f, -10.2f)),   // codes (1, 1)
+      (2L, Array(0.1f, -0.1f, 0.2f, 0.1f)),      // duplicate of 0
+      (3L, Array(10.0f, 10.0f, 0.0f, 0.0f))      // codes (1, 0)
+    ).toDF("vec_id", "embedding")
+    val codes = vecs.select(col("vec_id"),
+        Similarity.pqCodes(col("embedding"), codebook).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1) &&
+      codes(3L) == Seq(1, 0))
+    val top = Similarity.pqAdcTopK(
+      vecs.filter(col("vec_id") === 0L), vecs, k = 3, codebook)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    // same-code duplicate ranks first with the identical ADC a self-scan
+    // would get; code-distance ordering after that; no self-pair.
+    assert(top.map(_._2).toList == List(2L, 3L, 1L))
+    assert(top.forall(_._2 != 0L || top.head._1 != top.head._2))
+  }
+
+  test("countMinEstimates: est >= exact always; exact when width is collision-free") {
+    import graft.functions.ApproxHeavyHitters
+    val docs = Seq(
+      (1L, "x x x y y z"), (2L, "x y w v u t"), (3L, "x z z q r s")
+    ).toDF("doc_id", "text")
+    // narrow sketch: collisions likely -> only the >= guarantee holds
+    val narrow = ApproxHeavyHitters.countMinEstimates(docs, "text",
+        rows = 2, width = 4, k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"CMS under-counted $t: $est < $exact")
+    }
+    // wide sketch: 10 distinct terms across 4x1024 cells -> no collisions
+    // (md5 buckets of these literals verified disjoint by the assertion)
+    val wide = ApproxHeavyHitters.countMinEstimates(docs, "text",
+        rows = 4, width = 1024, k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(wide.length == 10)
+    wide.foreach { case (t, exact, est) =>
+      assert(est == exact, s"collision-free sketch must be exact for $t")
+    }
+  }
 }

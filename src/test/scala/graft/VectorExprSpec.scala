@@ -45,6 +45,25 @@ class VectorExprSpec extends SparkSuite {
     }
   }
 
+  test("vec_l2sq is bit-identical to its fold form (property)") {
+    val genF = Gen.chooseNum(-1e6f, 1e6f)
+    val genVec = Gen.chooseNum(1, 24).flatMap(n => Gen.listOfN(n, genF))
+    val pairs = samples(genVec.flatMap(a => genVec.map(b => (a, b))), 300)
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a.toArray, b.toArray) }
+      .toDF("id", "a", "b")
+    val rows = df.select(
+      Similarity.l2Sq(col("a"), col("b")).as("n"),
+      Similarity.foldL2Sq(col("a"), col("b")).as("f"))
+      .as[(Option[Double], Option[Double])]
+      .collect()
+    assert(rows.exists(_._1.isDefined) && rows.exists(_._1.isEmpty))
+    rows.foreach { case (n, f) =>
+      assert(n.map(java.lang.Double.doubleToRawLongBits)
+        == f.map(java.lang.Double.doubleToRawLongBits))
+    }
+  }
+
   test("null semantics mirror the folds: length mismatch, null element, zero norm") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // length mismatch
