@@ -67,7 +67,21 @@ object Plans {
     "q55_temperature_mixture" -> ("temperature mixture: per-source stats partially aggregate " +
       "(rows out = #sources), the sqrt-weight normalizer folds over the group-sorted stats " +
       "array (one defined FP-sum order, no driver round-trip), and the rate table broadcasts " +
-      "back into the corpus scan — the corpus itself is never shuffled.")
+      "back into the corpus scan — the corpus itself is never shuffled."),
+    "q58_dsir" -> ("DSIR importance weights: one corpus pass builds BOTH hashed-bucket " +
+      "count tables at once (conditional sums, partials bounded by the bucket count); the " +
+      "per-bucket log-ratio model reduces to ONE broadcast map row and every raw document " +
+      "scores via a fold inside its own scan projection — the corpus is never shuffled or " +
+      "equi-joined to be scored."),
+    "q59_pq_ann" -> ("product-quantization ANN: the corpus encodes to 4-int code arrays in " +
+      "the scan projection (argmin over literal centroids — no join, no shuffle) and the raw " +
+      "64-float vectors are pruned BEFORE the candidate join, which streams codes against " +
+      "broadcast per-query distance LUTs; ADC is 4 array lookups per pair, and the per-query " +
+      "top-k rank-limits via WindowGroupLimit before the final sort."),
+    "q60_bigram_lm" -> ("bigram LM scoring: the vocabulary-bounded unigram/bigram count " +
+      "tables partially aggregate map-side, then meet the token-pair stream by equi-join " +
+      "(the deliberate beyond-broadcast path q57's one-row model avoids); the per-doc sum " +
+      "folds a position-sorted collect_list so the double result is engine-reproducible.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -277,4 +277,63 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       "corpus must not shuffle to meet the model:\n" + p.take(2000))
   }
+
+  test("q58 DSIR: bucket model broadcasts as one map row; corpus never shuffled") {
+    val p = planString(QueriesExt.q58Dsir(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the bucket-ratio model must broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "scoring must not shuffle the corpus:\n" + p.take(2000))
+  }
+
+  test("q59 PQ-ADC: the candidate join carries codes, never the corpus vectors") {
+    val p = executed(QueriesExt.q59PqAnn(spark, sf("sf0.001")))
+    // The BNLJ streams the encoded corpus against broadcast query LUTs —
+    // its streamed side must project codes only: the raw embedding
+    // column must not cross the join (that 64x blowup is the whole
+    // point of PQ compression).
+    val joins = p.toString.linesIterator
+      .dropWhile(l => !l.contains("BroadcastNestedLoopJoin")).toList
+    assert(joins.nonEmpty, "expected a broadcast candidate join:\n" + p.toString.take(2000))
+    // The join's combined output is streamed ++ broadcast columns: codes
+    // and LUTs only — the raw embedding must be pruned out before the join
+    // on BOTH sides. (collect() does not descend into AQE query stages,
+    // so walk them explicitly.)
+    def allNodes(n: SparkPlan): Seq[SparkPlan] = n +: (n match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(q.plan)
+      case _ => n.children.flatMap(allNodes)
+    })
+    val joinCols = allNodes(p).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        j.output.map(_.name)
+    }.flatten
+    assert(joinCols.contains("codes") && !joinCols.contains("embedding"),
+      s"candidate join must carry codes, not vectors: $joinCols")
+    assert(p.toString.contains("WindowGroupLimit"),
+      "per-query top-k must rank-limit before the final sort:\n" + p.toString.take(2000))
+  }
+
+  test("q60 bigram LM: count tables meet the pair stream by equi-join, partial-agg'd") {
+    val p = planString(QueriesExt.q60BigramLm(spark, sf("sf0.001")))
+    // vocabulary-bounded count tables: two HashAggregate levels around
+    // each exchange (map-side combine), and the scoring joins stay
+    // equi-joins (broadcast or shuffled-hash/SMJ on the key — NEVER a
+    // nested-loop over the corpus).
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "bigram scoring must join on keys:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q61 count-min: counter table is a fixed-size partial aggregate, probes broadcast back") {
+    val p = planString(QueriesExt.q61CountMin(spark, sf("sf0.001")))
+    // rows x width counters: partial + final HashAggregate around the
+    // one exchange; the 20-row probe side must broadcast against it.
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "the top-k probe rows must broadcast to the counter table:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "exact top-k must not full-sort the vocabulary:\n" + p.take(2000))
+  }
 }
