@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VectorExpressions
+import graft.functions.{TextNormalizeExpression, VectorExpressions}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Session extension point: registers the native vector kernels under
@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorExpressions.vecDotDescriptor)
     ext.injectFunction(VectorExpressions.cosineSimDescriptor)
     ext.injectFunction(VectorExpressions.vecL2SqDescriptor)
+    ext.injectFunction(TextNormalizeExpression.textNormalizeDescriptor)
+    ext.injectFunction(TextNormalizeExpression.textFoldAccentsDescriptor)
   }
 }
 
@@ -22,7 +24,9 @@ object GraftExtensions {
     * config (e.g. a shared test session). */
   def register(spark: SparkSession): Unit = {
     Seq(VectorExpressions.vecDotDescriptor, VectorExpressions.cosineSimDescriptor,
-        VectorExpressions.vecL2SqDescriptor)
+        VectorExpressions.vecL2SqDescriptor,
+        TextNormalizeExpression.textNormalizeDescriptor,
+        TextNormalizeExpression.textFoldAccentsDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -1571,6 +1571,37 @@ object QueriesExt {
        |FROM probe JOIN cells USING (r, b)
        |GROUP BY probe.term, probe.cnt""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Canonical-form fingerprinting through the native `text_normalize`
+    * expression ([[graft.functions.TextNormalizeExpression]]): messy
+    * variants (extra spaces, trailing CRLF) are injected for 1-in-20
+    * docs and must collapse onto their original's fingerprint — the
+    * normalize-before-dedup step every exact-dedup pipeline runs first.
+    * The corpus is ASCII so the oracle replays the whitespace algebra
+    * exactly; the Unicode semantics (NFC, accent folding, control
+    * stripping) are spec-verified on non-ASCII fixtures. */
+  def q62NormalizeFp(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextNormalizeExpression
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val messy = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), regexp_replace(col("text"), lit(" "), lit("   ")),
+          lit(" \r\n")).as("text"))
+    d.unionByName(messy)
+      .select(col("doc_id"),
+        TextNormalizeExpression.textNormalize(col("text")).as("norm"))
+      .select(col("doc_id"), length(col("norm")).cast("long").as("n_norm"),
+        md5(col("norm")).as("fp"))
+  }
+  val q62Sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |messy AS (SELECT doc_id + 1000000 AS doc_id,
+      |                 '  ' || replace(text, ' ', '   ') || ' ' || chr(13) || chr(10) AS text
+      |          FROM d WHERE doc_id % 20 = 0),
+      |u AS (SELECT * FROM d UNION ALL SELECT * FROM messy),
+      |n AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM u)
+      |SELECT doc_id, length(norm)::BIGINT AS n_norm, md5(norm) AS fp FROM n""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1617,6 +1648,7 @@ object QueriesExt {
     "q59_pq_ann" -> (q59PqAnn _),
     "q60_bigram_lm" -> (q60BigramLm _),
     "q61_countmin" -> (q61CountMin _),
+    "q62_normalize_fp" -> (q62NormalizeFp _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1681,6 +1713,7 @@ object QueriesExt {
     "q59_pq_ann" -> q59Sql,
     "q60_bigram_lm" -> q60Sql,
     "q61_countmin" -> q61Sql,
+    "q62_normalize_fp" -> q62Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

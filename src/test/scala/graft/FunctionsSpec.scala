@@ -702,6 +702,36 @@ class FunctionsSpec extends SparkSuite {
     assert(singles.forall(r => r._2 == r._1 && r._3))
   }
 
+  test("text_normalize / text_fold_accents: NFC, accents, controls, whitespace, ASCII fast path") {
+    import graft.functions.TextNormalizeExpression._
+    val cafeNfd = "Cafe\u0301"  // e + combining acute (NFD)
+    val cafeNfc = "Caf\u00e9"   // precomposed e-acute (NFC)
+    val df = Seq(
+      (1L, cafeNfd),                 // NFC must compose to the precomposed form
+      (2L, cafeNfc),
+      (3L, "a\u0001b\u0007c"),      // bare controls stripped
+      (4L, "  a\t\nb   c \r\n"),     // whitespace runs collapse, edges trim
+      (5L, "plain ascii text"),      // fast path: returned as-is
+      (6L, "")).toDF("id", "s")
+    val got = df.select(col("id"), textNormalize(col("s")).as("n"),
+        textFoldAccents(col("s")).as("f"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got(0)._2 == cafeNfc && got(1)._2 == cafeNfc, "NFC composition")
+    assert(got(0)._3 == "Cafe" && got(1)._3 == "Cafe", "accent folding")
+    assert(got(2)._2 == "abc", "control characters stripped")
+    assert(got(3)._2 == "a b c", "whitespace collapsed and trimmed")
+    assert(got(4)._2 == "plain ascii text" && got(5)._2 == "")
+    // null passthrough
+    val n = Seq((1L, null: String)).toDF("id", "s")
+      .select(textNormalize(col("s"))).collect()(0)
+    assert(n.isNullAt(0))
+    // SQL names resolve via the extensions registration
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT text_fold_accents('Café  du Monde')")
+      .as[String].head()
+    assert(viaSql == "Cafe du Monde")
+  }
+
   test("dsirLogWeights: target-vocabulary docs outscore off-vocabulary docs") {
     import graft.functions.Relevance
     // target domain speaks {alpha beta}; raw pool has one doc in the

@@ -109,6 +109,66 @@ class StreamAggsSpec extends SparkSuite {
     assert(kept.contains(3L) && kept.contains(5L))
   }
 
+  test("streaming Misra-Gries: the custom sketch aggregate runs in update mode across batches") {
+    import graft.functions.ApproxHeavyHitters
+    val mem = MemoryStream[(Long, String)]
+    val toks = mem.toDF().toDF("doc_id", "text")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    // Global (complete-mode) sketch aggregation: the TypedImperativeAggregate
+    // buffer must survive the streaming state store across micro-batches.
+    val q = toks.agg(ApproxHeavyHitters.misraGries(col("token"), 8).as("hh"))
+      .writeStream.format("memory").queryName("smg").outputMode("complete").start()
+    mem.addData(Seq((1L, "x x x y"), (2L, "x y z w")))
+    q.processAllAvailable()
+    mem.addData(Seq((3L, "x x y y q")))
+    q.processAllAvailable()
+    q.stop()
+    val ests = spark.table("smg").select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.est").as("est"))
+      .as[(String, Long)].collect().toMap
+    // 13 tokens total, capacity 8 → error bound floor(13/9) = 1.
+    // True counts: x=6, y=4, z=1, w=1, q=1.
+    val bound = 13 / 9
+    assert(ests.contains("x") && ests.contains("y"),
+      s"true heavy hitters must be present: $ests")
+    assert(ests("x") <= 6 && ests("x") >= 6 - bound, s"x estimate off: $ests")
+    assert(ests("y") <= 4 && ests("y") >= 4 - bound, s"y estimate off: $ests")
+  }
+
+  test("streaming count-min probe: fixed-size counters as a streaming aggregate") {
+    val mem = MemoryStream[(Long, String)]
+    // The CMS counter table is groupBy(r, b).count — a plain streaming
+    // aggregation with a FIXED key space (rows × width cells), so state
+    // never grows with vocabulary: the streaming-native form of q61's
+    // batch sketch build.
+    val cells = mem.toDF().toDF("doc_id", "text")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(posexplode(array((0 until 2).map(r =>
+        pmod(graft.functions.TextFunctions.md5Long(
+          concat(lit(s"$r:"), col("term"))), lit(16))): _*)).as(Seq("r", "b")))
+      .groupBy("r", "b").count()
+    val q = cells.writeStream.format("memory").queryName("scms")
+      .outputMode("complete").start()
+    mem.addData(Seq((1L, "a a b")))
+    q.processAllAvailable()
+    mem.addData(Seq((2L, "a c")))
+    q.processAllAvailable()
+    q.stop()
+    val counters = spark.table("scms")
+      .as[(Int, Long, Long)].collect().map { case (r, b, c) => (r, b) -> c }.toMap
+    // probe "a" (true count 3): min over its 2 row-buckets must be ≥ 3
+    // (over-count only) and the state is at most 2×16 cells.
+    val est = (0 until 2).map { r =>
+      val bucket = spark.range(1).select(pmod(graft.functions.TextFunctions.md5Long(
+        concat(lit(s"$r:"), lit("a"))), lit(16))).as[Long].head()
+      counters.getOrElse((r, bucket), 0L)
+    }.min
+    assert(est >= 3, s"CMS must never under-count: $est")
+    assert(counters.size <= 32, "counter state exceeded the fixed sketch size")
+  }
+
   test("streaming corpus ingest: quality gate + dedup + split/lang/token tagging") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF().toDF("ts", "doc_id", "text")
