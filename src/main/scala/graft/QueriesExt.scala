@@ -1472,46 +1472,132 @@ object QueriesExt {
     * centroids), queries vec_id < 8, ADC top-10
     * ([[graft.functions.Similarity.pqAdcTopK]]). The corpus moves as
     * 4-int code arrays — the raw vectors never leave the encode scan. */
-  def q59PqAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
-    // Codebook model (16 × 64 doubles — plan literals, like q41's
-    // centroids): codebook(m)(k) = subspace m of vector k.
+  /** PQ codebook model shared by q59/q63 (16 × 64 doubles — plan
+    * literals, like q41's centroids): codebook(m)(k) = subspace m of
+    * vector k, from the first 16 vectors. */
+  private def pqCodebook(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
     val base = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))
       .sortBy(_._1)
-    val codebook: Seq[Seq[Seq[Double]]] = (0 until 4).map(m =>
-      base.map { case (_, v) => v.slice(m * 16, m * 16 + 16) }.toSeq)
-    Similarity.pqAdcTopK(e.filter(col("vec_id") < 8), e, k = 10, codebook)
+    (0 until 4).map(m => base.map { case (_, v) => v.slice(m * 16, m * 16 + 16) }.toSeq)
   }
-  val q59Sql: String = {
-    val l2 = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+
+  def q59PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.pqAdcTopK(e.filter(col("vec_id") < 8), e, k = 10,
+      pqCodebook(s, dir))
+  }
+  /** DuckDB L2² over two DOUBLE[] columns — identical fold order to the
+    * native vec_l2sq kernel. */
+  private def l2SqlOf(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+  /** Shared PQ oracle chain (q59/q63): codebook → rounded-argmin encode →
+    * per-query LUT distances → ADC sums in subspace order. Terminal CTE
+    * `a` = (query_id, neighbor_id, adc). */
+  private val pqCtesSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
        |sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS s FROM e, ms),
        |cb AS (SELECT m, vec_id::INT AS k, s AS cv FROM sub WHERE vec_id < 16),
        |dd AS (SELECT sub.vec_id, sub.m, cb.k,
-       |              round(${l2.format("sub.s", "cb.cv")}, 6) AS d
+       |              round(${l2SqlOf("sub.s", "cb.cv")}, 6) AS d
        |       FROM sub JOIN cb USING (m)),
        |enc AS (SELECT vec_id, m, k AS code FROM (
        |    SELECT vec_id, m, k,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
        |    FROM dd) WHERE rn = 1),
        |qd AS (SELECT sub.vec_id AS query_id, sub.m, cb.k,
-       |              ${l2.format("sub.s", "cb.cv")} AS d
+       |              ${l2SqlOf("sub.s", "cb.cv")} AS d
        |       FROM sub JOIN cb USING (m) WHERE sub.vec_id < 8),
        |a0 AS (SELECT qd.query_id, enc.vec_id AS neighbor_id, qd.m, qd.d
        |       FROM qd JOIN enc ON qd.m = enc.m AND qd.k = enc.code
        |       WHERE qd.query_id <> enc.vec_id),
        |a AS (SELECT query_id, neighbor_id,
        |             round(list_sum(list(d ORDER BY m)), 6) AS adc
-       |      FROM a0 GROUP BY 1, 2)
+       |      FROM a0 GROUP BY 1, 2)""".stripMargin
+
+  val q59Sql: String =
+    s"""WITH $pqCtesSql
        |SELECT query_id, neighbor_id, rank, adc FROM (
        |  SELECT query_id, neighbor_id, adc,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |           ORDER BY adc, neighbor_id) AS INTEGER) AS rank
        |  FROM a) WHERE rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** ANN recall evaluation: both PQ tiers measured against exact
+    * squared-L2 top-10 per query — raw ADC top-10 (q59) and the
+    * production two-stage retrieve (ADC top-100 shortlist → exact
+    * re-rank, [[graft.functions.Similarity.pqRefineTopK]]). Recall@10
+    * is the number every approximate tier must report before it
+    * replaces the exact scan at 100 TB; the refined tier shows how a
+    * bounded exact budget (shortlist/N of the corpus) buys the recall
+    * back. */
+  def q63AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val queries = e.filter(col("vec_id") < 8)
+    val codebook = pqCodebook(s, dir)
+    val pq = Similarity.pqAdcTopK(queries, e, k = 10, codebook)
+      .select(col("query_id"), col("neighbor_id"))
+    val refined = Similarity.pqRefineTopK(queries, e, k = 10, shortlist = 100,
+      codebook).select(col("query_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceL2TopK(queries, e, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    def hitsOf(tier: DataFrame, name: String): DataFrame =
+      tier.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    exact.select("query_id").distinct()
+      .join(hitsOf(pq, "h_adc"), Seq("query_id"), "left")
+      .join(hitsOf(refined, "h_ref"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("h_adc"), lit(0L)).as("n_hit_adc"),
+        round(coalesce(col("h_adc"), lit(0L)) / lit(10.0), 3).as("recall_adc"),
+        coalesce(col("h_ref"), lit(0L)).as("n_hit_refined"),
+        round(coalesce(col("h_ref"), lit(0L)) / lit(10.0), 3).as("recall_refined"))
   }
+  val q63Sql: String =
+    s"""WITH $pqCtesSql,
+       |pq AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY adc, neighbor_id) AS rn
+       |    FROM a) WHERE rn <= 10),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY adc, neighbor_id) AS rn
+       |    FROM a) WHERE rn <= 100),
+       |refd AS (SELECT s.query_id, s.neighbor_id,
+       |                ${l2SqlOf("q.v", "c.v")} AS d
+       |         FROM short s JOIN e q ON q.vec_id = s.query_id
+       |         JOIN e c ON c.vec_id = s.neighbor_id),
+       |ref AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY d, neighbor_id) AS rn
+       |    FROM refd) WHERE rn <= 10),
+       |exd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |               ${l2SqlOf("q.v", "c.v")} AS d
+       |        FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY d, neighbor_id) AS rn
+       |    FROM exd) WHERE rn <= 10),
+       |ha AS (SELECT query_id, count(*)::BIGINT AS h
+       |       FROM pq JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+       |hr AS (SELECT query_id, count(*)::BIGINT AS h
+       |       FROM ref JOIN ex USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT q.query_id,
+       |       coalesce(ha.h, 0)::BIGINT AS n_hit_adc,
+       |       round(coalesce(ha.h, 0) / 10.0, 3) AS recall_adc,
+       |       coalesce(hr.h, 0)::BIGINT AS n_hit_refined,
+       |       round(coalesce(hr.h, 0) / 10.0, 3) AS recall_refined
+       |FROM (SELECT DISTINCT query_id FROM ex) q
+       |LEFT JOIN ha USING (query_id)
+       |LEFT JOIN hr USING (query_id)""".stripMargin
 
   // ---------------------------------------------------------------- q60
   /** Interpolated bigram-LM quality score (λ = 0.75): the KenLM-filter
@@ -1649,6 +1735,7 @@ object QueriesExt {
     "q60_bigram_lm" -> (q60BigramLm _),
     "q61_countmin" -> (q61CountMin _),
     "q62_normalize_fp" -> (q62NormalizeFp _),
+    "q63_ann_recall" -> (q63AnnRecall _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1714,6 +1801,7 @@ object QueriesExt {
     "q60_bigram_lm" -> q60Sql,
     "q61_countmin" -> q61Sql,
     "q62_normalize_fp" -> q62Sql,
+    "q63_ann_recall" -> q63Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

@@ -82,6 +82,27 @@ object Similarity {
     rerankTopK(c.crossJoin(q), k)
   }
 
+  /** Exact top-k nearest neighbors by squared L2 distance — the ground
+    * truth the PQ tier is measured against (PQ approximates L2, so its
+    * recall must be evaluated against the same metric, not cosine).
+    * Ties → lower neighbor id; self-pairs excluded. Same plan shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus scanned once, per-query
+    * top-k rank-limited before the final sort. */
+  def bruteForceL2TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", l2Sq(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Deterministic ±1 hyperplanes (`bits` × `dim`), computed in plain
     * Scala with splitmix64-style mixing — engine-independent constants
     * that can be embedded as literals in both the Spark expression and an
@@ -311,6 +332,33 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+  }
+
+  /** Two-stage PQ retrieval — the production shape (FAISS
+    * IndexPQ + refine): ADC ranks a `shortlist`-sized candidate set per
+    * query from codes alone, then ONLY those Q×shortlist rows rejoin
+    * their raw vectors for an exact squared-L2 re-rank. The second
+    * corpus scan is filtered by the broadcast shortlist ids, so the
+    * exact arithmetic touches shortlist/N of the corpus — recall climbs
+    * toward exact while the full-vector work stays bounded.
+    * Output: (query_id, neighbor_id, rank) by exact distance. */
+  def pqRefineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   shortlist: Int, codebook: Seq[Seq[Seq[Double]]],
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val short = pqAdcTopK(queries, corpus, shortlist, codebook, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("neighbor_id").asc)
+    short.join(cv, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("d", l2Sq(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs within the corpus: banded

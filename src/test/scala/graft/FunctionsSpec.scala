@@ -790,6 +790,16 @@ class FunctionsSpec extends SparkSuite {
     // would get; code-distance ordering after that; no self-pair.
     assert(top.map(_._2).toList == List(2L, 3L, 1L))
     assert(top.forall(_._2 != 0L || top.head._1 != top.head._2))
+    // two-stage refine: exact re-rank of the shortlist reproduces the
+    // exact-L2 ordering (here shortlist = whole corpus, so recall = 1)
+    val refined = Similarity.pqRefineTopK(
+      vecs.filter(col("vec_id") === 0L), vecs, k = 3, shortlist = 3, codebook)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    val exact = Similarity.bruteForceL2TopK(
+      vecs.filter(col("vec_id") === 0L), vecs, k = 3)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(refined.map(_._2).toList == exact.map(_._2).toList,
+      "full-shortlist refine must equal the exact ranking")
   }
 
   test("countMinEstimates: est >= exact always; exact when width is collision-free") {
