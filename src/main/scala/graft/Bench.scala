@@ -52,21 +52,29 @@ object Bench {
     // iterating on it (unset = the full declared set, the driver's mode).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    val declared = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // Only successful reps count: a rep that fails fast must not win
-      // the min and masquerade as the query's time.
-      val times = (1 to reps).flatMap { _ =>
+    // Reps run as INTERLEAVED full passes (q1..qN, q1..qN), not
+    // back-to-back per query: a neighbor-load or GC spike lasting a few
+    // seconds then taints one query in one pass instead of both of a
+    // query's reps (observed: the same query at 2s and 12s in adjacent
+    // runs on a shared host), so min-of-passes actually removes it.
+    // Only successful reps count: a rep that fails fast must not win
+    // the min and masquerade as the query's time.
+    val passes = (1 to reps).map { _ =>
+      declared.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          name -> Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> None
         }
       }
-      name -> times
+    }
+    val timed = declared.map { case (name, _) =>
+      name -> passes.flatMap(_.collectFirst { case (`name`, t) => t }.flatten)
     }
     val failed = timed.collect { case (k, ts) if ts.isEmpty => k }
     val results = timed.map { case (k, ts) => k -> (if (ts.isEmpty) -1.0 else ts.min) }
