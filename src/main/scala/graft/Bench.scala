@@ -27,6 +27,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf, must be set at build time: the default 100-entry
+      // generated-class cache thrashes when ~80 queries' stages cycle
+      // through it each interleaved pass, recompiling every rep (observed:
+      // the same query at 1.6s alone vs 5.1s interleaved with one other).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.graft.spreadSmallScans", "true")

@@ -1539,10 +1539,15 @@ object QueriesExt {
     val e = embs(s, dir)
     val queries = e.filter(col("vec_id") < 8)
     val codebook = pqCodebook(s, dir)
-    val pq = Similarity.pqAdcTopK(queries, e, k = 10, codebook)
+    // ONE ADC pass serves both tiers: its top-10 prefix is the raw-ADC
+    // tier, the full 100 rows are the refine shortlist. Both report
+    // branches consume it, and Spark does not CSE arbitrary subplans —
+    // cache the Q×100-row result so the ADC scan runs once.
+    val short = Similarity.pqAdcTopK(queries, e, k = 100, codebook).cache()
+    val pq = short.filter(col("rank") <= 10)
       .select(col("query_id"), col("neighbor_id"))
-    val refined = Similarity.pqRefineTopK(queries, e, k = 10, shortlist = 100,
-      codebook).select(col("query_id"), col("neighbor_id"))
+    val refined = Similarity.pqRefineFromShortlist(short, queries, e, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
     val exact = Similarity.bruteForceL2TopK(queries, e, k = 10)
       .select(col("query_id"), col("neighbor_id"))
     def hitsOf(tier: DataFrame, name: String): DataFrame =

@@ -279,11 +279,23 @@ object Similarity {
     * a narrow per-row projection in the scan (no shuffle, no join). */
   def pqCodes(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column = {
     require(codebook.nonEmpty && codebook.head.nonEmpty, "empty codebook")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      VectorExpressions.PqEncode(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        codebook.map(_.map(_.toArray).toArray).toArray))
+  }
+
+  /** The declarative M × K argmin the [[pqCodes]] kernel replaced — kept
+    * as the independent reference implementation the spec checks the
+    * kernel against, value for value (same rounded-distance argmin, same
+    * tie rule). */
+  def pqCodesDeclarative(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column = {
+    require(codebook.nonEmpty && codebook.head.nonEmpty, "empty codebook")
     val subDim = codebook.head.head.length
     array(codebook.zipWithIndex.map { case (cents, m) =>
       val s = subvec(vec, m, subDim)
       val scored = array(cents.zipWithIndex.map { case (cv, k) =>
-        struct(round(l2Sq(s, array(cv.map(lit): _*)), 6).as("d"),
+        struct(round(foldL2Sq(s, array(cv.map(lit): _*)), 6).as("d"),
           lit(k).as("k"))
       }: _*)
       array_min(scored).getField("k")
@@ -346,14 +358,25 @@ object Similarity {
                    shortlist: Int, codebook: Seq[Seq[Seq[Double]]],
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
-    val short = pqAdcTopK(queries, corpus, shortlist, codebook, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id"))
+    pqRefineFromShortlist(
+      pqAdcTopK(queries, corpus, shortlist, codebook, idCol, vecCol),
+      queries, corpus, k, idCol, vecCol)
+  }
+
+  /** The exact re-rank tail of [[pqRefineTopK]], over an ALREADY-computed
+    * (query_id, neighbor_id) shortlist — callers that also consume the
+    * raw ADC ranking (e.g. a recall report) pass the one shortlist to
+    * both instead of paying the ADC scan twice. */
+  def pqRefineFromShortlist(shortlist: DataFrame,
+                            queries: DataFrame, corpus: DataFrame, k: Int,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("d").asc, col("neighbor_id").asc)
-    short.join(cv, Seq("neighbor_id"))
+    shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(cv, Seq("neighbor_id"))
       .join(qv, Seq("query_id"))
       .withColumn("d", l2Sq(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -219,6 +219,88 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(newLeft: Expression,
                                                    newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Full product-quantization encode in ONE fused kernel:
+    * `pq_encode(vec)` returns the `array<int>` of per-subspace nearest
+    * centroid codes. The declarative form (M × K `struct(round(l2sq(
+    * slice...)), k)` + `array_min`) builds a 64-way expression tree that
+    * re-slices the vector per centroid and overflows codegen budgets;
+    * this expression runs the whole M×K×subDim argmin as one Java loop
+    * over the codebook reference object.
+    *
+    * Semantics are IDENTICAL to the declarative form the oracle replays:
+    * per-centroid distance folds left-to-right in double over the
+    * subspace, is rounded to 6 decimals exactly like Spark's `round`
+    * (BigDecimal HALF_UP), and ties break to the lower code. */
+  case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires array<float|double>, got ${dt.catalogString}")
+    }
+    override def prettyName: String = "pq_encode"
+
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any =
+      VectorExpressions.pqEncodeKernel(input.asInstanceOf[ArrayData], codebook, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.pqEncodeKernel($c, $cbRef, $isFloat)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Spark `round(d, 6)` semantics: BigDecimal HALF_UP — the exact rule
+    * the declarative encode used, so plans swap without a hash change. */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The fused encode loop ([[PqEncode]]); null on null elements or a
+    * vector shorter than the codebook's flattened dimension. */
+  def pqEncodeKernel(vec: ArrayData, cb: Array[Array[Array[Double]]],
+                     isFloat: Boolean): ArrayData = {
+    val m = cb.length
+    val codes = new Array[Int](m)
+    var off = 0
+    var mm = 0
+    while (mm < m) {
+      val cents = cb(mm)
+      val subDim = cents(0).length
+      if (off + subDim > vec.numElements()) return null
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < cents.length) {
+        val cv = cents(k)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          if (vec.isNullAt(off + i)) return null
+          val x = if (isFloat) vec.getFloat(off + i).toDouble else vec.getDouble(off + i)
+          val diff = x - cv(i)
+          d += diff * diff
+          i += 1
+        }
+        val rd = round6(d)
+        if (rd < bestD) { bestD = rd; best = k }
+        k += 1
+      }
+      codes(mm) = best
+      off += subDim
+      mm += 1
+    }
+    new GenericArrayData(codes)
   }
 
   // ---- Column API (no registry needed — used by the Similarity tiers) ----

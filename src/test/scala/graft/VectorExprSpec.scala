@@ -64,6 +64,31 @@ class VectorExprSpec extends SparkSuite {
     }
   }
 
+  test("pq_encode kernel matches the declarative argmin form (property)") {
+    val genF = Gen.chooseNum(-10f, 10f)
+    val genVec = Gen.listOfN(8, genF) // 2 subspaces x 4 dims
+    val vecs = samples(genVec, 200).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }.toDF("id", "v")
+    val cbVals = samples(Gen.chooseNum(-10.0, 10.0), 2 * 5 * 4)
+    assert(cbVals.length == 40)
+    val codebook: Seq[Seq[Seq[Double]]] =
+      (0 until 2).map(m => (0 until 5).map(k =>
+        cbVals.slice((m * 5 + k) * 4, (m * 5 + k) * 4 + 4).toSeq))
+    val rows = vecs.select(
+      Similarity.pqCodes(col("v"), codebook).as("n"),
+      Similarity.pqCodesDeclarative(col("v"), codebook).as("d"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    assert(rows.length == 200)
+    rows.foreach { case (n, d) => assert(n == d) }
+    // identical-distance tie breaks to the lower code in both forms
+    val tieCb: Seq[Seq[Seq[Double]]] = Seq(Seq(Seq(1.0, 0.0), Seq(1.0, 0.0)))
+    val tie = Seq((1L, Array(0.5f, 0.5f))).toDF("id", "v")
+      .select(Similarity.pqCodes(col("v"), tieCb).as("n"),
+        Similarity.pqCodesDeclarative(col("v"), tieCb).as("d"))
+      .as[(Seq[Int], Seq[Int])].head()
+    assert(tie._1 == Seq(0) && tie._2 == Seq(0))
+  }
+
   test("null semantics mirror the folds: length mismatch, null element, zero norm") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // length mismatch
