@@ -1693,6 +1693,97 @@ object QueriesExt {
       |n AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM u)
       |SELECT doc_id, length(norm)::BIGINT AS n_norm, md5(norm) AS fp FROM n""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Corpus report card — the per-source dashboard a curation pipeline
+    * publishes after every run: document/token volume, mean soft-quality
+    * (q19's score), exact-duplicate rate (q21's fingerprint), mean
+    * unigram log-probability (q57's model), and the dominant language.
+    *
+    * The deterministic-mean trick is the load-bearing scale decision:
+    * averaging raw doubles per group is FP-order-dependent (partial
+    * aggregation reorders the sum, so no SQL engine could replay it) —
+    * instead each doc's already-rounded score is integerized to exact
+    * micro-units (round(x·1e6) as long), summed EXACTLY in any order,
+    * and divided once at the end. Works identically on 500 docs or 100
+    * TB — no collect_list-and-fold whose state grows with the group. */
+  def q64CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val scored = Relevance.unigramLogProb(d, "text", "doc_id")
+      .select(col("doc_id"), col("mean_logp"))
+    val base = d.select(col("doc_id"), col("source"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .join(scored, Seq("doc_id"), "left")
+    val agg = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).cast("long").as("n_tokens"),
+      sum(round(col("q") * lit(1000000.0), 0).cast("long")).as("qm"),
+      countDistinct(col("fp")).as("n_uniq"),
+      sum(round(col("mean_logp") * lit(1000000.0), 0).cast("long")).as("lm"),
+      count(col("mean_logp")).as("n_scored"))
+    val lang = d.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("lang").asc)
+    val top = lang.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    agg.join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("qm") / col("n_docs") / lit(1000000.0), 6).as("mean_quality"),
+        round(lit(1.0) - col("n_uniq") / col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("lm") / col("n_scored") / lit(1000000.0), 6).as("mean_logp"),
+        col("top_lang"))
+  }
+  val q64Sql: String = {
+    val anyStop = TextFunctions.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, source, lang, text, $toksSql AS toks FROM documents),
+       |q AS (SELECT doc_id,
+       |        round(least(len(toks) / 64.0, 1.0) * 0.4 +
+       |              (1.0 - least(((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE /
+       |                            greatest(length(text), 1)) * 4.0, 1.0)) * 0.3 +
+       |              least((len(list_intersect(list_distinct(toks), [$anyStop]))::DOUBLE /
+       |                     greatest(len(toks), 1)) * 4.0, 1.0) * 0.3, 6) AS q
+       |      FROM t),
+       |fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM t),
+       |lt AS (SELECT doc_id, list_filter(toks, x -> length(x) > 0) AS toks FROM t),
+       |ld AS (SELECT doc_id, toks, len(toks) AS n_tok FROM lt WHERE len(toks) > 0),
+       |c AS (SELECT term, count(*)::BIGINT AS cnt
+       |      FROM (SELECT unnest(toks) AS term FROM ld) GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM c),
+       |p AS (SELECT x.doc_id, x.pos, ln(c.cnt::DOUBLE / tot.tot) AS lp
+       |      FROM (SELECT doc_id, unnest(toks) AS term,
+       |                   generate_subscripts(toks, 1) AS pos FROM ld) x
+       |      JOIN c USING (term) CROSS JOIN tot),
+       |lg AS (SELECT ld.doc_id,
+       |              round(sm.lps / ld.n_tok, 6) AS mean_logp
+       |       FROM ld JOIN (SELECT doc_id, list_sum(list(lp ORDER BY pos)) AS lps
+       |                     FROM p GROUP BY 1) sm USING (doc_id)),
+       |base AS (SELECT t.doc_id, t.source, t.lang, len(t.toks) AS n_tokens,
+       |                q.q, fp.fp, lg.mean_logp
+       |         FROM t JOIN q USING (doc_id) JOIN fp USING (doc_id)
+       |         LEFT JOIN lg USING (doc_id)),
+       |agg AS (SELECT source,
+       |          count(*)::BIGINT AS n_docs,
+       |          sum(n_tokens)::BIGINT AS n_tokens,
+       |          sum(round(q * 1000000.0)::BIGINT)::BIGINT AS qm,
+       |          count(DISTINCT fp)::BIGINT AS n_uniq,
+       |          sum(round(mean_logp * 1000000.0)::BIGINT)::BIGINT AS lm,
+       |          count(mean_logp)::BIGINT AS n_scored
+       |        FROM base GROUP BY 1),
+       |toplang AS (SELECT source, lang AS top_lang FROM (
+       |    SELECT source, lang,
+       |           ROW_NUMBER() OVER (PARTITION BY source
+       |             ORDER BY count(*) DESC, lang) AS rn
+       |    FROM t GROUP BY source, lang) WHERE rn = 1)
+       |SELECT a.source, a.n_docs, a.n_tokens,
+       |       round(a.qm / a.n_docs / 1000000.0, 6) AS mean_quality,
+       |       round(1.0 - a.n_uniq / a.n_docs::DOUBLE, 6) AS dup_rate,
+       |       round(a.lm / a.n_scored / 1000000.0, 6) AS mean_logp,
+       |       tl.top_lang
+       |FROM agg a JOIN toplang tl USING (source)""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1741,6 +1832,7 @@ object QueriesExt {
     "q61_countmin" -> (q61CountMin _),
     "q62_normalize_fp" -> (q62NormalizeFp _),
     "q63_ann_recall" -> (q63AnnRecall _),
+    "q64_corpus_report" -> (q64CorpusReport _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1807,6 +1899,7 @@ object QueriesExt {
     "q61_countmin" -> q61Sql,
     "q62_normalize_fp" -> q62Sql,
     "q63_ann_recall" -> q63Sql,
+    "q64_corpus_report" -> q64Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,
