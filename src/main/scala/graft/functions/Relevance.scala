@@ -101,25 +101,6 @@ object Relevance {
       .limit(k)
   }
 
-  /** Per-document mean token log-probability under a unigram LM trained
-    * on the corpus itself — the CCNet/KenLM perplexity-filter shape with
-    * the LM reduced to unigrams (low scores = improbable token mix:
-    * gibberish, boilerplate soup, wrong-language fragments; the
-    * filtering decision is a threshold on this column). No smoothing is
-    * needed: the model is trained on the scored corpus, so every token
-    * has count ≥ 1.
-    *
-    * Returns (doc_id, n_tok, mean_logp), empty-token docs dropped.
-    *
-    * Scale shape: the unigram model is vocabulary-sized — counts partial
-    * aggregate map-side, then the (term → count) map and token total
-    * broadcast back as ONE row, and each document scores inside the scan
-    * projection via a fold over its own token array. The corpus is never
-    * shuffled and the per-doc FP sum has one defined order (position
-    * order), so scores are engine-reproducible. A 100 TB corpus with a
-    * beyond-broadcast vocabulary would swap the map for an equi-join on
-    * term; the testdata (and most natural-language vocabularies after
-    * minimum-count pruning) fit the broadcast comfortably. */
   /** DSIR-style importance log-weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): score every non-target document by how
     * much more likely its hashed-unigram bag is under the TARGET
@@ -168,6 +149,85 @@ object Relevance {
           lit(0.0), (acc, x) => acc + x))
       .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
         round(col("logw") / col("n_tok"), 6).as("mean_logw"))
+  }
+
+  /** Distributed logistic-regression quality classifier over hashed
+    * unigram features — the fastText-style discriminative filter next to
+    * [[dsirLogWeights]]' generative importance score: train on
+    * target-vs-raw labels, then score any corpus with the learned
+    * weights. Features are relative bucket frequencies (count/n_tok) over
+    * `buckets` md5-hashed token buckets plus a bias.
+    *
+    * Training is full-batch gradient descent as a driver loop, the same
+    * shape as [[Similarity.kmeansRefine]] and [[Bpe.train]]: each
+    * iteration scores every doc against the broadcast weight row (a fold
+    * inside the scan — the corpus is never shuffled to be scored), then
+    * the gradient partially aggregates per bucket (explode → groupBy —
+    * partials are `buckets`-sized) and ONE (buckets+1)-row update crosses
+    * the driver. Corpus passes = iterations, exactly the cost envelope a
+    * 100 TB training run budgets.
+    *
+    * Like the other iterative operators the trained weights are not a
+    * SQL-replayable closed form (per-partition FP sum order varies), so
+    * the classifier is spec-verified on separable corpora; the scoring
+    * path [[scoreHashedLr]] is pure column algebra. */
+  def trainHashedLr(df: DataFrame, textCol: String, idCol: String,
+                    targetPred: Column, buckets: Int = 256,
+                    iters: Int = 20, learnRate: Double = 2.0): Array[Double] = {
+    require(iters >= 1 && buckets >= 2, "need iters >= 1 and buckets >= 2")
+    val toks = TextFunctions.tokens(col(textCol))
+    val docs = df.select(col(idCol).as("doc_id"),
+        targetPred.cast("double").as("y"),
+        filter(toks, t => length(t) > 0).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+      .localCheckpoint() // one materialization; iterations re-scan this
+    var w = new Array[Double](buckets + 1) // w(buckets) = bias
+    for (_ <- 1 to iters) {
+      val wLit = array(w.map(lit): _*)
+      val scored = docs
+        .withColumn("logit",
+          aggregate(transform(col("toks"),
+              t => element_at(wLit,
+                (pmod(TextFunctions.md5Long(t), lit(buckets)) + 1).cast("int"))),
+            lit(0.0), (acc, x) => acc + x) / col("n_tok") + lit(w(buckets)))
+        .withColumn("r", lit(1.0) / (lit(1.0) + exp(-col("logit"))) - col("y"))
+      // gradient: per-bucket sum of r/n_tok over token occurrences, plus bias
+      val grad = scored
+        .select(col("r"), col("n_tok"), explode(col("toks")).as("t"))
+        .select((pmod(TextFunctions.md5Long(col("t")), lit(buckets))).as("b"),
+          (col("r") / col("n_tok")).as("g"))
+        .groupBy("b").agg(sum(col("g")).as("g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      val biasGrad = scored.agg(sum(col("r"))).collect()(0).getDouble(0)
+      val n = scored.count().toDouble
+      val w2 = w.clone()
+      grad.foreach { case (b, g) => w2(b) -= learnRate * g / n }
+      w2(buckets) -= learnRate * biasGrad / n
+      w = w2
+    }
+    w
+  }
+
+  /** Score a corpus with [[trainHashedLr]] weights: P(target | doc) via
+    * the same hashed relative-frequency features — pure column algebra
+    * in the scan projection, weights travel as plan literals. */
+  def scoreHashedLr(df: DataFrame, textCol: String, idCol: String,
+                    weights: Array[Double]): DataFrame = {
+    val buckets = weights.length - 1
+    val toks = TextFunctions.tokens(col(textCol))
+    val wLit = array(weights.map(lit): _*)
+    df.select(col(idCol).as("doc_id"),
+        filter(toks, t => length(t) > 0).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+      .withColumn("logit",
+        aggregate(transform(col("toks"),
+            t => element_at(wLit,
+                (pmod(TextFunctions.md5Long(t), lit(buckets)) + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x) / col("n_tok") + lit(weights(buckets)))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("p_target"))
   }
 
   /** Per-document mean log-probability under an interpolated bigram LM
@@ -222,6 +282,25 @@ object Relevance {
         round(col("lps") / (col("n_tok") - 1), 6).as("mean_logp"))
   }
 
+  /** Per-document mean token log-probability under a unigram LM trained
+    * on the corpus itself — the CCNet/KenLM perplexity-filter shape with
+    * the LM reduced to unigrams (low scores = improbable token mix:
+    * gibberish, boilerplate soup, wrong-language fragments; the
+    * filtering decision is a threshold on this column). No smoothing is
+    * needed: the model is trained on the scored corpus, so every token
+    * has count ≥ 1.
+    *
+    * Returns (doc_id, n_tok, mean_logp), empty-token docs dropped.
+    *
+    * Scale shape: the unigram model is vocabulary-sized — counts partial
+    * aggregate map-side, then the (term → count) map and token total
+    * broadcast back as ONE row, and each document scores inside the scan
+    * projection via a fold over its own token array. The corpus is never
+    * shuffled and the per-doc FP sum has one defined order (position
+    * order), so scores are engine-reproducible. A 100 TB corpus with a
+    * beyond-broadcast vocabulary would swap the map for an equi-join on
+    * term; the testdata (and most natural-language vocabularies after
+    * minimum-count pruning) fit the broadcast comfortably. */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val docs = df.select(col(idCol).as("doc_id"),

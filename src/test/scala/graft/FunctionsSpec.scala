@@ -753,6 +753,30 @@ class FunctionsSpec extends SparkSuite {
       "log-ratio sign: target-vocab positive, raw-only vocab negative")
   }
 
+  test("trainHashedLr separates a separable corpus; scoring ranks target-like docs first") {
+    import graft.functions.Relevance
+    // target vocabulary {alpha beta gamma}, raw vocabulary {zork quux grue},
+    // plus held-out docs from each vocabulary scored after training.
+    val train = (
+      (1L to 10L).map(i => (i, "alpha beta gamma alpha", true)) ++
+      (11L to 20L).map(i => (i, "zork quux grue zork", false))
+    ).toDF("doc_id", "text", "is_t")
+    val w = Relevance.trainHashedLr(train, "text", "doc_id",
+      targetPred = col("is_t"), buckets = 64, iters = 30)
+    assert(w.forall(x => !x.isNaN && !x.isInfinite), "weights must stay finite")
+    val holdout = Seq(
+      (100L, "alpha gamma beta"), (101L, "beta beta alpha"),
+      (200L, "grue zork quux"), (201L, "quux grue grue")).toDF("doc_id", "text")
+    val scores = Relevance.scoreHashedLr(holdout, "text", "doc_id", w)
+      .select("doc_id", "p_target").as[(Long, Double)].collect().toMap
+    assert(scores.values.forall(p => p >= 0 && p <= 1))
+    assert(scores(100L) > 0.5 && scores(101L) > 0.5,
+      s"target-vocab docs must score as target: $scores")
+    assert(scores(200L) < 0.5 && scores(201L) < 0.5,
+      s"raw-vocab docs must score as raw: $scores")
+    assert(scores(100L) > scores(200L) + 0.3, s"separation collapsed: $scores")
+  }
+
   test("bigramLogProb: corpus-frequent bigrams outscore shuffled ones; n_tok<2 dropped") {
     import graft.functions.Relevance
     // "a b" appears 4x; doc 3 uses the same unigrams in unseen order.
