@@ -72,12 +72,19 @@ object StreamAggs {
     * `partitionBy("split")`. */
   def corpusIngest(docs: DataFrame, tsCol: String, textCol: String, idCol: String,
                    watermark: String, minQuality: Double,
-                   gopherGate: Boolean = false): DataFrame = {
-    import graft.functions.{Splits, TextFunctions}
+                   gopherGate: Boolean = false,
+                   normalize: Boolean = false): DataFrame = {
+    import graft.functions.{Splits, TextFunctions, TextNormalizeExpression}
+    // Optional canonicalization FIRST (the production order: normalize →
+    // gate → dedup, so trivially-different encodings collapse before any
+    // downstream state) — a codegen'd narrow map like the gates below.
+    val canon = if (normalize)
+      docs.withColumn(textCol, TextNormalizeExpression.textNormalize(col(textCol)))
+    else docs
     // Quality gate: the q19 soft score, optionally AND'd with q50's hard
     // Gopher rules — both are per-row column predicates, so the streaming
     // plan stays a stateless narrow filter ahead of the dedup state store.
-    val gated = docs
+    val gated = canon
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
       .transform(d => if (gopherGate)
         d.filter(TextFunctions.gopherRules(col(textCol)).getField("passed")) else d)

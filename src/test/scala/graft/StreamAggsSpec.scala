@@ -214,6 +214,28 @@ class StreamAggsSpec extends SparkSuite {
     assert(ids == Set(1L), s"gopher gate let the 12-word doc through: $ids")
   }
 
+  test("streaming ingest with normalize: messy encodings collapse into one dedup family") {
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.corpusIngest(docs, "ts", "text", "doc_id",
+        watermark = "1 hour", minQuality = 0.0, normalize = true)
+      .writeStream.format("memory").queryName("singnorm").outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog and it is fine"
+    // batch 1: clean doc; batch 2: the same doc with doubled spaces and a
+    // CRLF tail — the normalized form must dedup against batch 1's state.
+    mem.addData(Seq((ts(0), 1L, base)))
+    q.processAllAvailable()
+    mem.addData(Seq((ts(5), 2L, "  " + base.replace(" ", "  ") + " \r\n"),
+      (ts(6), 3L, "a completely different document body with its own words here")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("singnorm").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(rows.contains(1L) && rows.contains(3L) && !rows.contains(2L),
+      s"messy re-encoding must dedup against the clean original: ${rows.keySet}")
+    assert(rows(1L) == base, "stored text is the normalized canonical form")
+  }
+
   test("streaming near-dup candidates: cross-batch twin flagged, unrelated docs quiet") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF().toDF("ts", "doc_id", "text")
