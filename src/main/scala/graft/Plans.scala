@@ -81,7 +81,12 @@ object Plans {
     "q60_bigram_lm" -> ("bigram LM scoring: the vocabulary-bounded unigram/bigram count " +
       "tables partially aggregate map-side, then meet the token-pair stream by equi-join " +
       "(the deliberate beyond-broadcast path q57's one-row model avoids); the per-doc sum " +
-      "folds a position-sorted collect_list so the double result is engine-reproducible.")
+      "folds a position-sorted collect_list so the double result is engine-reproducible."),
+    "q64_corpus_report" -> ("corpus report card: every per-doc score integerizes to exact " +
+      "micro-unit longs IN the scan projection, so the per-source means are plain partial " +
+      "aggregates (order-independent integer sums — no collect-and-fold whose state grows " +
+      "with the group); the unigram model broadcasts as one row and the dominant-language " +
+      "pick is a WindowGroupLimit over the tiny (source, lang) count table.")
   )
 
   def main(args: Array[String]): Unit = {
