@@ -1784,6 +1784,94 @@ object QueriesExt {
        |FROM agg a JOIN toplang tl USING (source)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q65
+  /** IVF-PQ ANN ([[graft.functions.Similarity.ivfPqTopK]]): 16 L2 cells
+    * (centroids = vectors 0..15), shared residual codebook (4 × 16-dim
+    * subspaces, 16 codes = the residuals of vectors 16..31 against their
+    * own cells), queries vec_id < 8 probing 4 cells, top-10 by residual
+    * ADC. The index row is (id, cell, 4 codes) — IVF prunes the
+    * candidate set to nprobe/nlist of the corpus via an equi-join on
+    * cell (no cross join at all), PQ compresses what each candidate
+    * stores. */
+  def q65IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val raw = Tables.embeddings(s, dir).filter(col("vec_id") < 32)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).map(_._2)
+    val cents: Seq[Seq[Double]] = raw.take(16).map(_.toSeq).toSeq
+    // Driver-side replication of the engine's rounded-argmin cell rule
+    // (same left-to-right fold, same HALF_UP round) for the codebook
+    // vectors 16..31 — the residual codebook is a pure function of the
+    // data, so the oracle rebuilds it identically.
+    def round6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cellOf(v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        (round6(d), i)
+      }.min._2
+    val codebook: Seq[Seq[Seq[Double]]] = (0 until 4).map { m =>
+      (16 until 32).map { id =>
+        val v = raw(id)
+        val c = cents(cellOf(v))
+        (m * 16 until m * 16 + 16).map(j => v(j) - c(j))
+      }
+    }
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 8), e, k = 10, nprobe = 4,
+      cents, codebook)
+  }
+  val q65Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id::INT AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |ad AS (SELECT e.vec_id, c.cid,
+       |              round(${l2SqlOf("e.v", "c.cv")}, 6) AS d
+       |       FROM e, cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM ad) WHERE rn = 1),
+       |res AS (SELECT e.vec_id, a.cell,
+       |               list_transform(list_zip(e.v, c.cv), p -> p[1] - p[2]) AS r
+       |        FROM e JOIN assign a USING (vec_id) JOIN cent c ON c.cid = a.cell),
+       |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+       |rcb AS (SELECT m, (vec_id - 16)::INT AS k, r[m*16+1 : m*16+16] AS cv
+       |        FROM res, ms WHERE vec_id BETWEEN 16 AND 31),
+       |rsub AS (SELECT vec_id, cell, m, r[m*16+1 : m*16+16] AS s FROM res, ms),
+       |dd AS (SELECT rsub.vec_id, rsub.m, rcb.k,
+       |              round(${l2SqlOf("rsub.s", "rcb.cv")}, 6) AS d
+       |       FROM rsub JOIN rcb USING (m)),
+       |enc AS (SELECT dd.vec_id, a.cell, dd.m, dd.k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+       |    FROM dd) dd JOIN assign a USING (vec_id) WHERE dd.rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM ad WHERE vec_id < 8) WHERE rn <= 4),
+       |qres AS (SELECT p.query_id, p.cell,
+       |                list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2]) AS r
+       |         FROM probes p JOIN e ON e.vec_id = p.query_id
+       |         JOIN cent c ON c.cid = p.cell),
+       |qd AS (SELECT q.query_id, q.cell, q.m, rcb.k,
+       |              ${l2SqlOf("q.s", "rcb.cv")} AS d
+       |       FROM (SELECT query_id, cell, m, r[m*16+1 : m*16+16] AS s
+       |             FROM qres, ms) q
+       |       JOIN rcb USING (m)),
+       |a0 AS (SELECT qd.query_id, enc.vec_id AS neighbor_id, qd.m, qd.d
+       |       FROM qd JOIN enc ON enc.cell = qd.cell AND enc.m = qd.m
+       |         AND enc.code = qd.k
+       |       WHERE qd.query_id <> enc.vec_id),
+       |a AS (SELECT query_id, neighbor_id,
+       |             round(list_sum(list(d ORDER BY m)), 6) AS adc
+       |      FROM a0 GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rank, adc FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+       |  FROM a) WHERE rank <= 10""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1833,6 +1921,7 @@ object QueriesExt {
     "q62_normalize_fp" -> (q62NormalizeFp _),
     "q63_ann_recall" -> (q63AnnRecall _),
     "q64_corpus_report" -> (q64CorpusReport _),
+    "q65_ivf_pq" -> (q65IvfPq _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1900,6 +1989,7 @@ object QueriesExt {
     "q62_normalize_fp" -> q62Sql,
     "q63_ann_recall" -> q63Sql,
     "q64_corpus_report" -> q64Sql,
+    "q65_ivf_pq" -> q65Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

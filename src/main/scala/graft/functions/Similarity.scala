@@ -384,6 +384,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF-PQ: the composed index the large-scale systems actually run
+    * (FAISS IndexIVFPQ) — IVF prunes WHICH vectors a query touches
+    * (equi-join on cell id, nprobe/nlist of the corpus), PQ compresses
+    * WHAT is stored per vector (M code bytes of the RESIDUAL v −
+    * centroid[cell], which quantizes far better than raw vectors because
+    * residuals concentrate near the origin). The corpus index row is
+    * (id, cell, codes) — nothing else survives the encode scan.
+    *
+    * Everything is L2 and engine-reproducible: cell assignment is the
+    * same rounded-distance argmin as PQ encoding (via the [[pqCodes]]
+    * kernel with the centroid set as a single subspace), residuals are
+    * exact element-wise subtractions against plan-literal centroids, and
+    * each (query, probed cell) pair gets its own residual LUT. Ranking:
+    * rounded ADC, neighbor-id tie-break.
+    *
+    * `centroids(i)` is the cell-i centroid; `codebook` quantizes
+    * residual subspaces and is shared across cells. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+                centroids: Seq[Seq[Double]], codebook: Seq[Seq[Seq[Double]]],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
+    val m = codebook.length
+    val subDim = codebook.head.head.length
+    val centsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    // cell = argmin rounded-L2 over the centroid set — the PqEncode
+    // kernel with ONE subspace is exactly that argmin.
+    def cellOf(v: Column): Column = element_at(pqCodes(v, Seq(centroids)), 1)
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centsLit, cell + 1), (x, y) => x.cast("double") - y)
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellOf(col("cv")))
+      .select(col("neighbor_id"), col("cell"),
+        pqCodes(residual(col("cv"), col("cell")), codebook).as("codes"))
+    // Query side: the nprobe nearest cells (same rounded-argmin rule,
+    // then rank order), one residual LUT set per probed cell.
+    val scoredCells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(l2Sq(col("qv"), array(c.map(lit): _*)), 6).as("d"), lit(i).as("cid"))
+    }: _*)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(scoredCells), 1, nprobe),
+          s => s.getField("cid"))))
+    val luts = codebook.zipWithIndex.map { case (cents, mm) =>
+      array(cents.map(cv =>
+        l2Sq(slice(col("qres"), mm * subDim + 1, subDim), array(cv.map(lit): _*))): _*)
+        .as(s"lut$mm")
+    }
+    val q = broadcast(probes
+      .withColumn("qres", residual(col("qv"), col("cell")))
+      .select(col("query_id") +: col("cell") +: luts: _*))
+    val adc = (0 until m).map(mm =>
+        element_at(col(s"lut$mm"), element_at(col("codes"), mm + 1) + 1))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    enc.join(q, Seq("cell")) // equi-join on cell: nprobe/nlist of the corpus per query
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within the corpus: banded
     * SRP-LSH. The `bits` hyperplane signs are split into `bands`
     * independent hash tables of `bits/bands` bits each; two vectors are

@@ -826,6 +826,39 @@ class FunctionsSpec extends SparkSuite {
       "full-shortlist refine must equal the exact ranking")
   }
 
+  test("ivfPqTopK: identical vector shares cell+codes and ranks first; candidates stay cell-pruned") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val clone = e.filter(col("vec_id") === 40)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = e.unionByName(clone)
+    val raw = e.filter(col("vec_id") < 32)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).map(_._2)
+    val cents: Seq[Seq[Double]] = raw.take(16).map(_.toSeq).toSeq
+    def round6(d: Double): Double =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cellOf(v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        (round6(d), i)
+      }.min._2
+    val codebook: Seq[Seq[Seq[Double]]] = (0 until 4).map { m =>
+      (16 until 32).map { id =>
+        val v = raw(id); val c = cents(cellOf(v))
+        (m * 16 until m * 16 + 16).map(j => v(j) - c(j))
+      }
+    }
+    // the clone's own-cell probe must surface it at rank 1 (identical
+    // residual codes → ADC equal to the original's self-distance class)
+    val top = Similarity.ivfPqTopK(
+      corpus.filter(col("vec_id") === 100040L), corpus, k = 5, nprobe = 4,
+      cents, codebook)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(top.head._2 == 40L, s"identical vector must rank first: ${top.toList}")
+  }
+
   test("countMinEstimates: est >= exact always; exact when width is collision-free") {
     import graft.functions.ApproxHeavyHitters
     val docs = Seq(
