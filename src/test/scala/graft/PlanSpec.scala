@@ -326,6 +326,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q65 IVF-PQ: candidates come from a cell equi-join (no cross join), codes-only stream") {
+    val p = planString(QueriesExt.q65IvfPq(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "IVF-PQ must never scan the whole corpus per query — the cell id is an equi-key:\n" +
+        p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "probe-expanded queries must broadcast to the encoded corpus:\n" + p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must rank-limit before the final sort:\n" + p.take(2000))
+  }
+
   test("q61 count-min: counter table is a fixed-size partial aggregate, probes broadcast back") {
     val p = planString(QueriesExt.q61CountMin(spark, sf("sf0.001")))
     // rows x width counters: partial + final HashAggregate around the
