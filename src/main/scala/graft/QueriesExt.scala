@@ -1872,6 +1872,45 @@ object QueriesExt {
        |           ORDER BY adc, neighbor_id) AS INTEGER) AS rank
        |  FROM a) WHERE rank <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Bloom-filter decontamination ([[graft.functions.Splits
+    * .bloomContamination]]): q53's benchmark-overlap score at the
+    * beyond-broadcast tier — the eval shingle set compresses to 1008
+    * bloom bits (16 longs, 63-bit packed) built by a fixed-size bit_or aggregate; every
+    * training shingle probes 4 md5 positions. One-sided error: n_hit ≥
+    * q53's exact count. Same train/eval split as q53 so the two tiers
+    * are directly comparable. */
+  def q66BloomContamination(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Splits.bloomContamination(
+      docsSample(s, dir),
+      Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
+      "text", "doc_id", n = 2, bits = 1008, hashes = 4)
+  val q66Sql: String =
+    s"""WITH ${shingleCteFor("tr", "doc_id % 10 = 0")},
+       |${shingleCteFor("evd", "doc_id % 10 = 7")},
+       |ev AS (SELECT DISTINCT unnest(sh) AS sg FROM evd),
+       |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       |bpos AS (SELECT ('0x' || substring(md5(r::VARCHAR || ':' || sg), 1, 15))::BIGINT % 1008 AS pos
+       |         FROM ev CROSS JOIN rs),
+       |bloom AS (SELECT (pos // 63)::INT AS word,
+       |                 bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+       |          FROM bpos GROUP BY 1),
+       |tok AS (SELECT doc_id, unnest(sh) AS sg FROM tr WHERE len(sh) > 0),
+       |pp AS (SELECT doc_id, sg, r.r,
+       |              ('0x' || substring(md5(r.r::VARCHAR || ':' || sg), 1, 15))::BIGINT % 1008 AS pos
+       |       FROM tok CROSS JOIN rs r),
+       |pr AS (SELECT pp.doc_id, pp.sg,
+       |              coalesce((b.bits & (1::BIGINT << (pp.pos % 63)::INT)) <> 0, false) AS hit
+       |       FROM pp LEFT JOIN bloom b ON b.word = (pp.pos // 63)::INT),
+       |cont AS (SELECT doc_id, sg, bool_and(hit) AS contained
+       |         FROM pr GROUP BY 1, 2),
+       |h AS (SELECT doc_id, count(*)::BIGINT AS n_hit
+       |      FROM cont WHERE contained GROUP BY 1)
+       |SELECT t.doc_id, t.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+       |       round(coalesce(h.n_hit, 0) * 1.0 / t.n_sh, 6) AS score
+       |FROM (SELECT doc_id, len(sh) AS n_sh FROM tr WHERE len(sh) > 0) t
+       |LEFT JOIN h USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1922,6 +1961,7 @@ object QueriesExt {
     "q63_ann_recall" -> (q63AnnRecall _),
     "q64_corpus_report" -> (q64CorpusReport _),
     "q65_ivf_pq" -> (q65IvfPq _),
+    "q66_bloom_contamination" -> (q66BloomContamination _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -1990,6 +2030,7 @@ object QueriesExt {
     "q63_ann_recall" -> q63Sql,
     "q64_corpus_report" -> q64Sql,
     "q65_ivf_pq" -> q65Sql,
+    "q66_bloom_contamination" -> q66Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

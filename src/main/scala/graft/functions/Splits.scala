@@ -78,6 +78,65 @@ object Splits {
         round(col("n_hit").cast("double") / col("n_sh").cast("double"), 6))
   }
 
+  /** Bloom-filter decontamination — the beyond-broadcast tier of
+    * [[contaminationScore]]: when the eval shingle set no longer fits a
+    * broadcast hash set (benchmarks × paraphrase expansions at corpus
+    * scale), it still fits as `bits` bloom BITS. The filter builds as a
+    * FIXED-size aggregate (word index → bit_or of masks — at most
+    * bits/64 rows regardless of eval size, partial-agg'd map-side like
+    * the CMS counters), broadcasts those ≤ bits/64 longs, and each
+    * training shingle probes with `hashes` md5 positions. Bloom errors
+    * are one-sided: n_hit ≥ the exact semi-join count (false positives
+    * only), so the score is a SOUND over-estimate — safe for a
+    * contamination GATE, and exactly replayable by any engine with the
+    * same md5 family + 64-bit ops.
+    *
+    * Output: (doc_id, n_sh, n_hit, score) like [[contaminationScore]]. */
+  def bloomContamination(train: DataFrame, eval: DataFrame,
+                         textCol: String, idCol: String, n: Int,
+                         bits: Int = 1008, hashes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    // 63-bit word packing: shifts stay <= 62, so an engine with CHECKED
+    // signed shifts (the oracle) computes the identical masks a silent
+    // two's-complement engine would — bit 63 is never touched.
+    require(bits % 63 == 0 && hashes >= 1, "bits must be 63-aligned")
+    def posOf(r: Int, sg: Column): Column =
+      pmod(TextFunctions.md5Long(concat(lit(s"$r:"), sg)), lit(bits))
+    def wordOf(pos: Column): Column = (pos / 63).cast("int")
+    def maskOf(pos: Column): Column =
+      call_function("shiftleft", lit(1L), pmod(pos, lit(63)).cast("int"))
+    val evalShingles = eval
+      .select(explode(DedupFunctions.shingles(col(textCol), n)).as("s"))
+      .distinct()
+    val bloom = evalShingles
+      .select(posexplode(array((0 until hashes).map(r => posOf(r, col("s"))): _*))
+        .as(Seq("r", "pos")))
+      .select(wordOf(col("pos")).as("word"), maskOf(col("pos")).as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+    val tr = train.select(col(idCol).as("doc_id"),
+        DedupFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val probes = tr.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("s"),
+        posexplode(array((0 until hashes).map(r => posOf(r, col("s"))): _*))
+          .as(Seq("r", "pos")))
+      .select(col("doc_id"), col("s"), wordOf(col("pos")).as("word"),
+        maskOf(col("pos")).as("mask"))
+    val contained = probes
+      .join(broadcast(bloom), Seq("word"), "left")
+      .withColumn("hit", coalesce(col("bits").bitwiseAND(col("mask")) =!= 0, lit(false)))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(min(col("hit")).as("contained")) // every hash position must be set
+    val hits = contained.filter(col("contained"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tr.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("score",
+        round(col("n_hit").cast("double") / col("n_sh").cast("double"), 6))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its key's md5
     * bucket (0..99) falls under the stratum's rate. Same engine-
     * reproducible hash family as [[splitAssign]] — no RNG, no seed

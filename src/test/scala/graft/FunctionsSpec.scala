@@ -624,6 +624,25 @@ class FunctionsSpec extends SparkSuite {
     assert(got(2) == ((3L, 5, 2L, 0.4)))
   }
 
+  test("bloomContamination: never under-counts the exact tier; exact hits when bits are ample") {
+    import graft.functions.Splits
+    val train = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "omega psi chi phi"),
+      (3L, "alpha beta unrelated words")).toDF("doc_id", "text")
+    val eval = Seq((10L, "alpha beta gamma something")).toDF("doc_id", "text")
+    val exact = Splits.contaminationScore(train, eval, "text", "doc_id", 2)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    val bloom = Splits.bloomContamination(train, eval, "text", "doc_id", 2)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    assert(exact.keySet == bloom.keySet)
+    exact.foreach { case (id, h) =>
+      assert(bloom(id) >= h, s"bloom under-counted doc $id: ${bloom(id)} < $h")
+    }
+    // 1008 bits vs 3 eval shingles: false-positive odds are negligible,
+    // so the two tiers agree exactly on this corpus
+    assert(bloom == exact, s"ample-bits bloom should equal exact: $bloom vs $exact")
+  }
+
   test("gopherRules: each rule fires on a crafted document and names itself") {
     val good = (("the quick brown fox jumps over lazy dogs near riverbank " * 4)
       + "with many different other words appearing here once only today").trim
