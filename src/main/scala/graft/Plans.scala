@@ -86,7 +86,18 @@ object Plans {
       "micro-unit longs IN the scan projection, so the per-source means are plain partial " +
       "aggregates (order-independent integer sums — no collect-and-fold whose state grows " +
       "with the group); the unigram model broadcasts as one row and the dominant-language " +
-      "pick is a WindowGroupLimit over the tiny (source, lang) count table.")
+      "pick is a WindowGroupLimit over the tiny (source, lang) count table."),
+    "q65_ivf_pq" -> ("IVF-PQ: the corpus index row is (id, cell, 4 residual codes), built " +
+      "entirely in the scan projection (cell = the PqEncode kernel's rounded argmin over " +
+      "literal centroids, residual codes against the shared codebook); candidates come from " +
+      "an EQUI-JOIN on cell with the broadcast probe-expanded queries — nprobe/nlist of the " +
+      "corpus per query, never a cross join — and the per-query top-k is a WindowGroupLimit. " +
+      "Compare q59's flat PQ, which must stream every code row past every query."),
+    "q66_bloom_contamination" -> ("bloom decontamination: the filter builds as a bit_or " +
+      "hash aggregate onto AT MOST 16 (word, bits) rows regardless of eval-set size — the " +
+      "fixed-size-sketch shape (q61) applied to membership — then broadcasts into the " +
+      "training scan; the corpus's shingles never shuffle, and the only exchange after the " +
+      "probe carries per-(doc, shingle) booleans.")
   )
 
   def main(args: Array[String]): Unit = {
