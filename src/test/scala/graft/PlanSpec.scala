@@ -337,6 +337,17 @@ class PlanSpec extends SparkSuite {
       "per-query top-k must rank-limit before the final sort:\n" + p.take(2000))
   }
 
+  test("q66 bloom build is a fixed-size aggregate that broadcasts; corpus shingles never shuffle to probe") {
+    val p = planString(QueriesExt.q66BloomContamination(spark, sf("sf0.001")))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "bloom build must partial-aggregate:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=16-row filter must broadcast into the probe scan:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") || p.indexOf("SortMergeJoin") >
+      p.indexOf("BroadcastHashJoin"),
+      "probing must not shuffle the corpus to meet the filter:\n" + p.take(2000))
+  }
+
   test("q61 count-min: counter table is a fixed-size partial aggregate, probes broadcast back") {
     val p = planString(QueriesExt.q61CountMin(spark, sf("sf0.001")))
     // rows x width counters: partial + final HashAggregate around the

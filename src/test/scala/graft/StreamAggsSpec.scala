@@ -310,6 +310,43 @@ class StreamAggsSpec extends SparkSuite {
     assert(got.map(_._3).toSeq == Seq("a b c", "c d e"))
   }
 
+  test("stream-static ANN serving: streaming query vectors probe the PQ-encoded corpus") {
+    import graft.functions.Similarity
+    // Static side: the corpus PQ-encoded ONCE (codes only — the serving
+    // index); streaming side: query vectors arriving in micro-batches,
+    // ADC-scored against the static index via a stream-static join.
+    val codebook: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
+      Seq(Seq(0.0, 0.0), Seq(-10.0, -10.0)))
+    val corpus = Seq(
+      (0L, Array(0.1f, -0.1f, 0.2f, 0.1f)),
+      (1L, Array(9.8f, 10.1f, -9.9f, -10.2f)),
+      (2L, Array(10.0f, 10.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val enc = corpus.select(col("vec_id").as("neighbor_id"),
+      Similarity.pqCodes(col("embedding"), codebook).as("codes"))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val luts = codebook.zipWithIndex.map { case (cents, m) =>
+      array(cents.map(cv => Similarity.l2Sq(
+        slice(col("embedding"), m * 2 + 1, 2), array(cv.map(lit): _*))): _*).as(s"lut$m")
+    }
+    val queries = mem.toDF().toDF("query_id", "embedding")
+      .select(col("query_id") +: luts: _*)
+    val adc = (0 until 2).map(m =>
+      element_at(col(s"lut$m"), element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val scored = queries.crossJoin(enc).withColumn("adc", adc)
+    val q = scored.select("query_id", "neighbor_id", "adc")
+      .writeStream.format("memory").queryName("sann").outputMode("append").start()
+    mem.addData(Seq((100L, Array(0.0f, 0.0f, 0.0f, 0.0f))))
+    q.processAllAvailable()
+    mem.addData(Seq((101L, Array(9.9f, 9.9f, -10.0f, -10.0f))))
+    q.processAllAvailable()
+    q.stop()
+    val best = spark.table("sann").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (qid, rows) => qid -> rows.minBy(r => (r._3, r._2))._2 }
+    // origin-query matches the near-origin vector; far query matches its twin
+    assert(best(100L) == 0L && best(101L) == 1L, s"wrong neighbors: $best")
+  }
+
   test("stream-stream interval join: clicks match the impression within the window") {
     val imps = MemoryStream[(Timestamp, Long, String)]
     val clicks = MemoryStream[(Timestamp, Long, String)]
