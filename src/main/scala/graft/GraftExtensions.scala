@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{TextNormalizeExpression, VectorExpressions}
+import graft.functions.{CharStatsExpression, TextNormalizeExpression, VectorExpressions}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Session extension point: registers the native vector kernels under
@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorExpressions.vecL2SqDescriptor)
     ext.injectFunction(TextNormalizeExpression.textNormalizeDescriptor)
     ext.injectFunction(TextNormalizeExpression.textFoldAccentsDescriptor)
+    ext.injectFunction(CharStatsExpression.charStatsDescriptor)
   }
 }
 
@@ -26,7 +27,8 @@ object GraftExtensions {
     Seq(VectorExpressions.vecDotDescriptor, VectorExpressions.cosineSimDescriptor,
         VectorExpressions.vecL2SqDescriptor,
         TextNormalizeExpression.textNormalizeDescriptor,
-        TextNormalizeExpression.textFoldAccentsDescriptor)
+        TextNormalizeExpression.textFoldAccentsDescriptor,
+        CharStatsExpression.charStatsDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

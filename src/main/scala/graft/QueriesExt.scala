@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Boilerplate, DedupFunctions, Layout, Mixture, Multimodal, Packing, Relevance, Similarity, Splits, TextFunctions}
+import graft.functions.{Boilerplate, CharStatsExpression, DedupFunctions, Layout, Mixture, Multimodal, Packing, Relevance, Similarity, Splits, TextFunctions}
 import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1911,6 +1911,46 @@ object QueriesExt {
        |FROM (SELECT doc_id, len(sh) AS n_sh FROM tr WHERE len(sh) > 0) t
        |LEFT JOIN h USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Character-entropy quality gate through the native `char_stats`
+    * kernel ([[graft.functions.CharStatsExpression]]): Shannon character
+    * entropy (bits), dominant-character fraction, and distinct-character
+    * count per document, plus the keep/drop decision a curation pipeline
+    * derives from them (low entropy or a dominant character ⇒ gibberish
+    * or repetition spam). One expression evaluation feeds all four
+    * output columns — whole-stage codegen CSEs the repeated projection —
+    * and the plan is a pure narrow map over the document scan: no
+    * shuffle, no UDF, 100 TB streams through at scan speed. */
+  def q67EntropyQuality(s: SparkSession, dir: String): DataFrame = {
+    // Two-step projection on purpose: the aliased kernel result is
+    // non-cheap and consumed five times, so CollapseProject keeps the
+    // stacked Projects and the kernel runs ONCE per row (the collapsed
+    // form would clone it into every projection).
+    val st = docs(s, dir).select(col("doc_id"),
+      CharStatsExpression.charStats(col("text")).as("st"))
+    st.select(col("doc_id"),
+      element_at(col("st"), 1).as("char_entropy"),
+      element_at(col("st"), 2).as("top_char_frac"),
+      element_at(col("st"), 3).cast("long").as("distinct_chars"),
+      (element_at(col("st"), 1) >= lit(3.0) &&
+        element_at(col("st"), 2) <= lit(0.25)).as("keep"))
+  }
+  val q67Sql: String =
+    """WITH f AS (SELECT doc_id, ch, count(*)::DOUBLE AS c
+      |           FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |                 FROM documents)
+      |           GROUP BY 1, 2),
+      |t AS (SELECT doc_id, sum(c) AS n, max(c) AS mx, count(*)::BIGINT AS k
+      |      FROM f GROUP BY 1),
+      |e AS (SELECT f.doc_id,
+      |             round(-sum((f.c / t.n) * log2(f.c / t.n)), 6) AS char_entropy,
+      |             round(any_value(t.mx) / any_value(t.n), 6) AS top_char_frac,
+      |             any_value(t.k) AS distinct_chars
+      |      FROM f JOIN t ON f.doc_id = t.doc_id GROUP BY 1)
+      |SELECT doc_id, char_entropy, top_char_frac, distinct_chars,
+      |       (char_entropy >= 3.0 AND top_char_frac <= 0.25) AS keep
+      |FROM e""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -1962,6 +2002,7 @@ object QueriesExt {
     "q64_corpus_report" -> (q64CorpusReport _),
     "q65_ivf_pq" -> (q65IvfPq _),
     "q66_bloom_contamination" -> (q66BloomContamination _),
+    "q67_entropy_quality" -> (q67EntropyQuality _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -2031,6 +2072,7 @@ object QueriesExt {
     "q64_corpus_report" -> q64Sql,
     "q65_ivf_pq" -> q65Sql,
     "q66_bloom_contamination" -> q66Sql,
+    "q67_entropy_quality" -> q67Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

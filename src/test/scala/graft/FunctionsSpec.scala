@@ -751,6 +751,35 @@ class FunctionsSpec extends SparkSuite {
     assert(viaSql == "Cafe du Monde")
   }
 
+  test("char_stats: entropy / top fraction / distinct count, non-ASCII and surrogate paths") {
+    import graft.functions.CharStatsExpression
+    val df = Seq(
+      (1L, "aabb"),             // uniform 2 symbols → 1 bit
+      (2L, "abcd"),             // uniform 4 symbols → 2 bits
+      (3L, "aaaa"),             // degenerate → 0 bits (never -0.0)
+      (4L, ""),                 // empty → all zeros
+      (5L, "ααββ"),      // ααββ — heap-map path
+      (6L, "𝒜𝒜ℬℬ") // 𝒜𝒜ℬℬ — surrogate pairs count once
+    ).toDF("id", "s")
+    val got = df.select(col("id"), CharStatsExpression.charStats(col("s")).as("st"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(got(0)._2 == Seq(1.0, 0.5, 2.0))
+    assert(got(1)._2 == Seq(2.0, 0.25, 4.0))
+    assert(got(2)._2 == Seq(0.0, 1.0, 1.0))
+    assert(!got(2)._2.head.toString.startsWith("-"), "entropy must not be -0.0")
+    assert(got(3)._2 == Seq(0.0, 0.0, 0.0))
+    assert(got(4)._2 == Seq(1.0, 0.5, 2.0), "non-ASCII frequencies")
+    assert(got(5)._2 == Seq(1.0, 0.5, 2.0), "surrogate pairs are single code points")
+    // null passthrough
+    val n = Seq((1L, null: String)).toDF("id", "s")
+      .select(CharStatsExpression.charStats(col("s"))).collect()(0)
+    assert(n.isNullAt(0))
+    // SQL name resolves via the extensions registration
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT char_stats('aabb')[0]").as[Double].head()
+    assert(viaSql == 1.0)
+  }
+
   test("dsirLogWeights: target-vocabulary docs outscore off-vocabulary docs") {
     import graft.functions.Relevance
     // target domain speaks {alpha beta}; raw pool has one doc in the

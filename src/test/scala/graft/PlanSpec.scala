@@ -226,6 +226,15 @@ class PlanSpec extends SparkSuite {
       "rule filter must prune the scan to (doc_id, text):\n" + p.take(2000))
   }
 
+  test("q67 entropy gate: one narrow map, no shuffle, CSE'd char_stats, two-column scan") {
+    val p = planString(QueriesExt.q67EntropyQuality(spark, sf("sf0.001")))
+    assert(!p.contains("Exchange"), "per-row char stats must not shuffle:\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "entropy gate must prune the scan to (doc_id, text):\n" + p.take(2000))
+    assert("char_stats".r.findAllIn(p).length == 1,
+      "the kernel must evaluate once per row, not once per projection:\n" + p.take(2000))
+  }
+
   test("q51 zorder: no sort/window — the only exchange carries partial file aggregates") {
     val p = planString(QueriesExt.q51Zorder(spark, sf("sf0.001")))
     assert(!p.contains("Sort") && !p.contains("Window"),
