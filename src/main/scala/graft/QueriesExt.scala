@@ -1951,6 +1951,43 @@ object QueriesExt {
       |       (char_entropy >= 3.0 AND top_char_frac <= 0.25) AS keep
       |FROM e""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Scalar-quantization (SQ8) ANN ([[graft.functions.Similarity
+    * .sqAdcTopK]]): the train-free compression tier — per-dimension
+    * min/max learned in ONE partial-aggregated pass (a 128-double row to
+    * the driver), corpus encoded to byte-range code arrays in the scan,
+    * queries broadcast and score by asymmetric distance against the
+    * dequantized points. Same query set and k as q59/q65 so the three
+    * index tiers rank head-to-head. */
+  def q68SqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (mins, maxs) = Similarity.sqMinMax(Tables.embeddings(s, dir), dim = 64)
+    Similarity.sqAdcTopK(e.filter(col("vec_id") < 8), e, k = 10, mins, maxs)
+  }
+  val q68Sql: String =
+    """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+      |ds AS (SELECT unnest(range(1, 65)) AS i),
+      |mm AS (SELECT i, min(v[i])::DOUBLE AS mn, max(v[i])::DOUBLE AS mx
+      |       FROM e, ds GROUP BY 1),
+      |enc AS (SELECT e.vec_id, mm.i,
+      |               CASE WHEN mm.mx = mm.mn THEN 0
+      |                    ELSE least(greatest(round(((v[mm.i]::DOUBLE - mm.mn) / (mm.mx - mm.mn)) * 255.0), 0), 255)::INT
+      |               END AS c
+      |        FROM e, mm),
+      |d AS (SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id, enc.i,
+      |             (q.v[enc.i]::DOUBLE - (mm.mn + ((enc.c * (mm.mx - mm.mn)) / 255.0))) AS t
+      |      FROM enc
+      |      JOIN mm ON mm.i = enc.i
+      |      JOIN e q ON q.vec_id < 8 AND q.vec_id <> enc.vec_id),
+      |a AS (SELECT query_id, neighbor_id,
+      |             round(list_sum(list(t * t ORDER BY i)), 6) AS adc
+      |      FROM d GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, rank, adc FROM (
+      |  SELECT query_id, neighbor_id, adc,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY adc, neighbor_id) AS INTEGER) AS rank
+      |  FROM a) WHERE rank <= 10""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -2003,6 +2040,7 @@ object QueriesExt {
     "q65_ivf_pq" -> (q65IvfPq _),
     "q66_bloom_contamination" -> (q66BloomContamination _),
     "q67_entropy_quality" -> (q67EntropyQuality _),
+    "q68_sq_ann" -> (q68SqAnn _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -2073,6 +2111,7 @@ object QueriesExt {
     "q65_ivf_pq" -> q65Sql,
     "q66_bloom_contamination" -> q66Sql,
     "q67_entropy_quality" -> q67Sql,
+    "q68_sq_ann" -> q68Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

@@ -450,6 +450,77 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
   }
 
+  /** Per-dimension (min, max) scalar-quantization model — the train step
+    * of the SQ8 tier. One partial-aggregated pass (2·dim min/max
+    * aggregates combine map-side; a single 2·dim-double row reaches the
+    * driver), so training costs one corpus scan at any scale. */
+  def sqMinMax(corpus: DataFrame, dim: Int, vecCol: String = "embedding")
+  : (Seq[Double], Seq[Double]) = {
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col(vecCol), i + 1)).as(s"mn$i"),
+      max(element_at(col(vecCol), i + 1)).as(s"mx$i")))
+    val r = corpus.agg(aggs.head, aggs.tail: _*).collect()(0)
+    ((0 until dim).map(i => r.getAs[Float](s"mn$i").toDouble),
+      (0 until dim).map(i => r.getAs[Float](s"mx$i").toDouble))
+  }
+
+  /** SQ8 encode: `code_i = clamp(round((x_i − mn_i)/(mx_i − mn_i)·255), 0, 255)`
+    * (constant dimensions encode as 0). A narrow per-row projection — a
+    * 64-dim float vector (256 B) compresses to 64 byte-range ints, and
+    * like [[pqCodes]] the raw vector does not survive the encode
+    * projection. The model travels as two plan-literal arrays. */
+  def sqEncode(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mnLit = array(mins.map(lit): _*)
+    val mxLit = array(maxs.map(lit): _*)
+    transform(vec, (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, lit(0)).otherwise(
+        least(greatest(round(((x.cast("double") - mn) / (mx - mn)) * lit(255.0), 0),
+          lit(0.0)), lit(255.0)).cast("int"))
+    })
+  }
+
+  /** Scalar-quantization ANN (FAISS `IndexScalarQuantizer` QT_8bit
+    * shape) — the third compression tier next to PQ (q59) and IVF-PQ
+    * (q65): no codebook training, just the per-dimension affine map, so
+    * it is the index you build when PQ's k-means is not worth running.
+    * Corpus moves as code arrays only; queries broadcast with their raw
+    * vectors and score candidates by asymmetric distance against the
+    * DEQUANTIZED corpus point `mn_i + code_i·(mx_i − mn_i)/255` — a
+    * left-to-right fold in dimension order (DuckDB `list_sum ORDER BY`
+    * replayable). Rounded-distance ranking, neighbor-id tie-break; the
+    * per-query top-k collapses to a WindowGroupLimit before the only
+    * shuffle. */
+  def sqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                mins: Seq[Double], maxs: Seq[Double],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(mins.length == maxs.length && mins.nonEmpty, "empty SQ model")
+    val mnLit = array(mins.map(lit): _*)
+    val mxLit = array(maxs.map(lit): _*)
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      sqEncode(col(vecCol), mins, maxs).as("codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val term = transform(col("codes"), (c, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      val dq = mn + ((c.cast("double") * (mx - mn)) / lit(255.0))
+      val t = element_at(col("qv"), i + 1).cast("double") - dq
+      t * t
+    })
+    val adc = aggregate(term, lit(0.0), (s, x) => s + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    enc.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within the corpus: banded
     * SRP-LSH. The `bits` hyperplane signs are split into `bands`
     * independent hash tables of `bits/bands` bits each; two vectors are

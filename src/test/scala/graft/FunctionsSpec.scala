@@ -874,6 +874,36 @@ class FunctionsSpec extends SparkSuite {
       "full-shortlist refine must equal the exact ranking")
   }
 
+  test("sqMinMax/sqEncode/sqAdcTopK: affine codes, clamp, constant dim, duplicate retrieval") {
+    import graft.functions.Similarity
+    val vecs = Seq(
+      (0L, Array(0.0f, 10.0f, 7.0f)),
+      (1L, Array(5.0f, 0.0f, 7.0f)),   // dim2 constant across corpus
+      (2L, Array(10.0f, 5.0f, 7.0f)),
+      (3L, Array(0.0f, 10.0f, 7.0f))   // duplicate of 0
+    ).toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sqMinMax(vecs, dim = 3)
+    assert(mins == Seq(0.0, 0.0, 7.0) && maxs == Seq(10.0, 10.0, 7.0))
+    val codes = vecs.select(col("vec_id"),
+        Similarity.sqEncode(col("embedding"), mins, maxs).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // 0→0, 5→round(127.5)=128 (HALF_UP), 10→255; constant dim → 0
+    assert(codes(0L) == Seq(0, 255, 0) && codes(1L) == Seq(128, 0, 0) &&
+      codes(2L) == Seq(255, 128, 0))
+    // out-of-range values clamp to the byte range
+    val clamped = Seq((9L, Array(-5.0f, 20.0f, 7.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.sqEncode(col("embedding"), mins, maxs))
+      .as[Seq[Int]].head()
+    assert(clamped == Seq(0, 255, 0))
+    // exact duplicate dequantizes identically → rank 1 with adc 0
+    val top = Similarity.sqAdcTopK(
+      vecs.filter(col("vec_id") === 0L), vecs, k = 3, mins, maxs)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(top.head._2 == 3L && top.head._4 == 0.0)
+    assert(top.map(_._2).toList == List(3L, 1L, 2L) || top.map(_._2).toList == List(3L, 2L, 1L))
+    assert(top.forall(_._2 != 0L), "no self-pair")
+  }
+
   test("ivfPqTopK: identical vector shares cell+codes and ranks first; candidates stay cell-pruned") {
     val e = Tables.embeddings(spark, sf("sf0.001"))
     val clone = e.filter(col("vec_id") === 40)

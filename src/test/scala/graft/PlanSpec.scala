@@ -295,6 +295,16 @@ class PlanSpec extends SparkSuite {
       "scoring must not shuffle the corpus:\n" + p.take(2000))
   }
 
+  test("q68 SQ8: corpus streams as codes; min/max model is a partial aggregate; top-k group-limits") {
+    val p = planString(QueriesExt.q68SqAnn(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "queries must broadcast against the encoded corpus:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for scoring:\n" + p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must limit before the exchange:\n" + p.take(2000))
+  }
+
   test("q59 PQ-ADC: the candidate join carries codes, never the corpus vectors") {
     val p = executed(QueriesExt.q59PqAnn(spark, sf("sf0.001")))
     // The BNLJ streams the encoded corpus against broadcast query LUTs —
