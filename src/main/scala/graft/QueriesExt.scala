@@ -1988,6 +1988,38 @@ object QueriesExt {
       |           ORDER BY adc, neighbor_id) AS INTEGER) AS rank
       |  FROM a) WHERE rank <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Embedding-space quality evaluation ([[graft.functions.Similarity
+    * .knnClassify]]): leave-one-out kNN label agreement on a 1-in-5
+    * deterministic probe sample — the intrinsic "does this space cluster
+    * by meaning" number you publish before trusting the embeddings for
+    * semantic dedup or ANN serving. Probe set broadcasts; corpus scanned
+    * once; majority vote over each probe's 10 exact-cosine neighbors,
+    * ties to the lower label. */
+  def q69KnnEval(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.knnClassify(e.filter(col("vec_id") % 5 === 0), e, k = 10)
+  }
+  val q69Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id % 5 = 0),
+       |c AS (SELECT vec_id AS nid, label AS nlab, embedding::DOUBLE[] AS cv FROM embeddings),
+       |s AS (SELECT qid, nid, nlab,
+       |        ${cosSql("qv", "cv")} AS sim
+       |      FROM q, c WHERE qid <> nid),
+       |r AS (SELECT qid, nlab,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |      FROM s),
+       |v AS (SELECT qid, nlab, count(*)::BIGINT AS votes
+       |      FROM r WHERE rank <= 10 GROUP BY 1, 2),
+       |p AS (SELECT qid, nlab AS pred_label, votes FROM (
+       |        SELECT qid, nlab, votes,
+       |               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nlab) AS rn
+       |        FROM v) WHERE rn = 1)
+       |SELECT q.qid AS vec_id, q.qlab AS label, p.pred_label, p.votes,
+       |       (q.qlab = p.pred_label) AS correct
+       |FROM q JOIN p ON p.qid = q.qid""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -2041,6 +2073,7 @@ object QueriesExt {
     "q66_bloom_contamination" -> (q66BloomContamination _),
     "q67_entropy_quality" -> (q67EntropyQuality _),
     "q68_sq_ann" -> (q68SqAnn _),
+    "q69_knn_eval" -> (q69KnnEval _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -2112,6 +2145,7 @@ object QueriesExt {
     "q66_bloom_contamination" -> q66Sql,
     "q67_entropy_quality" -> q67Sql,
     "q68_sq_ann" -> q68Sql,
+    "q69_knn_eval" -> q69Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

@@ -103,6 +103,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** kNN label classification / embedding-quality evaluation: each query
+    * vector takes the majority label of its k exact-cosine nearest
+    * neighbors (leave-one-out when queries ⊆ corpus — self-matches are
+    * excluded by [[bruteForceTopK]]), and the agreement with its own
+    * label is the standard intrinsic check that an embedding space
+    * actually clusters by meaning — run it before trusting the space for
+    * semantic dedup (q52) or ANN serving. Vote ties break to the lower
+    * label, like every ranking rule here.
+    *
+    * Scale: evaluate on a SAMPLE of queries (the caller picks it) — the
+    * probe set broadcasts, the corpus is scanned once and never
+    * shuffled; per query only k neighbor rows reach the vote aggregate.
+    * Output: (vec_id, label, pred_label, votes, correct). */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val knn = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+    val nbrLabels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("n_label"))
+    val votes = knn.join(nbrLabels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id").as(idCol), col("n_label").as("pred_label"),
+        col("votes"))
+    queries.select(col(idCol), col(labelCol).as("label")).join(pred, Seq(idCol))
+      .select(col(idCol), col("label"), col("pred_label"), col("votes"),
+        (col("label") === col("pred_label")).as("correct"))
+  }
+
   /** Deterministic ±1 hyperplanes (`bits` × `dim`), computed in plain
     * Scala with splitmix64-style mixing — engine-independent constants
     * that can be embedded as literals in both the Spark expression and an

@@ -874,6 +874,30 @@ class FunctionsSpec extends SparkSuite {
       "full-shortlist refine must equal the exact ranking")
   }
 
+  test("knnClassify: majority label of cosine neighbors; mislabeled point detected; vote tie → lower label") {
+    import graft.functions.Similarity
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.00f), 0), (1L, Array(1.0f, 0.05f), 0), (2L, Array(1.0f, -0.05f), 0),
+      (10L, Array(0.00f, 1.0f), 1), (11L, Array(0.05f, 1.0f), 1), (12L, Array(-0.05f, 1.0f), 1),
+      (20L, Array(1.0f, 0.02f), 1)   // labeled 1 but sits in cluster 0
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(vecs, vecs, k = 3)
+      .as[(Long, Int, Int, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3 == 0 && out(0L)._5, "cluster-0 member agrees")
+    assert(out(10L)._3 == 1 && out(10L)._5, "cluster-1 member agrees")
+    assert(out(20L)._3 == 0 && !out(20L)._5, "mislabeled point voted into cluster 0")
+    assert(out(20L)._4 == 3L, "all three neighbors of the impostor are cluster 0")
+    // 2-2 vote tie breaks to the lower label
+    val tied = Seq(
+      (0L, Array(1.0f, 0.0f), 5), (1L, Array(0.9f, 0.1f), 5),
+      (2L, Array(0.8f, 0.2f), 3), (3L, Array(0.7f, 0.3f), 3),
+      (4L, Array(0.95f, 0.05f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val t = Similarity.knnClassify(tied.filter(col("vec_id") === 4L), tied, k = 4)
+      .as[(Long, Int, Int, Long, Boolean)].head()
+    assert(t._3 == 3 && t._4 == 2L && !t._5, "2-2 tie must resolve to the lower label")
+  }
+
   test("sqMinMax/sqEncode/sqAdcTopK: affine codes, clamp, constant dim, duplicate retrieval") {
     import graft.functions.Similarity
     val vecs = Seq(

@@ -305,6 +305,16 @@ class PlanSpec extends SparkSuite {
       "per-query top-k must limit before the exchange:\n" + p.take(2000))
   }
 
+  test("q69 kNN eval: probe sample broadcasts; neighbor search group-limits; no cartesian") {
+    val p = planString(QueriesExt.q69KnnEval(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the probe sample must broadcast against the corpus scan:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "scoring must never be a cartesian shuffle:\n" + p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      "per-probe top-k must limit before the exchange:\n" + p.take(2000))
+  }
+
   test("q59 PQ-ADC: the candidate join carries codes, never the corpus vectors") {
     val p = executed(QueriesExt.q59PqAnn(spark, sf("sf0.001")))
     // The BNLJ streams the encoded corpus against broadcast query LUTs —
