@@ -2020,6 +2020,52 @@ object QueriesExt {
        |       (q.qlab = p.pred_label) AS correct
        |FROM q JOIN p ON p.qid = q.qid""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Distributed k-means training ([[graft.functions.Similarity
+    * .kmeansTrain]]): 2 Lloyd iterations, k=8, seeded from the 8
+    * lowest-id vectors, then the final cell assignment with each
+    * vector's rounded distance to its centroid. The whole loop is
+    * deterministic (rounded-argmin assignment, exact micro-unit means),
+    * so the oracle replays BOTH iterations — assignment → integer mean →
+    * assignment → integer mean → assignment — bit for bit, something a
+    * naive avg(double) k-means could never support. */
+  def q70Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = Similarity.kmeansTrain(Tables.embeddings(s, dir), k = 8,
+      iters = 2, dim = 64)
+    val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    e.select(col("vec_id"), col("embedding"),
+        element_at(Similarity.pqCodes(col("embedding"), Seq(cents)), 1).as("cell"))
+      .select(col("vec_id"), col("cell"),
+        round(Similarity.l2Sq(col("embedding"),
+          element_at(centsLit, col("cell") + 1)), 6).as("d2"))
+  }
+  private def kmAssignCte(name: String, centCte: String): String =
+    s"""$name AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT e.vec_id, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY round(${l2SqlOf("e.v", "c.cv")}, 6), c.cid) AS rn
+       |  FROM e, $centCte c) WHERE rn = 1)""".stripMargin
+  private def kmMeanCte(name: String, assign: String, prev: String): String =
+    s"""${name}_m AS (SELECT a.cell, ds.i,
+       |        (sum(round(e.v[ds.i] * 1000000)::BIGINT)::DOUBLE / count(*)) / 1000000.0 AS m
+       |        FROM e JOIN $assign a USING (vec_id), ds GROUP BY 1, 2),
+       |$name AS (SELECT p.cid, coalesce(n.cv, p.cv) AS cv FROM $prev p
+       |          LEFT JOIN (SELECT cell AS cid, list(m ORDER BY i) AS cv
+       |                     FROM ${name}_m GROUP BY 1) n USING (cid))""".stripMargin
+  val q70Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ds AS (SELECT unnest(range(1, 65)) AS i),
+       |c0 AS (SELECT vec_id::INT AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |${kmAssignCte("a1", "c0")},
+       |${kmMeanCte("c1", "a1", "c0")},
+       |${kmAssignCte("a2", "c1")},
+       |${kmMeanCte("c2", "a2", "c1")},
+       |${kmAssignCte("a3", "c2")}
+       |SELECT e.vec_id, a3.cell,
+       |       round(${l2SqlOf("e.v", "c.cv")}, 6) AS d2
+       |FROM e JOIN a3 USING (vec_id) JOIN c2 c ON c.cid = a3.cell""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -2074,6 +2120,7 @@ object QueriesExt {
     "q67_entropy_quality" -> (q67EntropyQuality _),
     "q68_sq_ann" -> (q68SqAnn _),
     "q69_knn_eval" -> (q69KnnEval _),
+    "q70_kmeans" -> (q70Kmeans _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -2146,6 +2193,7 @@ object QueriesExt {
     "q67_entropy_quality" -> q67Sql,
     "q68_sq_ann" -> q68Sql,
     "q69_knn_eval" -> q69Sql,
+    "q70_kmeans" -> q70Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

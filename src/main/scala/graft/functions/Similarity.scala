@@ -137,6 +137,50 @@ object Similarity {
         (col("label") === col("pred_label")).as("correct"))
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the trainer
+    * behind every IVF-style index (q41/q65 use fixed seed centroids; this
+    * is how production centroids are actually fit). Deterministic
+    * end-to-end, which is rare for k-means and is what makes it
+    * ORACLE-replayable in SQL:
+    *
+    *  - init = the k lowest-id vectors (the same explicit model rule as
+    *    the PQ codebook);
+    *  - assignment = rounded-L2 argmin, ties → lower cell (the
+    *    [[pqCodes]] kernel with the centroid set as one subspace);
+    *  - update = the exact micro-unit mean (q64's trick): each
+    *    coordinate integerizes to `round(x·1e6)` longs that sum EXACTLY
+    *    in any partial-aggregation order, with ONE double division at
+    *    the end — so the new centroids are bit-identical regardless of
+    *    partition count. A naive `avg(double)` is FP-order-dependent and
+    *    could never be replayed.
+    *
+    * Per iteration: one corpus scan, one k-row partial aggregate
+    * (count + dim sums), one ≤k-row collect — the driver holds k·dim
+    * doubles, never data. Empty cells keep their previous centroid. */
+  def kmeansTrain(corpus: DataFrame, k: Int, iters: Int, dim: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+  : Seq[Seq[Double]] = {
+    var cents: IndexedSeq[Seq[Double]] = corpus.filter(col(idCol) < k)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).map(_._2).toIndexedSeq
+    require(cents.length == k, s"need ids 0..${k - 1} as seed vectors")
+    for (_ <- 0 until iters) {
+      val cell = element_at(pqCodes(col(vecCol), Seq(cents.toSeq)), 1)
+      val aggs = count(lit(1)).as("n") +: (0 until dim).map(i =>
+        sum(round(element_at(col(vecCol), i + 1).cast("double") * lit(1000000.0), 0)
+          .cast("long")).as(s"s$i"))
+      val upd = corpus.withColumn("cell", cell).groupBy("cell")
+        .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+          val n = r.getAs[Long]("n")
+          r.getAs[Int]("cell") ->
+            (0 until dim).map(i => (r.getAs[Long](s"s$i").toDouble / n) / 1000000.0)
+        }.toMap
+      cents = (0 until k).map(c => upd.getOrElse(c, cents(c)).toSeq).toIndexedSeq
+    }
+    cents.toSeq
+  }
+
   /** Deterministic ±1 hyperplanes (`bits` × `dim`), computed in plain
     * Scala with splitmix64-style mixing — engine-independent constants
     * that can be embedded as literals in both the Spark expression and an

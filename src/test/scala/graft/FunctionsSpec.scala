@@ -874,6 +874,27 @@ class FunctionsSpec extends SparkSuite {
       "full-shortlist refine must equal the exact ranking")
   }
 
+  test("kmeansTrain: Lloyd iterations with exact micro-unit means; convergence; determinism") {
+    import graft.functions.Similarity
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(9.0f, 9.0f)),
+      (4L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeansTrain(vecs, k = 2, iters = 1, dim = 2)
+    // cell0 = {0,2,4} → (0+1+0.5)/3 = exactly 0.5 in micro-units; cell1 = {1,3}
+    assert(c1 == Seq(Seq(0.5, 0.5), Seq(9.5, 9.5)))
+    val c2 = Similarity.kmeansTrain(vecs, k = 2, iters = 2, dim = 2)
+    assert(c2 == c1, "already converged after one iteration")
+    // deterministic: retraining yields bit-identical centroids
+    assert(Similarity.kmeansTrain(vecs.repartition(7), k = 2, iters = 2, dim = 2) == c1,
+      "partitioning must not change the exact integer means")
+    // assignment under the trained model: rounded-argmin via the PQ kernel
+    val cells = vecs.select(col("vec_id"),
+        element_at(Similarity.pqCodes(col("embedding"), Seq(c1)), 1).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(cells == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0))
+  }
+
   test("knnClassify: majority label of cosine neighbors; mislabeled point detected; vote tie → lower label") {
     import graft.functions.Similarity
     val vecs = Seq(

@@ -305,6 +305,12 @@ class PlanSpec extends SparkSuite {
       "per-query top-k must limit before the exchange:\n" + p.take(2000))
   }
 
+  test("q70 k-means assignment: trained centroids are plan literals — pure narrow map, no join") {
+    val p = planString(QueriesExt.q70Kmeans(spark, sf("sf0.001")))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "assignment under a trained model must be a literal-centroid projection:\n" + p.take(2000))
+  }
+
   test("q69 kNN eval: probe sample broadcasts; neighbor search group-limits; no cartesian") {
     val p = planString(QueriesExt.q69KnnEval(spark, sf("sf0.001")))
     assert(p.contains("BroadcastNestedLoopJoin"),
