@@ -73,8 +73,9 @@ object StreamAggs {
   def corpusIngest(docs: DataFrame, tsCol: String, textCol: String, idCol: String,
                    watermark: String, minQuality: Double,
                    gopherGate: Boolean = false,
-                   normalize: Boolean = false): DataFrame = {
-    import graft.functions.{Splits, TextFunctions, TextNormalizeExpression}
+                   normalize: Boolean = false,
+                   entropyGate: Boolean = false): DataFrame = {
+    import graft.functions.{CharStatsExpression, Splits, TextFunctions, TextNormalizeExpression}
     // Optional canonicalization FIRST (the production order: normalize →
     // gate → dedup, so trivially-different encodings collapse before any
     // downstream state) — a codegen'd narrow map like the gates below.
@@ -88,6 +89,10 @@ object StreamAggs {
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
       .transform(d => if (gopherGate)
         d.filter(TextFunctions.gopherRules(col(textCol)).getField("passed")) else d)
+      .transform(d => if (entropyGate)
+        d.filter(element_at(CharStatsExpression.charStats(col(textCol)), 1) >= lit(3.0) &&
+          element_at(CharStatsExpression.charStats(col(textCol)), 2) <= lit(0.25))
+        else d)
     Splits.withSplit(
         streamingExactDedup(gated, tsCol, textCol, watermark),
         idCol)

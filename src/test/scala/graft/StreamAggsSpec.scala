@@ -214,6 +214,22 @@ class StreamAggsSpec extends SparkSuite {
     assert(ids == Set(1L), s"gopher gate let the 12-word doc through: $ids")
   }
 
+  test("streaming corpus ingest: entropy gate drops repetition spam the soft score passes") {
+    val natural = "the cat of the house and a dog sat in the sun"
+    val spam = "na na na na na na na na na na na"   // 3 distinct chars, dominant 'a'+' '
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.corpusIngest(docs, "ts", "text", "doc_id",
+      watermark = "1 hour", minQuality = 0.0, entropyGate = true)
+      .writeStream.format("memory").queryName("corpus_entropy")
+      .outputMode("append").start()
+    mem.addData(Seq((ts(0), 1L, natural), (ts(1), 2L, spam)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("corpus_entropy").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L), s"entropy gate let the repetition spam through: $ids")
+  }
+
   test("streaming ingest with normalize: messy encodings collapse into one dedup family") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF().toDF("ts", "doc_id", "text")
