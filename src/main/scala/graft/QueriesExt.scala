@@ -1964,8 +1964,11 @@ object QueriesExt {
     val (mins, maxs) = Similarity.sqMinMax(Tables.embeddings(s, dir), dim = 64)
     Similarity.sqAdcTopK(e.filter(col("vec_id") < 8), e, k = 10, mins, maxs)
   }
-  val q68Sql: String =
-    """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+  /** Shared SQ8 oracle chain (q68/q72): min/max model → affine-round
+    * encode → asymmetric dequantized distance. Terminal CTE `sqa` =
+    * (query_id, neighbor_id, adc). */
+  private val sqCtesSql: String =
+    """e AS (SELECT vec_id, embedding AS v FROM embeddings),
       |ds AS (SELECT unnest(range(1, 65)) AS i),
       |mm AS (SELECT i, min(v[i])::DOUBLE AS mn, max(v[i])::DOUBLE AS mx
       |       FROM e, ds GROUP BY 1),
@@ -1974,19 +1977,21 @@ object QueriesExt {
       |                    ELSE least(greatest(round(((v[mm.i]::DOUBLE - mm.mn) / (mm.mx - mm.mn)) * 255.0), 0), 255)::INT
       |               END AS c
       |        FROM e, mm),
-      |d AS (SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id, enc.i,
+      |sqd AS (SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id, enc.i,
       |             (q.v[enc.i]::DOUBLE - (mm.mn + ((enc.c * (mm.mx - mm.mn)) / 255.0))) AS t
       |      FROM enc
       |      JOIN mm ON mm.i = enc.i
       |      JOIN e q ON q.vec_id < 8 AND q.vec_id <> enc.vec_id),
-      |a AS (SELECT query_id, neighbor_id,
+      |sqa AS (SELECT query_id, neighbor_id,
       |             round(list_sum(list(t * t ORDER BY i)), 6) AS adc
-      |      FROM d GROUP BY 1, 2)
+      |      FROM sqd GROUP BY 1, 2)""".stripMargin
+  val q68Sql: String =
+    s"""WITH $sqCtesSql
       |SELECT query_id, neighbor_id, rank, adc FROM (
       |  SELECT query_id, neighbor_id, adc,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |           ORDER BY adc, neighbor_id) AS INTEGER) AS rank
-      |  FROM a) WHERE rank <= 10""".stripMargin
+      |  FROM sqa) WHERE rank <= 10""".stripMargin
 
   // ---------------------------------------------------------------- q69
   /** Embedding-space quality evaluation ([[graft.functions.Similarity
@@ -2066,6 +2071,74 @@ object QueriesExt {
        |       round(${l2SqlOf("e.v", "c.cv")}, 6) AS d2
        |FROM e JOIN a3 USING (vec_id) JOIN c2 c ON c.cid = a3.cell""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Inverted-index build ([[graft.functions.Relevance.invertedIndex]]):
+    * token → (df, cf, sorted posting page capped at 20 doc ids). The
+    * cap happens BEFORE any list materializes (WindowGroupLimit per
+    * token), so no state grows with a stopword's true document
+    * frequency; df/cf still count the full postings as plain
+    * partial-agg'd longs. */
+  def q71InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    Relevance.invertedIndex(docs(s, dir), "text", "doc_id",
+      minDf = 2, pageSize = 20)
+  val q71Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |t1 AS (SELECT token, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |agg AS (SELECT token, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+       |        FROM t1 GROUP BY 1),
+       |cap AS (SELECT token, doc_id FROM (
+       |    SELECT token, doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+       |    FROM t1) WHERE rn <= 20),
+       |p AS (SELECT token, list(doc_id ORDER BY doc_id) AS posting
+       |      FROM cap GROUP BY 1)
+       |SELECT a.token, a.df, a.cf, p.posting
+       |FROM agg a JOIN p USING (token) WHERE a.df >= 2""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Reciprocal-rank fusion ([[graft.functions.Similarity.rrfFuse2]]) of
+    * the exact-cosine retriever (q17) and the SQ8 tier (q68) — the
+    * serving-stack ensemble pattern: tiers with different error modes
+    * vote by reciprocal rank, c=60. Fusion joins two Q×10 rank sets, so
+    * its cost is independent of corpus size. */
+  def q72RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    val (mins, maxs) = Similarity.sqMinMax(Tables.embeddings(s, dir), dim = 64)
+    Similarity.rrfFuse2(
+      Similarity.bruteForceTopK(q, e, k = 10),
+      Similarity.sqAdcTopK(q, e, k = 10, mins, maxs),
+      k = 10)
+  }
+  val q72Sql: String =
+    s"""WITH qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 8),
+       |cc AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+       |ss AS (SELECT qid, nid,
+       |        ${cosSql("qv", "cv")} AS sim
+       |       FROM qq, cc WHERE qid <> nid),
+       |ra AS (SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+       |    SELECT qid, nid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |    FROM ss) WHERE rank <= 10),
+       |$sqCtesSql,
+       |rb AS (SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY adc, neighbor_id) AS rank
+       |    FROM sqa) WHERE rank <= 10),
+       |f AS (SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+       |             coalesce(ra.neighbor_id, rb.neighbor_id) AS neighbor_id,
+       |             round(coalesce(1.0 / (60.0 + ra.rank), 0) +
+       |                   coalesce(1.0 / (60.0 + rb.rank), 0), 6) AS rrf
+       |      FROM ra FULL OUTER JOIN rb
+       |        ON ra.query_id = rb.query_id AND ra.neighbor_id = rb.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, rrf FROM (
+       |  SELECT query_id, neighbor_id, rrf,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY rrf DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM f) WHERE rank <= 10""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -2121,6 +2194,8 @@ object QueriesExt {
     "q68_sq_ann" -> (q68SqAnn _),
     "q69_knn_eval" -> (q69KnnEval _),
     "q70_kmeans" -> (q70Kmeans _),
+    "q71_inverted_index" -> (q71InvertedIndex _),
+    "q72_rrf_fusion" -> (q72RrfFusion _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -2194,6 +2269,8 @@ object QueriesExt {
     "q68_sq_ann" -> q68Sql,
     "q69_knn_eval" -> q69Sql,
     "q70_kmeans" -> q70Sql,
+    "q71_inverted_index" -> q71Sql,
+    "q72_rrf_fusion" -> q72Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

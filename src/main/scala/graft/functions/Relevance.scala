@@ -57,6 +57,36 @@ object Relevance {
       .select("doc_id", "term", "tf", "bm25")
   }
 
+  /** Inverted-index build: token → (document frequency, collection
+    * frequency, size-capped posting page of the lowest `pageSize` doc
+    * ids, sorted). The retrieval-side dual of BM25 scoring — this is the
+    * structure a search/dedup service actually serves from.
+    *
+    * Skew is the whole design problem: a stopword's posting list is
+    * corpus-sized, so the page is capped BEFORE any list materializes —
+    * a per-token `row_number` (WindowGroupLimit: each task keeps only
+    * `pageSize` rows per token before the sort) bounds every collected
+    * list at `pageSize`, while df/cf aggregate over the FULL postings as
+    * plain partial-agg'd counts. No state anywhere grows with the hottest
+    * token's true document frequency. `minDf` drops hapax tokens (the
+    * long tail that bloats an index without serving any query). */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+                    minDf: Long = 2, pageSize: Int = 20): DataFrame = {
+    val t1 = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val agg = t1.groupBy("token").agg(count(lit(1)).as("df"),
+      sum(col("tf")).as("cf"))
+    val page = t1
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("token").orderBy(col("doc_id").asc)))
+      .filter(col("rn") <= pageSize)
+      .groupBy("token")
+      .agg(sort_array(collect_list(col("doc_id"))).as("posting"))
+    agg.filter(col("df") >= minDf).join(page, Seq("token"))
+      .select(col("token"), col("df"), col("cf"), col("posting"))
+  }
+
   /** Corpus-level heavy-hitter terms: exact global top-`k` tokens by
     * occurrence count, with their document frequency. The count is a
     * hash aggregate with map-side combine (per-partition partials are

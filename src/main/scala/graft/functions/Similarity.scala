@@ -137,6 +137,32 @@ object Similarity {
         (col("label") === col("pred_label")).as("correct"))
   }
 
+  /** Reciprocal-rank fusion of two retrieval tiers over the same id
+    * space — `rrf = Σ 1/(c + rank)` (Cormack et al.'s c=60), the
+    * standard way a serving stack ensembles a lexical and a vector
+    * retriever, or (here) two ANN tiers whose error modes differ.
+    * A full-outer join on (query, neighbor) keeps the two reciprocal
+    * terms in a FIXED textual order, so the fused double is
+    * engine-reproducible (a groupBy-sum over N tiers would be
+    * FP-order-dependent); ranking uses the rounded score with the
+    * neighbor id as tie-break. Inputs are per-query top-k sets — Q×k
+    * rows each — so fusion cost is independent of corpus size. */
+  def rrfFuse2(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    val ra = a.select(col("query_id"), col("neighbor_id"), col("rank").as("rank_a"))
+    val rb = b.select(col("query_id"), col("neighbor_id"), col("rank").as("rank_b"))
+    val rrf = round(
+      coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_b")), lit(0.0)), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    ra.join(rb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("rrf"))
+  }
+
   /** Distributed Lloyd k-means over the embedding column — the trainer
     * behind every IVF-style index (q41/q65 use fixed seed centroids; this
     * is how production centroids are actually fit). Deterministic

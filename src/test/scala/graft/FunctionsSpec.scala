@@ -874,6 +874,40 @@ class FunctionsSpec extends SparkSuite {
       "full-shortlist refine must equal the exact ranking")
   }
 
+  test("invertedIndex: df/cf over full postings, page capped at pageSize, hapax dropped") {
+    import graft.functions.Relevance
+    val docs = Seq(
+      (10L, "alpha beta alpha"),
+      (11L, "alpha gamma"),
+      (12L, "alpha beta"),
+      (13L, "alpha delta")).toDF("doc_id", "text")
+    val out = Relevance.invertedIndex(docs, "text", "doc_id", minDf = 2, pageSize = 2)
+      .as[(String, Long, Long, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    // alpha: df=4 docs, cf=5 occurrences, page = 2 lowest doc ids only
+    assert(out("alpha") == ("alpha", 4L, 5L, Seq(10L, 11L)))
+    assert(out("beta") == ("beta", 2L, 2L, Seq(10L, 12L)))
+    assert(!out.contains("gamma") && !out.contains("delta"), "hapax tokens must drop")
+  }
+
+  test("rrfFuse2: reciprocal-rank ensemble, single-tier fallback, exact-tie id break") {
+    import graft.functions.Similarity
+    def tier(rows: (Long, Long, Int)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    val fused = Similarity.rrfFuse2(
+      tier((1L, 101L, 1), (1L, 102L, 2)),
+      tier((1L, 102L, 1), (1L, 103L, 2)), k = 10)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    // 102 in both tiers (1/62 + 1/61) beats 101 (1/61) beats 103 (1/62)
+    assert(fused.map(_._2).toList == List(102L, 101L, 103L))
+    assert(fused.head._4 == BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // equal single-tier scores tie-break on the neighbor id
+    val tied = Similarity.rrfFuse2(
+      tier((2L, 205L, 1)), tier((2L, 203L, 1)), k = 10)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(tied.map(_._2).toList == List(203L, 205L))
+  }
+
   test("kmeansTrain: Lloyd iterations with exact micro-unit means; convergence; determinism") {
     import graft.functions.Similarity
     val vecs = Seq(

@@ -305,6 +305,14 @@ class PlanSpec extends SparkSuite {
       "per-query top-k must limit before the exchange:\n" + p.take(2000))
   }
 
+  test("q71 inverted index: posting page caps via WindowGroupLimit before any list builds") {
+    val p = planString(QueriesExt.q71InvertedIndex(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"),
+      "the posting cap must group-limit before the sort:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "df/page join must stay an equi-join:\n" + p.take(2000))
+  }
+
   test("q70 k-means assignment: trained centroids are plan literals — pure narrow map, no join") {
     val p = planString(QueriesExt.q70Kmeans(spark, sf("sf0.001")))
     assert(!p.contains("Exchange") && !p.contains("Join"),
