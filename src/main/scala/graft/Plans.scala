@@ -97,7 +97,24 @@ object Plans {
       "hash aggregate onto AT MOST 16 (word, bits) rows regardless of eval-set size — the " +
       "fixed-size-sketch shape (q61) applied to membership — then broadcasts into the " +
       "training scan; the corpus's shingles never shuffle, and the only exchange after the " +
-      "probe carries per-(doc, shingle) booleans.")
+      "probe carries per-(doc, shingle) booleans."),
+    "q67_entropy_quality" -> ("char-entropy quality gate: one native char_stats kernel " +
+      "evaluation per row feeds all four output columns (the stacked Projects survive " +
+      "CollapseProject because the alias is non-cheap and consumed five times); a pure narrow " +
+      "map over a two-column scan — no shuffle, 100 TB streams through at scan speed."),
+    "q68_sq_ann" -> ("SQ8 ANN: the min/max model is ONE partial-aggregated pass collapsing to a " +
+      "128-double row; the corpus streams through the encode projection as byte-range code " +
+      "arrays (raw vectors never cross the join); broadcast queries score dequantized " +
+      "candidates and the top-k collapses to a WindowGroupLimit before the only exchange."),
+    "q70_kmeans" -> ("k-means assignment under a TRAINED model: the Lloyd loop ran eagerly " +
+      "before this plan (per iteration: one scan, one k-row exact-micro-unit-mean partial " +
+      "aggregate, one <=k-row collect), so what executes per epoch over the data is a pure " +
+      "literal-centroid projection — no join, no shuffle, same shape as q41's fixed-seed " +
+      "assignment."),
+    "q71_inverted_index" -> ("inverted index: posting pages cap through a per-token " +
+      "WindowGroupLimit BEFORE any list materializes — a stopword's corpus-sized posting " +
+      "never exists anywhere; df/cf aggregate the full postings as partially-combined longs " +
+      "and meet the pages on the token exchange they already share.")
   )
 
   def main(args: Array[String]): Unit = {
