@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{Boilerplate, CharStatsExpression, DedupFunctions, Layout, Mixture, Multimodal, Packing, Relevance, Similarity, Splits, TextFunctions}
-import graft.operators.ConnectedComponents
+import graft.functions.{Boilerplate, CharStatsExpression, DedupFunctions, FuzzyMatch, Layout, Mixture, Multimodal, Packing, Relevance, Similarity, Splits, TextFunctions}
+import graft.operators.{ConnectedComponents, PageRank, Scd2}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2139,6 +2139,161 @@ object QueriesExt {
        |           ORDER BY rrf DESC, neighbor_id) AS INTEGER) AS rank
        |  FROM f) WHERE rank <= 10""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** SCD type-2 history build from a changelog ([[Scd2.fromChangelog]]):
+    * one version row per effective event_type change per user, with
+    * [valid_from, valid_to) millisecond intervals and an is_current flag
+    * on each user's open version. Two window passes over ONE (user_id)
+    * exchange; the oracle replays lag-change-detect + lead-interval. The
+    * incremental twin ([[Scd2.merge]], the streaming path) is
+    * property-tested against this build in Scd2Spec. */
+  def q73Scd2(s: SparkSession, dir: String): DataFrame =
+    Scd2.fromChangelog(
+      Tables.events(s, dir).select(
+        col("user_id"), col("ts_ms"), col("event_id"), col("event_type")),
+      keys = Seq("user_id"), tsCol = "ts_ms", tracked = Seq("event_type"),
+      tieBreak = Seq(col("event_id")))
+  val q73Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events),
+      |c AS (SELECT user_id, ts_ms, event_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
+      |      FROM e),
+      |v AS (SELECT user_id, event_type, ts_ms, event_id FROM c
+      |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, ts_ms AS valid_from,
+      |       lead(ts_ms) OVER w AS valid_to,
+      |       lead(ts_ms) OVER w IS NULL AS is_current
+      |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Fixed-point integer PageRank ([[PageRank.ranks]]) over a
+    * deterministic 100-node "domain" graph derived from events (src =
+    * user bucket, dst = md5-derived bucket — the portable md5 family, so
+    * the oracle reproduces the edge list exactly). 5 damped iterations,
+    * all-BIGINT arithmetic → exact cross-engine value parity; the oracle
+    * unrolls the same five join+aggregate rounds. */
+  def q74Pagerank(s: SparkSession, dir: String): DataFrame =
+    PageRank.ranks(Tables.events(s, dir).select(
+      (col("user_id") % 100).as("src"),
+      (TextFunctions.md5Long(col("event_id").cast("string")) % 100).as("dst")))
+  val q74Sql: String = {
+    val h = "('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100"
+    def iter(i: Int): String =
+      s"""r$i AS (SELECT n.id, b.base + (85 * coalesce(s.m, 0)) // 100 AS rank
+         |       FROM n CROSS JOIN b LEFT JOIN (
+         |         SELECT e.dst AS id, sum(r.rank // d.deg) AS m
+         |         FROM e JOIN r${i - 1} r ON r.id = e.src JOIN d ON d.src = e.src
+         |         GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT user_id % 100 AS src, $h AS dst
+       |           FROM events WHERE user_id % 100 <> $h),
+       |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |b AS (SELECT 150000000000 // count(*) AS base,
+       |             1000000000000 // count(*) AS init FROM n),
+       |r0 AS (SELECT id, b.init AS rank FROM n CROSS JOIN b),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id, rank FROM r5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q75
+  /** Q-gram fuzzy match ([[FuzzyMatch.qgramPairs]]): distinct document
+    * pairs whose normalized 40-char prefixes are within Levenshtein
+    * distance 8, candidates from shared character 3-grams with a
+    * frequency cap (the skew valve) — never an all-pairs product. The
+    * oracle replays gram explode → cap → equi-join → levenshtein. */
+  def q75FuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    FuzzyMatch.qgramPairs(docs(s, dir), "text", "doc_id")
+  val q75Sql: String =
+    """WITH p AS (SELECT doc_id AS id,
+      |             substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 40) AS pref
+      |           FROM documents),
+      |pp AS (SELECT id, pref FROM p WHERE length(pref) >= 3),
+      |g0 AS (SELECT id, pref,
+      |         unnest(list_transform(generate_series(1, length(pref) - 2),
+      |                               i -> substring(pref, i, 3))) AS g
+      |       FROM pp),
+      |gr AS (SELECT DISTINCT id, pref, g FROM g0),
+      |keep AS (SELECT g FROM (SELECT g, count(*) AS f FROM gr GROUP BY g)
+      |         WHERE f <= 50),
+      |cg AS (SELECT gr.* FROM gr JOIN keep USING (g)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |                a.pref AS pref_a, b.pref AS pref_b
+      |         FROM cg a JOIN cg b ON a.g = b.g AND a.id < b.id)
+      |SELECT id_a, id_b, CAST(levenshtein(pref_a, pref_b) AS INTEGER) AS dist
+      |FROM cand WHERE levenshtein(pref_a, pref_b) <= 8""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  /** Quality-aware cluster-representative dedup — the standard corpus
+    * dedup ship shape: near-dup pairs (q15's shingle join) → connected
+    * components (q39's transitive closure) → keep the HIGHEST-QUALITY
+    * doc per cluster (q19's quality score, doc_id tie-break), not an
+    * arbitrary one. One row per cluster with the kept doc and size. */
+  def q76QualityDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = docsSample(s, dir)
+    // Tighter candidates than q15/q39 (3-gram shingles, Jaccard >= 0.5):
+    // clusters are genuine near-dup groups, not one loosely-chained blob.
+    val pairs = DedupFunctions.ngramJaccardPairs(sample, "text", "doc_id",
+      n = 3, threshold = 0.5, cap = DedupFunctions.ShingleCap.Uncapped)
+    val comp = ConnectedComponents.components(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val scored = sample.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val byQ = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(byQ))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("component"))))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keep_id"),
+        col("quality").as("keep_quality"), col("n_docs"))
+  }
+  val q76Sql: String = {
+    val anyStop = TextFunctions.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, list_distinct(
+       |           [x[i] || ' ' || x[i+1] || ' ' || x[i+2] for i in range(1, len(x) - 1)]) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE doc_id % 10 = 0)),
+       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |p AS (SELECT id_a, id_b FROM j
+       |      WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.5),
+       |ed AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(id, comp) AS (
+       |  SELECT s, s FROM ed
+       |  UNION
+       |  SELECT ed.d, r.comp FROM reach r JOIN ed ON ed.s = r.id),
+       |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+       |nodes AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |tq AS (SELECT doc_id, text, $toksSql AS toks FROM nodes),
+       |m AS (SELECT doc_id,
+       |        len(toks) AS n_tokens,
+       |        (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE /
+       |          greatest(length(text), 1) AS pr,
+       |        len(list_intersect(list_distinct(toks), [$anyStop]))::DOUBLE /
+       |          greatest(len(toks), 1) AS sr
+       |      FROM tq),
+       |q AS (SELECT doc_id,
+       |        round(least(n_tokens / 64.0, 1.0) * 0.4 +
+       |              (1.0 - least(pr * 4.0, 1.0)) * 0.3 +
+       |              least(sr * 4.0, 1.0) * 0.3, 6) AS quality
+       |      FROM m),
+       |wc AS (SELECT n.doc_id, coalesce(c.component, n.doc_id) AS component, q.quality
+       |       FROM nodes n LEFT JOIN cc c ON c.id = n.doc_id JOIN q ON q.doc_id = n.doc_id)
+       |SELECT component, doc_id AS keep_id, quality AS keep_quality, n_docs
+       |FROM (SELECT doc_id, component, quality,
+       |        row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY component) AS n_docs
+       |      FROM wc) WHERE rn = 1""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -2196,6 +2351,10 @@ object QueriesExt {
     "q70_kmeans" -> (q70Kmeans _),
     "q71_inverted_index" -> (q71InvertedIndex _),
     "q72_rrf_fusion" -> (q72RrfFusion _),
+    "q73_scd2" -> (q73Scd2 _),
+    "q74_pagerank" -> (q74Pagerank _),
+    "q75_fuzzy_match" -> (q75FuzzyMatch _),
+    "q76_quality_dedup" -> (q76QualityDedup _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -2271,6 +2430,10 @@ object QueriesExt {
     "q70_kmeans" -> q70Sql,
     "q71_inverted_index" -> q71Sql,
     "q72_rrf_fusion" -> q72Sql,
+    "q73_scd2" -> q73Sql,
+    "q74_pagerank" -> q74Sql,
+    "q75_fuzzy_match" -> q75Sql,
+    "q76_quality_dedup" -> q76Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

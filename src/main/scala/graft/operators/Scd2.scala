@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 history — the natural extension of the
+  * reference's upsert merge (cdc_util/redshift_sink.py:477-509 keeps only
+  * the last row image; a type-2 target keeps every version with its
+  * validity interval). Two entry points:
+  *
+  *  - [[fromChangelog]]: batch-build the full history from a complete CDC
+  *    changelog (backfill / rebuild path);
+  *  - [[merge]]: incrementally fold one deduped micro-batch into an
+  *    existing history (the streaming path — same batch contract as
+  *    [[MergeOps.merge]]).
+  *
+  * The two agree by construction: folding [[merge]] over any batch split
+  * of a changelog equals [[fromChangelog]] of the whole log
+  * (property-tested in Scd2Spec).
+  *
+  * Scale notes: [[fromChangelog]] is two window passes over the same
+  * `(keys)` partitioning — Catalyst plans ONE exchange and sorts; the log
+  * is shuffled once, by key, exactly like the LWW dedup spine.
+  * [[merge]] broadcasts the (tiny) CDC batch against the history and
+  * never shuffles the target — the 100 TB history table only streams
+  * through a broadcast-hash join, matching MergeOps' design.
+  */
+object Scd2 {
+
+  /** Build a type-2 history from a complete changelog.
+    *
+    * A new version opens at every row whose `tracked` attribute tuple
+    * differs from the key's previous row (or that is the key's first
+    * row, or that follows a delete). A delete row closes the open
+    * version without opening a new one.
+    *
+    * Output: `keys ++ tracked ++ (valid_from, valid_to, is_current)`,
+    * where `valid_from`/`valid_to` are `tsCol` values ([from, to) —
+    * `valid_to` is null on each key's open version; a version closed by
+    * a delete carries the delete's timestamp).
+    *
+    * @param tieBreak extra order columns after `tsCol` so equal-timestamp
+    *                 rows have a deterministic version order (the Canal
+    *                 `idx_aws` lesson from the LWW spine, Dedup.scala).
+    */
+  def fromChangelog(log: DataFrame, keys: Seq[String], tsCol: String,
+                    tracked: Seq[String], tieBreak: Seq[Column] = Nil,
+                    isDelete: Column = lit(false)): DataFrame = {
+    val order = (col(tsCol) +: tieBreak).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val del = isDelete
+    // A row opens a version when its tracked tuple differs from the
+    // previous surviving row's — deletes force the next row to differ.
+    val prevTracked = lag(struct(tracked.map(col): _*), 1).over(w)
+    val prevDel = lag(del, 1, false).over(w)
+    // Null-safe change compare: a null tracked attribute is a value,
+    // not an unknown — `=!=` would return null and silently drop opens.
+    val opens = !del &&
+      (prevTracked.isNull || prevDel || !(prevTracked <=> struct(tracked.map(col): _*)))
+    // Version boundaries: opens and deletes both end the previous
+    // version; no-change rows are dropped before the lead pass.
+    val boundary = log.withColumn("__open", opens)
+      .filter(col("__open") || del)
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    boundary
+      .withColumn("__next_ts", lead(col(tsCol), 1).over(w2))
+      .filter(col("__open")) // delete rows only contribute their boundary ts
+      .select((keys ++ tracked).map(col) ++ Seq(
+        col(tsCol).as("valid_from"),
+        col("__next_ts").as("valid_to"),
+        col("__next_ts").isNull.as("is_current")): _*)
+  }
+
+  /** Incrementally fold one micro-batch into an existing history.
+    *
+    * `stage` must be deduped to one row per key (Dedup.latestPerKey) and
+    * every stage timestamp must be >= the history's open `valid_from`
+    * for that key (CDC batches arrive in order; use
+    * [[MergeOps.mergeWithTsGuard]] semantics upstream if they may not).
+    *
+    *  - key absent from stage            → history rows unchanged
+    *  - stage delete                     → open version closes at stage ts
+    *  - stage row, tracked tuple changed → open version closes, new opens
+    *  - stage row, tracked tuple equal   → unchanged (no empty version)
+    */
+  def merge(history: DataFrame, stage: DataFrame, keys: Seq[String], tsCol: String,
+            tracked: Seq[String], isDelete: Column): DataFrame = {
+    val stCols = keys.map(col) ++ tracked.map(c => col(c).as(s"__st_$c")) :+
+      col(tsCol).as("__st_ts") :+ isDelete.as("__st_del")
+    val st = broadcast(stage.select(stCols: _*))
+    val stTracked = struct(tracked.map(c => col(s"__st_$c")): _*)
+    val curTracked = struct(tracked.map(col): _*)
+    val histCols = (keys ++ tracked ++ Seq("valid_from", "valid_to", "is_current")).map(col)
+
+    val joined = history.join(st, keys, "left")
+    val closes = col("is_current") && col("__st_ts").isNotNull &&
+      (col("__st_del") || !(stTracked <=> curTracked))
+    val adjusted = joined.select(
+      (keys ++ tracked).map(col) ++ Seq(
+        col("valid_from"),
+        when(closes, col("__st_ts")).otherwise(col("valid_to")).as("valid_to"),
+        (col("is_current") && !closes).as("is_current")): _*)
+
+    // Open a new version for stage rows whose key has no matching open
+    // version (new key, just-closed change, or re-insert after delete).
+    val curKeys = history.filter(col("is_current"))
+      .select((keys.map(col) :+ curTracked.as("__cur_tracked")): _*)
+    val opened = st.filter(!col("__st_del"))
+      .join(curKeys, keys, "left")
+      .filter(!(col("__cur_tracked") <=> stTracked))
+      .select((keys.map(col) ++ tracked.map(c => col(s"__st_$c").as(c)) ++ Seq(
+        col("__st_ts").as("valid_from"),
+        lit(null).cast(adjusted.schema("valid_to").dataType).as("valid_to"),
+        lit(true).as("is_current"))): _*)
+
+    adjusted.select(histCols: _*).unionByName(opened)
+  }
+}
