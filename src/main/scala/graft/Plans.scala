@@ -114,7 +114,31 @@ object Plans {
     "q71_inverted_index" -> ("inverted index: posting pages cap through a per-token " +
       "WindowGroupLimit BEFORE any list materializes — a stopword's corpus-sized posting " +
       "never exists anywhere; df/cf aggregate the full postings as partially-combined longs " +
-      "and meet the pages on the token exchange they already share.")
+      "and meet the pages on the token exchange they already share."),
+    "q73_scd2" -> ("SCD type-2 build: the lag change-detect and the lead interval-close " +
+      "stack over ONE (keys) exchange and share its sort — the changelog shuffles once, " +
+      "by key, exactly like the LWW spine, and no self-join ever forms; the incremental " +
+      "twin (Scd2.merge, the streaming path) broadcasts the micro-batch so the 100 TB " +
+      "history only ever streams."),
+    "q74_pagerank" -> ("PageRank: each damped round is edge⋈rank⋈degree equi-joins on node " +
+      "id plus ONE partially-combined contribution sum — hub skew lands in map-side " +
+      "partials, not a window; the edge list localCheckpoints once and the rank vector " +
+      "re-checkpoints every 8 rounds, keeping the plan O(1) deep; all-BIGINT fixed-point " +
+      "arithmetic makes every rank exactly reproducible at any partition count."),
+    "q75_fuzzy_match" -> ("q-gram fuzzy match: strings normalize to a bounded 40-char " +
+      "prefix IN the scan, positional-free 3-grams explode from only that prefix, a " +
+      "frequency valve drops saturated grams before the candidate equi-join (the q15 " +
+      "shingle-cap shape), and exact levenshtein runs on surviving prefix pairs only — " +
+      "the unbounded document text never enters an exchange."),
+    "q77_html_extract" -> ("HTML → text/links: the whole extraction (script/style/comment " +
+      "drop, block-boundary newlines, tag strip, entity decode, href harvest) is codegen'd " +
+      "regex/string column algebra in ONE narrow projection — no UDF, no shuffle; 100 TB of " +
+      "crawl HTML streams through at scan speed, and the href lists feed the URL identity " +
+      "chain (q78) and the link graph (q74)."),
+    "q78_url_stats" -> ("URL identity: canonicalization (case/www/default-port/tracking/" +
+      "fragment normalization) and registered-domain extraction run inside the scan " +
+      "projection; the only exchange carries partially-aggregated per-domain counts — the " +
+      "cheapest crawl dedup tier costs one narrow map plus one #domains-sized shuffle.")
   )
 
   def main(args: Array[String]): Unit = {

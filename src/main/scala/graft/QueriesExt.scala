@@ -2294,6 +2294,158 @@ object QueriesExt {
        |      FROM wc) WHERE rn = 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q77
+  /** HTML → text/link extraction ([[Html]]): deterministic HTML pages are
+    * synthesized around each document (title with an entity, style+script
+    * blocks, a comment, headline, paragraph, two anchors — one carrying
+    * tracking params), then [[Html.title]] / [[Html.visibleText]] /
+    * [[Html.hrefs]] recover the visible content and the outlink list.
+    * Pure narrow map (regex/string column algebra, RE2-safe so the oracle
+    * replays it); the href list feeds q78's URL identity chain and — as
+    * (page, host) edges — q74's PageRank. */
+  def q77HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val page = concat(
+      lit("<html><head><title> Doc "), id, lit(" &amp; friends </title>"),
+      lit("<style>p { color: #c00; }</style>"),
+      lit("<script>if (1 < 2) { track(); }</script></head>"),
+      lit("<body><!-- nav chrome --><h1>Doc "), id, lit("</h1><p>"),
+      col("text"), lit("</p><div>See &lt;also&gt;</div><ul>"),
+      lit("<li><a href=\"http://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".example.com/page?id="), id, lit("&utm_source=feed\">first</a></li>"),
+      lit("<li><A HREF=\"https://WWW.Example.CO.UK/a/"),
+      pmod(col("doc_id"), lit(5)).cast("string"),
+      lit("\">second</A></li></ul></body></html>"))
+    docs(s, dir).select(col("doc_id"), page.as("html"))
+      .select(
+        col("doc_id"),
+        graft.functions.Html.title(col("html")).as("title"),
+        substring(graft.functions.Html.visibleText(col("html")), 1, 100).as("text_head"),
+        size(graft.functions.Html.hrefs(col("html"))).as("n_links"),
+        element_at(graft.functions.Html.hrefs(col("html")), 1).as("first_href"))
+  }
+  val q77Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    '<html><head><title> Doc ' || doc_id || ' &amp; friends </title>' ||
+      |    '<style>p { color: #c00; }</style>' ||
+      |    '<script>if (1 < 2) { track(); }</script></head>' ||
+      |    '<body><!-- nav chrome --><h1>Doc ' || doc_id || '</h1><p>' ||
+      |    text || '</p><div>See &lt;also&gt;</div><ul>' ||
+      |    '<li><a href="http://site' || doc_id % 7 || '.example.com/page?id=' ||
+      |    doc_id || '&utm_source=feed">first</a></li>' ||
+      |    '<li><A HREF="https://WWW.Example.CO.UK/a/' || doc_id % 5 ||
+      |    '">second</A></li></ul></body></html>' AS html
+      |  FROM documents),
+      |v AS (SELECT doc_id, html,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |            '(?s)<!--.*?-->', ' ', 'g'),
+      |          '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote)[^>]*>', chr(10), 'g'),
+      |        '<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |    '[ \t\n\r]+', ' ', 'g')) AS clean
+      |  FROM p)
+      |SELECT doc_id,
+      |  trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+      |       '[ \t\n\r]+', ' ', 'g')) AS title,
+      |  substring(clean, 1, 100) AS text_head,
+      |  CAST(len(regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"[^>]*>', 1)) AS INTEGER) AS n_links,
+      |  regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"[^>]*>', 1)[1] AS first_href
+      |FROM v""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** URL identity chain ([[Url]]): deterministic messy URL variants
+    * (case/www/default-port/tracking/fragment noise plus a non-http
+    * passthrough) synthesized per document → [[Url.canonicalize]] →
+    * [[Url.registeredDomain]] → per-domain page counts. Canonical-URL
+    * equality is the cheapest crawl dedup tier; the registered domain is
+    * the quota/quality/PageRank unit. Canonicalization is a narrow map;
+    * the only shuffle carries partially-aggregated per-domain counts. */
+  def q78UrlStats(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val url = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("HTTP://WWW.Example.COM:80/path/to/page?id="), id,
+          lit("&utm_source=x&ref=tw#frag")))
+      .when(pmod(col("doc_id"), lit(5)) === 1,
+        concat(lit("https://news.example.co.uk/article/"), id,
+          lit("?utm_campaign=a&b=2")))
+      .when(pmod(col("doc_id"), lit(5)) === 2,
+        lit("https://example.com/path/?gclid=xyz"))
+      .when(pmod(col("doc_id"), lit(5)) === 3,
+        concat(lit("http://Sub.Site"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".ORG:8080/x?a=1&a=2")))
+      .otherwise(concat(lit("ftp://Files.example.net/pub/"), id))
+    docs(s, dir).select(col("doc_id"), url.as("url"))
+      .select(col("url"), graft.functions.Url.canonicalize(col("url")).as("canon"))
+      .withColumn("domain", graft.functions.Url.registeredDomain(
+        graft.functions.Url.host(col("url"))))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon")).as("n_canonical"),
+        min(col("canon")).as("sample_url"))
+  }
+  val q78Sql: String = {
+    val host = "regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\\.', '')"
+    val sld = Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+        "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+        "co.kr", "co.za", "com.sg", "com.tr")
+      .map(x => s"'$x'").mkString(", ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN 'HTTP://WWW.Example.COM:80/path/to/page?id=' || doc_id || '&utm_source=x&ref=tw#frag'
+       |      WHEN 1 THEN 'https://news.example.co.uk/article/' || doc_id || '?utm_campaign=a&b=2'
+       |      WHEN 2 THEN 'https://example.com/path/?gclid=xyz'
+       |      WHEN 3 THEN 'http://Sub.Site' || doc_id % 7 || '.ORG:8080/x?a=1&a=2'
+       |      ELSE 'ftp://Files.example.net/pub/' || doc_id
+       |    END AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+       |    $host AS host,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS port,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+       |    regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS query
+       |  FROM u),
+       |r AS (
+       |  SELECT url, host, scheme,
+       |    CASE WHEN scheme IN ('http', 'https') THEN
+       |      scheme || '://' || host ||
+       |      CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+       |                AND NOT (scheme = 'https' AND port = '443')
+       |           THEN ':' || port ELSE '' END ||
+       |      CASE WHEN path0 = '/' THEN '' ELSE path0 END ||
+       |      CASE WHEN array_to_string(list_filter(string_split(query, '&'),
+       |             p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref|mc_cid|mc_eid)=')
+       |                  AND p <> ''), '&') <> ''
+       |           THEN '?' || array_to_string(list_filter(string_split(query, '&'),
+       |             p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref|mc_cid|mc_eid)=')
+       |                  AND p <> ''), '&')
+       |           ELSE '' END
+       |    ELSE scheme || regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*(:.*)$$', 1) END AS canon
+       |  FROM c),
+       |d AS (
+       |  SELECT url, canon,
+       |    CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) IN ($sld)
+       |              AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+       |         THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+       |         WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) <> ''
+       |         THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |         ELSE host END AS domain
+       |  FROM r)
+       |SELECT domain, count(*) AS n_urls, count(DISTINCT canon) AS n_canonical,
+       |       min(canon) AS sample_url
+       |FROM d GROUP BY domain""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -2355,6 +2507,8 @@ object QueriesExt {
     "q74_pagerank" -> (q74Pagerank _),
     "q75_fuzzy_match" -> (q75FuzzyMatch _),
     "q76_quality_dedup" -> (q76QualityDedup _),
+    "q77_html_extract" -> (q77HtmlExtract _),
+    "q78_url_stats" -> (q78UrlStats _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -2434,6 +2588,8 @@ object QueriesExt {
     "q74_pagerank" -> q74Sql,
     "q75_fuzzy_match" -> q75Sql,
     "q76_quality_dedup" -> q76Sql,
+    "q77_html_extract" -> q77Sql,
+    "q78_url_stats" -> q78Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

@@ -401,4 +401,55 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "exact top-k must not full-sort the vocabulary:\n" + p.take(2000))
   }
+
+  test("q73 SCD2 build: both window passes stack over ONE key exchange, no join") {
+    val p = planString(QueriesExt.q73Scd2(spark, sf("sf0.001")))
+    assert(!p.contains("Join"),
+      "the changelog must fold into versions co-partitioned, never via self-join:\n" + p.take(2000))
+    assert("Exchange".r.findAllIn(p).length == 1,
+      "lag (change-detect) and lead (interval close) must share one (keys) shuffle:\n" + p.take(2000))
+    assert("Window".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("q74 PageRank iteration: rank mass moves via equi-join + partial agg, never a product") {
+    import spark.implicits._
+    val edges = (0L until 400L).map(i => (i % 40, (i * 13 + 7) % 40)).toDF("src", "dst")
+    val p = planString(graft.operators.PageRank.ranks(edges, iterations = 1))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "an iteration is edge⋈rank⋈degree on node id — all equi-joins:\n" + p.take(2000))
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "contribution sums must combine map-side before the exchange:\n" + p.take(2000))
+  }
+
+  test("q77 HTML extraction is a pure narrow map (no exchange, no UDF)") {
+    val p = planString(QueriesExt.q77HtmlExtract(spark, sf("sf0.001")))
+    assert(!p.contains("Exchange"),
+      "tag strip / entity decode / href extract must not shuffle:\n" + p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "extraction must stay codegen'd column algebra:\n" + p.take(2000))
+  }
+
+  test("q78 URL stats: canonicalize in the scan, partial-agg'd count shuffles, no join") {
+    val p = planString(QueriesExt.q78UrlStats(spark, sf("sf0.001")))
+    assert(!p.contains("Join"), p.take(2000))
+    // count(distinct canon) rewrites to the two-level (domain, canon) →
+    // domain aggregate; both levels must combine map-side before their
+    // exchange (partial_ under the scan stage).
+    assert(p.contains("partial_count"),
+      "per-domain counts must combine map-side:\n" + p.take(2000))
+    assert(p.indexOf("partial_") < p.lastIndexOf("Exchange"),
+      "a partial aggregate must sit below an exchange:\n" + p.take(2000))
+  }
+
+  test("q75 fuzzy match: candidates come from the gram equi-join, never all-pairs") {
+    val p = planString(QueriesExt.q75FuzzyMatch(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "q-gram filtering must never degrade to an all-pairs product:\n" + p.take(2000))
+    // The unbounded document text must not ride through the join — only
+    // the bounded 40-char normalized prefix appears in exchanges.
+    val exchanges = executed(QueriesExt.q75FuzzyMatch(spark, sf("sf0.001")))
+      .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.forall(!_.child.output.map(_.name).contains("text")),
+      "raw document text leaked into a shuffle")
+  }
 }
