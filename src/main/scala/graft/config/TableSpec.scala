@@ -39,7 +39,14 @@ final case class TableSpec(
       * see [[graft.operators.Dedup]] / [[graft.operators.Skew]]. */
     dedupStrategy: String = "window",
     /** Salt fan-out for `dedup_strategy=salted`. */
-    saltBuckets: Int = 16
+    saltBuckets: Int = 16,
+    /** Keep a type-2 history target (every version with its
+      * [valid_from, valid_to) interval — [[graft.operators.Scd2]])
+      * instead of the reference's type-1 last-image upsert. Honored by
+      * the parquet sink factory ([[graft.streaming.CdcApp.sinkFactory]] →
+      * [[graft.sink.Scd2ParquetTarget]]); `skip_delete` composes (a
+      * delete then never closes the open version). */
+    scd2History: Boolean = false
 ) {
   def resolvedTarget: String = targetTable.getOrElse(table)
 
@@ -73,7 +80,8 @@ object TableSpec {
     dateColumns = csv(m.getOrElse("date_columns", "")),
     tableIsRegex = truthy(m.getOrElse("table_is_regex", "")),
     dedupStrategy = m.getOrElse("dedup_strategy", "window").toLowerCase,
-    saltBuckets = m.getOrElse("salt_buckets", "16").toInt
+    saltBuckets = m.getOrElse("salt_buckets", "16").toInt,
+    scd2History = truthy(m.getOrElse("scd2_history", ""))
   )
 }
 

@@ -109,6 +109,60 @@ final class ParquetMergeTarget(path: String, metaCols: Seq[String] = Seq("op_aws
   }
 }
 
+/** Type-2 history target ([[graft.operators.Scd2]]): where the reference's
+  * merge keeps only each key's last row image (redshift_sink.py:477-509),
+  * this target keeps EVERY version with its [valid_from, valid_to)
+  * interval and an `is_current` flag — the audit/time-travel shape.
+  *
+  * The stage contract is identical to [[ParquetMergeTarget]] (the deduped,
+  * coerced micro-batch with `op_aws`/`ts_ms_aws` meta), so the streaming
+  * pipeline needs no change: [[graft.streaming.CdcApp.sinkFactory]] routes
+  * `scd2_history` specs here. Checkpoint-replaying a batch is a no-op by
+  * [[graft.operators.Scd2.merge]]'s algebra (an already-closed version
+  * can't re-close; an already-open equal version can't re-open) — the
+  * same T3 idempotence the type-1 targets guarantee.
+  *
+  * Scale: the micro-batch broadcasts against the history (the history is
+  * never shuffled); the whole-table rewrite is this oracle target's
+  * simplification, same as [[ParquetMergeTarget]]'s documented role.
+  * Columns tracked = stage columns minus keys minus meta. */
+final class Scd2ParquetTarget(path: String,
+                              metaCols: Seq[String] = Seq("op_aws", "ts_ms_aws", "idx_aws"))
+  extends MergeTarget {
+
+  private def exists: Boolean = new java.io.File(path).exists()
+
+  private def recover(): Unit =
+    DirSwap.recover(new java.io.File(path + ".old"), new java.io.File(path))
+
+  def snapshot(spark: SparkSession): DataFrame = {
+    recover()
+    require(exists, s"no target at $path")
+    spark.read.parquet(path)
+  }
+
+  def merge(stage0: DataFrame, spec: TableSpec): Unit = {
+    recover()
+    val spark = stage0.sparkSession
+    // skip_delete composes: a delete never closes the open version.
+    val stage = if (spec.skipDelete) stage0.filter(col("op_aws") =!= "d") else stage0
+    val keys = spec.mergeKeys
+    val tracked = stage.columns.toSeq.filterNot(c => keys.contains(c) || metaCols.contains(c))
+    val isDelete = col("op_aws") === "d"
+    val merged =
+      if (!exists)
+        graft.operators.Scd2.fromChangelog(stage, keys, "ts_ms_aws", tracked,
+          tieBreak = Seq(col("idx_aws")), isDelete = isDelete)
+      else
+        graft.operators.Scd2.merge(spark.read.parquet(path), stage, keys,
+          "ts_ms_aws", tracked, isDelete)
+    val tmp = path + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    DirSwap.swap(new java.io.File(tmp), new java.io.File(path),
+      new java.io.File(path + ".old"))
+  }
+}
+
 /** Scale path for lakehouse targets (SURVEY §7.5): the table is laid out
   * as parquet partitioned by a stable key bucket
   * `kb_aws = pmod(xxhash64(primary key), buckets)`, and a merge reads and

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.config.{JobConfig, TableSpec}
 import graft.envelope.CdcFormat
-import graft.sink.{BucketedParquetMergeTarget, JdbcMergeSink, MergeTarget}
+import graft.sink.{BucketedParquetMergeTarget, JdbcMergeSink, MergeTarget, Scd2ParquetTarget}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The single app driver, replacing the reference's three near-identical
@@ -60,8 +60,11 @@ object CdcApp {
     } else {
       val sinks = scala.collection.concurrent.TrieMap.empty[String, MergeTarget]
       // Bucketed layout: per-batch I/O is O(touched buckets), not O(table).
+      // `scd2_history` specs keep a type-2 version history instead of the
+      // type-1 last-image table.
       spec => sinks.getOrElseUpdate(spec.resolvedTarget,
-        new BucketedParquetMergeTarget(s"$sinkSpec/${spec.resolvedTarget}"))
+        if (spec.scd2History) new Scd2ParquetTarget(s"$sinkSpec/${spec.resolvedTarget}")
+        else new BucketedParquetMergeTarget(s"$sinkSpec/${spec.resolvedTarget}"))
     }
   }
 

@@ -127,7 +127,7 @@ class CoerceSchemaSpec extends SparkSuite {
         |maxerror=100
         |disable_msg=false
         |schema_probe_batches=5
-        |sync_table_list=[{"db":"d1","table":"t1","primary_key":"pk1,pk2","skip_delete":"ture","dedup_strategy":"SALTED","salt_buckets":"8"},{"db":"d2","table":"t2","target_table":"t2x","super_columns":"sc1","ignore_ddl":"true"}]
+        |sync_table_list=[{"db":"d1","table":"t1","primary_key":"pk1,pk2","skip_delete":"ture","dedup_strategy":"SALTED","salt_buckets":"8"},{"db":"d2","table":"t2","target_table":"t2x","super_columns":"sc1","ignore_ddl":"true","scd2_history":"true"}]
         |""".stripMargin)
     assert(cfg.cdcFormat == "CANAL-CDC" && cfg.maxOffsetsPerTrigger == 5000L)
     assert(cfg.threadMaxWorkers == 7 && cfg.tables.size == 2)
@@ -139,12 +139,13 @@ class CoerceSchemaSpec extends SparkSuite {
     val t2 = cfg.tables(1)
     assert(t2.resolvedTarget == "t2x" && t2.ignoreDdl && t2.superColumns == Seq("sc1"))
     assert(t2.dedupStrategy == "window" && t2.saltBuckets == 16)
+    assert(t2.scd2History && !t1.scd2History)
   }
 
   test("TableSpec defaults") {
     val t = TableSpec.fromMap(Map("db" -> "d", "table" -> "t"))
     assert(!t.skipDelete && !t.saveDelete && t.primaryKey.isEmpty && t.resolvedTarget == "t")
-    assert(t.dedupStrategy == "window" && t.saltBuckets == 16)
+    assert(t.dedupStrategy == "window" && t.saltBuckets == 16 && !t.scd2History)
   }
 
   test("superColumnsVariant: VariantType column, null repair, field access, parquet round-trip") {

@@ -602,4 +602,41 @@ class PipelineSpec extends SparkSuite {
     assert(merged.count() > 0)
     assert(merged.select("id").as[Long].collect().forall(_ % 2 == 0))
   }
+
+  test("scd2_history target: version history builds across micro-batches, replay idempotent") {
+    def ev(id: Long, eid: Long, k: Long, ts: Long, op: String): String = {
+      val p = s"""{"id":$id,"event_id":$eid,"k":$k,"val":1.0}"""
+      val (before, after) = if (op == "d") (p, "null") else ("null", p)
+      s"""{"before":$before,"after":$after,"source":{"db":"cdc_db","table":"t0","ts_ms":$ts},"op":"$op","ts_ms":$ts}"""
+    }
+    val dir = Files.createTempDirectory("graft-scd2").toString
+    val spec = t0.copy(scd2History = true)
+    // The generic parquet factory must route scd2_history specs to the
+    // type-2 target (the pipeline itself is unchanged — sink polymorphism).
+    val sinkFor = graft.streaming.CdcApp.sinkFactory(spark, dir)
+    assert(sinkFor(spec).isInstanceOf[graft.sink.Scd2ParquetTarget])
+    val cfg = JobConfig(tables = Seq(spec), threadMaxWorkers = 2, batchTimeoutMinutes = 5)
+    def run(lines: String*): Unit = {
+      CdcPipeline.processBatch(lines.toSeq.toDF("value"), cfg, FlinkDebeziumCdc, sinkFor)
+      ()
+    }
+    // b1: both keys open; b2: id=2 changes (close+open), id=4 byte-identical
+    // (no empty version); b3: id=2 deleted (close, no reopen), id=4 changes.
+    run(ev(2, 10, 1, 100, "u"), ev(4, 11, 7, 100, "u"))
+    run(ev(2, 20, 2, 200, "u"), ev(4, 11, 7, 200, "u"))
+    val b3 = Seq(ev(2, 30, 2, 300, "d"), ev(4, 31, 9, 300, "u"))
+    run(b3: _*)
+    def hist: Seq[(Long, Long, Long, Option[Long], Boolean)] =
+      spark.read.parquet(s"$dir/t0")
+        .select(col("id"), col("k"), col("valid_from"), col("valid_to"), col("is_current"))
+        .as[(Long, Long, Long, Option[Long], Boolean)].collect().toSeq.sorted
+    val expected = Seq(
+      (2L, 1L, 100L, Some(200L), false),
+      (2L, 2L, 200L, Some(300L), false), // closed by the delete, no reopen
+      (4L, 7L, 100L, Some(300L), false), // b2's identical image opened nothing
+      (4L, 9L, 300L, None, true))
+    assert(hist == expected)
+    run(b3: _*) // checkpoint-replay the last batch: T3 idempotence
+    assert(hist == expected)
+  }
 }
