@@ -2446,6 +2446,64 @@ object QueriesExt {
        |FROM d GROUP BY domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+  /** Classifier calibration sweep — precision/recall of the q19 quality
+    * score against a binary relevance label (here: `lang = 'en'`), at
+    * every score threshold. The scale-correct shape is HISTOGRAM-first:
+    * per-doc scores bin to ≤21 buckets in the scan (a partial-aggregated
+    * groupBy — the corpus never sorts), and the threshold sweep is a
+    * cumulative window over the BIN table (≤21 rows — bounded by the bin
+    * count, not the corpus; a per-row `ORDER BY score` cumulative window
+    * would funnel 100 TB through one task). The positive total broadcasts
+    * back as a one-row scalar (the q42 corpus-scalar pattern). */
+  def q79PrCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, dir).select(
+      floor(TextFunctions.qualityScore(col("text")) * 20).cast("int").as("bin"),
+      (col("lang") === "en").cast("long").as("pos"))
+    val bins = scored.groupBy("bin")
+      .agg(sum(col("pos")).as("bin_pos"), count(lit(1)).as("bin_n"))
+    val total = bins.agg(sum(col("bin_pos")).as("total_pos"))
+    val sweep = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("tp", sum(col("bin_pos")).over(sweep))
+      .withColumn("n_sel", sum(col("bin_n")).over(sweep))
+      .crossJoin(broadcast(total))
+      .select(col("bin"), col("tp"), col("n_sel"),
+        round(col("tp") / col("n_sel"), 6).as("precision"),
+        round(col("tp") / col("total_pos"), 6).as("recall"))
+  }
+  val q79Sql: String = {
+    val anyStop = TextFunctions.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks, text FROM documents),
+       |m AS (SELECT doc_id, lang,
+       |        len(toks) AS n_tokens,
+       |        (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE /
+       |          greatest(length(text), 1) AS pr,
+       |        len(list_intersect(list_distinct(toks), [$anyStop]))::DOUBLE /
+       |          greatest(len(toks), 1) AS sr
+       |      FROM t),
+       |q AS (SELECT CAST(floor(round(least(n_tokens / 64.0, 1.0) * 0.4 +
+       |               (1.0 - least(pr * 4.0, 1.0)) * 0.3 +
+       |               least(sr * 4.0, 1.0) * 0.3, 6) * 20) AS INTEGER) AS bin,
+       |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |      FROM m),
+       |b AS (SELECT bin, sum(pos) AS bin_pos, count(*) AS bin_n FROM q GROUP BY bin),
+       |c AS (SELECT bin,
+       |        sum(bin_pos) OVER (ORDER BY bin DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |        sum(bin_n) OVER (ORDER BY bin DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_sel,
+       |        (SELECT sum(bin_pos) FROM b) AS total_pos
+       |      FROM b)
+       |SELECT bin, tp, n_sel,
+       |       round(tp::DOUBLE / n_sel, 6) AS precision,
+       |       round(tp::DOUBLE / total_pos, 6) AS recall
+       |FROM c""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -2509,6 +2567,7 @@ object QueriesExt {
     "q76_quality_dedup" -> (q76QualityDedup _),
     "q77_html_extract" -> (q77HtmlExtract _),
     "q78_url_stats" -> (q78UrlStats _),
+    "q79_pr_curve" -> (q79PrCurve _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -2590,6 +2649,7 @@ object QueriesExt {
     "q76_quality_dedup" -> q76Sql,
     "q77_html_extract" -> q77Sql,
     "q78_url_stats" -> q78Sql,
+    "q79_pr_curve" -> q79Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

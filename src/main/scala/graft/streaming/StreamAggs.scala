@@ -74,14 +74,30 @@ object StreamAggs {
                    watermark: String, minQuality: Double,
                    gopherGate: Boolean = false,
                    normalize: Boolean = false,
-                   entropyGate: Boolean = false): DataFrame = {
-    import graft.functions.{CharStatsExpression, Splits, TextFunctions, TextNormalizeExpression}
-    // Optional canonicalization FIRST (the production order: normalize →
+                   entropyGate: Boolean = false,
+                   urlCol: Option[String] = None): DataFrame = {
+    import graft.functions.{CharStatsExpression, Splits, TextFunctions, TextNormalizeExpression, Url}
+    // ONE watermark definition up front (redefining a stream's watermark
+    // is an error — both dedup states below share this horizon).
+    val watermarked = docs.withWatermark(tsCol, watermark)
+    // Canonical-URL dedup FIRST when a URL rides with the doc (the crawl
+    // order: URL identity is the cheapest dedup tier — one regex map and a
+    // watermark-bounded key state, no text processing at all — so re-crawls
+    // of the same page never reach the quality gates or the content-hash
+    // state downstream).
+    val urlDeduped = urlCol match {
+      case Some(u) =>
+        watermarked.withColumn("canon_url_aws", Url.canonicalize(col(u)))
+          .dropDuplicatesWithinWatermark("canon_url_aws")
+          .drop("canon_url_aws")
+      case None => watermarked
+    }
+    // Optional canonicalization (the production order: normalize →
     // gate → dedup, so trivially-different encodings collapse before any
     // downstream state) — a codegen'd narrow map like the gates below.
     val canon = if (normalize)
-      docs.withColumn(textCol, TextNormalizeExpression.textNormalize(col(textCol)))
-    else docs
+      urlDeduped.withColumn(textCol, TextNormalizeExpression.textNormalize(col(textCol)))
+    else urlDeduped
     // Quality gate: the q19 soft score, optionally AND'd with q50's hard
     // Gopher rules — both are per-row column predicates, so the streaming
     // plan stays a stateless narrow filter ahead of the dedup state store.
@@ -93,9 +109,13 @@ object StreamAggs {
         d.filter(element_at(CharStatsExpression.charStats(col(textCol)), 1) >= lit(3.0) &&
           element_at(CharStatsExpression.charStats(col(textCol)), 2) <= lit(0.25))
         else d)
-    Splits.withSplit(
-        streamingExactDedup(gated, tsCol, textCol, watermark),
-        idCol)
+    // Content-fingerprint dedup (the [[streamingExactDedup]] algebra,
+    // inlined against the stream's single watermark definition above).
+    val deduped = gated
+      .withColumn("fp_aws", TextFunctions.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("fp_aws")
+      .drop("fp_aws")
+    Splits.withSplit(deduped, idCol)
       .withColumn("lang", TextFunctions.langId(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
   }

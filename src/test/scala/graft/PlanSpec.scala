@@ -441,6 +441,19 @@ class PlanSpec extends SparkSuite {
       "a partial aggregate must sit below an exchange:\n" + p.take(2000))
   }
 
+  test("q79 PR curve: histogram-first — corpus partial-aggregates to bins, never sorts") {
+    val p = planString(QueriesExt.q79PrCurve(spark, sf("sf0.001")))
+    assert(p.contains("partial_"),
+      "score bins must combine map-side:\n" + p.take(2000))
+    // the threshold sweep's sort touches only the ≤21-row bin table —
+    // the corpus-side scan stage must contain no Sort
+    val scanStage = p.substring(p.lastIndexOf("Exchange"))
+    assert(!scanStage.contains("Sort"),
+      "the corpus must not sort for a threshold sweep:\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row positive total must broadcast back:\n" + p.take(2000))
+  }
+
   test("q75 fuzzy match: candidates come from the gram equi-join, never all-pairs") {
     val p = planString(QueriesExt.q75FuzzyMatch(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),

@@ -230,6 +230,34 @@ class StreamAggsSpec extends SparkSuite {
     assert(ids == Set(1L), s"entropy gate let the repetition spam through: $ids")
   }
 
+  test("streaming ingest with urlCol: re-crawls of the same canonical URL drop first") {
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "url", "text")
+    val q = StreamAggs.corpusIngest(docs, "ts", "text", "doc_id",
+        watermark = "1 hour", minQuality = 0.0, urlCol = Some("url"))
+      .writeStream.format("memory").queryName("ingest_url").outputMode("append").start()
+    val a = "the cat of the house and a dog sat in the sun"
+    val b = "a completely different document body with its own words here"
+    mem.addData(Seq((ts(0), 1L, "https://ex.com/p?id=1&utm_source=x", a)))
+    q.processAllAvailable()
+    // batch 2: same page re-crawled under URL noise (www + default port +
+    // fragment) with DIFFERENT text — URL identity must drop it before any
+    // content state; a genuinely new URL with duplicate text still hits
+    // the content dedup.
+    mem.addData(Seq(
+      (ts(5), 2L, "HTTPS://WWW.Ex.com:443/p?id=1#frag", b),
+      (ts(6), 3L, "https://other.com/q", a),
+      (ts(7), 4L, "https://third.com/r", b)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ingest_url").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L),
+      s"expected url-dedup to drop 2 and content-dedup to drop 3: $ids")
+    // the url column itself passes through un-rewritten
+    val urls = spark.table("ingest_url").select("url").as[String].collect().toSet
+    assert(urls.contains("https://ex.com/p?id=1&utm_source=x"))
+  }
+
   test("streaming ingest with normalize: messy encodings collapse into one dedup family") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF().toDF("ts", "doc_id", "text")
