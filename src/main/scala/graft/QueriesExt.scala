@@ -2177,22 +2177,29 @@ object QueriesExt {
     PageRank.ranks(Tables.events(s, dir).select(
       (col("user_id") % 100).as("src"),
       (TextFunctions.md5Long(col("event_id").cast("string")) % 100).as("dst")))
-  val q74Sql: String = {
-    val h = "('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100"
+  /** Shared PageRank oracle scaffold (q74/q81): node/degree/base CTEs and
+    * `iters` unrolled damped rounds over an edge CTE that must already be
+    * named `e(src, dst)`, distinct and self-loop-free — the exact integer
+    * algebra of [[PageRank.ranks]]. Final ranks land in `r{iters}`. */
+  private def pagerankCtesSql(iters: Int): String = {
     def iter(i: Int): String =
       s"""r$i AS (SELECT n.id, b.base + (85 * coalesce(s.m, 0)) // 100 AS rank
          |       FROM n CROSS JOIN b LEFT JOIN (
          |         SELECT e.dst AS id, sum(r.rank // d.deg) AS m
          |         FROM e JOIN r${i - 1} r ON r.id = e.src JOIN d ON d.src = e.src
          |         GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
-    s"""WITH e AS (SELECT DISTINCT user_id % 100 AS src, $h AS dst
-       |           FROM events WHERE user_id % 100 <> $h),
-       |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    s"""n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
        |b AS (SELECT 150000000000 // count(*) AS base,
        |             1000000000000 // count(*) AS init FROM n),
        |r0 AS (SELECT id, b.init AS rank FROM n CROSS JOIN b),
-       |${(1 to 5).map(iter).mkString(",\n")}
+       |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
+  }
+  val q74Sql: String = {
+    val h = "('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100"
+    s"""WITH e AS (SELECT DISTINCT user_id % 100 AS src, $h AS dst
+       |           FROM events WHERE user_id % 100 <> $h),
+       |${pagerankCtesSql(5)}
        |SELECT id, rank FROM r5""".stripMargin
   }
 
@@ -2303,9 +2310,11 @@ object QueriesExt {
     * Pure narrow map (regex/string column algebra, RE2-safe so the oracle
     * replays it); the href list feeds q78's URL identity chain and — as
     * (page, host) edges — q74's PageRank. */
-  def q77HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic synthetic crawl page q77/q81 share (Spark side;
+    * [[syntheticPageSql]] is the character-identical oracle twin). */
+  private def syntheticPage: Column = {
     val id = col("doc_id").cast("string")
-    val page = concat(
+    concat(
       lit("<html><head><title> Doc "), id, lit(" &amp; friends </title>"),
       lit("<style>p { color: #c00; }</style>"),
       lit("<script>if (1 < 2) { track(); }</script></head>"),
@@ -2316,7 +2325,10 @@ object QueriesExt {
       lit("<li><A HREF=\"https://WWW.Example.CO.UK/a/"),
       pmod(col("doc_id"), lit(5)).cast("string"),
       lit("\">second</A></li></ul></body></html>"))
-    docs(s, dir).select(col("doc_id"), page.as("html"))
+  }
+
+  def q77HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir).select(col("doc_id"), syntheticPage.as("html"))
       .select(
         col("doc_id"),
         graft.functions.Html.title(col("html")).as("title"),
@@ -2324,9 +2336,9 @@ object QueriesExt {
         size(graft.functions.Html.hrefs(col("html"))).as("n_links"),
         element_at(graft.functions.Html.hrefs(col("html")), 1).as("first_href"))
   }
-  val q77Sql: String =
-    """WITH p AS (
-      |  SELECT doc_id,
+  /** Oracle twin of [[syntheticPage]] — change the two together. */
+  private val syntheticPageSql: String =
+    """SELECT doc_id,
       |    '<html><head><title> Doc ' || doc_id || ' &amp; friends </title>' ||
       |    '<style>p { color: #c00; }</style>' ||
       |    '<script>if (1 < 2) { track(); }</script></head>' ||
@@ -2336,7 +2348,11 @@ object QueriesExt {
       |    doc_id || '&utm_source=feed">first</a></li>' ||
       |    '<li><A HREF="https://WWW.Example.CO.UK/a/' || doc_id % 5 ||
       |    '">second</A></li></ul></body></html>' AS html
-      |  FROM documents),
+      |  FROM documents""".stripMargin
+
+  val q77Sql: String =
+    s"""WITH p AS (
+      |  $syntheticPageSql),
       |v AS (SELECT doc_id, html,
       |  trim(regexp_replace(
       |    replace(replace(replace(replace(replace(replace(
@@ -2504,6 +2520,72 @@ object QueriesExt {
        |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q80
+  /** SCD2 point-in-time read ([[Scd2.snapshotAt]]) — the query side of
+    * q73's history build: "what did every user's tracked state look like
+    * at time T" for T = the changelog's midpoint (a one-row broadcast
+    * scalar, the q42 pattern). On a `valid_from`-partitioned history this
+    * is a pruned filter — no shuffle, no window. */
+  def q80Scd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val hist = q73Scd2(s, dir)
+    val mid = Tables.events(s, dir)
+      .agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("t"))
+    Scd2.snapshotAt(hist.crossJoin(broadcast(mid)), col("t"))
+      .select(col("user_id"), col("event_type"), col("valid_from"), col("t"))
+  }
+  val q80Sql: String =
+    s"""WITH h AS ($q73Sql),
+       |b AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS t FROM events)
+       |SELECT user_id, event_type, valid_from, t
+       |FROM h CROSS JOIN b
+       |WHERE valid_from <= t AND (valid_to IS NULL OR valid_to > t)""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** The full crawl-authority chain, composed end to end: synthetic pages
+    * (q77's) → [[Html.hrefs]] outlinks → [[Url.host]] normalization →
+    * host-level edge list (page host = `site{doc_id%3}.example.com`) →
+    * [[PageRank.ranks]] (hosts keyed by the portable md5Long so the
+    * fixed-point algebra replays) → rank per host. Every stage is the
+    * already-pinned scale shape: narrow-map extraction, distinct
+    * equi-keyed edges, join+partial-agg iterations. */
+  def q81LinkRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Html, Url}
+    val links = docs(s, dir).select(col("doc_id"), syntheticPage.as("html"))
+      .select(col("doc_id"), explode(Html.hrefs(col("html"))).as("href"))
+    val edges = links.select(
+      concat(lit("site"), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(".example.com")).as("src_host"),
+      Url.host(col("href")).as("dst_host"))
+    val ids = edges.select(
+      TextFunctions.md5Long(col("src_host")).as("src"),
+      TextFunctions.md5Long(col("dst_host")).as("dst"),
+      col("src_host"), col("dst_host"))
+    val labels = ids.select(col("src").as("id"), col("src_host").as("host"))
+      .union(ids.select(col("dst").as("id"), col("dst_host").as("host")))
+      .distinct()
+    PageRank.ranks(ids.select(col("src"), col("dst")))
+      .join(labels, "id")
+      .select(col("host"), col("rank"))
+  }
+  val q81Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH p AS (
+       |  $syntheticPageSql),
+       |l AS (SELECT doc_id,
+       |        unnest(regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"[^>]*>', 1)) AS href
+       |      FROM p),
+       |eh AS (SELECT 'site' || (doc_id % 3) || '.example.com' AS src_host,
+       |         regexp_replace(lower(regexp_extract(href,
+       |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\\.', '') AS dst_host
+       |       FROM l),
+       |e AS (SELECT DISTINCT ${mid("src_host")} AS src, ${mid("dst_host")} AS dst
+       |      FROM eh WHERE ${mid("src_host")} <> ${mid("dst_host")}),
+       |lab AS (SELECT DISTINCT ${mid("src_host")} AS id, src_host AS host FROM eh
+       |        UNION SELECT DISTINCT ${mid("dst_host")}, dst_host FROM eh),
+       |${pagerankCtesSql(5)}
+       |SELECT lab.host, r.rank FROM r5 r JOIN lab ON lab.id = r.id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_exact_dedup" -> (q13ExactDedup _),
@@ -2568,6 +2650,8 @@ object QueriesExt {
     "q77_html_extract" -> (q77HtmlExtract _),
     "q78_url_stats" -> (q78UrlStats _),
     "q79_pr_curve" -> (q79PrCurve _),
+    "q80_scd2_asof" -> (q80Scd2Asof _),
+    "q81_link_rank" -> (q81LinkRank _),
     "q36_lead_ntile" -> (q36LeadNtile _),
     "q37_range_join" -> (q37RangeJoin _),
     "qa12_grouping_sets" -> (qa12GroupingSets _),
@@ -2650,6 +2734,8 @@ object QueriesExt {
     "q77_html_extract" -> q77Sql,
     "q78_url_stats" -> q78Sql,
     "q79_pr_curve" -> q79Sql,
+    "q80_scd2_asof" -> q80Sql,
+    "q81_link_rank" -> q81Sql,
     "q36_lead_ntile" -> q36Sql,
     "q37_range_join" -> q37Sql,
     "qa12_grouping_sets" -> qa12Sql,

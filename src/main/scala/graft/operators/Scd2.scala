@@ -72,6 +72,16 @@ object Scd2 {
         col("__next_ts").isNull.as("is_current")): _*)
   }
 
+  /** Point-in-time read over a type-2 history: the version of each key
+    * live at `at` ([valid_from, valid_to) semantics — a key deleted
+    * before `at`, or first seen after it, yields no row). A pure filter:
+    * partition/file pruning on `valid_from` applies, nothing shuffles. */
+  def snapshotAt(history: DataFrame, at: Column): DataFrame =
+    history
+      .filter(col("valid_from") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
+      .drop("valid_to", "is_current")
+
   /** Incrementally fold one micro-batch into an existing history.
     *
     * `stage` must be deduped to one row per key (Dedup.latestPerKey) and

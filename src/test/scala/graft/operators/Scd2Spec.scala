@@ -61,6 +61,21 @@ class Scd2Spec extends SparkSuite {
       (Some("a"), 40L, None)))
   }
 
+  test("snapshotAt: version live at T; deleted-before and born-after keys absent") {
+    val evs = Seq(
+      Ev(1, 10, "a", del = false), Ev(1, 30, "b", del = false), // a@[10,30) b@[30,∞)
+      Ev(2, 10, "x", del = false), Ev(2, 20, "x", del = true),  // gone by 25
+      Ev(3, 40, "z", del = false))                              // born after 25
+    val hist = build(evs)
+    def at(t: Long): Seq[(Long, String)] =
+      Scd2.snapshotAt(hist, lit(t)).select(col("k"), col("v"))
+        .as[(Long, String)].collect().toSeq.sorted
+    assert(at(25) == Seq((1L, "a")))
+    assert(at(35) == Seq((1L, "b")))
+    assert(at(45) == Seq((1L, "b"), (3L, "z")))
+    assert(at(5).isEmpty)
+  }
+
   private val emptyHistory: DataFrame =
     build(Seq(Ev(99, 1, "seed", del = false))).filter(col("k") =!= 99)
 
