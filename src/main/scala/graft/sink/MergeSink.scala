@@ -67,6 +67,19 @@ private[sink] object DirSwap {
           throw new java.io.IOException(s"cannot restore $hop to $dst")
       } else rmTree(hop)
     }
+
+  /** Restore any hop left by an interrupted swap on a (possibly bucketed)
+    * table: the whole-table hop (`<name>.old`) and every per-bucket hop
+    * (`<name>.old-<bucket>=N`) — shared by the bucketed targets. */
+  def recoverTable(path: String): Unit = {
+    val table = new java.io.File(path).getAbsoluteFile
+    recover(new java.io.File(table.getPath + ".old"), table)
+    val prefix = table.getName + ".old-"
+    Option(table.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+      .foreach(hop => recover(hop,
+        new java.io.File(table, hop.getName.stripPrefix(prefix))))
+  }
 }
 
 /** Parquet-backed merge target: read-modify-write with an atomic directory
@@ -163,6 +176,92 @@ final class Scd2ParquetTarget(path: String,
   }
 }
 
+/** Bucketed type-2 history target: [[Scd2ParquetTarget]]'s algebra at
+  * [[BucketedParquetMergeTarget]]'s I/O profile. The layout key is the
+  * MERGE key's hash bucket, so a key's ENTIRE version history co-locates
+  * in one bucket directory; closing/opening versions for a micro-batch
+  * rewrites only the buckets its keys hash to, and untouched buckets keep
+  * their files bit- and mtime-identical — per-batch I/O is O(touched
+  * history), not O(|history|), which is what a history table (strictly
+  * growing by design) needs even more than a last-image table.
+  * Bucket assignment is a pure key hash: stable across batches and
+  * checkpoint replays (replays rewrite the same buckets idempotently —
+  * [[graft.operators.Scd2.merge]] is a no-op on replayed content).
+  * A legacy whole-table history (written by [[Scd2ParquetTarget]]) is
+  * migrated in one rewrite on its first merge here. */
+final class BucketedScd2Target(path: String, buckets: Int = 64,
+                               metaCols: Seq[String] = Seq("op_aws", "ts_ms_aws", "idx_aws"))
+  extends MergeTarget {
+
+  private final val Kb = "kb_aws"
+  private def exists: Boolean = new java.io.File(path).exists()
+  private def recover(): Unit = DirSwap.recoverTable(path)
+
+  private def isBucketedLayout: Boolean =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith(s"$Kb="))
+
+  private def hasLegacyDataFiles: Boolean =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.endsWith(".parquet"))
+
+  def snapshot(spark: SparkSession): DataFrame = {
+    recover()
+    require(exists, s"no target at $path")
+    spark.read.option("mergeSchema", "true").parquet(path).drop(Kb)
+  }
+
+  def merge(stage0: DataFrame, spec: TableSpec): Unit = {
+    recover()
+    val spark = stage0.sparkSession
+    val stage = if (spec.skipDelete) stage0.filter(col("op_aws") =!= "d") else stage0
+    val keys = spec.mergeKeys
+    val tracked = stage.columns.toSeq.filterNot(c => keys.contains(c) || metaCols.contains(c))
+    val isDelete = col("op_aws") === "d"
+    val bucketOf = Skew.keyBucket(keys.map(col), buckets)
+    val tmp = path + ".tmp"
+    def initial(): DataFrame =
+      graft.operators.Scd2.fromChangelog(stage, keys, "ts_ms_aws", tracked,
+        tieBreak = Seq(col("idx_aws")), isDelete = isDelete)
+    if (!exists || !isBucketedLayout) {
+      // Create — or migrate a legacy whole-table history in one pass.
+      val merged =
+        if (!exists || !hasLegacyDataFiles) initial()
+        else graft.operators.Scd2.merge(spark.read.parquet(path), stage, keys,
+          "ts_ms_aws", tracked, isDelete)
+      merged.withColumn(Kb, bucketOf)
+        .write.mode(SaveMode.Overwrite).partitionBy(Kb).parquet(tmp)
+      DirSwap.swap(new java.io.File(tmp), new java.io.File(path),
+        new java.io.File(path + ".old"))
+    } else {
+      // ≤ `buckets` distinct values — a bounded driver-side collect by design.
+      val touched = stage.select(bucketOf.as(Kb)).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val touchedDirs = touched.map(b => new java.io.File(s"$path/$Kb=$b"))
+        .filter(_.exists()).map(_.getPath)
+      val merged =
+        if (touchedDirs.isEmpty) initial()
+        else {
+          // Only the touched buckets' history meets the batch; rows of
+          // co-bucketed OTHER keys pass through Scd2.merge unchanged and
+          // are rewritten in place with their bucket.
+          val history = spark.read.option("mergeSchema", "true")
+            .option("basePath", path).parquet(touchedDirs.toIndexedSeq: _*).drop(Kb)
+          graft.operators.Scd2.merge(history, stage, keys, "ts_ms_aws", tracked, isDelete)
+        }
+      merged.withColumn(Kb, bucketOf)
+        .write.mode(SaveMode.Overwrite).partitionBy(Kb).parquet(tmp)
+      // History rows are never removed (deletes only close versions), but
+      // allowMissingSrc keeps the swap robust to an all-skip batch.
+      touched.foreach { b =>
+        DirSwap.swap(new java.io.File(s"$tmp/$Kb=$b"), new java.io.File(s"$path/$Kb=$b"),
+          new java.io.File(s"$path.old-$Kb=$b"), allowMissingSrc = true)
+      }
+      DirSwap.rmTree(new java.io.File(tmp))
+    }
+  }
+}
+
 /** Scale path for lakehouse targets (SURVEY §7.5): the table is laid out
   * as parquet partitioned by a stable key bucket
   * `kb_aws = pmod(xxhash64(primary key), buckets)`, and a merge reads and
@@ -191,15 +290,7 @@ final class BucketedParquetMergeTarget(path: String, buckets: Int = 64,
 
   /** Restore any hop left by an interrupted swap — whole-table
     * (`<name>.old`) and per-bucket (`<name>.old-kb_aws=N`) alike. */
-  private def recover(): Unit = {
-    val table = new java.io.File(path).getAbsoluteFile
-    DirSwap.recover(new java.io.File(table.getPath + ".old"), table)
-    val prefix = table.getName + ".old-"
-    Option(table.getParentFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(prefix))
-      .foreach(hop => DirSwap.recover(hop,
-        new java.io.File(table, hop.getName.stripPrefix(prefix))))
-  }
+  private def recover(): Unit = DirSwap.recoverTable(path)
 
   def snapshot(spark: SparkSession): DataFrame = {
     recover()

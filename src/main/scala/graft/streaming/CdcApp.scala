@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.config.{JobConfig, TableSpec}
 import graft.envelope.CdcFormat
-import graft.sink.{BucketedParquetMergeTarget, JdbcMergeSink, MergeTarget, Scd2ParquetTarget}
+import graft.sink.{BucketedParquetMergeTarget, BucketedScd2Target, JdbcMergeSink, MergeTarget}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The single app driver, replacing the reference's three near-identical
@@ -63,7 +63,7 @@ object CdcApp {
       // `scd2_history` specs keep a type-2 version history instead of the
       // type-1 last-image table.
       spec => sinks.getOrElseUpdate(spec.resolvedTarget,
-        if (spec.scd2History) new Scd2ParquetTarget(s"$sinkSpec/${spec.resolvedTarget}")
+        if (spec.scd2History) new BucketedScd2Target(s"$sinkSpec/${spec.resolvedTarget}")
         else new BucketedParquetMergeTarget(s"$sinkSpec/${spec.resolvedTarget}"))
     }
   }

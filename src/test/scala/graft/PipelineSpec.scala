@@ -6,7 +6,7 @@ import graft.operators.Dedup
 import graft.sink.{JdbcMergeSink, MergeTarget, ParquetMergeTarget}
 import graft.sources.CdcGen
 import graft.streaming.CdcPipeline
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -614,7 +614,7 @@ class PipelineSpec extends SparkSuite {
     // The generic parquet factory must route scd2_history specs to the
     // type-2 target (the pipeline itself is unchanged — sink polymorphism).
     val sinkFor = graft.streaming.CdcApp.sinkFactory(spark, dir)
-    assert(sinkFor(spec).isInstanceOf[graft.sink.Scd2ParquetTarget])
+    assert(sinkFor(spec).isInstanceOf[graft.sink.BucketedScd2Target])
     val cfg = JobConfig(tables = Seq(spec), threadMaxWorkers = 2, batchTimeoutMinutes = 5)
     def run(lines: String*): Unit = {
       CdcPipeline.processBatch(lines.toSeq.toDF("value"), cfg, FlinkDebeziumCdc, sinkFor)
@@ -638,5 +638,51 @@ class PipelineSpec extends SparkSuite {
     assert(hist == expected)
     run(b3: _*) // checkpoint-replay the last batch: T3 idempotence
     assert(hist == expected)
+  }
+
+  test("bucketed scd2 target ≡ whole-table target; untouched buckets keep file identity") {
+    import graft.sink.{BucketedScd2Target, Scd2ParquetTarget}
+    def ev(id: Long, eid: Long, k: Long, ts: Long, op: String): String = {
+      val p = s"""{"id":$id,"event_id":$eid,"k":$k,"val":1.0}"""
+      val (before, after) = if (op == "d") (p, "null") else ("null", p)
+      s"""{"before":$before,"after":$after,"source":{"db":"cdc_db","table":"t0","ts_ms":$ts},"op":"$op","ts_ms":$ts}"""
+    }
+    val nBuckets = 8
+    // a key whose bucket differs from ids 2 and 4 — its bucket directory
+    // must stay mtime-identical when later batches touch only 2/4
+    def bucketOf(id: Long): Int =
+      Seq(id).toDF("id").select(graft.operators.Skew.keyBucket(Seq(col("id")), nBuckets))
+        .as[Int].head()
+    val lone = (6L to 60L by 2).find(k =>
+      bucketOf(k) != bucketOf(2) && bucketOf(k) != bucketOf(4)).get
+    val dirA = Files.createTempDirectory("graft-scd2-whole").toString
+    val dirB = Files.createTempDirectory("graft-scd2-bucket").toString
+    val whole = new Scd2ParquetTarget(s"$dirA/t0")
+    val bucketed = new BucketedScd2Target(s"$dirB/t0", buckets = nBuckets)
+    val spec = t0.copy(scd2History = true)
+    val cfg = JobConfig(tables = Seq(spec), threadMaxWorkers = 1, batchTimeoutMinutes = 5)
+    def run(target: graft.sink.MergeTarget, lines: Seq[String]): Unit = {
+      CdcPipeline.processBatch(lines.toDF("value"), cfg, FlinkDebeziumCdc, _ => target)
+      ()
+    }
+    val b1 = Seq(ev(2, 10, 1, 100, "u"), ev(4, 11, 7, 100, "u"), ev(lone, 12, 5, 100, "u"))
+    val b2 = Seq(ev(2, 20, 2, 200, "u"), ev(4, 21, 8, 200, "u"))
+    val b3 = Seq(ev(2, 30, 2, 300, "d"))
+    run(whole, b1); run(bucketed, b1)
+    val loneDir = new java.io.File(s"$dirB/t0/kb_aws=${bucketOf(lone)}")
+    assert(loneDir.exists())
+    val before = loneDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    run(whole, b2); run(bucketed, b2)
+    run(whole, b3); run(bucketed, b3)
+    // identical histories through both targets
+    def hist(d: String): Seq[Row] =
+      spark.read.parquet(s"$d/t0").drop("kb_aws")
+        .select(col("id"), col("k"), col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("id", "valid_from").collect().toSeq
+    assert(hist(dirA) == hist(dirB))
+    assert(hist(dirB).nonEmpty)
+    // the lone key's bucket was never rewritten after b1
+    val after = loneDir.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    assert(after == before, "untouched bucket was rewritten")
   }
 }
