@@ -138,7 +138,22 @@ object Plans {
     "q78_url_stats" -> ("URL identity: canonicalization (case/www/default-port/tracking/" +
       "fragment normalization) and registered-domain extraction run inside the scan " +
       "projection; the only exchange carries partially-aggregated per-domain counts — the " +
-      "cheapest crawl dedup tier costs one narrow map plus one #domains-sized shuffle.")
+      "cheapest crawl dedup tier costs one narrow map plus one #domains-sized shuffle."),
+    "q82_semdedup" -> ("SemDeDup: the cell assignment is the literal-centroid PqEncode " +
+      "kernel inside the scan projection (zero shuffle to build the clusters), candidate " +
+      "pairs come from ONE equi-join on the cell id — the paper's own scale lever: k grows " +
+      "with the corpus so |cell| stays bounded and the join never goes quadratic — and the " +
+      "connected-components closure ran eagerly on the pair edge set before the shown " +
+      "keep-flag window (embeddings never enter the loop)."),
+    "q83_jl_ann" -> ("JL-sketch ANN: both sides project to 16 plane dots in their scans (a " +
+      "narrow map — no model, no shuffle), the Q×N reduced-space pass streams 4× fewer " +
+      "bytes per row and rank-limits through WindowGroupLimit; only Q×30 shortlist ids " +
+      "broadcast back against the raw-vector scan for the exact re-rank."),
+    "q86_substring_spans" -> ("exact substring spans: the text explodes to (doc, pos, " +
+      "64-bit window hash) longs in its own scan — THE TEXT NEVER SHUFFLES — then " +
+      "first-occurrence marking is one window over the hash exchange and span merging " +
+      "sessionizes per doc (running-max gap merge, the q29 shape) on the doc exchange; " +
+      "no join anywhere in the pipeline.")
   )
 
   def main(args: Array[String]): Unit = {

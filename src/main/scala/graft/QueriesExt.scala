@@ -23,24 +23,24 @@ object QueriesExt {
     * aggregates — so local runs exercise the same parallel shape as a
     * cluster scan. Library consumers keep the narrow no-shuffle plans the
     * operator docs promise (e.g. exact dedup never exchanges text). */
-  private def spread(df: DataFrame): DataFrame =
+  private[graft] def spread(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get("spark.graft.spreadSmallScans", "false") == "true")
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     else df
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     spread(Tables.documents(s, dir))
-  private def embs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embs(s: SparkSession, dir: String): DataFrame =
     spread(Tables.embeddings(s, dir))
   /** The 10% document sample the shingle queries share. The sample filter
     * runs BEFORE the spread exchange, so only the sampled rows' text ever
     * moves (spreading first shuffles 10× the bytes for the same plan —
     * the r2→r3 q15 regression). */
-  private def docsSample(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docsSample(s: SparkSession, dir: String): DataFrame =
     spread(Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
 
   /** Oracle token split shared by several queries (DuckDB side). */
-  private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+  private[graft] val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
 
   /** Shared oracle fragments — single source so composed oracles cannot
     * drift apart: md5-bucket split CASE (q25/q26); the bigram-shingle CTE
@@ -88,7 +88,7 @@ object QueriesExt {
     s"list_sum(list_transform(list_zip($v, ${planeSql(j)}), x -> x[1] * x[2]))"
   private val bucketFromPs: String =
     (0 until 8).map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
        |        (sqrt(list_sum(list_transform($a, x -> x * x))) *
        |         sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
@@ -402,7 +402,7 @@ object QueriesExt {
     * +0.25, id offset by 1e6) — ONE definition for q32 and q52, and the
     * `d AS` CTE in both oracles mirrors it; the two queries' docs rely on
     * these being the same injected duplicates. */
-  private def withInjectedNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withInjectedNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
     val dups = e.filter(col("vec_id") % 17 === 0).select(
@@ -1490,7 +1490,7 @@ object QueriesExt {
   }
   /** DuckDB L2² over two DOUBLE[] columns — identical fold order to the
     * native vec_l2sq kernel. */
-  private def l2SqlOf(a: String, b: String): String =
+  private[graft] def l2SqlOf(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
   /** Shared PQ oracle chain (q59/q63): codebook → rounded-argmin encode →

@@ -1,0 +1,201 @@
+package graft
+
+import graft.functions.{ExactSubstrings, RobustStats, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 training-data-pipeline operators: cluster-scoped semantic
+  * dedup (SemDeDup), Johnson–Lindenstrauss sketch ANN, quantile feature
+  * binning, median/MAD robust outliers, and character-grain exact
+  * duplicated-substring spans. Same contract as [[QueriesExt]]: every
+  * query has a DuckDB oracle that replays the full operator chain
+  * value-for-value (integer/string arithmetic, deterministic double
+  * folds, rounded ranking keys). */
+object QueriesExt2 {
+  import QueriesExt.{cosSql, docs, docsSample, embs, l2SqlOf, withInjectedNearDups}
+
+  // ---------------------------------------------------------------- q82
+  /** SemDeDup (Abbas et al. 2023) — [[Similarity.semDedup]]: embeddings
+    * (plus q32/q52's injected near-dup copies, so duplicate groups
+    * exist) assign to their nearest of 8 seed centroids by the rounded
+    * L2 argmin kernel; near-dup pairs form WITHIN cells only (one
+    * equi-join on the cell id — the cluster bound is what separates this
+    * from q52's global banded-LSH sweep); components collapse chains;
+    * each group keeps its LEAST-prototypical member (lowest cosine to
+    * the centroid — the paper's keep rule), ties to the lower id. */
+  def q82SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val centroids = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).map(_._2).toSeq
+    Similarity.semDedup(withInjectedNearDups(s, dir), centroids, threshold = 0.9)
+  }
+  val q82Sql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.25] || v[2:64] AS v
+       |      FROM e WHERE vec_id % 17 = 0),
+       |u AS (SELECT * FROM e UNION ALL SELECT * FROM d),
+       |c AS (SELECT vec_id::INT AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |a AS (SELECT vec_id, v, cell FROM (
+       |    SELECT u.vec_id, u.v, c.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+       |             ORDER BY round(${l2SqlOf("u.v", "c.cv")}, 6), c.cid) AS rn
+       |    FROM u, c) WHERE rn = 1),
+       |cs AS (SELECT a.vec_id, a.cell, a.v,
+       |         round(${cosSql("a.v", "c.cv")}, 6) AS cent_sim
+       |       FROM a JOIN c ON c.cid = a.cell),
+       |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |      FROM cs x JOIN cs y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |      WHERE ${cosSql("x.v", "y.v")} >= 0.9),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+       |       UNION SELECT id_b, id_a FROM p),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM ed
+       |  UNION
+       |  SELECT ed.dst, r.comp FROM reach r JOIN ed ON ed.src = r.id),
+       |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+       |f AS (SELECT cs.vec_id, cs.cell, cs.cent_sim,
+       |        coalesce(cc.component, cs.vec_id) AS component
+       |      FROM cs LEFT JOIN cc ON cc.id = cs.vec_id)
+       |SELECT vec_id, cell, cent_sim, component,
+       |       (ROW_NUMBER() OVER (PARTITION BY component
+       |          ORDER BY cent_sim NULLS LAST, vec_id)) = 1 AS keep
+       |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+  /** Johnson–Lindenstrauss sketch ANN ([[Similarity.jlTopK]]): 64-dim
+    * float vectors reduce to 16 deterministic ±1-plane projections in
+    * the scan; the Q×N candidate pass ranks by squared L2 in the reduced
+    * space (4× fewer bytes per row than raw), keeps a 30-deep shortlist
+    * per query, and only those rejoin their raw vectors for the exact
+    * cosine top-10 — the dimensionality-reduction tier next to the
+    * quantization tiers (PQ q59, SQ8 q68). */
+  private val jlPlanes: Seq[Seq[Int]] = Similarity.deterministicPlanes(16, 64)
+  private def jlPlaneSql(j: Int): String =
+    jlPlanes(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+  private def jlProjSql(v: String, j: Int): String =
+    s"list_sum(list_transform(list_zip($v, ${jlPlaneSql(j)}), x -> x[1] * x[2]))"
+  def q83JlAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.jlTopK(e.filter(col("vec_id") < 8), e, k = 10,
+      planes = jlPlanes, shortlist = 30)
+  }
+  val q83Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |rp AS (SELECT vec_id,
+       |         [${(0 until 16).map(j => jlProjSql("v", j)).mkString(",\n       |          ")}] AS rv
+       |       FROM e),
+       |sh AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |           ORDER BY round(${l2SqlOf("q.rv", "c.rv")}, 6), c.vec_id) AS srank
+       |       FROM rp q JOIN rp c ON q.vec_id <> c.vec_id
+       |       WHERE q.vec_id < 8),
+       |cand AS (SELECT query_id, neighbor_id FROM sh WHERE srank <= 30),
+       |s AS (SELECT query_id, neighbor_id,
+       |        round(${cosSql("qe.v", "ne.v")}, 6) AS sim
+       |      FROM cand
+       |      JOIN e qe ON qe.vec_id = cand.query_id
+       |      JOIN e ne ON ne.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM s) WHERE rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Equal-frequency length binning ([[RobustStats.withQuantileBin]]):
+    * quartile boundaries of `n_chars` (ONE exact-percentile row,
+    * broadcast back) bin every document 0–3 — the distribution-tracking
+    * complement of q50's fixed-constant gates. Exact `percentile`
+    * interpolates `(n-1)p` between sorted integers, the same convention
+    * as DuckDB `quantile_cont`, so boundaries replay bit-for-bit. */
+  def q84QuantileBins(s: SparkSession, dir: String): DataFrame =
+    RobustStats.withQuantileBin(
+      docs(s, dir).select(col("doc_id"), col("n_chars")),
+      "n_chars", Seq(0.25, 0.5, 0.75))
+  val q84Sql: String =
+    s"""WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS b1,
+       |                  quantile_cont(n_chars, 0.5)  AS b2,
+       |                  quantile_cont(n_chars, 0.75) AS b3 FROM documents)
+       |SELECT doc_id, n_chars,
+       |       (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN n_chars > b2 THEN 1 ELSE 0 END) +
+       |       (CASE WHEN n_chars > b3 THEN 1 ELSE 0 END) AS bin
+       |FROM documents CROSS JOIN b""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Per-source median/MAD outlier flags ([[RobustStats.madOutliers]]):
+    * a document is a length outlier within its source when its absolute
+    * deviation from the source median exceeds 3 robust sigmas
+    * (MAD × 1.4826) — the robust z-score whose cut-point the outliers
+    * themselves cannot drag, unlike mean/stddev (qa11's winsorize
+    * complement). Two grouped exact medians, each a broadcast back. */
+  def q85MadOutliers(s: SparkSession, dir: String): DataFrame =
+    RobustStats.madOutliers(
+      docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      "n_chars", Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med"), col("mad"), col("dev"), col("is_outlier"))
+  val q85Sql: String =
+    s"""WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+       |           FROM documents GROUP BY 1),
+       |dv AS (SELECT doc_id, d0.source, n_chars, med,
+       |         abs(n_chars - med) AS dev
+       |       FROM documents d0 JOIN m USING (source)),
+       |md AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY 1)
+       |SELECT doc_id, dv.source, n_chars, med, mad, dev,
+       |       dev > 3 * 1.4826 * mad AS is_outlier
+       |FROM dv JOIN md USING (source)""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Exact duplicated-substring spans ([[ExactSubstrings
+    * .duplicateSpans]], the Lee et al. 2021 ExactSubstr shape at L=20
+    * char grain): every 20-char window occurring more than once in the
+    * 10% sample marks its post-first occurrences, and contiguous marked
+    * positions merge into maximal cut spans per document. Only (hash,
+    * doc, pos) longs ever shuffle — the text stays in its scan. */
+  def q86SubstringSpans(s: SparkSession, dir: String): DataFrame =
+    ExactSubstrings.duplicateSpans(docsSample(s, dir), "text", "doc_id", L = 20)
+      .withColumnRenamed("id", "doc_id")
+  val q86Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH dd AS (SELECT doc_id, text FROM documents
+       |            WHERE doc_id % 10 = 0 AND length(text) >= 20),
+       |ps AS (SELECT doc_id, text,
+       |         unnest(range(1, length(text) - 18)) AS pos FROM dd),
+       |g AS (SELECT doc_id, pos,
+       |        ${mid("substring(text, pos, 20)")} AS h FROM ps),
+       |r AS (SELECT doc_id, pos,
+       |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |      FROM g),
+       |dup AS (SELECT doc_id, pos, pos + 19 AS e FROM r WHERE rn >= 2),
+       |mx AS (SELECT doc_id, pos, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |       FROM dup),
+       |sp AS (SELECT doc_id, pos, e,
+       |         sum(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS span
+       |       FROM mx)
+       |SELECT doc_id, span, min(pos) AS span_start, max(e) AS span_end,
+       |       max(e) - min(pos) + 1 AS span_len
+       |FROM sp GROUP BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------------------ registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_semdedup" -> (q82SemDedup _),
+    "q83_jl_ann" -> (q83JlAnn _),
+    "q84_quantile_bins" -> (q84QuantileBins _),
+    "q85_mad_outliers" -> (q85MadOutliers _),
+    "q86_substring_spans" -> (q86SubstringSpans _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q82_semdedup" -> q82Sql,
+    "q83_jl_ann" -> q83Sql,
+    "q84_quantile_bins" -> q84Sql,
+    "q85_mad_outliers" -> q85Sql,
+    "q86_substring_spans" -> q86Sql
+  )
+}

@@ -31,9 +31,11 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all ++ QueriesExt.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ QueriesExt.all ++ QueriesExt2.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles ++ QueriesExt.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ QueriesExt.oracles ++ QueriesExt2.oracles
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring detection at character grain — the
+  * distributed rolling-window form of Lee et al. 2021's suffix-array
+  * ExactSubstr dedup (arXiv:2107.06499, "Deduplicating Training Data
+  * Makes Language Models Better"): any character window of length `L`
+  * that occurs more than once in the corpus marks every occurrence AFTER
+  * the first as duplicated text, and overlapping/contiguous duplicated
+  * positions merge into maximal spans — the "what to cut" artifact at a
+  * finer grain than [[Boilerplate.dedupSpans]]' line-block tier.
+  *
+  * A suffix array is inherently sequential to build; the L-gram form is
+  * the equi-join-friendly equivalent for windows of EXACTLY length L
+  * (a duplicated region of length ≥ L is covered by its duplicated
+  * L-windows, so merged spans recover it):
+  *
+  *  1. every position explodes to a 64-bit hash of its L-char window —
+  *     the corpus's only blow-up, rows × avg-length, but each carries
+  *     (hash, doc, pos) longs only: TEXT NEVER SHUFFLES;
+  *  2. one window per hash finds the global first occurrence
+  *     ((doc, pos)-min — the canonical copy stays);
+  *  3. later occurrences sessionize per doc (the q29 gap-merge shape:
+  *     running max of span end, break when a position clears it) into
+  *     maximal spans.
+  *
+  * Hashing is the portable md5 family ([[TextFunctions.md5Long]]) so an
+  * external engine can replay every span boundary; collisions only
+  * over-mark (a false duplicate window), never miss.
+  * Output: (id, span, span_start, span_end, span_len) — 1-based
+  * inclusive character offsets, `span` numbered 1.. per doc. */
+object ExactSubstrings {
+
+  /** Positions (1-based) of every length-`L` window, hashed. */
+  private[functions] def windowHashes(df: DataFrame, textCol: String,
+                                      idCol: String, L: Int): DataFrame =
+    df.filter(length(col(textCol)) >= L)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - (L - 1))).as("pos"),
+        col(textCol))
+      .select(col("id"), col("pos"),
+        TextFunctions.md5Long(substring_index_window(col(textCol), col("pos"), L))
+          .as("h"))
+
+  /** `substring(text, pos, L)` with a column start — named for clarity. */
+  private def substring_index_window(text: Column, pos: Column, L: Int): Column =
+    text.substr(pos, lit(L))
+
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("h"))
+      .orderBy(col("id").asc, col("pos").asc)
+    val dup = windowHashes(df, textCol, idCol, L)
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") >= 2)
+      .select(col("id"), col("pos"), (col("pos") + (L - 1)).as("e"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos").asc)
+    val prevEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("span", sum(col("brk")).over(byDoc))
+      .groupBy(col("id"), col("span"))
+      .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1)
+  }
+}

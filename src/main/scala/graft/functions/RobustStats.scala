@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust distribution statistics for corpus gating: quantile-boundary
+  * feature binning and median/MAD outlier flagging. Both are the
+  * length/score-distribution half of a quality pipeline — the rule gates
+  * (q50) cut on fixed constants; these cut on the corpus's OWN
+  * distribution, so they track drift without retuning.
+  *
+  * Determinism: exact `percentile` interpolates `(n-1)·p` between sorted
+  * values — the same convention as DuckDB/Postgres `quantile_cont`, and
+  * exact in doubles for integer inputs at dyadic probabilities — so every
+  * boundary, deviation, and flag replays bit-for-bit in an external
+  * oracle. At 100 TB the exact per-group sort behind `percentile` is the
+  * one non-partial-aggregable step; swap in `approx_percentile` (the
+  * qa14 sketch tier, mergeable partials) when boundaries may be
+  * approximate.
+  */
+object RobustStats {
+
+  /** Quantile boundaries of `valueCol` as a ONE-ROW frame
+    * (`b1..bn` sorted ascending) — the model side of [[withQuantileBin]],
+    * broadcast-sized by construction. */
+  def quantileBoundaries(df: DataFrame, valueCol: String,
+                         probs: Seq[Double]): DataFrame =
+    df.agg(percentile(col(valueCol), typedLit(probs)).as("bs"))
+      .select(probs.indices.map(i =>
+        element_at(col("bs"), i + 1).as(s"b${i + 1}")): _*)
+
+  /** Equal-frequency discretization: `binCol` = how many of the
+    * `probs.length` quantile boundaries the row's value EXCEEDS
+    * (0 = bottom bin). The boundaries frame joins as a broadcast
+    * single-row cross join — the corpus itself is a narrow map, no
+    * shuffle, no collect. */
+  def withQuantileBin(df: DataFrame, valueCol: String, probs: Seq[Double],
+                      binCol: String = "bin"): DataFrame = {
+    val bounds = quantileBoundaries(df, valueCol, probs)
+    val bin = probs.indices
+      .map(i => when(col(valueCol) > col(s"b${i + 1}"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(binCol, bin)
+      .drop(probs.indices.map(i => s"b${i + 1}"): _*)
+  }
+
+  /** Per-group median/MAD outlier flags: a row is an outlier when its
+    * absolute deviation from the group median exceeds `nSigmas` robust
+    * standard deviations (MAD × 1.4826, the normal-consistency constant).
+    * Unlike mean/stddev z-scores, the cut-point itself is immune to the
+    * outliers it hunts.
+    *
+    * Plan: two grouped exact percentiles over the SAME group key (one
+    * exchange each; group count ≪ rows, so both stat frames broadcast
+    * back to the scan). Output adds `med`, `mad`, `dev`, `is_outlier`. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  nSigmas: Double = 3.0): DataFrame = {
+    val gcols = groupCols.map(col)
+    val med = df.groupBy(gcols: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = withMed.groupBy(gcols: _*)
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier", col("dev") > lit(nSigmas) * lit(1.4826) * col("mad"))
+  }
+}

@@ -660,4 +660,99 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .distinct() // a pair co-bucketed in several bands scores identically
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
+    * cluster-bounded candidate generation. Every vector is assigned to
+    * its nearest centroid (the same rounded-argmin [[pqCodes]] kernel the
+    * IVF tiers use, so the assignment replays exactly); near-duplicate
+    * candidates are pairs WITHIN a cell — one equi-join on the cell id,
+    * never all-pairs — scored by exact cosine against `threshold`;
+    * connected components collapse chains; and each duplicate group keeps
+    * the member with the LOWEST cosine similarity to its cluster centroid
+    * (the paper's keep-rule: the least prototypical example carries the
+    * most information), ties to the lower id.
+    *
+    * Scale: the paper's own recipe — k grows with the corpus (50k cells
+    * for LAION) so |cell| stays bounded and the within-cell join never
+    * quadratic-blows; the centroid model is a broadcast literal, the
+    * corpus shuffles once on the cell id.
+    * Output: (vec_id, cell, cent_sim, component, keep). */
+  def semDedup(corpus: DataFrame, centroids: Seq[Seq[Double]], threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", element_at(pqCodes(col("v"), Seq(centroids)), 1))
+      .withColumn("cent_sim",
+        round(cosine(col("v"), element_at(centsLit, col("cell") + 1)), 6))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    val pairs = a.join(b, "cell").filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.ConnectedComponents.components(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("cent_sim").asc_nulls_last, col("vec_id").asc)
+    assigned.drop("v")
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** Johnson–Lindenstrauss random projection: reduce a `dim`-vector to
+    * `planes.length` components, the j-th being the dot with a
+    * deterministic ±1 hyperplane ([[deterministicPlanes]] — the dense
+    * Achlioptas'01 variant, engine-independent constants). The usual
+    * 1/sqrt(m) scale is omitted: it is a constant factor, so every
+    * distance RANKING is unchanged and the replay stays
+    * literal-arithmetic only. A narrow per-row map — no model to train,
+    * no shuffle; the projection is the bytes-reduction step before a
+    * distance-heavy stage (16 doubles instead of 64 floats per row). */
+  def jlProject(vec: Column, planes: Seq[Seq[Int]]): Column =
+    array(planes.map(p =>
+      dot(vec, array(p.map(s => lit(s.toDouble)): _*))): _*)
+
+  /** Two-stage ANN through the JL sketch: rank by squared L2 in the
+    * reduced space (the JL-preserved metric — reduced vectors are
+    * computed in each side's scan projection, so the Q×N candidate pass
+    * streams 4× fewer bytes than raw), keep a `shortlist` per query,
+    * re-rank ONLY those by exact cosine on the raw vectors (rejoined by
+    * id — the [[pqRefineTopK]] two-stage shape). Rounded reduced
+    * distances + id tie-break keep the shortlist engine-reproducible.
+    * Output: (query_id, neighbor_id, rank, sim). */
+  def jlTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             planes: Seq[Seq[Int]], shortlist: Int = 30,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      jlProject(col(vecCol), planes).as("rq")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      jlProject(col(vecCol), planes).as("rc"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rd").asc, col("neighbor_id").asc)
+    val short = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rd", round(l2Sq(col("rq"), col("rc")), 6))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val raw = corpus.select(col(idCol).as("rid"), col(vecCol).as("rv"),
+      l2Norm(col(vecCol)).as("rn"))
+    // Q × shortlist candidate ids are tiny — broadcast them against the
+    // raw-vector scan rather than shuffling the corpus.
+    val scored = raw.join(broadcast(short), col("neighbor_id") === col("rid"))
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        l2Norm(col(vecCol)).as("qn"))), col("query_id") === col("qid"))
+      .withColumn("sim", round(try_divide(dot(col("qv"), col("rv")),
+        col("qn") * col("rn")), 6))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
 }

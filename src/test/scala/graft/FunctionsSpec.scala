@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DedupFunctions, Multimodal, Similarity, TextFunctions}
+import graft.functions.{DedupFunctions, Multimodal, RobustStats, Similarity, TextFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1038,5 +1038,95 @@ class FunctionsSpec extends SparkSuite {
     wide.foreach { case (t, exact, est) =>
       assert(est == exact, s"collision-free sketch must be exact for $t")
     }
+  }
+
+  test("semDedup: within-cell pair grouped, least-prototypical kept, cross-cell singleton") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val emb = Seq(
+      (0L, Seq(1.0, 0.01, 0.0, 0.0)),   // cell 0
+      (1L, Seq(0.99, 0.012, 0.0, 0.0)), // cell 0, near-dup of 0
+      (2L, Seq(0.0, 1.0, 0.1, 0.0))     // cell 1, singleton
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, centroids, threshold = 0.95)
+      .select("vec_id", "cell", "cent_sim", "component", "keep")
+      .as[(Long, Int, Double, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(0, 0, 1), "cell assignment")
+    // 0 and 1 collapse into one group keyed by the min id
+    assert(out(0)._4 == 0L && out(1)._4 == 0L && out(2)._4 == 2L)
+    // the paper's keep rule: LOWEST centroid similarity survives
+    val group = out.filter(_._4 == 0L)
+    val kept = group.filter(_._5)
+    assert(kept.length == 1, s"exactly one kept per group: $group")
+    assert(kept.head._3 == group.map(_._3).min, "kept must be least prototypical")
+    assert(out(2)._5, "singleton kept")
+  }
+
+  test("jlTopK with a full shortlist reproduces exact brute-force ranking") {
+    val planes = Similarity.deterministicPlanes(8, 4)
+    // well-separated vectors (pairwise cosines differ >> the 1e-6 rounding)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.4f, 0.1f, 0.0f)),
+      (2L, Seq(0.1f, 1.0f, 0.0f, 0.2f)),
+      (3L, Seq(0.0f, 0.1f, 1.0f, 0.0f)),
+      (4L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (5L, Seq(0.95f, 0.1f, 0.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 2)
+    val jl = Similarity.jlTopK(q, emb, k = 3, planes, shortlist = 6)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(jl == exact, s"jl=$jl exact=$exact")
+    // and the sketch really is 8-dim
+    val red = emb.select(Similarity.jlProject(col("embedding"), planes).as("r"))
+      .select(size(col("r"))).as[Int].collect()
+    assert(red.forall(_ == 8))
+  }
+
+  test("withQuantileBin: quartile bins over a known distribution") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "x")
+    val out = RobustStats.withQuantileBin(df, "x", Seq(0.25, 0.5, 0.75))
+      .select("x", "bin").as[(Long, Int)].collect().toMap
+    // boundaries: 25.75 / 50.5 / 75.25 — (n-1)p interpolation
+    assert(out(25) == 0 && out(26) == 1)
+    assert(out(50) == 1 && out(51) == 2)
+    assert(out(75) == 2 && out(76) == 3 && out(100) == 3)
+    val counts = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.values.forall(c => c == 25), s"equal-frequency bins: $counts")
+  }
+
+  test("madOutliers: robust flag immune to the outlier it hunts") {
+    val a = Seq.tabulate(11)(i => ("a", 100L + i)) :+ (("a", 100000L))
+    val b = Seq.tabulate(12)(i => ("b", 500L + 10 * i))
+    val df = (a ++ b).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "x")
+    val out = RobustStats.madOutliers(df, "x", Seq("g"))
+      .select("g", "x", "is_outlier").as[(String, Long, Boolean)].collect()
+    val (ga, gb) = (out.filter(_._1 == "a"), out.filter(_._1 == "b"))
+    assert(ga.filter(_._3).map(_._2).toSeq == Seq(100000L),
+      "only the planted outlier flags in group a")
+    assert(gb.forall(!_._3), "uniform group b has no outliers")
+  }
+
+  test("duplicateSpans: cross-doc and in-doc repeats merge to maximal spans; first kept") {
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val seg = alpha.substring(0, 20)
+    val docs = Seq(
+      (1L, alpha),                                  // canonical: no spans
+      (2L, "XX" + seg + "YY"),                      // one 20-char copied run
+      (3L, "PP" + seg + "##########" + seg + "&&")  // two separated runs
+    ).toDF("doc_id", "text")
+    val out = graft.functions.ExactSubstrings
+      .duplicateSpans(docs, "text", "doc_id", L = 10)
+      .select("id", "span_start", "span_end", "span_len")
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(!out.exists(_._1 == 1L), "first occurrence never marked")
+    // doc 2: windows at pos 3..13 all duplicated, merge to [3, 22]
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 3, 22, 20)))
+    // doc 3: two copies of seg separated by a unique gap → two spans
+    val d3 = out.filter(_._1 == 3L).toSeq
+    assert(d3 == Seq((3L, 3, 22, 20), (3L, 33, 52, 20)), s"got $d3")
   }
 }

@@ -21,6 +21,18 @@ class PlanSpec extends SparkSuite {
 
   private def planString(df: DataFrame): String = executed(df).toString
 
+  /** Every shuffle exchange in an executed plan, descending into AQE
+    * query stages (whose wrapped plan is not a `children` member — a
+    * plain collect sees none of them). */
+  private def allShuffles(p: SparkPlan)
+  : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+    p.collect {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allShuffles(s.plan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        Seq(e)
+    }.flatten.distinct
+
   test("qa2 star join broadcasts both dimensions (lineitem never shuffled pre-agg)") {
     val p = planString(QueriesExt.qa2Revenue(spark, sf("sf0.001")))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
@@ -454,14 +466,41 @@ class PlanSpec extends SparkSuite {
       "the one-row positive total must broadcast back:\n" + p.take(2000))
   }
 
+  test("q82 SemDeDup: cell assignment in the scan, pair join on cell, no product") {
+    val p = planString(QueriesExt2.q82SemDedup(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairs must equi-join on the cell id:\n" + p.take(2000))
+    assert(p.contains("pq_encode"),
+      "cell assignment must be the literal-centroid kernel in the scan:\n" + p.take(2000))
+  }
+
+  test("q83 JL ANN: reduced-space shortlist group-limits; raw rejoin broadcasts the candidates") {
+    val p = planString(QueriesExt2.q83JlAnn(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"),
+      "the shortlist rank filter must push below the shuffle:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "the Q×30 shortlist must broadcast against the raw-vector scan:\n" + p.take(2000))
+  }
+
+  test("q86 substring spans: no join; text never enters a shuffle") {
+    val q = QueriesExt2.q86SubstringSpans(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(!p.contains("Join"),
+      "first-occurrence marking and span merge must stay join-free:\n" + p.take(2000))
+    val exchanges = allShuffles(executed(q))
+    assert(exchanges.nonEmpty, "expected the hash/doc window exchanges")
+    assert(exchanges.forall(!_.child.output.map(_.name).contains("text")),
+      "raw document text leaked into a shuffle")
+  }
+
   test("q75 fuzzy match: candidates come from the gram equi-join, never all-pairs") {
     val p = planString(QueriesExt.q75FuzzyMatch(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "q-gram filtering must never degrade to an all-pairs product:\n" + p.take(2000))
     // The unbounded document text must not ride through the join — only
     // the bounded 40-char normalized prefix appears in exchanges.
-    val exchanges = executed(QueriesExt.q75FuzzyMatch(spark, sf("sf0.001")))
-      .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    val exchanges = allShuffles(executed(QueriesExt.q75FuzzyMatch(spark, sf("sf0.001"))))
+    assert(exchanges.nonEmpty, "expected the gram-join exchanges")
     assert(exchanges.forall(!_.child.output.map(_.name).contains("text")),
       "raw document text leaked into a shuffle")
   }
