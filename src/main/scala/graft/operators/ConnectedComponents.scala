@@ -41,14 +41,27 @@ object ConnectedComponents {
     * `component` is the minimum node id reachable from `id`. Self-loops
     * are ignored; edges are treated as undirected. Nodes absent from
     * `edges` are absent from the output (left-join and coalesce on the
-    * caller's side for singleton semantics). */
+    * caller's side for singleton semantics).
+    *
+    * Adaptive: the deduped edge count is known before the loop starts
+    * (the convergence checksum), and a near-dup edge set is usually
+    * SPARSE — LSH emits pairs, not cliques' worth of rows — so when it
+    * fits `driverMaxEdges` (default 2^20 ≈ 16 MB of long pairs, the same
+    * bounded-collect contract as the k-means k-row update) the transitive
+    * closure runs as driver union-find in one pass: one collect replaces
+    * 2-4 checkpointed star rounds (each a shuffle + a checksum job) and
+    * returns the identical min-id labeling (property-pinned in
+    * DedupMergeSpec). Beyond the bound — a 100 TB corpus can emit
+    * billions of candidate pairs — the alternating-star loop below runs
+    * unchanged. `driverMaxEdges = 0` forces the distributed path. */
   def components(edges: DataFrame, src: String = "src", dst: String = "dst",
-                 maxIter: Int = 25): DataFrame = {
+                 maxIter: Int = 25, driverMaxEdges: Long = 1L << 20): DataFrame = {
     var e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
     var checksum = edgeChecksum(e)
+    if (checksum._1 <= driverMaxEdges) return driverComponents(e)
     var converged = checksum._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -69,6 +82,30 @@ object ConnectedComponents {
     e.select(col("src").as("id"), col("dst").as("component"))
       .union(e.select(col("dst").as("id"), col("dst").as("component")))
       .distinct()
+  }
+
+  /** Union-find with path compression over a collected (bounded) edge
+    * set; union-by-min keeps every root the component minimum, so the
+    * labeling is exactly the star-loop's fixed point. The result comes
+    * back as a LocalTableScan — downstream label joins broadcast it. */
+  private def driverComponents(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    import spark.implicits._
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => (id, find(id))).toSeq.toDF("id", "component")
   }
 
   /** Large-star: for each node u, connect every neighbor v > u to

@@ -144,6 +144,11 @@ class DedupMergeSpec extends SparkSuite {
     val got = ConnectedComponents.components(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toSet
     assert(got == expected)
+    // the two tiers must agree exactly: driverMaxEdges = 0 forces the
+    // distributed star loop over the same graph
+    val distributed = ConnectedComponents.components(edges.toDF("src", "dst"),
+      driverMaxEdges = 0L).as[(Long, Long)].collect().toSet
+    assert(distributed == expected, "star loop diverged from union-find tier")
   }
 
   test("as-of join: latest right ≤ left ts, same-instant visible, no-match null") {
