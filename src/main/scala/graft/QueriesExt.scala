@@ -53,13 +53,13 @@ object QueriesExt {
 
   /** Distinct-bigram-shingle CTE over a documents subset — the one
     * definition every shingle-based oracle starts from. */
-  private def shingleCteFor(cteName: String, whereSql: String): String =
+  private[graft] def shingleCteFor(cteName: String, whereSql: String): String =
     s"""$cteName AS (
        |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
        |  FROM (SELECT doc_id, $toksSql AS x FROM documents WHERE $whereSql))""".stripMargin
 
   /** `t` = the 10% document sample's shingles (q14/q15/q26/q35/q39). */
-  private val shingleCteSql: String = shingleCteFor("t", "doc_id % 10 = 0")
+  private[graft] val shingleCteSql: String = shingleCteFor("t", "doc_id % 10 = 0")
 
   /** Jaccard from (id_a, id_b, shared, n_a, n_b) rows in `src`, with the
     * shared 0.05 threshold. */

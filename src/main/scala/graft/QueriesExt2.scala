@@ -182,13 +182,104 @@ object QueriesExt2 {
        |FROM sp GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q87
+  /** Cluster-balanced diversity sampling: assign embeddings to their
+    * nearest seed centroid (the q82/q70 argmin kernel, in the scan) and
+    * keep at most 15 per cell in deterministic md5 order
+    * ([[graft.functions.Mixture.capPerGroup]] — the q47 domain cap
+    * applied to SEMANTIC cells). The downsampling step that preserves
+    * coverage of the embedding space where a uniform sample keeps the
+    * head clusters' redundancy; WindowGroupLimit bounds every cell
+    * before any exchange. */
+  def q87ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val centroids = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).map(_._2).toSeq
+    val assigned = embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell",
+        element_at(Similarity.pqCodes(col("v"), Seq(centroids)), 1))
+      .select(col("vec_id"), col("cell"))
+    graft.functions.Mixture.capPerGroup(assigned, "cell", "vec_id", k = 15)
+  }
+  val q87Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id::INT AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |a AS (SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY round(${l2SqlOf("e.v", "c.cv")}, 6), c.cid) AS rn
+       |    FROM e, c) WHERE rn = 1)
+       |SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |             vec_id) AS rk
+       |  FROM a) WHERE rk <= 15""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Containment near-dup pairs ([[graft.functions.DedupFunctions
+    * .containmentPairs]], Broder '97): the asymmetric overlap
+    * c_a = |A∩B|/|A| that catches subset duplication — a doc quoted or
+    * embedded inside a larger one scores ≈1 while its Jaccard stays
+    * under any sane threshold. Same shingle-equi-join candidates as q15
+    * (uncapped here so the oracle replays; production keeps the q35
+    * frequency valve). */
+  def q88ContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    graft.functions.DedupFunctions.containmentPairs(
+      docsSample(s, dir), "text", "doc_id",
+      n = 2, threshold = 0.1,
+      cap = graft.functions.DedupFunctions.ShingleCap.Uncapped)
+  val q88Sql: String =
+    s"""WITH ${QueriesExt.shingleCteSql},
+       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       round(shared::DOUBLE / n_a, 6) AS c_a,
+       |       round(shared::DOUBLE / n_b, 6) AS c_b
+       |FROM j
+       |WHERE greatest(shared::DOUBLE / n_a, shared::DOUBLE / n_b) >= 0.1""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** Trailing-median spike detection ([[RobustStats
+    * .trailingMedianSpikes]]): per user, each event's baseline is the
+    * exact median of its previous 12 values (current row excluded) and
+    * it flags when value > 2× baseline — the robust streaming-monitor
+    * rule a mean-based detector fails (a spike drags the mean, not the
+    * median). ONE window over one user exchange; the frame is bounded
+    * at 12 rows regardless of history length. */
+  def q89MedianSpikes(s: SparkSession, dir: String): DataFrame =
+    RobustStats.trailingMedianSpikes(
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts_ms"), col("value")),
+      "value", Seq("user_id"), Seq(col("ts_ms"), col("event_id")),
+      lookback = 12, factor = 2.0)
+  val q89Sql: String =
+    s"""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+       |       quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+       |         ORDER BY epoch_ms(ts), event_id
+       |         ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS baseline,
+       |       coalesce(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+       |         ORDER BY epoch_ms(ts), event_id
+       |         ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) IS NOT NULL
+       |         AND value > 2.0 * quantile_cont(value, 0.5) OVER (
+       |           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+       |           ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING), false) AS is_spike
+       |FROM events""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
     "q83_jl_ann" -> (q83JlAnn _),
     "q84_quantile_bins" -> (q84QuantileBins _),
     "q85_mad_outliers" -> (q85MadOutliers _),
-    "q86_substring_spans" -> (q86SubstringSpans _)
+    "q86_substring_spans" -> (q86SubstringSpans _),
+    "q87_cluster_sample" -> (q87ClusterSample _),
+    "q88_containment" -> (q88ContainmentPairs _),
+    "q89_median_spikes" -> (q89MedianSpikes _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,6 +287,9 @@ object QueriesExt2 {
     "q83_jl_ann" -> q83Sql,
     "q84_quantile_bins" -> q84Sql,
     "q85_mad_outliers" -> q85Sql,
-    "q86_substring_spans" -> q86Sql
+    "q86_substring_spans" -> q86Sql,
+    "q87_cluster_sample" -> q87Sql,
+    "q88_containment" -> q88Sql,
+    "q89_median_spikes" -> q89Sql
   )
 }

@@ -72,7 +72,38 @@ object DedupFunctions {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
-                        cap: ShingleCap = ShingleCap.Auto): DataFrame = {
+                        cap: ShingleCap = ShingleCap.Auto): DataFrame =
+    sharedShingleCounts(df, textCol, idCol, n, cap)
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Containment near-dup pairs (Broder '97's asymmetric companion to
+    * resemblance): c_a = |A∩B| / |A| — the fraction of A's shingles that
+    * appear in B — and symmetrically c_b. A quote, mirror, or
+    * concatenation that CONTAINS another document scores c_small ≈ 1
+    * while its Jaccard stays low (the union is dominated by the larger
+    * doc), so a Jaccard-only dedup sweep misses exactly the
+    * subset-duplication case this catches. Same candidate machinery and
+    * scale valves as [[ngramJaccardPairs]]; pairs emit when EITHER
+    * direction clears `threshold`. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, threshold: Double,
+                       cap: ShingleCap = ShingleCap.Auto): DataFrame =
+    sharedShingleCounts(df, textCol, idCol, n, cap)
+      .withColumn("c_a", col("shared").cast("double") / col("n_a").cast("double"))
+      .withColumn("c_b", col("shared").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("c_a"), col("c_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("c_a"), 6).as("c_a"), round(col("c_b"), 6).as("c_b"))
+
+  /** Shared candidate stage of the shingle-overlap family: per-pair
+    * (id_a, id_b, n_a, n_b, shared) for documents meeting through at
+    * least one common shingle. */
+  private def sharedShingleCounts(df: DataFrame, textCol: String, idCol: String,
+                                  n: Int, cap: ShingleCap): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
@@ -110,11 +141,6 @@ object DedupFunctions {
     cand
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,

@@ -66,4 +66,28 @@ object RobustStats {
     withMed.join(broadcast(mad), groupCols)
       .withColumn("is_outlier", col("dev") > lit(nSigmas) * lit(1.4826) * col("mad"))
   }
+
+  /** Trailing-median spike detection over an ordered stream: per key, the
+    * exact median of the previous `lookback` values (current row
+    * EXCLUDED — a spike must never vote on its own baseline), and a flag
+    * when the value exceeds `factor` × that baseline. The robust
+    * streaming-monitor shape: a spike can't drag a median the way it
+    * drags a rolling mean, so consecutive spikes still flag.
+    *
+    * One window over one (keys) exchange; the frame holds at most
+    * `lookback` values per row. The baseline is null for each key's
+    * first row (no history → no flag). Exact percentile interpolation
+    * over the frame replays externally (`quantile_cont` window). */
+  def trailingMedianSpikes(df: DataFrame, valueCol: String,
+                           keyCols: Seq[String], orderCols: Seq[Column],
+                           lookback: Int = 12, factor: Double = 2.0)
+  : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(-lookback.toLong, -1L)
+    df.withColumn("baseline", percentile(col(valueCol), lit(0.5)).over(w))
+      .withColumn("is_spike",
+        col("baseline").isNotNull && col(valueCol) > lit(factor) * col("baseline"))
+  }
 }

@@ -1110,6 +1110,41 @@ class FunctionsSpec extends SparkSuite {
     assert(gb.forall(!_._3), "uniform group b has no outliers")
   }
 
+  test("containmentPairs catches subset duplication that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau"
+    val docs = Seq((1L, small), (2L, big), (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val cont = DedupFunctions.containmentPairs(docs, "text", "doc_id",
+        n = 2, threshold = 0.9, cap = DedupFunctions.ShingleCap.Uncapped)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(cont.head._3 == 1.0, "small doc fully contained in big")
+    // the same pair under Jaccard at the same bar: missed (union-dominated)
+    val jac = DedupFunctions.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 2, threshold = 0.9, cap = DedupFunctions.ShingleCap.Uncapped)
+      .collect()
+    assert(jac.isEmpty, "Jaccard 0.9 must miss the containment pair")
+  }
+
+  test("trailingMedianSpikes: spike flags, never votes on its own baseline") {
+    val rows = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 11.0),
+      (1L, 4L, 100.0), // spike: baseline = median(10,12,11) = 11
+      (1L, 5L, 12.0),  // NOT a spike: the 100 is in the frame but the
+                       // median resists it (median(10,12,11,100) = 11.5)
+      (2L, 1L, 5.0)    // first row of a key: no history, no flag
+    ).map { case (u, t, v) => (u, t, v) }.toDF("user_id", "ts_ms", "value")
+    val out = RobustStats.trailingMedianSpikes(rows, "value",
+        Seq("user_id"), Seq(col("ts_ms")), lookback = 12, factor = 2.0)
+      .select("user_id", "ts_ms", "baseline", "is_spike")
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((1L, 4L)) == (Some(11.0), true))
+    assert(out((1L, 5L)) == (Some(11.5), false))
+    assert(out((2L, 1L)) == (None, false))
+    assert(out((1L, 1L)) == (None, false))
+  }
+
   test("duplicateSpans: cross-doc and in-doc repeats merge to maximal spans; first kept") {
     val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
     val seg = alpha.substring(0, 20)
