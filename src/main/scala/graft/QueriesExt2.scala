@@ -270,6 +270,52 @@ object QueriesExt2 {
        |           ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING), false) AS is_spike
        |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Vocabulary coverage curve ([[graft.functions.Relevance
+    * .vocabCoverage]]): the fraction of all token occurrences the top-k
+    * types cover, for k ∈ {10, 100, 1000} — the statistic a
+    * tokenizer/vocab-size decision starts from. Counts partially
+    * aggregate map-side; the rank window and per-k sums run over the
+    * vocabulary-sized count table, never the corpus. */
+  def q90VocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Relevance.vocabCoverage(docs(s, dir), "text",
+      ks = Seq(10, 100, 1000))
+  val q90Sql: String =
+    s"""WITH tok AS (SELECT unnest(${QueriesExt.toksSql}) AS term FROM documents),
+       |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok
+       |      WHERE length(term) > 0 GROUP BY 1),
+       |r AS (SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk
+       |      FROM c),
+       |t AS (SELECT sum(cnt)::BIGINT AS total FROM r),
+       |kk AS (SELECT unnest([10, 100, 1000])::INT AS k)
+       |SELECT kk.k, sum(r.cnt)::BIGINT AS covered, any_value(t.total) AS total,
+       |       round(sum(r.cnt)::DOUBLE / any_value(t.total), 6) AS coverage
+       |FROM r JOIN kk ON r.rk <= kk.k CROSS JOIN t
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** Per-dimension embedding moments ([[Similarity.embeddingMoments]]):
+    * (n, Σx, Σx²) per dimension in exact micro-unit longs (one corpus
+    * pass, 64-row aggregate, order-independent partials), with mean and
+    * variance derived through one defined division chain — the
+    * dead-dimension / bad-normalization health check run before
+    * trusting the space for ANN or semantic dedup. */
+  def q91EmbeddingMoments(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingMoments(embs(s, dir))
+  val q91Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ds AS (SELECT unnest(range(1, 65))::INT AS i),
+       |x AS (SELECT ds.i AS dim, round(e.v[ds.i] * 1000000)::BIGINT AS xi
+       |      FROM e, ds),
+       |g AS (SELECT dim, count(*)::BIGINT AS n, sum(xi)::BIGINT AS s1,
+       |             sum(xi * xi)::BIGINT AS s2
+       |      FROM x GROUP BY 1)
+       |SELECT dim, n, s1, s2,
+       |       round((s1::DOUBLE / n) / 1000000.0, 6) AS mean,
+       |       round(((s2::DOUBLE / n) - (s1::DOUBLE / n) * (s1::DOUBLE / n))
+       |             / 1000000000000.0, 6) AS variance
+       |FROM g""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -279,7 +325,9 @@ object QueriesExt2 {
     "q86_substring_spans" -> (q86SubstringSpans _),
     "q87_cluster_sample" -> (q87ClusterSample _),
     "q88_containment" -> (q88ContainmentPairs _),
-    "q89_median_spikes" -> (q89MedianSpikes _)
+    "q89_median_spikes" -> (q89MedianSpikes _),
+    "q90_vocab_coverage" -> (q90VocabCoverage _),
+    "q91_embedding_moments" -> (q91EmbeddingMoments _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -290,6 +338,8 @@ object QueriesExt2 {
     "q86_substring_spans" -> q86Sql,
     "q87_cluster_sample" -> q87Sql,
     "q88_containment" -> q88Sql,
-    "q89_median_spikes" -> q89Sql
+    "q89_median_spikes" -> q89Sql,
+    "q90_vocab_coverage" -> q90Sql,
+    "q91_embedding_moments" -> q91Sql
   )
 }

@@ -108,6 +108,35 @@ object Relevance {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
 
+  /** Vocabulary coverage curve: for each candidate vocabulary size `k`,
+    * the fraction of all corpus token OCCURRENCES covered by the top-k
+    * types (count desc, term tie-break) — the first statistic of any
+    * tokenizer/vocab decision: how big must the vocab be before OOV
+    * mass is negligible. Token counts partially aggregate map-side
+    * (partials are vocabulary-sized, never corpus-sized); the rank
+    * window and the per-k sums then run over the COUNT TABLE only —
+    * the corpus itself is scanned once and never sorted. For web-scale
+    * vocabularies rank only the [[heavyHitters]] top-max(ks) first.
+    * Output: (k, covered, total, coverage). */
+  def vocabCoverage(df: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one vocab size")
+    val counts = df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+    val ranked = counts.withColumn("rk", row_number().over(w))
+    val total = ranked.agg(sum(col("cnt")).as("total"))
+    import df.sparkSession.implicits._
+    val ksDf = ks.toDF("k")
+    ranked.join(broadcast(ksDf), col("rk") <= col("k"))
+      .groupBy("k").agg(sum(col("cnt")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** Adjacent-token-pair frequencies: the global top-`k` bigrams by
     * occurrence count — the statistic behind the first BPE merge
     * selection (the pair-merge loop greedily merges the most frequent

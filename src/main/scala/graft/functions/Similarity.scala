@@ -661,6 +661,29 @@ object Similarity {
       .distinct() // a pair co-bucketed in several bands scores identically
   }
 
+  /** Per-dimension embedding moments — the health check a space should
+    * pass before ANN/semantic-dedup decisions trust it (a dead dimension
+    * has ~zero variance; a bad normalization shows in the means). One
+    * corpus pass: values integerize to exact micro-unit longs in the
+    * scan (the q64/q70 determinism pattern — order-independent integer
+    * sums, safe to partial-aggregate at any parallelism), the aggregate
+    * is `dim` rows, and mean/variance derive from (n, Σx, Σx²) with one
+    * defined division chain. Output: (dim, n, s1, s2, mean, variance). */
+  def embeddingMoments(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val x = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .select((col("i") + 1).as("dim"),
+        round(col("x") * lit(1000000.0), 0).cast("long").as("xi"))
+    val mean = col("s1").cast("double") / col("n")
+    x.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s1"),
+        sum(col("xi") * col("xi")).as("s2"))
+      .select(col("dim"), col("n"), col("s1"), col("s2"),
+        round(mean / lit(1000000.0), 6).as("mean"),
+        round((col("s2").cast("double") / col("n") - mean * mean)
+          / lit(1000000000000.0), 6).as("variance"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
     * cluster-bounded candidate generation. Every vector is assigned to
     * its nearest centroid (the same rounded-argmin [[pqCodes]] kernel the

@@ -258,4 +258,51 @@ object StreamAggs {
           }
         })
   }
+
+  final case class SpikeOut(user_id: Long, ts: java.sql.Timestamp, value: Double,
+                            baseline: Option[Double], is_spike: Boolean)
+  final case class SpikeState(window: Array[Double])
+
+  /** Streaming twin of [[graft.functions.RobustStats
+    * .trailingMedianSpikes]]: per-key state is a ring of the last
+    * `lookback` values; each arriving event scores against the exact
+    * interpolated median of that ring BEFORE being appended (a spike
+    * never votes on its own baseline), so on in-order arrivals the
+    * emitted flags match the batch operator row for row. State is
+    * BOUNDED at `lookback` doubles per live key and idle keys evict on
+    * the processing-time timeout — the monitor can watch an unbounded
+    * key space. Within a batch, rows apply in event-time order. */
+  def streamingSpikes(events: Dataset[Ev], lookback: Int = 12,
+                      factor: Double = 2.0,
+                      idleTimeoutMs: Long = 3600000L,
+                      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SpikeOut] = {
+    import events.sparkSession.implicits._
+    def median(v: Vector[Double]): Double = {
+      // the same (n-1)·p interpolation as exact percentile(0.5)
+      val s = v.sorted
+      val idx = 0.5 * (s.length - 1)
+      val lo = idx.toInt
+      if (lo + 1 >= s.length) s(lo) else s(lo) + (idx - lo) * (s(lo + 1) - s(lo))
+    }
+    val evict = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
+        (user: Long, rows: Iterator[Ev], state: GroupState[SpikeState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var buf = state.getOption.map(_.window.toVector).getOrElse(Vector.empty[Double])
+            val out = rows.toVector.sortBy(_.ts.getTime).map { ev =>
+              val baseline = if (buf.isEmpty) None else Some(median(buf))
+              val spike = baseline.exists(b => ev.value > factor * b)
+              buf = (buf :+ ev.value).takeRight(lookback)
+              SpikeOut(user, ev.ts, ev.value, baseline, spike)
+            }
+            state.update(SpikeState(buf.toArray))
+            if (evict) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+        })
+  }
 }

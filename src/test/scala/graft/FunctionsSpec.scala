@@ -1110,6 +1110,34 @@ class FunctionsSpec extends SparkSuite {
     assert(gb.forall(!_._3), "uniform group b has no outliers")
   }
 
+  test("vocabCoverage: exact coverage fractions on a known distribution") {
+    // counts: the=4, cat=2, dog=1, bird=1 → total 8
+    val docs = Seq("the cat the dog", "the cat the bird").toDF("text")
+    val out = graft.functions.Relevance.vocabCoverage(docs, "text", Seq(1, 2, 4))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, 4L, 8L), (2, 6L, 8L), (4, 8L, 8L)))
+    assert(out.map(_._4).toSeq == Seq(0.5, 0.75, 1.0))
+  }
+
+  test("embeddingMoments: exact micro-unit sums; dead dimension has zero variance") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.5f, 0.25f)),
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(1.0f, 0.0f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingMoments(emb)
+      .as[(Int, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(out.forall(_._2 == 3L))
+    // dim 1: constant 1.0 → dead dimension
+    assert(out(0)._3 == 3000000L && out(0)._5 == 1.0 && out(0)._6 == 0.0)
+    // dim 2: mean 0, variance = (0.25+0.25+0)/3
+    assert(out(1)._3 == 0L && out(1)._5 == 0.0 && out(1)._6 == 0.166667)
+    // dim 3: constant 0.25
+    assert(out(2)._5 == 0.25 && out(2)._6 == 0.0)
+  }
+
   test("containmentPairs catches subset duplication that Jaccard misses") {
     val small = "alpha beta gamma delta epsilon"
     val big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau"

@@ -413,4 +413,31 @@ class StreamAggsSpec extends SparkSuite {
     val got = spark.table("ssjoin").as[(String, String)].collect().toSet
     assert(got == Set(("c1", "i1"), ("c3", "i3")))
   }
+
+  test("streaming spikes: cross-batch state matches the batch operator row for row") {
+    import graft.functions.RobustStats
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, 0, 10.0), (1L, 1, 12.0), (1L, 2, 11.0), // batch 1
+      (1L, 3, 100.0), (1L, 4, 12.0), (2L, 4, 5.0), // batch 2 (spike at t3)
+      (2L, 5, 50.0), (1L, 6, 9.0)                  // batch 3 (user-2 spike)
+    ).map { case (u, t, v) => StreamAggs.Ev(u, ts(t), v) }
+    val mem = MemoryStream[StreamAggs.Ev]
+    val q = StreamAggs.streamingSpikes(mem.toDS(), lookback = 12, factor = 2.0,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("spikes").outputMode("update").start()
+    events.grouped(3).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("spikes").as[StreamAggs.SpikeOut].collect()
+      .map(r => (r.user_id, r.ts.getTime) -> (r.baseline, r.is_spike)).toMap
+    val batch = RobustStats.trailingMedianSpikes(
+        events.toDF().select(col("user_id"), col("ts"), col("value")),
+        "value", Seq("user_id"), Seq(col("ts")), lookback = 12, factor = 2.0)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // and the planted spikes are the only flags
+    val flagged = streamed.collect { case (k, (_, true)) => k }.toSet
+    assert(flagged == Set((1L, ts(3).getTime), (2L, ts(5).getTime)))
+  }
 }
