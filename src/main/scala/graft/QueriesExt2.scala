@@ -316,6 +316,79 @@ object QueriesExt2 {
        |             / 1000000000000.0, 6) AS variance
        |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Cross-source duplicate-mass matrix ([[graft.functions
+    * .DedupFunctions.sourceOverlapMatrix]]): per source pair, the count
+    * of shared canonical fingerprints — which source mirrors which, the
+    * planning table a corpus dedup campaign starts from. The corpus has
+    * no natural exact dups, so the query injects a deterministic
+    * `mirror` source (every doc_id % 13 = 0 copied verbatim) that the
+    * operator must attribute exactly. */
+  def q93SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val mirrored = Tables.documents(s, dir).filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        lit("mirror").as("source"))
+    graft.functions.DedupFunctions.sourceOverlapMatrix(
+      base.unionByName(mirrored), "text", "source")
+  }
+  val q93Sql: String =
+    s"""WITH u AS (SELECT doc_id, text, source FROM documents
+       |           UNION ALL
+       |           SELECT doc_id + 1000000, text, 'mirror' FROM documents
+       |           WHERE doc_id % 13 = 0),
+       |f AS (SELECT DISTINCT
+       |        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+       |        source
+       |      FROM u)
+       |SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared_docs
+       |FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  /** ANN MRR eval: mean reciprocal rank of the TRUE nearest neighbor
+    * (q17's exact top-1) inside each approximate tier's top-10 — the
+    * serving metric next to q63's recall. Reciprocal ranks integerize
+    * to exact micro-units (1000000 div rank) so the mean is an
+    * order-independent integer sum (the q64 pattern); a tier that
+    * drops the true NN contributes 0. Tiers: SQ8 (q68) and the JL
+    * sketch (q83). */
+  def q94AnnMrr(s: SparkSession, dir: String): DataFrame = {
+    val nn = QueriesExt.q17AnnCosine(s, dir).filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("nn"))
+    def mrrOf(tier: DataFrame, name: String): DataFrame =
+      nn.join(
+          tier.select(col("query_id").as("tq"), col("neighbor_id").as("tn"),
+            col("rank")),
+          col("query_id") === col("tq") && col("nn") === col("tn"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(expr("1000000 div rank"), lit(0L))).as("rrsum"))
+        .select(lit(name).as("tier"), col("n"),
+          round((col("rrsum").cast("double") / col("n")) / lit(1000000.0), 6)
+            .as("mrr"))
+    mrrOf(QueriesExt.q68SqAnn(s, dir), "sq8")
+      .unionByName(mrrOf(q83JlAnn(s, dir), "jl"))
+  }
+  val q94Sql: String = {
+    def tierCte(name: String, sql: String): String =
+      s"""$name AS (SELECT ex.query_id,
+         |    max(CASE WHEN t.neighbor_id = ex.nn THEN 1000000 // t.rank END) AS rr0
+         |  FROM ex LEFT JOIN (SELECT query_id, neighbor_id, rank FROM ($sql)) t
+         |    ON t.query_id = ex.query_id AND t.neighbor_id = ex.nn
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH ex AS (SELECT query_id, neighbor_id AS nn
+       |            FROM (${QueriesExt.q17Sql}) WHERE rank = 1),
+       |${tierCte("m_sq", QueriesExt.q68Sql)},
+       |${tierCte("m_jl", q83Sql)}
+       |SELECT 'sq8' AS tier, count(*)::BIGINT AS n,
+       |       round((sum(coalesce(rr0, 0))::DOUBLE / count(*)) / 1000000.0, 6) AS mrr
+       |FROM m_sq
+       |UNION ALL
+       |SELECT 'jl', count(*)::BIGINT,
+       |       round((sum(coalesce(rr0, 0))::DOUBLE / count(*)) / 1000000.0, 6)
+       |FROM m_jl""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -327,7 +400,9 @@ object QueriesExt2 {
     "q88_containment" -> (q88ContainmentPairs _),
     "q89_median_spikes" -> (q89MedianSpikes _),
     "q90_vocab_coverage" -> (q90VocabCoverage _),
-    "q91_embedding_moments" -> (q91EmbeddingMoments _)
+    "q91_embedding_moments" -> (q91EmbeddingMoments _),
+    "q93_source_overlap" -> (q93SourceOverlap _),
+    "q94_ann_mrr" -> (q94AnnMrr _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,6 +415,8 @@ object QueriesExt2 {
     "q88_containment" -> q88Sql,
     "q89_median_spikes" -> q89Sql,
     "q90_vocab_coverage" -> q90Sql,
-    "q91_embedding_moments" -> q91Sql
+    "q91_embedding_moments" -> q91Sql,
+    "q93_source_overlap" -> q93Sql,
+    "q94_ann_mrr" -> q94Sql
   )
 }

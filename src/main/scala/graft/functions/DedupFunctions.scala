@@ -99,6 +99,24 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"),
         round(col("c_a"), 6).as("c_a"), round(col("c_b"), 6).as("c_b"))
 
+  /** Cross-source duplicate-mass matrix: for every source pair, how many
+    * canonical-fingerprint duplicates they share — the planning artifact
+    * a corpus-level dedup starts from (which feeds mirror which; which
+    * pair's overlap justifies a full near-dup sweep). One hash aggregate
+    * to (fingerprint, source) — text never shuffles — then a
+    * content-hash equi-join whose groups are bounded by duplication
+    * multiplicity, never corpus size. Output: (src_a, src_b,
+    * shared_docs), src_a < src_b. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String,
+                          sourceCol: String): DataFrame = {
+    val f = df.select(TextFunctions.fingerprint(col(textCol)).as("h"),
+      col(sourceCol).as("source")).distinct()
+    f.as("a").join(f.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_docs"))
+  }
+
   /** Shared candidate stage of the shingle-overlap family: per-pair
     * (id_a, id_b, n_a, n_b, shared) for documents meeting through at
     * least one common shingle. */

@@ -1154,6 +1154,17 @@ class FunctionsSpec extends SparkSuite {
     assert(jac.isEmpty, "Jaccard 0.9 must miss the containment pair")
   }
 
+  test("sourceOverlapMatrix: canonical dupes pair sources once, within-source dups don't inflate") {
+    val docs = Seq(
+      (1L, "same text", "a"), (2L, "Same  TEXT", "b"), // canonical dup across a/b
+      (3L, "same text", "a"),                          // within-source dup: no self-pair
+      (4L, "unique doc", "a"), (5L, "same text", "c")  // c shares with a and b
+    ).toDF("doc_id", "text", "source")
+    val got = DedupFunctions.sourceOverlapMatrix(docs, "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
   test("trailingMedianSpikes: spike flags, never votes on its own baseline") {
     val rows = Seq(
       (1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 11.0),
