@@ -389,6 +389,76 @@ object QueriesExt2 {
        |FROM m_jl""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q95
+  /** PSI drift between corpus snapshots ([[RobustStats.psiDrift]]): the
+    * even-doc_id half is the reference feed; the odd half, with a
+    * deterministic +20% length drift (`n_chars + n_chars div 5` — the
+    * simulated re-crawl that started returning longer pages), is the
+    * current one. Both bin by the REFERENCE's quartile boundaries; per
+    * bin PSI = (cur% − ref%)·ln(cur%/ref%). Σ > 0.25 is the
+    * conventional retrain/investigate trigger for a corpus feed. */
+  def q95PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val ref = d.filter(col("doc_id") % 2 === 0)
+    val cur = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        (col("n_chars") + expr("n_chars div 5")).as("n_chars"))
+    RobustStats.psiDrift(ref, cur, "n_chars")
+  }
+  val q95Sql: String =
+    s"""WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS b1,
+       |                  quantile_cont(n_chars, 0.5)  AS b2,
+       |                  quantile_cont(n_chars, 0.75) AS b3
+       |           FROM documents WHERE doc_id % 2 = 0),
+       |r AS (SELECT (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END) +
+       |             (CASE WHEN n_chars > b2 THEN 1 ELSE 0 END) +
+       |             (CASE WHEN n_chars > b3 THEN 1 ELSE 0 END) AS bin
+       |      FROM documents CROSS JOIN b WHERE doc_id % 2 = 0),
+       |cu AS (SELECT (CASE WHEN v > b1 THEN 1 ELSE 0 END) +
+       |              (CASE WHEN v > b2 THEN 1 ELSE 0 END) +
+       |              (CASE WHEN v > b3 THEN 1 ELSE 0 END) AS bin
+       |       FROM (SELECT n_chars + n_chars // 5 AS v FROM documents
+       |             WHERE doc_id % 2 = 1) CROSS JOIN b),
+       |rc AS (SELECT bin, count(*)::BIGINT AS ref_n FROM r GROUP BY 1),
+       |cc AS (SELECT bin, count(*)::BIGINT AS cur_n FROM cu GROUP BY 1),
+       |j AS (SELECT coalesce(rc.bin, cc.bin) AS bin,
+       |             coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+       |      FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+       |t AS (SELECT bin, ref_n, cur_n,
+       |             ref_n::DOUBLE / sum(ref_n) OVER () AS rf,
+       |             cur_n::DOUBLE / sum(cur_n) OVER () AS cf
+       |      FROM j)
+       |SELECT bin, ref_n, cur_n, round(rf, 6) AS ref_frac,
+       |       round(cf, 6) AS cur_frac,
+       |       round(CASE WHEN ref_n > 0 AND cur_n > 0
+       |                  THEN (cf - rf) * ln(cf / rf) END, 6) AS psi
+       |FROM t""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** Hard-negative mining ([[Similarity.hardNegativesTopK]]): for each
+    * query vector, the 5 most-cosine-similar corpus vectors with a
+    * DIFFERENT label — the near-miss negatives a contrastive retriever
+    * trains against (random negatives carry no gradient). q17's exact
+    * broadcast-scan plan with the label-mismatch predicate applied
+    * before the per-query top-k window. */
+  def q96HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.hardNegativesTopK(e.filter(col("vec_id") < 8), e, k = 5)
+  }
+  val q96Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, label AS ql, embedding::DOUBLE[] AS qv
+       |           FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS nid, label AS cl, embedding::DOUBLE[] AS cv
+       |      FROM embeddings),
+       |s AS (SELECT qid, nid,
+       |        ${cosSql("qv", "cv")} AS sim
+       |      FROM q, c WHERE qid <> nid AND cl <> ql)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT qid AS query_id, nid AS neighbor_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY sim DESC, nid) AS INTEGER) AS rank
+       |  FROM s) WHERE rank <= 5""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -402,7 +472,9 @@ object QueriesExt2 {
     "q90_vocab_coverage" -> (q90VocabCoverage _),
     "q91_embedding_moments" -> (q91EmbeddingMoments _),
     "q93_source_overlap" -> (q93SourceOverlap _),
-    "q94_ann_mrr" -> (q94AnnMrr _)
+    "q94_ann_mrr" -> (q94AnnMrr _),
+    "q95_psi_drift" -> (q95PsiDrift _),
+    "q96_hard_negatives" -> (q96HardNegatives _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,6 +489,8 @@ object QueriesExt2 {
     "q90_vocab_coverage" -> q90Sql,
     "q91_embedding_moments" -> q91Sql,
     "q93_source_overlap" -> q93Sql,
-    "q94_ann_mrr" -> q94Sql
+    "q94_ann_mrr" -> q94Sql,
+    "q95_psi_drift" -> q95Sql,
+    "q96_hard_negatives" -> q96Sql
   )
 }

@@ -90,4 +90,49 @@ object RobustStats {
       .withColumn("is_spike",
         col("baseline").isNotNull && col(valueCol) > lit(factor) * col("baseline"))
   }
+
+  /** Population-stability-index drift between a reference snapshot and a
+    * current one: bin BOTH populations by the REFERENCE's quantile
+    * boundaries (drift must be measured against the baseline's own
+    * geometry — re-binning on the drifted data would hide the drift),
+    * then per bin PSI = (cur% − ref%)·ln(cur%/ref%). Σ over bins < 0.1
+    * is conventionally "stable", > 0.25 "major shift" — the
+    * retrain/investigate trigger for a corpus feed.
+    *
+    * Plan: one exact-percentile row on the reference (broadcast back to
+    * both scans — the q84 kernel), one hash-count per side over ≤
+    * `probs.length+1` bins, and a tiny outer join; nothing but the two
+    * narrow scans touches the data. Fractions divide exact integer
+    * counts; `ln` of that ratio is a single defined double op per bin,
+    * so every row replays externally. Bins one side never populates
+    * carry NULL psi (the standard undefined case) rather than an
+    * infinity that would swamp the sum. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val bounds = quantileBoundaries(ref, valueCol, probs)
+    def binCounts(df: DataFrame, cnt: String): DataFrame = {
+      val bin = probs.indices
+        .map(i => when(col(valueCol) > col(s"b${i + 1}"), 1).otherwise(0))
+        .reduce(_ + _)
+      df.crossJoin(broadcast(bounds)).select(bin.as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cnt))
+    }
+    val r = binCounts(ref, "ref_n")
+    val c = binCounts(cur, "cur_n")
+    val joined = r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rf = col("ref_n").cast("double") / col("ref_total")
+    val cf = col("cur_n").cast("double") / col("cur_total")
+    joined
+      .withColumn("ref_total", sum(col("ref_n")).over(w))
+      .withColumn("cur_total", sum(col("cur_n")).over(w))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round(rf, 6).as("ref_frac"), round(cf, 6).as("cur_frac"),
+        round(when(col("ref_n") > 0 && col("cur_n") > 0,
+          (cf - rf) * log(cf / rf)), 6).as("psi"))
+  }
 }

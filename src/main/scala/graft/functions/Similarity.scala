@@ -82,6 +82,26 @@ object Similarity {
     rerankTopK(c.crossJoin(q), k)
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * most-similar corpus vectors whose label DIFFERS from the query's —
+    * the near-miss negatives that teach a retriever its decision
+    * boundary (random negatives are too easy to carry gradient).
+    * Same plan as [[bruteForceTopK]] — queries (with their labels)
+    * broadcast, corpus scanned once — with the label-mismatch predicate
+    * applied before ranking so the window ranks only true negatives.
+    * Output: (query_id, neighbor_id, rank), ties → lower neighbor id. */
+  def hardNegativesTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("c_label"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    rerankTopK(c.crossJoin(q).filter(col("c_label") =!= col("q_label")), k)
+  }
+
   /** Exact top-k nearest neighbors by squared L2 distance — the ground
     * truth the PQ tier is measured against (PQ approximates L2, so its
     * recall must be evaluated against the same metric, not cosine).

@@ -1203,4 +1203,37 @@ class FunctionsSpec extends SparkSuite {
     val d3 = out.filter(_._1 == 3L).toSeq
     assert(d3 == Seq((3L, 3, 22, 20), (3L, 33, 52, 20)), s"got $d3")
   }
+
+  test("psiDrift: identical populations score 0; one-sided bins null out") {
+    val ref = (1 to 100).map(i => i.toLong).toDF("v")
+    val same = RobustStats.psiDrift(ref, ref, "v")
+      .select("bin", "ref_n", "cur_n", "psi")
+      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(same.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(same.forall(r => r._2 == r._3 && r._4.contains(0.0)), s"got ${same.toSeq}")
+    // current population entirely above the reference's top quartile:
+    // bins 0-2 have cur_n=0 (psi null, not ±inf), bin 3 holds everything
+    val high = (1 to 50).map(_ => 1000L).toDF("v")
+    val drift = RobustStats.psiDrift(ref, high, "v")
+      .select("bin", "ref_n", "cur_n", "psi")
+      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(drift.filter(_._1 < 3).forall(r => r._3 == 0L && r._4.isEmpty))
+    val top = drift.find(_._1 == 3).get
+    assert(top._3 == 50L && top._4.exists(p => p > 0.5), s"got $top")
+  }
+
+  test("hardNegativesTopK: same-label vectors never rank; nearest negative first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),   // query, label 0
+      (2L, Array(0.99f, 0.1f), 0),  // nearest overall but SAME label
+      (3L, Array(0.9f, 0.4f), 1),   // nearest negative
+      (4L, Array(0.0f, 1.0f), 1),   // orthogonal negative
+      (5L, Array(-1.0f, 0.0f), 2)   // opposite negative
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegativesTopK(
+        vecs.filter(col("vec_id") === 1L), vecs, k = 3)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(!out.exists(_._2 == 2L), "same-label vector must never appear")
+    assert(out.map(_._2).toSeq == Seq(3L, 4L, 5L), s"got ${out.toSeq}")
+  }
 }
