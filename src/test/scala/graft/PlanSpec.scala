@@ -493,6 +493,25 @@ class PlanSpec extends SparkSuite {
       "raw document text leaked into a shuffle")
   }
 
+  test("q95 PSI: only (bin, count) rows ever shuffle; boundary row broadcasts") {
+    val q = QueriesExt2.q95PsiDrift(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(!p.contains("CartesianProduct"),
+      "the one-row boundary frame must broadcast, not product:\n" + p.take(2000))
+    val exchanges = allShuffles(executed(q))
+    assert(exchanges.nonEmpty, "expected the per-side bin-count exchanges")
+    assert(exchanges.forall(!_.child.output.map(_.name).contains("n_chars")),
+      "raw per-document values leaked into a shuffle — counts must partial-agg map-side")
+  }
+
+  test("q96 hard negatives: queries broadcast, per-query top-k group-limits") {
+    val p = planString(QueriesExt2.q96HardNegatives(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=k filter must push below the exchange:\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the labeled query side must broadcast against the corpus scan:\n" + p.take(2000))
+  }
+
   test("q75 fuzzy match: candidates come from the gram equi-join, never all-pairs") {
     val p = planString(QueriesExt.q75FuzzyMatch(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
