@@ -459,6 +459,38 @@ object QueriesExt2 {
        |           ORDER BY sim DESC, nid) AS INTEGER) AS rank
        |  FROM s) WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Incremental-ingest snapshot diff ([[graft.operators.SnapshotDiff]]):
+    * yesterday's crawl (doc_id % 10 ≠ 9) vs today's (doc_id % 10 ≠ 0,
+    * with every doc_id % 7 = 0 page deterministically re-edited) →
+    * per-key added / removed / changed / unchanged. The O(delta)
+    * planning row an incremental re-embed/re-dedup pipeline starts
+    * from; fingerprints compare in the scan, text never joins. */
+  def q97SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val old = d.filter(col("doc_id") % 10 =!= 9)
+    val cur = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited v2]")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.SnapshotDiff.diff(old, cur, "doc_id", "text")
+  }
+  val q97Sql: String =
+    s"""WITH o AS (SELECT doc_id,
+       |             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |           FROM documents WHERE doc_id % 10 <> 9),
+       |c AS (SELECT doc_id,
+       |        md5(regexp_replace(trim(lower(
+       |          CASE WHEN doc_id % 7 = 0 THEN text || ' [edited v2]'
+       |               ELSE text END)), '\\s+', ' ', 'g')) AS fp
+       |      FROM documents WHERE doc_id % 10 <> 0)
+       |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+       |       CASE WHEN o.doc_id IS NULL THEN 'added'
+       |            WHEN c.doc_id IS NULL THEN 'removed'
+       |            WHEN o.fp <> c.fp THEN 'changed'
+       |            ELSE 'unchanged' END AS change
+       |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -474,7 +506,8 @@ object QueriesExt2 {
     "q93_source_overlap" -> (q93SourceOverlap _),
     "q94_ann_mrr" -> (q94AnnMrr _),
     "q95_psi_drift" -> (q95PsiDrift _),
-    "q96_hard_negatives" -> (q96HardNegatives _)
+    "q96_hard_negatives" -> (q96HardNegatives _),
+    "q97_snapshot_diff" -> (q97SnapshotDiff _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -491,6 +524,7 @@ object QueriesExt2 {
     "q93_source_overlap" -> q93Sql,
     "q94_ann_mrr" -> q94Sql,
     "q95_psi_drift" -> q95Sql,
-    "q96_hard_negatives" -> q96Sql
+    "q96_hard_negatives" -> q96Sql,
+    "q97_snapshot_diff" -> q97Sql
   )
 }

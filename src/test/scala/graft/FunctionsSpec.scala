@@ -1222,6 +1222,21 @@ class FunctionsSpec extends SparkSuite {
     assert(top._3 == 50L && top._4.exists(p => p > 0.5), s"got $top")
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged partition the key space") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val cur = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = graft.operators.SnapshotDiff.diff(old, cur, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // whitespace/case canonicalization: a reflowed doc is NOT a change
+    val reflow = Seq((2L, "  BETA  ")).toDF("doc_id", "text")
+    val g2 = graft.operators.SnapshotDiff.diff(
+        old.filter($"doc_id" === 2L), reflow, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(g2 == Map(2L -> "unchanged"))
+  }
+
   test("hardNegativesTopK: same-label vectors never rank; nearest negative first") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0),   // query, label 0
