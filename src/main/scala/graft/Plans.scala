@@ -153,7 +153,22 @@ object Plans {
       "64-bit window hash) longs in its own scan — THE TEXT NEVER SHUFFLES — then " +
       "first-occurrence marking is one window over the hash exchange and span merging " +
       "sessionizes per doc (running-max gap merge, the q29 shape) on the doc exchange; " +
-      "no join anywhere in the pipeline.")
+      "no join anywhere in the pipeline."),
+    "q95_psi_drift" -> ("PSI drift: the reference's quartile row (ONE exact-percentile " +
+      "aggregate) broadcasts back to both snapshot scans, each side partial-aggregates to " +
+      "(bin, count) map-side — the only exchanges carry ≤5 rows each — and the PSI algebra " +
+      "runs on the joined count frame; two narrow scans are the entire data-path cost at " +
+      "any corpus size."),
+    "q96_hard_negatives" -> ("hard-negative mining: the labeled query side broadcasts " +
+      "(q17's plan), the corpus scans once with the label-mismatch predicate applied " +
+      "BEFORE the per-query rank window, and WindowGroupLimit caps each query's candidate " +
+      "set below the exchange — mining negatives for Q queries costs one corpus scan " +
+      "regardless of Q."),
+    "q97_snapshot_diff" -> ("snapshot diff: both snapshots project to (key, 16-byte " +
+      "fingerprint) inside their scans — document text never reaches the join — then one " +
+      "full-outer key join classifies added/removed/changed/unchanged; each side shuffles " +
+      "its fingerprint pairs once, and bucketing both snapshots by the key makes the " +
+      "daily-delta join exchange-free.")
   )
 
   def main(args: Array[String]): Unit = {
