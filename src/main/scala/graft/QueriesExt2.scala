@@ -491,6 +491,27 @@ object QueriesExt2 {
        |            ELSE 'unchanged' END AS change
        |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Distinct-n corpus diversity ([[graft.functions.Relevance
+    * .distinctNgramRatio]]): per source, distinct word trigrams over
+    * total trigram occurrences — the corpus-grain template/boilerplate
+    * detector (a content farm's ratio collapses while every individual
+    * page passes q27's within-doc repetition gate). */
+  def q98DistinctNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Relevance.distinctNgramRatio(
+      docs(s, dir).select(col("source"), col("text")), "text", "source", n = 3)
+  val q98Sql: String =
+    s"""WITH g AS (SELECT source,
+       |             unnest([x[i] || ' ' || x[i+1] || ' ' || x[i+2]
+       |                     for i in range(1, len(x) - 1)]) AS gram
+       |           FROM (SELECT source, ${QueriesExt.toksSql} AS x
+       |                 FROM documents)),
+       |o AS (SELECT source, gram, count(*) AS occ FROM g GROUP BY 1, 2)
+       |SELECT source, count(*)::BIGINT AS distinct_ngrams,
+       |       sum(occ)::BIGINT AS total_ngrams,
+       |       round(count(*)::DOUBLE / sum(occ), 6) AS distinct_ratio
+       |FROM o GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -507,7 +528,8 @@ object QueriesExt2 {
     "q94_ann_mrr" -> (q94AnnMrr _),
     "q95_psi_drift" -> (q95PsiDrift _),
     "q96_hard_negatives" -> (q96HardNegatives _),
-    "q97_snapshot_diff" -> (q97SnapshotDiff _)
+    "q97_snapshot_diff" -> (q97SnapshotDiff _),
+    "q98_distinct_ngrams" -> (q98DistinctNgrams _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -525,6 +547,7 @@ object QueriesExt2 {
     "q94_ann_mrr" -> q94Sql,
     "q95_psi_drift" -> q95Sql,
     "q96_hard_negatives" -> q96Sql,
-    "q97_snapshot_diff" -> q97Sql
+    "q97_snapshot_diff" -> q97Sql,
+    "q98_distinct_ngrams" -> q98Sql
   )
 }

@@ -381,4 +381,28 @@ object Relevance {
       .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
         round(col("logp_sum") / col("n_tok"), 6).as("mean_logp"))
   }
+
+  /** Distinct-n diversity (Li et al. 2016, applied corpus-side): per
+    * group, distinct word n-grams over TOTAL n-gram occurrences — low
+    * ratios expose template farms and boilerplate-heavy feeds that
+    * repetition filters (q27) miss at the single-document grain.
+    * Two stacked hash aggregates: (group, gram) occurrences partial-agg
+    * map-side — a template-heavy source collapses most of its mass in
+    * the map phase, so the exchange carries near-distinct grams — then a
+    * group-sized rollup of (distinct, total). */
+  def distinctNgramRatio(df: DataFrame, textCol: String, groupCol: String,
+                         n: Int = 3): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val cnt = size(toks) - (n - 1)
+    val grams = when(cnt > 0, transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(groupCol), explode(grams).as("gram"))
+      .groupBy(col(groupCol), col("gram")).agg(count(lit(1)).as("occ"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("distinct_ngrams"), sum(col("occ")).as("total_ngrams"))
+      .select(col(groupCol), col("distinct_ngrams"), col("total_ngrams"),
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("distinct_ratio"))
+  }
 }

@@ -1237,6 +1237,24 @@ class FunctionsSpec extends SparkSuite {
     assert(g2 == Map(2L -> "unchanged"))
   }
 
+  test("distinctNgramRatio: template group collapses, diverse group stays near 1") {
+    val docs = Seq(
+      ("farm", "buy cheap pills now"), ("farm", "buy cheap pills now"),
+      ("farm", "buy cheap pills now"),          // 3 docs × 2 identical trigrams
+      ("blog", "the quick brown fox jumps")     // 3 distinct trigrams
+    ).toDF("source", "text")
+    val got = graft.functions.Relevance
+      .distinctNgramRatio(docs, "text", "source", n = 3)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("farm") == ((2L, 6L, 0.333333)), s"got ${got("farm")}")
+    assert(got("blog") == ((3L, 3L, 1.0)), s"got ${got("blog")}")
+    // docs shorter than n contribute nothing (no group row if none qualify)
+    val short = Seq(("tiny", "hi there")).toDF("source", "text")
+    assert(graft.functions.Relevance
+      .distinctNgramRatio(short, "text", "source", n = 3).isEmpty)
+  }
+
   test("hardNegativesTopK: same-label vectors never rank; nearest negative first") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0),   // query, label 0
