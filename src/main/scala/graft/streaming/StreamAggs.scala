@@ -305,4 +305,50 @@ object StreamAggs {
           }
         })
   }
+
+  final case class DiffOut(doc_id: Long, change: String)
+  final case class FpState(fp: String)
+
+  /** Streaming twin of [[graft.operators.SnapshotDiff]]: per-key state is
+    * the last seen canonical fingerprint; each arriving document emits
+    * `added` (first sight), `changed` (fingerprint differs) or
+    * `unchanged` — the O(delta) gate that lets a live ingest re-embed /
+    * re-dedup only what actually moved. `removed` is structurally
+    * unobservable in a stream (absence is not an event); deletions ride
+    * the CDC delete path or a periodic batch [[graft.operators
+    * .SnapshotDiff.diff]] sweep. State is ONE 32-char fingerprint per
+    * live key, idle keys evict on the processing-time timeout; within a
+    * batch, rows apply in event-time order so a same-batch rewrite
+    * emits added then changed, matching replay order. */
+  def streamingSnapshotDiff(docs: DataFrame, tsCol: String, textCol: String,
+                            idCol: String, idleTimeoutMs: Long = 3600000L,
+                            timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[DiffOut] = {
+    import docs.sparkSession.implicits._
+    val evict = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    docs.select(col(idCol).cast("long"), col(tsCol).cast("timestamp"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
+        (id: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[FpState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var prev = state.getOption.map(_.fp)
+            val out = rows.toVector.sortBy(_._2.getTime).map { case (_, _, fp) =>
+              val change = prev match {
+                case None => "added"
+                case Some(p) if p != fp => "changed"
+                case _ => "unchanged"
+              }
+              prev = Some(fp)
+              DiffOut(id, change)
+            }
+            state.update(FpState(prev.get))
+            if (evict) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+        })
+  }
 }

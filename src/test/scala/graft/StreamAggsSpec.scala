@@ -440,4 +440,34 @@ class StreamAggsSpec extends SparkSuite {
     val flagged = streamed.collect { case (k, (_, true)) => k }.toSet
     assert(flagged == Set((1L, ts(3).getTime), (2L, ts(5).getTime)))
   }
+
+  test("streaming snapshot diff: cross-batch added/changed/unchanged matches batch diff") {
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.streamingSnapshotDiff(docs, "ts", "text", "doc_id",
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sdiff").outputMode("update").start()
+    // Batch 1: the "old snapshot" — everything is first-sight
+    mem.addData(Seq((ts(0), 1L, "alpha"), (ts(0), 2L, "beta"), (ts(0), 3L, "gamma")))
+    q.processAllAvailable()
+    val b1 = spark.table("sdiff").as[StreamAggs.DiffOut].collect()
+      .map(r => r.doc_id -> r.change).toMap
+    assert(b1 == Map(1L -> "added", 2L -> "added", 3L -> "added"))
+    // Batch 2: the "current snapshot" re-crawl — 2 unchanged (reflowed
+    // whitespace canonicalizes away), 3 edited, 4 new
+    mem.addData(Seq((ts(5), 2L, "  BETA "), (ts(5), 3L, "gamma EDITED"),
+      (ts(5), 4L, "delta")))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sdiff").as[StreamAggs.DiffOut].collect()
+    val b2 = all.drop(b1.size).map(r => r.doc_id -> r.change).toMap
+    assert(b2 == Map(2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // batch-operator parity on the same two snapshots (minus `removed`,
+    // which a stream cannot observe)
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val cur = Seq((2L, "  BETA "), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val batch = graft.operators.SnapshotDiff.diff(old, cur, "doc_id", "text")
+      .as[(Long, String)].collect().toMap.filter(_._2 != "removed")
+    assert(b2 == batch, s"streamed=$b2 batch=$batch")
+  }
 }
