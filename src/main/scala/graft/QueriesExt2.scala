@@ -512,6 +512,42 @@ object QueriesExt2 {
        |       round(count(*)::DOUBLE / sum(occ), 6) AS distinct_ratio
        |FROM o GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Sparse TF-IDF cosine pairs ([[graft.functions.Relevance
+    * .tfidfCosinePairs]]): the model-free text-vector near-dup tier
+    * between shingle Jaccard (q15) and embedding cosine (q32) — tf·idf
+    * weights, pairs meeting through a shared-term equi-join, dot
+    * products and norms as order-independent micro-unit integer sums
+    * (the q64 pattern). */
+  def q99TfidfCosine(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Relevance.tfidfCosinePairs(
+      docsSample(s, dir), "text", "doc_id", threshold = 0.75)
+  val q99Sql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |tok AS (SELECT doc_id AS id, unnest(${QueriesExt.toksSql}) AS term FROM d),
+       |tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM tok
+       |       WHERE len(term) > 0 GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM d),
+       |w AS (SELECT id, term,
+       |        tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) AS w
+       |      FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+       |nrm AS (SELECT id,
+       |          sqrt(sum(CAST(round(w * w * 1000000) AS BIGINT))::DOUBLE
+       |               / 1000000) AS nrm
+       |        FROM w GROUP BY 1),
+       |dots AS (SELECT a.id AS id_a, b.id AS id_b,
+       |           sum(CAST(round(a.w * b.w * 1000000) AS BIGINT)) AS dot_micro
+       |         FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+       |         GROUP BY 1, 2)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT id_a, id_b,
+       |         round((dot_micro::DOUBLE / 1000000) / (na.nrm * nb.nrm), 6)
+       |           AS cosine
+       |  FROM dots JOIN nrm na ON na.id = dots.id_a
+       |            JOIN nrm nb ON nb.id = dots.id_b)
+       |WHERE cosine >= 0.75""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -529,7 +565,8 @@ object QueriesExt2 {
     "q95_psi_drift" -> (q95PsiDrift _),
     "q96_hard_negatives" -> (q96HardNegatives _),
     "q97_snapshot_diff" -> (q97SnapshotDiff _),
-    "q98_distinct_ngrams" -> (q98DistinctNgrams _)
+    "q98_distinct_ngrams" -> (q98DistinctNgrams _),
+    "q99_tfidf_cosine" -> (q99TfidfCosine _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +585,7 @@ object QueriesExt2 {
     "q95_psi_drift" -> q95Sql,
     "q96_hard_negatives" -> q96Sql,
     "q97_snapshot_diff" -> q97Sql,
-    "q98_distinct_ngrams" -> q98Sql
+    "q98_distinct_ngrams" -> q98Sql,
+    "q99_tfidf_cosine" -> q99Sql
   )
 }

@@ -382,6 +382,45 @@ object Relevance {
         round(col("logp_sum") / col("n_tok"), 6).as("mean_logp"))
   }
 
+  /** Sparse TF-IDF cosine similarity between documents — the text-vector
+    * near-dup tier between exact shingle Jaccard (surface overlap) and
+    * embedding cosine (requires a model): tf·ln(N/df) term weights, pair
+    * similarity via DISTRIBUTED per-term products. Candidates meet
+    * through a shared-term equi-join (never all-pairs; at corpus scale
+    * drop saturated terms first — the q35 frequency valve — since a term
+    * with df≈N carries idf≈0 anyway); per-term products and per-doc
+    * squared weights integerize to micro-units BEFORE their sums, so
+    * both the dot product and the norms are order-independent integer
+    * aggregates that replay externally (the q64 pattern).
+    * Output: (id_a, id_b, cosine) for pairs at or above `threshold`. */
+  def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double = 0.2): DataFrame = {
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val tf = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))).as("w"))
+    val norms = w.groupBy("id")
+      .agg(sum(round(col("w") * col("w") * 1e6, 0).cast("long")).as("w2_micro"))
+      .select(col("id"), sqrt(col("w2_micro").cast("double") / 1e6).as("nrm"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(round(col("a.w") * col("b.w") * 1e6, 0).cast("long")).as("dot_micro"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round((col("dot_micro").cast("double") / 1e6) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Distinct-n diversity (Li et al. 2016, applied corpus-side): per
     * group, distinct word n-grams over TOTAL n-gram occurrences — low
     * ratios expose template farms and boilerplate-heavy feeds that

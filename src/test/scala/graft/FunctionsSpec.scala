@@ -1255,6 +1255,22 @@ class FunctionsSpec extends SparkSuite {
       .distinctNgramRatio(short, "text", "source", n = 3).isEmpty)
   }
 
+  test("tfidfCosinePairs: identical docs hit 1.0; disjoint vocab never pairs") {
+    val docs = Seq(
+      (1L, "spark streaming pipeline design"),
+      (2L, "spark streaming pipeline design"),   // exact twin of 1
+      (3L, "entirely unrelated gardening prose") // shares no terms
+    ).toDF("doc_id", "text")
+    val got = graft.functions.Relevance
+      .tfidfCosinePairs(docs, "text", "doc_id", threshold = 0.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 3's terms are unique (df=1) but meet nobody; docs 1-2 share
+    // every term. Terms with df=N carry idf=0, so the twin pair's
+    // weights come only from df=2 terms — cosine must still be exactly 1
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $got")
+    assert(got.head._3 == 1.0, s"twin cosine was ${got.head._3}")
+  }
+
   test("hardNegativesTopK: same-label vectors never rank; nearest negative first") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0),   // query, label 0
