@@ -168,7 +168,13 @@ object Plans {
       "fingerprint) inside their scans — document text never reaches the join — then one " +
       "full-outer key join classifies added/removed/changed/unchanged; each side shuffles " +
       "its fingerprint pairs once, and bucketing both snapshots by the key makes the " +
-      "daily-delta join exchange-free.")
+      "daily-delta join exchange-free."),
+    "q99_tfidf_cosine" -> ("TF-IDF cosine pairs: term weights build from two stacked " +
+      "partial aggregates ((doc,term) tf then per-term df), candidate pairs meet through " +
+      "the shared-term equi-join — never a product; a term with df≈N carries idf≈0, so the " +
+      "q35-style frequency valve drops it with no recall cost — and both the per-pair dot " +
+      "and the per-doc norms are micro-unit INTEGER sums (order-independent, partial-agg " +
+      "friendly, externally replayable).")
   )
 
   def main(args: Array[String]): Unit = {

@@ -512,6 +512,16 @@ class PlanSpec extends SparkSuite {
       "the labeled query side must broadcast against the corpus scan:\n" + p.take(2000))
   }
 
+  test("q99 TF-IDF cosine: pairs meet through the term equi-join, never a product") {
+    val q = QueriesExt2.q99TfidfCosine(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(!p.contains("CartesianProduct"),
+      "pair candidates must come from the shared-term equi-join:\n" + p.take(2000))
+    val exchanges = allShuffles(executed(q))
+    assert(exchanges.forall(!_.child.output.map(_.name).contains("text")),
+      "raw document text leaked into a shuffle — weights must project in the scan")
+  }
+
   test("q75 fuzzy match: candidates come from the gram equi-join, never all-pairs") {
     val p = planString(QueriesExt.q75FuzzyMatch(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
