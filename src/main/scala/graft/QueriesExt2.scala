@@ -548,6 +548,28 @@ object QueriesExt2 {
        |            JOIN nrm nb ON nb.id = dots.id_b)
        |WHERE cosine >= 0.75""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** Leakage-safe group split ([[graft.functions.Splits
+    * .withGroupSplit]]): split assignment is a function of the SOURCE,
+    * so a domain's near-identical pages can never straddle train/eval —
+    * the structural guard that doc-level hash splits (q25) lack and
+    * decontamination sweeps (q26) then have to hunt. Output is the
+    * balance dashboard the group split obligates: per split, how many
+    * sources and documents landed there. */
+  def q100GroupSplit(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Splits.withGroupSplit(
+        docs(s, dir).select(col("doc_id"), col("source")), "source")
+      .groupBy("split")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"))
+  val q100Sql: String =
+    s"""SELECT CASE WHEN substring(md5(source), 1, 1) < 'c' THEN 'train'
+       |            WHEN substring(md5(source), 1, 1) < 'e' THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       count(DISTINCT source)::BIGINT AS n_sources,
+       |       count(*)::BIGINT AS n_docs
+       |FROM documents GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -566,7 +588,8 @@ object QueriesExt2 {
     "q96_hard_negatives" -> (q96HardNegatives _),
     "q97_snapshot_diff" -> (q97SnapshotDiff _),
     "q98_distinct_ngrams" -> (q98DistinctNgrams _),
-    "q99_tfidf_cosine" -> (q99TfidfCosine _)
+    "q99_tfidf_cosine" -> (q99TfidfCosine _),
+    "q100_group_split" -> (q100GroupSplit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -586,6 +609,7 @@ object QueriesExt2 {
     "q96_hard_negatives" -> q96Sql,
     "q97_snapshot_diff" -> q97Sql,
     "q98_distinct_ngrams" -> q98Sql,
-    "q99_tfidf_cosine" -> q99Sql
+    "q99_tfidf_cosine" -> q99Sql,
+    "q100_group_split" -> q100Sql
   )
 }

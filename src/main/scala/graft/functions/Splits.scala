@@ -31,6 +31,18 @@ object Splits {
   def withSplit(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("split", splitAssign(col(idCol)))
 
+  /** Leakage-safe GROUP split: the split is a function of `groupCol`
+    * (domain, source, author…), so every document of a group lands in
+    * the same split BY CONSTRUCTION — near-identical documents cluster
+    * within domains, and a doc-level hash split scatters those twins
+    * across train/eval (the leakage q26 then has to hunt). The price is
+    * balance: splits are now sums of group sizes, so verify proportions
+    * downstream (and split on the finest group that still blocks
+    * leakage). Same md5 algebra as [[splitAssign]] — deterministic, no
+    * RNG, no shuffle, externally replayable. */
+  def withGroupSplit(df: DataFrame, groupCol: String): DataFrame =
+    df.withColumn("split", splitAssign(col(groupCol)))
+
   /** Near-duplicate pairs (n-gram Jaccard ≥ threshold) whose members fall
     * in different splits — training-set contamination of eval splits.
     * Inherits the default-on shingle-frequency cap

@@ -1271,6 +1271,17 @@ class FunctionsSpec extends SparkSuite {
     assert(got.head._3 == 1.0, s"twin cosine was ${got.head._3}")
   }
 
+  test("withGroupSplit: no group ever straddles a split; assignment matches splitAssign") {
+    val docs = (1 to 200).map(i => (i.toLong, s"dom${i % 23}")).toDF("doc_id", "source")
+    val out = graft.functions.Splits.withGroupSplit(docs, "source")
+      .select("source", "split").as[(String, String)].collect()
+    val bySource = out.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(bySource.values.forall(_.length == 1),
+      s"a group straddled splits: ${bySource.filter(_._2.length > 1)}")
+    // all three splits are reachable across 23 domains
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
+
   test("hardNegativesTopK: same-label vectors never rank; nearest negative first") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0),   // query, label 0
