@@ -47,6 +47,57 @@ object StreamAggs {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Windowed PSI drift monitor — the streaming production shape of
+    * [[graft.functions.RobustStats.psiDrift]]: the static reference
+    * snapshot trains the model ONCE (quantile boundaries + per-bin
+    * fractions, a ≤5-row frame collected driver-side — the q82
+    * centroid pattern), then each tumbling window of the live feed
+    * bins against those FROZEN boundaries and emits one row
+    * (window_start, window_end, cur_total, psi) when the watermark
+    * closes the window. One streaming aggregation whose state is 4
+    * conditional counters per open window; bins the window never
+    * populates are skipped (the batch operator's NULL convention), so
+    * `psi` is the sum of defined per-bin terms — identical to summing
+    * the batch operator's non-null `psi` column over the same slice. */
+  def streamingPsi(docs: DataFrame, tsCol: String, valueCol: String,
+                   ref: DataFrame, refValueCol: String, window: String,
+                   watermark: String,
+                   probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val bounds = graft.functions.RobustStats
+      .quantileBoundaries(ref, refValueCol, probs).collect().head
+    val bs = probs.indices.map(i => bounds.getDouble(i))
+    val nBins = probs.length + 1
+    val refCounts = ref.select(
+        probs.indices.map(i => when(col(refValueCol) > bs(i), 1).otherwise(0))
+          .reduce(_ + _).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refTotal = refCounts.values.sum.toDouble
+    val bin = probs.indices.map(i => when(col(valueCol) > bs(i), 1).otherwise(0))
+      .reduce(_ + _)
+    val binCols = (0 until nBins).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agg = docs
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(binCols.head, binCols.tail: _*)
+    val total = (0 until nBins).map(b => col(s"c$b")).reduce(_ + _)
+    val psi = (0 until nBins).flatMap { b =>
+      val rf = refCounts.getOrElse(b, 0L) / refTotal
+      if (rf == 0.0) None
+      else {
+        val cf = col(s"c$b").cast("double") / col("cur_total")
+        Some(when(col(s"c$b") > 0, (cf - lit(rf)) * log(cf / lit(rf)))
+          .otherwise(lit(0.0)))
+      }
+    }.reduce(_ + _)
+    agg
+      .withColumn("cur_total", total)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("cur_total"),
+        round(psi, 6).as("psi"))
+  }
+
   /** Streaming exact dedup across micro-batches: state-backed
     * `dropDuplicatesWithinWatermark` on the canonical text fingerprint —
     * the streaming twin of [[graft.functions.DedupFunctions.exactDedup]].

@@ -441,6 +441,39 @@ class StreamAggsSpec extends SparkSuite {
     assert(flagged == Set((1L, ts(3).getTime), (2L, ts(5).getTime)))
   }
 
+  test("streaming PSI: per-window drift matches the batch operator's non-null sum") {
+    import graft.functions.RobustStats
+    import org.apache.spark.sql.functions.col
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val mem = MemoryStream[(Timestamp, Double)]
+    val docs = mem.toDF().toDF("ts", "value")
+    val q = StreamAggs.streamingPsi(docs, "ts", "value", ref, "v",
+        window = "1 minute", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("spsi").outputMode("append").start()
+    // window A: the reference distribution itself → PSI must be 0
+    mem.addData((1 to 100).map(i => (ts(0), i.toDouble)))
+    q.processAllAvailable()
+    // window B: total drift — everything lands in the top bin
+    mem.addData((1 to 50).map(_ => (ts(60), 1000.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((ts(180), 50.0))) // drag the watermark past window B
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spsi")
+      .select("window_start", "cur_total", "psi")
+      .as[(Timestamp, Long, Double)].collect()
+      .map(r => r._1.getTime -> ((r._2, r._3))).toMap
+    assert(got(ts(0).getTime) == ((100L, 0.0)), s"got $got")
+    // batch parity on the drifted slice: sum of the non-null per-bin psi
+    val batchPsi = RobustStats.psiDrift(ref,
+        (1 to 50).map(_ => 1000.0).toDF("v"), "v")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum(col("psi")), 6))
+      .as[Double].head()
+    assert(got(ts(60).getTime) == ((50L, batchPsi)),
+      s"streamed=${got(ts(60).getTime)} batch=$batchPsi")
+  }
+
   test("streaming snapshot diff: cross-batch added/changed/unchanged matches batch diff") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF().toDF("ts", "doc_id", "text")
