@@ -570,6 +570,30 @@ object QueriesExt2 {
        |       count(*)::BIGINT AS n_docs
        |FROM documents GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Hourly ingest dedup-rate dashboard: per hour, how many events are
+    * payload-identical re-deliveries (same user/type/value — the
+    * at-least-once delivery health metric an ingest SLO watches; a
+    * rate step-change means a producer started retrying). One hash
+    * aggregate per hour bucket; the distinct count partial-aggregates
+    * on (hour, payload) before the hour rollup. */
+  def q101DedupRate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id"), col("event_type"), col("value"))
+          .as("n_distinct"))
+      .select(col("hour"), col("n_events"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_events"), 6)
+          .as("dup_rate"))
+  val q101Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      |       count(*) AS n_events,
+      |       count(DISTINCT (user_id, event_type, "value")) AS n_distinct,
+      |       round(1.0 - count(DISTINCT (user_id, event_type, "value"))::DOUBLE
+      |             / count(*), 6) AS dup_rate
+      |FROM events GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -589,7 +613,8 @@ object QueriesExt2 {
     "q97_snapshot_diff" -> (q97SnapshotDiff _),
     "q98_distinct_ngrams" -> (q98DistinctNgrams _),
     "q99_tfidf_cosine" -> (q99TfidfCosine _),
-    "q100_group_split" -> (q100GroupSplit _)
+    "q100_group_split" -> (q100GroupSplit _),
+    "q101_dedup_rate" -> (q101DedupRate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -610,6 +635,7 @@ object QueriesExt2 {
     "q97_snapshot_diff" -> q97Sql,
     "q98_distinct_ngrams" -> q98Sql,
     "q99_tfidf_cosine" -> q99Sql,
-    "q100_group_split" -> q100Sql
+    "q100_group_split" -> q100Sql,
+    "q101_dedup_rate" -> q101Sql
   )
 }
