@@ -4,10 +4,15 @@ import graft.functions.{ExactSubstrings, RobustStats, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-6 training-data-pipeline operators: cluster-scoped semantic
-  * dedup (SemDeDup), Johnson–Lindenstrauss sketch ANN, quantile feature
-  * binning, median/MAD robust outliers, and character-grain exact
-  * duplicated-substring spans. Same contract as [[QueriesExt]]: every
+/** Round-6 training-data-pipeline operators (q82–q101): cluster-scoped
+  * semantic dedup (SemDeDup), Johnson–Lindenstrauss sketch ANN, quantile
+  * feature binning, median/MAD robust outliers, character-grain exact
+  * duplicated-substring spans, cluster-balanced sampling, containment
+  * pairs, trailing-median spike detection, vocabulary coverage,
+  * embedding moments, cross-source duplicate mass, ANN MRR, PSI snapshot
+  * drift, hard-negative mining, incremental snapshot diff, distinct-n
+  * diversity, TF-IDF sparse cosine, leakage-safe group split, and the
+  * hourly ingest dedup-rate. Same contract as [[QueriesExt]]: every
   * query has a DuckDB oracle that replays the full operator chain
   * value-for-value (integer/string arithmetic, deterministic double
   * folds, rounded ranking keys). */
