@@ -401,7 +401,12 @@ object Relevance {
       .filter(length(col("term")) > 0)
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df = N ⇒ idf = ln(1) = 0 ⇒ the term contributes EXACTLY nothing to
+    // any dot or norm — dropping it is result-identical, and those are
+    // precisely the highest-fanout keys of the pair join (a corpus-wide
+    // stopword pairs every document with every other).
     val w = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .filter(col("df") < col("n_docs"))
       .select(col("id"), col("term"),
         (col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("w"))
