@@ -143,12 +143,15 @@ object QueriesExt {
     DedupFunctions.minhashLshPairs(
       docsSample(s, dir), "text", "doc_id",
       n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
-  val q14Sql: String = {
+  /** The full MinHash → banding → candidate → exact-verify oracle chain
+    * over any CTE block that produces `t(doc_id, sh)` — q14 runs it on
+    * the 10% sample; q102 replays it over a planted-duplicate corpus. */
+  private[graft] def minhashChainSql(tCte: String): String = {
     val coeffs = (1 to 32).map { i =>
       val (a, b) = DedupFunctions.minhashCoeff(i)
       s"($i, $a, $b)"
     }.mkString(", ")
-    s"""WITH $shingleCteSql,
+    s"""WITH $tCte,
        |tt AS (SELECT doc_id, len(sh) AS n_sh, sh FROM t WHERE len(sh) > 0),
        |tok AS (SELECT doc_id, n_sh,
        |          ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT
@@ -169,6 +172,7 @@ object QueriesExt {
        |        FROM cand c JOIN tt ta ON ta.doc_id = c.id_a JOIN tt tb ON tb.doc_id = c.id_b)
        |${jaccardSelectSql("ver")}""".stripMargin
   }
+  val q14Sql: String = minhashChainSql(shingleCteSql)
 
   // ---------------------------------------------------------------- q15
   /** Exact n-gram Jaccard near-dup pairs (the oracle twin of q14): bigram

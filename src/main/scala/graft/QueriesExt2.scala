@@ -599,6 +599,48 @@ object QueriesExt2 {
       |             / count(*), 6) AS dup_rate
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** MinHash-LSH dedup recall ([[graft.functions.DedupFunctions
+    * .minhashLshPairs]] under evaluation): plant one high-Jaccard
+    * near-dup per sampled document (a 5-word suffix edit), run the q14
+    * tier over base ∪ planted, and measure the fraction of planted
+    * pairs it recovers — the dedup-campaign acceptance metric next to
+    * the ANN tiers' recall (q63) and MRR (q94). The banding theory says
+    * a ≈0.95-Jaccard pair escapes a 16-band/2-row scheme with
+    * probability (1−J²)¹⁶ ≈ 10⁻¹⁶ — recall prints 1.0, and a
+    * regression in shingling/banding/verify breaks it loudly. */
+  def q102LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = docsSample(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" graft planted near dup suffix")).as("text"))
+    val found = graft.functions.DedupFunctions.minhashLshPairs(
+      base.unionByName(planted), "text", "doc_id",
+      n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
+    base.select(col("doc_id").as("pid"), (col("doc_id") + 1000000L).as("did"))
+      .join(found, col("id_a") === col("pid") && col("id_b") === col("did"),
+        "left")
+      .agg(count(lit(1)).as("n_planted"), count(col("id_a")).as("n_found"))
+      .select(col("n_planted"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_planted"), 6).as("recall"))
+  }
+  val q102Sql: String = {
+    val tCte =
+      s"""u AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |      UNION ALL
+         |      SELECT doc_id + 1000000, text || ' graft planted near dup suffix'
+         |      FROM documents WHERE doc_id % 10 = 0),
+         |t AS (SELECT doc_id,
+         |        list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
+         |      FROM (SELECT doc_id, ${QueriesExt.toksSql} AS x FROM u))""".stripMargin
+    s"""SELECT count(*)::BIGINT AS n_planted,
+       |       count(f.id_a)::BIGINT AS n_found,
+       |       round(count(f.id_a)::DOUBLE / count(*), 6) AS recall
+       |FROM (SELECT doc_id AS pid, doc_id + 1000000 AS did
+       |      FROM documents WHERE doc_id % 10 = 0) p
+       |LEFT JOIN (${QueriesExt.minhashChainSql(tCte)}) f
+       |  ON f.id_a = p.pid AND f.id_b = p.did""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -619,7 +661,8 @@ object QueriesExt2 {
     "q98_distinct_ngrams" -> (q98DistinctNgrams _),
     "q99_tfidf_cosine" -> (q99TfidfCosine _),
     "q100_group_split" -> (q100GroupSplit _),
-    "q101_dedup_rate" -> (q101DedupRate _)
+    "q101_dedup_rate" -> (q101DedupRate _),
+    "q102_lsh_recall" -> (q102LshRecall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -641,6 +684,7 @@ object QueriesExt2 {
     "q98_distinct_ngrams" -> q98Sql,
     "q99_tfidf_cosine" -> q99Sql,
     "q100_group_split" -> q100Sql,
-    "q101_dedup_rate" -> q101Sql
+    "q101_dedup_rate" -> q101Sql,
+    "q102_lsh_recall" -> q102Sql
   )
 }
