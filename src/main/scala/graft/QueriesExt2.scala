@@ -641,6 +641,68 @@ object QueriesExt2 {
        |  ON f.id_a = p.pid AND f.id_b = p.did""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q103
+  /** Per-source PSI drift ([[RobustStats.psiDriftByGroup]]): q95's
+    * drifted-snapshot setup, but each source binned by ITS OWN
+    * reference quartiles — the dashboard that NAMES the drifting feed
+    * a global PSI averages away. Only sources whose id ends in 3 get
+    * the planted +20% length drift; at this SF each feed's half is
+    * ~12 docs, so undrifted feeds carry visible small-sample PSI noise
+    * (the dashboard's real caveat: PSI needs feed-sized samples — the
+    * unit test pins exact 0 on identical populations, and the planted
+    * feed still ranks top). Snapshot split alternates `doc_id div 20`
+    * BLOCKS because source is a pure function of doc_id % 20 — a
+    * parity split would put whole feeds on one side only. */
+  def q103PsiBySource(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    // source is a pure function of doc_id % 20, so the snapshot split key
+    // must be independent of it: alternate by doc_id div 20 blocks
+    val ref = d.filter(expr("(doc_id div 20) % 2") === 0)
+    val cur = d.filter(expr("(doc_id div 20) % 2") === 1)
+      .select(col("source"),
+        when(substring(col("source"), -1, 1) === "3",
+            col("n_chars") + expr("n_chars div 5"))
+          .otherwise(col("n_chars")).as("n_chars"))
+    RobustStats.psiDriftByGroup(ref, cur, "n_chars", "source")
+  }
+  val q103Sql: String =
+    s"""WITH b AS (SELECT source,
+       |             quantile_cont(n_chars, 0.25) AS b1,
+       |             quantile_cont(n_chars, 0.5)  AS b2,
+       |             quantile_cont(n_chars, 0.75) AS b3
+       |           FROM documents WHERE (doc_id // 20) % 2 = 0 GROUP BY 1),
+       |r AS (SELECT d.source,
+       |        (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END) +
+       |        (CASE WHEN n_chars > b2 THEN 1 ELSE 0 END) +
+       |        (CASE WHEN n_chars > b3 THEN 1 ELSE 0 END) AS bin
+       |      FROM documents d JOIN b USING (source) WHERE (doc_id // 20) % 2 = 0),
+       |cu AS (SELECT d.source,
+       |         (CASE WHEN v > b1 THEN 1 ELSE 0 END) +
+       |         (CASE WHEN v > b2 THEN 1 ELSE 0 END) +
+       |         (CASE WHEN v > b3 THEN 1 ELSE 0 END) AS bin
+       |       FROM (SELECT source,
+       |               CASE WHEN substring(source, -1, 1) = '3'
+       |                    THEN n_chars + n_chars // 5
+       |                    ELSE n_chars END AS v
+       |             FROM documents WHERE (doc_id // 20) % 2 = 1) d
+       |       JOIN b USING (source)),
+       |rc AS (SELECT source, bin, count(*)::BIGINT AS ref_n FROM r GROUP BY 1, 2),
+       |cc AS (SELECT source, bin, count(*)::BIGINT AS cur_n FROM cu GROUP BY 1, 2),
+       |j AS (SELECT coalesce(rc.source, cc.source) AS source,
+       |             coalesce(rc.bin, cc.bin) AS bin,
+       |             coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+       |      FROM rc FULL OUTER JOIN cc
+       |        ON rc.source = cc.source AND rc.bin = cc.bin),
+       |t AS (SELECT source, bin, ref_n, cur_n,
+       |             ref_n::DOUBLE / sum(ref_n) OVER (PARTITION BY source) AS rf,
+       |             cur_n::DOUBLE / sum(cur_n) OVER (PARTITION BY source) AS cf
+       |      FROM j)
+       |SELECT source, bin, ref_n, cur_n, round(rf, 6) AS ref_frac,
+       |       round(cf, 6) AS cur_frac,
+       |       round(CASE WHEN ref_n > 0 AND cur_n > 0
+       |                  THEN (cf - rf) * ln(cf / rf) END, 6) AS psi
+       |FROM t""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -662,7 +724,8 @@ object QueriesExt2 {
     "q99_tfidf_cosine" -> (q99TfidfCosine _),
     "q100_group_split" -> (q100GroupSplit _),
     "q101_dedup_rate" -> (q101DedupRate _),
-    "q102_lsh_recall" -> (q102LshRecall _)
+    "q102_lsh_recall" -> (q102LshRecall _),
+    "q103_psi_by_source" -> (q103PsiBySource _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -685,6 +748,7 @@ object QueriesExt2 {
     "q99_tfidf_cosine" -> q99Sql,
     "q100_group_split" -> q100Sql,
     "q101_dedup_rate" -> q101Sql,
-    "q102_lsh_recall" -> q102Sql
+    "q102_lsh_recall" -> q102Sql,
+    "q103_psi_by_source" -> q103Sql
   )
 }

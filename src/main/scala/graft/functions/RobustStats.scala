@@ -91,6 +91,47 @@ object RobustStats {
         col("baseline").isNotNull && col(valueCol) > lit(factor) * col("baseline"))
   }
 
+  /** Per-group [[psiDrift]]: one PSI bin table per group (source feed,
+    * domain, shard), each group binned by ITS OWN reference quantiles —
+    * a global PSI can read "stable" while one feed of twenty drifted
+    * badly, which is exactly the feed an ingest dashboard must name.
+    * Same plan with the group key threaded through: one grouped
+    * exact-percentile pass on the reference (a #groups-sized frame,
+    * broadcast back to both scans — the q85 kernel), per-side
+    * (group, bin) partial-agg counts, fractions via a #groups-partition
+    * window over the tiny count frame. */
+  def psiDriftByGroup(ref: DataFrame, cur: DataFrame, valueCol: String,
+                      groupCol: String,
+                      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val bounds = ref.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), typedLit(probs)).as("bs"))
+      .select(col(groupCol) +: probs.indices.map(i =>
+        element_at(col("bs"), i + 1).as(s"b${i + 1}")): _*)
+    def binCounts(df: DataFrame, cnt: String): DataFrame = {
+      val bin = probs.indices
+        .map(i => when(col(valueCol) > col(s"b${i + 1}"), 1).otherwise(0))
+        .reduce(_ + _)
+      df.join(broadcast(bounds), Seq(groupCol))
+        .select(col(groupCol), bin.as("bin"))
+        .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as(cnt))
+    }
+    val joined = binCounts(ref, "ref_n")
+      .join(binCounts(cur, "cur_n"), Seq(groupCol, "bin"), "full_outer")
+      .select(col(groupCol), col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val rf = col("ref_n").cast("double") / col("ref_total")
+    val cf = col("cur_n").cast("double") / col("cur_total")
+    joined
+      .withColumn("ref_total", sum(col("ref_n")).over(w))
+      .withColumn("cur_total", sum(col("cur_n")).over(w))
+      .select(col(groupCol), col("bin"), col("ref_n"), col("cur_n"),
+        round(rf, 6).as("ref_frac"), round(cf, 6).as("cur_frac"),
+        round(when(col("ref_n") > 0 && col("cur_n") > 0,
+          (cf - rf) * log(cf / rf)), 6).as("psi"))
+  }
+
   /** Population-stability-index drift between a reference snapshot and a
     * current one: bin BOTH populations by the REFERENCE's quantile
     * boundaries (drift must be measured against the baseline's own

@@ -1282,6 +1282,23 @@ class FunctionsSpec extends SparkSuite {
     assert(out.map(_._2).distinct.sorted.toSeq == Seq("test", "train", "val"))
   }
 
+  test("psiDriftByGroup: the drifted feed flags alone; stable feeds score 0") {
+    val ref = (1 to 100).flatMap(i =>
+      Seq(("a", i.toLong), ("b", i.toLong))).toDF("src", "v")
+    val cur = (1 to 100).flatMap(i =>
+      Seq(("a", i.toLong), ("b", i.toLong + 200L))).toDF("src", "v") // b shifts
+    val got = RobustStats.psiDriftByGroup(ref, cur, "v", "src")
+      .select("src", "bin", "psi").as[(String, Int, Option[Double])].collect()
+    val aPsi = got.filter(_._1 == "a").flatMap(_._3)
+    assert(aPsi.nonEmpty && aPsi.forall(_ == 0.0),
+      s"stable feed must score exactly 0 per bin: ${aPsi.toSeq}")
+    // feed b: everything lands above its own reference top quartile —
+    // bins 0-2 are one-sided (null psi), bin 3 carries the full drift
+    val b = got.filter(_._1 == "b").map(r => r._2 -> r._3).toMap
+    assert(b(0).isEmpty && b(1).isEmpty && b(2).isEmpty)
+    assert(b(3).exists(_ > 0.5), s"drifted feed must flag: ${b(3)}")
+  }
+
   test("hardNegativesTopK: same-label vectors never rank; nearest negative first") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0),   // query, label 0
