@@ -703,6 +703,42 @@ object QueriesExt2 {
        |                  THEN (cf - rf) * ln(cf / rf) END, 6) AS psi
        |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Token-length histogram on power-of-two buckets: per bucket
+    * ⌊log₂(n_tok)⌋, document count, token mass, and share of total
+    * tokens — the distribution that sizes sequence-packing bins (q40/
+    * q48: pick max_len where the cumulative mass knee sits; a fat tail
+    * above the context length is pure truncation loss). One narrow map
+    * (token count + an integer log₂ via bit length) and one ≤64-bucket
+    * hash aggregate; the share divides exact integer sums. */
+  def q104LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val nTok = graft.functions.TextFunctions.tokenCount(col("text"))
+    // ⌊log₂ n⌋ = length(bin(n)) − 1: pure integer/string arithmetic —
+    // floor(log2(n)) through doubles is off by one whenever ln(n)/ln(2)
+    // lands a hair under an integer (n = 8 is the classic)
+    val b = docs(s, dir)
+      .select(nTok.cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("n_tok"), (length(bin(col("n_tok"))) - 1).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    b.withColumn("total", sum(col("n_tokens")).over(w))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"))
+  }
+  val q104Sql: String =
+    s"""WITH n AS (SELECT len(${QueriesExt.toksSql})::BIGINT AS n_tok
+       |           FROM documents),
+       |b AS (SELECT (length(bin(n_tok)) - 1)::INT AS bucket,
+       |             count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+       |      FROM n WHERE n_tok > 0 GROUP BY 1)
+       |SELECT bucket, n_docs, n_tokens,
+       |       round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share
+       |FROM b""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semdedup" -> (q82SemDedup _),
@@ -725,7 +761,8 @@ object QueriesExt2 {
     "q100_group_split" -> (q100GroupSplit _),
     "q101_dedup_rate" -> (q101DedupRate _),
     "q102_lsh_recall" -> (q102LshRecall _),
-    "q103_psi_by_source" -> (q103PsiBySource _)
+    "q103_psi_by_source" -> (q103PsiBySource _),
+    "q104_length_histogram" -> (q104LengthHistogram _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -749,6 +786,7 @@ object QueriesExt2 {
     "q100_group_split" -> q100Sql,
     "q101_dedup_rate" -> q101Sql,
     "q102_lsh_recall" -> q102Sql,
-    "q103_psi_by_source" -> q103Sql
+    "q103_psi_by_source" -> q103Sql,
+    "q104_length_histogram" -> q104Sql
   )
 }
