@@ -2081,10 +2081,14 @@ object QueriesExt {
     * cap happens BEFORE any list materializes (WindowGroupLimit per
     * token), so no state grows with a stopword's true document
     * frequency; df/cf still count the full postings as plain
-    * partial-agg'd longs. */
+    * partial-agg'd longs. The posting page is emitted as a
+    * comma-joined string: same information as the array, but scalar —
+    * hashable by any downstream comparator (r6 driver crashed
+    * canonicalizing `array<bigint>`). */
   def q71InvertedIndex(s: SparkSession, dir: String): DataFrame =
     Relevance.invertedIndex(docs(s, dir), "text", "doc_id",
       minDf = 2, pageSize = 20)
+      .withColumn("posting", array_join(col("posting"), ","))
   val q71Sql: String =
     s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
        |t1 AS (SELECT token, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
@@ -2094,7 +2098,8 @@ object QueriesExt {
        |    SELECT token, doc_id,
        |           ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
        |    FROM t1) WHERE rn <= 20),
-       |p AS (SELECT token, list(doc_id ORDER BY doc_id) AS posting
+       |p AS (SELECT token,
+       |             string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS posting
        |      FROM cap GROUP BY 1)
        |SELECT a.token, a.df, a.cf, p.posting
        |FROM agg a JOIN p USING (token) WHERE a.df >= 2""".stripMargin
@@ -2204,7 +2209,7 @@ object QueriesExt {
     s"""WITH e AS (SELECT DISTINCT user_id % 100 AS src, $h AS dst
        |           FROM events WHERE user_id % 100 <> $h),
        |${pagerankCtesSql(5)}
-       |SELECT id, rank FROM r5""".stripMargin
+       |SELECT id, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
   }
 
   // ---------------------------------------------------------------- q75
@@ -2518,7 +2523,7 @@ object QueriesExt {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_sel,
        |        (SELECT sum(bin_pos) FROM b) AS total_pos
        |      FROM b)
-       |SELECT bin, tp, n_sel,
+       |SELECT bin, CAST(tp AS BIGINT) AS tp, CAST(n_sel AS BIGINT) AS n_sel,
        |       round(tp::DOUBLE / n_sel, 6) AS precision,
        |       round(tp::DOUBLE / total_pos, 6) AS recall
        |FROM c""".stripMargin
@@ -2587,7 +2592,8 @@ object QueriesExt {
        |lab AS (SELECT DISTINCT ${mid("src_host")} AS id, src_host AS host FROM eh
        |        UNION SELECT DISTINCT ${mid("dst_host")}, dst_host FROM eh),
        |${pagerankCtesSql(5)}
-       |SELECT lab.host, r.rank FROM r5 r JOIN lab ON lab.id = r.id""".stripMargin
+       |SELECT lab.host, CAST(r.rank AS BIGINT) AS rank
+       |FROM r5 r JOIN lab ON lab.id = r.id""".stripMargin
   }
 
   // ------------------------------------------------------------ registry

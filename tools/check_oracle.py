@@ -13,6 +13,32 @@ or rounded on both sides).
 import json, sys, glob, os
 import duckdb
 
+# Driver-compat dtype allowlist (VERDICT r6 item 2): the driver's pandas
+# canonicalizer crashes on non-scalar columns (array<...> → unhashable
+# ndarray) and hashes DuckDB HUGEINT differently from int64 (DuckDB
+# widens sum(BIGINT) → HUGEINT unless the final SELECT casts it back).
+# Any column outside this set on EITHER side is a lint failure even when
+# values match locally.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                 "FLOAT", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN"}
+
+def lint_types(con, name, sql, spark_glob):
+    """DESCRIBE both sides; return list of lint-failure strings."""
+    errs = []
+    for side, q in (("oracle", sql),
+                    ("spark", f"SELECT * FROM read_parquet('{spark_glob}')")):
+        for row in con.execute(f"DESCRIBE {q}").fetchall():
+            col, typ = row[0], row[1]
+            t = typ.upper()
+            if "[" in t or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+                errs.append(f"{side}.{col} is non-scalar ({typ}) — "
+                            "driver pandas canonicalizer crashes on these")
+            elif t not in ALLOWED_TYPES:
+                errs.append(f"{side}.{col} has driver-unsafe type {typ} "
+                            "(HUGEINT/DECIMAL hash differently than int64 "
+                            "— CAST the final SELECT)")
+    return errs
+
 def canon(rows, cols):
     # sort columns by name, then rows lexicographically by string repr
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -33,6 +59,11 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
+            lint = lint_types(con, name, sql, spark_glob)
+            if lint:
+                print(f"FAIL {name}: dtype lint: " + "; ".join(lint))
+                n_fail += 1
+                continue
             o = con.execute(sql)
             ocols = [d[0] for d in o.description]
             orows = o.fetchall()
