@@ -223,7 +223,8 @@ object QueriesExt {
       docsSample(s, dir), "text", "doc_id",
       n = 2, threshold = 0.05, cap = DedupFunctions.ShingleCap.Uncapped)
     val comp = ConnectedComponents.components(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      driverMaxEdges = 1L << 20) // bounded sample input: fast path opt-in
     docsSample(s, dir).select(col("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
@@ -1292,7 +1293,8 @@ object QueriesExt {
     val pairs = Similarity.cosineNearDupPairs(u, threshold = 0.9,
       planes = srpPlanes)
     val comp = ConnectedComponents.components(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      driverMaxEdges = 1L << 20) // bounded sample input: fast path opt-in
     u.select(col("vec_id"))
       .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -2253,7 +2255,8 @@ object QueriesExt {
     val pairs = DedupFunctions.ngramJaccardPairs(sample, "text", "doc_id",
       n = 3, threshold = 0.5, cap = DedupFunctions.ShingleCap.Uncapped)
     val comp = ConnectedComponents.components(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      driverMaxEdges = 1L << 20) // bounded sample input: fast path opt-in
     val scored = sample.select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -2333,7 +2336,10 @@ object QueriesExt {
       lit(".example.com/page?id="), id, lit("&utm_source=feed\">first</a></li>"),
       lit("<li><A HREF=\"https://WWW.Example.CO.UK/a/"),
       pmod(col("doc_id"), lit(5)).cast("string"),
-      lit("\">second</A></li></ul></body></html>"))
+      lit("\">second</A></li>"),
+      lit("<li><a href='https://blog.example.org/post/"),
+      pmod(col("doc_id"), lit(3)).cast("string"),
+      lit("'>third</a></li></ul></body></html>"))
   }
 
   def q77HtmlExtract(s: SparkSession, dir: String): DataFrame = {
@@ -2356,7 +2362,9 @@ object QueriesExt {
       |    '<li><a href="http://site' || doc_id % 7 || '.example.com/page?id=' ||
       |    doc_id || '&utm_source=feed">first</a></li>' ||
       |    '<li><A HREF="https://WWW.Example.CO.UK/a/' || doc_id % 5 ||
-      |    '">second</A></li></ul></body></html>' AS html
+      |    '">second</A></li>' ||
+      |    '<li><a href=''https://blog.example.org/post/' || doc_id % 3 ||
+      |    '''>third</a></li></ul></body></html>' AS html
       |  FROM documents""".stripMargin
 
   val q77Sql: String =
@@ -2381,8 +2389,8 @@ object QueriesExt {
       |  trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
       |       '[ \t\n\r]+', ' ', 'g')) AS title,
       |  substring(clean, 1, 100) AS text_head,
-      |  CAST(len(regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"[^>]*>', 1)) AS INTEGER) AS n_links,
-      |  regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"[^>]*>', 1)[1] AS first_href
+      |  CAST(len(regexp_extract_all(regexp_replace(html, '(?i)href=''([^'']*)''', 'href="\\1"', 'g'), '(?i)<a[^>]*href="([^"]*)"[^>]*>', 1)) AS INTEGER) AS n_links,
+      |  regexp_extract_all(regexp_replace(html, '(?i)href=''([^'']*)''', 'href="\\1"', 'g'), '(?i)<a[^>]*href="([^"]*)"[^>]*>', 1)[1] AS first_href
       |FROM v""".stripMargin
 
   // ---------------------------------------------------------------- q78
@@ -2455,6 +2463,7 @@ object QueriesExt {
        |             p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref|mc_cid|mc_eid)=')
        |                  AND p <> ''), '&')
        |           ELSE '' END
+       |    WHEN scheme = '' THEN url
        |    ELSE scheme || regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*(:.*)$$', 1) END AS canon
        |  FROM c),
        |d AS (
@@ -2581,7 +2590,7 @@ object QueriesExt {
     s"""WITH p AS (
        |  $syntheticPageSql),
        |l AS (SELECT doc_id,
-       |        unnest(regexp_extract_all(html, '(?i)<a[^>]*href="([^"]*)"[^>]*>', 1)) AS href
+       |        unnest(regexp_extract_all(regexp_replace(html, '(?i)href=''([^'']*)''', 'href="\\1"', 'g'), '(?i)<a[^>]*href="([^"]*)"[^>]*>', 1)) AS href
        |      FROM p),
        |eh AS (SELECT 'site' || (doc_id % 3) || '.example.com' AS src_host,
        |         regexp_replace(lower(regexp_extract(href,

@@ -33,7 +33,8 @@ object QueriesExt2 {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
       .sortBy(_._1).map(_._2).toSeq
-    Similarity.semDedup(withInjectedNearDups(s, dir), centroids, threshold = 0.9)
+    Similarity.semDedup(withInjectedNearDups(s, dir), centroids, threshold = 0.9,
+      driverMaxEdges = 1L << 20) // bounded sample input: fast path opt-in
   }
   val q82Sql: String =
     s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -312,8 +313,8 @@ object QueriesExt2 {
        |ds AS (SELECT unnest(range(1, 65))::INT AS i),
        |x AS (SELECT ds.i AS dim, round(e.v[ds.i] * 1000000)::BIGINT AS xi
        |      FROM e, ds),
-       |g AS (SELECT dim, count(*)::BIGINT AS n, sum(xi)::BIGINT AS s1,
-       |             sum(xi * xi)::BIGINT AS s2
+       |g AS (SELECT dim, count(*)::BIGINT AS n, sum(xi)::DOUBLE AS s1,
+       |             sum(xi * xi)::DOUBLE AS s2
        |      FROM x GROUP BY 1)
        |SELECT dim, n, s1, s2,
        |       round((s1::DOUBLE / n) / 1000000.0, 6) AS mean,

@@ -44,12 +44,19 @@ object Html {
 
   /** All href targets of `<a>` tags, in document order (the outlink list;
     * `explode` it against the doc id for the crawl edge list). Matches
-    * both quoted forms; unquoted hrefs are vanishingly rare in real
-    * crawls and regex-ambiguous, so they are documented as out of scope. */
+    * double- AND single-quoted hrefs: single-quoted forms are first
+    * normalized to double-quoted (RE2-safe — one extraction pass keeps
+    * document order, which two per-quote-style extractions would lose).
+    * A single-quoted href whose target itself contains `"` mis-nests
+    * after normalization and is dropped — malformed by HTML rules anyway.
+    * Unquoted hrefs are vanishingly rare in real crawls and
+    * regex-ambiguous, so they are documented as out of scope. */
   def hrefs(html: Column): Column = {
+    val normalized =
+      regexp_replace(html, "(?i)href='([^']*)'", "href=\"$1\"")
     val one = "(?i)<a[^>]*href=\"([^\"]*)\"[^>]*>"
     // regexp_extract_all with group 1 → array of targets
-    regexp_extract_all(html, lit(one), lit(1))
+    regexp_extract_all(normalized, lit(one), lit(1))
   }
 
   /** Title tag content (empty string when absent). */

@@ -410,13 +410,20 @@ object Relevance {
       .select(col("id"), col("term"),
         (col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("w"))
+    // Micro-unit sums accumulate as DECIMAL(38,0), not BIGINT (r6
+    // advice): a single (tf·idf)²·1e6 row can reach ~1e16 for a huge
+    // document, so a Long sum has only ~1e2 rows of headroom in the
+    // worst case. Decimal keeps the sum an exact partial-aggregatable
+    // integer with 1e38 headroom; the double cast below is unchanged.
     val norms = w.groupBy("id")
-      .agg(sum(round(col("w") * col("w") * 1e6, 0).cast("long")).as("w2_micro"))
+      .agg(sum(round(col("w") * col("w") * 1e6, 0).cast("decimal(38,0)"))
+        .as("w2_micro"))
       .select(col("id"), sqrt(col("w2_micro").cast("double") / 1e6).as("nrm"))
     val dots = w.as("a").join(w.as("b"),
         col("a.term") === col("b.term") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(sum(round(col("a.w") * col("b.w") * 1e6, 0).cast("long")).as("dot_micro"))
+      .agg(sum(round(col("a.w") * col("b.w") * 1e6, 0).cast("decimal(38,0)"))
+        .as("dot_micro"))
     dots
       .join(norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")), "id_a")
       .join(norms.select(col("id").as("id_b"), col("nrm").as("nrm_b")), "id_b")

@@ -688,19 +688,31 @@ object Similarity {
     * scan (the q64/q70 determinism pattern — order-independent integer
     * sums, safe to partial-aggregate at any parallelism), the aggregate
     * is `dim` rows, and mean/variance derive from (n, Σx, Σx²) with one
-    * defined division chain. Output: (dim, n, s1, s2, mean, variance). */
+    * defined division chain.
+    *
+    * Overflow (r6 advice): per-row xi² ≈ 1e12 for unit-range components,
+    * so a BIGINT Σxi² overflows past ~9M rows per dimension. Both sums
+    * therefore accumulate as DECIMAL(38,0) — Spark's decimal sum is
+    * still a partial-aggregated exact integer, headroom 1e38 ≈ 1e26
+    * rows — and the published s1/s2 columns cast to DOUBLE (exact below
+    * 2^53; past that both engines take the same nearest-even double of
+    * the same exact integer, so the replay still matches bit-for-bit).
+    * Output: (dim, n, s1, s2, mean, variance). */
   def embeddingMoments(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val x = corpus
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
       .select((col("i") + 1).as("dim"),
         round(col("x") * lit(1000000.0), 0).cast("long").as("xi"))
-    val mean = col("s1").cast("double") / col("n")
+    val mean = col("s1d").cast("double") / col("n")
     x.groupBy("dim")
-      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s1"),
-        sum(col("xi") * col("xi")).as("s2"))
-      .select(col("dim"), col("n"), col("s1"), col("s2"),
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,0)")).as("s1d"),
+        sum((col("xi") * col("xi")).cast("decimal(38,0)")).as("s2d"))
+      .select(col("dim"), col("n"),
+        col("s1d").cast("double").as("s1"),
+        col("s2d").cast("double").as("s2"),
         round(mean / lit(1000000.0), 6).as("mean"),
-        round((col("s2").cast("double") / col("n") - mean * mean)
+        round((col("s2d").cast("double") / col("n") - mean * mean)
           / lit(1000000000000.0), 6).as("variance"))
   }
 
@@ -721,7 +733,8 @@ object Similarity {
     * corpus shuffles once on the cell id.
     * Output: (vec_id, cell, cent_sim, component, keep). */
   def semDedup(corpus: DataFrame, centroids: Seq[Seq[Double]], threshold: Double,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               driverMaxEdges: Long = 0L): DataFrame = {
     val centsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
     val assigned = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
@@ -734,7 +747,8 @@ object Similarity {
       .filter(cosine(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
     val comp = graft.operators.ConnectedComponents.components(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      driverMaxEdges = driverMaxEdges)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
       .orderBy(col("cent_sim").asc_nulls_last, col("vec_id").asc)

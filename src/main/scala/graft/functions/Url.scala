@@ -24,8 +24,11 @@ object Url {
     *    `mc_eid`) drop — surviving params keep their original ORDER
     *    (param order can be semantic; sorting would over-merge);
     *  - an emptied query drops its `?`; a bare trailing `/` path drops.
-    * Non-http(s) or unparseable input passes through lowercased-scheme
-    * only (conservative: never merge what we can't parse). */
+    * Non-http(s) input passes through with lowercased scheme only;
+    * scheme-LESS input (relative paths, bare hosts) passes through RAW
+    * (conservative: never merge what we can't parse — mapping every
+    * unparseable URL to one sentinel would do the opposite, collapsing
+    * them all into a single dedup key). */
   def canonicalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     val isHttp = scheme === "http" || scheme === "https"
@@ -47,8 +50,10 @@ object Url {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,
       when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
-    when(isHttp, rebuilt).otherwise(
-      concat(scheme, regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*(:.*)$", 1)))
+    when(isHttp, rebuilt)
+      .when(scheme === "", url) // schemeless: keep raw, never merge
+      .otherwise(
+        concat(scheme, regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*(:.*)$", 1)))
   }
 
   /** Host of an (http(s)) URL, lowercased, `www.`-stripped. */

@@ -43,19 +43,22 @@ object ConnectedComponents {
     * `edges` are absent from the output (left-join and coalesce on the
     * caller's side for singleton semantics).
     *
-    * Adaptive: the deduped edge count is known before the loop starts
-    * (the convergence checksum), and a near-dup edge set is usually
-    * SPARSE — LSH emits pairs, not cliques' worth of rows — so when it
-    * fits `driverMaxEdges` (default 2^20 ≈ 16 MB of long pairs, the same
-    * bounded-collect contract as the k-means k-row update) the transitive
-    * closure runs as driver union-find in one pass: one collect replaces
-    * 2-4 checkpointed star rounds (each a shuffle + a checksum job) and
-    * returns the identical min-id labeling (property-pinned in
-    * DedupMergeSpec). Beyond the bound — a 100 TB corpus can emit
-    * billions of candidate pairs — the alternating-star loop below runs
-    * unchanged. `driverMaxEdges = 0` forces the distributed path. */
+    * Adaptive OPT-IN (r6 advice — the default is the distributed loop):
+    * the deduped edge count is known before the loop starts (the
+    * convergence checksum), and a near-dup edge set is usually SPARSE —
+    * LSH emits pairs, not cliques' worth of rows — so a caller that
+    * knows its edge budget can pass `driverMaxEdges > 0` and, when the
+    * count fits, the transitive closure runs as driver union-find in one
+    * pass: one collect replaces 2-4 checkpointed star rounds (each a
+    * shuffle + a checksum job) and returns the identical min-id labeling
+    * (property-pinned in DedupMergeSpec). Budget honestly: 2^20 edges ≈
+    * 16 MB of long pairs on the wire, but the collected Row array, the
+    * union-find HashMap, and the distinct-id materialization cost
+    * roughly 4-6× that on the driver heap. `driverMaxEdges = 0` (the
+    * default) never collects — safe for library callers on unknown
+    * graphs; a 100 TB corpus can emit billions of candidate pairs. */
   def components(edges: DataFrame, src: String = "src", dst: String = "dst",
-                 maxIter: Int = 25, driverMaxEdges: Long = 1L << 20): DataFrame = {
+                 maxIter: Int = 25, driverMaxEdges: Long = 0L): DataFrame = {
     var e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
       .distinct()

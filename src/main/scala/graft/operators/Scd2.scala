@@ -84,15 +84,28 @@ object Scd2 {
 
   /** Incrementally fold one micro-batch into an existing history.
     *
-    * `stage` must be deduped to one row per key (Dedup.latestPerKey) and
-    * every stage timestamp must be >= the history's open `valid_from`
-    * for that key (CDC batches arrive in order; use
-    * [[MergeOps.mergeWithTsGuard]] semantics upstream if they may not).
+    * `stage` must be deduped to one row per key (Dedup.latestPerKey).
+    * Out-of-ORDER protection (r6 advice): a stage row whose timestamp is
+    * BEFORE the key's open `valid_from` is stale — it neither closes nor
+    * opens (the key's history is untouched), mirroring
+    * [[MergeOps.mergeWithTsGuard]]'s last-writer-wins contract. Without
+    * the guard a late batch would close the open version with
+    * `valid_to < valid_from`, an inverted interval that [[snapshotAt]]
+    * then misreads. For in-order feeds the guard never fires, so the
+    * fold ≡ [[fromChangelog]] property is unchanged.
     *
     *  - key absent from stage            → history rows unchanged
+    *  - stage ts < open valid_from       → unchanged (stale, ignored)
     *  - stage delete                     → open version closes at stage ts
     *  - stage row, tracked tuple changed → open version closes, new opens
     *  - stage row, tracked tuple equal   → unchanged (no empty version)
+    *
+    * Boundary: the guard compares against the OPEN version only. A key
+    * whose history is fully closed (delete) accepts a re-insert at any
+    * ts — checking a stale re-insert against closed intervals would need
+    * a per-key aggregate over the whole history (a shuffle of the 100 TB
+    * side this operator is designed never to take). Keep delete feeds
+    * in-order, or rebuild via [[fromChangelog]].
     */
   def merge(history: DataFrame, stage: DataFrame, keys: Seq[String], tsCol: String,
             tracked: Seq[String], isDelete: Column): DataFrame = {
@@ -105,6 +118,7 @@ object Scd2 {
 
     val joined = history.join(st, keys, "left")
     val closes = col("is_current") && col("__st_ts").isNotNull &&
+      col("__st_ts") >= col("valid_from") && // stale stage row: no close
       (col("__st_del") || !(stTracked <=> curTracked))
     val adjusted = joined.select(
       (keys ++ tracked).map(col) ++ Seq(
@@ -115,9 +129,12 @@ object Scd2 {
     // Open a new version for stage rows whose key has no matching open
     // version (new key, just-closed change, or re-insert after delete).
     val curKeys = history.filter(col("is_current"))
-      .select((keys.map(col) :+ curTracked.as("__cur_tracked")): _*)
+      .select((keys.map(col) :+ curTracked.as("__cur_tracked") :+
+        col("valid_from").as("__cur_from")): _*)
     val opened = st.filter(!col("__st_del"))
       .join(curKeys, keys, "left")
+      // Stale vs an existing open version → no new version either.
+      .filter(col("__cur_from").isNull || col("__st_ts") >= col("__cur_from"))
       .filter(!(col("__cur_tracked") <=> stTracked))
       .select((keys.map(col) ++ tracked.map(c => col(s"__st_$c").as(c)) ++ Seq(
         col("__st_ts").as("valid_from"),

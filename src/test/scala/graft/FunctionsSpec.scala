@@ -1127,13 +1127,13 @@ class FunctionsSpec extends SparkSuite {
       (2L, Seq(1.0f, 0.0f, 0.25f))
     ).toDF("vec_id", "embedding")
     val out = Similarity.embeddingMoments(emb)
-      .as[(Int, Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+      .as[(Int, Long, Double, Double, Double, Double)].collect().sortBy(_._1)
     assert(out.map(_._1).toSeq == Seq(1, 2, 3))
     assert(out.forall(_._2 == 3L))
     // dim 1: constant 1.0 → dead dimension
-    assert(out(0)._3 == 3000000L && out(0)._5 == 1.0 && out(0)._6 == 0.0)
+    assert(out(0)._3 == 3000000.0 && out(0)._5 == 1.0 && out(0)._6 == 0.0)
     // dim 2: mean 0, variance = (0.25+0.25+0)/3
-    assert(out(1)._3 == 0L && out(1)._5 == 0.0 && out(1)._6 == 0.166667)
+    assert(out(1)._3 == 0.0 && out(1)._5 == 0.0 && out(1)._6 == 0.166667)
     // dim 3: constant 0.25
     assert(out(2)._5 == 0.25 && out(2)._6 == 0.0)
   }

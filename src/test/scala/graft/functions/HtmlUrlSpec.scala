@@ -24,11 +24,12 @@ class HtmlUrlSpec extends SparkSuite {
     assert(one(Html.visibleText(col("s")), "&amp;lt;") == "&lt;")
   }
 
-  test("hrefs: both quote cases, document order, missing → empty") {
-    val html = """<a href="http://a/1">x</a><div/><A Href="http://a/2">y</A>"""
+  test("hrefs: both quote STYLES and cases, document order, missing → empty") {
+    val html = """<a href="http://a/1">x</a><div/><A Href='http://a/2'>y</A>""" +
+      """<a href='http://a/3?q=1'>z</a>"""
     val got = Seq(html).toDF("s").select(Html.hrefs(col("s")).as("r"))
       .as[Seq[String]].head()
-    assert(got == Seq("http://a/1", "http://a/2"))
+    assert(got == Seq("http://a/1", "http://a/2", "http://a/3?q=1"))
     assert(Seq("<p>no links</p>").toDF("s")
       .select(size(Html.hrefs(col("s")))).as[Int].head() == 0)
   }
@@ -58,6 +59,14 @@ class HtmlUrlSpec extends SparkSuite {
       "FTP://Files.Ex.net/Pub") == "ftp://Files.Ex.net/Pub")
     assert(one(Url.canonicalize(col("s")),
       "mailto:A@B.com") == "mailto:A@B.com")
+  }
+
+  test("canonicalize: schemeless/relative input passes through raw (never merges)") {
+    // r6 advice: these used to all collapse to '' — one shared dedup key.
+    assert(one(Url.canonicalize(col("s")), "/relative/path?x=1") == "/relative/path?x=1")
+    assert(one(Url.canonicalize(col("s")), "example.com/page") == "example.com/page")
+    assert(one(Url.canonicalize(col("s")), "//proto-relative.com/x") == "//proto-relative.com/x")
+    assert(one(Url.canonicalize(col("s")), "") == "")
   }
 
   test("registeredDomain: plain, second-level public suffix, bare host") {

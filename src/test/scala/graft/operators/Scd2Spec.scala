@@ -104,6 +104,23 @@ class Scd2Spec extends SparkSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(4242L + i)))
 
+  test("merge: stale out-of-order batch is ignored (no inverted intervals)") {
+    // r6 advice: without the ts guard, a late batch closed the open
+    // version with valid_to < valid_from. Now a stage row older than the
+    // key's open valid_from must change nothing.
+    val hist = build(Seq(Ev(1, 30, "b", del = false)))
+    val before = sortedRows(hist)
+    // late update, late delete, and a late no-change row — all stale
+    for (stale <- Seq(Ev(1, 10, "z", del = false), Ev(1, 20, "b", del = true))) {
+      val after = sortedRows(mergeBatch(hist, Seq(stale)))
+      assert(after == before, s"stale $stale mutated history: $after")
+      assert(after.forall { case (_, _, from, to, _) => to.forall(_ >= from) })
+    }
+    // equal-ts batch is NOT stale (same-ts update closes and reopens)
+    val eq = sortedRows(mergeBatch(hist, Seq(Ev(1, 30, "c", del = false))))
+    assert(eq.exists { case (_, v, _, _, cur) => v == "c" && cur })
+  }
+
   test("merge fold == fromChangelog of the per-batch-deduped log (property)") {
     // merge's contract drops intra-batch intermediate versions (LWW dedup
     // first — the reference keeps only the last row image per batch,
