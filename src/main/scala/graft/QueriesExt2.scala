@@ -740,8 +740,62 @@ object QueriesExt2 {
        |       round(n_tokens::DOUBLE / sum(n_tokens) OVER (), 6) AS token_share
        |FROM b""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** REAL image decode round-trip ([[graft.functions.Multimodal]], JDK
+    * `javax.imageio` — no external codec): every document synthesizes a
+    * PNG whose dimensions derive from `doc_id` (real PNG bytes through
+    * the real JDK encoder), every 50th payload is truncated to 10 bytes
+    * (corrupt), and the pipeline decodes → aspect-fits into a 16×16 box
+    * (nearest-neighbor) → re-decodes the resized PNG. The oracle predicts
+    * every output arithmetically: decoded dims must equal the synthesized
+    * dims (proving a genuine encode→decode round trip, not a stub),
+    * corrupt rows land in the NULL quarantine lane, and resized dims
+    * follow the integer fit formula. Narrow per-row maps throughout —
+    * blobs never shuffle; the only exchange is the final sort-free
+    * projection. */
+  def q105ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Multimodal
+    val d = docs(s, dir).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(16)) + 8).cast("int").as("gw"),
+      (pmod(col("doc_id"), lit(12)) + 8).cast("int").as("gh"))
+    val png = d.withColumn("png",
+      Multimodal.synthPng(col("gw"), col("gh"), col("doc_id")))
+    val payload = png.withColumn("payload",
+      when(pmod(col("doc_id"), lit(50)) === 0,
+        expr("substring(png, 1, 10)")).otherwise(col("png")))
+    payload
+      .withColumn("img", Multimodal.decodeImage(col("payload")))
+      .withColumn("rs", Multimodal.resizeImage(col("payload"), 16, 16))
+      .withColumn("rimg", Multimodal.decodeImage(col("rs")))
+      .select(col("doc_id"),
+        col("img").isNotNull.as("decodable"),
+        coalesce(col("img.width"), lit(-1)).as("width"),
+        coalesce(col("img.height"), lit(-1)).as("height"),
+        coalesce(col("img.channels"), lit(-1)).as("channels"),
+        coalesce(col("img.format"), lit("")).as("format"),
+        coalesce(col("rimg.width"), lit(-1)).as("rw"),
+        coalesce(col("rimg.height"), lit(-1)).as("rh"))
+  }
+  val q105Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |             (doc_id % 16 + 8)::INT AS w, (doc_id % 12 + 8)::INT AS h,
+      |             doc_id % 50 <> 0 AS ok
+      |           FROM documents),
+      |r AS (SELECT doc_id, w, h, ok,
+      |        least(16 * h, 16 * w) AS sc
+      |      FROM d)
+      |SELECT doc_id, ok AS decodable,
+      |       CASE WHEN ok THEN w ELSE -1 END AS width,
+      |       CASE WHEN ok THEN h ELSE -1 END AS height,
+      |       CASE WHEN ok THEN 3 ELSE -1 END AS channels,
+      |       CASE WHEN ok THEN 'png' ELSE '' END AS format,
+      |       CASE WHEN ok THEN greatest(1, (w * sc) // (w * h))::INT ELSE -1 END AS rw,
+      |       CASE WHEN ok THEN greatest(1, (h * sc) // (w * h))::INT ELSE -1 END AS rh
+      |FROM r""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_image_decode" -> (q105ImageDecode _),
     "q82_semdedup" -> (q82SemDedup _),
     "q83_jl_ann" -> (q83JlAnn _),
     "q84_quantile_bins" -> (q84QuantileBins _),
@@ -788,6 +842,7 @@ object QueriesExt2 {
     "q101_dedup_rate" -> q101Sql,
     "q102_lsh_recall" -> q102Sql,
     "q103_psi_by_source" -> q103Sql,
-    "q104_length_histogram" -> q104Sql
+    "q104_length_histogram" -> q104Sql,
+    "q105_image_decode" -> q105Sql
   )
 }

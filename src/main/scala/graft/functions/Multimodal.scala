@@ -4,13 +4,33 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Decoded-image metadata — the output row of [[Multimodal.decodeImage]].
+  * `pixel_sha256` hashes the row-major ARGB pixel ints, so it is a
+  * representation-independent content fingerprint: the same picture
+  * stored as PNG and BMP hashes identically (byte-level sha256 of the
+  * payload would not). Top-level case class so Spark derives the UDF
+  * result Encoder without an outer pointer. */
+case class DecodedImage(width: Int, height: Int, channels: Int,
+                        format: String, pixel_sha256: String)
+
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct alongside. The Spark-side
   * plumbing (schemas, hashing, batch shape, partitioning) is real and
-  * tested; the actual media decoding is STUBBED with deterministic fakes —
-  * this container has no image/audio codecs. Every stub is marked
-  * `STUB:` in its doc; swapping in a real decoder keeps the schema and
-  * the plan shape.
+  * tested.
+  *
+  * Decode capability (see [[capabilities]]): IMAGE decode/resize is REAL —
+  * JDK `javax.imageio` ships PNG/JPEG/BMP/GIF/WBMP codecs, no external
+  * library needed. Audio and video decoding remain deterministic stubs
+  * (`STUB:` marked): the JDK has no built-in audio/video codecs and this
+  * container has none to bind to; swapping a real decoder in keeps the
+  * schema and the plan shape.
+  *
+  * Why UDFs here and (almost) nowhere else: a codec is per-row imperative
+  * byte work with no Catalyst equivalent — the "functions, not UDFs" rule
+  * is about not re-implementing expressible algebra, not about codecs.
+  * The decode UDF sits in the scan stage as a narrow map (no shuffle
+  * before or because of it), which is the same batch shape a
+  * `mapInPandas`-style vectorized decoder would have.
   *
   * Scale note: binaries never enter a shuffle key; anything that groups or
   * joins uses the content hash (32 bytes) instead of the payload. Columnar
@@ -18,6 +38,12 @@ import org.apache.spark.sql.types._
   * reads the blobs.
   */
 object Multimodal {
+
+  /** Per-modality decode capability: real codec vs deterministic stub. */
+  val capabilities: Map[String, String] = Map(
+    "image" -> "real (javax.imageio: png/jpeg/bmp/gif/wbmp)",
+    "audio" -> "stub (no JDK codec)",
+    "video" -> "stub (no JDK codec)")
 
   /** Metadata schema carried next to every binary payload. */
   val metaSchema: StructType = StructType(Seq(
@@ -36,10 +62,123 @@ object Multimodal {
     lower(sha2(bin, 256)).as("sha256"),
     lit(mime).as("mime"))
 
+  // ------------------------------------------------------------------
+  // REAL image codec (JDK javax.imageio)
+  // ------------------------------------------------------------------
+
+  private def decodeOne(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None // unknown magic → quarantine
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = r.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          // Row-major ARGB ints → SHA-256, one row at a time (bounded
+          // buffer even for panorama-wide images).
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val buf = java.nio.ByteBuffer.allocate(4 * w)
+          var y = 0
+          while (y < h) {
+            buf.clear()
+            var x = 0
+            while (x < w) { buf.putInt(img.getRGB(x, y)); x += 1 }
+            md.update(buf.array(), 0, 4 * w)
+            y += 1
+          }
+          val hex = md.digest().map("%02x".format(_)).mkString
+          Some(DecodedImage(w, h, img.getColorModel.getNumComponents, fmt, hex))
+        } finally r.dispose()
+      } finally if (in != null) in.close()
+    } catch {
+      // Truncated/corrupt payloads surface as null rows, not task
+      // failures — one bad blob in a 100 TB scan must not kill the job.
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** REAL image decode via JDK `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP).
+    * Returns a `DecodedImage` struct, or NULL for undecodable bytes
+    * (unknown magic, truncation, codec error) — filter `isNull` for the
+    * quarantine lane. Narrow per-row map; the blob never shuffles. */
+  def decodeImage(bin: Column): Column =
+    udf(decodeOne _).apply(bin)
+
+  /** Deterministic synthetic PNG: `width × height` RGB pixels generated
+    * from `seed` by an LCG, encoded by the JDK PNG writer. This is how
+    * the testdata (which has no blob column) gets REAL image bytes whose
+    * decoded properties an external oracle can predict arithmetically. */
+  private def synthPngOne(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed * 6364136223846793005L +
+          (y.toLong * width + x) * 1442695040888963407L
+        img.setRGB(x, y, ((v >>> 40) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def synthPng(width: Column, height: Column, seed: Column): Column =
+    udf(synthPngOne _).apply(width, height, seed)
+
+  /** REAL aspect-preserving resize into a `maxW × maxH` box: decode,
+    * nearest-neighbor remap (deterministic integer pixel math — no
+    * platform-dependent filtering), re-encode as PNG. NULL for
+    * undecodable input. Target dims use the same long arithmetic as
+    * [[resizeStub]]: `scale = min(maxW·h, maxH·w)`, `w' = w·scale/(w·h)`,
+    * floored, clamped to ≥1. */
+  def resizeImage(bin: Column, maxW: Int, maxH: Int): Column = {
+    val f = (bytes: Array[Byte]) => decodeOneRaw(bytes).map { img =>
+      val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+      val scale = math.min(maxW * h, maxH * w)
+      val rw = math.max(1L, w * scale / (w * h)).toInt
+      val rh = math.max(1L, h * scale / (w * h)).toInt
+      val dst = new java.awt.image.BufferedImage(
+        rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < rh) {
+        val sy = (y.toLong * h / rh).toInt
+        var x = 0
+        while (x < rw) {
+          dst.setRGB(x, y, img.getRGB((x.toLong * w / rw).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+    udf(f).apply(bin)
+  }
+
+  /** Decode to the raw BufferedImage (internal: resize path). */
+  private def decodeOneRaw(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** STUB: image decode. A real implementation would decode the codec
     * header; this derives (width, height, channels) deterministically from
     * the content hash so downstream plumbing (schema, filters, grouping)
-    * is exercised for real. */
+    * is exercised for real. Kept alongside [[decodeImage]] for blob-less
+    * plumbing tests. */
   def decodeImageStub(bin: Column): Column = {
     val h = xxhash64(bin)
     struct(

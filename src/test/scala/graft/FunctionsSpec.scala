@@ -284,6 +284,45 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: REAL png encode→decode round-trip, resize, corrupt quarantine") {
+    val rows = Seq((1L, 20, 10), (2L, 9, 17), (3L, 33, 33))
+      .toDF("id", "w", "h")
+    // round-trip: synthesized dims come back from a genuine ImageIO decode
+    val dec = rows.select(col("id"),
+        Multimodal.decodeImage(Multimodal.synthPng(col("w"), col("h"), col("id"))).as("d"))
+      .select(col("id"), col("d.width"), col("d.height"), col("d.channels"),
+        col("d.format"), col("d.pixel_sha256"))
+      .as[(Long, Int, Int, Int, String, String)].collect().sortBy(_._1)
+    assert(dec.map(t => (t._2, t._3)).toSeq == Seq((20, 10), (9, 17), (33, 33)))
+    assert(dec.forall(t => t._4 == 3 && t._5 == "png" && t._6.length == 64))
+    // pixel hash is content-derived: different seeds → different hashes
+    assert(dec.map(_._6).distinct.length == 3)
+    // decode is deterministic across invocations
+    val again = rows.select(Multimodal.decodeImage(
+        Multimodal.synthPng(col("w"), col("h"), col("id"))).getField("pixel_sha256"))
+      .as[String].collect().sorted
+    assert(again.toSeq == dec.map(_._6).sorted.toSeq)
+    // resize: aspect-preserving integer fit into a 16x16 box, re-decodable
+    val rz = rows.select(col("id"), Multimodal.decodeImage(Multimodal.resizeImage(
+        Multimodal.synthPng(col("w"), col("h"), col("id")), 16, 16)).as("d"))
+      .select(col("id"), col("d.width"), col("d.height"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    // 20x10 → scale=min(160,320)=160 → (20*160/200, 10*160/200) = (16, 8)
+    // 9x17  → scale=min(272,144)=144 → (9*144/153, 17*144/153) = (8, 16)
+    // 33x33 → (16, 16)
+    assert(rz.map(t => (t._2, t._3)).toSeq == Seq((16, 8), (8, 16), (16, 16)))
+    // corrupt payloads: truncated PNG and non-image bytes → NULL lane
+    val bad = Seq(Array[Byte](1, 2, 3), "not an image".getBytes("UTF-8"))
+      .toDF("b").select(Multimodal.decodeImage(col("b")).as("d"),
+        Multimodal.resizeImage(col("b"), 16, 16).as("r"))
+    assert(bad.filter(col("d").isNotNull || col("r").isNotNull).count() == 0)
+    // truncated REAL png header (first 10 bytes) also quarantines
+    val trunc = rows
+      .select(Multimodal.synthPng(col("w"), col("h"), col("id")).as("png"))
+      .select(Multimodal.decodeImage(expr("substring(png, 1, 10)")).as("d"))
+    assert(trunc.filter(col("d").isNotNull).count() == 0)
+  }
+
   test("multimodal: payload schema, deterministic stubs, metadata grouping") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
     val mm = Multimodal.multimodalize(docs, "text", "doc_id")
