@@ -304,22 +304,51 @@ object CdcPipeline {
     }
   }
 
+  /** Full Kafka reader option map as a pure function of the job config
+    * (S1/T2 — emr_ec2/cdc_redshift.py:91-103). Extracted so the source
+    * contract is unit-testable without a broker:
+    *
+    *  - `kafka.bootstrap.servers`, `subscribe`, `maxOffsetsPerTrigger`
+    *    mirror the reference's reader 1:1.
+    *  - `startingOffsetsByTimestampStrategy=latest`
+    *    (cdc_redshift.py:97): partitions with no message at/after the
+    *    requested timestamp start from their latest offset instead of
+    *    failing the query.
+    *  - the reference overloads one property — `startingOffsets` in
+    *    {earliest, latest} is passed through, anything else is treated
+    *    as a timestamp (cdc_redshift.py:99-103). We keep the two
+    *    concerns as separate config fields but reproduce the same
+    *    branch: an explicit `startingTimestamp` wins and `startingOffsets`
+    *    is omitted (Kafka source rejects both together).
+    *  - the reference's EMR-only `kafka.consumer.commit.groupid`
+    *    (consumer-group offset publication) is re-expressed as
+    *    `kafka.group.id` + the [[OffsetCommit]] listener (T4), which is
+    *    the upstream-Spark way to surface progress to Kafka lag tooling.
+    *  - `failOnDataLoss=false`: retention-expired offsets skip forward
+    *    rather than kill a 24×7 stream (matches the reference's
+    *    at-least-once posture; the idempotent merge absorbs replays).
+    */
+  def kafkaOptions(cfg: JobConfig): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> cfg.brokers,
+      "subscribe" -> cfg.topic,
+      "maxOffsetsPerTrigger" -> cfg.maxOffsetsPerTrigger.toString,
+      "startingOffsetsByTimestampStrategy" -> "latest",
+      "kafka.group.id" -> cfg.consumerGroup,
+      "failOnDataLoss" -> "false")
+    cfg.startingTimestamp match {
+      case Some(ts) => base + ("startingTimestamp" -> ts.toString)
+      case None => base + ("startingOffsets" -> cfg.startingOffsets)
+    }
+  }
+
   /** Kafka source per the reference's options (S1/S2 —
     * emr_ec2/cdc_redshift.py:91-105). Produces a single string column
-    * `value`. */
-  def kafkaSource(spark: SparkSession, cfg: JobConfig): DataFrame = {
-    val base = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", cfg.brokers)
-      .option("subscribe", cfg.topic)
-      .option("maxOffsetsPerTrigger", cfg.maxOffsetsPerTrigger)
-      .option("kafka.group.id", cfg.consumerGroup)
-      .option("failOnDataLoss", "false")
-    val withStart = cfg.startingTimestamp match {
-      case Some(ts) => base.option("startingTimestamp", ts)
-      case None => base.option("startingOffsets", cfg.startingOffsets)
-    }
-    withStart.load().selectExpr("CAST(value AS STRING) AS value")
-  }
+    * `value`. Options come from [[kafkaOptions]] (pinned by
+    * KafkaOptionsSpec). */
+  def kafkaSource(spark: SparkSession, cfg: JobConfig): DataFrame =
+    spark.readStream.format("kafka").options(kafkaOptions(cfg))
+      .load().selectExpr("CAST(value AS STRING) AS value")
 
   /** Stream driver wiring (S3/T1/T3): append mode, processingTime or
     * availableNow trigger, checkpointed foreachBatch. A query-scoped
