@@ -169,12 +169,30 @@ object Plans {
       "full-outer key join classifies added/removed/changed/unchanged; each side shuffles " +
       "its fingerprint pairs once, and bucketing both snapshots by the key makes the " +
       "daily-delta join exchange-free."),
+    "q93_source_overlap" -> ("cross-source duplicate mass: every document reduces to a " +
+      "16-byte fingerprint IN the scan projection (text never shuffles), the (fingerprint, " +
+      "source) distinct aggregates BEFORE the self-join — so the join input is " +
+      "one-row-per-source-per-hash, dedup-bounded — and pairing is an equi-join on the hash, " +
+      "never a product; the output matrix is #sources² rows at most."),
+    "q102_lsh_recall" -> ("LSH recall eval: the planted near-dup union feeds the SAME q14 " +
+      "banded pipeline being audited — signatures partial-aggregate (docs shuffle, shingles " +
+      "don't), candidates meet on the (band, bucket) equi-key, and the planted-pair join is " +
+      "an equi-join against a corpus-fraction-sized key list; the whole acceptance metric " +
+      "costs one extra LSH run, no all-pairs anywhere."),
+    "q103_psi_by_source" -> ("per-source PSI drift: ONE exact-percentile aggregate builds " +
+      "the per-source quartile table (#sources rows) which BROADCASTS back into both " +
+      "snapshot scans; each side bins in its scan projection and partial-aggregates to " +
+      "(source, bin) counts — the only exchanges carry ≤ 4·#sources rows, and the PSI " +
+      "algebra plus per-source totals run on that tiny frame (the per-source window " +
+      "touches #sources·4 rows, not the corpus)."),
     "q99_tfidf_cosine" -> ("TF-IDF cosine pairs: term weights build from two stacked " +
       "partial aggregates ((doc,term) tf then per-term df), candidate pairs meet through " +
       "the shared-term equi-join — never a product; a term with df≈N carries idf≈0, so the " +
       "q35-style frequency valve drops it with no recall cost — and both the per-pair dot " +
       "and the per-doc norms are micro-unit INTEGER sums (order-independent, partial-agg " +
-      "friendly, externally replayable).")
+      "friendly, externally replayable). The HOT pair-dot aggregate is long-backed BIGINT " +
+      "(UnsafeRow mutable-field fast path; DECIMAL(38,0) here cost 2.1× — VERDICT r7 #2) " +
+      "with an explicit per-pair overflow guard; the tiny per-doc norms stay DECIMAL(38,0).")
   )
 
   def main(args: Array[String]): Unit = {

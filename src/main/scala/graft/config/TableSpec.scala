@@ -137,12 +137,19 @@ object JobConfig {
     val props = new java.util.Properties()
     props.load(new java.io.StringReader(text))
     def p(k: String, dflt: String) = Option(props.getProperty(k)).map(_.trim).getOrElse(dflt)
+    // The reference overloads one property: a `startingOffsets` that is
+    // neither "earliest" nor "latest" is an epoch-ms start timestamp
+    // (ref emr_ec2/cdc_redshift.py:99-103). Route a numeric value to
+    // `startingTimestamp`; an explicit `startingTimestamp` property wins.
+    val rawStarting = p("startingOffsets", "earliest")
+    val startingAsEpoch = Some(rawStarting).filter(_.matches("\\d{1,19}")).map(_.toLong)
     JobConfig(
       brokers = p("kafka_broker", ""),
       topic = p("topic", ""),
       consumerGroup = p("consumer_group", "graft-cdc"),
-      startingOffsets = p("startingOffsets", "earliest"),
-      startingTimestamp = Option(props.getProperty("startingTimestamp")).map(_.trim.toLong),
+      startingOffsets = if (startingAsEpoch.isDefined) "earliest" else rawStarting,
+      startingTimestamp = Option(props.getProperty("startingTimestamp")).map(_.trim.toLong)
+        .orElse(startingAsEpoch),
       maxOffsetsPerTrigger = p("max_offsets_per_trigger", "1000000").toLong,
       triggerInterval = p("checkpoint_interval", "30 seconds"),
       checkpointLocation = p("checkpoint_location", ""),

@@ -410,20 +410,35 @@ object Relevance {
       .select(col("id"), col("term"),
         (col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double"))).as("w"))
-    // Micro-unit sums accumulate as DECIMAL(38,0), not BIGINT (r6
-    // advice): a single (tf·idf)²·1e6 row can reach ~1e16 for a huge
-    // document, so a Long sum has only ~1e2 rows of headroom in the
-    // worst case. Decimal keeps the sum an exact partial-aggregatable
-    // integer with 1e38 headroom; the double cast below is unchanged.
+    // The per-doc norms sum stays DECIMAL(38,0) (r6 advice): a single
+    // (tf·idf)²·1e6 row can reach ~1e16 for a huge document. It is a
+    // tiny aggregate (one group per doc, grouped off the already-built
+    // `w`), so the non-long-backed buffer costs nothing measurable.
     val norms = w.groupBy("id")
       .agg(sum(round(col("w") * col("w") * 1e6, 0).cast("decimal(38,0)"))
         .as("w2_micro"))
       .select(col("id"), sqrt(col("w2_micro").cast("double") / 1e6).as("nrm"))
+    // The pair-dot aggregate is the HOT one (a row per shared-term doc
+    // pair) and accumulates as BIGINT — precision > 18 decimals fall out
+    // of UnsafeRow's mutable-field fast path and regressed this query
+    // 2.1× (VERDICT r7 #2). BIGINT micro-units is also exactly what the
+    // DuckDB oracle computes. Overflow is *guarded*, not assumed away:
+    // every contribution is ≥ 0 (tf > 0, idf = ln(N/df) ≥ 0), so
+    // `max_contrib ≤ Long.Max / n_contribs` is a sufficient no-overflow
+    // condition, checked per pair from two extra long-backed aggregates.
+    val prodMicro = round(col("a.w") * col("b.w") * 1e6, 0).cast("long")
     val dots = w.as("a").join(w.as("b"),
         col("a.term") === col("b.term") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(sum(round(col("a.w") * col("b.w") * 1e6, 0).cast("decimal(38,0)"))
-        .as("dot_micro"))
+      .agg(sum(prodMicro).as("dot_micro"),
+        max(prodMicro).as("max_contrib_micro"),
+        count(lit(1)).as("n_contribs"))
+      .select(col("id_a"), col("id_b"),
+        when(col("max_contrib_micro") > lit(Long.MaxValue) / col("n_contribs"),
+          raise_error(lit("tfidfCosinePairs: pair dot-product sum may exceed " +
+            "Long range — corpus has tf*idf weights beyond the documented " +
+            "micro-unit bound (see scaladoc)")))
+          .otherwise(col("dot_micro")).as("dot_micro"))
     dots
       .join(norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")), "id_a")
       .join(norms.select(col("id").as("id_b"), col("nrm").as("nrm_b")), "id_b")

@@ -61,6 +61,28 @@ class KafkaOptionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(opts("startingTimestamp") == "1690000000000")
   }
 
+  test("numeric startingOffsets is the reference's epoch-ms overload (cdc_redshift.py:99-103)") {
+    val cfg = JobConfig.fromProperties(
+      """kafka_broker=k1:9092
+        |topic=t
+        |startingOffsets=1690000000000
+        |""".stripMargin)
+    assert(cfg.startingTimestamp.contains(1690000000000L))
+    val opts = CdcPipeline.kafkaOptions(cfg)
+    assert(opts("startingTimestamp") == "1690000000000")
+    assert(!opts.contains("startingOffsets"))
+  }
+
+  test("explicit startingTimestamp property wins over a numeric startingOffsets") {
+    val cfg = JobConfig.fromProperties(
+      """kafka_broker=k1:9092
+        |topic=t
+        |startingOffsets=1690000000000
+        |startingTimestamp=1700000000000
+        |""".stripMargin)
+    assert(cfg.startingTimestamp.contains(1700000000000L))
+  }
+
   test("every key is a documented upstream Kafka-source option") {
     // guards against typos silently ignored by the DataSource option parser
     val known = Set(

@@ -522,6 +522,46 @@ class PlanSpec extends SparkSuite {
       "raw document text leaked into a shuffle — weights must project in the scan")
   }
 
+  test("q93 source overlap: fingerprints aggregate BEFORE the self-join; text never shuffles") {
+    val q = QueriesExt2.q93SourceOverlap(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the overlap pairing must equi-join on the fingerprint:\n" + p.take(2000))
+    // The (h, source) distinct is an aggregate that runs below the join —
+    // each source contributes at most one row per fingerprint, so the join
+    // input is dedup-bounded, not corpus-sized. Plans print top-down, so
+    // "below the join" = a dedup HashAggregate appearing AFTER the join line.
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && p.indexOf("HashAggregate(keys=[h", joinAt) > joinAt,
+      "the per-source fingerprint dedup must aggregate before (i.e. plan-below) the join:\n" +
+        p.take(2000))
+    val exchanges = allShuffles(executed(q))
+    assert(exchanges.nonEmpty, "expected the fingerprint-dedup exchanges")
+    assert(exchanges.forall(!_.child.output.map(_.name).contains("text")),
+      "raw document text leaked into a shuffle — fingerprint must project in the scan")
+  }
+
+  test("q102 LSH recall: planted-pair eval keeps the banded equi-join shape, never all-pairs") {
+    val p = planString(QueriesExt2.q102LshRecall(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"),
+      "candidate pairs must come from the (band, bucket) equi-join:\n" + p.take(2000))
+    // signatures are partial aggregates: docs shuffle, shingles don't
+    assert("partial_".r.findAllIn(p).nonEmpty,
+      "minhash signatures must combine map-side:\n" + p.take(2000))
+  }
+
+  test("q103 grouped PSI: per-source quartiles broadcast; only (source, bin) counts shuffle") {
+    val q = QueriesExt2.q103PsiBySource(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source boundary table must broadcast into both snapshot scans:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val exchanges = allShuffles(executed(q))
+    assert(exchanges.nonEmpty, "expected the bin-count exchanges")
+    assert(exchanges.forall(!_.child.output.map(_.name).contains("n_chars")),
+      "raw per-document values leaked into a shuffle — counts must partial-agg map-side")
+  }
+
   test("q75 fuzzy match: candidates come from the gram equi-join, never all-pairs") {
     val p = planString(QueriesExt.q75FuzzyMatch(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
