@@ -27,10 +27,11 @@ object Secrets {
   /** JDBC credentials; toString is redacted so a config dump or log line
     * can never leak the password. */
   final case class Credentials(username: Option[String], password: Option[String],
-                               host: Option[String], port: Option[Int]) {
+                               host: Option[String], port: Option[Int],
+                               database: Option[String] = None) {
     override def toString: String =
       s"Credentials(username=${username.map(_ => "***")}, password=${password.map(_ => "***")}, " +
-        s"host=$host, port=$port)"
+        s"host=$host, port=$port, database=$database)"
     /** Explicit properties as the base, secret values on top (the
       * reference's precedence, redshift_sink.py:104-110). */
     def over(explicitUser: Option[String], explicitPassword: Option[String]): Credentials =
@@ -50,21 +51,40 @@ object Secrets {
     def applyTo(url: String): String = {
       val auth =
         "^(jdbc:[a-zA-Z0-9]+://)(\\[[^\\]]+\\]|[^/:;?]+)(?::(\\d+))?((?:[/;?].*)?)$".r
-      if (host.isEmpty && port.isEmpty) url
+      if (host.isEmpty && port.isEmpty && database.isEmpty) url
       else url match {
         case auth(prefix, oldHost, oldPort, rest) =>
           val h = host.getOrElse(oldHost)
           val p = port.map(_.toString).orElse(Option(oldPort))
-          s"$prefix$h${p.map(":" + _).getOrElse("")}$rest"
+          // The reference builds its endpoint's database from the secret
+          // too (redshift_sink.py:106-115): swap the first path segment,
+          // preserving any ?query / ;attr suffix.
+          val r = database match {
+            case Some(db) =>
+              val seg = "^/([^/;?]*)((?:[;?].*)?)$".r
+              rest match {
+                case seg(_, suffix) => s"/$db$suffix"
+                case "" => s"/$db"
+                case other => other // ;attr-only suffixes carry no db segment
+              }
+            case None => rest
+          }
+          s"$prefix$h${p.map(":" + _).getOrElse("")}$r"
         case _ => url
       }
     }
   }
 
   /** Resolve a secret reference to its raw SecretString. `env` is
-    * injectable for tests (defaults to the process environment). */
+    * injectable for tests (defaults to the process environment). A
+    * `b64+` prefix base64-decodes the resolved value — the reference's
+    * SecretBinary arm (redshift_sink.py:640-645: a secret stored as
+    * binary arrives base64-encoded and is decoded before parsing). */
   def resolve(ref: String, env: String => Option[String] = sys.env.get): String =
-    ref.split(":", 2) match {
+    if (ref.startsWith("b64+"))
+      new String(java.util.Base64.getDecoder.decode(resolve(ref.drop(4), env).trim),
+        StandardCharsets.UTF_8)
+    else ref.split(":", 2) match {
       case Array("env", name) =>
         env(name).getOrElse(
           throw new IllegalArgumentException(s"secret env var not set: $name"))
@@ -72,7 +92,7 @@ object Secrets {
         new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8).trim
       case Array("literal", v) => v
       case _ => throw new IllegalArgumentException(
-        s"unsupported secret scheme (want env:/file:/literal:): $ref")
+        s"unsupported secret scheme (want [b64+]env:/file:/literal:): $ref")
     }
 
   /** JSON string unescape for the SecretString values (quotes,
@@ -102,7 +122,7 @@ object Secrets {
         .map(g => unescape(g.group(1)) ->
           Option(g.group(3)).map(unescape).getOrElse(g.group(2))).toMap
       Credentials(m.get("username"), m.get("password"), m.get("host"),
-        m.get("port").flatMap(_.toIntOption))
+        m.get("port").flatMap(_.toIntOption), m.get("database"))
     } else Credentials(None, Some(s), None, None)
   }
 

@@ -122,6 +122,19 @@ final case class JobConfig(
     secretId: Option[String] = None,
     jdbcUser: Option[String] = None,
     jdbcPassword: Option[String] = None,
+    /** Staged-COPY bulk-load path (S5 production form — ref
+      * `redshift_tmpdir`/`redshift_iam_role`/`aws_region`/`tempformat`,
+      * config/job-ec2.properties:16,26-27): when `redshift_tmpdir` is
+      * set, a jdbc: sink loads staging via part files + manifest + COPY
+      * ([[graft.sink.StagedCopyMergeSink]]) instead of batch INSERT.
+      * `copy_mode=statement` issues the COPY text verbatim (a
+      * COPY-capable warehouse); the default `replay` emulates COPY
+      * through a distributed re-read for engines without it. */
+    redshiftTmpdir: Option[String] = None,
+    iamRole: String = "",
+    awsRegion: String = "",
+    tempformat: String = "CSV", // reference default, redshift_sink.py:85-88
+    copyMode: String = "replay",
     tables: Seq[TableSpec] = Nil
 ) {
   /** Resolved JDBC credentials (secret wins over explicit). */
@@ -166,6 +179,11 @@ object JobConfig {
         .map(_.trim).filter(_.nonEmpty),
       jdbcUser = Option(props.getProperty("jdbc_user")).map(_.trim).filter(_.nonEmpty),
       jdbcPassword = Option(props.getProperty("jdbc_password")).map(_.trim).filter(_.nonEmpty),
+      redshiftTmpdir = Option(props.getProperty("redshift_tmpdir")).map(_.trim).filter(_.nonEmpty),
+      iamRole = p("redshift_iam_role", ""),
+      awsRegion = p("aws_region", ""),
+      tempformat = p("tempformat", "CSV"),
+      copyMode = p("copy_mode", "replay"),
       tables = parseTableList(p("sync_table_list", "[]"))
     )
   }

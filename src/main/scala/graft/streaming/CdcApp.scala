@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.config.{JobConfig, TableSpec}
 import graft.envelope.CdcFormat
-import graft.sink.{BucketedParquetMergeTarget, BucketedScd2Target, JdbcMergeSink, MergeTarget}
+import graft.sink.{BucketedParquetMergeTarget, BucketedScd2Target, JdbcMergeSink, MergeTarget, RedshiftSql, ReplayCopyExecutor, StagedCopyMergeSink, StatementCopyExecutor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The single app driver, replacing the reference's three near-identical
@@ -46,9 +46,27 @@ object CdcApp {
       val props = new java.util.Properties()
       creds.username.foreach(props.setProperty("user", _))
       creds.password.foreach(props.setProperty("password", _))
-      val jdbc = new JdbcMergeSink(url, props)
+      // Engine VARCHAR ceiling: Redshift takes the generated 65535;
+      // Derby (the sandbox warehouse) tops out at 32672.
+      val maxVarchar = if (url.startsWith("jdbc:derby")) 32672 else 65535
+      // redshift_tmpdir configured → the staged-COPY bulk path (part
+      // files + manifest + COPY); otherwise the batch-INSERT stand-in.
+      val write: (DataFrame, TableSpec) => Unit = cfg.redshiftTmpdir match {
+        case Some(tmpdir) =>
+          val executor =
+            if (cfg.copyMode.equalsIgnoreCase("statement")) new StatementCopyExecutor()
+            else new ReplayCopyExecutor(spark, url, props)
+          val copy = new StagedCopyMergeSink(url, props, tmpdir, executor,
+            RedshiftSql.CopyOptions(iamRole = cfg.iamRole, region = cfg.awsRegion,
+              maxError = cfg.maxError, tempformat = cfg.tempformat),
+            maxVarchar = maxVarchar)
+          copy.writeBatch
+        case None =>
+          val jdbc = new JdbcMergeSink(url, props, maxVarchar = maxVarchar)
+          jdbc.writeBatch
+      }
       spec => new MergeTarget {
-        def merge(stage: DataFrame, s: TableSpec): Unit = jdbc.writeBatch(stage, s)
+        def merge(stage: DataFrame, s: TableSpec): Unit = write(stage, s)
         def snapshot(sp: SparkSession): DataFrame = {
           val r = sp.read.format("jdbc").option("url", url)
             .option("dbtable", spec.resolvedTarget)

@@ -214,6 +214,34 @@ class PropertiesSpec extends SparkSuite {
     assert(uni.password.contains("päss€"), uni.password)
   }
 
+  test("secrets (S8): database key and the SecretBinary base64 arm") {
+    import graft.config.Secrets
+    // the reference's dict carries `database` too (redshift_sink.py:105-115)
+    // and it must win over the URL's path segment, like host/port
+    val full = Secrets.parse(
+      """{"username": "svc", "password": "pw", "host": "wh", "port": 5439, "database": "prod"}""")
+    assert(full.database.contains("prod"))
+    assert(full.applyTo("jdbc:postgresql://old:1/dev?ssl=true") ==
+      "jdbc:postgresql://wh:5439/prod?ssl=true")
+    assert(full.applyTo("jdbc:postgresql://old:1/dev") == "jdbc:postgresql://wh:5439/prod")
+    // database-only secrets rewrite just the path; attr-style URLs
+    // (no db segment) pass through unchanged
+    val dbOnly = Secrets.parse("""{"database": "prod"}""")
+    assert(dbOnly.applyTo("jdbc:postgresql://h:1/dev") == "jdbc:postgresql://h:1/prod")
+    assert(dbOnly.applyTo("jdbc:sqlserver://h;databaseName=dev") ==
+      "jdbc:sqlserver://h;databaseName=dev")
+    // SecretBinary analog: a b64+ prefix decodes the resolved value
+    // before parsing (redshift_sink.py:640-645)
+    val json = """{"username": "binsvc", "password": "binpw"}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val c = Secrets.credentials(Some("b64+env:WH_BIN"), None, None,
+      Map("WH_BIN" -> b64).get)
+    assert(c.username.contains("binsvc") && c.password.contains("binpw"))
+    // redaction covers the new field path too
+    assert(full.toString.contains("database=Some(prod)") && !full.toString.contains("pw"))
+  }
+
   test("affine MinHash family: coeffs in range, distinct, and collision-free on random bases") {
     import graft.functions.DedupFunctions._
     val coeffs = (1 to 64).map(minhashCoeff)
