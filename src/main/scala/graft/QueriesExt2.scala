@@ -793,9 +793,54 @@ object QueriesExt2 {
       |       CASE WHEN ok THEN greatest(1, (h * sc) // (w * h))::INT ELSE -1 END AS rh
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** REAL audio decode round-trip ([[graft.functions.Multimodal]], JDK
+    * `javax.sound.sampled` — no external codec): every document
+    * synthesizes a 16-bit PCM mono WAV whose sample count derives from
+    * `doc_id` (real RIFF bytes through the real JDK parser), every 50th
+    * payload is truncated to 10 bytes (corrupt header). The oracle
+    * predicts every output arithmetically: decoded header fields must
+    * equal the synthesized ones (a genuine encode→decode round trip —
+    * the q105 pattern for audio), duration_ms is exact integer
+    * frames·1000/rate, and corrupt rows land in the NULL quarantine
+    * lane. Narrow per-row maps; blobs never shuffle. */
+  def q106AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Multimodal
+    val d = docs(s, dir).select(col("doc_id"),
+      (pmod(col("doc_id"), lit(4000)) + lit(4000)).cast("int").as("n_samples"))
+    val wav = d.withColumn("wav",
+      Multimodal.synthWav(col("doc_id"), lit(8000), col("n_samples")))
+    val payload = wav.withColumn("payload",
+      when(pmod(col("doc_id"), lit(50)) === 0,
+        expr("substring(wav, 1, 10)")).otherwise(col("wav")))
+    payload
+      .withColumn("a", Multimodal.decodeAudio(col("payload")))
+      .select(col("doc_id"),
+        col("a").isNotNull.as("decodable"),
+        coalesce(col("a.encoding"), lit("")).as("encoding"),
+        coalesce(col("a.sample_rate"), lit(-1)).as("sample_rate"),
+        coalesce(col("a.channels"), lit(-1)).as("channels"),
+        coalesce(col("a.bits"), lit(-1)).as("bits"),
+        coalesce(col("a.frames"), lit(-1L)).as("frames"),
+        coalesce(col("a.duration_ms"), lit(-1L)).as("duration_ms"))
+  }
+  val q106Sql: String =
+    """WITH d AS (SELECT doc_id, (doc_id % 4000 + 4000)::BIGINT AS n,
+      |             doc_id % 50 <> 0 AS ok
+      |           FROM documents)
+      |SELECT doc_id, ok AS decodable,
+      |       CASE WHEN ok THEN 'pcm_signed' ELSE '' END AS encoding,
+      |       CASE WHEN ok THEN 8000 ELSE -1 END AS sample_rate,
+      |       CASE WHEN ok THEN 1 ELSE -1 END AS channels,
+      |       CASE WHEN ok THEN 16 ELSE -1 END AS bits,
+      |       CASE WHEN ok THEN n ELSE -1 END AS frames,
+      |       CASE WHEN ok THEN (n * 1000) // 8000 ELSE -1 END AS duration_ms
+      |FROM d""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_image_decode" -> (q105ImageDecode _),
+    "q106_audio_decode" -> (q106AudioDecode _),
     "q82_semdedup" -> (q82SemDedup _),
     "q83_jl_ann" -> (q83JlAnn _),
     "q84_quantile_bins" -> (q84QuantileBins _),
@@ -843,6 +888,7 @@ object QueriesExt2 {
     "q102_lsh_recall" -> q102Sql,
     "q103_psi_by_source" -> q103Sql,
     "q104_length_histogram" -> q104Sql,
-    "q105_image_decode" -> q105Sql
+    "q105_image_decode" -> q105Sql,
+    "q106_audio_decode" -> q106Sql
   )
 }

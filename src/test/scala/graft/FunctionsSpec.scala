@@ -323,6 +323,43 @@ class FunctionsSpec extends SparkSuite {
     assert(trunc.filter(col("d").isNotNull).count() == 0)
   }
 
+  test("multimodal: REAL wav encode→decode round-trip, windowed energy, corrupt quarantine") {
+    val rows = Seq((1L, 8000, 4000), (2L, 16000, 16000), (3L, 8000, 12345))
+      .toDF("id", "sr", "n")
+    // round-trip: header fields come back from a genuine javax.sound parse
+    val dec = rows.select(col("id"), col("sr"), col("n"),
+        Multimodal.decodeAudio(Multimodal.synthWav(col("id"), col("sr"), col("n"))).as("d"))
+      .select(col("id"), col("sr"), col("n"), col("d.encoding"), col("d.sample_rate"),
+        col("d.channels"), col("d.bits"), col("d.frames"), col("d.duration_ms"),
+        col("d.pcm_sha256"))
+      .as[(Long, Int, Int, String, Int, Int, Int, Long, Long, String)]
+      .collect().sortBy(_._1)
+    dec.foreach { t =>
+      assert(t._4 == "pcm_signed" && t._5 == t._2 && t._6 == 1 && t._7 == 16)
+      assert(t._8 == t._3.toLong, s"frames ${t._8} != samples ${t._3}")
+      assert(t._9 == t._3.toLong * 1000 / t._2)
+      assert(t._10.length == 64)
+    }
+    // content hash distinguishes seeds, and decode is deterministic
+    assert(dec.map(_._10).distinct.length == 3)
+    // windowed RMS energy: ceil(frames/windowFrames) windows, all
+    // positive for LCG noise, deterministic
+    val en = rows.select(col("id"), col("sr"), col("n"), Multimodal.audioEnergy(
+        Multimodal.synthWav(col("id"), col("sr"), col("n")), 100).as("e"))
+      .as[(Long, Int, Int, Seq[Long])].collect().sortBy(_._1)
+    en.foreach { case (_, sr, n, e) =>
+      val wf = sr * 100 / 1000
+      assert(e.length == (n + wf - 1) / wf, s"windows ${e.length} for n=$n wf=$wf")
+      // 16-bit uniform noise RMS ≈ 32768/sqrt(3) ≈ 18918 — wide tolerance
+      assert(e.forall(v => v > 10000 && v < 30000), e.take(5))
+    }
+    // corrupt payloads (truncated header, non-audio bytes) → NULL lane
+    val bad = Seq(Array[Byte](82, 73, 70, 70, 1, 2, 3), "not audio".getBytes("UTF-8"))
+      .toDF("b").select(Multimodal.decodeAudio(col("b")).as("d"),
+        Multimodal.audioEnergy(col("b"), 100).as("e"))
+    assert(bad.filter(col("d").isNotNull || col("e").isNotNull).count() == 0)
+  }
+
   test("multimodal: payload schema, deterministic stubs, metadata grouping") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(20)
     val mm = Multimodal.multimodalize(docs, "text", "doc_id")
