@@ -522,6 +522,15 @@ class PlanSpec extends SparkSuite {
       "raw document text leaked into a shuffle — weights must project in the scan")
   }
 
+  test("q105/q106 media decode: pure narrow maps — no exchange, blobs never shuffle") {
+    for (q <- Seq(QueriesExt2.q105ImageDecode(spark, sf("sf0.001")),
+                  QueriesExt2.q106AudioDecode(spark, sf("sf0.001")))) {
+      val p = planString(q)
+      assert(!p.contains("Exchange"),
+        "codec evaluation must stay a per-row map in the scan stage:\n" + p.take(2000))
+    }
+  }
+
   test("q93 source overlap: fingerprints aggregate BEFORE the self-join; text never shuffles") {
     val q = QueriesExt2.q93SourceOverlap(spark, sf("sf0.001"))
     val p = planString(q)
