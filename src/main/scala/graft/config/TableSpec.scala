@@ -135,6 +135,11 @@ final case class JobConfig(
     awsRegion: String = "",
     tempformat: String = "CSV", // reference default, redshift_sink.py:85-88
     copyMode: String = "replay",
+    /** Warehouse schema every target/staging table is qualified with
+      * (ref `redshift_schema`, config/job.properties:26; the reference
+      * passes it to every catalog probe and DDL). Empty = the
+      * connection's default schema. */
+    redshiftSchema: String = "",
     tables: Seq[TableSpec] = Nil
 ) {
   /** Resolved JDBC credentials (secret wins over explicit). */
@@ -184,6 +189,7 @@ object JobConfig {
       awsRegion = p("aws_region", ""),
       tempformat = p("tempformat", "CSV"),
       copyMode = p("copy_mode", "replay"),
+      redshiftSchema = p("redshift_schema", ""),
       tables = parseTableList(p("sync_table_list", "[]"))
     )
   }

@@ -395,16 +395,23 @@ final class JdbcMergeSink(url: String, connProps: Properties = new Properties(),
   }
 
   /** Catalog columns of `name` on an open connection: exact name first,
-    * then the engine's upper-cased fold. */
+    * then the engine's upper-cased fold. A `schema.table` name probes
+    * with the schema as the metadata pattern (the reference always
+    * schema-qualifies its pg_table_def lookups). */
   private def lookupColumns(conn: Connection, name: String): List[ColumnDef] = {
-    def one(n: String): List[ColumnDef] = {
-      val rs = conn.getMetaData.getColumns(null, null, n, null)
+    val (schemaPat, tablePat) = name.split("\\.", 2) match {
+      case Array(s, t) => (s, t)
+      case _ => (null, name)
+    }
+    def one(s: String, t: String): List[ColumnDef] = {
+      val rs = conn.getMetaData.getColumns(null, s, t, null)
       Iterator.continually(rs).takeWhile(_.next())
         .map(r => ColumnDef(r.getString("COLUMN_NAME").toLowerCase, r.getString("TYPE_NAME")))
         .toList
     }
-    one(name) match {
-      case Nil => one(name.toUpperCase)
+    one(schemaPat, tablePat) match {
+      case Nil => one(if (schemaPat == null) null else schemaPat.toUpperCase,
+        tablePat.toUpperCase)
       case c => c
     }
   }

@@ -249,13 +249,21 @@ final class StagedCopyMergeSink(url: String, connProps: Properties = new Propert
   }
 
   private def lookupColumns(conn: Connection, name: String): List[ColumnDef] = {
-    def one(n: String): List[ColumnDef] = {
-      val rs = conn.getMetaData.getColumns(null, null, n, null)
+    val (schemaPat, tablePat) = name.split("\\.", 2) match {
+      case Array(s, t) => (s, t)
+      case _ => (null, name)
+    }
+    def one(s: String, t: String): List[ColumnDef] = {
+      val rs = conn.getMetaData.getColumns(null, s, t, null)
       Iterator.continually(rs).takeWhile(_.next())
         .map(r => ColumnDef(r.getString("COLUMN_NAME").toLowerCase,
           r.getString("TYPE_NAME"))).toList
     }
-    one(name) match { case Nil => one(name.toUpperCase); case c => c }
+    one(schemaPat, tablePat) match {
+      case Nil => one(if (schemaPat == null) null else schemaPat.toUpperCase,
+        tablePat.toUpperCase)
+      case c => c
+    }
   }
 
   def catalogColumns(table: String): Option[Seq[ColumnDef]] = withConnection { conn =>

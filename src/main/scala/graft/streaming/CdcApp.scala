@@ -65,8 +65,14 @@ object CdcApp {
           val jdbc = new JdbcMergeSink(url, props, maxVarchar = maxVarchar)
           jdbc.writeBatch
       }
-      spec => new MergeTarget {
-        def merge(stage: DataFrame, s: TableSpec): Unit = write(stage, s)
+      // redshift_schema qualifies every target (and thus its staging
+      // table) — ref passes it to all catalog probes and DDL.
+      val qualify: TableSpec => TableSpec =
+        if (cfg.redshiftSchema.isEmpty) identity
+        else s => s.copy(targetTable = Some(s"${cfg.redshiftSchema}.${s.resolvedTarget}"))
+      spec0 => new MergeTarget {
+        private val spec = qualify(spec0)
+        def merge(stage: DataFrame, s: TableSpec): Unit = write(stage, qualify(s))
         def snapshot(sp: SparkSession): DataFrame = {
           val r = sp.read.format("jdbc").option("url", url)
             .option("dbtable", spec.resolvedTarget)

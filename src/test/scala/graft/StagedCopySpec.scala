@@ -165,6 +165,28 @@ class StagedCopySpec extends SparkSuite {
       (2L, Some("line1\nline2")), (3L, None)))
   }
 
+  test("ignore_ddl: batch casts to the existing catalog, no ALTER ever runs") {
+    import spark.implicits._
+    val db = tmp("graft-copy-ignoreddl") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // user-managed target: id wider than the batch's int, name narrow
+      try st.execute("""CREATE TABLE t_copy ("id" BIGINT, "name" VARCHAR(4))""")
+      finally st.close()
+    } finally conn.close()
+    val sink = mkSink(db, tmp("graft-copy-tmp-ddl"))
+    val sd = spec.copy(ignoreDdl = true)
+    // int id + an extra column the catalog lacks: cast + project, not ALTER
+    val b = Seq((1, "ab", 99L, "u"), (2, "cd", 100L, "u"))
+      .toDF("id", "name", "extra", "op_aws")
+    sink.writeBatch(b, sd)
+    val cols = sink.catalogColumns("t_copy").get.map(_.name)
+    assert(cols == Seq("id", "name"), s"ignore_ddl must not evolve the table: $cols")
+    assert(readTarget(db) == Seq((1L, "ab"), (2L, "cd")))
+  }
+
   test("sinkFactory routes a jdbc sink through the staged-COPY path when redshift_tmpdir is set") {
     val cfg = graft.config.JobConfig.fromProperties(
       s"""kafka_broker=k:9092
@@ -181,6 +203,30 @@ class StagedCopySpec extends SparkSuite {
     target.merge(batch(Seq((1L, "a", "u"), (2L, "b", "u"))), spec)
     target.merge(batch(Seq((2L, "B", "u"))), spec)
     assert(readTarget(db) == Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("redshift_schema qualifies target and staging (reference job.properties shape)") {
+    val cfg = graft.config.JobConfig.fromProperties(
+      s"""kafka_broker=k:9092
+         |topic=t
+         |redshift_schema=cdcx
+         |redshift_tmpdir=${tmp("graft-copy-schema-tmp")}
+         |""".stripMargin)
+    assert(cfg.redshiftSchema == "cdcx")
+    val db = tmp("graft-copy-schema") + "/db"
+    val target = graft.streaming.CdcApp.sinkFactory(spark,
+      s"jdbc:derby:$db;create=true", cfg)(spec)
+    target.merge(batch(Seq((1L, "a", "u"))), spec)
+    // the table lives in the configured schema, not the default one
+    val inSchema = spark.read.format("jdbc").option("url", s"jdbc:derby:$db;create=true")
+      .option("dbtable", "cdcx.t_copy").load()
+    assert(inSchema.count() == 1)
+    // and the snapshot view reads the qualified table
+    assert(target.snapshot(spark).count() == 1)
+    intercept[Exception] { // nothing landed unqualified
+      spark.read.format("jdbc").option("url", s"jdbc:derby:$db;create=true")
+        .option("dbtable", "t_copy").load().collect()
+    }
   }
 
   test("replay executor refuses a manifest whose mandatory entry is missing") {
