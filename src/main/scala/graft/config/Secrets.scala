@@ -38,6 +38,15 @@ object Secrets {
       copy(username = username.orElse(explicitUser),
         password = password.orElse(explicitPassword))
 
+    /** Full-endpoint variant: the reference also configures
+      * `redshift_host`/`redshift_port`/`redshift_database` explicitly
+      * (cdc_redshift.py:80-90) and the secret overrides whichever parts
+      * it carries. */
+    def overEndpoint(explicitHost: Option[String], explicitPort: Option[Int],
+                     explicitDatabase: Option[String]): Credentials =
+      copy(host = host.orElse(explicitHost), port = port.orElse(explicitPort),
+        database = database.orElse(explicitDatabase))
+
     /** Rewrite a `jdbc:engine://host[:port]...` URL's endpoint with the
       * secret's host and/or port — a rotated secret that moves the
       * warehouse must win over the configured URL, exactly like
@@ -126,12 +135,16 @@ object Secrets {
     } else Credentials(None, Some(s), None, None)
   }
 
-  /** One-call path: resolve + parse + apply the secret-wins precedence. */
+  /** One-call path: resolve + parse + apply the secret-wins precedence
+    * over every explicit connection property. */
   def credentials(ref: Option[String],
                   explicitUser: Option[String], explicitPassword: Option[String],
-                  env: String => Option[String] = sys.env.get): Credentials =
-    ref match {
+                  env: String => Option[String] = sys.env.get,
+                  explicitHost: Option[String] = None,
+                  explicitPort: Option[Int] = None,
+                  explicitDatabase: Option[String] = None): Credentials =
+    (ref match {
       case Some(r) => parse(resolve(r, env)).over(explicitUser, explicitPassword)
       case None => Credentials(explicitUser, explicitPassword, None, None)
-    }
+    }).overEndpoint(explicitHost, explicitPort, explicitDatabase)
 }

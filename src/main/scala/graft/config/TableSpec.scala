@@ -122,6 +122,17 @@ final case class JobConfig(
     secretId: Option[String] = None,
     jdbcUser: Option[String] = None,
     jdbcPassword: Option[String] = None,
+    /** Explicit warehouse endpoint (ref `redshift_host`/`redshift_port`/
+      * `redshift_database`, config/job-ec2.properties:20-25) — applied to
+      * the sink URL exactly like a secret's endpoint, with the secret
+      * winning where both are set. */
+    jdbcHost: Option[String] = None,
+    jdbcPort: Option[Int] = None,
+    jdbcDatabase: Option[String] = None,
+    /** Parsed for config-surface parity (ref `s3_endpoint`): the S3 API
+      * endpoint the connector's client would use for the tempdir. The
+      * sandbox replay executor reads the staged files directly. */
+    s3Endpoint: Option[String] = None,
     /** Staged-COPY bulk-load path (S5 production form — ref
       * `redshift_tmpdir`/`redshift_iam_role`/`aws_region`/`tempformat`,
       * config/job-ec2.properties:16,26-27): when `redshift_tmpdir` is
@@ -144,7 +155,8 @@ final case class JobConfig(
 ) {
   /** Resolved JDBC credentials (secret wins over explicit). */
   def credentials(env: String => Option[String] = sys.env.get): Secrets.Credentials =
-    Secrets.credentials(secretId, jdbcUser, jdbcPassword, env)
+    Secrets.credentials(secretId, jdbcUser, jdbcPassword, env,
+      jdbcHost, jdbcPort, jdbcDatabase)
 }
 
 object JobConfig {
@@ -182,8 +194,20 @@ object JobConfig {
       secretId = Option(props.getProperty("secret_id"))
         .orElse(Option(props.getProperty("redshift_secret_id")))
         .map(_.trim).filter(_.nonEmpty),
-      jdbcUser = Option(props.getProperty("jdbc_user")).map(_.trim).filter(_.nonEmpty),
-      jdbcPassword = Option(props.getProperty("jdbc_password")).map(_.trim).filter(_.nonEmpty),
+      // the generic names and the reference's names both drop in; the
+      // generic ones win when a config (oddly) sets both
+      jdbcUser = Option(props.getProperty("jdbc_user"))
+        .orElse(Option(props.getProperty("redshift_username")))
+        .map(_.trim).filter(_.nonEmpty),
+      jdbcPassword = Option(props.getProperty("jdbc_password"))
+        .orElse(Option(props.getProperty("redshift_password")))
+        .map(_.trim).filter(_.nonEmpty),
+      jdbcHost = Option(props.getProperty("redshift_host")).map(_.trim).filter(_.nonEmpty),
+      jdbcPort = Option(props.getProperty("redshift_port")).map(_.trim)
+        .filter(_.nonEmpty).flatMap(_.toIntOption),
+      jdbcDatabase = Option(props.getProperty("redshift_database"))
+        .map(_.trim).filter(_.nonEmpty),
+      s3Endpoint = Option(props.getProperty("s3_endpoint")).map(_.trim).filter(_.nonEmpty),
       redshiftTmpdir = Option(props.getProperty("redshift_tmpdir")).map(_.trim).filter(_.nonEmpty),
       iamRole = p("redshift_iam_role", ""),
       awsRegion = p("aws_region", ""),

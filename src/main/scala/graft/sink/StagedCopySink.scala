@@ -61,6 +61,14 @@ object CopyStage {
     "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "dateFormat" -> "yyyy-MM-dd")
 
+  /** Options shared by the JSON staging writer and replay reader (the
+    * reference's other tempformat pair, config/job-ec2.properties:15:
+    * "CSV,CSV GZIP,JSON, JSON GZIP"). */
+  val jsonOptions: Map[String, String] = Map(
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "dateFormat" -> "yyyy-MM-dd")
+
   final case class StagedBatch(dir: String, manifestPath: String,
                                files: Seq[String], tempformat: String)
 
@@ -74,8 +82,10 @@ object CopyStage {
       case "PARQUET" => w.parquet(dir)
       case "CSV" => w.options(csvOptions).csv(dir)
       case "CSV GZIP" => w.options(csvOptions).option("compression", "gzip").csv(dir)
+      case "JSON" => w.options(jsonOptions).json(dir)
+      case "JSON GZIP" => w.options(jsonOptions).option("compression", "gzip").json(dir)
       case other => throw new IllegalArgumentException(
-        s"unsupported tempformat '$other' (CSV | CSV GZIP | PARQUET)")
+        s"unsupported tempformat '$other' (CSV | CSV GZIP | JSON | JSON GZIP | PARQUET)")
     }
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-"))
@@ -112,9 +122,12 @@ object RedshiftSql {
 
   private def fmt(tempformat: String): String = tempformat.trim.toUpperCase match {
     case "PARQUET" => "FORMAT AS PARQUET"
-    // CSV carries the connector's null sentinel; PARQUET is self-describing
+    // CSV carries the connector's null sentinel; JSON/PARQUET are
+    // self-describing ('auto' maps JSON keys to columns by name)
     case "CSV" => "FORMAT AS CSV NULL AS '@NULL@'"
     case "CSV GZIP" => "FORMAT AS CSV GZIP NULL AS '@NULL@'"
+    case "JSON" => "FORMAT AS JSON 'auto'"
+    case "JSON GZIP" => "FORMAT AS JSON 'auto' GZIP"
     case other => throw new IllegalArgumentException(s"unsupported tempformat '$other'")
   }
 
@@ -203,6 +216,8 @@ final class ReplayCopyExecutor(spark: SparkSession, url: String, connProps: Prop
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else batch.tempformat match {
         case "PARQUET" => spark.read.schema(schema).parquet(files: _*)
+        case "JSON" | "JSON GZIP" =>
+          spark.read.schema(schema).options(CopyStage.jsonOptions).json(files: _*)
         case _ => spark.read.schema(schema).options(CopyStage.csvOptions).csv(files: _*)
       }
     // Same staging-load shape as JdbcMergeSink: Overwrite + truncate

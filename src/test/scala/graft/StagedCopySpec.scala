@@ -205,6 +205,70 @@ class StagedCopySpec extends SparkSuite {
     assert(readTarget(db) == Seq((1L, "a"), (2L, "B")))
   }
 
+  test("JSON GZIP tempformat round-trips nulls and timestamps; COPY text says FORMAT AS JSON 'auto' GZIP") {
+    import spark.implicits._
+    val db = tmp("graft-copy-json") + "/db"
+    val sink = mkSink(db, tmp("graft-copy-tmp-json"), tempformat = "JSON GZIP")
+    val rows = Seq(
+      (1L, Option("""say "hi", ok"""), Option(java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")), "u"),
+      (2L, None: Option[String], None: Option[java.sql.Timestamp], "u"))
+      .toDF("id", "name", "seen_at", "op_aws")
+    sink.writeBatch(rows, spec)
+    val back = spark.read.format("jdbc").option("url", s"jdbc:derby:$db;create=true")
+      .option("dbtable", "t_copy").load().collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getTimestamp(2))))
+      .sortBy(_._1).toSeq
+    assert(back == Seq(
+      (1L, Some("""say "hi", ok"""), Some(java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"))),
+      (2L, None, None)))
+    assert(RedshiftSql.copySql("s", "u", RedshiftSql.CopyOptions(tempformat = "JSON GZIP"))
+      .contains("MANIFEST FORMAT AS JSON 'auto' GZIP TRUNCATECOLUMNS"))
+  }
+
+  test("a verbatim reference job-ec2.properties resolves endpoint, schema, COPY and creds") {
+    // the reference's own property names, all at once (config/job-ec2.properties)
+    val cfg = graft.config.JobConfig.fromProperties(
+      """aws_region = us-east-1
+        |s3_endpoint = s3.us-east-1.amazonaws.com
+        |checkpoint_location = /tmp/ckpt
+        |checkpoint_interval = 30 seconds
+        |kafka_broker = b-1.example:9092
+        |topic = flink_mysql_cdc
+        |startingOffsets = latest
+        |thread_max_workers = 30
+        |disable_msg = true
+        |cdc_format = FLINK-CDC
+        |max_offsets_per_trigger = 1000000
+        |consumer_group = cdc-redshift-ec2-g1
+        |tempformat = CSV
+        |maxerror = 100
+        |redshift_secret_id =
+        |redshift_host = wh.example.com
+        |redshift_port = 5439
+        |redshift_username = ssa
+        |redshift_password = pw
+        |redshift_database = dev
+        |redshift_schema = cdc_data_04
+        |redshift_tmpdir = /tmp/tmpdir
+        |redshift_iam_role = arn:aws:iam::0:role/r
+        |""".stripMargin)
+    assert(cfg.jdbcHost.contains("wh.example.com") && cfg.jdbcPort.contains(5439))
+    assert(cfg.jdbcUser.contains("ssa") && cfg.jdbcPassword.contains("pw"))
+    assert(cfg.jdbcDatabase.contains("dev") && cfg.redshiftSchema == "cdc_data_04")
+    assert(cfg.s3Endpoint.contains("s3.us-east-1.amazonaws.com"))
+    assert(cfg.maxError == 100L && cfg.tempformat == "CSV")
+    // the explicit endpoint lands on the sink URL, like a secret's would
+    val c = cfg.credentials(_ => None)
+    assert(c.applyTo("jdbc:redshift://placeholder:1/x") ==
+      "jdbc:redshift://wh.example.com:5439/dev")
+    // a secret still wins over the explicit endpoint where both are set
+    val env = Map("S" -> """{"host": "rotated.example.com", "password": "rpw"}""")
+    val c2 = graft.config.Secrets.credentials(Some("env:S"),
+      cfg.jdbcUser, cfg.jdbcPassword, env.get, cfg.jdbcHost, cfg.jdbcPort, cfg.jdbcDatabase)
+    assert(c2.host.contains("rotated.example.com") && c2.port.contains(5439))
+    assert(c2.password.contains("rpw") && c2.username.contains("ssa"))
+  }
+
   test("redshift_schema qualifies target and staging (reference job.properties shape)") {
     val cfg = graft.config.JobConfig.fromProperties(
       s"""kafka_broker=k:9092
