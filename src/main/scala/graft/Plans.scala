@@ -169,6 +169,11 @@ object Plans {
       "full-outer key join classifies added/removed/changed/unchanged; each side shuffles " +
       "its fingerprint pairs once, and bucketing both snapshots by the key makes the " +
       "daily-delta join exchange-free."),
+    "q107_funnel" -> ("ordered funnel (view→click→purchase): the three step flags are " +
+      "STACKED running-max windows over ONE (user_id) exchange — they share the same " +
+      "partition sort, and the per-user aggregate reuses that partitioning, so the whole " +
+      "funnel costs a single shuffle of (user, type, ts) triples plus a one-row rollup; " +
+      "the naive per-step min-join would reshuffle the events table once per stage."),
     "q93_source_overlap" -> ("cross-source duplicate mass: every document reduces to a " +
       "16-byte fingerprint IN the scan projection (text never shuffles), the (fingerprint, " +
       "source) distinct aggregates BEFORE the self-join — so the join input is " +

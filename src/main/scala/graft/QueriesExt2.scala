@@ -837,10 +837,75 @@ object QueriesExt2 {
       |       CASE WHEN ok THEN (n * 1000) // 8000 ELSE -1 END AS duration_ms
       |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Ordered funnel (view → click → purchase): a user reaches step k at
+    * the first event of step k's type that occurs at-or-after their
+    * step-(k-1) reach. Implemented as three STACKED running-max window
+    * flags over ONE (user_id) exchange — the windows share the same
+    * partition sort (ts, event_id tie-break), so the 100 TB cost is a
+    * single shuffle of (user, type, ts) triples and no self-join per
+    * step (the naive per-step min-join reshuffles the events table once
+    * per funnel stage). The output is the per-step user count and
+    * conversion — integers and exact ratios, hash-stable. */
+  def q107Funnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = e
+      .withColumn("r1", max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+      .withColumn("r2", max(when(col("event_type") === "click" && col("r1") === 1, 1)
+        .otherwise(0)).over(w))
+      .withColumn("r3", max(when(col("event_type") === "purchase" && col("r2") === 1, 1)
+        .otherwise(0)).over(w))
+    val perUser = flagged.groupBy(col("user_id"))
+      .agg(max(col("r1")).as("s1"), max(col("r2")).as("s2"), max(col("r3")).as("s3"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("s1")).cast("long").as("step_view"),
+        sum(col("s2")).cast("long").as("step_click"),
+        sum(col("s3")).cast("long").as("step_purchase"))
+      .select(col("n_users"), col("step_view"), col("step_click"), col("step_purchase"),
+        round(col("step_click").cast("double") / col("step_view"), 6).as("conv_click"),
+        round(col("step_purchase").cast("double") / col("step_click"), 6).as("conv_purchase"))
+  }
+  val q107Sql: String =
+    """WITH f AS (SELECT user_id,
+      |             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |               OVER w AS r1,
+      |             event_type, ts, event_id
+      |           FROM events
+      |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING)),
+      |g AS (SELECT user_id, r1, event_type, ts, event_id,
+      |        max(CASE WHEN event_type = 'click' AND r1 = 1 THEN 1 ELSE 0 END)
+      |          OVER w AS r2
+      |      FROM f
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING)),
+      |h AS (SELECT user_id, r1, r2,
+      |        max(CASE WHEN event_type = 'purchase' AND r2 = 1 THEN 1 ELSE 0 END)
+      |          OVER w AS r3
+      |      FROM g
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING)),
+      |u AS (SELECT user_id, max(r1) AS s1, max(r2) AS s2, max(r3) AS s3
+      |      FROM h GROUP BY 1)
+      |SELECT count(*)::BIGINT AS n_users,
+      |       sum(s1)::BIGINT AS step_view,
+      |       sum(s2)::BIGINT AS step_click,
+      |       sum(s3)::BIGINT AS step_purchase,
+      |       round(sum(s2)::DOUBLE / sum(s1), 6) AS conv_click,
+      |       round(sum(s3)::DOUBLE / sum(s2), 6) AS conv_purchase
+      |FROM u""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_image_decode" -> (q105ImageDecode _),
     "q106_audio_decode" -> (q106AudioDecode _),
+    "q107_funnel" -> (q107Funnel _),
     "q82_semdedup" -> (q82SemDedup _),
     "q83_jl_ann" -> (q83JlAnn _),
     "q84_quantile_bins" -> (q84QuantileBins _),
@@ -889,6 +954,7 @@ object QueriesExt2 {
     "q103_psi_by_source" -> q103Sql,
     "q104_length_histogram" -> q104Sql,
     "q105_image_decode" -> q105Sql,
-    "q106_audio_decode" -> q106Sql
+    "q106_audio_decode" -> q106Sql,
+    "q107_funnel" -> q107Sql
   )
 }

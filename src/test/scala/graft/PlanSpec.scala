@@ -522,6 +522,19 @@ class PlanSpec extends SparkSuite {
       "raw document text leaked into a shuffle — weights must project in the scan")
   }
 
+  test("q107 funnel: three step windows + per-user agg share ONE user exchange and one sort") {
+    val q = QueriesExt2.q107Funnel(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert("Window".r.findAllIn(p).length >= 3, p.take(2000))
+    assert("(?s)Sort.*Sort".r.findFirstIn(p).isEmpty,
+      "the stacked step windows must share one partition sort:\n" + p.take(2000))
+    // one (user_id) hash exchange feeding windows AND the per-user agg
+    // (same partitioning, no re-shuffle), plus the final single-partition
+    // rollup — nothing else
+    assert(allShuffles(executed(q)).length <= 2,
+      "funnel must cost one user shuffle + the tiny final rollup:\n" + p.take(2000))
+  }
+
   test("q105/q106 media decode: pure narrow maps — no exchange, blobs never shuffle") {
     for (q <- Seq(QueriesExt2.q105ImageDecode(spark, sf("sf0.001")),
                   QueriesExt2.q106AudioDecode(spark, sf("sf0.001")))) {
