@@ -174,6 +174,11 @@ object Plans {
       "partition sort, and the per-user aggregate reuses that partitioning, so the whole " +
       "funnel costs a single shuffle of (user, type, ts) triples plus a one-row rollup; " +
       "the naive per-step min-join would reshuffle the events table once per stage."),
+    "q108_retention" -> ("weekly cohort retention: the (user, active-week) grain " +
+      "partial-aggregates map-side BEFORE its exchange (raw events never shuffle), the " +
+      "first-week cohort assignment is a window stacked on that grain — no join-back — " +
+      "and the downstream exchanges carry only users×weeks and cohort×offset cells; " +
+      "integer epoch-weeks keep the bucketing calendar-free and engine-portable."),
     "q93_source_overlap" -> ("cross-source duplicate mass: every document reduces to a " +
       "16-byte fingerprint IN the scan projection (text never shuffles), the (fingerprint, " +
       "source) distinct aggregates BEFORE the self-join — so the join input is " +

@@ -901,11 +901,56 @@ object QueriesExt2 {
       |       round(sum(s3)::DOUBLE / sum(s2), 6) AS conv_purchase
       |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Weekly cohort retention: users cohort by their first-activity week
+    * (epoch-day div 7 — calendar-free integer weeks, engine-portable),
+    * and each (cohort, week-offset) cell counts the distinct users
+    * active that week. Shape: the first-week assignment is a min-over-
+    * window stacked ON the same (user) exchange the activity rows
+    * already need — no self-join back — and the cell counts aggregate
+    * (cohort, offset, user) triples that are already distinct-per-week,
+    * so the second exchange carries at most users×weeks rows. The naive
+    * build (min-aggregate then join back to events) shuffles the event
+    * table twice. */
+  def q108Retention(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weeks = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ms div 604800000").as("week"))
+      .distinct() // one row per (user, active week) — the retention grain
+    val w = Window.partitionBy(col("user_id"))
+    val cohorted = weeks
+      .withColumn("cohort_week", min(col("week")).over(w))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+    cohorted.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users"))).over(
+          Window.partitionBy(col("cohort_week"))))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6).as("retention"))
+  }
+  val q108Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+      |           FROM events),
+      |c AS (SELECT user_id, week,
+      |        min(week) OVER (PARTITION BY user_id) AS cohort_week
+      |      FROM a),
+      |g AS (SELECT cohort_week, week - cohort_week AS week_offset,
+      |             count(*)::BIGINT AS n_users
+      |      FROM c GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_users,
+      |       round(n_users::DOUBLE /
+      |             max(CASE WHEN week_offset = 0 THEN n_users END)
+      |               OVER (PARTITION BY cohort_week), 6) AS retention
+      |FROM g""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_image_decode" -> (q105ImageDecode _),
     "q106_audio_decode" -> (q106AudioDecode _),
     "q107_funnel" -> (q107Funnel _),
+    "q108_retention" -> (q108Retention _),
     "q82_semdedup" -> (q82SemDedup _),
     "q83_jl_ann" -> (q83JlAnn _),
     "q84_quantile_bins" -> (q84QuantileBins _),
@@ -955,6 +1000,7 @@ object QueriesExt2 {
     "q104_length_histogram" -> q104Sql,
     "q105_image_decode" -> q105Sql,
     "q106_audio_decode" -> q106Sql,
-    "q107_funnel" -> q107Sql
+    "q107_funnel" -> q107Sql,
+    "q108_retention" -> q108Sql
   )
 }

@@ -535,6 +535,21 @@ class PlanSpec extends SparkSuite {
       "funnel must cost one user shuffle + the tiny final rollup:\n" + p.take(2000))
   }
 
+  test("q108 retention: map-side distinct before any exchange, no join anywhere") {
+    val q = QueriesExt2.q108Retention(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(!p.contains("Join"),
+      "cohort assignment must stack on the activity grain, never join back:\n" + p.take(2000))
+    // the (user, week) distinct partial-aggregates map-side, so the first
+    // exchange carries the activity grain, not raw events
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+    val exchanges = allShuffles(executed(q))
+    assert(exchanges.nonEmpty && exchanges.length <= 4,
+      s"expected the grain/window/cell exchanges only, got ${exchanges.length}")
+    assert(exchanges.forall(!_.child.output.map(_.name).contains("event_type")),
+      "raw event rows leaked into a shuffle — distinct must reduce first")
+  }
+
   test("q105/q106 media decode: pure narrow maps — no exchange, blobs never shuffle") {
     for (q <- Seq(QueriesExt2.q105ImageDecode(spark, sf("sf0.001")),
                   QueriesExt2.q106AudioDecode(spark, sf("sf0.001")))) {
