@@ -42,6 +42,11 @@ object Smoke {
             val msType = e.schema("ts_ms").dataType.typeName
             require(tsType == "timestamp", s"events.ts resolved to $tsType, want timestamp")
             require(msType == "long", s"events.ts_ms resolved to $msType, want long")
+            // unit-inference sanity: a misread epoch unit lands centuries
+            // away — any plausible testdata is between 2010 and 2040
+            val ms = e.select("ts_ms").head().getLong(0)
+            require(ms > 1262304000000L && ms < 2208988800000L,
+              s"events.ts_ms=$ms outside 2010..2040 — epoch unit misinferred?")
             e
           } else Tables.table(spark, dir, t)
         // materialize one row end-to-end so physical read + conversions run
