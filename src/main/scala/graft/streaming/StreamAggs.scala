@@ -357,6 +357,50 @@ object StreamAggs {
         })
   }
 
+  final case class FunnelEv(user_id: Long, ts: java.sql.Timestamp,
+                            event_type: String, event_id: Long)
+  final case class FunnelAdvance(user_id: Long, step: Int, step_name: String,
+                                 ts: java.sql.Timestamp)
+  final case class FunnelState(step: Int)
+
+  /** Streaming twin of the q107 ordered funnel: per-user state is ONE
+    * int (the highest step reached), and each micro-batch advances it
+    * through `steps` in (ts, event_id) order, emitting an advance row
+    * the moment a user reaches a new step — the live form of the batch
+    * query's stacked running-max windows, with identical semantics on
+    * in-order arrivals (step k counts at the first step-k event
+    * at-or-after the step-(k-1) reach). State is bounded at one int per
+    * live user and idle users evict on the processing-time timeout, so
+    * an unbounded visitor space stays an O(active users) footprint —
+    * the property that makes a funnel monitor run forever. */
+  def streamingFunnel(events: Dataset[FunnelEv], steps: Seq[String],
+                      idleTimeoutMs: Long = 3600000L,
+                      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val evict = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
+        (user: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var step = state.getOption.map(_.step).getOrElse(0)
+            val out = Vector.newBuilder[FunnelAdvance]
+            rows.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (step < steps.length && e.event_type == steps(step)) {
+                step += 1
+                out += FunnelAdvance(user, step, steps(step - 1), e.ts)
+              }
+            }
+            state.update(FunnelState(step))
+            if (evict) state.setTimeoutDuration(idleTimeoutMs)
+            out.result().iterator
+          }
+        })
+  }
+
   final case class DiffOut(doc_id: Long, change: String)
   final case class FpState(fp: String)
 

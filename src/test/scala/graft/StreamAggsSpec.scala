@@ -89,6 +89,37 @@ class StreamAggsSpec extends SparkSuite {
     assert(last(2L).n == 1 && last(2L).total == 7.0)
   }
 
+  test("streaming funnel advances ordered steps across batches, one int of state per user") {
+    import StreamAggs.{FunnelEv, FunnelAdvance}
+    val mem = MemoryStream[FunnelEv]
+    val q = StreamAggs.streamingFunnel(mem.toDS(), Seq("view", "click", "purchase"),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    // batch 1: user 1 reaches view+click (purchase BEFORE view must not count);
+    // user 2 clicks without ever viewing — no advance at all
+    mem.addData(
+      FunnelEv(1L, ts(0), "purchase", 1L), FunnelEv(1L, ts(1), "view", 2L),
+      FunnelEv(1L, ts(2), "click", 3L),
+      FunnelEv(2L, ts(1), "click", 4L))
+    q.processAllAvailable()
+    // batch 2: user 1 completes; user 2 starts properly; a repeat view
+    // for user 1 must NOT re-advance (state carries across batches)
+    mem.addData(
+      FunnelEv(1L, ts(3), "view", 5L), FunnelEv(1L, ts(4), "purchase", 6L),
+      FunnelEv(2L, ts(5), "view", 7L))
+    q.processAllAvailable()
+    q.stop()
+    val adv = spark.table("funnel").as[FunnelAdvance].collect()
+      .groupBy(_.user_id).view.mapValues(_.sortBy(_.step).map(a => (a.step, a.step_name)).toSeq).toMap
+    assert(adv(1L) == Seq((1, "view"), (2, "click"), (3, "purchase")))
+    assert(adv(2L) == Seq((1, "view")))
+    // in-batch ordering is event-time, not arrival: the ts(0) purchase
+    // preceded the view so the funnel ends at purchase only via ts(4)
+    val purchase = spark.table("funnel").as[FunnelAdvance].collect()
+      .find(a => a.user_id == 1L && a.step == 3).get
+    assert(purchase.ts == ts(4))
+  }
+
   test("streaming exact dedup drops cross-batch duplicates within the watermark") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF().toDF("ts", "doc_id", "text")
