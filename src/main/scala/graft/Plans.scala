@@ -202,7 +202,24 @@ object Plans {
       "and the per-doc norms are micro-unit INTEGER sums (order-independent, partial-agg " +
       "friendly, externally replayable). The HOT pair-dot aggregate is long-backed BIGINT " +
       "(UnsafeRow mutable-field fast path; DECIMAL(38,0) here cost 2.1× — VERDICT r7 #2) " +
-      "with an explicit per-pair overflow guard; the tiny per-doc norms stay DECIMAL(38,0).")
+      "with an explicit per-pair overflow guard; the tiny per-doc norms stay DECIMAL(38,0)."),
+    "q109_kmv_distinct" -> ("KMV distinct sketch: the k-smallest-hashes filter is a rank " +
+      "window that plans as WindowGroupLimit — every map task trims its partition to its " +
+      "local k minima BEFORE the exchange, so the sketch shuffle carries O(partitions × k) " +
+      "rows where the exact tier (also shown, as the published error baseline) shuffles " +
+      "every distinct (type, user) pair; the final sketch/exact join broadcasts a " +
+      "#event-types-row frame."),
+    "q111_expectations" -> ("data-quality expectation suite: six declared rules compile " +
+      "into ONE partially-aggregated scan of orders (no join, no union, no per-rule " +
+      "re-read); the report row that crosses the exchange is as wide as the rule count and " +
+      "one row tall, then melts to (rule, metric, passed) driver-free via inline(). " +
+      "Uniqueness pays the count_distinct expand inside the same aggregate; qa6's HLL " +
+      "sketch is the documented approx fallback for ultra-high-cardinality keys."),
+    "q113_transitions" -> ("event-transition matrix: adjacent (prev → next) pairs come " +
+      "from lag() over ONE user-key exchange — a self-join formulation would shuffle " +
+      "events twice to build the same pairs; the pair counts then partial-aggregate " +
+      "map-side, and the row-normalizing probability window runs over the " +
+      "|event-types|²-row matrix, never over events.")
   )
 
   def main(args: Array[String]): Unit = {

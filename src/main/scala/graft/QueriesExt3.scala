@@ -1,0 +1,243 @@
+package graft
+
+import graft.functions.{Sketches, TextFunctions}
+import graft.operators.{Expectations, Transitions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries q109+ — sketch-tier accounting, data-quality
+  * verification, corpus routing, and event-sequence analytics. Every
+  * entry has a DuckDB oracle replay; see COVERAGE.md for the map. */
+object QueriesExt3 {
+
+  // ---------------------------------------------------------------- q109
+  /** KMV distinct-user sketch per event type (k=64) next to the exact
+    * count — the fixed-memory "DAU by sketch" shape: at 100 TB the
+    * exact count shuffles every distinct (type, user) pair, while the
+    * sketch exchange carries O(map-partitions × k) rows thanks to the
+    * WindowGroupLimit rewrite of the rank filter ([[Sketches]]). The
+    * published err_pct is the honest accuracy statement (k=64 ⇒ ~12%
+    * RSE) — the query reports BOTH tiers the way q63 reports ANN
+    * recall. */
+  def q109KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val keyed = ev.select(col("event_type"),
+      col("user_id").cast("string").as("user_key"))
+    val sketch = Sketches.kmvDistinct(keyed, "event_type", "user_key", 64)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("exact_users"))
+    exact.join(sketch, exact("event_type") === sketch("g"))
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        col("kmv_n"), col("kmv_est"),
+        round(abs(col("kmv_est") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"), 6).as("err_pct"))
+  }
+  val q109Sql: String =
+    """WITH h AS (SELECT event_type,
+      |        ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |      FROM events),
+      |rk AS (SELECT event_type, h,
+      |         rank() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |       FROM h),
+      |sk AS (SELECT DISTINCT event_type, h FROM rk WHERE rk <= 64),
+      |ag AS (SELECT event_type, count(*)::BIGINT AS kmv_n, max(h) AS kth
+      |       FROM sk GROUP BY 1),
+      |es AS (SELECT event_type, kmv_n,
+      |         CASE WHEN kmv_n < 64 THEN kmv_n
+      |              ELSE floor(63 * 1152921504606846976.0 / kth)::BIGINT
+      |         END AS kmv_est
+      |       FROM ag),
+      |ex AS (SELECT event_type, count(*)::BIGINT AS n_events,
+      |              count(DISTINCT user_id)::BIGINT AS exact_users
+      |       FROM events GROUP BY 1)
+      |SELECT ex.event_type, n_events, exact_users, kmv_n, kmv_est,
+      |       round(abs(kmv_est - exact_users)::DOUBLE / exact_users::DOUBLE, 6)
+      |         AS err_pct
+      |FROM ex JOIN es ON ex.event_type = es.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+  /** Theta-style pairwise content overlap from KMV sketches alone
+    * (k=64), against the exact fingerprint-join answer — the planning
+    * tier of q93's duplicate-mass matrix. Three synthetic feeds with
+    * known containment (doc_id%2, doc_id%3, all) give overlap at three
+    * levels; the sketch pair join touches O(feeds·k) rows where the
+    * exact tier joins every distinct fingerprint. */
+  def q110KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    val feeds = d.filter(col("doc_id") % 2 === 0)
+      .select(lit("even").as("feed"), col("fp"))
+      .unionByName(d.filter(col("doc_id") % 3 === 0)
+        .select(lit("third").as("feed"), col("fp")))
+      .unionByName(d.select(lit("all").as("feed"), col("fp")))
+    val est = Sketches.kmvPairOverlap(feeds, "feed", "fp", 64)
+    val fx = feeds.distinct()
+    val exact = fx.as("a").join(fx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.feed") < col("b.feed"))
+      .groupBy(col("a.feed").as("g1"), col("b.feed").as("g2"))
+      .agg(count(lit(1)).as("exact_common"))
+    est.join(exact,
+        est("g1") === exact("g1") && est("g2") === exact("g2"), "left")
+      .select(est("g1").as("feed_a"), est("g2").as("feed_b"),
+        col("common_k"), col("est_union"), col("est_common"),
+        coalesce(col("exact_common"), lit(0L)).as("exact_common"))
+  }
+  val q110Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |      FROM documents),
+      |feeds AS (
+      |  SELECT 'even' AS feed, fp FROM d WHERE doc_id % 2 = 0
+      |  UNION ALL SELECT 'third', fp FROM d WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT 'all', fp FROM d),
+      |h AS (SELECT feed, ('0x' || substring(md5(fp), 1, 15))::BIGINT AS h
+      |      FROM feeds),
+      |rk AS (SELECT feed, h, rank() OVER (PARTITION BY feed ORDER BY h) AS rk
+      |       FROM h),
+      |sk AS (SELECT DISTINCT feed, h FROM rk WHERE rk <= 64),
+      |gs AS (SELECT DISTINCT feed FROM sk),
+      |pr AS (SELECT s.feed AS g1, o.feed AS g2, s.h, 1 AS in_a, 0 AS in_b
+      |       FROM sk s JOIN gs o ON s.feed < o.feed
+      |       UNION ALL
+      |       SELECT o.feed, s.feed, s.h, 0, 1
+      |       FROM sk s JOIN gs o ON o.feed < s.feed),
+      |mg AS (SELECT g1, g2, h, max(in_a) AS in_a, max(in_b) AS in_b
+      |       FROM pr GROUP BY 1, 2, 3),
+      |un AS (SELECT g1, g2, h, in_a, in_b,
+      |         row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk
+      |       FROM mg),
+      |ag AS (SELECT g1, g2, count(*)::BIGINT AS ku, max(h) AS theta,
+      |         sum(in_a * in_b)::BIGINT AS common_k
+      |       FROM un WHERE rk <= 64 GROUP BY 1, 2),
+      |es AS (SELECT g1, g2, common_k, ku,
+      |         CASE WHEN ku < 64 THEN ku
+      |              ELSE floor(63 * 1152921504606846976.0 / theta)::BIGINT
+      |         END AS est_union
+      |       FROM ag),
+      |fx AS (SELECT DISTINCT feed, fp FROM feeds),
+      |exact AS (SELECT a.feed AS g1, b.feed AS g2,
+      |            count(*)::BIGINT AS exact_common
+      |          FROM fx a JOIN fx b ON a.fp = b.fp AND a.feed < b.feed
+      |          GROUP BY 1, 2)
+      |SELECT es.g1 AS feed_a, es.g2 AS feed_b, common_k, est_union,
+      |       floor(common_k::DOUBLE * est_union::DOUBLE / ku::DOUBLE)::BIGINT
+      |         AS est_common,
+      |       coalesce(exact_common, 0)::BIGINT AS exact_common
+      |FROM es LEFT JOIN exact ON es.g1 = exact.g1 AND es.g2 = exact.g2"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- q111
+  /** One-pass data-quality verification suite over `orders` (the Deequ
+    * shape, [[Expectations]]): six declared rules compile to a single
+    * partially-aggregated scan; the report is (rule, metric, passed).
+    * `totalprice_under_100k` is a genuinely failing rule (TPC-H orders
+    * reach ~500k) so the report demonstrates failure surfacing, not
+    * just green rows. */
+  def q111Expectations(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    Expectations.run(Tables.orders(s, dir), Seq(
+      Expectation("completeness_o_custkey", completeness(col("o_custkey")),
+        m => m >= 1.0d),
+      Expectation("uniqueness_o_orderkey", uniqueness(col("o_orderkey")),
+        m => m === 1.0d),
+      Expectation("min_totalprice_positive",
+        min(col("o_totalprice")), m => m > 0.0d),
+      Expectation("status_in_domain",
+        satisfies(col("o_orderstatus").isin("O", "F", "P")), m => m === 1.0d),
+      Expectation("priority_pattern",
+        satisfies(col("o_orderpriority").rlike("^[1-5]-")), m => m === 1.0d),
+      Expectation("totalprice_under_100k",
+        satisfies(col("o_totalprice") <= 100000.0d), m => m === 1.0d)))
+  }
+  val q111Sql: String =
+    """WITH m AS (SELECT
+      |  round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS m0,
+      |  round(count(DISTINCT o_orderkey)::DOUBLE / count(*)::DOUBLE, 6) AS m1,
+      |  min(o_totalprice)::DOUBLE AS m2,
+      |  round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) AS m3,
+      |  round(avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END), 6) AS m4,
+      |  round(avg(CASE WHEN o_totalprice <= 100000.0 THEN 1.0 ELSE 0.0 END), 6) AS m5
+      | FROM orders)
+      |SELECT 'completeness_o_custkey' AS rule, m0 AS metric, m0 >= 1.0 AS passed FROM m
+      |UNION ALL SELECT 'uniqueness_o_orderkey', m1, m1 = 1.0 FROM m
+      |UNION ALL SELECT 'min_totalprice_positive', m2, m2 > 0.0 FROM m
+      |UNION ALL SELECT 'status_in_domain', m3, m3 = 1.0 FROM m
+      |UNION ALL SELECT 'priority_pattern', m4, m4 = 1.0 FROM m
+      |UNION ALL SELECT 'totalprice_under_100k', m5, m5 = 1.0 FROM m"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- q112
+  /** Code-vs-prose routing signals per document
+    * ([[TextFunctions.codeStats]]): symbol density, indented-line
+    * fraction, keyword-marker hits, and the dyadic-weighted composite —
+    * ONE narrow projection, no shuffle, all codegen'd built-ins. */
+  def q112CodeDetect(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.codeStats(col("text")).as("cs"))
+      .select(col("doc_id"), col("cs.symbol_frac"), col("cs.indent_frac"),
+        col("cs.kw_hits"), col("cs.code_score"), col("cs.is_code"))
+  val q112Sql: String =
+    """WITH raw AS (SELECT doc_id, text,
+      |        round((length(text) - length(translate(text, '{}();=<>[]', '')))::DOUBLE
+      |              / greatest(length(text), 1)::DOUBLE, 6) AS symbol_frac,
+      |        round(len(list_filter(string_split(text, chr(10)),
+      |                x -> substr(x, 1, 2) = '  ' OR substr(x, 1, 1) = chr(9)))::DOUBLE
+      |              / greatest(len(string_split(text, chr(10))), 1)::DOUBLE, 6)
+      |          AS indent_frac,
+      |        (CASE WHEN contains(text, 'def ') THEN 1 ELSE 0 END
+      |         + CASE WHEN contains(text, 'return') THEN 1 ELSE 0 END
+      |         + CASE WHEN contains(text, 'import ') THEN 1 ELSE 0 END
+      |         + CASE WHEN contains(text, '#include') THEN 1 ELSE 0 END
+      |         + CASE WHEN contains(text, 'function') THEN 1 ELSE 0 END
+      |         + CASE WHEN contains(text, 'void ') THEN 1 ELSE 0 END
+      |         + CASE WHEN contains(text, '==') THEN 1 ELSE 0 END
+      |         + CASE WHEN contains(text, '&&') THEN 1 ELSE 0 END)::INTEGER
+      |          AS kw_hits
+      |      FROM documents),
+      |sc AS (SELECT doc_id, symbol_frac, indent_frac, kw_hits,
+      |         round(symbol_frac * 4.0 + indent_frac * 2.0
+      |               + least(kw_hits, 4)::DOUBLE * 0.25, 6) AS code_score
+      |       FROM raw)
+      |SELECT doc_id, symbol_frac, indent_frac, kw_hits, code_score,
+      |       code_score >= 0.8 AS is_code
+      |FROM sc""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  /** First-order event-transition matrix ([[Transitions.matrix]]): per
+    * (prev event type → next event type), the count and row-normalized
+    * probability. One user-key exchange for the lag; the probability
+    * window runs over the |types|²-row matrix, never over events. */
+  def q113Transitions(s: SparkSession, dir: String): DataFrame =
+    Transitions.matrix(Tables.events(s, dir), "user_id",
+      Seq(col("ts_ms"), col("event_id")), "event_type")
+  val q113Sql: String =
+    """WITH o AS (SELECT user_id, event_type,
+      |        lag(event_type) OVER
+      |          (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |          AS prev_type
+      |      FROM events),
+      |c AS (SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      |      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |       round(n::DOUBLE / (sum(n) OVER (PARTITION BY prev_type))::DOUBLE, 6)
+      |         AS p
+      |FROM c""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_kmv_distinct" -> (q109KmvDistinct _),
+    "q110_kmv_overlap" -> (q110KmvOverlap _),
+    "q111_expectations" -> (q111Expectations _),
+    "q112_code_detect" -> (q112CodeDetect _),
+    "q113_transitions" -> (q113Transitions _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q109_kmv_distinct" -> q109Sql,
+    "q110_kmv_overlap" -> q110Sql,
+    "q111_expectations" -> q111Sql,
+    "q112_code_detect" -> q112Sql,
+    "q113_transitions" -> q113Sql
+  )
+}

@@ -230,4 +230,43 @@ object TextFunctions {
         format_string("%04x%04x%04x%04x",
           chunk(3), chunk(2), chunk(1), chunk(0)).as("sig"))
   }
+
+  /** Code-vs-prose detection signals — the "is this document source code"
+    * routing decision a mixed web corpus needs before language ID,
+    * quality rules, or tokenizer choice (code tokenizes ~2× worse under a
+    * prose BPE and fails prose quality gates for the wrong reasons).
+    *
+    * Pure column algebra, one narrow projection per doc:
+    *  - symbol_frac: density of code punctuation {}();=<>[] — ONE
+    *    `translate` strip, no per-char regex;
+    *  - indent_frac: fraction of lines opening with two spaces or a tab
+    *    (layout is the strongest single code signal);
+    *  - kw_hits: how many of eight language-agnostic keyword/operator
+    *    markers appear at least once.
+    *
+    * The composite score uses dyadic weights (4, 2, 0.25) so the double
+    * arithmetic replays bit-identically in an external engine; fractions
+    * round(…, 6) first. Returns a struct
+    * (symbol_frac, indent_frac, kw_hits, code_score, is_code). */
+  def codeStats(text: Column): Column = {
+    val n = greatest(length(text), lit(1)).cast("double")
+    val symbolFrac =
+      round((length(text) - length(translate(text, "{}();=<>[]", "")))
+        .cast("double") / n, 6)
+    val lines = split(text, "\n", -1)
+    val indented = filter(lines, l =>
+      substring(l, 1, 2) === "  " || substring(l, 1, 1) === "\t")
+    val indentFrac =
+      round(size(indented).cast("double") /
+        greatest(size(lines), lit(1)).cast("double"), 6)
+    val markers = Seq("def ", "return", "import ", "#include", "function",
+      "void ", "==", "&&")
+    val kwHits = markers.map(m =>
+      when(text.contains(m), 1).otherwise(0)).reduce(_ + _)
+    val score = round(symbolFrac * 4.0d + indentFrac * 2.0d +
+      least(kwHits, lit(4)).cast("double") * 0.25d, 6)
+    struct(symbolFrac.as("symbol_frac"), indentFrac.as("indent_frac"),
+      kwHits.cast("int").as("kw_hits"), score.as("code_score"),
+      (score >= 0.8d).as("is_code"))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass data-quality verification (the Deequ / "expectations" shape):
+  * a declared rule set compiles to a SINGLE aggregation over the table,
+  * and the one metrics row melts into a (rule, metric, passed) report.
+  *
+  * Why this shape at 100 TB: every rule is an aggregate expression, so
+  * the whole suite costs exactly one partially-aggregated scan — the
+  * metrics row that crosses the exchange is as wide as the rule count,
+  * never as tall as the data. Running n rules as n queries re-reads the
+  * table n times; collecting data to validate driver-side is not a
+  * shape at all. Rules whose metric needs a distinct count (uniqueness)
+  * use exact count_distinct — Spark plans the expand + two-level
+  * aggregate; the approx tier (qa6's HLL) is the documented fallback
+  * when a key column's cardinality makes exact too expensive.
+  *
+  * The pass predicate evaluates on the final metric value (post-agg, a
+  * scalar), so thresholds cost nothing. Metrics are DOUBLE; fraction
+  * metrics round(…, 6) in the rule definition so the report replays
+  * bit-identically in an external engine.
+  */
+object Expectations {
+
+  /** One rule: a name, an aggregate metric expression (must resolve to a
+    * numeric scalar over the whole input), and a pass predicate applied
+    * to the computed metric. */
+  final case class Expectation(name: String, metric: Column,
+                               pass: Column => Column)
+
+  /** Completeness: fraction of non-null values, rounded to 6 places. */
+  def completeness(c: Column): Column =
+    round(avg(when(c.isNotNull, 1.0d).otherwise(0.0d)), 6)
+
+  /** Uniqueness: distinct / total, rounded to 6 places (1.0 = key). */
+  def uniqueness(c: Column): Column =
+    round(count_distinct(c).cast("double") / count(lit(1)).cast("double"), 6)
+
+  /** Fraction of rows satisfying an arbitrary predicate. */
+  def satisfies(p: Column): Column =
+    round(avg(when(p, 1.0d).otherwise(0.0d)), 6)
+
+  /** Run the suite: one aggregation job, one report row per rule.
+    * Output columns: rule STRING, metric DOUBLE, passed BOOLEAN. */
+  def run(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      c.metric.cast("double").as(s"m$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val items = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("rule"), col(s"m$i").as("metric"),
+        c.pass(col(s"m$i")).as("passed"))
+    }
+    row.select(inline(array(items: _*)))
+  }
+}

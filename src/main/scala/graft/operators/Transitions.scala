@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** First-order (Markov) event-transition matrix: for each observed
+  * (previous event type → next event type) pair, the count and the
+  * row-normalized transition probability — the "what do users do next"
+  * table behind funnel design (q107) and anomaly baselines.
+  *
+  * Scale shape: ONE exchange on the user key for the lag window (the
+  * same exchange sessionization q29 and the funnel q107 pay); the
+  * result then aggregates to at most |event types|² rows, so the
+  * probability normalization window runs over a matrix-sized frame,
+  * never over events. A self-join formulation (events ⋈ events on
+  * user + adjacent rank) would shuffle the event table twice and
+  * build the same pairs the lag produces for free.
+  */
+object Transitions {
+
+  /** @param orderCols total order within a user (include a unique
+    *                  tie-breaker — ties under `lag` are otherwise
+    *                  nondeterministic across engines/partitionings). */
+  def matrix(events: DataFrame, userCol: String, orderCols: Seq[Column],
+             typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+    val pairs = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type")))
+          .cast("double"), 6))
+  }
+}

@@ -610,4 +610,39 @@ class PlanSpec extends SparkSuite {
     assert(exchanges.forall(!_.child.output.map(_.name).contains("text")),
       "raw document text leaked into a shuffle")
   }
+
+  test("q109 KMV sketch: rank filter plans as WindowGroupLimit; " +
+    "the sketch join broadcasts") {
+    val q = QueriesExt3.q109KmvDistinct(spark, sf("sf0.001"))
+    val p = planString(q)
+    // every map task trims to its local k smallest before the exchange —
+    // the property that makes the sketch O(partitions × k), not O(distinct)
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "the per-type sketch/exact join must broadcast:\n" + p.take(2000))
+  }
+
+  test("q111 expectations: the whole suite is ONE aggregation — " +
+    "no join, no union, one scan") {
+    val q = QueriesExt3.q111Expectations(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(!p.contains("Join") && !p.contains("Union"),
+      "rules must compile into a single aggregate:\n" + p.take(2000))
+    val scans = executed(q).collectLeaves().map(_.toString)
+      .count(_.contains("orders"))
+    assert(scans === 1, s"expected one orders scan, got $scans")
+  }
+
+  test("q113 transitions: one user exchange feeds the lag; the " +
+    "probability window runs over the matrix, never events") {
+    val q = QueriesExt3.q113Transitions(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(!p.contains("Join"),
+      "adjacent pairs must come from lag, not a self-join:\n" + p.take(2000))
+    val exchanges = allShuffles(executed(q))
+    // user-key window exchange + (prev,next) agg + tiny matrix window
+    assert(exchanges.length <= 3, s"expected ≤3 exchanges, got ${exchanges.length}")
+    assert(exchanges.exists(_.child.output.map(_.name).contains("user_id")),
+      "expected the user-key exchange for the lag window")
+  }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkSuite {
+  import spark.implicits._
+  import Expectations._
+
+  test("expectations: crafted table reports exact metrics and verdicts") {
+    val df = Seq(
+      (1L, Option("a"), 10.0),
+      (2L, Option("b"), 20.0),
+      (3L, None, -5.0),
+      (3L, Option("d"), 40.0) // duplicate key
+    ).toDF("id", "name", "v")
+    val rep = Expectations.run(df, Seq(
+      Expectation("name_complete", completeness(col("name")), _ >= 1.0d),
+      Expectation("id_unique", uniqueness(col("id")), _ === 1.0d),
+      Expectation("v_nonneg", satisfies(col("v") >= 0.0d), _ === 1.0d),
+      Expectation("min_v", min(col("v")), _ > 0.0d)
+    )).collect().map(r =>
+      r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(rep("name_complete") === ((0.75d, false)))
+    assert(rep("id_unique") === ((0.75d, false)))
+    assert(rep("v_nonneg") === ((0.75d, false)))
+    assert(rep("min_v") === ((-5.0d, false)))
+  }
+
+  test("expectations: all-green suite and single-job shape") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val rep = Expectations.run(df, Seq(
+      Expectation("id_unique", uniqueness(col("id")), _ === 1.0d),
+      Expectation("s_complete", completeness(col("s")), _ >= 1.0d)))
+    val rows = rep.collect()
+    assert(rows.forall(_.getBoolean(2)))
+    // the whole suite is ONE aggregate: no join/union in the plan
+    val plan = rep.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join") &&
+      !plan.toLowerCase.contains("union"))
+  }
+
+  test("code stats: code-shaped text scores far above prose") {
+    val code =
+      """def f(x):
+        |  if (x == 1 && y) {
+        |    return g(x);
+        |  }
+        |  import os
+        |""".stripMargin
+    val prose = "The quick brown fox jumps over the lazy dog. " +
+      "It was the best of times, it was the worst of times."
+    val out = Seq((1L, code), (2L, prose)).toDF("id", "text")
+      .select(col("id"), TextFunctions.codeStats(col("text")).as("cs"))
+      .select(col("id"), col("cs.code_score"), col("cs.is_code"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(out(1L)._2, s"code sample should flag, scored ${out(1L)._1}")
+    assert(!out(2L)._2, s"prose flagged as code, scored ${out(2L)._1}")
+    assert(out(1L)._1 > out(2L)._1 * 3)
+  }
+
+  test("transitions: hand-built sequences give exact matrix") {
+    // user 1: a->b->a ; user 2: a->b
+    val ev = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "a"),
+      (2L, 10L, 103L, "a"), (2L, 20L, 104L, "b")
+    ).toDF("user_id", "ts_ms", "event_id", "event_type")
+    val m = Transitions.matrix(ev, "user_id",
+        Seq(col("ts_ms"), col("event_id")), "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(("a", "b")) === ((2L, 1.0d))) // a always goes to b
+    assert(m(("b", "a")) === ((1L, 1.0d)))
+    assert(m.size === 2)
+  }
+
+  test("transitions: same-timestamp ties break on the unique column") {
+    val ev = Seq(
+      (1L, 10L, 2L, "x"), (1L, 10L, 1L, "w"), (1L, 20L, 3L, "y"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val m = Transitions.matrix(ev, "user_id",
+        Seq(col("ts_ms"), col("event_id")), "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(m === Set(("w", "x"), ("x", "y")))
+  }
+}
