@@ -38,7 +38,7 @@ object QueriesExt3 {
       |        ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
       |      FROM events),
       |rk AS (SELECT event_type, h,
-      |         rank() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |         dense_rank() OVER (PARTITION BY event_type ORDER BY h) AS rk
       |       FROM h),
       |sk AS (SELECT DISTINCT event_type, h FROM rk WHERE rk <= 64),
       |ag AS (SELECT event_type, count(*)::BIGINT AS kmv_n, max(h) AS kth
@@ -93,7 +93,7 @@ object QueriesExt3 {
       |  UNION ALL SELECT 'all', fp FROM d),
       |h AS (SELECT feed, ('0x' || substring(md5(fp), 1, 15))::BIGINT AS h
       |      FROM feeds),
-      |rk AS (SELECT feed, h, rank() OVER (PARTITION BY feed ORDER BY h) AS rk
+      |rk AS (SELECT feed, h, dense_rank() OVER (PARTITION BY feed ORDER BY h) AS rk
       |       FROM h),
       |sk AS (SELECT DISTINCT feed, h FROM rk WHERE rk <= 64),
       |gs AS (SELECT DISTINCT feed FROM sk),
@@ -224,13 +224,77 @@ object QueriesExt3 {
       |         AS p
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** Sketch ROLLUP: per-(type, day) KMV sketches built once, merged at
+    * query time by dropping the day and re-cutting — and the merged
+    * estimate equals the direct whole-range estimate EXACTLY, because
+    * k-min sets form a semilattice ([[Sketches.sketchFromHashRows]]).
+    * This is the pre-aggregated-sketch maintenance pattern at 100 TB:
+    * each day's partition is scanned once ever; any date-range distinct
+    * count then touches only sketch rows (≤ k per (type, day)). The
+    * query publishes both chains and the equality as its own check. */
+  def q114SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.select(
+      concat_ws("|", col("event_type"),
+        expr("ts_ms div 86400000")).as("gday"),
+      col("user_id").cast("string").as("uk"))
+    val dailySketch = Sketches.kmvSketchRows(daily, "gday", "uk", 64)
+    val merged = Sketches.kmvEstimateFromSketch(
+      dailySketch.select(substring_index(col("g"), "|", 1).as("g"),
+        col("h")), 64)
+    val direct = Sketches.kmvDistinct(
+      ev.select(col("event_type"), col("user_id").cast("string").as("uk")),
+      "event_type", "uk", 64)
+    direct.join(merged.select(col("g").as("gm"),
+        col("kmv_est").as("est_merged")), col("g") === col("gm"))
+      .select(col("g").as("event_type"), col("kmv_est").as("est_direct"),
+        col("est_merged"),
+        (col("kmv_est") === col("est_merged")).as("identical"))
+  }
+  val q114Sql: String =
+    """WITH h AS (SELECT event_type,
+      |        epoch_ms(ts) // 86400000 AS day,
+      |        ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |      FROM events),
+      |drk AS (SELECT event_type, day, h,
+      |          dense_rank() OVER (PARTITION BY event_type, day ORDER BY h) AS rk
+      |        FROM h),
+      |dsk AS (SELECT DISTINCT event_type, day, h FROM drk WHERE rk <= 64),
+      |mrk AS (SELECT event_type, h,
+      |          dense_rank() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |        FROM dsk),
+      |msk AS (SELECT DISTINCT event_type, h FROM mrk WHERE rk <= 64),
+      |mag AS (SELECT event_type, count(*)::BIGINT AS n, max(h) AS kth
+      |        FROM msk GROUP BY 1),
+      |mes AS (SELECT event_type,
+      |          CASE WHEN n < 64 THEN n
+      |               ELSE floor(63 * 1152921504606846976.0 / kth)::BIGINT
+      |          END AS est_merged
+      |        FROM mag),
+      |rrk AS (SELECT event_type, h,
+      |          dense_rank() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |        FROM h),
+      |rsk AS (SELECT DISTINCT event_type, h FROM rrk WHERE rk <= 64),
+      |rag AS (SELECT event_type, count(*)::BIGINT AS n, max(h) AS kth
+      |        FROM rsk GROUP BY 1),
+      |res AS (SELECT event_type,
+      |          CASE WHEN n < 64 THEN n
+      |               ELSE floor(63 * 1152921504606846976.0 / kth)::BIGINT
+      |          END AS est_direct
+      |        FROM rag)
+      |SELECT res.event_type, est_direct, est_merged,
+      |       est_direct = est_merged AS identical
+      |FROM res JOIN mes ON res.event_type = mes.event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_kmv_distinct" -> (q109KmvDistinct _),
     "q110_kmv_overlap" -> (q110KmvOverlap _),
     "q111_expectations" -> (q111Expectations _),
     "q112_code_detect" -> (q112CodeDetect _),
-    "q113_transitions" -> (q113Transitions _)
+    "q113_transitions" -> (q113Transitions _),
+    "q114_sketch_rollup" -> (q114SketchRollup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -238,6 +302,7 @@ object QueriesExt3 {
     "q110_kmv_overlap" -> q110Sql,
     "q111_expectations" -> q111Sql,
     "q112_code_detect" -> q112Sql,
-    "q113_transitions" -> q113Sql
+    "q113_transitions" -> q113Sql,
+    "q114_sketch_rollup" -> q114Sql
   )
 }

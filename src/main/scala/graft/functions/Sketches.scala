@@ -41,22 +41,55 @@ object Sketches {
 
   /** The per-group sketch: k smallest distinct hash values of `key`.
     *
-    * Output: (g, h) with ≤ k rows per group, h ascending-distinct.
-    * `rank() ≤ k` (not row_number) so duplicate occurrences of one hash
-    * value never displace a genuinely distinct smaller value; the
-    * trailing groupBy collapses those duplicates and costs nothing — the
-    * window already cut the data to the k-smallest neighborhood.
+    * Output: (g, h) with ≤ k rows per group, h ascending-distinct —
+    * exactly the k smallest distinct hash values (`dense_rank ≤ k`; see
+    * [[sketchFromHashRows]] for why neither row_number nor rank is
+    * correct under duplicate keys). The trailing groupBy collapses
+    * duplicate copies and costs nothing — the window already cut the
+    * data to the k-smallest neighborhood.
     */
   def kmvSketchRows(df: DataFrame, groupCol: String, keyCol: String,
-                    k: Int): DataFrame = {
-    val hashed = df.select(col(groupCol).as("g"),
-      TextFunctions.md5Long(col(keyCol)).as("h"))
+                    k: Int): DataFrame =
+    sketchFromHashRows(df.select(col(groupCol).as("g"),
+      TextFunctions.md5Long(col(keyCol)).as("h")), k)
+
+  /** The k-smallest-distinct cut over pre-hashed (g, h) rows. Also the
+    * MERGE operator: k-min sets form a semilattice (the k smallest of a
+    * union of per-part k-min sets ARE the k smallest of the union), so
+    * re-cutting unioned sketch rows — e.g. per-day sketches with the day
+    * dropped from g — yields EXACTLY the sketch of the combined data.
+    * That identity (not an approximation) is what makes pre-aggregated
+    * sketch tables maintainable incrementally at 100 TB: build per
+    * partition/day once, merge at query time, never rescan. */
+  def sketchFromHashRows(hashRows: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("g")).orderBy(col("h"))
-    hashed.withColumn("rk", rank().over(w))
+    // dense_rank, NOT rank: duplicate occurrences of one hash value must
+    // neither displace genuinely distinct larger minima (row_number would)
+    // nor burn rank slots and shrink the sketch below k distinct values
+    // (rank skips after ties — with duplicated small hashes that
+    // under-fills the sketch and the below-k "exact" branch then reports
+    // a wrong exact count). dense_rank ≤ k = the k smallest DISTINCT
+    // values, and still rewrites to WindowGroupLimit.
+    hashRows.withColumn("rk", dense_rank().over(w))
       .filter(col("rk") <= k)
       .groupBy(col("g"), col("h")).agg(count(lit(1)).as("dups"))
       .select(col("g"), col("h"))
   }
+
+  /** Estimate from existing sketch rows (g, h) — the query-time half of
+    * the pre-aggregated-sketch pattern. `rows` may be a union of
+    * partial sketches; the cut re-applies first (see
+    * [[sketchFromHashRows]] for why that is exact). */
+  def kmvEstimateFromSketch(rows: DataFrame, k: Int): DataFrame =
+    estimate(sketchFromHashRows(rows, k), k)
+
+  private def estimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy(col("g"))
+      .agg(count(lit(1)).as("kmv_n"), max(col("h")).as("kth"))
+      .select(col("g"), col("kmv_n"),
+        when(col("kmv_n") < k, col("kmv_n"))
+          .otherwise(floor(lit(k - 1) * lit(HashSpace) / col("kth"))
+            .cast("long")).as("kmv_est"))
 
   /** Per-group distinct-count estimate from the KMV sketch.
     *
@@ -66,15 +99,8 @@ object Sketches {
     * multiply-then-divide in that fixed order.
     */
   def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
-                  k: Int): DataFrame = {
-    kmvSketchRows(df, groupCol, keyCol, k)
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("kmv_n"), max(col("h")).as("kth"))
-      .select(col("g"), col("kmv_n"),
-        when(col("kmv_n") < k, col("kmv_n"))
-          .otherwise(floor(lit(k - 1) * lit(HashSpace) / col("kth"))
-            .cast("long")).as("kmv_est"))
-  }
+                  k: Int): DataFrame =
+    estimate(kmvSketchRows(df, groupCol, keyCol, k), k)
 
   /** Theta-style pairwise overlap estimate between every pair of groups,
     * from the per-group sketches alone.

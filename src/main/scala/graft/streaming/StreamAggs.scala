@@ -404,6 +404,43 @@ object StreamAggs {
   final case class DiffOut(doc_id: Long, change: String)
   final case class FpState(fp: String)
 
+  final case class KmvOut(g: String, kmv_n: Long, kmv_est: Long)
+  final case class KmvState(mins: Array[Long])
+
+  /** Streaming KMV distinct estimate per group — the live twin of
+    * [[graft.functions.Sketches.kmvDistinct]]: per-key state is the k
+    * smallest distinct hashes seen so far (≤ k longs, FIXED memory per
+    * group forever — the reason a sketch and not an exact distinct set
+    * is the shape that survives an unbounded stream). Each micro-batch
+    * folds its rows into the k-min set (the same semilattice merge the
+    * batch rollup uses) and emits the group's refreshed estimate, with
+    * arithmetic identical to the batch tier so a cut-over between the
+    * two is value-exact.
+    *
+    * Input frame: (g STRING, h LONG) — hash upstream with the portable
+    * [[graft.functions.TextFunctions.md5Long]] so batch, stream, and an
+    * external replay all see the same values. */
+  def streamingKmv(rows: DataFrame, k: Int): Dataset[KmvOut] = {
+    import rows.sparkSession.implicits._
+    rows.select(col("g").cast("string"), col("h").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (g: String, it: Iterator[(String, Long)],
+         state: GroupState[KmvState]) => {
+          val prev = state.getOption.map(_.mins).getOrElse(Array.empty[Long])
+          // fold the batch in: union, distinct, keep the k smallest
+          val merged = (prev ++ it.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val n = merged.length.toLong
+          val est =
+            if (n < k) n
+            else math.floor((k - 1) * graft.functions.Sketches.HashSpace /
+              merged.last).toLong
+          Iterator.single(KmvOut(g, n, est))
+        })
+  }
+
   /** Streaming twin of [[graft.operators.SnapshotDiff]]: per-key state is
     * the last seen canonical fingerprint; each arriving document emits
     * `added` (first sight), `changed` (fingerprint differs) or

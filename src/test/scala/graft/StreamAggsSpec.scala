@@ -534,4 +534,32 @@ class StreamAggsSpec extends SparkSuite {
       .as[(Long, String)].collect().toMap.filter(_._2 != "removed")
     assert(b2 == batch, s"streamed=$b2 batch=$batch")
   }
+
+  test("streaming KMV: cross-batch estimates match the batch sketch " +
+    "over the union, state stays ≤ k longs") {
+    val mem = MemoryStream[(String, String)] // (group, key)
+    val hashed = mem.toDF().toDF("g", "key")
+      .select(col("g"), graft.functions.TextFunctions.md5Long(col("key")).as("h"))
+    val q = StreamAggs.streamingKmv(hashed, 32)
+      .writeStream.format("memory").queryName("skmv").outputMode("update")
+      .start()
+    val batch1 = (1 to 100).map(i => ("a", s"key_$i")) ++
+      (1 to 10).map(i => ("b", s"bk_$i"))
+    val batch2 = (51 to 200).map(i => ("a", s"key_$i")) // 50% overlap with b1
+    mem.addData(batch1); q.processAllAvailable()
+    mem.addData(batch2); q.processAllAvailable()
+    q.stop()
+    // last emission per group = the stream's final estimate
+    val fin = spark.table("skmv").as[StreamAggs.KmvOut].collect()
+      .groupBy(_.g).map { case (g, v) => g -> v.last }
+    // batch tier over the union of both batches must agree exactly
+    val batchEst = graft.functions.Sketches.kmvDistinct(
+        (batch1 ++ batch2).toDF("g", "key"), "g", "key", 32)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(fin("a").kmv_n === batchEst("a")._1)
+    assert(fin("a").kmv_est === batchEst("a")._2)
+    assert(fin("b").kmv_n === 10L && fin("b").kmv_est === 10L) // sub-k exact
+    assert(batchEst("b") === ((10L, 10L)))
+  }
 }

@@ -54,6 +54,22 @@ class SketchesSpec extends SparkSuite {
     assert(out(("b", "c"))._1 === 0L && out(("b", "c"))._2 === 0L)
   }
 
+  test("kmv merge: per-part sketches re-cut to EXACTLY the whole-data " +
+    "sketch (semilattice identity, not an approximation)") {
+    val df = (1 to 4000).map(i => (s"g${i % 2}", s"key_$i", s"day${i % 7}"))
+      .toDF("g", "k", "day")
+    val direct = Sketches.kmvDistinct(df, "g", "k", 48)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // build 7 per-day sketches, drop the day, re-cut
+    val daily = Sketches.kmvSketchRows(
+      df.select(concat_ws("|", col("g"), col("day")).as("gd"), col("k")),
+      "gd", "k", 48)
+    val merged = Sketches.kmvEstimateFromSketch(
+        daily.select(substring_index(col("g"), "|", 1).as("g"), col("h")), 48)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged === direct)
+  }
+
   test("kmv pair overlap: sub-k feeds are exact end to end") {
     val rows = (1 to 20).map(i => ("x", s"k$i")) ++
       (11 to 30).map(i => ("y", s"k$i")) // overlap = k11..k20 = 10
