@@ -287,6 +287,29 @@ object QueriesExt3 {
       |       est_direct = est_merged AS identical
       |FROM res JOIN mes ON res.event_type = mes.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Last-touch purchase attribution ([[Transitions.lastTouch]]): every
+    * purchase credits the user's most recent preceding non-purchase
+    * event type; conversions and value roll up per channel. One user
+    * exchange, no join-back; first-event purchases land in 'none'
+    * instead of silently vanishing. */
+  def q115Attribution(s: SparkSession, dir: String): DataFrame =
+    Transitions.lastTouch(Tables.events(s, dir), "user_id",
+      Seq(col("ts_ms"), col("event_id")), "event_type", "value", "purchase")
+  val q115Sql: String =
+    """WITH t AS (SELECT user_id, event_type, "value",
+      |        last_value(CASE WHEN event_type <> 'purchase'
+      |                        THEN event_type END IGNORE NULLS) OVER
+      |          (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS channel
+      |      FROM events)
+      |SELECT coalesce(channel, 'none') AS channel,
+      |       count(*)::BIGINT AS n_conversions,
+      |       round(sum("value"), 2) AS total_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_kmv_distinct" -> (q109KmvDistinct _),
@@ -294,7 +317,8 @@ object QueriesExt3 {
     "q111_expectations" -> (q111Expectations _),
     "q112_code_detect" -> (q112CodeDetect _),
     "q113_transitions" -> (q113Transitions _),
-    "q114_sketch_rollup" -> (q114SketchRollup _)
+    "q114_sketch_rollup" -> (q114SketchRollup _),
+    "q115_attribution" -> (q115Attribution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -303,6 +327,7 @@ object QueriesExt3 {
     "q111_expectations" -> q111Sql,
     "q112_code_detect" -> q112Sql,
     "q113_transitions" -> q113Sql,
-    "q114_sketch_rollup" -> q114Sql
+    "q114_sketch_rollup" -> q114Sql,
+    "q115_attribution" -> q115Sql
   )
 }

@@ -35,4 +35,31 @@ object Transitions {
         sum(col("n")).over(Window.partitionBy(col("prev_type")))
           .cast("double"), 6))
   }
+
+  /** Last-touch attribution: each conversion event credits the most
+    * recent PRECEDING non-conversion event type for the same user (the
+    * "channel"), then conversions and value roll up per channel.
+    *
+    * Shape: the running last-touch is `last(…, ignoreNulls)` over a
+    * rows-preceding frame stacked on the SAME user exchange the
+    * transition matrix and funnel already use — no self-join of
+    * conversions back onto the event stream (the naive build, which
+    * shuffles events twice and range-joins). Conversions with no prior
+    * touch (a user's first event converts) are reported under the
+    * 'none' channel rather than dropped — silent attribution loss is
+    * how dashboards lie. */
+  def lastTouch(events: DataFrame, userCol: String, orderCols: Seq[Column],
+                typeCol: String, valueCol: String,
+                convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("channel",
+        last(when(col(typeCol) =!= convType, col(typeCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+  }
 }

@@ -76,6 +76,27 @@ class ExpectationsSpec extends SparkSuite {
     assert(m.size === 2)
   }
 
+  test("last-touch attribution: conversions credit the preceding " +
+    "channel; first-event conversions land in 'none'") {
+    val ev = Seq(
+      // user 1: view -> purchase(10) -> click -> purchase(5)
+      (1L, 10L, 1L, "view", 0.0), (1L, 20L, 2L, "purchase", 10.0),
+      (1L, 30L, 3L, "click", 0.0), (1L, 40L, 4L, "purchase", 5.0),
+      // user 2: purchase with no prior touch
+      (2L, 10L, 5L, "purchase", 7.0),
+      // user 3: purchase then purchase — second credits the first's
+      // channel? No: prior non-purchase is still none for both
+      (3L, 10L, 6L, "purchase", 1.0), (3L, 20L, 7L, "purchase", 2.0)
+    ).toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val out = Transitions.lastTouch(ev, "user_id",
+        Seq(col("ts_ms"), col("event_id")), "event_type", "value", "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("view") === ((1L, 10.0)))
+    assert(out("click") === ((1L, 5.0)))
+    assert(out("none") === ((3L, 10.0))) // 7 + 1 + 2
+  }
+
   test("transitions: same-timestamp ties break on the unique column") {
     val ev = Seq(
       (1L, 10L, 2L, "x"), (1L, 10L, 1L, "w"), (1L, 20L, 3L, "y"))
