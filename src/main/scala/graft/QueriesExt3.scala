@@ -310,6 +310,99 @@ object QueriesExt3 {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** Rolling 7-day distinct users per day from MERGED daily KMV
+    * sketches — the query the rollup pattern (q114) exists for:
+    * trailing-window distinct counts cannot be windowed exactly
+    * (distinct doesn't sum), so the exact tier re-scans 7 days of data
+    * per day; the sketch tier range-joins ≤ 64 sketch rows per day into
+    * each target window and re-cuts. The exact count is published next
+    * to the estimate as the eval baseline (the brute-force-ANN
+    * convention) — at 100 TB only the sketch tier survives. */
+  def q117RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val byDay = ev.select(expr("ts_ms div 86400000").as("day"),
+      col("user_id").cast("string").as("uk"))
+    val daily = Sketches.kmvSketchRows(byDay, "day", "uk", 64) // (g=day, h)
+    val days = byDay.select(col("day").as("d")).distinct()
+    val rolled = Sketches.kmvEstimateFromSketch(
+      daily.join(broadcast(days), col("d").between(col("g"), col("g") + 6))
+        .select(col("d").as("g"), col("h")), 64)
+    val exact = byDay.distinct()
+      .join(broadcast(days), col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d"))
+      .agg(count_distinct(col("uk")).as("exact_users"))
+    exact.join(rolled, col("d") === col("g"))
+      .select(col("d").as("day"), col("exact_users"),
+        col("kmv_est").as("est_users"),
+        round(abs(col("kmv_est") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"), 6).as("err_pct"))
+  }
+  val q117Sql: String =
+    """WITH b AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
+      |        CAST(user_id AS VARCHAR) AS uk
+      |      FROM events),
+      |h AS (SELECT day, ('0x' || substring(md5(uk), 1, 15))::BIGINT AS h
+      |      FROM b),
+      |drk AS (SELECT day, h,
+      |          dense_rank() OVER (PARTITION BY day ORDER BY h) AS rk
+      |        FROM h),
+      |dsk AS (SELECT DISTINCT day, h FROM drk WHERE rk <= 64),
+      |days AS (SELECT DISTINCT day AS d FROM b),
+      |win AS (SELECT days.d, dsk.h
+      |        FROM dsk JOIN days ON days.d BETWEEN dsk.day AND dsk.day + 6),
+      |wrk AS (SELECT d, h, dense_rank() OVER (PARTITION BY d ORDER BY h) AS rk
+      |        FROM win),
+      |wsk AS (SELECT DISTINCT d, h FROM wrk WHERE rk <= 64),
+      |wag AS (SELECT d, count(*)::BIGINT AS n, max(h) AS kth
+      |        FROM wsk GROUP BY 1),
+      |est AS (SELECT d, CASE WHEN n < 64 THEN n
+      |                 ELSE floor(63 * 1152921504606846976.0 / kth)::BIGINT
+      |            END AS est_users
+      |        FROM wag),
+      |ex AS (SELECT days.d, count(DISTINCT b.uk)::BIGINT AS exact_users
+      |       FROM b JOIN days ON b.day BETWEEN days.d - 6 AND days.d
+      |       GROUP BY 1)
+      |SELECT ex.d AS day, exact_users, est_users,
+      |       round(abs(est_users - exact_users)::DOUBLE / exact_users::DOUBLE, 6)
+      |         AS err_pct
+      |FROM ex JOIN est ON ex.d = est.d""".stripMargin
+
+  // ---------------------------------------------------------------- q118
+  /** Tokenizer fertility per language: chars-per-token and token share —
+    * the statistic that decides whether a vocabulary serves each
+    * language fairly (high chars/token = the tokenizer fragments that
+    * language). Integer sums only (exact at any partitioning); one
+    * narrow map + one ≤|langs|-row aggregate; the share window runs
+    * over the language frame. */
+  def q118CharsPerToken(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("nt"),
+      length(col("text")).cast("long").as("nc"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"),
+        sum(col("nc")).as("chars"))
+      .withColumn("chars_per_token",
+        round(col("chars").cast("double") / col("tokens").cast("double"), 6))
+      .withColumn("token_share",
+        round(col("tokens").cast("double") /
+          sum(col("tokens")).over(Window.partitionBy()).cast("double"), 6))
+  }
+  val q118Sql: String =
+    s"""WITH t AS (SELECT lang, len($toksSqlDocs)::BIGINT AS nt,
+       |        length(text)::BIGINT AS nc
+       |      FROM documents),
+       |g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+       |        sum(nt)::BIGINT AS tokens, sum(nc)::BIGINT AS chars
+       |      FROM t GROUP BY 1)
+       |SELECT lang, n_docs, tokens, chars,
+       |       round(chars::DOUBLE / tokens::DOUBLE, 6) AS chars_per_token,
+       |       round(tokens::DOUBLE / (sum(tokens) OVER ())::DOUBLE, 6)
+       |         AS token_share
+       |FROM g""".stripMargin
+  private def toksSqlDocs = QueriesExt.toksSql
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_kmv_distinct" -> (q109KmvDistinct _),
@@ -318,7 +411,9 @@ object QueriesExt3 {
     "q112_code_detect" -> (q112CodeDetect _),
     "q113_transitions" -> (q113Transitions _),
     "q114_sketch_rollup" -> (q114SketchRollup _),
-    "q115_attribution" -> (q115Attribution _)
+    "q115_attribution" -> (q115Attribution _),
+    "q117_rolling_distinct" -> (q117RollingDistinct _),
+    "q118_chars_per_token" -> (q118CharsPerToken _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -328,6 +423,8 @@ object QueriesExt3 {
     "q112_code_detect" -> q112Sql,
     "q113_transitions" -> q113Sql,
     "q114_sketch_rollup" -> q114Sql,
-    "q115_attribution" -> q115Sql
+    "q115_attribution" -> q115Sql,
+    "q117_rolling_distinct" -> q117Sql,
+    "q118_chars_per_token" -> q118Sql
   )
 }

@@ -42,6 +42,15 @@ object Expectations {
   def satisfies(p: Column): Column =
     round(avg(when(p, 1.0d).otherwise(0.0d)), 6)
 
+  /** Uniqueness at the streaming/ultra-high-cardinality tier: exact
+    * count_distinct is not a streaming aggregate (and at 100 TB the
+    * expand can dominate the suite), so this variant rides the HLL
+    * sketch. ±2% default error — pair it with a threshold that has
+    * slack, and keep [[uniqueness]] for batch audits. */
+  def uniquenessApprox(c: Column): Column =
+    round(approx_count_distinct(c).cast("double") /
+      count(lit(1)).cast("double"), 6)
+
   /** Run the suite: one aggregation job, one report row per rule.
     * Output columns: rule STRING, metric DOUBLE, passed BOOLEAN. */
   def run(df: DataFrame, checks: Seq[Expectation]): DataFrame = {

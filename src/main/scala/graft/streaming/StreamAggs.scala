@@ -404,6 +404,36 @@ object StreamAggs {
   final case class DiffOut(doc_id: Long, change: String)
   final case class FpState(fp: String)
 
+  /** Windowed data-quality monitor — the streaming twin of
+    * [[graft.operators.Expectations.run]]: the declared rule set
+    * compiles into ONE watermarked tumbling-window aggregate, and each
+    * closed window emits a (window start, rule, metric, passed) report
+    * row. State per open window is the partial-agg buffer (rule-count
+    * doubles), bounded by the watermark.
+    *
+    * Rules must use streaming-legal aggregates: completeness /
+    * satisfies / min / max compose as-is; uniqueness must ride
+    * [[graft.operators.Expectations.uniquenessApprox]] (exact
+    * count_distinct is not a streaming aggregate — and is the wrong
+    * tier at 100 TB anyway). */
+  def streamingExpectations(events: DataFrame, tsCol: String,
+                            windowLen: String, watermark: String,
+                            checks: Seq[graft.operators.Expectations.Expectation])
+      : DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      c.metric.cast("double").as(s"m$i")
+    }
+    val row = events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+    val items = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("rule"), col(s"m$i").as("metric"),
+        c.pass(col(s"m$i")).as("passed"))
+    }
+    row.select(col("window.start").as("ws"), inline(array(items: _*)))
+  }
+
   final case class KmvOut(g: String, kmv_n: Long, kmv_est: Long)
   final case class KmvState(mins: Array[Long])
 

@@ -535,6 +535,37 @@ class StreamAggsSpec extends SparkSuite {
     assert(b2 == batch, s"streamed=$b2 batch=$batch")
   }
 
+  test("streaming expectations: per-window rule metrics match the batch " +
+    "suite on the same slice; a bad window flags, a clean one passes") {
+    import graft.operators.Expectations
+    import Expectations.Expectation
+    def rules = Seq(
+      Expectation("value_complete", Expectations.completeness(col("value")),
+        m => m >= 1.0d),
+      Expectation("value_nonneg",
+        Expectations.satisfies(col("value") >= 0.0d), m => m === 1.0d))
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = StreamAggs.streamingExpectations(toDf(mem), "ts", "60 minutes",
+        "10 minutes", rules)
+      .writeStream.format("memory").queryName("sexp").outputMode("update")
+      .start()
+    // hour 0: clean; hour 1: one negative value
+    val h0 = Seq((ts(1), 1L, "a", 1.0), (ts(2), 2L, "a", 2.0))
+    val h1 = Seq((ts(61), 1L, "a", 3.0), (ts(62), 2L, "a", -4.0))
+    mem.addData(h0 ++ h1); q.processAllAvailable(); q.stop()
+    val out = spark.table("sexp").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out((ts(0), "value_nonneg")) === ((1.0d, true)))
+    assert(out((ts(60), "value_nonneg")) === ((0.5d, false)))
+    // batch parity on the flagged hour's slice
+    val slice = h1.toDF("ts", "user_id", "event_type", "value")
+    val batch = Expectations.run(slice, rules).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(batch("value_nonneg") === out((ts(60), "value_nonneg")))
+    assert(batch("value_complete") === out((ts(60), "value_complete")))
+  }
+
   test("streaming KMV: cross-batch estimates match the batch sketch " +
     "over the union, state stays ≤ k longs") {
     val mem = MemoryStream[(String, String)] // (group, key)
