@@ -310,6 +310,29 @@ object QueriesExt3 {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** Weighted without-replacement sampling, 5 docs per source,
+    * probability ∝ n_chars ([[Mixture.weightedSamplePerGroup]] —
+    * Efraimidis–Spirakis exponential keys on the deterministic md5
+    * uniform). One narrow map + a WindowGroupLimit top-k per group;
+    * re-run- and partitioning-identical, externally replayable. */
+  def q116WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Mixture.weightedSamplePerGroup(
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars")),
+      "source", "doc_id", col("n_chars"), 5)
+  val q116Sql: String =
+    """WITH t AS (SELECT source, doc_id, n_chars,
+      |        -ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+      |            / 1152921504606846976.0) / n_chars::DOUBLE AS es_key
+      |      FROM documents WHERE n_chars IS NOT NULL AND n_chars::DOUBLE > 0.0),
+      |r AS (SELECT source, doc_id, n_chars, es_key,
+      |        row_number() OVER (PARTITION BY source ORDER BY es_key, doc_id)
+      |          AS rk
+      |      FROM t)
+      |SELECT source, doc_id, n_chars, round(es_key, 6) AS es_key
+      |FROM r WHERE rk <= 5""".stripMargin
+
   // ---------------------------------------------------------------- q117
   /** Rolling 7-day distinct users per day from MERGED daily KMV
     * sketches — the query the rollup pattern (q114) exists for:
@@ -412,6 +435,7 @@ object QueriesExt3 {
     "q113_transitions" -> (q113Transitions _),
     "q114_sketch_rollup" -> (q114SketchRollup _),
     "q115_attribution" -> (q115Attribution _),
+    "q116_weighted_sample" -> (q116WeightedSample _),
     "q117_rolling_distinct" -> (q117RollingDistinct _),
     "q118_chars_per_token" -> (q118CharsPerToken _)
   )
@@ -424,6 +448,7 @@ object QueriesExt3 {
     "q113_transitions" -> q113Sql,
     "q114_sketch_rollup" -> q114Sql,
     "q115_attribution" -> q115Sql,
+    "q116_weighted_sample" -> q116Sql,
     "q117_rolling_distinct" -> q117Sql,
     "q118_chars_per_token" -> q118Sql
   )

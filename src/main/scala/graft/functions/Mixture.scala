@@ -122,4 +122,37 @@ object Mixture {
         sum(when(col("u") < col("rate"), col("tok")).otherwise(0L)).as("kept_tokens"))
       .withColumnRenamed("grp", groupCol)
   }
+
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis (2006) one-pass scheme: each row draws
+    * u ∈ (0, 1] and sorts by the exponential key −ln(u)/w; the k
+    * smallest keys ARE a weight-proportional without-replacement sample.
+    * The draw is the repo's deterministic-uniform pattern (md5 of the
+    * row key, no RNG state), so the sample is re-run- and
+    * partitioning-identical and an external engine replays the exact
+    * selection.
+    *
+    * Scale shape: one narrow map computes the key; the per-group top-k
+    * is a row_number ≤ k that plans as WindowGroupLimit — each map task
+    * keeps its local k best before the exchange. This is the
+    * principled quality-weighted subsampling next to the uniform-rate
+    * tiers (stratifiedSample) and the hard caps (capPerGroup).
+    *
+    * Rows with NULL or non-positive weight are excluded (a zero-weight
+    * row has selection probability 0; letting it through with key ∞
+    * would just burn a slot NaN-ily). */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                             weightCol: Column, k: Int): DataFrame = {
+    val u = (TextFunctions.md5Long(col(keyCol).cast("string")) + lit(1L))
+      .cast("double") / lit(1152921504606846976.0d) // (0, 1]
+    val ekey = -log(u) / weightCol.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("es_key"), col(keyCol))
+    df.filter(weightCol.isNotNull && weightCol.cast("double") > 0.0d)
+      .withColumn("es_key", ekey)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+      .withColumn("es_key", round(col("es_key"), 6))
+  }
 }

@@ -434,6 +434,37 @@ object StreamAggs {
     row.select(col("window.start").as("ws"), inline(array(items: _*)))
   }
 
+  final case class AttribEv(user_id: Long, ts: java.sql.Timestamp,
+                            event_type: String, value: Double)
+  final case class TouchOut(user_id: Long, channel: String, value: Double)
+  final case class TouchState(channel: String)
+
+  /** Streaming last-touch attribution — the live twin of
+    * [[graft.operators.Transitions.lastTouch]]: per-user state is ONE
+    * string (the most recent non-conversion event type), each
+    * conversion emits (user, credited channel, value) immediately, and
+    * the per-channel rollup is a downstream streaming agg of the
+    * caller's choice. Conversions before any touch credit 'none',
+    * matching the batch operator. Within a micro-batch rows apply in
+    * event-time order. */
+  def streamingLastTouch(events: Dataset[AttribEv],
+                         convType: String): Dataset[TouchOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[AttribEv],
+         state: GroupState[TouchState]) => {
+          var ch = state.getOption.map(_.channel).orNull
+          val out = rows.toVector.sortBy(_.ts.getTime).flatMap { e =>
+            if (e.event_type == convType)
+              Some(TouchOut(uid, if (ch == null) "none" else ch, e.value))
+            else { ch = e.event_type; None }
+          }
+          if (ch != null) state.update(TouchState(ch))
+          out.iterator
+        })
+  }
+
   final case class KmvOut(g: String, kmv_n: Long, kmv_est: Long)
   final case class KmvState(mins: Array[Long])
 

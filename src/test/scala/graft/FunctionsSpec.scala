@@ -1389,4 +1389,22 @@ class FunctionsSpec extends SparkSuite {
     assert(!out.exists(_._2 == 2L), "same-label vector must never appear")
     assert(out.map(_._2).toSeq == Seq(3L, 4L, 5L), s"got ${out.toSeq}")
   }
+
+  test("weightedSamplePerGroup: exact k per group, deterministic across " +
+    "repartitioning, dominant weight always selected, zero-weight never") {
+    import graft.functions.Mixture
+    val df = (1 to 200).map(i =>
+        (s"g${i % 2}", i.toLong,
+          if (i == 7) 1.0e9 else if (i == 9) 0.0 else 1.0))
+      .toDF("src", "id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mixture.weightedSamplePerGroup(d, "src", "id", col("w"), 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(13, col("id")))
+    assert(a === b, "sample must be partitioning-invariant")
+    assert(a.count(_._1 == "g0") === 5 && a.count(_._1 == "g1") === 5)
+    assert(a.contains(("g1", 7L)), "weight-1e9 row must be sampled")
+    assert(!a.contains(("g1", 9L)), "zero-weight row must be excluded")
+  }
 }

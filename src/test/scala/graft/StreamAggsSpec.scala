@@ -535,6 +535,40 @@ class StreamAggsSpec extends SparkSuite {
     assert(b2 == batch, s"streamed=$b2 batch=$batch")
   }
 
+  test("streaming last-touch: conversions credit across batches; " +
+    "rollup matches the batch attribution operator") {
+    val mem = MemoryStream[StreamAggs.AttribEv]
+    val q = StreamAggs.streamingLastTouch(mem.toDS(), "purchase")
+      .writeStream.format("memory").queryName("sattr").outputMode("update")
+      .start()
+    // batch 1: user 1 views; user 2 purchases untouched
+    mem.addData(StreamAggs.AttribEv(1L, ts(0), "view", 0.0),
+      StreamAggs.AttribEv(2L, ts(1), "purchase", 7.0))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (credits the view from batch 1 — state
+    // carried), then clicks, then purchases again (credits click)
+    mem.addData(StreamAggs.AttribEv(1L, ts(5), "purchase", 10.0),
+      StreamAggs.AttribEv(1L, ts(6), "click", 0.0),
+      StreamAggs.AttribEv(1L, ts(7), "purchase", 5.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sattr").as[StreamAggs.TouchOut].collect()
+      .groupBy(_.channel)
+      .map { case (c, v) => c -> ((v.length.toLong,
+        BigDecimal(v.map(_.value).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)) }
+    // batch operator over the union of both batches
+    val ev = Seq(
+      (1L, 0L, 1L, "view", 0.0), (2L, 1L, 2L, "purchase", 7.0),
+      (1L, 5L, 3L, "purchase", 10.0), (1L, 6L, 4L, "click", 0.0),
+      (1L, 7L, 5L, "purchase", 5.0)
+    ).toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val batch = graft.operators.Transitions.lastTouch(ev, "user_id",
+        Seq(col("ts_ms"), col("event_id")), "event_type", "value", "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed === batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("streaming expectations: per-window rule metrics match the batch " +
     "suite on the same slice; a bad window flags, a clean one passes") {
     import graft.operators.Expectations
