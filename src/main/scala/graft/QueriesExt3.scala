@@ -426,6 +426,32 @@ object QueriesExt3 {
        |FROM g""".stripMargin
   private def toksSqlDocs = QueriesExt.toksSql
 
+  // ---------------------------------------------------------------- q119
+  /** Image near-dup via perceptual dHash over REAL decoded pixels
+    * ([[graft.functions.Multimodal.dhash64]]): every doc pair (2k, 2k+1)
+    * renders the SAME seed at two resolutions (18×16 and 36×32
+    * block PNGs); the integer-exact 9×8 difference hash is provably
+    * rescale-invariant for block-aligned grids, so the twins meet in a
+    * HASH EQUI-JOIN — the dedup shape that never compares image pairs
+    * all-to-all. The oracle predicts the pair set arithmetically
+    * (same-seed ⇔ same hash); the decode itself is real JDK imageio. */
+  def q119ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Multimodal
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val cell = when(col("doc_id") % 2 === 0, lit(2)).otherwise(lit(4))
+    val hashed = d.select(col("doc_id"),
+      Multimodal.dhash64(Multimodal.synthBlockPng(cell, cell,
+        expr("doc_id div 2"))).as("dh"))
+    hashed.as("a").join(hashed.as("b"),
+        col("a.dh") === col("b.dh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+  val q119Sql: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id"""
+      .stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_kmv_distinct" -> (q109KmvDistinct _),
@@ -437,7 +463,8 @@ object QueriesExt3 {
     "q115_attribution" -> (q115Attribution _),
     "q116_weighted_sample" -> (q116WeightedSample _),
     "q117_rolling_distinct" -> (q117RollingDistinct _),
-    "q118_chars_per_token" -> (q118CharsPerToken _)
+    "q118_chars_per_token" -> (q118CharsPerToken _),
+    "q119_image_near_dup" -> (q119ImageNearDup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,6 +477,7 @@ object QueriesExt3 {
     "q115_attribution" -> q115Sql,
     "q116_weighted_sample" -> q116Sql,
     "q117_rolling_distinct" -> q117Sql,
-    "q118_chars_per_token" -> q118Sql
+    "q118_chars_per_token" -> q118Sql,
+    "q119_image_near_dup" -> q119Sql
   )
 }

@@ -302,6 +302,105 @@ object Multimodal {
     udf(f).apply(bin)
   }
 
+  /** Perceptual dHash (difference hash) over REAL decoded pixels — the
+    * image near-dup key: decode, partition into a 9×8 luminance grid,
+    * emit one bit per horizontally adjacent cell pair (right brighter
+    * than left). Re-encodes, resolution changes that preserve the grid,
+    * and metadata edits keep the hash; the downstream dedup is then a
+    * HASH EQUI-JOIN (or banded Hamming join, the SimHash q16 shape) —
+    * never an all-pairs image comparison.
+    *
+    * Exactness: cell luminance is an integer sum of (r+g+b) over the
+    * cell's pixels (cell of pixel x = x·9/W, floor); cells compare by
+    * cross-multiplied integer sums, so there is NO floating point and
+    * NO dependence on a library resampler — two images whose pixel
+    * grids average to the same 9×8 cells (e.g. block-aligned rescales)
+    * hash IDENTICALLY, provable arithmetically. Undecodable payloads
+    * return NULL (same quarantine lane as [[decodeImage]]). */
+  private def dhashOne(bytes: Array[Byte]): Option[Long] = {
+    val img = decodeOneRaw(bytes)
+    img.flatMap { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      if (w < 9 || h < 8) None
+      else {
+        val sums = Array.ofDim[Long](8, 9)
+        val counts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val cx = x * 9 / w
+            val rgb = im.getRGB(x, y)
+            sums(cy)(cx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)
+            counts(cy)(cx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            // right cell brighter than left, in exact integers:
+            // sumR/nR > sumL/nL  ⇔  sumR·nL > sumL·nR
+            if (sums(cy)(cx + 1) * counts(cy)(cx) >
+                sums(cy)(cx) * counts(cy)(cx + 1))
+              bits |= 1L << (cy * 8 + cx)
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(bits)
+      }
+    }
+  }
+
+  def dhash64(bin: Column): Column = udf(dhashOne _).apply(bin)
+
+  /** Deterministic block PNG for dHash verification: a 9×8 grid of
+    * constant-gray cells, each cell `cellW × cellH` pixels. Cell
+    * brightness = 2·LCG7bit + (cx mod 2): the parity term makes
+    * horizontally adjacent cells NEVER tie, so every dHash bit is a
+    * strict comparison and any block-aligned rescale of the same seed
+    * (different cellW/cellH) provably hashes identically. */
+  private def synthBlockPngOne(cellW: Int, cellH: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9 * cellW, 8 * cellH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        // murmur3-style finalizer: an UNMIXED affine seed*A + idx*B is
+        // constant-offset across seeds, so adjacent-cell comparisons —
+        // and hence the dHash — would collide en masse between seeds.
+        var v = seed * 6364136223846793005L +
+          (cy * 9L + cx) * 1442695040888963407L
+        v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
+        v ^= v >>> 33; v *= 0xc4ceb9fe1a85ec53L
+        v ^= v >>> 33
+        val g = (((v >>> 45) & 0x7f) * 2 + (cx % 2)).toInt // [0, 255], no h-ties
+        val rgb = (g << 16) | (g << 8) | g
+        var y = cy * cellH
+        while (y < (cy + 1) * cellH) {
+          var x = cx * cellW
+          while (x < (cx + 1) * cellW) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def synthBlockPng(cellW: Column, cellH: Column, seed: Column): Column =
+    udf(synthBlockPngOne _).apply(cellW, cellH, seed)
+
   /** STUB: image decode. A real implementation would decode the codec
     * header; this derives (width, height, channels) deterministically from
     * the content hash so downstream plumbing (schema, filters, grouping)

@@ -1390,6 +1390,27 @@ class FunctionsSpec extends SparkSuite {
     assert(out.map(_._2).toSeq == Seq(3L, 4L, 5L), s"got ${out.toSeq}")
   }
 
+  test("dhash64: rescale-invariant for same seed, discriminative across " +
+    "seeds, corrupt and too-small payloads quarantine as null") {
+    import graft.functions.Multimodal
+    val df = Seq(
+      (1L, 2, 7L), (2L, 4, 7L),   // same pattern, 18x16 vs 36x32
+      (3L, 3, 8L),                // different seed
+      (4L, 2, 9L)
+    ).toDF("id", "cell", "seed")
+      .select(col("id"),
+        Multimodal.dhash64(Multimodal.synthBlockPng(col("cell"), col("cell"),
+          col("seed"))).as("dh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L), "block-aligned rescale must hash identically")
+    assert(m(1L) != m(3L) && m(1L) != m(4L) && m(3L) != m(4L))
+    val bad = Seq(
+      Array[Byte](1, 2, 3),                       // not an image
+      Array.emptyByteArray                        // empty
+    ).toDF("b").select(Multimodal.dhash64(col("b")).as("dh")).collect()
+    assert(bad.forall(_.isNullAt(0)), "undecodable bytes must be null")
+  }
+
   test("weightedSamplePerGroup: exact k per group, deterministic across " +
     "repartitioning, dominant weight always selected, zero-weight never") {
     import graft.functions.Mixture
