@@ -219,7 +219,21 @@ object Plans {
       "from lag() over ONE user-key exchange — a self-join formulation would shuffle " +
       "events twice to build the same pairs; the pair counts then partial-aggregate " +
       "map-side, and the row-normalizing probability window runs over the " +
-      "|event-types|²-row matrix, never over events.")
+      "|event-types|²-row matrix, never over events."),
+    "q116_weighted_sample" -> ("Efraimidis–Spirakis weighted sampling: the exponential " +
+      "key −ln(u)/w is a narrow map on the deterministic md5 uniform (no RNG state, so " +
+      "the sample is partitioning- and re-run-identical), and the per-group k-best is a " +
+      "row_number ≤ k that plans as WindowGroupLimit — each map task keeps its local k " +
+      "best before anything shuffles. No join, no global sort."),
+    "q117_rolling_distinct" -> ("rolling 7-day distinct via sketch-range merge: per-day " +
+      "KMV sketch rows (≤ k per day, WindowGroupLimit-cut) broadcast-join the tiny day " +
+      "dimension into each trailing window and re-cut — the semilattice merge is EXACT, " +
+      "so any date range is answerable from sketch rows alone; the published exact tier " +
+      "(re-scans 7 days per day) is the eval baseline that dies at 100 TB."),
+    "q119_image_near_dup" -> ("perceptual-dHash image dedup: REAL decode + the " +
+      "integer-exact 9×8 difference hash happen in the scan projection; only (doc_id, " +
+      "64-bit hash) ever reaches an exchange — image bytes never shuffle — and twins " +
+      "meet in a hash EQUI-join, never an all-pairs image comparison.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -633,6 +633,37 @@ class PlanSpec extends SparkSuite {
     assert(scans === 1, s"expected one orders scan, got $scans")
   }
 
+  test("q116 weighted sample: WindowGroupLimit bounds every group " +
+    "before the exchange; no join anywhere") {
+    val q = QueriesExt3.q116WeightedSample(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("Join"), "sampling must be a narrow map + window:\n" +
+      p.take(2000))
+  }
+
+  test("q117 rolling distinct: sketch-range join never degrades to a " +
+    "cartesian product; the sketch cut plans as WindowGroupLimit") {
+    val q = QueriesExt3.q117RollingDistinct(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "day-range joins must broadcast the day dimension:\n" + p.take(2000))
+  }
+
+  test("q119 image near-dup: blobs never shuffle; twins meet in a hash " +
+    "equi-join, not a nested loop") {
+    val q = QueriesExt3.q119ImageNearDup(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "pair generation must be an equi-join on the hash:\n" + p.take(2000))
+    val exchanges = allShuffles(executed(q))
+    assert(exchanges.forall(!_.child.output.map(_.name).exists(
+        n => n.contains("png") || n.contains("payload"))),
+      "image bytes leaked into a shuffle")
+  }
+
   test("q113 transitions: one user exchange feeds the lag; the " +
     "probability window runs over the matrix, never events") {
     val q = QueriesExt3.q113Transitions(spark, sf("sf0.001"))
