@@ -452,6 +452,76 @@ object QueriesExt3 {
       |  ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id"""
       .stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Entity resolution (record linkage) over `customer`: every 7th
+    * customer gets a planted dirty copy (last name-char corrupted, case
+    * and punctuation noise that canonicalization must absorb), records
+    * serialize to a normalized string (name + integer-cents balance +
+    * segment), and matches come from the q75 fuzzy kernel
+    * ([[graft.functions.FuzzyMatch.qgramPairs]]) at edit distance ≤ 2 —
+    * q-gram blocking with the frequency valve (the shared
+    * "customer#…" prefix grams discriminate nothing and are dropped),
+    * exact levenshtein only on surviving candidates, never all-pairs.
+    * The `planted` flag makes precision visible in the result itself. */
+  def q120EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FuzzyMatch
+    val c = Tables.customer(s, dir)
+    def rec(name: org.apache.spark.sql.Column) = concat_ws(" ", name,
+      round(col("c_acctbal") * 100).cast("long").cast("string"),
+      col("c_mktsegment"))
+    val clean = c.select(col("c_custkey").as("id"),
+      rec(col("c_name")).as("rec"))
+    val dirty = c.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000L).as("id"),
+        upper(rec(concat(substring(col("c_name"), lit(1),
+          length(col("c_name")) - 1), lit("x~")))).as("rec"))
+    val u = clean.unionByName(dirty)
+    // The gram-frequency valve must SCALE with the corpus: a fixed cap
+    // that is right at 1.5k records drops every gram at 15k (these
+    // templated strings share most grams) and the blocker goes blind —
+    // 0 candidates is a silent recall-0, the worst failure mode a
+    // blocking scheme has. n/25 keeps the discriminating cents grams
+    // (f ≈ 4n/1000) while still dropping the template grams (f ≈ n).
+    // One bounded driver scalar (a count), same as the centroid models.
+    val cap = math.max(50L, u.count() / 25L)
+    val pairs = FuzzyMatch.qgramPairs(u, "rec", "id",
+      q = 3, prefixLen = 40, maxDist = 2, maxGramFreq = Some(cap))
+    pairs.select(col("id_a"), col("id_b"), col("dist"),
+      (col("id_b") - col("id_a") === 1000000L).as("planted"))
+  }
+  val q120Sql: String =
+    """WITH c AS (SELECT c_custkey, c_name,
+      |        round(c_acctbal * 100)::BIGINT::VARCHAR AS cents, c_mktsegment
+      |      FROM customer),
+      |u AS (SELECT c_custkey AS id,
+      |        c_name || ' ' || cents || ' ' || c_mktsegment AS rec
+      |      FROM c
+      |      UNION ALL
+      |      SELECT c_custkey + 1000000,
+      |        upper(substring(c_name, 1, length(c_name) - 1) || 'x~ '
+      |              || cents || ' ' || c_mktsegment)
+      |      FROM c WHERE c_custkey % 7 = 0),
+      |p AS (SELECT id,
+      |        substring(regexp_replace(lower(rec), '[^a-z0-9 ]', '', 'g'), 1, 40)
+      |          AS pref
+      |      FROM u),
+      |pp AS (SELECT id, pref FROM p WHERE length(pref) >= 3),
+      |g0 AS (SELECT id, pref,
+      |         unnest(list_transform(generate_series(1, length(pref) - 2),
+      |                               i -> substring(pref, i, 3))) AS g
+      |       FROM pp),
+      |gr AS (SELECT DISTINCT id, pref, g FROM g0),
+      |cap AS (SELECT greatest(50, count(*) // 25) AS cap FROM u),
+      |keep AS (SELECT g FROM (SELECT g, count(*) AS f FROM gr GROUP BY g)
+      |         WHERE f <= (SELECT cap FROM cap)),
+      |cg AS (SELECT gr.* FROM gr JOIN keep USING (g)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |                a.pref AS pref_a, b.pref AS pref_b
+      |         FROM cg a JOIN cg b ON a.g = b.g AND a.id < b.id)
+      |SELECT id_a, id_b, CAST(levenshtein(pref_a, pref_b) AS INTEGER) AS dist,
+      |       id_b - id_a = 1000000 AS planted
+      |FROM cand WHERE levenshtein(pref_a, pref_b) <= 2""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_kmv_distinct" -> (q109KmvDistinct _),
@@ -464,7 +534,8 @@ object QueriesExt3 {
     "q116_weighted_sample" -> (q116WeightedSample _),
     "q117_rolling_distinct" -> (q117RollingDistinct _),
     "q118_chars_per_token" -> (q118CharsPerToken _),
-    "q119_image_near_dup" -> (q119ImageNearDup _)
+    "q119_image_near_dup" -> (q119ImageNearDup _),
+    "q120_entity_resolution" -> (q120EntityResolution _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -478,6 +549,7 @@ object QueriesExt3 {
     "q116_weighted_sample" -> q116Sql,
     "q117_rolling_distinct" -> q117Sql,
     "q118_chars_per_token" -> q118Sql,
-    "q119_image_near_dup" -> q119Sql
+    "q119_image_near_dup" -> q119Sql,
+    "q120_entity_resolution" -> q120Sql
   )
 }
