@@ -664,6 +664,35 @@ class PlanSpec extends SparkSuite {
       "image bytes leaked into a shuffle")
   }
 
+  test("day-partitioned layout: a day predicate prunes whole partitions " +
+    "at plan time, and data-column pushdown composes inside them") {
+    import graft.functions.Layout
+    val dir = java.nio.file.Files.createTempDirectory("daypart").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+    Layout.writeDayPartitioned(ev.select("event_id", "ts_ms", "value"),
+      col("ts_ms"), dir)
+    val days = spark.read.parquet(dir)
+      .select(col("day").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(days.length > 5, s"expected multiple day partitions, got ${days.length}")
+    val one = days(days.length / 2)
+    val q = Layout.readDayRange(spark, dir, one, one)
+      .filter(col("value") > 0.5d)
+    val scan = executed(q).collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // plan-time pruning: ONE directory selected out of all days
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
+    // row-group pushdown on the data column still applies inside it
+    assert(scan.toString.contains("PushedFilters") &&
+      scan.toString.contains("value"), scan.toString.take(1000))
+    // and the result is right
+    val expected = ev.filter(org.apache.spark.sql.functions.expr("ts_ms div 86400000") === one &&
+      col("value") > 0.5d).count()
+    assert(q.count() === expected)
+  }
+
   test("q113 transitions: one user exchange feeds the lag; the " +
     "probability window runs over the matrix, never events") {
     val q = QueriesExt3.q113Transitions(spark, sf("sf0.001"))
