@@ -522,6 +522,49 @@ object QueriesExt3 {
       |       id_b - id_a = 1000000 AS planted
       |FROM cand WHERE levenshtein(pref_a, pref_b) <= 2""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Spearman rank correlation between document length (tokens) and
+    * type-token ratio (lexical diversity) — the filter-design
+    * meta-analytic ("is my diversity signal just a length proxy?"; TTR
+    * falls with length, so ρ comes out strongly negative). Spearman on
+    * row_number ranks (doc_id tie-break — deterministic where
+    * average-rank tie handling is engine-varied) makes the whole
+    * statistic EXACT integer algebra: ρ = 1 − 6·Σd²/(n(n²−1)), one
+    * division at the end. Corpus-level ranks are a distributed sort of
+    * NARROW (id, scalar) rows — the acceptable global-sort case; the
+    * grouped-percentile path (q103) is the per-feed alternative. */
+  def q121Spearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("nt"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1)).cast("double"), 6).as("ttr"))
+    val ranked = m
+      .withColumn("r1", row_number().over(Window.orderBy(col("nt"), col("doc_id"))))
+      .withColumn("r2", row_number().over(Window.orderBy(col("ttr"), col("doc_id"))))
+    ranked.agg(count(lit(1)).as("n"),
+        sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("d2"))
+      .select(col("n"),
+        round(lit(1.0d) - lit(6.0d) * col("d2").cast("double") /
+          (col("n") * (col("n") * col("n") - 1)).cast("double"), 6).as("rho"))
+  }
+  val q121Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSqlDocs AS toks FROM documents),
+       |m AS (SELECT doc_id, len(toks)::BIGINT AS nt,
+       |        round(len(list_distinct(toks))::DOUBLE /
+       |              greatest(len(toks), 1)::DOUBLE, 6) AS ttr
+       |      FROM t),
+       |r AS (SELECT doc_id,
+       |        row_number() OVER (ORDER BY nt, doc_id) AS r1,
+       |        row_number() OVER (ORDER BY ttr, doc_id) AS r2
+       |      FROM m),
+       |a AS (SELECT count(*)::BIGINT AS n,
+       |        sum((r1 - r2) * (r1 - r2))::BIGINT AS d2 FROM r)
+       |SELECT n, round(1.0 - 6.0 * d2::DOUBLE / (n * (n * n - 1))::DOUBLE, 6)
+       |         AS rho
+       |FROM a""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_kmv_distinct" -> (q109KmvDistinct _),
@@ -535,7 +578,8 @@ object QueriesExt3 {
     "q117_rolling_distinct" -> (q117RollingDistinct _),
     "q118_chars_per_token" -> (q118CharsPerToken _),
     "q119_image_near_dup" -> (q119ImageNearDup _),
-    "q120_entity_resolution" -> (q120EntityResolution _)
+    "q120_entity_resolution" -> (q120EntityResolution _),
+    "q121_spearman" -> (q121Spearman _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -550,6 +594,7 @@ object QueriesExt3 {
     "q117_rolling_distinct" -> q117Sql,
     "q118_chars_per_token" -> q118Sql,
     "q119_image_near_dup" -> q119Sql,
-    "q120_entity_resolution" -> q120Sql
+    "q120_entity_resolution" -> q120Sql,
+    "q121_spearman" -> q121Sql
   )
 }

@@ -664,6 +664,46 @@ class PlanSpec extends SparkSuite {
       "image bytes leaked into a shuffle")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The OTHER skew tool next to Skew.saltedLatestPerKey: when a join
+    // key is hot, AQE's OptimizeSkewedJoin splits the oversized shuffle
+    // partition into parallel sub-reads instead of one straggler task.
+    // Thresholds are lowered to make the tiny local skew visible; the
+    // production conf differs only in magnitudes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, concat, when}
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 80% of the left rows share key 0 → one shuffle partition dwarfs
+      // the rest.
+      val left = spark.range(0, 50000).select(
+        when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("payload_payload_payload_"), col("id")).as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        lit("dim").as("d"))
+      val j = left.join(right, "k")
+      j.collect()
+      val p = (j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }).toString
+      assert(p.contains("skew=true"),
+        "AQE did not mark the skewed join:\n" + p.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("day-partitioned layout: a day predicate prunes whole partitions " +
     "at plan time, and data-column pushdown composes inside them") {
     import graft.functions.Layout
