@@ -454,73 +454,68 @@ object QueriesExt3 {
 
   // ---------------------------------------------------------------- q120
   /** Entity resolution (record linkage) over `customer`: every 7th
-    * customer gets a planted dirty copy (last name-char corrupted, case
-    * and punctuation noise that canonicalization must absorb), records
-    * serialize to a normalized string (name + integer-cents balance +
-    * segment), and matches come from the q75 fuzzy kernel
-    * ([[graft.functions.FuzzyMatch.qgramPairs]]) at edit distance ≤ 2 —
-    * q-gram blocking with the frequency valve (the shared
-    * "customer#…" prefix grams discriminate nothing and are dropped),
-    * exact levenshtein only on surviving candidates, never all-pairs.
-    * The `planted` flag makes precision visible in the result itself. */
+    * customer gets a planted dirty copy (last name-char corrupted, plus
+    * case/punctuation noise that canonicalization must absorb).
+    * FIELD-AWARE blocking, the production record-linkage shape: the
+    * stable discriminating fields (integer-cents balance + segment)
+    * form the blocking key — one hash EQUI-join, with a hot-block
+    * valve — and exact levenshtein ≤ 2 verifies only the noisy field
+    * (normalized name) within each block. Gram-blocking the whole
+    * serialized record (the q75 kernel) is the right tool for
+    * UNSTRUCTURED strings but explodes candidates on templated records
+    * like these (measured 174 s at sf0.1 vs ~1 s here); structured
+    * records should block on structure. The `planted` flag makes
+    * precision visible in the result itself. */
   def q120EntityResolution(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.FuzzyMatch
     val c = Tables.customer(s, dir)
-    def rec(name: org.apache.spark.sql.Column) = concat_ws(" ", name,
+    val block = concat_ws("|",
       round(col("c_acctbal") * 100).cast("long").cast("string"),
       col("c_mktsegment"))
+    def norm(name: org.apache.spark.sql.Column) =
+      regexp_replace(lower(name), "[^a-z0-9 ]", "")
     val clean = c.select(col("c_custkey").as("id"),
-      rec(col("c_name")).as("rec"))
+      norm(col("c_name")).as("nm"), block.as("blk"))
     val dirty = c.filter(col("c_custkey") % 7 === 0)
       .select((col("c_custkey") + 1000000L).as("id"),
-        upper(rec(concat(substring(col("c_name"), lit(1),
-          length(col("c_name")) - 1), lit("x~")))).as("rec"))
+        norm(upper(concat(substring(col("c_name"), lit(1),
+          length(col("c_name")) - 1), lit("x~")))).as("nm"), block.as("blk"))
     val u = clean.unionByName(dirty)
-    // The gram-frequency valve must SCALE with the corpus: a fixed cap
-    // that is right at 1.5k records drops every gram at 15k (these
-    // templated strings share most grams) and the blocker goes blind —
-    // 0 candidates is a silent recall-0, the worst failure mode a
-    // blocking scheme has. n/25 keeps the discriminating cents grams
-    // (f ≈ 4n/1000) while still dropping the template grams (f ≈ n).
-    // One bounded driver scalar (a count), same as the centroid models.
-    val cap = math.max(50L, u.count() / 25L)
-    val pairs = FuzzyMatch.qgramPairs(u, "rec", "id",
-      q = 3, prefixLen = 40, maxDist = 2, maxGramFreq = Some(cap))
-    pairs.select(col("id_a"), col("id_b"), col("dist"),
-      (col("id_b") - col("id_a") === 1000000L).as("planted"))
+    // Hot-block valve: a pathological blocking value must not expand
+    // n_b² pairs — same role as the q75 gram cap, bounded state.
+    val keep = u.groupBy(col("blk")).agg(count(lit(1)).as("f"))
+      .filter(col("f") <= 100).select(col("blk"))
+    val b = u.join(keep, "blk")
+    b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+      .filter(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("dist"),
+        (col("id_b") - col("id_a") === 1000000L).as("planted"))
   }
   val q120Sql: String =
     """WITH c AS (SELECT c_custkey, c_name,
-      |        round(c_acctbal * 100)::BIGINT::VARCHAR AS cents, c_mktsegment
+      |        round(c_acctbal * 100)::BIGINT::VARCHAR || '|' || c_mktsegment
+      |          AS blk
       |      FROM customer),
       |u AS (SELECT c_custkey AS id,
-      |        c_name || ' ' || cents || ' ' || c_mktsegment AS rec
+      |        regexp_replace(lower(c_name), '[^a-z0-9 ]', '', 'g') AS nm, blk
       |      FROM c
       |      UNION ALL
       |      SELECT c_custkey + 1000000,
-      |        upper(substring(c_name, 1, length(c_name) - 1) || 'x~ '
-      |              || cents || ' ' || c_mktsegment)
+      |        regexp_replace(lower(
+      |          upper(substring(c_name, 1, length(c_name) - 1) || 'x~')),
+      |          '[^a-z0-9 ]', '', 'g'),
+      |        blk
       |      FROM c WHERE c_custkey % 7 = 0),
-      |p AS (SELECT id,
-      |        substring(regexp_replace(lower(rec), '[^a-z0-9 ]', '', 'g'), 1, 40)
-      |          AS pref
-      |      FROM u),
-      |pp AS (SELECT id, pref FROM p WHERE length(pref) >= 3),
-      |g0 AS (SELECT id, pref,
-      |         unnest(list_transform(generate_series(1, length(pref) - 2),
-      |                               i -> substring(pref, i, 3))) AS g
-      |       FROM pp),
-      |gr AS (SELECT DISTINCT id, pref, g FROM g0),
-      |cap AS (SELECT greatest(50, count(*) // 25) AS cap FROM u),
-      |keep AS (SELECT g FROM (SELECT g, count(*) AS f FROM gr GROUP BY g)
-      |         WHERE f <= (SELECT cap FROM cap)),
-      |cg AS (SELECT gr.* FROM gr JOIN keep USING (g)),
-      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-      |                a.pref AS pref_a, b.pref AS pref_b
-      |         FROM cg a JOIN cg b ON a.g = b.g AND a.id < b.id)
-      |SELECT id_a, id_b, CAST(levenshtein(pref_a, pref_b) AS INTEGER) AS dist,
-      |       id_b - id_a = 1000000 AS planted
-      |FROM cand WHERE levenshtein(pref_a, pref_b) <= 2""".stripMargin
+      |keep AS (SELECT blk FROM (SELECT blk, count(*) AS f FROM u GROUP BY blk)
+      |         WHERE f <= 100),
+      |bl AS (SELECT u.* FROM u JOIN keep USING (blk))
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist,
+      |       b.id - a.id = 1000000 AS planted
+      |FROM bl a JOIN bl b ON a.blk = b.blk AND a.id < b.id
+      |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin
 
   // ---------------------------------------------------------------- q121
   /** Spearman rank correlation between document length (tokens) and
