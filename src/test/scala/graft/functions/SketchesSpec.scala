@@ -70,6 +70,37 @@ class SketchesSpec extends SparkSuite {
     assert(merged === direct)
   }
 
+  test("kmv property sweep: for seeded random multisets and random part " +
+    "counts, merge ≡ direct and below-k groups are exact") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      n <- Gen.chooseNum(1, 800)
+      dupFactor <- Gen.chooseNum(1, 4)
+      parts <- Gen.chooseNum(2, 9)
+      k <- Gen.oneOf(8, 32, 100)
+    } yield (n, dupFactor, parts, k)
+    (1 to 12).foreach { i =>
+      val (n, dup, parts, k) =
+        genCase.apply(Gen.Parameters.default, Seed(4242L + i)).get
+      val rows = (1 to n).flatMap(v =>
+        (1 to dup).map(_ => ("g", s"key_${i}_$v", s"p${v % parts}")))
+      val df = rows.toDF("g", "key", "part")
+      val direct = Sketches.kmvDistinct(df, "g", "key", k)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      val partial = Sketches.kmvSketchRows(
+        df.select(concat_ws("|", col("g"), col("part")).as("gp"), col("key")),
+        "gp", "key", k)
+      val merged = Sketches.kmvEstimateFromSketch(
+          partial.select(substring_index(col("g"), "|", 1).as("g"), col("h")), k)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      assert(merged === direct, s"case $i (n=$n dup=$dup parts=$parts k=$k)")
+      if (n < k)
+        assert(direct === ((n.toLong, n.toLong)),
+          s"below-k must be exact: case $i (n=$n k=$k) got $direct")
+    }
+  }
+
   test("kmv pair overlap: sub-k feeds are exact end to end") {
     val rows = (1 to 20).map(i => ("x", s"k$i")) ++
       (11 to 30).map(i => ("y", s"k$i")) // overlap = k11..k20 = 10
