@@ -560,6 +560,38 @@ object QueriesExt3 {
        |         AS rho
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** Incremental aggregate-table maintenance
+    * ([[graft.operators.MergeOps.additiveMerge]]): a per-(type, day)
+    * count/value rollup maintained across three ingest batches (events
+    * split by event_id mod 3) equals the direct whole-table aggregate
+    * EXACTLY — counters are counts and integer micro-unit value sums,
+    * so the fold is order-independent where double sums would not be.
+    * This is the materialized-rollup pattern: history is never
+    * rescanned, each batch folds one partial-agg frame in. */
+  def q122RollupMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.MergeOps
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("ts_ms div 86400000").as("day"),
+      round(col("value") * 1000000.0d, 0).cast("long").as("vm"),
+      col("event_id"))
+    val keys = Seq("event_type", "day")
+    val batches = (0 to 2).map(i =>
+      ev.filter(col("event_id") % 3 === i)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vm")).as("vm")))
+    val maintained = batches.tail.foldLeft(batches.head)(
+      MergeOps.additiveMerge(_, _, keys, Seq("n", "vm")))
+    maintained.select(col("event_type"), col("day"), col("n"),
+      round(col("vm").cast("double") / 1000000.0d, 2).as("sum_value"))
+  }
+  val q122Sql: String =
+    """SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |       count(*)::BIGINT AS n,
+      |       round(sum(round("value" * 1000000.0)::BIGINT)::DOUBLE
+      |             / 1000000.0, 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_kmv_distinct" -> (q109KmvDistinct _),
@@ -574,7 +606,8 @@ object QueriesExt3 {
     "q118_chars_per_token" -> (q118CharsPerToken _),
     "q119_image_near_dup" -> (q119ImageNearDup _),
     "q120_entity_resolution" -> (q120EntityResolution _),
-    "q121_spearman" -> (q121Spearman _)
+    "q121_spearman" -> (q121Spearman _),
+    "q122_rollup_maintain" -> (q122RollupMaintain _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -590,6 +623,7 @@ object QueriesExt3 {
     "q118_chars_per_token" -> q118Sql,
     "q119_image_near_dup" -> q119Sql,
     "q120_entity_resolution" -> q120Sql,
-    "q121_spearman" -> q121Sql
+    "q121_spearman" -> q121Sql,
+    "q122_rollup_maintain" -> q122Sql
   )
 }

@@ -68,4 +68,33 @@ object MergeOps {
       .join(kept.select(keys.map(col): _*), keys, "left_anti")
     kept.unionByName(winners, allowMissingColumns = true)
   }
+
+  /** ADDITIVE merge — incremental aggregate-table maintenance, the other
+    * merge algebra next to the replace-upsert above: the target holds
+    * running counters per key, the delta holds a batch's partial
+    * counters, and merging SUMS them. This is how a daily/hourly rollup
+    * stays current under streaming ingest without ever rescanning
+    * history: counters must be associative-commutative (counts, integer
+    * micro-unit sums, min/max via the variant column you pass), so
+    * batch arrival order cannot change the result.
+    *
+    * Shape: union + re-aggregate — partial aggregation collapses both
+    * sides map-side, the exchange carries one row per touched key, and
+    * under a key-bucketed target ([[graft.sink.BucketedParquetMergeTarget]])
+    * only touched buckets rewrite. A full-outer-join formulation builds
+    * the same result with a join it doesn't need.
+    *
+    * NOT idempotent by design — replaying a batch double-counts, so wire
+    * it behind the checkpointed foreachBatch (T3) which already
+    * guarantees effectively-once batch delivery, or carry a batch-id
+    * high-water mark per key. Scaladoc'd loudly because the
+    * replace-merge above IS idempotent and the two must not be swapped
+    * silently. */
+  def additiveMerge(target: DataFrame, delta: DataFrame, keys: Seq[String],
+                    counters: Seq[String]): DataFrame = {
+    val aggs = counters.map(c => sum(col(c)).as(c))
+    target.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -434,6 +434,29 @@ object StreamAggs {
     row.select(col("window.start").as("ws"), inline(array(items: _*)))
   }
 
+  /** Windowed latency/value percentiles — the ops-SLO dashboard agg
+    * (p50/p95/p99 per type per window): one watermarked tumbling-window
+    * aggregate whose state per open (window, type) group is the
+    * percentile_approx sketch buffer (size set by `accuracy`, NOT by
+    * the window's row count — the property that makes percentiles
+    * streamable at all; the sketch is exact while n ≤ accuracy). */
+  def windowPercentiles(events: DataFrame, windowLen: String,
+                        watermark: String,
+                        percentiles: Seq[Double] = Seq(0.5, 0.95, 0.99),
+                        accuracy: Int = 10000): DataFrame = {
+    val pctCols = percentiles.zipWithIndex.map { case (p, i) =>
+      element_at(col("pcts"), i + 1)
+        .as("p" + math.round(p * 100).toString)
+    }
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(percentile_approx(col("value"),
+          array(percentiles.map(lit): _*), lit(accuracy)).as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("ws") +: col("event_type") +:
+        col("n") +: pctCols: _*)
+  }
+
   final case class AttribEv(user_id: Long, ts: java.sql.Timestamp,
                             event_type: String, value: Double)
   final case class TouchOut(user_id: Long, channel: String, value: Double)

@@ -535,6 +535,29 @@ class StreamAggsSpec extends SparkSuite {
     assert(b2 == batch, s"streamed=$b2 batch=$batch")
   }
 
+  test("streaming window percentiles: exact while n ≤ accuracy, " +
+    "per-window and per-type isolation") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = StreamAggs.windowPercentiles(toDf(mem), "60 minutes",
+        "10 minutes", Seq(0.5, 0.99), accuracy = 10000)
+      .writeStream.format("memory").queryName("spct").outputMode("update")
+      .start()
+    // hour 0, type a: values 1..100; type b: constant 7; hour 1: 1000s
+    val h0a = (1 to 100).map(i => (ts(i % 50), 1L, "a", i.toDouble))
+    val h0b = (1 to 10).map(i => (ts(i), 2L, "b", 7.0))
+    val h1 = Seq((ts(61), 1L, "a", 1000.0), (ts(62), 1L, "a", 2000.0))
+    mem.addData(h0a ++ h0b ++ h1); q.processAllAvailable(); q.stop()
+    val out = spark.table("spct").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (n0a, p50a, p99a) = out((ts(0), "a"))
+    assert(n0a === 100L && p50a === 50.0 && p99a === 99.0)
+    val (n0b, p50b, p99b) = out((ts(0), "b"))
+    assert(n0b === 10L && p50b === 7.0 && p99b === 7.0)
+    val (n1, p50h1, _) = out((ts(60), "a"))
+    assert(n1 === 2L && p50h1 === 1000.0)
+  }
+
   test("streaming last-touch: conversions credit across batches; " +
     "rollup matches the batch attribution operator") {
     val mem = MemoryStream[StreamAggs.AttribEv]

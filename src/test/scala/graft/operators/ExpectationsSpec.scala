@@ -61,6 +61,30 @@ class ExpectationsSpec extends SparkSuite {
     assert(out(1L)._1 > out(2L)._1 * 3)
   }
 
+  test("additive merge: fold order never changes counters; replay " +
+    "double-counts (documented non-idempotence)") {
+    import graft.operators.MergeOps
+    def agg(rows: Seq[(String, Long)]) =
+      rows.toDF("k", "v").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("v"))
+    val b1 = agg(Seq(("a", 1L), ("a", 2L), ("b", 5L)))
+    val b2 = agg(Seq(("a", 10L), ("c", 7L)))
+    val b3 = agg(Seq(("b", 1L)))
+    def fold(bs: Seq[org.apache.spark.sql.DataFrame]) =
+      bs.tail.foldLeft(bs.head)(
+          MergeOps.additiveMerge(_, _, Seq("k"), Seq("n", "v")))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = agg(Seq(("a", 1L), ("a", 2L), ("b", 5L), ("a", 10L),
+      ("c", 7L), ("b", 1L))).collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fold(Seq(b1, b2, b3)) === direct)
+    assert(fold(Seq(b3, b1, b2)) === direct, "fold order must not matter")
+    // replay hazard is real and documented: feeding b2 twice double-counts
+    val replayed = fold(Seq(b1, b2, b3, b2))
+    assert(replayed("c") === ((2L, 14L)))
+  }
+
   test("transitions: hand-built sequences give exact matrix") {
     // user 1: a->b->a ; user 2: a->b
     val ev = Seq(
