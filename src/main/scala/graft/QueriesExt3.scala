@@ -592,6 +592,37 @@ object QueriesExt3 {
       |             / 1000000.0, 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** Per-source data-quality report ([[Expectations.runGrouped]]):
+    * q111's suite philosophy at the feed grain — which SOURCE violates
+    * which rule, in one grouped aggregation (a per-source loop would
+    * re-scan the corpus per source). Rules: text completeness, declared
+    * n_chars consistency with the actual text length, minimum document
+    * length, and a length-sanity ceiling. */
+  def q123SourceExpectations(s: SparkSession, dir: String): DataFrame = {
+    import Expectations._
+    Expectations.runGrouped(Tables.documents(s, dir), "source", Seq(
+      Expectation("text_complete", completeness(col("text")),
+        m => m >= 1.0d),
+      Expectation("n_chars_consistent",
+        satisfies(col("n_chars") === length(col("text"))), m => m === 1.0d),
+      Expectation("min_len_ge_10", min(length(col("text"))), m => m >= 10.0d),
+      Expectation("max_len_under_100k", max(length(col("text"))),
+        m => m <= 100000.0d)))
+  }
+  val q123Sql: String =
+    """WITH m AS (SELECT source,
+      |  round(avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS m0,
+      |  round(avg(CASE WHEN n_chars = length(text) THEN 1.0 ELSE 0.0 END), 6) AS m1,
+      |  min(length(text))::DOUBLE AS m2,
+      |  max(length(text))::DOUBLE AS m3
+      | FROM documents GROUP BY source)
+      |SELECT source, 'text_complete' AS rule, m0 AS metric, m0 >= 1.0 AS passed FROM m
+      |UNION ALL SELECT source, 'n_chars_consistent', m1, m1 = 1.0 FROM m
+      |UNION ALL SELECT source, 'min_len_ge_10', m2, m2 >= 10.0 FROM m
+      |UNION ALL SELECT source, 'max_len_under_100k', m3, m3 <= 100000.0 FROM m"""
+      .stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_kmv_distinct" -> (q109KmvDistinct _),
@@ -607,7 +638,8 @@ object QueriesExt3 {
     "q119_image_near_dup" -> (q119ImageNearDup _),
     "q120_entity_resolution" -> (q120EntityResolution _),
     "q121_spearman" -> (q121Spearman _),
-    "q122_rollup_maintain" -> (q122RollupMaintain _)
+    "q122_rollup_maintain" -> (q122RollupMaintain _),
+    "q123_source_expectations" -> (q123SourceExpectations _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -624,6 +656,7 @@ object QueriesExt3 {
     "q119_image_near_dup" -> q119Sql,
     "q120_entity_resolution" -> q120Sql,
     "q121_spearman" -> q121Sql,
-    "q122_rollup_maintain" -> q122Sql
+    "q122_rollup_maintain" -> q122Sql,
+    "q123_source_expectations" -> q123Sql
   )
 }

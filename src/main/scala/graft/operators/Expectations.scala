@@ -55,14 +55,30 @@ object Expectations {
     * Output columns: rule STRING, metric DOUBLE, passed BOOLEAN. */
   def run(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
     require(checks.nonEmpty, "empty expectation suite")
-    val aggs = checks.zipWithIndex.map { case (c, i) =>
-      c.metric.cast("double").as(s"m$i")
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val items = checks.zipWithIndex.map { case (c, i) =>
+    val row = df.agg(metricAggs(checks).head, metricAggs(checks).tail: _*)
+    row.select(inline(array(reportItems(checks): _*)))
+  }
+
+  /** Per-group suite — the data-quality report at the partition/source
+    * grain ("which FEED went bad", the q103 philosophy applied to
+    * verification): still ONE aggregation job, now grouped, so the
+    * exchange carries one metrics row per group and the report is
+    * (group, rule, metric, passed). A per-group loop of [[run]] would
+    * re-scan the table once per group. */
+  def runGrouped(df: DataFrame, groupCol: String,
+                 checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    val row = df.groupBy(col(groupCol))
+      .agg(metricAggs(checks).head, metricAggs(checks).tail: _*)
+    row.select(col(groupCol), inline(array(reportItems(checks): _*)))
+  }
+
+  private def metricAggs(checks: Seq[Expectation]): Seq[Column] =
+    checks.zipWithIndex.map { case (c, i) => c.metric.cast("double").as(s"m$i") }
+
+  private def reportItems(checks: Seq[Expectation]): Seq[Column] =
+    checks.zipWithIndex.map { case (c, i) =>
       struct(lit(c.name).as("rule"), col(s"m$i").as("metric"),
         c.pass(col(s"m$i")).as("passed"))
     }
-    row.select(inline(array(items: _*)))
-  }
 }
