@@ -1,0 +1,361 @@
+package graft
+
+import graft.functions.{Graphs, HistSketch, Packing, Relevance, Similarity}
+import graft.operators.Expectations
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries q124+ — graph analytics over co-occurrence
+  * structure, mergeable quantile summaries, schema-constraint audits,
+  * collocation mining, layout planning, and embedding drift. Every
+  * entry has a DuckDB oracle replay; see COVERAGE.md for the map. */
+object QueriesExt4 {
+
+  /** Shared co-purchase edge list: distinct part pairs sharing an order
+    * ([[Graphs.coOccurrenceEdges]]); feeds q124 and q130. */
+  private def coPurchase(s: SparkSession, dir: String): DataFrame =
+    Graphs.coOccurrenceEdges(Tables.lineitem(s, dir),
+      "l_orderkey", "l_partkey")
+
+  private val coPurchaseSqlCte: String =
+    """p AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      |sz AS (SELECT g FROM (SELECT g, count(*) AS s FROM p GROUP BY 1)
+      |       WHERE s <= 1000),
+      |pb AS (SELECT p.* FROM p JOIN sz USING (g)),
+      |e AS (SELECT DISTINCT x.i AS a, y.i AS b
+      |      FROM pb x JOIN pb y ON x.g = y.g AND x.i < y.i)""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  /** Global triangle census of the co-purchase graph (parts sharing an
+    * order) via degree-ordered orientation ([[Graphs.triangleStats]]):
+    * each edge directs from its lower-(degree, id) endpoint, wedges
+    * enumerate at the out-apex (out-degree is O(√m)-bounded by the
+    * orientation — a hub never expands deg² wedges), and ONE equi-join
+    * against the oriented edge set closes them, each triangle exactly
+    * once. n_wedges comes from the degree table alone; clustering =
+    * 3·triangles/wedges is the one rounded double. */
+  def q124Triangles(s: SparkSession, dir: String): DataFrame =
+    Graphs.triangleStats(coPurchase(s, dir))
+  val q124Sql: String =
+    s"""WITH $coPurchaseSqlCte,
+       |d AS (SELECT v, count(*)::BIGINT AS deg FROM
+       |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |wd AS (SELECT e.a, e.b, da.deg AS dega, db.deg AS degb
+       |       FROM e JOIN d da ON e.a = da.v JOIN d db ON e.b = db.v),
+       |o AS (SELECT
+       |        CASE WHEN dega < degb OR (dega = degb AND a < b)
+       |             THEN a ELSE b END AS src,
+       |        CASE WHEN dega < degb OR (dega = degb AND a < b)
+       |             THEN b ELSE a END AS dst,
+       |        CASE WHEN dega < degb OR (dega = degb AND a < b)
+       |             THEN degb ELSE dega END AS ddst
+       |      FROM wd),
+       |w AS (SELECT e1.dst AS v, e2.dst AS w
+       |      FROM o e1 JOIN o e2 ON e1.src = e2.src
+       |        AND (e1.ddst < e2.ddst
+       |             OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))),
+       |tri AS (SELECT count(*)::BIGINT AS n_triangles
+       |        FROM w JOIN o ON w.v = o.src AND w.w = o.dst),
+       |base AS (SELECT count(*)::BIGINT AS n_nodes,
+       |           (sum(deg) / 2)::BIGINT AS n_edges,
+       |           sum(deg * (deg - 1) / 2)::BIGINT AS n_wedges FROM d)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |       round(3.0 * n_triangles::DOUBLE / n_wedges::DOUBLE, 6)
+       |         AS clustering
+       |FROM base, tri""".stripMargin
+
+  // ---------------------------------------------------------------- q125
+  /** Mergeable log₂-histogram percentiles ([[HistSketch]]): per-(type,
+    * day) bin-count rows built once, merged per type by plain addition
+    * (counts are additive — the q114 maintenance property for ORDER
+    * statistics), p50/p95/p99 estimated as bin lower bounds next to the
+    * exact rank statistic, with the merged-vs-direct identity published
+    * per row. The exact tier sorts narrow (type, vm) rows — the eval
+    * baseline; at 100 TB only the sketch tier runs, reading ≤64 bin
+    * rows per (type, day) instead of the data. */
+  def q125HistPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Seq((1, 2), (19, 20), (99, 100))
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("ts_ms div 86400000").as("day"),
+      round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+    val daily = HistSketch.logHistogram(
+      ev.select(concat_ws("|", col("event_type"), col("day")).as("g"),
+        col("vm")), "g", col("vm"))
+    val merged = HistSketch.percentilesFromHistogram(
+      HistSketch.mergeHistograms(
+        daily.select(substring_index(col("g"), "|", 1).as("g"),
+          col("b"), col("n"))), ps)
+    val direct = HistSketch.percentilesFromHistogram(
+      HistSketch.logHistogram(
+        ev.select(col("event_type").as("g"), col("vm")), "g", col("vm")), ps)
+    val exact = {
+      val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("nn"))
+      val rn = ev.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("vm"))))
+      ps.map { case (num, den) =>
+        rn.join(n, "event_type")
+          .filter(col("rn") ===
+            floor((col("nn") * num + (den - 1)) / den).cast("long"))
+          .select(col("event_type"), lit(num).as("p_num"),
+            round(col("vm").cast("double") / 1000000.0d, 6).as("exact_v"))
+      }.reduce(_ unionByName _)
+    }
+    merged.select(col("g").as("event_type"), col("p_num"), col("n_total"),
+        col("est_lo"))
+      .join(direct.select(col("g").as("event_type"), col("p_num"),
+        col("est_lo").as("est_lo_direct")), Seq("event_type", "p_num"))
+      .join(exact, Seq("event_type", "p_num"))
+      .select(col("event_type"), col("p_num"), col("n_total"),
+        round(col("est_lo").cast("double") / 1000000.0d, 6).as("est_v"),
+        col("exact_v"),
+        (col("est_lo") === col("est_lo_direct")).as("identical"))
+  }
+  val q125Sql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |        round("value" * 1000000.0)::BIGINT AS vm FROM events),
+      |daily AS (SELECT event_type, day,
+      |            (length(bin(vm)) - 1)::INT AS b, count(*)::BIGINT AS n
+      |          FROM ev WHERE vm > 0 GROUP BY 1, 2, 3),
+      |mh AS (SELECT event_type, b, sum(n)::BIGINT AS n
+      |       FROM daily GROUP BY 1, 2),
+      |mc AS (SELECT event_type, b, sum(n) OVER
+      |         (PARTITION BY event_type ORDER BY b) AS cum,
+      |         sum(n) OVER (PARTITION BY event_type) AS n_total
+      |       FROM mh),
+      |dh AS (SELECT event_type, (length(bin(vm)) - 1)::INT AS b,
+      |         count(*)::BIGINT AS n
+      |       FROM ev WHERE vm > 0 GROUP BY 1, 2),
+      |dc AS (SELECT event_type, b, sum(n) OVER
+      |         (PARTITION BY event_type ORDER BY b) AS cum,
+      |         sum(n) OVER (PARTITION BY event_type) AS n_total
+      |       FROM dh),
+      |ps AS (SELECT * FROM (VALUES (1, 2), (19, 20), (99, 100))
+      |       AS t(num, den)),
+      |me AS (SELECT event_type, num AS p_num,
+      |         max(n_total)::BIGINT AS n_total,
+      |         (1::BIGINT << min(b))::BIGINT AS est_lo
+      |       FROM mc, ps
+      |       WHERE cum >= (n_total * num + den - 1) // den
+      |       GROUP BY 1, 2),
+      |de AS (SELECT event_type, num AS p_num,
+      |         (1::BIGINT << min(b))::BIGINT AS est_lo_direct
+      |       FROM dc, ps
+      |       WHERE cum >= (n_total * num + den - 1) // den
+      |       GROUP BY 1, 2),
+      |rn AS (SELECT event_type, vm,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS nn
+      |       FROM ev),
+      |ex AS (SELECT event_type, num AS p_num,
+      |         round(vm::DOUBLE / 1000000.0, 6) AS exact_v
+      |       FROM rn, ps
+      |       WHERE rn = (nn * num + den - 1) // den)
+      |SELECT me.event_type, me.p_num, n_total,
+      |       round(est_lo::DOUBLE / 1000000.0, 6) AS est_v, exact_v,
+      |       est_lo = est_lo_direct AS identical
+      |FROM me JOIN de ON me.event_type = de.event_type
+      |                AND me.p_num = de.p_num
+      |JOIN ex ON me.event_type = ex.event_type AND me.p_num = ex.p_num"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- q126
+  /** Functional-dependency audit ([[Expectations.fdAudit]]) across two
+    * tables: does the left column determine the right one? `event_id →
+    * user_id` and `doc_id → source` hold (key-like columns); `user_id →
+    * event_type` and `source → lang` are REAL violations (a user emits
+    * many event types; a feed mixes languages) — the report names the
+    * violation count and the worst fan-out, the numbers a schema
+    * contract or a partitioning-key decision needs. Each FD is a
+    * two-column pruned scan + two hash aggregates. */
+  def q126FdAudit(s: SparkSession, dir: String): DataFrame =
+    Expectations.fdAudit(Tables.events(s, dir), Seq(
+      ("event_id->user_id", "event_id", "user_id"),
+      ("user_id->event_type", "user_id", "event_type")))
+      .unionByName(Expectations.fdAudit(Tables.documents(s, dir), Seq(
+        ("doc_id->source", "doc_id", "source"),
+        ("source->lang", "source", "lang"))))
+  val q126Sql: String =
+    """WITH f1 AS (SELECT l, count(*)::BIGINT AS fanout FROM
+      |        (SELECT DISTINCT event_id AS l, user_id AS r FROM events)
+      |        GROUP BY 1),
+      |f2 AS (SELECT l, count(*)::BIGINT AS fanout FROM
+      |        (SELECT DISTINCT user_id AS l, event_type AS r FROM events)
+      |        GROUP BY 1),
+      |f3 AS (SELECT l, count(*)::BIGINT AS fanout FROM
+      |        (SELECT DISTINCT doc_id AS l, source AS r FROM documents)
+      |        GROUP BY 1),
+      |f4 AS (SELECT l, count(*)::BIGINT AS fanout FROM
+      |        (SELECT DISTINCT source AS l, lang AS r FROM documents)
+      |        GROUP BY 1)
+      |SELECT 'event_id->user_id' AS fd, count(*)::BIGINT AS n_lhs,
+      |       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_violating,
+      |       max(fanout)::BIGINT AS max_fanout,
+      |       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      |FROM f1
+      |UNION ALL SELECT 'user_id->event_type', count(*)::BIGINT,
+      |       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT,
+      |       max(fanout)::BIGINT,
+      |       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) = 0 FROM f2
+      |UNION ALL SELECT 'doc_id->source', count(*)::BIGINT,
+      |       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT,
+      |       max(fanout)::BIGINT,
+      |       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) = 0 FROM f3
+      |UNION ALL SELECT 'source->lang', count(*)::BIGINT,
+      |       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT,
+      |       max(fanout)::BIGINT,
+      |       sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END) = 0 FROM f4"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- q127
+  /** PMI collocations ([[Relevance.pmiCollocations]]): the top-30
+    * adjacent token pairs by pointwise mutual information (minCount 20)
+    * — pairs that co-occur far above chance, where raw bigram frequency
+    * (q56) just surfaces stopword pairs. One tokenize pass feeds both
+    * count tables; vocabulary-sized equi-joins; one broadcast totals
+    * row; rounded-PMI ranking with the pair as tie-break. */
+  def q127PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    Relevance.pmiCollocations(Tables.documents(s, dir), "text",
+      minCount = 20, topK = 30)
+  val q127Sql: String = {
+    val toks = QueriesExt.toksSql
+    s"""WITH t AS (SELECT $toks AS toks FROM documents),
+       |uni AS (SELECT unnest(toks) AS w FROM t),
+       |uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+       |pr AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |       FROM t, unnest(range(1, len(toks))) AS r(i)),
+       |pc AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM pr
+       |       GROUP BY 1, 2 HAVING count(*) >= 20),
+       |tot AS (SELECT (SELECT sum(c) FROM uc)::BIGINT AS t_uni,
+       |               (SELECT sum(c_xy) FROM pc)::BIGINT AS t_pair),
+       |sc AS (SELECT w1, w2, c_xy, a.c AS c_x, b.c AS c_y,
+       |         round(ln(c_xy::DOUBLE / t_pair::DOUBLE
+       |                  / (a.c::DOUBLE / t_uni::DOUBLE)
+       |                  / (b.c::DOUBLE / t_uni::DOUBLE)), 6) AS pmi
+       |       FROM pc JOIN uc a ON pc.w1 = a.w
+       |               JOIN uc b ON pc.w2 = b.w, tot)
+       |SELECT w1, w2, c_xy, c_x, c_y, pmi FROM sc
+       |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q128
+  /** Small-file compaction plan ([[Packing.packDocs]] applied to a file
+    * listing instead of token streams — the table-maintenance op that
+    * keeps a 100 TB lake readable): files (here: deterministic
+    * 10-doc groups with their byte mass) are packed per source into
+    * ~8 KB output groups by cumulative cut in (bytes desc, id) order —
+    * deterministic, replayable, no driver loop, and the plan is a
+    * per-source window over the FILE listing (metadata-sized), never
+    * the data. Output: one row per compaction group with its file
+    * count and byte total. */
+  def q128CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.documents(s, dir)
+      .groupBy(col("source"), expr("doc_id div 10").as("fid"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    Packing.packDocs(files, col("bytes"), 8192L, col("source"),
+      Seq(col("bytes").desc, col("fid").asc))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"))
+  }
+  val q128Sql: String =
+    """WITH f AS (SELECT source, doc_id // 10 AS fid,
+      |        sum(n_chars)::BIGINT AS bytes
+      |      FROM documents GROUP BY 1, 2),
+      |c AS (SELECT source, fid, bytes,
+      |        sum(greatest(bytes, 0)) OVER
+      |          (PARTITION BY source ORDER BY bytes DESC, fid ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          - greatest(bytes, 0) AS strt
+      |      FROM f)
+      |SELECT source, (strt // 8192)::BIGINT AS pack_id,
+      |       count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS bytes
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q129
+  /** Embedding mean-drift monitor ([[Similarity.embeddingMeanDrift]]):
+    * odd vec_ids form the "current" population with a PLANTED +0.25
+    * shift on dimension 8 (the silent-encoder-change scenario); the
+    * per-dim exact micro-unit means flag |drift| > 0.1 — dimension 8
+    * alone, since the natural even/odd noise tops out at ~0.035. One
+    * corpus pass, ≤64 output rows. */
+  def q129EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val shifted = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(col("vec_id") % 2 === 1 && i === 7, 0.25d)
+            .otherwise(0.0d)).as("embedding"))
+    Similarity.embeddingMeanDrift(shifted, col("vec_id") % 2 === 1,
+      threshold = 0.1)
+  }
+  val q129Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ds AS (SELECT unnest(range(1, 65))::INT AS i),
+      |x AS (SELECT ds.i AS dim, vec_id % 2 = 1 AS cur,
+      |        round((e.v[ds.i] + CASE WHEN vec_id % 2 = 1 AND ds.i = 8
+      |                                THEN 0.25 ELSE 0.0 END)
+      |              * 1000000)::BIGINT AS xi
+      |      FROM e, ds),
+      |g AS (SELECT dim,
+      |        sum(CASE WHEN NOT cur THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+      |        sum(CASE WHEN cur THEN 1 ELSE 0 END)::BIGINT AS n_cur,
+      |        sum(CASE WHEN NOT cur THEN xi ELSE 0 END)::DOUBLE AS sr,
+      |        sum(CASE WHEN cur THEN xi ELSE 0 END)::DOUBLE AS sc
+      |      FROM x GROUP BY 1)
+      |SELECT dim, n_ref, n_cur,
+      |       round((sr / n_ref) / 1000000.0, 6) AS mean_ref,
+      |       round((sc / n_cur) / 1000000.0, 6) AS mean_cur,
+      |       round((sc / n_cur - sr / n_ref) / 1000000.0, 6) AS drift,
+      |       abs(round((sc / n_cur - sr / n_ref) / 1000000.0, 6)) > 0.1
+      |         AS drifted
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q130
+  /** Neighborhood-Jaccard part similarity ([[Graphs.neighborJaccard]])
+    * over the co-purchase graph: the top-100 part pairs by shared
+    * co-purchase neighborhoods (≥3 common, hub valve at 1000) — the
+    * item-item collaborative-similarity table. Candidates meet through
+    * the shared-neighbor equi-join (the q15 shingle shape on graphs);
+    * ranking uses the ROUNDED score with (a, b) tie-break. */
+  def q130NeighborJaccard(s: SparkSession, dir: String): DataFrame =
+    Graphs.neighborJaccard(coPurchase(s, dir), hubCap = 1000, minCommon = 3)
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+      .limit(100)
+  val q130Sql: String =
+    s"""WITH $coPurchaseSqlCte,
+       |adj AS (SELECT a AS c, b AS leaf FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |keep AS (SELECT c FROM (SELECT c, count(*) AS cd FROM adj GROUP BY 1)
+       |         WHERE cd <= 1000),
+       |cap AS (SELECT adj.* FROM adj JOIN keep USING (c)),
+       |d AS (SELECT leaf AS v, count(*)::BIGINT AS deg FROM cap GROUP BY 1),
+       |cm AS (SELECT x.leaf AS a, y.leaf AS b, count(*)::BIGINT AS common
+       |       FROM cap x JOIN cap y ON x.c = y.c AND x.leaf < y.leaf
+       |       GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT cm.a, cm.b, common, da.deg AS deg_a, db.deg AS deg_b,
+       |       round(common::DOUBLE / (da.deg + db.deg - common)::DOUBLE, 6)
+       |         AS jaccard
+       |FROM cm JOIN d da ON cm.a = da.v JOIN d db ON cm.b = db.v
+       |ORDER BY jaccard DESC, a ASC, b ASC LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_triangles" -> (q124Triangles _),
+    "q125_hist_percentiles" -> (q125HistPercentiles _),
+    "q126_fd_audit" -> (q126FdAudit _),
+    "q127_pmi_collocations" -> (q127PmiCollocations _),
+    "q128_compaction_plan" -> (q128CompactionPlan _),
+    "q129_embedding_drift" -> (q129EmbeddingDrift _),
+    "q130_neighbor_jaccard" -> (q130NeighborJaccard _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q124_triangles" -> q124Sql,
+    "q125_hist_percentiles" -> q125Sql,
+    "q126_fd_audit" -> q126Sql,
+    "q127_pmi_collocations" -> q127Sql,
+    "q128_compaction_plan" -> q128Sql,
+    "q129_embedding_drift" -> q129Sql,
+    "q130_neighbor_jaccard" -> q130Sql
+  )
+}

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Static graph analytics over an undirected edge list — the third
+  * graph tier next to the iterative ones ([[graft.operators.PageRank]]
+  * fixed-point rank, [[graft.operators.ConnectedComponents]]
+  * large-star/small-star): triangle counting with degree-ordered
+  * orientation and neighborhood-Jaccard node similarity.
+  *
+  * Why these shapes at 100 TB:
+  *
+  *  - Naive triangle counting joins the edge list against itself twice
+  *    — the middle wedge set is Σ_u deg(u)², which a single hub node
+  *    makes quadratic. Degree-ordered orientation (Cohen 2009 / the
+  *    MapReduce triangle-counting literature) directs every edge from
+  *    its lower-(degree, id) endpoint to the higher one; every node's
+  *    OUT-degree is then ≤ O(√m), wedges become Σ_u outdeg(u)² ≤ m^1.5
+  *    worst case, and each triangle is generated exactly once (from its
+  *    smallest-ordered apex) — no ÷6 correction, no duplicate traffic.
+  *  - Neighborhood Jaccard meets candidates through a SHARED-NEIGHBOR
+  *    equi-join (the q15 shingle shape transplanted to graphs): only
+  *    node pairs with a common neighbor ever materialize, and a hub
+  *    valve drops wedge centers whose degree exceeds a cap — a
+  *    celebrity node contributes C(deg, 2) candidate pairs and ~zero
+  *    signal, exactly like a stopword shingle.
+  *
+  * All outputs are integers or one explicitly-ordered rounded double,
+  * so a SQL engine replays them bit-identically.
+  */
+object Graphs {
+
+  /** Distinct undirected co-occurrence edges from an (order, item)
+    * table: one (a, b) row per item pair sharing a group, a < b.
+    *
+    * `basketCap` is the skew valve: a group with more than `basketCap`
+    * items contributes C(n,2) pairs and — like q120's hot blocks or
+    * q15's saturated shingles — a pathological mega-basket must not
+    * expand quadratically. Groups over the cap are dropped BEFORE the
+    * self-join (one cheap pre-aggregate on the narrow key pair).
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        basketCap: Int = 1000): DataFrame = {
+    val pairs = df.select(col(groupCol).as("grp"), col(itemCol).as("item"))
+      .distinct()
+    val keep = pairs.groupBy(col("grp")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= basketCap).select(col("grp"))
+    val bounded = pairs.join(keep, "grp")
+    bounded.as("x").join(bounded.as("y"),
+        col("x.grp") === col("y.grp") && col("x.item") < col("y.item"))
+      .select(col("x.item").as("a"), col("y.item").as("b"))
+      .distinct()
+  }
+
+  /** Global triangle census over distinct undirected edges (a, b), a<b:
+    * one row (n_nodes, n_edges, n_wedges, n_triangles, clustering).
+    *
+    *  - `n_wedges` = Σ_v C(deg v, 2) — open-or-closed length-2 paths,
+    *    from the degree table alone (never a join).
+    *  - `n_triangles` via orientation: each edge directs from its
+    *    lower (deg, id) endpoint to the higher; wedges (u→v, u→w) with
+    *    (deg,id)-ordered v<w are joined back against the oriented edge
+    *    set. Both joins are equi-joins on node ids.
+    *  - `clustering` = 3·triangles / wedges (the global clustering
+    *    coefficient), rounded to 6.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // Orient: src = smaller (deg, id), dst = larger. Ties in degree break
+    // on id, so the order is total and the orientation acyclic.
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("src"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("dst"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("db"))
+        .otherwise(col("da")).as("ddst"))
+    // Wedges at apex u: pairs of out-neighbors ordered by (deg, id) —
+    // the same total order the orientation used, so the closing edge
+    // (v, w) is guaranteed to be oriented v→w and ONE equi-join finds it.
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(oriented.select(col("src").as("v"),
+        col("dst").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    base.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0d) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double"), 6).as("clustering"))
+  }
+
+  /** Neighborhood-Jaccard node similarity: for every node pair with at
+    * least `minCommon` shared neighbors (meeting through a
+    * shared-neighbor equi-join, never all-pairs), J = |N(a)∩N(b)| /
+    * |N(a)∪N(b)| over the hub-capped adjacency. Wedge centers with
+    * degree > `hubCap` are dropped before the join (the frequency
+    * valve); the SAME capped adjacency feeds the degree table so the
+    * Jaccard denominator stays consistent with the numerator.
+    *
+    * Output: (a, b, common, deg_a, deg_b, jaccard) with a < b, jaccard
+    * rounded to 6.
+    */
+  def neighborJaccard(edges: DataFrame, hubCap: Int = 1000,
+                      minCommon: Int = 1): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    // Symmetric adjacency (center, leaf): center is the shared neighbor.
+    val adj = e.select(col("a").as("c"), col("b").as("leaf"))
+      .union(e.select(col("b").as("c"), col("a").as("leaf")))
+    val keep = adj.groupBy(col("c")).agg(count(lit(1)).as("cd"))
+      .filter(col("cd") <= hubCap).select(col("c"))
+    val capped = adj.join(keep, "c")
+    val deg = capped.select(col("leaf").as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("deg"))
+    val common = capped.as("x").join(capped.as("y"),
+        col("x.c") === col("y.c") && col("x.leaf") < col("y.leaf"))
+      .groupBy(col("x.leaf").as("a"), col("y.leaf").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    common
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        round(col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+}

@@ -57,6 +57,54 @@ object Relevance {
       .select("doc_id", "term", "tf", "bm25")
   }
 
+  /** Pointwise-mutual-information collocations: the top-`topK` adjacent
+    * token pairs by PMI = ln( (c_xy/T_pair) / ((c_x/T_uni)·(c_y/T_uni)) )
+    * among pairs seen at least `minCount` times — the collocation-mining
+    * statistic ("new york", "et al") that seeds tokenizer merge rules
+    * and phrase vocabularies; raw pair frequency (q56) surfaces
+    * stopword bigrams, PMI surfaces pairs that co-occur far above
+    * chance.
+    *
+    * Scale shape: ONE tokenize pass feeds both count tables (unigrams
+    * via explode-groupBy, adjacent pairs via the q56 generator) — both
+    * partially aggregate map-side, so the exchanges carry near-distinct
+    * terms, not the corpus. The pair table joins the unigram table on
+    * each side (vocabulary-sized equi-joins); the corpus totals reduce
+    * to one broadcast row. `minCount` prunes the hapax tail BEFORE the
+    * joins. Ranking uses the ROUNDED score with the pair as tie-break,
+    * so the top-k is engine-reproducible (the q42 convention).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Int = 5, topK: Int = 30): DataFrame = {
+    val toksCol = TextFunctions.tokens(col(textCol))
+    val uni = df.select(explode(toksCol).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairGen = when(size(toksCol) >= 2,
+      transform(sequence(lit(1), size(toksCol) - 1), i =>
+        struct(element_at(toksCol, i).as("w1"),
+          element_at(toksCol, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = df.select(explode(pairGen).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("t_uni"))
+      .crossJoin(pairs.agg(sum(col("c_xy")).as("t_pair")))
+    val scored = pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log(col("c_xy").cast("double") / col("t_pair").cast("double") /
+          (col("c_x").cast("double") / col("t_uni").cast("double")) /
+          (col("c_y").cast("double") / col("t_uni").cast("double"))), 6))
+    scored
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi"))
+  }
+
   /** Inverted-index build: token → (document frequency, collection
     * frequency, size-capped posting page of the lowest `pageSize` doc
     * ids, sorted). The retrieval-side dual of BM25 scoring — this is the

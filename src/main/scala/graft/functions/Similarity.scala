@@ -716,6 +716,44 @@ object Similarity {
           / lit(1000000000000.0), 6).as("variance"))
   }
 
+  /** Per-dimension embedding mean drift between a reference and a
+    * current population — the embedding-space complement of the scalar
+    * PSI monitor (q95): when the upstream encoder changes (silent model
+    * swap, preprocessing bug), per-dim means shift long before any
+    * downstream metric notices, and naming WHICH dims moved localizes
+    * the cause.
+    *
+    * One corpus pass: posexplode + conditional micro-unit sums per dim
+    * (the q91 exact-moments pattern — integer partials, so the result
+    * is identical at any partition count), means via one defined
+    * division chain, |drift| flagged against `threshold` (in the
+    * embedding's own units). Output: (dim, n_ref, n_cur, mean_ref,
+    * mean_cur, drift, drifted) — ≤ dims rows.
+    */
+  def embeddingMeanDrift(corpus: DataFrame, curFlag: Column,
+                         vecCol: String = "embedding",
+                         threshold: Double = 0.05): DataFrame = {
+    val x = corpus
+      .select(curFlag.as("cur"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .select(col("cur"), (col("i") + 1).as("dim"),
+        round(col("x") * lit(1000000.0), 0).cast("long").as("xi"))
+    val g = x.groupBy("dim").agg(
+      sum(when(!col("cur"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("cur"), 1L).otherwise(0L)).as("n_cur"),
+      sum(when(!col("cur"), col("xi")).otherwise(0L)
+        .cast("decimal(38,0)")).as("sr"),
+      sum(when(col("cur"), col("xi")).otherwise(0L)
+        .cast("decimal(38,0)")).as("sc"))
+    val mr = col("sr").cast("double") / col("n_ref")
+    val mc = col("sc").cast("double") / col("n_cur")
+    g.select(col("dim"), col("n_ref"), col("n_cur"),
+      round(mr / lit(1000000.0), 6).as("mean_ref"),
+      round(mc / lit(1000000.0), 6).as("mean_cur"),
+      round((mc - mr) / lit(1000000.0), 6).as("drift"))
+      .withColumn("drifted", abs(col("drift")) > threshold)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup with
     * cluster-bounded candidate generation. Every vector is assigned to
     * its nearest centroid (the same rounded-argmin [[pqCodes]] kernel the

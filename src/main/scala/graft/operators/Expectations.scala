@@ -73,6 +73,33 @@ object Expectations {
     row.select(col(groupCol), inline(array(reportItems(checks): _*)))
   }
 
+  /** Functional-dependency audit: does `lhs` determine `rhs`? For each
+    * declared FD, one summary row: the number of distinct lhs values,
+    * how many of them map to more than one rhs (violations), the worst
+    * fan-out, and the verdict.
+    *
+    * Scale shape: each FD is a two-column scan (projection pushed to
+    * the parquet footer) → one (lhs, rhs)-distinct pre-aggregate → one
+    * lhs-grouped count — partial-agg-safe hash aggregates the whole
+    * way, no window, no join, nothing driver-side. FDs group by
+    * DIFFERENT keys, so they are separate two-column scans by nature
+    * (not a suite defect — a single pass cannot share a grouping); run
+    * the audit per ingest batch, not per query.
+    */
+  def fdAudit(df: DataFrame,
+              fds: Seq[(String, String, String)]): DataFrame = {
+    require(fds.nonEmpty, "empty FD list")
+    fds.map { case (name, lhs, rhs) =>
+      df.select(col(lhs).as("l"), col(rhs).as("r")).distinct()
+        .groupBy(col("l")).agg(count(lit(1)).as("fanout"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("fanout") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("fanout")).as("max_fanout"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          col("max_fanout"), (col("n_violating") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   private def metricAggs(checks: Seq[Expectation]): Seq[Column] =
     checks.zipWithIndex.map { case (c, i) => c.metric.cast("double").as(s"m$i") }
 

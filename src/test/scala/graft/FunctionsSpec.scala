@@ -1428,4 +1428,47 @@ class FunctionsSpec extends SparkSuite {
     assert(a.contains(("g1", 7L)), "weight-1e9 row must be sampled")
     assert(!a.contains(("g1", 9L)), "zero-weight row must be excluded")
   }
+
+  test("pmiCollocations: a fixed phrase outranks frequent-but-independent " +
+    "pairs; hapax pairs pruned by minCount") {
+    import graft.functions.Relevance
+    // "new york" co-occurs between two ordinary-frequency words; "of the"
+    // co-occurs as often but "the" is 3× more frequent, so its PMI sits
+    // exactly ln(3) lower; "rare gem" appears once (pruned).
+    val docs = ((1 to 30).map(i => s"the g$i of the new york the end") :+
+      "rare gem").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Relevance.pmiCollocations(docs, "text",
+      minCount = 5, topK = 10).collect()
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) === (("new", "york")))
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.contains(("rare", "gem")), "minCount must prune hapax")
+    // Association order: equal pair count, but "the" is 3× as frequent a
+    // unigram, so the stopword collocation scores exactly ln(3) lower.
+    val pmiOf = out.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Double]("pmi")).toMap
+    assert(pmiOf(("new", "york")) > pmiOf(("of", "the")))
+    assert(math.abs(pmiOf(("new", "york")) - pmiOf(("of", "the")) -
+      math.log(3.0)) < 1e-5)
+  }
+
+  test("embeddingMeanDrift: planted shift flagged with exact magnitude, " +
+    "unshifted dims quiet") {
+    import graft.functions.Similarity
+    // ref rows all [1.0, 2.0], cur rows [1.0, 2.5] — drift only on dim 2.
+    val rows = (1 to 40).map { i =>
+      val cur = i % 2 == 1
+      (i.toLong, cur, if (cur) Seq(1.0f, 2.5f) else Seq(1.0f, 2.0f))
+    }.toDF("vec_id", "cur", "embedding")
+    val out = Similarity.embeddingMeanDrift(rows, col("cur"),
+        threshold = 0.1).collect()
+      .map(r => r.getAs[Int]("dim") -> r).toMap
+    assert(out(1).getAs[Double]("drift") === 0.0d)
+    assert(!out(1).getAs[Boolean]("drifted"))
+    assert(out(2).getAs[Double]("drift") === 0.5d)
+    assert(out(2).getAs[Boolean]("drifted"))
+    assert(out(2).getAs[Long]("n_ref") === 20L)
+    assert(out(2).getAs[Long]("n_cur") === 20L)
+  }
 }

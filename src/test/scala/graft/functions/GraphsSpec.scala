@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("triangles: K4 counts 4 triangles, clustering 1.0") {
+    // Complete graph on {1,2,3,4}: C(4,3)=4 triangles, wedges=4*C(3,2)=12.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val r = Graphs.triangleStats(edges).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_wedges") === 12L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("clustering") === 1.0d)
+  }
+
+  test("triangles: star graph has wedges but zero triangles") {
+    val edges = (2L to 6L).map(v => (1L, v)).toDF("a", "b")
+    val r = Graphs.triangleStats(edges).collect().head
+    assert(r.getAs[Long]("n_wedges") === 10L) // C(5,2) at the hub
+    assert(r.getAs[Long]("n_triangles") === 0L)
+    assert(r.getAs[Double]("clustering") === 0.0d)
+  }
+
+  test("triangles: duplicate edge rows do not inflate the census") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (tri ++ tri ++ tri).toDF("a", "b")
+    val r = Graphs.triangleStats(edges).collect().head
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+  }
+
+  test("co-occurrence edges: pairs within groups, basket valve drops mega-groups") {
+    val items = Seq(("o1", 10L), ("o1", 11L), ("o1", 12L), // C(3,2)=3 edges
+      ("o2", 10L), ("o2", 11L), // duplicate pair with o1 — distinct keeps 1
+      ("big", 1L), ("big", 2L), ("big", 3L), ("big", 4L)) // over cap 3 → dropped
+      .toDF("grp", "item")
+    val e = Graphs.coOccurrenceEdges(items, "grp", "item", basketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === Set((10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+
+  test("neighbor jaccard: twin nodes sharing all neighbors score 1.0") {
+    // 1 and 2 both neighbor {3,4}; no (1,2) edge needed.
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("a", "b")
+    val out = Graphs.neighborJaccard(edges, hubCap = 10, minCommon = 2)
+      .collect()
+    // Both twin pairs surface: (1,2) via centers {3,4}, (3,4) via {1,2}.
+    assert(out.length === 2)
+    val r = out.find(r => r.getAs[Long]("a") === 1L).get
+    assert(r.getAs[Long]("b") === 2L)
+    assert(r.getAs[Long]("common") === 2L)
+    assert(r.getAs[Double]("jaccard") === 1.0d)
+  }
+
+  test("neighbor jaccard: hub valve removes candidates met only through hubs") {
+    // 1 and 2 share only the hub 9 (degree 4 > cap 3) → no candidate pair.
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)).toDF("a", "b")
+    val out = Graphs.neighborJaccard(edges, hubCap = 3, minCommon = 1)
+    assert(out.count() === 0L)
+  }
+
+  test("neighbor jaccard: partial overlap computes the exact fraction") {
+    // N(1)={3,4,5}, N(2)={4,5,6}: common 2, union 4 → J=0.5.
+    val edges = Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L),
+      (2L, 6L)).toDF("a", "b")
+    val r = Graphs.neighborJaccard(edges, hubCap = 10, minCommon = 2)
+      .filter(col("a") === 1L && col("b") === 2L).collect().head
+    assert(r.getAs[Long]("common") === 2L)
+    assert(r.getAs[Double]("jaccard") === 0.5d)
+  }
+}

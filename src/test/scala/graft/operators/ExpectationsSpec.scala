@@ -130,4 +130,39 @@ class ExpectationsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(m === Set(("w", "x"), ("x", "y")))
   }
+
+  test("fd audit: a key-like FD holds, a violated FD names count and fan-out") {
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"),
+      (4L, "b", "x"), (5L, "c", "z"),
+      // duplicate row — distinct pre-agg must absorb it
+      (5L, "c", "z"))
+      .toDF("id", "grp", "val")
+    val out = Expectations.fdAudit(df, Seq(
+        ("id->grp", "id", "grp"), ("grp->val", "grp", "val")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val holds = out("id->grp")
+    assert(holds.getAs[Long]("n_lhs") === 5L)
+    assert(holds.getAs[Long]("n_violating") === 0L)
+    assert(holds.getAs[Long]("max_fanout") === 1L)
+    assert(holds.getAs[Boolean]("holds"))
+    val broken = out("grp->val")
+    assert(broken.getAs[Long]("n_lhs") === 3L)
+    assert(broken.getAs[Long]("n_violating") === 1L) // only 'a' maps to 2
+    assert(broken.getAs[Long]("max_fanout") === 2L)
+    assert(!broken.getAs[Boolean]("holds"))
+  }
+
+  test("fd audit: null lhs and rhs values participate like values") {
+    val df = Seq((Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("c")))
+      .toDF("l", "r")
+    val out = Expectations.fdAudit(df, Seq(("l->r", "l", "r")))
+      .collect().head
+    // lhs 1 maps to {a, NULL} → fan-out 2 and a violation; lhs NULL and 2
+    // each map to one value.
+    assert(out.getAs[Long]("n_lhs") === 3L)
+    assert(out.getAs[Long]("n_violating") === 1L)
+    assert(out.getAs[Long]("max_fanout") === 2L)
+  }
 }
