@@ -311,32 +311,72 @@ object QueriesExt4 {
       |FROM g""".stripMargin
 
   // ---------------------------------------------------------------- q130
-  /** Neighborhood-Jaccard part similarity ([[Graphs.neighborJaccard]])
-    * over the co-purchase graph: the top-100 part pairs by shared
-    * co-purchase neighborhoods (≥3 common, hub valve at 1000) — the
-    * item-item collaborative-similarity table. Candidates meet through
-    * the shared-neighbor equi-join (the q15 shingle shape on graphs);
-    * ranking uses the ROUNDED score with (a, b) tie-break. */
-  def q130NeighborJaccard(s: SparkSession, dir: String): DataFrame =
-    Graphs.neighborJaccard(coPurchase(s, dir), hubCap = 1000, minCommon = 3)
-      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
-      .limit(100)
-  val q130Sql: String =
+  /** Neighborhood similarity at the LSH tier
+    * ([[graft.functions.DedupFunctions.setMinhashPairs]]): every part
+    * whose id ≡ 0 (mod 100) gets a planted CLONE (same co-purchase
+    * neighborhood under id+10⁷ — the q102 planted-recall convention);
+    * MinHash signatures over neighbor sets (16 portable affine hashes,
+    * 4 bands) meet candidates in a band-bucket equi-join and exact
+    * verification keeps pairs with Jaccard ≥ 0.9 — exactly the planted
+    * clone pairs (identical sets ⇒ identical signatures ⇒ recall 1.0;
+    * the graph's natural neighborhood overlap tops out far below 0.9,
+    * so the `planted` flag doubles as a precision check).
+    *
+    * Why this tier: the exact all-candidate neighborhood Jaccard
+    * ([[Graphs.neighborJaccard]], spec-tested) expands Σ_c C(deg c, 2)
+    * wedge pairs — 148M on the sf0.1 co-purchase graph and quadratic in
+    * density generally. The signature build is ONE linear pass over
+    * adjacency rows; only band-colliding pairs ever materialize. */
+  def q130NeighborLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchase(s, dir)
+    val adj = e.select(col("a").as("v"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("nbr")))
+    val planted = adj.filter(col("v") % 100 === 0)
+      .select((col("v") + 10000000L).as("v"), col("nbr"))
+    val all = adj.unionByName(planted)
+    graft.functions.DedupFunctions.setMinhashPairs(all, "v", "nbr",
+        numHashes = 16, bands = 4, threshold = 0.9)
+      .withColumn("planted", col("id_b") - col("id_a") === 10000000L)
+  }
+  val q130Sql: String = {
+    import graft.functions.DedupFunctions
+    val coeffs = (1 to 16).map { i =>
+      val (a, b) = DedupFunctions.minhashCoeff(i)
+      s"($i, $a, $b)"
+    }.mkString(", ")
     s"""WITH $coPurchaseSqlCte,
-       |adj AS (SELECT a AS c, b AS leaf FROM e
-       |        UNION ALL SELECT b, a FROM e),
-       |keep AS (SELECT c FROM (SELECT c, count(*) AS cd FROM adj GROUP BY 1)
-       |         WHERE cd <= 1000),
-       |cap AS (SELECT adj.* FROM adj JOIN keep USING (c)),
-       |d AS (SELECT leaf AS v, count(*)::BIGINT AS deg FROM cap GROUP BY 1),
-       |cm AS (SELECT x.leaf AS a, y.leaf AS b, count(*)::BIGINT AS common
-       |       FROM cap x JOIN cap y ON x.c = y.c AND x.leaf < y.leaf
-       |       GROUP BY 1, 2 HAVING count(*) >= 3)
-       |SELECT cm.a, cm.b, common, da.deg AS deg_a, db.deg AS deg_b,
-       |       round(common::DOUBLE / (da.deg + db.deg - common)::DOUBLE, 6)
-       |         AS jaccard
-       |FROM cm JOIN d da ON cm.a = da.v JOIN d db ON cm.b = db.v
-       |ORDER BY jaccard DESC, a ASC, b ASC LIMIT 100""".stripMargin
+       |adj AS (SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+       |alladj AS (SELECT * FROM adj
+       |           UNION ALL
+       |           SELECT v + 10000000, nbr FROM adj WHERE v % 100 = 0),
+       |m AS (SELECT DISTINCT v, CAST(nbr AS VARCHAR) AS mb FROM alladj),
+       |nsz AS (SELECT v, count(*)::BIGINT AS n_m FROM m GROUP BY 1),
+       |tok AS (SELECT v, ('0x' || substring(md5(mb), 1, 15))::BIGINT
+       |          & ${DedupFunctions.MinhashBaseMask} AS h0
+       |        FROM m),
+       |mh AS (SELECT v, seed,
+       |         min((h0 * a + b) & ${DedupFunctions.MinhashOutMask}) AS hv
+       |       FROM tok, (VALUES $coeffs) coeffs(seed, a, b)
+       |       GROUP BY 1, 2),
+       |sig AS (SELECT v, list(hv ORDER BY seed) AS sig FROM mh GROUP BY 1),
+       |band AS (SELECT v, b,
+       |           array_to_string(sig[b*4+1 : b*4+4], ',') AS bh
+       |         FROM sig, (SELECT unnest(range(0, 4)) AS b) bands),
+       |cand AS (SELECT DISTINCT x.v AS id_a, y.v AS id_b
+       |         FROM band x JOIN band y
+       |           ON x.b = y.b AND x.bh = y.bh AND x.v < y.v),
+       |cm AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS common
+       |       FROM cand c JOIN m ma ON ma.v = c.id_a
+       |                   JOIN m mb2 ON mb2.v = c.id_b AND mb2.mb = ma.mb
+       |       GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b, common, sa.n_m AS n_a, sb.n_m AS n_b,
+       |        round(common::DOUBLE / (sa.n_m + sb.n_m - common)::DOUBLE, 6)
+       |          AS jaccard
+       |      FROM cm JOIN nsz sa ON sa.v = id_a JOIN nsz sb ON sb.v = id_b)
+       |SELECT id_a, id_b, common, n_a, n_b, jaccard,
+       |       id_b - id_a = 10000000 AS planted
+       |FROM j WHERE jaccard >= 0.9""".stripMargin
+  }
 
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -346,7 +386,7 @@ object QueriesExt4 {
     "q127_pmi_collocations" -> (q127PmiCollocations _),
     "q128_compaction_plan" -> (q128CompactionPlan _),
     "q129_embedding_drift" -> (q129EmbeddingDrift _),
-    "q130_neighbor_jaccard" -> (q130NeighborJaccard _)
+    "q130_neighbor_lsh" -> (q130NeighborLsh _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,6 +396,6 @@ object QueriesExt4 {
     "q127_pmi_collocations" -> q127Sql,
     "q128_compaction_plan" -> q128Sql,
     "q129_embedding_drift" -> q129Sql,
-    "q130_neighbor_jaccard" -> q130Sql
+    "q130_neighbor_lsh" -> q130Sql
   )
 }

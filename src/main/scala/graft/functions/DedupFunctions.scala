@@ -312,4 +312,57 @@ object DedupFunctions {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** MinHash+LSH similarity over arbitrary SETS given as (id, member)
+    * rows — the set-shaped twin of [[minhashLshPairs]] (which shingles
+    * text first). Use it when the sets already exist as relations:
+    * graph neighborhoods (q130), tag/label sets, basket contents.
+    *
+    * Same portable affine family ([[minhashCoeff]]) and the same band
+    * slicing ([[bandKeyColumns]], portable mode), so an external SQL
+    * engine replays every hash. Signature build is ONE pass over the
+    * membership rows (map-side-combined min aggregates — a hub's set
+    * never materializes as a single row); exact verification counts
+    * |A∩B| through a member equi-join restricted to candidates, so
+    * precision is exact and arrays never form. Output: (id_a, id_b,
+    * common, n_a, n_b, jaccard ≥ threshold), jaccard rounded to 6.
+    */
+  def setMinhashPairs(sets: DataFrame, idCol: String, memberCol: String,
+                      numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val m = sets.select(col(idCol).as("id"),
+      col(memberCol).cast("string").as("mb")).distinct()
+    val sizes = m.groupBy(col("id")).agg(count(lit(1)).as("n_m"))
+    val tok = m.withColumn("h0",
+      TextFunctions.md5Long(col("mb")).bitwiseAND(MinhashBaseMask))
+    val mins = (1 to numHashes).map { i =>
+      val (a, b) = minhashCoeff(i)
+      min((col("h0") * a + b).bitwiseAND(MinhashOutMask)).as(s"h$i")
+    }
+    val sig = tok.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((1 to numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val banded = sig.select(col("id"),
+      posexplode(array(bandKeyColumns(col("sig"), bands, rowsPerBand,
+        portable = true): _*)).as(Seq("band", "bh")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val common = cand
+      .join(m.select(col("id").as("id_a"), col("mb")), Seq("id_a"))
+      .join(m.select(col("id").as("id_b"), col("mb")), Seq("id_b", "mb"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_m").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_m").as("n_b")), "id_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
 }

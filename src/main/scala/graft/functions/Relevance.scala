@@ -76,15 +76,21 @@ object Relevance {
     */
   def pmiCollocations(df: DataFrame, textCol: String,
                       minCount: Int = 5, topK: Int = 30): DataFrame = {
-    val toksCol = TextFunctions.tokens(col(textCol))
-    val uni = df.select(explode(toksCol).as("w"))
+    // Tokenize ONCE into an attribute: the pair generator references the
+    // token array O(len) times (size, element_at per position), and an
+    // inlined split expression would re-tokenize per reference.
+    // CollapseProject keeps the projection because the alias is consumed
+    // more than once by a non-cheap expression.
+    val toksDf = df.select(TextFunctions.tokens(col(textCol)).as("toks"))
+    val toks = col("toks")
+    val uni = toksDf.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val pairGen = when(size(toksCol) >= 2,
-      transform(sequence(lit(1), size(toksCol) - 1), i =>
-        struct(element_at(toksCol, i).as("w1"),
-          element_at(toksCol, i + 1).as("w2"))))
+    val pairGen = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val pairs = df.select(explode(pairGen).as("p"))
+    val pairs = toksDf.select(explode(pairGen).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)

@@ -64,6 +64,29 @@ class GraphsSpec extends SparkSuite {
     assert(out.count() === 0L)
   }
 
+  test("setMinhashPairs: identical sets always collide (recall 1.0); " +
+    "disjoint sets never verify; partial overlap below threshold drops") {
+    // Sets: 1 ≡ 2 (identical, J=1), 3 shares 2/4-union with 1 (J=0.5),
+    // 4 disjoint from everything.
+    val rows = (Seq(("s1", "x"), ("s1", "y"), ("s1", "z"),
+      ("s2", "x"), ("s2", "y"), ("s2", "z"),
+      ("s3", "x"), ("s3", "y"), ("s3", "q"),
+      ("s4", "a"), ("s4", "b"))).toDF("id", "m")
+    val strict = DedupFunctions.setMinhashPairs(rows, "id", "m",
+      numHashes = 16, bands = 4, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strict === Set(("s1", "s2")),
+      "only the identical pair survives threshold 0.9")
+    val loose = DedupFunctions.setMinhashPairs(rows, "id", "m",
+      numHashes = 16, bands = 16, threshold = 0.4) // 1-row bands: high recall
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(loose(("s1", "s2")) === 1.0d)
+    assert(loose.get(("s1", "s3")).contains(0.5d))
+    assert(!loose.keySet.exists(p => p._1 == "s4" || p._2 == "s4"),
+      "disjoint set never verifies above 0.4")
+  }
+
   test("neighbor jaccard: partial overlap computes the exact fraction") {
     // N(1)={3,4,5}, N(2)={4,5,6}: common 2, union 4 → J=0.5.
     val edges = Seq((1L, 3L), (1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L),
