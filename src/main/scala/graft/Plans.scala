@@ -233,7 +233,24 @@ object Plans {
     "q119_image_near_dup" -> ("perceptual-dHash image dedup: REAL decode + the " +
       "integer-exact 9×8 difference hash happen in the scan projection; only (doc_id, " +
       "64-bit hash) ever reaches an exchange — image bytes never shuffle — and twins " +
-      "meet in a hash EQUI-join, never an all-pairs image comparison.")
+      "meet in a hash EQUI-join, never an all-pairs image comparison."),
+    "q124_triangles" -> ("triangle census, forward algorithm: the degree orientation " +
+      "bounds every out-list to O(√m), the lists attach to edges through two |V|-row " +
+      "equi-joins, and each closing edge intersects two bounded arrays in a narrow map — " +
+      "the Σ C(outdeg,2) wedge intermediate (35M rows on the sf0.1 co-purchase graph) " +
+      "never materializes; the checkpointed edge list is scanned, not re-derived, per " +
+      "consumer."),
+    "q125_hist_percentiles" -> ("mergeable histogram percentiles: per-(type, day) log₂ " +
+      "bin counts are plain additive partial aggregates (the sketch IS rows — any date " +
+      "range re-merges by summation, each partition scanned once ever); the cumulative " +
+      "and rank windows run over the ≤64-row BIN frame per type, never over events — the " +
+      "q79 histogram-first discipline for order statistics."),
+    "q130_neighbor_lsh" -> ("neighborhood MinHash LSH: signatures build in ONE " +
+      "map-side-combined pass over adjacency rows (a hub's neighbor set never " +
+      "materializes as a single row), candidates meet in a (band, key) equi-join, and " +
+      "exact verification counts |A∩B| through a member equi-join restricted to " +
+      "candidates — the exact tier's Σ C(deg,2) wedge expansion (148M pairs at sf0.1) " +
+      "is replaced by linear signature work plus the collision set.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -90,16 +90,21 @@ object QueriesExt4 {
       HistSketch.logHistogram(
         ev.select(col("event_type").as("g"), col("vm")), "g", col("vm")), ps)
     val exact = {
+      // ONE rank window over events (the eval tier's single data sort);
+      // the three percentile targets attach as an exploded literal list
+      // so the grain is never re-ranked per p.
       val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("nn"))
       val rn = ev.withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("vm"))))
-      ps.map { case (num, den) =>
-        rn.join(n, "event_type")
-          .filter(col("rn") ===
-            floor((col("nn") * num + (den - 1)) / den).cast("long"))
-          .select(col("event_type"), lit(num).as("p_num"),
-            round(col("vm").cast("double") / 1000000.0d, 6).as("exact_v"))
-      }.reduce(_ unionByName _)
+      val pList = array(ps.map { case (num, den) =>
+        struct(lit(num).as("p_num"), lit(den).as("den")) }: _*)
+      rn.join(n, "event_type")
+        .select(col("event_type"), col("vm"), col("rn"), col("nn"),
+          explode(pList).as("p"))
+        .filter(col("rn") === floor((col("nn") * col("p.p_num") +
+          (col("p.den") - 1)) / col("p.den")).cast("long"))
+        .select(col("event_type"), col("p.p_num").as("p_num"),
+          round(col("vm").cast("double") / 1000000.0d, 6).as("exact_v"))
     }
     merged.select(col("g").as("event_type"), col("p_num"), col("n_total"),
         col("est_lo"))

@@ -664,6 +664,44 @@ class PlanSpec extends SparkSuite {
       "image bytes leaked into a shuffle")
   }
 
+  test("q124 triangles: no wedge-materializing self-join — the closing " +
+    "intersection is a narrow map over checkpointed edges") {
+    val q = QueriesExt4.q124Triangles(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(p.contains("array_intersect"),
+      "forward algorithm must intersect out-lists:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // The oriented edge list is a checkpointed RDD scan, not a re-derived
+    // lineitem self-join, on the triangle side of the plan.
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "edge list must come from the localCheckpoint:\n" + p.take(2000))
+  }
+
+  test("q125 histogram percentiles: windows run over the bin frame — " +
+    "no window over the events grain") {
+    val q = QueriesExt4.q125HistPercentiles(spark, sf("sf0.001"))
+    val p = planString(q)
+    // Exactly ONE window ranks the events grain — the published exact
+    // eval tier (row_number by vm). Every sketch-side window keys on the
+    // bin column after the additive partial aggregate.
+    assert(p.split("row_number").length - 1 === 1,
+      "only the exact tier may rank the data:\n" + p.take(2000))
+    assert(p.contains("partial_min(b") || p.contains("partial_min"),
+      "bin minima must partially aggregate:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q130 neighborhood LSH: candidates meet in a band equi-join, " +
+    "never an all-pairs product; signatures partial-aggregate") {
+    val q = QueriesExt4.q130NeighborLsh(spark, sf("sf0.001"))
+    val p = planString(q)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "band join must be an equi-join:\n" + p.take(2000))
+    assert(p.contains("partial_min") || p.contains("min("),
+      "signature mins must partially aggregate:\n" + p.take(2000))
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // The OTHER skew tool next to Skew.saltedLatestPerKey: when a join
     // key is hot, AQE's OptimizeSkewedJoin splits the oversized shuffle
