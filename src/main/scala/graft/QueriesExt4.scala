@@ -383,8 +383,255 @@ object QueriesExt4 {
        |FROM j WHERE jaccard >= 0.9""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q131
+  /** Trigram-index substring search ([[graft.functions.Search]]): three
+    * `LIKE '%...%'`-style patterns answered through the trigram
+    * inverted index — candidates from the 3 RAREST pattern trigrams
+    * (the pg_trgm selective-trigram discipline: a stopword trigram
+    * would drag in the corpus), exact `contains` verification on the
+    * candidate set only. The report publishes candidates vs matches —
+    * the index's false-positive rate is the honest metric. A pattern
+    * with an unindexed trigram ('zzz qqq') provably matches nothing
+    * and never touches a document. */
+  def q131TrigramSearch(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Search.trigramSearch(s, Tables.documents(s, dir),
+      "text", "doc_id",
+      Seq("merge batch", "query big query", "zzz qqq"), selectK = 3)
+  val q131Sql: String =
+    """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+      |post AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS tri
+      |         FROM d, unnest(range(1, length(t) - 1)) AS r(i)),
+      |dfq AS (SELECT tri, count(*)::BIGINT AS df FROM post GROUP BY 1),
+      |pats AS (SELECT * FROM (VALUES ('merge batch'), ('query big query'),
+      |         ('zzz qqq')) AS p(pattern)),
+      |ptri AS (SELECT DISTINCT pattern, substr(lower(pattern), i, 3) AS tri
+      |         FROM pats, unnest(range(1, length(pattern) - 1)) AS r(i)),
+      |rk AS (SELECT pattern, ptri.tri, coalesce(df, 0) AS df,
+      |         row_number() OVER (PARTITION BY pattern
+      |           ORDER BY coalesce(df, 0) ASC, ptri.tri ASC) AS rk
+      |       FROM ptri LEFT JOIN dfq ON ptri.tri = dfq.tri),
+      |sel AS (SELECT * FROM rk WHERE rk <= 3),
+      |req AS (SELECT pattern, count(*)::BIGINT AS req FROM sel GROUP BY 1),
+      |cand AS (SELECT s.pattern, p.doc_id, count(*)::BIGINT AS hit
+      |         FROM sel s JOIN post p ON s.tri = p.tri GROUP BY 1, 2),
+      |cd AS (SELECT cand.pattern, doc_id FROM cand JOIN req USING (pattern)
+      |       WHERE hit = req),
+      |ver AS (SELECT cd.pattern, count(*)::BIGINT AS n_candidates,
+      |          sum(CASE WHEN contains(d.t, lower(cd.pattern))
+      |              THEN 1 ELSE 0 END)::BIGINT AS n_matches
+      |        FROM cd JOIN d USING (doc_id) GROUP BY 1)
+      |SELECT p.pattern, coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+      |       coalesce(n_matches, 0)::BIGINT AS n_matches
+      |FROM pats p LEFT JOIN ver USING (pattern)""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+  /** Survivorship (golden records): q120's entity-resolution pairs
+    * closed into clusters ([[graft.operators.ConnectedComponents]]) and
+    * merged into ONE canonical record per entity by deterministic field
+    * rules — golden id = min member id, golden name = the longest
+    * normalized name with a lexicographic-min tie-break (picks the
+    * clean spelling over the corrupted clone), balance carried in exact
+    * integer cents from the blocking key. This is the step that makes
+    * ER actionable: pair lists don't deduplicate a table, golden
+    * records do. */
+  def q132Survivorship(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ConnectedComponents
+    val c = Tables.customer(s, dir)
+    val block = concat_ws("|",
+      round(col("c_acctbal") * 100).cast("long").cast("string"),
+      col("c_mktsegment"))
+    def norm(name: org.apache.spark.sql.Column) =
+      regexp_replace(lower(name), "[^a-z0-9 ]", "")
+    val clean = c.select(col("c_custkey").as("id"),
+      norm(col("c_name")).as("nm"), block.as("blk"))
+    val dirty = c.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 1000000L).as("id"),
+        norm(upper(concat(substring(col("c_name"), lit(1),
+          length(col("c_name")) - 1), lit("x~")))).as("nm"), block.as("blk"))
+    val u = clean.unionByName(dirty)
+    val keep = u.groupBy(col("blk")).agg(count(lit(1)).as("f"))
+      .filter(col("f") <= 100).select(col("blk"))
+    val b = u.join(keep, "blk").localCheckpoint()
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .filter(levenshtein(col("x.nm"), col("y.nm")) <= 2)
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+    val comp = ConnectedComponents.components(pairs,
+      driverMaxEdges = 1L << 20) // bounded planted-pair input: fast path
+    val members = b.join(comp.select(col("id"), col("component")), "id")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = members.withColumn("rk", row_number().over(
+      Window.partitionBy(col("component"))
+        .orderBy(length(col("nm")).desc, col("nm").asc)))
+    ranked.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("golden_id"),
+        max(when(col("rk") === 1, col("nm"))).as("golden_name"),
+        min(split(col("blk"), "\\|").getItem(0).cast("long"))
+          .as("balance_cents"))
+      .select(col("component"), col("n_members"), col("golden_id"),
+        col("golden_name"), col("balance_cents"))
+  }
+  val q132Sql: String =
+    """WITH RECURSIVE c AS (SELECT c_custkey, c_name,
+      |        round(c_acctbal * 100)::BIGINT::VARCHAR || '|' || c_mktsegment
+      |          AS blk
+      |      FROM customer),
+      |u AS (SELECT c_custkey AS id,
+      |        regexp_replace(lower(c_name), '[^a-z0-9 ]', '', 'g') AS nm, blk
+      |      FROM c
+      |      UNION ALL
+      |      SELECT c_custkey + 1000000,
+      |        regexp_replace(lower(
+      |          upper(substring(c_name, 1, length(c_name) - 1) || 'x~')),
+      |          '[^a-z0-9 ]', '', 'g'),
+      |        blk
+      |      FROM c WHERE c_custkey % 7 = 0),
+      |keep AS (SELECT blk FROM (SELECT blk, count(*) AS f FROM u GROUP BY blk)
+      |         WHERE f <= 100),
+      |bl AS (SELECT u.* FROM u JOIN keep USING (blk)),
+      |pr AS (SELECT a.id AS s, b.id AS d
+      |       FROM bl a JOIN bl b ON a.blk = b.blk AND a.id < b.id
+      |       WHERE levenshtein(a.nm, b.nm) <= 2),
+      |ed AS (SELECT s, d FROM pr UNION SELECT d, s FROM pr),
+      |reach(id, comp) AS (
+      |  SELECT s, s FROM ed
+      |  UNION
+      |  SELECT ed.d, r.comp FROM reach r JOIN ed ON ed.s = r.id),
+      |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+      |mem AS (SELECT bl.*, cc.component FROM bl JOIN cc ON bl.id = cc.id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY component
+      |         ORDER BY length(nm) DESC, nm ASC) AS rk FROM mem)
+      |SELECT component, count(*)::BIGINT AS n_members,
+      |       min(id) AS golden_id,
+      |       max(CASE WHEN rk = 1 THEN nm END) AS golden_name,
+      |       min(string_split(blk, '|')[1]::BIGINT) AS balance_cents
+      |FROM rk GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+  /** Shuffle-key skew advisory ([[graft.operators.Skew.keyProfile]]):
+    * for each candidate key, the exact group-size distribution — rows,
+    * keys, heaviest key's share, exact p99 group size vs mean — and a
+    * salt recommendation. This is the PLANNING table behind
+    * `dedup_strategy=auto`: all statistics aggregate over the
+    * #keys-row group table (one pruned two-column scan + two hash
+    * aggregates per key), never the data. */
+  def q133SkewAdvisory(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    Skew.keyProfile(Tables.events(s, dir), Seq("user_id", "event_type"),
+        hotShare = 0.01)
+      .unionByName(Skew.keyProfile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey"), hotShare = 0.01))
+  }
+  val q133Sql: String = {
+    def one(table: String, k: String): String =
+      s"""SELECT '$k' AS key_col, sum(c)::BIGINT AS n_rows,
+         |       count(*)::BIGINT AS n_keys, max(c)::BIGINT AS max_group,
+         |       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS max_share,
+         |       round(quantile_cont(c::DOUBLE, 0.99), 2) AS p99_group,
+         |       round(sum(c)::DOUBLE / count(*)::DOUBLE, 2) AS mean_group,
+         |       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) > 0.01
+         |         AS advise_salt
+         |FROM (SELECT $k, count(*)::BIGINT AS c FROM $table GROUP BY 1)"""
+        .stripMargin
+    Seq(one("events", "user_id"), one("events", "event_type"),
+      one("lineitem", "l_orderkey"), one("lineitem", "l_partkey"))
+      .mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------- q134
+  /** Label-propagation communities over the co-purchase graph
+    * ([[Graphs.labelPropagation]], 2 synchronous min-tie rounds —
+    * deterministic where async LPA is order-dependent): the top-20
+    * communities by size. Per round one adjacency⋈labels equi-join +
+    * one count aggregate + one max_by argmax, label vector
+    * localCheckpointed (the PageRank iteration discipline); the oracle
+    * unrolls BOTH rounds value-for-value. */
+  def q134Communities(s: SparkSession, dir: String): DataFrame =
+    Graphs.labelPropagation(coPurchase(s, dir), rounds = 2)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("label").asc)
+      .limit(20)
+  val q134Sql: String =
+    s"""WITH $coPurchaseSqlCte,
+       |adj AS (SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT v, v AS label FROM adj),
+       |c1 AS (SELECT adj.v, l.label, count(*) AS cnt
+       |       FROM adj JOIN l0 l ON adj.nbr = l.v GROUP BY 1, 2),
+       |l1 AS (SELECT v, label FROM (SELECT v, label,
+       |         row_number() OVER (PARTITION BY v
+       |           ORDER BY cnt DESC, label ASC) AS rk FROM c1)
+       |       WHERE rk = 1),
+       |c2 AS (SELECT adj.v, l.label, count(*) AS cnt
+       |       FROM adj JOIN l1 l ON adj.nbr = l.v GROUP BY 1, 2),
+       |l2 AS (SELECT v, label FROM (SELECT v, label,
+       |         row_number() OVER (PARTITION BY v
+       |           ORDER BY cnt DESC, label ASC) AS rk FROM c2)
+       |       WHERE rk = 1)
+       |SELECT label, count(*)::BIGINT AS n_members FROM l2
+       |GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  /** Half-life-decayed activity counters per event type (half-life 7
+    * days against the corpus's last day): recency-weighted volume and
+    * value — the freshness-aware ranking signal plain totals can't
+    * give. Events first collapse to per-(type, age-day) INTEGER
+    * partials (counts + micro-unit value sums — order-independent at
+    * any partition count; the q122 rollup grain, so the counter table
+    * is also incrementally maintainable); the decay weights then apply
+    * in ONE age-ordered fold over the ≤31-row bucket frame per type
+    * (the q57 positional-fold discipline — never a float sum over the
+    * data). */
+  def q135DecayedCounters(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("ts_ms div 86400000").as("day"),
+      round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+    val mx = ev.agg(max(col("day")).as("mxd"))
+    val buckets = ev.crossJoin(broadcast(mx))
+      .select(col("event_type"), (col("mxd") - col("day")).cast("int").as("age"),
+        col("vm"))
+      .groupBy(col("event_type"), col("age"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("vms"))
+    buckets.groupBy(col("event_type"))
+      .agg(aggregate(array_sort(collect_list(struct(col("age"), col("n"),
+          col("vms")))), lit(0.0d),
+          (acc, x) => acc + x.getField("n").cast("double") *
+            pow(lit(0.5d), x.getField("age").cast("double") / 7.0d))
+          .as("de"),
+        aggregate(array_sort(collect_list(struct(col("age"), col("n"),
+          col("vms")))), lit(0.0d),
+          (acc, x) => acc + (x.getField("vms").cast("double") / 1000000.0d) *
+            pow(lit(0.5d), x.getField("age").cast("double") / 7.0d))
+          .as("dv"))
+      .select(col("event_type"), round(col("de"), 4).as("decayed_events"),
+        round(col("dv"), 4).as("decayed_value"))
+  }
+  val q135Sql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |        round("value" * 1000000.0)::BIGINT AS vm FROM events),
+      |mx AS (SELECT max(day) AS mxd FROM ev),
+      |bk AS (SELECT event_type, (mxd - day)::INT AS age,
+      |         count(*)::BIGINT AS n, sum(vm)::BIGINT AS vms
+      |       FROM ev, mx GROUP BY 1, 2),
+      |ag AS (SELECT event_type,
+      |         list(struct_pack(age := age, n := n, vms := vms)
+      |              ORDER BY age) AS items
+      |       FROM bk GROUP BY 1)
+      |SELECT event_type,
+      |  round(list_sum(list_transform(items,
+      |    x -> x.n::DOUBLE * pow(0.5, x.age::DOUBLE / 7.0))), 4)
+      |    AS decayed_events,
+      |  round(list_sum(list_transform(items,
+      |    x -> (x.vms::DOUBLE / 1000000.0) * pow(0.5, x.age::DOUBLE / 7.0))), 4)
+      |    AS decayed_value
+      |FROM ag""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_trigram_search" -> (q131TrigramSearch _),
+    "q132_survivorship" -> (q132Survivorship _),
+    "q133_skew_advisory" -> (q133SkewAdvisory _),
+    "q134_communities" -> (q134Communities _),
+    "q135_decayed_counters" -> (q135DecayedCounters _),
     "q124_triangles" -> (q124Triangles _),
     "q125_hist_percentiles" -> (q125HistPercentiles _),
     "q126_fd_audit" -> (q126FdAudit _),
@@ -395,6 +642,11 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_trigram_search" -> q131Sql,
+    "q132_survivorship" -> q132Sql,
+    "q133_skew_advisory" -> q133Sql,
+    "q134_communities" -> q134Sql,
+    "q135_decayed_counters" -> q135Sql,
     "q124_triangles" -> q124Sql,
     "q125_hist_percentiles" -> q125Sql,
     "q126_fd_audit" -> q126Sql,

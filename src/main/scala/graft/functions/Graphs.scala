@@ -115,6 +115,42 @@ object Graphs {
           col("n_wedges").cast("double"), 6).as("clustering"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection: every node starts labeled with its own id; each round,
+    * every node adopts the most frequent label among its NEIGHBORS,
+    * ties to the smallest label — fully deterministic (the asynchronous
+    * variant is order-dependent; synchronous + min-tie replays
+    * bit-identically in any engine, the same determinism discipline as
+    * [[graft.operators.PageRank]]).
+    *
+    * Per round: one adjacency⋈labels equi-join, one (node, label) count
+    * aggregate, one max_by((count, −label)) argmax — all
+    * partial-agg-safe; the label vector is localCheckpointed each round
+    * (|V| rows) so lineage stays flat. Rounds are fixed (the caller
+    * unrolls the same rounds in an oracle); LPA oscillates on bipartite
+    * structures, so a fixed-round census, not convergence, is the
+    * contract. Output: (v, label) after `rounds` rounds.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val adj = e.select(col("a").as("v"), col("b").as("nbr"))
+      .union(e.select(col("b").as("v"), col("a").as("nbr")))
+      .localCheckpoint()
+    var labels = adj.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val counted = adj
+        .join(labels.select(col("v").as("nbr"), col("label")), "nbr")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = counted.groupBy(col("v"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Neighborhood-Jaccard node similarity: for every node pair with at
     * least `minCommon` shared neighbors (meeting through a
     * shared-neighbor equi-join, never all-pairs), J = |N(a)∩N(b)| /

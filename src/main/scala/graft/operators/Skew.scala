@@ -87,6 +87,38 @@ object Skew {
     }
   }
 
+  /** Per-key-column skew advisory — the PLANNING view of what
+    * [[chooseStrategy]] decides per batch: for each candidate shuffle
+    * key, the exact group-size distribution statistics a partitioning
+    * decision needs (how many rows, how many keys, the heaviest key's
+    * share, the p99 group size against the mean) and the verdict.
+    *
+    * Scale shape: one two-phase hash aggregate per column (pruned
+    * two-column scan; partials collapse map-side), then ALL statistics
+    * — including the exact p99 — aggregate over the #keys-row group
+    * table, never the data. `max_share` rounds to 6 so the advisory
+    * replays cross-engine. Output per column: (key_col, n_rows, n_keys,
+    * max_group, max_share, p99_group, mean_group, advise_salt). */
+  def keyProfile(df: DataFrame, keyCols: Seq[String],
+                 hotShare: Double = 0.01): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    keyCols.map { k =>
+      df.select(col(k).as("k")).groupBy(col("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_group"),
+          expr("percentile(c, 0.99)").as("p99d"))
+        .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_group"),
+          round(col("max_group").cast("double") /
+            col("n_rows").cast("double"), 6).as("max_share"),
+          round(col("p99d"), 2).as("p99_group"),
+          round(col("n_rows").cast("double") /
+            col("n_keys").cast("double"), 2).as("mean_group"))
+        .withColumn("advise_salt", col("max_share") > hotShare)
+    }.reduce(_ unionByName _)
+  }
+
   /** Corrected mean-duplication estimate from a Bernoulli(frac) row sample.
     * A key duplicated c times contributes Poisson(λ = c·frac) sampled rows,
     * so the observed rows-per-*observed*-key is d = λ/(1−e^−λ), which

@@ -457,6 +457,60 @@ object StreamAggs {
         col("n") +: pctCols: _*)
   }
 
+  /** Windowed MERGEABLE histogram percentiles — the streaming twin of
+    * [[graft.functions.HistSketch]] and the store-and-re-merge
+    * alternative to [[windowPercentiles]]: per (window, type), log₂
+    * bin counts of the micro-unit measure as ONE tumbling-window
+    * aggregate whose state is the ≤64-slot count map — and because the
+    * emitted rows ARE the additive sketch, closed windows can be
+    * persisted and re-merged over any later range by plain summation
+    * (the batch q125 maintenance property, live). Estimates read off
+    * the bins with the same ceil-rank / lower-bound rule, so cut-over
+    * between the streaming and batch tiers is value-exact. Output per
+    * (window-start, type, p): n_total and est_lo micro-units. */
+  def windowHistPercentiles(events: DataFrame, windowLen: String,
+                            watermark: String,
+                            ps: Seq[(Int, Int)] = Seq((1, 2), (19, 20),
+                              (99, 100))): DataFrame = {
+    // ONE stateful aggregation (append-mode-safe — chained streaming
+    // aggs are not): 64 fixed conditional-count slots per (window,
+    // type), the SimHash/CMS fixed-state pattern. State size is the
+    // slot vector, independent of the window's row count.
+    val slotCols = (0 until 64).map(k =>
+      sum(when(col("b") === k, 1L).otherwise(0L)).as(s"c$k"))
+    val agged = events.withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+      .filter(col("vm") > 0)
+      .withColumn("b", (length(bin(col("vm"))) - 1).cast("int"))
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(slotCols.head, slotCols.tail: _*)
+    val bins = array((0 until 64).map(k => col(s"c$k")): _*)
+    val pRows = explode(array(ps.map { case (num, den) =>
+      struct(lit(num).as("p_num"), lit(den).as("den")) }: _*))
+    // Percentile read-out is a narrow projection fold over the 64-slot
+    // literal-length array — no second stateful operator.
+    val nTotal = aggregate(bins, lit(0L), (a, x) => a + x)
+    agged
+      .select(col("window").getField("start").as("ws"), col("event_type"),
+        bins.as("bins"), nTotal.as("n_total"), pRows.as("p"))
+      .withColumn("idx", floor((col("n_total") * col("p.p_num") +
+        (col("p.den") - 1)) / col("p.den")).cast("long"))
+      .withColumn("est_b", aggregate(
+        zip_with(col("bins"),
+          sequence(lit(0), lit(63)), (n, b) => struct(b.as("b"), n.as("n"))),
+        struct(lit(0L).as("cum"), lit(-1).as("sel")),
+        (acc, x) => struct(
+          (acc.getField("cum") + x.getField("n")).as("cum"),
+          when(acc.getField("sel") >= 0, acc.getField("sel"))
+            .otherwise(when(acc.getField("cum") + x.getField("n") >= col("idx"),
+              x.getField("b")).otherwise(lit(-1))).as("sel")))
+        .getField("sel"))
+      .select(col("ws"), col("event_type"), col("p.p_num").as("p_num"),
+        col("n_total"),
+        expr("shiftleft(1L, est_b)").cast("long").as("est_lo"))
+  }
+
   final case class AttribEv(user_id: Long, ts: java.sql.Timestamp,
                             event_type: String, value: Double)
   final case class TouchOut(user_id: Long, channel: String, value: Double)

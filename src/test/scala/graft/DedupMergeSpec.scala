@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, MergeOps}
+import graft.operators.{Dedup, MergeOps, Skew}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -183,5 +183,29 @@ class DedupMergeSpec extends SparkSuite {
     val m = MergeOps.merge(t2, s2, Seq("k1", "k2"), col("op_aws") === "d", Seq("op_aws"))
     val got = m.select("k1", "k2", "v").as[(Long, String, String)].collect().toSet
     assert(got == Set((1L, "a", "z"), (1L, "b", "y")))
+  }
+
+  test("keyProfile: hot key flagged for salting with exact share; " +
+    "uniform key stays quiet") {
+    // 1000 rows: key 0 holds 500 (50%), keys 1..500 one each; a second
+    // column perfectly uniform at 2 rows per key.
+    val df = ((1 to 500).map(_ => 0L) ++ (1L to 500L))
+      .zipWithIndex.map { case (hot, i) => (hot, (i % 500).toLong) }
+      .toDF("hot", "uni")
+    val out = Skew.keyProfile(df, Seq("hot", "uni"), hotShare = 0.01)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val h = out("hot")
+    assert(h.getAs[Long]("n_rows") === 1000L)
+    assert(h.getAs[Long]("n_keys") === 501L)
+    assert(h.getAs[Long]("max_group") === 500L)
+    assert(h.getAs[Double]("max_share") === 0.5d)
+    assert(h.getAs[Boolean]("advise_salt"))
+    val u = out("uni")
+    assert(u.getAs[Long]("n_keys") === 500L)
+    assert(u.getAs[Long]("max_group") === 2L)
+    assert(u.getAs[Double]("mean_group") === 2.0d)
+    assert(!u.getAs[Boolean]("advise_salt") ||
+      u.getAs[Double]("max_share") > 0.01) // share 0.002 → quiet
+    assert(!u.getAs[Boolean]("advise_salt"))
   }
 }

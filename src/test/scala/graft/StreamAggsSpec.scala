@@ -558,6 +558,34 @@ class StreamAggsSpec extends SparkSuite {
     assert(n1 === 2L && p50h1 === 1000.0)
   }
 
+  test("streaming histogram percentiles: per-window bin estimates match " +
+    "the batch HistSketch rule value-for-value") {
+    import graft.functions.HistSketch
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = StreamAggs.windowHistPercentiles(toDf(mem), "60 minutes",
+        "10 minutes", Seq((1, 2), (19, 20)))
+      .writeStream.format("memory").queryName("shist").outputMode("update")
+      .start()
+    // hour 0 type a: micro-values spread over several log2 bins
+    val vals = Seq(0.000001, 0.000002, 0.000004, 0.000008, 0.0001, 0.01)
+    val data = vals.zipWithIndex.map { case (v, i) =>
+      (ts(i), i.toLong, "a", v) }
+    mem.addData(data: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("shist").collect()
+      .map(r => (r.getString(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // Batch twin over the same rows.
+    val batch = HistSketch.percentilesFromHistogram(
+      HistSketch.logHistogram(
+        data.map { case (_, _, t, v) =>
+          (t, math.round(v * 1000000.0)) }.toDF("g", "vm"),
+        "g", col("vm")), Seq((1, 2), (19, 20)))
+      .collect().map(r => (r.getString(0), r.getAs[Int]("p_num")) ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("est_lo")))).toMap
+    assert(streamed === batch,
+      s"streaming $streamed must equal batch $batch")
+  }
+
   test("streaming last-touch: conversions credit across batches; " +
     "rollup matches the batch attribution operator") {
     val mem = MemoryStream[StreamAggs.AttribEv]

@@ -64,6 +64,29 @@ class GraphsSpec extends SparkSuite {
     assert(out.count() === 0L)
   }
 
+  test("label propagation: two cliques with one bridge resolve to two " +
+    "communities labeled by their minimum ids") {
+    // Clique {1,2,3} and clique {10,11,12}, bridge 3-10.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val out = Graphs.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Within each clique the min-tie majority settles on the clique's
+    // smallest id; the bridge endpoints stay with their own cliques
+    // (two same-clique neighbors outvote one bridge neighbor).
+    assert(out(1L) === out(2L) && out(2L) === out(3L))
+    assert(out(10L) === out(11L) && out(11L) === out(12L))
+    assert(out(1L) !== out(10L))
+  }
+
+  test("label propagation: deterministic under repartitioning") {
+    val edges = (1L to 40L).map(i => (i, (i % 20) + 100L)).toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graphs.labelPropagation(d, rounds = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(edges.repartition(1)) === run(edges.repartition(7)))
+  }
+
   test("setMinhashPairs: identical sets always collide (recall 1.0); " +
     "disjoint sets never verify; partial overlap below threshold drops") {
     // Sets: 1 ≡ 2 (identical, J=1), 3 shares 2/4-union with 1 (J=0.5),
