@@ -2324,7 +2324,7 @@ object QueriesExt {
     * (page, host) edges — q74's PageRank. */
   /** The deterministic synthetic crawl page q77/q81 share (Spark side;
     * [[syntheticPageSql]] is the character-identical oracle twin). */
-  private def syntheticPage: Column = {
+  private[graft] def syntheticPage: Column = {
     val id = col("doc_id").cast("string")
     concat(
       lit("<html><head><title> Doc "), id, lit(" &amp; friends </title>"),
@@ -2352,7 +2352,7 @@ object QueriesExt {
         element_at(graft.functions.Html.hrefs(col("html")), 1).as("first_href"))
   }
   /** Oracle twin of [[syntheticPage]] — change the two together. */
-  private val syntheticPageSql: String =
+  private[graft] val syntheticPageSql: String =
     """SELECT doc_id,
       |    '<html><head><title> Doc ' || doc_id || ' &amp; friends </title>' ||
       |    '<style>p { color: #c00; }</style>' ||

@@ -625,8 +625,107 @@ object QueriesExt4 {
       |    AS decayed_value
       |FROM ag""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** Anchor-text aggregation per link-target host
+    * ([[graft.functions.Html.anchors]] → [[graft.functions.Url.host]]):
+    * the web's human label for each TARGET page, the retrieval/quality
+    * signal next to q81's link-graph authority. Per target host: inlink
+    * count and the sorted distinct anchor vocabulary. Extraction is one
+    * narrow regex projection (two aligned single-pass extractions zip
+    * positionally — href i always pairs with its own anchor); the
+    * aggregate exchanges (host, anchor) rows, never pages. */
+  def q136AnchorText(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Html, Url}
+    Tables.documents(s, dir)
+      .select(col("doc_id"), QueriesExt.syntheticPage.as("html"))
+      .select(explode(Html.anchors(col("html"))).as("a"))
+      .select(Url.host(col("a.href")).as("host"), col("a.anchor"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("anchor")).as("n_anchors"),
+        array_join(array_sort(collect_set(col("anchor"))), ",")
+          .as("anchors"))
+  }
+  val q136Sql: String = {
+    val pat = """(?is)<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>"""
+    s"""WITH p AS (
+       |  ${QueriesExt.syntheticPageSql}),
+       |nh AS (SELECT doc_id,
+       |         regexp_replace(html, '(?i)href=''([^'']*)''', 'href="\\1"', 'g')
+       |           AS h
+       |       FROM p),
+       |la AS (SELECT doc_id,
+       |         regexp_extract_all(h, '$pat', 1) AS hs,
+       |         regexp_extract_all(h, '$pat', 2) AS ts
+       |       FROM nh),
+       |x AS (SELECT hs[i] AS href,
+       |        trim(regexp_replace(regexp_replace(ts[i], '<[^>]*>', ' ', 'g'),
+       |          '[ \\t\\n\\r]+', ' ', 'g')) AS anchor
+       |      FROM la, unnest(range(1, len(hs) + 1)) AS r(i)),
+       |hh AS (SELECT regexp_replace(lower(regexp_extract(href,
+       |         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\\.', '')
+       |         AS host, anchor
+       |       FROM x)
+       |SELECT host, count(*)::BIGINT AS n_links,
+       |       count(DISTINCT anchor)::BIGINT AS n_anchors,
+       |       array_to_string(list_sort(list(DISTINCT anchor)), ',')
+       |         AS anchors
+       |FROM hh GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q137
+  /** IVF index cell-balance report ([[Similarity.ivfCell]] over the
+    * q41 centroid model): per-cell occupancy and share, plus the
+    * imbalance factor (max/mean) every cell carries — the ops check
+    * that decides whether an IVF index needs re-training before it
+    * serves (one overfull cell = one straggler probe list at query
+    * time, the ANN twin of the q133 shuffle-skew advisory). Assignment
+    * is the literal-centroid argmax in the scan projection (zero
+    * shuffle); statistics aggregate over the ≤|cells| count frame. */
+  def q137IvfBalance(s: SparkSession, dir: String): DataFrame = {
+    val centroids = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val counts = Tables.embeddings(s, dir)
+      .select(Similarity.ivfCell(col("embedding").cast("array<double>"),
+        centroids).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"), max(col("n_vecs")).as("mx"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"),
+        round(col("mx").cast("double") * col("n_cells").cast("double") /
+          col("n_total").cast("double"), 4).as("imbalance"))
+  }
+  val q137Sql: String = {
+    val cos = QueriesExt.cosSql("e.v", "c.cv")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |a0 AS (SELECT e.vec_id, c.cid, $cos AS sim FROM e, cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid) AS rn
+       |    FROM a0) WHERE rn = 1),
+       |cc AS (SELECT cell, count(*)::BIGINT AS n_vecs FROM assign GROUP BY 1),
+       |tot AS (SELECT sum(n_vecs)::BIGINT AS n_total,
+       |          count(*)::BIGINT AS n_cells, max(n_vecs)::BIGINT AS mx
+       |        FROM cc)
+       |SELECT cell, n_vecs,
+       |       round(n_vecs::DOUBLE / n_total::DOUBLE, 6) AS share,
+       |       round(mx::DOUBLE * n_cells::DOUBLE / n_total::DOUBLE, 4)
+       |         AS imbalance
+       |FROM cc, tot""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_anchor_text" -> (q136AnchorText _),
+    "q137_ivf_balance" -> (q137IvfBalance _),
     "q131_trigram_search" -> (q131TrigramSearch _),
     "q132_survivorship" -> (q132Survivorship _),
     "q133_skew_advisory" -> (q133SkewAdvisory _),
@@ -642,6 +741,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_anchor_text" -> q136Sql,
+    "q137_ivf_balance" -> q137Sql,
     "q131_trigram_search" -> q131Sql,
     "q132_survivorship" -> q132Sql,
     "q133_skew_advisory" -> q133Sql,

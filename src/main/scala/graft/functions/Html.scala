@@ -59,6 +59,26 @@ object Html {
     regexp_extract_all(normalized, lit(one), lit(1))
   }
 
+  /** (href, anchor-text) pairs of `<a>…</a>` tags in document order —
+    * the link-context signal (anchor text is the web's human label for
+    * the TARGET page; aggregated per target it feeds retrieval and
+    * quality models the way [[hrefs]] feeds the link graph). Same
+    * quote normalization as [[hrefs]]; anchor text is tag-stripped and
+    * whitespace-collapsed. Two aligned single-pass extractions of the
+    * SAME pattern zip positionally, so href i always pairs with its own
+    * anchor. */
+  def anchors(html: Column): Column = {
+    val normalized =
+      regexp_replace(html, "(?i)href='([^']*)'", "href=\"$1\"")
+    val pat = "(?is)<a[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    zip_with(
+      regexp_extract_all(normalized, lit(pat), lit(1)),
+      regexp_extract_all(normalized, lit(pat), lit(2)),
+      (h, t) => struct(h.as("href"),
+        trim(regexp_replace(regexp_replace(t, "<[^>]*>", " "),
+          s"$ws+", " ")).as("anchor")))
+  }
+
   /** Title tag content (empty string when absent). */
   def title(html: Column): Column =
     trim(regexp_replace(

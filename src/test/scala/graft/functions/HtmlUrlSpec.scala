@@ -77,4 +77,18 @@ class HtmlUrlSpec extends SparkSuite {
     assert(rd("ex.com") == "ex.com")
     assert(rd("localhost") == "localhost")
   }
+
+  test("anchors: href pairs with ITS OWN text, nested tags stripped, " +
+    "whitespace collapsed, both quote styles") {
+    import spark.implicits._
+    val html = """<a href="http://a/">first  link</a> filler
+      |<A HREF='http://b/'><b>second</b>
+      |bold</A> <a name="x">no href</a>""".stripMargin
+    val got = Seq(html).toDF("s")
+      .select(explode(Html.anchors(col("s"))).as("a"))
+      .select(col("a.href"), col("a.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("http://a/", "first link"),
+      ("http://b/", "second bold")))
+  }
 }
