@@ -722,8 +722,167 @@ object QueriesExt4 {
        |FROM cc, tot""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q138
+  /** Top principal direction of the embedding cloud by power iteration
+    * ([[Similarity.topPrincipalComponent]], 2 iterations) — the
+    * anisotropy diagnostic run before trusting cosine retrieval: v₀ is
+    * the exact literal 1/√64, each iteration is one corpus pass with
+    * exact micro-unit per-dim sums (order-independent partials, the
+    * q70 k-means discipline), the 64-row model crosses the driver like
+    * a centroid row. The oracle unrolls BOTH iterations — dots,
+    * integer sums, the dim-ordered norm fold, IEEE sqrt/÷ —
+    * value-for-value. */
+  def q138TopComponent(s: SparkSession, dir: String): DataFrame =
+    Similarity.topPrincipalComponent(Tables.embeddings(s, dir), iters = 2)
+  val q138Sql: String =
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      |ds AS (SELECT unnest(range(1, 65))::INT AS i),
+      |d1 AS (SELECT v,
+      |         list_sum(list_transform(v, x -> x * 0.125)) AS dt
+      |       FROM e),
+      |t1 AS (SELECT ds.i AS dim,
+      |         round(d1.v[ds.i] * d1.dt * 1000000)::BIGINT AS t
+      |       FROM d1, ds),
+      |w1 AS (SELECT dim, sum(t)::DOUBLE AS s FROM t1 GROUP BY 1),
+      |lw1 AS (SELECT list(s / 1000000.0 ORDER BY dim) AS lw FROM w1),
+      |n1 AS (SELECT sqrt(list_sum(list_transform(lw, x -> x * x))) AS nrm
+      |       FROM lw1),
+      |v1 AS (SELECT list_transform(lw, x -> x / nrm) AS lv FROM lw1, n1),
+      |d2 AS (SELECT e.v AS v,
+      |         list_sum(list_transform(list_zip(e.v, v1.lv),
+      |           p -> p[1] * p[2])) AS dt
+      |       FROM e, v1),
+      |t2 AS (SELECT ds.i AS dim,
+      |         round(d2.v[ds.i] * d2.dt * 1000000)::BIGINT AS t
+      |       FROM d2, ds),
+      |w2 AS (SELECT dim, sum(t)::DOUBLE AS s FROM t2 GROUP BY 1),
+      |lw2 AS (SELECT list(s / 1000000.0 ORDER BY dim) AS lw FROM w2),
+      |n2 AS (SELECT sqrt(list_sum(list_transform(lw, x -> x * x))) AS nrm
+      |       FROM lw2)
+      |SELECT dim, round((s / 1000000.0) / nrm, 6) AS component,
+      |       round(nrm, 4) AS lam
+      |FROM w2, n2""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+  /** Dataset content fingerprints — the reproducibility audit: per
+    * table, the row count and an ORDER-INDEPENDENT 60-bit content
+    * checksum (bit_xor of a canonical per-row hash). Two runs, two
+    * engines, or a pre/post-migration pair produce the same pair of
+    * numbers iff the data is identical — the cheapest "did anything
+    * change" gate a 100 TB copy can run (XOR aggregates map-side and
+    * commutes, so partitioning never matters). Doubles enter the
+    * canonical string as exact integer cents/micro-units, never via
+    * engine-specific float formatting. */
+  def q139DatasetFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    def fp(df: DataFrame, name: String, canon: org.apache.spark.sql.Column) =
+      df.select(md5Long(canon).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("checksum"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val ev = Tables.events(s, dir)
+    val d = Tables.documents(s, dir)
+    fp(c, "customer", concat_ws("|", col("c_custkey"), col("c_name"),
+        col("c_nationkey"), round(col("c_acctbal") * 100).cast("long"),
+        col("c_mktsegment")))
+      .unionByName(fp(o, "orders", concat_ws("|", col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"))))
+      .unionByName(fp(ev, "events", concat_ws("|", col("event_id"),
+        col("user_id"), col("event_type"), col("ts_ms"),
+        round(col("value") * 100).cast("long"))))
+      .unionByName(fp(d, "documents", concat_ws("|", col("doc_id"),
+        md5(col("text")), col("source"), col("lang"))))
+  }
+  val q139Sql: String = {
+    def h(expr: String) =
+      s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
+    s"""SELECT 'customer' AS tbl, count(*)::BIGINT AS n_rows,
+       |  bit_xor(${h("c_custkey || '|' || c_name || '|' || c_nationkey || '|' || round(c_acctbal * 100)::BIGINT || '|' || c_mktsegment")})
+       |    AS checksum
+       |FROM customer
+       |UNION ALL
+       |SELECT 'orders', count(*)::BIGINT,
+       |  bit_xor(${h("o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || round(o_totalprice * 100)::BIGINT")})
+       |FROM orders
+       |UNION ALL
+       |SELECT 'events', count(*)::BIGINT,
+       |  bit_xor(${h("event_id || '|' || user_id || '|' || event_type || '|' || epoch_ms(ts) || '|' || round(\"value\" * 100)::BIGINT")})
+       |FROM events
+       |UNION ALL
+       |SELECT 'documents', count(*)::BIGINT,
+       |  bit_xor(${h("doc_id || '|' || md5(text) || '|' || source || '|' || lang")})
+       |FROM documents""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q140
+  /** Per-type linear trend of event value over time (exact OLS): slope,
+    * intercept, and correlation from the five classic sufficient
+    * statistics — each an EXACT integer sum over (day-index, micro-unit
+    * value), so the partials are order-independent at any partition
+    * count and the final slope/intercept/r are one defined double
+    * chain. The trend detector that tells drift direction where q89/q95
+    * flag drift existence. */
+  def q140TrendRegression(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("ts_ms div 86400000").as("day"),
+      round(col("value") * 1000000.0d, 0).cast("long").as("ym"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val xy = ev.crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("day") - col("d0")).as("x"),
+        col("ym"))
+    val ssum = xy.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("ym").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("ym")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("ym").cast("decimal(38,0)") * col("ym"))).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val syy = col("syy").cast("double")
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    ssum.select(col("event_type"), col("n"),
+      round(cov / varx / lit(1000000.0d), 6).as("slope_per_day"),
+      round((sy - cov / varx * sx) / n / lit(1000000.0d), 6)
+        .as("intercept"),
+      round(cov / sqrt(varx) / sqrt(vary), 6).as("r"))
+  }
+  val q140Sql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |        round("value" * 1000000.0)::BIGINT AS ym FROM events),
+      |d0 AS (SELECT min(day) AS d0 FROM ev),
+      |xy AS (SELECT event_type, (day - d0)::BIGINT AS x, ym FROM ev, d0),
+      |s AS (SELECT event_type, count(*)::BIGINT AS n,
+      |        sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+      |        sum(ym)::HUGEINT AS sy, sum(x * ym)::HUGEINT AS sxy,
+      |        sum(ym::HUGEINT * ym)::HUGEINT AS syy
+      |      FROM xy GROUP BY 1)
+      |SELECT event_type, n,
+      |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |        / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |        / 1000000.0, 6) AS slope_per_day,
+      |  round((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |          / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |          * sx::DOUBLE) / n::DOUBLE / 1000000.0, 6) AS intercept,
+      |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |        / sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |        / sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE), 6)
+      |    AS r
+      |FROM s""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_top_component" -> (q138TopComponent _),
+    "q139_dataset_fingerprint" -> (q139DatasetFingerprint _),
+    "q140_trend_regression" -> (q140TrendRegression _),
     "q136_anchor_text" -> (q136AnchorText _),
     "q137_ivf_balance" -> (q137IvfBalance _),
     "q131_trigram_search" -> (q131TrigramSearch _),
@@ -741,6 +900,9 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q138_top_component" -> q138Sql,
+    "q139_dataset_fingerprint" -> q139Sql,
+    "q140_trend_regression" -> q140Sql,
     "q136_anchor_text" -> q136Sql,
     "q137_ivf_balance" -> q137Sql,
     "q131_trigram_search" -> q131Sql,

@@ -716,6 +716,62 @@ object Similarity {
           / lit(1000000000000.0), 6).as("variance"))
   }
 
+  /** Top principal direction of the (uncentered) embedding cloud by
+    * power iteration — the anisotropy diagnostic: embedding spaces with
+    * one dominant direction (a large common component) hurt cosine
+    * retrieval, and the top component + its eigenvalue quantify that
+    * before any index is built. Uncentered by design (the dominant
+    * direction INCLUDING the mean offset is the quantity cosine
+    * similarity actually suffers from); [[embeddingMeanDrift]] /
+    * [[embeddingMoments]] cover the mean itself.
+    *
+    * Determinism (the k-means q70 discipline): v₀ is the exact literal
+    * 1/√d; each iteration is ONE corpus pass — per row the dot x·v via
+    * the fused [[VectorExpressions.vecDot]] fold, per dim the exact
+    * micro-unit integer sum Σ round(x_d·(x·v)·10⁶) — so partials are
+    * order-independent; the ≤d-row model crosses the driver like a
+    * centroid row, normalization is a defined dim-ordered fold + IEEE
+    * sqrt/÷. An external engine replays every step bit-for-bit.
+    *
+    * Output: (dim, component, lam) — component the unit top direction
+    * rounded to 6, lam the final Rayleigh-style magnitude ‖Av‖ (the
+    * top eigenvalue of Σ_x x xᵀ up to normalization) rounded to 4.
+    */
+  def topPrincipalComponent(corpus: DataFrame, iters: Int = 2,
+                            vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val spark = corpus.sparkSession
+    val dims = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    var v: Seq[Double] = Seq.fill(dims)(1.0d / math.sqrt(dims.toDouble))
+    var lam = 0.0d
+    (1 to iters).foreach { _ =>
+      val vLit = array(v.map(lit): _*)
+      val terms = corpus
+        .select(col(vecCol).cast("array<double>").as("x"))
+        .select(VectorExpressions.vecDot(col("x"), vLit).as("d"),
+          posexplode(col("x")).as(Seq("i", "xi")))
+        .select((col("i") + 1).as("dim"),
+          round(col("xi") * col("d") * lit(1000000.0d), 0).cast("long")
+            .as("t"))
+      val w = terms.groupBy(col("dim"))
+        .agg(sum(col("t").cast("decimal(38,0)")).as("s"))
+        .orderBy(col("dim"))
+        .collect()
+        .map(r => r.getDecimal(1).doubleValue() / 1000000.0d)
+      // Dim-ordered left-to-right norm fold — the oracle replays it as a
+      // list_sum over the dim-ordered list.
+      val nrm = math.sqrt(w.foldLeft(0.0d)((a, x) => a + x * x))
+      lam = nrm
+      v = w.map(_ / nrm).toSeq
+    }
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (c, i) => (i + 1,
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(lam).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("dim", "component", "lam")
+  }
+
   /** Per-dimension embedding mean drift between a reference and a
     * current population — the embedding-space complement of the scalar
     * PSI monitor (q95): when the upstream encoder changes (silent model

@@ -1453,6 +1453,27 @@ class FunctionsSpec extends SparkSuite {
       math.log(3.0)) < 1e-5)
   }
 
+  test("topPrincipalComponent: a rank-1 cloud recovers its direction; " +
+    "result is partitioning-invariant") {
+    import graft.functions.Similarity
+    // All vectors are multiples of u = (0.6, 0.8, 0, 0): the top
+    // component must be ±u exactly (up to micro-rounding).
+    val rows = (1 to 50).map { i =>
+      val c = (i % 7 + 1).toFloat
+      (i.toLong, Seq(0.6f * c, 0.8f * c, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    def comps(d: org.apache.spark.sql.DataFrame) =
+      Similarity.topPrincipalComponent(d, iters = 2)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val a = comps(rows.repartition(1))
+    val b = comps(rows.repartition(9))
+    assert(a === b, "model must not depend on partitioning")
+    val sign = math.signum(a(1))
+    assert(math.abs(a(1) - sign * 0.6) < 1e-4)
+    assert(math.abs(a(2) - sign * 0.8) < 1e-4)
+    assert(math.abs(a(3)) < 1e-4 && math.abs(a(4)) < 1e-4)
+  }
+
   test("embeddingMeanDrift: planted shift flagged with exact magnitude, " +
     "unshifted dims quiet") {
     import graft.functions.Similarity

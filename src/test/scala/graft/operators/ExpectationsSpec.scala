@@ -153,6 +153,19 @@ class ExpectationsSpec extends SparkSuite {
     assert(!broken.getAs[Boolean]("holds"))
   }
 
+  test("dataset fingerprint shape: XOR row checksum is order- and " +
+    "partitioning-independent, and flips on any changed row") {
+    import graft.functions.TextFunctions.md5Long
+    def checksum(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(md5Long(concat_ws("|", col("id"), col("v"))).as("h"))
+        .agg(expr("bit_xor(h)")).collect().head.getLong(0)
+    val base = (1L to 100L).map(i => (i, s"val$i")).toDF("id", "v")
+    assert(checksum(base.repartition(1)) === checksum(base.repartition(13)))
+    val changed = (1L to 100L)
+      .map(i => (i, if (i == 42L) "oops" else s"val$i")).toDF("id", "v")
+    assert(checksum(base) !== checksum(changed))
+  }
+
   test("fd audit: null lhs and rhs values participate like values") {
     val df = Seq((Some(1L), Some("a")), (Some(1L), None),
       (Some(2L), Some("b")), (None, Some("c")))
