@@ -878,8 +878,144 @@ object QueriesExt4 {
       |    AS r
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Association rules over co-purchase baskets (support ≥ 3): for each
+    * qualifying part pair, both directional confidences and the lift —
+    * the market-basket statistic that separates "bought together above
+    * chance" (lift > 1) from popularity coincidence. Pair supports come
+    * from the same bounded per-order self-join as the q124/q130 edge
+    * list (counts, not distinct); item supports and the basket total
+    * are one aggregate each; the minSupport filter prunes BEFORE the
+    * supports join, so the rule frame is the ≥3-support tail, never
+    * all pairs. Top-50 by rounded lift, pair tie-break. */
+  def q141AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+      .distinct()
+    val keep = p.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= 1000).select(col("g"))
+    val pb = p.join(keep, "g").localCheckpoint()
+    val pairSupp = pb.as("x").join(pb.as("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 3)
+    val itemSupp = pb.groupBy(col("i")).agg(count(lit(1)).as("supp"))
+    val nOrders = pb.select(col("g")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    pairSupp
+      .join(itemSupp.select(col("i").as("a"), col("supp").as("supp_a")), "a")
+      .join(itemSupp.select(col("i").as("b"), col("supp").as("supp_b")), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("supp_ab"), col("supp_a"),
+        col("supp_b"),
+        round(col("supp_ab").cast("double") / col("supp_a").cast("double"), 6)
+          .as("conf_ab"),
+        round(col("supp_ab").cast("double") / col("supp_b").cast("double"), 6)
+          .as("conf_ba"),
+        round(col("supp_ab").cast("double") * col("n_orders").cast("double") /
+          (col("supp_a").cast("double") * col("supp_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+      .limit(50)
+  }
+  val q141Sql: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      |           FROM lineitem),
+      |sz AS (SELECT g FROM (SELECT g, count(*) AS s FROM p GROUP BY 1)
+      |       WHERE s <= 1000),
+      |pb AS (SELECT p.* FROM p JOIN sz USING (g)),
+      |ps AS (SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS supp_ab
+      |       FROM pb x JOIN pb y ON x.g = y.g AND x.i < y.i
+      |       GROUP BY 1, 2 HAVING count(*) >= 3),
+      |its AS (SELECT i, count(*)::BIGINT AS supp FROM pb GROUP BY 1),
+      |no AS (SELECT count(DISTINCT g)::BIGINT AS n_orders FROM pb)
+      |SELECT a, b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+      |       round(supp_ab::DOUBLE / sa.supp::DOUBLE, 6) AS conf_ab,
+      |       round(supp_ab::DOUBLE / sb.supp::DOUBLE, 6) AS conf_ba,
+      |       round(supp_ab::DOUBLE * n_orders::DOUBLE /
+      |             (sa.supp::DOUBLE * sb.supp::DOUBLE), 6) AS lift
+      |FROM ps JOIN its sa ON ps.a = sa.i JOIN its sb ON ps.b = sb.i, no
+      |ORDER BY lift DESC, a ASC, b ASC LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** k-core peeling census of the co-purchase graph
+    * ([[Graphs.kCorePeel]], k = 120, 3 rounds): how fast the graph
+    * collapses onto its dense core when low-degree nodes peel away —
+    * the density structure that tells an LPA/clustering run what it is
+    * working with. Each round is one degree aggregate + an induced-edge
+    * filter over a shrinking checkpointed edge set; the oracle unrolls
+    * all three rounds. */
+  def q142KCore(s: SparkSession, dir: String): DataFrame =
+    Graphs.kCorePeel(coPurchase(s, dir), k = 120, rounds = 3)
+  val q142Sql: String = {
+    def round(prev: String, out: String): String =
+      s"""d$out AS (SELECT v, count(*)::BIGINT AS deg FROM
+         |        (SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
+         |        GROUP BY 1),
+         |k$out AS (SELECT v FROM d$out WHERE deg >= 120),
+         |$out AS (SELECT e.a, e.b FROM $prev e
+         |        JOIN k$out ka ON e.a = ka.v JOIN k$out kb ON e.b = kb.v)"""
+        .stripMargin
+    s"""WITH $coPurchaseSqlCte,
+       |${round("e", "e1")},
+       |${round("e1", "e2")},
+       |${round("e2", "e3")}
+       |SELECT 1 AS round,
+       |  (SELECT count(DISTINCT v) FROM
+       |     (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1))::BIGINT
+       |    AS n_nodes,
+       |  (SELECT count(*) FROM e1)::BIGINT AS n_edges
+       |UNION ALL SELECT 2,
+       |  (SELECT count(DISTINCT v) FROM
+       |     (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2))::BIGINT,
+       |  (SELECT count(*) FROM e2)::BIGINT
+       |UNION ALL SELECT 3,
+       |  (SELECT count(DISTINCT v) FROM
+       |     (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3))::BIGINT,
+       |  (SELECT count(*) FROM e3)::BIGINT""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q143
+  /** Inter-arrival time health per event type: exact median and p95 of
+    * the gap between consecutive events (ms), plus the mean — the
+    * arrival-process statistics that catch a stalling or bursting feed
+    * before volume alarms do. One lag window over the type exchange
+    * (ordered by ts, event_id tie-break); the exact percentiles follow
+    * the qa10 sort-based tier, with qa14's sketch as the documented
+    * beyond-scale alternative. */
+  def q143InterArrival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap, 0.5)"), 2).as("gap_p50_ms"),
+        round(expr("percentile(gap, 0.95)"), 2).as("gap_p95_ms"),
+        round(sum(col("gap")).cast("double") / count(lit(1)).cast("double"),
+          2).as("gap_mean_ms"))
+  }
+  val q143Sql: String =
+    """WITH g AS (SELECT event_type,
+      |        epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+      |          (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id)
+      |          AS gap
+      |      FROM events)
+      |SELECT event_type, count(*)::BIGINT AS n_gaps,
+      |       round(quantile_cont(gap::DOUBLE, 0.5), 2) AS gap_p50_ms,
+      |       round(quantile_cont(gap::DOUBLE, 0.95), 2) AS gap_p95_ms,
+      |       round(sum(gap)::DOUBLE / count(*)::DOUBLE, 2) AS gap_mean_ms
+      |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_association_rules" -> (q141AssociationRules _),
+    "q142_kcore" -> (q142KCore _),
+    "q143_interarrival" -> (q143InterArrival _),
     "q138_top_component" -> (q138TopComponent _),
     "q139_dataset_fingerprint" -> (q139DatasetFingerprint _),
     "q140_trend_regression" -> (q140TrendRegression _),
@@ -900,6 +1036,9 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_association_rules" -> q141Sql,
+    "q142_kcore" -> q142Sql,
+    "q143_interarrival" -> q143Sql,
     "q138_top_component" -> q138Sql,
     "q139_dataset_fingerprint" -> q139Sql,
     "q140_trend_regression" -> q140Sql,

@@ -115,6 +115,37 @@ object Graphs {
           col("n_wedges").cast("double"), 6).as("clustering"))
   }
 
+  /** Fixed-round k-core peeling census: repeatedly remove nodes of
+    * degree < k (each removal can drag neighbors below k, so peeling
+    * cascades), reporting (round, n_nodes, n_edges) of the surviving
+    * induced subgraph after each round. The k-core is the fixed point;
+    * a fixed round count keeps the schedule — and the oracle unroll —
+    * deterministic (the LPA/PageRank discipline), and the census shows
+    * how fast the graph collapses toward it.
+    *
+    * Per round: one degree aggregate + two semi-join-shaped edge
+    * filters, edges localCheckpointed — work is proportional to the
+    * surviving edge set, which only shrinks. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val out = (1 to rounds).map { r =>
+      val deg = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("v"))
+      e = e.join(keep.select(col("v").as("a")), "a")
+        .join(keep.select(col("v").as("b")), "b")
+        .select(col("a"), col("b")).localCheckpoint()
+      val nodes = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v"))).distinct().count()
+      (r, nodes, e.count())
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    out.toDF("round", "n_nodes", "n_edges")
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for community
     * detection: every node starts labeled with its own id; each round,
     * every node adopts the most frequent label among its NEIGHBORS,

@@ -64,6 +64,21 @@ class GraphsSpec extends SparkSuite {
     assert(out.count() === 0L)
   }
 
+  test("k-core peel: pendants peel away, the core is stable; " +
+    "over-k peeling empties the graph") {
+    // K4 on {1,2,3,4} plus pendant 5-1.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("a", "b")
+    val k3 = Graphs.kCorePeel(edges, k = 3, rounds = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(k3(1) === ((4L, 6L)), "pendant removed, K4 intact")
+    assert(k3(2) === ((4L, 6L)), "3-core is the fixed point")
+    val k5 = Graphs.kCorePeel(edges, k = 5, rounds = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(k5 === ((0L, 0L)), "no node has degree 5")
+  }
+
   test("label propagation: two cliques with one bridge resolve to two " +
     "communities labeled by their minimum ids") {
     // Clique {1,2,3} and clique {10,11,12}, bridge 3-10.
