@@ -13,6 +13,11 @@ object QueriesExt4 {
 
   /** Shared co-purchase edge list: distinct part pairs sharing an order
     * ([[Graphs.coOccurrenceEdges]]); feeds q124 and q130. */
+  /** Distinct edges, measured deliberately: skipping this dedup in
+    * favor of the consumers' own distincts was benchmarked SLOWER
+    * (10.9 s vs 7.5 s for q130 at sf0.1) — the early distinct collapses
+    * the 4.4M-row pair expansion to 1.2M rows BEFORE the heavier
+    * member-grain shuffles downstream. */
   private def coPurchase(s: SparkSession, dir: String): DataFrame =
     Graphs.coOccurrenceEdges(Tables.lineitem(s, dir),
       "l_orderkey", "l_partkey")

@@ -41,16 +41,21 @@ object Graphs {
     * self-join (one cheap pre-aggregate on the narrow key pair).
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
-                        basketCap: Int = 1000): DataFrame = {
+                        basketCap: Int = 1000,
+                        distinctEdges: Boolean = true): DataFrame = {
     val pairs = df.select(col(groupCol).as("grp"), col(itemCol).as("item"))
       .distinct()
     val keep = pairs.groupBy(col("grp")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= basketCap).select(col("grp"))
     val bounded = pairs.join(keep, "grp")
-    bounded.as("x").join(bounded.as("y"),
+    val raw = bounded.as("x").join(bounded.as("y"),
         col("x.grp") === col("y.grp") && col("x.item") < col("y.item"))
       .select(col("x.item").as("a"), col("y.item").as("b"))
-      .distinct()
+    // distinctEdges=false skips the dedup shuffle for consumers that
+    // re-distinct anyway ([[triangleStats]], [[labelPropagation]],
+    // [[kCorePeel]] all start with their own distinct — two back-to-back
+    // distincts over the pair expansion is one wasted exchange).
+    if (distinctEdges) raw.distinct() else raw
   }
 
   /** Global triangle census over distinct undirected edges (a, b), a<b:
