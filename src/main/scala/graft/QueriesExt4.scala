@@ -1016,8 +1016,90 @@ object QueriesExt4 {
       |       round(sum(gap)::DOUBLE / count(*)::DOUBLE, 2) AS gap_mean_ms
       |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  /** LSH banding parameter sweep — the tuning table a dedup campaign
+    * reads before committing to (bands, rows): ONE MinHash signature
+    * build (16 portable hashes over bigram shingles, checkpointed),
+    * then for each config b×r ∈ {2×8, 4×4, 8×2, 16×1} the MEASURED
+    * candidate-pair count (the cost side, from this corpus) next to the
+    * closed-form recall 1−(1−J^r)^b at J = 0.5 and 0.9 (the quality
+    * side — computed once in Scala and embedded as the SAME rounded
+    * literals in both engines, so no cross-engine pow). More bands ⇒
+    * more candidates and higher recall; the table makes the trade
+    * explicit. */
+  def q144LshTuning(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DedupFunctions
+    // The q14 sample convention: the sweep runs on the 10% tuning sample
+    // (the production use — you measure candidate cost on a sample
+    // before the corpus campaign; 1-row bands on a full corpus would be
+    // the exact blow-up the table is there to warn about).
+    val sig = DedupFunctions.minhashSignatures(
+      QueriesExt.docsSample(s, dir), "text", "doc_id",
+      n = 2, numHashes = 16, portable = true).localCheckpoint()
+    val configs = Seq(2, 4, 8, 16)
+    configs.map { b =>
+      val r = 16 / b
+      val banded = sig.select(col("id"),
+        posexplode(array(DedupFunctions.bandKeyColumns(col("sig"), b, r,
+          portable = true): _*)).as(Seq("band", "bh")))
+      val nCand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .agg(count(lit(1)).as("n_candidates"))
+      def recall(j: Double): Double =
+        BigDecimal(1.0 - math.pow(1.0 - math.pow(j, r), b))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      nCand.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        col("n_candidates"), lit(recall(0.5)).as("recall_at_j05"),
+        lit(recall(0.9)).as("recall_at_j09"))
+    }.reduce(_ unionByName _)
+  }
+  val q144Sql: String = {
+    import graft.functions.DedupFunctions
+    val coeffs = (1 to 16).map { i =>
+      val (a, b) = DedupFunctions.minhashCoeff(i)
+      s"($i, $a, $b)"
+    }.mkString(", ")
+    def recall(j: Double, r: Int, b: Int): String =
+      BigDecimal(1.0 - math.pow(1.0 - math.pow(j, r), b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+    def cfg(b: Int): String = {
+      val r = 16 / b
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT x.doc_id, y.doc_id
+         |     FROM (SELECT doc_id, bb,
+         |             array_to_string(sig[bb*$r+1 : bb*$r+$r], ',') AS bh
+         |           FROM sig, (SELECT unnest(range(0, $b)) AS bb) bands) x
+         |     JOIN (SELECT doc_id, bb,
+         |             array_to_string(sig[bb*$r+1 : bb*$r+$r], ',') AS bh
+         |           FROM sig, (SELECT unnest(range(0, $b)) AS bb) bands) y
+         |       ON x.bb = y.bb AND x.bh = y.bh AND x.doc_id < y.doc_id))::BIGINT
+         |    AS n_candidates,
+         |  ${recall(0.5, r, b)}::DOUBLE AS recall_at_j05,
+         |  ${recall(0.9, r, b)}::DOUBLE AS recall_at_j09""".stripMargin
+    }
+    s"""WITH ${QueriesExt.shingleCteSql},
+       |tt AS (SELECT doc_id, sh FROM t WHERE len(sh) > 0),
+       |tok AS (SELECT doc_id,
+       |          ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT
+       |            & ${DedupFunctions.MinhashBaseMask} AS h0
+       |        FROM tt),
+       |mh AS (SELECT doc_id, seed,
+       |         min((h0 * a + b) & ${DedupFunctions.MinhashOutMask}) AS hv
+       |       FROM tok, (VALUES $coeffs) coeffs(seed, a, b)
+       |       GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(hv ORDER BY seed) AS sig
+       |        FROM mh GROUP BY 1)
+       |${Seq(2, 4, 8, 16).map(cfg).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_lsh_tuning" -> (q144LshTuning _),
     "q141_association_rules" -> (q141AssociationRules _),
     "q142_kcore" -> (q142KCore _),
     "q143_interarrival" -> (q143InterArrival _),
@@ -1041,6 +1123,7 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_lsh_tuning" -> q144Sql,
     "q141_association_rules" -> q141Sql,
     "q142_kcore" -> q142Sql,
     "q143_interarrival" -> q143Sql,
