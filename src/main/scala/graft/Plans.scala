@@ -250,7 +250,22 @@ object Plans {
       "materializes as a single row), candidates meet in a (band, key) equi-join, and " +
       "exact verification counts |A∩B| through a member equi-join restricted to " +
       "candidates — the exact tier's Σ C(deg,2) wedge expansion (148M pairs at sf0.1) " +
-      "is replaced by linear signature work plus the collision set.")
+      "is replaced by linear signature work plus the collision set."),
+    "q131_trigram_search" -> ("trigram-index substring search: the posting build " +
+      "lowers each text ONCE and explodes to (trigram, doc) rows — document text " +
+      "never enters the probe path — and each pattern touches only its 3 RAREST " +
+      "trigrams' postings (equi-join + count-required filter); the exact contains " +
+      "check joins back to candidate documents alone."),
+    "q138_top_component" -> ("power-iteration top component: per iteration one " +
+      "corpus pass — the vec_dot fold and the per-dim micro-unit products live in " +
+      "the scan projection, the only exchange carries 64-dim partial integer sums, " +
+      "and the ≤64-row model crosses the driver like a centroid row. No shuffle is " +
+      "proportional to the corpus."),
+    "q141_association_rules" -> ("association rules: pair supports partial-aggregate " +
+      "out of the bounded per-order self-join and the minSupport filter prunes the " +
+      "pair frame BEFORE the item-support joins — the rule table joins the ≥3-support " +
+      "tail (63 pairs at sf0.01), never 115k pairs; the basket total broadcasts as " +
+      "one row.")
   )
 
   def main(args: Array[String]): Unit = {

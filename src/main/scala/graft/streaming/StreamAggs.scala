@@ -511,6 +511,49 @@ object StreamAggs {
         expr("shiftleft(1L, est_b)").cast("long").as("est_lo"))
   }
 
+  /** Windowed OLS value trend — the live twin of the batch q140
+    * regression: per (tumbling window, type), the slope of value over
+    * time within the window, from the five exact integer sufficient
+    * statistics accumulated as ONE append-safe stateful aggregate
+    * (state per group = six numbers, independent of row count; the
+    * partials are order-independent, so late in-watermark arrivals
+    * cannot change the answer a replay would give). x is the
+    * millisecond offset within the window (bounded, so x² stays in
+    * BIGINT; value folds in exact micro-units); the slope/intercept
+    * chain is the same defined double expression as q140.
+    *
+    * `winMs` must equal `windowLen` in milliseconds — it anchors each
+    * event's x to its own window start without referencing the window
+    * struct pre-aggregation. Output: (ws, event_type, n,
+    * slope_per_sec, intercept). */
+  def windowTrend(events: DataFrame, windowLen: String, winMs: Long,
+                  watermark: String): DataFrame = {
+    require(winMs > 0, "winMs must be positive")
+    val prepared = events.withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        (unix_millis(col("ts")) % winMs).cast("long").as("x"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("ym"))
+    val agged = prepared
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("ym").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("ym")).cast("decimal(38,0)")).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    agged.select(col("window").getField("start").as("ws"), col("event_type"),
+      col("n"),
+      // slope in value units per SECOND: micro-units/ms × 1000 / 1e6.
+      round(cov / varx / lit(1000.0d), 6).as("slope_per_sec"),
+      round((sy - cov / varx * sx) / n / lit(1000000.0d), 6)
+        .as("intercept"))
+  }
+
   final case class AttribEv(user_id: Long, ts: java.sql.Timestamp,
                             event_type: String, value: Double)
   final case class TouchOut(user_id: Long, channel: String, value: Double)

@@ -702,6 +702,29 @@ class PlanSpec extends SparkSuite {
       "signature mins must partially aggregate:\n" + p.take(2000))
   }
 
+  test("q131 trigram search: document text never enters the posting " +
+    "shuffle; candidates meet in an equi-join") {
+    val q = QueriesExt4.q131TrigramSearch(spark, sf("sf0.001"))
+    val exchanges = allShuffles(executed(q))
+    assert(exchanges.forall(!_.child.output.map(_.name).contains("text")),
+      "raw text leaked into a shuffle")
+    val p = planString(q)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q141 association rules: minSupport prunes the pair frame before " +
+    "the item-support joins") {
+    val q = QueriesExt4.q141AssociationRules(spark, sf("sf0.001"))
+    val p = planString(q)
+    // The >= 3 filter must sit on the aggregated pair count (a Filter
+    // over count), not after the joins.
+    assert(p.contains("supp_ab"), p.take(1000))
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "only the 1-row basket-total broadcast may be non-equi:\n" +
+        p.take(2000))
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // The OTHER skew tool next to Skew.saltedLatestPerKey: when a join
     // key is hot, AQE's OptimizeSkewedJoin splits the oversized shuffle

@@ -586,6 +586,33 @@ class StreamAggsSpec extends SparkSuite {
       s"streaming $streamed must equal batch $batch")
   }
 
+  test("streaming window trend: exact slope on a crafted linear window; " +
+    "per-window and per-type isolation") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = StreamAggs.windowTrend(toDf(mem), "60 minutes", 3600000L,
+        "10 minutes")
+      .writeStream.format("memory").queryName("strend").outputMode("update")
+      .start()
+    // hour 0 type a: value = 2.0 * minute + 3 (exact line, slope
+    // 2/min = 2/60 per sec); type b constant 5 (slope 0).
+    // hour 1 type a: value = -1.0 * minute offset + 100.
+    val h0a = (0 to 30).map(i => (ts(i), 1L, "a", 2.0 * i + 3.0))
+    val h0b = (0 to 10).map(i => (ts(i), 2L, "b", 5.0))
+    val h1a = (60 to 90).map(i => (ts(i), 3L, "a", -1.0 * (i - 60) + 100.0))
+    mem.addData(h0a ++ h0b ++ h1a); q.processAllAvailable(); q.stop()
+    val out = spark.table("strend").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (n0, s0, i0) = out((ts(0), "a"))
+    assert(n0 === 31L)
+    assert(math.abs(s0 - 2.0 / 60.0) < 1e-6)
+    assert(math.abs(i0 - 3.0) < 1e-6)
+    val (_, sb, ib) = out((ts(0), "b"))
+    assert(sb === 0.0 && ib === 5.0)
+    val (_, s1, _) = out((ts(60), "a"))
+    assert(math.abs(s1 - (-1.0 / 60.0)) < 1e-6)
+  }
+
   test("streaming last-touch: conversions credit across batches; " +
     "rollup matches the batch attribution operator") {
     val mem = MemoryStream[StreamAggs.AttribEv]
