@@ -1097,8 +1097,115 @@ object QueriesExt4 {
       .stripMargin
   }
 
+  // ---------------------------------------------------------------- q145
+  /** Sketch-based join-size estimation — the planner statistic behind
+    * broadcast/shuffle/salting decisions, computed WITHOUT running the
+    * join: for two key columns, est_rows = est_common_keys ×
+    * (rows_a / est_distinct_a) × (rows_b / est_distinct_b) — the
+    * uniform-multiplicity model over KMV evidence ([[graft.functions
+    * .Sketches]], k = 64): distinct counts and the key overlap come
+    * from the k-smallest-hash sketches alone (O(k) rows per side),
+    * while row counts are one partial-aggregated scan each. The exact
+    * join count is published next to the estimate (the eval-baseline
+    * convention) with the honest err_pct — at 100 TB only the sketch
+    * tier runs. Two FK joins: lineitem⋈orders (every key common,
+    * multiplicity 4) and events⋈customer (keys contained, 10%
+    * coverage). */
+  def q145JoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    def oneJoin(name: String, dfA: DataFrame, ka: String,
+                dfB: DataFrame, kb: String): DataFrame = {
+      val a = dfA.select(col(ka).cast("string").as("k"))
+      val b = dfB.select(col(kb).cast("string").as("k"))
+      val feeds = a.select(lit("a").as("feed"), col("k"))
+        .unionByName(b.select(lit("b").as("feed"), col("k")))
+      val ov = Sketches.kmvPairOverlap(feeds, "feed", "k", 64)
+        .select(col("est_common"))
+      val dist = Sketches.kmvDistinct(feeds, "feed", "k", 64)
+      val da = dist.filter(col("g") === "a")
+        .select(col("kmv_est").as("est_da"))
+      val db = dist.filter(col("g") === "b")
+        .select(col("kmv_est").as("est_db"))
+      val ra = a.agg(count(lit(1)).as("rows_a"))
+      val rb = b.agg(count(lit(1)).as("rows_b"))
+      val exact = a.join(b, "k").agg(count(lit(1)).as("exact_rows"))
+      ra.crossJoin(rb).crossJoin(broadcast(ov)).crossJoin(broadcast(da))
+        .crossJoin(broadcast(db)).crossJoin(exact)
+        .select(lit(name).as("join_name"), col("exact_rows"),
+          floor(col("est_common").cast("double") *
+            (col("rows_a").cast("double") / col("est_da").cast("double")) *
+            (col("rows_b").cast("double") / col("est_db").cast("double")))
+            .cast("long").as("est_rows"))
+        .withColumn("err_pct",
+          round(abs(col("est_rows") - col("exact_rows")).cast("double") /
+            col("exact_rows").cast("double"), 6))
+    }
+    oneJoin("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(oneJoin("events_customer", Tables.events(s, dir),
+        "user_id", Tables.customer(s, dir), "c_custkey"))
+  }
+  val q145Sql: String = {
+    def one(name: String, ta: String, ka: String, tb: String,
+            kb: String): String =
+      s"""SELECT '$name' AS join_name,
+         |  (SELECT count(*) FROM $ta JOIN $tb
+         |     ON CAST($ta.$ka AS VARCHAR) = CAST($tb.$kb AS VARCHAR))::BIGINT
+         |    AS exact_rows,
+         |  (WITH feeds AS (
+         |     SELECT 'a' AS feed, CAST($ka AS VARCHAR) AS k FROM $ta
+         |     UNION ALL SELECT 'b', CAST($kb AS VARCHAR) FROM $tb),
+         |   h AS (SELECT feed,
+         |           ('0x' || substring(md5(k), 1, 15))::BIGINT AS h
+         |         FROM feeds),
+         |   rk AS (SELECT feed, h,
+         |            dense_rank() OVER (PARTITION BY feed ORDER BY h) AS rk
+         |          FROM h),
+         |   sk AS (SELECT DISTINCT feed, h FROM rk WHERE rk <= 64),
+         |   ag AS (SELECT feed, count(*)::BIGINT AS n, max(h) AS kth
+         |          FROM sk GROUP BY 1),
+         |   es AS (SELECT feed,
+         |            CASE WHEN n < 64 THEN n
+         |                 ELSE floor(63 * 1152921504606846976.0 / kth)::BIGINT
+         |            END AS est FROM ag),
+         |   mg AS (SELECT h, max(CASE WHEN feed = 'a' THEN 1 ELSE 0 END)
+         |            AS in_a,
+         |            max(CASE WHEN feed = 'b' THEN 1 ELSE 0 END) AS in_b
+         |          FROM sk GROUP BY 1),
+         |   un AS (SELECT h, in_a, in_b,
+         |            row_number() OVER (ORDER BY h) AS rk FROM mg),
+         |   ua AS (SELECT count(*)::BIGINT AS ku, max(h) AS theta,
+         |            sum(in_a * in_b)::BIGINT AS common_k
+         |          FROM un WHERE rk <= 64),
+         |   ue AS (SELECT common_k, ku,
+         |            CASE WHEN ku < 64 THEN ku
+         |                 ELSE floor(63 * 1152921504606846976.0 / theta)::BIGINT
+         |            END AS est_union FROM ua),
+         |   oc AS (SELECT floor(common_k::DOUBLE * est_union::DOUBLE /
+         |            ku::DOUBLE)::BIGINT AS est_common FROM ue),
+         |   rc AS (SELECT
+         |            (SELECT count(*) FROM $ta)::BIGINT AS rows_a,
+         |            (SELECT count(*) FROM $tb)::BIGINT AS rows_b)
+         |   SELECT floor(est_common::DOUBLE
+         |       * (rows_a::DOUBLE / (SELECT est FROM es WHERE feed = 'a'))
+         |       * (rows_b::DOUBLE / (SELECT est FROM es WHERE feed = 'b'))
+         |     )::BIGINT
+         |   FROM oc, rc)::BIGINT AS est_rows""".stripMargin
+    s"""WITH j AS (
+       |${one("lineitem_orders", "lineitem", "l_orderkey", "orders",
+        "o_orderkey")}
+       |UNION ALL
+       |${one("events_customer", "events", "user_id", "customer",
+        "c_custkey")})
+       |SELECT join_name, exact_rows, est_rows,
+       |       round(abs(est_rows - exact_rows)::DOUBLE /
+       |             exact_rows::DOUBLE, 6) AS err_pct
+       |FROM j""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_join_size_est" -> (q145JoinSizeEst _),
     "q144_lsh_tuning" -> (q144LshTuning _),
     "q141_association_rules" -> (q141AssociationRules _),
     "q142_kcore" -> (q142KCore _),
@@ -1123,6 +1230,7 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_join_size_est" -> q145Sql,
     "q144_lsh_tuning" -> q144Sql,
     "q141_association_rules" -> q141Sql,
     "q142_kcore" -> q142Sql,
