@@ -1203,8 +1203,151 @@ object QueriesExt4 {
        |FROM j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q146
+  /** Near-dup cluster-SIZE distribution — the shape statistic a dedup
+    * campaign plans storage savings from (a few giant template clusters
+    * vs many pairs): q15's Jaccard pairs close into components
+    * ([[graft.operators.ConnectedComponents]]), cluster sizes histogram
+    * per size, singletons (never paired) counted from the sample
+    * complement. Removable mass = Σ (size−1)·n_clusters is the
+    * campaign's yield forecast, published as its own column. */
+  def q146ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DedupFunctions
+    import graft.operators.ConnectedComponents
+    val sample = QueriesExt.docsSample(s, dir)
+    val pairs = DedupFunctions.ngramJaccardPairs(sample, "text", "doc_id",
+      n = 2, threshold = 0.05, cap = DedupFunctions.ShingleCap.Uncapped)
+    val comp = ConnectedComponents.components(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      driverMaxEdges = 1L << 20)
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("size"))
+    val clustered = sizes.agg(sum(col("size")).as("n_clustered"))
+    val total = sample.agg(count(lit(1)).as("n_docs"))
+    val hist = sizes.groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = total.crossJoin(broadcast(clustered))
+      .select(lit(1L).as("size"),
+        (col("n_docs") - coalesce(col("n_clustered"), lit(0L)))
+          .as("n_clusters"))
+    hist.unionByName(singles)
+      .groupBy(col("size")).agg(sum(col("n_clusters")).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        ((col("size") - 1) * col("n_clusters")).as("removable_docs"))
+  }
+  val q146Sql: String =
+    s"""WITH RECURSIVE ${QueriesExt.shingleCteSql.stripPrefix("WITH ")},
+       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |p AS (SELECT id_a, id_b FROM j
+       |      WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05),
+       |ed AS (SELECT id_a AS s, id_b AS d FROM p
+       |       UNION SELECT id_b, id_a FROM p),
+       |reach(id, comp) AS (
+       |  SELECT s, s FROM ed
+       |  UNION
+       |  SELECT ed.d, r.comp FROM reach r JOIN ed ON ed.s = r.id),
+       |cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+       |sizes AS (SELECT component, count(*)::BIGINT AS size
+       |          FROM cc GROUP BY 1),
+       |hist AS (SELECT size, count(*)::BIGINT AS n_clusters
+       |         FROM sizes GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n_docs FROM documents
+       |        WHERE doc_id % 10 = 0),
+       |clustered AS (SELECT coalesce(sum(size), 0)::BIGINT AS n_clustered
+       |              FROM sizes),
+       |uni AS (SELECT size, n_clusters FROM hist
+       |        UNION ALL
+       |        SELECT 1, n_docs - n_clustered FROM tot, clustered)
+       |SELECT size, sum(n_clusters)::BIGINT AS n_clusters,
+       |       ((size - 1) * sum(n_clusters))::BIGINT AS removable_docs
+       |FROM uni GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q147
+  /** Day-of-week activity profile per event type: share of events and
+    * mean value per weekday, plus the weekend/weekday volume ratio —
+    * the seasonality baseline an anomaly monitor (q89/q95) should
+    * normalize against before alerting. Pure integer sums over a
+    * (type, dow) grid (≤ 7·|types| rows on the exchange). */
+  def q147DowProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      // 1970-01-01 was a Thursday: dow 0 = Monday.
+      ((expr("ts_ms div 86400000") + 3) % 7).as("dow"),
+      round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+    ev.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("vms"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("event_type")))
+          .cast("double"), 6))
+      .select(col("event_type"), col("dow"), col("n"), col("share"),
+        round(col("vms").cast("double") / col("n").cast("double") /
+          1000000.0d, 4).as("mean_value"))
+  }
+  val q147Sql: String =
+    """WITH ev AS (SELECT event_type,
+      |        (epoch_ms(ts) // 86400000 + 3) % 7 AS dow,
+      |        round("value" * 1000000.0)::BIGINT AS vm FROM events),
+      |g AS (SELECT event_type, dow, count(*)::BIGINT AS n,
+      |        sum(vm)::BIGINT AS vms
+      |      FROM ev GROUP BY 1, 2)
+      |SELECT event_type, dow, n,
+      |       round(n::DOUBLE / (sum(n) OVER (PARTITION BY event_type))::DOUBLE,
+      |             6) AS share,
+      |       round(vms::DOUBLE / n::DOUBLE / 1000000.0, 4) AS mean_value
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  /** Degree-distribution power-law check of the co-purchase graph: the
+    * log₂-binned degree histogram and the log-log OLS slope over the
+    * bin midpoints — near-regular graphs (this one) show a steep
+    * concentrated profile, scale-free graphs a heavy straight tail;
+    * the number every graph-algorithm cost model (q124's orientation,
+    * q130's valves) implicitly depends on. Composes the q125 log-bin
+    * kernel with the q140 sufficient-statistic OLS, both over the
+    * ≤64-row bin frame. */
+  def q148DegreeDistribution(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchase(s, dir)
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val bins = deg.withColumn("b", (length(bin(col("deg"))) - 1).cast("int"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_nodes"))
+    // log-log OLS over bins: x = b (log2 lower bound), y = ln(n_nodes)
+    // — one defined double chain over the tiny bin frame.
+    val pts = bins.select(col("b").cast("double").as("x"),
+      log(col("n_nodes").cast("double")).as("y"))
+    val ssum = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    bins.crossJoin(broadcast(ssum.select(round(slope, 4).as("loglog_slope"))))
+      .select(col("b"), col("n_nodes"), col("loglog_slope"))
+  }
+  val q148Sql: String =
+    s"""WITH $coPurchaseSqlCte,
+       |d AS (SELECT v, count(*)::BIGINT AS deg FROM
+       |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |bins AS (SELECT (length(bin(deg)) - 1)::INT AS b,
+       |           count(*)::BIGINT AS n_nodes
+       |         FROM d GROUP BY 1),
+       |pts AS (SELECT b::DOUBLE AS x, ln(n_nodes::DOUBLE) AS y FROM bins),
+       |ss AS (SELECT count(*)::BIGINT AS n, sum(x)::DOUBLE AS sx,
+       |         sum(x * x)::DOUBLE AS sxx, sum(y)::DOUBLE AS sy,
+       |         sum(x * y)::DOUBLE AS sxy
+       |       FROM pts),
+       |sl AS (SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+       |         AS loglog_slope FROM ss)
+       |SELECT b, n_nodes, loglog_slope FROM bins, sl""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_cluster_sizes" -> (q146ClusterSizes _),
+    "q147_dow_profile" -> (q147DowProfile _),
+    "q148_degree_distribution" -> (q148DegreeDistribution _),
     "q145_join_size_est" -> (q145JoinSizeEst _),
     "q144_lsh_tuning" -> (q144LshTuning _),
     "q141_association_rules" -> (q141AssociationRules _),
@@ -1230,6 +1373,9 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_cluster_sizes" -> q146Sql,
+    "q147_dow_profile" -> q147Sql,
+    "q148_degree_distribution" -> q148Sql,
     "q145_join_size_est" -> q145Sql,
     "q144_lsh_tuning" -> q144Sql,
     "q141_association_rules" -> q141Sql,
