@@ -332,8 +332,12 @@ object DedupFunctions {
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
+    // localCheckpoint: the distinct membership feeds FOUR consumers
+    // (sizes, signature build, both sides of the exact verify) — without
+    // it the caller's set derivation (often a self-join + union chain)
+    // re-executes per consumer.
     val m = sets.select(col(idCol).as("id"),
-      col(memberCol).cast("string").as("mb")).distinct()
+      col(memberCol).cast("string").as("mb")).distinct().localCheckpoint()
     val sizes = m.groupBy(col("id")).agg(count(lit(1)).as("n_m"))
     val tok = m.withColumn("h0",
       TextFunctions.md5Long(col("mb")).bitwiseAND(MinhashBaseMask))
