@@ -1343,8 +1343,58 @@ object QueriesExt4 {
        |         AS loglog_slope FROM ss)
        |SELECT b, n_nodes, loglog_slope FROM bins, sl""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Corpus-mixture budget allocation by exact integer water-filling
+    * ([[graft.functions.Mixture.waterfillAllocate]]): distribute a
+    * 60%-of-corpus document budget across sources with equal target
+    * shares, capped by availability — level t = the largest integer
+    * with Σ min(avail, t) ≤ budget, leftovers one each in source-name
+    * order among unsaturated sources. The fair-mixture step between
+    * measuring availability (q64) and sampling (q116/q47); every rule
+    * is integer and named, the window chain runs over the SOURCE frame
+    * only. */
+  def q149Waterfill(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val budget = (d.count() * 6L) / 10L
+    graft.functions.Mixture.waterfillAllocate(
+      d.groupBy(col("source")).agg(count(lit(1)).as("avail")),
+      "source", "avail", budget)
+      .select(col("g").as("source"), col("avail"), col("alloc"))
+  }
+  val q149Sql: String =
+    """WITH av AS (SELECT source AS g, count(*)::BIGINT AS av
+      |            FROM documents GROUP BY 1),
+      |b AS (SELECT (count(*) * 6) // 10 AS budget FROM documents),
+      |idx AS (SELECT g, av,
+      |          row_number() OVER (ORDER BY av ASC, g ASC) AS i,
+      |          coalesce(sum(av) OVER (ORDER BY av ASC, g ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |            AS cumprev,
+      |          count(*) OVER () AS n_total
+      |        FROM av),
+      |cand AS (SELECT *,
+      |           ((SELECT budget FROM b) - cumprev) // (n_total - i + 1)
+      |             AS t
+      |         FROM idx),
+      |lv AS (SELECT coalesce(min_by(t, i), 9223372036854775807) AS t
+      |       FROM cand WHERE t < av AND t >= 0),
+      |ld AS (SELECT cand.g, cand.av, least(cand.av, lv.t) AS base_alloc,
+      |              cand.av > lv.t AS unsat
+      |       FROM cand, lv),
+      |us AS (SELECT sum(base_alloc)::BIGINT AS used FROM ld),
+      |fin AS (SELECT ld.*,
+      |          (SELECT budget FROM b) - us.used AS rem,
+      |          row_number() OVER (PARTITION BY unsat ORDER BY g ASC)
+      |            AS extra_rank
+      |        FROM ld, us)
+      |SELECT g AS source, av AS avail,
+      |       (base_alloc + CASE WHEN unsat AND extra_rank <= rem
+      |                          THEN 1 ELSE 0 END)::BIGINT AS alloc
+      |FROM fin""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_waterfill" -> (q149Waterfill _),
     "q146_cluster_sizes" -> (q146ClusterSizes _),
     "q147_dow_profile" -> (q147DowProfile _),
     "q148_degree_distribution" -> (q148DegreeDistribution _),
@@ -1373,6 +1423,7 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_waterfill" -> q149Sql,
     "q146_cluster_sizes" -> q146Sql,
     "q147_dow_profile" -> q147Sql,
     "q148_degree_distribution" -> q148Sql,

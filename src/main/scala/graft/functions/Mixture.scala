@@ -155,4 +155,55 @@ object Mixture {
       .drop("rk")
       .withColumn("es_key", round(col("es_key"), 6))
   }
+
+  /** Exact integer water-filling: allocate `budget` units across groups
+    * with equal target shares, capped by each group's availability —
+    * the fair-mixture budget optimizer ("give every source the same
+    * amount, unless it doesn't have that much; redistribute the slack
+    * to the rest"). The closed form over the availability-sorted frame:
+    * level t = the largest integer with Σ min(avail, t) ≤ budget, every
+    * group gets min(avail, t), and the leftover units (< #unsaturated
+    * groups) go one each to the first groups IN GROUP ORDER among those
+    * with avail > t — every step integer, every tie rule named, so the
+    * plan replays in any engine.
+    *
+    * Scale shape: one window chain over the GROUP frame (sources —
+    * dozens at 100 TB), never the data; the corpus only supplies the
+    * availability aggregate upstream. Output: (g, avail, alloc),
+    * Σ alloc = min(budget, Σ avail). */
+  def waterfillAllocate(avail: DataFrame, groupCol: String,
+                        availCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val base = avail.select(col(groupCol).as("g"),
+      col(availCol).cast("long").as("av"))
+    val w = Window.orderBy(col("av").asc, col("g").asc)
+    val idx = base
+      .withColumn("i", row_number().over(w))
+      .withColumn("cumprev",
+        coalesce(sum(col("av")).over(w.rowsBetween(Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+    // Candidate level at row i: everything below i saturates, the rest
+    // split evenly. The level LANDS at the first i where it stays below
+    // that row's own availability.
+    val cand = idx.withColumn("t",
+        floor((lit(budget) - col("cumprev")) /
+          (col("n_total") - col("i") + 1)).cast("long"))
+      .withColumn("lands", col("t") < col("av") && col("t") >= 0)
+    val level = cand.filter(col("lands"))
+      .agg(min_by(col("t"), col("i")).as("t0"))
+      .select(coalesce(col("t0"), lit(Long.MaxValue)).as("lvl"))
+    val leveled = cand.crossJoin(broadcast(level))
+      .withColumn("base_alloc", least(col("av"), col("lvl")))
+    val used = leveled.agg(sum(col("base_alloc")).as("used"))
+    leveled.crossJoin(broadcast(used))
+      .withColumn("rem", lit(budget) - col("used"))
+      .withColumn("extra_rank", row_number().over(
+        Window.partitionBy(col("av") > col("lvl"))
+          .orderBy(col("g").asc)))
+      .withColumn("alloc", col("base_alloc") +
+        when(col("av") > col("lvl") && col("extra_rank") <= col("rem"), 1L)
+          .otherwise(0L))
+      .select(col("g"), col("av").as("avail"), col("alloc"))
+  }
 }

@@ -1453,6 +1453,28 @@ class FunctionsSpec extends SparkSuite {
       math.log(3.0)) < 1e-5)
   }
 
+  test("waterfillAllocate: saturation, leveling, leftover order, and " +
+    "over-budget edge cases are all exact") {
+    import graft.functions.Mixture
+    val avail = Seq(("a", 2L), ("b", 10L), ("c", 10L), ("d", 50L))
+      .toDF("src", "n")
+    def run(b: Long) = Mixture.waterfillAllocate(avail, "src", "n", b)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // budget 20: a saturates at 2; remaining 18 over {b,c,d} → t=6;
+    // used = 2+6+6+6 = 20, no leftover.
+    assert(run(20L) === Map("a" -> 2L, "b" -> 6L, "c" -> 6L, "d" -> 6L))
+    // budget 22: t=6 uses 20, leftover 2 → first two unsaturated by
+    // name (b, c) get one extra each.
+    assert(run(22L) === Map("a" -> 2L, "b" -> 7L, "c" -> 7L, "d" -> 6L))
+    // budget 100 ≥ total 72: everyone gets their availability.
+    assert(run(100L) === Map("a" -> 2L, "b" -> 10L, "c" -> 10L, "d" -> 50L))
+    // budget 3 < #groups: three units, one each to the first three names.
+    assert(run(3L) === Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L))
+    // Σ alloc always equals min(budget, Σ avail).
+    assert(run(22L).values.sum === 22L)
+    assert(run(100L).values.sum === 72L)
+  }
+
   test("topPrincipalComponent: a rank-1 cloud recovers its direction; " +
     "result is partitioning-invariant") {
     import graft.functions.Similarity
