@@ -1481,7 +1481,7 @@ object QueriesExt {
   /** PQ codebook model shared by q59/q63 (16 × 64 doubles — plan
     * literals, like q41's centroids): codebook(m)(k) = subspace m of
     * vector k, from the first 16 vectors. */
-  private def pqCodebook(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+  private[graft] def pqCodebook(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
     val base = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toSeq))

@@ -1392,8 +1392,110 @@ object QueriesExt4 {
       |                          THEN 1 ELSE 0 END)::BIGINT AS alloc
       |FROM fin""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** Quantization reconstruction-error report — the accuracy side of
+    * the compression tiers' storage story (SQ8 = 4× smaller, PQ = 64×):
+    * per tier, the mean and max squared-L2 error between each vector
+    * and its DEQUANTIZED self, the number that says which index tier is
+    * safe for which recall target (q63/q94 measure retrieval effects;
+    * this measures the cause). Both reconstructions are narrow scan
+    * projections over plan-literal models; per-row errors integerize to
+    * micro-units (the q64 discipline) so means are exact at any
+    * partition count. */
+  def q150QuantizationError(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (mins, maxs) = Similarity.sqMinMax(
+      Tables.embeddings(s, dir), 64)
+    val mnLit = array(mins.map(lit): _*)
+    val mxLit = array(maxs.map(lit): _*)
+    val sqErrCol = aggregate(
+      transform(col("v"), (x, i) => {
+        val mn = element_at(mnLit, i + 1)
+        val mx = element_at(mxLit, i + 1)
+        val code = when(mx === mn, lit(0)).otherwise(
+          least(greatest(round(((x - mn) / (mx - mn)) * lit(255.0), 0),
+            lit(0.0)), lit(255.0)).cast("int"))
+        val dq = mn + ((code.cast("double") * (mx - mn)) / lit(255.0))
+        (x - dq) * (x - dq)
+      }), lit(0.0d), (a, x) => a + x)
+    val cb = QueriesExt.pqCodebook(s, dir)
+    val cbLits = cb.map(m =>
+      array(m.map(cv => array(cv.map(lit): _*)): _*))
+    val codes = Similarity.pqCodes(col("v"), cb)
+    val pqErrCol = (0 until 4).map { m =>
+      VectorExpressions.vecL2Sq(slice(col("v"), m * 16 + 1, 16),
+        element_at(cbLits(m), element_at(codes, m + 1) + 1))
+    }.reduceLeft(_ + _)
+    val errs = e.select(
+      round(sqErrCol * lit(1000000.0d), 0).cast("long").as("sq_vm"),
+      round(pqErrCol * lit(1000000.0d), 0).cast("long").as("pq_vm"))
+    val agged = errs.agg(count(lit(1)).as("n"),
+      sum(col("sq_vm")).as("sq_sum"), max(col("sq_vm")).as("sq_max"),
+      sum(col("pq_vm")).as("pq_sum"), max(col("pq_vm")).as("pq_max"))
+    agged.select(lit("sq8").as("tier"),
+        round(col("sq_sum").cast("double") / col("n").cast("double") /
+          1000000.0d, 6).as("mean_l2sq_err"),
+        round(col("sq_max").cast("double") / 1000000.0d, 6)
+          .as("max_l2sq_err"))
+      .unionByName(agged.select(lit("pq4x16").as("tier"),
+        round(col("pq_sum").cast("double") / col("n").cast("double") /
+          1000000.0d, 6).as("mean_l2sq_err"),
+        round(col("pq_max").cast("double") / 1000000.0d, 6)
+          .as("max_l2sq_err")))
+  }
+  val q150Sql: String = {
+    val l2 = QueriesExt.l2SqlOf("sub.s", "cb.cv")
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |ds AS (SELECT unnest(range(1, 65)) AS i),
+       |mm AS (SELECT i, min(v[i])::DOUBLE AS mn, max(v[i])::DOUBLE AS mx
+       |       FROM e, ds GROUP BY 1),
+       |sqt AS (SELECT e.vec_id, mm.i,
+       |          (v[mm.i]::DOUBLE -
+       |           (mm.mn + ((CASE WHEN mm.mx = mm.mn THEN 0
+       |              ELSE least(greatest(round(((v[mm.i]::DOUBLE - mm.mn)
+       |                / (mm.mx - mm.mn)) * 255.0), 0), 255)::INT END)
+       |             * (mm.mx - mm.mn)) / 255.0)) AS t
+       |        FROM e, mm),
+       |sqe AS (SELECT vec_id,
+       |          round(list_sum(list(t * t ORDER BY i)) * 1000000)::BIGINT
+       |            AS sq_vm
+       |        FROM sqt GROUP BY 1),
+       |ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+       |sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS s FROM ed, ms),
+       |cb AS (SELECT m, vec_id::INT AS k, s AS cv FROM sub
+       |       WHERE vec_id < 16),
+       |dd AS (SELECT sub.vec_id, sub.m, cb.k, round($l2, 6) AS d,
+       |              $l2 AS raw
+       |       FROM sub JOIN cb USING (m)),
+       |enc AS (SELECT vec_id, m, raw FROM (
+       |    SELECT vec_id, m, raw,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |             ORDER BY d, k) AS rn
+       |    FROM dd) WHERE rn = 1),
+       |pqe AS (SELECT vec_id,
+       |          round(list_sum(list(raw ORDER BY m)) * 1000000)::BIGINT
+       |            AS pq_vm
+       |        FROM enc GROUP BY 1),
+       |ag AS (SELECT count(*)::BIGINT AS n,
+       |         sum(sq_vm)::HUGEINT AS sq_sum, max(sq_vm)::BIGINT AS sq_max,
+       |         sum(pq_vm)::HUGEINT AS pq_sum, max(pq_vm)::BIGINT AS pq_max
+       |       FROM sqe JOIN pqe USING (vec_id))
+       |SELECT 'sq8' AS tier,
+       |  round(sq_sum::DOUBLE / n::DOUBLE / 1000000.0, 6) AS mean_l2sq_err,
+       |  round(sq_max::DOUBLE / 1000000.0, 6) AS max_l2sq_err
+       |FROM ag
+       |UNION ALL SELECT 'pq4x16',
+       |  round(pq_sum::DOUBLE / n::DOUBLE / 1000000.0, 6),
+       |  round(pq_max::DOUBLE / 1000000.0, 6)
+       |FROM ag""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_quantization_error" -> (q150QuantizationError _),
     "q149_waterfill" -> (q149Waterfill _),
     "q146_cluster_sizes" -> (q146ClusterSizes _),
     "q147_dow_profile" -> (q147DowProfile _),
@@ -1423,6 +1525,7 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_quantization_error" -> q150Sql,
     "q149_waterfill" -> q149Sql,
     "q146_cluster_sizes" -> q146Sql,
     "q147_dow_profile" -> q147Sql,
