@@ -1493,8 +1493,75 @@ object QueriesExt4 {
        |FROM ag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q151
+  /** Point-in-time fact enrichment against an SCD2 dimension — the
+    * fact-to-history temporal join every warehouse runs ("which
+    * browsing context was this purchase made in"): the non-purchase
+    * event stream builds the per-user context history
+    * ([[graft.operators.Scd2.fromChangelog]]); each purchase joins the
+    * version whose [valid_from, valid_to) interval contains its
+    * timestamp; revenue rolls up per context. The JOIN-shaped
+    * complement of q115's window attribution — the shape you need when
+    * facts and dimension history are SEPARATE tables.
+    *
+    * Scale shape: equi-join on the user key with the interval predicate
+    * as a post-filter — versions per key are bounded, so this never
+    * degrades to a global range join; purchases before any context
+    * survive the left join as 'none'. */
+  def q151PitEnrichment(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scd2
+    val ev = Tables.events(s, dir)
+    val hist = Scd2.fromChangelog(
+      ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("event_type")),
+      keys = Seq("user_id"), tsCol = "ts_ms", tracked = Seq("event_type"),
+      tieBreak = Seq(col("event_id")))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+    facts.join(hist.select(col("user_id"),
+        col("event_type").as("context"), col("valid_from"),
+        col("valid_to")),
+        facts("user_id") === hist("user_id") &&
+          col("ts_ms") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts_ms") < col("valid_to")),
+        "left")
+      .groupBy(coalesce(col("context"), lit("none")).as("context"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("vm")).cast("double") / 1000000.0d, 2)
+          .as("revenue"))
+  }
+  val q151Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |        event_type, "value" FROM events),
+      |nf AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+      |c AS (SELECT user_id, ts_ms, event_id, event_type,
+      |        lag(event_type) OVER
+      |          (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev,
+      |        row_number() OVER
+      |          (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
+      |      FROM nf),
+      |v AS (SELECT user_id, event_type, ts_ms, event_id FROM c
+      |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      |h AS (SELECT user_id, event_type AS context, ts_ms AS valid_from,
+      |        lead(ts_ms) OVER (PARTITION BY user_id
+      |          ORDER BY ts_ms, event_id) AS valid_to
+      |      FROM v),
+      |f AS (SELECT user_id, ts_ms,
+      |        round("value" * 1000000.0)::BIGINT AS vm
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT coalesce(h.context, 'none') AS context,
+      |       count(*)::BIGINT AS n_purchases,
+      |       round(sum(vm)::DOUBLE / 1000000.0, 2) AS revenue
+      |FROM f LEFT JOIN h ON f.user_id = h.user_id
+      |  AND f.ts_ms >= h.valid_from
+      |  AND (h.valid_to IS NULL OR f.ts_ms < h.valid_to)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_pit_enrichment" -> (q151PitEnrichment _),
     "q150_quantization_error" -> (q150QuantizationError _),
     "q149_waterfill" -> (q149Waterfill _),
     "q146_cluster_sizes" -> (q146ClusterSizes _),
@@ -1525,6 +1592,7 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q151_pit_enrichment" -> q151Sql,
     "q150_quantization_error" -> q150Sql,
     "q149_waterfill" -> q149Sql,
     "q146_cluster_sizes" -> q146Sql,
