@@ -1559,8 +1559,106 @@ object QueriesExt4 {
       |  AND (h.valid_to IS NULL OR f.ts_ms < h.valid_to)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  /** Funnel step-transition latency: for view→click and click→purchase,
+    * the exact median/p95 of the time between a user's FIRST occurrence
+    * of each step (ordered pairs only — a user who clicked before ever
+    * viewing doesn't count as a view→click transition). The timing
+    * companion of the q107 ordered-step funnel: conversion RATE says
+    * how many fall through, these latencies say where they stall. One
+    * grouped conditional-min pass per user, then percentiles over the
+    * per-user latency rows. */
+  def q152FunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_ms"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts_ms"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_ms")))
+          .as("t_purchase"))
+    val vc = firsts
+      .filter(col("t_view").isNotNull && col("t_click").isNotNull &&
+        col("t_click") >= col("t_view"))
+      .select(lit("view_to_click").as("step"),
+        (col("t_click") - col("t_view")).as("lat"))
+    val cp = firsts
+      .filter(col("t_click").isNotNull && col("t_purchase").isNotNull &&
+        col("t_purchase") >= col("t_click"))
+      .select(lit("click_to_purchase").as("step"),
+        (col("t_purchase") - col("t_click")).as("lat"))
+    vc.unionByName(cp).groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(lat, 0.5)"), 2).as("lat_p50_ms"),
+        round(expr("percentile(lat, 0.95)"), 2).as("lat_p95_ms"))
+  }
+  val q152Sql: String =
+    """WITH f AS (SELECT user_id,
+      |        min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+      |          AS t_view,
+      |        min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)
+      |          AS t_click,
+      |        min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+      |          AS t_purchase
+      |      FROM events GROUP BY 1),
+      |l AS (SELECT 'view_to_click' AS step, t_click - t_view AS lat
+      |      FROM f WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+      |        AND t_click >= t_view
+      |      UNION ALL
+      |      SELECT 'click_to_purchase', t_purchase - t_click
+      |      FROM f WHERE t_click IS NOT NULL AND t_purchase IS NOT NULL
+      |        AND t_purchase >= t_click)
+      |SELECT step, count(*)::BIGINT AS n_users,
+      |       round(quantile_cont(lat::DOUBLE, 0.5), 2) AS lat_p50_ms,
+      |       round(quantile_cont(lat::DOUBLE, 0.95), 2) AS lat_p95_ms
+      |FROM l GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q153
+  /** Weekly-cohort cumulative-revenue (LTV) curve: users cohort by
+    * first-activity week; per (cohort, week offset) the purchase
+    * revenue accumulates along the offset axis — the curve a payback
+    * model reads. Exact integer chain: cohort via one per-user min,
+    * revenue in micro-units, the cumulative window over the
+    * (cohorts × offsets) grid, never over events (the q108 retention
+    * grain carrying money instead of presence). */
+  def q153CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val firstWeek = ev.groupBy(col("user_id"))
+      .agg(min(expr("ts_ms div 604800000")).as("cohort_week"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ms div 604800000").as("week"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+      .join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week"))
+        .as("week_offset"))
+      .agg(sum(col("vm")).as("vms"))
+    rev.withColumn("cum_vms", sum(col("vms")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))))
+      .select(col("cohort_week"), col("week_offset"),
+        round(col("vms").cast("double") / 1000000.0d, 2).as("revenue"),
+        round(col("cum_vms").cast("double") / 1000000.0d, 2)
+          .as("cum_revenue"))
+  }
+  val q153Sql: String =
+    """WITH fw AS (SELECT user_id,
+      |        min(epoch_ms(ts) // 604800000) AS cohort_week
+      |      FROM events GROUP BY 1),
+      |rv AS (SELECT e.user_id, epoch_ms(ts) // 604800000 AS week,
+      |         round("value" * 1000000.0)::BIGINT AS vm
+      |       FROM events e WHERE event_type = 'purchase'),
+      |g AS (SELECT cohort_week, week - cohort_week AS week_offset,
+      |        sum(vm)::BIGINT AS vms
+      |      FROM rv JOIN fw USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset,
+      |       round(vms::DOUBLE / 1000000.0, 2) AS revenue,
+      |       round((sum(vms) OVER (PARTITION BY cohort_week
+      |          ORDER BY week_offset))::DOUBLE / 1000000.0, 2)
+      |         AS cum_revenue
+      |FROM g""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_funnel_latency" -> (q152FunnelLatency _),
+    "q153_cohort_ltv" -> (q153CohortLtv _),
     "q151_pit_enrichment" -> (q151PitEnrichment _),
     "q150_quantization_error" -> (q150QuantizationError _),
     "q149_waterfill" -> (q149Waterfill _),
@@ -1592,6 +1690,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q152_funnel_latency" -> q152Sql,
+    "q153_cohort_ltv" -> q153Sql,
     "q151_pit_enrichment" -> q151Sql,
     "q150_quantization_error" -> q150Sql,
     "q149_waterfill" -> q149Sql,
