@@ -1655,8 +1655,85 @@ object QueriesExt4 {
       |         AS cum_revenue
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** Watermark-lateness audit — the statistic that SIZES a streaming
+    * watermark instead of guessing it: with event_id as the arrival
+    * sequence, an event's lateness is how far the event-time high-water
+    * mark had already advanced past it on arrival (running max of ts −
+    * own ts). The p99/max of that distribution IS the watermark a
+    * `withWatermark` needs to not drop data ([[graft.streaming
+    * .StreamAggs]]' windows, [[graft.streaming.CdcPipeline]]'s dedup).
+    * The running max is one globally-ordered window over narrow (id,
+    * ts) rows — the q121 acceptable-global-sort case; everything after
+    * aggregates to ONE row. */
+  def q154LatenessAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts_ms"))
+      .withColumn("late_ms", max(col("ts_ms")).over(w) - col("ts_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_ms") > 0, 1L).otherwise(0L)).as("n_late"),
+        round(expr("percentile(late_ms, 0.5)"), 2).as("late_p50_ms"),
+        round(expr("percentile(late_ms, 0.99)"), 2).as("late_p99_ms"),
+        max(col("late_ms")).as("late_max_ms"))
+  }
+  val q154Sql: String =
+    """WITH l AS (SELECT event_id,
+      |        max(epoch_ms(ts)) OVER (ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          - epoch_ms(ts) AS late_ms
+      |      FROM events)
+      |SELECT count(*)::BIGINT AS n_events,
+      |       sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+      |       round(quantile_cont(late_ms::DOUBLE, 0.5), 2) AS late_p50_ms,
+      |       round(quantile_cont(late_ms::DOUBLE, 0.99), 2) AS late_p99_ms,
+      |       max(late_ms)::BIGINT AS late_max_ms
+      |FROM l""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+  /** Duplicate-delivery lag profile — the statistic that sizes the
+    * dedup-state TTL ([[graft.streaming.StreamAggs]]'
+    * dropDuplicatesWithinWatermark / the LWW dedup state): for
+    * payload-identical events (the q101 identity: user, type, value),
+    * the gap between successive deliveries. State must be held at least
+    * p-max of this distribution to catch every re-delivery; holding
+    * longer buys nothing. One lag window per payload-key exchange,
+    * percentiles over the gap rows. */
+  def q155RedeliveryLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"),
+        col("vm"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"),
+        col("ts_ms"), col("event_id"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .agg(count(lit(1)).as("n_redeliveries"),
+        round(expr("percentile(gap, 0.5)"), 2).as("gap_p50_ms"),
+        round(expr("percentile(gap, 0.99)"), 2).as("gap_p99_ms"),
+        max(col("gap")).as("gap_max_ms"))
+  }
+  val q155Sql: String =
+    """WITH g AS (SELECT epoch_ms(ts) -
+      |        lag(epoch_ms(ts)) OVER (
+      |          PARTITION BY user_id, event_type,
+      |            round("value" * 1000000.0)::BIGINT
+      |          ORDER BY epoch_ms(ts), event_id) AS gap
+      |      FROM events)
+      |SELECT count(*)::BIGINT AS n_redeliveries,
+      |       round(quantile_cont(gap::DOUBLE, 0.5), 2) AS gap_p50_ms,
+      |       round(quantile_cont(gap::DOUBLE, 0.99), 2) AS gap_p99_ms,
+      |       max(gap)::BIGINT AS gap_max_ms
+      |FROM g WHERE gap IS NOT NULL""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_lateness_audit" -> (q154LatenessAudit _),
+    "q155_redelivery_lag" -> (q155RedeliveryLag _),
     "q152_funnel_latency" -> (q152FunnelLatency _),
     "q153_cohort_ltv" -> (q153CohortLtv _),
     "q151_pit_enrichment" -> (q151PitEnrichment _),
@@ -1690,6 +1767,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q154_lateness_audit" -> q154Sql,
+    "q155_redelivery_lag" -> q155Sql,
     "q152_funnel_latency" -> q152Sql,
     "q153_cohort_ltv" -> q153Sql,
     "q151_pit_enrichment" -> q151Sql,
