@@ -1730,8 +1730,189 @@ object QueriesExt4 {
       |       max(gap)::BIGINT AS gap_max_ms
       |FROM g WHERE gap IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- q156
+  /** Weekly-seasonality strength per event type: the Pearson
+    * autocorrelation of the daily-count series at lag 7 — near 1 means
+    * the weekly cycle dominates (and monitors must deseasonalize, q147
+    * gives the profile to divide by); near 0 means day-of-week is
+    * noise. Exact sufficient statistics over the (type, day) count
+    * frame self-joined at day+7 — the q140 OLS correlation chain on a
+    * ≤|types|·|days| grid, never over events. */
+  def q156SeasonalityStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val paired = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") === col("a.day") + 7)
+      .select(col("a.event_type").as("event_type"),
+        col("a.n").as("x"), col("b.n").as("y"))
+    val ssum = paired.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    ssum.select(col("event_type"), col("n").as("n_pairs"),
+      round(cov / sqrt(vx) / sqrt(vy), 6).as("acf_lag7"))
+  }
+  val q156Sql: String =
+    """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |        count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type, a.n AS x, b.n AS y
+      |      FROM d a JOIN d b ON a.event_type = b.event_type
+      |        AND b.day = a.day + 7),
+      |s AS (SELECT event_type, count(*)::BIGINT AS n,
+      |        sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |        sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+      |        sum(x * y)::BIGINT AS sxy
+      |      FROM p GROUP BY 1)
+      |SELECT event_type, n AS n_pairs,
+      |       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |             / sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |             / sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE),
+      |             6) AS acf_lag7
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  /** Conversion rate per acquisition channel with the Wilson 95%
+    * interval — the uncertainty-honest way to compare channels (a raw
+    * 3/7 beats 290/1000 until the interval says otherwise): channel =
+    * the user's FIRST event type, converted = the user ever purchased;
+    * per channel p̂ and the Wilson bounds (z = 1.96 literal, one defined
+    * double chain both engines replay). One per-user min_by pass + one
+    * ≤|channels|-row aggregate. */
+  def q157ConversionWilson(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_type"), struct(col("ts_ms"), col("event_id")))
+          .as("channel"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    val g = perUser.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val n = col("n_users").cast("double")
+    val p = col("n_conv").cast("double") / n
+    val z2 = lit(1.96d * 1.96d)
+    val center = (p + z2 / (lit(2.0d) * n)) / (lit(1.0d) + z2 / n)
+    val half = (lit(1.96d) *
+      sqrt(p * (lit(1.0d) - p) / n + z2 / (lit(4.0d) * n * n))) /
+      (lit(1.0d) + z2 / n)
+    g.select(col("channel"), col("n_users"), col("n_conv"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
+  val q157Sql: String =
+    """WITH r AS (SELECT user_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY epoch_ms(ts), event_id) AS rn
+      |      FROM events),
+      |ch AS (SELECT user_id, event_type AS channel FROM r WHERE rn = 1),
+      |cv AS (SELECT user_id,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |          AS converted
+      |      FROM events GROUP BY 1),
+      |u AS (SELECT ch.user_id, ch.channel, cv.converted
+      |      FROM ch JOIN cv ON ch.user_id = cv.user_id),
+      |g AS (SELECT channel, count(*)::BIGINT AS n_users,
+      |        sum(converted)::BIGINT AS n_conv
+      |      FROM u GROUP BY 1)
+      |SELECT channel, n_users, n_conv,
+      |  round(n_conv::DOUBLE / n_users::DOUBLE, 6) AS rate,
+      |  round(((n_conv::DOUBLE / n_users::DOUBLE)
+      |      + (1.96 * 1.96) / (2.0 * n_users::DOUBLE))
+      |     / (1.0 + (1.96 * 1.96) / n_users::DOUBLE)
+      |   - (1.96 * sqrt((n_conv::DOUBLE / n_users::DOUBLE)
+      |        * (1.0 - n_conv::DOUBLE / n_users::DOUBLE) / n_users::DOUBLE
+      |        + (1.96 * 1.96) / (4.0 * n_users::DOUBLE * n_users::DOUBLE)))
+      |     / (1.0 + (1.96 * 1.96) / n_users::DOUBLE), 6) AS wilson_lo,
+      |  round(((n_conv::DOUBLE / n_users::DOUBLE)
+      |      + (1.96 * 1.96) / (2.0 * n_users::DOUBLE))
+      |     / (1.0 + (1.96 * 1.96) / n_users::DOUBLE)
+      |   + (1.96 * sqrt((n_conv::DOUBLE / n_users::DOUBLE)
+      |        * (1.0 - n_conv::DOUBLE / n_users::DOUBLE) / n_users::DOUBLE
+      |        + (1.96 * 1.96) / (4.0 * n_users::DOUBLE * n_users::DOUBLE)))
+      |     / (1.0 + (1.96 * 1.96) / n_users::DOUBLE), 6) AS wilson_hi
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+  /** Benford first-digit audit of the value column — the
+    * fabricated-data sniff test: observed first-significant-digit
+    * shares against Benford's log₁₀(1 + 1/d) expectation, with the
+    * chi-square statistic (8 df; > 20.09 rejects at 1%). Digit
+    * extraction is integer/string algebra on micro-units (no float
+    * formatting); expectations are Scala-computed literals embedded
+    * identically in both engines; the chi-square folds over the 9-row
+    * digit frame. Synthetic uniform-ish values fail Benford loudly —
+    * the point is the MACHINERY, and the verdict column says what the
+    * data is. */
+  def q158BenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val expected: Seq[(Int, Double)] = (1 to 9).map(d =>
+      d -> BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val expLit = map(expected.flatMap { case (d, e) =>
+      Seq(lit(d), lit(e)) }: _*)
+    val digits = Tables.events(s, dir)
+      .select(round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+      .filter(col("vm") > 0)
+      .select(substring(col("vm").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("n_total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total").cast("double"), 6)
+          .as("observed"),
+        element_at(expLit, col("digit")).as("benford"),
+        col("n_total"))
+      .withColumn("chi2_term",
+        (col("n").cast("double") - col("n_total") * col("benford")) *
+          (col("n").cast("double") - col("n_total") * col("benford")) /
+          (col("n_total") * col("benford")))
+      .groupBy().agg(
+        sum(col("n")).as("n_values"),
+        round(sum(col("chi2_term")), 2).as("chi2"))
+      .select(col("n_values"), col("chi2"),
+        (col("chi2") > 20.09d).as("rejects_benford"))
+  }
+  val q158Sql: String = {
+    val expCase = (1 to 9).map { d =>
+      val e = BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"WHEN $d THEN $e"
+    }.mkString(" ")
+    s"""WITH v AS (SELECT round("value" * 1000000.0)::BIGINT AS vm
+       |           FROM events),
+       |d AS (SELECT substring(vm::VARCHAR, 1, 1)::INT AS digit,
+       |        count(*)::BIGINT AS n
+       |      FROM v WHERE vm > 0 GROUP BY 1),
+       |t AS (SELECT sum(n)::BIGINT AS n_total FROM d),
+       |x AS (SELECT digit, n, n_total,
+       |        (CASE digit $expCase END)::DOUBLE AS benford
+       |      FROM d, t)
+       |SELECT sum(n)::BIGINT AS n_values,
+       |       round(sum((n::DOUBLE - n_total * benford)
+       |                 * (n::DOUBLE - n_total * benford)
+       |                 / (n_total * benford)), 2) AS chi2,
+       |       round(sum((n::DOUBLE - n_total * benford)
+       |                 * (n::DOUBLE - n_total * benford)
+       |                 / (n_total * benford)), 2) > 20.09
+       |         AS rejects_benford
+       |FROM x""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_seasonality" -> (q156SeasonalityStrength _),
+    "q157_conversion_wilson" -> (q157ConversionWilson _),
+    "q158_benford_audit" -> (q158BenfordAudit _),
     "q154_lateness_audit" -> (q154LatenessAudit _),
     "q155_redelivery_lag" -> (q155RedeliveryLag _),
     "q152_funnel_latency" -> (q152FunnelLatency _),
@@ -1767,6 +1948,9 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_seasonality" -> q156Sql,
+    "q157_conversion_wilson" -> q157Sql,
+    "q158_benford_audit" -> q158Sql,
     "q154_lateness_audit" -> q154Sql,
     "q155_redelivery_lag" -> q155Sql,
     "q152_funnel_latency" -> q152Sql,
