@@ -5,10 +5,17 @@ import graft.operators.Expectations
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Declared queries q124+ — graph analytics over co-occurrence
-  * structure, mergeable quantile summaries, schema-constraint audits,
-  * collocation mining, layout planning, and embedding drift. Every
-  * entry has a DuckDB oracle replay; see COVERAGE.md for the map. */
+/** Declared queries q124+ — the graph tier (triangles, communities,
+  * k-core, neighborhood LSH, degree power-law), mergeable quantile
+  * summaries, data/schema audits (FD, fingerprints, Benford,
+  * expectations-adjacent), text/IR additions (PMI, trigram search, LSH
+  * tuning), embedding reports (drift, PCA, quantization error, IVF
+  * balance), planning ops (compaction, waterfill, join-size, skew),
+  * warehouse/product analytics (survivorship, association rules, SCD2
+  * point-in-time, funnel latency, cohort LTV, Wilson intervals,
+  * seasonality), and streaming-config audits (watermark lateness,
+  * re-delivery lag). Every entry has a DuckDB oracle replay; see
+  * COVERAGE.md for the map. */
 object QueriesExt4 {
 
   /** Shared co-purchase edge list: distinct part pairs sharing an order
@@ -1908,8 +1915,96 @@ object QueriesExt4 {
        |FROM x""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q159
+  /** Language×source independence audit: the chi-square statistic over
+    * the lang×source contingency grid — "do my feeds differ in language
+    * mix, or is language independent of source?" (if independent, one
+    * global language filter is fine; if not, per-source thresholds —
+    * the q103/q123 per-feed philosophy, decided by a test instead of
+    * eyeballing). Expected counts from the marginals; the chi-square
+    * folds over the ≤|langs|·|sources| grid, never documents. */
+  def q159ContingencyChi2(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cell = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val langM = d.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val srcM = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val tot = d.agg(count(lit(1)).as("nt"))
+    // Every (lang, source) pair, including empty cells — chi-square
+    // needs the zeros.
+    val grid = langM.crossJoin(srcM).crossJoin(broadcast(tot))
+      .join(cell, Seq("lang", "source"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("e", col("nl").cast("double") * col("ns").cast("double") /
+        col("nt").cast("double"))
+      .withColumn("term", (col("n").cast("double") - col("e")) *
+        (col("n").cast("double") - col("e")) / col("e"))
+    grid.agg(count(lit(1)).as("n_cells"),
+        round(sum(col("term")), 2).as("chi2"),
+        max(col("nt")).as("n_docs"))
+      .select(col("n_cells"), col("n_docs"), col("chi2"),
+        // df = (L-1)(S-1); at 4x19=76 df the 1% critical value ≈ 107.6.
+        (col("chi2") > 107.6d).as("dependent"))
+  }
+  val q159Sql: String =
+    """WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+      |           FROM documents GROUP BY 1, 2),
+      |lm AS (SELECT lang, count(*)::BIGINT AS nl FROM documents GROUP BY 1),
+      |sm AS (SELECT source, count(*)::BIGINT AS ns FROM documents GROUP BY 1),
+      |t AS (SELECT count(*)::BIGINT AS nt FROM documents),
+      |g AS (SELECT lm.lang, sm.source, coalesce(c.n, 0) AS n,
+      |        lm.nl::DOUBLE * sm.ns::DOUBLE / t.nt::DOUBLE AS e, t.nt
+      |      FROM lm CROSS JOIN sm CROSS JOIN t
+      |      LEFT JOIN c ON c.lang = lm.lang AND c.source = sm.source)
+      |SELECT count(*)::BIGINT AS n_cells, max(nt)::BIGINT AS n_docs,
+      |       round(sum((n::DOUBLE - e) * (n::DOUBLE - e) / e), 2) AS chi2,
+      |       round(sum((n::DOUBLE - e) * (n::DOUBLE - e) / e), 2) > 107.6
+      |         AS dependent
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+  /** Theil–Sen robust trend per event type — the median of all pairwise
+    * slopes of the DAILY value means: one wild day drags an OLS slope
+    * (q140) but cannot move the median of 435 pairwise slopes. The
+    * pair expansion runs over the ≤|days| daily frame per type (C(30,2)
+    * pairs), never events; daily means are exact micro-unit integer
+    * divisions first, so the slope set replays bit-for-bit. */
+  def q160TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000000.0d, 0).cast("long")).as("vms"))
+      .withColumn("mean_v", col("vms").cast("double") / col("n"))
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.mean_v") - col("a.mean_v")) /
+          (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    slopes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)") / 1000000.0d, 6)
+          .as("theil_sen_slope_per_day"))
+  }
+  val q160Sql: String =
+    """WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |        count(*)::BIGINT AS n,
+      |        sum(round("value" * 1000000.0)::BIGINT)::BIGINT AS vms
+      |      FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, day, vms::DOUBLE / n AS mean_v FROM d),
+      |p AS (SELECT a.event_type,
+      |        (b.mean_v - a.mean_v) / (b.day - a.day)::DOUBLE AS slope
+      |      FROM m a JOIN m b ON a.event_type = b.event_type
+      |        AND a.day < b.day)
+      |SELECT event_type, count(*)::BIGINT AS n_pairs,
+      |       round(quantile_cont(slope, 0.5) / 1000000.0, 6)
+      |         AS theil_sen_slope_per_day
+      |FROM p GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_contingency_chi2" -> (q159ContingencyChi2 _),
+    "q160_theil_sen" -> (q160TheilSen _),
     "q156_seasonality" -> (q156SeasonalityStrength _),
     "q157_conversion_wilson" -> (q157ConversionWilson _),
     "q158_benford_audit" -> (q158BenfordAudit _),
@@ -1948,6 +2043,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q159_contingency_chi2" -> q159Sql,
+    "q160_theil_sen" -> q160Sql,
     "q156_seasonality" -> q156Sql,
     "q157_conversion_wilson" -> q157Sql,
     "q158_benford_audit" -> q158Sql,
