@@ -2001,8 +2001,133 @@ object QueriesExt4 {
       |         AS theil_sen_slope_per_day
       |FROM p GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+  /** Kaplan–Meier time-to-first-purchase survival curve — the
+    * censoring-correct time-to-event statistic (a plain "converted
+    * within k days" fraction UNDERCOUNTS late cohorts, whose window
+    * ends before k): users enter at their first event day, convert at
+    * their first purchase day, and are right-censored at the corpus's
+    * last day. Per day offset t: at-risk n_t (entered, not yet
+    * converted, not yet censored), conversions d_t, and S(t) =
+    * Π(1 − d_k/n_k) via exp∘Σln over the ORDERED ≤|days| offset frame
+    * (the q57 fold discipline; round-6 absorbs ln's sub-ulp). Events
+    * are touched once for the per-user triple; everything else runs on
+    * the offset grid. */
+  def q161SurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(expr("ts_ms div 86400000")).as("entry"),
+        min(when(col("event_type") === "purchase",
+          expr("ts_ms div 86400000"))).as("conv"))
+    val maxDay = ev.agg(max(expr("ts_ms div 86400000")).as("mxd"))
+    val u = perUser.crossJoin(broadcast(maxDay))
+      .select((col("conv") - col("entry")).as("conv_off"),
+        (col("mxd") - col("entry")).as("cens_off"))
+    val offsets = u.select(explode(sequence(lit(0),
+        greatest(coalesce(col("conv_off"), col("cens_off")),
+          lit(0L)))).as("t"),
+        col("conv_off"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_risk"),
+        sum(when(col("conv_off") === col("t"), 1L).otherwise(0L))
+          .as("d"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // A total-death offset (d = n_risk) sends the product to exactly 0
+    // forever; splitting that case out keeps ln() off zero (an error in
+    // some engines) and the zero exact instead of exp(-inf).
+    offsets
+      .withColumn("lnterm",
+        when(col("d") === col("n_risk"), lit(0.0d))
+          .otherwise(log(lit(1.0d) - col("d").cast("double") /
+            col("n_risk").cast("double"))))
+      .withColumn("dead",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(w))
+      .withColumn("surv",
+        when(col("dead") === 1L, lit(0.0d))
+          .otherwise(exp(sum(col("lnterm")).over(w))))
+      .select(col("t").as("day_offset"), col("n_risk"), col("d"),
+        round(col("surv"), 6).as("survival"))
+  }
+  val q161Sql: String =
+    """WITH pu AS (SELECT user_id,
+      |        min(epoch_ms(ts) // 86400000) AS entry,
+      |        min(CASE WHEN event_type = 'purchase'
+      |            THEN epoch_ms(ts) // 86400000 END) AS conv
+      |      FROM events GROUP BY 1),
+      |mx AS (SELECT max(epoch_ms(ts) // 86400000) AS mxd FROM events),
+      |u AS (SELECT conv - entry AS conv_off, mxd - entry AS cens_off
+      |      FROM pu, mx),
+      |o AS (SELECT r.t, u.conv_off
+      |      FROM u, unnest(range(0,
+      |        greatest(coalesce(conv_off, cens_off), 0) + 1)) AS r(t)),
+      |g AS (SELECT t, count(*)::BIGINT AS n_risk,
+      |        sum(CASE WHEN conv_off = t THEN 1 ELSE 0 END)::BIGINT AS d
+      |      FROM o GROUP BY 1)
+      |SELECT t AS day_offset, n_risk, d,
+      |       round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+      |               OVER w = 1 THEN 0.0
+      |             ELSE exp(sum(CASE WHEN d = n_risk THEN 0.0
+      |               ELSE ln(1.0 - d::DOUBLE / n_risk::DOUBLE) END)
+      |               OVER w) END, 6) AS survival
+      |FROM g
+      |WINDOW w AS (ORDER BY t
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+  /** Degree assortativity of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees over edges (each undirected edge
+    * contributes BOTH orientations, the standard convention) — positive
+    * = hubs link hubs (social-like), negative = hubs link leaves
+    * (technological); with q148's power-law slope, the two numbers that
+    * summarize a graph's shape before running algorithms on it. Exact
+    * integer sufficient statistics over the 2|E| orientation rows. */
+  def q162Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchase(s, dir)
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val both = e.select(col("a"), col("b"))
+      .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val ssum = both.agg(count(lit(1)).as("n"),
+      sum(col("da")).as("sx"), sum(col("db")).as("sy"),
+      sum(col("da") * col("da")).as("sxx"),
+      sum(col("db") * col("db")).as("syy"),
+      sum(col("da") * col("db")).as("sxy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    ssum.select((col("n") / 2).cast("long").as("n_edges"),
+      round(cov / sqrt(vx) / sqrt(vy), 6).as("assortativity"))
+  }
+  val q162Sql: String =
+    s"""WITH $coPurchaseSqlCte,
+       |d AS (SELECT v, count(*)::BIGINT AS deg FROM
+       |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |bo AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |j AS (SELECT da.deg AS x, db.deg AS y
+       |      FROM bo JOIN d da ON bo.a = da.v JOIN d db ON bo.b = db.v),
+       |s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |        sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+       |        sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+       |      FROM j)
+       |SELECT (n / 2)::BIGINT AS n_edges,
+       |       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |             / sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |             / sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE),
+       |             6) AS assortativity
+       |FROM s""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_survival_km" -> (q161SurvivalKm _),
+    "q162_assortativity" -> (q162Assortativity _),
     "q159_contingency_chi2" -> (q159ContingencyChi2 _),
     "q160_theil_sen" -> (q160TheilSen _),
     "q156_seasonality" -> (q156SeasonalityStrength _),
@@ -2043,6 +2168,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_survival_km" -> q161Sql,
+    "q162_assortativity" -> q162Sql,
     "q159_contingency_chi2" -> q159Sql,
     "q160_theil_sen" -> q160Sql,
     "q156_seasonality" -> q156Sql,
