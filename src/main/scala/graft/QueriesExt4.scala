@@ -2124,8 +2124,120 @@ object QueriesExt4 {
        |             6) AS assortativity
        |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q163
+  /** Session-gap threshold sweep — the q144 tuning-table idea applied
+    * to sessionization (q29 picks ONE threshold; this table shows what
+    * the choice does): for gap thresholds 5 min / 30 min / 2 h, the
+    * session count, sessions per user, and mean events per session —
+    * ALL from ONE lag pass (each threshold is a conditional sum over
+    * the same gap column, not a re-scan). The knee of this table is
+    * where a session definition stops being arbitrary. */
+  def q163SessionSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+    val thresholds = Seq(("5min", 300000L), ("30min", 1800000L),
+      ("2h", 7200000L))
+    val aggs = thresholds.flatMap { case (name, ms) =>
+      Seq(sum(when(col("gap").isNull || col("gap") > ms, 1L)
+        .otherwise(0L)).as(s"s_$name"))
+    }
+    val base = gaps.agg(count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"))
+    val sessions = gaps.agg(aggs.head, aggs.tail: _*)
+    val one = base.crossJoin(sessions)
+    thresholds.map { case (name, ms) =>
+      one.select(lit(name).as("threshold"),
+        col(s"s_$name").as("n_sessions"),
+        round(col(s"s_$name").cast("double") /
+          col("n_users").cast("double"), 4).as("sessions_per_user"),
+        round(col("n_events").cast("double") /
+          col(s"s_$name").cast("double"), 4).as("events_per_session"))
+    }.reduce(_ unionByName _)
+  }
+  val q163Sql: String = {
+    def one(name: String, ms: Long): String =
+      s"""SELECT '$name' AS threshold,
+         |  sum(CASE WHEN gap IS NULL OR gap > $ms THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_sessions,
+         |  round(sum(CASE WHEN gap IS NULL OR gap > $ms
+         |            THEN 1 ELSE 0 END)::DOUBLE
+         |        / count(DISTINCT user_id)::DOUBLE, 4) AS sessions_per_user,
+         |  round(count(*)::DOUBLE
+         |        / sum(CASE WHEN gap IS NULL OR gap > $ms
+         |              THEN 1 ELSE 0 END)::DOUBLE, 4) AS events_per_session
+         |FROM g""".stripMargin
+    s"""WITH g AS (SELECT user_id,
+       |        epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+       |          (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+       |          AS gap
+       |      FROM events)
+       |${Seq(("5min", 300000L), ("30min", 1800000L), ("2h", 7200000L))
+        .map { case (n, m) => one(n, m) }.mkString("\nUNION ALL\n")}"""
+      .stripMargin
+  }
+
+  // ---------------------------------------------------------------- q164
+  /** Duplicate topology per source — WHERE a feed's duplication lives
+    * (the q93 matrix told you WHICH pairs overlap; this says, per
+    * source, how much of it duplicates within itself vs mirrors other
+    * sources — self-duplication means a crawler bug, cross-duplication
+    * means a mirrored feed): with q93's deterministic `mirror`
+    * injection (doc_id % 13 copied verbatim), each doc's canonical
+    * fingerprint joins the corpus-wide (fp → sources, count) profile —
+    * text never shuffles, fingerprints do. */
+  def q164DupTopology(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val d = Tables.documents(s, dir)
+    val withMirror = d.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("mirror").as("source"), col("text")))
+    val fps = withMirror.select(col("doc_id"), col("source"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val prof = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"))
+    fps.join(prof, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1 && col("n_sources") === 1, 1L)
+          .otherwise(0L)).as("n_intra_dup"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L))
+          .as("n_inter_dup"))
+      .select(col("source"), col("n_docs"),
+        round(col("n_intra_dup").cast("double") /
+          col("n_docs").cast("double"), 6).as("intra_dup_frac"),
+        round(col("n_inter_dup").cast("double") /
+          col("n_docs").cast("double"), 6).as("inter_dup_frac"))
+  }
+  val q164Sql: String =
+    """WITH wm AS (SELECT doc_id, source, text FROM documents
+      |            UNION ALL
+      |            SELECT doc_id + 1000000, 'mirror', text
+      |            FROM documents WHERE doc_id % 13 = 0),
+      |fps AS (SELECT doc_id, source,
+      |          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      |        FROM wm),
+      |prof AS (SELECT fp, count(*)::BIGINT AS n_copies,
+      |           count(DISTINCT source)::BIGINT AS n_sources
+      |         FROM fps GROUP BY 1)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |       round(sum(CASE WHEN n_copies > 1 AND n_sources = 1
+      |                 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+      |         AS intra_dup_frac,
+      |       round(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)::DOUBLE
+      |             / count(*)::DOUBLE, 6) AS inter_dup_frac
+      |FROM fps JOIN prof USING (fp)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_session_sweep" -> (q163SessionSweep _),
+    "q164_dup_topology" -> (q164DupTopology _),
     "q161_survival_km" -> (q161SurvivalKm _),
     "q162_assortativity" -> (q162Assortativity _),
     "q159_contingency_chi2" -> (q159ContingencyChi2 _),
@@ -2168,6 +2280,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_session_sweep" -> q163Sql,
+    "q164_dup_topology" -> q164Sql,
     "q161_survival_km" -> q161Sql,
     "q162_assortativity" -> q162Sql,
     "q159_contingency_chi2" -> q159Sql,
