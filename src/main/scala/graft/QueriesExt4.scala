@@ -2234,8 +2234,99 @@ object QueriesExt4 {
       |FROM fps JOIN prof USING (fp)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+  /** Daily new-vs-returning active users — the growth dashboard's first
+    * row (DAU alone hides whether growth is acquisition or retention):
+    * per day, active users, first-seen-today users, returning users,
+    * and the returning share. One per-user min joins back to the
+    * per-(day, user) activity grain — both partial-agg hash
+    * aggregates; the daily frame carries ≤|days| rows out. */
+  def q165NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .distinct()
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    ev.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("d0"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round((col("n_active") - col("n_new")).cast("double") /
+          col("n_active").cast("double"), 6).as("returning_share"))
+  }
+  val q165Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |        epoch_ms(ts) // 86400000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS d0 FROM a GROUP BY 1)
+      |SELECT day, count(*)::BIGINT AS n_active,
+      |       sum(CASE WHEN day = d0 THEN 1 ELSE 0 END)::BIGINT AS n_new,
+      |       (count(*) - sum(CASE WHEN day = d0 THEN 1 ELSE 0 END))::BIGINT
+      |         AS n_returning,
+      |       round((count(*) - sum(CASE WHEN day = d0 THEN 1 ELSE 0 END))
+      |             ::DOUBLE / count(*)::DOUBLE, 6) AS returning_share
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  /** A/B-test minimum-detectable-effect planner per channel — "can this
+    * channel even measure a change before we run the experiment": with
+    * the channel's current conversion rate p and user count n (q157's
+    * grain), the absolute MDE at 80% power / 5% two-sided α under an
+    * even split is (z_{α/2} + z_β)·√(2·p(1−p)/(n/2)) — z values are
+    * Scala literals embedded identically in both engines, the rest is
+    * one defined double chain over the ≤|channels| frame. A channel
+    * whose MDE exceeds its own rate cannot detect anything short of
+    * doubling — the verdict column says so. */
+  def q166MdePlanner(s: SparkSession, dir: String): DataFrame = {
+    val z = 1.959964d + 0.841621d // z_{0.025} + z_{0.20}
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_type"), struct(col("ts_ms"), col("event_id")))
+          .as("channel"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    val g = perUser.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val n = col("n_users").cast("double")
+    val p = col("n_conv").cast("double") / n
+    val mde = lit(z) * sqrt(lit(2.0d) * p * (lit(1.0d) - p) /
+      (n / lit(2.0d)))
+    g.select(col("channel"), col("n_users"),
+      round(p, 6).as("rate"),
+      round(mde, 6).as("mde_abs"),
+      (round(mde, 6) > round(p, 6)).as("underpowered"))
+  }
+  val q166Sql: String = {
+    val z = 1.959964 + 0.841621
+    s"""WITH r AS (SELECT user_id, event_type,
+       |        row_number() OVER (PARTITION BY user_id
+       |          ORDER BY epoch_ms(ts), event_id) AS rn
+       |      FROM events),
+       |ch AS (SELECT user_id, event_type AS channel FROM r WHERE rn = 1),
+       |cv AS (SELECT user_id,
+       |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |          AS converted
+       |      FROM events GROUP BY 1),
+       |g AS (SELECT ch.channel, count(*)::BIGINT AS n_users,
+       |        sum(cv.converted)::BIGINT AS n_conv
+       |      FROM ch JOIN cv ON ch.user_id = cv.user_id GROUP BY 1)
+       |SELECT channel, n_users,
+       |  round(n_conv::DOUBLE / n_users::DOUBLE, 6) AS rate,
+       |  round($z * sqrt(2.0 * (n_conv::DOUBLE / n_users::DOUBLE)
+       |        * (1.0 - n_conv::DOUBLE / n_users::DOUBLE)
+       |        / (n_users::DOUBLE / 2.0)), 6) AS mde_abs,
+       |  round($z * sqrt(2.0 * (n_conv::DOUBLE / n_users::DOUBLE)
+       |        * (1.0 - n_conv::DOUBLE / n_users::DOUBLE)
+       |        / (n_users::DOUBLE / 2.0)), 6)
+       |    > round(n_conv::DOUBLE / n_users::DOUBLE, 6) AS underpowered
+       |FROM g""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_new_vs_returning" -> (q165NewVsReturning _),
+    "q166_mde_planner" -> (q166MdePlanner _),
     "q163_session_sweep" -> (q163SessionSweep _),
     "q164_dup_topology" -> (q164DupTopology _),
     "q161_survival_km" -> (q161SurvivalKm _),
@@ -2280,6 +2371,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q165_new_vs_returning" -> q165Sql,
+    "q166_mde_planner" -> q166Sql,
     "q163_session_sweep" -> q163Sql,
     "q164_dup_topology" -> q164Sql,
     "q161_survival_km" -> q161Sql,
