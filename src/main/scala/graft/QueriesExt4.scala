@@ -2323,8 +2323,75 @@ object QueriesExt4 {
        |FROM g""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q167
+  /** Two-sample Kolmogorov–Smirnov statistic between the first and
+    * second half of the period's value distributions — the
+    * binning-free complement of PSI (q95 commits to reference bins; KS
+    * asks "did the distribution move AT ALL" with no bins to choose):
+    * D = max |ECDF₁ − ECDF₂| over the pooled sorted values, evaluated
+    * at distinct values with ties fully counted. The pooled order is
+    * ONE global sort of narrow (value, side) micro-unit rows (the q121
+    * acceptable case); the critical value c(α)·√((n₁+n₂)/(n₁n₂)) at
+    * α = 0.01 uses the 1.628 literal embedded in both engines. */
+  def q167KsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val mid = ev.agg(((min(col("ts_ms")) + max(col("ts_ms"))) / 2)
+      .cast("long").as("mid"))
+    val sided = ev.crossJoin(broadcast(mid))
+      .select(round(col("value") * 1000000.0d, 0).cast("long").as("vm"),
+        when(col("ts_ms") < col("mid"), 1L).otherwise(0L).as("s1"),
+        when(col("ts_ms") >= col("mid"), 1L).otherwise(0L).as("s2"))
+    val perValue = sided.groupBy(col("vm"))
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+    val w = Window.orderBy(col("vm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val withCdf = perValue
+      .withColumn("f1", sum(col("c1")).over(w).cast("double") /
+        sum(col("c1")).over(tot).cast("double"))
+      .withColumn("f2", sum(col("c2")).over(w).cast("double") /
+        sum(col("c2")).over(tot).cast("double"))
+      .withColumn("n1", sum(col("c1")).over(tot))
+      .withColumn("n2", sum(col("c2")).over(tot))
+    val crit = round(lit(1.628d) *
+      sqrt((col("n1") + col("n2")).cast("double") /
+        (col("n1") * col("n2")).cast("double")), 6)
+    withCdf.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        round(max(abs(col("f1") - col("f2"))), 6).as("ks_d"))
+      .select(col("n1"), col("n2"), col("ks_d"), crit.as("crit_01"),
+        (col("ks_d") > crit).as("shifted"))
+  }
+  val q167Sql: String =
+    """WITH mid AS (SELECT ((min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2)
+      |          AS mid FROM events),
+      |s AS (SELECT round("value" * 1000000.0)::BIGINT AS vm,
+      |        CASE WHEN epoch_ms(ts) < mid THEN 1 ELSE 0 END AS s1,
+      |        CASE WHEN epoch_ms(ts) >= mid THEN 1 ELSE 0 END AS s2
+      |      FROM events, mid),
+      |pv AS (SELECT vm, sum(s1)::BIGINT AS c1, sum(s2)::BIGINT AS c2
+      |       FROM s GROUP BY 1),
+      |cdf AS (SELECT vm,
+      |          (sum(c1) OVER (ORDER BY vm
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+      |            / (sum(c1) OVER ())::DOUBLE AS f1,
+      |          (sum(c2) OVER (ORDER BY vm
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+      |            / (sum(c2) OVER ())::DOUBLE AS f2,
+      |          sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+      |        FROM pv)
+      |SELECT max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+      |       round(max(abs(f1 - f2)), 6) AS ks_d,
+      |       round(1.628 * sqrt((max(n1) + max(n2))::DOUBLE
+      |             / (max(n1) * max(n2))::DOUBLE), 6) AS crit_01,
+      |       round(max(abs(f1 - f2)), 6)
+      |         > round(1.628 * sqrt((max(n1) + max(n2))::DOUBLE
+      |               / (max(n1) * max(n2))::DOUBLE), 6) AS shifted
+      |FROM cdf""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_ks_test" -> (q167KsTest _),
     "q165_new_vs_returning" -> (q165NewVsReturning _),
     "q166_mde_planner" -> (q166MdePlanner _),
     "q163_session_sweep" -> (q163SessionSweep _),
@@ -2371,6 +2438,7 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_ks_test" -> q167Sql,
     "q165_new_vs_returning" -> q165Sql,
     "q166_mde_planner" -> q166Sql,
     "q163_session_sweep" -> q163Sql,
