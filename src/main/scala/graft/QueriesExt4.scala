@@ -2389,8 +2389,96 @@ object QueriesExt4 {
       |               / (max(n1) * max(n2))::DOUBLE), 6) AS shifted
       |FROM cdf""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** Spend-concentration (Gini) per event type — the whale-detection
+    * number: how unequally a type's value mass distributes over users
+    * (0 = everyone equal, →1 = a few users carry everything; revenue
+    * concentration above ~0.6 means per-user rate limits / sampling
+    * caps change aggregate behavior). Exact: per-user micro-unit sums,
+    * ranked per type with user-id tie-break, Gini =
+    * (2·Σ rank·x)/(n·Σx) − (n+1)/n over integer sums — one rank window
+    * per type over the per-user frame, never events. */
+  def q168SpendGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("x"))
+    val ranked = perUser.withColumn("rk", row_number().over(
+      Window.partitionBy(col("event_type"))
+        .orderBy(col("x").asc, col("user_id").asc)))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("rk") * col("x")).cast("decimal(38,0)")).as("srx"))
+      .select(col("event_type"), col("n_users"),
+        round(lit(2.0d) * col("srx").cast("double") /
+          (col("n_users").cast("double") * col("sx").cast("double")) -
+          (col("n_users") + 1).cast("double") /
+            col("n_users").cast("double"), 6).as("gini"))
+  }
+  val q168Sql: String =
+    """WITH pu AS (SELECT event_type, user_id,
+      |        sum(round("value" * 1000000.0)::BIGINT)::BIGINT AS x
+      |      FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, x,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY x ASC, user_id ASC) AS rk
+      |      FROM pu),
+      |g AS (SELECT event_type, count(*)::BIGINT AS n_users,
+      |        sum(x)::HUGEINT AS sx, sum(rk * x)::HUGEINT AS srx
+      |      FROM r GROUP BY 1)
+      |SELECT event_type, n_users,
+      |       round(2.0 * srx::DOUBLE / (n_users::DOUBLE * sx::DOUBLE)
+      |             - (n_users + 1)::DOUBLE / n_users::DOUBLE, 6) AS gini
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+  /** Peak-load profile per event type: the busiest hour-of-day, its
+    * share, and the peak-to-average ratio — the number capacity
+    * planning multiplies provisioned throughput by (a PAR of 3 means
+    * mean-rate sizing drops a third of peak traffic). Integer counts
+    * over the ≤24·|types| grid; peak picked by max_by with
+    * hour tie-break. */
+  def q169PeakLoad(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        (expr("ts_ms div 3600000") % 24).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_total"),
+        max_by(col("hod"), struct(col("n"), (-col("hod")).as("nh")))
+          .as("peak_hour"),
+        max(col("n")).as("peak_n"),
+        count(lit(1)).as("n_hours"))
+      .select(col("event_type"), col("n_total"), col("peak_hour"),
+        round(col("peak_n").cast("double") / col("n_total").cast("double"),
+          6).as("peak_share"),
+        round(col("peak_n").cast("double") * col("n_hours").cast("double") /
+          col("n_total").cast("double"), 4).as("peak_to_avg"))
+  }
+  val q169Sql: String =
+    """WITH h AS (SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hod,
+      |        count(*)::BIGINT AS n
+      |      FROM events GROUP BY 1, 2),
+      |p AS (SELECT event_type, hod, n,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY n DESC, hod ASC) AS rk
+      |      FROM h),
+      |g AS (SELECT event_type, sum(n)::BIGINT AS n_total,
+      |        count(*)::BIGINT AS n_hours, max(n)::BIGINT AS peak_n
+      |      FROM h GROUP BY 1)
+      |SELECT g.event_type, n_total,
+      |       (SELECT hod FROM p WHERE p.event_type = g.event_type
+      |        AND rk = 1) AS peak_hour,
+      |       round(peak_n::DOUBLE / n_total::DOUBLE, 6) AS peak_share,
+      |       round(peak_n::DOUBLE * n_hours::DOUBLE / n_total::DOUBLE, 4)
+      |         AS peak_to_avg
+      |FROM g""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_spend_gini" -> (q168SpendGini _),
+    "q169_peak_load" -> (q169PeakLoad _),
     "q167_ks_test" -> (q167KsTest _),
     "q165_new_vs_returning" -> (q165NewVsReturning _),
     "q166_mde_planner" -> (q166MdePlanner _),
@@ -2438,6 +2526,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_spend_gini" -> q168Sql,
+    "q169_peak_load" -> q169Sql,
     "q167_ks_test" -> q167Sql,
     "q165_new_vs_returning" -> q165Sql,
     "q166_mde_planner" -> q166Sql,
