@@ -2475,8 +2475,96 @@ object QueriesExt4 {
       |         AS peak_to_avg
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+  /** Feed-coverage gaps per event type: of the period's hour slots, how
+    * many carry at least one event, the longest silent streak in
+    * hours, and the coverage fraction — the "did the feed stall and
+    * when" dashboard a delivery SLA reads (q143 gives gap percentiles;
+    * this names the WORST outage). The streak computes with the q29
+    * gap-and-island trick over the ≤|types|·|hours| OBSERVED-hour
+    * frame: silent streak = gap between consecutive present hours − 1.
+    */
+  def q170CoverageGaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val span = ev.agg(min(expr("ts_ms div 3600000")).as("h0"),
+      max(expr("ts_ms div 3600000")).as("h1"))
+    val present = ev.select(col("event_type"),
+        expr("ts_ms div 3600000").as("h")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val gaps = present
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .withColumn("gap", col("h") - col("prev") - 1)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("hours_present"),
+        max(coalesce(col("gap"), lit(0L))).as("max_silent_hours"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("hours_present"),
+        (col("h1") - col("h0") + 1).as("hours_total"),
+        round(col("hours_present").cast("double") /
+          (col("h1") - col("h0") + 1).cast("double"), 6).as("coverage"),
+        col("max_silent_hours"))
+  }
+  val q170Sql: String =
+    """WITH sp AS (SELECT min(epoch_ms(ts) // 3600000) AS h0,
+      |        max(epoch_ms(ts) // 3600000) AS h1 FROM events),
+      |p AS (SELECT DISTINCT event_type, epoch_ms(ts) // 3600000 AS h
+      |      FROM events),
+      |g AS (SELECT event_type, h,
+      |        h - lag(h) OVER (PARTITION BY event_type ORDER BY h) - 1
+      |          AS gap
+      |      FROM p)
+      |SELECT event_type, count(*)::BIGINT AS hours_present,
+      |       (SELECT h1 - h0 + 1 FROM sp)::BIGINT AS hours_total,
+      |       round(count(*)::DOUBLE /
+      |             (SELECT h1 - h0 + 1 FROM sp)::DOUBLE, 6) AS coverage,
+      |       max(coalesce(gap, 0))::BIGINT AS max_silent_hours
+      |FROM g GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+  /** Jaccard-threshold sweep — the q144 tuning-table idea for the
+    * VERIFY side of dedup: from ONE shared-shingle pair computation
+    * (the q15 chain over the tuning sample), the surviving pair count
+    * at thresholds 0.1/0.3/0.5/0.7 as conditional sums over the same
+    * jaccard column. Where q144 prices candidate GENERATION, this
+    * prices the verification threshold — together they parameterize
+    * the whole campaign from two sample-sized tables. */
+  def q171JaccardSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DedupFunctions
+    val pairs = DedupFunctions.ngramJaccardPairs(
+      QueriesExt.docsSample(s, dir), "text", "doc_id",
+      n = 2, threshold = 0.0, cap = DedupFunctions.ShingleCap.Uncapped)
+    val thresholds = Seq(0.1d, 0.3d, 0.5d, 0.7d)
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val one = pairs.agg(aggs.head, aggs.tail: _*)
+    thresholds.zipWithIndex.map { case (t, i) =>
+      one.select(lit(t).as("threshold"), col(s"c$i").as("n_pairs"))
+    }.reduce(_ unionByName _)
+  }
+  val q171Sql: String = {
+    def one(t: Double): String =
+      s"""SELECT $t::DOUBLE AS threshold,
+         |  sum(CASE WHEN jaccard >= $t THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_pairs
+         |FROM jp""".stripMargin
+    s"""WITH ${QueriesExt.shingleCteSql},
+       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+       |             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+       |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jp AS (SELECT round(shared::DOUBLE / (n_a + n_b - shared), 6)
+       |         AS jaccard FROM j)
+       |${Seq(0.1, 0.3, 0.5, 0.7).map(one).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_coverage_gaps" -> (q170CoverageGaps _),
+    "q171_jaccard_sweep" -> (q171JaccardSweep _),
     "q168_spend_gini" -> (q168SpendGini _),
     "q169_peak_load" -> (q169PeakLoad _),
     "q167_ks_test" -> (q167KsTest _),
@@ -2526,6 +2614,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_coverage_gaps" -> q170Sql,
+    "q171_jaccard_sweep" -> q171Sql,
     "q168_spend_gini" -> q168Sql,
     "q169_peak_load" -> q169Sql,
     "q167_ks_test" -> q167Sql,
