@@ -2561,8 +2561,80 @@ object QueriesExt4 {
       .stripMargin
   }
 
+  // ---------------------------------------------------------------- q172
+  /** Basket-size revenue curve: per items-per-order bucket, order count
+    * and net revenue (price × (1 − discount), exact micro-cent
+    * integers) — the merchandising curve that says whether big baskets
+    * carry the business. Two hash aggregates: per-order roll-up, then
+    * the ≤|max-basket| bucket frame. */
+  def q172BasketCurve(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))
+          * 100.0d, 0).cast("long")).as("cents"))
+    perOrder.groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("cents")).cast("double") / 100.0d, 2).as("revenue"))
+      .withColumn("revenue_per_order",
+        round(col("revenue") / col("n_orders").cast("double"), 2))
+  }
+  val q172Sql: String =
+    """WITH po AS (SELECT l_orderkey, count(*)::BIGINT AS n_items,
+      |        sum(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+      |            ::BIGINT)::BIGINT AS cents
+      |      FROM lineitem GROUP BY 1)
+      |SELECT n_items, count(*)::BIGINT AS n_orders,
+      |       round(sum(cents)::DOUBLE / 100.0, 2) AS revenue,
+      |       round(round(sum(cents)::DOUBLE / 100.0, 2)
+      |             / count(*)::DOUBLE, 2) AS revenue_per_order
+      |FROM po GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q173
+  /** Return rate by discount band: are discounted items returned more?
+    * Per 2%-discount band, the line count, return share
+    * (l_returnflag = 'R'), and mean net price — the
+    * margin-vs-returns diagnostic. Band arithmetic is exact integer
+    * (discount in exact basis points via micro-rounding before
+    * division); one pruned-scan hash aggregate over the ≤6-band
+    * frame. */
+  def q173ReturnsByDiscount(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(expr("cast(round(l_discount * 10000.0, 0) as long) div 200")
+          .as("band"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))
+          * 100.0d, 0).cast("long").as("cents"))
+    li.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum(col("cents")).as("cents"))
+      .select((col("band") * 2).as("discount_pct_lo"), col("n_lines"),
+        round(col("n_returned").cast("double") /
+          col("n_lines").cast("double"), 6).as("return_rate"),
+        round(col("cents").cast("double") / col("n_lines").cast("double") /
+          100.0d, 2).as("mean_net_price"))
+  }
+  val q173Sql: String =
+    """WITH li AS (SELECT
+      |        round(l_discount * 10000.0)::BIGINT // 200 AS band,
+      |        l_returnflag,
+      |        round(l_extendedprice * (1.0 - l_discount) * 100.0)::BIGINT
+      |          AS cents
+      |      FROM lineitem)
+      |SELECT (band * 2)::BIGINT AS discount_pct_lo,
+      |       count(*)::BIGINT AS n_lines,
+      |       round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |             ::DOUBLE / count(*)::DOUBLE, 6) AS return_rate,
+      |       round(sum(cents)::DOUBLE / count(*)::DOUBLE / 100.0, 2)
+      |         AS mean_net_price
+      |FROM li GROUP BY band""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_basket_curve" -> (q172BasketCurve _),
+    "q173_returns_by_discount" -> (q173ReturnsByDiscount _),
     "q170_coverage_gaps" -> (q170CoverageGaps _),
     "q171_jaccard_sweep" -> (q171JaccardSweep _),
     "q168_spend_gini" -> (q168SpendGini _),
@@ -2614,6 +2686,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_basket_curve" -> q172Sql,
+    "q173_returns_by_discount" -> q173Sql,
     "q170_coverage_gaps" -> q170Sql,
     "q171_jaccard_sweep" -> q171Sql,
     "q168_spend_gini" -> q168Sql,
