@@ -2631,8 +2631,93 @@ object QueriesExt4 {
       |         AS mean_net_price
       |FROM li GROUP BY band""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+  /** Supplier-concentration HHI per nation — the market-concentration
+    * index (Σ share², HHI > 0.25 ≈ concentrated) over supplier revenue
+    * within each nation: the supply-risk view of the star schema.
+    * Exact micro-cent revenue per supplier (map-side partials), the
+    * nation dimension broadcasts, shares and the HHI fold run over the
+    * ≤|suppliers| frame per nation. */
+  def q174SupplierHhi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))
+        * 100.0d, 0).cast("long")).as("cents"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val j = rev.join(sup, rev("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("share", col("cents").cast("double") /
+        sum(col("cents")).over(Window.partitionBy(col("n_name")))
+          .cast("double"))
+    j.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("cents")).cast("double") / 100.0d, 2).as("revenue"),
+        round(sum(col("share") * col("share")), 6).as("hhi"))
+      .withColumn("concentrated", col("hhi") > 0.25d)
+  }
+  val q174Sql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |        sum(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+      |            ::BIGINT)::BIGINT AS cents
+      |      FROM lineitem GROUP BY 1),
+      |j AS (SELECT n.n_name, rev.cents,
+      |        rev.cents::DOUBLE /
+      |          (sum(rev.cents) OVER (PARTITION BY n.n_name))::DOUBLE
+      |          AS share
+      |      FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+      |      JOIN nation n ON s.s_nationkey = n.n_nationkey)
+      |SELECT n_name, count(*)::BIGINT AS n_suppliers,
+      |       round(sum(cents)::DOUBLE / 100.0, 2) AS revenue,
+      |       round(sum(share * share), 6) AS hhi,
+      |       round(sum(share * share), 6) > 0.25 AS concentrated
+      |FROM j GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q175
+  /** Order-to-ship aging by priority: per order priority, the exact
+    * median/p95 of days from order date to the order's LAST ship date —
+    * does the priority field actually buy faster fulfilment? Date
+    * arithmetic in exact epoch days; one per-order max join to the
+    * order dimension, percentiles over the per-order aging rows. */
+  def q175ShipAging(s: SparkSession, dir: String): DataFrame = {
+    val lastShip = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000"))
+        .as("ship_day"))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("order_day"))
+    orders.join(lastShip, orders("o_orderkey") === lastShip("l_orderkey"))
+      .select(col("o_orderpriority"),
+        (col("ship_day") - col("order_day")).as("aging_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(expr("percentile(aging_days, 0.5)"), 2).as("aging_p50"),
+        round(expr("percentile(aging_days, 0.95)"), 2).as("aging_p95"))
+  }
+  val q175Sql: String =
+    """WITH ls AS (SELECT l_orderkey,
+      |        max(epoch_ms(l_shipdate) // 86400000) AS ship_day
+      |      FROM lineitem GROUP BY 1),
+      |o AS (SELECT o_orderkey, o_orderpriority,
+      |        epoch_ms(o_orderdate) // 86400000 AS order_day
+      |      FROM orders)
+      |SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+      |       round(quantile_cont((ship_day - order_day)::DOUBLE, 0.5), 2)
+      |         AS aging_p50,
+      |       round(quantile_cont((ship_day - order_day)::DOUBLE, 0.95), 2)
+      |         AS aging_p95
+      |FROM o JOIN ls ON o.o_orderkey = ls.l_orderkey
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_supplier_hhi" -> (q174SupplierHhi _),
+    "q175_ship_aging" -> (q175ShipAging _),
     "q172_basket_curve" -> (q172BasketCurve _),
     "q173_returns_by_discount" -> (q173ReturnsByDiscount _),
     "q170_coverage_gaps" -> (q170CoverageGaps _),
@@ -2686,6 +2771,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_supplier_hhi" -> q174Sql,
+    "q175_ship_aging" -> q175Sql,
     "q172_basket_curve" -> q172Sql,
     "q173_returns_by_discount" -> q173Sql,
     "q170_coverage_gaps" -> q170Sql,
