@@ -2714,8 +2714,169 @@ object QueriesExt4 {
       |FROM o JOIN ls ON o.o_orderkey = ls.l_orderkey
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** Linear multi-touch attribution next to last-touch (q115): each
+    * purchase's value splits EQUALLY across all of the user's preceding
+    * non-purchase touches — the credit model that stops over-paying the
+    * last click. Exact integer discipline: per (conversion, touch) the
+    * credit is vm div n_touches micro-units (floor; the ≤n_touches−1
+    * micro remainder is deliberately dropped and the rule is named —
+    * FP splits would be order-dependent); untouched conversions land
+    * in 'none' whole. One running-count window + one join back to
+    * touches per user exchange. */
+  def q176LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ms"),
+      col("event_id"), col("event_type"),
+      round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // The running touch count runs over ALL events (the window frame
+    // ends 1 row before current); a first-row purchase sees an empty
+    // frame → null → coalesce to 0 so it lands in 'none'.
+    val touchCount = ev.withColumn("n_touch",
+      coalesce(sum(when(col("event_type") =!= "purchase", 1L)
+        .otherwise(0L)).over(w), lit(0L)))
+    val convs = touchCount.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms").as("cts"),
+        col("event_id").as("cid"), col("vm"), col("n_touch"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_ms").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("channel"))
+    val credited = convs.filter(col("n_touch") > 0)
+      .join(touches, Seq("user_id"))
+      .filter(col("tts") < col("cts") ||
+        (col("tts") === col("cts") && col("tid") < col("cid")))
+      .select(col("channel"),
+        expr("vm div n_touch").as("credit_micro"))
+    val none = convs.filter(col("n_touch") === 0)
+      .select(lit("none").as("channel"), col("vm").as("credit_micro"))
+    credited.unionByName(none)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("credit_micro")).cast("double") / 1000000.0d, 2)
+          .as("linear_value"))
+  }
+  val q176Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |        event_type, round("value" * 1000000.0)::BIGINT AS vm
+      |      FROM events),
+      |tc AS (SELECT *,
+      |        sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          AS n_touch
+      |      FROM ev),
+      |cv AS (SELECT user_id, ts_ms AS cts, event_id AS cid, vm,
+      |         coalesce(n_touch, 0) AS n_touch
+      |       FROM tc WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts_ms AS tts, event_id AS tid,
+      |        event_type AS channel
+      |      FROM ev WHERE event_type <> 'purchase'),
+      |cr AS (SELECT t.channel, cv.vm // cv.n_touch AS credit_micro
+      |       FROM cv JOIN t ON cv.user_id = t.user_id
+      |       WHERE cv.n_touch > 0
+      |         AND (t.tts < cv.cts OR (t.tts = cv.cts AND t.tid < cv.cid))
+      |       UNION ALL
+      |       SELECT 'none', vm FROM cv WHERE n_touch = 0)
+      |SELECT channel, count(*)::BIGINT AS n_credits,
+      |       round(sum(credit_micro)::DOUBLE / 1000000.0, 2)
+      |         AS linear_value
+      |FROM cr GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+  /** Rich-club coefficient of the co-purchase graph: among nodes with
+    * degree > k (k = 150, 180), the realized edge density φ(k) =
+    * 2·E_club/(N_club(N_club−1)) — do the hubs preferentially trade
+    * with each other? With assortativity (q162) and the power-law
+    * slope (q148), the third structural number. Degree table + one
+    * semi-join-shaped edge filter per k over the shrinking club. */
+  def q177RichClub(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchase(s, dir).localCheckpoint()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    Seq(150, 180).map { k =>
+      val club = deg.filter(col("deg") > k).select(col("v"))
+      val nClub = club.agg(count(lit(1)).as("n_club"))
+      val eClub = e.join(club.select(col("v").as("a")), "a")
+        .join(club.select(col("v").as("b")), "b")
+        .agg(count(lit(1)).as("e_club"))
+      nClub.crossJoin(eClub)
+        .select(lit(k).as("k"), col("n_club"), col("e_club"),
+          round(lit(2.0d) * col("e_club").cast("double") /
+            (col("n_club") * (col("n_club") - 1)).cast("double"), 6)
+            .as("phi"))
+    }.reduce(_ unionByName _)
+  }
+  val q177Sql: String = {
+    def one(k: Int): String =
+      s"""SELECT $k AS k,
+         |  (SELECT count(*) FROM club$k)::BIGINT AS n_club,
+         |  (SELECT count(*) FROM e
+         |   WHERE a IN (SELECT v FROM club$k)
+         |     AND b IN (SELECT v FROM club$k))::BIGINT AS e_club,
+         |  round(2.0 * (SELECT count(*) FROM e
+         |      WHERE a IN (SELECT v FROM club$k)
+         |        AND b IN (SELECT v FROM club$k))::DOUBLE
+         |    / ((SELECT count(*) FROM club$k)
+         |       * ((SELECT count(*) FROM club$k) - 1))::DOUBLE, 6) AS phi"""
+        .stripMargin
+    s"""WITH $coPurchaseSqlCte,
+       |d AS (SELECT v, count(*)::BIGINT AS deg FROM
+       |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |club150 AS (SELECT v FROM d WHERE deg > 150),
+       |club180 AS (SELECT v FROM d WHERE deg > 180)
+       |${Seq(150, 180).map(one).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q178
+  /** Pareto revenue shares: the fraction of total purchase value
+    * carried by the top 1% / 10% / 20% of users — the quoted "80/20"
+    * number next to q168's Gini. Exact: per-user micro sums ranked
+    * descending (user-id tie-break), top-N by ceil-count, conditional
+    * integer sums; one rank window over the per-user frame. */
+  def q178ParetoShares(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("x"))
+    val ranked = perUser
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("x").desc, col("user_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tot", sum(col("x")).over(Window.partitionBy()))
+    Seq((1, 100), (10, 100), (20, 100)).map { case (num, den) =>
+      ranked.filter(col("rk") <=
+          floor((col("n") * num + (den - 1)) / den).cast("long"))
+        .agg(max(col("n")).as("n_users"), max(col("tot")).as("tot"),
+          count(lit(1)).as("top_users"), sum(col("x")).as("top_x"))
+        .select(lit(num).as("top_pct"), col("top_users"),
+          round(col("top_x").cast("double") / col("tot").cast("double"), 6)
+            .as("value_share"))
+    }.reduce(_ unionByName _)
+  }
+  val q178Sql: String = {
+    def one(num: Int): String =
+      s"""SELECT $num AS top_pct, count(*)::BIGINT AS top_users,
+         |  round(sum(x)::DOUBLE / max(tot)::DOUBLE, 6) AS value_share
+         |FROM r WHERE rk <= (n * $num + 99) // 100""".stripMargin
+    s"""WITH pu AS (SELECT user_id,
+       |        sum(round("value" * 1000000.0)::BIGINT)::BIGINT AS x
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |r AS (SELECT user_id, x,
+       |        row_number() OVER (ORDER BY x DESC, user_id ASC) AS rk,
+       |        count(*) OVER () AS n, sum(x) OVER () AS tot
+       |      FROM pu)
+       |${Seq(1, 10, 20).map(one).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_linear_attribution" -> (q176LinearAttribution _),
+    "q177_rich_club" -> (q177RichClub _),
+    "q178_pareto_shares" -> (q178ParetoShares _),
     "q174_supplier_hhi" -> (q174SupplierHhi _),
     "q175_ship_aging" -> (q175ShipAging _),
     "q172_basket_curve" -> (q172BasketCurve _),
@@ -2771,6 +2932,9 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_linear_attribution" -> q176Sql,
+    "q177_rich_club" -> q177Sql,
+    "q178_pareto_shares" -> q178Sql,
     "q174_supplier_hhi" -> q174Sql,
     "q175_ship_aging" -> q175Sql,
     "q172_basket_curve" -> q172Sql,
