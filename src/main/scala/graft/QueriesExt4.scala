@@ -2872,8 +2872,168 @@ object QueriesExt4 {
        |${Seq(1, 10, 20).map(one).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q179
+  /** Position-based (U-shaped) attribution — the third credit model
+    * next to last-touch (q115) and linear (q176): 40% to the FIRST
+    * touch, 40% to the LAST, 20% split across the middle ones (all of
+    * it to first/last when ≤2 touches: 1 touch → 100%, 2 → 50/50).
+    * Exact integer discipline: per-conversion credits in micro-units
+    * with floor division and every boundary rule named; first/last
+    * touch per conversion come from min/max over the preceding-touch
+    * join (tie-break on event id). */
+  def q179UshapedAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ms"),
+      col("event_id"), col("event_type"),
+      round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms").as("cts"),
+        col("event_id").as("cid"), col("vm"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_ms").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("channel"))
+    val joined = convs.join(touches, Seq("user_id"))
+      .filter(col("tts") < col("cts") ||
+        (col("tts") === col("cts") && col("tid") < col("cid")))
+    val wAsc = Window.partitionBy(col("user_id"), col("cid"))
+      .orderBy(col("tts").asc, col("tid").asc)
+    val wDesc = Window.partitionBy(col("user_id"), col("cid"))
+      .orderBy(col("tts").desc, col("tid").desc)
+    val marked = joined
+      .withColumn("rk_first", row_number().over(wAsc))
+      .withColumn("rk_last", row_number().over(wDesc))
+      .withColumn("n_touch",
+        count(lit(1)).over(Window.partitionBy(col("user_id"), col("cid"))))
+    val credited = marked.select(col("channel"),
+      when(col("n_touch") === 1, col("vm"))
+        .when(col("n_touch") === 2,
+          expr("vm div 2"))
+        .otherwise(
+          when(col("rk_first") === 1 || col("rk_last") === 1,
+            expr("(vm * 4) div 10"))
+            .otherwise(expr("(vm * 2) div (10 * (n_touch - 2))")))
+        .as("credit_micro"))
+    // 'none' = conversions with NO preceding touch (a user-level anti
+    // join would wrongly drop conversions whose touches all come later).
+    val nonePreceding = convs.join(
+        joined.select(col("user_id").as("juid"), col("cid").as("jcid"))
+          .distinct(),
+        convs("user_id") === col("juid") && col("cid") === col("jcid"),
+        "left_anti")
+      .select(lit("none").as("channel"), col("vm").as("credit_micro"))
+    credited.unionByName(nonePreceding)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("credit_micro")).cast("double") / 1000000.0d, 2)
+          .as("ushaped_value"))
+  }
+  val q179Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |        event_type, round("value" * 1000000.0)::BIGINT AS vm
+      |      FROM events),
+      |cv AS (SELECT user_id, ts_ms AS cts, event_id AS cid, vm
+      |       FROM ev WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts_ms AS tts, event_id AS tid,
+      |        event_type AS channel
+      |      FROM ev WHERE event_type <> 'purchase'),
+      |j AS (SELECT cv.user_id, cv.cid, cv.vm, t.channel, t.tts, t.tid
+      |      FROM cv JOIN t ON cv.user_id = t.user_id
+      |      WHERE t.tts < cv.cts OR (t.tts = cv.cts AND t.tid < cv.cid)),
+      |m AS (SELECT *,
+      |        row_number() OVER (PARTITION BY user_id, cid
+      |          ORDER BY tts ASC, tid ASC) AS rk_first,
+      |        row_number() OVER (PARTITION BY user_id, cid
+      |          ORDER BY tts DESC, tid DESC) AS rk_last,
+      |        count(*) OVER (PARTITION BY user_id, cid) AS n_touch
+      |      FROM j),
+      |cr AS (SELECT channel,
+      |         CASE WHEN n_touch = 1 THEN vm
+      |              WHEN n_touch = 2 THEN vm // 2
+      |              WHEN rk_first = 1 OR rk_last = 1 THEN (vm * 4) // 10
+      |              ELSE (vm * 2) // (10 * (n_touch - 2)) END
+      |           AS credit_micro
+      |       FROM m
+      |       UNION ALL
+      |       SELECT 'none', cv.vm FROM cv
+      |       WHERE NOT EXISTS (SELECT 1 FROM j
+      |         WHERE j.user_id = cv.user_id AND j.cid = cv.cid))
+      |SELECT channel, count(*)::BIGINT AS n_credits,
+      |       round(sum(credit_micro)::DOUBLE / 1000000.0, 2)
+      |         AS ushaped_value
+      |FROM cr GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q180
+  /** Basket-size dispersion index (variance/mean) — is items-per-order
+    * Poisson-like (≈1), underdispersed (capped processes) or
+    * overdispersed (bursty mixtures)? The distributional sanity check
+    * behind any Poisson-assuming capacity model (q169). Exact integer
+    * sums over the per-order frame; one defined double chain. */
+  def q180DispersionIndex(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+    perOrder.agg(count(lit(1)).as("n_orders"),
+        sum(col("k")).as("sk"), sum(col("k") * col("k")).as("skk"))
+      .select(col("n_orders"),
+        round(col("sk").cast("double") / col("n_orders").cast("double"), 4)
+          .as("mean_items"),
+        round((col("skk").cast("double") / col("n_orders").cast("double") -
+          (col("sk").cast("double") / col("n_orders").cast("double")) *
+            (col("sk").cast("double") / col("n_orders").cast("double"))) /
+          (col("sk").cast("double") / col("n_orders").cast("double")), 4)
+          .as("dispersion_index"))
+  }
+  val q180Sql: String =
+    """WITH po AS (SELECT l_orderkey, count(*)::BIGINT AS k
+      |            FROM lineitem GROUP BY 1),
+      |s AS (SELECT count(*)::BIGINT AS n_orders, sum(k)::BIGINT AS sk,
+      |        sum(k * k)::BIGINT AS skk FROM po)
+      |SELECT n_orders,
+      |       round(sk::DOUBLE / n_orders::DOUBLE, 4) AS mean_items,
+      |       round((skk::DOUBLE / n_orders::DOUBLE
+      |              - (sk::DOUBLE / n_orders::DOUBLE)
+      |                * (sk::DOUBLE / n_orders::DOUBLE))
+      |             / (sk::DOUBLE / n_orders::DOUBLE), 4)
+      |         AS dispersion_index
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q181
+  /** Repeat-purchase interval: per-user gaps between consecutive
+    * purchases, summarized as repeat-buyer count and exact p50/p95 of
+    * the interval in hours — the replenishment-cycle statistic that
+    * times win-back campaigns. One lag window over the purchase-only
+    * user exchange. */
+  def q181RepeatInterval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("gap_h", (col("ts_ms") -
+        lag(col("ts_ms"), 1).over(w)).cast("double") / 3600000.0d)
+      .filter(col("gap_h").isNotNull)
+      .agg(countDistinct(col("user_id")).as("repeat_buyers"),
+        count(lit(1)).as("n_intervals"),
+        round(expr("percentile(gap_h, 0.5)"), 2).as("interval_p50_h"),
+        round(expr("percentile(gap_h, 0.95)"), 2).as("interval_p95_h"))
+  }
+  val q181Sql: String =
+    """WITH p AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT user_id,
+      |        (ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+      |           ORDER BY ts_ms, event_id))::DOUBLE / 3600000.0 AS gap_h
+      |      FROM p)
+      |SELECT count(DISTINCT user_id)::BIGINT AS repeat_buyers,
+      |       count(*)::BIGINT AS n_intervals,
+      |       round(quantile_cont(gap_h, 0.5), 2) AS interval_p50_h,
+      |       round(quantile_cont(gap_h, 0.95), 2) AS interval_p95_h
+      |FROM g WHERE gap_h IS NOT NULL""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_ushaped_attribution" -> (q179UshapedAttribution _),
+    "q180_dispersion_index" -> (q180DispersionIndex _),
+    "q181_repeat_interval" -> (q181RepeatInterval _),
     "q176_linear_attribution" -> (q176LinearAttribution _),
     "q177_rich_club" -> (q177RichClub _),
     "q178_pareto_shares" -> (q178ParetoShares _),
@@ -2932,6 +3092,9 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_ushaped_attribution" -> q179Sql,
+    "q180_dispersion_index" -> q180Sql,
+    "q181_repeat_interval" -> q181Sql,
     "q176_linear_attribution" -> q176Sql,
     "q177_rich_club" -> q177Sql,
     "q178_pareto_shares" -> q178Sql,
