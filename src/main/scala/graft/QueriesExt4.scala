@@ -3029,8 +3029,98 @@ object QueriesExt4 {
       |       round(quantile_cont(gap_h, 0.95), 2) AS interval_p95_h
       |FROM g WHERE gap_h IS NOT NULL""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** Deadstock report: parts with NO shipment in the trailing 90 days
+    * of the data window (and never-sold parts), as counts and share of
+    * the catalog — the inventory the working-capital review asks about
+    * first. One max-shipdate aggregate per part (pruned two-column
+    * scan), an anti-join-shaped left join against the part dimension,
+    * one summary row. */
+  def q182Deadstock(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+      expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+        .as("ship_day"))
+    val cutoff = li.agg((max(col("ship_day")) - 90).as("cut"))
+    val lastShip = li.groupBy(col("l_partkey"))
+      .agg(max(col("ship_day")).as("last_day"))
+    val parts = Tables.part(s, dir).select(col("p_partkey"))
+    parts.join(lastShip, parts("p_partkey") === lastShip("l_partkey"),
+        "left")
+      .crossJoin(broadcast(cutoff))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("last_day").isNull, 1L).otherwise(0L))
+          .as("never_sold"),
+        sum(when(col("last_day").isNotNull && col("last_day") < col("cut"),
+          1L).otherwise(0L)).as("stale_90d"))
+      .select(col("n_parts"), col("never_sold"), col("stale_90d"),
+        round((col("never_sold") + col("stale_90d")).cast("double") /
+          col("n_parts").cast("double"), 6).as("dead_share"))
+  }
+  val q182Sql: String =
+    """WITH li AS (SELECT l_partkey,
+      |        epoch_ms(l_shipdate) // 86400000 AS ship_day FROM lineitem),
+      |c AS (SELECT max(ship_day) - 90 AS cut FROM li),
+      |ls AS (SELECT l_partkey, max(ship_day) AS last_day
+      |       FROM li GROUP BY 1)
+      |SELECT count(*)::BIGINT AS n_parts,
+      |       sum(CASE WHEN last_day IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |         AS never_sold,
+      |       sum(CASE WHEN last_day IS NOT NULL AND last_day < cut
+      |           THEN 1 ELSE 0 END)::BIGINT AS stale_90d,
+      |       round((sum(CASE WHEN last_day IS NULL THEN 1 ELSE 0 END)
+      |              + sum(CASE WHEN last_day IS NOT NULL AND last_day < cut
+      |                    THEN 1 ELSE 0 END))::DOUBLE
+      |             / count(*)::DOUBLE, 6) AS dead_share
+      |FROM part LEFT JOIN ls ON part.p_partkey = ls.l_partkey, c"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- q183
+  /** Daily GMV with the 7-day trailing mean and week-over-week growth —
+    * the first chart of every revenue dashboard, in exact micro-cents:
+    * both the moving mean and the lag-7 comparison are windows over the
+    * ≤|days| daily frame (integer sums come off the event grain once).
+    * Edge rows publish NULL growth/short-window means honestly instead
+    * of silently averaging fewer days (frame size is published). */
+  def q183GmvTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("vm"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val wl = Window.orderBy(col("day"))
+    daily
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .withColumn("ma7",
+        when(col("win_n") === 7,
+          round(sum(col("vm")).over(w7).cast("double") / 7.0d /
+            1000000.0d, 2)))
+      .withColumn("wow",
+        round((col("vm") - lag(col("vm"), 7).over(wl)).cast("double") /
+          lag(col("vm"), 7).over(wl).cast("double"), 6))
+      .select(col("day"),
+        round(col("vm").cast("double") / 1000000.0d, 2).as("gmv"),
+        col("win_n"), col("ma7"), col("wow"))
+  }
+  val q183Sql: String =
+    """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      |        sum(round("value" * 1000000.0)::BIGINT)::BIGINT AS vm
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT day, round(vm::DOUBLE / 1000000.0, 2) AS gmv,
+      |       count(*) OVER w7 AS win_n,
+      |       CASE WHEN count(*) OVER w7 = 7 THEN
+      |         round((sum(vm) OVER w7)::DOUBLE / 7.0 / 1000000.0, 2)
+      |       END AS ma7,
+      |       round((vm - lag(vm, 7) OVER (ORDER BY day))::DOUBLE
+      |             / (lag(vm, 7) OVER (ORDER BY day))::DOUBLE, 6) AS wow
+      |FROM d
+      |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+      .stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_deadstock" -> (q182Deadstock _),
+    "q183_gmv_trend" -> (q183GmvTrend _),
     "q179_ushaped_attribution" -> (q179UshapedAttribution _),
     "q180_dispersion_index" -> (q180DispersionIndex _),
     "q181_repeat_interval" -> (q181RepeatInterval _),
@@ -3092,6 +3182,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q182_deadstock" -> q182Sql,
+    "q183_gmv_trend" -> q183Sql,
     "q179_ushaped_attribution" -> q179Sql,
     "q180_dispersion_index" -> q180Sql,
     "q181_repeat_interval" -> q181Sql,
