@@ -3117,8 +3117,73 @@ object QueriesExt4 {
       |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
       .stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** Revenue mix by customer segment: net order revenue and share per
+    * market segment — the portfolio view of the star schema in exact
+    * micro-cents. Customer dimension broadcasts into the order fact;
+    * the share window runs over the ≤|segments| frame. */
+  def q184SegmentMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      round(col("o_totalprice") * 100.0d, 0).cast("long").as("cents"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .withColumn("share", round(col("cents").cast("double") /
+        sum(col("cents")).over(Window.partitionBy()).cast("double"), 6))
+      .select(col("c_mktsegment"), col("n_orders"),
+        round(col("cents").cast("double") / 100.0d, 2).as("revenue"),
+        col("share"))
+  }
+  val q184Sql: String =
+    """WITH j AS (SELECT c.c_mktsegment,
+      |        round(o.o_totalprice * 100.0)::BIGINT AS cents
+      |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |g AS (SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+      |        sum(cents)::BIGINT AS cents
+      |      FROM j GROUP BY 1)
+      |SELECT c_mktsegment, n_orders,
+      |       round(cents::DOUBLE / 100.0, 2) AS revenue,
+      |       round(cents::DOUBLE / (sum(cents) OVER ())::DOUBLE, 6)
+      |         AS share
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q185
+  /** User-activity distribution as a mergeable log₂ histogram
+    * ([[HistSketch]] over events-per-user) — how heavy the heavy users
+    * are, in the same additive-sketch currency as q125 (per-day
+    * activity histograms would re-merge by plain summation): per bin
+    * the user count and event mass, with shares over the ≤32-bin
+    * frame. */
+  def q185ActivityHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    HistSketch.logHistogram(
+        perUser.select(lit("all").as("g"), col("n")), "g", col("n"))
+      .withColumn("n_users", col("n"))
+      .select(col("b").as("bucket"), col("n_users"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()).cast("double"), 6)
+          .as("user_share"))
+  }
+  val q185Sql: String =
+    """WITH pu AS (SELECT user_id, count(*)::BIGINT AS n
+      |            FROM events GROUP BY 1),
+      |h AS (SELECT (length(bin(n)) - 1)::INT AS bucket,
+      |        count(*)::BIGINT AS n_users
+      |      FROM pu WHERE n > 0 GROUP BY 1)
+      |SELECT bucket, n_users,
+      |       round(n_users::DOUBLE / (sum(n_users) OVER ())::DOUBLE, 6)
+      |         AS user_share
+      |FROM h""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_segment_mix" -> (q184SegmentMix _),
+    "q185_activity_histogram" -> (q185ActivityHistogram _),
     "q182_deadstock" -> (q182Deadstock _),
     "q183_gmv_trend" -> (q183GmvTrend _),
     "q179_ushaped_attribution" -> (q179UshapedAttribution _),
@@ -3182,6 +3247,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q184_segment_mix" -> q184Sql,
+    "q185_activity_histogram" -> q185Sql,
     "q182_deadstock" -> q182Sql,
     "q183_gmv_trend" -> q183Sql,
     "q179_ushaped_attribution" -> q179Sql,
