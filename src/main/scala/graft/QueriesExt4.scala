@@ -3180,8 +3180,135 @@ object QueriesExt4 {
       |         AS user_share
       |FROM h""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  /** Conversion by activity quartile: users bucketed by NON-purchase
+    * event volume (the [[graft.functions.RobustStats.withQuantileBin]]
+    * kernel — exact corpus quartile boundaries broadcast back), then
+    * the purchase-conversion rate per bucket — does engagement actually
+    * convert, the behavioral-segmentation read. Two per-user
+    * aggregates, one boundary row, one ≤4-row report. */
+  def q186ConversionByActivity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RobustStats
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+          .as("touches"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    RobustStats.withQuantileBin(perUser, "touches",
+        Seq(0.25, 0.5, 0.75))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      .select(col("bin").as("activity_quartile"), col("n_users"),
+        round(col("n_converted").cast("double") /
+          col("n_users").cast("double"), 6).as("conversion_rate"))
+  }
+  val q186Sql: String =
+    """WITH pu AS (SELECT user_id,
+      |        sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      |          AS touches,
+      |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |          AS converted
+      |      FROM events GROUP BY 1),
+      |b AS (SELECT quantile_cont(touches::DOUBLE, 0.25) AS q1,
+      |        quantile_cont(touches::DOUBLE, 0.5) AS q2,
+      |        quantile_cont(touches::DOUBLE, 0.75) AS q3
+      |      FROM pu),
+      |x AS (SELECT converted,
+      |        (CASE WHEN touches::DOUBLE > q1 THEN 1 ELSE 0 END
+      |         + CASE WHEN touches::DOUBLE > q2 THEN 1 ELSE 0 END
+      |         + CASE WHEN touches::DOUBLE > q3 THEN 1 ELSE 0 END)
+      |          AS bin
+      |      FROM pu, b)
+      |SELECT bin AS activity_quartile, count(*)::BIGINT AS n_users,
+      |       round(sum(converted)::DOUBLE / count(*)::DOUBLE, 6)
+      |         AS conversion_rate
+      |FROM x GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q187
+  /** Part-price consistency audit: per part, the relative spread of its
+    * extended unit price across order lines ((max−min)/mean in exact
+    * cents) and a flag above 50% — the pricing-integrity check that
+    * catches fat-finger discounts and currency bugs. Unit price =
+    * extendedprice/quantity in exact cents; one per-part aggregate;
+    * the report keeps only flagged parts plus a summary-friendly
+    * count. */
+  def q187PriceDispersion(s: SparkSession, dir: String): DataFrame = {
+    val unit = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") / col("l_quantity") * 100.0d, 0)
+          .cast("long").as("unit_cents"))
+    val g = unit.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), min(col("unit_cents")).as("mn"),
+        max(col("unit_cents")).as("mx"), sum(col("unit_cents")).as("sc"))
+      .withColumn("spread", round((col("mx") - col("mn")).cast("double") /
+        (col("sc").cast("double") / col("n_lines").cast("double")), 6))
+    g.agg(count(lit(1)).as("n_parts"),
+        sum(when(col("spread") > 0.5d, 1L).otherwise(0L))
+          .as("n_flagged"),
+        round(expr("percentile(spread, 0.5)"), 6).as("spread_p50"),
+        round(max(col("spread")), 6).as("spread_max"))
+  }
+  val q187Sql: String =
+    """WITH u AS (SELECT l_partkey,
+      |        round(l_extendedprice / l_quantity * 100.0)::BIGINT
+      |          AS unit_cents
+      |      FROM lineitem),
+      |g AS (SELECT l_partkey, count(*)::BIGINT AS n_lines,
+      |        min(unit_cents) AS mn, max(unit_cents) AS mx,
+      |        sum(unit_cents)::BIGINT AS sc
+      |      FROM u GROUP BY 1),
+      |sp AS (SELECT round((mx - mn)::DOUBLE
+      |         / (sc::DOUBLE / n_lines::DOUBLE), 6) AS spread FROM g)
+      |SELECT count(*)::BIGINT AS n_parts,
+      |       sum(CASE WHEN spread > 0.5 THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_flagged,
+      |       round(quantile_cont(spread, 0.5), 6) AS spread_p50,
+      |       round(max(spread), 6) AS spread_max
+      |FROM sp""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+  /** Churn rate by signup cohort: users whose last activity ended more
+    * than 7 days before the corpus's end are churned; the rate per
+    * weekly signup cohort says whether retention is improving across
+    * cohorts (q108's retention matrix collapsed to the one number a
+    * weekly review tracks). One per-user (first, last) aggregate, a
+    * broadcast end-of-window scalar, a ≤|cohorts| report. */
+  def q188ChurnByCohort(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts_ms div 86400000")).as("first_day"),
+        max(expr("ts_ms div 86400000")).as("last_day"))
+    val end = Tables.events(s, dir)
+      .agg(max(expr("ts_ms div 86400000")).as("end_day"))
+    perUser.crossJoin(broadcast(end))
+      .select(expr("first_day div 7").as("cohort_week"),
+        when(col("last_day") < col("end_day") - 7, 1L).otherwise(0L)
+          .as("churned"))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"), sum(col("churned")).as("n_churned"))
+      .withColumn("churn_rate", round(col("n_churned").cast("double") /
+        col("n_users").cast("double"), 6))
+  }
+  val q188Sql: String =
+    """WITH pu AS (SELECT user_id,
+      |        min(epoch_ms(ts) // 86400000) AS first_day,
+      |        max(epoch_ms(ts) // 86400000) AS last_day
+      |      FROM events GROUP BY 1),
+      |e AS (SELECT max(epoch_ms(ts) // 86400000) AS end_day FROM events)
+      |SELECT first_day // 7 AS cohort_week, count(*)::BIGINT AS n_users,
+      |       sum(CASE WHEN last_day < end_day - 7 THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_churned,
+      |       round(sum(CASE WHEN last_day < end_day - 7 THEN 1 ELSE 0 END)
+      |             ::DOUBLE / count(*)::DOUBLE, 6) AS churn_rate
+      |FROM pu, e GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_conversion_by_activity" -> (q186ConversionByActivity _),
+    "q187_price_dispersion" -> (q187PriceDispersion _),
+    "q188_churn_by_cohort" -> (q188ChurnByCohort _),
     "q184_segment_mix" -> (q184SegmentMix _),
     "q185_activity_histogram" -> (q185ActivityHistogram _),
     "q182_deadstock" -> (q182Deadstock _),
@@ -3247,6 +3374,9 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_conversion_by_activity" -> q186Sql,
+    "q187_price_dispersion" -> q187Sql,
+    "q188_churn_by_cohort" -> q188Sql,
     "q184_segment_mix" -> q184Sql,
     "q185_activity_histogram" -> q185Sql,
     "q182_deadstock" -> q182Sql,
