@@ -3304,8 +3304,87 @@ object QueriesExt4 {
       |             ::DOUBLE / count(*)::DOUBLE, 6) AS churn_rate
       |FROM pu, e GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** ARPU by nation: order revenue per customer across the
+    * customer→nation geography — the geographic unit-economics view
+    * completing the q184 segment mix. Exact micro-cents; both
+    * dimensions broadcast; ≤|nations| report rows. */
+  def q189NationArpu(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      round(col("o_totalprice") * 100.0d, 0).cast("long").as("cents"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .select(col("n_name"), col("n_customers"), col("n_orders"),
+        round(col("cents").cast("double") / 100.0d /
+          col("n_customers").cast("double"), 2).as("arpu"))
+  }
+  val q189Sql: String =
+    """WITH j AS (SELECT n.n_name, o.o_custkey,
+      |        round(o.o_totalprice * 100.0)::BIGINT AS cents
+      |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |      JOIN nation n ON c.c_nationkey = n.n_nationkey)
+      |SELECT n_name, count(DISTINCT o_custkey)::BIGINT AS n_customers,
+      |       count(*)::BIGINT AS n_orders,
+      |       round(sum(cents)::DOUBLE / 100.0
+      |             / count(DISTINCT o_custkey)::DOUBLE, 2) AS arpu
+      |FROM j GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+  /** Tukey-fence outlier census per event type: values outside
+    * [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the box-plot rule next to q85's
+    * median/MAD flags (IQR fences are what BI tools draw; MAD is what
+    * robust monitors use — publishing both closes the gap): exact
+    * quartiles per type broadcast back, one conditional count, ≤|types|
+    * rows. */
+  def q190TukeyFences(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      col("value").cast("double").as("v"))
+    val q = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(v, 0.25)").as("q1"),
+        expr("percentile(v, 0.75)").as("q3"),
+        count(lit(1)).as("n"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5d)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5d)
+    ev.join(broadcast(q), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        sum(when(col("v") < col("lo") || col("v") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(max(col("lo")), 4).as("fence_lo"),
+        round(max(col("hi")), 4).as("fence_hi"))
+      .withColumn("outlier_rate", round(col("n_outliers").cast("double") /
+        col("n_events").cast("double"), 6))
+  }
+  val q190Sql: String =
+    """WITH q AS (SELECT event_type,
+      |        quantile_cont("value", 0.25) AS q1,
+      |        quantile_cont("value", 0.75) AS q3,
+      |        count(*)::BIGINT AS n
+      |      FROM events GROUP BY 1),
+      |f AS (SELECT event_type, n,
+      |        q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+      |      FROM q)
+      |SELECT e.event_type, max(f.n)::BIGINT AS n_events,
+      |       sum(CASE WHEN e."value" < f.lo OR e."value" > f.hi
+      |           THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+      |       round(max(f.lo), 4) AS fence_lo,
+      |       round(max(f.hi), 4) AS fence_hi,
+      |       round(sum(CASE WHEN e."value" < f.lo OR e."value" > f.hi
+      |             THEN 1 ELSE 0 END)::DOUBLE / max(f.n)::DOUBLE, 6)
+      |         AS outlier_rate
+      |FROM events e JOIN f ON e.event_type = f.event_type
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_nation_arpu" -> (q189NationArpu _),
+    "q190_tukey_fences" -> (q190TukeyFences _),
     "q186_conversion_by_activity" -> (q186ConversionByActivity _),
     "q187_price_dispersion" -> (q187PriceDispersion _),
     "q188_churn_by_cohort" -> (q188ChurnByCohort _),
@@ -3374,6 +3453,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q189_nation_arpu" -> q189Sql,
+    "q190_tukey_fences" -> q190Sql,
     "q186_conversion_by_activity" -> q186Sql,
     "q187_price_dispersion" -> q187Sql,
     "q188_churn_by_cohort" -> q188Sql,
