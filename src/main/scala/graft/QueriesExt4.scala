@@ -3381,8 +3381,81 @@ object QueriesExt4 {
       |FROM events e JOIN f ON e.event_type = f.event_type
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  /** Event-type co-occurrence lift at the SESSION grain — which
+    * behaviors happen in the same sitting above chance (the q141
+    * market-basket statistic where the basket is a 30-minute session
+    * built with the q29 lag+cumsum machinery): per type pair,
+    * P(both in session)/(P(a)·P(b)) with session counts exact. The
+    * pair expansion runs over per-session distinct-type sets (≤|types|
+    * each), never events. */
+  def q191SessionLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val sessions = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("event_type"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val present = sessions
+      .select(col("user_id"), col("sid"), col("event_type")).distinct()
+    val nSessions = present.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCounts = present.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = present.as("x").join(present.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.sid") === col("y.sid") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(typeCounts.select(col("event_type").as("ta"),
+        col("n_t").as("n_a")), "ta")
+      .join(typeCounts.select(col("event_type").as("tb"),
+        col("n_t").as("n_b")), "tb")
+      .crossJoin(broadcast(nSessions))
+      .select(col("ta"), col("tb"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("n_sessions").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+  }
+  val q191Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |        event_type FROM events),
+      |g AS (SELECT *,
+      |        CASE WHEN ts_ms - lag(ts_ms) OVER
+      |            (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |          IS NULL OR ts_ms - lag(ts_ms) OVER
+      |            (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000
+      |          THEN 1 ELSE 0 END AS new_s
+      |      FROM e),
+      |si AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+      |          ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |       FROM g),
+      |p AS (SELECT DISTINCT user_id, sid, event_type FROM si),
+      |ns AS (SELECT count(*)::BIGINT AS n_sessions FROM
+      |        (SELECT DISTINCT user_id, sid FROM p)),
+      |tc AS (SELECT event_type, count(*)::BIGINT AS n_t FROM p GROUP BY 1),
+      |pr AS (SELECT x.event_type AS ta, y.event_type AS tb,
+      |         count(*)::BIGINT AS n_ab
+      |       FROM p x JOIN p y ON x.user_id = y.user_id AND x.sid = y.sid
+      |         AND x.event_type < y.event_type
+      |       GROUP BY 1, 2)
+      |SELECT ta, tb, n_ab,
+      |       round(n_ab::DOUBLE * ns.n_sessions::DOUBLE
+      |             / (a.n_t::DOUBLE * b.n_t::DOUBLE), 6) AS lift
+      |FROM pr JOIN tc a ON pr.ta = a.event_type
+      |        JOIN tc b ON pr.tb = b.event_type, ns""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_session_lift" -> (q191SessionLift _),
     "q189_nation_arpu" -> (q189NationArpu _),
     "q190_tukey_fences" -> (q190TukeyFences _),
     "q186_conversion_by_activity" -> (q186ConversionByActivity _),
@@ -3453,6 +3526,7 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_session_lift" -> q191Sql,
     "q189_nation_arpu" -> q189Sql,
     "q190_tukey_fences" -> q190Sql,
     "q186_conversion_by_activity" -> q186Sql,
