@@ -3453,8 +3453,115 @@ object QueriesExt4 {
       |FROM pr JOIN tc a ON pr.ta = a.event_type
       |        JOIN tc b ON pr.tb = b.event_type, ns""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+  /** Weekend-vs-weekday value difference with the Welch t-statistic —
+    * completes the inferential set (χ² q159, KS q167, Wilson q157, MDE
+    * q166) with the two-sample mean test: per event value, is the
+    * weekend mean actually different? Exact micro-unit sufficient
+    * statistics per side (order-independent partials), the
+    * t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂) chain in one defined double
+    * expression, |t| > 2.576 ≈ 1% two-sided verdict. */
+  def q192WeekendTtest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      (((expr("ts_ms div 86400000") + 3) % 7) >= 5).as("weekend"),
+      round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+    val g = ev.groupBy(col("weekend"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vm").cast("decimal(38,0)")).as("sv"),
+        sum((col("vm").cast("decimal(38,0)") * col("vm"))).as("svv"))
+    val wkd = g.filter(!col("weekend"))
+      .select(col("n").as("n1"), col("sv").as("s1"), col("svv").as("ss1"))
+    val wke = g.filter(col("weekend"))
+      .select(col("n").as("n2"), col("sv").as("s2"), col("svv").as("ss2"))
+    val j = wkd.crossJoin(wke)
+    val m1 = col("s1").cast("double") / col("n1").cast("double")
+    val m2 = col("s2").cast("double") / col("n2").cast("double")
+    val v1 = (col("ss1").cast("double") / col("n1").cast("double") -
+      m1 * m1) / (col("n1").cast("double") - 1.0d) *
+      col("n1").cast("double")
+    val v2 = (col("ss2").cast("double") / col("n2").cast("double") -
+      m2 * m2) / (col("n2").cast("double") - 1.0d) *
+      col("n2").cast("double")
+    val t = (m1 - m2) / sqrt(v1 / col("n1").cast("double") +
+      v2 / col("n2").cast("double"))
+    j.select(col("n1").as("n_weekday"), col("n2").as("n_weekend"),
+      round(m1 / 1000000.0d, 4).as("mean_weekday"),
+      round(m2 / 1000000.0d, 4).as("mean_weekend"),
+      round(t, 4).as("t_stat"),
+      (abs(round(t, 4)) > 2.576d).as("significant_01"))
+  }
+  val q192Sql: String =
+    """WITH ev AS (SELECT ((epoch_ms(ts) // 86400000 + 3) % 7) >= 5
+      |          AS weekend,
+      |        round("value" * 1000000.0)::BIGINT AS vm FROM events),
+      |g AS (SELECT weekend, count(*)::BIGINT AS n,
+      |        sum(vm)::HUGEINT AS sv, sum(vm::HUGEINT * vm)::HUGEINT AS svv
+      |      FROM ev GROUP BY 1),
+      |j AS (SELECT a.n AS n1, a.sv AS s1, a.svv AS ss1,
+      |             b.n AS n2, b.sv AS s2, b.svv AS ss2
+      |      FROM g a, g b WHERE NOT a.weekend AND b.weekend)
+      |SELECT n1 AS n_weekday, n2 AS n_weekend,
+      |  round((s1::DOUBLE / n1::DOUBLE) / 1000000.0, 4) AS mean_weekday,
+      |  round((s2::DOUBLE / n2::DOUBLE) / 1000000.0, 4) AS mean_weekend,
+      |  round(((s1::DOUBLE / n1::DOUBLE) - (s2::DOUBLE / n2::DOUBLE))
+      |    / sqrt(((ss1::DOUBLE / n1::DOUBLE
+      |             - (s1::DOUBLE / n1::DOUBLE) * (s1::DOUBLE / n1::DOUBLE))
+      |            / (n1::DOUBLE - 1.0) * n1::DOUBLE) / n1::DOUBLE
+      |         + ((ss2::DOUBLE / n2::DOUBLE
+      |             - (s2::DOUBLE / n2::DOUBLE) * (s2::DOUBLE / n2::DOUBLE))
+      |            / (n2::DOUBLE - 1.0) * n2::DOUBLE) / n2::DOUBLE), 4)
+      |    AS t_stat,
+      |  abs(round(((s1::DOUBLE / n1::DOUBLE) - (s2::DOUBLE / n2::DOUBLE))
+      |    / sqrt(((ss1::DOUBLE / n1::DOUBLE
+      |             - (s1::DOUBLE / n1::DOUBLE) * (s1::DOUBLE / n1::DOUBLE))
+      |            / (n1::DOUBLE - 1.0) * n1::DOUBLE) / n1::DOUBLE
+      |         + ((ss2::DOUBLE / n2::DOUBLE
+      |             - (s2::DOUBLE / n2::DOUBLE) * (s2::DOUBLE / n2::DOUBLE))
+      |            / (n2::DOUBLE - 1.0) * n2::DOUBLE) / n2::DOUBLE), 4))
+      |    > 2.576 AS significant_01
+      |FROM j""".stripMargin
+
+  // ---------------------------------------------------------------- q193
+  /** Discount–quantity correlation: does a deeper discount actually
+    * move more units? Exact Pearson r over order lines from integer
+    * sufficient statistics (discount in basis points, quantity in
+    * units) — the q140 correlation chain on the pricing question. */
+  def q193DiscountElasticity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      round(col("l_discount") * 10000.0d, 0).cast("long").as("x"),
+      round(col("l_quantity"), 0).cast("long").as("y"))
+    val ssum = li.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    ssum.select(col("n").as("n_lines"),
+      round(cov / sqrt(vx) / sqrt(vy), 6).as("discount_qty_corr"))
+  }
+  val q193Sql: String =
+    """WITH li AS (SELECT round(l_discount * 10000.0)::BIGINT AS x,
+      |        round(l_quantity)::BIGINT AS y FROM lineitem),
+      |s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |        sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+      |        sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+      |      FROM li)
+      |SELECT n AS n_lines,
+      |       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |             / sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+      |             / sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE),
+      |             6) AS discount_qty_corr
+      |FROM s""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_weekend_ttest" -> (q192WeekendTtest _),
+    "q193_discount_elasticity" -> (q193DiscountElasticity _),
     "q191_session_lift" -> (q191SessionLift _),
     "q189_nation_arpu" -> (q189NationArpu _),
     "q190_tukey_fences" -> (q190TukeyFences _),
@@ -3526,6 +3633,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q192_weekend_ttest" -> q192Sql,
+    "q193_discount_elasticity" -> q193Sql,
     "q191_session_lift" -> q191Sql,
     "q189_nation_arpu" -> q189Sql,
     "q190_tukey_fences" -> q190Sql,
