@@ -3558,8 +3558,118 @@ object QueriesExt4 {
       |             6) AS discount_qty_corr
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** ABC inventory classification: parts ranked by net revenue, class A
+    * = the head covering 80% of cumulative revenue, B to 95%, C the
+    * tail — the stocking-policy partition every inventory system
+    * starts from. Exact micro-cents; the rank/cumsum windows run over
+    * the per-part frame (the q79 histogram-first discipline does not
+    * apply — the PART frame IS the unit here, and it is |parts|-sized,
+    * not data-sized). Report: per class, part count, revenue share. */
+  def q194AbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))
+        * 100.0d, 0).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
+    val classified = rev
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cents")).over(Window.partitionBy()))
+      .withColumn("cls",
+        when(col("cum") * 100L <= col("tot") * 80L, "A")
+          .when(col("cum") * 100L <= col("tot") * 95L, "B")
+          .otherwise("C"))
+    classified.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
+      .withColumn("revenue_share", round(col("cents").cast("double") /
+        sum(col("cents")).over(Window.partitionBy()).cast("double"), 6))
+      .select(col("cls"), col("n_parts"),
+        round(col("cents").cast("double") / 100.0d, 2).as("revenue"),
+        col("revenue_share"))
+  }
+  val q194Sql: String =
+    """WITH rev AS (SELECT l_partkey,
+      |        sum(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+      |            ::BIGINT)::BIGINT AS cents
+      |      FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, cents,
+      |        sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cents) OVER () AS tot
+      |      FROM rev),
+      |k AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+      |             WHEN cum * 100 <= tot * 95 THEN 'B'
+      |             ELSE 'C' END AS cls, cents
+      |      FROM c)
+      |SELECT cls, count(*)::BIGINT AS n_parts,
+      |       round(sum(cents)::DOUBLE / 100.0, 2) AS revenue,
+      |       round(sum(cents)::DOUBLE / (sum(sum(cents)) OVER ())::DOUBLE, 6)
+      |         AS revenue_share
+      |FROM k GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q195
+  /** Doc-mean vs token-weighted mean quality per source — the Simpson/
+    * weighting check an honest corpus report runs: a feed of many short
+    * high-quality docs and a few long bad ones looks fine by doc mean
+    * and bad by token mass (which is what training actually consumes).
+    * Both means from exact micro-unit integer sums in ONE pass;
+    * `weighting_gap` names the divergence. */
+  def q195WeightingParadox(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val d = Tables.documents(s, dir).select(col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("nt"),
+      round(TextFunctions.qualityScore(col("text")) * 1000000.0d, 0)
+        .cast("long").as("qm"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"),
+        sum(col("qm").cast("decimal(38,0)")).as("sq"),
+        sum((col("nt") * col("qm")).cast("decimal(38,0)")).as("swq"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("sq").cast("double") / col("n_docs").cast("double") /
+          1000000.0d, 6).as("doc_mean_quality"),
+        round(col("swq").cast("double") / col("tokens").cast("double") /
+          1000000.0d, 6).as("token_mean_quality"))
+      .withColumn("weighting_gap",
+        round(col("token_mean_quality") - col("doc_mean_quality"), 6))
+  }
+  val q195Sql: String = {
+    val anyStop = graft.functions.TextFunctions.stopwords.values.flatten
+      .toSeq.distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT source, text, ${QueriesExt.toksSql} AS toks
+       |           FROM documents),
+       |m AS (SELECT source, len(toks)::BIGINT AS nt,
+       |        (length(text) - length(regexp_replace(text, '[[:punct:]]',
+       |           '', 'g')))::DOUBLE / greatest(length(text), 1) AS pr,
+       |        len(list_intersect(list_distinct(toks), [$anyStop]))::DOUBLE /
+       |          greatest(len(toks), 1) AS sr
+       |      FROM t),
+       |d AS (SELECT source, nt,
+       |        round(round(least(nt / 64.0, 1.0) * 0.4 +
+       |              (1.0 - least(pr * 4.0, 1.0)) * 0.3 +
+       |              least(sr * 4.0, 1.0) * 0.3, 6) * 1000000.0)::BIGINT
+       |          AS qm
+       |      FROM m),
+       |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |        sum(nt)::BIGINT AS tokens, sum(qm)::HUGEINT AS sq,
+       |        sum(nt::HUGEINT * qm)::HUGEINT AS swq
+       |      FROM d GROUP BY 1)
+       |SELECT source, n_docs, tokens,
+       |       round(sq::DOUBLE / n_docs::DOUBLE / 1000000.0, 6)
+       |         AS doc_mean_quality,
+       |       round(swq::DOUBLE / tokens::DOUBLE / 1000000.0, 6)
+       |         AS token_mean_quality,
+       |       round(round(swq::DOUBLE / tokens::DOUBLE / 1000000.0, 6)
+       |             - round(sq::DOUBLE / n_docs::DOUBLE / 1000000.0, 6), 6)
+       |         AS weighting_gap
+       |FROM g""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_abc_analysis" -> (q194AbcAnalysis _),
+    "q195_weighting_paradox" -> (q195WeightingParadox _),
     "q192_weekend_ttest" -> (q192WeekendTtest _),
     "q193_discount_elasticity" -> (q193DiscountElasticity _),
     "q191_session_lift" -> (q191SessionLift _),
@@ -3633,6 +3743,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q194_abc_analysis" -> q194Sql,
+    "q195_weighting_paradox" -> q195Sql,
     "q192_weekend_ttest" -> q192Sql,
     "q193_discount_elasticity" -> q193Sql,
     "q191_session_lift" -> q191Sql,
