@@ -3666,8 +3666,74 @@ object QueriesExt4 {
        |FROM g""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q196
+  /** Naive-seasonal forecast backtest: forecast(day) = GMV(day − 7),
+    * scored as MAPE/bias over the backtest window — the baseline any
+    * real forecaster must beat, and q156's autocorrelation says how
+    * beatable it is. Exact micro-cent daily sums; one lag over the
+    * ≤|days| frame; the error aggregate publishes n, MAPE, and mean
+    * bias. */
+  def q196ForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("vm"))
+    val w = Window.orderBy(col("day"))
+    daily.withColumn("fc", lag(col("vm"), 7).over(w))
+      .filter(col("fc").isNotNull)
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(abs(col("vm") - col("fc")).cast("double") /
+          col("vm").cast("double")), 6).as("mape"),
+        round(avg((col("fc") - col("vm")).cast("double") /
+          col("vm").cast("double")), 6).as("mean_bias"))
+  }
+  val q196Sql: String =
+    """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      |        sum(round("value" * 1000000.0)::BIGINT)::BIGINT AS vm
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |f AS (SELECT day, vm, lag(vm, 7) OVER (ORDER BY day) AS fc FROM d)
+      |SELECT count(*)::BIGINT AS n_days,
+      |       round(avg(abs(vm - fc)::DOUBLE / vm::DOUBLE), 6) AS mape,
+      |       round(avg((fc - vm)::DOUBLE / vm::DOUBLE), 6) AS mean_bias
+      |FROM f WHERE fc IS NOT NULL""".stripMargin
+
+  // ---------------------------------------------------------------- q197
+  /** Daily behavior-mix entropy: the Shannon entropy of the event-type
+    * mix per day (maximum ln 5 ≈ 1.609 when all five types are even) —
+    * a collapsing entropy means one behavior is taking over before any
+    * single-type monitor fires. Counts per (day, type) partial-agg;
+    * the share/ln fold runs over the ≤5-row type frame per day;
+    * round-6 absorbs ln's sub-ulp. */
+  def q197MixEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, dir)
+      .groupBy(expr("ts_ms div 86400000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val share = col("n").cast("double") /
+      sum(col("n")).over(Window.partitionBy(col("day"))).cast("double")
+    c.withColumn("term", -share * log(share))
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(sum(col("term")), 6).as("mix_entropy"))
+  }
+  val q197Sql: String =
+    """WITH c AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+      |        count(*)::BIGINT AS n
+      |      FROM events GROUP BY 1, 2),
+      |s AS (SELECT day, n,
+      |        n::DOUBLE / (sum(n) OVER (PARTITION BY day))::DOUBLE
+      |          AS share
+      |      FROM c)
+      |SELECT day, sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_types,
+      |       round(sum(-share * ln(share)), 6) AS mix_entropy
+      |FROM s GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_forecast_backtest" -> (q196ForecastBacktest _),
+    "q197_mix_entropy" -> (q197MixEntropy _),
     "q194_abc_analysis" -> (q194AbcAnalysis _),
     "q195_weighting_paradox" -> (q195WeightingParadox _),
     "q192_weekend_ttest" -> (q192WeekendTtest _),
@@ -3743,6 +3809,8 @@ object QueriesExt4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q196_forecast_backtest" -> q196Sql,
+    "q197_mix_entropy" -> q197Sql,
     "q194_abc_analysis" -> q194Sql,
     "q195_weighting_paradox" -> q195Sql,
     "q192_weekend_ttest" -> q192Sql,
