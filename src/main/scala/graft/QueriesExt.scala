@@ -2498,7 +2498,7 @@ object QueriesExt {
     val bins = scored.groupBy("bin")
       .agg(sum(col("pos")).as("bin_pos"), count(lit(1)).as("bin_n"))
     val total = bins.agg(sum(col("bin_pos")).as("total_pos"))
-    val sweep = Window.orderBy(col("bin").desc)
+    val sweep = graft.functions.BoundedWindow.orderBy(col("bin"), col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bins
       .withColumn("tp", sum(col("bin_pos")).over(sweep))

@@ -410,7 +410,8 @@ object QueriesExt3 {
         round(col("chars").cast("double") / col("tokens").cast("double"), 6))
       .withColumn("token_share",
         round(col("tokens").cast("double") /
-          sum(col("tokens")).over(Window.partitionBy()).cast("double"), 6))
+          sum(col("tokens")).over(graft.functions.BoundedWindow.all(col("lang")))
+            .cast("double"), 6))
   }
   val q118Sql: String =
     s"""WITH t AS (SELECT lang, len($toksSqlDocs)::BIGINT AS nt,
@@ -525,19 +526,23 @@ object QueriesExt3 {
     * row_number ranks (doc_id tie-break — deterministic where
     * average-rank tie handling is engine-varied) makes the whole
     * statistic EXACT integer algebra: ρ = 1 − 6·Σd²/(n(n²−1)), one
-    * division at the end. Corpus-level ranks are a distributed sort of
-    * NARROW (id, scalar) rows — the acceptable global-sort case; the
-    * grouped-percentile path (q103) is the per-feed alternative. */
+    * division at the end. Corpus-level ranks run through
+    * [[graft.functions.PrefixScan]]'s two-pass partition-prefix rank —
+    * an unpartitioned `row_number` window would funnel every document
+    * through ONE task at 100 TB; the grouped-percentile path (q103) is
+    * the per-feed alternative. */
   def q121Spearman(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PrefixScan
     val m = Tables.documents(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("nt"),
         round(size(array_distinct(col("toks"))).cast("double") /
           greatest(size(col("toks")), lit(1)).cast("double"), 6).as("ttr"))
-    val ranked = m
-      .withColumn("r1", row_number().over(Window.orderBy(col("nt"), col("doc_id"))))
-      .withColumn("r2", row_number().over(Window.orderBy(col("ttr"), col("doc_id"))))
+    val ranked = PrefixScan.scan(
+      PrefixScan.scan(m, col("nt"), Seq(col("nt"), col("doc_id")),
+        Seq(PrefixScan.RowNumber("r1")), cache = true),
+      col("ttr"), Seq(col("ttr"), col("doc_id")),
+      Seq(PrefixScan.RowNumber("r2")), cache = true)
     ranked.agg(count(lit(1)).as("n"),
         sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("d2"))
       .select(col("n"),

@@ -1670,16 +1670,18 @@ object QueriesExt4 {
     * own ts). The p99/max of that distribution IS the watermark a
     * `withWatermark` needs to not drop data ([[graft.streaming
     * .StreamAggs]]' windows, [[graft.streaming.CdcPipeline]]'s dedup).
-    * The running max is one globally-ordered window over narrow (id,
-    * ts) rows — the q121 acceptable-global-sort case; everything after
-    * aggregates to ONE row. */
+    * The running max over arrival order runs through
+    * [[graft.functions.PrefixScan]] (range-bucketed local running max
+    * + broadcast bucket-prefix max) — the unpartitioned-window form
+    * would put ALL events in one task; everything after aggregates to
+    * ONE row. */
   def q154LatenessAudit(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .select(col("event_id"), col("ts_ms"))
-      .withColumn("late_ms", max(col("ts_ms")).over(w) - col("ts_ms"))
+    import graft.functions.PrefixScan
+    PrefixScan.scan(
+        Tables.events(s, dir).select(col("event_id"), col("ts_ms")),
+        col("event_id"), Seq(col("event_id")),
+        Seq(PrefixScan.RunMax(col("ts_ms"), "runmax")))
+      .withColumn("late_ms", col("runmax") - col("ts_ms"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("late_ms") > 0, 1L).otherwise(0L)).as("n_late"),
         round(expr("percentile(late_ms, 0.5)"), 2).as("late_p50_ms"),
@@ -2032,7 +2034,7 @@ object QueriesExt4 {
       .agg(count(lit(1)).as("n_risk"),
         sum(when(col("conv_off") === col("t"), 1L).otherwise(0L))
           .as("d"))
-    val w = Window.orderBy(col("t"))
+    val w = graft.functions.BoundedWindow.orderBy(col("t"), col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // A total-death offset (d = n_risk) sends the product to exactly 0
     // forever; splitting that case out keeps ln() off zero (an error in
@@ -2329,12 +2331,15 @@ object QueriesExt4 {
     * binning-free complement of PSI (q95 commits to reference bins; KS
     * asks "did the distribution move AT ALL" with no bins to choose):
     * D = max |ECDF₁ − ECDF₂| over the pooled sorted values, evaluated
-    * at distinct values with ties fully counted. The pooled order is
-    * ONE global sort of narrow (value, side) micro-unit rows (the q121
-    * acceptable case); the critical value c(α)·√((n₁+n₂)/(n₁n₂)) at
-    * α = 0.01 uses the 1.628 literal embedded in both engines. */
+    * at distinct values with ties fully counted. The pooled-order
+    * cumulative sums run through [[graft.functions.PrefixScan]] (the
+    * distinct-value frame is data-scaled — an unpartitioned window
+    * over it is the single-task trap) and the two totals are one
+    * broadcast scalar aggregate; the critical value
+    * c(α)·√((n₁+n₂)/(n₁n₂)) at α = 0.01 uses the 1.628 literal
+    * embedded in both engines. */
   def q167KsTest(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PrefixScan
     val ev = Tables.events(s, dir)
     val mid = ev.agg(((min(col("ts_ms")) + max(col("ts_ms"))) / 2)
       .cast("long").as("mid"))
@@ -2344,16 +2349,16 @@ object QueriesExt4 {
         when(col("ts_ms") >= col("mid"), 1L).otherwise(0L).as("s2"))
     val perValue = sided.groupBy(col("vm"))
       .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
-    val w = Window.orderBy(col("vm"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    val withCdf = perValue
-      .withColumn("f1", sum(col("c1")).over(w).cast("double") /
-        sum(col("c1")).over(tot).cast("double"))
-      .withColumn("f2", sum(col("c2")).over(w).cast("double") /
-        sum(col("c2")).over(tot).cast("double"))
-      .withColumn("n1", sum(col("c1")).over(tot))
-      .withColumn("n2", sum(col("c2")).over(tot))
+    val tots = perValue.agg(sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2"))
+    val withCdf = PrefixScan.scan(perValue, col("vm"), Seq(col("vm")),
+        Seq(PrefixScan.RunSum(col("c1"), "cum1"),
+          PrefixScan.RunSum(col("c2"), "cum2")), cache = true)
+      .crossJoin(broadcast(tots))
+      .withColumn("f1",
+        col("cum1").cast("double") / col("n1").cast("double"))
+      .withColumn("f2",
+        col("cum2").cast("double") / col("n2").cast("double"))
     val crit = round(lit(1.628d) *
       sqrt((col("n1") + col("n2")).cast("double") /
         (col("n1") * col("n2")).cast("double")), 6)
@@ -2834,22 +2839,27 @@ object QueriesExt4 {
   /** Pareto revenue shares: the fraction of total purchase value
     * carried by the top 1% / 10% / 20% of users — the quoted "80/20"
     * number next to q168's Gini. Exact: per-user micro sums ranked
-    * descending (user-id tie-break), top-N by ceil-count, conditional
-    * integer sums; one rank window over the per-user frame. */
+    * descending (user-id tie-break) via
+    * [[graft.functions.PrefixScan]]'s two-pass rank (the per-user
+    * frame is data-scaled — no unpartitioned window), top-N by
+    * ceil-count, conditional integer sums; n and the value total are
+    * one broadcast scalar aggregate. */
   def q178ParetoShares(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PrefixScan
     val perUser = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("x"))
-    val ranked = perUser
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("x").desc, col("user_id").asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("tot", sum(col("x")).over(Window.partitionBy()))
+    val nt = perUser.agg(count(lit(1)).as("n"), sum(col("x")).as("tot"))
+    val ranked = PrefixScan.scan(perUser, -col("x"),
+        Seq(col("x").desc, col("user_id").asc),
+        Seq(PrefixScan.RowNumber("rk")), cache = true)
+      .crossJoin(broadcast(nt))
     Seq((1, 100), (10, 100), (20, 100)).map { case (num, den) =>
+      // Integer `div` keeps the ceil-count exact past 2^53 user counts
+      // (double `/` would round the rank boundary there).
       ranked.filter(col("rk") <=
-          floor((col("n") * num + (den - 1)) / den).cast("long"))
+          expr(s"(n * $num + ${den - 1}) div $den"))
         .agg(max(col("n")).as("n_users"), max(col("tot")).as("tot"),
           count(lit(1)).as("top_users"), sum(col("x")).as("top_x"))
         .select(lit(num).as("top_pct"), col("top_users"),
@@ -3087,8 +3097,9 @@ object QueriesExt4 {
       .filter(col("event_type") === "purchase")
       .groupBy(expr("ts_ms div 86400000").as("day"))
       .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("vm"))
-    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
-    val wl = Window.orderBy(col("day"))
+    val w7 = graft.functions.BoundedWindow.orderBy(col("day"), col("day"))
+      .rowsBetween(-6, 0)
+    val wl = graft.functions.BoundedWindow.orderBy(col("day"), col("day"))
     daily
       .withColumn("win_n", count(lit(1)).over(w7))
       .withColumn("ma7",
@@ -3132,7 +3143,8 @@ object QueriesExt4 {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
       .withColumn("share", round(col("cents").cast("double") /
-        sum(col("cents")).over(Window.partitionBy()).cast("double"), 6))
+        sum(col("cents")).over(graft.functions.BoundedWindow.all(col("cents")))
+          .cast("double"), 6))
       .select(col("c_mktsegment"), col("n_orders"),
         round(col("cents").cast("double") / 100.0d, 2).as("revenue"),
         col("share"))
@@ -3166,7 +3178,8 @@ object QueriesExt4 {
       .withColumn("n_users", col("n"))
       .select(col("b").as("bucket"), col("n_users"),
         round(col("n").cast("double") /
-          sum(col("n")).over(Window.partitionBy()).cast("double"), 6)
+          sum(col("n")).over(graft.functions.BoundedWindow.all(col("n")))
+            .cast("double"), 6)
           .as("user_share"))
   }
   val q185Sql: String =
@@ -3562,21 +3575,24 @@ object QueriesExt4 {
   /** ABC inventory classification: parts ranked by net revenue, class A
     * = the head covering 80% of cumulative revenue, B to 95%, C the
     * tail — the stocking-policy partition every inventory system
-    * starts from. Exact micro-cents; the rank/cumsum windows run over
-    * the per-part frame (the q79 histogram-first discipline does not
-    * apply — the PART frame IS the unit here, and it is |parts|-sized,
-    * not data-sized). Report: per class, part count, revenue share. */
+    * starts from. Exact micro-cents; the PART frame scales with the
+    * catalog, so the descending revenue cumsum runs through
+    * [[graft.functions.PrefixScan]] (two-pass partition-prefix sum —
+    * never an unpartitioned window) and the total is one broadcast
+    * scalar; the final share window runs over the 3-row class frame
+    * ([[graft.functions.BoundedWindow]]). Report: per class, part
+    * count, revenue share. */
   def q194AbcAnalysis(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{BoundedWindow, PrefixScan}
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))
         * 100.0d, 0).cast("long")).as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey").asc)
-    val classified = rev
-      .withColumn("cum", sum(col("cents")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum(col("cents")).over(Window.partitionBy()))
+    val tot = rev.agg(sum(col("cents")).as("tot"))
+    val classified = PrefixScan.scan(rev, -col("cents"),
+        Seq(col("cents").desc, col("l_partkey").asc),
+        Seq(PrefixScan.RunSum(col("cents"), "cum")), cache = true)
+      .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(col("cum") * 100L <= col("tot") * 80L, "A")
           .when(col("cum") * 100L <= col("tot") * 95L, "B")
@@ -3584,7 +3600,8 @@ object QueriesExt4 {
     classified.groupBy(col("cls"))
       .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"))
       .withColumn("revenue_share", round(col("cents").cast("double") /
-        sum(col("cents")).over(Window.partitionBy()).cast("double"), 6))
+        sum(col("cents")).over(BoundedWindow.all(col("cents")))
+          .cast("double"), 6))
       .select(col("cls"), col("n_parts"),
         round(col("cents").cast("double") / 100.0d, 2).as("revenue"),
         col("revenue_share"))
@@ -3679,7 +3696,7 @@ object QueriesExt4 {
       .filter(col("event_type") === "purchase")
       .groupBy(expr("ts_ms div 86400000").as("day"))
       .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("vm"))
-    val w = Window.orderBy(col("day"))
+    val w = graft.functions.BoundedWindow.orderBy(col("day"), col("day"))
     daily.withColumn("fc", lag(col("vm"), 7).over(w))
       .filter(col("fc").isNotNull)
       .agg(count(lit(1)).as("n_days"),

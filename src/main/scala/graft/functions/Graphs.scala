@@ -58,6 +58,18 @@ object Graphs {
     if (distinctEdges) raw.distinct() else raw
   }
 
+  /** Canonical undirected edge form, ENFORCED at every operator entry
+    * (not just documented): a := min endpoint, b := max, self-loops
+    * dropped, then distinct. Input containing both (a,b) and (b,a) —
+    * or (a,a) — would otherwise survive a bare `distinct()` and
+    * double-count degrees, wedges, and triangles. A narrow map before
+    * the distinct the operators already pay for — no extra exchange. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
   /** Global triangle census over distinct undirected edges (a, b), a<b:
     * one row (n_nodes, n_edges, n_wedges, n_triangles, clustering).
     *
@@ -79,7 +91,7 @@ object Graphs {
     // the orientation — materializing |E| narrow rows once beats
     // re-running the caller's edge derivation (often a self-join +
     // distinct) per consumer (the PageRank edge-list discipline).
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val e = canonical(edges).localCheckpoint()
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // Orient: src = smaller (deg, id), dst = larger. Ties in degree break
@@ -133,7 +145,7 @@ object Graphs {
     * surviving edge set, which only shrinks. */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
-    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    var e = canonical(edges).localCheckpoint()
     val out = (1 to rounds).map { r =>
       val deg = e.select(col("a").as("v"))
         .union(e.select(col("b").as("v")))
@@ -169,7 +181,7 @@ object Graphs {
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val e = canonical(edges).localCheckpoint()
     val adj = e.select(col("a").as("v"), col("b").as("nbr"))
       .union(e.select(col("b").as("v"), col("a").as("nbr")))
       .localCheckpoint()
@@ -200,7 +212,7 @@ object Graphs {
     */
   def neighborJaccard(edges: DataFrame, hubCap: Int = 1000,
                       minCommon: Int = 1): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct()
+    val e = canonical(edges)
     // Symmetric adjacency (center, leaf): center is the shared neighbor.
     val adj = e.select(col("a").as("c"), col("b").as("leaf"))
       .union(e.select(col("b").as("c"), col("a").as("leaf")))

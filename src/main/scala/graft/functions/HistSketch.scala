@@ -62,8 +62,11 @@ object HistSketch {
       .withColumn("n_total",
         sum(col("n")).over(Window.partitionBy(col("g"))))
     val perP = ps.map { case (num, den) =>
+      // Integer `div`, not double `/`: the scaladoc promises exact
+      // (n·num + den−1) div den, and double division is only exact
+      // while n_total·num < 2^53 — silently off-by-one-rank beyond.
       cum.filter(col("cum") >=
-          floor((col("n_total") * num + (den - 1)) / den).cast("long"))
+          expr(s"(n_total * $num + ${den - 1}) div $den"))
         .groupBy(col("g"))
         .agg(min(col("b")).as("b"), max(col("n_total")).as("n_total"))
         .select(col("g"), lit(num).as("p_num"), lit(den).as("p_den"),

@@ -176,13 +176,13 @@ object Mixture {
     require(budget >= 0, "budget must be non-negative")
     val base = avail.select(col(groupCol).as("g"),
       col(availCol).cast("long").as("av"))
-    val w = Window.orderBy(col("av").asc, col("g").asc)
+    val w = BoundedWindow.orderBy(col("g"), col("av").asc, col("g").asc)
     val idx = base
       .withColumn("i", row_number().over(w))
       .withColumn("cumprev",
         coalesce(sum(col("av")).over(w.rowsBetween(Window.unboundedPreceding,
           -1)), lit(0L)))
-      .withColumn("n_total", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("n_total", count(lit(1)).over(BoundedWindow.all(col("g"))))
     // Candidate level at row i: everything below i saturates, the rest
     // split evenly. The level LANDS at the first i where it stays below
     // that row's own availability.

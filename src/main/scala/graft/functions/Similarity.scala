@@ -741,7 +741,15 @@ object Similarity {
                             vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     val spark = corpus.sparkSession
-    val dims = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    // headOption, not head: an empty corpus returns an empty model
+    // frame instead of throwing NoSuchElementException.
+    val dimsOpt = corpus.select(size(col(vecCol)).as("d")).take(1)
+      .headOption.map(_.getInt(0))
+    if (dimsOpt.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Int, Double, Double)].toDF("dim", "component", "lam")
+    }
+    val dims = dimsOpt.get
     var v: Seq[Double] = Seq.fill(dims)(1.0d / math.sqrt(dims.toDouble))
     var lam = 0.0d
     (1 to iters).foreach { _ =>
@@ -762,7 +770,10 @@ object Similarity {
       // list_sum over the dim-ordered list.
       val nrm = math.sqrt(w.foldLeft(0.0d)((a, x) => a + x * x))
       lam = nrm
-      v = w.map(_ / nrm).toSeq
+      // An all-zero corpus (or a direction annihilated to zero) has no
+      // dominant component; keep the previous unit vector instead of
+      // dividing by zero and emitting NaN components.
+      if (nrm != 0.0d) v = w.map(_ / nrm).toSeq
     }
     import spark.implicits._
     v.zipWithIndex

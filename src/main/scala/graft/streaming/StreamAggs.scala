@@ -494,8 +494,11 @@ object StreamAggs {
     agged
       .select(col("window").getField("start").as("ws"), col("event_type"),
         bins.as("bins"), nTotal.as("n_total"), pRows.as("p"))
-      .withColumn("idx", floor((col("n_total") * col("p.p_num") +
-        (col("p.den") - 1)) / col("p.den")).cast("long"))
+      // Integer `div` (not double `/`): exact ceil-rank at any n_total,
+      // matching HistSketch.percentilesFromHistogram's bit-exact
+      // replay contract.
+      .withColumn("idx",
+        expr("(n_total * p.p_num + (p.den - 1)) div p.den"))
       .withColumn("est_b", aggregate(
         zip_with(col("bins"),
           sequence(lit(0), lit(63)), (n, b) => struct(b.as("b"), n.as("n"))),
@@ -548,9 +551,15 @@ object StreamAggs {
     val varx = n * sxx - sx * sx
     agged.select(col("window").getField("start").as("ws"), col("event_type"),
       col("n"),
+      // Degenerate windows (n=1, or every event on one distinct ts)
+      // have varx=0 — no fittable trend. Publish NULL explicitly
+      // instead of the NaN a bare division would emit (NaN rows crash
+      // strict downstream sinks and poison re-aggregation).
       // slope in value units per SECOND: micro-units/ms × 1000 / 1e6.
-      round(cov / varx / lit(1000.0d), 6).as("slope_per_sec"),
-      round((sy - cov / varx * sx) / n / lit(1000000.0d), 6)
+      when(varx =!= 0.0d, round(cov / varx / lit(1000.0d), 6))
+        .as("slope_per_sec"),
+      when(varx =!= 0.0d,
+          round((sy - cov / varx * sx) / n / lit(1000000.0d), 6))
         .as("intercept"))
   }
 

@@ -1496,6 +1496,20 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(a(3)) < 1e-4 && math.abs(a(4)) < 1e-4)
   }
 
+  test("topPrincipalComponent: empty corpus returns an empty model; " +
+    "all-zero corpus stays finite (no NaN)") {
+    import graft.functions.Similarity
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.topPrincipalComponent(empty).isEmpty)
+    val zeros = (1 to 5)
+      .map(i => (i.toLong, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.topPrincipalComponent(zeros, iters = 2).collect()
+    assert(m.length === 3)
+    m.foreach(r => assert(!r.getDouble(1).isNaN && !r.getDouble(2).isNaN,
+      s"zero corpus must not produce NaN: $r"))
+  }
+
   test("embeddingMeanDrift: planted shift flagged with exact magnitude, " +
     "unshifted dims quiet") {
     import graft.functions.Similarity

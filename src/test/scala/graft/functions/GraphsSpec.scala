@@ -34,6 +34,33 @@ class GraphsSpec extends SparkSuite {
     assert(r.getAs[Long]("n_triangles") === 1L)
   }
 
+  test("triangles: REVERSED edges and self-loops canonicalize away " +
+    "(no double-counted degrees/wedges)") {
+    // Same K3 as above but every edge also appears flipped, plus
+    // self-loops — the input shape a bare distinct() would NOT dedup.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    val r = Graphs.triangleStats(edges).collect().head
+    assert(r.getAs[Long]("n_nodes") === 3L)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_wedges") === 3L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+  }
+
+  test("k-core/LPA/jaccard: reversed duplicates equal the canonical graph") {
+    val canon = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 4L), (4L, 3L), (4L, 4L)).toDF("a", "b")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(sorted(Graphs.kCorePeel(messy, 2, 3)) ===
+      sorted(Graphs.kCorePeel(canon, 2, 3)))
+    assert(sorted(Graphs.labelPropagation(messy, 3)) ===
+      sorted(Graphs.labelPropagation(canon, 3)))
+    assert(sorted(Graphs.neighborJaccard(messy)) ===
+      sorted(Graphs.neighborJaccard(canon)))
+  }
+
   test("co-occurrence edges: pairs within groups, basket valve drops mega-groups") {
     val items = Seq(("o1", 10L), ("o1", 11L), ("o1", 12L), // C(3,2)=3 edges
       ("o2", 10L), ("o2", 11L), // duplicate pair with o1 — distinct keeps 1
