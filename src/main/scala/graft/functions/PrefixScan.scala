@@ -140,6 +140,100 @@ object PrefixScan {
       .drop(scans.map(s => s"__loc_${s.out}"): _*)
       .drop(scans.map(s => s"__pre_${s.out}"): _*)
   }
+
+  /** Grouped form of [[scan]]: the scan restarts per `groupName` value
+    * and the ORDER is per group — the shape of "rank users within each
+    * event type". `Window.partitionBy(group)` alone is NOT scale-safe
+    * when each group holds a data-scaled frame (five event types over
+    * every user = five single-task sorts); here each group is further
+    * split into order-aligned buckets by PER-GROUP quantile boundaries,
+    * so a task holds ~1/bins of ONE GROUP.
+    *
+    * The boundary model is (groups × (bins−1)) doubles collected once —
+    * requires a DOMAIN-BOUNDED group column (event types, languages,
+    * segments), NOT a data-scaled one (for per-user/per-key scans the
+    * plain partitioned window is already the right plan). */
+  def scanGrouped(df: DataFrame, groupName: String, binKey: Column,
+                  order: Seq[Column], scans: Seq[Scan], bins: Int = 32,
+                  cache: Boolean = false): DataFrame = {
+    require(scans.nonEmpty, "at least one scan")
+    val session = df.sparkSession
+    val keyed0 = df.withColumn("__pk", binKey.cast("double"))
+    val keyed = if (cache)
+      keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else keyed0
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val bndAgg = keyed.groupBy(col(groupName)).agg(
+      expr(s"percentile_approx(__pk, array(${probs.mkString(",")}), 1000)")
+        .as("__bnds"))
+    // Collected ONCE so every branch of the plan bins identically
+    // (recomputed approx sketches could disagree across branches).
+    val bndRows = bndAgg.collect().map { r =>
+      val arr = if (r.isNullAt(1)) Seq.empty[Double]
+                else r.getSeq[Double](1).distinct.sorted
+      org.apache.spark.sql.Row(r.get(0), arr)
+    }
+    val bFrame = session.createDataFrame(
+      java.util.Arrays.asList(bndRows: _*), bndAgg.schema)
+    val binned = keyed.join(broadcast(bFrame), Seq(groupName))
+      .withColumn("__bin", aggregate(col("__bnds"), lit(0),
+        (acc, b) => acc + when(col("__pk") > b, 1).otherwise(0)))
+      .drop("__bnds")
+
+    val wLoc: WindowSpec = Window.partitionBy(col(groupName), col("__bin"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = scans.foldLeft(binned) { (d, s) =>
+      s match {
+        case RunSum(v, o)  => d.withColumn(s"__loc_$o", sum(v).over(wLoc))
+        case RunMax(v, o)  => d.withColumn(s"__loc_$o", max(v).over(wLoc))
+        case RowNumber(o)  =>
+          d.withColumn(s"__loc_$o", row_number().over(wLoc).cast("long"))
+      }
+    }
+
+    val totals = binned.groupBy(col(groupName), col("__bin")).agg(
+      scans.head match {
+        case RunSum(v, o)  => sum(v).as(s"__t_$o")
+        case RunMax(v, o)  => max(v).as(s"__t_$o")
+        case RowNumber(o)  => count(lit(1)).as(s"__t_$o")
+      },
+      scans.tail.map {
+        case RunSum(v, o)  => sum(v).as(s"__t_$o")
+        case RunMax(v, o)  => max(v).as(s"__t_$o")
+        case RowNumber(o)  => count(lit(1)).as(s"__t_$o")
+      }: _*)
+    val rhs = totals.select(col(groupName).as("__g") +: col("__bin").as("__b") +:
+      scans.map(s => col(s"__t_${s.out}").as(s"__r_${s.out}")): _*)
+    val prefix = totals.join(rhs,
+        col("__g") === col(groupName) && col("__b") < col("__bin"), "left")
+      .groupBy(col(groupName), col("__bin")).agg(
+        scans.head match {
+          case RunSum(_, o)  => sum(col(s"__r_$o")).as(s"__pre_$o")
+          case RunMax(_, o)  => max(col(s"__r_$o")).as(s"__pre_$o")
+          case RowNumber(o)  => sum(col(s"__r_$o")).as(s"__pre_$o")
+        },
+        scans.tail.map {
+          case RunSum(_, o)  => sum(col(s"__r_$o")).as(s"__pre_$o")
+          case RunMax(_, o)  => max(col(s"__r_$o")).as(s"__pre_$o")
+          case RowNumber(o)  => sum(col(s"__r_$o")).as(s"__pre_$o")
+        }: _*)
+
+    val joined = local.join(broadcast(prefix), Seq(groupName, "__bin"))
+    val combined = scans.foldLeft(joined) { (d, s) =>
+      s match {
+        case RunSum(_, o) => d.withColumn(o,
+          coalesce(col(s"__pre_$o"), lit(0L)) + col(s"__loc_$o"))
+        case RunMax(_, o) => d.withColumn(o,
+          greatest(col(s"__pre_$o"), col(s"__loc_$o")))
+        case RowNumber(o) => d.withColumn(o,
+          coalesce(col(s"__pre_$o"), lit(0L)) + col(s"__loc_$o"))
+      }
+    }
+    combined.drop("__pk", "__bin")
+      .drop(scans.map(s => s"__loc_${s.out}"): _*)
+      .drop(scans.map(s => s"__pre_${s.out}"): _*)
+  }
 }
 
 /** Windows over PROVABLY BOUNDED frames (languages, calendar days,

@@ -171,6 +171,38 @@ object RedshiftSql {
     else txn.replace("begin;",
       s"begin; ${createAsSelectSql(target, staging, cols, mergeKeys)}")
   }
+
+  /** The MONGO path's merge transaction, byte-shaped like
+    * mongo_redshift_sink.py:174-187 — the reference is ASYMMETRIC
+    * between its two sinks, and the asymmetry is pinned here rather
+    * than papered over:
+    *
+    *  - lifecycle: the Mongo path `drop table`s the staging table per
+    *    batch where the MySQL path `truncate`s it (the Mongo staging
+    *    table is re-created by the connector on the next batch; the
+    *    MySQL one persists empty);
+    *  - delete handling: the Mongo path filters `operation!='delete'`
+    *    INSIDE the warehouse insert (the delete rows still ride to the
+    *    staging table to drive the delete-using), where the MySQL path
+    *    inserts every staged row;
+    *  - join key: fixed unquoted `doc_id`, staging side first
+    *    (mongo_redshift_sink.py:133-138), vs per-spec quoted keys
+    *    target-side-first;
+    *  - first-contact create-as-select sortkeys `ts_date` (the derived
+    *    ingest date), not the merge key.
+    */
+  def mongoTransactionSql(target: String, staging: String,
+                          cols: Seq[String], targetExists: Boolean): String = {
+    val columns = cols.mkString(",")
+    val txn = s"begin; delete from $target using $staging " +
+      s"where $staging.doc_id = $target.doc_id; " +
+      s"insert into $target($columns) select $columns from $staging " +
+      s"where operation!='delete'; drop table $staging; end;"
+    if (targetExists) txn
+    else txn.replace("begin;",
+      s"begin; create table  $target sortkey (ts_date) " +
+        s"as select $columns from $staging where 1=3;")
+  }
 }
 
 /** How staged part files become staging-table rows. */
@@ -314,10 +346,20 @@ final class StagedCopyMergeSink(url: String, connProps: Properties = new Propert
         withConnection { conn =>
           executor.copyInto(conn, staging, batch, stage.schema,
             opts.copy(maxError = math.max(opts.maxError, 0L)))
-          // The exact post-action a Redshift deployment would run:
-          lastTxn = Some(RedshiftSql.transactionSql(target, staging,
-            stage.columns.filterNot(_ == "op_aws").toSeq, spec.mergeKeys,
-            targetExists = targetExisted))
+          // The exact post-action a Redshift deployment would run —
+          // the Mongo family (no configured primary key: the pipeline
+          // merges on the extracted doc_id, TableSpec.mergeKeys) uses
+          // the reference's drop-staging / insert-filtered form, every
+          // other family the MySQL truncate-staging form (see
+          // mongoTransactionSql's scaladoc on the asymmetry).
+          val isMongo = spec.primaryKey.isEmpty
+          lastTxn = Some(
+            if (isMongo) RedshiftSql.mongoTransactionSql(target, staging,
+              stage.columns.filterNot(_ == "op_aws").toSeq,
+              targetExists = targetExisted)
+            else RedshiftSql.transactionSql(target, staging,
+              stage.columns.filterNot(_ == "op_aws").toSeq, spec.mergeKeys,
+              targetExists = targetExisted))
           conn.setAutoCommit(false)
           try {
             val on = spec.mergeKeys
@@ -329,7 +371,14 @@ final class StagedCopyMergeSink(url: String, connProps: Properties = new Propert
             execute(conn,
               s"INSERT INTO $target (${insertCols.mkString(", ")}) " +
                 s"SELECT ${insertCols.mkString(", ")} FROM $staging WHERE $opPredicate")
-            execute(conn, s"TRUNCATE TABLE $staging")
+            // Staging lifecycle follows the reference's per-family
+            // asymmetry: Mongo-shaped specs drop the staging table each
+            // batch (recreated by the next batch's staged load), MySQL
+            // truncates and keeps it.
+            if (spec.primaryKey.isEmpty)
+              execute(conn, s"DROP TABLE $staging")
+            else
+              execute(conn, s"TRUNCATE TABLE $staging")
             conn.commit()
           } catch {
             case e: Exception => conn.rollback(); throw e

@@ -80,6 +80,67 @@ class StagedCopySpec extends SparkSuite {
       "as select \"id\",\"name\" from tgt_stage_aws where 1=3;"), first)
   }
 
+  test("mongo merge transaction pins the reference's asymmetric form: " +
+    "drop-staging (not truncate), in-insert delete filter, doc_id join") {
+    // ref mongo_redshift_sink.py:174-187 vs redshift_sink.py:317-341 —
+    // the two sinks genuinely differ; both texts are pinned.
+    val existing = RedshiftSql.mongoTransactionSql("tgt", "tgt_stage_aws",
+      Seq("doc_id", "doc", "operation"), targetExists = true)
+    assert(existing == "begin; " +
+      "delete from tgt using tgt_stage_aws " +
+      "where tgt_stage_aws.doc_id = tgt.doc_id; " +
+      "insert into tgt(doc_id,doc,operation) " +
+      "select doc_id,doc,operation from tgt_stage_aws " +
+      "where operation!='delete'; " +
+      "drop table tgt_stage_aws; end;",
+      existing)
+    val first = RedshiftSql.mongoTransactionSql("tgt", "tgt_stage_aws",
+      Seq("doc_id", "doc", "operation"), targetExists = false)
+    // first contact: create-as-select sortkeys ts_date (the reference's
+    // fixed ingest-date sortkey), not the merge key
+    assert(first.startsWith("begin; create table  tgt sortkey (ts_date) " +
+      "as select doc_id,doc,operation from tgt_stage_aws where 1=3;"), first)
+  }
+
+  test("mongo-shaped spec DROPS the staging table per batch; " +
+    "mysql-shaped spec truncates and keeps it") {
+    def stagingExists(db: String): Boolean =
+      try {
+        spark.read.format("jdbc").option("url", s"jdbc:derby:$db;create=true")
+          .option("dbtable", "t_copy_stage_aws").load().collect(); true
+      } catch { case _: Exception => false }
+    // MySQL family (default spec): staging persists, empty.
+    val db1 = tmp("graft-copy-derby-my") + "/db"
+    val s1 = mkSink(db1, tmp("graft-copy-tmp-my"))
+    s1.writeBatch(batch(Seq((1L, "a", "u"))), spec)
+    assert(stagingExists(db1), "MySQL path must keep the truncated staging table")
+    assert(s1.lastTransactionSql.exists(_.contains("truncate table")))
+    // Mongo family: staging dropped after every batch, recreated by the
+    // next batch's staged load — two batches prove the cycle.
+    val db2 = tmp("graft-copy-derby-mg") + "/db"
+    val s2 = mkSink(db2, tmp("graft-copy-tmp-mg"))
+    // Mongo-shaped = no configured primary key (the pipeline merges on
+    // the extracted doc_id; TableSpec.mergeKeys falls back to it), so
+    // the staged rows carry a doc_id column.
+    import spark.implicits._
+    def mongoBatch(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "name", "op_aws")
+    val mongoSpec = spec.copy(primaryKey = Nil)
+    s2.writeBatch(mongoBatch(Seq((1L, "a", "u"), (2L, "b", "u"))), mongoSpec)
+    assert(!stagingExists(db2), "Mongo path must drop the staging table")
+    assert(s2.lastTransactionSql.exists(t =>
+      t.contains("drop table t_copy_stage_aws") &&
+        t.contains("where operation!='delete'")))
+    s2.writeBatch(mongoBatch(Seq((2L, "B", "u"), (3L, "c", "u"))), mongoSpec)
+    assert(!stagingExists(db2))
+    val got = spark.read.format("jdbc")
+      .option("url", s"jdbc:derby:$db2;create=true")
+      .option("dbtable", "t_copy").load()
+      .collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("name")))).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("end-to-end: staged-COPY merge applies inserts, updates and deletes through Derby") {
     val db = tmp("graft-copy-derby") + "/db"
     val dir = tmp("graft-copy-tmp")

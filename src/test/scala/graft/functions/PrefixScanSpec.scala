@@ -86,6 +86,30 @@ class PrefixScanSpec extends SparkSuite {
       .toSeq === Seq(2L, 1L))
   }
 
+  test("scanGrouped: per-group rank and running sum match the " +
+    "partitioned window, including single-row and all-tied groups") {
+    import spark.implicits._
+    val df = (1 to 4000).map { i =>
+      val g = Seq("alpha", "beta", "gamma", "solo", "tied")(i % 5) match {
+        case "solo" if i != 5 => "alpha" // keep "solo" a 1-row group
+        case x => x
+      }
+      val v = if (g == "tied") 42L else (i * 40503L) % 1000L
+      (i.toLong, g, v)
+    }.toDF("id", "g", "v")
+    val grouped = PrefixScan.scanGrouped(df, "g", col("v"),
+      Seq(col("v"), col("id")),
+      Seq(RowNumber("rk"), RunSum(col("v"), "cum")), bins = 6)
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cols = Seq("id", "rk", "cum").map(col)
+    assert(grouped.select(cols: _*).except(want.select(cols: _*)).isEmpty)
+    assert(want.select(cols: _*).except(grouped.select(cols: _*)).isEmpty)
+  }
+
   test("empty input yields an empty output, not an error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id", "k")
