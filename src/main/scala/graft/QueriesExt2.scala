@@ -723,9 +723,9 @@ object QueriesExt2 {
       .select(col("n_tok"), (length(bin(col("n_tok"))) - 1).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // ≤~40 log₂ buckets — bounded frame, explicit constant partition
+    // (see graft.functions.BoundedWindow on why not an empty spec).
+    val w = graft.functions.BoundedWindow.all(col("bucket"))
     b.withColumn("total", sum(col("n_tokens")).over(w))
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("total"), 6).as("token_share"))

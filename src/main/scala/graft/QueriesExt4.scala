@@ -2836,8 +2836,11 @@ object QueriesExt4 {
         .agg(count(lit(1)).as("e_club"))
       nClub.crossJoin(eClub)
         .select(lit(k).as("k"), col("n_club"), col("e_club"),
-          round(lit(2.0d) * col("e_club").cast("double") /
-            (col("n_club") * (col("n_club") - 1)).cast("double"), 6)
+          // φ undefined for a club of < 2 nodes (possible-edge count 0
+          // — happens at tiny scale): NULL, not an ANSI ÷0 error.
+          when(col("n_club") >= 2,
+            round(lit(2.0d) * col("e_club").cast("double") /
+              (col("n_club") * (col("n_club") - 1)).cast("double"), 6))
             .as("phi"))
     }.reduce(_ unionByName _)
   }
@@ -2848,11 +2851,13 @@ object QueriesExt4 {
          |  (SELECT count(*) FROM e
          |   WHERE a IN (SELECT v FROM club$k)
          |     AND b IN (SELECT v FROM club$k))::BIGINT AS e_club,
-         |  round(2.0 * (SELECT count(*) FROM e
-         |      WHERE a IN (SELECT v FROM club$k)
-         |        AND b IN (SELECT v FROM club$k))::DOUBLE
-         |    / ((SELECT count(*) FROM club$k)
-         |       * ((SELECT count(*) FROM club$k) - 1))::DOUBLE, 6) AS phi"""
+         |  CASE WHEN (SELECT count(*) FROM club$k) >= 2 THEN
+         |    round(2.0 * (SELECT count(*) FROM e
+         |        WHERE a IN (SELECT v FROM club$k)
+         |          AND b IN (SELECT v FROM club$k))::DOUBLE
+         |      / ((SELECT count(*) FROM club$k)
+         |         * ((SELECT count(*) FROM club$k) - 1))::DOUBLE, 6)
+         |  END AS phi"""
         .stripMargin
     s"""WITH $coPurchaseSqlCte,
        |d AS (SELECT v, count(*)::BIGINT AS deg FROM

@@ -1,0 +1,294 @@
+package graft
+
+import graft.functions.{BoundedWindow, PrefixScan, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries q198+ — distributional statistics on the scale-safe
+  * prefix-scan machinery ([[graft.functions.PrefixScan]]): every global
+  * or per-group ordered scan here runs as the two-pass partition-prefix
+  * form, never an unpartitioned (or whole-group single-task) window.
+  * Every entry has a DuckDB oracle replay; see COVERAGE.md. */
+object QueriesExt5 {
+
+  // ---------------------------------------------------------------- q198
+  /** Lorenz curve by user decile: users ranked ascending by purchase
+    * value, split into ten equal-count bins, each publishing its value
+    * share and the cumulative share — the chart behind q168's Gini and
+    * q178's top-N shares (Gini is twice the area above this curve; the
+    * deciles are what the dashboard actually draws). Exact: micro-unit
+    * integer sums; the global rank is [[PrefixScan]]'s two-pass form;
+    * decile = ((rk−1)·10) div n (integer, replayable); the cumulative
+    * share divides exact integer cumsums over the 10-row decile frame
+    * ([[BoundedWindow]]). */
+  def q198LorenzCurve(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("x"))
+    val nt = perUser.agg(count(lit(1)).as("n"), sum(col("x")).as("tot"))
+    val ranked = PrefixScan.scan(perUser, col("x"),
+        Seq(col("x").asc, col("user_id").asc),
+        Seq(PrefixScan.RowNumber("rk")), cache = true)
+      .crossJoin(broadcast(nt))
+      .withColumn("decile", expr("((rk - 1) * 10) div n + 1").cast("int"))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("dx"),
+        max(col("tot")).as("tot"))
+      .withColumn("cumx", sum(col("dx")).over(
+        BoundedWindow.orderBy(col("decile"), col("decile"))
+          .rowsBetween(Long.MinValue, 0)))
+      .select(col("decile"), col("n_users"),
+        round(col("dx").cast("double") / col("tot").cast("double"), 6)
+          .as("value_share"),
+        round(col("cumx").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_share"))
+  }
+  val q198Sql: String =
+    """WITH pu AS (SELECT user_id,
+      |        sum(round("value" * 1000000.0)::BIGINT)::BIGINT AS x
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |r AS (SELECT x,
+      |        row_number() OVER (ORDER BY x, user_id) AS rk,
+      |        count(*) OVER () AS n, sum(x) OVER () AS tot
+      |      FROM pu),
+      |d AS (SELECT (((rk - 1) * 10) // n + 1)::INT AS decile, x, tot
+      |      FROM r),
+      |g AS (SELECT decile, count(*)::BIGINT AS n_users,
+      |        sum(x)::BIGINT AS dx, max(tot)::BIGINT AS tot
+      |      FROM d GROUP BY 1)
+      |SELECT decile, n_users,
+      |       round(dx::DOUBLE / tot::DOUBLE, 6) AS value_share,
+      |       round((sum(dx) OVER (ORDER BY decile
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+      |         / tot::DOUBLE, 6) AS cum_share
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q199
+  /** Per-type two-sample KS drift — q167's binning-free distribution
+    * test, run PER EVENT TYPE (the feed-level drilldown: "which event
+    * stream moved?"): first vs second half of the period, D = max
+    * |ECDF₁ − ECDF₂| at the type's distinct micro-unit values with
+    * ties fully counted. The per-type cumulative sums run through
+    * [[PrefixScan.scanGrouped]] — a `partitionBy(event_type)` window
+    * would push each type's whole distinct-value frame through one
+    * task; the totals are a ≤|types|-row broadcast. Same α = 0.01
+    * critical constant 1.628 as q167. */
+  def q199KsByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val mid = ev.agg(((min(col("ts_ms")) + max(col("ts_ms"))) / 2)
+      .cast("long").as("mid"))
+    val perValue = ev.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"),
+        when(col("ts_ms") < col("mid"), 1L).otherwise(0L).as("s1"),
+        when(col("ts_ms") >= col("mid"), 1L).otherwise(0L).as("s2"))
+      .groupBy(col("event_type"), col("vm"))
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+    val tots = perValue.groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val scanned = PrefixScan.scanGrouped(perValue, "event_type",
+        col("vm"), Seq(col("vm")),
+        Seq(PrefixScan.RunSum(col("c1"), "cum1"),
+          PrefixScan.RunSum(col("c2"), "cum2")), cache = true)
+      .join(broadcast(tots), Seq("event_type"))
+    val crit = round(lit(1.628d) *
+      sqrt((col("n1") + col("n2")).cast("double") /
+        (col("n1") * col("n2")).cast("double")), 6)
+    scanned
+      .withColumn("d", abs(col("cum1").cast("double") /
+        col("n1").cast("double") -
+        col("cum2").cast("double") / col("n2").cast("double")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        round(max(col("d")), 6).as("ks_d"))
+      .select(col("event_type"), col("n1"), col("n2"), col("ks_d"),
+        crit.as("crit_01"), (col("ks_d") > crit).as("shifted"))
+  }
+  val q199Sql: String =
+    """WITH mid AS (SELECT ((min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2)
+      |          AS mid FROM events),
+      |s AS (SELECT event_type, round("value" * 1000000.0)::BIGINT AS vm,
+      |        CASE WHEN epoch_ms(ts) < mid THEN 1 ELSE 0 END AS s1,
+      |        CASE WHEN epoch_ms(ts) >= mid THEN 1 ELSE 0 END AS s2
+      |      FROM events, mid),
+      |pv AS (SELECT event_type, vm, sum(s1)::BIGINT AS c1,
+      |         sum(s2)::BIGINT AS c2
+      |       FROM s GROUP BY 1, 2),
+      |cdf AS (SELECT event_type,
+      |          sum(c1) OVER (PARTITION BY event_type ORDER BY vm
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |          sum(c2) OVER (PARTITION BY event_type ORDER BY vm
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |          sum(c1) OVER (PARTITION BY event_type) AS n1,
+      |          sum(c2) OVER (PARTITION BY event_type) AS n2
+      |        FROM pv)
+      |SELECT event_type, max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+      |       round(max(abs(cum1::DOUBLE / n1::DOUBLE
+      |             - cum2::DOUBLE / n2::DOUBLE)), 6) AS ks_d,
+      |       round(1.628 * sqrt((max(n1) + max(n2))::DOUBLE
+      |             / (max(n1) * max(n2))::DOUBLE), 6) AS crit_01,
+      |       round(max(abs(cum1::DOUBLE / n1::DOUBLE
+      |             - cum2::DOUBLE / n2::DOUBLE)), 6)
+      |         > round(1.628 * sqrt((max(n1) + max(n2))::DOUBLE
+      |               / (max(n1) * max(n2))::DOUBLE), 6) AS shifted
+      |FROM cdf GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q200
+  /** TOKEN-WEIGHTED quality quartiles per source — the distributional
+    * sequel to q195's weighted-mean check: the median the corpus
+    * report should quote is the quality of the median TOKEN, not the
+    * median document (a feed of many short clean docs and a few long
+    * dirty ones has a high doc median and a low token median). Exact
+    * integer discipline: per (source, micro-quality) token-weight
+    * sums, per-source cumulative weights via
+    * [[PrefixScan.scanGrouped]], weighted p = the FIRST quality value
+    * whose cumulative weight reaches ⌈p·W⌉ (cumw·den ≥ num·W in
+    * integers — no division anywhere until the final read-out). */
+  def q200WeightedQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("nt"),
+      round(TextFunctions.qualityScore(col("text")) * 1000000.0d, 0)
+        .cast("long").as("qm"))
+    val w = d.groupBy(col("source"), col("qm"))
+      .agg(sum(col("nt")).as("sw"))
+    val totw = w.groupBy(col("source")).agg(sum(col("sw")).as("totw"))
+    val c = PrefixScan.scanGrouped(w, "source", col("qm"), Seq(col("qm")),
+        Seq(PrefixScan.RunSum(col("sw"), "cumw")), cache = true)
+      .join(broadcast(totw), Seq("source"))
+    c.groupBy(col("source"))
+      .agg(max(col("totw")).as("tokens"),
+        round(min(when(col("cumw") * 4 >= col("totw"), col("qm")))
+          .cast("double") / 1000000.0d, 6).as("wq25"),
+        round(min(when(col("cumw") * 2 >= col("totw"), col("qm")))
+          .cast("double") / 1000000.0d, 6).as("wq50"),
+        round(min(when(col("cumw") * 4 >= col("totw") * 3, col("qm")))
+          .cast("double") / 1000000.0d, 6).as("wq75"))
+  }
+  val q200Sql: String = {
+    val anyStop = TextFunctions.stopwords.values.flatten
+      .toSeq.distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT source, text, ${QueriesExt.toksSql} AS toks
+       |           FROM documents),
+       |m AS (SELECT source, len(toks)::BIGINT AS nt,
+       |        (length(text) - length(regexp_replace(text, '[[:punct:]]',
+       |           '', 'g')))::DOUBLE / greatest(length(text), 1) AS pr,
+       |        len(list_intersect(list_distinct(toks), [$anyStop]))::DOUBLE /
+       |          greatest(len(toks), 1) AS sr
+       |      FROM t),
+       |d AS (SELECT source, nt,
+       |        round(round(least(nt / 64.0, 1.0) * 0.4 +
+       |              (1.0 - least(pr * 4.0, 1.0)) * 0.3 +
+       |              least(sr * 4.0, 1.0) * 0.3, 6) * 1000000.0)::BIGINT
+       |          AS qm
+       |      FROM m),
+       |w AS (SELECT source, qm, sum(nt)::BIGINT AS sw FROM d GROUP BY 1, 2),
+       |c AS (SELECT source, qm,
+       |        sum(sw) OVER (PARTITION BY source ORDER BY qm
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+       |        sum(sw) OVER (PARTITION BY source) AS totw
+       |      FROM w)
+       |SELECT source, max(totw)::BIGINT AS tokens,
+       |       round(min(CASE WHEN cumw * 4 >= totw THEN qm END)::DOUBLE
+       |             / 1000000.0, 6) AS wq25,
+       |       round(min(CASE WHEN cumw * 2 >= totw THEN qm END)::DOUBLE
+       |             / 1000000.0, 6) AS wq50,
+       |       round(min(CASE WHEN cumw * 4 >= totw * 3 THEN qm END)::DOUBLE
+       |             / 1000000.0, 6) AS wq75
+       |FROM c GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q201
+  /** Mann–Whitney U (rank-sum) test: do WEEKEND purchases draw from a
+    * different value distribution than weekday ones? The
+    * non-parametric complement of q192's Welch t (t compares means; U
+    * detects any stochastic dominance) with ties handled exactly: at
+    * each distinct micro-unit value, every tied observation takes the
+    * average rank of the tie span. All sufficient statistics come from
+    * per-value counts — 2·avg-rank = 2·(rank before the span) + span
+    * + 1, doubled throughout so everything stays integer — and the
+    * cumulative count is one [[PrefixScan]] pass over the pooled
+    * distinct values; the tie-corrected normal z uses the classic
+    * σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))). Weekend = epoch-day
+    * mod 7 ∈ {2, 3} (day 0 = Thu 1970-01-01). */
+  def q201MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val perValue = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 1000000.0d, 0).cast("long").as("vm"),
+        (expr("ts_ms div 86400000") % 7).isin(2, 3).as("wkend"))
+      .groupBy(col("vm"))
+      .agg(sum(when(!col("wkend"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("wkend"), 1L).otherwise(0L)).as("c2"))
+      .withColumn("cnt", col("c1") + col("c2"))
+    val scanned = PrefixScan.scan(perValue, col("vm"), Seq(col("vm")),
+      Seq(PrefixScan.RunSum(col("cnt"), "cumall")), cache = true)
+    val stats = scanned
+      // 2·(average rank of this value's tie span) — integer by the ×2.
+      .withColumn("ravg2",
+        lit(2L) * (col("cumall") - col("cnt")) + col("cnt") + 1L)
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        // decimal BEFORE the products: c1·ravg2 ≤ 2n² and cnt³ overflow
+        // a long at ~10⁹-row ties, exactly the 100 TB regime.
+        sum(col("c1").cast("decimal(38,0)") * col("ravg2")).as("r1x2"),
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+          - col("cnt")).as("ties"))
+    val n = (col("n1") + col("n2")).cast("double")
+    val u1 = col("r1x2").cast("double") / 2.0d -
+      col("n1").cast("double") * (col("n1") + 1).cast("double") / 2.0d
+    val mu = col("n1").cast("double") * col("n2").cast("double") / 2.0d
+    val sig = sqrt(col("n1").cast("double") * col("n2").cast("double") /
+      12.0d * ((n + 1.0d) - col("ties").cast("double") /
+        (n * (n - 1.0d))))
+    val z = round((u1 - mu) / sig, 4)
+    stats.select(col("n1"), col("n2"), round(u1, 1).as("u"),
+      z.as("z"), (abs(z) > 2.576d).as("significant_01"))
+  }
+  val q201Sql: String =
+    """WITH p AS (SELECT round("value" * 1000000.0)::BIGINT AS vm,
+      |        (epoch_ms(ts) // 86400000) % 7 IN (2, 3) AS wkend
+      |      FROM events WHERE event_type = 'purchase'),
+      |pv AS (SELECT vm,
+      |         sum(CASE WHEN wkend THEN 0 ELSE 1 END)::BIGINT AS c1,
+      |         sum(CASE WHEN wkend THEN 1 ELSE 0 END)::BIGINT AS c2,
+      |         count(*)::BIGINT AS cnt
+      |       FROM p GROUP BY 1),
+      |c AS (SELECT c1, c2, cnt,
+      |        sum(cnt) OVER (ORDER BY vm
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumall
+      |      FROM pv),
+      |a AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+      |        sum(c1::HUGEINT * (2 * (cumall - cnt) + cnt + 1))::HUGEINT
+      |          AS r1x2,
+      |        sum((cnt::HUGEINT * cnt * cnt - cnt))::HUGEINT AS ties
+      |      FROM c)
+      |SELECT n1, n2,
+      |       round(r1x2::DOUBLE / 2.0 - n1::DOUBLE * (n1 + 1)::DOUBLE / 2.0,
+      |         1) AS u,
+      |       round((r1x2::DOUBLE / 2.0 - n1::DOUBLE * (n1 + 1)::DOUBLE / 2.0
+      |           - n1::DOUBLE * n2::DOUBLE / 2.0)
+      |         / sqrt(n1::DOUBLE * n2::DOUBLE / 12.0
+      |           * (((n1 + n2)::DOUBLE + 1.0) - ties::DOUBLE
+      |             / ((n1 + n2)::DOUBLE * ((n1 + n2)::DOUBLE - 1.0)))), 4)
+      |         AS z,
+      |       abs(round((r1x2::DOUBLE / 2.0 - n1::DOUBLE * (n1 + 1)::DOUBLE / 2.0
+      |           - n1::DOUBLE * n2::DOUBLE / 2.0)
+      |         / sqrt(n1::DOUBLE * n2::DOUBLE / 12.0
+      |           * (((n1 + n2)::DOUBLE + 1.0) - ties::DOUBLE
+      |             / ((n1 + n2)::DOUBLE * ((n1 + n2)::DOUBLE - 1.0)))), 4))
+      |         > 2.576 AS significant_01
+      |FROM a""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_lorenz_curve" -> (q198LorenzCurve _),
+    "q199_ks_by_type" -> (q199KsByType _),
+    "q200_weighted_quality" -> (q200WeightedQuality _),
+    "q201_mann_whitney" -> (q201MannWhitney _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q198_lorenz_curve" -> q198Sql,
+    "q199_ks_by_type" -> q199Sql,
+    "q200_weighted_quality" -> q200Sql,
+    "q201_mann_whitney" -> q201Sql
+  )
+}

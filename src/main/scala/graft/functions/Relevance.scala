@@ -177,10 +177,15 @@ object Relevance {
     val counts = df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("term").asc)
-    val ranked = counts.withColumn("rk", row_number().over(w))
-    val total = ranked.agg(sum(col("cnt")).as("total"))
+    // Only the top max(ks) terms ever matter, and the vocabulary grows
+    // with the corpus (Heaps' law) — so cut to the bounded head FIRST
+    // with a distributed TakeOrdered (per-partition top-K, no global
+    // sort), then rank inside that ≤max(ks)-row frame. The old form
+    // ranked the ENTIRE vocabulary through one unpartitioned window.
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(ks.max)
+    val ranked = top.withColumn("rk", row_number().over(
+      BoundedWindow.orderBy(col("term"), col("cnt").desc, col("term").asc)))
+    val total = counts.agg(sum(col("cnt")).as("total"))
     import df.sparkSession.implicits._
     val ksDf = ks.toDF("k")
     ranked.join(broadcast(ksDf), col("rk") <= col("k"))

@@ -163,9 +163,11 @@ object RobustStats {
     val joined = r.join(c, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
-    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // ≤ probs+1 bins — bounded frame, explicit constant partition
+    // (see [[BoundedWindow]] on why not an empty spec).
+    val w = BoundedWindow.all(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val rf = col("ref_n").cast("double") / col("ref_total")
     val cf = col("cur_n").cast("double") / col("cur_total")
     joined
