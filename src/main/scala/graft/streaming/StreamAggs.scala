@@ -457,6 +457,77 @@ object StreamAggs {
         col("n") +: pctCols: _*)
   }
 
+  /** Windowed PSI drift monitor — the STREAMING twin of the batch
+    * drift tier (q95 [[graft.functions.RobustStats.psiDrift]] / q103):
+    * per (window, type), the population-stability index of the
+    * window's value distribution against a fixed REFERENCE histogram,
+    * in the mergeable log₂-bin currency ([[graft.functions
+    * .HistSketch]]) rather than q95's reference-quantile bins — the
+    * binning a stored streaming sketch can actually be compared in
+    * (quantile bins would need the reference corpus at watch time;
+    * log₂ bins need only the ≤64-row reference table).
+    *
+    * `ref` is the bounded baseline: (event_type, b, ref_n) rows as
+    * [[graft.functions.HistSketch.logHistogram]] emits (g→event_type)
+    * over the reference corpus — broadcast, ≤64 rows per type.
+    *
+    * ONE stateful aggregation (the windowHistPercentiles 64-slot
+    * kernel — state independent of row count, append-safe); the PSI
+    * read-out is a narrow fold over the slot array zipped with the
+    * type's reference array after a broadcast join. Per-bin terms use
+    * the q95 rule, named: a bin empty on EITHER side contributes
+    * nothing (ln of a zero ratio is undefined; the count of such
+    * one-sided bins is published as `open_bins` so silence is visible
+    * rather than hidden). Output per (window-start, type): n_window,
+    * psi (rounded 6), open_bins, and the conventional verdict
+    * (stable < 0.1 ≤ drifting < 0.25 ≤ shifted). */
+  def windowPsiDrift(events: DataFrame, windowLen: String,
+                     watermark: String, ref: DataFrame): DataFrame = {
+    val slotCols = (0 until 64).map(k =>
+      sum(when(col("b") === k, 1L).otherwise(0L)).as(s"c$k"))
+    val agged = events.withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+      .filter(col("vm") > 0)
+      .withColumn("b", (length(bin(col("vm"))) - 1).cast("int"))
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(slotCols.head, slotCols.tail: _*)
+    val bins = array((0 until 64).map(k => col(s"c$k")): _*)
+    // Reference slots pivoted to one literal-length array per type —
+    // a bounded broadcast frame, missing bins filled with 0.
+    val refArr = ref.groupBy(col("g").as("event_type"))
+      .agg((0 until 64).map(k =>
+        sum(when(col("b") === k, col("n")).otherwise(0L)).as(s"r$k")).head,
+        (1 until 64).map(k =>
+          sum(when(col("b") === k, col("n")).otherwise(0L)).as(s"r$k")): _*)
+      .select(col("event_type"),
+        array((0 until 64).map(k => col(s"r$k")): _*).as("refbins"),
+        (0 until 64).map(k => col(s"r$k")).reduce(_ + _).as("ref_total"))
+    val nTotal = aggregate(bins, lit(0L), (a, x) => a + x)
+    val joined = agged
+      .select(col("window").getField("start").as("ws"), col("event_type"),
+        bins.as("bins"), nTotal.as("n_window"))
+      .join(broadcast(refArr), Seq("event_type"))
+    // Fold over the zipped (cur, ref) slot pairs: Σ (cf−rf)·ln(cf/rf)
+    // over bins populated on BOTH sides; count one-sided bins.
+    val pairs = zip_with(col("bins"), col("refbins"),
+      (c, r) => struct(c.as("c"), r.as("r")))
+    val cf = (x: org.apache.spark.sql.Column) =>
+      x.getField("c").cast("double") / col("n_window").cast("double")
+    val rf = (x: org.apache.spark.sql.Column) =>
+      x.getField("r").cast("double") / col("ref_total").cast("double")
+    val psi = aggregate(pairs, lit(0.0d), (acc, x) =>
+      acc + when(x.getField("c") > 0 && x.getField("r") > 0,
+        (cf(x) - rf(x)) * log(cf(x) / rf(x))).otherwise(lit(0.0d)))
+    val openBins = aggregate(pairs, lit(0), (acc, x) =>
+      acc + when((x.getField("c") > 0) =!= (x.getField("r") > 0), 1)
+        .otherwise(0))
+    joined.select(col("ws"), col("event_type"), col("n_window"),
+      round(psi, 6).as("psi"), openBins.as("open_bins"),
+      when(psi < 0.1d, "stable").when(psi < 0.25d, "drifting")
+        .otherwise("shifted").as("verdict"))
+  }
+
   /** Windowed MERGEABLE histogram percentiles — the streaming twin of
     * [[graft.functions.HistSketch]] and the store-and-re-merge
     * alternative to [[windowPercentiles]]: per (window, type), log₂

@@ -613,6 +613,42 @@ class StreamAggsSpec extends SparkSuite {
     assert(math.abs(s1 - (-1.0 / 60.0)) < 1e-6)
   }
 
+  test("streaming PSI drift: identical distribution scores 0/stable; a " +
+    "collapsed one scores the hand-computed PSI with open bins counted") {
+    import graft.functions.HistSketch
+    // Reference: type 'a', bins 20 and 21 with equal mass (values are
+    // exact powers-of-two micro-units: 1.048576 → 2^20, 2.097152 → 2^21).
+    val lo = 1.048576; val hi = 2.097152
+    val refRows = (Seq.fill(4)(lo) ++ Seq.fill(4)(hi))
+      .map(v => ("a", math.round(v * 1000000.0)))
+      .toDF("g", "vm")
+    val ref = HistSketch.logHistogram(refRows, "g", col("vm"))
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = StreamAggs.windowPsiDrift(toDf(mem), "60 minutes",
+        "10 minutes", ref)
+      .writeStream.format("memory").queryName("spsi").outputMode("update")
+      .start()
+    // hour 0: same 50/50 mix as the reference; hour 1: all mass in the
+    // low bin (drift), the high bin goes one-sided.
+    mem.addData(
+      Seq(ts(0) -> lo, ts(1) -> lo, ts(2) -> hi, ts(3) -> hi,
+        ts(60) -> lo, ts(61) -> lo, ts(62) -> lo, ts(63) -> lo)
+        .map { case (t, v) => (t, 1L, "a", v) })
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("spsi").collect()
+      .map(r => r.getTimestamp(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getInt(4), r.getString(5)))).toMap
+    // Same mix: every populated bin has cf = rf → psi exactly 0.
+    assert(out(ts(0)) === ((4L, 0.0d, 0, "stable")))
+    // Collapsed: bin20 term (1.0 − 0.5)·ln(1.0/0.5) = 0.5·ln 2;
+    // bin21 is one-sided (cur 0, ref > 0) → excluded, counted open.
+    val expected = BigDecimal(0.5d * math.log(2.0d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (n1, psi1, open1, verdict1) = out(ts(60))
+    assert(n1 === 4L && open1 === 1 && verdict1 === "shifted")
+    assert(psi1 === expected, s"psi $psi1 != $expected")
+  }
+
   test("streaming window trend: degenerate windows (n=1 or one distinct " +
     "ts) publish NULL slope, never NaN") {
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
