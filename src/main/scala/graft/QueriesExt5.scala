@@ -278,17 +278,122 @@ object QueriesExt5 {
       |         > 2.576 AS significant_01
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- q202
+  /** Zipf-law fit of the term-frequency spectrum: ln(count) regressed
+    * on ln(rank) over the top-1000 terms — natural language sits near
+    * slope −1; a corpus whose slope is far off (template spam, boiler-
+    * plate floods, synthetic filler) fails the sniff before any model
+    * sees it. Composes the q90 head-cut (distributed TakeOrdered —
+    * the vocabulary itself is Heaps-law data-scaled, the top-K is
+    * bounded) with the q148 log-log OLS over the bounded frame; r²
+    * says how Zipf-like the fit actually is. */
+  def q202ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(1000)
+    val pts = top.withColumn("rk", row_number().over(
+        graft.functions.BoundedWindow.orderBy(col("term"),
+          col("cnt").desc, col("term").asc)))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val ss = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    ss.select(col("n").as("n_terms"),
+      round(cov / vx, 4).as("zipf_slope"),
+      round(cov * cov / (vx * vy), 4).as("zipf_r2"))
+  }
+  val q202Sql: String =
+    s"""WITH tok AS (SELECT unnest(${QueriesExt.toksSql}) AS term
+       |            FROM documents),
+       |c AS (SELECT term, count(*)::BIGINT AS cnt FROM tok
+       |      WHERE length(term) > 0 GROUP BY 1),
+       |top AS (SELECT term, cnt FROM c
+       |        ORDER BY cnt DESC, term ASC LIMIT 1000),
+       |p AS (SELECT ln((row_number() OVER (ORDER BY cnt DESC, term ASC))
+       |          ::DOUBLE) AS x,
+       |        ln(cnt::DOUBLE) AS y
+       |      FROM top),
+       |ss AS (SELECT count(*)::BIGINT AS n, sum(x)::DOUBLE AS sx,
+       |         sum(x * x)::DOUBLE AS sxx, sum(y)::DOUBLE AS sy,
+       |         sum(y * y)::DOUBLE AS syy, sum(x * y)::DOUBLE AS sxy
+       |       FROM p)
+       |SELECT n AS n_terms,
+       |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+       |         AS zipf_slope,
+       |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+       |         AS zipf_r2
+       |FROM ss""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** Mutual information between language and source (nats, plus the
+    * sqrt-normalized NMI) — the effect-SIZE companion to q159's chi²
+    * verdict: chi² says "lang and source are not independent", MI says
+    * HOW MUCH knowing the feed tells you about the language (0 =
+    * balanced multilingual feeds, → min(H) = single-language feeds) —
+    * the number that decides whether per-feed language thresholds are
+    * worth their complexity. All counts integer over the bounded
+    * lang×source grid; one defined double chain per cell. */
+  def q203LangSourceMi(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val l = j.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+    val sc = j.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+    val t = j.agg(sum(col("n")).as("nt"))
+    val mi = j.join(broadcast(l), "lang").join(broadcast(sc), "source")
+      .crossJoin(broadcast(t))
+      .agg(sum((col("n").cast("double") / col("nt")) *
+        log(col("nt").cast("double") * col("n") /
+          (col("nl").cast("double") * col("ns")))).as("mi"))
+    val hl = l.crossJoin(broadcast(t))
+      .agg(sum(-(col("nl").cast("double") / col("nt")) *
+        log(col("nl").cast("double") / col("nt"))).as("hl"))
+    val hs = sc.crossJoin(broadcast(t))
+      .agg(sum(-(col("ns").cast("double") / col("nt")) *
+        log(col("ns").cast("double") / col("nt"))).as("hs"))
+    t.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
+      .crossJoin(broadcast(hs))
+      .select(col("nt").as("n_docs"), round(col("mi"), 6).as("mi_nats"),
+        round(col("mi") / sqrt(col("hl") * col("hs")), 6).as("nmi"))
+  }
+  val q203Sql: String =
+    """WITH j AS (SELECT lang, source, count(*)::BIGINT AS n
+      |      FROM documents GROUP BY 1, 2),
+      |l AS (SELECT lang, sum(n)::BIGINT AS nl FROM j GROUP BY 1),
+      |s AS (SELECT source, sum(n)::BIGINT AS ns FROM j GROUP BY 1),
+      |t AS (SELECT sum(n)::BIGINT AS nt FROM j),
+      |mi AS (SELECT sum((n::DOUBLE / nt) * ln(nt::DOUBLE * n
+      |           / (nl::DOUBLE * ns))) AS mi
+      |       FROM j JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t),
+      |hl AS (SELECT sum(-(nl::DOUBLE / nt) * ln(nl::DOUBLE / nt)) AS hl
+      |       FROM l CROSS JOIN t),
+      |hs AS (SELECT sum(-(ns::DOUBLE / nt) * ln(ns::DOUBLE / nt)) AS hs
+      |       FROM s CROSS JOIN t)
+      |SELECT t.nt AS n_docs, round(mi.mi, 6) AS mi_nats,
+      |       round(mi.mi / sqrt(hl.hl * hs.hs), 6) AS nmi
+      |FROM t, mi, hl, hs""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_lorenz_curve" -> (q198LorenzCurve _),
     "q199_ks_by_type" -> (q199KsByType _),
     "q200_weighted_quality" -> (q200WeightedQuality _),
-    "q201_mann_whitney" -> (q201MannWhitney _)
+    "q201_mann_whitney" -> (q201MannWhitney _),
+    "q202_zipf_fit" -> (q202ZipfFit _),
+    "q203_lang_source_mi" -> (q203LangSourceMi _)
   )
 
   val oracles: Map[String, String] = Map(
     "q198_lorenz_curve" -> q198Sql,
     "q199_ks_by_type" -> q199Sql,
     "q200_weighted_quality" -> q200Sql,
-    "q201_mann_whitney" -> q201Sql
+    "q201_mann_whitney" -> q201Sql,
+    "q202_zipf_fit" -> q202Sql,
+    "q203_lang_source_mi" -> q203Sql
   )
 }
