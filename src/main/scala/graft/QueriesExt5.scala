@@ -379,13 +379,130 @@ object QueriesExt5 {
       |       round(mi.mi / sqrt(hl.hl * hs.hs), 6) AS nmi
       |FROM t, mi, hl, hs""".stripMargin
 
+  /** Shared session-interval frame for q204/q205: the q29 gap
+    * sessionization (30-min gap, user-partitioned lag+cumsum — one
+    * user-key exchange) reduced to closed intervals [start_ms, end_ms]
+    * with a per-user-unique session id. */
+  private def sessionIntervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    val prev = lag(col("ts_ms"), 1).over(w)
+    val isNew = when(prev.isNull || col("ts_ms") - prev > gapMs, 1L)
+      .otherwise(0L)
+    Tables.events(s, dir)
+      .withColumn("session_id", sum(isNew).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+  }
+  private val sessionSqlCte: String =
+    """g AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |        CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |               OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      |x AS (SELECT user_id, ts_ms,
+      |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      FROM g),
+      |sess AS (SELECT user_id, session_id, min(ts_ms) AS start_ms,
+      |           max(ts_ms) AS end_ms
+      |         FROM x GROUP BY 1, 2)""".stripMargin
+
+  // ---------------------------------------------------------------- q204
+  /** Peak session concurrency — the capacity number a serving fleet is
+    * sized by: the maximum number of user sessions simultaneously open
+    * at any instant, plus when it happens. Classic sweep-line made
+    * scale-safe: each session contributes (+1 at start, −1 at end)
+    * boundary rows, ordered by (t, starts-before-ends) so sessions
+    * touching at one instant count as concurrent (rule named); the
+    * running sum over the 2·|sessions| boundary stream runs through
+    * [[PrefixScan]] — the textbook sweep-line is a single sorted pass,
+    * which on Spark means exactly the single-task trap the two-pass
+    * form exists for. The max and its first timestamp are
+    * tie-order-invariant (only a +1-block end can sit at the max). */
+  def q204PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionIntervals(s, dir)
+    val bounds = sess.select(col("start_ms").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("end_ms").as("t"), lit(-1L).as("delta")))
+    val run = PrefixScan.scan(bounds, col("t"),
+      Seq(col("t").asc, col("delta").desc),
+      Seq(PrefixScan.RunSum(col("delta"), "run")), cache = true)
+    val peak = run.agg(max(col("run")).as("peak"))
+    val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+    run.crossJoin(broadcast(peak)).filter(col("run") === col("peak"))
+      .agg(max(col("peak")).as("peak_concurrency"),
+        min(col("t")).as("peak_ts_ms"))
+      .crossJoin(broadcast(nSess))
+      .select(col("n_sessions"), col("peak_concurrency"), col("peak_ts_ms"))
+  }
+  val q204Sql: String =
+    s"""WITH $sessionSqlCte,
+       |b AS (SELECT start_ms AS t, 1 AS delta FROM sess
+       |      UNION ALL SELECT end_ms, -1 FROM sess),
+       |r AS (SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |      FROM b),
+       |p AS (SELECT max(run) AS peak FROM r)
+       |SELECT (SELECT count(*) FROM sess)::BIGINT AS n_sessions,
+       |       max(peak)::BIGINT AS peak_concurrency,
+       |       min(t)::BIGINT AS peak_ts_ms
+       |FROM r, p WHERE run = peak""".stripMargin
+
+  // ---------------------------------------------------------------- q205
+  /** Cross-user session-overlap census via the bucketized interval
+    * join ([[graft.operators.IntervalJoin]]): how many cross-user
+    * session pairs were open simultaneously, and for how long in
+    * total/on average — the co-presence statistic behind q191's
+    * same-session co-occurrence (there, items within ONE user's
+    * session; here, users sharing wall-clock time). A naive
+    * `a.start <= b.end AND b.start <= a.end` join is a nested-loop
+    * product; the operator reduces it to an hour-bucket hash join with
+    * exact post-verification and a one-bucket emission rule (no
+    * distinct). Pair identity: user_a < user_b, counted once per
+    * overlapping session pair. */
+  def q205SessionOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IntervalJoin
+    val sess = sessionIntervals(s, dir)
+      .select((col("user_id") * 1000000L + col("session_id")).as("sid"),
+        col("user_id"), col("start_ms"), col("end_ms"))
+    val l = sess.select(col("sid").as("l_id"), col("user_id").as("l_user"),
+      col("start_ms").as("l_start"), col("end_ms").as("l_end"))
+    val r = sess.select(col("sid").as("r_id"), col("user_id").as("r_user"),
+      col("start_ms").as("r_start"), col("end_ms").as("r_end"))
+    IntervalJoin.overlapJoin(l, r, bucketMs = 3600000L)
+      // user id recovered from the sid encoding (sid = user·10⁶ + k)
+      .filter(expr("l_id div 1000000") < expr("r_id div 1000000"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ov_end") - col("ov_start")).as("overlap_ms_total"),
+        round(avg((col("ov_end") - col("ov_start")).cast("double")), 2)
+          .as("overlap_ms_avg"))
+  }
+  val q205Sql: String =
+    s"""WITH $sessionSqlCte
+       |SELECT count(*)::BIGINT AS n_pairs,
+       |       sum(least(a.end_ms, b.end_ms)
+       |           - greatest(a.start_ms, b.start_ms))::BIGINT
+       |         AS overlap_ms_total,
+       |       round(avg((least(a.end_ms, b.end_ms)
+       |           - greatest(a.start_ms, b.start_ms))::DOUBLE), 2)
+       |         AS overlap_ms_avg
+       |FROM sess a JOIN sess b
+       |  ON a.user_id < b.user_id
+       | AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_lorenz_curve" -> (q198LorenzCurve _),
     "q199_ks_by_type" -> (q199KsByType _),
     "q200_weighted_quality" -> (q200WeightedQuality _),
     "q201_mann_whitney" -> (q201MannWhitney _),
     "q202_zipf_fit" -> (q202ZipfFit _),
-    "q203_lang_source_mi" -> (q203LangSourceMi _)
+    "q203_lang_source_mi" -> (q203LangSourceMi _),
+    "q204_peak_concurrency" -> (q204PeakConcurrency _),
+    "q205_session_overlap" -> (q205SessionOverlap _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -394,6 +511,8 @@ object QueriesExt5 {
     "q200_weighted_quality" -> q200Sql,
     "q201_mann_whitney" -> q201Sql,
     "q202_zipf_fit" -> q202Sql,
-    "q203_lang_source_mi" -> q203Sql
+    "q203_lang_source_mi" -> q203Sql,
+    "q204_peak_concurrency" -> q204Sql,
+    "q205_session_overlap" -> q205Sql
   )
 }

@@ -842,6 +842,16 @@ class PlanSpec extends SparkSuite {
       }
   }
 
+  test("q205 session overlap: the interval join is a bucket hash join, " +
+    "never a nested-loop product; q204 sweep-line has no global window") {
+    val d = sf("sf0.001")
+    val p205 = planString(QueriesExt5.q205SessionOverlap(spark, d))
+    assert(!p205.contains("BroadcastNestedLoopJoin") &&
+      !p205.contains("CartesianProduct"), p205.take(2000))
+    assert(unpartitionedWindows(QueriesExt5.q204PeakConcurrency(spark, d))
+      .isEmpty)
+  }
+
   test("q113 transitions: one user exchange feeds the lag; the " +
     "probability window runs over the matrix, never events") {
     val q = QueriesExt3.q113Transitions(spark, sf("sf0.001"))
