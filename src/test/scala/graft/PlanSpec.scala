@@ -822,6 +822,7 @@ class PlanSpec extends SparkSuite {
       "q121" -> QueriesExt3.q121Spearman(spark, d),
       "q154" -> QueriesExt4.q154LatenessAudit(spark, d),
       "q167" -> QueriesExt4.q167KsTest(spark, d),
+      "q168" -> QueriesExt4.q168SpendGini(spark, d),
       "q178" -> QueriesExt4.q178ParetoShares(spark, d),
       "q194" -> QueriesExt4.q194AbcAnalysis(spark, d))
     offenders.foreach { case (name, q) =>

@@ -99,13 +99,15 @@ class PrefixScanSpec extends SparkSuite {
     }.toDF("id", "g", "v")
     val grouped = PrefixScan.scanGrouped(df, "g", col("v"),
       Seq(col("v"), col("id")),
-      Seq(RowNumber("rk"), RunSum(col("v"), "cum")), bins = 6)
+      Seq(RowNumber("rk"), RunSum(col("v"), "cum"),
+        RunMax(col("id"), "mx")), bins = 6)
     val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val want = df
       .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("v")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val cols = Seq("id", "rk", "cum").map(col)
+      .withColumn("cum", sum(col("v")).over(wf))
+      .withColumn("mx", max(col("id")).over(wf))
+    val cols = Seq("id", "rk", "cum", "mx").map(col)
     assert(grouped.select(cols: _*).except(want.select(cols: _*)).isEmpty)
     assert(want.select(cols: _*).except(grouped.select(cols: _*)).isEmpty)
   }
