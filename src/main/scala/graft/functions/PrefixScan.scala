@@ -52,6 +52,18 @@ object PrefixScan {
     * with a unique tie-break column). */
   final case class RowNumber(out: String) extends Scan
 
+  /** The scratch and output names must be free in the input — a frame
+    * already carrying them would be silently mis-joined. */
+  private def requireFreeColumns(df: DataFrame, scans: Seq[Scan]): Unit = {
+    val reserved = Set("__pk", "__bin", "__b", "__g") ++
+      scans.flatMap(s => Seq(s.out, s"__loc_${s.out}", s"__pre_${s.out}",
+        s"__t_${s.out}", s"__r_${s.out}"))
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns collide with PrefixScan scratch/output names: " +
+        clash.mkString(", "))
+  }
+
   /** Adds one output column per [[Scan]] to `df`, equal to the scan
     * over the GLOBAL order `order`, computed with the two-pass
     * partition-prefix plan described above. `binKey` must be numeric
@@ -69,6 +81,7 @@ object PrefixScan {
            scans: Seq[Scan], bins: Int = 32,
            cache: Boolean = false): DataFrame = {
     require(scans.nonEmpty, "at least one scan")
+    requireFreeColumns(df, scans)
     val keyed0 = df.withColumn("__pk", binKey.cast("double"))
     val keyed = if (cache)
       keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -157,6 +170,7 @@ object PrefixScan {
                   order: Seq[Column], scans: Seq[Scan], bins: Int = 32,
                   cache: Boolean = false): DataFrame = {
     require(scans.nonEmpty, "at least one scan")
+    requireFreeColumns(df, scans)
     val session = df.sparkSession
     val keyed0 = df.withColumn("__pk", binKey.cast("double"))
     val keyed = if (cache)
