@@ -467,15 +467,12 @@ object QueriesExt5 {
   def q205SessionOverlap(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.IntervalJoin
     val sess = sessionIntervals(s, dir)
-      .select((col("user_id") * 1000000L + col("session_id")).as("sid"),
-        col("user_id"), col("start_ms"), col("end_ms"))
-    val l = sess.select(col("sid").as("l_id"), col("user_id").as("l_user"),
+    val l = sess.select(col("user_id").as("l_user"),
       col("start_ms").as("l_start"), col("end_ms").as("l_end"))
-    val r = sess.select(col("sid").as("r_id"), col("user_id").as("r_user"),
+    val r = sess.select(col("user_id").as("r_user"),
       col("start_ms").as("r_start"), col("end_ms").as("r_end"))
     IntervalJoin.overlapJoin(l, r, bucketMs = 3600000L)
-      // user id recovered from the sid encoding (sid = user·10⁶ + k)
-      .filter(expr("l_id div 1000000") < expr("r_id div 1000000"))
+      .filter(col("l_user") < col("r_user"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("ov_end") - col("ov_start")).as("overlap_ms_total"),
         round(avg((col("ov_end") - col("ov_start")).cast("double")), 2)

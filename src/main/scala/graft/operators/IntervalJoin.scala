@@ -24,13 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Pairs (l_id, r_id, ov_start, ov_end) of CLOSED intervals
-    * [start, end] that overlap (touching endpoints count: ov_start ≤
-    * ov_end). `left` must carry (l_id, l_start, l_end), `right`
-    * (r_id, r_start, r_end), epoch-ms longs. */
+  /** Pairs of CLOSED intervals [start, end] that overlap (touching
+    * endpoints count: ov_start ≤ ov_end). `left` must carry
+    * (l_start, l_end), `right` (r_start, r_end), epoch-ms longs; ALL
+    * other columns of both sides (ids, payloads — the two sides must
+    * not share any other column name) ride through to the output,
+    * which appends `ov_start`/`ov_end`. */
   def overlapJoin(left: DataFrame, right: DataFrame,
                   bucketMs: Long): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
+    val shared = left.columns.toSet
+      .intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left/right share column names: ${shared.mkString(", ")}")
     val lb = left.withColumn("__bucket", explode(sequence(
       expr(s"l_start div $bucketMs"), expr(s"l_end div $bucketMs"))))
     val rb = right.withColumn("__bucket", explode(sequence(
@@ -41,8 +47,8 @@ object IntervalJoin {
       // one emission per pair: the bucket holding the overlap start
       .filter(col("__bucket") ===
         expr(s"greatest(l_start, r_start) div $bucketMs"))
-      .select(col("l_id"), col("r_id"),
-        greatest(col("l_start"), col("r_start")).as("ov_start"),
-        least(col("l_end"), col("r_end")).as("ov_end"))
+      .drop("__bucket")
+      .withColumn("ov_start", greatest(col("l_start"), col("r_start")))
+      .withColumn("ov_end", least(col("l_end"), col("r_end")))
   }
 }

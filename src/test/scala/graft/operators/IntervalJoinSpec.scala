@@ -17,6 +17,7 @@ class IntervalJoinSpec extends SparkSuite {
       (20L, 600L, 700L),              // touches 2 at one instant
       (30L, 2000L, 2100L))            // disjoint from all
     val got = IntervalJoin.overlapJoin(l, r, bucketMs = 100L)
+      .select("l_id", "r_id", "ov_start", "ov_end")
       .collect().map(x => (x.getLong(0), x.getLong(1),
         x.getLong(2), x.getLong(3))).toSet
     assert(got === Set((1L, 10L, 50L, 100L), (2L, 20L, 600L, 600L)))
@@ -26,9 +27,10 @@ class IntervalJoinSpec extends SparkSuite {
     // Both intervals span 50 buckets; the pair must appear once.
     val l = left((1L, 0L, 5000L))
     val r = right((10L, 100L, 4900L))
-    val out = IntervalJoin.overlapJoin(l, r, bucketMs = 100L).collect()
+    val out = IntervalJoin.overlapJoin(l, r, bucketMs = 100L)
+      .select("ov_start", "ov_end").collect()
     assert(out.length === 1)
-    assert(out.head.getLong(2) === 100L && out.head.getLong(3) === 4900L)
+    assert(out.head.getLong(0) === 100L && out.head.getLong(1) === 4900L)
   }
 
   test("bucketized result equals the naive theta join on a random set") {
