@@ -491,6 +491,85 @@ object QueriesExt5 {
        |  ON a.user_id < b.user_id
        | AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** Kruskal–Wallis H across ALL event types — the k-sample extension
+    * of q201's two-sample rank test ("do the five event streams draw
+    * their values from one distribution at all?", answered before any
+    * pairwise drill-down): H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1) over
+    * average ranks with exact ties, divided by the tie correction
+    * 1 − ΣT/(N³−N). Rank machinery identical to q201: per (vm, type)
+    * counts, ONE [[PrefixScan]] cumulative count over the pooled
+    * distinct values, 2·avg-rank integer algebra; the per-type rank
+    * sums are a ≤|types|-row aggregate. Verdict against the χ²(4)
+    * α = 0.01 critical value 13.2767 (embedded literal, df = 5 types
+    * − 1). */
+  def q206KruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val perValue = Tables.events(s, dir)
+      .select(round(col("value") * 1000000.0d, 0).cast("long").as("vm"),
+        col("event_type"))
+      .groupBy(col("vm"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val perV = perValue.groupBy(col("vm")).agg(sum(col("c")).as("cnt"))
+    val scanned = PrefixScan.scan(perV, col("vm"), Seq(col("vm")),
+        Seq(PrefixScan.RunSum(col("cnt"), "cumall")), cache = true)
+      .withColumn("ravg2",
+        lit(2L) * (col("cumall") - col("cnt")) + col("cnt") + 1L)
+    val ranked = perValue.join(scanned.select(col("vm"), col("ravg2"),
+      col("cnt")), Seq("vm"))
+    val perType = ranked.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c").cast("decimal(38,0)") * col("ravg2")).as("rg2x"))
+    val ties = scanned.agg(
+      sum(col("cnt").cast("decimal(38,0)") * col("cnt") * col("cnt")
+        - col("cnt")).as("tsum"),
+      sum(col("cnt")).as("n"))
+    val stats = perType.crossJoin(broadcast(ties))
+      .groupBy(col("n"), col("tsum"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("rg2x").cast("double") * col("rg2x").cast("double") /
+          (lit(4.0d) * col("ng").cast("double"))).as("sr"))
+    val n = col("n").cast("double")
+    val h0 = lit(12.0d) / (n * (n + 1.0d)) * col("sr") -
+      lit(3.0d) * (n + 1.0d)
+    val corr = lit(1.0d) - col("tsum").cast("double") / (n * n * n - n)
+    val h = round(h0 / corr, 4)
+    stats.select(col("n").as("n_events"), col("k").as("n_groups"),
+      h.as("h"), (h > lit(13.2767d)).as("significant_01"))
+  }
+  val q206Sql: String =
+    """WITH pvt AS (SELECT round("value" * 1000000.0)::BIGINT AS vm,
+      |         event_type, count(*)::BIGINT AS c
+      |       FROM events GROUP BY 1, 2),
+      |pv AS (SELECT vm, sum(c)::BIGINT AS cnt FROM pvt GROUP BY 1),
+      |sc AS (SELECT vm, cnt,
+      |         2 * (sum(cnt) OVER (ORDER BY vm
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - cnt) + cnt + 1 AS ravg2
+      |       FROM pv),
+      |rk AS (SELECT pvt.event_type, pvt.c, sc.ravg2
+      |       FROM pvt JOIN sc ON pvt.vm = sc.vm),
+      |pt AS (SELECT event_type, sum(c)::BIGINT AS ng,
+      |         sum(c::HUGEINT * ravg2)::HUGEINT AS rg2x
+      |       FROM rk GROUP BY 1),
+      |ti AS (SELECT sum(cnt::HUGEINT * cnt * cnt - cnt)::HUGEINT AS tsum,
+      |         sum(cnt)::BIGINT AS n
+      |       FROM sc),
+      |ag AS (SELECT n, tsum, count(*)::BIGINT AS k,
+      |         sum(rg2x::DOUBLE * rg2x::DOUBLE / (4.0 * ng::DOUBLE)) AS sr
+      |       FROM pt CROSS JOIN ti GROUP BY 1, 2)
+      |SELECT n AS n_events, k AS n_groups,
+      |       round((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * sr
+      |           - 3.0 * (n::DOUBLE + 1.0))
+      |         / (1.0 - tsum::DOUBLE
+      |             / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 4)
+      |         AS h,
+      |       round((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * sr
+      |           - 3.0 * (n::DOUBLE + 1.0))
+      |         / (1.0 - tsum::DOUBLE
+      |             / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 4)
+      |         > 13.2767 AS significant_01
+      |FROM ag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q198_lorenz_curve" -> (q198LorenzCurve _),
     "q199_ks_by_type" -> (q199KsByType _),
@@ -499,7 +578,8 @@ object QueriesExt5 {
     "q202_zipf_fit" -> (q202ZipfFit _),
     "q203_lang_source_mi" -> (q203LangSourceMi _),
     "q204_peak_concurrency" -> (q204PeakConcurrency _),
-    "q205_session_overlap" -> (q205SessionOverlap _)
+    "q205_session_overlap" -> (q205SessionOverlap _),
+    "q206_kruskal_wallis" -> (q206KruskalWallis _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -510,6 +590,7 @@ object QueriesExt5 {
     "q202_zipf_fit" -> q202Sql,
     "q203_lang_source_mi" -> q203Sql,
     "q204_peak_concurrency" -> q204Sql,
-    "q205_session_overlap" -> q205Sql
+    "q205_session_overlap" -> q205Sql,
+    "q206_kruskal_wallis" -> q206Sql
   )
 }
