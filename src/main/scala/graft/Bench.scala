@@ -104,8 +104,10 @@ object Bench {
     // with the repo so every sweep's 200+ times are auditable.
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps$spine$warm,"detail":"BENCH_DETAIL.json"}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps$spine$warm,"queries":$qs}"""
+    // Relative to the working directory (the repo root under the
+    // harness), not a machine-absolute path.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "/root/repo/BENCH_DETAIL.json")
+      "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -41,6 +41,15 @@ object QueriesExt4 {
       Graphs.coOccurrenceEdges(Tables.lineitem(s, dir),
           "l_orderkey", "l_partkey")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** Drops every memoized edge list and releases its storage. Call
+    * after overwriting/regenerating the parquet under a cached dir —
+    * the memo has no file-watch invalidation (the harness's testdata
+    * is immutable per sweep, so none is needed there). */
+  def invalidateCoPurchaseCache(): Unit = {
+    coPurchaseCache.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => })
+    coPurchaseCache.clear()
+  }
 
   private val coPurchaseSqlCte: String =
     """p AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

@@ -19,6 +19,19 @@ object WindowAudit {
         if w.partitionSpec.isEmpty => Seq(w.nodeName)
   }.flatten
 
+  /** Executes `df` and returns every WindowExec/WindowGroupLimitExec
+    * in its final (AQE-resolved) plan whose partition spec is empty.
+    * THE shared walker — PlanSpec and PrefixScanSpec pin through this
+    * same traversal, so a new Spark wrapper node type only needs
+    * handling here. */
+  def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => unpartitioned(a.executedPlan)
+      case p => unpartitioned(p)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -33,12 +46,7 @@ object WindowAudit {
     var bad = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        df.collect()
-        val hits = df.queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => unpartitioned(a.executedPlan)
-          case p => unpartitioned(p)
-        }
+        val hits = unpartitionedWindows(fn(spark, sfDir))
         if (hits.nonEmpty) { bad += 1; println(s"[window-audit] $name: ${hits.size} single-partition window(s)") }
       } catch { case e: Throwable =>
         println(s"[window-audit] $name ERROR: ${e.getMessage}")

@@ -55,7 +55,8 @@ object PrefixScan {
   /** The scratch and output names must be free in the input — a frame
     * already carrying them would be silently mis-joined. */
   private def requireFreeColumns(df: DataFrame, scans: Seq[Scan]): Unit = {
-    val reserved = Set("__pk", "__bin", "__b", "__g") ++
+    val reserved = Set("__pk", "__bin", "__b", "__g", "__g0", "__g1",
+      "__b1", "__bnds") ++
       scans.flatMap(s => Seq(s.out, s"__loc_${s.out}", s"__pre_${s.out}",
         s"__t_${s.out}", s"__r_${s.out}"))
     val clash = df.columns.filter(reserved.contains)
@@ -189,10 +190,15 @@ object PrefixScan {
     }
     val bFrame = session.createDataFrame(
       java.util.Arrays.asList(bndRows: _*), bndAgg.schema)
-    val binned = keyed.join(broadcast(bFrame), Seq(groupName))
+      .withColumnRenamed(groupName, "__g0")
+    // Null-safe (<=>) group joins throughout: the window form this
+    // replaces ranked a NULL group as its own partition, and a plain
+    // equi-join would silently drop that whole group instead.
+    val binned = keyed.join(broadcast(bFrame),
+        col(groupName) <=> col("__g0"))
       .withColumn("__bin", aggregate(col("__bnds"), lit(0),
         (acc, b) => acc + when(col("__pk") > b, 1).otherwise(0)))
-      .drop("__bnds")
+      .drop("__bnds", "__g0")
 
     val wLoc: WindowSpec = Window.partitionBy(col(groupName), col("__bin"))
       .orderBy(order: _*)
@@ -220,7 +226,7 @@ object PrefixScan {
     val rhs = totals.select(col(groupName).as("__g") +: col("__bin").as("__b") +:
       scans.map(s => col(s"__t_${s.out}").as(s"__r_${s.out}")): _*)
     val prefix = totals.join(rhs,
-        col("__g") === col(groupName) && col("__b") < col("__bin"), "left")
+        col("__g") <=> col(groupName) && col("__b") < col("__bin"), "left")
       .groupBy(col(groupName), col("__bin")).agg(
         scans.head match {
           case RunSum(_, o)  => sum(col(s"__r_$o")).as(s"__pre_$o")
@@ -233,7 +239,11 @@ object PrefixScan {
           case RowNumber(o)  => sum(col(s"__r_$o")).as(s"__pre_$o")
         }: _*)
 
-    val joined = local.join(broadcast(prefix), Seq(groupName, "__bin"))
+    val prefixR = prefix.select(col(groupName).as("__g1") +:
+      col("__bin").as("__b1") +:
+      scans.map(s => col(s"__pre_${s.out}")): _*)
+    val joined = local.join(broadcast(prefixR),
+      col(groupName) <=> col("__g1") && col("__bin") === col("__b1"))
     val combined = scans.foldLeft(joined) { (d, s) =>
       s match {
         case RunSum(_, o) => d.withColumn(o,
@@ -244,7 +254,7 @@ object PrefixScan {
           coalesce(col(s"__pre_$o"), lit(0L)) + col(s"__loc_$o"))
       }
     }
-    combined.drop("__pk", "__bin")
+    combined.drop("__pk", "__bin", "__g1", "__b1")
       .drop(scans.map(s => s"__loc_${s.out}"): _*)
       .drop(scans.map(s => s"__pre_${s.out}"): _*)
   }

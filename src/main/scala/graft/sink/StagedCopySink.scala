@@ -190,14 +190,22 @@ object RedshiftSql {
     *    target-side-first;
     *  - first-contact create-as-select sortkeys `ts_date` (the derived
     *    ingest date), not the merge key.
-    */
+    *
+    * `opCol`/`delValue` default to the REFERENCE's column name and
+    * delete sentinel (`operation`/'delete' — the byte-shape
+    * StagedCopySpec pins); [[StagedCopyMergeSink.writeBatch]] passes
+    * this pipeline's own markers (`op_aws`/'d') so the recorded
+    * post-action is executable against the staging tables this sink
+    * actually stages. */
   def mongoTransactionSql(target: String, staging: String,
-                          cols: Seq[String], targetExists: Boolean): String = {
+                          cols: Seq[String], targetExists: Boolean,
+                          opCol: String = "operation",
+                          delValue: String = "delete"): String = {
     val columns = cols.mkString(",")
     val txn = s"begin; delete from $target using $staging " +
       s"where $staging.doc_id = $target.doc_id; " +
       s"insert into $target($columns) select $columns from $staging " +
-      s"where operation!='delete'; drop table $staging; end;"
+      s"where $opCol!='$delValue'; drop table $staging; end;"
     if (targetExists) txn
     else txn.replace("begin;",
       s"begin; create table  $target sortkey (ts_date) " +
@@ -213,6 +221,14 @@ trait CopyExecutor {
     * exactly like the connector's pre-postactions write). */
   def copyInto(conn: Connection, stagingTable: String, batch: CopyStage.StagedBatch,
                schema: StructType, opts: RedshiftSql.CopyOptions): Unit
+
+  /** Whether [[copyInto]] needs the staging table pre-created (a real
+    * warehouse COPY loads INTO an existing table; the replay executor
+    * instead recreates the table through Spark's JDBC Overwrite, whose
+    * dialect owns the column types — pre-creating with warehouse DDL
+    * would leave types the dialect's writer can't bind, e.g. Derby
+    * binds string NULLs as CLOB, not VARCHAR). */
+  def requiresExistingStaging: Boolean = true
 }
 
 /** Production path: hand the warehouse the COPY text and let it pull the
@@ -235,6 +251,7 @@ final class StatementCopyExecutor(manifestUrlFor: String => String = identity)
   * throws, as the real COPY would. */
 final class ReplayCopyExecutor(spark: SparkSession, url: String, connProps: Properties)
   extends CopyExecutor {
+  override def requiresExistingStaging: Boolean = false
   def copyInto(conn: Connection, stagingTable: String, batch: CopyStage.StagedBatch,
                schema: StructType, opts: RedshiftSql.CopyOptions): Unit = {
     val files = CopyStage.manifestFiles(batch.manifestPath)
@@ -339,6 +356,16 @@ final class StagedCopyMergeSink(url: String, connProps: Properties = new Propert
           try execute(conn, s"DROP TABLE $staging") catch { case _: Exception => }
         val existed = lookupColumns(conn, target).nonEmpty
         ensureTargetSchema(conn, stage.drop("op_aws"), spec)
+        // Staging must exist before a COPY statement can target it —
+        // the production StatementCopyExecutor hands the warehouse
+        // COPY text only, so on first contact, and on every batch
+        // after a Mongo-family per-batch DROP, the table would be
+        // missing. Mirrors the connector's staging-create preaction.
+        // The replay executor opts out: Spark's JDBC Overwrite
+        // creates the table with the dialect's own types.
+        if (executor.requiresExistingStaging && lookupColumns(conn, staging).isEmpty)
+          execute(conn, clampVarchar(SchemaEvolution.createTableDdl(
+            staging, stage.schema, Nil, ifNotExists = false)))
         existed
       }
       val batch = CopyStage.stage(stage, tempDir, opts.tempformat)
@@ -356,7 +383,8 @@ final class StagedCopyMergeSink(url: String, connProps: Properties = new Propert
           lastTxn = Some(
             if (isMongo) RedshiftSql.mongoTransactionSql(target, staging,
               stage.columns.filterNot(_ == "op_aws").toSeq,
-              targetExists = targetExisted)
+              targetExists = targetExisted,
+              opCol = "op_aws", delValue = "d")
             else RedshiftSql.transactionSql(target, staging,
               stage.columns.filterNot(_ == "op_aws").toSeq, spec.mergeKeys,
               targetExists = targetExisted))

@@ -796,21 +796,11 @@ class PlanSpec extends SparkSuite {
 
   /** Every WindowExec/WindowGroupLimitExec with an EMPTY partition
     * spec in an executed plan — the "Moving all data to a single
-    * partition" shape that breaks at 100×. Descends into AQE stages
-    * AND re-optimized AdaptiveSparkPlanExec wrappers (a plain collect
-    * sees neither). */
-  private def unpartitionedWindows(df: DataFrame): Seq[String] = {
-    def walk(p: SparkPlan): Seq[String] = p.collect {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        walk(s.plan)
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => Seq(w.toString)
-      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-          if w.partitionSpec.isEmpty => Seq(w.toString)
-    }.flatten
-    walk(executed(df))
-  }
+    * partition" shape that breaks at 100×. One shared AQE-aware
+    * traversal ([[WindowAudit.unpartitionedWindows]]) serves this
+    * spec, PrefixScanSpec, and the audit main. */
+  private def unpartitionedWindows(df: DataFrame): Seq[String] =
+    WindowAudit.unpartitionedWindows(df)
 
   test("the five global-scan statistics queries never plan a " +
     "single-partition window (q121/q154/q167/q178/q194)") {

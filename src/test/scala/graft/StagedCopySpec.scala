@@ -128,9 +128,12 @@ class StagedCopySpec extends SparkSuite {
     val mongoSpec = spec.copy(primaryKey = Nil)
     s2.writeBatch(mongoBatch(Seq((1L, "a", "u"), (2L, "b", "u"))), mongoSpec)
     assert(!stagingExists(db2), "Mongo path must drop the staging table")
+    // The recorded post-action is executable against THIS pipeline's
+    // staging (op_aws/'d' markers), in the reference's asymmetric
+    // shape (in-insert delete filter + drop).
     assert(s2.lastTransactionSql.exists(t =>
       t.contains("drop table t_copy_stage_aws") &&
-        t.contains("where operation!='delete'")))
+        t.contains("where op_aws!='d'")))
     s2.writeBatch(mongoBatch(Seq((2L, "B", "u"), (3L, "c", "u"))), mongoSpec)
     assert(!stagingExists(db2))
     val got = spark.read.format("jdbc")
@@ -352,6 +355,53 @@ class StagedCopySpec extends SparkSuite {
       spark.read.format("jdbc").option("url", s"jdbc:derby:$db;create=true")
         .option("dbtable", "t_copy").load().collect()
     }
+  }
+
+  test("production statement-executor path: staging is pre-created before " +
+    "COPY runs, and re-created after the Mongo-family per-batch drop") {
+    import spark.implicits._
+    val db = tmp("graft-copy-precreate") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    var copies = 0
+    // Stands in for StatementCopyExecutor (requiresExistingStaging stays
+    // true): a real warehouse COPY can only load into an EXISTING table,
+    // so the executor first proves the table is queryable, then loads the
+    // staged parquet through plain INSERTs on the merge connection.
+    val exec = new graft.sink.CopyExecutor {
+      def copyInto(conn: java.sql.Connection, stagingTable: String,
+                   batch: CopyStage.StagedBatch,
+                   schema: org.apache.spark.sql.types.StructType,
+                   opts: RedshiftSql.CopyOptions): Unit = {
+        val st = conn.createStatement()
+        try st.executeQuery(s"SELECT COUNT(*) FROM $stagingTable")
+        finally st.close() // throws if the sink failed to pre-create
+        copies += 1
+        val rows = spark.read.schema(schema).parquet(batch.files: _*).collect()
+        val cols = schema.fieldNames.map("\"" + _ + "\"").mkString(",")
+        val ph = schema.fieldNames.map(_ => "?").mkString(",")
+        val ps = conn.prepareStatement(
+          s"INSERT INTO $stagingTable ($cols) VALUES ($ph)")
+        try rows.foreach { r =>
+          schema.fieldNames.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
+          ps.executeUpdate()
+        } finally ps.close()
+      }
+    }
+    val sink = new StagedCopyMergeSink(url, new Properties(),
+      tmp("graft-copy-precreate-tmp"), exec,
+      RedshiftSql.CopyOptions(tempformat = "PARQUET"), maxVarchar = 32672)
+    def mongoBatch(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "name", "op_aws")
+    val mongoSpec = spec.copy(primaryKey = Nil)
+    sink.writeBatch(mongoBatch(Seq((1L, "a", "u"))), mongoSpec)
+    // batch 1 dropped staging; batch 2 must find it pre-created again
+    sink.writeBatch(mongoBatch(Seq((1L, "A", "u"), (2L, "b", "u"))), mongoSpec)
+    assert(copies == 2)
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "t_copy").load().collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("name")))).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "A"), (2L, "b")))
   }
 
   test("replay executor refuses a manifest whose mandatory entry is missing") {

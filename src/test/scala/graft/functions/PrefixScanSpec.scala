@@ -112,6 +112,20 @@ class PrefixScanSpec extends SparkSuite {
     assert(want.select(cols: _*).except(grouped.select(cols: _*)).isEmpty)
   }
 
+  test("scanGrouped: a NULL group ranks as its own group, like the " +
+    "partitioned window it replaces (no silent row drop)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 10L), (2L, None, 5L), (3L, None, 7L),
+      (4L, Some("a"), 3L), (5L, None, 1L))
+      .toDF("id", "g", "v").repartition(3)
+    val got = PrefixScan.scanGrouped(df, "g", col("v"),
+      Seq(col("v"), col("id")), Seq(RowNumber("rk")), bins = 4)
+    assert(got.count() === 5L, "NULL-group rows must survive")
+    val nullRanks = got.filter(col("g").isNull)
+      .orderBy("rk").select("id").as[Long].collect().toSeq
+    assert(nullRanks === Seq(5L, 2L, 3L)) // v order: 1, 5, 7
+  }
+
   test("empty input yields an empty output, not an error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id", "k")
@@ -120,25 +134,8 @@ class PrefixScanSpec extends SparkSuite {
   }
 
   private def unpartitionedWindows(
-      df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    df.collect() // finalize AQE
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-      p.collect {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(s.plan)
-        case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => Seq(w.toString)
-        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-            if w.partitionSpec.isEmpty => Seq(w.toString)
-      }.flatten
-    df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-      case p => walk(p)
-    }
-  }
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    graft.WindowAudit.unpartitionedWindows(df)
 
   test("no single-partition WindowExec anywhere in the physical plan") {
     val df = randFrame(1000, 100)
