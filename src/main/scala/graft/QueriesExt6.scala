@@ -1,0 +1,288 @@
+package graft
+
+import graft.operators.IncrementalAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries q207+ — incremental materialized-aggregate
+  * maintenance over CDC changelogs ([[graft.operators.IncrementalAgg]]):
+  * the downstream-consumer side of the reference's merge pipeline,
+  * where a per-key dashboard aggregate stays current from each
+  * micro-batch's deltas instead of re-reading the merged base. Every
+  * query derives a DETERMINISTIC changelog from the orders table
+  * (modulo buckets on o_orderkey — fully replayable in the DuckDB
+  * oracle) and checks the incrementally-maintained state against the
+  * recomputed truth. */
+object QueriesExt6 {
+
+  /** The shared synthetic changelog, derived from orders:
+    *  - snapshot  = orderkey % 10 < 8 (the pre-batch base);
+    *  - inserts   = orderkey % 10 >= 8 ('c');
+    *  - updates   = snapshot ∧ orderkey % 7 == 0 ('u'): price +0.50,
+    *    and every second one (orderkey % 14 == 0) MOVES to the next
+    *    custkey — the group-key-change case the retract/insert split
+    *    must handle;
+    *  - deletes   = snapshot ∧ orderkey % 7 == 1 ('d').
+    * Values ride exact micro-unit BIGINTs. */
+  private def changelogFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("c"),
+      round(col("o_totalprice") * 1000000.0d, 0).cast("long").as("vm"))
+    val snap = base.filter(col("k") % 10 < 8)
+    val inserts = base.filter(col("k") % 10 >= 8)
+      .select(lit("c").as("op"), col("k"),
+        lit(null).cast("long").as("b_c"), lit(null).cast("long").as("b_vm"),
+        col("c").as("a_c"), col("vm").as("a_vm"))
+    val updates = snap.filter(col("k") % 7 === 0)
+      .select(lit("u").as("op"), col("k"),
+        col("c").as("b_c"), col("vm").as("b_vm"),
+        when(col("k") % 14 === 0, col("c") + 1L).otherwise(col("c")).as("a_c"),
+        (col("vm") + 500000L).as("a_vm"))
+    val deletes = snap.filter(col("k") % 7 === 1)
+      .select(lit("d").as("op"), col("k"),
+        col("c").as("b_c"), col("vm").as("b_vm"),
+        lit(null).cast("long").as("a_c"), lit(null).cast("long").as("a_vm"))
+    (snap, inserts.unionByName(updates).unionByName(deletes))
+  }
+
+  // ---------------------------------------------------------------- q207
+  /** Incrementally-maintained per-customer order count/sum/avg: initial
+    * state aggregates the snapshot ONCE; the batch contributes only its
+    * retract/insert deltas (one hash agg over the batch, output ≤
+    * touched groups); the merge is a union + re-aggregate in the same
+    * (key, cnt, sum) currency — no join, partial-agg-safe, and exact
+    * (BIGINT micro-units) so the state is bit-identical at any
+    * partition count. The oracle recomputes the final state from the
+    * post-change base — incremental must equal recomputed. */
+  def q207IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val (snap, log) = changelogFrames(s, dir)
+    val state0 = IncrementalAgg.initialState(snap, Seq("c"), col("vm"))
+    val delta = IncrementalAgg.deltas(log, col("op"),
+      Seq(col("b_c")), Seq(col("a_c")), col("b_vm"), col("a_vm"), Seq("c"))
+    IncrementalAgg.applyDeltas(state0, delta, Seq("c"))
+      .select(col("c").as("o_custkey"), col("cnt"), col("sumv"),
+        round(col("sumv").cast("double") / col("cnt").cast("double")
+          / 1000000.0d, 6).as("avg_price"))
+  }
+  val q207Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |snap AS (SELECT * FROM base WHERE k % 10 < 8),
+      |ins AS (SELECT k, c, vm FROM base WHERE k % 10 >= 8),
+      |upd AS (SELECT k, CASE WHEN k % 14 = 0 THEN c + 1 ELSE c END AS c,
+      |          vm + 500000 AS vm
+      |        FROM snap WHERE k % 7 = 0),
+      |kept AS (SELECT * FROM snap WHERE k % 7 NOT IN (0, 1)),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |        UNION ALL SELECT * FROM ins)
+      |SELECT c AS o_custkey, count(*)::BIGINT AS cnt,
+      |       sum(vm)::BIGINT AS sumv,
+      |       round(sum(vm)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+      |         AS avg_price
+      |FROM fin GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q208
+  /** Incrementally-maintained per-customer MAX order price — the
+    * aggregate that is NOT delta-maintainable under retraction
+    * (deleting the max reveals an unknown runner-up). The scale-correct
+    * split ([[IncrementalAgg.maintainMax]]): groups whose retracted
+    * values stay below the stored max update with a `greatest` over the
+    * batch's inserts; ONLY groups that lost their witness re-aggregate
+    * from the post-change base, reached through a semi-join (bounded by
+    * hit groups; partition-prunes on a keyed layout). Oracle recomputes
+    * every group's max from the final base. */
+  def q208IncrementalMax(s: SparkSession, dir: String): DataFrame = {
+    val (snap, log) = changelogFrames(s, dir)
+    val state0 = snap.groupBy(col("c")).agg(max(col("vm")).as("mx"))
+    val postBase = snap.filter(col("k") % 7 =!= 0 && col("k") % 7 =!= 1)
+      .select(col("c"), col("vm").as("value"))
+      .unionByName(log.filter(col("op").isin("c", "u"))
+        .select(col("a_c").as("c"), col("a_vm").as("value")))
+    val inserts = log.filter(col("op").isin("c", "u"))
+      .select(col("a_c").as("c"), col("a_vm").as("value"))
+    val retracts = log.filter(col("op").isin("u", "d"))
+      .select(col("b_c").as("c"), col("b_vm").as("value"))
+    IncrementalAgg.maintainMax(state0, postBase, inserts, retracts, Seq("c"))
+      .select(col("c").as("o_custkey"), col("mx"))
+  }
+  val q208Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |snap AS (SELECT * FROM base WHERE k % 10 < 8),
+      |ins AS (SELECT k, c, vm FROM base WHERE k % 10 >= 8),
+      |upd AS (SELECT k, CASE WHEN k % 14 = 0 THEN c + 1 ELSE c END AS c,
+      |          vm + 500000 AS vm
+      |        FROM snap WHERE k % 7 = 0),
+      |kept AS (SELECT * FROM snap WHERE k % 7 NOT IN (0, 1)),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |        UNION ALL SELECT * FROM ins)
+      |SELECT c AS o_custkey, max(vm)::BIGINT AS mx
+      |FROM fin GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+  /** Deterministic Poisson bootstrap CI for the mean purchase value —
+    * the resampling answer to "how sure is the dashboard mean?" that a
+    * distributed engine can actually run: instead of materializing B
+    * resamples, each event draws a Poisson(1) weight per replicate from
+    * a PORTABLE hash (md5 of `event_id_b` → uniform → inverse-CDF
+    * ladder with exact literal thresholds), so the whole procedure is
+    * replayable cross-engine and re-run-identical (Kleiner et al.'s
+    * bag-of-little-bootstraps lineage; the Poisson(1) approximation to
+    * multinomial resampling is the standard streaming form). Replicate
+    * sums ride exact BIGINT micro-units and partially aggregate
+    * map-side — the shuffle carries B=32 rows per task, the 32× row
+    * expansion exists only inside the scan projection (16-byte rows),
+    * never on the wire. The CI is the normal approximation from the
+    * replicate means' exact integer moment sums (FP-order-independent;
+    * an order-statistic CI at B=32 would publish min/max). */
+  def q209BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+    val u = md5Long(concat_ws("_", col("event_id").cast("string"),
+      col("b").cast("string"))).cast("double") / 1152921504606846976.0d
+    val w = when(u < 0.36787944117144233d, 0L)
+      .when(u < 0.7357588823428847d, 1L)
+      .when(u < 0.9196986029286058d, 2L)
+      .when(u < 0.9810118431238463d, 3L)
+      .when(u < 0.9963401531726563d, 4L)
+      .when(u < 0.9994058151824183d, 5L)
+      .when(u < 0.999916758850712d, 6L).otherwise(7L)
+    val reps = purchases
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .select(col("b"), w.as("w"), col("vm"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("nb"),
+        sum(col("w") * col("vm")).as("sb"))
+      .select(col("b"),
+        round(col("sb").cast("double") / col("nb").cast("double"), 0)
+          .cast("long").as("mm"))
+    val moments = reps.agg(count(lit(1)).as("bn"),
+      sum(col("mm")).as("m1"),
+      sum(col("mm").cast("decimal(38,0)") * col("mm")).as("m2"))
+    val full = purchases.agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"))
+    val point = col("sv").cast("double") / col("n").cast("double") / 1000000.0d
+    val se = sqrt((col("bn").cast("double") * col("m2").cast("double") -
+      col("m1").cast("double") * col("m1").cast("double")) /
+      (col("bn").cast("double") * (col("bn").cast("double") - 1.0d))) /
+      lit(1000000.0d)
+    full.crossJoin(broadcast(moments))
+      .select(col("n").as("n_purchases"),
+        round(point, 4).as("point_mean"),
+        round(se, 4).as("boot_se"),
+        round(point - lit(1.96d) * se, 4).as("ci_lo"),
+        round(point + lit(1.96d) * se, 4).as("ci_hi"))
+  }
+  val q209Sql: String =
+    """WITH p AS (SELECT event_id,
+      |        round("value" * 1000000.0)::BIGINT AS vm
+      |      FROM events WHERE event_type = 'purchase'),
+      |x AS (SELECT b, vm,
+      |        ('0x' || substring(md5(event_id::VARCHAR || '_' || b::VARCHAR),
+      |          1, 15))::BIGINT::DOUBLE / 1152921504606846976.0 AS u
+      |      FROM p CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)),
+      |wx AS (SELECT b, vm,
+      |         CASE WHEN u < 0.36787944117144233 THEN 0
+      |              WHEN u < 0.7357588823428847 THEN 1
+      |              WHEN u < 0.9196986029286058 THEN 2
+      |              WHEN u < 0.9810118431238463 THEN 3
+      |              WHEN u < 0.9963401531726563 THEN 4
+      |              WHEN u < 0.9994058151824183 THEN 5
+      |              WHEN u < 0.999916758850712 THEN 6
+      |              ELSE 7 END AS w
+      |       FROM x),
+      |reps AS (SELECT b,
+      |           round(sum(w * vm)::DOUBLE / sum(w)::DOUBLE)::BIGINT AS mm
+      |         FROM wx GROUP BY 1),
+      |mo AS (SELECT count(*)::BIGINT AS bn, sum(mm)::BIGINT AS m1,
+      |         sum(mm::HUGEINT * mm)::HUGEINT AS m2
+      |       FROM reps),
+      |fu AS (SELECT count(*)::BIGINT AS n, sum(vm)::BIGINT AS sv FROM p)
+      |SELECT n AS n_purchases,
+      |       round(sv::DOUBLE / n::DOUBLE / 1000000.0, 4) AS point_mean,
+      |       round(sqrt((bn::DOUBLE * m2::DOUBLE - m1::DOUBLE * m1::DOUBLE)
+      |           / (bn::DOUBLE * (bn::DOUBLE - 1.0))) / 1000000.0, 4)
+      |         AS boot_se,
+      |       round(sv::DOUBLE / n::DOUBLE / 1000000.0
+      |           - 1.96 * sqrt((bn::DOUBLE * m2::DOUBLE
+      |               - m1::DOUBLE * m1::DOUBLE)
+      |             / (bn::DOUBLE * (bn::DOUBLE - 1.0))) / 1000000.0, 4)
+      |         AS ci_lo,
+      |       round(sv::DOUBLE / n::DOUBLE / 1000000.0
+      |           + 1.96 * sqrt((bn::DOUBLE * m2::DOUBLE
+      |               - m1::DOUBLE * m1::DOUBLE)
+      |             / (bn::DOUBLE * (bn::DOUBLE - 1.0))) / 1000000.0, 4)
+      |         AS ci_hi
+      |FROM fu CROSS JOIN mo""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+  /** Incrementally-maintained orders⋈customer view under deltas on BOTH
+    * sides ([[graft.operators.IncrementalJoin]]): the denormalized read
+    * model a CDC consumer keeps next to q207's aggregates. Orders run
+    * the shared changelog; customers mutate independently (every 9th
+    * account rebalances +1.00, every 9th+1 closes). The bilinear delta
+    * rule ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB broadcasts the micro-batch side of every
+    * term — per-batch cost O(|Δ| + matched rows), the bases never
+    * re-join — and multiplicity annihilation handles the cross-term
+    * (an order inserted for a simultaneously-closed customer nets to
+    * zero without special-casing). Oracle recomputes the view from the
+    * two post-change bases. */
+  def q210IncrementalJoinView(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalJoin._
+    val (snap, log) = changelogFrames(s, dir)
+    val aOld = asZRelation(snap.select(col("c"), col("k"), col("vm")))
+    val cust = Tables.customer(s, dir).select(col("c_custkey").as("c"),
+      round(col("c_acctbal") * 1000000.0d, 0).cast("long").as("bal"))
+    val bOld = asZRelation(cust)
+    val dA = log.filter(col("op").isin("c", "u"))
+      .select(col("a_c").as("c"), col("k"), col("a_vm").as("vm"),
+        lit(1L).as(multCol))
+      .unionByName(log.filter(col("op").isin("u", "d"))
+        .select(col("b_c").as("c"), col("k"), col("b_vm").as("vm"),
+          lit(-1L).as(multCol)))
+    val dB = cust.filter(col("c") % 9 === 0)
+      .select(col("c"), (col("bal") + 1000000L).as("bal"), lit(1L).as(multCol))
+      .unionByName(cust.filter(col("c") % 9 === 0 || col("c") % 9 === 1)
+        .select(col("c"), col("bal"), lit(-1L).as(multCol)))
+    val state = zJoin(aOld, bOld, Seq("c"))
+    applyJoinDeltas(state, aOld, bOld, dA, dB, Seq("c"))
+      .select(col("c").as("o_custkey"), col("k").as("o_orderkey"),
+        col("vm").as("price_micro"), col("bal").as("acctbal_micro"))
+  }
+  val q210Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |snap AS (SELECT * FROM base WHERE k % 10 < 8),
+      |ins AS (SELECT k, c, vm FROM base WHERE k % 10 >= 8),
+      |upd AS (SELECT k, CASE WHEN k % 14 = 0 THEN c + 1 ELSE c END AS c,
+      |          vm + 500000 AS vm
+      |        FROM snap WHERE k % 7 = 0),
+      |kept AS (SELECT * FROM snap WHERE k % 7 NOT IN (0, 1)),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |        UNION ALL SELECT * FROM ins),
+      |cust AS (SELECT c_custkey AS c,
+      |           round(c_acctbal * 1000000.0)::BIGINT AS bal FROM customer),
+      |cfin AS (SELECT c, CASE WHEN c % 9 = 0 THEN bal + 1000000
+      |             ELSE bal END AS bal
+      |         FROM cust WHERE c % 9 <> 1)
+      |SELECT f.c AS o_custkey, f.k AS o_orderkey, f.vm AS price_micro,
+      |       cf.bal AS acctbal_micro
+      |FROM fin f JOIN cfin cf ON f.c = cf.c""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_incremental_agg" -> (q207IncrementalAgg _),
+    "q208_incremental_max" -> (q208IncrementalMax _),
+    "q209_bootstrap_ci" -> (q209BootstrapCi _),
+    "q210_incremental_join" -> (q210IncrementalJoinView _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q207_incremental_agg" -> q207Sql,
+    "q208_incremental_max" -> q208Sql,
+    "q209_bootstrap_ci" -> q209Sql,
+    "q210_incremental_join" -> q210Sql
+  )
+}

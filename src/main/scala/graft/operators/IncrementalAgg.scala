@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-aggregate maintenance over a CDC changelog —
+  * the natural downstream of the reference's upsert pipeline (a consumer
+  * of `cdc_util/redshift_sink.py`'s merged tables who keeps a per-key
+  * SUM/COUNT/AVG or MAX dashboard current per micro-batch). The
+  * reference itself re-reads the merged table; at 100 TB the aggregate
+  * must be maintained from the BATCH (bounded work per trigger), never
+  * recomputed from the base.
+  *
+  * Model: every changelog row normalizes into at most two delta events —
+  * a retraction of the before-image (updates, deletes) and an insertion
+  * of the after-image (creates, updates) — the classic
+  * changelog-retraction currency (Flink's `RowKind.UPDATE_BEFORE` /
+  * `UPDATE_AFTER` streams; materialized-view maintenance literature).
+  * A group-key change on update falls out for free: the retraction
+  * lands on the OLD group, the insertion on the NEW one.
+  *
+  * Scale shape:
+  *  - [[deltas]] is one hash aggregation over the batch (map-side
+  *    partial, output ≤ touched groups);
+  *  - [[applyDeltas]] is a UNION + re-aggregate, NOT a join — states
+  *    and deltas share the (key, cnt, sum) currency, so merging them is
+  *    the same partial-agg-safe hash aggregate (and a bucketed state
+  *    table co-partitions it for free);
+  *  - sums ride exact integer micro-units: the merged state is
+  *    bit-identical at any partition count and replay order.
+  *
+  * MIN/MAX are NOT delta-maintainable under retraction (deleting the
+  * current max reveals an unknown runner-up) — [[maintainMax]] does the
+  * scale-correct split: groups whose retraction could not have touched
+  * the max update incrementally (a `greatest` over inserts), and ONLY
+  * groups that lost their max re-aggregate from the base, reached
+  * through a semi-join (partition-prunable on a keyed layout).
+  */
+object IncrementalAgg {
+
+  /** Column names of the delta/state currency. */
+  val cntCol = "cnt"
+  val sumCol = "sumv"
+
+  /** Normalize a changelog batch to per-group (d_cnt, d_sum) deltas.
+    *
+    * `log` carries `opCol` ∈ {'c','u','d'} (the engine's canonical ops —
+    * [[graft.envelope.CdcFormat]] normalizes every wire format to these),
+    * before-image key/value expressions (valid on 'u'/'d' rows) and
+    * after-image expressions (valid on 'c'/'u' rows). Values must
+    * already be exact integers (micro-units) — the whole algebra stays
+    * in BIGINT.
+    *
+    * One narrow union (same scan read twice under one WSCG each, or
+    * cached upstream) + one hash aggregate; output is bounded by the
+    * number of touched groups, not batch size. */
+  def deltas(log: DataFrame, opCol: Column,
+             beforeKeys: Seq[Column], afterKeys: Seq[Column],
+             beforeVal: Column, afterVal: Column,
+             keyNames: Seq[String]): DataFrame = {
+    require(beforeKeys.length == keyNames.length &&
+      afterKeys.length == keyNames.length,
+      "key expression lists must match keyNames")
+    val inserts = log.filter(opCol.isin("c", "u"))
+      .select(afterKeys.zip(keyNames).map { case (c, n) => c.as(n) } ++
+        Seq(lit(1L).as(cntCol), afterVal.cast("long").as(sumCol)): _*)
+    val retracts = log.filter(opCol.isin("u", "d"))
+      .select(beforeKeys.zip(keyNames).map { case (c, n) => c.as(n) } ++
+        Seq(lit(-1L).as(cntCol), (-beforeVal).cast("long").as(sumCol)): _*)
+    inserts.unionByName(retracts)
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol), sum(col(sumCol)).as(sumCol))
+  }
+
+  /** Merge a delta frame into a (key, cnt, sumv) state frame. Union +
+    * hash aggregate — no join, so the plan is the same partial-agg
+    * shape as the original aggregation and co-partitions with a
+    * bucketed state table. Groups whose count reaches zero vanish
+    * (fully-retracted groups leave the state, like the base table). */
+  def applyDeltas(state: DataFrame, delta: DataFrame,
+                  keyNames: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol), sum(col(sumCol)).as(sumCol))
+      .filter(col(cntCol) =!= 0L)
+
+  /** Build the initial (key, cnt, sumv) state from a base snapshot. */
+  def initialState(base: DataFrame, keyNames: Seq[String],
+                   value: Column): DataFrame =
+    base.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as(cntCol), sum(value.cast("long")).as(sumCol))
+
+  /** Maintain a per-group MAX through one changelog batch.
+    *
+    * `state`: (keys, `mx`). `postBase`: the base table AFTER the batch
+    * applied (what the merge sink just wrote — rows (keys, value)).
+    * `inserts`: after-images added this batch (keys, value) — 'c' and
+    * 'u' rows. `retracts`: before-images removed this batch — 'u' and
+    * 'd' rows.
+    *
+    * Groups where a retracted value ties-or-beats the stored max lost
+    * their witness and re-aggregate from `postBase` via a semi-join
+    * (bounded by the hit groups; partition-prunes on a keyed layout).
+    * Every other group takes `greatest(old max, inserted maxes)` —
+    * pure delta work. New groups (no state row) appear through the
+    * insert side; fully-deleted groups produce no `postBase` rows and
+    * leave the state. */
+  def maintainMax(state: DataFrame, postBase: DataFrame,
+                  inserts: DataFrame, retracts: DataFrame,
+                  keyNames: Seq[String], mxCol: String = "mx"): DataFrame = {
+    val keys = keyNames.map(col)
+    // A retraction can only dethrone a max it reaches: value >= stored mx.
+    // (A group with state but no surviving rows re-aggregates to nothing.)
+    val hit = retracts.join(state, keyNames)
+      .filter(col("value").cast("long") >= col(mxCol))
+      .select(keys: _*).distinct()
+    val recomputed = postBase.join(hit, keyNames, "left_semi")
+      .groupBy(keys: _*).agg(max(col("value").cast("long")).as(mxCol))
+    val untouchedState = state.join(hit, keyNames, "left_anti")
+      .select(keys :+ col(mxCol): _*)
+    val insertMaxes = inserts.join(hit, keyNames, "left_anti")
+      .groupBy(keys: _*).agg(max(col("value").cast("long")).as(mxCol))
+    untouchedState.unionByName(insertMaxes)
+      .groupBy(keys: _*).agg(max(col(mxCol)).as(mxCol))
+      .unionByName(recomputed)
+  }
+}

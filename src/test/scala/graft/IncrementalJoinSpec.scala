@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.IncrementalJoin._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental join-view maintenance
+  * ([[graft.operators.IncrementalJoin]]): the bilinear delta rule must
+  * reproduce a full re-join for any pair of side deltas, including the
+  * cross-term annihilation case (insert against a simultaneously
+  * deleted partner). */
+class IncrementalJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** a: (key, ak, av); b: (key, bv). */
+  private def aRel(rows: Seq[(Long, Long, Long)]): DataFrame =
+    asZRelation(rows.toDF("g", "ak", "av"))
+  private def bRel(rows: Seq[(Long, Long)]): DataFrame =
+    asZRelation(rows.toDF("g", "bv"))
+
+  private def viewSet(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(r.fieldIndex("g")),
+      r.getLong(r.fieldIndex("ak")), r.getLong(r.fieldIndex("av")),
+      r.getLong(r.fieldIndex("bv")), r.getLong(r.fieldIndex("mult")))).toSet
+
+  /** ±1 changelog between two versions of the A side keyed by ak. */
+  private def dAOf(before: Seq[(Long, Long, Long)],
+                   after: Seq[(Long, Long, Long)]): DataFrame = {
+    val b = before.map(r => r._2 -> r).toMap
+    val a = after.map(r => r._2 -> r).toMap
+    val rows =
+      a.filter { case (k, r) => b.get(k) != Some(r) }.values
+        .map { case (g, ak, av) => (g, ak, av, 1L) } ++
+      b.filter { case (k, r) => a.get(k) != Some(r) }.values
+        .map { case (g, ak, av) => (g, ak, av, -1L) }
+    rows.toSeq.toDF("g", "ak", "av", "mult")
+  }
+  private def dBOf(before: Seq[(Long, Long)],
+                   after: Seq[(Long, Long)]): DataFrame = {
+    val rows = after.diff(before).map { case (g, bv) => (g, bv, 1L) } ++
+      before.diff(after).map { case (g, bv) => (g, bv, -1L) }
+    rows.toDF("g", "bv", "mult")
+  }
+
+  test("one-sided delta: the maintained view equals the re-join") {
+    val a0 = Seq((1L, 100L, 5L), (2L, 200L, 7L))
+    val a1 = Seq((1L, 100L, 6L), (2L, 200L, 7L), (1L, 300L, 9L))
+    val b0 = Seq((1L, 50L), (2L, 60L))
+    val got = applyJoinDeltas(zJoin(aRel(a0), bRel(b0), Seq("g")),
+      aRel(a0), bRel(b0), dAOf(a0, a1), dBOf(b0, b0), Seq("g"))
+    assert(viewSet(got) === viewSet(zJoin(aRel(a1), bRel(b0), Seq("g"))))
+  }
+
+  test("cross-term annihilation: an order inserted for a simultaneously " +
+    "deleted partner nets to zero") {
+    val a0 = Seq((1L, 100L, 5L))
+    val a1 = a0 :+ (2L, 200L, 7L)  // new row for key 2 ...
+    val b0 = Seq((1L, 50L), (2L, 60L))
+    val b1 = Seq((1L, 50L))        // ... whose partner vanishes same batch
+    val got = applyJoinDeltas(zJoin(aRel(a0), bRel(b0), Seq("g")),
+      aRel(a0), bRel(b0), dAOf(a0, a1), dBOf(b0, b1), Seq("g"))
+    assert(viewSet(got) === viewSet(zJoin(aRel(a1), bRel(b1), Seq("g"))))
+    assert(!got.collect().exists(_.getLong(0) == 2L))
+  }
+
+  test("property: maintained ≡ re-join over random two-sided changelogs, " +
+    "threaded across two batches") {
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      def mutateA(v: Seq[(Long, Long, Long)]) = v.flatMap { case (g, ak, av) =>
+        rnd.nextInt(4) match {
+          case 0 => None
+          case 1 => Some((rnd.nextInt(6).toLong, ak, rnd.nextInt(50).toLong))
+          case _ => Some((g, ak, av))
+        }
+      } ++ (1 to 5).map(_ => (rnd.nextInt(6).toLong,
+        1000L + rnd.nextInt(100000), rnd.nextInt(50).toLong))
+      def mutateB(v: Seq[(Long, Long)]) = v.flatMap { case (g, bv) =>
+        rnd.nextInt(4) match {
+          case 0 => None
+          case 1 => Some((g, rnd.nextInt(50).toLong))
+          case _ => Some((g, bv))
+        }
+      }
+      val a0 = (1 to 30).map(i => (rnd.nextInt(6).toLong, i.toLong,
+        rnd.nextInt(50).toLong))
+      val b0 = (0 to 5).map(g => (g.toLong, rnd.nextInt(50).toLong))
+      val a1 = mutateA(a0); val b1 = mutateB(b0)
+      val a2 = mutateA(a1); val b2 = mutateB(b1)
+      val v2 = applyJoinDeltas(
+        applyJoinDeltas(zJoin(aRel(a0), bRel(b0), Seq("g")),
+          aRel(a0), bRel(b0), dAOf(a0, a1), dBOf(b0, b1), Seq("g")),
+        aRel(a1), bRel(b1), dAOf(a1, a2), dBOf(b1, b2), Seq("g"))
+      assert(viewSet(v2) === viewSet(zJoin(aRel(a2), bRel(b2), Seq("g"))))
+    }
+  }
+
+  test("zJoin refuses colliding payload column names") {
+    val a = asZRelation(Seq((1L, 2L)).toDF("g", "x"))
+    val b = asZRelation(Seq((1L, 3L)).toDF("g", "x"))
+    intercept[IllegalArgumentException] { zJoin(a, b, Seq("g")) }
+  }
+}

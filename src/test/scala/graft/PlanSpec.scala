@@ -843,6 +843,21 @@ class PlanSpec extends SparkSuite {
       .isEmpty)
   }
 
+  test("q207 incremental agg: the state merge is a union + hash " +
+    "aggregate, never a join; q210's delta terms all broadcast") {
+    val d = sf("sf0.001")
+    val p207 = planString(QueriesExt6.q207IncrementalAgg(spark, d))
+    assert(!p207.contains("Join"),
+      "applyDeltas must merge by re-aggregation, not a join:\n" +
+        p207.take(2000))
+    val p210 = planString(QueriesExt6.q210IncrementalJoinView(spark, d))
+    assert(p210.contains("BroadcastHashJoin"), p210.take(2000))
+    assert(!p210.contains("SortMergeJoin") &&
+      !p210.contains("ShuffledHashJoin"),
+      "a delta term re-joined the bases with a shuffle join:\n" +
+        p210.take(2000))
+  }
+
   test("q113 transitions: one user exchange feeds the lag; the " +
     "probability window runs over the matrix, never events") {
     val q = QueriesExt3.q113Transitions(spark, sf("sf0.001"))
