@@ -272,17 +272,68 @@ object QueriesExt6 {
       |       cf.bal AS acctbal_micro
       |FROM fin f JOIN cfin cf ON f.c = cf.c""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** Incrementally-maintained per-cohort dispersion (count / mean /
+    * sample stddev for customer cohorts c % 100): variance IS
+    * delta-maintainable under retraction — the (cnt, Σv, Σv²) moment
+    * state absorbs ±v/±v² deltas in the same union + hash-re-aggregate
+    * currency as q207, squares in decimal(38,0) since micro-unit
+    * squares overflow BIGINT at scale. The final stddev is one defined
+    * double chain over exact integers — partition-count- and
+    * replay-identical. Oracle recomputes the moments from the
+    * post-change base. */
+  def q211IncrementalMoments(s: SparkSession, dir: String): DataFrame = {
+    val (snap, log) = changelogFrames(s, dir)
+    val state0 = IncrementalAgg.initialMoments(
+      snap.withColumn("g", col("c") % 100L), Seq("g"), col("vm"))
+    val delta = IncrementalAgg.momentDeltas(log, col("op"),
+      Seq(col("b_c") % 100L), Seq(col("a_c") % 100L),
+      col("b_vm"), col("a_vm"), Seq("g"))
+    val n = col("cnt").cast("double")
+    val sv = col("sumv").cast("double")
+    val sq = col("sumsq").cast("double")
+    IncrementalAgg.applyMomentDeltas(state0, delta, Seq("g"))
+      .select(col("g").as("cohort"), col("cnt"),
+        round(sv / n / 1000000.0d, 6).as("mean_price"),
+        round(sqrt((n * sq - sv * sv) / (n * (n - 1.0d))) / 1000000.0d, 6)
+          .as("sd_price"))
+  }
+  val q211Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |snap AS (SELECT * FROM base WHERE k % 10 < 8),
+      |ins AS (SELECT k, c, vm FROM base WHERE k % 10 >= 8),
+      |upd AS (SELECT k, CASE WHEN k % 14 = 0 THEN c + 1 ELSE c END AS c,
+      |          vm + 500000 AS vm
+      |        FROM snap WHERE k % 7 = 0),
+      |kept AS (SELECT * FROM snap WHERE k % 7 NOT IN (0, 1)),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |        UNION ALL SELECT * FROM ins),
+      |mo AS (SELECT c % 100 AS g, count(*)::BIGINT AS cnt,
+      |         sum(vm)::BIGINT AS sumv,
+      |         sum(vm::HUGEINT * vm)::HUGEINT AS sumsq
+      |       FROM fin GROUP BY 1)
+      |SELECT g AS cohort, cnt,
+      |       round(sumv::DOUBLE / cnt::DOUBLE / 1000000.0, 6) AS mean_price,
+      |       round(sqrt((cnt::DOUBLE * sumsq::DOUBLE
+      |             - sumv::DOUBLE * sumv::DOUBLE)
+      |           / (cnt::DOUBLE * (cnt::DOUBLE - 1.0))) / 1000000.0, 6)
+      |         AS sd_price
+      |FROM mo""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
     "q209_bootstrap_ci" -> (q209BootstrapCi _),
-    "q210_incremental_join" -> (q210IncrementalJoinView _)
+    "q210_incremental_join" -> (q210IncrementalJoinView _),
+    "q211_incremental_moments" -> (q211IncrementalMoments _)
   )
 
   val oracles: Map[String, String] = Map(
     "q207_incremental_agg" -> q207Sql,
     "q208_incremental_max" -> q208Sql,
     "q209_bootstrap_ci" -> q209Sql,
-    "q210_incremental_join" -> q210Sql
+    "q210_incremental_join" -> q210Sql,
+    "q211_incremental_moments" -> q211Sql
   )
 }

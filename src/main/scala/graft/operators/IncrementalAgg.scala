@@ -90,6 +90,57 @@ object IncrementalAgg {
     base.groupBy(keyNames.map(col): _*)
       .agg(count(lit(1)).as(cntCol), sum(value.cast("long")).as(sumCol))
 
+  /** Second-moment column of the moments currency. */
+  val sumSqCol = "sumsq"
+
+  /** [[deltas]] extended with the second moment: (d_cnt, d_sum, d_sumsq)
+    * with d_sumsq = ±v² — variance/stddev are FULLY delta-maintainable
+    * under retraction (unlike MAX), so an incremental dashboard can
+    * carry dispersion, not just the mean. Squares ride decimal(38,0):
+    * micro-unit values square to ~10¹⁷ and their sums overflow BIGINT
+    * at scale. */
+  def momentDeltas(log: DataFrame, opCol: Column,
+                   beforeKeys: Seq[Column], afterKeys: Seq[Column],
+                   beforeVal: Column, afterVal: Column,
+                   keyNames: Seq[String]): DataFrame = {
+    require(beforeKeys.length == keyNames.length &&
+      afterKeys.length == keyNames.length,
+      "key expression lists must match keyNames")
+    val av = afterVal.cast("long")
+    val bv = beforeVal.cast("long")
+    val inserts = log.filter(opCol.isin("c", "u"))
+      .select(afterKeys.zip(keyNames).map { case (c, n) => c.as(n) } ++
+        Seq(lit(1L).as(cntCol), av.as(sumCol),
+          (av.cast("decimal(38,0)") * av).as(sumSqCol)): _*)
+    val retracts = log.filter(opCol.isin("u", "d"))
+      .select(beforeKeys.zip(keyNames).map { case (c, n) => c.as(n) } ++
+        Seq(lit(-1L).as(cntCol), (-bv).as(sumCol),
+          (-(bv.cast("decimal(38,0)") * bv)).as(sumSqCol)): _*)
+    inserts.unionByName(retracts)
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol), sum(col(sumCol)).as(sumCol),
+        sum(col(sumSqCol)).as(sumSqCol))
+  }
+
+  /** Merge a moment-delta frame into a (key, cnt, sumv, sumsq) state —
+    * same union + hash-aggregate shape as [[applyDeltas]]. */
+  def applyMomentDeltas(state: DataFrame, delta: DataFrame,
+                        keyNames: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum(col(cntCol)).as(cntCol), sum(col(sumCol)).as(sumCol),
+        sum(col(sumSqCol)).as(sumSqCol))
+      .filter(col(cntCol) =!= 0L)
+
+  /** Initial (key, cnt, sumv, sumsq) moments from a base snapshot. */
+  def initialMoments(base: DataFrame, keyNames: Seq[String],
+                     value: Column): DataFrame = {
+    val v = value.cast("long")
+    base.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as(cntCol), sum(v).as(sumCol),
+        sum(v.cast("decimal(38,0)") * v).as(sumSqCol))
+  }
+
   /** Maintain a per-group MAX through one changelog batch.
     *
     * `state`: (keys, `mx`). `postBase`: the base table AFTER the batch

@@ -133,6 +133,63 @@ class IncrementalAggSpec extends SparkSuite {
     }
   }
 
+  test("moments: maintained (cnt, sum, sumsq) state equals recompute " +
+    "under retraction — variance is delta-maintainable") {
+    val before = (1L to 50L).map(k => (k, k % 4, k * k % 97))
+    val after = before.filter(_._1 % 5 != 0)
+      .map { case (k, g, v) => if (k % 3 == 0) (k, (g + 1) % 4, v + 7) else (k, g, v) } ++
+      Seq((51L, 0L, 13L), (52L, 3L, 2L))
+    def moments(rows: Seq[(Long, Long, Long)]) = IncrementalAgg
+      .initialMoments(rows.toDF("k", "g", "v"), Seq("g"), col("v"))
+    val got = IncrementalAgg.applyMomentDeltas(moments(before),
+      IncrementalAgg.momentDeltas(changelog(before, after), col("op"),
+        Seq(col("b_g")), Seq(col("a_g")), col("b_v"), col("a_v"), Seq("g")),
+      Seq("g"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact())).toMap
+    assert(asMap(got) === asMap(moments(after)))
+  }
+
+  test("streaming: changelog micro-batches fold the state through " +
+    "foreachBatch and land on the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val v0 = (1L to 30L).map(k => (k, k % 4, k * 7 % 50))
+    val v1 = v0.filter(_._1 % 6 != 0) ++ Seq((31L, 2L, 99L))
+    val v2 = v1.map { case (k, g, v) =>
+      if (k % 5 == 0) (k, (g + 2) % 4, v + 3) else (k, g, v) }
+    // (op, rowId, b_g, b_v, a_g, a_v) rows of the two batches
+    def logRows(b: Seq[(Long, Long, Long)], a: Seq[(Long, Long, Long)])
+        : Seq[(String, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
+      changelog(b, a).collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))
+    val stream = MemoryStream[(String, Long, Option[Long], Option[Long],
+      Option[Long], Option[Long])]
+    @volatile var state = agg(v0).collect().toSeq // small in-test state table
+    val q = stream.toDF()
+      .toDF("op", "k", "b_g", "b_v", "a_g", "a_v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stateDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(state), agg(v0).schema)
+        state = IncrementalAgg.applyDeltas(stateDf,
+          IncrementalAgg.deltas(batch, col("op"),
+            Seq(col("b_g")), Seq(col("a_g")), col("b_v"), col("a_v"),
+            Seq("g")), Seq("g")).collect().toSeq
+        ()
+      }.start()
+    try {
+      stream.addData(logRows(v0, v1)); q.processAllAvailable()
+      stream.addData(logRows(v1, v2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = state.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === stateMap(agg(v2)))
+  }
+
   test("multi-batch fold: state threads through three changelog batches " +
     "and still equals the final recompute") {
     val v0 = (1L to 40L).map(k => (k, k % 5, k * 3))
