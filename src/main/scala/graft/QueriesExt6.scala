@@ -321,12 +321,93 @@ object QueriesExt6 {
       |         AS sd_price
       |FROM mo""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+  /** Incrementally-maintained DISTINCT count (active customers per
+    * cohort) — the aggregate sketches can only approximate and naive
+    * deltas get wrong (a second order from a known customer must not
+    * count twice; deleting one of two orders must not uncount). The
+    * two-level IVM shape: the SUPPORT relation (cohort, customer) →
+    * order-count is maintained in the q207 delta currency (union + hash
+    * re-aggregate, rows vanish when their count annihilates); the
+    * published view is one hash aggregate over the support — distinct
+    * customers = surviving support rows. Oracle recomputes
+    * count(DISTINCT) from the post-change base. */
+  def q212IncrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    val (snap, log) = changelogFrames(s, dir)
+    val support0 = IncrementalAgg.initialState(
+      snap.withColumn("g", col("c") % 100L), Seq("g", "c"), lit(0L))
+    val delta = IncrementalAgg.deltas(log, col("op"),
+      Seq(col("b_c") % 100L, col("b_c")), Seq(col("a_c") % 100L, col("a_c")),
+      lit(0L), lit(0L), Seq("g", "c"))
+    IncrementalAgg.applyDeltas(support0, delta, Seq("g", "c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_active"), sum(col("cnt")).as("n_orders"))
+      .select(col("g").as("cohort"), col("n_active"), col("n_orders"))
+  }
+  val q212Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |snap AS (SELECT * FROM base WHERE k % 10 < 8),
+      |ins AS (SELECT k, c, vm FROM base WHERE k % 10 >= 8),
+      |upd AS (SELECT k, CASE WHEN k % 14 = 0 THEN c + 1 ELSE c END AS c,
+      |          vm + 500000 AS vm
+      |        FROM snap WHERE k % 7 = 0),
+      |kept AS (SELECT * FROM snap WHERE k % 7 NOT IN (0, 1)),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |        UNION ALL SELECT * FROM ins)
+      |SELECT c % 100 AS cohort, count(DISTINCT c)::BIGINT AS n_active,
+      |       count(*)::BIGINT AS n_orders
+      |FROM fin GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+  /** Surgical backfill under late corrections: a correction batch
+    * (every 11th order's price restated +2.00) arrives AFTER the daily
+    * revenue rollup materialized. Instead of recomputing the rollup —
+    * the 100 TB anti-pattern — the affected DAYS are read off the
+    * correction batch (a bounded distinct), ONLY those days re-aggregate
+    * from the corrected base (broadcast semi-join that partition-prunes
+    * on a date-partitioned layout), and untouched days keep their stored
+    * rows via an anti-join. Oracle recomputes every day from the
+    * corrected base — surgical must equal full. */
+  def q213SurgicalBackfill(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), to_date(col("o_orderdate")).as("day"),
+      round(col("o_totalprice") * 1000000.0d, 0).cast("long").as("vm"))
+    val stored = orders.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("vm")).as("revenue_micro"))
+    val corrections = orders.filter(col("k") % 11 === 0)
+      .select(col("k"), col("day"), (col("vm") + 2000000L).as("vm"))
+    val corrected = orders.join(
+        corrections.select(col("k"), col("vm").as("vm_new")), Seq("k"), "left")
+      .select(col("k"), col("day"), coalesce(col("vm_new"), col("vm")).as("vm"))
+    val touchedDays = corrections.select(col("day")).distinct()
+    val recomputed = corrected
+      .join(broadcast(touchedDays), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("vm")).as("revenue_micro"))
+    stored.join(broadcast(touchedDays), Seq("day"), "left_anti")
+      .unionByName(recomputed)
+      .select(col("day"), col("n_orders"), col("revenue_micro"))
+  }
+  val q213Sql: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderdate::DATE AS day,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |corr AS (SELECT k, day, vm + 2000000 AS vm FROM o WHERE k % 11 = 0),
+      |fixed AS (SELECT o.k, o.day,
+      |            coalesce(corr.vm, o.vm) AS vm
+      |          FROM o LEFT JOIN corr ON o.k = corr.k)
+      |SELECT day, count(*)::BIGINT AS n_orders,
+      |       sum(vm)::BIGINT AS revenue_micro
+      |FROM fixed GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
     "q209_bootstrap_ci" -> (q209BootstrapCi _),
     "q210_incremental_join" -> (q210IncrementalJoinView _),
-    "q211_incremental_moments" -> (q211IncrementalMoments _)
+    "q211_incremental_moments" -> (q211IncrementalMoments _),
+    "q212_incremental_distinct" -> (q212IncrementalDistinct _),
+    "q213_surgical_backfill" -> (q213SurgicalBackfill _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -334,6 +415,8 @@ object QueriesExt6 {
     "q208_incremental_max" -> q208Sql,
     "q209_bootstrap_ci" -> q209Sql,
     "q210_incremental_join" -> q210Sql,
-    "q211_incremental_moments" -> q211Sql
+    "q211_incremental_moments" -> q211Sql,
+    "q212_incremental_distinct" -> q212Sql,
+    "q213_surgical_backfill" -> q213Sql
   )
 }

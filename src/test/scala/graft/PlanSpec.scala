@@ -858,6 +858,14 @@ class PlanSpec extends SparkSuite {
         p210.take(2000))
   }
 
+  test("q213 surgical backfill: touched days reach the recompute as a " +
+    "broadcast semi-join and stored days as a broadcast anti-join") {
+    val p = planString(QueriesExt6.q213SurgicalBackfill(spark, sf("sf0.001")))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "a backfill join degraded to a shuffle join:\n" + p.take(2000))
+  }
+
   test("q113 transitions: one user exchange feeds the lag; the " +
     "probability window runs over the matrix, never events") {
     val q = QueriesExt3.q113Transitions(spark, sf("sf0.001"))
