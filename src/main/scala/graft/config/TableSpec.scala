@@ -46,7 +46,16 @@ final case class TableSpec(
       * the parquet sink factory ([[graft.streaming.CdcApp.sinkFactory]] →
       * [[graft.sink.Scd2ParquetTarget]]); `skip_delete` composes (a
       * delete then never closes the open version). */
-    scd2History: Boolean = false
+    scd2History: Boolean = false,
+    /** Maintain a (group-keys → count/sum/sum-of-squares) rollup NEXT TO
+      * the merged table, updated incrementally from each micro-batch's
+      * retract/insert deltas ([[graft.operators.IncrementalAgg]]) —
+      * `agg_view_keys` names the group columns, `agg_view_value` the
+      * integral value column (micro-unit discipline: scale fractional
+      * money/measures to integers upstream). Honored by the parquet sink
+      * factory via [[graft.sink.AggViewTarget]]. */
+    aggViewKeys: Seq[String] = Nil,
+    aggViewValue: String = ""
 ) {
   def resolvedTarget: String = targetTable.getOrElse(table)
 
@@ -81,7 +90,9 @@ object TableSpec {
     tableIsRegex = truthy(m.getOrElse("table_is_regex", "")),
     dedupStrategy = m.getOrElse("dedup_strategy", "window").toLowerCase,
     saltBuckets = m.getOrElse("salt_buckets", "16").toInt,
-    scd2History = truthy(m.getOrElse("scd2_history", ""))
+    scd2History = truthy(m.getOrElse("scd2_history", "")),
+    aggViewKeys = csv(m.getOrElse("agg_view_keys", "")),
+    aggViewValue = m.getOrElse("agg_view_value", "")
   )
 }
 

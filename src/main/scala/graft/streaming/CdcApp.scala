@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.config.{JobConfig, TableSpec}
 import graft.envelope.CdcFormat
-import graft.sink.{BucketedParquetMergeTarget, BucketedScd2Target, JdbcMergeSink, MergeTarget, RedshiftSql, ReplayCopyExecutor, StagedCopyMergeSink, StatementCopyExecutor}
+import graft.sink.{AggViewTarget, BucketedParquetMergeTarget, BucketedScd2Target, JdbcMergeSink, MergeTarget, RedshiftSql, ReplayCopyExecutor, StagedCopyMergeSink, StatementCopyExecutor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The single app driver, replacing the reference's three near-identical
@@ -86,9 +86,16 @@ object CdcApp {
       // Bucketed layout: per-batch I/O is O(touched buckets), not O(table).
       // `scd2_history` specs keep a type-2 version history instead of the
       // type-1 last-image table.
-      spec => sinks.getOrElseUpdate(spec.resolvedTarget,
-        if (spec.scd2History) new BucketedScd2Target(s"$sinkSpec/${spec.resolvedTarget}")
-        else new BucketedParquetMergeTarget(s"$sinkSpec/${spec.resolvedTarget}"))
+      spec => sinks.getOrElseUpdate(spec.resolvedTarget, {
+        val base: MergeTarget =
+          if (spec.scd2History) new BucketedScd2Target(s"$sinkSpec/${spec.resolvedTarget}")
+          else new BucketedParquetMergeTarget(s"$sinkSpec/${spec.resolvedTarget}")
+        // `agg_view_keys`/`agg_view_value` specs also maintain a moments
+        // rollup next to the merged table (AggViewTarget decorator).
+        if (spec.aggViewKeys.nonEmpty && spec.aggViewValue.nonEmpty)
+          new AggViewTarget(base, s"$sinkSpec/${spec.resolvedTarget}_agg_view")
+        else base
+      })
     }
   }
 
