@@ -2192,7 +2192,7 @@ object QueriesExt {
     * `iters` unrolled damped rounds over an edge CTE that must already be
     * named `e(src, dst)`, distinct and self-loop-free — the exact integer
     * algebra of [[PageRank.ranks]]. Final ranks land in `r{iters}`. */
-  private def pagerankCtesSql(iters: Int): String = {
+  private[graft] def pagerankCtesSql(iters: Int): String = {
     def iter(i: Int): String =
       s"""r$i AS (SELECT n.id, b.base + (85 * coalesce(s.m, 0)) // 100 AS rank
          |       FROM n CROSS JOIN b LEFT JOIN (

@@ -400,6 +400,154 @@ object QueriesExt6 {
       |       sum(vm)::BIGINT AS revenue_micro
       |FROM fixed GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+  /** Aggregate maintained OVER a join view — the two IVM operators
+    * composed: revenue per market segment under changes to BOTH orders
+    * (the shared changelog) and customers (the q210 mutations, where a
+    * closed account's orders leave the rollup). The join's bilinear
+    * delta rows ARE aggregate deltas — each (segment, vm, ±mult) row
+    * contributes (±mult, ±mult·vm) — so the composed maintenance is the
+    * three broadcast delta joins feeding ONE union + hash re-aggregate;
+    * the join view itself never materializes. Oracle recomputes the
+    * rollup from the two post-change bases. */
+  def q214AggOverJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalJoin._
+    val (snap, log) = changelogFrames(s, dir)
+    val aOld = asZRelation(snap.select(col("c"), col("k"), col("vm")))
+    val cust = Tables.customer(s, dir).select(col("c_custkey").as("c"),
+      col("c_mktsegment").as("seg"))
+    val bOld = asZRelation(cust)
+    val dA = log.filter(col("op").isin("c", "u"))
+      .select(col("a_c").as("c"), col("k"), col("a_vm").as("vm"),
+        lit(1L).as(multCol))
+      .unionByName(log.filter(col("op").isin("u", "d"))
+        .select(col("b_c").as("c"), col("k"), col("b_vm").as("vm"),
+          lit(-1L).as(multCol)))
+    val dB = cust.filter(col("c") % 9 === 1)
+      .select(col("c"), col("seg"), lit(-1L).as(multCol))
+    // state: the rollup aggregated once from the pre-change join
+    val state0 = zJoin(aOld, bOld, Seq("c"))
+      .groupBy(col("seg"))
+      .agg(sum(col(multCol)).as("cnt"),
+        sum(col(multCol) * col("vm")).as("sumv"))
+    // join-delta rows fold directly into aggregate deltas
+    val dJoin = zJoin(broadcast(dA), bOld, Seq("c"))
+      .unionByName(zJoin(aOld, broadcast(dB), Seq("c")))
+      .unionByName(zJoin(broadcast(dA), dB, Seq("c")))
+    val delta = dJoin.groupBy(col("seg"))
+      .agg(sum(col(multCol)).as("cnt"),
+        sum(col(multCol) * col("vm")).as("sumv"))
+    IncrementalAgg.applyDeltas(state0, delta, Seq("seg"))
+      .select(col("seg").as("segment"), col("cnt").as("n_orders"),
+        col("sumv").as("revenue_micro"))
+  }
+  val q214Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |snap AS (SELECT * FROM base WHERE k % 10 < 8),
+      |ins AS (SELECT k, c, vm FROM base WHERE k % 10 >= 8),
+      |upd AS (SELECT k, CASE WHEN k % 14 = 0 THEN c + 1 ELSE c END AS c,
+      |          vm + 500000 AS vm
+      |        FROM snap WHERE k % 7 = 0),
+      |kept AS (SELECT * FROM snap WHERE k % 7 NOT IN (0, 1)),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |        UNION ALL SELECT * FROM ins),
+      |cfin AS (SELECT c_custkey AS c, c_mktsegment AS seg
+      |         FROM customer WHERE c_custkey % 9 <> 1)
+      |SELECT cf.seg AS segment, count(*)::BIGINT AS n_orders,
+      |       sum(f.vm)::BIGINT AS revenue_micro
+      |FROM fin f JOIN cfin cf ON f.c = cf.c
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+  /** k-anonymity audit — the governance check next to q30's PII
+    * redaction: how re-identifiable is the events feed under the
+    * quasi-identifier (event_type, day, hour)? Reports the equivalence-
+    * class census: classes, the smallest class (k_min — the dataset's
+    * k-anonymity level), classes below k=5 and the rows they expose.
+    * One hash aggregate to the class grain, one bounded aggregate over
+    * classes — no window, no join; the class frame is ≤ |types|·days·24
+    * regardless of row count. */
+  def q215KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"))
+      .groupBy(col("event_type"), col("day"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    classes.agg(count(lit(1)).as("n_classes"),
+      sum(col("n")).as("n_rows"),
+      min(col("n")).as("k_min"),
+      sum(when(col("n") < 5, 1L).otherwise(0L)).as("classes_below_5"),
+      sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"))
+  }
+  val q215Sql: String =
+    """WITH cls AS (SELECT event_type, ts::DATE AS day,
+      |         extract(hour FROM ts) AS hr, count(*)::BIGINT AS n
+      |       FROM events GROUP BY 1, 2, 3)
+      |SELECT count(*)::BIGINT AS n_classes, sum(n)::BIGINT AS n_rows,
+      |       min(n)::BIGINT AS k_min,
+      |       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+      |         AS classes_below_5,
+      |       sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_at_risk
+      |FROM cls""".stripMargin
+
+  // ---------------------------------------------------------------- q216
+  /** TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    * word-adjacency graph — content words (alpha, ≥4 chars) that
+    * co-occur adjacently link both ways, and the stationary mass ranks
+    * corpus keywords the way q81 ranks hosts. Reuses the exact
+    * fixed-point BIGINT [[graft.operators.PageRank]] (portable md5Long
+    * word ids), so ranks are bit-identical cross-engine; the oracle
+    * unrolls the same 5 damped rounds via the shared q74/q81 scaffold.
+    * Graph build is one narrow pair expansion + distinct; vocabulary
+    * (Heaps-law) bounds the node set, never the corpus. */
+  def q216TextRank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.PageRank
+    val toks = TextFunctions.tokens(col("text"))
+    val pairs = Tables.documents(s, dir)
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1), i =>
+          struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1").rlike("^[a-z]{4,}$") && col("w2").rlike("^[a-z]{4,}$") &&
+        col("w1") =!= col("w2"))
+    val sym = pairs.unionByName(
+      pairs.select(col("w2").as("w1"), col("w1").as("w2")))
+    val edges = sym.select(
+        TextFunctions.md5Long(col("w1")).as("src"),
+        TextFunctions.md5Long(col("w2")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val labels = sym.select(TextFunctions.md5Long(col("w1")).as("id"),
+      col("w1").as("word")).distinct()
+    PageRank.ranks(edges).join(labels, Seq("id"))
+      .select(col("word"), col("rank"))
+      .orderBy(col("rank").desc, col("word").asc).limit(30)
+  }
+  val q216Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH t AS (SELECT doc_id, ${QueriesExt.toksSql} AS x FROM documents),
+       |pr AS (SELECT unnest(list_transform(generate_series(1, len(x) - 1),
+       |                i -> x[i] || ' ' || x[i + 1])) AS pair
+       |       FROM t),
+       |w0 AS (SELECT string_split(pair, ' ')[1] AS w1,
+       |         string_split(pair, ' ')[2] AS w2 FROM pr),
+       |f AS (SELECT w1, w2 FROM w0
+       |      WHERE regexp_full_match(w1, '[a-z]{4,}')
+       |        AND regexp_full_match(w2, '[a-z]{4,}') AND w1 <> w2),
+       |sym AS (SELECT w1, w2 FROM f UNION ALL SELECT w2, w1 FROM f),
+       |e AS (SELECT DISTINCT ${mid("w1")} AS src, ${mid("w2")} AS dst
+       |      FROM sym WHERE ${mid("w1")} <> ${mid("w2")}),
+       |lab AS (SELECT DISTINCT ${mid("w1")} AS id, w1 AS word FROM sym),
+       |${QueriesExt.pagerankCtesSql(5)}
+       |SELECT lab.word, CAST(r.rank AS BIGINT) AS rank
+       |FROM r5 r JOIN lab ON lab.id = r.id
+       |ORDER BY rank DESC, word LIMIT 30""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
@@ -407,7 +555,10 @@ object QueriesExt6 {
     "q210_incremental_join" -> (q210IncrementalJoinView _),
     "q211_incremental_moments" -> (q211IncrementalMoments _),
     "q212_incremental_distinct" -> (q212IncrementalDistinct _),
-    "q213_surgical_backfill" -> (q213SurgicalBackfill _)
+    "q213_surgical_backfill" -> (q213SurgicalBackfill _),
+    "q214_agg_over_join" -> (q214AggOverJoin _),
+    "q215_k_anonymity" -> (q215KAnonymity _),
+    "q216_textrank" -> (q216TextRank _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,6 +568,9 @@ object QueriesExt6 {
     "q210_incremental_join" -> q210Sql,
     "q211_incremental_moments" -> q211Sql,
     "q212_incremental_distinct" -> q212Sql,
-    "q213_surgical_backfill" -> q213Sql
+    "q213_surgical_backfill" -> q213Sql,
+    "q214_agg_over_join" -> q214Sql,
+    "q215_k_anonymity" -> q215Sql,
+    "q216_textrank" -> q216Sql
   )
 }
