@@ -548,6 +548,76 @@ object QueriesExt6 {
        |ORDER BY rank DESC, word LIMIT 30""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q217
+  /** Embedding-distribution drift monitor — the index-ops check run
+    * before trusting a trained ANN structure (IVF centroids q41/q65,
+    * PQ codebooks q59, SQ ranges q68) on refreshed data: compare the
+    * per-dimension mean vector of two corpus cohorts (even vs odd
+    * vec_id — in production, the index-build snapshot vs today) and
+    * report the mean-shift L2, the cosine between the two mean vectors,
+    * and the worst single-dimension shift. One corpus pass to exact
+    * per-(dim, cohort) micro-unit integer sums (order-independent
+    * partials, the q91 discipline); every derived statistic reduces
+    * over the 64-row dim frame in exact decimal before ONE defined
+    * double chain — partition-count-identical. */
+  def q217EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 2 === 0).as("ga"),
+        posexplode(col("embedding")))
+      .select(col("ga"), col("pos"),
+        round(col("col").cast("double") * 1000000.0d, 0).cast("long").as("xm"))
+    val per = ex.groupBy(col("pos")).agg(
+      sum(when(col("ga"), col("xm")).otherwise(0L)).as("sa"),
+      sum(when(col("ga"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("ga"), col("xm")).otherwise(0L)).as("sb"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("nb"))
+    val dims = per.select(
+      round(col("sa").cast("double") / col("na").cast("double"), 0)
+        .cast("long").as("ma"),
+      round(col("sb").cast("double") / col("nb").cast("double"), 0)
+        .cast("long").as("mb"))
+    val d = col("ma") - col("mb")
+    dims.agg(count(lit(1)).as("dim"),
+        sum(d.cast("decimal(38,0)") * d).as("d2"),
+        sum(col("ma").cast("decimal(38,0)") * col("mb")).as("ab"),
+        sum(col("ma").cast("decimal(38,0)") * col("ma")).as("aa"),
+        sum(col("mb").cast("decimal(38,0)") * col("mb")).as("bb"),
+        max(abs(d)).as("max_shift_micro"))
+      .select(col("dim"),
+        round(sqrt(col("d2").cast("double")) / 1000000.0d, 6).as("shift_l2"),
+        round(col("ab").cast("double") /
+          (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))), 6)
+          .as("mean_cosine"),
+        col("max_shift_micro"))
+  }
+  val q217Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ds AS (SELECT unnest(range(1, 65))::INT AS i),
+      |x AS (SELECT (e.vec_id % 2 = 0) AS ga, ds.i AS dim,
+      |        round(e.v[ds.i] * 1000000)::BIGINT AS xm
+      |      FROM e, ds),
+      |g AS (SELECT dim,
+      |        sum(CASE WHEN ga THEN xm ELSE 0 END)::BIGINT AS sa,
+      |        sum(CASE WHEN ga THEN 1 ELSE 0 END)::BIGINT AS na,
+      |        sum(CASE WHEN NOT ga THEN xm ELSE 0 END)::BIGINT AS sb,
+      |        sum(CASE WHEN NOT ga THEN 1 ELSE 0 END)::BIGINT AS nb
+      |      FROM x GROUP BY 1),
+      |m AS (SELECT round(sa::DOUBLE / na::DOUBLE)::BIGINT AS ma,
+      |        round(sb::DOUBLE / nb::DOUBLE)::BIGINT AS mb
+      |      FROM g),
+      |a AS (SELECT count(*)::BIGINT AS dim,
+      |        sum((ma - mb)::HUGEINT * (ma - mb))::HUGEINT AS d2,
+      |        sum(ma::HUGEINT * mb)::HUGEINT AS ab,
+      |        sum(ma::HUGEINT * ma)::HUGEINT AS aa,
+      |        sum(mb::HUGEINT * mb)::HUGEINT AS bb,
+      |        max(abs(ma - mb))::BIGINT AS max_shift_micro
+      |      FROM m)
+      |SELECT dim, round(sqrt(d2::DOUBLE) / 1000000.0, 6) AS shift_l2,
+      |       round(ab::DOUBLE / (sqrt(aa::DOUBLE) * sqrt(bb::DOUBLE)), 6)
+      |         AS mean_cosine,
+      |       max_shift_micro
+      |FROM a""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
@@ -558,7 +628,8 @@ object QueriesExt6 {
     "q213_surgical_backfill" -> (q213SurgicalBackfill _),
     "q214_agg_over_join" -> (q214AggOverJoin _),
     "q215_k_anonymity" -> (q215KAnonymity _),
-    "q216_textrank" -> (q216TextRank _)
+    "q216_textrank" -> (q216TextRank _),
+    "q217_embedding_drift" -> (q217EmbeddingDrift _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -571,6 +642,7 @@ object QueriesExt6 {
     "q213_surgical_backfill" -> q213Sql,
     "q214_agg_over_join" -> q214Sql,
     "q215_k_anonymity" -> q215Sql,
-    "q216_textrank" -> q216Sql
+    "q216_textrank" -> q216Sql,
+    "q217_embedding_drift" -> q217Sql
   )
 }
