@@ -618,6 +618,84 @@ object QueriesExt6 {
       |       max_shift_micro
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+  /** IVF nprobe tuning sweep — the ANN twin of q144's LSH banding
+    * table: before committing an index configuration, measure recall@10
+    * against exact ground truth at nprobe ∈ {1, 2, 4} from ONE shared
+    * cell assignment (the q41 index; probes per tier are just a rank
+    * filter over the same query-to-centroid ranking). Publishes the
+    * cost/quality trade an ANN deployment reads: more probed lists →
+    * more candidates scanned → higher recall. Recall is an exact
+    * integer ratio (hits / |truth|) — no FP aggregation. */
+  def q218NprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Similarity
+    val e = QueriesExt.embs(s, dir)
+    val centroids = Tables.embeddings(s, dir).filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val queries = e.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceTopK(queries, e, 10)
+    val sweeps = Seq(1, 2, 4).map { np =>
+      Similarity.ivfTopK(queries, e, 10, np, centroids)
+        .join(truth.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("nprobe"), col("hits"))
+    }
+    sweeps.reduce(_ unionByName _)
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("nprobe"), expr("n_truth div 10").as("n_queries"),
+        col("hits"),
+        round(col("hits").cast("double") / col("n_truth").cast("double"), 4)
+          .as("recall_at_10"))
+  }
+  val q218Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |a0 AS (SELECT e.vec_id, e.v, c.cid,
+       |         ${QueriesExt.cosSql("e.v", "c.cv")} AS sim
+       |       FROM e, cent c),
+       |assign AS (SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT vec_id, v, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid) AS rn
+       |    FROM a0) WHERE rn = 1),
+       |pq AS (SELECT vec_id AS query_id, v AS qv, cid AS cell,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY sim DESC, cid) AS rn
+       |       FROM a0 WHERE vec_id < 8),
+       |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |s AS (SELECT np.nprobe, p.query_id, a.vec_id AS neighbor_id,
+       |        ${QueriesExt.cosSql("p.qv", "a.v")} AS sim
+       |      FROM pq p JOIN np ON p.rn <= np.nprobe
+       |      JOIN assign a ON p.cell = a.cell
+       |      WHERE p.query_id <> a.vec_id),
+       |ivf AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT nprobe, query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |             ORDER BY sim DESC, neighbor_id) AS rk
+       |    FROM s) WHERE rk <= 10),
+       |tr0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |          ${QueriesExt.cosSql("q.v", "c.v")} AS sim
+       |        FROM e q, e c WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+       |tr AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY sim DESC, neighbor_id) AS rk
+       |    FROM tr0) WHERE rk <= 10),
+       |tn AS (SELECT count(*)::BIGINT AS n_truth FROM tr),
+       |h AS (SELECT np.nprobe, count(i.query_id)::BIGINT AS hits
+       |      FROM np LEFT JOIN (
+       |        SELECT ivf.nprobe, ivf.query_id
+       |        FROM ivf JOIN tr USING (query_id, neighbor_id)) i
+       |        ON i.nprobe = np.nprobe
+       |      GROUP BY 1)
+       |SELECT h.nprobe, tn.n_truth // 10 AS n_queries, h.hits,
+       |       round(h.hits::DOUBLE / tn.n_truth::DOUBLE, 4) AS recall_at_10
+       |FROM h, tn""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
@@ -629,7 +707,8 @@ object QueriesExt6 {
     "q214_agg_over_join" -> (q214AggOverJoin _),
     "q215_k_anonymity" -> (q215KAnonymity _),
     "q216_textrank" -> (q216TextRank _),
-    "q217_embedding_drift" -> (q217EmbeddingDrift _)
+    "q217_embedding_drift" -> (q217EmbeddingDrift _),
+    "q218_nprobe_sweep" -> (q218NprobeSweep _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -643,6 +722,7 @@ object QueriesExt6 {
     "q214_agg_over_join" -> q214Sql,
     "q215_k_anonymity" -> q215Sql,
     "q216_textrank" -> q216Sql,
-    "q217_embedding_drift" -> q217Sql
+    "q217_embedding_drift" -> q217Sql,
+    "q218_nprobe_sweep" -> q218Sql
   )
 }
