@@ -505,7 +505,16 @@ object QueriesExt6 {
     import graft.functions.TextFunctions
     import graft.operators.PageRank
     val toks = TextFunctions.tokens(col("text"))
-    val pairs = Tables.documents(s, dir)
+    // ONE corpus pass, aggregate-before-filter: raw adjacent pairs go
+    // straight into a map-side-combined hash aggregate (no per-
+    // occurrence regex — only a cheap inequality), and the content-word
+    // regex runs on the DISTINCT pair grain (vocabulary-bounded,
+    // Heaps-law: hundreds of rows, not tens of millions of occurrences).
+    // The tiny result materializes eagerly — edges, labels and every
+    // PageRank iteration read it, never the corpus again. (Unaggregated,
+    // the pair stream is referenced four times downstream and the
+    // 60k-doc explode would re-run for each.)
+    val pairs = QueriesExt.docs(s, dir)
       .select(explode(when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1), i =>
           struct(element_at(toks, i).as("w1"),
@@ -513,8 +522,11 @@ object QueriesExt6 {
         .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .filter(col("w1").rlike("^[a-z]{4,}$") && col("w2").rlike("^[a-z]{4,}$") &&
-        col("w1") =!= col("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .filter(col("w1").rlike("^[a-z]{4,}$") && col("w2").rlike("^[a-z]{4,}$"))
+      .select(col("w1"), col("w2"))
+      .localCheckpoint(true)
     val sym = pairs.unionByName(
       pairs.select(col("w2").as("w1"), col("w1").as("w2")))
     val edges = sym.select(
