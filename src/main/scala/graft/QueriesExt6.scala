@@ -708,6 +708,55 @@ object QueriesExt6 {
        |       round(h.hits::DOUBLE / tn.n_truth::DOUBLE, 4) AS recall_at_10
        |FROM h, tn""".stripMargin
 
+  // ---------------------------------------------------------------- q219
+  /** Incrementally-maintained TOP-3 orders per customer cohort — the
+    * ranking dashboard MAX (q208) can't serve, maintained by
+    * [[IncrementalAgg.maintainTopK]]: groups whose retraction reaches
+    * the stored floor (or that hold fewer than k rows) re-aggregate
+    * their top-k from the post-change base through a semi-join; every
+    * other group just re-ranks its ≤k stored rows against the batch's
+    * inserts. Oracle recomputes each cohort's top-3 by (price, orderkey)
+    * from the final base. */
+  def q219IncrementalTopK(s: SparkSession, dir: String): DataFrame = {
+    val (snap, log) = changelogFrames(s, dir)
+    def cohorted(df: DataFrame, cCol: String) =
+      df.withColumn("g", col(cCol) % 100L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("vm").desc, col("k").desc)
+    val state0 = cohorted(snap, "c")
+      .withColumn("__rk", row_number().over(w)).filter(col("__rk") <= 3)
+      .select(col("g"), col("k"), col("vm"))
+    val postBase = cohorted(
+      snap.filter(col("k") % 7 =!= 0 && col("k") % 7 =!= 1), "c")
+      .select(col("g"), col("k"), col("vm"))
+      .unionByName(cohorted(log.filter(col("op").isin("c", "u")), "a_c")
+        .select(col("g"), col("k"), col("a_vm").as("vm")))
+    val inserts = cohorted(log.filter(col("op").isin("c", "u")), "a_c")
+      .select(col("g"), col("k"), col("a_vm").as("vm"))
+    val retracts = cohorted(log.filter(col("op").isin("u", "d")), "b_c")
+      .select(col("g"), col("k"), col("b_vm").as("vm"))
+    IncrementalAgg.maintainTopK(state0, postBase, inserts, retracts,
+        Seq("g"), k = 3, idCol = "k", valCol = "vm")
+      .select(col("g").as("cohort"), col("k").as("o_orderkey"),
+        col("vm").as("price_micro"))
+  }
+  val q219Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |snap AS (SELECT * FROM base WHERE k % 10 < 8),
+      |ins AS (SELECT k, c, vm FROM base WHERE k % 10 >= 8),
+      |upd AS (SELECT k, CASE WHEN k % 14 = 0 THEN c + 1 ELSE c END AS c,
+      |          vm + 500000 AS vm
+      |        FROM snap WHERE k % 7 = 0),
+      |kept AS (SELECT * FROM snap WHERE k % 7 NOT IN (0, 1)),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |        UNION ALL SELECT * FROM ins)
+      |SELECT cohort, k AS o_orderkey, vm AS price_micro FROM (
+      |  SELECT c % 100 AS cohort, k, vm,
+      |         ROW_NUMBER() OVER (PARTITION BY c % 100
+      |           ORDER BY vm DESC, k DESC) AS rk
+      |  FROM fin) WHERE rk <= 3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
@@ -720,7 +769,8 @@ object QueriesExt6 {
     "q215_k_anonymity" -> (q215KAnonymity _),
     "q216_textrank" -> (q216TextRank _),
     "q217_embedding_drift" -> (q217EmbeddingDrift _),
-    "q218_nprobe_sweep" -> (q218NprobeSweep _)
+    "q218_nprobe_sweep" -> (q218NprobeSweep _),
+    "q219_incremental_topk" -> (q219IncrementalTopK _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,6 +785,7 @@ object QueriesExt6 {
     "q215_k_anonymity" -> q215Sql,
     "q216_textrank" -> q216Sql,
     "q217_embedding_drift" -> q217Sql,
-    "q218_nprobe_sweep" -> q218Sql
+    "q218_nprobe_sweep" -> q218Sql,
+    "q219_incremental_topk" -> q219Sql
   )
 }

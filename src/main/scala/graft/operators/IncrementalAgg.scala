@@ -141,6 +141,56 @@ object IncrementalAgg {
         sum(v.cast("decimal(38,0)") * v).as(sumSqCol))
   }
 
+  /** Maintain each group's TOP-K rows (largest (value, id), both ties
+    * and identity resolved by `idCol`) through one changelog batch —
+    * [[maintainMax]] generalized to the ranking dashboards (top sellers
+    * per region) that MAX alone can't serve. The stored set per group is
+    * its top-k rows; the per-group floor is the weakest stored (value,
+    * id) witness.
+    *
+    * Split:
+    *  - a retraction at-or-above the floor (or into a group holding
+    *    fewer than k rows) may change membership — those groups
+    *    re-aggregate their top-k from `postBase` via a semi-join
+    *    (bounded by hit groups, partition-prunable);
+    *  - every other group re-ranks its stored rows ∪ the batch's
+    *    inserts — a window over a (k + per-group batch inserts)-bounded
+    *    frame, pure delta work.
+    * Frames: `state` (keys, idCol, valCol stored rows), `postBase` /
+    * `inserts` / `retracts` as in [[maintainMax]] but carrying idCol. */
+  def maintainTopK(state: DataFrame, postBase: DataFrame,
+                   inserts: DataFrame, retracts: DataFrame,
+                   keyNames: Seq[String], k: Int,
+                   idCol: String = "id", valCol: String = "value"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val keys = keyNames.map(col)
+    // (value, id) lexicographic witness — unambiguous after the join:
+    // floor carries only keys/__floor/__n, so bare columns bind to the
+    // retraction side.
+    val witness =
+      struct(col(valCol).cast("long").as("v"), col(idCol).cast("long").as("i"))
+    val floor = state.groupBy(keys: _*)
+      .agg(min(witness).as("__floor"), count(lit(1)).as("__n"))
+    val hit = retracts.join(floor, keyNames)
+      .filter(witness >= col("__floor") || col("__n") < k)
+      .select(keys: _*).distinct()
+    def topK(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys: _*)
+        .orderBy(col(valCol).desc, col(idCol).desc)
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k).drop("__rk")
+    }
+    val cols = keyNames ++ Seq(idCol, valCol)
+    val recomputed = topK(postBase.join(hit, keyNames, "left_semi")
+      .select(cols.map(col): _*))
+    val untouched = topK(state.select(cols.map(col): _*)
+      .join(hit, keyNames, "left_anti")
+      .unionByName(inserts.select(cols.map(col): _*)
+        .join(hit, keyNames, "left_anti")))
+    untouched.unionByName(recomputed)
+  }
+
   /** Maintain a per-group MAX through one changelog batch.
     *
     * `state`: (keys, `mx`). `postBase`: the base table AFTER the batch

@@ -190,6 +190,63 @@ class IncrementalAggSpec extends SparkSuite {
     assert(got === stateMap(agg(v2)))
   }
 
+  private def topKOf(rows: Seq[(Long, Long, Long)], k: Int): Set[(Long, Long, Long)] =
+    rows.groupBy(_._2).values.flatMap(
+      _.sortBy(r => (-r._3, -r._1)).take(k)).toSet
+
+  private def maintainedTopK(before: Seq[(Long, Long, Long)],
+                             after: Seq[(Long, Long, Long)],
+                             k: Int): Set[(Long, Long, Long)] = {
+    val log = changelog(before, after)
+    val state0 = topKOf(before, k).toSeq.toDF("k", "g", "v")
+      .select(col("g"), col("k"), col("v"))
+    val postBase = after.toDF("k", "g", "v").select(col("g"), col("k"), col("v"))
+    val inserts = log.filter(col("op").isin("c", "u"))
+      .select(col("a_g").as("g"), col("k"), col("a_v").as("v"))
+    val retracts = log.filter(col("op").isin("u", "d"))
+      .select(col("b_g").as("g"), col("k"), col("b_v").as("v"))
+    IncrementalAgg.maintainTopK(state0, postBase, inserts, retracts,
+        Seq("g"), k, idCol = "k", valCol = "v")
+      .collect().map(r => (r.getLong(r.fieldIndex("k")),
+        r.getLong(r.fieldIndex("g")), r.getLong(r.fieldIndex("v")))).toSet
+  }
+
+  test("top-k maintenance: a floor-crossing delete refills from the " +
+    "base; a below-floor delete stays incremental") {
+    val before = Seq((1L, 10L, 90L), (2L, 10L, 80L), (3L, 10L, 70L),
+      (4L, 10L, 60L), (5L, 10L, 50L))
+    // delete the #2 row (above floor 70) and the #5 row (below floor)
+    val after = before.filterNot(r => r._1 == 2L || r._1 == 5L)
+    assert(maintainedTopK(before, after, 3) === topKOf(after, 3))
+  }
+
+  test("top-k maintenance: an insert cracking the top-k of an untouched " +
+    "group re-ranks without reading the base") {
+    val before = Seq((1L, 10L, 90L), (2L, 10L, 80L), (3L, 10L, 70L),
+      (4L, 10L, 60L))
+    val after = before :+ (9L, 10L, 85L)
+    assert(maintainedTopK(before, after, 3) === topKOf(after, 3))
+  }
+
+  test("top-k maintenance property: ≡ recompute over random changelogs " +
+    "(group moves, underfilled/vanished/new groups)") {
+    val rnd = new scala.util.Random(23)
+    (1 to 5).foreach { _ =>
+      val before = (1L to 50L).map(kk =>
+        (kk, rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
+      val after = before.flatMap { case (kk, g, v) =>
+        rnd.nextInt(3) match {
+          case 0 => None
+          case 1 => Some((kk, if (rnd.nextBoolean()) rnd.nextInt(8).toLong else g,
+            rnd.nextInt(100).toLong))
+          case _ => Some((kk, g, v))
+        }
+      } ++ (51L to 60L).map(kk =>
+        (kk, rnd.nextInt(9).toLong, rnd.nextInt(100).toLong))
+      assert(maintainedTopK(before, after, 3) === topKOf(after, 3))
+    }
+  }
+
   test("multi-batch fold: state threads through three changelog batches " +
     "and still equals the final recompute") {
     val v0 = (1L to 40L).map(k => (k, k % 5, k * 3))
