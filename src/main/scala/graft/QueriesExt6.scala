@@ -523,9 +523,8 @@ object QueriesExt6 {
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .distinct()
       .filter(col("w1").rlike("^[a-z]{4,}$") && col("w2").rlike("^[a-z]{4,}$"))
-      .select(col("w1"), col("w2"))
       .localCheckpoint(true)
     val sym = pairs.unionByName(
       pairs.select(col("w2").as("w1"), col("w1").as("w2")))
@@ -649,14 +648,14 @@ object QueriesExt6 {
       .sortBy(_._1).toSeq
     val queries = e.filter(col("vec_id") < 8)
     val truth = Similarity.bruteForceTopK(queries, e, 10)
-    val sweeps = Seq(1, 2, 4).map { np =>
-      Similarity.ivfTopK(queries, e, 10, np, centroids)
-        .join(truth.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(np).as("nprobe"), col("hits"))
-    }
-    sweeps.reduce(_ unionByName _)
+    val hits = Similarity.ivfSweepTopK(queries, e, 10, Seq(1, 2, 4), centroids)
+      .join(truth.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    // Anchor on the literal tier list so a zero-hit tier still reports.
+    import s.implicits._
+    Seq(1, 2, 4).toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left").na.fill(0L, Seq("hits"))
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
       .select(col("nprobe"), expr("n_truth div 10").as("n_queries"),
         col("hits"),

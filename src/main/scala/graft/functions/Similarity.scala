@@ -382,6 +382,42 @@ object Similarity {
     rerankTopK(c.join(q, Seq("cell")), k)
   }
 
+  /** [[ivfTopK]] for SEVERAL nprobe tiers at once — the tuning-sweep
+    * form: the corpus cell assignment materializes ONCE
+    * (localCheckpoint; each tier would otherwise rescan and re-score
+    * the corpus against every centroid), the query side ranks its
+    * probed cells once via `posexplode` of the ordered probe list, and
+    * each tier is just a rank filter over that shared ranking before
+    * the equi-join and per-(tier, query) top-k.
+    * Output: (nprobe, query_id, neighbor_id, rank). */
+  def ivfSweepTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   nprobes: Seq[Int], centroids: Seq[(Int, Seq[Double])],
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty && nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      "need centroids and nprobe tiers >= 1")
+    val maxProbe = nprobes.max
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        l2Norm(col(vecCol)).as("cn"), ivfCell(col(vecCol), centroids).as("cell"))
+      .localCheckpoint(true)
+    val probeRanked = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn"),
+      posexplode(ivfProbeCells(col(vecCol), centroids, maxProbe))
+        .as(Seq("probe_rank", "cell")))
+    val probes = nprobes.map(np =>
+      probeRanked.filter(col("probe_rank") < np).drop("probe_rank")
+        .withColumn("nprobe", lit(np))).reduce(_ unionByName _)
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", try_divide(dot(col("qv"), col("cv")),
+        col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Squared Euclidean distance (double, left-to-right fold) — the
     * product-quantization kernel. */
   def l2Sq(a: Column, b: Column): Column = VectorExpressions.vecL2Sq(a, b)

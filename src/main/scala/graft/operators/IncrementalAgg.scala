@@ -44,8 +44,9 @@ object IncrementalAgg {
 
   /** Normalize a changelog batch to per-group (d_cnt, d_sum) deltas.
     *
-    * `log` carries `opCol` ∈ {'c','u','d'} (the engine's canonical ops —
-    * [[graft.envelope.CdcFormat]] normalizes every wire format to these),
+    * `log` carries `opCol` ∈ {'c','u','d','r'} (the engine's canonical
+    * ops — [[graft.envelope.CdcFormat]] normalizes every wire format to
+    * these; 'r' snapshot/read rows contribute insertions like 'c'),
     * before-image key/value expressions (valid on 'u'/'d' rows) and
     * after-image expressions (valid on 'c'/'u' rows). Values must
     * already be exact integers (micro-units) — the whole algebra stays
@@ -61,7 +62,7 @@ object IncrementalAgg {
     require(beforeKeys.length == keyNames.length &&
       afterKeys.length == keyNames.length,
       "key expression lists must match keyNames")
-    val inserts = log.filter(opCol.isin("c", "u"))
+    val inserts = log.filter(opCol.isin("c", "u", "r"))
       .select(afterKeys.zip(keyNames).map { case (c, n) => c.as(n) } ++
         Seq(lit(1L).as(cntCol), afterVal.cast("long").as(sumCol)): _*)
     val retracts = log.filter(opCol.isin("u", "d"))
@@ -108,7 +109,7 @@ object IncrementalAgg {
       "key expression lists must match keyNames")
     val av = afterVal.cast("long")
     val bv = beforeVal.cast("long")
-    val inserts = log.filter(opCol.isin("c", "u"))
+    val inserts = log.filter(opCol.isin("c", "u", "r"))
       .select(afterKeys.zip(keyNames).map { case (c, n) => c.as(n) } ++
         Seq(lit(1L).as(cntCol), av.as(sumCol),
           (av.cast("decimal(38,0)") * av).as(sumSqCol)): _*)

@@ -36,8 +36,7 @@ import org.apache.spark.sql.functions._
   * retraction needs the PRE-merge target). A crash between the two
   * replays into: checksum hit → view skip → merge runs. A crash before
   * the view write replays both. Either way state converges. */
-final class AggViewTarget(inner: MergeTarget, viewPath: String,
-                          metaCols: Seq[String] = Seq("op_aws", "ts_ms_aws", "idx_aws"))
+final class AggViewTarget(inner: MergeTarget, viewPath: String)
   extends MergeTarget {
 
   def snapshot(spark: SparkSession): DataFrame = inner.snapshot(spark)
@@ -62,10 +61,14 @@ final class AggViewTarget(inner: MergeTarget, viewPath: String,
   }
 
   /** Order/partitioning-independent batch fingerprint: XOR of portable
-    * row hashes over (merge keys, op, value) — enough to identify a
-    * checkpoint replay of the same batch content. */
+    * row hashes over every view-relevant column — merge keys, op, the
+    * GROUP columns and the value. The group columns must participate:
+    * two consecutive batches that only move a row between groups agree
+    * on (key, op, value) and would otherwise collide, skipping a real
+    * view update as a "replay". */
   private def fingerprint(stage: DataFrame, spec: TableSpec): String = {
-    val cols = (spec.mergeKeys :+ "op_aws" :+ spec.aggViewValue).distinct
+    val cols = (spec.mergeKeys ++ Seq("op_aws") ++ spec.aggViewKeys :+
+      spec.aggViewValue).distinct
     val h = graft.functions.TextFunctions.md5Long(
       concat_ws("", cols.map(c => col(c).cast("string")): _*))
     val agg = stage.select(h.as("h"))
@@ -89,18 +92,27 @@ final class AggViewTarget(inner: MergeTarget, viewPath: String,
           v.as(IncrementalAgg.sumCol),
           (v.cast("decimal(38,0)") * v).as(IncrementalAgg.sumSqCol)): _*)
       val keyFrame = stage.select(spec.mergeKeys.map(col): _*).distinct()
-      val oldRows = scala.util.Try(inner.snapshot(spark)).toOption match {
-        case None => None
-        case Some(t) => Some(t.join(broadcast(keyFrame), spec.mergeKeys, "left_semi"))
-      }
-      val minus = oldRows.map(_.select(
-        groups.map(col) ++ Seq(lit(-1L).as(IncrementalAgg.cntCol),
-          (-v).as(IncrementalAgg.sumCol),
-          (-(v.cast("decimal(38,0)") * v)).as(IncrementalAgg.sumSqCol)): _*))
+      // Pre-merge target. With a live view the target MUST be readable —
+      // a transient snapshot failure propagates and fails the batch (the
+      // checkpoint replays it) rather than silently dropping the
+      // retractions. Only before the first view write may the target
+      // legitimately not exist yet.
+      val preTarget: Option[DataFrame] =
+        if (exists) Some(inner.snapshot(spark))
+        else scala.util.Try(inner.snapshot(spark)).toOption
+      val minus = preTarget.map(
+        _.join(broadcast(keyFrame), spec.mergeKeys, "left_semi").select(
+          groups.map(col) ++ Seq(lit(-1L).as(IncrementalAgg.cntCol),
+            (-v).as(IncrementalAgg.sumCol),
+            (-(v.cast("decimal(38,0)") * v)).as(IncrementalAgg.sumSqCol)): _*))
       val delta = minus.fold(plus)(plus.unionByName(_))
+      // First write bootstraps the state from the PRE-merge target, so a
+      // view attached to a table with history starts equal to its
+      // recompute instead of tracking only post-attachment deltas.
       val state = if (exists) viewSnapshot(spark) else
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          delta.schema)
+        preTarget.map(t => IncrementalAgg.initialMoments(t, groups, v))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema))
       val merged = IncrementalAgg.applyMomentDeltas(state, delta, groups)
       val tmp = viewPath + ".tmp"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)

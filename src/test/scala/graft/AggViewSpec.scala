@@ -137,6 +137,29 @@ class AggViewSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("consecutive group-move-only batches are distinct work, not " +
+    "replays: the fingerprint covers the group columns") {
+    val dir = tmp("graft-aggview-gm")
+    val t = new AggViewTarget(new ParquetMergeTarget(s"$dir/t"), s"$dir/view")
+    t.merge(batch(Seq((1L, "a", 10L, "c"))), spec)
+    // same key, same value, same op — only the group differs per batch
+    t.merge(batch(Seq((1L, "b", 10L, "u"))), spec)
+    t.merge(batch(Seq((1L, "c", 10L, "u"))), spec)
+    assert(view(t) === Map("c" -> (1L, 10L, 100L)))
+    assert(view(t) === recompute(t))
+  }
+
+  test("a view attached to a target with history bootstraps from the " +
+    "pre-merge target, not from empty") {
+    val dir = tmp("graft-aggview-boot")
+    val plain = new ParquetMergeTarget(s"$dir/t")
+    plain.merge(batch(Seq((1L, "a", 10L, "c"), (2L, "b", 5L, "c"))), spec)
+    val t = new AggViewTarget(plain, s"$dir/view")
+    t.merge(batch(Seq((2L, "b", 7L, "u"), (3L, "a", 1L, "c"))), spec)
+    assert(view(t) === Map("a" -> (2L, 11L, 101L), "b" -> (1L, 7L, 49L)))
+    assert(view(t) === recompute(t))
+  }
+
   test("sinkFactory routes agg_view specs through the decorator") {
     val dir = tmp("graft-aggview-factory")
     val target = graft.streaming.CdcApp.sinkFactory(spark, dir)(spec)

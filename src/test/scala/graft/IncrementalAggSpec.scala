@@ -69,6 +69,20 @@ class IncrementalAggSpec extends SparkSuite {
     assert(!got.contains(10L) && got(20L) === (1L, 7L))
   }
 
+  test("'r' snapshot rows contribute insertions like 'c' (the canonical " +
+    "op set is c/u/d/r)") {
+    val log = Seq(
+      ("r", 1L, None: Option[Long], None: Option[Long], Some(10L), Some(5L)),
+      ("r", 2L, None: Option[Long], None: Option[Long], Some(10L), Some(7L)),
+      ("c", 3L, None: Option[Long], None: Option[Long], Some(20L), Some(9L)))
+      .toDF("op", "k", "b_g", "b_v", "a_g", "a_v")
+    val delta = IncrementalAgg.deltas(log, col("op"),
+      Seq(col("b_g")), Seq(col("a_g")), col("b_v"), col("a_v"), Seq("g"))
+    val got = delta.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(10L -> (2L, 12L), 20L -> (1L, 9L)))
+  }
+
   test("property: maintained ≡ recomputed over random changelogs") {
     val rnd = new scala.util.Random(42)
     (1 to 5).foreach { _ =>
