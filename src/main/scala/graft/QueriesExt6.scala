@@ -756,6 +756,43 @@ object QueriesExt6 {
       |           ORDER BY vm DESC, k DESC) AS rk
       |  FROM fin) WHERE rk <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+  /** l-diversity audit — k-anonymity's (q215) stronger sibling: a class
+    * can be large yet still leak if everyone in it shares the sensitive
+    * attribute. Per (event_type, day, hour) equivalence class, the
+    * number of DISTINCT users; published census: classes, the least
+    * diverse class (l_min), classes below l=3 and the rows they cover.
+    * Exact distinct via the two-level aggregate (class × user grain
+    * first — partial-agg-safe — then class grain); the class frame
+    * stays bounded by the grid, never row count. */
+  def q220LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val classUser = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"), col("user_id"))
+      .groupBy(col("event_type"), col("day"), col("hr"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val classes = classUser
+      .groupBy(col("event_type"), col("day"), col("hr"))
+      .agg(count(lit(1)).as("l"), sum(col("n")).as("rows"))
+    classes.agg(count(lit(1)).as("n_classes"),
+      min(col("l")).as("l_min"),
+      sum(when(col("l") < 3, 1L).otherwise(0L)).as("classes_below_3"),
+      sum(when(col("l") < 3, col("rows")).otherwise(0L)).as("rows_at_risk"))
+  }
+  val q220Sql: String =
+    """WITH cu AS (SELECT event_type, ts::DATE AS day,
+      |         extract(hour FROM ts) AS hr, user_id, count(*)::BIGINT AS n
+      |       FROM events GROUP BY 1, 2, 3, 4),
+      |cls AS (SELECT event_type, day, hr, count(*)::BIGINT AS l,
+      |          sum(n)::BIGINT AS rows
+      |        FROM cu GROUP BY 1, 2, 3)
+      |SELECT count(*)::BIGINT AS n_classes, min(l)::BIGINT AS l_min,
+      |       sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT
+      |         AS classes_below_3,
+      |       sum(CASE WHEN l < 3 THEN rows ELSE 0 END)::BIGINT
+      |         AS rows_at_risk
+      |FROM cls""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
@@ -769,7 +806,8 @@ object QueriesExt6 {
     "q216_textrank" -> (q216TextRank _),
     "q217_embedding_drift" -> (q217EmbeddingDrift _),
     "q218_nprobe_sweep" -> (q218NprobeSweep _),
-    "q219_incremental_topk" -> (q219IncrementalTopK _)
+    "q219_incremental_topk" -> (q219IncrementalTopK _),
+    "q220_l_diversity" -> (q220LDiversity _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -785,6 +823,7 @@ object QueriesExt6 {
     "q216_textrank" -> q216Sql,
     "q217_embedding_drift" -> q217Sql,
     "q218_nprobe_sweep" -> q218Sql,
-    "q219_incremental_topk" -> q219Sql
+    "q219_incremental_topk" -> q219Sql,
+    "q220_l_diversity" -> q220Sql
   )
 }

@@ -95,6 +95,51 @@ class IncrementalJoinSpec extends SparkSuite {
     }
   }
 
+  test("streaming: two-sided tagged delta batches fold the join view " +
+    "through foreachBatch onto the re-join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a0 = Seq((1L, 100L, 5L), (2L, 200L, 7L), (3L, 300L, 2L))
+    val b0 = Seq((1L, 50L), (2L, 60L), (3L, 70L))
+    val a1 = Seq((1L, 100L, 6L), (2L, 200L, 7L), (2L, 400L, 9L))
+    val b1 = Seq((1L, 50L), (2L, 61L))
+    val a2 = a1 :+ (3L, 500L, 4L)
+    val b2 = b1 :+ (3L, 71L)
+    // ("A"|"B", g, ak, av, bv, mult) — one stream carries both sides
+    def tag(dA: DataFrame, dB: DataFrame): Seq[(String, Long, Long, Long, Long, Long)] =
+      dA.collect().toSeq.map(r => ("A", r.getLong(0), r.getLong(1),
+        r.getLong(2), 0L, r.getLong(3))) ++
+      dB.collect().toSeq.map(r => ("B", r.getLong(0), 0L, 0L,
+        r.getLong(1), r.getLong(2)))
+    var aCur = a0; var bCur = b0
+    @volatile var state = zJoin(aRel(a0), bRel(b0), Seq("g")).collect().toSeq
+    val schema = zJoin(aRel(a0), bRel(b0), Seq("g")).schema
+    val stream = MemoryStream[(String, Long, Long, Long, Long, Long)]
+    val q = stream.toDF().toDF("side", "g", "ak", "av", "bv", "mult")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dA = batch.filter(col("side") === "A")
+          .select(col("g"), col("ak"), col("av"), col("mult"))
+        val dB = batch.filter(col("side") === "B")
+          .select(col("g"), col("bv"), col("mult"))
+        val stateDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(state), schema)
+        state = applyJoinDeltas(stateDf, aRel(aCur), bRel(bCur), dA, dB,
+          Seq("g")).collect().toSeq
+        // post-batch bases for the NEXT batch's delta terms
+        ()
+      }.start()
+    try {
+      stream.addData(tag(dAOf(a0, a1), dBOf(b0, b1)))
+      q.processAllAvailable(); aCur = a1; bCur = b1
+      stream.addData(tag(dAOf(a1, a2), dBOf(b1, b2)))
+      q.processAllAvailable(); aCur = a2; bCur = b2
+    } finally q.stop()
+    val got = state.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+    assert(got === viewSet(zJoin(aRel(a2), bRel(b2), Seq("g"))))
+  }
+
   test("zJoin refuses colliding payload column names") {
     val a = asZRelation(Seq((1L, 2L)).toDF("g", "x"))
     val b = asZRelation(Seq((1L, 3L)).toDF("g", "x"))
