@@ -793,6 +793,79 @@ object QueriesExt6 {
       |         AS rows_at_risk
       |FROM cls""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+  /** Data-quality contract report ([[graft.operators.DataQuality]]) —
+    * the Deequ/dbt-test gate run before publishing: nine checks across
+    * three tables, every scalar check a conditional count inside ONE
+    * single-row aggregate per table (adding checks never adds scans),
+    * uniqueness as rows − distinct keys in the same pass, referential
+    * integrity as the one anti-join that genuinely needs the parent.
+    * Deliberately includes failing checks (lineitem discounts exceed
+    * the 5% contract; events carry types outside the whitelist and
+    * user_id is not a key) so the report proves it counts, not just
+    * rubber-stamps. */
+  def q221QualityContract(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality._
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val events = Tables.events(s, dir)
+    val rep = Seq(
+      "orders" -> run(orders, Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 600000.0),
+        Accepted("o_orderstatus", Seq("O", "F", "P")))),
+      "lineitem" -> run(lineitem, Seq(
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_discount", 0.0, 0.05),
+        ForeignKey(Seq("l_orderkey"), orders.select(col("o_orderkey")),
+          Seq("o_orderkey")))),
+      "events" -> run(events, Seq(
+        Accepted("event_type", Seq("purchase", "click", "view")),
+        Unique(Seq("user_id")))))
+    rep.map { case (t, r) => r.select(lit(t).as("tbl"), col("check"),
+        col("violations"), col("passed")) }
+      .reduce(_ unionByName _)
+  }
+  val q221Sql: String =
+    """WITH raw AS (
+      |SELECT 'orders' AS tbl, 'not_null(o_custkey)' AS check_name,
+      |       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+      |         AS violations
+      |UNION ALL
+      |SELECT 'orders', 'unique(o_orderkey)',
+      |       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)::BIGINT
+      |UNION ALL
+      |SELECT 'orders', 'in_range(o_totalprice,0.0,600000.0)',
+      |       (SELECT count(*) FROM orders WHERE o_totalprice IS NULL
+      |          OR o_totalprice < 0.0 OR o_totalprice > 600000.0)::BIGINT
+      |UNION ALL
+      |SELECT 'orders', 'accepted(o_orderstatus)',
+      |       (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL
+      |          OR o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
+      |UNION ALL
+      |SELECT 'lineitem', 'in_range(l_quantity,1.0,50.0)',
+      |       (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL
+      |          OR l_quantity < 1.0 OR l_quantity > 50.0)::BIGINT
+      |UNION ALL
+      |SELECT 'lineitem', 'in_range(l_discount,0.0,0.05)',
+      |       (SELECT count(*) FROM lineitem WHERE l_discount IS NULL
+      |          OR l_discount < 0.0 OR l_discount > 0.05)::BIGINT
+      |UNION ALL
+      |SELECT 'lineitem', 'foreign_key(l_orderkey)',
+      |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+      |          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+      |UNION ALL
+      |SELECT 'events', 'accepted(event_type)',
+      |       (SELECT count(*) FROM events WHERE event_type IS NULL
+      |          OR event_type NOT IN ('purchase', 'click', 'view'))::BIGINT
+      |UNION ALL
+      |SELECT 'events', 'unique(user_id)',
+      |       (SELECT count(*) - count(DISTINCT user_id) FROM events)::BIGINT)
+      |SELECT tbl, check_name AS "check", violations,
+      |       violations = 0 AS passed
+      |FROM raw""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
@@ -807,7 +880,8 @@ object QueriesExt6 {
     "q217_embedding_drift" -> (q217EmbeddingDrift _),
     "q218_nprobe_sweep" -> (q218NprobeSweep _),
     "q219_incremental_topk" -> (q219IncrementalTopK _),
-    "q220_l_diversity" -> (q220LDiversity _)
+    "q220_l_diversity" -> (q220LDiversity _),
+    "q221_quality_contract" -> (q221QualityContract _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -824,6 +898,7 @@ object QueriesExt6 {
     "q217_embedding_drift" -> q217Sql,
     "q218_nprobe_sweep" -> q218Sql,
     "q219_incremental_topk" -> q219Sql,
-    "q220_l_diversity" -> q220Sql
+    "q220_l_diversity" -> q220Sql,
+    "q221_quality_contract" -> q221Sql
   )
 }
