@@ -866,6 +866,70 @@ object QueriesExt6 {
       |       violations = 0 AS passed
       |FROM raw""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+  /** EWMA control chart over daily volumes per event type — the ops
+    * monitor that flags a day whose count escapes ±3σ of its smoothed
+    * one-step-ahead prediction. λ = 1/4 is chosen DYADIC so the
+    * recursion e_t = (x_t·10⁶ + 3·e_{t−1}) >> 2 stays in exact BIGINT
+    * micro-units — the fold is bit-identical cross-engine (DuckDB
+    * replays it as a recursive CTE, Spark as an array fold over the
+    * ≤|days| per-type frame; events themselves aggregate once to the
+    * (type, day) grain and never re-shuffle). σ is the type's exact
+    * moment stddev; the flag compare mirrors the same double chain. */
+  def q222EwmaControl(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .withColumn("sd", sqrt((col("n").cast("double") * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double")) /
+        (col("n").cast("double") * (col("n").cast("double") - 1.0d))))
+    val packed = daily.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("ds"))
+      .withColumn("ew", aggregate(col("ds"),
+        array().cast("array<bigint>"),
+        (acc, d) => concat(acc, array(
+          when(size(acc) === 0, d.getField("x") * 1000000L)
+            .otherwise(shiftright(
+              d.getField("x") * 1000000L +
+                element_at(acc, size(acc)) * 3L, 2))))))
+    packed.select(col("event_type"),
+        posexplode(col("ds")).as(Seq("pos", "d")), col("ew"))
+      .filter(col("pos") >= 1)
+      .select(col("event_type"), col("d.day").as("day"),
+        col("d.x").as("cnt"),
+        element_at(col("ew"), col("pos")).as("pred_micro"))
+      .join(stats.select(col("event_type"), col("sd")), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cnt"), col("pred_micro"),
+        (abs(col("cnt") * 1000000L - col("pred_micro")).cast("double") >
+          lit(3.0d) * col("sd") * 1000000.0d).as("flagged"))
+  }
+  val q222Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type AS t, ts::DATE AS day, count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (SELECT t, day, x,
+      |          row_number() OVER (PARTITION BY t ORDER BY day) AS rn
+      |        FROM daily),
+      |e AS (
+      |  SELECT t, rn, day, x, x * 1000000 AS ew FROM idx WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.t, i.rn, i.day, i.x, (i.x * 1000000 + 3 * e.ew) // 4
+      |  FROM idx i JOIN e ON i.t = e.t AND i.rn = e.rn + 1),
+      |st AS (SELECT t, count(*)::BIGINT AS n, sum(x)::BIGINT AS s1,
+      |         sum(x * x)::BIGINT AS s2
+      |       FROM daily GROUP BY 1),
+      |sd AS (SELECT t, sqrt((n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+      |           / (n::DOUBLE * (n::DOUBLE - 1.0))) AS sd
+      |       FROM st)
+      |SELECT c.t AS event_type, c.day, c.x AS cnt, p.ew AS pred_micro,
+      |       abs(c.x * 1000000 - p.ew)::DOUBLE > 3.0 * sd.sd * 1000000.0
+      |         AS flagged
+      |FROM e c JOIN e p ON c.t = p.t AND c.rn = p.rn + 1
+      |JOIN sd ON sd.t = c.t""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
@@ -881,7 +945,8 @@ object QueriesExt6 {
     "q218_nprobe_sweep" -> (q218NprobeSweep _),
     "q219_incremental_topk" -> (q219IncrementalTopK _),
     "q220_l_diversity" -> (q220LDiversity _),
-    "q221_quality_contract" -> (q221QualityContract _)
+    "q221_quality_contract" -> (q221QualityContract _),
+    "q222_ewma_control" -> (q222EwmaControl _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -899,6 +964,7 @@ object QueriesExt6 {
     "q218_nprobe_sweep" -> q218Sql,
     "q219_incremental_topk" -> q219Sql,
     "q220_l_diversity" -> q220Sql,
-    "q221_quality_contract" -> q221Sql
+    "q221_quality_contract" -> q221Sql,
+    "q222_ewma_control" -> q222Sql
   )
 }
