@@ -357,6 +357,66 @@ object StreamAggs {
         })
   }
 
+  final case class EwmaIn(key: String, period: java.sql.Timestamp, x: Long)
+  final case class EwmaOut(key: String, period: java.sql.Timestamp, x: Long,
+                           pred_micro: Option[Long], flagged: Boolean)
+  final case class EwmaState(ew: Long, n: Long, s1: Long, s2: Long)
+
+  /** Streaming twin of the q222 EWMA control chart: per key the state is
+    * FOUR longs — the smoothed level in exact micro-units plus the
+    * (n, Σx, Σx²) moment sums the σ threshold reads — updated per
+    * period point with the same dyadic λ = 1/4 recursion
+    * `e' = (x·10⁶ + 3e) >> 2` the batch query uses, so on in-order
+    * arrivals the levels are bit-identical to the batch fold. A point is
+    * flagged against the PRE-point prediction and the PRE-point σ (a
+    * monitor only knows its past — q222's batch σ sees the whole
+    * horizon, which is the one documented divergence); fewer than three
+    * prior points never flag. Input is the already-windowed per-period
+    * count (compose with a watermarked window count upstream); state is
+    * O(1) per live key and idle keys evict on the processing-time
+    * timeout. Moment sums stay exact while Σx² < 2⁶³ (x ≤ ~10⁶ per
+    * period for ~10⁶ periods — far beyond any monitor horizon). */
+  def streamingEwma(points: Dataset[EwmaIn],
+                    factor: Double = 3.0,
+                    idleTimeoutMs: Long = 3600000L,
+                    timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[EwmaOut] = {
+    import points.sparkSession.implicits._
+    val evict = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
+        (key: String, rows: Iterator[EwmaIn], state: GroupState[EwmaState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption
+            val out = rows.toVector.sortBy(_.period.getTime).map { p =>
+              val pred = st.map(_.ew)
+              val sd = st.filter(_.n >= 2).map { s =>
+                val n = s.n.toDouble
+                math.sqrt((n * s.s2.toDouble - s.s1.toDouble * s.s1.toDouble) /
+                  (n * (n - 1.0)))
+              }
+              val flagged = (pred, sd) match {
+                case (Some(e), Some(d)) =>
+                  math.abs(p.x * 1000000L - e).toDouble > factor * d * 1000000.0
+                case _ => false
+              }
+              val ew = pred.map(e => (p.x * 1000000L + 3L * e) >> 2)
+                .getOrElse(p.x * 1000000L)
+              st = Some(EwmaState(ew,
+                st.map(_.n).getOrElse(0L) + 1L,
+                st.map(_.s1).getOrElse(0L) + p.x,
+                st.map(_.s2).getOrElse(0L) + p.x * p.x))
+              EwmaOut(key, p.period, p.x, pred, flagged)
+            }
+            st.foreach(state.update)
+            if (evict) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+        })
+  }
+
   final case class FunnelEv(user_id: Long, ts: java.sql.Timestamp,
                             event_type: String, event_id: Long)
   final case class FunnelAdvance(user_id: Long, step: Int, step_name: String,

@@ -761,4 +761,38 @@ class StreamAggsSpec extends SparkSuite {
     assert(fin("b").kmv_n === 10L && fin("b").kmv_est === 10L) // sub-k exact
     assert(batchEst("b") === ((10L, 10L)))
   }
+
+  test("streaming EWMA control chart: levels replay the dyadic batch " +
+    "fold bit-for-bit; a planted surge flags, its neighbors don't") {
+    import StreamAggs.{EwmaIn, EwmaOut}
+    // steady ~100/period with a planted 10x surge at period 8
+    val xs = Vector(100L, 104L, 97L, 101L, 99L, 103L, 98L, 102L, 1000L,
+      100L, 96L)
+    val points = xs.zipWithIndex.map { case (x, i) => EwmaIn("clicks", ts(i), x) }
+    val mem = MemoryStream[EwmaIn]
+    val q = StreamAggs.streamingEwma(mem.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sewma").outputMode("update").start()
+    points.grouped(4).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("sewma").as[EwmaOut].collect()
+      .map(r => r.period.getTime -> ((r.x, r.pred_micro, r.flagged))).toMap
+    // reference fold with the exact q222 recursion and prefix moments
+    var ew = Option.empty[Long]; var n = 0L; var s1 = 0L; var s2 = 0L
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      val pred = ew
+      val sd = if (n >= 2) Some(math.sqrt((n.toDouble * s2 - s1.toDouble * s1) /
+        (n.toDouble * (n - 1.0)))) else None
+      val flagged = (pred, sd) match {
+        case (Some(e), Some(d)) => math.abs(x * 1000000L - e) > 3.0 * d * 1000000.0
+        case _ => false
+      }
+      ew = Some(pred.map(e => (x * 1000000L + 3L * e) >> 2).getOrElse(x * 1000000L))
+      n += 1; s1 += x; s2 += x * x
+      ts(i).getTime -> ((x, pred, flagged))
+    }.toMap
+    assert(got === want)
+    assert(got.collect { case (k, (_, _, true)) => k } === Seq(ts(8).getTime),
+      "only the planted surge flags")
+  }
 }
