@@ -403,17 +403,21 @@ object Similarity {
       col(vecCol).as("qv"), l2Norm(col(vecCol)).as("qn"),
       posexplode(ivfProbeCells(col(vecCol), centroids, maxProbe))
         .as(Seq("probe_rank", "cell")))
-    val probes = nprobes.map(np =>
-      probeRanked.filter(col("probe_rank") < np).drop("probe_rank")
-        .withColumn("nprobe", lit(np))).reduce(_ unionByName _)
-    val scored = c.join(broadcast(probes), Seq("cell"))
+    // Score ONCE at the widest tier, carrying probe_rank; each narrower
+    // tier is a rank filter over the already-scored candidates (a
+    // candidate with probe_rank r belongs to every tier np > r), so the
+    // O(N·D) dot-product work never repeats per tier.
+    val scored = c.join(broadcast(probeRanked), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", try_divide(dot(col("qv"), col("cv")),
         col("qn") * col("cn")))
+    val tiered = scored.withColumn("nprobe",
+      explode(filter(array(nprobes.map(lit): _*),
+        np => np > col("probe_rank"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nprobe"), col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    tiered.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("nprobe"), col("query_id"), col("neighbor_id"), col("rank"))
   }

@@ -48,8 +48,13 @@ object DataQuality {
       col(cn) < lo || col(cn) > hi, 1L).otherwise(0L)))
     case Accepted(cn, vs) => Some(sum(when(col(cn).isNull ||
       !col(cn).isin(vs: _*), 1L).otherwise(0L)))
+    // Rows with any NULL key component count as violations (a NULL key
+    // cannot witness uniqueness), matching the SQL-replay convention
+    // `count(*) - count(DISTINCT key)`: the distinct count sees only
+    // fully-non-null keys.
     case Unique(cols_) => Some(count(lit(1)) -
-      countDistinct(struct(cols_.map(col): _*)))
+      countDistinct(when(cols_.map(col(_).isNotNull).reduce(_ && _),
+        struct(cols_.map(col): _*))))
     case _: ForeignKey => None
   }
 

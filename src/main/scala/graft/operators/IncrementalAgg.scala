@@ -172,8 +172,13 @@ object IncrementalAgg {
       struct(col(valCol).cast("long").as("v"), col(idCol).cast("long").as("i"))
     val floor = state.groupBy(keys: _*)
       .agg(min(witness).as("__floor"), count(lit(1)).as("__n"))
-    val hit = retracts.join(floor, keyNames)
-      .filter(witness >= col("__floor") || col("__n") < k)
+    // LEFT join: a retraction into a group with NO state row (all its
+    // rows created and retracted within this batch) must ALSO hit —
+    // otherwise the paired inserts would survive the anti-joins and
+    // fabricate a phantom group postBase doesn't have.
+    val hit = retracts.join(floor, keyNames, "left")
+      .filter(col("__floor").isNull || witness >= col("__floor") ||
+        col("__n") < k)
       .select(keys: _*).distinct()
     def topK(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -211,10 +216,14 @@ object IncrementalAgg {
                   inserts: DataFrame, retracts: DataFrame,
                   keyNames: Seq[String], mxCol: String = "mx"): DataFrame = {
     val keys = keyNames.map(col)
-    // A retraction can only dethrone a max it reaches: value >= stored mx.
-    // (A group with state but no surviving rows re-aggregates to nothing.)
-    val hit = retracts.join(state, keyNames)
-      .filter(col("value").cast("long") >= col(mxCol))
+    // A retraction can only dethrone a max it reaches: value >= stored
+    // mx. LEFT join: a retraction into a group with NO state row (its
+    // rows created and retracted within this batch) also hits, so the
+    // group re-aggregates from postBase (to nothing, if nothing
+    // survived) instead of the paired inserts fabricating a phantom.
+    val hit = retracts.join(state.select(keys :+ col(mxCol): _*),
+        keyNames, "left")
+      .filter(col(mxCol).isNull || col("value").cast("long") >= col(mxCol))
       .select(keys: _*).distinct()
     val recomputed = postBase.join(hit, keyNames, "left_semi")
       .groupBy(keys: _*).agg(max(col("value").cast("long")).as(mxCol))

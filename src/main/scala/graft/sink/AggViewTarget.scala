@@ -69,8 +69,13 @@ final class AggViewTarget(inner: MergeTarget, viewPath: String)
   private def fingerprint(stage: DataFrame, spec: TableSpec): String = {
     val cols = (spec.mergeKeys ++ Seq("op_aws") ++ spec.aggViewKeys :+
       spec.aggViewValue).distinct
+    // Explicit field delimiter + NULL sentinel: concat_ws alone drops
+    // NULLs and abuts fields, so ("a1", 1)/("a", 11) — or a NULL moving
+    // between fields — would hash identically and a REAL batch would
+    // be skipped as a replay.
     val h = graft.functions.TextFunctions.md5Long(
-      concat_ws("", cols.map(c => col(c).cast("string")): _*))
+      concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     val agg = stage.select(h.as("h"))
       .agg(count(lit(1)).as("n"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
       .head()

@@ -92,9 +92,21 @@ object CdcApp {
           else new BucketedParquetMergeTarget(s"$sinkSpec/${spec.resolvedTarget}")
         // `agg_view_keys`/`agg_view_value` specs also maintain a moments
         // rollup next to the merged table (AggViewTarget decorator).
-        if (spec.aggViewKeys.nonEmpty && spec.aggViewValue.nonEmpty)
+        // Half-configured specs fail fast (a silently missing rollup is
+        // discovered by its consumer, far from the config mistake), and
+        // SCD2 targets are refused: the view's retraction model assumes
+        // a type-1 last-image snapshot — retracting an SCD2 history
+        // would subtract every stored version of a key.
+        val wantsView = spec.aggViewKeys.nonEmpty || spec.aggViewValue.nonEmpty
+        if (wantsView) {
+          require(spec.aggViewKeys.nonEmpty && spec.aggViewValue.nonEmpty,
+            s"table ${spec.resolvedTarget}: agg_view_keys and agg_view_value " +
+              "must be set together")
+          require(!spec.scd2History,
+            s"table ${spec.resolvedTarget}: agg_view is not supported on an " +
+              "scd2_history target (type-2 retraction is undefined)")
           new AggViewTarget(base, s"$sinkSpec/${spec.resolvedTarget}_agg_view")
-        else base
+        } else base
       })
     }
   }

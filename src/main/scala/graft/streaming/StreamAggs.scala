@@ -370,8 +370,8 @@ object StreamAggs {
     * arrivals the levels are bit-identical to the batch fold. A point is
     * flagged against the PRE-point prediction and the PRE-point σ (a
     * monitor only knows its past — q222's batch σ sees the whole
-    * horizon, which is the one documented divergence); fewer than three
-    * prior points never flag. Input is the already-windowed per-period
+    * horizon, which is the one documented divergence); fewer than TWO
+    * prior points never flag (σ needs n ≥ 2). Input is the already-windowed per-period
     * count (compose with a watermarked window count upstream); state is
     * O(1) per live key and idle keys evict on the processing-time
     * timeout. Moment sums stay exact while Σx² < 2⁶³ (x ≤ ~10⁶ per

@@ -56,6 +56,15 @@ class DataQualitySpec extends SparkSuite {
     assert(got("accepted(cat)") === (1L, false))
   }
 
+  test("unique: NULL keys count as violations, matching the " +
+    "count(*) - count(DISTINCT key) replay") {
+    val df = Seq((Some(1L), "a"), (None: Option[Long], "b"),
+      (None: Option[Long], "c"), (Some(2L), "d"))
+      .toDF("id", "x")
+    val got = report(df, Seq(Unique(Seq("id"))))
+    assert(got("unique(id)") === (2L, false), got) // 4 rows - 2 distinct
+  }
+
   test("an empty table passes every aggregate check (zero violations)") {
     val df = Seq.empty[(Long, String)].toDF("id", "name")
     val got = report(df, Seq(NotNull("name"), Unique(Seq("id"))))

@@ -127,6 +127,28 @@ class IncrementalAggSpec extends SparkSuite {
     assert(got === Map(10L -> 5L, 20L -> 6L), got)
   }
 
+  test("same-batch create+delete into a stateless group leaves no " +
+    "phantom (max and top-k)") {
+    val before = Seq((1L, 10L, 9L))
+    // row 2 born into NEW group 20 and deleted in the same batch
+    val after = Seq((1L, 10L, 9L))
+    val inserts = Seq((20L, 2L, 7L)).toDF("g", "k", "v")
+    val retracts = Seq((20L, 2L, 7L)).toDF("g", "k", "v")
+    val postBase = after.toDF("k", "g", "v").select(col("g"), col("k"), col("v"))
+    val mx = IncrementalAgg.maintainMax(
+      before.toDF("k", "g", "v").groupBy("g").agg(max(col("v")).as("mx")),
+      postBase.select(col("g"), col("v").as("value")),
+      inserts.select(col("g"), col("v").as("value")),
+      retracts.select(col("g"), col("v").as("value")), Seq("g"))
+    assert(maxMap(mx) === Map(10L -> 9L), "no phantom group 20")
+    val tk = IncrementalAgg.maintainTopK(
+      before.toDF("k", "g", "v").select(col("g"), col("k"), col("v")),
+      postBase, inserts.select(col("g"), col("k"), col("v")),
+      retracts.select(col("g"), col("k"), col("v")),
+      Seq("g"), k = 3, idCol = "k", valCol = "v")
+    assert(!tk.collect().exists(_.getLong(0) == 20L), "no phantom top-k rows")
+  }
+
   test("max maintenance property: ≡ recompute over random changelogs " +
     "(group moves, new and vanished groups)") {
     val rnd = new scala.util.Random(7)
