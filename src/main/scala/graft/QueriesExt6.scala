@@ -930,6 +930,81 @@ object QueriesExt6 {
       |FROM e c JOIN e p ON c.t = p.t AND c.rn = p.rn + 1
       |JOIN sd ON sd.t = c.t""".stripMargin
 
+  // ---------------------------------------------------------------- q223
+  /** Heaps-law vocabulary-growth fit — q202's Zipf companion: how fast
+    * does the vocabulary grow as the corpus grows (V ≈ K·Nᵝ, natural
+    * text β ≈ 0.4–0.6; a template flood flattens it)? Corpus prefixes
+    * are the ten doc_id % 10 buckets in order; the trick that keeps the
+    * distinct-counting scale-safe: a term joins the vocabulary at its
+    * MINIMUM bucket, so cumulative vocabulary is ONE vocab-bounded
+    * min-aggregate folded into a ≤10-row histogram cumsum — no per-prefix
+    * distinct over the corpus. Log-log OLS over the 10 bounded points,
+    * the q202 sufficient-statistics chain. */
+  def q223HeapsFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BoundedWindow, TextFunctions}
+    val toks = QueriesExt.docs(s, dir)
+      .select((col("doc_id") % 10L).as("b"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val perBucket = toks.groupBy(col("b")).agg(count(lit(1)).as("nt"))
+    val newTerms = toks.groupBy(col("term")).agg(min(col("b")).as("mb"))
+      .groupBy(col("mb")).agg(count(lit(1)).as("nv"))
+    val spine = perBucket.join(newTerms.withColumnRenamed("mb", "b"),
+        Seq("b"), "left").na.fill(0L, Seq("nv"))
+    val w = BoundedWindow.orderBy(col("b"), col("b"))
+      .rowsBetween(Long.MinValue, 0)
+    val pts = spine
+      .withColumn("tokens_cum", sum(col("nt")).over(w))
+      .withColumn("vocab_cum", sum(col("nv")).over(w))
+      .select(log(col("tokens_cum").cast("double")).as("x"),
+        log(col("vocab_cum").cast("double")).as("y"),
+        col("tokens_cum"), col("vocab_cum"))
+    val ss = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"),
+      max(col("tokens_cum")).as("total_tokens"),
+      max(col("vocab_cum")).as("total_vocab"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    ss.select(col("n").as("n_points"),
+      col("total_tokens"), col("total_vocab"),
+      round(cov / vx, 4).as("heaps_beta"),
+      round(cov * cov / (vx * vy), 4).as("heaps_r2"))
+  }
+  val q223Sql: String =
+    s"""WITH tok AS (SELECT doc_id % 10 AS b, unnest(${QueriesExt.toksSql}) AS term
+       |            FROM documents),
+       |t AS (SELECT b, term FROM tok WHERE length(term) > 0),
+       |pb AS (SELECT b, count(*)::BIGINT AS nt FROM t GROUP BY 1),
+       |nv AS (SELECT mb, count(*)::BIGINT AS nv FROM (
+       |         SELECT term, min(b) AS mb FROM t GROUP BY 1) GROUP BY 1),
+       |sp AS (SELECT pb.b, pb.nt, coalesce(nv.nv, 0) AS nv
+       |       FROM pb LEFT JOIN nv ON nv.mb = pb.b),
+       |cm AS (SELECT b,
+       |         sum(nt) OVER (ORDER BY b
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS tokens_cum,
+       |         sum(nv) OVER (ORDER BY b
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS vocab_cum
+       |       FROM sp),
+       |p AS (SELECT ln(tokens_cum::DOUBLE) AS x, ln(vocab_cum::DOUBLE) AS y,
+       |        tokens_cum, vocab_cum FROM cm),
+       |ss AS (SELECT count(*)::BIGINT AS n, sum(x)::DOUBLE AS sx,
+       |         sum(x * x)::DOUBLE AS sxx, sum(y)::DOUBLE AS sy,
+       |         sum(y * y)::DOUBLE AS syy, sum(x * y)::DOUBLE AS sxy,
+       |         max(tokens_cum)::BIGINT AS total_tokens,
+       |         max(vocab_cum)::BIGINT AS total_vocab
+       |       FROM p)
+       |SELECT n AS n_points, total_tokens, total_vocab,
+       |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+       |         AS heaps_beta,
+       |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+       |         AS heaps_r2
+       |FROM ss""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
@@ -946,7 +1021,8 @@ object QueriesExt6 {
     "q219_incremental_topk" -> (q219IncrementalTopK _),
     "q220_l_diversity" -> (q220LDiversity _),
     "q221_quality_contract" -> (q221QualityContract _),
-    "q222_ewma_control" -> (q222EwmaControl _)
+    "q222_ewma_control" -> (q222EwmaControl _),
+    "q223_heaps_fit" -> (q223HeapsFit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -965,6 +1041,7 @@ object QueriesExt6 {
     "q219_incremental_topk" -> q219Sql,
     "q220_l_diversity" -> q220Sql,
     "q221_quality_contract" -> q221Sql,
-    "q222_ewma_control" -> q222Sql
+    "q222_ewma_control" -> q222Sql,
+    "q223_heaps_fit" -> q223Sql
   )
 }
