@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * relation and runs as an anti-join against the parent's key
   * projection.
   *
+  * Sibling of [[Expectations]], deliberately split the way Deequ splits
+  * constraints from metrics: Expectations publishes THRESHOLD-judged
+  * METRIC FRACTIONS (completeness 0.98 ≥ 0.95 → pass — the monitoring
+  * currency, with a grouped and an approx-distinct tier), while this
+  * suite publishes EXACT VIOLATION COUNTS per typed rule plus the
+  * cross-relation [[ForeignKey]] check Expectations' single-aggregate
+  * shape cannot express. Use Expectations for dashboards and tolerances,
+  * DataQuality for hard contracts and row-accountable audits.
+  *
   * Violation counts are exact integers — the report is
   * partition-count- and replay-identical, and each check is trivially
   * replayable as oracle SQL. */

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * scalar), so thresholds cost nothing. Metrics are DOUBLE; fraction
   * metrics round(…, 6) in the rule definition so the report replays
   * bit-identically in an external engine.
+  *
+  * Sibling of [[DataQuality]] (the split Deequ itself makes): this
+  * suite judges metric FRACTIONS against thresholds — the monitoring
+  * currency; DataQuality publishes exact per-rule VIOLATION COUNTS and
+  * the cross-relation foreign-key check. Dashboards and tolerances
+  * here; hard contracts and row-accountable audits there.
   */
 object Expectations {
 
