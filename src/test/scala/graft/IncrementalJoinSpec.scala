@@ -140,6 +140,23 @@ class IncrementalJoinSpec extends SparkSuite {
     assert(got === viewSet(zJoin(aRel(a2), bRel(b2), Seq("g"))))
   }
 
+  test("Z-relation algebra holds for arbitrary multiplicities, not " +
+    "just ±1: products and consolidation agree with bag semantics") {
+    // a: key 1 carries row (ak=100,av=5) twice; b: key 1 carries bv=50
+    // three times → join view must carry mult 6
+    val a = Seq((1L, 100L, 5L, 2L)).toDF("g", "ak", "av", "mult")
+    val b = Seq((1L, 50L, 3L)).toDF("g", "bv", "mult")
+    val v = zJoin(a, b, Seq("g")).collect()
+    assert(v.length === 1 && v.head.getLong(v.head.fieldIndex("mult")) === 6L)
+    // consolidation sums duplicates and drops annihilated rows
+    val dup = Seq((1L, 100L, 5L, 50L, 4L), (1L, 100L, 5L, 50L, -4L),
+      (2L, 200L, 7L, 60L, 2L), (2L, 200L, 7L, 60L, 1L))
+      .toDF("g", "ak", "av", "bv", "mult")
+    val c = consolidate(dup).collect()
+    assert(c.length === 1 && c.head.getLong(0) === 2L &&
+      c.head.getLong(c.head.fieldIndex("mult")) === 3L)
+  }
+
   test("zJoin refuses colliding payload column names") {
     val a = asZRelation(Seq((1L, 2L)).toDF("g", "x"))
     val b = asZRelation(Seq((1L, 3L)).toDF("g", "x"))
