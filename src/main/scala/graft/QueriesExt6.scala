@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.IncrementalAgg
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declared queries q207+ — incremental materialized-aggregate
@@ -1005,6 +1005,79 @@ object QueriesExt6 {
        |         AS heaps_r2
        |FROM ss""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+  /** Incrementally-monitored quality contract — q221's row-predicate
+    * checks composed with the q207 delta currency so the contract NEVER
+    * rescans the base: each check's violation count is itself a
+    * delta-maintainable aggregate (an insert whose row violates adds
+    * one, a retraction of a violating row subtracts one). The check
+    * dimension rides the GROUP-KEY position of [[IncrementalAgg]] — one
+    * changelog pass emits (check, ±1) delta events for all three checks
+    * at once, and the merge is the usual union + hash re-aggregate.
+    * Oracle recomputes every violation count from the post-change base. */
+  def q224IncrementalQuality(s: SparkSession, dir: String): DataFrame = {
+    val (snap, log) = changelogFrames(s, dir)
+    // contract on the orders changelog rows: price in [1, 550000] units,
+    // customer key below 1450 (a referential-whitelist stand-in), and
+    // orderkey not divisible by 1000 (an id-hygiene rule) — chosen so
+    // some checks carry real violations at every sf.
+    def viol(k: Column, c: Column, vm: Column): Seq[(String, Column)] = Seq(
+      "in_range(price)" -> (vm < 1000000L || vm > 550000000000L),
+      "accepted(custkey)" -> (c >= 1450L),
+      "id_hygiene(orderkey)" -> (k % 1000L === 0L))
+    def checkRows(df: DataFrame, k: Column, c: Column, vm: Column,
+                  sign: Long): DataFrame =
+      viol(k, c, vm).map { case (name, cond) =>
+        df.filter(cond).select(lit(name).as("check_name"),
+          lit(sign).as(IncrementalAgg.cntCol), lit(0L).as(IncrementalAgg.sumCol))
+      }.reduce(_ unionByName _)
+    val state0 = checkRows(snap, col("k"), col("c"), col("vm"), 1L)
+      .groupBy(col("check_name"))
+      .agg(sum(col(IncrementalAgg.cntCol)).as(IncrementalAgg.cntCol),
+        sum(col(IncrementalAgg.sumCol)).as(IncrementalAgg.sumCol))
+    val plus = checkRows(log.filter(col("op").isin("c", "u")),
+      col("k"), col("a_c"), col("a_vm"), 1L)
+    val minus = checkRows(log.filter(col("op").isin("u", "d")),
+      col("k"), col("b_c"), col("b_vm"), -1L)
+    val delta = plus.unionByName(minus)
+      .groupBy(col("check_name"))
+      .agg(sum(col(IncrementalAgg.cntCol)).as(IncrementalAgg.cntCol),
+        sum(col(IncrementalAgg.sumCol)).as(IncrementalAgg.sumCol))
+    val maintained = IncrementalAgg.applyDeltas(state0, delta, Seq("check_name"))
+    // Anchor on the literal check list: a contract that nets to ZERO
+    // violations must still report its zero row (applyDeltas drops
+    // zero-count groups by design — right for data groups, not checks).
+    import s.implicits._
+    Seq("in_range(price)", "accepted(custkey)", "id_hygiene(orderkey)")
+      .toDF("check_name")
+      .join(maintained, Seq("check_name"), "left")
+      .select(col("check_name").as("check"),
+        coalesce(col(IncrementalAgg.cntCol), lit(0L)).as("violations"))
+  }
+  val q224Sql: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |snap AS (SELECT * FROM base WHERE k % 10 < 8),
+      |ins AS (SELECT k, c, vm FROM base WHERE k % 10 >= 8),
+      |upd AS (SELECT k, CASE WHEN k % 14 = 0 THEN c + 1 ELSE c END AS c,
+      |          vm + 500000 AS vm
+      |        FROM snap WHERE k % 7 = 0),
+      |kept AS (SELECT * FROM snap WHERE k % 7 NOT IN (0, 1)),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+      |        UNION ALL SELECT * FROM ins)
+      |SELECT 'in_range(price)' AS check,
+      |       sum(CASE WHEN vm < 1000000 OR vm > 550000000000
+      |           THEN 1 ELSE 0 END)::BIGINT AS violations
+      |FROM fin
+      |UNION ALL
+      |SELECT 'accepted(custkey)',
+      |       sum(CASE WHEN c >= 1450 THEN 1 ELSE 0 END)::BIGINT
+      |FROM fin
+      |UNION ALL
+      |SELECT 'id_hygiene(orderkey)',
+      |       sum(CASE WHEN k % 1000 = 0 THEN 1 ELSE 0 END)::BIGINT
+      |FROM fin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_incremental_agg" -> (q207IncrementalAgg _),
     "q208_incremental_max" -> (q208IncrementalMax _),
@@ -1022,7 +1095,8 @@ object QueriesExt6 {
     "q220_l_diversity" -> (q220LDiversity _),
     "q221_quality_contract" -> (q221QualityContract _),
     "q222_ewma_control" -> (q222EwmaControl _),
-    "q223_heaps_fit" -> (q223HeapsFit _)
+    "q223_heaps_fit" -> (q223HeapsFit _),
+    "q224_incremental_quality" -> (q224IncrementalQuality _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1042,6 +1116,7 @@ object QueriesExt6 {
     "q220_l_diversity" -> q220Sql,
     "q221_quality_contract" -> q221Sql,
     "q222_ewma_control" -> q222Sql,
-    "q223_heaps_fit" -> q223Sql
+    "q223_heaps_fit" -> q223Sql,
+    "q224_incremental_quality" -> q224Sql
   )
 }
