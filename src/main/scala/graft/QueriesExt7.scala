@@ -1,0 +1,287 @@
+package graft
+
+import graft.functions.{BoundedWindow, ParetoFrontier, StatsTests, TimeSeries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries q225+ — the time-series / statistical-mining tier:
+  * correlogram, lagged cross-correlation, CUSUM changepoint scan,
+  * seasonal decomposition, wavelet energy, multiple-testing control,
+  * resampling variance, permutation nulls, skyline, item-item
+  * collaborative filtering, frequent triples, clustering quality, and
+  * the metric correlation matrix.
+  *
+  * Shape discipline (the 100 TB contract every query here follows):
+  * series live on CALENDAR-BOUNDED grains (hour/day buckets of the
+  * fixed event window — the raw-event aggregation that builds them is
+  * map-side combinable), windows ride [[BoundedWindow]] or per-key
+  * partitions only, pair generation is equi-join (never all-pairs),
+  * and sums stay exact integers until one canonical double closed
+  * form that each DuckDB oracle mirrors bit-for-bit. */
+object QueriesExt7 {
+
+  /** Hourly event-count series (all types): the ≤ 24·days calendar
+    * grain every pure-series diagnostic here runs on. */
+  private def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("ts_ms div 3600000").as("h"))
+      .agg(count(lit(1)).as("n"))
+
+  private val hourlyCte =
+    """hr AS (SELECT epoch_ms(ts) // 3600000 AS h, count(*)::BIGINT AS n
+      |       FROM events GROUP BY 1)""".stripMargin
+
+  // ---------------------------------------------------------------- q225
+  /** Correlogram of hourly traffic ([[TimeSeries.acf]], lags 1–48):
+    * the sample ACF with the ±1.96/√n white-noise band — the diagnostic
+    * that exposes the diurnal cycle (a lag-24 spike) and how fast
+    * memory decays. Pairs per lag come from one `h+lag = h` equi-join
+    * against a 48-row broadcast lag table; sums are exact counts; the
+    * only window anywhere is none at all. */
+  def q225Correlogram(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.acf(hourlyCounts(s, dir), "h", "n", maxLag = 48)
+  val q225Sql: String = {
+    val m = "(sx::DOUBLE / n::DOUBLE)"
+    val num = s"(sxy::DOUBLE - $m * (sh::DOUBLE + st2::DOUBLE) " +
+      s"+ n_pairs::DOUBLE * $m * $m)"
+    val den = s"(sxx::DOUBLE - sx::DOUBLE * $m)"
+    s"""WITH $hourlyCte,
+       |st AS (SELECT count(*)::BIGINT AS n, sum(n)::BIGINT AS sx,
+       |              sum(n * n)::BIGINT AS sxx FROM hr),
+       |lg AS (SELECT unnest(range(1, 49)) AS lag),
+       |pr AS (SELECT l.lag, count(*)::BIGINT AS n_pairs,
+       |              sum(a.n)::BIGINT AS sh, sum(b.n)::BIGINT AS st2,
+       |              sum(a.n * b.n)::BIGINT AS sxy
+       |       FROM hr a CROSS JOIN lg l JOIN hr b ON b.h = a.h + l.lag
+       |       GROUP BY 1)
+       |SELECT lag, n_pairs,
+       |  CASE WHEN $den > 0.0 THEN round($num / $den, 6) END AS r,
+       |  coalesce(abs(CASE WHEN $den > 0.0 THEN round($num / $den, 6) END)
+       |             > 1.96 / sqrt(n::DOUBLE), false) AS significant
+       |FROM pr, st""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q226
+  /** Does browsing lead buying? Lagged cross-correlation between the
+    * hourly `view` and `purchase` series ([[TimeSeries
+    * .crossCorrelation]], lags −7…+7): Pearson r of (view_t,
+    * purchase_{t+k}) per lag, complete-case, with the peak-|r| lag
+    * flagged `best` — positive best lag ⇒ views lead purchases by that
+    * many hours. Same equi-join shape as the correlogram; the only
+    * windows are over the 15-row lag frame. */
+  def q226CrossCorrelation(s: SparkSession, dir: String): DataFrame = {
+    def series(t: String) = Tables.events(s, dir)
+      .filter(col("event_type") === t)
+      .groupBy(expr("ts_ms div 3600000").as("h"))
+      .agg(count(lit(1)).as("n"))
+    TimeSeries.crossCorrelation(series("view"), series("purchase"),
+      "h", "n", "n", maxLag = 7)
+  }
+  val q226Sql: String = {
+    val cov = "(n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+    val vx = "(n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)"
+    val vy = "(n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)"
+    s"""WITH va AS (SELECT epoch_ms(ts) // 3600000 AS h, count(*)::BIGINT AS n
+       |            FROM events WHERE event_type = 'view' GROUP BY 1),
+       |vb AS (SELECT epoch_ms(ts) // 3600000 AS h, count(*)::BIGINT AS n
+       |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |lg AS (SELECT unnest(range(-7, 8)) AS lag),
+       |sm AS (SELECT l.lag, count(*)::BIGINT AS n_pairs,
+       |              sum(a.n)::BIGINT AS sx, sum(b.n)::BIGINT AS sy,
+       |              sum(a.n * a.n)::BIGINT AS sxx,
+       |              sum(b.n * b.n)::BIGINT AS syy,
+       |              sum(a.n * b.n)::BIGINT AS sxy
+       |       FROM va a CROSS JOIN lg l JOIN vb b ON b.h = a.h + l.lag
+       |       GROUP BY 1),
+       |sc AS (SELECT lag, n_pairs,
+       |         CASE WHEN $vx > 0.0 AND $vy > 0.0
+       |           THEN round($cov / sqrt($vx) / sqrt($vy), 6) END AS r
+       |       FROM sm)
+       |SELECT lag, n_pairs, r,
+       |  (ROW_NUMBER() OVER (ORDER BY abs(r) DESC NULLS LAST, lag ASC) = 1
+       |   AND max(abs(r)) OVER () IS NOT NULL) AS best
+       |FROM sc""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q227
+  /** CUSUM changepoint scan over hourly traffic ([[TimeSeries
+    * .cusum]]): standardized cumulative deviation from the series
+    * mean, peak |S| flagged — the classic "did the level shift, and
+    * when" monitor. Prefix sums are exact integers over the bounded
+    * hourly frame; position·mean is subtracted in the closed form. */
+  def q227CusumChangepoint(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cusum(hourlyCounts(s, dir), "h", "n")
+  val q227Sql: String = {
+    val m = "(sx::DOUBLE / n::DOUBLE)"
+    val sd = s"sqrt(sxx::DOUBLE / n::DOUBLE - $m * $m)"
+    s"""WITH $hourlyCte,
+       |st AS (SELECT count(*)::BIGINT AS n, sum(n)::BIGINT AS sx,
+       |              sum(n * n)::BIGINT AS sxx FROM hr),
+       |pr AS (SELECT h, n AS x,
+       |         row_number() OVER (ORDER BY h) AS pos,
+       |         sum(n) OVER (ORDER BY h
+       |           ROWS UNBOUNDED PRECEDING) AS prefix
+       |       FROM hr),
+       |sc AS (SELECT h AS idx, x,
+       |         CASE WHEN $sd > 0.0 THEN
+       |           round((prefix::DOUBLE - pos::DOUBLE * $m) / $sd, 6)
+       |         END AS cusum
+       |       FROM pr, st)
+       |SELECT idx, x, cusum,
+       |  coalesce(abs(cusum) = max(abs(cusum)) OVER (), false) AS is_peak
+       |FROM sc""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q228
+  /** Additive seasonal decomposition of daily purchase GMV: trend =
+    * centered 7-day moving average (complete windows only), seasonal =
+    * day-of-week mean of the detrended series, remainder = what's
+    * left — the classical-decomposition core of STL, kept exact by
+    * carrying the detrended value as `7·vm − Σ₇vm` in integer
+    * micro-units until the final division. One bounded window + one
+    * 7-row broadcast join. */
+  def q228StlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("vm"))
+    val w7 = BoundedWindow.orderBy(col("day"), col("day")).rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .withColumn("t7", sum(col("vm")).over(w7))
+      .filter(col("win_n") === 7)
+      .withColumn("dm", col("vm") * 7L - col("t7")) // 7·micro units, exact
+      .withColumn("dow", (col("day") + 4L) % 7L)
+    val seasonal = detr.groupBy(col("dow"))
+      .agg(sum(col("dm")).as("sdm"), count(lit(1)).as("cdw"))
+    detr.join(broadcast(seasonal), "dow")
+      .select(col("day"),
+        round(col("vm").cast("double") / 1000000.0d, 2).as("gmv"),
+        round(col("t7").cast("double") / 7.0d / 1000000.0d, 6).as("trend"),
+        col("dow"),
+        round(col("sdm").cast("double") / col("cdw").cast("double") /
+          7.0d / 1000000.0d, 6).as("seasonal"),
+        round((col("dm").cast("double") -
+          col("sdm").cast("double") / col("cdw").cast("double")) /
+          7.0d / 1000000.0d, 6).as("remainder"))
+  }
+  val q228Sql: String =
+    """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      |        sum(round("value" * 1000000.0)::BIGINT)::BIGINT AS vm
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |w AS (SELECT day, vm,
+      |        count(*) OVER w7 AS win_n, sum(vm) OVER w7 AS t7
+      |      FROM d
+      |      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |                    AND 3 FOLLOWING)),
+      |dt AS (SELECT day, vm, t7, vm * 7 - t7 AS dm, (day + 4) % 7 AS dow
+      |       FROM w WHERE win_n = 7),
+      |sn AS (SELECT dow, sum(dm)::BIGINT AS sdm, count(*)::BIGINT AS cdw
+      |       FROM dt GROUP BY 1)
+      |SELECT day, round(vm::DOUBLE / 1000000.0, 2) AS gmv,
+      |       round(t7::DOUBLE / 7.0 / 1000000.0, 6) AS trend, dt.dow,
+      |       round(sdm::DOUBLE / cdw::DOUBLE / 7.0 / 1000000.0, 6)
+      |         AS seasonal,
+      |       round((dm::DOUBLE - sdm::DOUBLE / cdw::DOUBLE)
+      |             / 7.0 / 1000000.0, 6) AS remainder
+      |FROM dt JOIN sn ON dt.dow = sn.dow""".stripMargin
+
+  // ---------------------------------------------------------------- q229
+  /** Weekend-effect z-tests per nation with Benjamini–Hochberg FDR
+    * control (α = 0.1): Welch z on whole-dollar order totals
+    * (weekend vs weekday), two-sided p via the shared A&S normal tail
+    * ([[StatsTests]]), then the BH step-up over the ≤25-nation frame —
+    * the multiple-testing discipline a per-segment screening sweep
+    * needs (per-test α would "discover" ~2.5 nations by chance alone).
+    * One shuffle join to attach nations, one grouped pass for both
+    * cohorts' sufficient statistics, bounded-frame windows for the
+    * rank/step-up. Nations with a degenerate cohort (zero spread) are
+    * excluded before ranking. */
+  def q229BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice"), 0).cast("long").as("d"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+      .withColumn("we", ((col("day") + 4L) % 7L).isin(0L, 6L))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val stats = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(when(col("we"), lit(1))).as("n1"),
+        sum(when(col("we"), col("d"))).as("s1"),
+        sum(when(col("we"), col("d") * col("d"))).as("ss1"),
+        count(when(!col("we"), lit(1))).as("n0"),
+        sum(when(!col("we"), col("d"))).as("s0"),
+        sum(when(!col("we"), col("d") * col("d"))).as("ss0"))
+    val z = StatsTests.welchZ(col("n1"), col("s1"), col("ss1"),
+      col("n0"), col("s0"), col("ss0"))
+    val scored = stats
+      .select(col("n_name"), col("n1").as("n_we"), col("n0").as("n_wd"),
+        round(z, 4).as("z"), round(StatsTests.twoSidedP(z), 8).as("p"))
+      .filter(col("p").isNotNull)
+    val wOrd = BoundedWindow.orderBy(col("n_name"),
+      col("p").asc, col("n_name").asc)
+    val wAll = BoundedWindow.all(col("n_name"))
+    scored
+      .withColumn("p_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+      .withColumn("bh_crit", round(col("p_rank").cast("double") * 0.1d /
+        col("m_tests").cast("double"), 8))
+      .withColumn("kmax", max(when(col("p") <= col("bh_crit"),
+        col("p_rank"))).over(wAll))
+      .select(col("n_name"), col("n_we"), col("n_wd"), col("z"), col("p"),
+        col("p_rank"), col("bh_crit"),
+        coalesce(col("p_rank") <= col("kmax"), lit(false)).as("discovered"))
+  }
+  val q229Sql: String = {
+    val z = StatsTests.welchZSql("n1", "s1", "ss1", "n0", "s0", "ss0")
+    s"""WITH o AS (SELECT o_custkey, round(o_totalprice)::BIGINT AS d,
+       |        ((epoch_ms(o_orderdate) // 86400000 + 4) % 7) IN (0, 6) AS we
+       |      FROM orders),
+       |st AS (SELECT n_name,
+       |         count(CASE WHEN we THEN 1 END)::BIGINT AS n1,
+       |         sum(CASE WHEN we THEN d END)::BIGINT AS s1,
+       |         sum(CASE WHEN we THEN d * d END)::BIGINT AS ss1,
+       |         count(CASE WHEN NOT we THEN 1 END)::BIGINT AS n0,
+       |         sum(CASE WHEN NOT we THEN d END)::BIGINT AS s0,
+       |         sum(CASE WHEN NOT we THEN d * d END)::BIGINT AS ss0
+       |       FROM o JOIN customer ON o_custkey = c_custkey
+       |       JOIN nation ON c_nationkey = n_nationkey
+       |       GROUP BY 1),
+       |sc AS (SELECT n_name, n1 AS n_we, n0 AS n_wd,
+       |         round($z, 4) AS z,
+       |         round(${StatsTests.twoSidedPSql(z)}, 8) AS p
+       |       FROM st),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p ASC, n_name ASC) AS p_rank,
+       |         count(*) OVER () AS m_tests
+       |       FROM sc WHERE p IS NOT NULL),
+       |cr AS (SELECT *,
+       |         round(p_rank::DOUBLE * 0.1 / m_tests::DOUBLE, 8) AS bh_crit
+       |       FROM rk)
+       |SELECT n_name, n_we, n_wd, z, p, p_rank::BIGINT AS p_rank, bh_crit,
+       |  coalesce(p_rank <= max(CASE WHEN p <= bh_crit THEN p_rank END)
+       |                      OVER (), false) AS discovered
+       |FROM cr""".stripMargin
+  }
+
+  /** Registry for this tier. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_correlogram" -> (q225Correlogram _),
+    "q226_cross_correlation" -> (q226CrossCorrelation _),
+    "q227_cusum_changepoint" -> (q227CusumChangepoint _),
+    "q228_stl_decompose" -> (q228StlDecompose _),
+    "q229_bh_fdr" -> (q229BhFdr _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q225_correlogram" -> q225Sql,
+    "q226_cross_correlation" -> q226Sql,
+    "q227_cusum_changepoint" -> q227Sql,
+    "q228_stl_decompose" -> q228Sql,
+    "q229_bh_fdr" -> q229Sql
+  )
+}
