@@ -268,13 +268,248 @@ object QueriesExt7 {
        |FROM cr""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q230
+  /** Jackknife standard error of a ratio estimator: revenue-per-order
+    * by nation, resampled leave-one-CUSTOMER-out (the cluster is the
+    * customer, matching how new data actually arrives). The mean of a
+    * ratio has no closed-form variance; the jackknife pseudo-values
+    * R₍ᵢ₎ = (S−sᵢ)/(N−nᵢ) need only each cluster's sufficient
+    * statistics against the broadcast nation totals — two aggregates
+    * and a join, zero resampling passes. Pseudo-values are rounded to
+    * whole dollars before the variance sum so every aggregate stays an
+    * exact BIGINT (dollar² sums fit ≤2^63 through sf10+; the 50-cent
+    * rounding is noise against order totals in the 10⁵ range). */
+  def q230JackknifeRatio(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      round(col("o_totalprice") * 1000000.0d, 0).cast("long").as("vm"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val cust = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(col("vm")).as("si"), count(lit(1)).as("ni"))
+    val tot = cust.groupBy(col("n_name"))
+      .agg(sum(col("si")).as("sn"), sum(col("ni")).as("nn"),
+        count(lit(1)).as("m"))
+    val r = when(col("nn") - col("ni") > 0L,
+      round((col("sn") - col("si")).cast("double") /
+        (col("nn") - col("ni")).cast("double") / 1000000.0d, 0)
+        .cast("long"))
+    val pseudo = cust.join(tot, "n_name")
+      .select(col("n_name"), col("sn"), col("nn"), col("m"), r.as("ri"))
+    val agg = pseudo.groupBy(col("n_name"))
+      .agg(first(col("sn")).as("sn"), first(col("nn")).as("nn"),
+        first(col("m")).as("m"), count(col("ri")).as("me"),
+        sum(col("ri")).as("sr"), sum(col("ri") * col("ri")).as("srr"))
+    val varSum = col("srr").cast("double") -
+      col("sr").cast("double") * col("sr").cast("double") /
+        col("me").cast("double")
+    agg.select(col("n_name"), col("m").as("m_cust"),
+      round(col("sn").cast("double") / col("nn").cast("double") /
+        1000000.0d, 2).as("ratio"),
+      when(col("me") > 1L, round(sqrt(
+        (col("me") - 1L).cast("double") / col("me").cast("double") * varSum),
+        4)).as("jk_se"))
+  }
+  val q230Sql: String =
+    """WITH o AS (SELECT o_custkey,
+      |        round(o_totalprice * 1000000.0)::BIGINT AS vm FROM orders),
+      |cu AS (SELECT n_name, c_custkey, sum(vm)::BIGINT AS si,
+      |         count(*)::BIGINT AS ni
+      |       FROM o JOIN customer ON o_custkey = c_custkey
+      |       JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+      |tt AS (SELECT n_name, sum(si)::BIGINT AS sn, sum(ni)::BIGINT AS nn,
+      |         count(*)::BIGINT AS m FROM cu GROUP BY 1),
+      |ps AS (SELECT cu.n_name, sn, nn, m,
+      |         CASE WHEN nn - ni > 0 THEN
+      |           round((sn - si)::DOUBLE / (nn - ni)::DOUBLE
+      |                 / 1000000.0)::BIGINT END AS ri
+      |       FROM cu JOIN tt ON cu.n_name = tt.n_name),
+      |ag AS (SELECT n_name, any_value(sn) AS sn, any_value(nn) AS nn,
+      |         any_value(m) AS m, count(ri)::BIGINT AS me,
+      |         sum(ri)::BIGINT AS sr, sum(ri * ri)::BIGINT AS srr
+      |       FROM ps GROUP BY 1)
+      |SELECT n_name, m AS m_cust,
+      |  round(sn::DOUBLE / nn::DOUBLE / 1000000.0, 2) AS ratio,
+      |  CASE WHEN me > 1 THEN round(sqrt((me - 1)::DOUBLE / me::DOUBLE *
+      |    (srr::DOUBLE - sr::DOUBLE * sr::DOUBLE / me::DOUBLE)), 4)
+      |  END AS jk_se
+      |FROM ag""".stripMargin
+
+  // ---------------------------------------------------------------- q231
+  /** Permutation test via deterministic pseudo-random relabeling: is
+    * the user_id%2 split's spend-per-user difference explainable by
+    * chance? The null distribution re-assigns each USER (the
+    * randomization cluster) to a side by the portable 60-bit md5 of
+    * `user:rep` for 200 replicates — a broadcast crossJoin that
+    * amplifies only the user-grain aggregate, never raw events, and
+    * collapses straight back to 200 sufficient-statistic rows (one
+    * map-side-combinable pass). p = (1 + #{|Δ_perm| ≥ |Δ_obs|}) /
+    * (reps + 1), the standard add-one permutation p-value. Both
+    * engines replay the identical md5 labels, so the null is
+    * bit-reproducible. */
+  def q231PermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("sm"))
+    val diff = (col("s1").cast("double") / col("n1").cast("double") -
+      col("s0").cast("double") / col("n0").cast("double")) / 1000000.0d
+    val obs = users.withColumn("side", (col("user_id") % 2L) === 1L)
+      .agg(sum(when(col("side"), col("sm"))).as("s1"),
+        count(when(col("side"), lit(1))).as("n1"),
+        sum(when(!col("side"), col("sm"))).as("s0"),
+        count(when(!col("side"), lit(1))).as("n0"))
+      .select((col("n1") + col("n0")).as("n_users"), diff.as("obs_diff"))
+    val reps = obs.select(explode(sequence(lit(1L), lit(200L))).as("rep"))
+    val perm = users.crossJoin(broadcast(reps))
+      .withColumn("side", graft.functions.TextFunctions.md5Long(
+        concat(col("user_id").cast("string"), lit(":"),
+          col("rep").cast("string"))) % 2L === 1L)
+      .groupBy(col("rep"))
+      .agg(sum(when(col("side"), col("sm"))).as("s1"),
+        count(when(col("side"), lit(1))).as("n1"),
+        sum(when(!col("side"), col("sm"))).as("s0"),
+        count(when(!col("side"), lit(1))).as("n0"))
+      .select(col("rep"), diff.as("pd"))
+    perm.crossJoin(broadcast(obs))
+      .agg(first(col("n_users")).as("n_users"),
+        round(first(col("obs_diff")), 6).as("obs_diff"),
+        count(lit(1)).as("n_reps"),
+        count(when(abs(col("pd")) >= abs(col("obs_diff")), lit(1)))
+          .as("n_ge"))
+      .select(col("n_users"), col("obs_diff"), col("n_reps"), col("n_ge"),
+        round((col("n_ge") + 1L).cast("double") /
+          (col("n_reps") + 1L).cast("double"), 6).as("p_value"))
+  }
+  val q231Sql: String = {
+    val diff = (s1: String, n1: String, s0: String, n0: String) =>
+      s"(($s1::DOUBLE / $n1::DOUBLE - $s0::DOUBLE / $n0::DOUBLE) / 1000000.0)"
+    s"""WITH u AS (SELECT user_id,
+       |        sum(round("value" * 1000000.0)::BIGINT)::BIGINT AS sm
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |ob AS (SELECT count(*)::BIGINT AS n_users,
+       |         ${diff("sum(CASE WHEN user_id % 2 = 1 THEN sm END)",
+                        "count(CASE WHEN user_id % 2 = 1 THEN 1 END)",
+                        "sum(CASE WHEN user_id % 2 = 0 THEN sm END)",
+                        "count(CASE WHEN user_id % 2 = 0 THEN 1 END)")}
+       |           AS obs_diff
+       |       FROM u),
+       |rp AS (SELECT unnest(range(1, 201)) AS rep),
+       |pm AS (SELECT rep,
+       |         ${diff("sum(CASE WHEN side THEN sm END)",
+                        "count(CASE WHEN side THEN 1 END)",
+                        "sum(CASE WHEN NOT side THEN sm END)",
+                        "count(CASE WHEN NOT side THEN 1 END)")} AS pd
+       |       FROM (SELECT u.sm, rep,
+       |               ('0x' || substring(md5(user_id::VARCHAR || ':' ||
+       |                 rep::VARCHAR), 1, 15))::BIGINT % 2 = 1 AS side
+       |             FROM u CROSS JOIN rp)
+       |       GROUP BY 1)
+       |SELECT any_value(ob.n_users) AS n_users,
+       |  round(any_value(ob.obs_diff), 6) AS obs_diff,
+       |  count(*)::BIGINT AS n_reps,
+       |  count(CASE WHEN abs(pd) >= abs(ob.obs_diff)
+       |        THEN 1 END)::BIGINT AS n_ge,
+       |  round((count(CASE WHEN abs(pd) >= abs(ob.obs_diff)
+       |               THEN 1 END) + 1)::DOUBLE / (count(*) + 1)::DOUBLE, 6)
+       |    AS p_value
+       |FROM pm, ob""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q232
+  /** Price/size skyline of the parts catalog ([[ParetoFrontier]]):
+    * every part for which no other part is at least as cheap AND at
+    * least as large with one strict improvement. The engine runs the
+    * sort-based frontier (cost-grain collapse + exclusive prefix-max
+    * via [[graft.functions.PrefixScan]] — no all-pairs, no
+    * unpartitioned window); the oracle states the definition directly
+    * as a NOT EXISTS anti-join, which only the tiny sf frame could
+    * afford. */
+  def q232ParetoFrontier(s: SparkSession, dir: String): DataFrame =
+    ParetoFrontier.frontier(
+      Tables.part(s, dir).select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice"), col("p_size")),
+      "p_retailprice", "p_size")
+  val q232Sql: String =
+    """SELECT p_partkey, p_brand, p_retailprice, p_size FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))"""
+      .stripMargin
+
+  // ---------------------------------------------------------------- q233
+  /** Item-item collaborative filtering: top-5 "customers also bought"
+    * per part by binary cosine (Ochiai) over shared orders —
+    * c_ij/√(n_i·n_j), the normalization that keeps bestsellers from
+    * swamping every list (contrast q141's lift, which scores the
+    * RULE, not the neighbor ranking). Pair counts ride the same
+    * capped per-order self-join as the association tier; the ranking
+    * window is per-item (keyed, scale-safe); candidates need ≥2
+    * shared orders. */
+  def q233ItemCf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+      .distinct()
+    val keep = p.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= 1000).select(col("g"))
+    val pb = p.join(keep, "g").localCheckpoint()
+    val pairs = pb.as("x").join(pb.as("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val supp = pb.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val sym = pairs.select(col("a").as("item"), col("b").as("rec"), col("c"))
+      .unionByName(pairs.select(col("b").as("item"), col("a").as("rec"),
+        col("c")))
+    val scored = sym
+      .join(supp.select(col("i").as("item"), col("n").as("n_item")), "item")
+      .join(supp.select(col("i").as("rec"), col("n").as("n_rec")), "rec")
+      .select(col("item"), col("rec"), col("c"),
+        round(col("c").cast("double") /
+          sqrt(col("n_item").cast("double") * col("n_rec").cast("double")),
+          6).as("cosine"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("rec").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+  val q233Sql: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      |           FROM lineitem),
+      |sz AS (SELECT g FROM (SELECT g, count(*) AS s FROM p GROUP BY 1)
+      |       WHERE s <= 1000),
+      |pb AS (SELECT p.* FROM p JOIN sz USING (g)),
+      |pr AS (SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS c
+      |       FROM pb x JOIN pb y ON x.g = y.g AND x.i < y.i
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |su AS (SELECT i, count(*)::BIGINT AS n FROM pb GROUP BY 1),
+      |sy AS (SELECT a AS item, b AS rec, c FROM pr
+      |       UNION ALL SELECT b, a, c FROM pr),
+      |sc AS (SELECT item, rec, c,
+      |         round(c::DOUBLE / sqrt(si.n::DOUBLE * sr.n::DOUBLE), 6)
+      |           AS cosine
+      |       FROM sy JOIN su si ON sy.item = si.i
+      |       JOIN su sr ON sy.rec = sr.i)
+      |SELECT item, rec, c, cosine, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+      |    ORDER BY cosine DESC, rec ASC) AS rank FROM sc)
+      |WHERE rank <= 5""".stripMargin
+
   /** Registry for this tier. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_correlogram" -> (q225Correlogram _),
     "q226_cross_correlation" -> (q226CrossCorrelation _),
     "q227_cusum_changepoint" -> (q227CusumChangepoint _),
     "q228_stl_decompose" -> (q228StlDecompose _),
-    "q229_bh_fdr" -> (q229BhFdr _)
+    "q229_bh_fdr" -> (q229BhFdr _),
+    "q230_jackknife_ratio" -> (q230JackknifeRatio _),
+    "q231_permutation_test" -> (q231PermutationTest _),
+    "q232_pareto_frontier" -> (q232ParetoFrontier _),
+    "q233_item_cf" -> (q233ItemCf _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -282,6 +517,10 @@ object QueriesExt7 {
     "q226_cross_correlation" -> q226Sql,
     "q227_cusum_changepoint" -> q227Sql,
     "q228_stl_decompose" -> q228Sql,
-    "q229_bh_fdr" -> q229Sql
+    "q229_bh_fdr" -> q229Sql,
+    "q230_jackknife_ratio" -> q230Sql,
+    "q231_permutation_test" -> q231Sql,
+    "q232_pareto_frontier" -> q232Sql,
+    "q233_item_cf" -> q233Sql
   )
 }
