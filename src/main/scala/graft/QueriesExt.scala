@@ -2051,13 +2051,13 @@ object QueriesExt {
         round(Similarity.l2Sq(col("embedding"),
           element_at(centsLit, col("cell") + 1)), 6).as("d2"))
   }
-  private def kmAssignCte(name: String, centCte: String): String =
+  private[graft] def kmAssignCte(name: String, centCte: String): String =
     s"""$name AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT e.vec_id, c.cid,
        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |           ORDER BY round(${l2SqlOf("e.v", "c.cv")}, 6), c.cid) AS rn
        |  FROM e, $centCte c) WHERE rn = 1)""".stripMargin
-  private def kmMeanCte(name: String, assign: String, prev: String): String =
+  private[graft] def kmMeanCte(name: String, assign: String, prev: String): String =
     s"""${name}_m AS (SELECT a.cell, ds.i,
        |        (sum(round(e.v[ds.i] * 1000000)::BIGINT)::DOUBLE / count(*)) / 1000000.0 AS m
        |        FROM e JOIN $assign a USING (vec_id), ds GROUP BY 1, 2),

@@ -499,6 +499,227 @@ object QueriesExt7 {
       |    ORDER BY cosine DESC, rec ASC) AS rank FROM sc)
       |WHERE rank <= 5""".stripMargin
 
+  // ---------------------------------------------------------------- q234
+  /** Frequent triple mining (Apriori level 3): part triples sharing ≥2
+    * orders, scored by 3-way lift supp·n²/(sa·sb·sc). The Apriori
+    * prune comes first — only items that are themselves frequent
+    * (support ≥ 2) enter the cubic expansion — and the per-basket
+    * valve caps the blow-up at C(100,3); real baskets here hold ≤7
+    * items, so the triple join stays linear in baskets at any scale.
+    * Every pair of joins is on the order key (equi), never item×item. */
+  def q234AprioriTriples(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+      .distinct()
+    val keep = p.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= 100).select(col("g"))
+    val pb = p.join(keep, "g").localCheckpoint()
+    val fi = pb.groupBy(col("i")).agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+    val fb = pb.join(fi, "i").localCheckpoint()
+    val nOrders = pb.select(col("g")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val triples = fb.as("x").join(fb.as("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .join(fb.as("z"),
+        col("y.g") === col("z.g") && col("y.i") < col("z.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"), col("z.i").as("c"))
+      .agg(count(lit(1)).as("supp_abc"),
+        first(col("x.supp")).as("sa"), first(col("y.supp")).as("sb"),
+        first(col("z.supp")).as("sc"))
+      .filter(col("supp_abc") >= 2)
+    triples.crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("c"), col("supp_abc"),
+        round(col("supp_abc").cast("double") * col("n_orders").cast("double")
+          * col("n_orders").cast("double") /
+          (col("sa").cast("double") * col("sb").cast("double") *
+            col("sc").cast("double")), 6).as("lift3"))
+  }
+  val q234Sql: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+      |           FROM lineitem),
+      |sz AS (SELECT g FROM (SELECT g, count(*) AS s FROM p GROUP BY 1)
+      |       WHERE s <= 100),
+      |pb AS (SELECT p.* FROM p JOIN sz USING (g)),
+      |fi AS (SELECT i, count(*)::BIGINT AS supp FROM pb GROUP BY 1
+      |       HAVING count(*) >= 2),
+      |fb AS (SELECT pb.g, pb.i, fi.supp FROM pb JOIN fi USING (i)),
+      |no AS (SELECT count(DISTINCT g)::BIGINT AS n_orders FROM pb),
+      |tr AS (SELECT x.i AS a, y.i AS b, z.i AS c,
+      |         count(*)::BIGINT AS supp_abc,
+      |         any_value(x.supp) AS sa, any_value(y.supp) AS sb,
+      |         any_value(z.supp) AS sc
+      |       FROM fb x JOIN fb y ON x.g = y.g AND x.i < y.i
+      |       JOIN fb z ON y.g = z.g AND y.i < z.i
+      |       GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      |SELECT a, b, c, supp_abc,
+      |  round(supp_abc::DOUBLE * n_orders::DOUBLE * n_orders::DOUBLE /
+      |        (sa::DOUBLE * sb::DOUBLE * sc::DOUBLE), 6) AS lift3
+      |FROM tr, no""".stripMargin
+
+  // ---------------------------------------------------------------- q235
+  /** Simplified silhouette of the q70 k-means model: per cluster, the
+    * mean of s = (b−a)/max(a,b) where a = distance to the assigned
+    * (nearest) centroid and b = distance to the second-nearest — the
+    * centroid-based silhouette that needs one 8-row broadcast against
+    * the corpus instead of all-pairs member distances. Assignment
+    * replays q70's deterministic rounded-argmin; per-point s is
+    * quantized to exact micro-units before the per-cluster mean so the
+    * aggregate is partition-order-free. The oracle replays both Lloyd
+    * iterations via the shared q70 CTE chain. */
+  def q235Silhouette(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = graft.functions.Similarity.kmeansTrain(
+      Tables.embeddings(s, dir), k = 8, iters = 2, dim = 64)
+    val cf = s.createDataFrame(cents.zipWithIndex.map {
+      case (v, i) => (i, v)
+    }).toDF("cid", "cv")
+    val d = QueriesExt.embs(s, dir).crossJoin(broadcast(cf))
+      .select(col("vec_id"), col("cid"),
+        round(graft.functions.Similarity.l2Sq(col("embedding"), col("cv")),
+          6).as("d2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val ab = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("rn") === 1, col("cid"))).as("cell"),
+        min(when(col("rn") === 1, col("d2"))).as("a2"),
+        min(when(col("rn") === 2, col("d2"))).as("b2"))
+    val aD = sqrt(col("a2")); val bD = sqrt(col("b2"))
+    val sil = when(greatest(aD, bD) > 0.0d,
+      (bD - aD) / greatest(aD, bD)).otherwise(0.0d)
+    ab.select(col("cell"),
+        round(sil * 1000000.0d, 0).cast("long").as("sm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("sm")).as("ssm"))
+      .select(col("cell"), col("n"),
+        round(col("ssm").cast("double") / col("n").cast("double") /
+          1000000.0d, 6).as("avg_sil"))
+  }
+  val q235Sql: String = {
+    val silCase = "CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0.0 " +
+      "THEN (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) " +
+      "ELSE 0.0 END"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ds AS (SELECT unnest(range(1, 65)) AS i),
+       |c0 AS (SELECT vec_id::INT AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |${QueriesExt.kmAssignCte("a1", "c0")},
+       |${QueriesExt.kmMeanCte("c1", "a1", "c0")},
+       |${QueriesExt.kmAssignCte("a2", "c1")},
+       |${QueriesExt.kmMeanCte("c2", "a2", "c1")},
+       |d AS (SELECT e.vec_id, c.cid,
+       |        round(${QueriesExt.l2SqlOf("e.v", "c.cv")}, 6) AS d2
+       |      FROM e, c2 c),
+       |r AS (SELECT vec_id, cid, d2, ROW_NUMBER() OVER (
+       |        PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+       |ab AS (SELECT vec_id, min(CASE WHEN rn = 1 THEN cid END) AS cell,
+       |         min(CASE WHEN rn = 1 THEN d2 END) AS a2,
+       |         min(CASE WHEN rn = 2 THEN d2 END) AS b2
+       |       FROM r WHERE rn <= 2 GROUP BY 1),
+       |sv AS (SELECT cell, round(($silCase) * 1000000.0)::BIGINT AS sm
+       |       FROM ab)
+       |SELECT cell, count(*)::BIGINT AS n,
+       |  round(sum(sm)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+       |    AS avg_sil
+       |FROM sv GROUP BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q236
+  /** Correlation matrix of the line-item metrics (quantity, price,
+    * discount, tax): all four means, variances, and six pairwise
+    * Pearson correlations from ONE map-side-combinable pass over exact
+    * integer units (whole dollars / percent points — chosen so every
+    * cross-product sum fits a BIGINT through sf10+), melted to the
+    * (x, y, r) triangle by a 6-branch select over the single
+    * sufficient-statistics row. The canonical "which levers move
+    * together" screen, at 100 TB for the cost of one scan. */
+  def q236MetricCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_extendedprice"), 0).cast("long").as("p"),
+      round(col("l_discount") * 100.0d, 0).cast("long").as("d"),
+      round(col("l_tax") * 100.0d, 0).cast("long").as("t"))
+    val ms = Seq("q", "p", "d", "t")
+    val aggs = count(lit(1)).as("n") +:
+      (ms.map(x => sum(col(x)).as(s"s_$x")) ++
+        (for (i <- ms.indices; j <- i until ms.length)
+          yield sum(col(ms(i)) * col(ms(j))).as(s"ss_${ms(i)}${ms(j)}")))
+    val stats = li.agg(aggs.head, aggs.tail: _*)
+    def r(x: String, y: String) = {
+      val n = col("n").cast("double")
+      val cov = n * col(s"ss_$x$y").cast("double") -
+        col(s"s_$x").cast("double") * col(s"s_$y").cast("double")
+      val vx = n * col(s"ss_$x$x").cast("double") -
+        col(s"s_$x").cast("double") * col(s"s_$x").cast("double")
+      val vy = n * col(s"ss_$y$y").cast("double") -
+        col(s"s_$y").cast("double") * col(s"s_$y").cast("double")
+      stats.select(lit(x).as("metric_x"), lit(y).as("metric_y"),
+        col("n"), round(cov / sqrt(vx) / sqrt(vy), 6).as("r"))
+    }
+    (for (i <- ms.indices; j <- (i + 1) until ms.length)
+      yield r(ms(i), ms(j))).reduce(_ unionByName _)
+  }
+  val q236Sql: String = {
+    def rSql(x: String, y: String): String = {
+      val cov = s"(n::DOUBLE * ss_$x$y::DOUBLE - s_$x::DOUBLE * s_$y::DOUBLE)"
+      val vx = s"(n::DOUBLE * ss_$x$x::DOUBLE - s_$x::DOUBLE * s_$x::DOUBLE)"
+      val vy = s"(n::DOUBLE * ss_$y$y::DOUBLE - s_$y::DOUBLE * s_$y::DOUBLE)"
+      s"SELECT '$x' AS metric_x, '$y' AS metric_y, n, " +
+        s"round($cov / sqrt($vx) / sqrt($vy), 6) AS r FROM st"
+    }
+    val ms = Seq("q", "p", "d", "t")
+    val pairs = for (i <- ms.indices; j <- (i + 1) until ms.length)
+      yield rSql(ms(i), ms(j))
+    s"""WITH li AS (SELECT l_quantity::BIGINT AS q,
+       |        round(l_extendedprice)::BIGINT AS p,
+       |        round(l_discount * 100.0)::BIGINT AS d,
+       |        round(l_tax * 100.0)::BIGINT AS t FROM lineitem),
+       |st AS (SELECT count(*)::BIGINT AS n,
+       |  sum(q)::BIGINT AS s_q, sum(p)::BIGINT AS s_p,
+       |  sum(d)::BIGINT AS s_d, sum(t)::BIGINT AS s_t,
+       |  sum(q * q)::BIGINT AS ss_qq, sum(q * p)::BIGINT AS ss_qp,
+       |  sum(q * d)::BIGINT AS ss_qd, sum(q * t)::BIGINT AS ss_qt,
+       |  sum(p * p)::BIGINT AS ss_pp, sum(p * d)::BIGINT AS ss_pd,
+       |  sum(p * t)::BIGINT AS ss_pt, sum(d * d)::BIGINT AS ss_dd,
+       |  sum(d * t)::BIGINT AS ss_dt, sum(t * t)::BIGINT AS ss_tt
+       |  FROM li)
+       |${pairs.mkString("", "\nUNION ALL\n", "")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q237
+  /** Haar wavelet energy spectrum of hourly traffic ([[TimeSeries
+    * .haarEnergy]], levels 0–7): how much of the series' variation
+    * lives at each dyadic scale (2-hour jitter vs 256-hour drift) —
+    * the multi-resolution fingerprint that separates noisy-but-stable
+    * feeds from drifting ones. Detail numerators stay exact integers;
+    * incomplete edge blocks are dropped. */
+  def q237HaarEnergy(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.haarEnergy(hourlyCounts(s, dir), "h", "n", maxLevel = 7)
+  val q237Sql: String =
+    s"""WITH $hourlyCte,
+       |po AS (SELECT row_number() OVER (ORDER BY h) - 1 AS pos, n AS x
+       |       FROM hr),
+       |lv AS (SELECT unnest(range(0, 8)) AS level),
+       |bl AS (SELECT level, (1::BIGINT << level) AS halflen,
+       |         pos // ((1::BIGINT << level) * 2) AS block,
+       |         sum(CASE WHEN (pos // (1::BIGINT << level)) % 2 = 0
+       |             THEN x END)::BIGINT AS sl,
+       |         count(CASE WHEN (pos // (1::BIGINT << level)) % 2 = 0
+       |             THEN 1 END)::BIGINT AS nl,
+       |         sum(CASE WHEN (pos // (1::BIGINT << level)) % 2 = 1
+       |             THEN x END)::BIGINT AS sr,
+       |         count(CASE WHEN (pos // (1::BIGINT << level)) % 2 = 1
+       |             THEN 1 END)::BIGINT AS nr
+       |       FROM po CROSS JOIN lv GROUP BY 1, 2, 3)
+       |SELECT level, halflen * 2 AS block_len, count(*)::BIGINT AS n_coeffs,
+       |  round(sum((sl - sr) * (sl - sr))::DOUBLE /
+       |        (halflen::DOUBLE * halflen::DOUBLE), 6) AS energy,
+       |  round(sum(abs(sl - sr))::DOUBLE / halflen::DOUBLE /
+       |        count(*)::DOUBLE, 6) AS mean_abs
+       |FROM bl WHERE nl = halflen AND nr = halflen
+       |GROUP BY level, halflen""".stripMargin
+
   /** Registry for this tier. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_correlogram" -> (q225Correlogram _),
@@ -509,7 +730,11 @@ object QueriesExt7 {
     "q230_jackknife_ratio" -> (q230JackknifeRatio _),
     "q231_permutation_test" -> (q231PermutationTest _),
     "q232_pareto_frontier" -> (q232ParetoFrontier _),
-    "q233_item_cf" -> (q233ItemCf _)
+    "q233_item_cf" -> (q233ItemCf _),
+    "q234_apriori_triples" -> (q234AprioriTriples _),
+    "q235_silhouette" -> (q235Silhouette _),
+    "q236_metric_corr" -> (q236MetricCorr _),
+    "q237_haar_energy" -> (q237HaarEnergy _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -521,6 +746,10 @@ object QueriesExt7 {
     "q230_jackknife_ratio" -> q230Sql,
     "q231_permutation_test" -> q231Sql,
     "q232_pareto_frontier" -> q232Sql,
-    "q233_item_cf" -> q233Sql
+    "q233_item_cf" -> q233Sql,
+    "q234_apriori_triples" -> q234Sql,
+    "q235_silhouette" -> q235Sql,
+    "q236_metric_corr" -> q236Sql,
+    "q237_haar_energy" -> q237Sql
   )
 }
