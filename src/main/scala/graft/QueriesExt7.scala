@@ -720,6 +720,213 @@ object QueriesExt7 {
        |FROM bl WHERE nl = halflen AND nr = halflen
        |GROUP BY level, halflen""".stripMargin
 
+  // ---------------------------------------------------------------- q238
+  /** Markov steady state of user behavior: the stationary distribution
+    * of the first-order event-type chain (q113's matrix), by 20 exact
+    * integer power-iteration steps, published next to the empirical
+    * type mix — "where does behavior settle vs where is it today".
+    * The transition matrix is ≤|types|² rows (a DOMAIN-bounded
+    * vocabulary, the k-means-centroid collect class), so the iteration
+    * runs driver-side on micro-probability longs with truncating
+    * division — bit-replayable by the oracle's unrolled 20-step CTE
+    * chain, something float power iteration could never be. Transitions
+    * into a state with no outgoing edges are dropped on BOTH sides
+    * (the chain is restricted to the recurrent prev-state set). */
+  def q238MarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val edges = ev
+      .select(col("user_id"), col("event_type"), col("ts_ms"),
+        col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = edges.groupBy(col("prev_type")).agg(sum(col("n")).as("tn"))
+    val pm = edges.join(tot, "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        expr("(n * 1000000) div tn").as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = pm.map(_._1).distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val mat = Array.ofDim[Long](states.length, states.length)
+    pm.foreach { case (a, b, p) =>
+      idx.get(b).foreach(j => mat(idx(a))(j) = p)
+    }
+    var pi = Array.fill(states.length)(1000000L / states.length)
+    for (_ <- 0 until 20) {
+      val nxt = Array.ofDim[Long](states.length)
+      for (j <- states.indices) {
+        var acc = 0L
+        for (i <- states.indices) acc += pi(i) * mat(i)(j)
+        nxt(j) = acc / 1000000L
+      }
+      pi = nxt
+    }
+    val piDf = s.createDataFrame(states.toSeq.map(st => (st, pi(idx(st)))))
+      .toDF("state", "pim")
+    val totEv = ev.agg(count(lit(1)).as("te"))
+    val emp = ev.groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(totEv))
+    piDf.join(emp, "state")
+      .select(col("state"),
+        round(col("pim").cast("double") / 1000000.0d, 6).as("pi"),
+        round(col("c").cast("double") / col("te").cast("double"), 6)
+          .as("emp_share"))
+  }
+  val q238Sql: String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (SELECT pmf.next_type AS st,
+         |  (sum($prev.pi * pmf.p) // 1000000)::BIGINT AS pi
+         |  FROM $prev JOIN pmf ON $prev.st = pmf.prev_type GROUP BY 1)"""
+        .stripMargin
+    val chain = (1 to 20).map(i => step(s"p${i - 1}", s"p$i"))
+      .mkString(",\n")
+    s"""WITH o AS (SELECT user_id, event_type,
+       |        lag(event_type) OVER (PARTITION BY user_id
+       |          ORDER BY epoch_ms(ts), event_id) AS prev_type
+       |      FROM events),
+       |c AS (SELECT prev_type, event_type AS next_type,
+       |        count(*)::BIGINT AS n
+       |      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |tt AS (SELECT prev_type, sum(n)::BIGINT AS tn FROM c GROUP BY 1),
+       |pm AS (SELECT c.prev_type, c.next_type,
+       |         ((n * 1000000) // tn)::BIGINT AS p
+       |       FROM c JOIN tt ON c.prev_type = tt.prev_type),
+       |pmf AS (SELECT * FROM pm
+       |        WHERE next_type IN (SELECT prev_type FROM tt)),
+       |p0 AS (SELECT prev_type AS st,
+       |         (1000000 // (SELECT count(*) FROM tt))::BIGINT AS pi
+       |       FROM tt),
+       |$chain,
+       |te AS (SELECT count(*)::BIGINT AS te FROM events),
+       |em AS (SELECT event_type AS state, count(*)::BIGINT AS c
+       |       FROM events GROUP BY 1)
+       |SELECT tt.prev_type AS state,
+       |  round(coalesce(p20.pi, 0)::DOUBLE / 1000000.0, 6) AS pi,
+       |  round(c::DOUBLE / te::DOUBLE, 6) AS emp_share
+       |FROM tt LEFT JOIN p20 ON tt.prev_type = p20.st
+       |JOIN em ON em.state = tt.prev_type, te""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q239
+  /** Isotonic calibration (PAVA by minimax): the best monotone
+    * non-decreasing fit of return rate against discount level, via the
+    * closed form iso(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) — no
+    * iterative pooling, no order-dependent state. The discount domain
+    * is ≤11 bins, so the interval/minimax expansion is a few thousand
+    * rows of broadcast joins over ONE aggregated pass of the fact
+    * table; interval means are exact integer ratios divided once. The
+    * monotone answer to "do deeper discounts really buy fewer
+    * returns". */
+  def q239IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .groupBy(round(col("l_discount") * 100.0d, 0).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("r"))
+      .localCheckpoint()
+    val iv = b.as("j").join(b.as("k"), col("j.d") <= col("k.d"))
+      .join(b.as("m"),
+        col("m.d") >= col("j.d") && col("m.d") <= col("k.d"))
+      .groupBy(col("j.d").as("dj"), col("k.d").as("dk"))
+      .agg(sum(col("m.r")).as("rr"), sum(col("m.n")).as("nn"))
+    val mi = iv.join(b.as("i"),
+        col("i.d") >= col("dj") && col("i.d") <= col("dk"))
+      .groupBy(col("dj"), col("i.d").as("di"))
+      .agg(min(col("rr").cast("double") / col("nn").cast("double"))
+        .as("m1"))
+    val iso = mi.groupBy(col("di").as("d")).agg(max(col("m1")).as("iso"))
+    b.join(iso, "d")
+      .select(col("d").as("discount_pct"), col("n"),
+        round(col("r").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+  }
+  val q239Sql: String =
+    """WITH b AS (SELECT round(l_discount * 100.0)::BIGINT AS d,
+      |        count(*)::BIGINT AS n,
+      |        count(CASE WHEN l_returnflag = 'R' THEN 1 END)::BIGINT AS r
+      |      FROM lineitem GROUP BY 1),
+      |iv AS (SELECT j.d AS dj, k.d AS dk, sum(m.r)::BIGINT AS rr,
+      |         sum(m.n)::BIGINT AS nn
+      |       FROM b j JOIN b k ON j.d <= k.d
+      |       JOIN b m ON m.d >= j.d AND m.d <= k.d GROUP BY 1, 2),
+      |mi AS (SELECT dj, i.d AS di,
+      |         min(rr::DOUBLE / nn::DOUBLE) AS m1
+      |       FROM iv JOIN b i ON i.d >= iv.dj AND i.d <= iv.dk
+      |       GROUP BY 1, 2),
+      |iso AS (SELECT di AS d, max(m1) AS iso FROM mi GROUP BY 1)
+      |SELECT b.d AS discount_pct, n,
+      |       round(r::DOUBLE / n::DOUBLE, 6) AS raw_rate,
+      |       round(iso, 6) AS iso_rate
+      |FROM b JOIN iso ON b.d = iso.d""".stripMargin
+
+  // ---------------------------------------------------------------- q240
+  /** RFM segmentation: every customer scored 0–4 on Recency (days
+    * since last order, inverted so recent = high), Frequency, and
+    * Monetary by exact quintile boundaries ([[RobustStats
+    * .withQuantileBin]] — one percentile row per axis, broadcast
+    * back), rolled up to the segment grain. The classic CRM cut,
+    * produced with three boundary models and two aggregates — the
+    * customer table is scanned, binned, and re-aggregated without a
+    * single data-scaled window or collect. */
+  def q240RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("ck"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"),
+      round(col("o_totalprice"), 0).cast("long").as("dol"))
+    val anchor = o.agg(max(col("day")).as("maxd"))
+    val cu = o.groupBy(col("ck"))
+      .agg(max(col("day")).as("lastd"), count(lit(1)).as("f"),
+        sum(col("dol")).as("m"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("rdays", col("maxd") - col("lastd"))
+    val probs = Seq(0.2, 0.4, 0.6, 0.8)
+    val binned = graft.functions.RobustStats.withQuantileBin(
+      graft.functions.RobustStats.withQuantileBin(
+        graft.functions.RobustStats.withQuantileBin(
+          cu, "rdays", probs, "rbin"),
+        "f", probs, "fbin"),
+      "m", probs, "mbin")
+    binned
+      .select(((lit(4) - col("rbin")) * 100 + col("fbin") * 10 +
+        col("mbin")).as("rfm_code"), col("m"))
+      .groupBy(col("rfm_code"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("m")).cast("double") / count(lit(1)).cast("double"),
+          2).as("avg_monetary"))
+  }
+  val q240Sql: String = {
+    def bins(v: String, pfx: String): String = Seq(0.2, 0.4, 0.6, 0.8)
+      .zipWithIndex.map { case (p, i) =>
+        s"quantile_cont($v, $p) AS $pfx${i + 1}"
+      }.mkString(", ")
+    def score(v: String, pfx: String): String = (1 to 4)
+      .map(i => s"(CASE WHEN $v > $pfx$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH o AS (SELECT o_custkey AS ck,
+       |        epoch_ms(o_orderdate) // 86400000 AS day,
+       |        round(o_totalprice)::BIGINT AS dol FROM orders),
+       |an AS (SELECT max(day) AS maxd FROM o),
+       |cu AS (SELECT ck, max(day) AS lastd, count(*)::BIGINT AS f,
+       |         sum(dol)::BIGINT AS m FROM o GROUP BY 1),
+       |cr AS (SELECT ck, maxd - lastd AS rdays, f, m FROM cu, an),
+       |qb AS (SELECT ${bins("rdays", "r")}, ${bins("f", "f")},
+       |         ${bins("m", "m")} FROM cr),
+       |sc AS (SELECT ck, m,
+       |         ${score("rdays", "r")} AS rbin,
+       |         ${score("f", "f")} AS fbin,
+       |         ${score("m", "m")} AS mbin
+       |       FROM cr, qb)
+       |SELECT (4 - rbin) * 100 + fbin * 10 + mbin AS rfm_code,
+       |  count(*)::BIGINT AS n_cust,
+       |  round(sum(m)::DOUBLE / count(*)::DOUBLE, 2) AS avg_monetary
+       |FROM sc GROUP BY 1""".stripMargin
+  }
+
   /** Registry for this tier. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_correlogram" -> (q225Correlogram _),
@@ -734,7 +941,10 @@ object QueriesExt7 {
     "q234_apriori_triples" -> (q234AprioriTriples _),
     "q235_silhouette" -> (q235Silhouette _),
     "q236_metric_corr" -> (q236MetricCorr _),
-    "q237_haar_energy" -> (q237HaarEnergy _)
+    "q237_haar_energy" -> (q237HaarEnergy _),
+    "q238_markov_stationary" -> (q238MarkovStationary _),
+    "q239_isotonic_calibration" -> (q239IsotonicCalibration _),
+    "q240_rfm_segments" -> (q240RfmSegments _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -750,6 +960,9 @@ object QueriesExt7 {
     "q234_apriori_triples" -> q234Sql,
     "q235_silhouette" -> q235Sql,
     "q236_metric_corr" -> q236Sql,
-    "q237_haar_energy" -> q237Sql
+    "q237_haar_energy" -> q237Sql,
+    "q238_markov_stationary" -> q238Sql,
+    "q239_isotonic_calibration" -> q239Sql,
+    "q240_rfm_segments" -> q240Sql
   )
 }
