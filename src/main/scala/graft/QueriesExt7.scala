@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{BoundedWindow, ParetoFrontier, StatsTests, TimeSeries}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declared queries q225+ — the time-series / statistical-mining tier:
@@ -927,6 +927,196 @@ object QueriesExt7 {
        |FROM sc GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q241
+  /** Segmented-trend breakpoint sweep: fit two independent least-
+    * squares lines to daily purchase GMV — one before, one after each
+    * candidate breakpoint — and rank breakpoints by combined SSE (the
+    * broken-stick complement of q227's mean-shift CUSUM: CUSUM asks
+    * "did the LEVEL jump", this asks "did the SLOPE change, where").
+    * Every candidate's two fits come from exact prefix/suffix
+    * sufficient statistics (one bounded-window pass; suffix = total −
+    * prefix), so the sweep is O(days), not O(days²) refits. Segments
+    * need ≥2 points; the min-SSE row is flagged. */
+  def q241SegmentedTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(sum(round(col("value"), 0).cast("long")).as("y"))
+    val wRun = BoundedWindow.orderBy(col("day"), col("day"))
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = BoundedWindow.all(col("day"))
+    val pre = daily
+      .withColumn("pos", count(lit(1)).over(wRun))
+      .withColumn("sx", sum(col("day")).over(wRun))
+      .withColumn("sy", sum(col("y")).over(wRun))
+      .withColumn("sxy", sum(col("day") * col("y")).over(wRun))
+      .withColumn("sxx", sum(col("day") * col("day")).over(wRun))
+      .withColumn("syy", sum(col("y") * col("y")).over(wRun))
+      .withColumn("tn", count(lit(1)).over(wAll))
+      .withColumn("tx", sum(col("day")).over(wAll))
+      .withColumn("ty", sum(col("y")).over(wAll))
+      .withColumn("txy", sum(col("day") * col("y")).over(wAll))
+      .withColumn("txx", sum(col("day") * col("day")).over(wAll))
+      .withColumn("tyy", sum(col("y") * col("y")).over(wAll))
+    def sse(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column,
+            syy: Column): Column = {
+      val nd = n.cast("double")
+      val syyC = syy.cast("double") - sy.cast("double") * sy.cast("double") / nd
+      val sxyC = sxy.cast("double") - sx.cast("double") * sy.cast("double") / nd
+      val sxxC = sxx.cast("double") - sx.cast("double") * sx.cast("double") / nd
+      syyC - sxyC * sxyC / sxxC
+    }
+    val sseL = sse(col("pos"), col("sx"), col("sy"), col("sxy"),
+      col("sxx"), col("syy"))
+    val sseR = sse(col("tn") - col("pos"), col("tx") - col("sx"),
+      col("ty") - col("sy"), col("txy") - col("sxy"),
+      col("txx") - col("sxx"), col("tyy") - col("syy"))
+    val scored = pre
+      .filter(col("pos") >= 2 && col("tn") - col("pos") >= 2)
+      .select(col("day").as("break_day"), col("pos").as("n_left"),
+        (col("tn") - col("pos")).as("n_right"),
+        round(sseL, 4).as("sse_left"), round(sseR, 4).as("sse_right"),
+        round(sseL + sseR, 4).as("sse_total"))
+    scored.withColumn("is_best",
+      col("sse_total") === min(col("sse_total"))
+        .over(BoundedWindow.all(col("break_day"))))
+  }
+  val q241Sql: String = {
+    def sse(n: String, sx: String, sy: String, sxy: String, sxx: String,
+            syy: String): String = {
+      val syyC = s"(($syy)::DOUBLE - ($sy)::DOUBLE * ($sy)::DOUBLE / ($n)::DOUBLE)"
+      val sxyC = s"(($sxy)::DOUBLE - ($sx)::DOUBLE * ($sy)::DOUBLE / ($n)::DOUBLE)"
+      val sxxC = s"(($sxx)::DOUBLE - ($sx)::DOUBLE * ($sx)::DOUBLE / ($n)::DOUBLE)"
+      s"($syyC - $sxyC * $sxyC / $sxxC)"
+    }
+    val l = sse("pos", "sx", "sy", "sxy", "sxx", "syy")
+    val r = sse("tn - pos", "tx - sx", "ty - sy", "txy - sxy",
+      "txx - sxx", "tyy - syy")
+    s"""WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+       |        sum(round("value")::BIGINT)::BIGINT AS y
+       |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |p AS (SELECT day,
+       |        count(*) OVER wr AS pos,
+       |        sum(day) OVER wr AS sx, sum(y) OVER wr AS sy,
+       |        sum(day * y) OVER wr AS sxy,
+       |        sum(day * day) OVER wr AS sxx,
+       |        sum(y * y) OVER wr AS syy,
+       |        count(*) OVER () AS tn,
+       |        sum(day) OVER () AS tx, sum(y) OVER () AS ty,
+       |        sum(day * y) OVER () AS txy,
+       |        sum(day * day) OVER () AS txx,
+       |        sum(y * y) OVER () AS tyy
+       |      FROM d
+       |      WINDOW wr AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+       |sc AS (SELECT day AS break_day, pos::BIGINT AS n_left,
+       |         (tn - pos)::BIGINT AS n_right,
+       |         round($l, 4) AS sse_left, round($r, 4) AS sse_right,
+       |         round($l + $r, 4) AS sse_total
+       |       FROM p WHERE pos >= 2 AND tn - pos >= 2)
+       |SELECT *, sse_total = min(sse_total) OVER () AS is_best
+       |FROM sc""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q242
+  /** Diagonal-Mahalanobis embedding outliers: per-dimension mean and
+    * variance from ONE pass ([[graft.functions.Similarity
+    * .embeddingMoments]], a 64-row bounded model), then every vector's
+    * D² = Σᵢ (xᵢ−mᵢ)²/σᵢ² as a left-to-right fold over the broadcast
+    * moment arrays — the variance-aware outlier score that catches
+    * vectors hiding inside the L2 ball along low-variance axes.
+    * Zero-variance dimensions contribute 0 by definition. Top 50 by
+    * rounded score (TakeOrdered — no global sort materializes). */
+  def q242MahalanobisOutliers(s: SparkSession, dir: String): DataFrame = {
+    val mom = graft.functions.Similarity.embeddingMoments(
+      Tables.embeddings(s, dir))
+      .select(col("dim"), col("mean"), col("variance"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mLit = array(mom.map(m => lit(m._2)): _*)
+    val vLit = array(mom.map(m => lit(m._3)): _*)
+    val dev = zip_with(col("embedding").cast("array<double>"), mLit,
+      (x, m) => x - m)
+    val contrib = zip_with(dev, vLit,
+      (d, v) => when(v > 0.0d, d * d / v).otherwise(0.0d))
+    val d2 = aggregate(contrib, lit(0.0d), (acc, x) => acc + x)
+    QueriesExt.embs(s, dir)
+      .select(col("vec_id"), round(d2, 4).as("d2"))
+      .orderBy(col("d2").desc, col("vec_id").asc)
+      .limit(50)
+  }
+  val q242Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ds AS (SELECT unnest(range(1, 65))::INT AS i),
+       |x AS (SELECT ds.i AS dim, round(e.v[ds.i] * 1000000)::BIGINT AS xi
+       |      FROM e, ds),
+       |g AS (SELECT dim, count(*)::BIGINT AS n, sum(xi)::DOUBLE AS s1,
+       |             sum(xi * xi)::DOUBLE AS s2
+       |      FROM x GROUP BY 1),
+       |mo AS (SELECT dim,
+       |         round((s1::DOUBLE / n) / 1000000.0, 6) AS m,
+       |         round(((s2::DOUBLE / n) - (s1::DOUBLE / n) * (s1::DOUBLE / n))
+       |               / 1000000000000.0, 6) AS va
+       |       FROM g),
+       |mv AS (SELECT list(m ORDER BY dim) AS ml,
+       |              list(va ORDER BY dim) AS vl FROM mo),
+       |sc AS (SELECT vec_id,
+       |         round(list_sum(list_transform(list_zip(e.v, mv.ml, mv.vl),
+       |           p -> CASE WHEN p[3] > 0.0 THEN (p[1] - p[2]) * (p[1] - p[2])
+       |                     / p[3] ELSE 0.0 END)), 4) AS d2
+       |       FROM e, mv)
+       |SELECT vec_id, d2 FROM sc
+       |ORDER BY d2 DESC, vec_id ASC LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q243
+  /** Split-conformal prediction interval for the naive weekly
+    * forecast: calibrate |residual| of the lag-7 predictor on the
+    * first ⅔ of forecastable days, take the 0.9 exact quantile as the
+    * interval half-width, and report achieved coverage on the held-out
+    * tail — the distribution-free "how wide must the band be"
+    * guarantee (finite-sample ≥90% in expectation, no normality
+    * assumed). One bounded series, one exact percentile, one
+    * aggregate. */
+  def q243ConformalInterval(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(sum(round(col("value"), 0).cast("long")).as("y"))
+    val wOrd = BoundedWindow.orderBy(col("day"), col("day"))
+    val resid = daily
+      .withColumn("fc", lag(col("y"), 7).over(wOrd))
+      .filter(col("fc").isNotNull)
+      .withColumn("ad", abs(col("y") - col("fc")))
+      .withColumn("rn", row_number().over(
+        BoundedWindow.orderBy(col("day"), col("day"))).cast("long"))
+      .withColumn("nf", count(lit(1)).over(BoundedWindow.all(col("day"))))
+      .withColumn("cal", col("rn") <= expr("(2 * nf) div 3"))
+    val q = resid.filter(col("cal"))
+      .agg(percentile(col("ad"), lit(0.9)).as("qa"),
+        count(lit(1)).as("n_cal"))
+    resid.filter(!col("cal")).crossJoin(broadcast(q))
+      .agg(first(col("n_cal")).as("n_cal"), count(lit(1)).as("n_eval"),
+        round(first(col("qa")), 2).as("q_alpha"),
+        round(count(when(col("ad").cast("double") <= col("qa"), lit(1)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("coverage"))
+  }
+  val q243Sql: String =
+    """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      |        sum(round("value")::BIGINT)::BIGINT AS y
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |r AS (SELECT day, y, lag(y, 7) OVER (ORDER BY day) AS fc FROM d),
+      |f AS (SELECT day, abs(y - fc) AS ad,
+      |        row_number() OVER (ORDER BY day) AS rn,
+      |        count(*) OVER () AS nf
+      |      FROM r WHERE fc IS NOT NULL),
+      |fl AS (SELECT day, ad, rn <= (2 * nf) // 3 AS cal FROM f),
+      |q AS (SELECT quantile_cont(ad, 0.9) AS qa, count(*)::BIGINT AS n_cal
+      |      FROM fl WHERE cal)
+      |SELECT any_value(n_cal) AS n_cal, count(*)::BIGINT AS n_eval,
+      |  round(any_value(qa), 2) AS q_alpha,
+      |  round(count(CASE WHEN ad::DOUBLE <= qa THEN 1 END)::DOUBLE
+      |        / count(*)::DOUBLE, 6) AS coverage
+      |FROM fl, q WHERE NOT cal""".stripMargin
+
   /** Registry for this tier. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_correlogram" -> (q225Correlogram _),
@@ -944,7 +1134,10 @@ object QueriesExt7 {
     "q237_haar_energy" -> (q237HaarEnergy _),
     "q238_markov_stationary" -> (q238MarkovStationary _),
     "q239_isotonic_calibration" -> (q239IsotonicCalibration _),
-    "q240_rfm_segments" -> (q240RfmSegments _)
+    "q240_rfm_segments" -> (q240RfmSegments _),
+    "q241_segmented_trend" -> (q241SegmentedTrend _),
+    "q242_mahalanobis_outliers" -> (q242MahalanobisOutliers _),
+    "q243_conformal_interval" -> (q243ConformalInterval _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -963,6 +1156,9 @@ object QueriesExt7 {
     "q237_haar_energy" -> q237Sql,
     "q238_markov_stationary" -> q238Sql,
     "q239_isotonic_calibration" -> q239Sql,
-    "q240_rfm_segments" -> q240Sql
+    "q240_rfm_segments" -> q240Sql,
+    "q241_segmented_trend" -> q241Sql,
+    "q242_mahalanobis_outliers" -> q242Sql,
+    "q243_conformal_interval" -> q243Sql
   )
 }
