@@ -2042,8 +2042,7 @@ object QueriesExt {
     * naive avg(double) k-means could never support. */
   def q70Kmeans(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val cents = Similarity.kmeansTrain(Tables.embeddings(s, dir), k = 8,
-      iters = 2, dim = 64)
+    val cents = Similarity.kmeansTrain(e, k = 8, iters = 2, dim = 64)
     val centsLit = array(cents.map(c => array(c.map(lit): _*)): _*)
     e.select(col("vec_id"), col("embedding"),
         element_at(Similarity.pqCodes(col("embedding"), Seq(cents)), 1).as("cell"))

@@ -500,16 +500,26 @@ object QueriesExt7 {
       |WHERE rank <= 5""".stripMargin
 
   // ---------------------------------------------------------------- q234
-  /** Frequent triple mining (Apriori level 3): part triples sharing ≥2
-    * orders, scored by 3-way lift supp·n²/(sa·sb·sc). The Apriori
-    * prune comes first — only items that are themselves frequent
-    * (support ≥ 2) enter the cubic expansion — and the per-basket
-    * valve caps the blow-up at C(100,3); real baskets here hold ≤7
-    * items, so the triple join stays linear in baskets at any scale.
-    * Every pair of joins is on the order key (equi), never item×item. */
+  /** Frequent triple mining (Apriori level 3): BRAND triples sharing ≥2
+    * orders, scored by 3-way lift supp·n²/(sa·sb·sc). The item grain is
+    * `p_brand` (a 25-value bounded dimension), deliberately NOT the raw
+    * part key: part keys scale with SF so a fixed absolute support
+    * empties the frontier as the catalog grows (measured: 12 rows at
+    * sf0.01, 0 at sf0.1 on the key grain), while the brand triple space
+    * is capped at C(25,3) ≈ 2.3k rows at ANY scale — the result stays
+    * non-empty, bounded, and oracle-checkable. The Apriori prune comes
+    * first — only brands that are themselves frequent (support ≥ 2)
+    * enter the cubic expansion — and the per-basket valve caps the
+    * blow-up at C(100,3); real baskets hold ≤7 brands, so the triple
+    * join stays linear in baskets. Every join runs on the order key
+    * (equi), never item×item. */
   def q234AprioriTriples(s: SparkSession, dir: String): DataFrame = {
+    val brands = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"))
     val p = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("p_partkey"))
+      .join(brands, "p_partkey")
+      .select(col("g"), col("p_brand").as("i"))
       .distinct()
     val keep = p.groupBy(col("g")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= 100).select(col("g"))
@@ -536,8 +546,8 @@ object QueriesExt7 {
             col("sc").cast("double")), 6).as("lift3"))
   }
   val q234Sql: String =
-    """WITH p AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
-      |           FROM lineitem),
+    """WITH p AS (SELECT DISTINCT l_orderkey AS g, p_brand AS i
+      |           FROM lineitem JOIN part ON l_partkey = p_partkey),
       |sz AS (SELECT g FROM (SELECT g, count(*) AS s FROM p GROUP BY 1)
       |       WHERE s <= 100),
       |pb AS (SELECT p.* FROM p JOIN sz USING (g)),
@@ -570,7 +580,7 @@ object QueriesExt7 {
   def q235Silhouette(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = graft.functions.Similarity.kmeansTrain(
-      Tables.embeddings(s, dir), k = 8, iters = 2, dim = 64)
+      QueriesExt.embs(s, dir), k = 8, iters = 2, dim = 64)
     val cf = s.createDataFrame(cents.zipWithIndex.map {
       case (v, i) => (i, v)
     }).toDF("cid", "cv")
@@ -1028,7 +1038,7 @@ object QueriesExt7 {
     * rounded score (TakeOrdered — no global sort materializes). */
   def q242MahalanobisOutliers(s: SparkSession, dir: String): DataFrame = {
     val mom = graft.functions.Similarity.embeddingMoments(
-      Tables.embeddings(s, dir))
+      QueriesExt.embs(s, dir))
       .select(col("dim"), col("mean"), col("variance"))
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)

@@ -51,8 +51,11 @@ object StatsTests {
     val m0 = s0.cast("double") / dn0
     val v1 = ss1.cast("double") / dn1 - m1 * m1
     val v0 = ss0.cast("double") / dn0 - m0 * m0
-    val se = sqrt(v1 / dn1 + v0 / dn0)
-    when(n1 > 0 && n0 > 0 && se > 0.0d, (m1 - m0) / se)
+    // Guard the OPERAND, not the sqrt: a near-constant cohort can round
+    // ss/n - m*m to a tiny negative double, and DuckDB's sqrt raises on
+    // negatives (Spark would yield NaN). Both twins test vs > 0 first.
+    val vs = v1 / dn1 + v0 / dn0
+    when(n1 > 0 && n0 > 0 && vs > 0.0d, (m1 - m0) / sqrt(vs))
   }
 
   /** The DuckDB twin of [[welchZ]] over column-name strings. */
@@ -62,8 +65,8 @@ object StatsTests {
     val m0 = s"($s0::DOUBLE / $n0::DOUBLE)"
     val v1 = s"($ss1::DOUBLE / $n1::DOUBLE - $m1 * $m1)"
     val v0 = s"($ss0::DOUBLE / $n0::DOUBLE - $m0 * $m0)"
-    val se = s"sqrt($v1 / $n1::DOUBLE + $v0 / $n0::DOUBLE)"
-    s"(CASE WHEN $n1 > 0 AND $n0 > 0 AND $se > 0.0 " +
-      s"THEN ($m1 - $m0) / $se END)"
+    val vs = s"($v1 / $n1::DOUBLE + $v0 / $n0::DOUBLE)"
+    s"(CASE WHEN $n1 > 0 AND $n0 > 0 AND $vs > 0.0 " +
+      s"THEN ($m1 - $m0) / sqrt($vs) END)"
   }
 }

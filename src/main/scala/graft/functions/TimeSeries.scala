@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   * [[BoundedWindow]] the correct plan for the in-series scans below;
   * none of these helpers may be pointed at an event-grain frame.
   *
-  * Values are integer counts / exact micro-units so every sum and
-  * product is exact (no float summation-order drift between engines);
-  * doubles appear only in the final closed-form ratios, built with one
+  * Values must be exact integers SMALL enough that the second-moment
+  * accumulations stay inside a signed 64-bit long: every helper here
+  * sums x·x (and x·y) as LONG, so the contract is n·max(x)² < 2^63 —
+  * counts and whole-unit measures qualify; raw 10^6-scaled micro-units
+  * generally do NOT (x ~ 1e12 ⇒ x² ~ 1e24 wraps in Spark while DuckDB
+  * silently widens to HUGEINT, so the engines diverge instead of both
+  * failing). Scale micro-unit series down to whole units before calling.
+  * Doubles appear only in the final closed-form ratios, built with one
   * canonical operation order that an oracle can mirror bit-for-bit.
   */
 object TimeSeries {

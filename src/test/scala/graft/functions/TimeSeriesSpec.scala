@@ -107,5 +107,12 @@ class TimeSeriesSpec extends SparkSuite {
       "n1", "s1", "ss1", "n0", "s0", "ss0") // both variances 0
     assert(degen.select(StatsTests.welchZ(col("n1"), col("s1"), col("ss1"),
       col("n0"), col("s0"), col("ss0")).as("z")).head.isNullAt(0))
+    // Upstream quantization can push ss/n - m*m NEGATIVE (here exactly
+    // -0.25 per group); the guard must test the operand (vs > 0), not
+    // sqrt's output, or the DuckDB twin raises on sqrt(negative).
+    val neg = Seq((4L, 6L, 8L, 4L, 6L, 8L))
+      .toDF("n1", "s1", "ss1", "n0", "s0", "ss0")
+    assert(neg.select(StatsTests.welchZ(col("n1"), col("s1"), col("ss1"),
+      col("n0"), col("s0"), col("ss0")).as("z")).head.isNullAt(0))
   }
 }
