@@ -1,0 +1,480 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries q244+ — forecasting, sketching, privacy, and
+  * lexical-statistics extensions: Holt double exponential smoothing,
+  * the AMS F2 sketch, t-closeness auditing, Good–Turing frequency
+  * smoothing, MOSS-style winnowing fingerprints, and the categorical
+  * association suite (Cramér's V / Theil's U / Goodman–Kruskal λ).
+  *
+  * Shape discipline (the 100 TB contract, same as [[QueriesExt7]]):
+  * recurrences run only over CALENDAR-BOUNDED series, sketch counters
+  * are map-side-combinable aggregates, per-row lexical work stays
+  * inside the scan (HOF projections, no shuffle of text), and pair
+  * generation is always a bucketed equi-join behind a frequency valve.
+  * Sums stay exact integers until one canonical double closed form
+  * each DuckDB oracle mirrors bit-for-bit. */
+object QueriesExt8 {
+
+  // ---------------------------------------------------------------- q244
+  /** Holt linear (double exponential smoothing) forecast of daily
+    * purchase GMV, α = β = ½, h = 1..7 days ahead.
+    *
+    * The recurrence l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} is inherently sequential — but
+    * the SERIES is calendar-bounded (≤ days-in-window rows no matter
+    * how many raw events collapsed into each bucket), so the scale-safe
+    * plan is: map-side-combinable daily aggregate over the event
+    * volume, then ONE ordered fold over the bounded series via the
+    * `aggregate` HOF on a collected day list. α = β = ½ keeps every
+    * smoothing step a dyadic-exact halving; the DuckDB oracle replays
+    * the identical recurrence with a recursive CTE, same operation
+    * order, so the doubles agree bit-for-bit. Output: the 7-day
+    * forecast fan l_T + h·b_T plus the final level/trend. */
+  def q244HoltForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("vm"))
+    val serie = daily
+      .agg(sort_array(collect_list(struct(col("day"), col("vm")))).as("ser"))
+    val acc0 = struct(lit(0.0d).as("l"), lit(0.0d).as("b"), lit(0L).as("i"))
+    val folded = serie.select(aggregate(col("ser"), acc0, (a, e) => {
+      val xv = e.getField("vm").cast("double") / lit(1000000.0d)
+      val lPrev = a.getField("l"); val bPrev = a.getField("b")
+      val lNew = when(a.getField("i") === 0L, xv)
+        .otherwise(lit(0.5d) * xv + lit(0.5d) * (lPrev + bPrev))
+      // lNew is inlined (not referenced) in the trend update so the
+      // expression TREE matches the oracle's recursive CTE exactly.
+      val bNew = when(a.getField("i") === 0L, lit(0.0d))
+        .otherwise(lit(0.5d) *
+          ((lit(0.5d) * xv + lit(0.5d) * (lPrev + bPrev)) - lPrev) +
+          lit(0.5d) * bPrev)
+      struct(lNew.as("l"), bNew.as("b"), (a.getField("i") + 1L).as("i"))
+    }).as("m"))
+    folded
+      .select(explode(sequence(lit(1L), lit(7L))).as("h"),
+        col("m.l").as("l"), col("m.b").as("b"))
+      .select(col("h"),
+        round(col("l") + col("h").cast("double") * col("b"), 4).as("forecast"),
+        round(col("l"), 4).as("level"), round(col("b"), 4).as("trend"))
+  }
+  val q244Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT row_number() OVER (ORDER BY day) AS rn, x FROM (
+      |    SELECT epoch_ms(ts) // 86400000 AS day,
+      |           sum(round("value" * 1000000.0)::BIGINT)::DOUBLE
+      |             / 1000000.0 AS x
+      |    FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+      |hw AS (
+      |  SELECT rn, x AS l, 0.0::DOUBLE AS b FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.rn,
+      |         0.5 * d.x + 0.5 * (hw.l + hw.b) AS l,
+      |         0.5 * ((0.5 * d.x + 0.5 * (hw.l + hw.b)) - hw.l)
+      |           + 0.5 * hw.b AS b
+      |  FROM hw JOIN d ON d.rn = hw.rn + 1),
+      |fin AS (SELECT l, b FROM hw ORDER BY rn DESC LIMIT 1),
+      |hs AS (SELECT unnest(range(1, 8)) AS h)
+      |SELECT h, round(l + h::DOUBLE * b, 4) AS forecast,
+      |       round(l, 4) AS level, round(b, 4) AS trend
+      |FROM fin, hs""".stripMargin
+
+  // ---------------------------------------------------------------- q245
+  /** AMS (Alon–Matias–Szegedy) F2 sketch: estimate the second frequency
+    * moment Σ f_u² of the event user distribution from 16 ±1-sign
+    * counters — 4 groups × 4, mean per group, median of the 4 means —
+    * checked against the exact F2.
+    *
+    * The 100 TB shape: each counter is ONE map-side-combinable
+    * `sum(±1)` over the stream (signs from the portable md5 family, so
+    * both engines draw identical hashes); counters merge across
+    * partitions/batches by addition — the textbook mergeable-sketch
+    * contract — and the estimate is O(1) post-processing on a 1-row
+    * frame. The exact side (Σ count² per user) is itself one hash
+    * aggregate. Output: counts, exact F2, sketch estimate, relative
+    * error. */
+  def q245AmsF2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val signAggs = (0 until 16).map { j =>
+      sum(when(pmod(TextFunctions.md5Long(
+        concat(lit(s"ams$j:"), col("user_id").cast("string"))), lit(2)) === 0,
+        1L).otherwise(-1L)).as(s"c$j")
+    }
+    val c = ev.agg(count(lit(1)).as("n_events"), signAggs: _*)
+    val means = (0 until 4).map { g =>
+      ((0 until 4).map(k => col(s"c${4 * g + k}") * col(s"c${4 * g + k}"))
+        .reduce(_ + _).cast("double") / lit(4.0d)).as(s"m$g")
+    }
+    val med = c.select((col("n_events") +: means): _*)
+      .select(col("n_events"),
+        array_sort(array(col("m0"), col("m1"), col("m2"), col("m3")))
+          .as("ms"))
+      .select(col("n_events"),
+        ((element_at(col("ms"), 2) + element_at(col("ms"), 3)) / lit(2.0d))
+          .as("est"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cnt") * col("cnt")).as("f2_exact"))
+    med.crossJoin(broadcast(exact))
+      .select(col("n_events"), col("n_users"), col("f2_exact"),
+        round(col("est"), 2).as("f2_est"),
+        round(abs(col("est") - col("f2_exact").cast("double")) /
+          col("f2_exact").cast("double"), 6).as("rel_err"))
+  }
+  val q245Sql: String = {
+    val signCols = (0 until 16).map { j =>
+      s"sum(CASE WHEN ('0x' || substring(md5('ams$j:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS c$j"
+    }.mkString(",\n|  ")
+    val meanCols = (0 until 4).map { g =>
+      val terms = (0 until 4).map(k => s"c${4 * g + k} * c${4 * g + k}")
+        .mkString(" + ")
+      s"($terms)::DOUBLE / 4.0 AS m$g"
+    }.mkString(",\n|       ")
+    s"""WITH e AS (SELECT user_id FROM events),
+       |c AS (SELECT count(*)::BIGINT AS n_events,
+       |  $signCols
+       |FROM e),
+       |m AS (SELECT n_events,
+       |       $meanCols
+       |FROM c),
+       |md AS (SELECT n_events,
+       |         (ms[2] + ms[3]) / 2.0 AS est
+       |       FROM (SELECT n_events,
+       |               list_sort([m0, m1, m2, m3]) AS ms FROM m)),
+       |x AS (SELECT count(*)::BIGINT AS n_users,
+       |        sum(cnt * cnt)::BIGINT AS f2_exact
+       |      FROM (SELECT user_id, count(*)::BIGINT AS cnt
+       |            FROM e GROUP BY 1))
+       |SELECT n_events, n_users, f2_exact,
+       |       round(est, 2) AS f2_est,
+       |       round(abs(est - f2_exact::DOUBLE) / f2_exact::DOUBLE, 6)
+       |         AS rel_err
+       |FROM md, x""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q246
+  /** t-closeness audit (Li et al., ICDE'07) — the third rung of the
+    * privacy-audit ladder after k-anonymity (q215) and l-diversity
+    * (q220): for each quasi-identifier group (nation × market segment)
+    * the total-variation distance between the group's sensitive-value
+    * distribution (account-balance band) and the global one; groups
+    * with TVD > t = 0.2 leak attribute information even when k-anonymous.
+    *
+    * All counting is hash aggregation; the 4-band global distribution
+    * broadcasts; the QI grid is groups × 4 bands (bounded by the QI
+    * domain, not the row count) so the |q−p| sum never shuffles data-
+    * scaled frames. */
+  def q246TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_nationkey"),
+      col("c_mktsegment"),
+      when(col("c_acctbal") < 0.0d, "neg")
+        .when(col("c_acctbal") < 3000.0d, "low")
+        .when(col("c_acctbal") < 7000.0d, "mid")
+        .otherwise("high").as("band"))
+    val cell = cust.groupBy(col("c_nationkey"), col("c_mktsegment"),
+      col("band")).agg(count(lit(1)).as("n"))
+    val grp = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_g"))
+    val glob = cust.groupBy(col("band")).agg(count(lit(1)).as("nb"))
+    val tot = cust.agg(count(lit(1)).as("nt"))
+    val grid = grp.crossJoin(broadcast(glob.crossJoin(tot)))
+      .join(cell, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+        (coalesce(col("n"), lit(0L)).cast("double") /
+          col("n_g").cast("double") -
+          col("nb").cast("double") / col("nt").cast("double")).as("d"))
+    grid.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(max(col("n_g")).as("n_g"),
+        round(lit(0.5d) * sum(abs(col("d"))), 6).as("tvd"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+        col("tvd"), (col("tvd") > 0.2d).as("exceeds"))
+  }
+  val q246Sql: String =
+    """WITH cu AS (SELECT c_nationkey, c_mktsegment,
+      |        CASE WHEN c_acctbal < 0.0 THEN 'neg'
+      |             WHEN c_acctbal < 3000.0 THEN 'low'
+      |             WHEN c_acctbal < 7000.0 THEN 'mid'
+      |             ELSE 'high' END AS band
+      |      FROM customer),
+      |cell AS (SELECT c_nationkey, c_mktsegment, band,
+      |           count(*)::BIGINT AS n FROM cu GROUP BY 1, 2, 3),
+      |grp AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_g
+      |        FROM cu GROUP BY 1, 2),
+      |gl AS (SELECT band, count(*)::BIGINT AS nb FROM cu GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS nt FROM cu),
+      |grid AS (SELECT grp.c_nationkey, grp.c_mktsegment, grp.n_g,
+      |           coalesce(cell.n, 0)::DOUBLE / grp.n_g::DOUBLE
+      |             - gl.nb::DOUBLE / tot.nt::DOUBLE AS d
+      |         FROM grp CROSS JOIN gl CROSS JOIN tot
+      |         LEFT JOIN cell ON cell.c_nationkey = grp.c_nationkey
+      |           AND cell.c_mktsegment = grp.c_mktsegment
+      |           AND cell.band = gl.band)
+      |SELECT c_nationkey, c_mktsegment, max(n_g)::BIGINT AS n_g,
+      |       round(0.5 * sum(abs(d)), 6) AS tvd,
+      |       round(0.5 * sum(abs(d)), 6) > 0.2 AS exceeds
+      |FROM grid GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q247
+  /** Good–Turing frequency smoothing (the SGT input table): the
+    * frequency-of-frequencies N_r of corpus token types for r = 1..10,
+    * the smoothed count r_star = (r+1)·N_{r+1}/N_r, and its probability
+    * mass r_star/N — plus the r = 0 row carrying the observed vocabulary
+    * size and the Good–Turing UNSEEN mass N_1/N, the estimate every
+    * LM smoother and coverage auditor starts from.
+    *
+    * Token counts partially aggregate map-side (partials are
+    * vocabulary-sized); the frequency-of-frequencies table is a second
+    * tiny aggregate over the count table, and the r↦r+1 lookup is a
+    * self-join on that ≤ max-count-sized frame — the corpus is scanned
+    * exactly once. */
+  def q247GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val toks = QueriesExt.docs(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+    val tc = toks.groupBy(col("t")).agg(count(lit(1)).as("r"))
+    val ff = tc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint()
+    val tot = ff.agg(sum(col("r") * col("n_r")).as("n_tok"),
+      sum(col("n_r")).as("n_types"),
+      sum(when(col("r") === 1L, col("n_r"))).as("n1"))
+    val smoothed = ff.as("a")
+      .join(ff.as("b"), col("a.r") + 1L === col("b.r"), "left")
+      .filter(col("a.r") <= 10L)
+      .crossJoin(broadcast(tot))
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        round((col("a.r") + 1L).cast("double") *
+          col("b.n_r").cast("double") / col("a.n_r").cast("double"), 6)
+          .as("r_star"),
+        round((col("a.r") + 1L).cast("double") *
+          col("b.n_r").cast("double") / col("a.n_r").cast("double") /
+          col("n_tok").cast("double"), 6).as("p_gt"))
+    val unseen = tot.select(lit(0L).as("r"), col("n_types").as("n_r"),
+      lit(null).cast("double").as("r_star"),
+      round(col("n1").cast("double") / col("n_tok").cast("double"), 6)
+        .as("p_gt"))
+    unseen.unionByName(smoothed)
+  }
+  val q247Sql: String =
+    s"""WITH tok AS (SELECT unnest(${QueriesExt.toksSql}) AS t
+       |            FROM documents),
+       |tc AS (SELECT t, count(*)::BIGINT AS r FROM tok
+       |       WHERE length(t) > 0 GROUP BY 1),
+       |ff AS (SELECT r, count(*)::BIGINT AS n_r FROM tc GROUP BY 1),
+       |tot AS (SELECT sum(r * n_r)::BIGINT AS n_tok,
+       |          sum(n_r)::BIGINT AS n_types,
+       |          sum(CASE WHEN r = 1 THEN n_r END)::BIGINT AS n1
+       |        FROM ff)
+       |SELECT 0::BIGINT AS r, n_types AS n_r, NULL::DOUBLE AS r_star,
+       |       round(n1::DOUBLE / n_tok::DOUBLE, 6) AS p_gt FROM tot
+       |UNION ALL
+       |SELECT a.r, a.n_r,
+       |       round((a.r + 1)::DOUBLE * b.n_r::DOUBLE / a.n_r::DOUBLE, 6)
+       |         AS r_star,
+       |       round((a.r + 1)::DOUBLE * b.n_r::DOUBLE / a.n_r::DOUBLE
+       |             / n_tok::DOUBLE, 6) AS p_gt
+       |FROM ff a LEFT JOIN ff b ON a.r + 1 = b.r CROSS JOIN tot
+       |WHERE a.r <= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q248
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 —
+    * the MOSS algorithm): per document, hash every 8-char k-gram of
+    * the normalized text, slide a 4-position window and keep each
+    * window's minimum hash; the distinct selected hashes are the
+    * document's fingerprints, GUARANTEED to include a shared
+    * fingerprint for any match ≥ k + w − 1 = 11 chars. Documents
+    * sharing ≥ 10 fingerprints are local-plagiarism/near-dup candidate
+    * pairs — the positional complement of set-similarity MinHash (q14):
+    * winnowing catches a copied PARAGRAPH inside otherwise-different
+    * documents, which whole-document signatures dilute away.
+    *
+    * The k-gram hashing and window minima are HOF projections inside
+    * the scan (text never shuffles); only the selected fingerprints —
+    * a ~1/⌈w⌉ density sample of positions — reach the exchange, and
+    * the pair join is the standard bucketed equi-join behind a
+    * frequency valve (a fingerprint in > 20 docs is boilerplate, not
+    * evidence). */
+  def q248Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val K = 8; val W = 4
+    val nrm = QueriesExt.docs(s, dir).select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("nrm"))
+      .filter(length(col("nrm")) >= K + W - 1)
+    val hashed = nrm.select(col("doc_id"),
+      transform(sequence(lit(1), length(col("nrm")) - (K - 1)),
+        i => TextFunctions.md5Long(col("nrm").substr(i, lit(K)))).as("hh"))
+    val fps = hashed.select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("hh")) - (W - 1)),
+          j => array_min(slice(col("hh"), j, lit(W)))))).as("f"))
+    val keep = fps.groupBy(col("f")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20L).select(col("f"))
+    val fk = fps.join(keep, "f")
+    fk.as("a").join(fk.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 10L)
+  }
+  val q248Sql: String =
+    """WITH nd AS (SELECT doc_id,
+      |        trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+      |          AS nrm FROM documents),
+      |ok AS (SELECT doc_id, nrm FROM nd WHERE length(nrm) >= 11),
+      |hs AS (SELECT doc_id,
+      |         list_transform(range(1, length(nrm) - 6),
+      |           i -> ('0x' || substring(md5(substring(nrm, i, 8)), 1, 15))::BIGINT)
+      |           AS hh FROM ok),
+      |mn AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(hh) - 2),
+      |           j -> list_min(list_slice(hh, j, j + 3)))) AS fps
+      |       FROM hs),
+      |fp AS (SELECT doc_id, unnest(fps) AS f FROM mn),
+      |keep AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 20),
+      |fk AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep USING (f))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       count(*)::BIGINT AS shared
+      |FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin
+
+  // ---------------------------------------------------------------- q249
+  /** Categorical association suite for event type × day-of-week: χ²,
+    * Cramér's V, Theil's uncertainty coefficient U (both directions,
+    * entropy-based), and Goodman–Kruskal λ (both directions, modal-
+    * prediction-based, EXACT integer arithmetic) — the full toolbox
+    * for "are these two categorical columns related, and how strongly,
+    * asymmetrically?". Complements q159 (χ² only) and q203 (MI only).
+    *
+    * The contingency table is one hash aggregate to a |types|×7
+    * bounded frame; every closed form below is an aggregate over that
+    * bounded table (≤ 56 cells — FP term sums are fine at round-6
+    * after the canonical op order both engines share). */
+  def q249Association(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type").as("x"),
+      expr("(ts_ms div 86400000) % 7").as("y"))
+    val cell = ev.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val rx = cell.groupBy(col("x")).agg(sum(col("n")).as("nx"))
+    val cy = cell.groupBy(col("y")).agg(sum(col("n")).as("ny"))
+    val tot = cell.agg(sum(col("n")).as("nt"),
+      count(lit(1)).as("n_cells"))
+    val dims = rx.agg(count(lit(1)).as("r_types"))
+      .crossJoin(cy.agg(count(lit(1)).as("c_days")))
+    // chi2 over the full grid (zero cells included).
+    val grid = rx.crossJoin(cy).join(cell, Seq("x", "y"), "left")
+      .crossJoin(broadcast(tot))
+      .select((coalesce(col("n"), lit(0L)).cast("double") -
+        col("nx").cast("double") * col("ny").cast("double") /
+          col("nt").cast("double")).as("dev"),
+        (col("nx").cast("double") * col("ny").cast("double") /
+          col("nt").cast("double")).as("e"))
+    val chi2 = grid.agg(sum(col("dev") * col("dev") / col("e")).as("chi2"))
+    // Entropies: H(X), H(Y), and the joint-cell terms for H(X|Y)/H(Y|X).
+    val hx = rx.crossJoin(broadcast(tot)).agg(
+      sum(-(col("nx").cast("double") / col("nt").cast("double")) *
+        log(col("nx").cast("double") / col("nt").cast("double"))).as("hx"))
+    val hy = cy.crossJoin(broadcast(tot)).agg(
+      sum(-(col("ny").cast("double") / col("nt").cast("double")) *
+        log(col("ny").cast("double") / col("nt").cast("double"))).as("hy"))
+    val hxy = cell.join(cy, "y").crossJoin(broadcast(tot)).agg(
+      sum(-(col("n").cast("double") / col("nt").cast("double")) *
+        log(col("n").cast("double") / col("ny").cast("double"))).as("hxgy"))
+    val hyx = cell.join(rx, "x").crossJoin(broadcast(tot)).agg(
+      sum(-(col("n").cast("double") / col("nt").cast("double")) *
+        log(col("n").cast("double") / col("nx").cast("double"))).as("hygx"))
+    // Goodman–Kruskal λ: exact integers end to end.
+    val maxInX = cell.groupBy(col("x")).agg(max(col("n")).as("mx"))
+      .agg(sum(col("mx")).as("sum_max_y_given_x"))
+    val maxInY = cell.groupBy(col("y")).agg(max(col("n")).as("my"))
+      .agg(sum(col("my")).as("sum_max_x_given_y"))
+    val modeX = rx.agg(max(col("nx")).as("mode_x"))
+    val modeY = cy.agg(max(col("ny")).as("mode_y"))
+    tot.crossJoin(broadcast(dims)).crossJoin(broadcast(chi2))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .crossJoin(broadcast(hxy)).crossJoin(broadcast(hyx))
+      .crossJoin(broadcast(maxInX)).crossJoin(broadcast(maxInY))
+      .crossJoin(broadcast(modeX)).crossJoin(broadcast(modeY))
+      .select(col("nt").as("n"), col("r_types"), col("c_days"),
+        round(col("chi2"), 2).as("chi2"),
+        round(sqrt(col("chi2") / (col("nt").cast("double") *
+          (least(col("r_types"), col("c_days")) - 1L).cast("double"))), 6)
+          .as("cramers_v"),
+        round((col("hx") - col("hxgy")) / col("hx"), 6)
+          .as("u_type_given_dow"),
+        round((col("hy") - col("hygx")) / col("hy"), 6)
+          .as("u_dow_given_type"),
+        round((col("sum_max_x_given_y") - col("mode_x")).cast("double") /
+          (col("nt") - col("mode_x")).cast("double"), 6)
+          .as("lambda_type_given_dow"),
+        round((col("sum_max_y_given_x") - col("mode_y")).cast("double") /
+          (col("nt") - col("mode_y")).cast("double"), 6)
+          .as("lambda_dow_given_type"))
+  }
+  val q249Sql: String =
+    """WITH ev AS (SELECT event_type AS x,
+      |        (epoch_ms(ts) // 86400000) % 7 AS y FROM events),
+      |cell AS (SELECT x, y, count(*)::BIGINT AS n FROM ev GROUP BY 1, 2),
+      |rx AS (SELECT x, sum(n)::BIGINT AS nx FROM cell GROUP BY 1),
+      |cy AS (SELECT y, sum(n)::BIGINT AS ny FROM cell GROUP BY 1),
+      |tot AS (SELECT sum(n)::BIGINT AS nt, count(*)::BIGINT AS n_cells
+      |        FROM cell),
+      |dims AS (SELECT (SELECT count(*)::BIGINT FROM rx) AS r_types,
+      |                (SELECT count(*)::BIGINT FROM cy) AS c_days),
+      |chi AS (SELECT sum((coalesce(cell.n, 0)::DOUBLE
+      |            - rx.nx::DOUBLE * cy.ny::DOUBLE / tot.nt::DOUBLE)
+      |          * (coalesce(cell.n, 0)::DOUBLE
+      |            - rx.nx::DOUBLE * cy.ny::DOUBLE / tot.nt::DOUBLE)
+      |          / (rx.nx::DOUBLE * cy.ny::DOUBLE / tot.nt::DOUBLE))
+      |          AS chi2
+      |        FROM rx CROSS JOIN cy CROSS JOIN tot
+      |        LEFT JOIN cell ON cell.x = rx.x AND cell.y = cy.y),
+      |hx AS (SELECT sum(-(nx::DOUBLE / nt::DOUBLE)
+      |           * ln(nx::DOUBLE / nt::DOUBLE)) AS hx
+      |       FROM rx CROSS JOIN tot),
+      |hy AS (SELECT sum(-(ny::DOUBLE / nt::DOUBLE)
+      |           * ln(ny::DOUBLE / nt::DOUBLE)) AS hy
+      |       FROM cy CROSS JOIN tot),
+      |hxy AS (SELECT sum(-(n::DOUBLE / nt::DOUBLE)
+      |            * ln(n::DOUBLE / ny::DOUBLE)) AS hxgy
+      |        FROM cell JOIN cy USING (y) CROSS JOIN tot),
+      |hyx AS (SELECT sum(-(n::DOUBLE / nt::DOUBLE)
+      |            * ln(n::DOUBLE / nx::DOUBLE)) AS hygx
+      |        FROM cell JOIN rx USING (x) CROSS JOIN tot),
+      |mxx AS (SELECT sum(mx)::BIGINT AS sum_max_y_given_x
+      |        FROM (SELECT x, max(n) AS mx FROM cell GROUP BY 1)),
+      |mxy AS (SELECT sum(my)::BIGINT AS sum_max_x_given_y
+      |        FROM (SELECT y, max(n) AS my FROM cell GROUP BY 1)),
+      |mox AS (SELECT max(nx)::BIGINT AS mode_x FROM rx),
+      |moy AS (SELECT max(ny)::BIGINT AS mode_y FROM cy)
+      |SELECT nt AS n, r_types, c_days,
+      |       round(chi2, 2) AS chi2,
+      |       round(sqrt(chi2 / (nt::DOUBLE
+      |         * (least(r_types, c_days) - 1)::DOUBLE)), 6) AS cramers_v,
+      |       round((hx - hxgy) / hx, 6) AS u_type_given_dow,
+      |       round((hy - hygx) / hy, 6) AS u_dow_given_type,
+      |       round((sum_max_x_given_y - mode_x)::DOUBLE
+      |         / (nt - mode_x)::DOUBLE, 6) AS lambda_type_given_dow,
+      |       round((sum_max_y_given_x - mode_y)::DOUBLE
+      |         / (nt - mode_y)::DOUBLE, 6) AS lambda_dow_given_type
+      |FROM tot, dims, chi, hx, hy, hxy, hyx, mxx, mxy, mox, moy""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_holt_forecast" -> (q244HoltForecast _),
+    "q245_ams_f2" -> (q245AmsF2 _),
+    "q246_t_closeness" -> (q246TCloseness _),
+    "q247_good_turing" -> (q247GoodTuring _),
+    "q248_winnowing" -> (q248Winnowing _),
+    "q249_association" -> (q249Association _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q244_holt_forecast" -> q244Sql,
+    "q245_ams_f2" -> q245Sql,
+    "q246_t_closeness" -> q246Sql,
+    "q247_good_turing" -> q247Sql,
+    "q248_winnowing" -> q248Sql,
+    "q249_association" -> q249Sql
+  )
+}
