@@ -132,7 +132,10 @@ object Queries {
     val raw = debeziumBatch(s, dir)
       .filter(FlinkDebeziumCdc.route(col("value"), specT0))
       .filter(get_json_object(col("value"), "$.op") =!= "d")
-    val cached = raw.cache() // infer + parse from one materialization (SURVEY §4.2)
+    // localCheckpoint: inference materializes the batch in-call anyway;
+    // a lineage cut shares it with the parse pass without registering a
+    // CacheManager entry that a repeated run would warn about.
+    val cached = raw.localCheckpoint(true)
     val schema = SchemaInference.infer(s, cached.select(col("value")).as[String])
     cached.select(from_json(col("value"), schema).as("kdata"))
       .select(col("kdata.after.*"))

@@ -957,13 +957,21 @@ object QueriesExt {
     * the hash join, so the plan shuffles on user, never builds an
     * all-pairs product. Order times reuse q28's deterministic remap. */
   def q37RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    // Explicit side aliases: dataframe-apply column refs (o("user_id")
+    // === e("user_id")) resolve by attribute id and trip Spark's
+    // "trivially true equals predicate" warning when the analyzer
+    // re-derives shared lineage; string-qualified refs over named
+    // subquery aliases are unambiguous by construction.
     val o = Tables.orders(s, dir).select(
       col("o_orderkey"), col("o_custkey").as("user_id"), orderMs.as("o_ms"))
+      .alias("o")
     val e = Tables.events(s, dir).select(col("user_id"), col("ts_ms"))
-    o.join(e, o("user_id") === e("user_id") &&
-        e("ts_ms") >= o("o_ms") && e("ts_ms") < o("o_ms") + 3600000L, "left")
-      .groupBy(o("o_orderkey"), o("user_id"), o("o_ms"))
-      .agg(count(e("ts_ms")).as("n_events"))
+      .alias("e")
+    o.join(e, col("o.user_id") === col("e.user_id") &&
+        col("e.ts_ms") >= col("o.o_ms") &&
+        col("e.ts_ms") < col("o.o_ms") + 3600000L, "left")
+      .groupBy(col("o.o_orderkey"), col("o.user_id"), col("o.o_ms"))
+      .agg(count(col("e.ts_ms")).as("n_events"))
   }
   val q37Sql: String =
     s"""WITH o AS (
@@ -1548,8 +1556,10 @@ object QueriesExt {
     // ONE ADC pass serves both tiers: its top-10 prefix is the raw-ADC
     // tier, the full 100 rows are the refine shortlist. Both report
     // branches consume it, and Spark does not CSE arbitrary subplans —
-    // cache the Q×100-row result so the ADC scan runs once.
-    val short = Similarity.pqAdcTopK(queries, e, k = 100, codebook).cache()
+    // localCheckpoint the Q×100-row result so the ADC scan runs once
+    // (eager lineage cut, nothing left pinned in the CacheManager).
+    val short = Similarity.pqAdcTopK(queries, e, k = 100, codebook)
+      .localCheckpoint(true)
     val pq = short.filter(col("rank") <= 10)
       .select(col("query_id"), col("neighbor_id"))
     val refined = Similarity.pqRefineFromShortlist(short, queries, e, k = 10)

@@ -961,6 +961,9 @@ object QueriesExt2 {
     "q89_median_spikes" -> (q89MedianSpikes _),
     "q90_vocab_coverage" -> (q90VocabCoverage _),
     "q91_embedding_moments" -> (q91EmbeddingMoments _),
+    // q92 intentionally absent: the number was never assigned (a
+    // planning renumber skipped it — see COVERAGE.md). Do NOT "fix" the
+    // hole by renumbering; downstream rounds diff registries by name.
     "q93_source_overlap" -> (q93SourceOverlap _),
     "q94_ann_mrr" -> (q94AnnMrr _),
     "q95_psi_drift" -> (q95PsiDrift _),

@@ -36,11 +36,20 @@ object QueriesExt4 {
     * once, let every graph consumer read it). */
   private val coPurchaseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def coPurchase(s: SparkSession, dir: String): DataFrame =
+  private def coPurchase(s: SparkSession, dir: String): DataFrame = {
+    // Self-cleaning memo: purge entries owned by stopped sessions on
+    // every access, so a long-lived JVM that cycles sessions (test
+    // suites) cannot accumulate stale session/plan references — the
+    // cached blocks died with the session's context, only the map
+    // entry lingers and removal is all the cleanup left to do.
+    coPurchaseCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) coPurchaseCache.remove(k)
+    }
     coPurchaseCache.getOrElseUpdate((s, dir),
       Graphs.coOccurrenceEdges(Tables.lineitem(s, dir),
           "l_orderkey", "l_partkey")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
   /** Drops every memoized edge list and releases its storage. Call
     * after overwriting/regenerating the parquet under a cached dir —
     * the memo has no file-watch invalidation (the harness's testdata

@@ -30,7 +30,10 @@ object SparkEntry {
       dropCols = Seq("op_aws"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    * NOTE: q92 is a deliberate numbering hole (never assigned — a
+    * planning renumber skipped it; COVERAGE.md documents this). Do not
+    * renumber to close it: rounds diff these registries by name. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesExt.all ++ QueriesExt2.all ++ QueriesExt3.all ++
       QueriesExt4.all ++ QueriesExt5.all ++ QueriesExt6.all ++

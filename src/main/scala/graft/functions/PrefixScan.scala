@@ -70,7 +70,7 @@ object PrefixScan {
     * partition-prefix plan described above. `binKey` must be numeric
     * and ascending-monotone with `order`.
     *
-    * `cache = true` persists the keyed input (MEMORY_AND_DISK) so the
+    * `cache = true` localCheckpoints the keyed input (eagerly) so the
     * quantile probe, the totals pass, and the final scan share one
     * materialization instead of recomputing the upstream plan three
     * times — use it when `df`'s lineage is expensive (e.g. q121's
@@ -84,9 +84,11 @@ object PrefixScan {
     require(scans.nonEmpty, "at least one scan")
     requireFreeColumns(df, scans)
     val keyed0 = df.withColumn("__pk", binKey.cast("double"))
-    val keyed = if (cache)
-      keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else keyed0
+    // localCheckpoint, not persist: the quantile probe below forces a
+    // full materialization in-call anyway, and a lineage cut leaves
+    // nothing registered in the CacheManager to leak (or to warn
+    // "already cached" when a bench repeats the identical plan).
+    val keyed = if (cache) keyed0.localCheckpoint(true) else keyed0
     // Bounded scalar model: interior quantile boundaries of the key.
     val probs = (1 until bins).map(_.toDouble / bins).toArray
     val bnds = keyed.stat.approxQuantile("__pk", probs, 0.001)
@@ -174,9 +176,9 @@ object PrefixScan {
     requireFreeColumns(df, scans)
     val session = df.sparkSession
     val keyed0 = df.withColumn("__pk", binKey.cast("double"))
-    val keyed = if (cache)
-      keyed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else keyed0
+    // Same localCheckpoint-over-persist choice as [[scan]]: the
+    // boundary collect() is already a full in-call materialization.
+    val keyed = if (cache) keyed0.localCheckpoint(true) else keyed0
     val probs = (1 until bins).map(_.toDouble / bins)
     val bndAgg = keyed.groupBy(col(groupName)).agg(
       expr(s"percentile_approx(__pk, array(${probs.mkString(",")}), 1000)")

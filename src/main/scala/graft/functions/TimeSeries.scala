@@ -39,6 +39,14 @@ object TimeSeries {
     * ≤`maxLag`-row literal broadcast against the series; each lag's
     * pairs come from one `idx+k = idx` equi-join — no window at all.
     *
+    * REQUIRES a dense index: `idxCol` must be gap-free at the series'
+    * grain (empty calendar buckets materialized as zero rows, the way
+    * `hourlyCounts` does) — the equi-join pairs `idx+lag = idx`, so a
+    * missing bucket silently drops every pair that spans it and the
+    * estimator changes instead of erroring. Rebase sparse series to
+    * contiguous positions (the `row_number` trick [[haarEnergy]] uses)
+    * or densify them before calling.
+    *
     * Output: `(lag, n_pairs, r, significant)` sorted by lag. */
   def acf(series: DataFrame, idxCol: String, valCol: String,
           maxLag: Int): DataFrame = {
@@ -74,7 +82,9 @@ object TimeSeries {
     * lag (the q156 five-sums form — exact integer sums, one closed
     * form). Positive best lag ⇒ `a` leads `b`. The row whose |r| is
     * the maximum (rounded, lag tie-break toward the smallest lag)
-    * carries `best = true`.
+    * carries `best = true`. Same dense-index requirement as [[acf]]:
+    * both inputs must materialize empty buckets, or spanned gaps
+    * silently drop pairs.
     *
     * Output: `(lag, n_pairs, r, best)` sorted by lag. */
   def crossCorrelation(a: DataFrame, b: DataFrame, idxCol: String,
@@ -177,7 +187,12 @@ object TimeSeries {
         sum(when(col("rhalf"), col("x"))).as("sr"),
         count(when(col("rhalf"), lit(1))).as("nr"))
       .filter(col("nl") === col("halflen") && col("nr") === col("halflen"))
-    val d = col("sl") - col("sr") // exact long detail numerator
+    // The detail numerator |sl−sr| can reach halflen·max(x), so d² can
+    // reach halflen²·max(x)² — a LONG square would tighten the file's
+    // n·max(x)² < 2^63 contract by a halflen² factor at high levels.
+    // Squaring in decimal(38,0) keeps the sum exact for any level this
+    // API can express (38 digits ≫ halflen²·max(x)²·n for long inputs).
+    val d = (col("sl") - col("sr")).cast("decimal(38,0)")
     blocks.groupBy(col("level"), col("halflen"))
       .agg(count(lit(1)).as("n_coeffs"),
         sum(d * d).as("sdd"), sum(abs(d)).as("sad"))

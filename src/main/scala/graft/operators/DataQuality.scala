@@ -53,6 +53,14 @@ object DataQuality {
   private def violationExpr(c: Check): Option[Column] = c match {
     case Predicate(_, cond) => Some(sum(when(cond, 1L).otherwise(0L)))
     case NotNull(cn) => Some(sum(when(col(cn).isNull, 1L).otherwise(0L)))
+    // STRICT-NULL convention, deliberately diverging from Deequ/dbt
+    // (where range/accepted checks pass NULLs and not_null owns them):
+    // these are hard CONTRACTS — "every value is in [lo,hi]" — and a
+    // NULL does not satisfy that, so it counts as a violation here.
+    // Consequence: a nullable column under both NotNull and InRange
+    // double-counts its NULLs across the two checks; add NotNull only
+    // when you want NULLs reported separately as well. Use
+    // [[Expectations]] for the tolerant metric-fraction style.
     case InRange(cn, lo, hi) => Some(sum(when(col(cn).isNull ||
       col(cn) < lo || col(cn) > hi, 1L).otherwise(0L)))
     case Accepted(cn, vs) => Some(sum(when(col(cn).isNull ||
