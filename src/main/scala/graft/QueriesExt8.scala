@@ -460,13 +460,67 @@ object QueriesExt8 {
       |         / (nt - mode_y)::DOUBLE, 6) AS lambda_dow_given_type
       |FROM tot, dims, chi, hx, hy, hxy, hyx, mxx, mxy, mox, moy""".stripMargin
 
+  // ---------------------------------------------------------------- q250
+  /** Hamming-TOLERANT image near-dup — the recall upgrade over q119's
+    * exact-equality join (which provably misses any re-encode that
+    * moves even one dHash bit): the 64-bit perceptual hash is cut into
+    * 3 disjoint bands ([[graft.functions.DedupFunctions
+    * .simhashPairsFromSignatures]], pigeonhole: Hamming ≤ 2 ⇒ at least
+    * one band matches exactly), candidates meet in a band-key
+    * EQUI-join, and exact `bit_count` verification on candidates only
+    * keeps precision perfect — never an all-pairs image compare, the
+    * same banded plan that already scales SimHash text dedup.
+    *
+    * The plant makes the recall claim checkable arithmetically: doc
+    * pairs (2k, 2k+1) decode the SAME seed-k block PNG (real JDK
+    * imageio, as q119), then the odd twin's stored hash is perturbed
+    * by exactly b = k mod 3 distinct bit flips — modeling a
+    * near-duplicate whose re-encode moved b bits. Exact equality
+    * (`exact_hit`) recovers only the b = 0 third; the banded join
+    * recovers all three, reporting the true Hamming distance that the
+    * oracle predicts as k mod 3. */
+  def q250ImageNearDupBanded(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DedupFunctions, Multimodal}
+    val hashed = QueriesExt.docs(s, dir).select(col("doc_id"))
+      .select(col("doc_id"),
+        Multimodal.dhash64(Multimodal.synthBlockPng(lit(2), lit(2),
+          expr("doc_id div 2"))).as("dh"))
+    // b ∈ {0,1,2} planted flips on the odd twin; the two flip positions
+    // are distinct by construction (offset 1 + k mod 63 ∈ [1,63] ≢ 0
+    // mod 64), so XOR moves EXACTLY b bits.
+    val sig = hashed
+      .withColumn("b", expr("(doc_id div 2) % 3"))
+      .withColumn("bit1", expr("cast((doc_id div 2) % 64 as int)"))
+      .withColumn("bit2", expr(
+        "cast(((doc_id div 2) % 64 + 1 + (doc_id div 2) % 63) % 64 as int)"))
+      .withColumn("mask", expr(
+        """case when b = 0 then 0L
+          |     when b = 1 then shiftleft(1L, bit1)
+          |     else shiftleft(1L, bit1) | shiftleft(1L, bit2) end"""
+          .stripMargin))
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 1,
+          col("dh").bitwiseXOR(col("mask"))).otherwise(col("dh")).as("sig"))
+    DedupFunctions.simhashPairsFromSignatures(sig, maxHamming = 2)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming"), (col("hamming") === 0).as("exact_hit"))
+  }
+  val q250Sql: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       ((a.doc_id // 2) % 3)::INTEGER AS hamming,
+      |       ((a.doc_id // 2) % 3 = 0) AS exact_hit
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id"""
+      .stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_holt_forecast" -> (q244HoltForecast _),
     "q245_ams_f2" -> (q245AmsF2 _),
     "q246_t_closeness" -> (q246TCloseness _),
     "q247_good_turing" -> (q247GoodTuring _),
     "q248_winnowing" -> (q248Winnowing _),
-    "q249_association" -> (q249Association _)
+    "q249_association" -> (q249Association _),
+    "q250_image_near_dup_banded" -> (q250ImageNearDupBanded _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,6 +529,7 @@ object QueriesExt8 {
     "q246_t_closeness" -> q246Sql,
     "q247_good_turing" -> q247Sql,
     "q248_winnowing" -> q248Sql,
-    "q249_association" -> q249Sql
+    "q249_association" -> q249Sql,
+    "q250_image_near_dup_banded" -> q250Sql
   )
 }

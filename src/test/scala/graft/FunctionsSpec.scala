@@ -1411,6 +1411,44 @@ class FunctionsSpec extends SparkSuite {
     assert(bad.forall(_.isNullAt(0)), "undecodable bytes must be null")
   }
 
+  test("banded dhash near-dup: 1-2-bit perturbed twins are recovered " +
+    "with their true hamming while the exact-equality join misses them") {
+    import graft.functions.{DedupFunctions, Multimodal}
+    // 6 twin pairs (2k, 2k+1) sharing seed k; odd twin's stored hash is
+    // perturbed by k % 3 distinct bit flips — the q250 plant in miniature.
+    val hashed = spark.range(12)
+      .select(col("id").as("doc_id"),
+        Multimodal.dhash64(Multimodal.synthBlockPng(lit(2), lit(2),
+          expr("id div 2"))).as("dh"))
+    val sig = hashed
+      .withColumn("b", expr("(doc_id div 2) % 3"))
+      .withColumn("bit1", expr("cast((doc_id div 2) % 64 as int)"))
+      .withColumn("bit2", expr(
+        "cast(((doc_id div 2) % 64 + 1 + (doc_id div 2) % 63) % 64 as int)"))
+      .withColumn("mask", expr(
+        """case when b = 0 then 0L
+          |     when b = 1 then shiftleft(1L, bit1)
+          |     else shiftleft(1L, bit1) | shiftleft(1L, bit2) end"""
+          .stripMargin))
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 1,
+          col("dh").bitwiseXOR(col("mask"))).otherwise(col("dh")).as("sig"))
+    val banded = DedupFunctions.simhashPairsFromSignatures(sig, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(banded.map(p => (p._1, p._2)).toSeq ==
+      (0 until 6).map(k => (2L * k, 2L * k + 1)),
+      s"all 6 planted twin pairs must be recovered, got ${banded.toSeq}")
+    assert(banded.forall(p => p._3 == (p._1 / 2 % 3).toInt),
+      "reported hamming must equal the planted flip count")
+    // The exact-equality join (q119's shape) provably misses the 4
+    // perturbed pairs: only the b = 0 twins share a hash.
+    val exact = sig.as("a").join(sig.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect()
+    assert(exact.toSet == Set((0L, 1L), (6L, 7L)),
+      s"exact equality must only find the unperturbed twins, got ${exact.toSeq}")
+  }
+
   test("weightedSamplePerGroup: exact k per group, deterministic across " +
     "repartitioning, dominant weight always selected, zero-weight never") {
     import graft.functions.Mixture
