@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextFunctions
+import graft.functions.{BoundedWindow, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -513,6 +513,252 @@ object QueriesExt8 {
       |  ON a.doc_id // 2 = b.doc_id // 2 AND a.doc_id < b.doc_id"""
       .stripMargin
 
+  // ---------------------------------------------------------------- q251
+  /** Portable mergeable HyperLogLog (p = 8, 256 registers) per event
+    * type, next to the exact distinct — the count-distinct twin of
+    * q125's mergeable histogram percentiles. Registers build as DAILY
+    * partials (the mergeable unit a 100 TB pipeline ships between
+    * stages) merged by register-wise max; at scale only ≤256 tiny rows
+    * per (type, day) ever move, never user ids. Everything before the
+    * one closed-form division is EXACT: the 60-bit md5 hash is the
+    * repo's portable family, the leading-zero rank comes from
+    * `length(bin(w))` (integer/string ops, no floating log2), and the
+    * harmonic sum is the exact BIGINT Σ 2^(54−M_j) (≤ 256·2^54 = 2^62,
+    * inside both engines' shift budgets) — so Spark and the oracle
+    * agree bit-for-bit up to the final rounded doubles, including the
+    * linear-counting small-range branch. */
+  def q251HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val hashed = e.select(col("event_type"), col("day"),
+        TextFunctions.md5Long(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), col("day"),
+        (col("h") % 256L).as("bucket"), shiftright(col("h"), 8).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+    val daily = hashed.groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val regs = daily.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("m")).as("m"))
+    // Empty registers count in both V and the harmonic sum: expand each
+    // type to the full 256-register grid (a ≤256-row broadcast).
+    val grid = regs.select(col("event_type")).distinct()
+      .crossJoin(broadcast(s.range(256).select(col("id").as("bucket"))))
+    val agg = grid.join(regs, Seq("event_type", "bucket"), "left")
+      .na.fill(0, Seq("m"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("shiftleft(1L, 54 - m)")).as("hsum"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val raw = (lit(0.7213d) / (lit(1.0d) + lit(1.079d) / lit(256.0d))) *
+      lit(65536.0d) * lit(18014398509481984L).cast("double") /
+      col("hsum").cast("double")
+    val est = when(raw <= 640.0d && col("v_empty") > 0L,
+      lit(256.0d) * log(lit(256.0d) / col("v_empty").cast("double")))
+      .otherwise(raw)
+    agg.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("v_empty"),
+        round(est, 4).as("est"),
+        round((est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+  }
+  val q251Sql: String =
+    """WITH h AS (SELECT event_type, ts::DATE AS day,
+      |        ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      |      FROM events),
+      |b AS (SELECT event_type, day, h % 256 AS bucket, h // 256 AS w FROM h),
+      |r AS (SELECT event_type, day, bucket,
+      |        CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+      |      FROM b),
+      |d AS (SELECT event_type, day, bucket, max(rho) AS m FROM r GROUP BY 1, 2, 3),
+      |regs AS (SELECT event_type, bucket, max(m) AS m FROM d GROUP BY 1, 2),
+      |grid AS (SELECT t.event_type, g.bucket
+      |         FROM (SELECT DISTINCT event_type FROM events) t
+      |         CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) g),
+      |fr AS (SELECT grid.event_type, grid.bucket, coalesce(regs.m, 0) AS m
+      |       FROM grid LEFT JOIN regs USING (event_type, bucket)),
+      |agg AS (SELECT event_type,
+      |          sum(1::BIGINT << (54 - m))::BIGINT AS hsum,
+      |          sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS v_empty
+      |        FROM fr GROUP BY 1),
+      |ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+      |       FROM events GROUP BY 1),
+      |est0 AS (SELECT agg.event_type, n_exact, v_empty,
+      |           (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+      |             * 18014398509481984::DOUBLE / hsum::DOUBLE AS raw
+      |         FROM agg JOIN ex USING (event_type)),
+      |est1 AS (SELECT event_type, n_exact, v_empty,
+      |           CASE WHEN raw <= 640.0 AND v_empty > 0
+      |                THEN 256.0 * ln(256.0 / v_empty::DOUBLE)
+      |                ELSE raw END AS e
+      |         FROM est0)
+      |SELECT event_type, n_exact, v_empty, round(e, 4) AS est,
+      |       round((e - n_exact::DOUBLE) / n_exact::DOUBLE, 6) AS rel_err
+      |FROM est1""".stripMargin
+
+  // ---------------------------------------------------------------- q252
+  /** Theil–Sen robust trend of daily purchase GMV: the median of all
+    * pairwise slopes (Δy/Δx over day pairs), with the median-residual
+    * intercept — the estimator that shrugs off the outlier days that
+    * wreck OLS. The pair expansion is CALENDAR-BOUNDED (d days ⇒
+    * d(d−1)/2 pairs, ~4k at a 90-day window) over the pre-aggregated
+    * daily frame — the raw event volume only ever feeds one map-side
+    * combinable groupBy, so 100× the events is the same ~4k-pair join.
+    * Daily sums are exact micro-unit longs; each slope is ONE double
+    * division; the median is the even/odd avg-of-middles both engines
+    * define identically (quantile_cont semantics). */
+  def q252TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1000000.0d, 0).cast("long")).as("y"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long").as("x"), col("y"))
+    val a = daily.select(col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("x").as("xb"), col("y").as("yb"))
+    val slopes = a.join(b, col("xa") < col("xb"))
+      .select(((col("yb") - col("ya")).cast("double") /
+        (col("xb") - col("xa")).cast("double")).as("slope"))
+    def medianOf(df: DataFrame, c: String): DataFrame = {
+      val w = BoundedWindow.orderBy(col(c), col(c))
+      val ranked = df.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      ranked.filter(col("rk") === expr("(n + 1) div 2") ||
+          col("rk") === expr("n div 2 + 1"))
+        .agg((sum(col(c)) / count(lit(1))).as("med"),
+          first(col("n")).as("n"))
+    }
+    val sen = medianOf(slopes, "slope")
+      .select((col("med") / 1000000.0d).as("sen_slope"), col("n").as("n_pairs"))
+    val resid = daily.crossJoin(broadcast(sen))
+      .select((col("y").cast("double") / 1000000.0d -
+        col("sen_slope") * col("x").cast("double")).as("r"),
+        col("sen_slope"), col("n_pairs"))
+    val ic = medianOf(resid.select(col("r")), "r")
+      .select(col("med").as("intercept"), col("n").as("n_days"))
+    sen.crossJoin(broadcast(ic))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("sen_slope"), 6).as("sen_slope"),
+        round(col("intercept"), 6).as("intercept"))
+  }
+  val q252Sql: String =
+    """WITH daily AS (SELECT ts::DATE AS day,
+      |         sum(round("value" * 1000000.0)::BIGINT)::BIGINT AS y
+      |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |dx AS (SELECT (day - DATE '1970-01-01')::BIGINT AS x, y FROM daily),
+      |sl AS (SELECT (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS slope
+      |       FROM dx a JOIN dx b ON a.x < b.x),
+      |sen AS (SELECT quantile_cont(slope, 0.5) / 1000000.0 AS sen_slope,
+      |          count(*)::BIGINT AS n_pairs FROM sl),
+      |ic AS (SELECT quantile_cont(dx.y::DOUBLE / 1000000.0
+      |           - sen.sen_slope * dx.x::DOUBLE, 0.5) AS intercept,
+      |          count(*)::BIGINT AS n_days
+      |        FROM dx CROSS JOIN sen)
+      |SELECT n_days, n_pairs, round(sen_slope, 6) AS sen_slope,
+      |       round(intercept, 6) AS intercept
+      |FROM sen CROSS JOIN ic""".stripMargin
+
+  // ---------------------------------------------------------------- q253
+  /** Kendall τ-b between daily view and purchase volumes — the
+    * tie-corrected rank correlation (is traffic monotonically
+    * associated with buying?), the nonparametric sibling of q121's
+    * Spearman. Concordant/discordant/tie counts come from the same
+    * calendar-bounded pair join as q252 (exact integers); the tie
+    * corrections n1/n2 are per-value group counts; τ-b's one closed
+    * form is the only double. */
+  def q253KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("day", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val a = daily.select(col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(b, col("da") < col("db"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0, 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0, 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ties_y"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("n_days"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n0") - col("ties_x")).cast("double") *
+            (col("n0") - col("ties_y")).cast("double")), 6).as("tau_b"))
+  }
+  val q253Sql: String =
+    """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS day,
+      |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+      |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS y
+      |       FROM events WHERE event_type IN ('view', 'purchase')
+      |       GROUP BY 1),
+      |p AS (SELECT count(*)::BIGINT AS n0,
+      |        sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)::BIGINT
+      |          AS concordant,
+      |        sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)::BIGINT
+      |          AS discordant,
+      |        sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)::BIGINT AS ties_x,
+      |        sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)::BIGINT AS ties_y
+      |      FROM daily a JOIN daily b ON a.day < b.day),
+      |nd AS (SELECT count(*)::BIGINT AS n_days FROM daily)
+      |SELECT n_days, concordant, discordant, ties_x, ties_y,
+      |       round((concordant - discordant)::DOUBLE
+      |         / sqrt((n0 - ties_x)::DOUBLE * (n0 - ties_y)::DOUBLE), 6)
+      |         AS tau_b
+      |FROM p CROSS JOIN nd""".stripMargin
+
+  // ---------------------------------------------------------------- q254
+  /** N-gram novelty curve — the marginal-value report a training-data
+    * campaign reads before ingesting the next batch: documents split
+    * into 10 equal id-ordered batches (simulated ingestion order), and
+    * each batch reports how many of its distinct bigram shingles are
+    * NEW (first seen in that batch) vs already covered. Shingles
+    * reduce to the portable 60-bit md5 fingerprint at the scan, so the
+    * shuffle carries (hash, batch) longs, never text; "first seen" is
+    * one min-aggregate per hash — two hash aggregates total, no
+    * windows, no joins wider than the distinct-shingle grain. */
+  def q254NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = QueriesExt.docs(s, dir)
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    val sh = d.crossJoin(broadcast(mx))
+      .select(expr("cast((doc_id * 10) div (mx + 1) as int)").as("batch"),
+        explode(graft.functions.DedupFunctions.shingles(col("text"), 2)).as("sh"))
+      .select(col("batch"), TextFunctions.md5Long(col("sh")).as("h"))
+      .distinct()
+    val firstSeen = sh.groupBy(col("h")).agg(min(col("batch")).as("first_batch"))
+    sh.join(firstSeen, "h")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("first_batch") === col("batch"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_rate", round(col("n_novel").cast("double") /
+        col("n_distinct").cast("double"), 6))
+      .orderBy(col("batch"))
+  }
+  val q254Sql: String =
+    s"""WITH ${QueriesExt.shingleCteFor("t", "1 = 1")},
+      |mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |ex AS (SELECT (doc_id * 10 // (mx + 1))::INTEGER AS batch,
+      |         unnest(sh) AS s
+      |       FROM t CROSS JOIN mx),
+      |sh AS (SELECT DISTINCT batch,
+      |         ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+      |       FROM ex),
+      |fs AS (SELECT h, min(batch) AS first_batch FROM sh GROUP BY 1)
+      |SELECT batch, count(*)::BIGINT AS n_distinct,
+      |       sum(CASE WHEN fs.first_batch = sh.batch THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_novel,
+      |       round(sum(CASE WHEN fs.first_batch = sh.batch THEN 1 ELSE 0 END)::DOUBLE
+      |         / count(*)::DOUBLE, 6) AS novelty_rate
+      |FROM sh JOIN fs USING (h)
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_holt_forecast" -> (q244HoltForecast _),
     "q245_ams_f2" -> (q245AmsF2 _),
@@ -520,7 +766,11 @@ object QueriesExt8 {
     "q247_good_turing" -> (q247GoodTuring _),
     "q248_winnowing" -> (q248Winnowing _),
     "q249_association" -> (q249Association _),
-    "q250_image_near_dup_banded" -> (q250ImageNearDupBanded _)
+    "q250_image_near_dup_banded" -> (q250ImageNearDupBanded _),
+    "q251_hll_distinct" -> (q251HllDistinct _),
+    "q252_theil_sen" -> (q252TheilSen _),
+    "q253_kendall_tau" -> (q253KendallTau _),
+    "q254_ngram_novelty" -> (q254NgramNovelty _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -530,6 +780,10 @@ object QueriesExt8 {
     "q247_good_turing" -> q247Sql,
     "q248_winnowing" -> q248Sql,
     "q249_association" -> q249Sql,
-    "q250_image_near_dup_banded" -> q250Sql
+    "q250_image_near_dup_banded" -> q250Sql,
+    "q251_hll_distinct" -> q251Sql,
+    "q252_theil_sen" -> q252Sql,
+    "q253_kendall_tau" -> q253Sql,
+    "q254_ngram_novelty" -> q254Sql
   )
 }
