@@ -759,6 +759,169 @@ object QueriesExt8 {
       |FROM sh JOIN fs USING (h)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q256
+  /** Kaplan–Meier survival of user engagement lifetimes: duration =
+    * days between a user's first and last event, censored when the last
+    * event falls on the corpus' final day (the user may still be
+    * active). The product-limit table lives on the DURATION grain
+    * (≤ days-in-window rows after one map-side-combinable per-user
+    * aggregate), so raw volume never touches the windows; at-risk
+    * counts come from one cumulative count over that bounded grain and
+    * the survival product rides exp(Σln(1 − d/n)) over the same
+    * deterministic order — both engines chain identical doubles. */
+  def q256KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val mx = e.agg(max(col("day")).as("max_day"))
+    val users = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .crossJoin(broadcast(mx))
+      .select(datediff(col("last_day"), col("first_day")).cast("long").as("dur"),
+        when(col("last_day") < col("max_day"), 1L).otherwise(0L).as("obs"))
+    val g = users.groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_all"), sum(col("obs")).as("n_death"))
+    val wOrd = BoundedWindow.orderBy(col("dur"), col("dur"))
+    val wAll = BoundedWindow.all(col("dur"))
+    val risk = g
+      .withColumn("n_risk", sum(col("n_all")).over(wAll) -
+        coalesce(sum(col("n_all")).over(
+          wOrd.rowsBetween(Long.MinValue, -1)), lit(0L)))
+    // survival steps only at observed-death durations; the cumulative
+    // log-sum runs over that same filtered, ordered grain
+    risk.filter(col("n_death") > 0)
+      .withColumn("surv", round(exp(sum(
+        log(lit(1.0d) - col("n_death").cast("double") /
+          col("n_risk").cast("double")))
+        .over(BoundedWindow.orderBy(col("dur"), col("dur"))
+          .rowsBetween(Long.MinValue, 0))), 6))
+      .select(col("dur"), col("n_risk"), col("n_death"), col("surv"))
+      .orderBy(col("dur"))
+  }
+  val q256Sql: String =
+    """WITH e AS (SELECT user_id, ts::DATE AS day FROM events),
+      |mx AS (SELECT max(day) AS max_day FROM e),
+      |u AS (SELECT (max(day) - min(day))::BIGINT AS dur,
+      |        CASE WHEN max(day) < (SELECT max_day FROM mx)
+      |             THEN 1 ELSE 0 END::BIGINT AS obs
+      |      FROM e GROUP BY user_id),
+      |g AS (SELECT dur, count(*)::BIGINT AS n_all, sum(obs)::BIGINT AS n_death
+      |      FROM u GROUP BY 1),
+      |r AS (SELECT dur, n_all, n_death,
+      |        sum(n_all) OVER ()
+      |          - coalesce(sum(n_all) OVER (ORDER BY dur
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS n_risk
+      |      FROM g)
+      |SELECT dur, n_risk::BIGINT AS n_risk, n_death,
+      |       round(exp(sum(ln(1.0 - n_death::DOUBLE / n_risk::DOUBLE))
+      |         OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+      |               AND CURRENT ROW)), 6) AS surv
+      |FROM r WHERE n_death > 0""".stripMargin
+
+  // ---------------------------------------------------------------- q257
+  /** Count-Min sketch (4 rows × 256 counters, the portable md5 hash
+    * family) over per-user event counts, point-queried at the exact
+    * top-10 heavy users — q251's frequency twin: counters are ADDITIVE
+    * partials (a 1,024-cell table no matter the data volume), the
+    * estimate is min over the 4 row counters, and the published
+    * `overest = est − exact` is the sketch's one-sided error made
+    * visible (never negative by construction — the result itself
+    * witnesses the CM guarantee). Top-k selection is
+    * TakeOrderedAndProject (orderBy + limit), not a global window. */
+  def q257CountMin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"))
+    val rows = broadcast(s.range(4).select(col("id").cast("int").as("r")))
+    val cells = e.crossJoin(rows)
+      .select(col("r"), (TextFunctions.md5Long(
+        concat(col("r").cast("string"), lit(":"),
+          col("user_id").cast("string"))) % 256L).as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val top = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+    val probes = top.crossJoin(rows)
+      .select(col("user_id"), col("exact_n"), col("r"),
+        (TextFunctions.md5Long(concat(col("r").cast("string"), lit(":"),
+          col("user_id").cast("string"))) % 256L).as("bucket"))
+    probes.join(cells, Seq("r", "bucket"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("cm_est"))
+      .withColumn("overest", col("cm_est") - col("exact_n"))
+  }
+  val q257Sql: String =
+    """WITH rows_ AS (SELECT unnest(range(0, 4))::INTEGER AS r),
+      |cells AS (SELECT r,
+      |        ('0x' || substring(md5(r::VARCHAR || ':' || user_id::VARCHAR),
+      |          1, 15))::BIGINT % 256 AS bucket,
+      |        count(*)::BIGINT AS c
+      |      FROM events CROSS JOIN rows_ GROUP BY 1, 2),
+      |top AS (SELECT user_id, count(*)::BIGINT AS exact_n FROM events
+      |        GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 10),
+      |probes AS (SELECT user_id, exact_n, r,
+      |        ('0x' || substring(md5(r::VARCHAR || ':' || user_id::VARCHAR),
+      |          1, 15))::BIGINT % 256 AS bucket
+      |      FROM top CROSS JOIN rows_)
+      |SELECT p.user_id, p.exact_n, min(c.c)::BIGINT AS cm_est,
+      |       (min(c.c) - p.exact_n)::BIGINT AS overest
+      |FROM probes p JOIN cells c USING (r, bucket)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q258
+  /** Mann–Kendall monotone-trend test on daily total event volume —
+    * the hypothesis-test companion to q252's Theil–Sen magnitude: S =
+    * Σ_{i<j} sign(x_j − x_i) from the calendar-bounded pair join, the
+    * tie-corrected variance, and the continuity-corrected z with the
+    * 5% two-sided verdict. Exact integers everywhere except the final
+    * z division. */
+  def q258MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long").as("d"), col("x"))
+    val a = daily.select(col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("d").as("db"), col("x").as("xb"))
+    val sStat = a.join(b, col("da") < col("db"))
+      .agg(sum(signum((col("xb") - col("xa")).cast("double")).cast("long"))
+        .as("s_stat"))
+    val ties = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_adj"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    val varS = (col("n_days") * (col("n_days") - 1) *
+      (lit(2) * col("n_days") + 5) - col("tie_adj")).cast("double") / 18.0d
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - 1).cast("double") / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0d))
+    sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select(col("n_days"), col("s_stat"),
+        round(varS, 4).as("var_s"), round(z, 6).as("z"),
+        when(abs(z) <= 1.96d, lit("none"))
+          .when(z > 0, lit("increasing")).otherwise(lit("decreasing"))
+          .as("trend"))
+  }
+  val q258Sql: String =
+    """WITH daily AS (SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+      |         count(*)::BIGINT AS x
+      |       FROM events GROUP BY 1),
+      |s AS (SELECT sum(CASE WHEN b.x > a.x THEN 1
+      |               WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s_stat
+      |      FROM daily a JOIN daily b ON a.d < b.d),
+      |t AS (SELECT sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_adj
+      |      FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY x)),
+      |n AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+      |v AS (SELECT n_days, s_stat, tie_adj,
+      |        (n_days * (n_days - 1) * (2 * n_days + 5) - tie_adj)::DOUBLE
+      |          / 18.0 AS var_s
+      |      FROM s CROSS JOIN t CROSS JOIN n),
+      |zc AS (SELECT n_days, s_stat, var_s,
+      |         CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE / sqrt(var_s)
+      |              WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE / sqrt(var_s)
+      |              ELSE 0.0 END AS z
+      |       FROM v)
+      |SELECT n_days, s_stat, round(var_s, 4) AS var_s, round(z, 6) AS z,
+      |       CASE WHEN abs(z) <= 1.96 THEN 'none'
+      |            WHEN z > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+      |FROM zc""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q244_holt_forecast" -> (q244HoltForecast _),
     "q245_ams_f2" -> (q245AmsF2 _),
@@ -770,7 +933,10 @@ object QueriesExt8 {
     "q251_hll_distinct" -> (q251HllDistinct _),
     "q252_theil_sen" -> (q252TheilSen _),
     "q253_kendall_tau" -> (q253KendallTau _),
-    "q254_ngram_novelty" -> (q254NgramNovelty _)
+    "q254_ngram_novelty" -> (q254NgramNovelty _),
+    "q256_kaplan_meier" -> (q256KaplanMeier _),
+    "q257_count_min" -> (q257CountMin _),
+    "q258_mann_kendall" -> (q258MannKendall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -784,6 +950,9 @@ object QueriesExt8 {
     "q251_hll_distinct" -> q251Sql,
     "q252_theil_sen" -> q252Sql,
     "q253_kendall_tau" -> q253Sql,
-    "q254_ngram_novelty" -> q254Sql
+    "q254_ngram_novelty" -> q254Sql,
+    "q256_kaplan_meier" -> q256Sql,
+    "q257_count_min" -> q257Sql,
+    "q258_mann_kendall" -> q258Sql
   )
 }
