@@ -21,14 +21,16 @@ object JoinAudit {
 
   /** First numOutputRows metric found in `p`'s subtree (unwrapping AQE
     * stage wrappers) — the rows the side actually produced. */
-  private def sideRows(p: SparkPlan): Option[Long] = {
-    val unwrapped = p match {
-      case s: QueryStageExec => s.plan
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    unwrapped.metrics.get("numOutputRows").map(_.value)
-      .orElse(unwrapped.children.view.flatMap(sideRows).headOption)
+  private def sideRows(p: SparkPlan): Option[Long] = p match {
+    case s: QueryStageExec => sideRows(s.plan)
+    case a: AdaptiveSparkPlanExec => sideRows(a.executedPlan)
+    // A reused exchange is a metric-less leaf; its rows live on the
+    // original exchange it points to.
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      sideRows(r.child)
+    case other =>
+      other.metrics.get("numOutputRows").map(_.value)
+        .orElse(other.children.view.flatMap(sideRows).headOption)
   }
 
   private def offenders(p: SparkPlan): Seq[String] = p.collect {
