@@ -759,6 +759,58 @@ object QueriesExt8 {
       |FROM sh JOIN fs USING (h)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q255
+  /** Code-vs-prose detection per source — the curation gate a text
+    * pipeline runs before routing documents to a code- or
+    * prose-trained tokenizer: symbol-density ratio (share of
+    * `(){};=<>[]` characters) computed INSIDE the scan projection
+    * (string ops, no shuffle of text), thresholded, aggregated per
+    * source. The corpus is synthetic prose with zero symbols, so every
+    * doc_id % 17 == 0 document is deterministically rewritten
+    * code-like (`replace(' ' → '();')`) and the published
+    * n_planted/n_flagged/n_both columns witness that the classifier
+    * recovers EXACTLY the planted set (the q250/q120 self-checking
+    * plant discipline). */
+  def q255CodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val d = QueriesExt.docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 17 === 0,
+          expr("replace(text, ' ', '();')")).otherwise(col("text")).as("t"),
+        (col("doc_id") % 17 === 0).as("planted"))
+      .withColumn("sym_ratio",
+        (length(col("t")) - length(translate(col("t"), "(){};=<>[]", "")))
+          .cast("double") / length(col("t")).cast("double"))
+      .withColumn("flagged", col("sym_ratio") > 0.05d)
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flagged") && col("planted"), 1L).otherwise(0L))
+          .as("n_both"),
+        round(avg(col("sym_ratio")), 6).as("mean_sym_ratio"))
+      .orderBy(col("source"))
+  }
+  val q255Sql: String =
+    """WITH d AS (SELECT source,
+      |         CASE WHEN doc_id % 17 = 0
+      |              THEN replace(text, ' ', '();') ELSE text END AS t,
+      |         doc_id % 17 = 0 AS planted
+      |       FROM documents),
+      |r AS (SELECT source, planted,
+      |        (length(t) - length(translate(t, '(){};=<>[]', '')))::DOUBLE
+      |          / length(t)::DOUBLE AS sym_ratio
+      |      FROM d),
+      |f AS (SELECT source, planted, sym_ratio,
+      |        sym_ratio > 0.05 AS flagged FROM r)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |       sum(CASE WHEN planted THEN 1 ELSE 0 END)::BIGINT AS n_planted,
+      |       sum(CASE WHEN flagged THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+      |       sum(CASE WHEN flagged AND planted THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_both,
+      |       round(avg(sym_ratio), 6) AS mean_sym_ratio
+      |FROM f
+      |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q256
   /** Kaplan–Meier survival of user engagement lifetimes: duration =
     * days between a user's first and last event, censored when the last
@@ -934,6 +986,7 @@ object QueriesExt8 {
     "q252_theil_sen" -> (q252TheilSen _),
     "q253_kendall_tau" -> (q253KendallTau _),
     "q254_ngram_novelty" -> (q254NgramNovelty _),
+    "q255_code_detect" -> (q255CodeDetect _),
     "q256_kaplan_meier" -> (q256KaplanMeier _),
     "q257_count_min" -> (q257CountMin _),
     "q258_mann_kendall" -> (q258MannKendall _)
@@ -951,6 +1004,7 @@ object QueriesExt8 {
     "q252_theil_sen" -> q252Sql,
     "q253_kendall_tau" -> q253Sql,
     "q254_ngram_novelty" -> q254Sql,
+    "q255_code_detect" -> q255Sql,
     "q256_kaplan_meier" -> q256Sql,
     "q257_count_min" -> q257Sql,
     "q258_mann_kendall" -> q258Sql
