@@ -265,7 +265,20 @@ object Plans {
       "out of the bounded per-order self-join and the minSupport filter prunes the " +
       "pair frame BEFORE the item-support joins — the rule table joins the ≥3-support " +
       "tail (63 pairs at sf0.01), never 115k pairs; the basket total broadcasts as " +
-      "one row.")
+      "one row."),
+    "q250_image_near_dup_banded" -> ("Hamming-tolerant image near-dup: the 64-bit " +
+      "dHash splits into 3 disjoint band keys inside the projection (pigeonhole " +
+      "covers Hamming ≤ 2), candidates meet in a band equi-join and exact bit_count " +
+      "verifies candidates only — recall that exact-equality hashing provably " +
+      "lacks, at banded-join cost, never an all-pairs image compare."),
+    "q251_hll_distinct" -> ("mergeable HyperLogLog: register partials build per " +
+      "(type, day, bucket) as map-side-combinable max aggregates — ≤256 tiny rows " +
+      "per partial ever shuffle, never user ids — and merge by the same max; the " +
+      "estimate is O(1) arithmetic over a 256-row grid joined to one scalar row."),
+    "q257_count_min" -> ("Count-Min point queries: the 1,024-cell counter table is " +
+      "an additive hash aggregate (data-volume-independent), the top-k probe side " +
+      "is TakeOrderedAndProject (no global window), and the estimate is a min over " +
+      "4 cells per probed key via a broadcast-sized equi-join.")
   )
 
   def main(args: Array[String]): Unit = {
