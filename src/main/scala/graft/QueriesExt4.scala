@@ -1558,12 +1558,15 @@ object QueriesExt4 {
     val facts = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_ms"),
         round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
-    facts.join(hist.select(col("user_id"),
+    // Explicit side aliases (the q37 discipline): facts and hist share
+    // the events lineage, and dataframe-apply refs across shared
+    // lineage trip Spark's "trivially true equals predicate" warning.
+    facts.alias("f").join(hist.select(col("user_id"),
         col("event_type").as("context"), col("valid_from"),
-        col("valid_to")),
-        facts("user_id") === hist("user_id") &&
-          col("ts_ms") >= col("valid_from") &&
-          (col("valid_to").isNull || col("ts_ms") < col("valid_to")),
+        col("valid_to")).alias("h"),
+        col("f.user_id") === col("h.user_id") &&
+          col("f.ts_ms") >= col("h.valid_from") &&
+          (col("h.valid_to").isNull || col("f.ts_ms") < col("h.valid_to")),
         "left")
       .groupBy(coalesce(col("context"), lit("none")).as("context"))
       .agg(count(lit(1)).as("n_purchases"),
