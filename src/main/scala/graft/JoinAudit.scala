@@ -44,9 +44,13 @@ object JoinAudit {
 
   private def report(node: String, children: Seq[SparkPlan]): Seq[String] = {
     val rows = children.flatMap(sideRows)
-    val minSide = if (rows.isEmpty) Long.MaxValue else rows.min
-    if (minSide > smallSideMax)
-      Seq(s"$node min-side rows=$minSide > $smallSideMax")
+    if (rows.isEmpty)
+      // Still counted as an offender (fail-loud beats fail-silent), but
+      // named for what it is: the walker could not resolve any
+      // numOutputRows metric, not a measured oversized side.
+      Seq(s"$node metrics unresolved (no numOutputRows on either side)")
+    else if (rows.min > smallSideMax)
+      Seq(s"$node min-side rows=${rows.min} > $smallSideMax")
     else Seq.empty
   }
 

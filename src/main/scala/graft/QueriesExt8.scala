@@ -479,16 +479,14 @@ object QueriesExt8 {
     * (`exact_hit`) recovers only the b = 0 third; the banded join
     * recovers all three, reporting the true Hamming distance that the
     * oracle predicts as k mod 3. */
-  def q250ImageNearDupBanded(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{DedupFunctions, Multimodal}
-    val hashed = QueriesExt.docs(s, dir).select(col("doc_id"))
-      .select(col("doc_id"),
-        Multimodal.dhash64(Multimodal.synthBlockPng(lit(2), lit(2),
-          expr("doc_id div 2"))).as("dh"))
-    // b ∈ {0,1,2} planted flips on the odd twin; the two flip positions
-    // are distinct by construction (offset 1 + k mod 63 ∈ [1,63] ≢ 0
-    // mod 64), so XOR moves EXACTLY b bits.
-    val sig = hashed
+  /** The q250 plant, SHARED with FunctionsSpec so the test pins the
+    * exact production construction: given (doc_id, dh) rows where twin
+    * pair (2k, 2k+1) carries the same hash, perturb the odd twin's
+    * stored signature by exactly b = k mod 3 bit flips. The two flip
+    * positions are distinct by construction (offset 1 + k mod 63 ∈
+    * [1,63] ≢ 0 mod 64), so XOR moves EXACTLY b bits. */
+  private[graft] def perturbedDhashSigs(hashed: DataFrame): DataFrame =
+    hashed
       .withColumn("b", expr("(doc_id div 2) % 3"))
       .withColumn("bit1", expr("cast((doc_id div 2) % 64 as int)"))
       .withColumn("bit2", expr(
@@ -501,7 +499,15 @@ object QueriesExt8 {
       .select(col("doc_id").as("id"),
         when(col("doc_id") % 2 === 1,
           col("dh").bitwiseXOR(col("mask"))).otherwise(col("dh")).as("sig"))
-    DedupFunctions.simhashPairsFromSignatures(sig, maxHamming = 2)
+
+  def q250ImageNearDupBanded(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{DedupFunctions, Multimodal}
+    val hashed = QueriesExt.docs(s, dir).select(col("doc_id"))
+      .select(col("doc_id"),
+        Multimodal.dhash64(Multimodal.synthBlockPng(lit(2), lit(2),
+          expr("doc_id div 2"))).as("dh"))
+    DedupFunctions.simhashPairsFromSignatures(
+        perturbedDhashSigs(hashed), maxHamming = 2)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("hamming"), (col("hamming") === 0).as("exact_hit"))
   }
@@ -620,15 +626,12 @@ object QueriesExt8 {
     val slopes = a.join(b, col("xa") < col("xb"))
       .select(((col("yb") - col("ya")).cast("double") /
         (col("xb") - col("xa")).cast("double")).as("slope"))
-    def medianOf(df: DataFrame, c: String): DataFrame = {
-      val w = BoundedWindow.orderBy(col(c), col(c))
-      val ranked = df.withColumn("rk", row_number().over(w))
-        .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
-      ranked.filter(col("rk") === expr("(n + 1) div 2") ||
-          col("rk") === expr("n div 2 + 1"))
-        .agg((sum(col(c)) / count(lit(1))).as("med"),
-          first(col("n")).as("n"))
-    }
+    // percentile(…, 0.5) is Spark's exact interpolated median — one
+    // hash-aggregate pass with quantile_cont semantics (the repo's
+    // established median path, e.g. RobustStats).
+    def medianOf(df: DataFrame, c: String): DataFrame =
+      df.agg(percentile(col(c), lit(0.5)).as("med"),
+        count(lit(1)).as("n"))
     val sen = medianOf(slopes, "slope")
       .select((col("med") / 1000000.0d).as("sen_slope"), col("n").as("n_pairs"))
     val resid = daily.crossJoin(broadcast(sen))
@@ -838,13 +841,21 @@ object QueriesExt8 {
         coalesce(sum(col("n_all")).over(
           wOrd.rowsBetween(Long.MinValue, -1)), lit(0L)))
     // survival steps only at observed-death durations; the cumulative
-    // log-sum runs over that same filtered, ordered grain
+    // log-sum runs over that same filtered, ordered grain. The
+    // everyone-dies row (n_death = n_risk) must NOT reach ln(0): Spark
+    // ANSI returns NULL there while DuckDB throws — both sides emit an
+    // explicit NULL term (skipped identically by both engines' window
+    // sum) and pin surv to exactly 0 from that row on.
+    val wPre = BoundedWindow.orderBy(col("dur"), col("dur"))
+      .rowsBetween(Long.MinValue, 0)
     risk.filter(col("n_death") > 0)
-      .withColumn("surv", round(exp(sum(
-        log(lit(1.0d) - col("n_death").cast("double") /
-          col("n_risk").cast("double")))
-        .over(BoundedWindow.orderBy(col("dur"), col("dur"))
-          .rowsBetween(Long.MinValue, 0))), 6))
+      .withColumn("lnTerm", when(col("n_death") === col("n_risk"), lit(null))
+        .otherwise(log(lit(1.0d) - col("n_death").cast("double") /
+          col("n_risk").cast("double"))))
+      .withColumn("extinct",
+        max(when(col("n_death") === col("n_risk"), 1).otherwise(0)).over(wPre))
+      .withColumn("surv", when(col("extinct") === 1, lit(0.0d))
+        .otherwise(round(exp(sum(col("lnTerm")).over(wPre)), 6)))
       .select(col("dur"), col("n_risk"), col("n_death"), col("surv"))
       .orderBy(col("dur"))
   }
@@ -862,12 +873,21 @@ object QueriesExt8 {
       |          - coalesce(sum(n_all) OVER (ORDER BY dur
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |          AS n_risk
-      |      FROM g)
-      |SELECT dur, n_risk::BIGINT AS n_risk, n_death,
-      |       round(exp(sum(ln(1.0 - n_death::DOUBLE / n_risk::DOUBLE))
-      |         OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-      |               AND CURRENT ROW)), 6) AS surv
-      |FROM r WHERE n_death > 0""".stripMargin
+      |      FROM g),
+      |d AS (SELECT dur, n_risk::BIGINT AS n_risk, n_death,
+      |        CASE WHEN n_death = n_risk THEN NULL
+      |             ELSE ln(1.0 - n_death::DOUBLE / n_risk::DOUBLE) END
+      |          AS ln_term
+      |      FROM r WHERE n_death > 0)
+      |SELECT dur, n_risk, n_death,
+      |       CASE WHEN max(CASE WHEN n_death = n_risk THEN 1 ELSE 0 END)
+      |              OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+      |                    AND CURRENT ROW) = 1
+      |            THEN 0.0
+      |            ELSE round(exp(sum(ln_term)
+      |              OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+      |                    AND CURRENT ROW)), 6) END AS surv
+      |FROM d""".stripMargin
 
   // ---------------------------------------------------------------- q257
   /** Count-Min sketch (4 rows × 256 counters, the portable md5 hash

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   *  - `customer.c_acctbal` gains `copy` cents so integer-cents
   *    blocking keys (entity resolution) stay copy-local instead of
   *    forming 10×-deep identical-record blocks.
+  *  - `embeddings.embedding` is circularly rotated by 7·copy
+  *    dimensions per copy — verbatim vector clones would pile into
+  *    the same SRP/IVF buckets at cosine ≈ 1 (the same clique
+  *    artifact); a rotation preserves norms and per-dimension value
+  *    distributions exactly while decorrelating copies.
   *
   * Usage: runMain graft.ScaleUp [srcDir] [outDir] [copies]
   */
@@ -62,6 +67,12 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/scaledata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // The text-mutation when-chain has exactly 10 arms and has no
+    // .otherwise, so copies > 10 would silently write NULL text; fail
+    // loudly instead of corrupting a scaling measurement.
+    require(copies >= 1 && copies <= 10,
+      s"copies must be in [1, 10] (got $copies): only 10 distinct " +
+        "text/embedding mutations are defined")
     val spark = SparkSession.builder()
       .master(s"local[${Launch.cpus}]")
       .config("spark.sql.shuffle.partitions", Launch.cpus)
@@ -112,8 +123,24 @@ object ScaleUp {
       off("doc_id"), mutateText(col("text"), col("__c")).as("text"),
       col("lang"), col("source"), col("n_chars")), "documents", 16)
 
+    // Per-copy circular dimension rotation (by 7·copy positions):
+    // verbatim vector copies would collide into the same SRP/IVF
+    // buckets and register cosine ≈ 1 to their 9 clones — the same
+    // 45-pairs-per-original clique artifact the text mutation exists
+    // to prevent, now for the embedding tier. A rotation preserves
+    // norms and the per-dimension value distribution exactly while
+    // decorrelating copies (random-ish vectors rotate to near-
+    // orthogonal positions); copy 0 stays verbatim.
+    val rotArms = (1 until copies).map { c =>
+      val sh = (7 * c) % 64
+      (c, concat(slice(col("embedding"), sh + 1, 64 - sh),
+        slice(col("embedding"), 1, sh)))
+    }
+    val rotated = rotArms.foldLeft(when(col("__c") === 0, col("embedding"))) {
+      case (acc, (c, e)) => acc.when(col("__c") === c, e)
+    }
     write(load("embeddings").crossJoin(cp).select(
-      off("vec_id"), col("embedding"), col("label")), "embeddings", 8)
+      off("vec_id"), rotated.as("embedding"), col("label")), "embeddings", 8)
 
     println(s"[scaleup] wrote ${copies}x of $src to $out")
     spark.stop()

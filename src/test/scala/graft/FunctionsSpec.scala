@@ -1415,24 +1415,13 @@ class FunctionsSpec extends SparkSuite {
     "with their true hamming while the exact-equality join misses them") {
     import graft.functions.{DedupFunctions, Multimodal}
     // 6 twin pairs (2k, 2k+1) sharing seed k; odd twin's stored hash is
-    // perturbed by k % 3 distinct bit flips — the q250 plant in miniature.
+    // perturbed by k % 3 distinct bit flips — the EXACT q250 plant
+    // (shared helper, so this test pins the production construction).
     val hashed = spark.range(12)
       .select(col("id").as("doc_id"),
         Multimodal.dhash64(Multimodal.synthBlockPng(lit(2), lit(2),
           expr("id div 2"))).as("dh"))
-    val sig = hashed
-      .withColumn("b", expr("(doc_id div 2) % 3"))
-      .withColumn("bit1", expr("cast((doc_id div 2) % 64 as int)"))
-      .withColumn("bit2", expr(
-        "cast(((doc_id div 2) % 64 + 1 + (doc_id div 2) % 63) % 64 as int)"))
-      .withColumn("mask", expr(
-        """case when b = 0 then 0L
-          |     when b = 1 then shiftleft(1L, bit1)
-          |     else shiftleft(1L, bit1) | shiftleft(1L, bit2) end"""
-          .stripMargin))
-      .select(col("doc_id").as("id"),
-        when(col("doc_id") % 2 === 1,
-          col("dh").bitwiseXOR(col("mask"))).otherwise(col("dh")).as("sig"))
+    val sig = QueriesExt8.perturbedDhashSigs(hashed)
     val banded = DedupFunctions.simhashPairsFromSignatures(sig, maxHamming = 2)
       .as[(Long, Long, Int)].collect().sortBy(_._1)
     assert(banded.map(p => (p._1, p._2)).toSeq ==
