@@ -1,0 +1,352 @@
+package graft
+
+import graft.functions.{PrefixScan, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declared queries q259+ — behavioral-sequence, distribution-test, and
+  * density extensions: event-transition mining, the two-sample
+  * Kolmogorov–Smirnov statistic, Benford first-digit audit,
+  * Page–Hinkley drift detection, Flesch readability, and grid-density
+  * outlier detection over embeddings.
+  *
+  * Shape discipline (the 100 TB contract, same as [[QueriesExt8]]):
+  * windows are always partitioned by a data-scaled key (user), global
+  * running totals go through [[PrefixScan]]'s two-pass plan (exact
+  * integers only, so bucket re-association cannot change a bit),
+  * sequential recurrences run only over CALENDAR-BOUNDED series, and
+  * per-row text/vector work stays inside the scan. Sums stay exact
+  * integers until one canonical double closed form each DuckDB oracle
+  * mirrors bit-for-bit. */
+object QueriesExt9 {
+  import QueriesExt.{docs, embs}
+
+  // ---------------------------------------------------------------- q259
+  /** Sequential pattern mining at the transition grain: for every user's
+    * event stream ordered by (ts_ms, event_id), each consecutive pair of
+    * event types is one observed transition a→b; the Markov estimate
+    * p(b|a) = n(a→b) / Σ_b' n(a→b') is the length-2 PrefixSpan support
+    * table behind funnel design and next-event prediction.
+    *
+    * The 100 TB shape: ONE window partitioned by user_id (each task
+    * holds one user's bounded stream, never the corpus), then a
+    * |types|²-bounded hash aggregate with map-side combine; the
+    * antecedent totals frame is ≤|types| rows and broadcast back.
+    * Output: a_type, b_type, n_occ, n_users, p_trans. */
+  def q259SeqPatterns(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val pairs = ev
+      .withColumn("b_type", lead(col("event_type"), 1).over(w))
+      .filter(col("b_type").isNotNull)
+    val agg = pairs
+      .groupBy(col("event_type").as("a_type"), col("b_type"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("n_users"))
+    val tot = agg.groupBy(col("a_type")).agg(sum(col("n_occ")).as("a_tot"))
+    agg.join(broadcast(tot), Seq("a_type"))
+      .select(col("a_type"), col("b_type"), col("n_occ"), col("n_users"),
+        round(col("n_occ").cast("double") / col("a_tot").cast("double"), 6)
+          .as("p_trans"))
+  }
+  val q259Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+      |                   event_id FROM events),
+      |p AS (SELECT user_id, event_type AS a_type,
+      |        lead(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts_ms, event_id) AS b_type
+      |      FROM ev),
+      |a AS (SELECT a_type, b_type, count(*)::BIGINT AS n_occ,
+      |        count(DISTINCT user_id)::BIGINT AS n_users
+      |      FROM p WHERE b_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT a_type, sum(n_occ)::BIGINT AS a_tot FROM a GROUP BY 1)
+      |SELECT a.a_type, b_type, n_occ, n_users,
+      |       round(n_occ::DOUBLE / a_tot::DOUBLE, 6) AS p_trans
+      |FROM a JOIN t USING (a_type)""".stripMargin
+
+  // ---------------------------------------------------------------- q260
+  /** Two-sample Kolmogorov–Smirnov test: is the purchase `value`
+    * distribution the same as the click one? D = max over the pooled
+    * support of |F̂₁(v) − F̂₂(v)|, plus the scaled statistic
+    * √(n₁n₂/(n₁+n₂))·D that the asymptotic p-value tables index.
+    *
+    * The 100 TB shape: group-by-value collapses the stream to its
+    * distinct support WITH exact per-group counts (map-side combine),
+    * then BOTH empirical CDFs come from one [[PrefixScan]] two-pass
+    * run — exact integer running counts, so bucket re-association
+    * cannot change a bit and no single-partition window exists. The
+    * final max is a 1-row aggregate. Output: n1, n2, d_stat, ks_stat. */
+  def q260KsTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), col("value"))
+    val g = ev.groupBy(col("value")).agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("g1"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("g2"))
+    val scanned = PrefixScan.scan(g, col("value"), Seq(col("value")),
+      Seq(PrefixScan.RunSum(col("g1"), "e1"),
+        PrefixScan.RunSum(col("g2"), "e2")))
+    val n = ev.agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
+    val d = scanned.crossJoin(broadcast(n))
+      .select(abs(col("e1").cast("double") / col("n1").cast("double") -
+        col("e2").cast("double") / col("n2").cast("double")).as("diff"))
+      .agg(max(col("diff")).as("d_stat"))
+    d.crossJoin(broadcast(n)).select(col("n1"), col("n2"),
+      round(col("d_stat"), 6).as("d_stat"),
+      round(col("d_stat") * sqrt(col("n1").cast("double") *
+        col("n2").cast("double") / (col("n1") + col("n2")).cast("double")), 6)
+        .as("ks_stat"))
+  }
+  val q260Sql: String =
+    """WITH ev AS (SELECT event_type, "value" AS v FROM events
+      |            WHERE event_type IN ('purchase', 'click')),
+      |g AS (SELECT v,
+      |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+      |          AS g1,
+      |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+      |          AS g2
+      |      FROM ev GROUP BY 1),
+      |c AS (SELECT v, sum(g1) OVER (ORDER BY v)::BIGINT AS e1,
+      |             sum(g2) OVER (ORDER BY v)::BIGINT AS e2 FROM g),
+      |n AS (SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |               END)::BIGINT AS n1,
+      |             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+      |               END)::BIGINT AS n2 FROM ev),
+      |d AS (SELECT max(abs(e1::DOUBLE / n1::DOUBLE
+      |               - e2::DOUBLE / n2::DOUBLE)) AS d_stat
+      |      FROM c CROSS JOIN n)
+      |SELECT n1, n2, round(d_stat, 6) AS d_stat,
+      |       round(d_stat * sqrt(n1::DOUBLE * n2::DOUBLE
+      |         / (n1 + n2)::DOUBLE), 6) AS ks_stat
+      |FROM d CROSS JOIN n""".stripMargin
+
+  // ---------------------------------------------------------------- q261
+  /** Benford first-significant-digit audit of event values — the
+    * classic fabricated-data screen: observed digit counts vs the
+    * Benford expectation log₁₀(1+1/d), with the per-digit χ² distance
+    * contribution (obs − n·p)²/(n·p).
+    *
+    * The 100 TB shape: the first digit d = ⌊v/10^⌊log₁₀v⌋⌋ is a scan
+    * projection; everything after is a 9-row hash aggregate and a
+    * broadcast of the 1-row total. Both engines call the same libm
+    * log10/pow on identical input bits, so the digit decision and the
+    * expected shares replay exactly. Output per digit: d, n_obs,
+    * p_expected, chi2_part. */
+  def q261Benford(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir).filter(col("value") > 0)
+      .select(floor(col("value") /
+        pow(lit(10.0d), floor(log10(col("value"))))).cast("long").as("d"))
+    val obs = d.groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val p = log(10.0d, lit(1.0d) + lit(1.0d) / col("d").cast("double"))
+    val expN = col("n").cast("double") * p
+    obs.crossJoin(broadcast(n))
+      .select(col("d"), col("n_obs"), round(p, 6).as("p_expected"),
+        round((col("n_obs").cast("double") - expN) *
+          (col("n_obs").cast("double") - expN) / expN, 6).as("chi2_part"))
+  }
+  val q261Sql: String =
+    """WITH v AS (SELECT floor("value" / pow(10.0, floor(log10("value"))))
+      |             ::BIGINT AS d
+      |           FROM events WHERE "value" > 0),
+      |o AS (SELECT d, count(*)::BIGINT AS n_obs FROM v GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS n FROM v)
+      |SELECT d, n_obs,
+      |       round(log10(1.0 + 1.0 / d::DOUBLE), 6) AS p_expected,
+      |       round((n_obs::DOUBLE - n::DOUBLE * log10(1.0 + 1.0 / d::DOUBLE))
+      |         * (n_obs::DOUBLE - n::DOUBLE * log10(1.0 + 1.0 / d::DOUBLE))
+      |         / (n::DOUBLE * log10(1.0 + 1.0 / d::DOUBLE)), 6) AS chi2_part
+      |FROM o CROSS JOIN n""".stripMargin
+
+  // ---------------------------------------------------------------- q262
+  /** Page–Hinkley drift detector over the daily event-volume series:
+    * m_t = Σ_{i≤t} (x_i − μ_i − δ) with μ_i the running mean, alarm
+    * when m_t − min_{i≤t} m_i exceeds λ — the sequential
+    * change-detection twin of q227's CUSUM (which tracks a FIXED
+    * reference mean; PH adapts the mean as it goes).
+    *
+    * The 100 TB shape (q244's contract): the raw stream collapses to a
+    * CALENDAR-BOUNDED daily series via one map-side-combinable count,
+    * and only then does the inherently-sequential recurrence run — ONE
+    * ordered `aggregate` fold over the collected day list, δ=5, λ=150.
+    * The running mean is exact-integer cumsum/rank so only the m
+    * recurrence carries float state, replayed in the same operation
+    * order by the oracle's recursive CTE. Output per day: day,
+    * n_events, mean_rate, ph_stat, gap, alarm. */
+  def q262PageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val serie = daily
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("ser"))
+    val outT = "array<struct<day:bigint,x:bigint,i:bigint,cs:bigint," +
+      "m:double,mmin:double>>"
+    val acc0 = struct(lit(0L).as("i"), lit(0L).as("cs"),
+      lit(0.0d).as("m"), lit(0.0d).as("mmin"),
+      array().cast(outT).as("out"))
+    val folded = serie.select(aggregate(col("ser"), acc0, (a, e) => {
+      val i = a.getField("i") + 1L
+      val cs = a.getField("cs") + e.getField("x")
+      val term = e.getField("x").cast("double") -
+        cs.cast("double") / i.cast("double") - lit(5.0d)
+      val m = a.getField("m") + term
+      // m is re-inlined in the min update so the expression TREE
+      // matches the oracle's recursive CTE exactly.
+      val mmin = when(a.getField("i") === 0L, a.getField("m") + term)
+        .otherwise(least(a.getField("mmin"), a.getField("m") + term))
+      struct(i.as("i"), cs.as("cs"), m.as("m"), mmin.as("mmin"),
+        concat(a.getField("out"), array(struct(
+          e.getField("day").as("day"), e.getField("x").as("x"),
+          i.as("i"), cs.as("cs"), m.as("m"), mmin.as("mmin")))).as("out"))
+    }).getField("out").as("out"))
+    folded.select(explode(col("out")).as("r"))
+      .select(col("r.day").as("day"), col("r.x").as("n_events"),
+        round(col("r.cs").cast("double") / col("r.i").cast("double"), 6)
+          .as("mean_rate"),
+        round(col("r.m"), 6).as("ph_stat"),
+        round(col("r.m") - col("r.mmin"), 6).as("gap"),
+        ((col("r.m") - col("r.mmin")) > lit(150.0d)).as("alarm"))
+  }
+  val q262Sql: String =
+    """WITH RECURSIVE d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      |         count(*)::BIGINT AS x FROM events GROUP BY 1),
+      |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn,
+      |        sum(x) OVER (ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |          AS cs
+      |      FROM d),
+      |ph AS (
+      |  SELECT rn, day, x, cs,
+      |         (x::DOUBLE - cs::DOUBLE / rn::DOUBLE - 5.0) AS m,
+      |         (x::DOUBLE - cs::DOUBLE / rn::DOUBLE - 5.0) AS mmin
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.rn, r.day, r.x, r.cs,
+      |         ph.m + (r.x::DOUBLE - r.cs::DOUBLE / r.rn::DOUBLE - 5.0),
+      |         least(ph.mmin,
+      |           ph.m + (r.x::DOUBLE - r.cs::DOUBLE / r.rn::DOUBLE - 5.0))
+      |  FROM ph JOIN r ON r.rn = ph.rn + 1)
+      |SELECT day, x AS n_events,
+      |       round(cs::DOUBLE / rn::DOUBLE, 6) AS mean_rate,
+      |       round(m, 6) AS ph_stat, round(m - mmin, 6) AS gap,
+      |       (m - mmin) > 150.0 AS alarm
+      |FROM ph""".stripMargin
+
+  // ---------------------------------------------------------------- q263
+  /** Flesch readability per source: reading-ease
+    * 206.835 − 1.015·(W/S) − 84.6·(Y/W) and Flesch–Kincaid grade
+    * 0.39·(W/S) + 11.8·(Y/W) − 15.59 from corpus-total words W,
+    * sentences S, and vowel-group syllables Y — the curation gate that
+    * catches both telegraphic boilerplate (too few words/sentence) and
+    * run-on machine text.
+    *
+    * The 100 TB shape: all three counts are regexp_count projections
+    * inside the scan (the text never shuffles), summed exactly per
+    * source with map-side combine; the closed form runs on ≤|sources|
+    * rows. Sentences are floored at 1 per document so fragment-only
+    * docs cannot zero the denominator. Output: source, n_docs, words,
+    * sentences, syllables, flesch, fk_grade. */
+  def q263Flesch(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir).select(col("source"),
+      regexp_count(lower(col("text")), lit("[a-z]+")).cast("long").as("w"),
+      greatest(lit(1L),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("se"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("sy"))
+    val agg = per.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+      sum(col("se")).as("sentences"), sum(col("sy")).as("syllables"))
+    val wps = col("words").cast("double") / col("sentences").cast("double")
+    val ypw = col("syllables").cast("double") / col("words").cast("double")
+    agg.select(col("source"), col("n_docs"), col("words"), col("sentences"),
+      col("syllables"),
+      round(lit(206.835d) - lit(1.015d) * wps - lit(84.6d) * ypw, 4)
+        .as("flesch"),
+      round(lit(0.39d) * wps + lit(11.8d) * ypw - lit(15.59d), 4)
+        .as("fk_grade"))
+  }
+  val q263Sql: String =
+    """WITH per AS (SELECT source,
+      |        len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS w,
+      |        greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+      |          AS se,
+      |        len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS sy
+      |      FROM documents),
+      |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+      |        sum(w)::BIGINT AS words, sum(se)::BIGINT AS sentences,
+      |        sum(sy)::BIGINT AS syllables
+      |      FROM per GROUP BY 1)
+      |SELECT source, n_docs, words, sentences, syllables,
+      |       round(206.835 - 1.015 * (words::DOUBLE / sentences::DOUBLE)
+      |         - 84.6 * (syllables::DOUBLE / words::DOUBLE), 4) AS flesch,
+      |       round(0.39 * (words::DOUBLE / sentences::DOUBLE)
+      |         + 11.8 * (syllables::DOUBLE / words::DOUBLE) - 15.59, 4)
+      |           AS fk_grade
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- q264
+  /** Grid-density outlier detection over embeddings — the DBSCAN-noise
+    * shape without the iterative clustering: project every vector onto
+    * two fixed ±1 hyperplanes ([[Similarity.deterministicPlanes]], the
+    * q83 JL construction), quantize to 0.5-wide grid cells, and flag
+    * points whose cell holds fewer than 3 vectors as density outliers.
+    *
+    * The 100 TB shape: both projections are scan-local double folds
+    * (same left-to-right order as the oracle's list_sum), the cell
+    * histogram is ONE map-side-combinable count on a bounded key
+    * (occupied cells ≪ rows — the grid extent is data-range-bounded),
+    * and the flag comes back via an equi-join on the cell key. No
+    * pairwise distances anywhere. Output: vec_id, cx, cy, cell_n,
+    * is_outlier. */
+  def q264GridOutliers(s: SparkSession, dir: String): DataFrame = {
+    val planes = Similarity.deterministicPlanes(2, 64)
+    def proj(j: Int) = Similarity.dot(col("v"),
+      array(planes(j).map(p => lit(p.toDouble)): _*))
+    val cells = embs(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        floor(proj(0) / lit(0.5d)).cast("long").as("cx"),
+        floor(proj(1) / lit(0.5d)).cast("long").as("cy"))
+    val counts = cells.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("cell_n"))
+    cells.join(counts, Seq("cx", "cy"))
+      .select(col("vec_id"), col("cx"), col("cy"), col("cell_n"),
+        (col("cell_n") < 3L).as("is_outlier"))
+  }
+  private def planeSql(j: Int): String =
+    Similarity.deterministicPlanes(2, 64)(j)
+      .map(p => if (p > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+  private def gridProjSql(j: Int): String =
+    s"list_sum(list_transform(list_zip(v, ${planeSql(j)}), x -> x[1] * x[2]))"
+  val q264Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id,
+       |        floor(${gridProjSql(0)} / 0.5)::BIGINT AS cx,
+       |        floor(${gridProjSql(1)} / 0.5)::BIGINT AS cy
+       |      FROM e),
+       |n AS (SELECT cx, cy, count(*)::BIGINT AS cell_n FROM c GROUP BY 1, 2)
+       |SELECT vec_id, cx, cy, cell_n, cell_n < 3 AS is_outlier
+       |FROM c JOIN n USING (cx, cy)""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_seq_patterns" -> (q259SeqPatterns _),
+    "q260_ks_test" -> (q260KsTest _),
+    "q261_benford" -> (q261Benford _),
+    "q262_page_hinkley" -> (q262PageHinkley _),
+    "q263_flesch" -> (q263Flesch _),
+    "q264_grid_outliers" -> (q264GridOutliers _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q259_seq_patterns" -> q259Sql,
+    "q260_ks_test" -> q260Sql,
+    "q261_benford" -> q261Sql,
+    "q262_page_hinkley" -> q262Sql,
+    "q263_flesch" -> q263Sql,
+    "q264_grid_outliers" -> q264Sql
+  )
+}
