@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{PrefixScan, Similarity}
+import graft.functions.{PrefixScan, Similarity, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -332,13 +332,104 @@ object QueriesExt9 {
        |SELECT vec_id, cx, cy, cell_n, cell_n < 3 AS is_outlier
        |FROM c JOIN n USING (cx, cy)""".stripMargin
 
+  // ---------------------------------------------------------------- q265
+  /** Classifier AUC by the Mann–Whitney rank-sum identity: how well does
+    * the plane-0 projection score separate label-0 embeddings from the
+    * rest? AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋), with R₊ the sum of the
+    * positives' global ranks under (score, vec_id) ascending — the exact
+    * relation between AUC and the U statistic, no threshold sweep.
+    *
+    * The 100 TB shape: the score is a scan-local double fold, the
+    * GLOBAL rank comes from [[PrefixScan]]'s two-pass RowNumber (exact
+    * integers, no single-partition sort), and the rank-sum is one
+    * 1-row aggregate. The vec_id tie-break makes the rank total and
+    * both engines' rank assignment identical. Output: n_pos, n_neg,
+    * rank_sum, auc. */
+  def q265AucRank(s: SparkSession, dir: String): DataFrame = {
+    val planes = Similarity.deterministicPlanes(2, 64)
+    val score = Similarity.dot(col("v"),
+      array(planes(0).map(p => lit(p.toDouble)): _*))
+    val scored = embs(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("label"), score.as("s"))
+    val ranked = PrefixScan.scan(scored, col("s"),
+      Seq(col("s"), col("vec_id")), Seq(PrefixScan.RowNumber("rank")))
+    val agg = ranked.agg(
+      sum(when(col("label") === 0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("label") =!= 0, 1L).otherwise(0L)).as("n_neg"),
+      sum(when(col("label") === 0, col("rank")).otherwise(0L)).as("rank_sum"))
+    agg.select(col("n_pos"), col("n_neg"), col("rank_sum"),
+      round((col("rank_sum") - expr("n_pos * (n_pos + 1) div 2"))
+        .cast("double") /
+        (col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+  }
+  val q265Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |sc AS (SELECT vec_id, label, ${gridProjSql(0)} AS s FROM e),
+       |r AS (SELECT label,
+       |        row_number() OVER (ORDER BY s, vec_id)::BIGINT AS rank
+       |      FROM sc),
+       |a AS (SELECT sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT
+       |          AS n_pos,
+       |        sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+       |        sum(CASE WHEN label = 0 THEN rank ELSE 0 END)::BIGINT
+       |          AS rank_sum
+       |      FROM r)
+       |SELECT n_pos, n_neg, rank_sum,
+       |       round((rank_sum - n_pos * (n_pos + 1) // 2)::DOUBLE
+       |         / (n_pos * n_neg)::DOUBLE, 6) AS auc
+       |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- q266
+  /** Language-ID confusion matrix — the evaluation grain on top of
+    * q18's per-document prediction: count every (labeled, detected)
+    * cell and normalize by the labeled row total, the per-language
+    * recall decomposition that shows WHERE the stopword heuristic
+    * leaks (q18 shows only that it does).
+    *
+    * The 100 TB shape: prediction stays inside the scan (the text
+    * never shuffles), the matrix is a |langs|²-bounded map-side
+    * combined count, and the row totals are ≤|langs| rows broadcast
+    * back. Output: lang, lang_detected, n, frac_of_true. */
+  def q266LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = docs(s, dir).select(col("lang"),
+      TextFunctions.langId(col("text")).as("lang_detected"))
+    val cells = pred.groupBy(col("lang"), col("lang_detected"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    cells.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("lang_detected"), col("n"),
+        round(col("n").cast("double") / col("n_true").cast("double"), 6)
+          .as("frac_of_true"))
+  }
+  val q266Sql: String = {
+    val entries = TextFunctions.stopwords.toSeq.sortBy(_._1)
+      .map { case (lang, ws) =>
+        s"{'score': len(list_intersect(list_distinct(toks), " +
+          s"[${ws.map(w => s"'$w'").mkString(", ")}])), 'lang': '$lang'}"
+      }.mkString(", ")
+    s"""WITH pred AS (
+       |  SELECT lang, list_aggregate([$entries], 'max').lang AS lang_detected
+       |  FROM (SELECT lang, ${QueriesExt.toksSql} AS toks FROM documents)),
+       |c AS (SELECT lang, lang_detected, count(*)::BIGINT AS n
+       |      FROM pred GROUP BY 1, 2),
+       |t AS (SELECT lang, sum(n)::BIGINT AS n_true FROM c GROUP BY 1)
+       |SELECT c.lang, lang_detected, n,
+       |       round(n::DOUBLE / n_true::DOUBLE, 6) AS frac_of_true
+       |FROM c JOIN t USING (lang)""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_seq_patterns" -> (q259SeqPatterns _),
     "q260_ks_test" -> (q260KsTest _),
     "q261_benford" -> (q261Benford _),
     "q262_page_hinkley" -> (q262PageHinkley _),
     "q263_flesch" -> (q263Flesch _),
-    "q264_grid_outliers" -> (q264GridOutliers _)
+    "q264_grid_outliers" -> (q264GridOutliers _),
+    "q265_auc_rank" -> (q265AucRank _),
+    "q266_lang_confusion" -> (q266LangConfusion _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -347,6 +438,8 @@ object QueriesExt9 {
     "q261_benford" -> q261Sql,
     "q262_page_hinkley" -> q262Sql,
     "q263_flesch" -> q263Sql,
-    "q264_grid_outliers" -> q264Sql
+    "q264_grid_outliers" -> q264Sql,
+    "q265_auc_rank" -> q265Sql,
+    "q266_lang_confusion" -> q266Sql
   )
 }
