@@ -82,9 +82,12 @@ object QueriesExt {
     * oracle replays bucketing, candidate generation, and exact re-scoring
     * value-for-value. */
   private val srpPlanes: Seq[Seq[Int]] = Similarity.deterministicPlanes(8, 64)
-  private def planeSql(j: Int): String =
+  // private[graft]: q264/q265 (QueriesExt9) reuse the same plane-j
+  // projection SQL — deterministicPlanes(j, i) depends only on (j, i),
+  // so planes 0..1 of the 8-plane set ARE deterministicPlanes(2, 64).
+  private[graft] def planeSql(j: Int): String =
     srpPlanes(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-  private def projSql(v: String, j: Int): String =
+  private[graft] def projSql(v: String, j: Int): String =
     s"list_sum(list_transform(list_zip($v, ${planeSql(j)}), x -> x[1] * x[2]))"
   private val bucketFromPs: String =
     (0 until 8).map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
@@ -299,14 +302,19 @@ object QueriesExt {
   def q18LangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("lang"),
       TextFunctions.langId(col("text")).as("lang_detected"))
-  val q18Sql: String = {
+  /** DuckDB replay of [[TextFunctions.langId]] over a `toks` column —
+    * ONE definition shared by q18 / q261 / q266 (QueriesExt9) so the
+    * stopword lists and the max-struct tie-break cannot drift. */
+  private[graft] val langIdSql: String = {
     val entries = TextFunctions.stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
       s"{'score': len(list_intersect(list_distinct(toks), [${ws.map(w => s"'$w'").mkString(", ")}])), 'lang': '$lang'}"
     }.mkString(", ")
-    s"""SELECT doc_id, lang,
-       |       list_aggregate([$entries], 'max').lang AS lang_detected
-       |FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)""".stripMargin
+    s"list_aggregate([$entries], 'max').lang"
   }
+  val q18Sql: String =
+    s"""SELECT doc_id, lang,
+       |       $langIdSql AS lang_detected
+       |FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------- q19
   /** Text-quality scoring: token stats + punctuation + stopword density →

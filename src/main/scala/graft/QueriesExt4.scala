@@ -2365,41 +2365,28 @@ object QueriesExt4 {
     * binning-free complement of PSI (q95 commits to reference bins; KS
     * asks "did the distribution move AT ALL" with no bins to choose):
     * D = max |ECDF₁ − ECDF₂| over the pooled sorted values, evaluated
-    * at distinct values with ties fully counted. The pooled-order
-    * cumulative sums run through [[graft.functions.PrefixScan]] (the
-    * distinct-value frame is data-scaled — an unpartitioned window
-    * over it is the single-task trap) and the two totals are one
-    * broadcast scalar aggregate; the critical value
-    * c(α)·√((n₁+n₂)/(n₁n₂)) at α = 0.01 uses the 1.628 literal
-    * embedded in both engines. */
+    * at distinct values with ties fully counted — the shared
+    * [[graft.functions.Ks]] kernel (PrefixScan running counts, no
+    * single-partition window; q199/q260 run the same kernel); the
+    * critical value c(α)·√((n₁+n₂)/(n₁n₂)) at α = 0.01 uses the 1.628
+    * literal embedded in both engines. */
   def q167KsTest(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PrefixScan
     val ev = Tables.events(s, dir)
     val mid = ev.agg(((min(col("ts_ms")) + max(col("ts_ms"))) / 2)
       .cast("long").as("mid"))
-    val sided = ev.crossJoin(broadcast(mid))
+    val perValue = ev.crossJoin(broadcast(mid))
       .select(round(col("value") * 1000000.0d, 0).cast("long").as("vm"),
         when(col("ts_ms") < col("mid"), 1L).otherwise(0L).as("s1"),
         when(col("ts_ms") >= col("mid"), 1L).otherwise(0L).as("s2"))
-    val perValue = sided.groupBy(col("vm"))
+      .groupBy(col("vm"))
       .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
-    val tots = perValue.agg(sum(col("c1")).as("n1"),
-      sum(col("c2")).as("n2"))
-    val withCdf = PrefixScan.scan(perValue, col("vm"), Seq(col("vm")),
-        Seq(PrefixScan.RunSum(col("c1"), "cum1"),
-          PrefixScan.RunSum(col("c2"), "cum2")), cache = true)
-      .crossJoin(broadcast(tots))
-      .withColumn("f1",
-        col("cum1").cast("double") / col("n1").cast("double"))
-      .withColumn("f2",
-        col("cum2").cast("double") / col("n2").cast("double"))
     val crit = round(lit(1.628d) *
       sqrt((col("n1") + col("n2")).cast("double") /
         (col("n1") * col("n2")).cast("double")), 6)
-    withCdf.agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-        round(max(abs(col("f1") - col("f2"))), 6).as("ks_d"))
-      .select(col("n1"), col("n2"), col("ks_d"), crit.as("crit_01"),
-        (col("ks_d") > crit).as("shifted"))
+    val ksd = round(col("d_stat"), 6)
+    graft.functions.Ks.twoSampleD(perValue, col("vm"))
+      .select(col("n1"), col("n2"), ksd.as("ks_d"), crit.as("crit_01"),
+        (ksd > crit).as("shifted"))
   }
   val q167Sql: String =
     """WITH mid AS (SELECT ((min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2)

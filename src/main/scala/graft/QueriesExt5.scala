@@ -69,11 +69,12 @@ object QueriesExt5 {
     * test, run PER EVENT TYPE (the feed-level drilldown: "which event
     * stream moved?"): first vs second half of the period, D = max
     * |ECDF₁ − ECDF₂| at the type's distinct micro-unit values with
-    * ties fully counted. The per-type cumulative sums run through
-    * [[PrefixScan.scanGrouped]] — a `partitionBy(event_type)` window
-    * would push each type's whole distinct-value frame through one
-    * task; the totals are a ≤|types|-row broadcast. Same α = 0.01
-    * critical constant 1.628 as q167. */
+    * ties fully counted — the shared [[graft.functions.Ks]] grouped
+    * kernel ([[PrefixScan.scanGrouped]] running counts: a
+    * `partitionBy(event_type)` window would push each type's whole
+    * distinct-value frame through one task; the totals are a
+    * ≤|types|-row broadcast). Same α = 0.01 critical constant 1.628 as
+    * q167. */
   def q199KsByType(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val mid = ev.agg(((min(col("ts_ms")) + max(col("ts_ms"))) / 2)
@@ -85,25 +86,13 @@ object QueriesExt5 {
         when(col("ts_ms") >= col("mid"), 1L).otherwise(0L).as("s2"))
       .groupBy(col("event_type"), col("vm"))
       .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
-    val tots = perValue.groupBy(col("event_type"))
-      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    val scanned = PrefixScan.scanGrouped(perValue, "event_type",
-        col("vm"), Seq(col("vm")),
-        Seq(PrefixScan.RunSum(col("c1"), "cum1"),
-          PrefixScan.RunSum(col("c2"), "cum2")), cache = true)
-      .join(broadcast(tots), Seq("event_type"))
     val crit = round(lit(1.628d) *
       sqrt((col("n1") + col("n2")).cast("double") /
         (col("n1") * col("n2")).cast("double")), 6)
-    scanned
-      .withColumn("d", abs(col("cum1").cast("double") /
-        col("n1").cast("double") -
-        col("cum2").cast("double") / col("n2").cast("double")))
-      .groupBy(col("event_type"))
-      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-        round(max(col("d")), 6).as("ks_d"))
-      .select(col("event_type"), col("n1"), col("n2"), col("ks_d"),
-        crit.as("crit_01"), (col("ks_d") > crit).as("shifted"))
+    val ksd = round(col("d_stat"), 6)
+    graft.functions.Ks.twoSampleDGrouped(perValue, "event_type", col("vm"))
+      .select(col("event_type"), col("n1"), col("n2"), ksd.as("ks_d"),
+        crit.as("crit_01"), (ksd > crit).as("shifted"))
   }
   val q199Sql: String =
     """WITH mid AS (SELECT ((min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2)

@@ -21,15 +21,22 @@ object Transitions {
 
   /** @param orderCols total order within a user (include a unique
     *                  tie-breaker — ties under `lag` are otherwise
-    *                  nondeterministic across engines/partitionings). */
+    *                  nondeterministic across engines/partitionings).
+    * @param userCounts when true, adds `n_users` (distinct users that
+    *                  exhibit the transition — q259's support column)
+    *                  to the same matrix-grain aggregate; off by
+    *                  default so q113's published schema is unchanged. */
   def matrix(events: DataFrame, userCol: String, orderCols: Seq[Column],
-             typeCol: String): DataFrame = {
+             typeCol: String, userCounts: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
-    val pairs = events
+    val grouped = events
       .withColumn("prev_type", lag(col(typeCol), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))
-      .agg(count(lit(1)).as("n"))
+    val pairs =
+      if (userCounts) grouped.agg(count(lit(1)).as("n"),
+        countDistinct(col(userCol)).as("n_users"))
+      else grouped.agg(count(lit(1)).as("n"))
     pairs.withColumn("p",
       round(col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("prev_type")))
