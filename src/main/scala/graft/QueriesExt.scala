@@ -303,7 +303,7 @@ object QueriesExt {
     docs(s, dir).select(col("doc_id"), col("lang"),
       TextFunctions.langId(col("text")).as("lang_detected"))
   /** DuckDB replay of [[TextFunctions.langId]] over a `toks` column —
-    * ONE definition shared by q18 / q261 / q266 (QueriesExt9) so the
+    * ONE definition shared by q18 / q266 (QueriesExt9) so the
     * stopword lists and the max-struct tie-break cannot drift. */
   private[graft] val langIdSql: String = {
     val entries = TextFunctions.stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{PrefixScan, Similarity, TextFunctions}
+import graft.functions.{Ks, PrefixScan, Similarity, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,32 +75,25 @@ object QueriesExt9 {
     *
     * The 100 TB shape: group-by-value collapses the stream to its
     * distinct support WITH exact per-group counts (map-side combine),
-    * then BOTH empirical CDFs come from one [[PrefixScan]] two-pass
-    * run — exact integer running counts, so bucket re-association
-    * cannot change a bit and no single-partition window exists. The
-    * final max is a 1-row aggregate. Output: n1, n2, d_stat, ks_stat. */
+    * then the shared [[graft.functions.Ks.twoSampleD]] kernel (the
+    * same one behind q167/q199) derives both ECDFs from one cached
+    * [[PrefixScan]] two-pass run — exact integer running counts, so
+    * bucket re-association cannot change a bit and no single-partition
+    * window exists. The final max is a 1-row aggregate.
+    * Output: n1, n2, d_stat, ks_stat. */
   def q260KsTest(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val g = Tables.events(s, dir)
       .filter(col("event_type").isin("purchase", "click"))
-      .select(col("event_type"), col("value"))
-    val g = ev.groupBy(col("value")).agg(
-      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("g1"),
-      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("g2"))
-    val scanned = PrefixScan.scan(g, col("value"), Seq(col("value")),
-      Seq(PrefixScan.RunSum(col("g1"), "e1"),
-        PrefixScan.RunSum(col("g2"), "e2")))
-    val n = ev.agg(
-      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"),
-      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"))
-    val d = scanned.crossJoin(broadcast(n))
-      .select(abs(col("e1").cast("double") / col("n1").cast("double") -
-        col("e2").cast("double") / col("n2").cast("double")).as("diff"))
-      .agg(max(col("diff")).as("d_stat"))
-    d.crossJoin(broadcast(n)).select(col("n1"), col("n2"),
-      round(col("d_stat"), 6).as("d_stat"),
-      round(col("d_stat") * sqrt(col("n1").cast("double") *
-        col("n2").cast("double") / (col("n1") + col("n2")).cast("double")), 6)
-        .as("ks_stat"))
+      .groupBy(col("value")).agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+    Ks.twoSampleD(g, col("value"))
+      .select(col("n1"), col("n2"),
+        round(col("d_stat"), 6).as("d_stat"),
+        round(col("d_stat") * sqrt(col("n1").cast("double") *
+          col("n2").cast("double") / (col("n1") + col("n2")).cast("double")),
+          6).as("ks_stat"))
   }
   val q260Sql: String =
     """WITH ev AS (SELECT event_type, "value" AS v FROM events
@@ -317,11 +310,10 @@ object QueriesExt9 {
       .select(col("vec_id"), col("cx"), col("cy"), col("cell_n"),
         (col("cell_n") < 3L).as("is_outlier"))
   }
-  private def planeSql(j: Int): String =
-    Similarity.deterministicPlanes(2, 64)(j)
-      .map(p => if (p > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-  private def gridProjSql(j: Int): String =
-    s"list_sum(list_transform(list_zip(v, ${planeSql(j)}), x -> x[1] * x[2]))"
+  // The ONE plane-j projection definition lives in QueriesExt (its
+  // 8-plane set's planes 0..1 ARE deterministicPlanes(2, 64), since
+  // deterministicPlanes(j, i) depends only on (j, i)).
+  private def gridProjSql(j: Int): String = QueriesExt.projSql("v", j)
   val q264Sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (SELECT vec_id,
@@ -404,14 +396,9 @@ object QueriesExt9 {
         round(col("n").cast("double") / col("n_true").cast("double"), 6)
           .as("frac_of_true"))
   }
-  val q266Sql: String = {
-    val entries = TextFunctions.stopwords.toSeq.sortBy(_._1)
-      .map { case (lang, ws) =>
-        s"{'score': len(list_intersect(list_distinct(toks), " +
-          s"[${ws.map(w => s"'$w'").mkString(", ")}])), 'lang': '$lang'}"
-      }.mkString(", ")
+  val q266Sql: String =
     s"""WITH pred AS (
-       |  SELECT lang, list_aggregate([$entries], 'max').lang AS lang_detected
+       |  SELECT lang, ${QueriesExt.langIdSql} AS lang_detected
        |  FROM (SELECT lang, ${QueriesExt.toksSql} AS toks FROM documents)),
        |c AS (SELECT lang, lang_detected, count(*)::BIGINT AS n
        |      FROM pred GROUP BY 1, 2),
@@ -419,7 +406,6 @@ object QueriesExt9 {
        |SELECT c.lang, lang_detected, n,
        |       round(n::DOUBLE / n_true::DOUBLE, 6) AS frac_of_true
        |FROM c JOIN t USING (lang)""".stripMargin
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_seq_patterns" -> (q259SeqPatterns _),

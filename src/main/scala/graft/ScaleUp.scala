@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *    would measure an artificial 45-pairs-per-doc clique explosion,
   *    not 10× the real workload. Lengths, whitespace, and token
   *    boundaries are preserved, so text-statistics queries see the
-  *    same distributions. (Copies c and c+5 share a vowel rotation
-  *    and differ in the consonant map, so all 10 mutations are
-  *    pairwise distinct.)
+  *    same distributions. (Mutation c composes vowel / consonant /
+  *    second-consonant rotations indexed base-5, so all mutations up
+  *    to 125 copies are pairwise distinct; 1..9 match the original
+  *    10-copy scheme.)
   *  - `customer.c_acctbal` gains `copy` cents so integer-cents
   *    blocking keys (entity resolution) stay copy-local instead of
   *    forming 10×-deep identical-record blocks.
@@ -39,24 +40,34 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private val Off = 10000000L // > every key range; even; multiple of 10
+  // Must exceed every offset key's max in the SOURCE tree; even;
+  // multiple of 10 (preserves parity / mod-10 residue classes). main()
+  // VERIFIES this against the actual data before writing anything —
+  // running against a too-large source (e.g. an already-scaled tree)
+  // would silently alias entity keys across copies and corrupt the
+  // scaling measurement this tool exists to produce.
+  private val Off = 10000000L
 
-  private def vowelMap(c: Int): (String, String) = {
-    val v = "aeiou"
-    val rot = v.drop(c % 5) + v.take(c % 5)
-    (v + v.toUpperCase, rot + rot.toUpperCase)
+  private def rotMap(alphabet: String, k: Int): (String, String) = {
+    val rot = alphabet.drop(k) + alphabet.take(k)
+    (alphabet + alphabet.toUpperCase, rot + rot.toUpperCase)
   }
-  private def consMap(c: Int): (String, String) =
-    if (c < 5) ("", "") else ("bcdfgBCDFG", "cdfgbCDFGB")
 
   /** text mutated per copy: identity for copy 0, a distinct
-    * length-preserving character permutation for each other copy. */
+    * length-preserving character permutation for each other copy.
+    * Mutation c composes three independent cyclic rotations — vowels
+    * (period 5), one consonant run (period 5), a second consonant run
+    * (period 5) — indexed base-5, so all 125 combinations are pairwise
+    * distinct permutations (copies 1..9 reproduce the original
+    * vowel-rotation / ×2-consonant scheme exactly). */
   private def mutateText(text: org.apache.spark.sql.Column,
-                         copy: org.apache.spark.sql.Column) = {
-    val arms = (1 until 10).map { c =>
-      val (vf, vt) = vowelMap(c)
-      val (cf, ct) = consMap(c)
-      (c, translate(translate(text, vf, vt), cf, ct))
+                         copy: org.apache.spark.sql.Column,
+                         copies: Int) = {
+    val arms = (1 until copies).map { c =>
+      val (vf, vt) = rotMap("aeiou", c % 5)
+      val (cf, ct) = rotMap("bcdfg", (c / 5) % 5)
+      val (hf, ht) = rotMap("hjklm", (c / 25) % 5)
+      (c, translate(translate(translate(text, vf, vt), cf, ct), hf, ht))
     }
     arms.foldLeft(when(copy === 0, text)) { case (acc, (c, e)) =>
       acc.when(copy === c, e)
@@ -67,12 +78,11 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/scaledata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
-    // The text-mutation when-chain has exactly 10 arms and has no
-    // .otherwise, so copies > 10 would silently write NULL text; fail
-    // loudly instead of corrupting a scaling measurement.
-    require(copies >= 1 && copies <= 10,
-      s"copies must be in [1, 10] (got $copies): only 10 distinct " +
-        "text/embedding mutations are defined")
+    // Base-5³ mutation indexing gives 125 distinct text permutations;
+    // the embedding rotation (7·c mod 64) is distinct for c < 64.
+    require(copies >= 1 && copies <= 64,
+      s"copies must be in [1, 64] (got $copies): beyond that the " +
+        "per-copy embedding rotations repeat")
     val spark = SparkSession.builder()
       .master(s"local[${Launch.cpus}]")
       .config("spark.sql.shuffle.partitions", Launch.cpus)
@@ -83,6 +93,26 @@ object ScaleUp {
 
     val cp = broadcast(spark.range(copies).select(col("id").as("__c")))
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
+
+    // Copy disjointness is a DATA property, not a comment: verify that
+    // every key column we offset fits under Off in the source tree
+    // (fails loudly e.g. when pointed at an already-scaled output).
+    val offsetKeys = Seq(
+      "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+    offsetKeys.foreach { case (t, keys) =>
+      val maxes = load(t).agg(max(col(keys.head).cast("long")),
+        keys.tail.map(k => max(col(k).cast("long"))): _*).head()
+      keys.zipWithIndex.foreach { case (k, i) =>
+        val m = maxes.getLong(i)
+        require(m < Off,
+          s"$t.$k max $m >= offset stride $Off: source $src is not an " +
+            "unscaled base tree; copies would alias entity keys")
+      }
+    }
     def write(df: DataFrame, t: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
     def off(c: String) = (col(c) + col("__c") * Off).as(c)
@@ -120,7 +150,7 @@ object ScaleUp {
       col("value"), col("props")), "events", 32)
 
     write(load("documents").crossJoin(cp).select(
-      off("doc_id"), mutateText(col("text"), col("__c")).as("text"),
+      off("doc_id"), mutateText(col("text"), col("__c"), copies).as("text"),
       col("lang"), col("source"), col("n_chars")), "documents", 16)
 
     // Per-copy circular dimension rotation (by 7·copy positions):

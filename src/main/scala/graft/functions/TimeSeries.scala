@@ -187,11 +187,14 @@ object TimeSeries {
         sum(when(col("rhalf"), col("x"))).as("sr"),
         count(when(col("rhalf"), lit(1))).as("nr"))
       .filter(col("nl") === col("halflen") && col("nr") === col("halflen"))
-    // The detail numerator |sl−sr| can reach halflen·max(x), so d² can
-    // reach halflen²·max(x)² — a LONG square would tighten the file's
+    // The detail numerator |sl−sr| can reach halflen·max|x|, so d² can
+    // reach halflen²·max|x|² — a LONG square would tighten the file's
     // n·max(x)² < 2^63 contract by a halflen² factor at high levels.
-    // Squaring in decimal(38,0) keeps the sum exact for any level this
-    // API can express (38 digits ≫ halflen²·max(x)²·n for long inputs).
+    // Squaring in decimal(38,0) widens that contract to: exact while
+    // halflen·max|x| < 10^19 and n_coeffs·(halflen·max|x|)² < 10^38
+    // (38 decimal digits; under non-ANSI mode an overflow would null
+    // `sdd` silently, so callers with |x| near 2^63 at level ≥ 1 are
+    // outside the contract, same style as the file's n·max(x)² bound).
     val d = (col("sl") - col("sr")).cast("decimal(38,0)")
     blocks.groupBy(col("level"), col("halflen"))
       .agg(count(lit(1)).as("n_coeffs"),
