@@ -33,7 +33,7 @@ object JoinAudit {
         .orElse(other.children.view.flatMap(sideRows).headOption)
   }
 
-  private def offenders(p: SparkPlan): Seq[String] = p.collect {
+  private[graft] def offenders(p: SparkPlan): Seq[String] = p.collect {
     case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
     case s: QueryStageExec => offenders(s.plan)
     case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>

@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   * partition" shape that breaks at 100×. Zero output rows = clean.
   * Usage: runMain graft.WindowAudit [sfDir] */
 object WindowAudit {
-  private def unpartitioned(p: SparkPlan): Seq[String] = p.collect {
+  private[graft] def unpartitioned(p: SparkPlan): Seq[String] = p.collect {
     case a: AdaptiveSparkPlanExec => unpartitioned(a.executedPlan)
     case s: QueryStageExec => unpartitioned(s.plan)
     case w: org.apache.spark.sql.execution.window.WindowExec

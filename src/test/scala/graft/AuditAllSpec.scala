@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Paths
+
+/** Pins the [[AuditAll]] round gate's FAILURE direction: the sweep
+  * proves the registry is clean, this spec proves the gate would
+  * actually catch a regression (an unflaggable gate is no gate). */
+class AuditAllSpec extends SparkSuite {
+
+  test("collect allowlist flags a new site and count growth") {
+    // New file not in the allowlist.
+    assert(AuditAll.collectOffenders(Map("Rogue.scala" -> 1)).size === 1)
+    // Known file, one more site than audited.
+    val f = "PrefixScan.scala"
+    val grown = Map(f -> (AuditAll.collectAllowlist(f) + 1))
+    val msgs = AuditAll.collectOffenders(grown)
+    assert(msgs.size === 1 && msgs.head.contains(f))
+    // At or under the audited count: clean.
+    assert(AuditAll.collectOffenders(
+      Map(f -> AuditAll.collectAllowlist(f))).isEmpty)
+    assert(AuditAll.collectOffenders(Map(f -> 0)).isEmpty)
+  }
+
+  test("allowlist matches the actual census (no drift either way)") {
+    // Run from the repo root (sbt's working dir): the census the gate
+    // scans is the same tree this build just compiled. An allowlist
+    // entry ABOVE the census is stale headroom a new collect() could
+    // hide under — require exact equality.
+    val census = AuditAll.collectCensus(Paths.get("src/main/scala"))
+    assert(census === AuditAll.collectAllowlist)
+  }
+
+  test("plan walkers flag the shapes the gate exists to catch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(100).toDF("id")
+      .withColumn("r", row_number().over(Window.orderBy(col("id"))))
+    assert(WindowAudit.unpartitionedWindows(df).nonEmpty)
+    val big = spark.range(5000).toDF("a")
+    val alsoBig = spark.range(5000).toDF("b")
+    val cart = big.join(alsoBig, col("a") < col("b"))
+    assert(JoinAudit.oversizedNonEquiJoins(cart).nonEmpty)
+  }
+}
