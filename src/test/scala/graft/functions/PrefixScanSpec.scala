@@ -144,6 +144,28 @@ class PrefixScanSpec extends SparkSuite {
     assert(unpartitionedWindows(got).isEmpty)
   }
 
+  test("bounded grains are sf-invariant (the BoundedWindow / ordered-fold " +
+    "safety bound, COVERAGE.md §2.5)") {
+    // The grains BoundedWindow and the ordered recurrence folds (q227
+    // CUSUM, q244 Holt, q262 Page–Hinkley) run on must be fixed by the
+    // DOMAIN: same cardinality at 10× the data, and far under the ~4,096
+    // driver-safety bound named in COVERAGE.md. If testdata regeneration
+    // ever widened the events window past ~3 calendar months, this is
+    // the test that says so before a fold silently collects more.
+    def grain(d: String, c: org.apache.spark.sql.Column) =
+      graft.Tables.events(spark, sf(d)).select(c).distinct().count()
+    val dayCol = expr("ts_ms div 86400000")
+    val days1 = grain("sf0.001", dayCol)
+    val days10 = grain("sf0.01", dayCol)
+    assert(days1 === days10, "calendar-day grain grew with data volume")
+    assert(days10 <= 92L, s"daily series $days10 exceeds the documented bound")
+    val types1 = grain("sf0.001", col("event_type"))
+    val types10 = grain("sf0.01", col("event_type"))
+    assert(types1 === types10, "event-type grain grew with data volume")
+    assert(types10 * types10 <= 4096L,
+      "|types|^2 transition grain exceeds the documented bound")
+  }
+
   test("BoundedWindow survives EliminateWindowPartitions (non-empty spec)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("v", "g").repartition(2)
