@@ -407,6 +407,73 @@ object QueriesExt9 {
        |       round(n::DOUBLE / n_true::DOUBLE, 6) AS frac_of_true
        |FROM c JOIN t USING (lang)""".stripMargin
 
+  // ---------------------------------------------------------------- q267
+  /** The 30-token passage planted by q267: appended verbatim to every
+    * doc_id ≡ 0 (mod 5), it creates KNOWN cross-doc repeated token
+    * spans whose recovery is checkable arithmetically (every planted
+    * doc except the global first must emit a span covering exactly the
+    * passage's token range) — the plant discipline of q250, applied to
+    * substring-level dedup. Lowercase single-space tokens, so both
+    * engines' tokenizers pass it through unchanged. */
+  private[graft] val q267Plant: String =
+    (1 to 30).map(i => f"planted$i%02d").mkString(" ")
+
+  /** Exact SUBSTRING-level dedup (Lee et al. 2021, arXiv:2107.06499):
+    * the canonical LLM-corpus dedup tier between q13's whole-doc
+    * fingerprint and q14/q15's near-dup — any 20-token window occurring
+    * more than once in the corpus marks every occurrence after the
+    * first, and marked positions merge into maximal REMOVABLE
+    * (doc_id, tok_start, tok_len) spans, the "what to cut" artifact.
+    * Runs over the documents corpus with the plant injected (the
+    * corpus also carries natural sentence reuse — both kinds of span
+    * are recovered and oracle-replayed).
+    *
+    * The 100 TB shape ([[graft.functions.ExactSubstrings
+    * .duplicateTokenSpans]]): only (id, pos, hash) longs ever shuffle
+    * — text and token arrays stay inside the scan; the first-occurrence
+    * rule is one per-hash window and the span merge one per-doc window.
+    * Output: doc_id, span, tok_start, tok_end, tok_len. */
+  def q267TokenSpans(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + q267Plant)))
+        .otherwise(col("text")).as("text"))
+    graft.functions.ExactSubstrings
+      .duplicateTokenSpans(corpus, "text", "doc_id", W = 20)
+      .select(col("id").as("doc_id"), col("span"),
+        col("tok_start"), col("tok_end"), col("tok_len"))
+  }
+  val q267Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH d0 AS (SELECT doc_id,
+       |        CASE WHEN doc_id % 5 = 0 THEN text || ' $q267Plant'
+       |             ELSE text END AS text
+       |      FROM documents),
+       |d AS (SELECT doc_id,
+       |        string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |      FROM d0),
+       |w AS (SELECT doc_id, unnest(range(1, len(toks) - 18)) AS pos, toks
+       |      FROM d WHERE len(toks) >= 20),
+       |g AS (SELECT doc_id, pos,
+       |        ${mid("array_to_string(toks[pos:pos+19], ' ')")} AS h
+       |      FROM w),
+       |r AS (SELECT doc_id, pos,
+       |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |      FROM g),
+       |dup AS (SELECT doc_id, pos, pos + 19 AS e FROM r WHERE rn >= 2),
+       |mx AS (SELECT doc_id, pos, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |       FROM dup),
+       |sp AS (SELECT doc_id, pos, e,
+       |         sum(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS span
+       |       FROM mx)
+       |SELECT doc_id, span, min(pos) AS tok_start, max(e) AS tok_end,
+       |       max(e) - min(pos) + 1 AS tok_len
+       |FROM sp GROUP BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_seq_patterns" -> (q259SeqPatterns _),
     "q260_ks_test" -> (q260KsTest _),
@@ -415,7 +482,8 @@ object QueriesExt9 {
     "q263_flesch" -> (q263Flesch _),
     "q264_grid_outliers" -> (q264GridOutliers _),
     "q265_auc_rank" -> (q265AucRank _),
-    "q266_lang_confusion" -> (q266LangConfusion _)
+    "q266_lang_confusion" -> (q266LangConfusion _),
+    "q267_token_spans" -> (q267TokenSpans _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -426,6 +494,7 @@ object QueriesExt9 {
     "q263_flesch" -> q263Sql,
     "q264_grid_outliers" -> q264Sql,
     "q265_auc_rank" -> q265Sql,
-    "q266_lang_confusion" -> q266Sql
+    "q266_lang_confusion" -> q266Sql,
+    "q267_token_spans" -> q267Sql
   )
 }

@@ -48,15 +48,19 @@ object ExactSubstrings {
   private def substring_index_window(text: Column, pos: Column, L: Int): Column =
     text.substr(pos, lit(L))
 
-  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
-                     L: Int): DataFrame = {
+  /** Marks every post-first occurrence of each window hash and merges
+    * overlapping/contiguous marked positions into maximal per-doc spans
+    * (the q29 gap-merge shape) — the tail shared by the char- and
+    * token-grain variants. Input: (id, pos, h) window hashes with `e`
+    * the window's inclusive end position. */
+  private def markAndMerge(hashes: DataFrame, winLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byHash = Window.partitionBy(col("h"))
       .orderBy(col("id").asc, col("pos").asc)
-    val dup = windowHashes(df, textCol, idCol, L)
+    val dup = hashes
       .withColumn("rn", row_number().over(byHash))
       .filter(col("rn") >= 2)
-      .select(col("id"), col("pos"), (col("pos") + (L - 1)).as("e"))
+      .select(col("id"), col("pos"), (col("pos") + (winLen - 1)).as("e"))
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos").asc)
     val prevEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     dup
@@ -66,5 +70,41 @@ object ExactSubstrings {
       .groupBy(col("id"), col("span"))
       .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
       .withColumn("span_len", col("span_end") - col("span_start") + 1)
+  }
+
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     L: Int): DataFrame =
+    markAndMerge(windowHashes(df, textCol, idCol, L), L)
+
+  /** Token-grain twin of [[duplicateSpans]] — Lee et al.'s actual dedup
+    * unit is the token, not the character (arXiv:2107.06499 §3 uses
+    * 50-token windows over BPE ids): every length-`W` TOKEN window that
+    * occurs more than once in the corpus marks its post-first
+    * occurrences, merged into maximal removable (doc, tok_start,
+    * tok_len) spans. Tokenization is the repo's canonical
+    * [[TextFunctions.tokens]] (lowercase, \\s+), so the unit lines up
+    * with every other token-grain operator.
+    *
+    * Scale shape (the q13/q254 discipline): the explode is rows ×
+    * tokens but each emitted row is (id, pos, 60-bit hash) LONGS — the
+    * token arrays stay inside the scan projection and TEXT NEVER
+    * SHUFFLES; the only exchanges are the per-hash first-occurrence
+    * window and the per-doc merge. Output: (id, span, tok_start,
+    * tok_end, tok_len) — 1-based inclusive token offsets. */
+  def duplicateTokenSpans(df: DataFrame, textCol: String, idCol: String,
+                          W: Int): DataFrame = {
+    val hashes = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("id"),
+        explode(sequence(lit(1), size(col("toks")) - (W - 1))).as("pos"),
+        col("toks"))
+      .select(col("id"), col("pos"),
+        TextFunctions.md5Long(
+          array_join(slice(col("toks"), col("pos"), lit(W)), " ")).as("h"))
+    markAndMerge(hashes, W)
+      .withColumnRenamed("span_start", "tok_start")
+      .withColumnRenamed("span_end", "tok_end")
+      .withColumnRenamed("span_len", "tok_len")
   }
 }

@@ -1280,6 +1280,58 @@ class FunctionsSpec extends SparkSuite {
     assert(d3 == Seq((3L, 3, 22, 20), (3L, 33, 52, 20)), s"got $d3")
   }
 
+  test("duplicateTokenSpans: planted cross-doc passage recovered exactly; " +
+    "first occurrence kept; in-doc gap splits spans") {
+    // Controlled corpus: token positions are fully known, so the plant
+    // recovery is asserted EXACTLY (the q267 oracle replays the same
+    // construction over the real corpus, where natural sentence reuse
+    // can legitimately merge adjacent spans).
+    def words(prefix: String, n: Int) =
+      (1 to n).map(i => f"$prefix$i%02d").mkString(" ")
+    val passage = words("dup", 12) // 12 shared tokens, W = 8
+    val docs = Seq(
+      (1L, words("aa", 5) + " " + passage),          // canonical copy
+      (2L, words("bb", 7) + " " + passage),          // span at tokens 8..19
+      (3L, passage + " " + words("cc", 9) + " " + passage) // two spans
+    ).toDF("doc_id", "text")
+    val out = graft.functions.ExactSubstrings
+      .duplicateTokenSpans(docs, "text", "doc_id", W = 8)
+      .select("id", "tok_start", "tok_end", "tok_len")
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    // Doc 1 holds the global first occurrence of every passage window
+    // (id-ascending tie-break): nothing removable.
+    assert(!out.exists(_._1 == 1L), s"first occurrence marked: ${out.toSeq}")
+    // Doc 2: passage occupies tokens 8..19 — recovered exactly.
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 8, 19, 12)))
+    // Doc 3: passage at 1..12 and again at 22..33, unique gap between —
+    // two separate exact spans, not one merged blur.
+    assert(out.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 1, 12, 12), (3L, 22, 33, 12)))
+  }
+
+  test("q267 plant recovered on the real corpus: every planted doc except " +
+    "the first emits a span covering the passage") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val spans = QueriesExt9.q267TokenSpans(spark, dir)
+    val nTok = QueriesExt.docs(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+    val firstPlanted = nTok.agg(min("doc_id")).as[Long].head()
+    // The plant appends 30 tokens at positions n+1..n+30; a natural
+    // trailing dup span may legitimately merge with it, so assert
+    // COVERAGE (span_start ≤ n+1 and span_end ≥ n+30), not equality.
+    val uncovered = nTok.filter(col("doc_id") =!= firstPlanted)
+      .join(spans, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("tok_start") <= col("n") + 1 &&
+        col("tok_end") >= col("n") + 30).as("covered"))
+      .filter(!coalesce(col("covered"), lit(false)))
+    assert(uncovered.isEmpty,
+      s"plant not recovered for: ${uncovered.collect().mkString(", ")}")
+  }
+
   test("psiDrift: identical populations score 0; one-sided bins null out") {
     val ref = (1 to 100).map(i => i.toLong).toDF("v")
     val same = RobustStats.psiDrift(ref, ref, "v")
