@@ -96,14 +96,33 @@ object Bench {
       t <- results.toMap.get("q24_spine_scaled").filter(_ > 0)
       n <- try Some(Queries.scaledSpineCount(spark, sfDir)) catch { case _: Throwable => None }
     } yield s""","spine_records":$n,"spine_records_per_sec":${(n / t).toLong}""").getOrElse("")
+    // Streaming-STATE scale probe (VERDICT r10 #6): the three stateful
+    // window aggs at 1× and 10× the sf's event volume under RocksDB —
+    // state rows must be identical across the two (keyed by
+    // (window, type), not by input row) while input scales 10×. Full
+    // sweeps only (skipped in SPARK_GRAFT_BENCH_ONLY iteration mode or
+    // with SPARK_GRAFT_STREAM_PROBE=0).
+    val streamProbe =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_STREAM_PROBE").contains("0")) ""
+      else try {
+        def js(ps: Seq[graft.streaming.StreamScale.Probe]) = ps.map(p =>
+          s""""${p.name}":{"rows":${p.rows},"rps":${p.rps},"state_rows":${p.stateRows},"state_bytes":${p.stateBytes}}""")
+          .mkString("{", ",", "}")
+        val p1 = graft.streaming.StreamScale.run(spark, sfDir, copies = 1)
+        val p10 = graft.streaming.StreamScale.run(spark, sfDir, copies = 10)
+        s""","stream_state_probe":{"provider":"rocksdb","at_1x":${js(p1)},"at_10x":${js(p10)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream probe failed: ${e.getMessage}")
+        ""","stream_state_probe":"failed""""
+      }
     // The driver captures only the LAST ~2000 chars of stdout, so the
     // ~8 KB queries map made the whole line unparseable in r07/r08
     // ("parsed": null — every per-query time invisible to the judge).
     // Printed line: SHORT summary that always fits the capture window.
     // Full line incl. the per-query map: BENCH_DETAIL.json, committed
     // with the repo so every sweep's 200+ times are auditable.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps$spine$warm,"detail":"BENCH_DETAIL.json"}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps$spine$warm,"queries":$qs}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps$spine$warm$streamProbe,"detail":"BENCH_DETAIL.json"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps$spine$warm$streamProbe,"queries":$qs}"""
     // Relative to the working directory (the repo root under the
     // harness), not a machine-absolute path.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
