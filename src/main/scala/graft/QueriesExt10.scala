@@ -1,0 +1,373 @@
+package graft
+
+import graft.functions.{PrefixScan, TextFunctions}
+import graft.operators.Hits
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries q268+ — link-analysis, parametric tests, divergence,
+  * and within-document repetition: HITS hubs/authorities, one-way ANOVA,
+  * Brown–Forsythe variance homogeneity, per-source Jensen–Shannon
+  * divergence, and Gopher-style repetition signals.
+  *
+  * Shape discipline (the 100 TB contract, same as [[QueriesExt9]]):
+  * iterative graph algebra runs in exact scaled-integer fixed point
+  * (the PageRank/[[Hits]] trick — integer sums are order-independent,
+  * so partial aggregation cannot change a bit); data-scaled double sums
+  * integerize per-term to micro-units before aggregation; the only
+  * floating-point folds run over DOMAIN-BOUNDED grains (|event types|)
+  * in sorted order, replayed by DuckDB's list_sum over the same sorted
+  * list. */
+object QueriesExt10 {
+  import QueriesExt.docs
+
+  // ---------------------------------------------------------------- q268
+  /** HITS hubs & authorities over the customer→part purchase bipartite
+    * graph (Kleinberg 1999): customers are hubs (they buy authoritative
+    * parts), parts are authorities (they are bought by good hubs) — the
+    * link-analysis complement of q81's PageRank, and the classic
+    * recommendation-seed score.
+    *
+    * The 100 TB shape ([[Hits.scores]]): per iteration one equi-join +
+    * one partial-aggregated exact integer sum per side; the L1
+    * renormalization is a 1-row broadcast + decimal(38,0) integral
+    * division, so the fixed point replays bit-for-bit in DuckDB's
+    * HUGEINT algebra. 3 iterations. Output: id, side, score. */
+  def q268Hits(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+    Hits.scores(e, iterations = 3)
+  }
+  val q268Sql: String = {
+    val S = 1000000000000L
+    val iters = 3
+    val steps = (1 to iters).map { i =>
+      val ph = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS (SELECT dst AS id, sum(s)::HUGEINT AS raw
+         |         FROM e JOIN $ph ON e.src = $ph.id GROUP BY 1),
+         |a$i AS (SELECT id, (raw * $S // (SELECT sum(raw) FROM ar$i))::HUGEINT
+         |          AS s FROM ar$i),
+         |hr$i AS (SELECT src AS id, sum(s)::HUGEINT AS raw
+         |         FROM e JOIN a$i ON e.dst = a$i.id GROUP BY 1),
+         |h$i AS (SELECT id, (raw * $S // (SELECT sum(raw) FROM hr$i))::HUGEINT
+         |          AS s FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+       |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT src AS id, $S::HUGEINT AS s FROM e),
+       |$steps
+       |SELECT id, 'hub' AS side, s::BIGINT AS score FROM h$iters
+       |UNION ALL
+       |SELECT id, 'authority' AS side, s::BIGINT AS score FROM a$iters"""
+      .stripMargin
+  }
+
+  // -------------------------------------------------- shared ANOVA kernel
+  /** One-way ANOVA F from a per-group sufficient-statistics frame
+    * (g, n, sv, qv): n exact counts, sv exact integer value sums, qv
+    * exact decimal(38,0) squared sums. The between/within sums of
+    * squares need Σ_g sv²/n — a double over a DOMAIN-BOUNDED grain, so
+    * it folds over the SORTED group list (deterministic order both
+    * engines replay); N, T, ΣQ stay exact integers/decimals until the
+    * closed form. Output: k, n, ssb, ssw, f_stat (micro-unit² sums
+    * scaled back to value units² by /1e12). */
+  private def anovaF(perGroup: DataFrame): DataFrame = {
+    val folded = perGroup
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("n")).as("nn"), sum(col("sv")).as("t"),
+        sum(col("qv")).as("qq"),
+        sort_array(collect_list(struct(col("g"), col("n"), col("sv"))))
+          .as("gs"))
+      .withColumn("sumsq", aggregate(col("gs"), lit(0.0d), (acc, x) =>
+        acc + x.getField("sv").cast("double") * x.getField("sv").cast("double")
+          / x.getField("n").cast("double")))
+    folded.select(col("k"), col("nn").as("n"),
+      ((col("sumsq") - col("t").cast("double") * col("t").cast("double")
+        / col("nn").cast("double")) / lit(1.0e12d)).as("ssb0"),
+      ((col("qq").cast("double") - col("sumsq")) / lit(1.0e12d)).as("ssw0"))
+      .select(col("k"), col("n"),
+        round(col("ssb0"), 4).as("ssb"), round(col("ssw0"), 4).as("ssw"),
+        round((col("ssb0") / (col("k") - 1L).cast("double")) /
+          (col("ssw0") / (col("n") - col("k")).cast("double")), 6)
+          .as("f_stat"))
+  }
+
+  /** DuckDB replay of [[anovaF]] over a CTE named `g` with columns
+    * (g, n, sv, qv) — same sorted-list fold, same operation order. */
+  private val anovaFSql: String =
+    """f0 AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+      |         sum(sv)::BIGINT AS t, sum(qv)::HUGEINT AS qq,
+      |         list_sum(list_transform(
+      |           list_sort(list(struct_pack(g := g, n := n, sv := sv))),
+      |           x -> x.sv::DOUBLE * x.sv::DOUBLE / x.n::DOUBLE)) AS sumsq
+      |       FROM g),
+      |f1 AS (SELECT k, nn AS n,
+      |         (sumsq - t::DOUBLE * t::DOUBLE / nn::DOUBLE) / 1.0e12 AS ssb0,
+      |         (qq::DOUBLE - sumsq) / 1.0e12 AS ssw0
+      |       FROM f0)
+      |SELECT k, n, round(ssb0, 4) AS ssb, round(ssw0, 4) AS ssw,
+      |       round((ssb0 / (k - 1)::DOUBLE) / (ssw0 / (n - k)::DOUBLE), 6)
+      |         AS f_stat
+      |FROM f1""".stripMargin
+
+  // ---------------------------------------------------------------- q269
+  /** One-way ANOVA: do the event types have the same mean value? The
+    * parametric complement of q206's Kruskal–Wallis (KW compares rank
+    * distributions; F compares means under equal-variance normality).
+    * F = [SSB/(k−1)] / [SSW/(N−k)] from exact per-type micro-unit
+    * sufficient statistics.
+    *
+    * The 100 TB shape: ONE map-side-combined aggregate to the
+    * |types|-bounded grain (n, Σvm exact longs, Σvm² exact
+    * decimal(38,0) — vm² alone can exceed 2^63); the only double sum
+    * folds over the ≤|types| sorted groups. Output: k, n, ssb, ssw,
+    * f_stat (value units²). */
+  def q269AnovaF(s: SparkSession, dir: String): DataFrame =
+    anovaF(Tables.events(s, dir)
+      .select(col("event_type").as("g"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
+        sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("qv")))
+  val q269Sql: String =
+    s"""WITH g AS (SELECT event_type AS g, count(*)::BIGINT AS n,
+       |             sum(vm)::BIGINT AS sv,
+       |             sum(vm::HUGEINT * vm::HUGEINT)::HUGEINT AS qv
+       |           FROM (SELECT event_type,
+       |                   round("value" * 1000000.0)::BIGINT AS vm
+       |                 FROM events)
+       |           GROUP BY 1),
+       |$anovaFSql""".stripMargin
+
+  // ---------------------------------------------------------------- q270
+  /** Per-source Jensen–Shannon divergence from the rest of the corpus —
+    * "which source is distributionally unusual", the symmetric
+    * bounded-by-ln2 divergence behind mixture design and contamination
+    * triage (PSI drifts per bin, MI couples two labels; JS compares a
+    * source's whole token distribution against everything else).
+    * JS(P‖Q) = ½ΣP·ln(P/M) + ½ΣQ·ln(Q/M), M = (P+Q)/2, P the source's
+    * token distribution, Q the rest-of-corpus one.
+    *
+    * The 100 TB shape: tokens explode ONCE into a (source, token)
+    * map-side-combined count; the global per-token frame derives from
+    * it (no second text pass) and meets it in an equi-join on the
+    * token's 60-bit fingerprint — text never shuffles, only hashed
+    * longs. Each token's JS term integerizes to round(term·1e12)
+    * micro-nats (both engines compute the identical double from
+    * identical integer inputs, THEN round), so the data-scaled sum is
+    * exact-integer order-independent. Output per source: source,
+    * n_toks, js_nats. */
+  def q270JsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      .select(col("source"), TextFunctions.md5Long(col("t")).as("th"))
+    val bySrc = tok.groupBy(col("source"), col("th"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val glob = bySrc.groupBy(col("th")).agg(sum(col("c")).as("ct"))
+    val nSrc = bySrc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val nTot = glob.agg(sum(col("ct")).as("nt"))
+    val joined = bySrc.join(glob, "th")
+      .join(broadcast(nSrc), "source").crossJoin(broadcast(nTot))
+    val p = col("c").cast("double") / col("ns").cast("double")
+    val q = (col("ct") - col("c")).cast("double") /
+      (col("nt") - col("ns")).cast("double")
+    val m = (p + q) / lit(2.0d)
+    // One-sided tokens: the q=0 term contributes only ½p·ln(p/m) (and
+    // symmetrically); tokens absent from the source never appear in
+    // bySrc, so their ½q·ln(q/m) mass is added from the REST-only
+    // frame below.
+    val term = when(col("ct") > col("c"),
+      lit(0.5d) * p * log(p / m) + lit(0.5d) * q * log(q / m))
+      .otherwise(lit(0.5d) * p * log(p / m))
+    val inSrc = joined.select(col("source"),
+      round(term * lit(1.0e12d), 0).cast("long").as("tm"))
+      .groupBy(col("source")).agg(sum(col("tm")).as("sm"))
+    // Tokens the source never emits: p=0, m=q/2, term = ½q·ln(2) — so
+    // the missing mass is ½·ln2·(share of rest tokens absent from the
+    // source), computed from counts alone (rest_present = Σ_t∈src
+    // (ct−c)): no second token-grain pass.
+    val present = joined.groupBy(col("source"), col("ns"), col("nt"))
+      .agg(sum(col("ct") - col("c")).as("rest_present"))
+    val absent = present.select(col("source"),
+      (lit(0.5d) * log(lit(2.0d)) *
+        (lit(1.0d) - col("rest_present").cast("double") /
+          (col("nt") - col("ns")).cast("double"))).as("abs_nats"))
+    inSrc.join(absent, "source").join(broadcast(nSrc), "source")
+      .select(col("source"), col("ns").as("n_toks"),
+        round(col("sm").cast("double") / lit(1.0e12d) + col("abs_nats"), 6)
+          .as("js_nats"))
+  }
+  val q270Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH tok AS (SELECT source, ${mid("t")} AS th
+       |             FROM (SELECT source, unnest(string_split_regex(
+       |                     trim(lower(text)), '\\s+')) AS t FROM documents)),
+       |bysrc AS (SELECT source, th, count(*)::BIGINT AS c
+       |          FROM tok GROUP BY 1, 2),
+       |gtok AS (SELECT th, sum(c)::BIGINT AS ct FROM bysrc GROUP BY 1),
+       |nsrc AS (SELECT source, sum(c)::BIGINT AS ns FROM bysrc GROUP BY 1),
+       |ntot AS (SELECT sum(ct)::BIGINT AS nt FROM gtok),
+       |j AS (SELECT source, c, ct, ns, nt,
+       |        c::DOUBLE / ns::DOUBLE AS p,
+       |        (ct - c)::DOUBLE / (nt - ns)::DOUBLE AS q
+       |      FROM bysrc JOIN gtok USING (th)
+       |      JOIN nsrc USING (source) CROSS JOIN ntot),
+       |tm AS (SELECT source,
+       |         round((CASE WHEN ct > c THEN
+       |             0.5 * p * ln(p / ((p + q) / 2.0))
+       |               + 0.5 * q * ln(q / ((p + q) / 2.0))
+       |           ELSE 0.5 * p * ln(p / ((p + q) / 2.0)) END)
+       |           * 1.0e12)::BIGINT AS tm,
+       |         ct - c AS rest_c, ns, nt
+       |       FROM j),
+       |sm AS (SELECT source, sum(tm)::BIGINT AS sm,
+       |         sum(rest_c)::BIGINT AS rest_present,
+       |         any_value(ns) AS ns, any_value(nt) AS nt
+       |       FROM tm GROUP BY 1)
+       |SELECT source, ns AS n_toks,
+       |       round(sm::DOUBLE / 1.0e12
+       |         + 0.5 * ln(2.0) * (1.0 - rest_present::DOUBLE
+       |             / (nt - ns)::DOUBLE), 6) AS js_nats
+       |FROM sm""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q271
+  /** Within-document repetition signals (Rae et al. 2021 "Gopher"
+    * Table A1's duplicate-n-gram family): per document, the fraction of
+    * 3-gram occurrences that are within-doc duplicates, and the share
+    * of 2-gram occurrences taken by the single most frequent 2-gram —
+    * the two screens that catch boilerplate loops and keyword stuffing
+    * that q19's global ratios miss.
+    *
+    * The 100 TB shape: pure scan-local higher-order functions — gram
+    * arrays, array_distinct, and a sorted-run-length fold all happen
+    * inside the row's projection; NOTHING explodes and nothing
+    * shuffles (the output is one row per doc). Output: doc_id, n3,
+    * dup3_frac, top2_share, is_repetitive. */
+  def q271Repetition(s: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int): Column = expr(
+      s"""transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)),
+         |  i -> concat_ws(' ', slice(toks, i, $n)))""".stripMargin)
+    // Longest run of equal neighbors in the SORTED gram list = the top
+    // gram's occurrence count — a left-to-right fold both engines
+    // replay in the same order.
+    def topCount(gramsCol: Column): Column = {
+      val sorted = sort_array(gramsCol)
+      aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        }).getField("best")
+    }
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("g3", grams(3)).withColumn("g2", grams(2))
+      .select(col("doc_id"),
+        size(col("g3")).cast("long").as("n3"),
+        (lit(1.0d) - size(array_distinct(col("g3"))).cast("double") /
+          greatest(size(col("g3")), lit(1)).cast("double")).as("dup3_0"),
+        (topCount(col("g2")).cast("double") /
+          greatest(size(col("g2")), lit(1)).cast("double")).as("top2_0"))
+      .select(col("doc_id"), col("n3"),
+        round(col("dup3_0"), 6).as("dup3_frac"),
+        round(col("top2_0"), 6).as("top2_share"),
+        (col("dup3_0") > 0.18d || col("top2_0") > 0.18d).as("is_repetitive"))
+  }
+  val q271Sql: String = {
+    def gramsSql(n: Int) =
+      s"""list_transform(range(1, greatest(len(toks) - ${n - 1}, 0) + 1),
+         |      i -> array_to_string(toks[i:i+${n - 1}], ' '))""".stripMargin
+    s"""WITH d AS (SELECT doc_id,
+       |             string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, ${gramsSql(3)} AS g3, ${gramsSql(2)} AS g2
+       |      FROM d),
+       |r AS (SELECT doc_id,
+       |        len(g3)::BIGINT AS n3,
+       |        1.0 - len(list_distinct(g3))::DOUBLE
+       |          / greatest(len(g3), 1)::DOUBLE AS dup3_0,
+       |        (SELECT max(cnt) FROM (
+       |           SELECT count(*) AS cnt FROM unnest(g2) AS u(x) GROUP BY x
+       |         ))::DOUBLE / greatest(len(g2), 1)::DOUBLE AS top2_0
+       |      FROM g)
+       |SELECT doc_id, n3, round(dup3_0, 6) AS dup3_frac,
+       |       round(coalesce(top2_0, 0.0), 6) AS top2_share,
+       |       (dup3_0 > 0.18 OR coalesce(top2_0, 0.0) > 0.18)
+       |         AS is_repetitive
+       |FROM r""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q272
+  /** Brown–Forsythe variance-homogeneity test: do the event types have
+    * the same value SPREAD? Levene's test with the median center (the
+    * robust variant): z = |vm − median_type|, then one-way ANOVA F on
+    * z by type — the gate before trusting q269's equal-variance
+    * assumption.
+    *
+    * The 100 TB shape: per-type medians come from the per-(type, value)
+    * exact-count grain through [[PrefixScan.scanGrouped]] cumulative
+    * counts (a partitionBy(type) window would single-task each type's
+    * whole distinct-value frame) — the lower median (first value whose
+    * cumulative count reaches ⌈n/2⌉) keeps every downstream z exact
+    * integer micro-units; the ≤|types|-row median frame broadcasts
+    * back, and the F reuses the q269 kernel. Output: k, n, ssb, ssw,
+    * f_stat. */
+  def q272BrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    val vm = Tables.events(s, dir)
+      .select(col("event_type").as("g"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+    val perValue = vm.groupBy(col("g"), col("vm"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val scanned = PrefixScan.scanGrouped(perValue, "g", col("vm"),
+      Seq(col("vm")), Seq(PrefixScan.RunSum(col("c"), "cum")), cache = true)
+    val nG = perValue.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+    val med = scanned.join(broadcast(nG), "g")
+      .filter(col("cum") * 2L >= col("ng") + (col("ng") % 2L))
+      .groupBy(col("g")).agg(min(col("vm")).as("med"))
+    anovaF(vm.join(broadcast(med), "g")
+      .select(col("g"), abs(col("vm") - col("med")).as("z"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sv"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).as("qv")))
+  }
+  val q272Sql: String =
+    s"""WITH vm AS (SELECT event_type AS g,
+       |              round("value" * 1000000.0)::BIGINT AS vm FROM events),
+       |pv AS (SELECT g, vm, count(*)::BIGINT AS c FROM vm GROUP BY 1, 2),
+       |sc AS (SELECT g, vm, sum(c) OVER (PARTITION BY g ORDER BY vm)
+       |         ::BIGINT AS cum FROM pv),
+       |ng AS (SELECT g, sum(c)::BIGINT AS ng FROM pv GROUP BY 1),
+       |med AS (SELECT g, min(vm) AS med
+       |        FROM sc JOIN ng USING (g)
+       |        WHERE cum * 2 >= ng + (ng % 2) GROUP BY 1),
+       |g AS (SELECT vm.g AS g, count(*)::BIGINT AS n,
+       |        sum(abs(vm - med))::BIGINT AS sv,
+       |        sum(abs(vm - med)::HUGEINT * abs(vm - med)::HUGEINT)
+       |          ::HUGEINT AS qv
+       |      FROM vm JOIN med ON vm.g = med.g GROUP BY 1),
+       |$anovaFSql""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_hits" -> (q268Hits _),
+    "q269_anova_f" -> (q269AnovaF _),
+    "q270_js_divergence" -> (q270JsDivergence _),
+    "q271_repetition" -> (q271Repetition _),
+    "q272_brown_forsythe" -> (q272BrownForsythe _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q268_hits" -> q268Sql,
+    "q269_anova_f" -> q269Sql,
+    "q270_js_divergence" -> q270Sql,
+    "q271_repetition" -> q271Sql,
+    "q272_brown_forsythe" -> q272Sql
+  )
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) in the repo's
+  * exact integer fixed-point algebra (the [[PageRank]] discipline):
+  * hub/authority scores are scaled longs, the mutual-reinforcement
+  * updates a_j = Σ_{i→j} h_i and h_i = Σ_{i→j} a_j are exact integer
+  * sums (order-independent, so partial aggregation cannot change a
+  * bit), and the per-iteration L1 normalization back to `scale` is one
+  * decimal(38,0) multiply + integral division — every step replays
+  * bit-for-bit on any engine running the same algebra, which is what
+  * makes the oracle comparison possible where a float L2 norm would
+  * drift.
+  *
+  * Scale shape: per iteration, one equi-join edge×score + one
+  * partial-aggregated sum per side, exactly PageRank's motion; the
+  * normalizing total is a 1-row broadcast. Overflow contract:
+  * maxInDegree · scale < 2^63 (raw sums are longs; lower `scale` for
+  * graphs with billion-degree nodes) — the normalized products go
+  * through decimal(38,0), good for scale² · maxDegree ≤ 10^38.
+  *
+  * @param edges directed (src, dst) pairs; duplicates removed here.
+  * @return one row per (node, side): side ∈ hub (src nodes) /
+  *         authority (dst nodes), score summing to ~`scale` per side
+  *         (minus integral-division truncation).
+  */
+object Hits {
+
+  def scores(edges: DataFrame, iterations: Int = 5,
+             scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "HITS needs at least one iteration")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // re-read every iteration; cut the lineage once
+    var hub = e.select(col("src").as("id")).distinct()
+      .withColumn("h", lit(scale))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val araw = e.join(hub.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
+      auth = renorm(araw, "a", scale)
+      val hraw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
+      hub = renorm(hraw, "h", scale)
+    }
+    hub.select(col("id"), lit("hub").as("side"), col("h").as("score"))
+      .unionByName(auth.select(col("id"), lit("authority").as("side"),
+        col("a").as("score")))
+  }
+
+  /** L1-renormalize integer `raw` scores to sum ~`scale`: exact integer
+    * total (1-row broadcast), decimal(38,0) product, integral div.
+    * The raw frame is MATERIALIZED first (one narrow row per node —
+    * cheap): it is referenced twice here (total + normalize) and again
+    * by the next half-iteration's join, so an uncut lineage would
+    * re-run every earlier iteration per reference (~2^iterations). */
+  private def renorm(raw0: DataFrame, out: String, scale: Long): DataFrame = {
+    val raw = raw0.localCheckpoint(true)
+    raw.crossJoin(broadcast(raw.agg(sum(col("raw")).as("tot"))))
+      .select(col("id"),
+        expr(s"cast((cast(raw as decimal(38,0)) * $scale) div tot as long)")
+          .as(out))
+  }
+}
