@@ -355,12 +355,240 @@ object QueriesExt10 {
        |      FROM vm JOIN med ON vm.g = med.g GROUP BY 1),
        |$anovaFSql""".stripMargin
 
+  // ---------------------------------------------------------------- q273
+  /** James–Stein / empirical-Bayes shrinkage of per-source mean quality
+    * (Efron & Morris 1975): a source with few documents gets its mean
+    * q19 quality pulled toward the corpus mean in proportion to its
+    * sampling noise — the estimator behind trustworthy per-source
+    * curation decisions when source sizes are wildly unequal.
+    * θ̂_s = m + B·(x̄_s − m), B = max(0, 1 − (k−3)·v̂ / Σ(x̄_s − m)²),
+    * v̂ the mean per-source sampling variance s²_s/n_s.
+    *
+    * The 100 TB shape (the q64 pattern): per-doc quality rounds to
+    * exact micro-units in the scan, so the per-source sufficient
+    * statistics (n, Σq, Σq² — the last in decimal(38,0)) are one
+    * map-side-combined aggregate; everything after runs on the
+    * ≤|sources| grain with the only double folds over the SORTED
+    * source list. Output: source, n, mean_q, shrink_b, shrunk_q. */
+  def q273JamesStein(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("source"),
+        round(TextFunctions.qualityScore(col("text")) * 1000000.0d, 0)
+          .cast("long").as("qm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("qm")).as("sv"),
+        sum((col("qm") * col("qm")).cast("decimal(38,0)")).as("qv"))
+      .localCheckpoint(true)
+    val folded = g
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("n")).as("nn"), sum(col("sv")).as("t"),
+        sort_array(collect_list(struct(col("source"), col("n"), col("sv"),
+          col("qv")))).as("gs"))
+      .withColumn("m", col("t").cast("double") / col("nn").cast("double"))
+      .withColumn("ssm", aggregate(col("gs"), lit(0.0d), (acc, x) =>
+        acc + (x.getField("sv").cast("double") / x.getField("n").cast("double")
+          - col("m")) *
+          (x.getField("sv").cast("double") / x.getField("n").cast("double")
+            - col("m"))))
+      .withColumn("vhat", aggregate(col("gs"), lit(0.0d), (acc, x) => {
+        val n = x.getField("n").cast("double")
+        val sv = x.getField("sv").cast("double")
+        val qv = x.getField("qv").cast("double")
+        acc + ((qv - sv * sv / n) / (n - 1.0d)) / n
+      }) / col("k").cast("double"))
+      .withColumn("b", greatest(lit(0.0d),
+        lit(1.0d) - (col("k") - 3L).cast("double") * col("vhat") / col("ssm")))
+      .select(col("m"), col("b"))
+    g.crossJoin(broadcast(folded))
+      .select(col("source"), col("n"),
+        round(col("sv").cast("double") / col("n").cast("double") / lit(1.0e6d),
+          6).as("mean_q"),
+        round(col("b"), 6).as("shrink_b"),
+        round((col("m") + col("b") *
+          (col("sv").cast("double") / col("n").cast("double") - col("m")))
+          / lit(1.0e6d), 6).as("shrunk_q"))
+  }
+  val q273Sql: String = {
+    // Same per-doc quality construction as q19's oracle, micro-unitized.
+    val anyStop = TextFunctions.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT source, text, ${QueriesExt.toksSql} AS toks
+       |           FROM documents),
+       |q AS (SELECT source,
+       |        round(round(
+       |          least(len(toks) / 64.0, 1.0) * 0.4 +
+       |          (1.0 - least((length(text) - length(regexp_replace(text,
+       |             '[[:punct:]]', '', 'g')))::DOUBLE
+       |             / greatest(length(text), 1) * 4.0, 1.0)) * 0.3 +
+       |          least(len(list_intersect(list_distinct(toks), [$anyStop]))
+       |             ::DOUBLE / greatest(len(toks), 1) * 4.0, 1.0) * 0.3,
+       |        6) * 1000000.0)::BIGINT AS qm
+       |      FROM t),
+       |g AS (SELECT source, count(*)::BIGINT AS n, sum(qm)::BIGINT AS sv,
+       |        sum(qm::HUGEINT * qm::HUGEINT)::HUGEINT AS qv
+       |      FROM q GROUP BY 1),
+       |f0 AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nn,
+       |         sum(sv)::BIGINT AS t,
+       |         list_sort(list(struct_pack(source := source, n := n,
+       |           sv := sv, qv := qv))) AS gs
+       |       FROM g),
+       |f1 AS (SELECT k, t::DOUBLE / nn::DOUBLE AS m,
+       |         list_sum(list_transform(gs, x ->
+       |           (x.sv::DOUBLE / x.n::DOUBLE - t::DOUBLE / nn::DOUBLE)
+       |           * (x.sv::DOUBLE / x.n::DOUBLE - t::DOUBLE / nn::DOUBLE)))
+       |           AS ssm,
+       |         list_sum(list_transform(gs, x ->
+       |           ((x.qv::DOUBLE - x.sv::DOUBLE * x.sv::DOUBLE / x.n::DOUBLE)
+       |             / (x.n::DOUBLE - 1.0)) / x.n::DOUBLE)) / k::DOUBLE
+       |           AS vhat
+       |       FROM f0),
+       |f2 AS (SELECT m,
+       |         greatest(0.0, 1.0 - (k - 3)::DOUBLE * vhat / ssm) AS b
+       |       FROM f1)
+       |SELECT source, n,
+       |       round(sv::DOUBLE / n::DOUBLE / 1.0e6, 6) AS mean_q,
+       |       round(b, 6) AS shrink_b,
+       |       round((m + b * (sv::DOUBLE / n::DOUBLE - m)) / 1.0e6, 6)
+       |         AS shrunk_q
+       |FROM g CROSS JOIN f2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q274
+  /** Calibration diagram + Brier score for the rank-percentile score
+    * (the eval-metric complement of q239's isotonic CALIBRATOR and
+    * q265's AUC): treating the plane-0 projection's global rank
+    * percentile p̂ = rank/N as a predicted probability of label 0, bin
+    * into deciles and compare mean p̂ against the observed positive
+    * rate, plus the overall Brier score (1/N)Σ(p̂ − y)².
+    *
+    * The 100 TB shape: the global rank comes from [[PrefixScan]]'s
+    * two-pass RowNumber (exact integers, no single-partition sort);
+    * the decile key is integer arithmetic, the per-bin frame is
+    * 10-row bounded, and the Brier numerator Σrank² − 2NΣ₊rank + N²n₊
+    * is EXACT integer algebra with one final division. Output per
+    * decile: bin, n_bin, mean_pred, frac_pos, brier (corpus-level,
+    * repeated). */
+  def q274Calibration(s: SparkSession, dir: String): DataFrame = {
+    val planes = graft.functions.Similarity.deterministicPlanes(2, 64)
+    val score = graft.functions.Similarity.dot(col("v"),
+      array(planes(0).map(p => lit(p.toDouble)): _*))
+    val scored = QueriesExt.embs(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"), score.as("s"))
+    val ranked = PrefixScan.scan(scored, col("s"),
+      Seq(col("s"), col("vec_id")), Seq(PrefixScan.RowNumber("rank")),
+      cache = true)
+    val tot = ranked.agg(count(lit(1)).as("nn"),
+      sum(col("y")).as("npos"),
+      sum((col("rank") * col("rank")).cast("decimal(38,0)")).as("sr2"),
+      sum(when(col("y") === 1L, col("rank")).otherwise(0L)).as("srp"))
+    val brier = tot.select(col("nn"), ((col("sr2").cast("double")
+      - lit(2.0d) * col("nn").cast("double") * col("srp").cast("double")
+      + col("nn").cast("double") * col("nn").cast("double")
+        * col("npos").cast("double"))
+      / (col("nn").cast("double") * col("nn").cast("double")
+        * col("nn").cast("double"))).as("brier0"))
+    ranked.crossJoin(broadcast(brier))
+      .withColumn("bin", expr("(rank * 10 + nn - 1) div nn"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"),
+        round(sum(col("rank")).cast("double") /
+          (max(col("nn")).cast("double") * count(lit(1)).cast("double")), 6)
+          .as("mean_pred"),
+        round(sum(col("y")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("frac_pos"),
+        round(max(col("brier0")), 6).as("brier"))
+  }
+  val q274Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+       |           FROM embeddings),
+       |sc AS (SELECT vec_id, y, ${QueriesExt.projSql("v", 0)} AS s FROM e),
+       |r AS (SELECT y,
+       |        row_number() OVER (ORDER BY s, vec_id)::BIGINT AS rank
+       |      FROM sc),
+       |t AS (SELECT count(*)::BIGINT AS nn, sum(y)::BIGINT AS npos,
+       |        sum(rank::HUGEINT * rank::HUGEINT)::HUGEINT AS sr2,
+       |        sum(CASE WHEN y = 1 THEN rank ELSE 0 END)::BIGINT AS srp
+       |      FROM r),
+       |b AS (SELECT nn, (sr2::DOUBLE - 2.0 * nn::DOUBLE * srp::DOUBLE
+       |        + nn::DOUBLE * nn::DOUBLE * npos::DOUBLE)
+       |        / (nn::DOUBLE * nn::DOUBLE * nn::DOUBLE) AS brier0
+       |      FROM t)
+       |SELECT (rank * 10 + nn - 1) // nn AS bin, count(*)::BIGINT AS n_bin,
+       |       round(sum(rank)::DOUBLE / (max(nn)::DOUBLE * count(*)::DOUBLE),
+       |         6) AS mean_pred,
+       |       round(sum(y)::DOUBLE / count(*)::DOUBLE, 6) AS frac_pos,
+       |       round(max(brier0), 6) AS brier
+       |FROM r CROSS JOIN b GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q275
+  /** Average precision (the PR-curve area, next to q265's ROC AUC —
+    * AP weighs early precision, which is what retrieval and filter
+    * tuning actually optimize): rank all embeddings by the plane-0
+    * score DESCENDING, AP = (1/n₊) Σ_{k: y_k=1} precision@k, plus the
+    * operational precision@100.
+    *
+    * The 100 TB shape: the descending global rank and the running
+    * positive count both come from ONE [[PrefixScan]] two-pass run
+    * (exact integers); each positive's precision@k = cum₊/k
+    * integerizes to round(1e12·cum₊/k) micro-units (identical double
+    * from identical integer inputs, THEN rounded) so the data-scaled
+    * sum is order-independent. Output: n, n_pos, ap, p_at_100. */
+  def q275AveragePrecision(s: SparkSession, dir: String): DataFrame = {
+    val planes = graft.functions.Similarity.deterministicPlanes(2, 64)
+    val score = graft.functions.Similarity.dot(col("v"),
+      array(planes(0).map(p => lit(p.toDouble)): _*))
+    val scored = QueriesExt.embs(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"),
+        negate(score).as("ns"))
+    val ranked = PrefixScan.scan(scored, col("ns"),
+      Seq(col("ns"), col("vec_id")),
+      Seq(PrefixScan.RowNumber("rank"), PrefixScan.RunSum(col("y"), "cpos")),
+      cache = true)
+    ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(when(col("y") === 1L,
+          round(lit(1.0e12d) * col("cpos").cast("double") /
+            col("rank").cast("double"), 0).cast("long"))
+          .otherwise(0L)).as("apm"),
+        max(when(col("rank") === 100L, col("cpos"))).as("c100"))
+      .select(col("n"), col("n_pos"),
+        round(col("apm").cast("double") / lit(1.0e12d) /
+          col("n_pos").cast("double"), 6).as("ap"),
+        round(col("c100").cast("double") / lit(100.0d), 6).as("p_at_100"))
+  }
+  val q275Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |             CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+       |           FROM embeddings),
+       |sc AS (SELECT vec_id, y, -(${QueriesExt.projSql("v", 0)}) AS ns
+       |       FROM e),
+       |r AS (SELECT y,
+       |        row_number() OVER (ORDER BY ns, vec_id)::BIGINT AS rank,
+       |        sum(y) OVER (ORDER BY ns, vec_id)::BIGINT AS cpos
+       |      FROM sc)
+       |SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+       |       round(sum(CASE WHEN y = 1 THEN
+       |           round(1.0e12 * cpos::DOUBLE / rank::DOUBLE)::BIGINT
+       |         ELSE 0 END)::DOUBLE / 1.0e12 / sum(y)::DOUBLE, 6) AS ap,
+       |       round(max(CASE WHEN rank = 100 THEN cpos END)::DOUBLE / 100.0,
+       |         6) AS p_at_100
+       |FROM r""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_hits" -> (q268Hits _),
     "q269_anova_f" -> (q269AnovaF _),
     "q270_js_divergence" -> (q270JsDivergence _),
     "q271_repetition" -> (q271Repetition _),
-    "q272_brown_forsythe" -> (q272BrownForsythe _)
+    "q272_brown_forsythe" -> (q272BrownForsythe _),
+    "q273_james_stein" -> (q273JamesStein _),
+    "q274_calibration" -> (q274Calibration _),
+    "q275_average_precision" -> (q275AveragePrecision _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -368,6 +596,9 @@ object QueriesExt10 {
     "q269_anova_f" -> q269Sql,
     "q270_js_divergence" -> q270Sql,
     "q271_repetition" -> q271Sql,
-    "q272_brown_forsythe" -> q272Sql
+    "q272_brown_forsythe" -> q272Sql,
+    "q273_james_stein" -> q273Sql,
+    "q274_calibration" -> q274Sql,
+    "q275_average_precision" -> q275Sql
   )
 }
