@@ -580,6 +580,263 @@ object QueriesExt10 {
        |         6) AS p_at_100
        |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------- q276
+  /** Contrastive triplet mining — the training-data op behind embedding
+    * fine-tuning (anchor, positive, negative): positives are q32's
+    * SRP-bucketed cosine near-dup pairs VERBATIM (one definition, the
+    * pair plan already verified), negatives are a deterministic
+    * hash-pick from the same universe, with the honesty flag `neg_ok`
+    * false when the pick collides with the anchor/positive or is
+    * itself a known neighbor (flagged, not silently re-picked — the
+    * consumer decides).
+    *
+    * The 100 TB shape: the md5-ordered pick frame is ONE [[PrefixScan]]
+    * RowNumber over the universe (exact integers), the pick is an
+    * equi-join on rank, and the neighbor check is one more equi-join on
+    * the canonical pair key — no random() anywhere, so both engines
+    * mine the identical triplets. Output: anchor, positive, sim,
+    * negative, neg_ok. */
+  def q276Triplets(s: SparkSession, dir: String): DataFrame = {
+    val pos = QueriesExt.q32CosineNearDup(s, dir).localCheckpoint(true)
+    val universe = QueriesExt.withInjectedNearDups(s, dir)
+      .select(col("vec_id"))
+    val ranked = PrefixScan.scan(universe,
+      TextFunctions.md5Long(col("vec_id").cast("string")),
+      Seq(TextFunctions.md5Long(col("vec_id").cast("string")), col("vec_id")),
+      Seq(PrefixScan.RowNumber("rk")), cache = true)
+      .select(col("rk"), col("vec_id").as("negative"))
+    val n = universe.count()
+    val picked = pos
+      .withColumn("rk", pmod(TextFunctions.md5Long(
+        concat(lit("neg|"), col("id_a").cast("string"), lit("|"),
+          col("id_b").cast("string"))), lit(n)) + 1L)
+      .join(ranked, "rk")
+    val canon = pos.select(least(col("id_a"), col("id_b")).as("pl"),
+      greatest(col("id_a"), col("id_b")).as("ph"), lit(true).as("is_nbr"))
+    picked
+      .join(canon,
+        least(col("id_a"), col("negative")) === col("pl") &&
+          greatest(col("id_a"), col("negative")) === col("ph"), "left")
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+        col("sim"), col("negative"),
+        (col("negative") =!= col("id_a") && col("negative") =!= col("id_b") &&
+          coalesce(col("is_nbr"), lit(false)) === false).as("neg_ok"))
+  }
+  val q276Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH pos AS (${QueriesExt.oracles("q32_cosine_neardup")}),
+       |uni AS (SELECT vec_id FROM embeddings
+       |        UNION ALL SELECT vec_id + 1000000 FROM embeddings
+       |                  WHERE vec_id % 17 = 0),
+       |rk AS (SELECT vec_id AS negative,
+       |         row_number() OVER (ORDER BY ${mid("vec_id::VARCHAR")},
+       |           vec_id)::BIGINT AS rk
+       |       FROM uni),
+       |n AS (SELECT count(*)::BIGINT AS n FROM uni),
+       |pk AS (SELECT id_a, id_b, sim,
+       |         (${mid("'neg|' || id_a || '|' || id_b")} % n + n) % n + 1
+       |           AS rk
+       |       FROM pos CROSS JOIN n),
+       |tri AS (SELECT id_a, id_b, sim, negative
+       |        FROM pk JOIN rk USING (rk))
+       |SELECT id_a AS anchor, id_b AS positive, sim, negative,
+       |       (negative <> id_a AND negative <> id_b
+       |         AND NOT EXISTS (SELECT 1 FROM pos p
+       |           WHERE least(p.id_a, p.id_b) = least(tri.id_a, tri.negative)
+       |             AND greatest(p.id_a, p.id_b)
+       |               = greatest(tri.id_a, tri.negative))) AS neg_ok
+       |FROM tri""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q277
+  /** Simpson's-paradox detector: does the value-vs-hour-of-day trend
+    * REVERSE when stratified by event type? Per-type OLS slope vs the
+    * pooled slope from the SAME sufficient statistics — the classic
+    * confounding screen before trusting any pooled trend.
+    *
+    * The 100 TB shape: one map-side-combined aggregate to the
+    * |types|-bounded grain carrying exact integer sums (n, Σx, Σx²,
+    * Σy, Σxy — the cross term in decimal(38,0)); the pooled stats are
+    * the exact integer COLUMN SUMS of the same frame (no second scan),
+    * and both slopes are closed forms. Output per type: event_type, n,
+    * slope_type, slope_pooled, sign_flip. */
+  def q277Simpson(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"),
+        round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("vm")).as("sy"),
+        sum((col("x") * col("vm")).cast("decimal(38,0)")).as("sxy"))
+      .localCheckpoint(true)
+    def slope(n: Column, sx: Column, sxx: Column, sy: Column,
+              sxy: Column): Column =
+      (n.cast("double") * sxy.cast("double") -
+        sx.cast("double") * sy.cast("double")) /
+        (n.cast("double") * sxx.cast("double") -
+          sx.cast("double") * sx.cast("double")) / lit(1.0e6d)
+    val pooled = g.agg(sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+      sum(col("sxx")).as("psxx"), sum(col("sy")).as("psy"),
+      sum(col("sxy")).as("psxy"))
+      .select(slope(col("pn"), col("psx"), col("psxx"), col("psy"),
+        col("psxy")).as("sp"))
+    g.crossJoin(broadcast(pooled))
+      .select(col("event_type"), col("n"),
+        round(slope(col("n"), col("sx"), col("sxx"), col("sy"), col("sxy")),
+          6).as("slope_type"),
+        round(col("sp"), 6).as("slope_pooled"),
+        (slope(col("n"), col("sx"), col("sxx"), col("sy"), col("sxy")) *
+          col("sp") < 0.0d).as("sign_flip"))
+  }
+  val q277Sql: String =
+    s"""WITH ev AS (SELECT event_type, hour(ts)::BIGINT AS x,
+       |              round("value" * 1000000.0)::BIGINT AS vm FROM events),
+       |g AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |        sum(x * x)::BIGINT AS sxx, sum(vm)::BIGINT AS sy,
+       |        sum(x::HUGEINT * vm::HUGEINT)::HUGEINT AS sxy
+       |      FROM ev GROUP BY 1),
+       |p AS (SELECT (sum(n)::DOUBLE * sum(sxy)::DOUBLE
+       |          - sum(sx)::DOUBLE * sum(sy)::DOUBLE)
+       |        / (sum(n)::DOUBLE * sum(sxx)::DOUBLE
+       |          - sum(sx)::DOUBLE * sum(sx)::DOUBLE) / 1.0e6 AS sp
+       |      FROM g)
+       |SELECT event_type, n,
+       |       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |         / 1.0e6, 6) AS slope_type,
+       |       round(sp, 6) AS slope_pooled,
+       |       ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+       |         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+       |         / 1.0e6 * sp < 0.0) AS sign_flip
+       |FROM g CROSS JOIN p""".stripMargin
+
+  // ---------------------------------------------------------------- q278
+  /** Offline changepoint detection (binary segmentation, first split):
+    * the single day that best splits the daily event-volume series into
+    * two constant segments — gain(t) = cum_t²/t + (T−cum_t)²/(n−t) −
+    * T²/n, the between-segment sum of squares. The OFFLINE complement
+    * of q227's CUSUM and q262's Page–Hinkley (those detect online; this
+    * names the most likely break in hindsight).
+    *
+    * The 100 TB shape (the q262 discipline): the raw stream collapses
+    * to the CALENDAR-BOUNDED daily grain first; the cumulative sums run
+    * through [[graft.functions.BoundedWindow]] (≤ ~92 rows, a single
+    * task is the correct plan and the declared one), gains are exact
+    * integer algebra cast once, and the argmax is a ≤92-row top-1.
+    * Output: split_day, n_left, n_right, mean_left, mean_right, gain. */
+  def q278Changepoint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BoundedWindow
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = BoundedWindow.orderBy(col("day"), col("day"))
+    val cum = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cs", sum(col("x")).over(w))
+      .withColumn("nt", count(lit(1)).over(BoundedWindow.all(col("day"))))
+      .withColumn("tt", sum(col("x")).over(BoundedWindow.all(col("day"))))
+      .filter(col("i") < col("nt"))
+    val gains = cum.select(col("day"), col("i"), col("cs"), col("nt"),
+      col("tt"),
+      (col("cs").cast("double") * col("cs").cast("double") /
+        col("i").cast("double") +
+        (col("tt") - col("cs")).cast("double") *
+          (col("tt") - col("cs")).cast("double") /
+          (col("nt") - col("i")).cast("double") -
+        col("tt").cast("double") * col("tt").cast("double") /
+          col("nt").cast("double")).as("gain0"))
+    gains.orderBy(col("gain0").desc, col("day").asc).limit(1)
+      .select(col("day").as("split_day"), col("i").as("n_left"),
+        (col("nt") - col("i")).as("n_right"),
+        round(col("cs").cast("double") / col("i").cast("double"), 6)
+          .as("mean_left"),
+        round((col("tt") - col("cs")).cast("double") /
+          (col("nt") - col("i")).cast("double"), 6).as("mean_right"),
+        round(col("gain0"), 4).as("gain"))
+  }
+  val q278Sql: String =
+    """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      |                 count(*)::BIGINT AS x FROM events GROUP BY 1),
+      |c AS (SELECT day,
+      |        row_number() OVER (ORDER BY day)::BIGINT AS i,
+      |        sum(x) OVER (ORDER BY day)::BIGINT AS cs,
+      |        count(*) OVER ()::BIGINT AS nt,
+      |        sum(x) OVER ()::BIGINT AS tt
+      |      FROM daily),
+      |g AS (SELECT day, i, cs, nt, tt,
+      |        cs::DOUBLE * cs::DOUBLE / i::DOUBLE
+      |          + (tt - cs)::DOUBLE * (tt - cs)::DOUBLE / (nt - i)::DOUBLE
+      |          - tt::DOUBLE * tt::DOUBLE / nt::DOUBLE AS gain0
+      |      FROM c WHERE i < nt)
+      |SELECT day AS split_day, i AS n_left, (nt - i) AS n_right,
+      |       round(cs::DOUBLE / i::DOUBLE, 6) AS mean_left,
+      |       round((tt - cs)::DOUBLE / (nt - i)::DOUBLE, 6) AS mean_right,
+      |       round(gain0, 4) AS gain
+      |FROM g ORDER BY gain0 DESC, day ASC LIMIT 1""".stripMargin
+
+  // ---------------------------------------------------------------- q279
+  /** Embedding-space coverage report: how evenly does the corpus fill
+    * its projection grid? Shannon entropy of the q264 0.5-grid cell
+    * occupancy, the bounding-box coverage fraction, and Pielou
+    * evenness H/ln(cells) — the curation dashboard for "is this corpus
+    * diverse or ten dense blobs".
+    *
+    * The 100 TB shape: two literal-plane projections in the scan →
+    * integer cell key → ONE map-side-combined cell count; every
+    * entropy term integerizes to round(1e12·(−p·ln p)) micro-nats so
+    * the data-scaled sum is exact-integer order-independent; bbox and
+    * counts are exact integer aggregates. Output: n_vecs, n_cells,
+    * bbox_cells, coverage, entropy_nats, evenness. */
+  def q279CoverageEntropy(s: SparkSession, dir: String): DataFrame = {
+    val planes = graft.functions.Similarity.deterministicPlanes(2, 64)
+    def proj(j: Int) = graft.functions.Similarity.dot(col("v"),
+      array(planes(j).map(p => lit(p.toDouble)): _*))
+    val cells = QueriesExt.embs(s, dir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(floor(proj(0) / lit(0.5d)).cast("long").as("cx"),
+        floor(proj(1) / lit(0.5d)).cast("long").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum(col("c")).as("nt"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cx"), col("cy"), col("c"), col("nt"),
+        round(lit(-1.0e12d) * (col("c").cast("double") / col("nt").cast("double")) *
+          log(col("c").cast("double") / col("nt").cast("double")), 0)
+          .cast("long").as("hm"))
+      .agg(max(col("nt")).as("n_vecs"), count(lit(1)).as("n_cells"),
+        ((max(col("cx")) - min(col("cx")) + 1L) *
+          (max(col("cy")) - min(col("cy")) + 1L)).as("bbox_cells"),
+        sum(col("hm")).as("hsum"))
+      .select(col("n_vecs"), col("n_cells"), col("bbox_cells"),
+        round(col("n_cells").cast("double") / col("bbox_cells").cast("double"),
+          6).as("coverage"),
+        round(col("hsum").cast("double") / lit(1.0e12d), 6).as("entropy_nats"),
+        round(col("hsum").cast("double") / lit(1.0e12d) /
+          log(col("n_cells").cast("double")), 6).as("evenness"))
+  }
+  val q279Sql: String =
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT floor(${QueriesExt.projSql("v", 0)} / 0.5)::BIGINT AS cx,
+       |        floor(${QueriesExt.projSql("v", 1)} / 0.5)::BIGINT AS cy
+       |      FROM e),
+       |cc AS (SELECT cx, cy, count(*)::BIGINT AS c FROM c GROUP BY 1, 2),
+       |t AS (SELECT sum(c)::BIGINT AS nt FROM cc),
+       |h AS (SELECT cx, cy, c, nt,
+       |        round(-1.0e12 * (c::DOUBLE / nt::DOUBLE)
+       |          * ln(c::DOUBLE / nt::DOUBLE))::BIGINT AS hm
+       |      FROM cc CROSS JOIN t),
+       |a AS (SELECT max(nt)::BIGINT AS n_vecs, count(*)::BIGINT AS n_cells,
+       |        ((max(cx) - min(cx) + 1) * (max(cy) - min(cy) + 1))::BIGINT
+       |          AS bbox_cells,
+       |        sum(hm)::BIGINT AS hsum
+       |      FROM h)
+       |SELECT n_vecs, n_cells, bbox_cells,
+       |       round(n_cells::DOUBLE / bbox_cells::DOUBLE, 6) AS coverage,
+       |       round(hsum::DOUBLE / 1.0e12, 6) AS entropy_nats,
+       |       round(hsum::DOUBLE / 1.0e12 / ln(n_cells::DOUBLE), 6)
+       |         AS evenness
+       |FROM a""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_hits" -> (q268Hits _),
     "q269_anova_f" -> (q269AnovaF _),
@@ -588,7 +845,11 @@ object QueriesExt10 {
     "q272_brown_forsythe" -> (q272BrownForsythe _),
     "q273_james_stein" -> (q273JamesStein _),
     "q274_calibration" -> (q274Calibration _),
-    "q275_average_precision" -> (q275AveragePrecision _)
+    "q275_average_precision" -> (q275AveragePrecision _),
+    "q276_triplets" -> (q276Triplets _),
+    "q277_simpson" -> (q277Simpson _),
+    "q278_changepoint" -> (q278Changepoint _),
+    "q279_coverage_entropy" -> (q279CoverageEntropy _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -599,6 +860,10 @@ object QueriesExt10 {
     "q272_brown_forsythe" -> q272Sql,
     "q273_james_stein" -> q273Sql,
     "q274_calibration" -> q274Sql,
-    "q275_average_precision" -> q275Sql
+    "q275_average_precision" -> q275Sql,
+    "q276_triplets" -> q276Sql,
+    "q277_simpson" -> q277Sql,
+    "q278_changepoint" -> q278Sql,
+    "q279_coverage_entropy" -> q279Sql
   )
 }
