@@ -55,17 +55,27 @@ object AuditAll {
     "QueriesExt4.scala" -> 1,
     "JoinAudit.scala" -> 1)
 
-  /** (file → collect() line count) over src/main/scala, excluding
-    * this file (its allowlist literals would self-trip the scan). */
-  def collectCensus(root: Path): Map[String, Int] =
-    Files.walk(root).iterator().asScala
+  /** (file → collect() OCCURRENCE count) over src/main/scala, excluding
+    * this file (its allowlist literals would self-trip the scan).
+    * Occurrences, not lines — a second call appended to an already-
+    * allowlisted line must trip the gate too. */
+  def collectCensus(root: Path): Map[String, Int] = {
+    def occurrences(line: String): Int = {
+      val needle = ".collect()"
+      Iterator.iterate(line.indexOf(needle))(i =>
+        line.indexOf(needle, i + needle.length)).takeWhile(_ >= 0).size
+    }
+    val walk = Files.walk(root)
+    try walk.iterator().asScala
       .filter(p => p.toString.endsWith(".scala") &&
         p.getFileName.toString != "AuditAll.scala")
       .map { p =>
-        val n = Files.readAllLines(p).asScala.count(_.contains(".collect()"))
+        val n = Files.readAllLines(p).asScala.map(occurrences).sum
         p.getFileName.toString -> n
       }
       .filter(_._2 > 0).toMap
+    finally walk.close()
+  }
 
   def collectOffenders(census: Map[String, Int]): Seq[String] =
     census.toSeq.sorted.flatMap { case (f, n) =>

@@ -326,26 +326,38 @@ object QueriesExt {
       round(TextFunctions.avgTokenLen(col("text")), 6).as("avg_token_len"),
       round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
       TextFunctions.qualityScore(col("text")).as("quality"))
-  val q19Sql: String = {
+  /** Shared q19 quality-score oracle fragments (ONE definition each, so
+    * composed oracles — q19, q273 (QueriesExt10) — cannot drift from
+    * [[TextFunctions.qualityScore]]): punctuation ratio over `text`,
+    * distinct-stopword ratio over `toks`, and the weighted composite
+    * over already-computed (n_tokens, pr, sr) columns. */
+  private[graft] def punctRatioSql(text: String): String =
+    s"""(length($text) - length(regexp_replace($text, '[[:punct:]]', '', 'g')))::DOUBLE /
+       |          greatest(length($text), 1)""".stripMargin
+  private[graft] def stopRatioSql(toks: String): String = {
     val anyStop = TextFunctions.stopwords.values.flatten.toSeq.distinct
       .map(w => s"'$w'").mkString(", ")
+    s"""len(list_intersect(list_distinct($toks), [$anyStop]))::DOUBLE /
+       |          greatest(len($toks), 1)""".stripMargin
+  }
+  private[graft] def qualityScoreSql(nToks: String, pr: String,
+                                     sr: String): String =
+    s"""round(least($nToks / 64.0, 1.0) * 0.4 +
+       |             (1.0 - least($pr * 4.0, 1.0)) * 0.3 +
+       |             least($sr * 4.0, 1.0) * 0.3, 6)""".stripMargin
+  val q19Sql: String =
     s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
        |m AS (SELECT doc_id,
        |        len(toks) AS n_tokens,
        |        list_sum(list_transform(toks, x -> length(x)))::DOUBLE /
        |          greatest(len(toks), 1) AS atl,
-       |        (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE /
-       |          greatest(length(text), 1) AS pr,
-       |        len(list_intersect(list_distinct(toks), [$anyStop]))::DOUBLE /
-       |          greatest(len(toks), 1) AS sr
+       |        ${punctRatioSql("text")} AS pr,
+       |        ${stopRatioSql("toks")} AS sr
        |      FROM t)
        |SELECT doc_id, n_tokens, round(atl, 6) AS avg_token_len,
        |       round(pr, 6) AS punct_ratio,
-       |       round(least(n_tokens / 64.0, 1.0) * 0.4 +
-       |             (1.0 - least(pr * 4.0, 1.0)) * 0.3 +
-       |             least(sr * 4.0, 1.0) * 0.3, 6) AS quality
+       |       ${qualityScoreSql("n_tokens", "pr", "sr")} AS quality
        |FROM m""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q20
   /** Token counting: whitespace tokens + BPE-ish subword count. */

@@ -132,7 +132,7 @@ object QueriesExt10 {
         round(col("value") * 1000000.0d, 0).cast("long").as("vm"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"),
-        sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("qv")))
+        sum(col("vm").cast("decimal(38,0)") * col("vm")).as("qv")))
   val q269Sql: String =
     s"""WITH g AS (SELECT event_type AS g, count(*)::BIGINT AS n,
        |             sum(vm)::BIGINT AS sv,
@@ -184,23 +184,24 @@ object QueriesExt10 {
     val term = when(col("ct") > col("c"),
       lit(0.5d) * p * log(p / m) + lit(0.5d) * q * log(q / m))
       .otherwise(lit(0.5d) * p * log(p / m))
-    val inSrc = joined.select(col("source"),
-      round(term * lit(1.0e12d), 0).cast("long").as("tm"))
-      .groupBy(col("source")).agg(sum(col("tm")).as("sm"))
     // Tokens the source never emits: p=0, m=q/2, term = ½q·ln(2) — so
     // the missing mass is ½·ln2·(share of rest tokens absent from the
     // source), computed from counts alone (rest_present = Σ_t∈src
-    // (ct−c)): no second token-grain pass.
-    val present = joined.groupBy(col("source"), col("ns"), col("nt"))
-      .agg(sum(col("ct") - col("c")).as("rest_present"))
-    val absent = present.select(col("source"),
-      (lit(0.5d) * log(lit(2.0d)) *
-        (lit(1.0d) - col("rest_present").cast("double") /
-          (col("nt") - col("ns")).cast("double"))).as("abs_nats"))
-    inSrc.join(absent, "source").join(broadcast(nSrc), "source")
+    // (ct−c)). ONE aggregation over the token-grain join computes both
+    // sums (the oracle's sm CTE shape) — a second groupBy would re-run
+    // the join and the glob aggregate, the exact shared-frame re-compute
+    // this repo's perf history warns about.
+    joined
+      .select(col("source"), col("ns"), col("nt"),
+        round(term * lit(1.0e12d), 0).cast("long").as("tm"),
+        (col("ct") - col("c")).as("rest_c"))
+      .groupBy(col("source"), col("ns"), col("nt"))
+      .agg(sum(col("tm")).as("sm"), sum(col("rest_c")).as("rest_present"))
       .select(col("source"), col("ns").as("n_toks"),
-        round(col("sm").cast("double") / lit(1.0e12d) + col("abs_nats"), 6)
-          .as("js_nats"))
+        round(col("sm").cast("double") / lit(1.0e12d) +
+          lit(0.5d) * log(lit(2.0d)) *
+            (lit(1.0d) - col("rest_present").cast("double") /
+              (col("nt") - col("ns")).cast("double")), 6).as("js_nats"))
   }
   val q270Sql: String = {
     def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
@@ -250,9 +251,15 @@ object QueriesExt10 {
     * shuffles (the output is one row per doc). Output: doc_id, n3,
     * dup3_frac, top2_share, is_repetitive. */
   def q271Repetition(s: SparkSession, dir: String): DataFrame = {
+    // Short-doc guard (the DedupFunctions.shingles trap): sequence(1, 0)
+    // steps BACKWARDS to [1, 0] and slice(toks, 0, n) throws — a doc
+    // with fewer than n tokens must produce an EMPTY gram list, as the
+    // oracle's range(1, 1) does.
     def grams(n: Int): Column = expr(
-      s"""transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)),
-         |  i -> concat_ws(' ', slice(toks, i, $n)))""".stripMargin)
+      s"""IF(size(toks) >= $n,
+         |   transform(sequence(1, size(toks) - ${n - 1}),
+         |     i -> concat_ws(' ', slice(toks, i, $n))),
+         |   cast(array() as array<string>))""".stripMargin)
     // Longest run of equal neighbors in the SORTED gram list = the top
     // gram's occurrence count — a left-to-right fold both engines
     // replay in the same order.
@@ -272,8 +279,12 @@ object QueriesExt10 {
       .withColumn("g3", grams(3)).withColumn("g2", grams(2))
       .select(col("doc_id"),
         size(col("g3")).cast("long").as("n3"),
-        (lit(1.0d) - size(array_distinct(col("g3"))).cast("double") /
-          greatest(size(col("g3")), lit(1)).cast("double")).as("dup3_0"),
+        // A doc with NO 3-grams is not "fully duplicated": publish 0.0,
+        // not the 1 − 0/1 artifact of the guard denominator.
+        when(size(col("g3")) > 0,
+          lit(1.0d) - size(array_distinct(col("g3"))).cast("double") /
+            size(col("g3")).cast("double")).otherwise(lit(0.0d))
+          .as("dup3_0"),
         (topCount(col("g2")).cast("double") /
           greatest(size(col("g2")), lit(1)).cast("double")).as("top2_0"))
       .select(col("doc_id"), col("n3"),
@@ -292,8 +303,8 @@ object QueriesExt10 {
        |      FROM d),
        |r AS (SELECT doc_id,
        |        len(g3)::BIGINT AS n3,
-       |        1.0 - len(list_distinct(g3))::DOUBLE
-       |          / greatest(len(g3), 1)::DOUBLE AS dup3_0,
+       |        CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))::DOUBLE
+       |          / len(g3)::DOUBLE ELSE 0.0 END AS dup3_0,
        |        (SELECT max(cnt) FROM (
        |           SELECT count(*) AS cnt FROM unnest(g2) AS u(x) GROUP BY x
        |         ))::DOUBLE / greatest(len(g2), 1)::DOUBLE AS top2_0
@@ -336,7 +347,7 @@ object QueriesExt10 {
       .select(col("g"), abs(col("vm") - col("med")).as("z"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("z")).as("sv"),
-        sum((col("z") * col("z")).cast("decimal(38,0)")).as("qv")))
+        sum(col("z").cast("decimal(38,0)") * col("z")).as("qv")))
   }
   val q272Sql: String =
     s"""WITH vm AS (SELECT event_type AS g,
@@ -377,7 +388,7 @@ object QueriesExt10 {
           .cast("long").as("qm"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("qm")).as("sv"),
-        sum((col("qm") * col("qm")).cast("decimal(38,0)")).as("qv"))
+        sum(col("qm").cast("decimal(38,0)") * col("qm")).as("qv"))
       .localCheckpoint(true)
     val folded = g
       .agg(count(lit(1)).cast("long").as("k"),
@@ -390,14 +401,22 @@ object QueriesExt10 {
           - col("m")) *
           (x.getField("sv").cast("double") / x.getField("n").cast("double")
             - col("m"))))
+      // A 1-doc source has no within-variance estimate — its term is
+      // 0/0 = NaN and would poison the whole fold; contribute 0 instead
+      // (its sampling variance is simply unknown).
       .withColumn("vhat", aggregate(col("gs"), lit(0.0d), (acc, x) => {
         val n = x.getField("n").cast("double")
         val sv = x.getField("sv").cast("double")
         val qv = x.getField("qv").cast("double")
-        acc + ((qv - sv * sv / n) / (n - 1.0d)) / n
+        acc + when(x.getField("n") > 1L,
+          ((qv - sv * sv / n) / (n - 1.0d)) / n).otherwise(lit(0.0d))
       }) / col("k").cast("double"))
-      .withColumn("b", greatest(lit(0.0d),
-        lit(1.0d) - (col("k") - 3L).cast("double") * col("vhat") / col("ssm")))
+      // Clamp to [0, 1]: k ≤ 3 sources makes (k−3) ≤ 0 and the raw
+      // factor > 1 — an EXPANSION away from the mean, which James–Stein
+      // never licenses; 1 = no shrinkage is the honest degenerate case.
+      .withColumn("b", least(lit(1.0d), greatest(lit(0.0d),
+        lit(1.0d) - (col("k") - 3L).cast("double") * col("vhat") /
+          col("ssm"))))
       .select(col("m"), col("b"))
     g.crossJoin(broadcast(folded))
       .select(col("source"), col("n"),
@@ -409,21 +428,18 @@ object QueriesExt10 {
           / lit(1.0e6d), 6).as("shrunk_q"))
   }
   val q273Sql: String = {
-    // Same per-doc quality construction as q19's oracle, micro-unitized.
-    val anyStop = TextFunctions.stopwords.values.flatten.toSeq.distinct
-      .map(w => s"'$w'").mkString(", ")
+    // q19's quality construction via the SHARED fragments (one
+    // definition — this oracle cannot drift from q19Sql), micro-unitized.
     s"""WITH t AS (SELECT source, text, ${QueriesExt.toksSql} AS toks
        |           FROM documents),
-       |q AS (SELECT source,
-       |        round(round(
-       |          least(len(toks) / 64.0, 1.0) * 0.4 +
-       |          (1.0 - least((length(text) - length(regexp_replace(text,
-       |             '[[:punct:]]', '', 'g')))::DOUBLE
-       |             / greatest(length(text), 1) * 4.0, 1.0)) * 0.3 +
-       |          least(len(list_intersect(list_distinct(toks), [$anyStop]))
-       |             ::DOUBLE / greatest(len(toks), 1) * 4.0, 1.0) * 0.3,
-       |        6) * 1000000.0)::BIGINT AS qm
+       |m AS (SELECT source, len(toks) AS n_tokens,
+       |        ${QueriesExt.punctRatioSql("text")} AS pr,
+       |        ${QueriesExt.stopRatioSql("toks")} AS sr
        |      FROM t),
+       |q AS (SELECT source,
+       |        round(${QueriesExt.qualityScoreSql("n_tokens", "pr", "sr")}
+       |          * 1000000.0)::BIGINT AS qm
+       |      FROM m),
        |g AS (SELECT source, count(*)::BIGINT AS n, sum(qm)::BIGINT AS sv,
        |        sum(qm::HUGEINT * qm::HUGEINT)::HUGEINT AS qv
        |      FROM q GROUP BY 1),
@@ -438,12 +454,14 @@ object QueriesExt10 {
        |           * (x.sv::DOUBLE / x.n::DOUBLE - t::DOUBLE / nn::DOUBLE)))
        |           AS ssm,
        |         list_sum(list_transform(gs, x ->
-       |           ((x.qv::DOUBLE - x.sv::DOUBLE * x.sv::DOUBLE / x.n::DOUBLE)
-       |             / (x.n::DOUBLE - 1.0)) / x.n::DOUBLE)) / k::DOUBLE
-       |           AS vhat
+       |           CASE WHEN x.n > 1 THEN
+       |             ((x.qv::DOUBLE - x.sv::DOUBLE * x.sv::DOUBLE / x.n::DOUBLE)
+       |               / (x.n::DOUBLE - 1.0)) / x.n::DOUBLE
+       |           ELSE 0.0 END)) / k::DOUBLE AS vhat
        |       FROM f0),
        |f2 AS (SELECT m,
-       |         greatest(0.0, 1.0 - (k - 3)::DOUBLE * vhat / ssm) AS b
+       |         least(1.0, greatest(0.0, 1.0 - (k - 3)::DOUBLE * vhat / ssm))
+       |           AS b
        |       FROM f1)
        |SELECT source, n,
        |       round(sv::DOUBLE / n::DOUBLE / 1.0e6, 6) AS mean_q,
@@ -482,7 +500,7 @@ object QueriesExt10 {
       cache = true)
     val tot = ranked.agg(count(lit(1)).as("nn"),
       sum(col("y")).as("npos"),
-      sum((col("rank") * col("rank")).cast("decimal(38,0)")).as("sr2"),
+      sum(col("rank").cast("decimal(38,0)") * col("rank")).as("sr2"),
       sum(when(col("y") === 1L, col("rank")).otherwise(0L)).as("srp"))
     val brier = tot.select(col("nn"), ((col("sr2").cast("double")
       - lit(2.0d) * col("nn").cast("double") * col("srp").cast("double")
@@ -668,7 +686,7 @@ object QueriesExt10 {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("vm")).as("sy"),
-        sum((col("x") * col("vm")).cast("decimal(38,0)")).as("sxy"))
+        sum(col("x").cast("decimal(38,0)") * col("vm")).as("sxy"))
       .localCheckpoint(true)
     def slope(n: Column, sx: Column, sxx: Column, sy: Column,
               sxy: Column): Column =

@@ -60,7 +60,12 @@ object Hits {
     * re-run every earlier iteration per reference (~2^iterations). */
   private def renorm(raw0: DataFrame, out: String, scale: Long): DataFrame = {
     val raw = raw0.localCheckpoint(true)
-    raw.crossJoin(broadcast(raw.agg(sum(col("raw")).as("tot"))))
+    // The total sums per-NODE raws whose own bound is maxInDegree·scale,
+    // but the TOTAL is Σ ≈ |E|·scale — past 2^63 already at ~9.2M edges
+    // (sf3 has ~18M), so it must accumulate in decimal, exactly like the
+    // oracle's HUGEINT sum. Per-node sums stay long (contract above).
+    raw.crossJoin(broadcast(
+        raw.agg(sum(col("raw").cast("decimal(38,0)")).as("tot"))))
       .select(col("id"),
         expr(s"cast((cast(raw as decimal(38,0)) * $scale) div tot as long)")
           .as(out))

@@ -78,7 +78,16 @@ object StreamScale {
         if (sos.isEmpty) -1L else sos.map(_.memoryUsedBytes).max)
     } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // The replicated input is copies× the events table plus three
+      // checkpoint trees — left behind, repeated Bench sweeps would
+      // fill /tmp on a long-lived host.
+      rmTree(new java.io.File(tmp))
     }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
   }
 
   /** Standalone runner: runMain graft.streaming.StreamScale [sfDir] [copies...] */

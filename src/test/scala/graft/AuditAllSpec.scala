@@ -30,6 +30,17 @@ class AuditAllSpec extends SparkSuite {
     assert(census === AuditAll.collectAllowlist)
   }
 
+  test("census counts OCCURRENCES: two collect() calls on one line are two") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit-census")
+    java.nio.file.Files.write(dir.resolve("TwoOnOneLine.scala"),
+      "val a = x.collect(); val b = y.collect()\n".getBytes)
+    try assert(AuditAll.collectCensus(dir) === Map("TwoOnOneLine.scala" -> 2))
+    finally {
+      java.nio.file.Files.delete(dir.resolve("TwoOnOneLine.scala"))
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("plan walkers flag the shapes the gate exists to catch") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
