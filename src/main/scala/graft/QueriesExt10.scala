@@ -855,6 +855,146 @@ object QueriesExt10 {
        |         AS evenness
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- q280
+  /** SAX symbolization (Lin et al. 2003) of the daily event-volume
+    * series: z-normalize, map each day to a 4-letter Gaussian-breakpoint
+    * alphabet (±0.6745 are the normal quartiles), and emit each day's
+    * 3-day word — the discretization behind motif discovery and cheap
+    * subsequence indexing over long series.
+    *
+    * The 100 TB shape (the q262/q278 discipline): the raw stream
+    * collapses to the CALENDAR-BOUNDED daily grain first; mean/std come
+    * from exact integer sums (Σx long, Σx² decimal) with one double
+    * closed form; the 3-day word is two leads over a [[graft.functions
+    * .BoundedWindow]] (≤ ~92 rows). Output: day, n_events, z, sym,
+    * word3 (NULL for the final two days — no full word exists). */
+  def q280Sax(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BoundedWindow
+    val daily = Tables.events(s, dir)
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+    val z0 = (col("x").cast("double") -
+      col("t").cast("double") / col("n").cast("double")) /
+      sqrt((col("q").cast("double") -
+        col("t").cast("double") * col("t").cast("double") /
+          col("n").cast("double")) / col("n").cast("double"))
+    val w = BoundedWindow.orderBy(col("day"), col("day"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("z", round(z0, 6))
+      .withColumn("sym",
+        when(col("z") < -0.6745d, "a").when(col("z") < 0.0d, "b")
+          .when(col("z") < 0.6745d, "c").otherwise("d"))
+      .withColumn("word3",
+        concat(col("sym"), lead(col("sym"), 1).over(w),
+          lead(col("sym"), 2).over(w)))
+      .select(col("day"), col("x").as("n_events"), col("z"), col("sym"),
+        col("word3"))
+  }
+  val q280Sql: String =
+    """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      |                 count(*)::BIGINT AS x FROM events GROUP BY 1),
+      |st AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS t,
+      |         sum(x::HUGEINT * x::HUGEINT)::HUGEINT AS q FROM daily),
+      |z AS (SELECT day, x,
+      |        round((x::DOUBLE - t::DOUBLE / n::DOUBLE)
+      |          / sqrt((q::DOUBLE - t::DOUBLE * t::DOUBLE / n::DOUBLE)
+      |              / n::DOUBLE), 6) AS z
+      |      FROM daily CROSS JOIN st),
+      |sx AS (SELECT day, x, z,
+      |         CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+      |              WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+      |       FROM z)
+      |SELECT day, x AS n_events, z, sym,
+      |       sym || lead(sym, 1) OVER (ORDER BY day)
+      |           || lead(sym, 2) OVER (ORDER BY day) AS word3
+      |FROM sx""".stripMargin
+
+  // ---------------------------------------------------------------- q281
+  /** Join-key skew report — the distributed-ops diagnostic BEFORE a
+    * 100 TB join is planned: for each major join key, the hottest key's
+    * row share and its multiple of the average key size (the number
+    * that says "salt this join" / "expect one straggler task"). Salting
+    * and AQE skew-join handle the mitigation; this measures the need.
+    *
+    * The 100 TB shape: per relation ONE map-side-combined key count and
+    * a 1-row (count, max, sum) rollup — nothing else moves; the four
+    * 1-row frames union. Output: rel, key, n_rows, n_keys, max_cnt,
+    * max_share, skew_factor. */
+  def q281SkewReport(s: SparkSession, dir: String): DataFrame = {
+    def one(rel: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_cnt"))
+        .select(lit(rel).as("rel"), lit(key).as("key"), col("n_rows"),
+          col("n_keys"), col("max_cnt"),
+          round(col("max_cnt").cast("double") / col("n_rows").cast("double"),
+            6).as("max_share"),
+          round(col("max_cnt").cast("double") * col("n_keys").cast("double")
+            / col("n_rows").cast("double"), 2).as("skew_factor"))
+    one("orders", Tables.orders(s, dir), "o_custkey")
+      .unionByName(one("lineitem", Tables.lineitem(s, dir), "l_partkey"))
+      .unionByName(one("lineitem", Tables.lineitem(s, dir), "l_orderkey"))
+      .unionByName(one("events", Tables.events(s, dir), "user_id"))
+  }
+  val q281Sql: String = {
+    def one(rel: String, key: String): String =
+      s"""SELECT '$rel' AS rel, '$key' AS key, sum(c)::BIGINT AS n_rows,
+         |       count(*)::BIGINT AS n_keys, max(c)::BIGINT AS max_cnt,
+         |       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS max_share,
+         |       round(max(c)::DOUBLE * count(*)::DOUBLE / sum(c)::DOUBLE, 2)
+         |         AS skew_factor
+         |FROM (SELECT $key, count(*)::BIGINT AS c FROM $rel GROUP BY 1)"""
+        .stripMargin
+    Seq(one("orders", "o_custkey"), one("lineitem", "l_partkey"),
+      one("lineitem", "l_orderkey"), one("events", "user_id"))
+      .mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------- q282
+  /** Per-node local clustering coefficient over the co-purchase graph
+    * ([[graft.functions.Graphs.localClustering]]) — the node-grain
+    * refinement of q124's global census: which parts sit in tight
+    * cliques (accessory bundles) vs star hubs (staples bought with
+    * everything). LCC_v = 2·tri_v/(deg_v(deg_v−1)), NULL for deg < 2.
+    *
+    * The 100 TB shape: the SHARED persisted co-purchase edge list
+    * (q124/q130/q134/...), the same degree-oriented O(√m) wedge bound,
+    * per-triangle credit as 3 narrow increments (two off the
+    * intersection size, one explode of members), ONE hash aggregate per
+    * node. Output: id, deg, n_tri, lcc. */
+  def q282LocalClustering(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Graphs.localClustering(
+      QueriesExt4.coPurchase(s, dir).toDF("a", "b"))
+  val q282Sql: String =
+    s"""WITH ${QueriesExt4.coPurchaseSqlCte},
+       |d AS (SELECT v, count(*)::BIGINT AS deg FROM
+       |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |wd AS (SELECT e.a, e.b, da.deg AS dega, db.deg AS degb
+       |       FROM e JOIN d da ON e.a = da.v JOIN d db ON e.b = db.v),
+       |o AS (SELECT
+       |        CASE WHEN dega < degb OR (dega = degb AND a < b)
+       |             THEN a ELSE b END AS src,
+       |        CASE WHEN dega < degb OR (dega = degb AND a < b)
+       |             THEN b ELSE a END AS dst
+       |      FROM wd),
+       |adj AS (SELECT src AS x, list(dst) AS outs FROM o GROUP BY 1),
+       |iv AS (SELECT o.src, o.dst,
+       |         list_intersect(au.outs, av.outs) AS ws
+       |       FROM o LEFT JOIN adj au ON o.src = au.x
+       |              LEFT JOIN adj av ON o.dst = av.x),
+       |ivf AS (SELECT * FROM iv WHERE len(ws) > 0),
+       |cr AS (SELECT src AS id, len(ws)::BIGINT AS t FROM ivf
+       |       UNION ALL SELECT dst, len(ws)::BIGINT FROM ivf
+       |       UNION ALL SELECT unnest(ws), 1::BIGINT FROM ivf),
+       |tr AS (SELECT id, sum(t)::BIGINT AS n_tri FROM cr GROUP BY 1)
+       |SELECT d.v AS id, deg, coalesce(n_tri, 0)::BIGINT AS n_tri,
+       |       CASE WHEN deg >= 2 THEN
+       |         round(2.0 * coalesce(n_tri, 0)::DOUBLE
+       |           / (deg * (deg - 1))::DOUBLE, 6) END AS lcc
+       |FROM d LEFT JOIN tr ON d.v = tr.id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_hits" -> (q268Hits _),
     "q269_anova_f" -> (q269AnovaF _),
@@ -867,7 +1007,10 @@ object QueriesExt10 {
     "q276_triplets" -> (q276Triplets _),
     "q277_simpson" -> (q277Simpson _),
     "q278_changepoint" -> (q278Changepoint _),
-    "q279_coverage_entropy" -> (q279CoverageEntropy _)
+    "q279_coverage_entropy" -> (q279CoverageEntropy _),
+    "q280_sax" -> (q280Sax _),
+    "q281_skew_report" -> (q281SkewReport _),
+    "q282_local_clustering" -> (q282LocalClustering _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -882,6 +1025,9 @@ object QueriesExt10 {
     "q276_triplets" -> q276Sql,
     "q277_simpson" -> q277Sql,
     "q278_changepoint" -> q278Sql,
-    "q279_coverage_entropy" -> q279Sql
+    "q279_coverage_entropy" -> q279Sql,
+    "q280_sax" -> q280Sql,
+    "q281_skew_report" -> q281Sql,
+    "q282_local_clustering" -> q282Sql
   )
 }

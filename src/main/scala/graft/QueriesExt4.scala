@@ -20,7 +20,7 @@ object QueriesExt4 {
 
   /** Shared co-purchase edge list: distinct part pairs sharing an order
     * ([[Graphs.coOccurrenceEdges]]); feeds the whole graph tier (q124,
-    * q130, q134, q142, q148, q162, q177).
+    * q130, q134, q142, q148, q162, q177, q282 in QueriesExt10).
     *
     * Distinct edges, measured deliberately: skipping this dedup in
     * favor of the consumers' own distincts was benchmarked SLOWER
@@ -36,7 +36,7 @@ object QueriesExt4 {
     * once, let every graph consumer read it). */
   private val coPurchaseCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def coPurchase(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchase(s: SparkSession, dir: String): DataFrame = {
     // Self-cleaning memo: purge entries owned by stopped sessions on
     // every access, so a long-lived JVM that cycles sessions (test
     // suites) cannot accumulate stale session/plan references — the
@@ -60,7 +60,7 @@ object QueriesExt4 {
     coPurchaseCache.clear()
   }
 
-  private val coPurchaseSqlCte: String =
+  private[graft] val coPurchaseSqlCte: String =
     """p AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
       |sz AS (SELECT g FROM (SELECT g, count(*) AS s FROM p GROUP BY 1)
       |       WHERE s <= 1000),

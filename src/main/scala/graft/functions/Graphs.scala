@@ -70,6 +70,65 @@ object Graphs {
       .filter(col("a") =!= col("b"))
       .distinct()
 
+  /** Per-node local clustering coefficient (Watts–Strogatz): for every
+    * node, the fraction of its neighbor pairs that are themselves
+    * connected — LCC_v = 2·tri_v / (deg_v·(deg_v − 1)), NULL for
+    * degree < 2 (undefined, not zero). The node-grain refinement of
+    * [[triangleStats]]' global clustering.
+    *
+    * Scale shape: the SAME degree-oriented wedge discipline as
+    * [[triangleStats]] (each edge directs low→high (deg, id), so
+    * out-lists are O(√m)-bounded and a hub never expands deg² wedges);
+    * per-triangle credit flows as 3 narrow increments — two closed-edge
+    * endpoint counts straight off the intersection SIZE and one explode
+    * of the intersection members — then ONE hash aggregate per node.
+    * Output: (id, deg, n_tri, lcc). */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = canonical(edges).localCheckpoint()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("src"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("dst"))
+      .localCheckpoint()
+    val empty = array().cast("array<bigint>")
+    val outAdj = oriented.groupBy(col("src").as("x"))
+      .agg(collect_list(col("dst")).as("outs"))
+    // Per edge (u, v): the third corners w = out(u) ∩ out(v). Credit u
+    // and v with the intersection SIZE (no explode needed) and each w
+    // with 1 (one explode, |rows| = n_triangles).
+    val inter = oriented
+      .join(outAdj.select(col("x").as("src"), col("outs").as("out_u")),
+        Seq("src"), "left")
+      .join(outAdj.select(col("x").as("dst"), col("outs").as("out_v")),
+        Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        array_intersect(coalesce(col("out_u"), empty),
+          coalesce(col("out_v"), empty)).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .localCheckpoint(true)
+    val credits = inter.select(col("src").as("id"),
+        size(col("ws")).cast("long").as("t"))
+      .unionAll(inter.select(col("dst").as("id"),
+        size(col("ws")).cast("long").as("t")))
+      .unionAll(inter.select(explode(col("ws")).as("id"), lit(1L).as("t")))
+    val tri = credits.groupBy(col("id")).agg(sum(col("t")).as("n_tri"))
+    deg.select(col("v").as("id"), col("deg"))
+      .join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2L,
+          round(lit(2.0d) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double"), 6)).as("lcc"))
+  }
+
   /** Global triangle census over distinct undirected edges (a, b), a<b:
     * one row (n_nodes, n_edges, n_wedges, n_triangles, clustering).
     *
