@@ -995,6 +995,134 @@ object QueriesExt10 {
        |           / (deg * (deg - 1))::DOUBLE, 6) END AS lcc
        |FROM d LEFT JOIN tr ON d.v = tr.id""".stripMargin
 
+  // ---------------------------------------------------------------- q283
+  /** Neyman allocation (variance-optimal stratified sampling, Neyman
+    * 1934): split a fixed sample budget across sources proportional to
+    * N_h·σ_h — strata that are big AND internally varied get more
+    * budget; uniform strata get less. The sampling-design complement of
+    * the water-filling token budget (q-mixture): that caps, this
+    * allocates for estimator variance. Integer allocations come from
+    * the largest-remainder method so they sum EXACTLY to the budget.
+    *
+    * The 100 TB shape: per-source (n, Σlen, Σlen²) is one map-side-
+    * combined aggregate over exact integers; everything after runs on
+    * the ≤|sources| grain (shares, floors, and the remainder ranks via
+    * [[graft.functions.BoundedWindow]]). Output: source, n_docs,
+    * sigma_len, share, alloc — Σalloc = 1000. */
+  def q283NeymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BoundedWindow
+    val budget = 1000L
+    val g = docs(s, dir)
+      .select(col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("sv"),
+        sum(col("len").cast("decimal(38,0)") * col("len")).as("qv"))
+    val sigma = sqrt((col("qv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double") /
+        col("n").cast("double")) / (col("n") - 1L).cast("double"))
+    val weighted = g.select(col("source"), col("n"), sigma.as("sig"),
+      (col("n").cast("double") * sigma).as("w"))
+    val tot = weighted.agg(sum(col("w")).as("wt"))
+    // Shares and floors in doubles (identical expression both engines);
+    // the missing remainder goes to the largest fractional parts,
+    // source-ascending tie-break — allocations sum exactly to budget.
+    val shared = weighted.crossJoin(broadcast(tot))
+      .withColumn("share", col("w") / col("wt"))
+      .withColumn("base", floor(lit(budget.toDouble) * col("share"))
+        .cast("long"))
+      .withColumn("frac", lit(budget.toDouble) * col("share") -
+        col("base").cast("double"))
+    val baseTot = shared.agg(sum(col("base")).as("bt"))
+    shared.crossJoin(broadcast(baseTot))
+      .withColumn("rk", row_number().over(
+        BoundedWindow.orderBy(col("source"), col("frac").desc,
+          col("source").asc)).cast("long"))
+      .select(col("source"), col("n").as("n_docs"),
+        round(col("sig"), 6).as("sigma_len"),
+        round(col("share"), 6).as("share"),
+        (col("base") + when(col("rk") <= lit(budget) - col("bt"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
+  val q283Sql: String =
+    """WITH g AS (SELECT source, count(*)::BIGINT AS n,
+      |             sum(len)::BIGINT AS sv,
+      |             sum(len::HUGEINT * len::HUGEINT)::HUGEINT AS qv
+      |           FROM (SELECT source, length(text)::BIGINT AS len
+      |                 FROM documents) GROUP BY 1),
+      |w AS (SELECT source, n,
+      |        sqrt((qv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
+      |          / (n - 1)::DOUBLE) AS sig,
+      |        n::DOUBLE * sqrt((qv::DOUBLE - sv::DOUBLE * sv::DOUBLE
+      |          / n::DOUBLE) / (n - 1)::DOUBLE) AS w
+      |      FROM g),
+      |t AS (SELECT sum(w) AS wt FROM w),
+      |sh AS (SELECT source, n, sig, w / wt AS share,
+      |         floor(1000.0 * (w / wt))::BIGINT AS base,
+      |         1000.0 * (w / wt) - floor(1000.0 * (w / wt)) AS frac
+      |       FROM w CROSS JOIN t),
+      |bt AS (SELECT sum(base)::BIGINT AS bt FROM sh),
+      |r AS (SELECT *, row_number() OVER (ORDER BY frac DESC, source ASC)
+      |        ::BIGINT AS rk
+      |      FROM sh CROSS JOIN bt)
+      |SELECT source, n AS n_docs, round(sig, 6) AS sigma_len,
+      |       round(share, 6) AS share,
+      |       (base + CASE WHEN rk <= 1000 - bt THEN 1 ELSE 0 END)::BIGINT
+      |         AS alloc
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- q284
+  /** Group k-fold assignment with a leakage witness — the eval-hygiene
+    * op behind user-level cross-validation: every event lands in the
+    * fold of its USER (hash-assigned, deterministic), so no user's
+    * behavior ever spans train and validation. The output publishes the
+    * per-fold balance AND the machine-checked witness that leakage is
+    * zero by construction.
+    *
+    * The 100 TB shape: fold = pmod(md5(user), k) inside the scan; one
+    * map-side-combined (fold, user)-grain count, then a k-row rollup;
+    * `cross_fold_users` counts users with >1 distinct fold — structurally
+    * 0, and the oracle re-derives it rather than trusting it. Output per
+    * fold: fold, n_users, n_events, event_share, cross_fold_users. */
+  def q284GroupKfold(s: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"),
+        pmod(TextFunctions.md5Long(col("user_id").cast("string")), lit(k))
+          .as("fold"))
+      .groupBy(col("fold"), col("user_id")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val leak = perUser.groupBy(col("user_id"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .agg(sum(when(col("nf") > 1L, 1L).otherwise(0L))
+        .as("cross_fold_users"))
+    val tot = perUser.agg(sum(col("c")).as("nt"))
+    perUser.groupBy(col("fold"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("c")).as("n_events"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(leak))
+      .select(col("fold"), col("n_users"), col("n_events"),
+        round(col("n_events").cast("double") / col("nt").cast("double"), 6)
+          .as("event_share"),
+        col("cross_fold_users"))
+  }
+  val q284Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH pu AS (SELECT ${mid("user_id::VARCHAR")} % 5 AS fold, user_id,
+       |              count(*)::BIGINT AS c
+       |            FROM events GROUP BY 1, 2),
+       |lk AS (SELECT sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END)::BIGINT
+       |           AS cross_fold_users
+       |       FROM (SELECT user_id, count(DISTINCT fold) AS nf
+       |             FROM pu GROUP BY 1)),
+       |t AS (SELECT sum(c)::BIGINT AS nt FROM pu)
+       |SELECT fold, count(DISTINCT user_id)::BIGINT AS n_users,
+       |       sum(c)::BIGINT AS n_events,
+       |       round(sum(c)::DOUBLE / max(nt)::DOUBLE, 6) AS event_share,
+       |       max(cross_fold_users)::BIGINT AS cross_fold_users
+       |FROM pu CROSS JOIN t CROSS JOIN lk
+       |GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_hits" -> (q268Hits _),
     "q269_anova_f" -> (q269AnovaF _),
@@ -1010,7 +1138,9 @@ object QueriesExt10 {
     "q279_coverage_entropy" -> (q279CoverageEntropy _),
     "q280_sax" -> (q280Sax _),
     "q281_skew_report" -> (q281SkewReport _),
-    "q282_local_clustering" -> (q282LocalClustering _)
+    "q282_local_clustering" -> (q282LocalClustering _),
+    "q283_neyman_alloc" -> (q283NeymanAlloc _),
+    "q284_group_kfold" -> (q284GroupKfold _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1028,6 +1158,8 @@ object QueriesExt10 {
     "q279_coverage_entropy" -> q279Sql,
     "q280_sax" -> q280Sql,
     "q281_skew_report" -> q281Sql,
-    "q282_local_clustering" -> q282Sql
+    "q282_local_clustering" -> q282Sql,
+    "q283_neyman_alloc" -> q283Sql,
+    "q284_group_kfold" -> q284Sql
   )
 }
