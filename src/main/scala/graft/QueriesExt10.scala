@@ -1123,6 +1123,156 @@ object QueriesExt10 {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q285
+  /** Cohen's kappa for the language-ID heuristic — chance-corrected
+    * agreement between labeled and detected language (the single-number
+    * summary of q266's confusion matrix; accuracy alone flatters any
+    * classifier on a skewed label mix): κ = (p_o − p_e)/(1 − p_e) with
+    * p_e = Σ_l row_l·col_l / N².
+    *
+    * The 100 TB shape: prediction stays inside the scan, the matrix is
+    * a |langs|²-bounded count, and p_o/p_e come from exact integer
+    * sums (diag, row·col products) with one closed form. Output: n,
+    * p_obs, p_exp, kappa. */
+  def q285CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val cells = docs(s, dir)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("det"))
+      .groupBy(col("lang"), col("det")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val rows = cells.groupBy(col("lang")).agg(sum(col("c")).as("r"))
+    val cols = cells.groupBy(col("det")).agg(sum(col("c")).as("cc"))
+    val agree = cells.agg(
+      sum(when(col("lang") === col("det"), col("c")).otherwise(0L))
+        .as("diag"),
+      sum(col("c")).as("n"))
+    val pe = rows.join(cols, col("lang") === col("det"))
+      .agg(sum(col("r").cast("decimal(38,0)") * col("cc")).as("rc"))
+    agree.crossJoin(broadcast(pe))
+      .select(col("n"),
+        round(col("diag").cast("double") / col("n").cast("double"), 6)
+          .as("p_obs"),
+        round(col("rc").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("p_exp"))
+      .select(col("n"), col("p_obs"), col("p_exp"),
+        round((col("p_obs") - col("p_exp")) / (lit(1.0d) - col("p_exp")), 6)
+          .as("kappa"))
+  }
+  val q285Sql: String =
+    s"""WITH pred AS (
+       |  SELECT lang, ${QueriesExt.langIdSql} AS det
+       |  FROM (SELECT lang, ${QueriesExt.toksSql} AS toks FROM documents)),
+       |cells AS (SELECT lang, det, count(*)::BIGINT AS c
+       |          FROM pred GROUP BY 1, 2),
+       |ag AS (SELECT sum(CASE WHEN lang = det THEN c ELSE 0 END)::BIGINT
+       |           AS diag,
+       |         sum(c)::BIGINT AS n FROM cells),
+       |r AS (SELECT lang, sum(c)::BIGINT AS r FROM cells GROUP BY 1),
+       |cl AS (SELECT det, sum(c)::BIGINT AS cc FROM cells GROUP BY 1),
+       |pe AS (SELECT sum(r::HUGEINT * cc::HUGEINT)::HUGEINT AS rc
+       |       FROM r JOIN cl ON r.lang = cl.det),
+       |p AS (SELECT n, round(diag::DOUBLE / n::DOUBLE, 6) AS p_obs,
+       |        round(rc::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS p_exp
+       |      FROM ag CROSS JOIN pe)
+       |SELECT n, p_obs, p_exp,
+       |       round((p_obs - p_exp) / (1.0 - p_exp), 6) AS kappa
+       |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------- q286
+  /** Quantile normalization of per-source document lengths onto the
+    * pooled distribution — the batch-effect correction (Bolstad et al.
+    * 2003, from microarrays; here: make sources length-comparable before
+    * mixing): each doc's within-source rank r maps to the pooled value
+    * at the same quantile, gr = ⌈(2r−1)·N / (2·n_s)⌉.
+    *
+    * The 100 TB shape: within-source ranks via [[PrefixScan
+    * .scanGrouped]] (a partitionBy(source) window would single-task
+    * each source), the pooled rank→value frame via ONE [[PrefixScan]]
+    * RowNumber, the quantile lookup an exact-integer equi-join on gr —
+    * no percentile sketch, no single-partition sort. Output: doc_id,
+    * source, n_chars, norm_chars. */
+  def q286QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"))
+      .localCheckpoint(true)
+    val ranked = PrefixScan.scanGrouped(d, "source", col("len"),
+      Seq(col("len"), col("doc_id")), Seq(PrefixScan.RowNumber("r")))
+    val ns = d.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val pooled = PrefixScan.scan(d.select(col("len")), col("len"),
+        Seq(col("len")), Seq(PrefixScan.RowNumber("gr")), cache = true)
+      .select(col("gr"), col("len").as("norm_chars"))
+    val nTot = d.agg(count(lit(1)).as("nt"))
+    ranked.join(broadcast(ns), "source").crossJoin(broadcast(nTot))
+      .withColumn("gr",
+        expr("((2 * r - 1) * nt + 2 * ns - 1) div (2 * ns)"))
+      .join(pooled, "gr")
+      .select(col("doc_id"), col("source"), col("len").as("n_chars"),
+        col("norm_chars"))
+  }
+  val q286Sql: String =
+    """WITH d AS (SELECT doc_id, source, length(text)::BIGINT AS len
+      |           FROM documents),
+      |rk AS (SELECT doc_id, source, len,
+      |         row_number() OVER (PARTITION BY source ORDER BY len, doc_id)
+      |           ::BIGINT AS r
+      |       FROM d),
+      |ns AS (SELECT source, count(*)::BIGINT AS ns FROM d GROUP BY 1),
+      |nt AS (SELECT count(*)::BIGINT AS nt FROM d),
+      |pl AS (SELECT len AS norm_chars,
+      |         row_number() OVER (ORDER BY len)::BIGINT AS gr FROM d),
+      |g AS (SELECT doc_id, source, len,
+      |        ((2 * r - 1) * nt + 2 * ns - 1) // (2 * ns) AS gr
+      |      FROM rk JOIN ns USING (source) CROSS JOIN nt)
+      |SELECT doc_id, source, len AS n_chars, norm_chars
+      |FROM g JOIN pl USING (gr)""".stripMargin
+
+  // ---------------------------------------------------------------- q287
+  /** Degree-distribution power-law fit for the co-purchase graph — the
+    * graph-shape twin of q202's token Zipf fit: the Clauset–Shalizi–
+    * Newman discrete MLE α̂ = 1 + n / Σ ln(d / (dmin − ½)) over nodes
+    * with degree ≥ dmin, with the tail fraction it covers. A scale-free
+    * α ≈ 2–3 says hub-and-spoke; a large α says the graph is flat —
+    * which salting/skew decisions downstream read directly.
+    *
+    * The 100 TB shape: degrees are one count off the SHARED persisted
+    * edge list; each node's ln term integerizes to micro-units
+    * (identical double from identical integers, THEN rounded) so the
+    * data-scaled sum is order-independent; the closed form is one row.
+    * Output: dmin, n_tail, n_nodes, alpha, tail_frac. */
+  def q287DegreePowerLaw(s: SparkSession, dir: String): DataFrame = {
+    val dmin = 3L
+    val e = QueriesExt4.coPurchase(s, dir).toDF("a", "b")
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val tail = deg.filter(col("d") >= dmin)
+      .select(round(lit(1.0e12d) *
+        log(col("d").cast("double") / (lit(dmin.toDouble) - 0.5d)), 0)
+        .cast("long").as("lm"))
+      .agg(count(lit(1)).as("n_tail"), sum(col("lm")).as("slm"))
+    val all0 = deg.agg(count(lit(1)).as("n_nodes"))
+    tail.crossJoin(broadcast(all0))
+      .select(lit(dmin).as("dmin"), col("n_tail"), col("n_nodes"),
+        round(lit(1.0d) + col("n_tail").cast("double") /
+          (col("slm").cast("double") / lit(1.0e12d)), 6).as("alpha"),
+        round(col("n_tail").cast("double") / col("n_nodes").cast("double"),
+          6).as("tail_frac"))
+  }
+  val q287Sql: String =
+    s"""WITH ${QueriesExt4.coPurchaseSqlCte},
+       |d AS (SELECT v, count(*)::BIGINT AS d FROM
+       |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |t AS (SELECT count(*)::BIGINT AS n_tail,
+       |        sum(round(1.0e12 * ln(d::DOUBLE / 2.5))::BIGINT)::BIGINT
+       |          AS slm
+       |      FROM d WHERE d >= 3),
+       |a AS (SELECT count(*)::BIGINT AS n_nodes FROM d)
+       |SELECT 3::BIGINT AS dmin, n_tail, n_nodes,
+       |       round(1.0 + n_tail::DOUBLE / (slm::DOUBLE / 1.0e12), 6)
+       |         AS alpha,
+       |       round(n_tail::DOUBLE / n_nodes::DOUBLE, 6) AS tail_frac
+       |FROM t CROSS JOIN a""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_hits" -> (q268Hits _),
     "q269_anova_f" -> (q269AnovaF _),
@@ -1140,7 +1290,10 @@ object QueriesExt10 {
     "q281_skew_report" -> (q281SkewReport _),
     "q282_local_clustering" -> (q282LocalClustering _),
     "q283_neyman_alloc" -> (q283NeymanAlloc _),
-    "q284_group_kfold" -> (q284GroupKfold _)
+    "q284_group_kfold" -> (q284GroupKfold _),
+    "q285_cohens_kappa" -> (q285CohensKappa _),
+    "q286_quantile_norm" -> (q286QuantileNorm _),
+    "q287_degree_powerlaw" -> (q287DegreePowerLaw _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1160,6 +1313,9 @@ object QueriesExt10 {
     "q281_skew_report" -> q281Sql,
     "q282_local_clustering" -> q282Sql,
     "q283_neyman_alloc" -> q283Sql,
-    "q284_group_kfold" -> q284Sql
+    "q284_group_kfold" -> q284Sql,
+    "q285_cohens_kappa" -> q285Sql,
+    "q286_quantile_norm" -> q286Sql,
+    "q287_degree_powerlaw" -> q287Sql
   )
 }
