@@ -1273,6 +1273,69 @@ object QueriesExt10 {
        |       round(n_tail::DOUBLE / n_nodes::DOUBLE, 6) AS tail_frac
        |FROM t CROSS JOIN a""".stripMargin
 
+  // ---------------------------------------------------------------- q288
+  /** Approximate average local clustering by one-wedge-per-node probing
+    * — the LINEAR-cost sampling tier next to q282's exact Θ(m^1.5)
+    * wedge join (SCALE_r11's documented triangle cost law): for every
+    * node with degree ≥ 2, probe ONE deterministic wedge (its two
+    * md5-smallest neighbors) and check closure against the edge list;
+    * the closure rate estimates the Watts–Strogatz average local
+    * clustering at O(V + E) total work.
+    *
+    * The 100 TB shape: neighbor ranking is a WindowGroupLimit-bounded
+    * per-node window (partitioned by a data-scaled key), the probe
+    * pivot is one hash aggregate, and closure is an equi-join on the
+    * canonical pair key — no wedge enumeration anywhere. The md5 probe
+    * is fixed, not uniform-random, so both engines probe the identical
+    * wedge set. Output: n_probed, n_closed, avg_lcc_est. */
+  def q288WedgeProbe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = QueriesExt4.coPurchase(s, dir).toDF("a", "b")
+    val nbr = e.select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+      .withColumn("k", TextFunctions.md5Long(
+        concat(col("v").cast("string"), lit("|"), col("n").cast("string"))))
+    val w = Window.partitionBy(col("v")).orderBy(col("k"), col("n"))
+    val probe = nbr.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("v"))
+      .agg(max(when(col("rn") === 1, col("n"))).as("n1"),
+        max(when(col("rn") === 2, col("n"))).as("n2"))
+      .filter(col("n2").isNotNull)
+      .select(col("v"), least(col("n1"), col("n2")).as("pa"),
+        greatest(col("n1"), col("n2")).as("pb"))
+    val closed = probe.join(
+        e.select(col("a").as("pa"), col("b").as("pb"),
+          lit(1L).as("closed")),
+        Seq("pa", "pb"), "left")
+    closed.agg(count(lit(1)).as("n_probed"),
+        sum(coalesce(col("closed"), lit(0L))).as("n_closed"))
+      .select(col("n_probed"), col("n_closed"),
+        round(col("n_closed").cast("double") / col("n_probed").cast("double"),
+          6).as("avg_lcc_est"))
+  }
+  val q288Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH ${QueriesExt4.coPurchaseSqlCte},
+       |nb AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+       |kk AS (SELECT v, n, ${mid("v || '|' || n")} AS k FROM nb),
+       |r AS (SELECT v, n,
+       |        row_number() OVER (PARTITION BY v ORDER BY k, n) AS rn
+       |      FROM kk),
+       |pk AS (SELECT v, max(CASE WHEN rn = 1 THEN n END) AS n1,
+       |         max(CASE WHEN rn = 2 THEN n END) AS n2
+       |       FROM r WHERE rn <= 2 GROUP BY 1),
+       |pp AS (SELECT v, least(n1, n2) AS pa, greatest(n1, n2) AS pb
+       |       FROM pk WHERE n2 IS NOT NULL),
+       |c AS (SELECT pp.v,
+       |        CASE WHEN e.a IS NULL THEN 0 ELSE 1 END AS closed
+       |      FROM pp LEFT JOIN e ON pp.pa = e.a AND pp.pb = e.b)
+       |SELECT count(*)::BIGINT AS n_probed, sum(closed)::BIGINT AS n_closed,
+       |       round(sum(closed)::DOUBLE / count(*)::DOUBLE, 6)
+       |         AS avg_lcc_est
+       |FROM c""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_hits" -> (q268Hits _),
     "q269_anova_f" -> (q269AnovaF _),
@@ -1293,7 +1356,8 @@ object QueriesExt10 {
     "q284_group_kfold" -> (q284GroupKfold _),
     "q285_cohens_kappa" -> (q285CohensKappa _),
     "q286_quantile_norm" -> (q286QuantileNorm _),
-    "q287_degree_powerlaw" -> (q287DegreePowerLaw _)
+    "q287_degree_powerlaw" -> (q287DegreePowerLaw _),
+    "q288_wedge_probe" -> (q288WedgeProbe _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1316,6 +1380,7 @@ object QueriesExt10 {
     "q284_group_kfold" -> q284Sql,
     "q285_cohens_kappa" -> q285Sql,
     "q286_quantile_norm" -> q286Sql,
-    "q287_degree_powerlaw" -> q287Sql
+    "q287_degree_powerlaw" -> q287Sql,
+    "q288_wedge_probe" -> q288Sql
   )
 }

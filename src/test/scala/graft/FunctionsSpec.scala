@@ -1332,6 +1332,25 @@ class FunctionsSpec extends SparkSuite {
       s"plant not recovered for: ${uncovered.collect().mkString(", ")}")
   }
 
+  test("localClustering: clique nodes score 1, star center and leaves " +
+    "score 0/NULL, path interior 0") {
+    // K4 (ids 1-4): every node deg 3, tri 3, LCC = 2*3/(3*2) = 1.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // Star (10 center; 11-13 leaves): center deg 3 tri 0 -> 0; leaves
+    // deg 1 -> NULL. Path 20-21-22: interior deg 2 tri 0 -> 0.
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val path = Seq((20L, 21L), (21L, 22L))
+    val out = graft.functions.Graphs
+      .localClustering((k4 ++ star ++ path).toDF("a", "b"))
+      .select("id", "deg", "n_tri", "lcc")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    (1L to 4L).foreach(v => assert(out(v) === ((3L, 3L, Some(1.0))), s"K4 $v"))
+    assert(out(10L) === ((3L, 0L, Some(0.0))))
+    assert(out(11L) === ((1L, 0L, None)))
+    assert(out(21L) === ((2L, 0L, Some(0.0))))
+  }
+
   test("psiDrift: identical populations score 0; one-sided bins null out") {
     val ref = (1 to 100).map(i => i.toLong).toDF("v")
     val same = RobustStats.psiDrift(ref, ref, "v")
