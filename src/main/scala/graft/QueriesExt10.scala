@@ -1336,6 +1336,151 @@ object QueriesExt10 {
        |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q289
+  /** Source-vocabulary Jaccard matrix — which sources SHARE words (set
+    * overlap), the companion to q270's distribution divergence (two
+    * sources can share every token yet weight them oppositely): for
+    * every source pair, |V_a ∩ V_b| / |V_a ∪ V_b| over distinct token
+    * fingerprints.
+    *
+    * The 100 TB shape: ONE distinct (source, token-hash) frame — text
+    * never shuffles, tokens hash in the scan; pair intersections come
+    * from a self-equi-join ON THE TOKEN (each token contributes its
+    * ≤|sources|² co-occurring pairs — bounded fan-out per token), and
+    * union sizes derive from the per-source distinct counts. Output:
+    * src_a, src_b, v_a, v_b, shared, jaccard. */
+  def q289VocabJaccard(s: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(s, dir)
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      .select(col("source"), TextFunctions.md5Long(col("t")).as("th"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val shared = vocab.as("x").join(vocab.as("y"),
+        col("x.th") === col("y.th") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("v").as("v_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("v").as("v_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"),
+        col("shared"),
+        round(col("shared").cast("double") /
+          (col("v_a") + col("v_b") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+  val q289Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH voc AS (SELECT DISTINCT source, ${mid("t")} AS th
+       |             FROM (SELECT source, unnest(string_split_regex(
+       |                     trim(lower(text)), '\\s+')) AS t FROM documents)),
+       |sz AS (SELECT source, count(*)::BIGINT AS v FROM voc GROUP BY 1),
+       |sh AS (SELECT x.source AS src_a, y.source AS src_b,
+       |         count(*)::BIGINT AS shared
+       |       FROM voc x JOIN voc y
+       |         ON x.th = y.th AND x.source < y.source
+       |       GROUP BY 1, 2)
+       |SELECT src_a, src_b, a.v AS v_a, b.v AS v_b, shared,
+       |       round(shared::DOUBLE / (a.v + b.v - shared)::DOUBLE, 6)
+       |         AS jaccard
+       |FROM sh JOIN sz a ON sh.src_a = a.source
+       |        JOIN sz b ON sh.src_b = b.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q290
+  /** Information-gain feature ranking: which metadata feature — day of
+    * week, hour of day, or value magnitude-bin — says most about the
+    * event type? IG(f) = H(type) − H(type | f), the split criterion
+    * behind every decision tree and the fastest "is this feature worth
+    * logging" answer.
+    *
+    * The 100 TB shape: each feature is a scan projection onto a
+    * DOMAIN-BOUNDED grain (7 days × 24 hours × ~64 log₂ bins ×
+    * |types|), so each (feature-value, type) table is a bounded
+    * map-side-combined count; every entropy sum folds over the SORTED
+    * bounded cell list (both engines replay the same order). Output
+    * per feature: feature, n_values, h_type, h_cond, info_gain. */
+  def q290InfoGain(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        dayofweek(col("ts")).cast("string").as("dow"),
+        hour(col("ts")).cast("string").as("hod"),
+        when(col("value") > 0,
+          (length(bin(round(col("value") * 1000000.0d, 0).cast("long"))) - 1)
+            .cast("string")).otherwise(lit("neg")).as("vbin"))
+    def ig(feature: String): DataFrame = {
+      val cells = ev.groupBy(col(feature).as("fv"),
+          col("event_type").as("ty"))
+        .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      val folded = cells.agg(sum(col("c")).as("n"),
+        sort_array(collect_list(struct(col("fv"), col("ty"), col("c"))))
+          .as("cs"))
+      val tyTot = cells.groupBy(col("ty")).agg(sum(col("c")).as("tc"))
+        .agg(sort_array(collect_list(struct(col("ty"), col("tc"))))
+          .as("ts"), count(lit(1)).as("n_types"))
+      val fvTot = cells.groupBy(col("fv")).agg(sum(col("c")).as("fc"))
+        .agg(sort_array(collect_list(struct(col("fv"), col("fc"))))
+          .as("fs"), count(lit(1)).as("n_values"))
+      folded.crossJoin(tyTot).crossJoin(fvTot)
+        .withColumn("h_type", aggregate(col("ts"), lit(0.0d), (acc, x) =>
+          acc - x.getField("tc").cast("double") / col("n").cast("double") *
+            log(x.getField("tc").cast("double") / col("n").cast("double"))))
+        // H(type|f) = H(type, f) − H(f), both over sorted bounded lists.
+        .withColumn("h_joint", aggregate(col("cs"), lit(0.0d), (acc, x) =>
+          acc - x.getField("c").cast("double") / col("n").cast("double") *
+            log(x.getField("c").cast("double") / col("n").cast("double"))))
+        .withColumn("h_f", aggregate(col("fs"), lit(0.0d), (acc, x) =>
+          acc - x.getField("fc").cast("double") / col("n").cast("double") *
+            log(x.getField("fc").cast("double") / col("n").cast("double"))))
+        .select(lit(feature).as("feature"), col("n_values"),
+          round(col("h_type"), 6).as("h_type"),
+          round(col("h_joint") - col("h_f"), 6).as("h_cond"),
+          round(col("h_type") - (col("h_joint") - col("h_f")), 6)
+            .as("info_gain"))
+    }
+    ig("dow").unionByName(ig("hod")).unionByName(ig("vbin"))
+  }
+  val q290Sql: String = {
+        def oneSafe(feature: String, fexpr: String): String =
+      s"""SELECT '$feature' AS feature,
+         |  (SELECT count(DISTINCT $fexpr)::BIGINT FROM ev) AS n_values,
+         |  round(ht, 6) AS h_type, round(hj - hf, 6) AS h_cond,
+         |  round(ht - (hj - hf), 6) AS info_gain
+         |FROM (
+         |  SELECT
+         |    (SELECT list_sum(list_transform(
+         |       list_sort(list(struct_pack(ty := ty, tc := tc))),
+         |       x -> -(x.tc::DOUBLE / n::DOUBLE) * ln(x.tc::DOUBLE / n::DOUBLE)))
+         |     FROM (SELECT event_type AS ty, count(*)::BIGINT AS tc FROM ev
+         |           GROUP BY 1) CROSS JOIN nn GROUP BY n) AS ht,
+         |    (SELECT list_sum(list_transform(
+         |       list_sort(list(struct_pack(fv := fv, ty := ty, c := c))),
+         |       x -> -(x.c::DOUBLE / n::DOUBLE) * ln(x.c::DOUBLE / n::DOUBLE)))
+         |     FROM (SELECT $fexpr AS fv, event_type AS ty,
+         |             count(*)::BIGINT AS c FROM ev GROUP BY 1, 2)
+         |     CROSS JOIN nn GROUP BY n) AS hj,
+         |    (SELECT list_sum(list_transform(
+         |       list_sort(list(struct_pack(fv := fv, fc := fc))),
+         |       x -> -(x.fc::DOUBLE / n::DOUBLE) * ln(x.fc::DOUBLE / n::DOUBLE)))
+         |     FROM (SELECT $fexpr AS fv, count(*)::BIGINT AS fc FROM ev
+         |           GROUP BY 1) CROSS JOIN nn GROUP BY n) AS hf)""".stripMargin
+    val dow = "dayofweek(ts)::VARCHAR"
+    val hod = "hour(ts)::VARCHAR"
+    val vbin = "CASE WHEN \"value\" > 0 THEN " +
+      "(length(bin(round(\"value\" * 1000000.0)::BIGINT)) - 1)::VARCHAR " +
+      "ELSE 'neg' END"
+    s"""WITH ev AS (SELECT event_type, ts, "value" FROM events),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM ev)
+       |${oneSafe("dow", dow)}
+       |UNION ALL
+       |${oneSafe("hod", hod)}
+       |UNION ALL
+       |${oneSafe("vbin", vbin)}""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q268_hits" -> (q268Hits _),
     "q269_anova_f" -> (q269AnovaF _),
@@ -1357,7 +1502,9 @@ object QueriesExt10 {
     "q285_cohens_kappa" -> (q285CohensKappa _),
     "q286_quantile_norm" -> (q286QuantileNorm _),
     "q287_degree_powerlaw" -> (q287DegreePowerLaw _),
-    "q288_wedge_probe" -> (q288WedgeProbe _)
+    "q288_wedge_probe" -> (q288WedgeProbe _),
+    "q289_vocab_jaccard" -> (q289VocabJaccard _),
+    "q290_info_gain" -> (q290InfoGain _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1381,6 +1528,8 @@ object QueriesExt10 {
     "q285_cohens_kappa" -> q285Sql,
     "q286_quantile_norm" -> q286Sql,
     "q287_degree_powerlaw" -> q287Sql,
-    "q288_wedge_probe" -> q288Sql
+    "q288_wedge_probe" -> q288Sql,
+    "q289_vocab_jaccard" -> q289Sql,
+    "q290_info_gain" -> q290Sql
   )
 }
