@@ -65,6 +65,10 @@ object AuditAll {
       Iterator.iterate(line.indexOf(needle))(i =>
         line.indexOf(needle, i + needle.length)).takeWhile(_ >= 0).size
     }
+    // SUMMED per basename (not last-write-wins toMap): if two .scala
+    // files share a basename in different directories, their counts add,
+    // so a new .collect() in a shadowed same-named file still trips the
+    // allowlist instead of silently overwriting the other file's count.
     val walk = Files.walk(root)
     try walk.iterator().asScala
       .filter(p => p.toString.endsWith(".scala") &&
@@ -73,7 +77,8 @@ object AuditAll {
         val n = Files.readAllLines(p).asScala.map(occurrences).sum
         p.getFileName.toString -> n
       }
-      .filter(_._2 > 0).toMap
+      .filter(_._2 > 0).toSeq
+      .groupMapReduce(_._1)(_._2)(_ + _)
     finally walk.close()
   }
 

@@ -629,16 +629,28 @@ object QueriesExt10 {
         concat(lit("neg|"), col("id_a").cast("string"), lit("|"),
           col("id_b").cast("string"))), lit(n)) + 1L)
       .join(ranked, "rk")
+    // Screen BOTH legs against the known-neighbor pair set: a pick
+    // that is a near-dup of the anchor OR of the positive is a false
+    // negative either way (r11 review: the positive leg was unchecked,
+    // so a positive's near-twin could slip through with neg_ok=true).
     val canon = pos.select(least(col("id_a"), col("id_b")).as("pl"),
       greatest(col("id_a"), col("id_b")).as("ph"), lit(true).as("is_nbr"))
+      .localCheckpoint(true)
     picked
       .join(canon,
         least(col("id_a"), col("negative")) === col("pl") &&
           greatest(col("id_a"), col("negative")) === col("ph"), "left")
+      .withColumnRenamed("is_nbr", "nbr_a")
+      .drop("pl", "ph")
+      .join(canon,
+        least(col("id_b"), col("negative")) === col("pl") &&
+          greatest(col("id_b"), col("negative")) === col("ph"), "left")
+      .withColumnRenamed("is_nbr", "nbr_b")
       .select(col("id_a").as("anchor"), col("id_b").as("positive"),
         col("sim"), col("negative"),
         (col("negative") =!= col("id_a") && col("negative") =!= col("id_b") &&
-          coalesce(col("is_nbr"), lit(false)) === false).as("neg_ok"))
+          coalesce(col("nbr_a"), lit(false)) === false &&
+          coalesce(col("nbr_b"), lit(false)) === false).as("neg_ok"))
   }
   val q276Sql: String = {
     def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
@@ -662,7 +674,11 @@ object QueriesExt10 {
        |         AND NOT EXISTS (SELECT 1 FROM pos p
        |           WHERE least(p.id_a, p.id_b) = least(tri.id_a, tri.negative)
        |             AND greatest(p.id_a, p.id_b)
-       |               = greatest(tri.id_a, tri.negative))) AS neg_ok
+       |               = greatest(tri.id_a, tri.negative))
+       |         AND NOT EXISTS (SELECT 1 FROM pos p
+       |           WHERE least(p.id_a, p.id_b) = least(tri.id_b, tri.negative)
+       |             AND greatest(p.id_a, p.id_b)
+       |               = greatest(tri.id_b, tri.negative))) AS neg_ok
        |FROM tri""".stripMargin
   }
 
@@ -1017,9 +1033,15 @@ object QueriesExt10 {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("sv"),
         sum(col("len").cast("decimal(38,0)") * col("len")).as("qv"))
-    val sigma = sqrt((col("qv").cast("double") -
-      col("sv").cast("double") * col("sv").cast("double") /
-        col("n").cast("double")) / (col("n") - 1L).cast("double"))
+    // n=1 guard (the q273 discipline): a single-document source has an
+    // undefined sample sigma — /(n-1) would make it 0/0 = NaN, and one
+    // NaN poisons the weight total and every source's share/alloc.
+    // Degrade it to zero weight instead (mirrored in the oracle).
+    val sigma = when(col("n") > 1L,
+      sqrt((col("qv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double") /
+          col("n").cast("double")) / (col("n") - 1L).cast("double")))
+      .otherwise(lit(0.0))
     val weighted = g.select(col("source"), col("n"), sigma.as("sig"),
       (col("n").cast("double") * sigma).as("w"))
     val tot = weighted.agg(sum(col("w")).as("wt"))
@@ -1050,10 +1072,12 @@ object QueriesExt10 {
       |           FROM (SELECT source, length(text)::BIGINT AS len
       |                 FROM documents) GROUP BY 1),
       |w AS (SELECT source, n,
-      |        sqrt((qv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
-      |          / (n - 1)::DOUBLE) AS sig,
-      |        n::DOUBLE * sqrt((qv::DOUBLE - sv::DOUBLE * sv::DOUBLE
-      |          / n::DOUBLE) / (n - 1)::DOUBLE) AS w
+      |        CASE WHEN n > 1 THEN
+      |          sqrt((qv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE)
+      |            / (n - 1)::DOUBLE) ELSE 0.0 END AS sig,
+      |        n::DOUBLE * CASE WHEN n > 1 THEN
+      |          sqrt((qv::DOUBLE - sv::DOUBLE * sv::DOUBLE
+      |            / n::DOUBLE) / (n - 1)::DOUBLE) ELSE 0.0 END AS w
       |      FROM g),
       |t AS (SELECT sum(w) AS wt FROM w),
       |sh AS (SELECT source, n, sig, w / wt AS share,
@@ -1203,9 +1227,14 @@ object QueriesExt10 {
         Seq(col("len")), Seq(PrefixScan.RowNumber("gr")), cache = true)
       .select(col("gr"), col("len").as("norm_chars"))
     val nTot = d.agg(count(lit(1)).as("nt"))
+    // (2r-1)·nt in decimal(38,0), not long: past ~2.1e9 docs the long
+    // product crosses 2^63 and Spark would wrap silently under non-ANSI
+    // mode while DuckDB's BIGINT errors — decimal keeps both engines
+    // exact at any corpus size (div on decimals still yields long).
     ranked.join(broadcast(ns), "source").crossJoin(broadcast(nTot))
       .withColumn("gr",
-        expr("((2 * r - 1) * nt + 2 * ns - 1) div (2 * ns)"))
+        expr("(cast(2 * r - 1 as decimal(38,0)) * nt + 2 * ns - 1) " +
+          "div (2 * ns)"))
       .join(pooled, "gr")
       .select(col("doc_id"), col("source"), col("len").as("n_chars"),
         col("norm_chars"))
@@ -1222,7 +1251,8 @@ object QueriesExt10 {
       |pl AS (SELECT len AS norm_chars,
       |         row_number() OVER (ORDER BY len)::BIGINT AS gr FROM d),
       |g AS (SELECT doc_id, source, len,
-      |        ((2 * r - 1) * nt + 2 * ns - 1) // (2 * ns) AS gr
+      |        (((2 * r - 1)::HUGEINT * nt + 2 * ns - 1) // (2 * ns))
+      |          ::BIGINT AS gr
       |      FROM rk JOIN ns USING (source) CROSS JOIN nt)
       |SELECT doc_id, source, len AS n_chars, norm_chars
       |FROM g JOIN pl USING (gr)""".stripMargin

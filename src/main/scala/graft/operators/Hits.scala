@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per iteration, one equi-join edge×score + one
   * partial-aggregated sum per side, exactly PageRank's motion; the
-  * normalizing total is a 1-row broadcast. Overflow contract:
-  * maxInDegree · scale < 2^63 (raw sums are longs; lower `scale` for
-  * graphs with billion-degree nodes) — the normalized products go
-  * through decimal(38,0), good for scale² · maxDegree ≤ 10^38.
+  * normalizing total is a 1-row broadcast. Overflow contract: per-node
+  * raw sums accumulate in decimal(38,0) — the same algebra as the
+  * oracle's HUGEINT, so a billion-degree node cannot silently wrap a
+  * long under non-ANSI mode — and the normalized products stay in
+  * decimal(38,0), good for scale² · maxDegree ≤ 10^38.
   *
   * @param edges directed (src, dst) pairs; duplicates removed here.
   * @return one row per (node, side): side ∈ hub (src nodes) /
@@ -40,11 +41,16 @@ object Hits {
       .withColumn("h", lit(scale))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
+      // Per-node raw sums in decimal(38,0), mirroring the oracle's
+      // HUGEINT: a node whose in-degree · scale crosses 2^63 would
+      // otherwise wrap silently under non-ANSI long arithmetic.
       val araw = e.join(hub.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("raw"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
       auth = renorm(araw, "a", scale)
       val hraw = e.join(auth.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(sum(col("a")).as("raw"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
       hub = renorm(hraw, "h", scale)
     }
     hub.select(col("id"), lit("hub").as("side"), col("h").as("score"))
@@ -63,7 +69,9 @@ object Hits {
     // The total sums per-NODE raws whose own bound is maxInDegree·scale,
     // but the TOTAL is Σ ≈ |E|·scale — past 2^63 already at ~9.2M edges
     // (sf3 has ~18M), so it must accumulate in decimal, exactly like the
-    // oracle's HUGEINT sum. Per-node sums stay long (contract above).
+    // oracle's HUGEINT sum. Per-node raws arrive as decimal(38,0) too
+    // (summed that way upstream), so the inner cast is a no-op kept for
+    // callers that pass long-typed raws.
     raw.crossJoin(broadcast(
         raw.agg(sum(col("raw").cast("decimal(38,0)")).as("tot"))))
       .select(col("id"),

@@ -41,6 +41,24 @@ class AuditAllSpec extends SparkSuite {
     }
   }
 
+  test("census SUMS same-named files in different directories") {
+    // r11 review: a basename-keyed toMap was last-write-wins, so a new
+    // collect() in a shadowed same-named file could evade the gate.
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit-dup")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.write(dir.resolve("Dup.scala"),
+      "val a = x.collect()\n".getBytes)
+    java.nio.file.Files.write(sub.resolve("Dup.scala"),
+      "val b = y.collect(); val c = z.collect()\n".getBytes)
+    try assert(AuditAll.collectCensus(dir) === Map("Dup.scala" -> 3))
+    finally {
+      java.nio.file.Files.delete(sub.resolve("Dup.scala"))
+      java.nio.file.Files.delete(dir.resolve("Dup.scala"))
+      java.nio.file.Files.delete(sub)
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("plan walkers flag the shapes the gate exists to catch") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
