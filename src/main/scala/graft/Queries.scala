@@ -307,7 +307,9 @@ object Queries {
       |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ms(ts)
       |                   ORDER BY event_id) AS rn0 FROM events) WHERE rn0 = 1),
       |m AS (
-      |  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+      |  SELECT CASE WHEN user_id % 10 = 6
+      |           THEN '{"tenant":' || (user_id % 5) || ',"uid":' || user_id || '}'
+      |           ELSE CAST(user_id AS VARCHAR) END AS doc_id,
       |         CASE WHEN event_type = 'error' THEN '[]'
       |              ELSE '{"event_id":' || event_id || ',"k":' ||
       |                   CAST(json_extract_string(props, '$.k') AS INTEGER) || '}' END AS doc,

@@ -128,7 +128,14 @@ object CdcGen {
   /** Mongo change stream. `view` maps to `invalidate` (a real change-stream
     * op the sink must filter out). Deletes carry fullDocument=null. The
     * caller should pre-dedup events to one per (user_id, ts_ms) so the LWW
-    * order on (doc_id, ts_ms) is total. */
+    * order on (doc_id, ts_ms) is total.
+    *
+    * Users with `user_id % 10 == 6` get a COMPOSITE object `_id`
+    * (`{"_id": {"tenant": uid%5, "uid": uid}}`) — the reference's README
+    * Mongo exemplars include composite-key documents (ref
+    * README.md:416-526), and planting them here keeps the doc-id
+    * extraction quirk (composite → the object's compact JSON text)
+    * oracle-pinned by q12, not just spec-pinned. */
   def mongo(events: DataFrame): DataFrame = {
     val op = when(col("event_type") === "signup", "insert")
       .when(col("event_type") === "purchase", "update")
@@ -144,7 +151,11 @@ object CdcGen {
       col("event_id").cast(StringType).as("_id"),
       op.as("operationType"),
       fullDoc.as("fullDocument"),
-      concat(lit("{\"_id\": "), col("user_id"), lit("}")).as("documentKey"),
+      when(col("user_id") % 10 === 6,
+        concat(lit("{\"_id\": {\"tenant\": "), col("user_id") % 5,
+          lit(", \"uid\": "), col("user_id"), lit("}}")))
+        .otherwise(concat(lit("{\"_id\": "), col("user_id"), lit("}")))
+        .as("documentKey"),
       struct(lit("cdc_db").as("db"), tableName.as("coll")).as("ns"),
       col("ts_ms")
     )).as("value")))

@@ -85,6 +85,49 @@ object StreamScale {
     }
   }
 
+  /** Near-dup band-state probe (VERDICT r11 #2): streams the sfDir
+    * documents table replicated `copies`× (identical doc_ids — the
+    * distinct-document grain stays FIXED while rows scale) through
+    * [[StreamAggs.streamingNearDupCandidates]] under RocksDB. The claim
+    * under test: band state is one owner row per *occupied band bucket*
+    * — O(distinct docs × bands) — never O(input rows), so the probe's
+    * state rows must be IDENTICAL at 1× and `copies`× while input rows
+    * scale by `copies` (a re-observed owner neither emits nor grows
+    * state). */
+  def nearDupProbe(spark: SparkSession, sfDir: String, copies: Int): Probe = {
+    val tmp = Files.createTempDirectory("graft-streamscale-nd").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        // Deterministic event time: one second per doc from the epoch.
+        timestamp_seconds(col("doc_id")).as("ts"), col("text"))
+    val cp = broadcast(spark.range(copies.toLong).select(col("id").as("__c")))
+    docs.crossJoin(cp).drop("__c")
+      .repartition(graft.Launch.cpus.toInt)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val input = spark.read.parquet(s"$tmp/in")
+    val rows = input.count()
+    val schema = input.schema
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    try {
+      val src = spark.readStream.schema(schema).parquet(s"$tmp/in")
+      val t0 = System.nanoTime()
+      val q = StreamAggs.streamingNearDupCandidates(src, "ts", "text",
+          "doc_id", watermark = "1 hour", stateTtlMs = 86400000L)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt_nd_$copies")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sos = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      Probe("neardup", rows, secs,
+        if (sos.isEmpty) -1L else sos.map(_.numRowsTotal).max,
+        if (sos.isEmpty) -1L else sos.map(_.memoryUsedBytes).max)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      rmTree(new java.io.File(tmp))
+    }
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(); ()
@@ -103,7 +146,7 @@ object StreamScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     copiesList.foreach { c =>
-      run(spark, sfDir, c).foreach { p =>
+      (run(spark, sfDir, c) :+ nearDupProbe(spark, sfDir, c)).foreach { p =>
         println(f"[stream-scale] copies=$c%-3d ${p.name}%-6s rows=${p.rows}%-9d " +
           f"secs=${p.secs}%.2f rps=${p.rps}%-9d state_rows=${p.stateRows} " +
           f"state_bytes=${p.stateBytes}")

@@ -331,6 +331,90 @@ class StreamAggsSpec extends SparkSuite {
     assert(cands == Set((3L, 1L))) // the identical twin, nothing else
   }
 
+  test("streaming near-dup: a NEAR-twin (mutated text) two batches later is flagged") {
+    // The cross-batch test above plants an identical twin one batch
+    // later; this pins the actually-interesting case — a mutation that
+    // shares most but not all shingles (Jaccard 0.8 here), arriving at
+    // batch N+2 with an unrelated batch in between, must still collide
+    // on a band key held in state since batch N.
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.streamingNearDupCandidates(docs, "ts", "text", "doc_id",
+        watermark = "1 hour", stateTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("sndnear").outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog and then ran " +
+      "away to its home in the woods"
+    mem.addData(Seq((ts(0), 1L, base)))
+    q.processAllAvailable()
+    mem.addData(Seq((ts(3), 2L, "completely unrelated filler prose about " +
+      "warehouse ingestion pipelines and parquet compaction strategies")))
+    q.processAllAvailable()
+    mem.addData(Seq((ts(6), 3L, base.replace("its home", "its den"))))
+    q.processAllAvailable()
+    q.stop()
+    val cands = spark.table("sndnear").select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(cands == Set((3L, 1L)),
+      s"mutated near-twin must flag against its batch-N original: $cands")
+  }
+
+  test("streaming near-dup parity vs the batch LSH kernel on the sf0.001 corpus") {
+    // Batch-path parity, oracle-checked against q14's kernel
+    // (DedupFunctions.minhashLshPairs — q14 runs exactly this) on the
+    // same corpus. The two honest set relations that hold by
+    // construction (streaming emits a STAR per bucket — later docs pair
+    // with the bucket's earliest owner — where batch emits the clique):
+    //   (1) pair precision: every streaming candidate that survives the
+    //       SAME exact-Jaccard verify is a batch-verified pair (both
+    //       docs shared a band bucket, and the verify is identical);
+    //   (2) doc recall: every batch-verified pair's LATER doc is
+    //       flagged by at least one streaming candidate (its band
+    //       collision's bucket was occupied by the time it arrived).
+    import graft.functions.DedupFunctions
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batchPairs = DedupFunctions.minhashLshPairs(
+        corpus.toSeq.toDF("doc_id", "text"), "text", "doc_id",
+        n = 2, numHashes = 32, bands = 16, threshold = 0.05)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty)
+    // Stream the corpus in three batches, doc_id-ordered event time.
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.streamingNearDupCandidates(docs, "ts", "text", "doc_id",
+        watermark = "24 hours", stateTtlMs = 86400000L)
+      .writeStream.format("memory").queryName("sndpar").outputMode("append").start()
+    corpus.grouped((corpus.length + 2) / 3).foreach { chunk =>
+      mem.addData(chunk.toSeq.map { case (id, text) =>
+        (new Timestamp(1704067200000L + id * 1000L), id, text)
+      })
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamCands = spark.table("sndpar").select("doc_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    // (1) verify streaming candidates with the identical exact Jaccard.
+    val sh = corpus.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), DedupFunctions.shingles(col("text"), 2).as("sh"))
+      .as[(Long, Seq[String])].collect().map(r => r._1 -> r._2.toSet).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (sa, sb) = (sh(a), sh(b))
+      if (sa.isEmpty && sb.isEmpty) 0.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+    }
+    val streamVerified = streamCands.filter { case (d, o) => jac(d, o) >= 0.05 }
+      .map { case (d, o) => (math.min(d, o), math.max(d, o)) }
+    assert(streamVerified.nonEmpty)
+    assert(streamVerified.subsetOf(batchPairs),
+      s"verified streaming pairs must be batch pairs; extras: ${streamVerified -- batchPairs}")
+    // (2) every batch pair's later doc carries at least one candidate.
+    val flagged = streamCands.map(_._1)
+    val laterDocs = batchPairs.map(_._2)
+    assert(laterDocs.subsetOf(flagged),
+      s"batch-dup docs missed by streaming: ${laterDocs -- flagged}")
+  }
+
   test("near-dup bucket re-hit after ttl refreshes the owner clock instead of crashing") {
     // Regression: the owner's timeout was set from its ORIGINAL event time.
     // A bucket re-hit after stateTtlMs then computed a timeout earlier than
