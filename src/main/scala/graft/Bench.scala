@@ -196,10 +196,12 @@ object Bench {
         def js(ps: Seq[graft.streaming.StreamScale.Probe]) = ps.map(p =>
           s""""${p.name}":{"rows":${p.rows},"rps":${p.rps},"state_rows":${p.stateRows},"state_bytes":${p.stateBytes}}""")
           .mkString("{", ",", "}")
-        val p1 = graft.streaming.StreamScale.run(spark, sfDir, copies = 1) :+
-          graft.streaming.StreamScale.nearDupProbe(spark, sfDir, copies = 1)
-        val p10 = graft.streaming.StreamScale.run(spark, sfDir, copies = 10) :+
-          graft.streaming.StreamScale.nearDupProbe(spark, sfDir, copies = 10)
+        def probes(c: Int) =
+          graft.streaming.StreamScale.run(spark, sfDir, copies = c) :+
+            graft.streaming.StreamScale.nearDupProbe(spark, sfDir, copies = c) :+
+            graft.streaming.StreamScale.substrProbe(spark, sfDir, copies = c)
+        val p1 = probes(1)
+        val p10 = probes(10)
         s""","stream_state_probe":{"provider":"rocksdb","at_1x":${js(p1)},"at_10x":${js(p10)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream probe failed: ${e.getMessage}")

@@ -61,6 +61,16 @@ object ExactSubstrings {
       .withColumn("rn", row_number().over(byHash))
       .filter(col("rn") >= 2)
       .select(col("id"), col("pos"), (col("pos") + (winLen - 1)).as("e"))
+    mergeMarks(dup)
+  }
+
+  /** Merge marked duplicate windows `(id, pos, e)` into maximal per-doc
+    * spans — ONE definition shared by the batch tail above and the
+    * streaming twin's per-batch consumer ([[graft.streaming.StreamAggs
+    * .streamingTokenSpanMarks]] emits exactly this mark grain), so span
+    * boundaries cannot drift between the two paths. */
+  private[graft] def mergeMarks(dup: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos").asc)
     val prevEnd = max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     dup
@@ -91,20 +101,30 @@ object ExactSubstrings {
     * SHUFFLES; the only exchanges are the per-hash first-occurrence
     * window and the per-doc merge. Output: (id, span, tok_start,
     * tok_end, tok_len) — 1-based inclusive token offsets. */
-  def duplicateTokenSpans(df: DataFrame, textCol: String, idCol: String,
-                          W: Int): DataFrame = {
-    val hashes = df
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("toks"))
+  /** `(id, pos, h)` token-window hashes — the shared grain of the batch
+    * op and its streaming twin; `carry` threads extra column NAMES (the
+    * streaming side's event time) through the explode unchanged. */
+  private[graft] def tokenWindowHashes(df: DataFrame, textCol: String,
+                                       idCol: String, W: Int,
+                                       carry: Seq[String] = Nil): DataFrame = {
+    val keep = carry.map(col)
+    df
+      .select(col(idCol).as("id") +:
+        TextFunctions.tokens(col(textCol)).as("toks") +: keep: _*)
       .filter(size(col("toks")) >= W)
-      .select(col("id"),
-        explode(sequence(lit(1), size(col("toks")) - (W - 1))).as("pos"),
-        col("toks"))
-      .select(col("id"), col("pos"),
+      .select(col("id") +:
+        explode(sequence(lit(1), size(col("toks")) - (W - 1))).as("pos") +:
+        col("toks") +: keep: _*)
+      .select(col("id") +: col("pos") +:
         TextFunctions.md5Long(
-          array_join(slice(col("toks"), col("pos"), lit(W)), " ")).as("h"))
-    markAndMerge(hashes, W)
+          array_join(slice(col("toks"), col("pos"), lit(W)), " ")).as("h") +:
+        keep: _*)
+  }
+
+  def duplicateTokenSpans(df: DataFrame, textCol: String, idCol: String,
+                          W: Int): DataFrame =
+    markAndMerge(tokenWindowHashes(df, textCol, idCol, W), W)
       .withColumnRenamed("span_start", "tok_start")
       .withColumnRenamed("span_end", "tok_end")
       .withColumnRenamed("span_len", "tok_len")
-  }
 }

@@ -272,6 +272,76 @@ object StreamAggs {
         })
   }
 
+  final case class TokWinRow(h: Long, id: Long, pos: Long,
+                             ts: java.sql.Timestamp)
+  final case class TokWinOwner(id: Long, pos: Long, tsMs: Long)
+  final case class SubstrMark(id: Long, pos: Long, e: Long)
+
+  /** Streaming exact-substring duplicate MARKS across micro-batches —
+    * the streaming twin of [[graft.functions.ExactSubstrings
+    * .duplicateTokenSpans]] (Lee et al. 2021's token-window dedup, the
+    * q267 tier). Window hashes come from the SAME
+    * `ExactSubstrings.tokenWindowHashes` definition as the batch op;
+    * per hash, keyed state remembers the first occurrence ever seen
+    * ((id, pos)-earliest, matching the batch op's global first-
+    * occurrence rule when documents arrive in id order), and every
+    * other occurrence — later doc OR later position within the same doc
+    * — is emitted as a mark `(id, pos, e)`. Feeding a batch's marks
+    * through `ExactSubstrings.mergeMarks` yields the identical maximal
+    * spans the batch op computes, which is what the parity spec pins.
+    *
+    * Scale: state is one (id, pos) owner per *distinct window hash* —
+    * the same O(corpus token positions) grain the batch op shuffles,
+    * living in RocksDB instead of a shuffle, evicted `stateTtlMs` after
+    * each hash's last event time (the dedup horizon). A re-observed
+    * owner (replayed document) neither emits nor grows state. */
+  def streamingTokenSpanMarks(docs: DataFrame, tsCol: String, textCol: String,
+                              idCol: String, watermark: String,
+                              stateTtlMs: Long, W: Int = 20)
+      : Dataset[SubstrMark] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.ExactSubstrings
+    val hashed = ExactSubstrings.tokenWindowHashes(
+        docs.withColumn("__ts", col(tsCol)), textCol, idCol, W,
+        carry = Seq("__ts"))
+      .withWatermark("__ts", watermark)
+      .select(col("h"), col("id").cast("long").as("id"),
+        col("pos").cast("long").as("pos"), col("__ts").as("ts"))
+      .as[TokWinRow]
+    hashed
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[TokWinRow], state: GroupState[TokWinOwner]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // Deterministic in-batch order: (id, pos)-earliest wins the
+            // hash — the batch op's exact first-occurrence rule.
+            val sorted = rows.toSeq.sortBy(r => (r.id, r.pos))
+            var owner = state.getOption
+            val out = Seq.newBuilder[SubstrMark]
+            var maxTs = 0L
+            sorted.foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              owner match {
+                case Some(o) if o.id == r.id && o.pos == r.pos => ()
+                case Some(_) => out += SubstrMark(r.id, r.pos, r.pos + (W - 1))
+                case None => owner = Some(TokWinOwner(r.id, r.pos, r.ts.getTime))
+              }
+            }
+            owner.foreach { o =>
+              // Owner-clock refresh + watermark clamp: the
+              // streamingNearDupCandidates TTL discipline (see the
+              // comment there for the GroupStateImpl race this avoids).
+              val lastTs = math.max(o.tsMs, maxTs)
+              state.update(TokWinOwner(o.id, o.pos, lastTs))
+              state.setTimeoutTimestamp(
+                math.max(lastTs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   /** Input/row types for the custom-state path. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n: Long, total: Double)

@@ -128,6 +128,46 @@ object StreamScale {
     }
   }
 
+  /** Substring-dedup state probe — same proof shape as [[nearDupProbe]]
+    * for [[StreamAggs.streamingTokenSpanMarks]]: documents replicated
+    * `copies`× (identical doc_ids), so the distinct window-hash grain
+    * stays fixed while rows scale; state rows (one owner per distinct
+    * hash) must be identical at 1× and `copies`×. W=10 because the sf
+    * documents are short (~18 tokens median) — the probe measures state
+    * mechanics, not the q267 production window. */
+  def substrProbe(spark: SparkSession, sfDir: String, copies: Int): Probe = {
+    val tmp = Files.createTempDirectory("graft-streamscale-ss").toString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        timestamp_seconds(col("doc_id")).as("ts"), col("text"))
+    val cp = broadcast(spark.range(copies.toLong).select(col("id").as("__c")))
+    docs.crossJoin(cp).drop("__c")
+      .repartition(graft.Launch.cpus.toInt)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val input = spark.read.parquet(s"$tmp/in")
+    val rows = input.count()
+    val schema = input.schema
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    try {
+      val src = spark.readStream.schema(schema).parquet(s"$tmp/in")
+      val t0 = System.nanoTime()
+      val q = StreamAggs.streamingTokenSpanMarks(src, "ts", "text",
+          "doc_id", watermark = "1 hour", stateTtlMs = 86400000L, W = 10)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt_ss_$copies")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sos = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      Probe("substr", rows, secs,
+        if (sos.isEmpty) -1L else sos.map(_.numRowsTotal).max,
+        if (sos.isEmpty) -1L else sos.map(_.memoryUsedBytes).max)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      rmTree(new java.io.File(tmp))
+    }
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(); ()
@@ -146,7 +186,8 @@ object StreamScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     copiesList.foreach { c =>
-      (run(spark, sfDir, c) :+ nearDupProbe(spark, sfDir, c)).foreach { p =>
+      (run(spark, sfDir, c) :+ nearDupProbe(spark, sfDir, c) :+
+        substrProbe(spark, sfDir, c)).foreach { p =>
         println(f"[stream-scale] copies=$c%-3d ${p.name}%-6s rows=${p.rows}%-9d " +
           f"secs=${p.secs}%.2f rps=${p.rps}%-9d state_rows=${p.stateRows} " +
           f"state_bytes=${p.stateBytes}")

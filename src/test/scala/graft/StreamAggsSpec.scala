@@ -415,6 +415,71 @@ class StreamAggsSpec extends SparkSuite {
       s"batch-dup docs missed by streaming: ${laterDocs -- flagged}")
   }
 
+  test("streaming substring dedup: a passage copied two batches later is marked and merges to one span") {
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.streamingTokenSpanMarks(docs, "ts", "text", "doc_id",
+        watermark = "1 hour", stateTtlMs = 3600000L, W = 5)
+      .writeStream.format("memory").queryName("ssub").outputMode("append").start()
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    mem.addData(Seq((ts(0), 1L, s"intro words here $passage")))
+    q.processAllAvailable()
+    mem.addData(Seq((ts(3), 2L, "totally unrelated filler text with nothing shared at all here")))
+    q.processAllAvailable()
+    mem.addData(Seq((ts(6), 3L, s"$passage and a different tail of original prose")))
+    q.processAllAvailable()
+    q.stop()
+    val marks = spark.table("ssub").as[(Long, Long, Long)].collect().toSeq
+    assert(marks.forall(_._1 == 3L), s"only the copier is marked: $marks")
+    // doc 3's tokens 1..8 are the passage; W=5 → duplicated windows at
+    // positions 1..4, merging to the single span [1, 8].
+    val spans = graft.functions.ExactSubstrings.mergeMarks(
+        marks.toDF("id", "pos", "e"))
+      .select("id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans == Set((3L, 1L, 8L)), s"one maximal span over the passage: $spans")
+  }
+
+  test("streaming substring dedup parity vs the batch operator on the planted sf0.001 corpus") {
+    // Exact-parity oracle: with documents arriving in doc_id order, the
+    // streaming owner (first arrival per window hash) IS the batch op's
+    // global (id, pos)-first occurrence, so stream marks → mergeMarks
+    // must equal duplicateTokenSpans verbatim. Corpus = sf0.001 docs
+    // with the q267 plant (every 5th doc gets the same 30-token
+    // passage appended) so real cross-doc duplicates exist.
+    import graft.functions.ExactSubstrings
+    val plant = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0),
+        if (r.getLong(0) % 5 == 0) r.getString(1) + " " + plant
+        else r.getString(1))).sortBy(_._1)
+    val batchSpans = ExactSubstrings.duplicateTokenSpans(
+        corpus.toSeq.toDF("doc_id", "text"), "text", "doc_id", W = 20)
+      .select("id", "span", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batchSpans.nonEmpty)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.streamingTokenSpanMarks(docs, "ts", "text", "doc_id",
+        watermark = "24 hours", stateTtlMs = 86400000L, W = 20)
+      .writeStream.format("memory").queryName("ssubpar").outputMode("append").start()
+    corpus.grouped((corpus.length + 2) / 3).foreach { chunk =>
+      mem.addData(chunk.toSeq.map { case (id, text) =>
+        (new Timestamp(1704067200000L + id * 1000L), id, text)
+      })
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamSpans = ExactSubstrings.mergeMarks(
+        spark.table("ssubpar").toDF("id", "pos", "e"))
+      .select("id", "span", "span_start", "span_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamSpans == batchSpans,
+      s"stream-merged spans must equal the batch op's; " +
+        s"extra=${streamSpans -- batchSpans} missing=${batchSpans -- streamSpans}")
+  }
+
   test("near-dup bucket re-hit after ttl refreshes the owner clock instead of crashing") {
     // Regression: the owner's timeout was set from its ORIGINAL event time.
     // A bucket re-hit after stateTtlMs then computed a timeout earlier than
