@@ -19,6 +19,10 @@ object Plans {
       "document text never enters an exchange."),
     "q14_minhash_lsh" -> ("MinHash LSH: signatures are partial aggregates (docs shuffle, not shingles); " +
       "candidates come from a band-bucket equi-join, never an all-pairs product."),
+    "q291_incremental_neardup" -> ("incremental near-dup maintenance: the delta batch's band keys " +
+      "probe the base corpus's band rows in one equi-join (at cluster scale the base side is a " +
+      "(band,bh)-bucketed appended index table, so the probe is co-located); base x base is never " +
+      "re-paired - per-ingest cost is |delta| x bands, not O(corpus^2)."),
     "qa2_revenue" -> ("star join: both dimensions broadcast; lineitem is aggregated map-side and " +
       "only the small partial aggregates shuffle."),
     "q33_lsh_ann" -> ("LSH ANN: the probe-expanded query side broadcasts; the corpus is scanned once " +

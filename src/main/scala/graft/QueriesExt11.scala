@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupFunctions, ExactSubstrings, TextFunctions}
+import QueriesExt.docs
+
+/** Round-12 depth tier: dedup as a MAINTAINED capability rather than a
+  * one-shot sweep — the incremental index probe (q291) and the composed
+  * per-document cut report (q292), the two artifacts a production
+  * curation pipeline actually operates on. */
+object QueriesExt11 {
+
+  // ---------------------------------------------------------------- q291
+  /** Incremental near-dup maintenance: a new ingest batch (docs with
+    * doc_id ≡ 0 mod 7 — the "delta") probes the EXISTING corpus's LSH
+    * band index instead of re-running the corpus×corpus self-join —
+    * [[DedupFunctions.minhashLshProbe]], the batch twin of the
+    * streaming band-key state and the shape that makes near-dup dedup
+    * sustainable at 100 TB: per batch the candidate join is
+    * |delta| × bands rows against a (band, bh)-bucketed index table,
+    * never O(corpus²). Portable hash family so the oracle replays the
+    * identical signature → band → probe → exact-verify chain.
+    * Output: id_new, id_base, jaccard. */
+  def q291IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    DedupFunctions.minhashLshProbe(
+      base = all.filter(col("doc_id") % 7 =!= 0),
+      delta = all.filter(col("doc_id") % 7 === 0),
+      "text", "doc_id",
+      n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
+  }
+  /** The probe variant of [[QueriesExt.minhashChainSql]]: signatures
+    * and band keys are computed once over the whole corpus (a doc's
+    * signature does not depend on the split), and the candidate join is
+    * the ASYMMETRIC delta→base probe instead of the a<b self-join. */
+  val q291Sql: String = {
+    val coeffs = (1 to 32).map { i =>
+      val (a, b) = DedupFunctions.minhashCoeff(i)
+      s"($i, $a, $b)"
+    }.mkString(", ")
+    s"""WITH ${QueriesExt.shingleCteFor("t", "TRUE")},
+       |tt AS (SELECT doc_id, len(sh) AS n_sh, sh FROM t WHERE len(sh) > 0),
+       |tok AS (SELECT doc_id, n_sh,
+       |          ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT
+       |            & ${DedupFunctions.MinhashBaseMask} AS h0
+       |        FROM tt),
+       |mh AS (SELECT doc_id, n_sh, seed,
+       |         min((h0 * a + b) & ${DedupFunctions.MinhashOutMask}) AS hv
+       |       FROM tok, (VALUES $coeffs) coeffs(seed, a, b)
+       |       GROUP BY 1, 2, 3),
+       |sig AS (SELECT doc_id, n_sh, list(hv ORDER BY seed) AS sig FROM mh GROUP BY 1, 2),
+       |band AS (SELECT doc_id, n_sh, b, array_to_string(sig[b*2+1 : b*2+2], ',') AS bh
+       |         FROM sig, (SELECT unnest(range(0, 16)) AS b) bands),
+       |cand AS (SELECT DISTINCT d.doc_id AS id_new, bb.doc_id AS id_base,
+       |                d.n_sh AS n_a, bb.n_sh AS n_b
+       |         FROM band d JOIN band bb ON d.b = bb.b AND d.bh = bb.bh
+       |         WHERE d.doc_id % 7 = 0 AND bb.doc_id % 7 <> 0),
+       |ver AS (SELECT c.id_new, c.id_base, c.n_a, c.n_b,
+       |          len(list_intersect(ta.sh, tb.sh)) AS shared
+       |        FROM cand c JOIN tt ta ON ta.doc_id = c.id_new
+       |                    JOIN tt tb ON tb.doc_id = c.id_base)
+       |SELECT id_new, id_base,
+       |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+       |FROM ver WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q292
+  /** The composed per-document CUT REPORT — what a curation pipeline
+    * actually executes: every document of the (q267-planted) corpus
+    * gets ONE disposition from the three dedup tiers in severity order:
+    *
+    *  - `exact`   — whole-doc fingerprint duplicate (q13 tier): cut,
+    *                `dup_of` = the kept (lowest-id) copy, reclaim all
+    *                tokens;
+    *  - `neardup` — verified MinHash/LSH near-duplicate of an earlier
+    *                doc (q14 tier, full corpus, portable family): cut,
+    *                `dup_of` = its earliest verified partner;
+    *  - `partial` — only substring-level duplication (q267 tier):
+    *                keep the doc, trim the marked spans, reclaim
+    *                exactly their token count;
+    *  - `keep`    — untouched.
+    *
+    * Every tier reuses its operator verbatim (exactDedup's fingerprint,
+    * minhashLshPairs, duplicateTokenSpans) over ONE localCheckpointed
+    * planted corpus, so the report can never disagree with the
+    * per-tier queries. The 100 TB shape is the union of the tiers'
+    * (each audited separately); the composition adds only
+    * doc_id-keyed left joins on bounded per-tier outputs.
+    * Output: doc_id, tier, dup_of (null unless cut), cut_tokens. */
+  def q292CutReport(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + QueriesExt9.q267Plant)))
+        .otherwise(col("text")).as("text"))
+      .localCheckpoint(true) // referenced by all three tiers + token counts
+    val nTok = corpus.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val fp = corpus.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val exCut = fp
+      .join(fp.groupBy("fp").agg(min("doc_id").as("keep_id")), Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id").as("ex_dup_of"))
+    val ndCut = DedupFunctions.minhashLshPairs(corpus, "text", "doc_id",
+        n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("nd_dup_of"))
+    val ssTrim = ExactSubstrings.duplicateTokenSpans(corpus, "text", "doc_id", W = 20)
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum(col("tok_len")).as("substr_tokens"))
+    corpus.select("doc_id")
+      .join(nTok, Seq("doc_id"))
+      .join(exCut, Seq("doc_id"), "left")
+      .join(ndCut, Seq("doc_id"), "left")
+      .join(ssTrim, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_dup_of").isNotNull, "exact")
+          .when(col("nd_dup_of").isNotNull, "neardup")
+          .when(col("substr_tokens").isNotNull, "partial")
+          .otherwise("keep").as("tier"),
+        when(col("ex_dup_of").isNotNull, col("ex_dup_of"))
+          .when(col("nd_dup_of").isNotNull, col("nd_dup_of")).as("dup_of"),
+        when(col("ex_dup_of").isNotNull || col("nd_dup_of").isNotNull,
+            col("n_tokens"))
+          .when(col("substr_tokens").isNotNull, col("substr_tokens"))
+          .otherwise(lit(0L)).cast("long").as("cut_tokens"))
+  }
+  val q292Sql: String = {
+    val planted = "CASE WHEN doc_id % 5 = 0 THEN text || ' " +
+      QueriesExt9.q267Plant + "' ELSE text END"
+    val tCte =
+      s"""t AS (
+         |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower($planted)), '\\s+') AS x
+         |        FROM documents))""".stripMargin
+    s"""WITH c AS (SELECT doc_id, $planted AS text FROM documents),
+       |ntok AS (SELECT doc_id,
+       |           len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+       |         FROM c),
+       |fpt AS (SELECT doc_id,
+       |          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       |        FROM c),
+       |exc AS (SELECT f.doc_id, k.keep_id AS ex_dup_of
+       |        FROM fpt f JOIN (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY 1) k
+       |          USING (fp)
+       |        WHERE f.doc_id <> k.keep_id),
+       |nd0 AS (SELECT * FROM (${QueriesExt.minhashChainSql(tCte)})),
+       |ndc AS (SELECT id_b AS doc_id, min(id_a) AS nd_dup_of FROM nd0 GROUP BY 1),
+       |ss0 AS (SELECT * FROM (${QueriesExt9.q267Sql})),
+       |ssc AS (SELECT doc_id, sum(tok_len)::BIGINT AS substr_tokens FROM ss0 GROUP BY 1)
+       |SELECT c.doc_id,
+       |  CASE WHEN exc.ex_dup_of IS NOT NULL THEN 'exact'
+       |       WHEN ndc.nd_dup_of IS NOT NULL THEN 'neardup'
+       |       WHEN ssc.substr_tokens IS NOT NULL THEN 'partial'
+       |       ELSE 'keep' END AS tier,
+       |  CASE WHEN exc.ex_dup_of IS NOT NULL THEN exc.ex_dup_of
+       |       WHEN ndc.nd_dup_of IS NOT NULL THEN ndc.nd_dup_of END AS dup_of,
+       |  (CASE WHEN exc.ex_dup_of IS NOT NULL OR ndc.nd_dup_of IS NOT NULL
+       |          THEN ntok.n_tokens
+       |        WHEN ssc.substr_tokens IS NOT NULL THEN ssc.substr_tokens
+       |        ELSE 0 END)::BIGINT AS cut_tokens
+       |FROM c
+       |LEFT JOIN exc USING (doc_id)
+       |LEFT JOIN ndc USING (doc_id)
+       |LEFT JOIN ssc USING (doc_id)
+       |JOIN ntok USING (doc_id)""".stripMargin
+  }
+
+  // ------------------------------------------------------------ registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_incremental_neardup" -> (q291IncrementalNeardup _),
+    "q292_cut_report" -> (q292CutReport _))
+
+  val oracles: Map[String, String] = Map(
+    "q291_incremental_neardup" -> q291Sql,
+    "q292_cut_report" -> q292Sql)
+}

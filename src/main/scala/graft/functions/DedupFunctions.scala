@@ -273,6 +273,52 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental MinHash+LSH near-dup PROBE — delta documents against an
+    * existing corpus, the index-maintenance twin of [[minhashLshPairs]]:
+    * instead of the corpus×corpus self-join, only the NEW documents'
+    * band keys probe the base corpus's band rows, so per ingest batch
+    * the candidate join touches |delta| × bands rows against the
+    * bucketed base index — never re-pairing base×base. This is the
+    * batch form of [[graft.streaming.StreamAggs
+    * .streamingNearDupCandidates]]'s band-key state: at 100 TB the base
+    * band rows live as a table bucketed by (band, bh), appended per
+    * batch, and each new batch's probe is one co-located equi-join.
+    * Same signatures, band keys ([[bandKeyColumns]] — ONE definition),
+    * and exact-Jaccard verify as the batch operator. Caller keeps
+    * base/delta disjoint. Output: (id_new, id_base, jaccard). */
+  def minhashLshProbe(base: DataFrame, delta: DataFrame,
+                      textCol: String, idCol: String,
+                      n: Int, numHashes: Int, bands: Int,
+                      threshold: Double,
+                      portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame) = {
+      val sig = minhashSignatures(df, textCol, idCol, n, numHashes, portable)
+      sig.select(col("id"), col("n_sh"),
+        posexplode(array(bandKeyColumns(col("sig"), bands, rowsPerBand, portable): _*))
+          .as(Seq("band", "bh")))
+    }
+    val b = banded(base).select(col("band"), col("bh"),
+      col("id").as("id_base"), col("n_sh").as("n_b"))
+    val d = banded(delta).select(col("band"), col("bh"),
+      col("id").as("id_new"), col("n_sh").as("n_a"))
+    val cand = d.join(b, Seq("band", "bh"))
+      .select(col("id_new"), col("id_base"), col("n_a"), col("n_b"))
+      .dropDuplicates("id_new", "id_base")
+    val shB = base.select(col(idCol).as("id_base"), shingles(col(textCol), n).as("sh_b"))
+    val shD = delta.select(col(idCol).as("id_new"), shingles(col(textCol), n).as("sh_a"))
+    cand
+      .join(shD, Seq("id_new"))
+      .join(shB, Seq("id_base"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_base"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs: documents whose 64-bit signatures are within
     * `maxHamming`. Candidates come from equality on `maxHamming + 1`
     * signature chunks (a pair within Hamming ≤ h differing in every one of

@@ -124,6 +124,31 @@ class FunctionsSpec extends SparkSuite {
     assert(pairs.subsetOf(exact))
   }
 
+  test("minhashLshProbe: delta-vs-base probe equals the straddling slice of the full self-join") {
+    // The incremental-maintenance contract: probing a new batch against
+    // the existing corpus's band index finds exactly the full pair
+    // sweep's base↔delta pairs (base×base pairs are the already-known
+    // slice a maintained index never recomputes; delta×delta pairs are
+    // the next sweep's intra-batch slice, handled separately).
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+    val probed = DedupFunctions.minhashLshProbe(base, delta, "text", "doc_id",
+        n = 2, numHashes = 32, bands = 16, threshold = 0.05)
+      .select("id_new", "id_base").as[(Long, Long)].collect().toSet
+    assert(probed.nonEmpty)
+    val full = DedupFunctions.minhashLshPairs(docs, "text", "doc_id",
+        n = 2, numHashes = 32, bands = 16, threshold = 0.05)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val straddling = full.collect {
+      case (a, b) if a % 7 == 0 && b % 7 != 0 => (a, b)
+      case (a, b) if b % 7 == 0 && a % 7 != 0 => (b, a)
+    }
+    assert(probed == straddling,
+      s"extra=${probed -- straddling} missing=${straddling -- probed}")
+  }
+
   test("simhashPairs finds exact duplicates via chunk pigeonhole") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
