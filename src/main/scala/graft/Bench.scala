@@ -129,18 +129,29 @@ object Bench {
           try {
             val txt = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(p)), "UTF-8")
-            val at = txt.indexOf("\"queries\":")
-            if (at < 0) None else Some {
+            // Parse ONLY the queries object — it is flat (no nested
+            // braces), so it ends at the first '}' after its start.
+            // Scanning past it would let the load_1m block (same query
+            // names, different values) overwrite every archived time.
+            val at = txt.indexOf("\"queries\":{")
+            val end = if (at < 0) -1 else txt.indexOf("}", at)
+            if (at < 0 || end < 0) None else Some {
               val qrx = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+(?:[eE]-?[0-9]+)?)".r
-              qrx.findAllMatchIn(txt.substring(at + 10))
+              qrx.findAllMatchIn(txt.substring(at + 10, end + 1))
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap
             }
           } catch { case _: Throwable => None }
         }.getOrElse(Map.empty)
-        val drifters = results.toSeq.collect {
+        val flaggedAll = results.toSeq.collect {
           case (name, cur) if cur >= 0.3 && prev.get(name).exists(p =>
             p > 0 && cur / p >= 1.9) => (name, prev(name), cur)
-        }.sortBy { case (_, p, c) => -(c / p) }.take(15)
+        }.sortBy { case (_, p, c) => -(c / p) }
+        // Re-time budget: 15 worst ratios. NEVER a silent cap — the
+        // dropped count is reported in both the JSON and DRIFT.md so a
+        // systemic regression (40 queries drifting at once) reads as
+        // "15 triaged, 25 more flagged", not as a complete triage.
+        val drifters = flaggedAll.take(15)
+        val nDropped = flaggedAll.size - drifters.size
         if (prev.isEmpty) ("", "")
         else {
           val items = drifters.map { case (name, p, sweep) =>
@@ -161,13 +172,25 @@ object Bench {
             "flag = ratio ≥ 1.9 and sweep ≥ 0.3 s; each flagged query " +
             "re-timed isolated (consecutive reps, warm JVM) at sweep end; " +
             "`noise` = isolated < 1.5× its archived time.\n\n"
+          // Locale-pinned formatting: f"" uses the JVM default locale,
+          // which on e.g. de_DE renders 3.48 as "3,48" — broken markdown
+          // here and invalid JSON below.
+          def d2(v: Double): String =
+            String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+          def d1(v: Double): String =
+            String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
           if (items.isEmpty) md ++= "No drifters this sweep.\n"
           else {
             md ++= "| query | prev | sweep | ratio | load@sweep | isolated | load@iso | verdict |\n"
             md ++= "|---|---|---|---|---|---|---|---|\n"
             items.foreach { case (n, p, s, l, i, il, v) =>
-              md ++= f"| $n | $p%.2f | $s%.2f | ${s / p}%.2f× | $l%.1f | $i%.2f | $il%.1f | $v |\n"
+              md ++= s"| $n | ${d2(p)} | ${d2(s)} | ${d2(s / p)}× | ${d1(l)} " +
+                s"| ${d2(i)} | ${d1(il)} | $v |\n"
             }
+            if (nDropped > 0)
+              md ++= s"\n**INCOMPLETE TRIAGE: $nDropped more queries were " +
+                "flagged beyond the 15-query re-time budget** — a drift " +
+                "this wide is systemic; re-run the sweep on a quiet host.\n"
           }
           try java.nio.file.Files.write(java.nio.file.Paths.get("DRIFT.md"),
             md.toString.getBytes("UTF-8"))
@@ -180,8 +203,8 @@ object Bench {
           val nSuspect = items.count(_._7 == "suspect")
           val suspects = items.collect { case (n, _, _, _, _, _, "suspect") =>
             "\"" + n + "\"" }.mkString("[", ",", "]")
-          (s""","drift":{"prev":"${prevFile.getOrElse("")}","threshold":1.9,"n_flagged":${items.size},"n_suspect":$nSuspect,"items":$itemsJson}""",
-            s""","drift_flagged":${items.size},"drift_suspect":$nSuspect,"drift_suspects":$suspects""")
+          (s""","drift":{"prev":"${prevFile.getOrElse("")}","threshold":1.9,"n_flagged":${flaggedAll.size},"n_triaged":${items.size},"n_dropped":$nDropped,"n_suspect":$nSuspect,"items":$itemsJson}""",
+            s""","drift_flagged":${flaggedAll.size},"drift_suspect":$nSuspect,"drift_suspects":$suspects""")
         }
       }
     // Streaming-STATE scale probe (VERDICT r10 #6): the three stateful
@@ -197,9 +220,8 @@ object Bench {
           s""""${p.name}":{"rows":${p.rows},"rps":${p.rps},"state_rows":${p.stateRows},"state_bytes":${p.stateBytes}}""")
           .mkString("{", ",", "}")
         def probes(c: Int) =
-          graft.streaming.StreamScale.run(spark, sfDir, copies = c) :+
-            graft.streaming.StreamScale.nearDupProbe(spark, sfDir, copies = c) :+
-            graft.streaming.StreamScale.substrProbe(spark, sfDir, copies = c)
+          graft.streaming.StreamScale.run(spark, sfDir, copies = c) ++
+            graft.streaming.StreamScale.docStateProbes(spark, sfDir, copies = c)
         val p1 = probes(1)
         val p10 = probes(10)
         s""","stream_state_probe":{"provider":"rocksdb","at_1x":${js(p1)},"at_10x":${js(p10)}}"""
@@ -213,15 +235,18 @@ object Bench {
     // Printed line: SHORT summary that always fits the capture window.
     // Full line incl. the per-query map: BENCH_DETAIL.json, committed
     // with the repo so every sweep's 200+ times are auditable.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps$spine$warm$driftSummary$streamProbe,"detail":"BENCH_DETAIL.json"}"""
+    // Relative to the working directory (the repo root under the
+    // harness), not a machine-absolute path. A SPARK_GRAFT_BENCH_ONLY
+    // partial run lands in BENCH_DETAIL_PARTIAL.json so iterating on one
+    // query can never clobber the committed full-sweep detail.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      if (only.nonEmpty) "BENCH_DETAIL_PARTIAL.json" else "BENCH_DETAIL.json")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps$spine$warm$driftSummary$streamProbe,"detail":"$detailPath"}"""
     val loadJson = loadAtMin.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v) => "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
       .mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps$spine$warm$driftDetail$streamProbe,"queries":$qs,"load_1m":$loadJson}"""
-    // Relative to the working directory (the repo root under the
-    // harness), not a machine-absolute path.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

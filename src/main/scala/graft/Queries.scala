@@ -57,10 +57,17 @@ object Queries {
   private def debezium10xBatch(s: SparkSession, dir: String): DataFrame =
     cachedBatch(s, dir, "debezium10x") {
       val copies = broadcast(s.range(10).select(col("id").as("copy")))
+      // Key stride DERIVED from the data (max user_id + 1), not a fixed
+      // 1000: sf0.1 user_ids reach 1499, so a fixed stride aliased ~1/3
+      // of each copy's users into the next copy and the "key-expanded"
+      // LWW grain was wrong (r12 review). One 1-row agg, mirrored by a
+      // scalar subquery in the oracle.
+      val stride = events(s, dir).agg(max(col("user_id")).cast("long"))
+        .head().getLong(0) + 1
       val expanded = events(s, dir).crossJoin(copies).select(
         (col("event_id") * 10 + col("copy")).as("event_id"),
         col("ts"), col("ts_ms"),
-        (col("user_id") + col("copy") * 1000).as("user_id"),
+        (col("user_id") + col("copy") * stride).as("user_id"),
         col("event_type"), col("value"), col("props"))
       // Pre-spread the (tiny) raw columns so the expensive per-row JSON
       // serialization parallelizes; persist is the materialization barrier,
@@ -308,7 +315,7 @@ object Queries {
       |                   ORDER BY event_id) AS rn0 FROM events) WHERE rn0 = 1),
       |m AS (
       |  SELECT CASE WHEN user_id % 10 = 6
-      |           THEN '{"tenant":' || (user_id % 5) || ',"uid":' || user_id || '}'
+      |           THEN '{"tenant":' || (user_id % 7) || ',"uid":' || user_id || '}'
       |           ELSE CAST(user_id AS VARCHAR) END AS doc_id,
       |         CASE WHEN event_type = 'error' THEN '[]'
       |              ELSE '{"event_id":' || event_id || ',"k":' ||
@@ -359,7 +366,8 @@ object Queries {
   val q24Sql: String =
     s"""WITH ex AS (
        |  SELECT event_id * 10 + copy AS event_id, ts,
-       |         user_id + copy * 1000 AS user_id, event_type, "value", props
+       |         user_id + copy * (SELECT max(user_id) + 1 FROM events) AS user_id,
+       |         event_type, "value", props
        |  FROM events, (SELECT unnest(range(10)) AS copy))
        |SELECT user_id AS id, event_id,
        |       $kSql AS k, "value" AS val, $opSql AS op_aws

@@ -148,8 +148,14 @@ object QueriesExt {
       n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
   /** The full MinHash → banding → candidate → exact-verify oracle chain
     * over any CTE block that produces `t(doc_id, sh)` — q14 runs it on
-    * the 10% sample; q102 replays it over a planted-duplicate corpus. */
-  private[graft] def minhashChainSql(tCte: String): String = {
+    * the 10% sample; q102 replays it over a planted-duplicate corpus;
+    * q292 composes it over the planted corpus. `candSql` overrides the
+    * candidate CTE body (must select id_a, id_b, n_a, n_b from `band`):
+    * the default is the a<b self-join; q291 passes the asymmetric
+    * delta→base index probe — ONE chain definition either way, so the
+    * signature algebra cannot drift between the pair and probe oracles. */
+  private[graft] def minhashChainSql(tCte: String,
+                                     candSql: String = defaultCandSql): String = {
     val coeffs = (1 to 32).map { i =>
       val (a, b) = DedupFunctions.minhashCoeff(i)
       s"($i, $a, $b)"
@@ -167,14 +173,16 @@ object QueriesExt {
        |sig AS (SELECT doc_id, n_sh, list(hv ORDER BY seed) AS sig FROM mh GROUP BY 1, 2),
        |band AS (SELECT doc_id, n_sh, b, array_to_string(sig[b*2+1 : b*2+2], ',') AS bh
        |         FROM sig, (SELECT unnest(range(0, 16)) AS b) bands),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |                a.n_sh AS n_a, b.n_sh AS n_b
-       |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |cand AS ($candSql),
        |ver AS (SELECT c.id_a, c.id_b, c.n_a, c.n_b,
        |          len(list_intersect(ta.sh, tb.sh)) AS shared
        |        FROM cand c JOIN tt ta ON ta.doc_id = c.id_a JOIN tt tb ON tb.doc_id = c.id_b)
        |${jaccardSelectSql("ver")}""".stripMargin
   }
+  private[graft] val defaultCandSql: String =
+    """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |                a.n_sh AS n_a, b.n_sh AS n_b
+      |         FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
   val q14Sql: String = minhashChainSql(shingleCteSql)
 
   // ---------------------------------------------------------------- q15

@@ -1048,8 +1048,14 @@ object QueriesExt10 {
     // Shares and floors in doubles (identical expression both engines);
     // the missing remainder goes to the largest fractional parts,
     // source-ascending tie-break — allocations sum exactly to budget.
+    // Zero-TOTAL guard (r12 review — one level above the n=1 sigma
+    // guard): if every source is single-doc or uniform-length, wt = 0
+    // and w/wt would be 0/0 = NaN for every row; degrade every share to
+    // zero instead (allocations then fall to the remainder tie-break,
+    // identically in both engines).
     val shared = weighted.crossJoin(broadcast(tot))
-      .withColumn("share", col("w") / col("wt"))
+      .withColumn("share",
+        when(col("wt") > 0d, col("w") / col("wt")).otherwise(lit(0.0)))
       .withColumn("base", floor(lit(budget.toDouble) * col("share"))
         .cast("long"))
       .withColumn("frac", lit(budget.toDouble) * col("share") -
@@ -1080,10 +1086,13 @@ object QueriesExt10 {
       |            / n::DOUBLE) / (n - 1)::DOUBLE) ELSE 0.0 END AS w
       |      FROM g),
       |t AS (SELECT sum(w) AS wt FROM w),
-      |sh AS (SELECT source, n, sig, w / wt AS share,
-      |         floor(1000.0 * (w / wt))::BIGINT AS base,
-      |         1000.0 * (w / wt) - floor(1000.0 * (w / wt)) AS frac
+      |s0 AS (SELECT source, n, sig,
+      |         CASE WHEN wt > 0 THEN w / wt ELSE 0.0 END AS share
       |       FROM w CROSS JOIN t),
+      |sh AS (SELECT source, n, sig, share,
+      |         floor(1000.0 * share)::BIGINT AS base,
+      |         1000.0 * share - floor(1000.0 * share) AS frac
+      |       FROM s0),
       |bt AS (SELECT sum(base)::BIGINT AS bt FROM sh),
       |r AS (SELECT *, row_number() OVER (ORDER BY frac DESC, source ASC)
       |        ::BIGINT AS rk

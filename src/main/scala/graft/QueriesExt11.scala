@@ -31,39 +31,19 @@ object QueriesExt11 {
       "text", "doc_id",
       n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
   }
-  /** The probe variant of [[QueriesExt.minhashChainSql]]: signatures
-    * and band keys are computed once over the whole corpus (a doc's
-    * signature does not depend on the split), and the candidate join is
-    * the ASYMMETRIC delta→base probe instead of the a<b self-join. */
+  /** The probe variant of [[QueriesExt.minhashChainSql]] — the SAME
+    * shared chain (signatures computed once over the whole corpus; a
+    * doc's signature does not depend on the split) with only the
+    * candidate CTE overridden to the asymmetric delta→base probe. */
   val q291Sql: String = {
-    val coeffs = (1 to 32).map { i =>
-      val (a, b) = DedupFunctions.minhashCoeff(i)
-      s"($i, $a, $b)"
-    }.mkString(", ")
-    s"""WITH ${QueriesExt.shingleCteFor("t", "TRUE")},
-       |tt AS (SELECT doc_id, len(sh) AS n_sh, sh FROM t WHERE len(sh) > 0),
-       |tok AS (SELECT doc_id, n_sh,
-       |          ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT
-       |            & ${DedupFunctions.MinhashBaseMask} AS h0
-       |        FROM tt),
-       |mh AS (SELECT doc_id, n_sh, seed,
-       |         min((h0 * a + b) & ${DedupFunctions.MinhashOutMask}) AS hv
-       |       FROM tok, (VALUES $coeffs) coeffs(seed, a, b)
-       |       GROUP BY 1, 2, 3),
-       |sig AS (SELECT doc_id, n_sh, list(hv ORDER BY seed) AS sig FROM mh GROUP BY 1, 2),
-       |band AS (SELECT doc_id, n_sh, b, array_to_string(sig[b*2+1 : b*2+2], ',') AS bh
-       |         FROM sig, (SELECT unnest(range(0, 16)) AS b) bands),
-       |cand AS (SELECT DISTINCT d.doc_id AS id_new, bb.doc_id AS id_base,
-       |                d.n_sh AS n_a, bb.n_sh AS n_b
-       |         FROM band d JOIN band bb ON d.b = bb.b AND d.bh = bb.bh
-       |         WHERE d.doc_id % 7 = 0 AND bb.doc_id % 7 <> 0),
-       |ver AS (SELECT c.id_new, c.id_base, c.n_a, c.n_b,
-       |          len(list_intersect(ta.sh, tb.sh)) AS shared
-       |        FROM cand c JOIN tt ta ON ta.doc_id = c.id_new
-       |                    JOIN tt tb ON tb.doc_id = c.id_base)
-       |SELECT id_new, id_base,
-       |       round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
-       |FROM ver WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.05""".stripMargin
+    val probeCand =
+      """SELECT DISTINCT d.doc_id AS id_a, bb.doc_id AS id_b,
+        |                d.n_sh AS n_a, bb.n_sh AS n_b
+        |         FROM band d JOIN band bb ON d.b = bb.b AND d.bh = bb.bh
+        |         WHERE d.doc_id % 7 = 0 AND bb.doc_id % 7 <> 0""".stripMargin
+    s"""SELECT id_a AS id_new, id_b AS id_base, jaccard
+       |FROM (${QueriesExt.minhashChainSql(
+              QueriesExt.shingleCteFor("t", "TRUE"), probeCand)})""".stripMargin
   }
 
   // ---------------------------------------------------------------- q292

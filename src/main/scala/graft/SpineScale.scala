@@ -44,10 +44,15 @@ object SpineScale {
     try {
       // ---- untimed: synthesize and land the batch (the "broker") ----
       val cp = broadcast(spark.range(copies.toLong).select(col("id").as("copy")))
+      // Stride derived from the data so copies' key ranges are exactly
+      // disjoint (a fixed stride aliased users across copies — r12
+      // review): distinct keys grow by exactly `copies`×.
+      val stride = Tables.events(spark, sfDir)
+        .agg(max(col("user_id")).cast("long")).head().getLong(0) + 1
       val expanded = Tables.events(spark, sfDir).crossJoin(cp).select(
         (col("event_id") * copies + col("copy")).as("event_id"),
         col("ts"), col("ts_ms"),
-        (col("user_id") + col("copy") * 1000).as("user_id"),
+        (col("user_id") + col("copy") * stride).as("user_id"),
         col("event_type"), col("value"), col("props"))
       CdcGen.debezium(expanded.repartition(
           spark.sparkContext.defaultParallelism * 4), barrier = false)

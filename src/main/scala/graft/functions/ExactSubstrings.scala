@@ -86,21 +86,6 @@ object ExactSubstrings {
                      L: Int): DataFrame =
     markAndMerge(windowHashes(df, textCol, idCol, L), L)
 
-  /** Token-grain twin of [[duplicateSpans]] — Lee et al.'s actual dedup
-    * unit is the token, not the character (arXiv:2107.06499 §3 uses
-    * 50-token windows over BPE ids): every length-`W` TOKEN window that
-    * occurs more than once in the corpus marks its post-first
-    * occurrences, merged into maximal removable (doc, tok_start,
-    * tok_len) spans. Tokenization is the repo's canonical
-    * [[TextFunctions.tokens]] (lowercase, \\s+), so the unit lines up
-    * with every other token-grain operator.
-    *
-    * Scale shape (the q13/q254 discipline): the explode is rows ×
-    * tokens but each emitted row is (id, pos, 60-bit hash) LONGS — the
-    * token arrays stay inside the scan projection and TEXT NEVER
-    * SHUFFLES; the only exchanges are the per-hash first-occurrence
-    * window and the per-doc merge. Output: (id, span, tok_start,
-    * tok_end, tok_len) — 1-based inclusive token offsets. */
   /** `(id, pos, h)` token-window hashes — the shared grain of the batch
     * op and its streaming twin; `carry` threads extra column NAMES (the
     * streaming side's event time) through the explode unchanged. */
@@ -121,6 +106,21 @@ object ExactSubstrings {
         keep: _*)
   }
 
+  /** Token-grain twin of [[duplicateSpans]] — Lee et al.'s actual dedup
+    * unit is the token, not the character (arXiv:2107.06499 §3 uses
+    * 50-token windows over BPE ids): every length-`W` TOKEN window that
+    * occurs more than once in the corpus marks its post-first
+    * occurrences, merged into maximal removable (doc, tok_start,
+    * tok_len) spans. Tokenization is the repo's canonical
+    * [[TextFunctions.tokens]] (lowercase, \\s+), so the unit lines up
+    * with every other token-grain operator.
+    *
+    * Scale shape (the q13/q254 discipline): the explode is rows ×
+    * tokens but each emitted row is (id, pos, 60-bit hash) LONGS — the
+    * token arrays stay inside the scan projection and TEXT NEVER
+    * SHUFFLES; the only exchanges are the per-hash first-occurrence
+    * window and the per-doc merge. Output: (id, span, tok_start,
+    * tok_end, tok_len) — 1-based inclusive token offsets. */
   def duplicateTokenSpans(df: DataFrame, textCol: String, idCol: String,
                           W: Int): DataFrame =
     markAndMerge(tokenWindowHashes(df, textCol, idCol, W), W)

@@ -131,7 +131,9 @@ object CdcGen {
     * order on (doc_id, ts_ms) is total.
     *
     * Users with `user_id % 10 == 6` get a COMPOSITE object `_id`
-    * (`{"_id": {"tenant": uid%5, "uid": uid}}`) — the reference's README
+    * (`{"_id": {"tenant": uid%7, "uid": uid}}` — mod 7, NOT a divisor
+    * of the selector's mod 10, so planted tenants actually vary across
+    * documents instead of collapsing to one value) — the reference's README
     * Mongo exemplars include composite-key documents (ref
     * README.md:416-526), and planting them here keeps the doc-id
     * extraction quirk (composite → the object's compact JSON text)
@@ -152,7 +154,7 @@ object CdcGen {
       op.as("operationType"),
       fullDoc.as("fullDocument"),
       when(col("user_id") % 10 === 6,
-        concat(lit("{\"_id\": {\"tenant\": "), col("user_id") % 5,
+        concat(lit("{\"_id\": {\"tenant\": "), col("user_id") % 7,
           lit(", \"uid\": "), col("user_id"), lit("}}")))
         .otherwise(concat(lit("{\"_id\": "), col("user_id"), lit("}")))
         .as("documentKey"),

@@ -85,87 +85,59 @@ object StreamScale {
     }
   }
 
-  /** Near-dup band-state probe (VERDICT r11 #2): streams the sfDir
-    * documents table replicated `copies`× (identical doc_ids — the
-    * distinct-document grain stays FIXED while rows scale) through
-    * [[StreamAggs.streamingNearDupCandidates]] under RocksDB. The claim
-    * under test: band state is one owner row per *occupied band bucket*
-    * — O(distinct docs × bands) — never O(input rows), so the probe's
-    * state rows must be IDENTICAL at 1× and `copies`× while input rows
-    * scale by `copies` (a re-observed owner neither emits nor grows
-    * state). */
-  def nearDupProbe(spark: SparkSession, sfDir: String, copies: Int): Probe = {
-    val tmp = Files.createTempDirectory("graft-streamscale-nd").toString
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        // Deterministic event time: one second per doc from the epoch.
-        timestamp_seconds(col("doc_id")).as("ts"), col("text"))
-    val cp = broadcast(spark.range(copies.toLong).select(col("id").as("__c")))
-    docs.crossJoin(cp).drop("__c")
-      .repartition(graft.Launch.cpus.toInt)
-      .write.mode("overwrite").parquet(s"$tmp/in")
-    val input = spark.read.parquet(s"$tmp/in")
-    val rows = input.count()
-    val schema = input.schema
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+  /** Document-grain state probes (VERDICT r11 #2): the sfDir documents
+    * table replicated `copies`× (identical doc_ids — the distinct-
+    * document grain stays FIXED while rows scale) streamed under
+    * RocksDB through BOTH stateful dedup twins over ONE shared prepared
+    * input (writing it twice doubled the probe setup I/O — r12 review):
+    *
+    *  - `neardup` — [[StreamAggs.streamingNearDupCandidates]]: band
+    *    state is one owner per *occupied band bucket*, O(distinct docs
+    *    × bands), never O(input rows);
+    *  - `substr` — [[StreamAggs.streamingTokenSpanMarks]] at W=10 (the
+    *    sf documents are short, ~18 tokens median — the probe measures
+    *    state mechanics, not the q267 production window): one owner per
+    *    distinct window hash.
+    *
+    * The claim either way: state rows IDENTICAL at 1× and `copies`×
+    * while input rows scale by `copies` (a re-observed owner neither
+    * emits nor grows state). */
+  def docStateProbes(spark: SparkSession, sfDir: String, copies: Int): Seq[Probe] = {
+    val tmp = Files.createTempDirectory("graft-streamscale-doc").toString
     try {
-      val src = spark.readStream.schema(schema).parquet(s"$tmp/in")
-      val t0 = System.nanoTime()
-      val q = StreamAggs.streamingNearDupCandidates(src, "ts", "text",
-          "doc_id", watermark = "1 hour", stateTtlMs = 86400000L)
-        .writeStream.format("noop").outputMode("append")
-        .option("checkpointLocation", s"$tmp/ckpt_nd_$copies")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val sos = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
-      Probe("neardup", rows, secs,
-        if (sos.isEmpty) -1L else sos.map(_.numRowsTotal).max,
-        if (sos.isEmpty) -1L else sos.map(_.memoryUsedBytes).max)
-    } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      rmTree(new java.io.File(tmp))
-    }
-  }
-
-  /** Substring-dedup state probe — same proof shape as [[nearDupProbe]]
-    * for [[StreamAggs.streamingTokenSpanMarks]]: documents replicated
-    * `copies`× (identical doc_ids), so the distinct window-hash grain
-    * stays fixed while rows scale; state rows (one owner per distinct
-    * hash) must be identical at 1× and `copies`×. W=10 because the sf
-    * documents are short (~18 tokens median) — the probe measures state
-    * mechanics, not the q267 production window. */
-  def substrProbe(spark: SparkSession, sfDir: String, copies: Int): Probe = {
-    val tmp = Files.createTempDirectory("graft-streamscale-ss").toString
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        timestamp_seconds(col("doc_id")).as("ts"), col("text"))
-    val cp = broadcast(spark.range(copies.toLong).select(col("id").as("__c")))
-    docs.crossJoin(cp).drop("__c")
-      .repartition(graft.Launch.cpus.toInt)
-      .write.mode("overwrite").parquet(s"$tmp/in")
-    val input = spark.read.parquet(s"$tmp/in")
-    val rows = input.count()
-    val schema = input.schema
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
-    try {
-      val src = spark.readStream.schema(schema).parquet(s"$tmp/in")
-      val t0 = System.nanoTime()
-      val q = StreamAggs.streamingTokenSpanMarks(src, "ts", "text",
-          "doc_id", watermark = "1 hour", stateTtlMs = 86400000L, W = 10)
-        .writeStream.format("noop").outputMode("append")
-        .option("checkpointLocation", s"$tmp/ckpt_ss_$copies")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val sos = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
-      Probe("substr", rows, secs,
-        if (sos.isEmpty) -1L else sos.map(_.numRowsTotal).max,
-        if (sos.isEmpty) -1L else sos.map(_.memoryUsedBytes).max)
-    } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      rmTree(new java.io.File(tmp))
-    }
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          // Deterministic event time: one second per doc from the epoch.
+          timestamp_seconds(col("doc_id")).as("ts"), col("text"))
+      val cp = broadcast(spark.range(copies.toLong).select(col("id").as("__c")))
+      docs.crossJoin(cp).drop("__c")
+        .repartition(graft.Launch.cpus.toInt)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val input = spark.read.parquet(s"$tmp/in")
+      val rows = input.count()
+      val schema = input.schema
+      val probes: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "neardup" -> (src => StreamAggs.streamingNearDupCandidates(src,
+          "ts", "text", "doc_id", watermark = "1 hour",
+          stateTtlMs = 86400000L).toDF()),
+        "substr" -> (src => StreamAggs.streamingTokenSpanMarks(src,
+          "ts", "text", "doc_id", watermark = "1 hour",
+          stateTtlMs = 86400000L, W = 10).toDF()))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+      try probes.map { case (name, f) =>
+        val src = spark.readStream.schema(schema).parquet(s"$tmp/in")
+        val t0 = System.nanoTime()
+        val q = f(src).writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt_${name}_$copies")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val sos = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        Probe(name, rows, secs,
+          if (sos.isEmpty) -1L else sos.map(_.numRowsTotal).max,
+          if (sos.isEmpty) -1L else sos.map(_.memoryUsedBytes).max)
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally rmTree(new java.io.File(tmp))
   }
 
   private def rmTree(f: java.io.File): Unit = {
@@ -186,8 +158,7 @@ object StreamScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     copiesList.foreach { c =>
-      (run(spark, sfDir, c) :+ nearDupProbe(spark, sfDir, c) :+
-        substrProbe(spark, sfDir, c)).foreach { p =>
+      (run(spark, sfDir, c) ++ docStateProbes(spark, sfDir, c)).foreach { p =>
         println(f"[stream-scale] copies=$c%-3d ${p.name}%-6s rows=${p.rows}%-9d " +
           f"secs=${p.secs}%.2f rps=${p.rps}%-9d state_rows=${p.stateRows} " +
           f"state_bytes=${p.stateBytes}")

@@ -30,4 +30,25 @@ class QueriesExt10Spec extends SparkSuite {
     // Largest-remainder allocations still sum exactly to the budget.
     assert(rows.values.map(_._3).sum === 1000L)
   }
+
+  test("q283: zero TOTAL weight (all sources single-doc) degrades to zero shares, not NaN") {
+    // r12 review: the n=1 guard fixed per-source NaN, but if EVERY
+    // source is degenerate the weight total wt = 0 and share = 0/0
+    // poisoned the whole result one level up.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q283z").toString
+    Seq(
+      (1L, "a", "only document of source a"),
+      (2L, "b", "only document of source b too")
+    ).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = QueriesExt10.q283NeymanAlloc(spark, dir).collect()
+      .map(r => (r.getAs[Double]("sigma_len"), r.getAs[Double]("share"),
+        r.getAs[Long]("alloc")))
+    assert(rows.length === 2)
+    rows.foreach { case (sig, share, _) =>
+      assert(!sig.isNaN && sig === 0.0)
+      assert(!share.isNaN && share === 0.0)
+    }
+  }
 }
