@@ -55,8 +55,11 @@ object QueriesExt11 {
     *                `dup_of` = the kept (lowest-id) copy, reclaim all
     *                tokens;
     *  - `neardup` — verified MinHash/LSH near-duplicate of an earlier
-    *                doc (q14 tier, full corpus, portable family): cut,
-    *                `dup_of` = its earliest verified partner;
+    *                doc (q14's signature algebra in the cluster-safe
+    *                STAR form — [[DedupFunctions.minhashLshStarPairs]];
+    *                the clique form measured Θ(k²) on the planted
+    *                cluster, 51→324 s over a 3× corpus): cut, `dup_of`
+    *                = its earliest verified bucket owner;
     *  - `partial` — only substring-level duplication (q267 tier):
     *                keep the doc, trim the marked spans, reclaim
     *                exactly their token count;
@@ -83,7 +86,7 @@ object QueriesExt11 {
       .join(fp.groupBy("fp").agg(min("doc_id").as("keep_id")), Seq("fp"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), col("keep_id").as("ex_dup_of"))
-    val ndCut = DedupFunctions.minhashLshPairs(corpus, "text", "doc_id",
+    val ndCut = DedupFunctions.minhashLshStarPairs(corpus, "text", "doc_id",
         n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
       .groupBy(col("id_b").as("doc_id"))
       .agg(min(col("id_a")).as("nd_dup_of"))
@@ -107,6 +110,17 @@ object QueriesExt11 {
           .when(col("substr_tokens").isNotNull, col("substr_tokens"))
           .otherwise(lit(0L)).cast("long").as("cut_tokens"))
   }
+  /** Star-form candidate CTE for [[QueriesExt.minhashChainSql]] — the
+    * oracle replay of [[DedupFunctions.minhashLshStarPairs]]: one owner
+    * (earliest doc) per occupied band bucket, later co-occupants pair
+    * with the owner only. */
+  private val starCandSql: String =
+    """SELECT DISTINCT o.id_a, d.doc_id AS id_b, o.n_a, d.n_sh AS n_b
+      |         FROM band d JOIN (SELECT b, bh, min(doc_id) AS id_a,
+      |                             min_by(n_sh, doc_id) AS n_a
+      |                           FROM band GROUP BY 1, 2) o
+      |           ON d.b = o.b AND d.bh = o.bh AND d.doc_id > o.id_a""".stripMargin
+
   val q292Sql: String = {
     val planted = "CASE WHEN doc_id % 5 = 0 THEN text || ' " +
       QueriesExt9.q267Plant + "' ELSE text END"
@@ -126,7 +140,7 @@ object QueriesExt11 {
        |        FROM fpt f JOIN (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY 1) k
        |          USING (fp)
        |        WHERE f.doc_id <> k.keep_id),
-       |nd0 AS (SELECT * FROM (${QueriesExt.minhashChainSql(tCte)})),
+       |nd0 AS (SELECT * FROM (${QueriesExt.minhashChainSql(tCte, starCandSql)})),
        |ndc AS (SELECT id_b AS doc_id, min(id_a) AS nd_dup_of FROM nd0 GROUP BY 1),
        |ss0 AS (SELECT * FROM (${QueriesExt9.q267Sql})),
        |ssc AS (SELECT doc_id, sum(tok_len)::BIGINT AS substr_tokens FROM ss0 GROUP BY 1)

@@ -273,6 +273,54 @@ object DedupFunctions {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cluster-safe MinHash+LSH near-dup in STAR form — the operator that
+    * survives giant duplicate clusters. [[minhashLshPairs]] materializes
+    * the full CLIQUE of every band bucket: a passage shared by k
+    * documents yields Θ(k²) candidate pairs, which the r12 q292 scale
+    * fit measured blowing up (51 s → 324 s over a 3× corpus, segment
+    * exponent 1.67) once 20% of the corpus shared one planted passage.
+    * For dedup-CUT purposes the clique is waste: each doc only needs
+    * one earlier partner. This emits, per band bucket, pairs against
+    * the bucket's EARLIEST doc only (exactly the semantics of the
+    * streaming twin [[graft.streaming.StreamAggs
+    * .streamingNearDupCandidates]], whose state holds one owner per
+    * bucket) — candidates are ≤ |docs| × bands rows, LINEAR in the
+    * corpus regardless of cluster structure. Trade-off: a doc whose
+    * bucket owners all fail the exact verify is not flagged even if
+    * some non-owner co-occupant would have verified — the same bounded
+    * recall the streaming operator documents. Output
+    * (id_a = bucket owner, id_b, jaccard), verified exactly. */
+  def minhashLshStarPairs(df: DataFrame, textCol: String, idCol: String,
+                          n: Int, numHashes: Int, bands: Int,
+                          threshold: Double,
+                          portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(df, textCol, idCol, n, numHashes, portable)
+    val banded = sig.select(col("id"), col("n_sh"),
+      posexplode(array(bandKeyColumns(col("sig"), bands, rowsPerBand, portable): _*))
+        .as(Seq("band", "bh")))
+    // One owner per occupied bucket (map-side combined min), then each
+    // later co-occupant pairs with the owner only.
+    val owners = banded.groupBy(col("band"), col("bh"))
+      .agg(min(col("id")).as("id_a"), min_by(col("n_sh"), col("id")).as("n_a"))
+    val cand = banded
+      .join(owners, Seq("band", "bh"))
+      .filter(col("id") > col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"), col("n_a"), col("n_sh").as("n_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Incremental MinHash+LSH near-dup PROBE — delta documents against an
     * existing corpus, the index-maintenance twin of [[minhashLshPairs]]:
     * instead of the corpus×corpus self-join, only the NEW documents'

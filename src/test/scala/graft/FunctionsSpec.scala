@@ -149,6 +149,28 @@ class FunctionsSpec extends SparkSuite {
       s"extra=${probed -- straddling} missing=${straddling -- probed}")
   }
 
+  test("minhashLshStarPairs: star pairs are clique pairs, every owner is the earliest, cluster stays linear") {
+    // Plant a 6-doc duplicate cluster: the clique form emits C(6,2)=15
+    // pairs for it; the star form must emit exactly 5 (every later doc
+    // against the earliest), and every star pair must also be a
+    // verified clique pair (same buckets, same verify).
+    val passage = "the quick brown fox jumps over the lazy dog again and again today"
+    val cluster = (10L to 15L).map(i => (i, passage))
+    val noise = Seq((1L, "completely unrelated text about warehouse compaction"),
+      (2L, "another standalone document with its own words entirely"))
+    val docs = (cluster ++ noise).toDF("doc_id", "text")
+    val star = DedupFunctions.minhashLshStarPairs(docs, "text", "doc_id",
+        n = 2, numHashes = 32, bands = 16, threshold = 0.05)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val clique = DedupFunctions.minhashLshPairs(docs, "text", "doc_id",
+        n = 2, numHashes = 32, bands = 16, threshold = 0.05)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(clique.size === 15, s"clique of 6 identical docs: $clique")
+    assert(star === (11L to 15L).map(i => (10L, i)).toSet,
+      s"star = 5 pairs against the earliest doc: $star")
+    assert(star.subsetOf(clique))
+  }
+
   test("simhashPairs finds exact duplicates via chunk pigeonhole") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
