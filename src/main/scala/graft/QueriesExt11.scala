@@ -162,12 +162,114 @@ object QueriesExt11 {
        |JOIN ntok USING (doc_id)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q293
+  /** Incremental EXACT-dedup maintenance — the q13 tier as an index
+    * probe, completing the maintained-dedup story across all three
+    * grains (q293 whole-doc / q291 near-dup / q294 substring): a new
+    * ingest batch's fingerprints equi-join the base corpus's
+    * (fingerprint → earliest doc) index. At 100 TB the index is one
+    * 16-byte-keyed table appended per batch; the probe shuffles only
+    * the delta's fingerprints. Output: doc_id, dup_of. */
+  /** Exact-dup plant: the sf corpora carry no byte-identical documents
+    * (every text is unique), so — the q267 plant discipline — every
+    * doc_id ≡ 0 (mod 11) doc's text is replaced by one constant
+    * boilerplate page. Multiples of 11 land on BOTH sides of the %7
+    * delta split (11k is in the delta iff 7 | k), so the probe has
+    * known positives whose `dup_of` is arithmetically checkable. */
+  private val q293Plant =
+    "canonical boilerplate page served for every retired listing"
+  def q293IncrementalExact(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir).select(col("doc_id"),
+      TextFunctions.fingerprint(
+        when(col("doc_id") % 11 === 0, q293Plant).otherwise(col("text")))
+        .as("fp"))
+    val baseIdx = all.filter(col("doc_id") % 7 =!= 0)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("dup_of"))
+    all.filter(col("doc_id") % 7 === 0)
+      .join(baseIdx, Seq("fp"))
+      .select(col("doc_id"), col("dup_of"))
+  }
+  val q293Sql: String =
+    s"""WITH f AS (SELECT doc_id,
+       |             md5(regexp_replace(trim(lower(
+       |               CASE WHEN doc_id % 11 = 0 THEN '$q293Plant'
+       |                    ELSE text END)), '\\s+', ' ', 'g')) AS fp
+       |           FROM documents),
+       |idx AS (SELECT fp, min(doc_id) AS dup_of FROM f
+       |        WHERE doc_id % 7 <> 0 GROUP BY 1)
+       |SELECT doc_id, dup_of FROM f JOIN idx USING (fp)
+       |WHERE doc_id % 7 = 0""".stripMargin
+
+  // ---------------------------------------------------------------- q294
+  /** Incremental SUBSTRING-dedup maintenance — the q267 tier as an
+    * index probe: the delta batch's token-window hashes
+    * ([[ExactSubstrings.tokenWindowHashes]], the SAME definition as
+    * batch and streaming) equi-join the base corpus's distinct-hash
+    * index; every delta position whose window already exists in the
+    * base is marked and gap-merged ([[ExactSubstrings.mergeMarks]],
+    * also shared) into removable spans. Corpus carries the q267 plant
+    * so cross-split repeated passages exist. At 100 TB the hash index
+    * is appended per batch exactly like q291's band index; the probe
+    * shuffles (id, pos, hash) longs for the delta only. Output:
+    * doc_id, span, tok_start, tok_end, tok_len. */
+  def q294IncrementalSubstr(s: SparkSession, dir: String): DataFrame = {
+    val W = 20
+    val corpus = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + QueriesExt9.q267Plant)))
+        .otherwise(col("text")).as("text"))
+    val hashes = ExactSubstrings.tokenWindowHashes(corpus, "text", "doc_id", W)
+    val baseIdx = hashes.filter(col("id") % 7 =!= 0)
+      .select(col("h")).distinct()
+    val marks = hashes.filter(col("id") % 7 === 0)
+      .join(baseIdx, Seq("h"))
+      .select(col("id"), col("pos"), (col("pos") + (W - 1)).as("e"))
+      .dropDuplicates("id", "pos")
+    ExactSubstrings.mergeMarks(marks)
+      .select(col("id").as("doc_id"), col("span"),
+        col("span_start").as("tok_start"), col("span_end").as("tok_end"),
+        col("span_len").as("tok_len"))
+  }
+  val q294Sql: String = {
+    def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+    s"""WITH d0 AS (SELECT doc_id,
+       |        CASE WHEN doc_id % 5 = 0 THEN text || ' ${QueriesExt9.q267Plant}'
+       |             ELSE text END AS text
+       |      FROM documents),
+       |d AS (SELECT doc_id,
+       |        string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |      FROM d0),
+       |w AS (SELECT doc_id, unnest(range(1, len(toks) - 18)) AS pos, toks
+       |      FROM d WHERE len(toks) >= 20),
+       |g AS (SELECT doc_id, pos,
+       |        ${mid("array_to_string(toks[pos:pos+19], ' ')")} AS h
+       |      FROM w),
+       |idx AS (SELECT DISTINCT h FROM g WHERE doc_id % 7 <> 0),
+       |mk AS (SELECT DISTINCT doc_id, pos, pos + 19 AS e
+       |       FROM g JOIN idx USING (h) WHERE doc_id % 7 = 0),
+       |mx AS (SELECT doc_id, pos, e,
+       |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |       FROM mk),
+       |sp AS (SELECT doc_id, pos, e,
+       |         sum(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS span
+       |       FROM mx)
+       |SELECT doc_id, span, min(pos) AS tok_start, max(e) AS tok_end,
+       |       max(e) - min(pos) + 1 AS tok_len
+       |FROM sp GROUP BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q291_incremental_neardup" -> (q291IncrementalNeardup _),
-    "q292_cut_report" -> (q292CutReport _))
+    "q292_cut_report" -> (q292CutReport _),
+    "q293_incremental_exact" -> (q293IncrementalExact _),
+    "q294_incremental_substr" -> (q294IncrementalSubstr _))
 
   val oracles: Map[String, String] = Map(
     "q291_incremental_neardup" -> q291Sql,
-    "q292_cut_report" -> q292Sql)
+    "q292_cut_report" -> q292Sql,
+    "q293_incremental_exact" -> q293Sql,
+    "q294_incremental_substr" -> q294Sql)
 }
