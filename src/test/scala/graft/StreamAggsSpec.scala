@@ -480,6 +480,31 @@ class StreamAggsSpec extends SparkSuite {
         s"extra=${streamSpans -- batchSpans} missing=${batchSpans -- streamSpans}")
   }
 
+  test("substring hash re-hit after ttl refreshes the owner clock instead of crashing") {
+    // Same GroupStateImpl race the near-dup twin pins below: an owner
+    // whose timeout was computed from its ORIGINAL event time crashes
+    // on setTimeoutTimestamp < watermark when its hash is re-hit after
+    // stateTtlMs inside one batch.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val docs = mem.toDF().toDF("ts", "doc_id", "text")
+      val q = StreamAggs.streamingTokenSpanMarks(docs, "ts", "text", "doc_id",
+          watermark = "10 minutes", stateTtlMs = 60000L, W = 5)
+        .writeStream.format("memory").queryName("ssubttl").outputMode("append").start()
+      val passage = "alpha beta gamma delta epsilon zeta eta theta"
+      mem.addData(Seq(
+        (ts(0), 1L, passage),
+        (ts(15), 2L, "totally unrelated filler text with nothing shared at all here")))
+      q.processAllAvailable()
+      mem.addData(Seq((ts(6), 3L, passage)))
+      q.processAllAvailable()
+      q.stop()
+      val marked = spark.table("ssubttl").select("id").as[Long].collect().toSet
+      assert(marked == Set(3L))
+    } finally spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+  }
+
   test("near-dup bucket re-hit after ttl refreshes the owner clock instead of crashing") {
     // Regression: the owner's timeout was set from its ORIGINAL event time.
     // A bucket re-hit after stateTtlMs then computed a timeout earlier than
