@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Close a build round: archive the definitive sweep detail under the round
+# name and show exactly what still needs committing, so the round's
+# provenance chain (BENCH_rN / CORRECTNESS_rN / BENCH_DETAIL_rN / DRIFT /
+# LEAKCHECK) never ends with a loose end. Run as the LAST action of a round:
+#   tools/close_round.sh <round-number>
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND="${1:?usage: tools/close_round.sh <round-number, e.g. 13>}"
+RN=$(printf 'r%02d' "$ROUND")
+if [ -f BENCH_DETAIL.json ]; then
+  cp BENCH_DETAIL.json "BENCH_DETAIL_${RN}.json"
+  echo "archived BENCH_DETAIL.json -> BENCH_DETAIL_${RN}.json"
+else
+  echo "WARN: no BENCH_DETAIL.json in tree — nothing to archive" >&2
+fi
+echo
+echo "round-state files needing git add (empty = board already clean):"
+git status --porcelain -- "BENCH_r${ROUND}.json" "CORRECTNESS_r${ROUND}.json" \
+  "BENCH_DETAIL.json" "BENCH_DETAIL_${RN}.json" DRIFT.md LEAKCHECK.json \
+  BASELINE.md COVERAGE.md "SCALE_r${ROUND}.json" "BENCH_SF1_r${ROUND}.json" | sed 's/^/  /'
+DIRTY=$(git status --porcelain | wc -l)
+echo
+echo "total dirty paths in tree: ${DIRTY} (goal: 0 after the close commit)"
