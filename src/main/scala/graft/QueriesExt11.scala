@@ -22,14 +22,20 @@ object QueriesExt11 {
     * |delta| × bands rows against a (band, bh)-bucketed index table,
     * never O(corpus²). Portable hash family so the oracle replays the
     * identical signature → band → probe → exact-verify chain.
+    *
+    * Single-pass shingling (the r12-deferred optimization, now applied):
+    * the corpus is shingled ONCE into a localCheckpointed `(id, sh)`
+    * frame; both sides' signature builds and the exact-verify join read
+    * those cached arrays ([[DedupFunctions.minhashLshProbeShingled]])
+    * instead of re-tokenizing the text three times.
     * Output: id_new, id_base, jaccard. */
   def q291IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
-    val all = docs(s, dir)
-    DedupFunctions.minhashLshProbe(
-      base = all.filter(col("doc_id") % 7 =!= 0),
-      delta = all.filter(col("doc_id") % 7 === 0),
-      "text", "doc_id",
-      n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
+    val shAll = DedupFunctions.shingledDocs(docs(s, dir), "text", "doc_id", n = 2)
+      .localCheckpoint(true)
+    DedupFunctions.minhashLshProbeShingled(
+      baseSh = shAll.filter(col("id") % 7 =!= 0),
+      deltaSh = shAll.filter(col("id") % 7 === 0),
+      numHashes = 32, bands = 16, threshold = 0.05, portable = true)
   }
   /** The probe variant of [[QueriesExt.minhashChainSql]] — the SAME
     * shared chain (signatures computed once over the whole corpus; a
@@ -86,8 +92,13 @@ object QueriesExt11 {
       .join(fp.groupBy("fp").agg(min("doc_id").as("keep_id")), Seq("fp"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), col("keep_id").as("ex_dup_of"))
-    val ndCut = DedupFunctions.minhashLshStarPairs(corpus, "text", "doc_id",
-        n = 2, numHashes = 32, bands = 16, threshold = 0.05, portable = true)
+    // Near-dup tier reads ONE checkpointed shingle frame for both its
+    // signature build and its exact verify (see q291's Scaladoc) — the
+    // planted corpus is shingled once per sweep, not twice.
+    val corpusSh = DedupFunctions.shingledDocs(corpus, "text", "doc_id", n = 2)
+      .localCheckpoint(true)
+    val ndCut = DedupFunctions.minhashLshStarPairsShingled(corpusSh,
+        numHashes = 32, bands = 16, threshold = 0.05, portable = true)
       .groupBy(col("id_b").as("doc_id"))
       .agg(min(col("id_a")).as("nd_dup_of"))
     val ssTrim = ExactSubstrings.duplicateTokenSpans(corpus, "text", "doc_id", W = 20)

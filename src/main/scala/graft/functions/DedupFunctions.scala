@@ -191,6 +191,17 @@ object DedupFunctions {
     (a, b)
   }
 
+  /** The pre-shingled `(id, sh)` projection every LSH stage consumes.
+    * Callers that run MORE THAN ONE stage over the same corpus (signature
+    * build + exact verify, or several tiers of a composed report) should
+    * materialize this ONCE (`localCheckpoint`) and use the `…Shingled`
+    * operator variants — shingling (tokenize + n-gram + distinct) is the
+    * dominant per-byte cost of the whole MinHash chain, and at 100 TB
+    * recomputing it per stage triples the corpus scan work. */
+  def shingledDocs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+
   /** MinHash signatures for a whole table: explode shingles → `numHashes`
     * min-aggregates (map-side combine: one row per doc leaves each
     * mapper) → signature array. Returns (id, n_sh, sig). Default hashes
@@ -199,9 +210,19 @@ object DedupFunctions {
     * are value-checkable against any md5-capable SQL engine. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int, numHashes: Int,
-                        portable: Boolean = false): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+                        portable: Boolean = false): DataFrame =
+    minhashSignaturesFromShingles(
+      shingledDocs(df, textCol, idCol, n), numHashes, portable)
+
+  /** [[minhashSignatures]] over an already-shingled `(id, sh)` frame —
+    * the single-pass entry point: hand it a localCheckpointed
+    * [[shingledDocs]] projection and the corpus text is never re-read.
+    * Same explode → seeded-min aggregate plan (codegen'd hashing,
+    * map-side combine) as the text form; the two can never drift because
+    * the text form delegates here. */
+  def minhashSignaturesFromShingles(pre: DataFrame, numHashes: Int,
+                                    portable: Boolean = false): DataFrame = {
+    val sh = pre.select(col("id"), col("sh")).filter(size(col("sh")) > 0)
     val tok0 = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     // Portable: materialize the single base hash as a column so the 32
     // affine mins share it instead of re-hashing per seed.
@@ -293,10 +314,20 @@ object DedupFunctions {
   def minhashLshStarPairs(df: DataFrame, textCol: String, idCol: String,
                           n: Int, numHashes: Int, bands: Int,
                           threshold: Double,
-                          portable: Boolean = false): DataFrame = {
+                          portable: Boolean = false): DataFrame =
+    minhashLshStarPairsShingled(shingledDocs(df, textCol, idCol, n),
+      numHashes, bands, threshold, portable)
+
+  /** [[minhashLshStarPairs]] over a pre-shingled `(id, sh)` frame (see
+    * [[shingledDocs]]): both the signature build AND the exact-Jaccard
+    * verify read the SAME arrays, so with a localCheckpointed input the
+    * corpus is shingled exactly once per sweep instead of twice. */
+  def minhashLshStarPairsShingled(pre: DataFrame, numHashes: Int, bands: Int,
+                                  threshold: Double,
+                                  portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(df, textCol, idCol, n, numHashes, portable)
+    val sig = minhashSignaturesFromShingles(pre, numHashes, portable)
     val banded = sig.select(col("id"), col("n_sh"),
       posexplode(array(bandKeyColumns(col("sig"), bands, rowsPerBand, portable): _*))
         .as(Seq("band", "bh")))
@@ -309,10 +340,9 @@ object DedupFunctions {
       .filter(col("id") > col("id_a"))
       .select(col("id_a"), col("id").as("id_b"), col("n_a"), col("n_sh").as("n_b"))
       .dropDuplicates("id_a", "id_b")
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(pre.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(pre.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("shared").cast("double") /
@@ -338,24 +368,40 @@ object DedupFunctions {
                       textCol: String, idCol: String,
                       n: Int, numHashes: Int, bands: Int,
                       threshold: Double,
-                      portable: Boolean = false): DataFrame = {
+                      portable: Boolean = false): DataFrame =
+    minhashLshProbeShingled(
+      shingledDocs(base, textCol, idCol, n),
+      shingledDocs(delta, textCol, idCol, n),
+      numHashes, bands, threshold, portable)
+
+  /** [[minhashLshProbe]] over pre-shingled `(id, sh)` frames (see
+    * [[shingledDocs]]). A caller holding one corpus split into
+    * base/delta should shingle the WHOLE corpus once, localCheckpoint,
+    * and filter the cached frame into the two sides — each side's
+    * signature build and exact verify then read the same arrays, so
+    * per ingest batch the text is shingled exactly once instead of
+    * three times (the r12-measured cost of q291's text-form draft). */
+  def minhashLshProbeShingled(baseSh: DataFrame, deltaSh: DataFrame,
+                              numHashes: Int, bands: Int,
+                              threshold: Double,
+                              portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame) = {
-      val sig = minhashSignatures(df, textCol, idCol, n, numHashes, portable)
+    def banded(pre: DataFrame) = {
+      val sig = minhashSignaturesFromShingles(pre, numHashes, portable)
       sig.select(col("id"), col("n_sh"),
         posexplode(array(bandKeyColumns(col("sig"), bands, rowsPerBand, portable): _*))
           .as(Seq("band", "bh")))
     }
-    val b = banded(base).select(col("band"), col("bh"),
+    val b = banded(baseSh).select(col("band"), col("bh"),
       col("id").as("id_base"), col("n_sh").as("n_b"))
-    val d = banded(delta).select(col("band"), col("bh"),
+    val d = banded(deltaSh).select(col("band"), col("bh"),
       col("id").as("id_new"), col("n_sh").as("n_a"))
     val cand = d.join(b, Seq("band", "bh"))
       .select(col("id_new"), col("id_base"), col("n_a"), col("n_b"))
       .dropDuplicates("id_new", "id_base")
-    val shB = base.select(col(idCol).as("id_base"), shingles(col(textCol), n).as("sh_b"))
-    val shD = delta.select(col(idCol).as("id_new"), shingles(col(textCol), n).as("sh_a"))
+    val shB = baseSh.select(col("id").as("id_base"), col("sh").as("sh_b"))
+    val shD = deltaSh.select(col("id").as("id_new"), col("sh").as("sh_a"))
     cand
       .join(shD, Seq("id_new"))
       .join(shB, Seq("id_base"))

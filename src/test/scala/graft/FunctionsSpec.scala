@@ -107,6 +107,29 @@ class FunctionsSpec extends SparkSuite {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("MinhashSigExpression kernel is bit-identical to the HOF minhashSignature") {
+    // The streaming near-dup operator signs documents with the native
+    // kernel; the batch family's definition is the HOF column form. This
+    // pins them equal over a real corpus slice (varied lengths, unicode,
+    // sub-n-token docs excluded by the shared size>0 filter) plus edge
+    // shapes, so the streaming and batch band buckets can never drift.
+    import graft.functions.MinhashSigExpression
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(200)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "one"), (900002L, "exactly two tokens"),
+        (900003L, "naïve café résumé — unicode token bytes"))
+        .toDF("doc_id", "text"))
+    val sh = docs.select(col("doc_id"),
+        DedupFunctions.shingles(col("text"), 2).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val mismatches = sh.select(col("doc_id"),
+        DedupFunctions.minhashSignature(col("sh"), 32).as("hof"),
+        MinhashSigExpression.minhashSig(col("sh"), 32).as("native"))
+      .filter(not(col("hof") === col("native")))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("minhash LSH finds injected near-duplicates with exact jaccard") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(60)
     // inject: copy of doc 0's text with one word appended → jaccard ≈ 0.95+
