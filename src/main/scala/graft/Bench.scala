@@ -125,23 +125,41 @@ object Bench {
               case rx(n) => Some((n.toInt, f.getName)); case _ => None })
             .sortBy(_._1).lastOption.map(_._2)
         }
-        val prev: Map[String, Double] = prevFile.flatMap { p =>
-          try {
+        // Baseline load is diagnosed, never silent (r12 advice): an
+        // sf-mismatched archive (sf1 endurance vs an sf0.1 sweep) would
+        // flag nearly everything and burn the whole re-time budget, and
+        // an unparsable one would disable triage with no indication —
+        // both now land a visible reason in stderr and the bench JSON.
+        val prevOrReason: Either[String, Map[String, Double]] = prevFile match {
+          case None => Left("no BENCH_DETAIL_r{N}.json archive in the tree")
+          case Some(p) => try {
             val txt = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(p)), "UTF-8")
+            val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
             // Parse ONLY the queries object — it is flat (no nested
             // braces), so it ends at the first '}' after its start.
             // Scanning past it would let the load_1m block (same query
             // names, different values) overwrite every archived time.
             val at = txt.indexOf("\"queries\":{")
             val end = if (at < 0) -1 else txt.indexOf("}", at)
-            if (at < 0 || end < 0) None else Some {
+            if (prevSf.exists(_ != sfDir))
+              Left(s"$p was swept at sf '${prevSf.get}', this sweep is " +
+                s"'$sfDir' — cross-sf ratios are meaningless")
+            else if (at < 0 || end < 0)
+              Left(s"$p has no parsable \"queries\" object")
+            else {
               val qrx = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+(?:[eE]-?[0-9]+)?)".r
-              qrx.findAllMatchIn(txt.substring(at + 10, end + 1))
+              val m = qrx.findAllMatchIn(txt.substring(at + 10, end + 1))
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap
+              if (m.isEmpty) Left(s"$p's \"queries\" object parsed empty")
+              else Right(m)
             }
-          } catch { case _: Throwable => None }
-        }.getOrElse(Map.empty)
+          } catch { case e: Throwable =>
+            Left(s"failed reading $p: ${e.getMessage}")
+          }
+        }
+        val prev: Map[String, Double] =
+          prevOrReason.getOrElse(Map.empty[String, Double])
         val flaggedAll = results.toSeq.collect {
           case (name, cur) if cur >= 0.3 && prev.get(name).exists(p =>
             p > 0 && cur / p >= 1.9) => (name, prev(name), cur)
@@ -152,8 +170,11 @@ object Bench {
         // "15 triaged, 25 more flagged", not as a complete triage.
         val drifters = flaggedAll.take(15)
         val nDropped = flaggedAll.size - drifters.size
-        if (prev.isEmpty) ("", "")
-        else {
+        if (prev.isEmpty) {
+          val why = prevOrReason.left.getOrElse("")
+          System.err.println(s"[bench] drift triage skipped: $why")
+          (s""","drift":{"skipped":"${why.replace("\"", "'")}"}""", "")
+        } else {
           val items = drifters.map { case (name, p, sweep) =>
             val fn = SparkEntry.queries(name)
             val runs = (1 to (reps max 2)).flatMap(_ => timeOne(name, fn))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions, ExactSubstrings, TextFunctions}
@@ -132,15 +132,20 @@ object QueriesExt11 {
       |                           FROM band GROUP BY 1, 2) o
       |           ON d.b = o.b AND d.bh = o.bh AND d.doc_id > o.id_a""".stripMargin
 
-  val q292Sql: String = {
+  /** The full q292 cut-report chain over a documents subset —
+    * parameterized on the corpus predicate so q295's oracle replays the
+    * SAME chain on the base-only and combined corpora (q292 itself uses
+    * `TRUE`): a report's `upd` provenance can then be oracle-checked as
+    * the literal diff of two full replays. */
+  private def cutReportSql(whereSql: String): String = {
     val planted = "CASE WHEN doc_id % 5 = 0 THEN text || ' " +
       QueriesExt9.q267Plant + "' ELSE text END"
     val tCte =
       s"""t AS (
          |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
          |  FROM (SELECT doc_id, string_split_regex(trim(lower($planted)), '\\s+') AS x
-         |        FROM documents))""".stripMargin
-    s"""WITH c AS (SELECT doc_id, $planted AS text FROM documents),
+         |        FROM documents WHERE $whereSql))""".stripMargin
+    s"""WITH c AS (SELECT doc_id, $planted AS text FROM documents WHERE $whereSql),
        |ntok AS (SELECT doc_id,
        |           len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
        |         FROM c),
@@ -153,7 +158,7 @@ object QueriesExt11 {
        |        WHERE f.doc_id <> k.keep_id),
        |nd0 AS (SELECT * FROM (${QueriesExt.minhashChainSql(tCte, starCandSql)})),
        |ndc AS (SELECT id_b AS doc_id, min(id_a) AS nd_dup_of FROM nd0 GROUP BY 1),
-       |ss0 AS (SELECT * FROM (${QueriesExt9.q267Sql})),
+       |ss0 AS (SELECT * FROM (${QueriesExt9.q267SqlFor(whereSql)})),
        |ssc AS (SELECT doc_id, sum(tok_len)::BIGINT AS substr_tokens FROM ss0 GROUP BY 1)
        |SELECT c.doc_id,
        |  CASE WHEN exc.ex_dup_of IS NOT NULL THEN 'exact'
@@ -172,6 +177,8 @@ object QueriesExt11 {
        |LEFT JOIN ssc USING (doc_id)
        |JOIN ntok USING (doc_id)""".stripMargin
   }
+
+  val q292Sql: String = cutReportSql("TRUE")
 
   // ---------------------------------------------------------------- q293
   /** Incremental EXACT-dedup maintenance — the q13 tier as an index
@@ -271,16 +278,184 @@ object QueriesExt11 {
        |FROM sp GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q295
+  /** INCREMENTAL composed cut report — the delta twin of q292 and the
+    * operation a MAINTAINED 100 TB corpus actually runs per ingest:
+    * given the base corpus (doc_id % 7 ≠ 0, whose report and indexes
+    * already exist) and an arriving delta batch (doc_id % 7 = 0 — ids
+    * interleave the base, the BACKFILL shape, so the delta can contain
+    * earlier-canonical documents that rewrite base dispositions), emit
+    * the refreshed full report plus an `upd` provenance column:
+    * `new` (delta doc), `changed` (base doc whose tier / dup_of /
+    * cut_tokens moved), `same`.
+    *
+    * Per tier, the incremental algebra (each provably equal to the full
+    * replay, which IS the oracle — the DuckDB side runs the complete
+    * q292 chain on base-only and combined corpora and diffs them):
+    *
+    *  - exact: the maintained (fp → earliest base id) index merges with
+    *    the delta batch's (fp → earliest delta id) — `keep` is their
+    *    least; only fps the delta undercuts repair base rows.
+    *  - neardup (star): delta band keys mark AFFECTED buckets; star
+    *    candidates from unaffected buckets are exactly the base sweep's
+    *    (membership unchanged — in production they are READ from the
+    *    stored pair set, not recomputed), affected buckets re-star over
+    *    (base members ∪ delta members) with the new least-id owner.
+    *    Per ingest the new work is |delta| × bands buckets.
+    *  - substring: the maintained per-hash first-occurrence index
+    *    merges with the delta's; marks never shrink — delta occurrences
+    *    mark wherever the combined first precedes them, and a base
+    *    first occurrence is repaired (marked) exactly when the delta
+    *    introduced an earlier one.
+    *
+    * All three tiers read ONE checkpointed planted corpus and ONE
+    * checkpointed shingle frame (the q291/q292 single-pass discipline).
+    * Output: doc_id, tier, dup_of, cut_tokens, upd. */
+  def q295IncrementalCutReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactSubstrings
+    val isDelta = col("doc_id") % 7 === 0
+    val corpus = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + QueriesExt9.q267Plant)))
+        .otherwise(col("text")).as("text"))
+      .localCheckpoint(true)
+    val nTok = corpus.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+
+    // ---- exact tier: two fp indexes merged into the combined keeper.
+    val fpAll = corpus.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val baseFpIdx = fpAll.filter(!isDelta).groupBy("fp")
+      .agg(min("doc_id").as("bmin"))
+    val deltaFpIdx = fpAll.filter(isDelta).groupBy("fp")
+      .agg(min("doc_id").as("dmin"))
+    val keepIdx = baseFpIdx.join(deltaFpIdx, Seq("fp"), "full_outer")
+      .select(col("fp"), least(col("bmin"), col("dmin")).as("keep"),
+        col("bmin"))
+    def exCutOf(fps: DataFrame, keep: Column) = fps
+      .join(keepIdx, Seq("fp"))
+      .filter(col("doc_id") =!= keep)
+      .select(col("doc_id"), keep.as("ex_dup_of"))
+    val exCutC = exCutOf(fpAll, col("keep"))
+    val exCutB = exCutOf(fpAll.filter(!isDelta), col("bmin"))
+
+    // ---- neardup tier: star candidates with bucket provenance, so the
+    // affected buckets (those the delta touches) re-star while the rest
+    // carry over from the base sweep verbatim.
+    val corpusSh = DedupFunctions.shingledDocs(corpus, "text", "doc_id", n = 2)
+      .localCheckpoint(true)
+    def bandedOf(pre: DataFrame) = {
+      val sig = DedupFunctions.minhashSignaturesFromShingles(pre, 32, portable = true)
+      sig.select(col("id"), col("n_sh"),
+        posexplode(array(DedupFunctions.bandKeyColumns(col("sig"), 16, 2,
+          portable = true): _*)).as(Seq("band", "bh")))
+    }
+    def starCand(members: DataFrame) = members
+      .join(members.groupBy("band", "bh")
+          .agg(min("id").as("id_a"), min_by(col("n_sh"), col("id")).as("n_a")),
+        Seq("band", "bh"))
+      .filter(col("id") > col("id_a"))
+      .select(col("band"), col("bh"), col("id_a"), col("id").as("id_b"),
+        col("n_a"), col("n_sh").as("n_b"))
+    val baseBand = bandedOf(corpusSh.filter(col("id") % 7 =!= 0))
+    val deltaBand = bandedOf(corpusSh.filter(col("id") % 7 === 0))
+    val affected = deltaBand.select("band", "bh").distinct()
+    val candBase = starCand(baseBand)
+    val candUnaff = candBase.join(affected, Seq("band", "bh"), "left_anti")
+    val candAff = starCand(
+      baseBand.join(affected, Seq("band", "bh")).unionByName(deltaBand))
+    def verified(cand: DataFrame) = cand
+      .select("id_a", "id_b", "n_a", "n_b").dropDuplicates("id_a", "id_b")
+      .join(corpusSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(corpusSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")).cast("double") >= 0.05)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("nd_dup_of"))
+    val ndCutC = verified(candUnaff.unionByName(candAff))
+    val ndCutB = verified(candBase)
+
+    // ---- substring tier: first-occurrence index merge; marks only grow.
+    val hashesAll = ExactSubstrings
+      .tokenWindowHashes(corpus, "text", "doc_id", W = 20)
+      .localCheckpoint(true)
+    val occ = struct(col("id"), col("pos"))
+    val baseOcc = hashesAll.filter(col("id") % 7 =!= 0)
+    val deltaOcc = hashesAll.filter(col("id") % 7 === 0)
+    val baseFirst = baseOcc.groupBy("h").agg(min(occ).as("bf"))
+    val deltaFirst = deltaOcc.groupBy("h").agg(min(occ).as("df"))
+    val firstIdx = baseFirst.join(deltaFirst, Seq("h"), "full_outer")
+      .select(col("h"), col("bf"), col("df"),
+        least(col("bf"), col("df")).as("cf"))
+    val baseDup = baseOcc.join(baseFirst, Seq("h"))
+      .filter(occ =!= col("bf")).select(col("id"), col("pos"))
+    val deltaMarks = deltaOcc.join(firstIdx, Seq("h"))
+      .filter(occ =!= col("cf")).select(col("id"), col("pos"))
+    val repairMarks = firstIdx
+      .filter(col("df").isNotNull && col("bf").isNotNull && col("df") < col("bf"))
+      .select(col("bf.id").as("id"), col("bf.pos").as("pos"))
+    def trimOf(marks: DataFrame) = ExactSubstrings.mergeMarks(
+        marks.select(col("id"), col("pos"), (col("pos") + 19).as("e")))
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum(col("span_len")).as("substr_tokens"))
+    val ssTrimC = trimOf(baseDup.unionByName(deltaMarks).unionByName(repairMarks))
+    val ssTrimB = trimOf(baseDup)
+
+    // ---- assembly: the q292 severity ladder, for both report versions.
+    def report(base: DataFrame, exCut: DataFrame, ndCut: DataFrame,
+               ssTrim: DataFrame) = base
+      .join(nTok, Seq("doc_id"))
+      .join(exCut, Seq("doc_id"), "left")
+      .join(ndCut, Seq("doc_id"), "left")
+      .join(ssTrim, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_dup_of").isNotNull, "exact")
+          .when(col("nd_dup_of").isNotNull, "neardup")
+          .when(col("substr_tokens").isNotNull, "partial")
+          .otherwise("keep").as("tier"),
+        when(col("ex_dup_of").isNotNull, col("ex_dup_of"))
+          .when(col("nd_dup_of").isNotNull, col("nd_dup_of")).as("dup_of"),
+        when(col("ex_dup_of").isNotNull || col("nd_dup_of").isNotNull,
+            col("n_tokens"))
+          .when(col("substr_tokens").isNotNull, col("substr_tokens"))
+          .otherwise(lit(0L)).cast("long").as("cut_tokens"))
+    val repC = report(corpus.select("doc_id"), exCutC, ndCutC, ssTrimC)
+    val repB = report(corpus.filter(!isDelta).select("doc_id"),
+        exCutB, ndCutB, ssTrimB)
+      .select(col("doc_id"), col("tier").as("b_tier"),
+        col("dup_of").as("b_dup_of"), col("cut_tokens").as("b_cut"))
+    repC.join(repB, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tier"), col("dup_of"), col("cut_tokens"),
+        when(col("doc_id") % 7 === 0, "new")
+          .when(col("tier") <=> col("b_tier") &&
+            col("dup_of") <=> col("b_dup_of") &&
+            col("cut_tokens") <=> col("b_cut"), "same")
+          .otherwise("changed").as("upd"))
+  }
+  val q295Sql: String =
+    s"""WITH rep_all AS (SELECT * FROM (${cutReportSql("TRUE")})),
+       |rep_base AS (SELECT * FROM (${cutReportSql("doc_id % 7 <> 0")}))
+       |SELECT a.doc_id, a.tier, a.dup_of, a.cut_tokens,
+       |  CASE WHEN a.doc_id % 7 = 0 THEN 'new'
+       |       WHEN a.tier IS NOT DISTINCT FROM b.tier
+       |            AND a.dup_of IS NOT DISTINCT FROM b.dup_of
+       |            AND a.cut_tokens IS NOT DISTINCT FROM b.cut_tokens THEN 'same'
+       |       ELSE 'changed' END AS upd
+       |FROM rep_all a LEFT JOIN rep_base b USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q291_incremental_neardup" -> (q291IncrementalNeardup _),
     "q292_cut_report" -> (q292CutReport _),
     "q293_incremental_exact" -> (q293IncrementalExact _),
-    "q294_incremental_substr" -> (q294IncrementalSubstr _))
+    "q294_incremental_substr" -> (q294IncrementalSubstr _),
+    "q295_incremental_cut_report" -> (q295IncrementalCutReport _))
 
   val oracles: Map[String, String] = Map(
     "q291_incremental_neardup" -> q291Sql,
     "q292_cut_report" -> q292Sql,
     "q293_incremental_exact" -> q293Sql,
-    "q294_incremental_substr" -> q294Sql)
+    "q294_incremental_substr" -> q294Sql,
+    "q295_incremental_cut_report" -> q295Sql)
 }

@@ -443,12 +443,15 @@ object QueriesExt9 {
       .select(col("id").as("doc_id"), col("span"),
         col("tok_start"), col("tok_end"), col("tok_len"))
   }
-  val q267Sql: String = {
+  /** q267's span chain over a documents subset — parameterized on the
+    * corpus predicate so q295's oracle can replay the SAME chain on the
+    * base-only and combined corpora (q267/q292 use `TRUE`). */
+  private[graft] def q267SqlFor(whereSql: String): String = {
     def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
     s"""WITH d0 AS (SELECT doc_id,
        |        CASE WHEN doc_id % 5 = 0 THEN text || ' $q267Plant'
        |             ELSE text END AS text
-       |      FROM documents),
+       |      FROM documents WHERE $whereSql),
        |d AS (SELECT doc_id,
        |        string_split_regex(trim(lower(text)), '\\s+') AS toks
        |      FROM d0),
@@ -473,6 +476,7 @@ object QueriesExt9 {
        |       max(e) - min(pos) + 1 AS tok_len
        |FROM sp GROUP BY 1, 2""".stripMargin
   }
+  val q267Sql: String = q267SqlFor("TRUE")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q259_seq_patterns" -> (q259SeqPatterns _),
