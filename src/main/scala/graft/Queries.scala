@@ -62,8 +62,12 @@ object Queries {
       // of each copy's users into the next copy and the "key-expanded"
       // LWW grain was wrong (r12 review). One 1-row agg, mirrored by a
       // scalar subquery in the oracle.
-      val stride = events(s, dir).agg(max(col("user_id")).cast("long"))
-        .head().getLong(0) + 1
+      // Guard the scalar: max() over an empty events table is NULL and
+      // getLong would throw an opaque NPE (r12 advice).
+      val maxRow = events(s, dir).agg(max(col("user_id")).cast("long")).head()
+      require(!maxRow.isNullAt(0),
+        s"events table at $dir is empty — cannot derive the copy key stride")
+      val stride = maxRow.getLong(0) + 1
       val expanded = events(s, dir).crossJoin(copies).select(
         (col("event_id") * 10 + col("copy")).as("event_id"),
         col("ts"), col("ts_ms"),

@@ -444,18 +444,84 @@ object QueriesExt11 {
        |       ELSE 'changed' END AS upd
        |FROM rep_all a LEFT JOIN rep_base b USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- q296
+  /** APPLY the substring-dedup spans — the step after every report query:
+    * q267/q292/q295 say WHAT to cut; this materializes the curated
+    * corpus, removing each marked token span from its document (Lee et
+    * al. 2021's ExactSubstr cut, executed). Output per doc: the kept
+    * token count, the cut count, and the canonical (lowercased,
+    * single-spaced) trimmed text — the token currency every downstream
+    * operator of this engine consumes. Docs the tier ladder would DROP
+    * outright are one `tier NOT IN ('exact','neardup')` filter on q292's
+    * already-pinned output away, so this query isolates the one new
+    * primitive: span-complement reconstruction.
+    *
+    * Scale shape: spans per doc are a bounded list (collect_list after
+    * the span op's per-doc grain), broadcast-joined back to the corpus
+    * scan; the reconstruction is a narrow higher-order projection
+    * (sequence → filter-by-span-membership → array_join) — no extra
+    * shuffle beyond the span op itself, TEXT never shuffles. */
+  def q296ApplyTrim(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactSubstrings
+    val corpus = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + QueriesExt9.q267Plant)))
+        .otherwise(col("text")).as("text"))
+      .localCheckpoint(true) // read by the span op AND the reconstruction
+    val spans = ExactSubstrings.duplicateTokenSpans(corpus, "text", "doc_id", W = 20)
+      .groupBy(col("id").as("doc_id"))
+      .agg(collect_list(struct(col("tok_start"), col("tok_end"))).as("spans"))
+    val toks = TextFunctions.tokens(col("text"))
+    val sp = coalesce(col("spans"),
+      array().cast("array<struct<tok_start:long,tok_end:long>>"))
+    val kept = filter(
+      transform(sequence(lit(1L), size(toks).cast("long")), i =>
+        struct(i.as("i"), element_at(toks, i.cast("int")).as("tok"))),
+      x => !exists(sp, sg =>
+        x.getField("i") >= sg.getField("tok_start") &&
+          x.getField("i") <= sg.getField("tok_end")))
+    corpus.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(kept).cast("long").as("n_tokens_kept"),
+        (size(toks) - size(kept)).cast("long").as("n_tokens_cut"),
+        array_join(transform(kept, x => x.getField("tok")), " ").as("text_kept"))
+  }
+  val q296Sql: String = {
+    val planted = "CASE WHEN doc_id % 5 = 0 THEN text || ' " +
+      QueriesExt9.q267Plant + "' ELSE text END"
+    s"""WITH sp AS (SELECT * FROM (${QueriesExt9.q267SqlFor("TRUE")})),
+       |tok AS (SELECT doc_id,
+       |          string_split_regex(trim(lower($planted)), '\\s+') AS toks
+       |        FROM documents),
+       |pos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i FROM tok),
+       |keep AS (SELECT p.doc_id, p.i FROM pos p
+       |         WHERE NOT EXISTS (SELECT 1 FROM sp s
+       |           WHERE s.doc_id = p.doc_id
+       |             AND p.i BETWEEN s.tok_start AND s.tok_end)),
+       |kept AS (SELECT k.doc_id, count(*)::BIGINT AS n_tokens_kept,
+       |           string_agg(t.toks[k.i], ' ' ORDER BY k.i) AS text_kept
+       |         FROM keep k JOIN tok t USING (doc_id) GROUP BY 1)
+       |SELECT t.doc_id,
+       |  coalesce(kp.n_tokens_kept, 0)::BIGINT AS n_tokens_kept,
+       |  (len(t.toks) - coalesce(kp.n_tokens_kept, 0))::BIGINT AS n_tokens_cut,
+       |  coalesce(kp.text_kept, '') AS text_kept
+       |FROM tok t LEFT JOIN kept kp USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q291_incremental_neardup" -> (q291IncrementalNeardup _),
     "q292_cut_report" -> (q292CutReport _),
     "q293_incremental_exact" -> (q293IncrementalExact _),
     "q294_incremental_substr" -> (q294IncrementalSubstr _),
-    "q295_incremental_cut_report" -> (q295IncrementalCutReport _))
+    "q295_incremental_cut_report" -> (q295IncrementalCutReport _),
+    "q296_apply_trim" -> (q296ApplyTrim _))
 
   val oracles: Map[String, String] = Map(
     "q291_incremental_neardup" -> q291Sql,
     "q292_cut_report" -> q292Sql,
     "q293_incremental_exact" -> q293Sql,
     "q294_incremental_substr" -> q294Sql,
-    "q295_incremental_cut_report" -> q295Sql)
+    "q295_incremental_cut_report" -> q295Sql,
+    "q296_apply_trim" -> q296Sql)
 }

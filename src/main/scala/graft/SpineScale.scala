@@ -22,6 +22,17 @@ import graft.sources.CdcGen
   * engine: route predicate, from_json, normalize projection, LWW
   * window, noop sink.
   *
+  * The MERGE leg (VERDICT r12 #7) extends the measured lifecycle past
+  * LWW into the batch's landing: the spine output is written as the
+  * parquet target snapshot (untimed — the "existing table"), then the
+  * timed section replays MergeOps.merge(target, stage) — the anti-join +
+  * union the reference runs as warehouse DELETE/INSERT — to a noop sink.
+  * Stage here is a full key-expanded batch (|stage| = |target|), so the
+  * stage key set is NOT broadcast — the degenerate worst case; a real
+  * CDC trigger's stage is tiny and broadcasts. Disable with
+  * SPARK_GRAFT_SPINE_MERGE=0 (e.g. for the 100M run where the untimed
+  * target landing dominates wall-clock).
+  *
   * Usage: SPARK_DRIVER_MEM=80g sbt "runMain graft.SpineScale
   * /root/repo/scaledata/sf1 100 [reps]" → one JSON line.
   */
@@ -47,8 +58,13 @@ object SpineScale {
       // Stride derived from the data so copies' key ranges are exactly
       // disjoint (a fixed stride aliased users across copies — r12
       // review): distinct keys grow by exactly `copies`×.
-      val stride = Tables.events(spark, sfDir)
-        .agg(max(col("user_id")).cast("long")).head().getLong(0) + 1
+      // Guard the scalar: max() over an empty events table is NULL and
+      // getLong would throw an opaque NPE (r12 advice).
+      val maxRow = Tables.events(spark, sfDir)
+        .agg(max(col("user_id")).cast("long")).head()
+      require(!maxRow.isNullAt(0),
+        s"events table at $sfDir is empty — cannot derive the copy key stride")
+      val stride = maxRow.getLong(0) + 1
       val expanded = Tables.events(spark, sfDir).crossJoin(cp).select(
         (col("event_id") * copies + col("copy")).as("event_id"),
         col("ts"), col("ts_ms"),
@@ -77,9 +93,32 @@ object SpineScale {
         (System.nanoTime() - t0) / 1e9
       }
       val best = times.min
+      // ---- merge leg: land the deduped batch as the target snapshot
+      // (untimed), then time merge(target, stage) alone.
+      val mergeJson =
+        if (sys.env.get("SPARK_GRAFT_SPINE_MERGE").contains("0")) ""
+        else {
+          spine().write.mode("overwrite").parquet(s"$tmp/target")
+          spine().write.mode("overwrite").parquet(s"$tmp/stage")
+          val target = spark.read.parquet(s"$tmp/target")
+          val stage = spark.read.parquet(s"$tmp/stage")
+          val mergeTimes = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            operators.MergeOps.merge(target, stage, keys = Seq("id"),
+                isDelete = col("op_aws") === "d", dropCols = Seq("op_aws"),
+                broadcastStage = false)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val mBest = mergeTimes.min
+          val mN = stage.count()
+          s""","merge_records":$mN,"merge_secs":$mBest""" +
+            s""","merge_records_per_sec":${(mN / mBest).toLong}"""
+        }
       println(s"""{"metric":"spine_scale","records":$n,"copies":$copies,""" +
         s""""sf":"$sfDir","secs":$best,"records_per_sec":${(n / best).toLong},""" +
-        s""""reps":$reps,"all_secs":[${times.map(t => f"$t%.1f").mkString(",")}]}""")
+        s""""reps":$reps,"all_secs":[${times.map(t => f"$t%.1f").mkString(",")}]""" +
+        mergeJson + "}")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

@@ -480,6 +480,67 @@ class StreamAggsSpec extends SparkSuite {
         s"extra=${streamSpans -- batchSpans} missing=${batchSpans -- streamSpans}")
   }
 
+  test("triangle parity: streaming delta-batch marks equal q294's base-index probe plus delta-internal first-occurrence marks") {
+    // Closes the q294 ↔ streaming twin triangle (r12 verdict #6): ingest
+    // the base split as batch 1 and the delta split as batch 2. The
+    // batch-2 marks decompose EXACTLY into (a) q294's algebra — every
+    // delta occurrence whose window hash exists in the base index (its
+    // owner was installed in batch 1) — plus (b) the delta-internal
+    // tail q294's probe deliberately excludes: post-first occurrences
+    // of hashes absent from base (ownerless until batch 2). Both sides
+    // feed the SHARED ExactSubstrings.mergeMarks, so the assert pins
+    // identical maximal spans, not just identical mark sets.
+    import graft.functions.ExactSubstrings
+    val W = 20
+    val plant = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0),
+        if (r.getLong(0) % 5 == 0) r.getString(1) + " " + plant
+        else r.getString(1))).sortBy(_._1)
+    val (delta, base) = corpus.partition(_._1 % 7 == 0)
+    val hashesAll = ExactSubstrings.tokenWindowHashes(
+      corpus.toSeq.toDF("doc_id", "text"), "text", "doc_id", W)
+    val baseIdx = hashesAll.filter(col("id") % 7 =!= 0).select("h").distinct()
+    val deltaH = hashesAll.filter(col("id") % 7 === 0)
+    val probeMarks = deltaH.join(baseIdx, Seq("h"))
+      .select(col("id"), col("pos"))
+    val notInBase = deltaH.join(baseIdx, Seq("h"), "left_anti")
+    val occ = struct(col("id"), col("pos"))
+    val internalMarks = notInBase
+      .join(notInBase.groupBy("h").agg(min(occ).as("f")), Seq("h"))
+      .filter(occ =!= col("f"))
+      .select(col("id"), col("pos"))
+    val expected = ExactSubstrings.mergeMarks(
+        probeMarks.unionByName(internalMarks)
+          .select(col("id"), col("pos"), (col("pos") + (W - 1)).as("e")))
+      .select("id", "span", "span_start", "span_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamAggs.streamingTokenSpanMarks(docs, "ts", "text", "doc_id",
+        watermark = "24 hours", stateTtlMs = 86400000L, W = W)
+      .writeStream.format("memory").queryName("ssubtri").outputMode("append").start()
+    Seq(base, delta).foreach { chunk =>
+      mem.addData(chunk.toSeq.map { case (id, text) =>
+        (new Timestamp(1704067200000L + id * 1000L), id, text)
+      })
+      q.processAllAvailable()
+    }
+    q.stop()
+    // Batch 2 contained only delta docs, so its marks are exactly the
+    // %7 ≡ 0 rows (batch-1 marks are base-internal by the same token).
+    val streamSpans = ExactSubstrings.mergeMarks(
+        spark.table("ssubtri").filter(col("id") % 7 === 0)
+          .toDF("id", "pos", "e"))
+      .select("id", "span", "span_start", "span_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamSpans.nonEmpty)
+    assert(streamSpans == expected,
+      s"delta-batch stream spans must equal probe ∪ delta-internal spans; " +
+        s"extra=${streamSpans -- expected} missing=${expected -- streamSpans}")
+  }
+
   test("substring hash re-hit after ttl refreshes the owner clock instead of crashing") {
     // Same GroupStateImpl race the near-dup twin pins below: an owner
     // whose timeout was computed from its ORIGINAL event time crashes
