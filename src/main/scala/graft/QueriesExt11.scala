@@ -78,11 +78,17 @@ object QueriesExt11 {
     * (each audited separately); the composition adds only
     * doc_id-keyed left joins on bounded per-tier outputs.
     * Output: doc_id, tier, dup_of (null unless cut), cut_tokens. */
-  def q292CutReport(s: SparkSession, dir: String): DataFrame = {
-    val corpus = docs(s, dir).select(col("doc_id"),
+  def q292CutReport(s: SparkSession, dir: String): DataFrame =
+    cutReportOf(docs(s, dir).select(col("doc_id"),
       when(col("doc_id") % 5 === 0,
         concat(col("text"), lit(" " + QueriesExt9.q267Plant)))
-        .otherwise(col("text")).as("text"))
+        .otherwise(col("text")).as("text")))
+
+  /** The q292 report over an arbitrary `(doc_id, text)` corpus — the
+    * batch ground truth [[graft.operators.CutReportMaintenance]]'s
+    * convergence spec replays ingests against. */
+  private[graft] def cutReportOf(corpus0: DataFrame): DataFrame = {
+    val corpus = corpus0
       .localCheckpoint(true) // referenced by all three tiers + token counts
     val nTok = corpus.select(col("doc_id"),
       size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{DedupFunctions, ExactSubstrings, TextFunctions}
+
+/** MAINTAINED composed cut report — the persistent-state form of the
+  * dedup arc (batch q292 → incremental probes q291/q293/q294 →
+  * one-query incremental q295): a pipeline that owns parquet-backed
+  * indexes and, per ingest batch, does work proportional to the BATCH
+  * and the state it touches — never to the corpus — while its stored
+  * report stays equal to the full batch replay
+  * ([[graft.QueriesExt11.q292CutReport]]'s algebra; the convergence
+  * spec pins exactly that, three interleaved backfill ingests → one
+  * batch report). This is what "dedup as a maintained capability"
+  * executes in production: the q295 query demonstrates one delta in one
+  * plan; this operator RETAINS the indexes between deltas.
+  *
+  * State tables under `stateDir` (each a plain parquet dir, swapped
+  * atomically per ingest — production would use a transactional table
+  * format; the swap discipline is the same):
+  *
+  *  - `docs`       (doc_id, text, n_tokens, fp) — the corpus itself;
+  *                 text is retained because exact-Jaccard verification
+  *                 of a later bucket collision needs the OLD member's
+  *                 shingles (bounded: only affected buckets' members
+  *                 are ever re-read).
+  *  - `fp_index`   (fp, keep_id) — exact tier: earliest doc per
+  *                 fingerprint.
+  *  - `band_index` (band, bh, id, n_sh) — near-dup tier: every doc's
+  *                 LSH band keys, the q291 probe target.
+  *  - `nd_pairs`   (band, bh, id_a, id_b) — VERIFIED star pairs with
+  *                 bucket provenance, so a bucket whose owner changes
+  *                 can retract exactly its own pairs (the q295
+  *                 rescission case) without touching any other bucket.
+  *  - `hash_index` (h, id, pos) — substring tier: each window hash's
+  *                 earliest (id, pos) occurrence.
+  *  - `marks`      (id, pos) — accumulated duplicate-window marks
+  *                 (monotone: marks only ever grow).
+  *  - `report`     (doc_id, tier, dup_of, cut_tokens) — the served
+  *                 artifact.
+  *
+  * Per-ingest delta shape: the batch's fingerprints/band keys/window
+  * hashes probe the indexes (equi-joins on bounded keys, the q291/q293/
+  * q294 algebra); only AFFECTED buckets re-star and re-verify; only
+  * hashes the batch undercuts repair old marks; and the report is
+  * re-assembled ONLY for touched doc_ids, everything else carried over
+  * by an anti-join. At 100 TB each index is a key-bucketed table and
+  * every probe above is a co-located equi-join.
+  *
+  * Assumes append/backfill ingest: doc_ids are unique across all
+  * ingests (a re-crawled id is a different pipeline — SnapshotDiff —
+  * not this one). */
+object CutReportMaintenance {
+
+  final case class Params(n: Int = 2, numHashes: Int = 32, bands: Int = 16,
+                          threshold: Double = 0.05, W: Int = 20,
+                          portable: Boolean = true)
+
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readState(spark: SparkSession, stateDir: String, name: String,
+                        schema: StructType): DataFrame = {
+    val p = s"$stateDir/$name"
+    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    else emptyDf(spark, schema)
+  }
+
+  /** Materialize `df` (localCheckpoint — the state tables are bounded),
+    * then overwrite the state dir it may have been derived from. */
+  private def writeState(df: DataFrame, stateDir: String, name: String): Unit =
+    df.localCheckpoint(true).write.mode("overwrite").parquet(s"$stateDir/$name")
+
+  private val bhType = LongType // xxhash64 band key; portable uses string
+  private def bandSchema(portable: Boolean) = StructType(Seq(
+    StructField("band", IntegerType), StructField("bh",
+      if (portable) StringType else bhType),
+    StructField("id", LongType), StructField("n_sh", IntegerType)))
+  private def pairSchema(portable: Boolean) = StructType(Seq(
+    StructField("band", IntegerType), StructField("bh",
+      if (portable) StringType else bhType),
+    StructField("id_a", LongType), StructField("id_b", LongType)))
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("n_tokens", LongType), StructField("fp", StringType)))
+  private val fpSchema = StructType(Seq(
+    StructField("fp", StringType), StructField("keep_id", LongType)))
+  private val hashSchema = StructType(Seq(
+    StructField("h", LongType), StructField("id", LongType),
+    StructField("pos", LongType)))
+  private val marksSchema = StructType(Seq(
+    StructField("id", LongType), StructField("pos", LongType)))
+  private val reportSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("tier", StringType),
+    StructField("dup_of", LongType), StructField("cut_tokens", LongType)))
+
+  private def bandedOf(pre: DataFrame, p: Params): DataFrame = {
+    val sig = DedupFunctions.minhashSignaturesFromShingles(
+      pre, p.numHashes, p.portable)
+    sig.select(col("id"), col("n_sh"),
+      posexplode(array(DedupFunctions.bandKeyColumns(col("sig"),
+        p.bands, p.numHashes / p.bands, p.portable): _*))
+        .as(Seq("band", "bh")))
+      .select(col("band").cast("int").as("band"), col("bh"),
+        col("id").cast("long").as("id"), col("n_sh").cast("int").as("n_sh"))
+  }
+
+  /** Ingest one batch `(doc_id, text)`: probe + repair + write back all
+    * state tables; returns the TOUCHED report rows (batch docs and every
+    * existing doc whose disposition inputs changed) with an `upd`
+    * column — `new` / `changed` / `same`. */
+  def ingest(spark: SparkSession, stateDir: String, batch: DataFrame,
+             p: Params = Params()): DataFrame = {
+    val bDocs = batch.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val docsOld = readState(spark, stateDir, "docs", docsSchema)
+
+    // ---- exact tier: merge the batch's per-fp minimum into the index.
+    val fpOld = readState(spark, stateDir, "fp_index", fpSchema)
+    val bFpMin = bDocs.groupBy("fp").agg(min("doc_id").as("bmin"))
+    val fpMerged = fpOld.join(bFpMin, Seq("fp"), "full_outer")
+      .select(col("fp"), least(col("keep_id"), col("bmin")).as("keep_id"),
+        col("keep_id").as("old_keep"), col("bmin"))
+      .localCheckpoint(true)
+    // Old docs whose keeper the batch undercut — their ex_dup_of moves.
+    val exTouched = docsOld
+      .join(fpMerged.filter(col("bmin").isNotNull &&
+          col("old_keep").isNotNull && col("bmin") < col("old_keep"))
+          .select("fp"),
+        Seq("fp"))
+      .select(col("doc_id"))
+
+    // ---- near-dup tier: affected buckets re-star; their old pairs
+    // retract, everything else carries over untouched.
+    val bandOld = readState(spark, stateDir, "band_index", bandSchema(p.portable))
+    val pairsOld = readState(spark, stateDir, "nd_pairs", pairSchema(p.portable))
+    val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
+      .localCheckpoint(true)
+    val bandB = bandedOf(bSh, p).localCheckpoint(true)
+    val affected = bandB.select("band", "bh").distinct().localCheckpoint(true)
+    val members = bandOld.join(affected, Seq("band", "bh")).unionByName(bandB)
+      .localCheckpoint(true)
+    val owners = members.groupBy("band", "bh")
+      .agg(min("id").as("id_a"), min_by(col("n_sh"), col("id")).as("n_a"))
+    val cand = members.join(owners, Seq("band", "bh"))
+      .filter(col("id") > col("id_a"))
+      .select(col("band"), col("bh"), col("id_a"), col("id").as("id_b"),
+        col("n_a"), col("n_sh").as("n_b"))
+    // Shingles for verification: batch docs from the batch frame, old
+    // member docs re-shingled from the stored corpus — bounded by the
+    // affected buckets' membership.
+    val memberIds = members.select(col("id").as("doc_id")).distinct()
+    val oldMemberSh = DedupFunctions.shingledDocs(
+      docsOld.join(memberIds, Seq("doc_id")), "text", "doc_id", p.n)
+    val allSh = bSh.unionByName(oldMemberSh).localCheckpoint(true)
+    val pairsAffNew = cand
+      .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")).cast("double") >= p.threshold)
+      .select(col("band"), col("bh"), col("id_a"), col("id_b"))
+    val pairsRetracted = pairsOld.join(affected, Seq("band", "bh"))
+    val pairsNext = pairsOld.join(affected, Seq("band", "bh"), "left_anti")
+      .unionByName(pairsAffNew)
+      .localCheckpoint(true)
+    // Docs whose pair set may have moved: id_b of anything retracted or
+    // newly verified in an affected bucket.
+    val ndTouched = pairsRetracted.select(col("id_b").as("doc_id"))
+      .unionByName(pairsAffNew.select(col("id_b").as("doc_id")))
+
+    // ---- substring tier: first-occurrence index merge; marks only grow.
+    val hashOld = readState(spark, stateDir, "hash_index", hashSchema)
+    val marksOld = readState(spark, stateDir, "marks", marksSchema)
+    val bH = ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
+      .select(col("id").cast("long").as("id"), col("pos").cast("long").as("pos"),
+        col("h"))
+      .localCheckpoint(true)
+    val occ = struct(col("id"), col("pos"))
+    val bFirst = bH.groupBy("h").agg(min(occ).as("bf"))
+    val firstMerged = hashOld.select(col("h"), occ.as("of"))
+      .join(bFirst, Seq("h"), "full_outer")
+      .select(col("h"), col("of"), col("bf"), least(col("of"), col("bf")).as("cf"))
+      .localCheckpoint(true)
+    val newMarks = bH.join(firstMerged, Seq("h"))
+      .filter(occ =!= col("cf")).select(col("id"), col("pos"))
+      .dropDuplicates("id", "pos")
+    val repairMarks = firstMerged
+      .filter(col("of").isNotNull && col("bf").isNotNull && col("bf") < col("of"))
+      .select(col("of.id").as("id"), col("of.pos").as("pos"))
+      .dropDuplicates("id", "pos")
+    val marksAdded = newMarks.unionByName(repairMarks).localCheckpoint(true)
+    val marksNext = marksOld.unionByName(marksAdded).localCheckpoint(true)
+    val ssTouched = marksAdded.select(col("id").as("doc_id"))
+
+    // ---- touched set + report re-assembly for touched ids only.
+    val docsNext = docsOld.unionByName(bDocs).localCheckpoint(true)
+    val touched = bDocs.select("doc_id")
+      .unionByName(exTouched).unionByName(ndTouched).unionByName(ssTouched)
+      .distinct().localCheckpoint(true)
+    val tDocs = docsNext.join(touched, Seq("doc_id"))
+    val exCut = tDocs.select(col("doc_id"), col("fp"))
+      .join(fpMerged.select("fp", "keep_id"), Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id").as("ex_dup_of"))
+    val ndCut = pairsNext.join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
+      .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("nd_dup_of"))
+    val ssTrim = ExactSubstrings.mergeMarks(
+        marksNext.join(touched.select(col("doc_id").as("id")), Seq("id"))
+          .select(col("id"), col("pos"), (col("pos") + (p.W - 1)).as("e")))
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum("span_len").as("substr_tokens"))
+    val touchedRows = tDocs.select("doc_id", "n_tokens")
+      .join(exCut, Seq("doc_id"), "left")
+      .join(ndCut, Seq("doc_id"), "left")
+      .join(ssTrim, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_dup_of").isNotNull, "exact")
+          .when(col("nd_dup_of").isNotNull, "neardup")
+          .when(col("substr_tokens").isNotNull, "partial")
+          .otherwise("keep").as("tier"),
+        when(col("ex_dup_of").isNotNull, col("ex_dup_of"))
+          .when(col("nd_dup_of").isNotNull, col("nd_dup_of")).as("dup_of"),
+        when(col("ex_dup_of").isNotNull || col("nd_dup_of").isNotNull,
+            col("n_tokens"))
+          .when(col("substr_tokens").isNotNull, col("substr_tokens"))
+          .otherwise(lit(0L)).cast("long").as("cut_tokens"))
+      .localCheckpoint(true)
+    val reportOld = readState(spark, stateDir, "report", reportSchema)
+    val reportNext = reportOld.join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(touchedRows).localCheckpoint(true)
+    val out = touchedRows
+      .join(reportOld.select(col("doc_id"), col("tier").as("o_tier"),
+        col("dup_of").as("o_dup"), col("cut_tokens").as("o_cut")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tier"), col("dup_of"), col("cut_tokens"),
+        when(col("o_tier").isNull, "new")
+          .when(col("tier") <=> col("o_tier") &&
+            col("dup_of") <=> col("o_dup") &&
+            col("cut_tokens") <=> col("o_cut"), "same")
+          .otherwise("changed").as("upd"))
+      .localCheckpoint(true)
+
+    // ---- swap all state tables (everything above is materialized, so
+    // overwriting the dirs they were derived from is safe).
+    writeState(docsNext, stateDir, "docs")
+    writeState(fpMerged.select("fp", "keep_id"), stateDir, "fp_index")
+    writeState(bandOld.unionByName(bandB), stateDir, "band_index")
+    writeState(pairsNext, stateDir, "nd_pairs")
+    writeState(firstMerged.select(col("h"), col("cf.id").as("id"),
+      col("cf.pos").as("pos")), stateDir, "hash_index")
+    writeState(marksNext, stateDir, "marks")
+    writeState(reportNext, stateDir, "report")
+    out
+  }
+
+  /** The served artifact: the stored report, as of the last ingest. */
+  def report(spark: SparkSession, stateDir: String): DataFrame =
+    readState(spark, stateDir, "report", reportSchema)
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Convergence of the MAINTAINED cut report: interleaved backfill
+  * ingests against persistent parquet state must land exactly where the
+  * one-shot batch replay lands. */
+class CutReportMaintenanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def plantedCorpus = Tables.documents(spark, sf("sf0.001"))
+    .select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + graft.QueriesExt9.q267Plant)))
+        .otherwise(col("text")).as("text"))
+
+  test("maintained cut report: three interleaved ingests converge to the batch q292 report, with repairs surfaced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint").toString
+    try {
+      val corpus = plantedCorpus.localCheckpoint(true)
+      // Interleaved id splits (%3 = 1, 2, 0): later ingests contain
+      // LOWER ids than already-reported docs — the backfill shape that
+      // forces exact-keeper undercuts, star-owner changes (incl.
+      // rescissions), and substring first-occurrence repairs.
+      val outs = Seq(1, 2, 0).map { r =>
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id") % 3 === r))
+      }
+      // Every ingest returns rows for at least its own batch.
+      outs.zip(Seq(1, 2, 0)).foreach { case (o, r) =>
+        val n = corpus.filter(col("doc_id") % 3 === r).count()
+        assert(o.filter(col("upd") === "new").count() == n,
+          s"ingest %3=$r must report each batch doc exactly once as new")
+      }
+      // Later ingests must touch EXISTING docs too (the maintained
+      // point): batch-2/3 return rows for docs outside their batch.
+      val laterTouched = outs.tail.map(
+        _.filter(col("upd") =!= "new").count()).sum
+      assert(laterTouched > 0, "backfill ingests must revisit base docs")
+      val repaired = outs.tail.map(
+        _.filter(col("upd") === "changed").count()).sum
+      assert(repaired > 0, "backfill ingests must repair some dispositions")
+      // Convergence: the stored report equals the one-shot batch replay
+      // (q292's algebra over the full corpus), row for row.
+      val maintained = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      val batch = graft.QueriesExt11.cutReportOf(corpus)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      assert(maintained.nonEmpty && maintained.size == corpus.count())
+      assert(maintained == batch,
+        s"maintained report must equal the batch replay; " +
+          s"extra=${(maintained -- batch).take(5)} " +
+          s"missing=${(batch -- maintained).take(5)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("maintained cut report: single full-corpus ingest equals the batch replay (degenerate base case)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint1").toString
+    try {
+      val corpus = plantedCorpus.localCheckpoint(true)
+      val out = CutReportMaintenance.ingest(spark, dir, corpus)
+      assert(out.filter(col("upd") =!= "new").count() == 0)
+      val maintained = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      val batch = graft.QueriesExt11.cutReportOf(corpus)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      assert(maintained == batch)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+}
