@@ -81,7 +81,7 @@ object QueriesExt {
     * literals in BOTH the Spark expression and the DuckDB oracle — the
     * oracle replays bucketing, candidate generation, and exact re-scoring
     * value-for-value. */
-  private val srpPlanes: Seq[Seq[Int]] = Similarity.deterministicPlanes(8, 64)
+  private[graft] val srpPlanes: Seq[Seq[Int]] = Similarity.deterministicPlanes(8, 64)
   // private[graft]: q264/q265 (QueriesExt9) reuse the same plane-j
   // projection SQL — deterministicPlanes(j, i) depends only on (j, i),
   // so planes 0..1 of the 8-plane set ARE deterministicPlanes(2, 64).
@@ -89,7 +89,7 @@ object QueriesExt {
     srpPlanes(j).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
   private[graft] def projSql(v: String, j: Int): String =
     s"list_sum(list_transform(list_zip($v, ${planeSql(j)}), x -> x[1] * x[2]))"
-  private val bucketFromPs: String =
+  private[graft] val bucketFromPs: String =
     (0 until 8).map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
   private[graft] def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /

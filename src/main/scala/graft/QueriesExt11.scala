@@ -514,6 +514,58 @@ object QueriesExt11 {
        |FROM tok t LEFT JOIN kept kp USING (doc_id)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q297
+  /** Incremental EMBEDDING near-dup maintenance — the q291 shape at the
+    * embedding grain, completing the maintained-dedup family across
+    * every modality this engine dedups (whole-doc q293 / near-dup q291 /
+    * substring q294 / semantic-vector q297): the q32 injected
+    * near-duplicates (perturbed copies, id + 1e6 — "re-encoded vectors
+    * arriving") are the DELTA batch, probing the base corpus's SRP band
+    * index via [[graft.functions.Similarity.cosineNearDupProbe]] — one
+    * (band, bkey) equi-join against an appendable bucketed table, never
+    * base×base. Literal-plane SRP family, so the oracle replays
+    * projection → bucket → band probe → exact-cosine verify
+    * value-for-value. Output: id_new, id_base, sim. */
+  def q297IncrementalEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val delta = e.filter(col("vec_id") % 17 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + lit(0.25)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    graft.functions.Similarity.cosineNearDupProbe(
+      base = e, delta = delta, threshold = 0.9,
+      planes = QueriesExt.srpPlanes)
+  }
+  val q297Sql: String = {
+    def projs = (0 until 8).map(j =>
+      s"${QueriesExt.projSql("v", j)} AS p$j").mkString(",\n       |         ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dd AS (SELECT vec_id + 1000000 AS vec_id, [v[1] + 0.25] || v[2:64] AS v
+       |       FROM e WHERE vec_id % 17 = 0),
+       |be0 AS (SELECT vec_id, v,
+       |         $projs
+       |       FROM e),
+       |be AS (SELECT vec_id, v, ${QueriesExt.bucketFromPs} AS bucket FROM be0),
+       |bd0 AS (SELECT vec_id, v,
+       |         $projs
+       |       FROM dd),
+       |bd AS (SELECT vec_id, v, ${QueriesExt.bucketFromPs} AS bucket FROM bd0),
+       |bbe AS (SELECT vec_id, v, band, (bucket >> (band * 4)) & 15 AS bkey
+       |        FROM be, (SELECT unnest([0, 1]) AS band) bands),
+       |bbd AS (SELECT vec_id, v, band, (bucket >> (band * 4)) & 15 AS bkey
+       |        FROM bd, (SELECT unnest([0, 1]) AS band) bands),
+       |pair AS (SELECT d.vec_id AS id_new, c.vec_id AS id_base,
+       |                any_value(d.v) AS vd, any_value(c.v) AS vc
+       |         FROM bbd d JOIN bbe c
+       |           ON d.band = c.band AND d.bkey = c.bkey
+       |         GROUP BY 1, 2),
+       |s AS (SELECT id_new, id_base,
+       |        ${QueriesExt.cosSql("vd", "vc")} AS sim
+       |      FROM pair)
+       |SELECT id_new, id_base, round(sim, 6) AS sim FROM s WHERE sim >= 0.9""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q291_incremental_neardup" -> (q291IncrementalNeardup _),
@@ -521,7 +573,8 @@ object QueriesExt11 {
     "q293_incremental_exact" -> (q293IncrementalExact _),
     "q294_incremental_substr" -> (q294IncrementalSubstr _),
     "q295_incremental_cut_report" -> (q295IncrementalCutReport _),
-    "q296_apply_trim" -> (q296ApplyTrim _))
+    "q296_apply_trim" -> (q296ApplyTrim _),
+    "q297_incremental_embed_neardup" -> (q297IncrementalEmbedNeardup _))
 
   val oracles: Map[String, String] = Map(
     "q291_incremental_neardup" -> q291Sql,
@@ -529,5 +582,6 @@ object QueriesExt11 {
     "q293_incremental_exact" -> q293Sql,
     "q294_incremental_substr" -> q294Sql,
     "q295_incremental_cut_report" -> q295Sql,
-    "q296_apply_trim" -> q296Sql)
+    "q296_apply_trim" -> q296Sql,
+    "q297_incremental_embed_neardup" -> q297Sql)
 }

@@ -721,6 +721,45 @@ object Similarity {
       .distinct() // a pair co-bucketed in several bands scores identically
   }
 
+  /** Incremental embedding near-dup PROBE — [[cosineNearDupPairs]]' index-
+    * maintenance twin and the embedding-grain member of the q291/q293/
+    * q294 family: NEW vectors' SRP band keys probe the EXISTING corpus's
+    * banded bucket index instead of re-running the corpus×corpus
+    * self-join. Per ingest the candidate join is |delta| × bands rows
+    * against a (band, bkey)-bucketed base table appended per batch;
+    * verification is the exact cosine, so precision is exact and recall
+    * is the SRP OR-construction's curve — identical algebra to the batch
+    * operator (same planes, same band split, same verify). Caller keeps
+    * base/delta disjoint. Output: (id_new, id_base, sim). */
+  def cosineNearDupProbe(base: DataFrame, delta: DataFrame, threshold: Double,
+                         bits: Int = 8, idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         planes: Seq[Seq[Int]] = Nil, bands: Int = 2): DataFrame = {
+    val effBits = if (planes.nonEmpty) planes.length else bits
+    require(bands >= 1 && effBits % bands == 0,
+      s"bands ($bands) must divide the bucket width ($effBits)")
+    val w = effBits / bands
+    val bucketOf: Column => Column =
+      if (planes.nonEmpty) srpBucketPlanes(_, planes) else srpBucket(_, bits)
+    def banded(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"), bucketOf(col(vecCol)).as("bucket"))
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(array((0 until bands).map(k =>
+          shiftright(col("bucket"), k * w).bitwiseAND(lit((1 << w) - 1))): _*))
+          .as(Seq("band", "bkey")))
+    val b = banded(base).select(col("band"), col("bkey"),
+      col("id").as("id_base"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val d = banded(delta).select(col("band"), col("bkey"),
+      col("id").as("id_new"), col("v").as("v_d"), col("nrm").as("nrm_d"))
+    d.join(b, Seq("band", "bkey"))
+      .withColumn("sim", try_divide(dot(col("v_d"), col("v_b")),
+        col("nrm_d") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_new"), col("id_base"), round(col("sim"), 6).as("sim"))
+      .distinct() // a pair co-bucketed in several bands scores identically
+  }
+
   /** Per-dimension embedding moments — the health check a space should
     * pass before ANN/semantic-dedup decisions trust it (a dead dimension
     * has ~zero variance; a bad normalization shows in the means). One

@@ -277,6 +277,31 @@ class FunctionsSpec extends SparkSuite {
     assert(pairs.contains((9L, 100009L)))
   }
 
+  test("cosineNearDupProbe: delta-vs-base probe equals the straddling slice of the full self-join") {
+    // The embedding-grain incremental-maintenance contract (the
+    // minhashLshProbe property at vector grain): probing new vectors
+    // against the base corpus's SRP band index finds exactly the full
+    // pair sweep's base↔delta pairs.
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // Perturbed copies as the delta so verified near-dups exist.
+    val delta = e.filter(col("vec_id") % 17 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + lit(0.25)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    val probed = Similarity.cosineNearDupProbe(e, delta, threshold = 0.9)
+      .select("id_new", "id_base").as[(Long, Long)].collect().toSet
+    assert(probed.nonEmpty)
+    val full = Similarity.cosineNearDupPairs(e.unionByName(delta), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val straddling = full.collect {
+      case (a, b) if a >= 1000000L && b < 1000000L => (a, b)
+      case (a, b) if b >= 1000000L && a < 1000000L => (b, a)
+    }
+    assert(probed == straddling,
+      s"extra=${probed -- straddling} missing=${straddling -- probed}")
+  }
+
   test("portable md5 hash: known value, and portable minhash pairs match default recall") {
     // md5("abc") = 900150983cd24fb0... -> first 15 hex chars as a 60-bit int.
     val v = Seq("abc").toDF("s")
