@@ -263,4 +263,36 @@ object CutReportMaintenance {
   /** The served artifact: the stored report, as of the last ingest. */
   def report(spark: SparkSession, stateDir: String): DataFrame =
     readState(spark, stateDir, "report", reportSchema)
+
+  /** Attach the maintenance pipeline to a STREAM: every micro-batch is
+    * one [[ingest]], so the stored report tracks the live corpus — the
+    * streaming form of the whole arc. `foreachBatch` re-delivers a
+    * batch after a failure/restart, and [[ingest]] is NOT idempotent
+    * (replayed doc_ids would double-enter the indexes), so the last
+    * applied batchId is persisted next to the state and already-applied
+    * batches are skipped — the standard foreachBatch exactly-once-ish
+    * discipline (the engine's T3 theme), pinned by the replay spec.
+    *
+    * Caller starts the returned writer (choosing trigger/checkpoint):
+    * {{{ CutReportMaintenance.streamWriter(docs, dir, "doc_id", "text")
+    *       .option("checkpointLocation", ckpt).start() }}} */
+  def streamWriter(docs: DataFrame, stateDir: String,
+                   idCol: String, textCol: String, p: Params = Params())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val marker = new java.io.File(s"$stateDir/_last_batch")
+        val last = if (marker.exists())
+          new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+            .trim.toLong
+        else -1L
+        if (batchId > last) {
+          ingest(batch.sparkSession, stateDir, batch.toDF(), p)
+          java.nio.file.Files.write(marker.toPath,
+            batchId.toString.getBytes("UTF-8"))
+          ()
+        }
+      }
 }

@@ -61,6 +61,56 @@ class CutReportMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("maintained cut report on a STREAM: foreachBatch ingests converge to the batch replay; a replayed batch is skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-s").toString
+    try {
+      val corpus = plantedCorpus.as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = CutReportMaintenance.streamWriter(
+          mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text")
+        .option("checkpointLocation", s"$dir/_ckpt")
+        .start()
+      // Interleaved splits again — the stream carries backfills too.
+      Seq(1, 2, 0).foreach { r =>
+        mem.addData(corpus.filter(_._1 % 3 == r))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      val batch = graft.QueriesExt11.cutReportOf(corpus.toDF("doc_id", "text"))
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      assert(streamed == batch,
+        s"extra=${(streamed -- batch).take(5)} missing=${(batch -- streamed).take(5)}")
+      // Replay protection: redeliver the first chunk as batchId 0 via a
+      // SECOND query (fresh checkpoint, same state dir) — the batch-id
+      // marker must skip it, because ingest is not idempotent (without
+      // the marker these doc ids would double-enter every index and the
+      // report row count below would change).
+      val before = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      val mem2 = MemoryStream[(Long, String)]
+      val q2 = CutReportMaintenance.streamWriter(
+          mem2.toDF().toDF("doc_id", "text"), dir, "doc_id", "text")
+        .option("checkpointLocation", s"$dir/_ckpt2")
+        .start()
+      mem2.addData(corpus.filter(_._1 % 3 == 1)) // batchId 0 <= marker 2
+      q2.processAllAvailable()
+      q2.stop()
+      val after = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      assert(after == before, "a redelivered batchId must be skipped")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("maintained cut report: single full-corpus ingest equals the batch replay (degenerate base case)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint1").toString
     try {
