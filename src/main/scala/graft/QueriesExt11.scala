@@ -370,17 +370,32 @@ object QueriesExt11 {
     val candUnaff = candBase.join(affected, Seq("band", "bh"), "left_anti")
     val candAff = starCand(
       baseBand.join(affected, Seq("band", "bh")).unionByName(deltaBand))
-    def verified(cand: DataFrame) = cand
-      .select("id_a", "id_b", "n_a", "n_b").dropDuplicates("id_a", "id_b")
+    // ONE exact-Jaccard verify over the distinct pair union, carrying
+    // membership flags (most pairs belong to BOTH the base-only and the
+    // combined candidate sets — verifying them twice doubled the round's
+    // heaviest join): in_b = base-only report's pair set (candBase),
+    // in_c = combined report's (candUnaff ∪ candAff).
+    def flagged(cand: DataFrame, b: Boolean, c: Boolean) = cand
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        lit(b).as("in_b"), lit(c).as("in_c"))
+    val pairs = flagged(candBase, b = true, c = false)
+      .unionByName(flagged(candUnaff, b = false, c = true))
+      .unionByName(flagged(candAff, b = false, c = true))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(col("in_b")).as("in_b"), max(col("in_c")).as("in_c"))
       .join(corpusSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(corpusSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(col("shared").cast("double") /
         (col("n_a") + col("n_b") - col("shared")).cast("double") >= 0.05)
+      .select("id_a", "id_b", "in_b", "in_c")
+      .localCheckpoint(true) // read twice below, verified once
+    def ndCutOf(flag: String) = pairs.filter(col(flag))
       .groupBy(col("id_b").as("doc_id"))
       .agg(min(col("id_a")).as("nd_dup_of"))
-    val ndCutC = verified(candUnaff.unionByName(candAff))
-    val ndCutB = verified(candBase)
+    val ndCutC = ndCutOf("in_c")
+    val ndCutB = ndCutOf("in_b")
 
     // ---- substring tier: first-occurrence index merge; marks only grow.
     val hashesAll = ExactSubstrings
