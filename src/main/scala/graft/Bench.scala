@@ -135,14 +135,21 @@ object Bench {
           case Some(p) => try {
             val txt = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(p)), "UTF-8")
-            val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+            // Canonicalize both paths before comparing: a trailing
+            // slash, relative spelling, or symlinked prefix of the SAME
+            // data must not read as an sf mismatch (r13 review).
+            def canon(path: String): String =
+              try new java.io.File(path).getCanonicalPath
+              catch { case _: Throwable => path }
+            val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+              .map(m => canon(m.group(1)))
             // Parse ONLY the queries object — it is flat (no nested
             // braces), so it ends at the first '}' after its start.
             // Scanning past it would let the load_1m block (same query
             // names, different values) overwrite every archived time.
             val at = txt.indexOf("\"queries\":{")
             val end = if (at < 0) -1 else txt.indexOf("}", at)
-            if (prevSf.exists(_ != sfDir))
+            if (prevSf.exists(_ != canon(sfDir)))
               Left(s"$p was swept at sf '${prevSf.get}', this sweep is " +
                 s"'$sfDir' — cross-sf ratios are meaningless")
             else if (at < 0 || end < 0)
@@ -173,7 +180,19 @@ object Bench {
         if (prev.isEmpty) {
           val why = prevOrReason.left.getOrElse("")
           System.err.println(s"[bench] drift triage skipped: $why")
-          (s""","drift":{"skipped":"${why.replace("\"", "'")}"}""", "")
+          // Full JSON string escaping: exception messages can carry
+          // backslashes/newlines/control chars, and one bad byte here
+          // would make the whole sweep artifact unparsable (r13 review).
+          val esc = why.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case '\r' => "\\r"
+            case '\t' => "\\t"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
+          (s""","drift":{"skipped":"$esc"}""", "")
         } else {
           val items = drifters.map { case (name, p, sweep) =>
             val fn = SparkEntry.queries(name)

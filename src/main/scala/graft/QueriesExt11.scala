@@ -398,8 +398,9 @@ object QueriesExt11 {
     val ndCutB = ndCutOf("in_b")
 
     // ---- substring tier: first-occurrence index merge; marks only grow.
+    val W = 20
     val hashesAll = ExactSubstrings
-      .tokenWindowHashes(corpus, "text", "doc_id", W = 20)
+      .tokenWindowHashes(corpus, "text", "doc_id", W)
       .localCheckpoint(true)
     val occ = struct(col("id"), col("pos"))
     val baseOcc = hashesAll.filter(col("id") % 7 =!= 0)
@@ -417,7 +418,7 @@ object QueriesExt11 {
       .filter(col("df").isNotNull && col("bf").isNotNull && col("df") < col("bf"))
       .select(col("bf.id").as("id"), col("bf.pos").as("pos"))
     def trimOf(marks: DataFrame) = ExactSubstrings.mergeMarks(
-        marks.select(col("id"), col("pos"), (col("pos") + 19).as("e")))
+        marks.select(col("id"), col("pos"), (col("pos") + (W - 1)).as("e")))
       .groupBy(col("id").as("doc_id"))
       .agg(sum(col("span_len")).as("substr_tokens"))
     val ssTrimC = trimOf(baseDup.unionByName(deltaMarks).unionByName(repairMarks))

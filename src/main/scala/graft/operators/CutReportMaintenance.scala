@@ -62,17 +62,90 @@ object CutReportMaintenance {
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  // ---- versioned state with an atomic commit pointer (r13 review):
+  // every ingest writes ALL its tables under a fresh v<n+1>/ directory
+  // and then atomically renames the `_version` pointer onto it. A crash
+  // anywhere mid-ingest leaves the pointer on v<n> — every table still
+  // mutually consistent — and the redelivered batch simply overwrites
+  // the orphaned v<n+1> files. Without this, seven sequential parquet
+  // overwrites could die half-applied AND the replay would double-enter
+  // the already-overwritten indexes.
+
+  private def currentVersion(stateDir: String): Long = {
+    val f = new java.io.File(s"$stateDir/_version")
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  private def commitVersion(stateDir: String, v: Long): Unit = {
+    val dir = new java.io.File(stateDir)
+    dir.mkdirs()
+    val tmp = java.nio.file.Paths.get(s"$stateDir/_version.tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$stateDir/_version"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // Best-effort GC of superseded version dirs (a crash here is
+    // harmless — stale dirs are never read once the pointer moved on).
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < v)
+      .foreach(deleteTree)
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete(); ()
+  }
+
   private def readState(spark: SparkSession, stateDir: String, name: String,
                         schema: StructType): DataFrame = {
-    val p = s"$stateDir/$name"
-    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    val v = currentVersion(stateDir)
+    val p = s"$stateDir/v$v/$name"
+    if (v >= 0 && new java.io.File(p).exists()) spark.read.parquet(p)
     else emptyDf(spark, schema)
   }
 
-  /** Materialize `df` (localCheckpoint — the state tables are bounded),
-    * then overwrite the state dir it may have been derived from. */
-  private def writeState(df: DataFrame, stateDir: String, name: String): Unit =
-    df.localCheckpoint(true).write.mode("overwrite").parquet(s"$stateDir/$name")
+  /** Materialize `df` (localCheckpoint — the state tables are bounded at
+    * this harness's scale; production swaps in a transactional table
+    * format), then land it in the NEXT version's directory. */
+  private def writeState(df: DataFrame, stateDir: String, version: Long,
+                         name: String): Unit =
+    df.localCheckpoint(true).write.mode("overwrite")
+      .parquet(s"$stateDir/v$version/$name")
+
+  /** Per-stream applied-batch markers, committed WITH the version (a
+    * marker outside the atomic commit could disagree with the state
+    * after a crash). Carried forward version to version. */
+  private def appliedBatch(stateDir: String, streamId: String): Long = {
+    val v = currentVersion(stateDir)
+    val f = new java.io.File(s"$stateDir/v$v/_applied_$streamId")
+    if (v >= 0 && f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    else -1L
+  }
+
+  private def writeMarkers(stateDir: String, from: Long, to: Long,
+                           update: Option[(String, Long)]): Unit = {
+    val toDir = new java.io.File(s"$stateDir/v$to")
+    toDir.mkdirs()
+    if (from >= 0) {
+      val fromDir = new java.io.File(s"$stateDir/v$from")
+      Option(fromDir.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("_applied_"))
+        .foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(s"$stateDir/v$to/${f.getName}"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
+    update.foreach { case (sid, bid) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$stateDir/v$to/_applied_$sid"),
+        bid.toString.getBytes("UTF-8"))
+    }
+  }
 
   private val bhType = LongType // xxhash64 band key; portable uses string
   private def bandSchema(portable: Boolean) = StructType(Seq(
@@ -109,11 +182,16 @@ object CutReportMaintenance {
   }
 
   /** Ingest one batch `(doc_id, text)`: probe + repair + write back all
-    * state tables; returns the TOUCHED report rows (batch docs and every
-    * existing doc whose disposition inputs changed) with an `upd`
-    * column — `new` / `changed` / `same`. */
+    * state tables as one atomically-committed version; returns the
+    * TOUCHED report rows (batch docs and every existing doc whose
+    * disposition inputs changed) with an `upd` column — `new` /
+    * `changed` / `same`. `appliedMarker` (streamId → batchId) commits a
+    * replay marker with the version — see [[streamWriter]]. */
   def ingest(spark: SparkSession, stateDir: String, batch: DataFrame,
-             p: Params = Params()): DataFrame = {
+             p: Params = Params(),
+             appliedMarker: Option[(String, Long)] = None): DataFrame = {
+    val curV = currentVersion(stateDir)
+    val nextV = curV + 1
     val bDocs = batch.select(col("doc_id").cast("long").as("doc_id"),
         col("text"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
@@ -247,16 +325,19 @@ object CutReportMaintenance {
           .otherwise("changed").as("upd"))
       .localCheckpoint(true)
 
-    // ---- swap all state tables (everything above is materialized, so
-    // overwriting the dirs they were derived from is safe).
-    writeState(docsNext, stateDir, "docs")
-    writeState(fpMerged.select("fp", "keep_id"), stateDir, "fp_index")
-    writeState(bandOld.unionByName(bandB), stateDir, "band_index")
-    writeState(pairsNext, stateDir, "nd_pairs")
+    // ---- land every table under v<next>, then flip the pointer: a
+    // crash anywhere before commitVersion leaves v<cur> intact and the
+    // redelivered batch overwrites the orphaned files.
+    writeState(docsNext, stateDir, nextV, "docs")
+    writeState(fpMerged.select("fp", "keep_id"), stateDir, nextV, "fp_index")
+    writeState(bandOld.unionByName(bandB), stateDir, nextV, "band_index")
+    writeState(pairsNext, stateDir, nextV, "nd_pairs")
     writeState(firstMerged.select(col("h"), col("cf.id").as("id"),
-      col("cf.pos").as("pos")), stateDir, "hash_index")
-    writeState(marksNext, stateDir, "marks")
-    writeState(reportNext, stateDir, "report")
+      col("cf.pos").as("pos")), stateDir, nextV, "hash_index")
+    writeState(marksNext, stateDir, nextV, "marks")
+    writeState(reportNext, stateDir, nextV, "report")
+    writeMarkers(stateDir, curV, nextV, appliedMarker)
+    commitVersion(stateDir, nextV)
     out
   }
 
@@ -269,30 +350,40 @@ object CutReportMaintenance {
     * streaming form of the whole arc. `foreachBatch` re-delivers a
     * batch after a failure/restart, and [[ingest]] is NOT idempotent
     * (replayed doc_ids would double-enter the indexes), so the last
-    * applied batchId is persisted next to the state and already-applied
-    * batches are skipped — the standard foreachBatch exactly-once-ish
-    * discipline (the engine's T3 theme), pinned by the replay spec.
+    * applied batchId is committed ATOMICALLY with each state version
+    * (see [[ingest]]) and already-applied batches are skipped — the
+    * standard foreachBatch exactly-once-ish discipline (the engine's T3
+    * theme), pinned by the replay spec.
+    *
+    * `streamId` names the source LINEAGE, not the query run: batchIds
+    * restart at 0 under a fresh checkpoint, so a marker that compared
+    * raw batchIds across lineages would silently drop the new stream's
+    * first batches (r13 review). Markers are kept per streamId — reuse
+    * the id exactly when a restart may redeliver the same data (same
+    * checkpoint, or a rebuilt checkpoint over the same source), and
+    * pick a new id when attaching a genuinely new source to existing
+    * state.
     *
     * Caller starts the returned writer (choosing trigger/checkpoint):
-    * {{{ CutReportMaintenance.streamWriter(docs, dir, "doc_id", "text")
+    * {{{ CutReportMaintenance.streamWriter(docs, dir, "doc_id", "text",
+    *       streamId = "crawl-feed")
     *       .option("checkpointLocation", ckpt).start() }}} */
   def streamWriter(docs: DataFrame, stateDir: String,
-                   idCol: String, textCol: String, p: Params = Params())
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                   idCol: String, textCol: String, p: Params = Params(),
+                   streamId: String = "default")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty && streamId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"streamId '$streamId' must be a filesystem-safe token")
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        val marker = new java.io.File(s"$stateDir/_last_batch")
-        val last = if (marker.exists())
-          new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-            .trim.toLong
-        else -1L
-        if (batchId > last) {
-          ingest(batch.sparkSession, stateDir, batch.toDF(), p)
-          java.nio.file.Files.write(marker.toPath,
-            batchId.toString.getBytes("UTF-8"))
+        if (batchId > appliedBatch(stateDir, streamId)) {
+          ingest(batch.sparkSession, stateDir, batch.toDF(), p,
+            appliedMarker = Some((streamId, batchId)))
           ()
         }
       }
+  }
 }

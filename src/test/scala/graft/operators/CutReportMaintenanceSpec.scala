@@ -102,6 +102,22 @@ class CutReportMaintenanceSpec extends SparkSuite {
       val after = CutReportMaintenance.report(spark, dir)
         .as[(Long, String, Option[Long], Long)].collect().toSet
       assert(after == before, "a redelivered batchId must be skipped")
+      // ...but a genuinely NEW lineage (fresh checkpoint AND fresh
+      // streamId) attaching new documents to the same state must NOT be
+      // skipped even though its batchIds also restart at 0 — the r13
+      // review's silent-data-loss case.
+      val mem3 = MemoryStream[(Long, String)]
+      val q3 = CutReportMaintenance.streamWriter(
+          mem3.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+          streamId = "second-feed")
+        .option("checkpointLocation", s"$dir/_ckpt3")
+        .start()
+      mem3.addData(Seq((900001L, "a brand new late-arriving document body"),
+        (900002L, "another novel document with its own words")))
+      q3.processAllAvailable()
+      q3.stop()
+      assert(CutReportMaintenance.report(spark, dir).count() == before.size + 2,
+        "a new lineage's batch 0 must apply, not be mistaken for a replay")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

@@ -16,9 +16,13 @@ else
 fi
 echo
 echo "round-state files needing git add (empty = board already clean):"
-git status --porcelain -- "BENCH_r${ROUND}.json" "CORRECTNESS_r${ROUND}.json" \
+# Both the padded (r09) and unpadded (r9) spellings exist across the
+# tree's history — list both so nothing escapes the provenance check.
+git status --porcelain -- "BENCH_r${ROUND}.json" "BENCH_${RN}.json" \
+  "CORRECTNESS_r${ROUND}.json" "CORRECTNESS_${RN}.json" \
   "BENCH_DETAIL.json" "BENCH_DETAIL_${RN}.json" DRIFT.md LEAKCHECK.json \
-  BASELINE.md COVERAGE.md "SCALE_r${ROUND}.json" "BENCH_SF1_r${ROUND}.json" | sed 's/^/  /'
+  BASELINE.md COVERAGE.md "SCALE_r${ROUND}.json" "SCALE_${RN}.json" \
+  "BENCH_SF1_r${ROUND}.json" "BENCH_SF1_${RN}.json" | sed 's/^/  /'
 DIRTY=$(git status --porcelain | wc -l)
 echo
 echo "total dirty paths in tree: ${DIRTY} (goal: 0 after the close commit)"
