@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharStatsExpression, TextNormalizeExpression, VectorExpressions}
+import graft.functions.{CharStatsExpression, MinhashSigExpression, TextNormalizeExpression, VectorExpressions}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Session extension point: registers the native vector kernels under
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TextNormalizeExpression.textNormalizeDescriptor)
     ext.injectFunction(TextNormalizeExpression.textFoldAccentsDescriptor)
     ext.injectFunction(CharStatsExpression.charStatsDescriptor)
+    ext.injectFunction(MinhashSigExpression.minhashSigDescriptor)
   }
 }
 
@@ -28,7 +29,8 @@ object GraftExtensions {
         VectorExpressions.vecL2SqDescriptor,
         TextNormalizeExpression.textNormalizeDescriptor,
         TextNormalizeExpression.textFoldAccentsDescriptor,
-        CharStatsExpression.charStatsDescriptor)
+        CharStatsExpression.charStatsDescriptor,
+        MinhashSigExpression.minhashSigDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -89,4 +89,21 @@ object MinhashSigExpression {
 
   def minhashSig(sh: Column, numHashes: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(sh), numHashes))
+
+  // ---- SQL registration (graft.GraftExtensions) ----
+
+  val minhashSigDescriptor
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(getClass.getCanonicalName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"minhash_sig expects 2 arguments (shingles, numHashes), got ${exprs.length}")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig's numHashes must be an integer literal, got $other")
+        }
+        MinhashSig(exprs.head, n)
+      })
 }

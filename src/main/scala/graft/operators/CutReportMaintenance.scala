@@ -115,6 +115,34 @@ object CutReportMaintenance {
     df.localCheckpoint(true).write.mode("overwrite")
       .parquet(s"$stateDir/v$version/$name")
 
+  // ---- append-only tables as per-version SEGMENTS (r13 CutMaintScale
+  // measurement): docs (the corpus text!), the band index, the marks,
+  // and the fp/hash-first partials only ever GROW, so rewriting them
+  // whole per ingest made the state-persistence leg O(corpus) per batch
+  // — the dominant per-ingest cost once the probe algebra went
+  // delta-shaped. Each ingest now lands only ITS rows under
+  // seg_<name>/v<n>; readers union every segment ≤ the committed
+  // version (index tables re-aggregate on read: min is associative, so
+  // per-batch partial minima ARE the global index). Crash safety is
+  // unchanged — an orphaned v<n+1> segment is above the pointer, so
+  // readers ignore it and the replay overwrites it.
+
+  private def readSegments(spark: SparkSession, stateDir: String, name: String,
+                           schema: StructType): DataFrame = {
+    val cur = currentVersion(stateDir)
+    val d = new java.io.File(s"$stateDir/seg_$name")
+    val dirs = Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong <= cur)
+      .map(_.getPath)
+    if (dirs.isEmpty) emptyDf(spark, schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  private def writeSegment(df: DataFrame, stateDir: String, version: Long,
+                           name: String): Unit =
+    df.write.mode("overwrite").parquet(s"$stateDir/seg_$name/v$version")
+
   /** Per-stream applied-batch markers, committed WITH the version (a
     * marker outside the atomic commit could disagree with the state
     * after a crash). Carried forward version to version. */
@@ -197,10 +225,13 @@ object CutReportMaintenance {
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
         TextFunctions.fingerprint(col("text")).as("fp"))
       .localCheckpoint(true)
-    val docsOld = readState(spark, stateDir, "docs", docsSchema)
+    val docsOld = readSegments(spark, stateDir, "docs", docsSchema)
 
     // ---- exact tier: merge the batch's per-fp minimum into the index.
-    val fpOld = readState(spark, stateDir, "fp_index", fpSchema)
+    // The stored index is per-ingest (fp, keep_id) partial minima; min
+    // is associative, so the read-side aggregate IS the global index.
+    val fpOld = readSegments(spark, stateDir, "fp_index", fpSchema)
+      .groupBy("fp").agg(min("keep_id").as("keep_id"))
     val bFpMin = bDocs.groupBy("fp").agg(min("doc_id").as("bmin"))
     val fpMerged = fpOld.join(bFpMin, Seq("fp"), "full_outer")
       .select(col("fp"), least(col("keep_id"), col("bmin")).as("keep_id"),
@@ -216,36 +247,76 @@ object CutReportMaintenance {
 
     // ---- near-dup tier: affected buckets re-star; their old pairs
     // retract, everything else carries over untouched.
-    val bandOld = readState(spark, stateDir, "band_index", bandSchema(p.portable))
+    val bandOld = readSegments(spark, stateDir, "band_index", bandSchema(p.portable))
     val pairsOld = readState(spark, stateDir, "nd_pairs", pairSchema(p.portable))
     val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
       .localCheckpoint(true)
     val bandB = bandedOf(bSh, p).localCheckpoint(true)
     val affected = bandB.select("band", "bh").distinct().localCheckpoint(true)
-    val members = bandOld.join(affected, Seq("band", "bh")).unionByName(bandB)
+    // Split the affected buckets by OWNERSHIP (r13 CutMaintScale
+    // measurement: re-starring every affected bucket's full membership
+    // made per-ingest cost grow with the size of hot buckets — a
+    // corpus-wide boilerplate passage concentrates O(corpus) members
+    // into one bucket and the 5th sf1 ingest cost 2.7× the 1st):
+    //
+    //  - OWNER-STABLE bucket (every batch id > the stored owner — the
+    //    only case an append-only ingest ever sees): the old members'
+    //    star pairs are untouched by construction, so ONLY the batch's
+    //    (owner, new-member) pairs are candidates — per-ingest work is
+    //    |batch| × bands rows no matter how hot the bucket is.
+    //  - OWNER-CHANGED bucket (a backfill id undercuts the owner): the
+    //    star root moves, so the bucket's pairs retract and the full
+    //    membership re-stars — bounded by the backfill's reach, and
+    //    impossible under monotone ingest ids.
+    val ownersOld = bandOld.join(affected, Seq("band", "bh"))
+      .groupBy("band", "bh")
+      .agg(min("id").as("old_owner"), min_by(col("n_sh"), col("id")).as("old_n"))
       .localCheckpoint(true)
-    val owners = members.groupBy("band", "bh")
+    val batchMin = bandB.groupBy("band", "bh").agg(min("id").as("bmin"))
+    val stableB = ownersOld.join(batchMin, Seq("band", "bh"))
+      .filter(col("bmin") > col("old_owner"))
+      .select(col("band"), col("bh"), col("old_owner"), col("old_n"))
+    val changedB = affected.join(
+      stableB.select("band", "bh"), Seq("band", "bh"), "left_anti")
+    // Stable buckets: batch members pair with the stored owner only.
+    val candStable = bandB.join(stableB, Seq("band", "bh"))
+      .select(col("band"), col("bh"), col("old_owner").as("id_a"),
+        col("id").as("id_b"), col("old_n").as("n_a"), col("n_sh").as("n_b"))
+    // Changed (or brand-new) buckets: full membership re-star.
+    val membersChanged = bandOld.join(changedB, Seq("band", "bh"))
+      .unionByName(bandB.join(changedB, Seq("band", "bh")))
+      .localCheckpoint(true)
+    val ownersChanged = membersChanged.groupBy("band", "bh")
       .agg(min("id").as("id_a"), min_by(col("n_sh"), col("id")).as("n_a"))
-    val cand = members.join(owners, Seq("band", "bh"))
+    val candChanged = membersChanged.join(ownersChanged, Seq("band", "bh"))
       .filter(col("id") > col("id_a"))
       .select(col("band"), col("bh"), col("id_a"), col("id").as("id_b"),
         col("n_a"), col("n_sh").as("n_b"))
-    // Shingles for verification: batch docs from the batch frame, old
-    // member docs re-shingled from the stored corpus — bounded by the
-    // affected buckets' membership.
-    val memberIds = members.select(col("id").as("doc_id")).distinct()
+    val cand = candStable.unionByName(candChanged).localCheckpoint(true)
+    // Shingles for verification — only the docs the candidates actually
+    // touch (stable-bucket owners + changed-bucket members + batch),
+    // re-shingled from the stored corpus.
+    val memberIds = cand.select(col("id_a").as("doc_id"))
+      .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
     val oldMemberSh = DedupFunctions.shingledDocs(
       docsOld.join(memberIds, Seq("doc_id")), "text", "doc_id", p.n)
     val allSh = bSh.unionByName(oldMemberSh).localCheckpoint(true)
-    val pairsAffNew = cand
+    // Verify each DISTINCT pair once (a pair can surface from several
+    // buckets), then fan the verdict back onto the bucket-provenance
+    // rows the stored pair set keeps.
+    val verifiedPairs = cand
+      .select("id_a", "id_b", "n_a", "n_b").dropDuplicates("id_a", "id_b")
       .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(col("shared").cast("double") /
         (col("n_a") + col("n_b") - col("shared")).cast("double") >= p.threshold)
+      .select(col("id_a"), col("id_b"))
+    val pairsAffNew = cand.join(verifiedPairs, Seq("id_a", "id_b"))
       .select(col("band"), col("bh"), col("id_a"), col("id_b"))
-    val pairsRetracted = pairsOld.join(affected, Seq("band", "bh"))
-    val pairsNext = pairsOld.join(affected, Seq("band", "bh"), "left_anti")
+    // Only owner-changed buckets retract; stable buckets keep their rows.
+    val pairsRetracted = pairsOld.join(changedB, Seq("band", "bh"))
+    val pairsNext = pairsOld.join(changedB, Seq("band", "bh"), "left_anti")
       .unionByName(pairsAffNew)
       .localCheckpoint(true)
     // Docs whose pair set may have moved: id_b of anything retracted or
@@ -254,15 +325,17 @@ object CutReportMaintenance {
       .unionByName(pairsAffNew.select(col("id_b").as("doc_id")))
 
     // ---- substring tier: first-occurrence index merge; marks only grow.
-    val hashOld = readState(spark, stateDir, "hash_index", hashSchema)
-    val marksOld = readState(spark, stateDir, "marks", marksSchema)
+    // Stored as per-ingest (h → first (id, pos)) partials; min over the
+    // segments is the global first occurrence.
+    val marksOld = readSegments(spark, stateDir, "marks", marksSchema)
     val bH = ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
       .select(col("id").cast("long").as("id"), col("pos").cast("long").as("pos"),
         col("h"))
       .localCheckpoint(true)
     val occ = struct(col("id"), col("pos"))
     val bFirst = bH.groupBy("h").agg(min(occ).as("bf"))
-    val firstMerged = hashOld.select(col("h"), occ.as("of"))
+    val firstMerged = readSegments(spark, stateDir, "hash_index", hashSchema)
+      .groupBy("h").agg(min(occ).as("of"))
       .join(bFirst, Seq("h"), "full_outer")
       .select(col("h"), col("of"), col("bf"), least(col("of"), col("bf")).as("cf"))
       .localCheckpoint(true)
@@ -274,11 +347,14 @@ object CutReportMaintenance {
       .select(col("of.id").as("id"), col("of.pos").as("pos"))
       .dropDuplicates("id", "pos")
     val marksAdded = newMarks.unionByName(repairMarks).localCheckpoint(true)
-    val marksNext = marksOld.unionByName(marksAdded).localCheckpoint(true)
+    // Lazy unions over committed segments + the checkpointed delta —
+    // materializing these whole per ingest would re-introduce the
+    // O(corpus) persistence cost the segment layout removes.
+    val marksNext = marksOld.unionByName(marksAdded)
     val ssTouched = marksAdded.select(col("id").as("doc_id"))
 
     // ---- touched set + report re-assembly for touched ids only.
-    val docsNext = docsOld.unionByName(bDocs).localCheckpoint(true)
+    val docsNext = docsOld.unionByName(bDocs)
     val touched = bDocs.select("doc_id")
       .unionByName(exTouched).unionByName(ndTouched).unionByName(ssTouched)
       .distinct().localCheckpoint(true)
@@ -325,16 +401,19 @@ object CutReportMaintenance {
           .otherwise("changed").as("upd"))
       .localCheckpoint(true)
 
-    // ---- land every table under v<next>, then flip the pointer: a
-    // crash anywhere before commitVersion leaves v<cur> intact and the
-    // redelivered batch overwrites the orphaned files.
-    writeState(docsNext, stateDir, nextV, "docs")
-    writeState(fpMerged.select("fp", "keep_id"), stateDir, nextV, "fp_index")
-    writeState(bandOld.unionByName(bandB), stateDir, nextV, "band_index")
+    // ---- land the batch's state, then flip the pointer: append-only
+    // tables write ONLY their new segment (O(batch), not O(corpus));
+    // the two mutating tables (nd_pairs, report) land whole under
+    // v<next>. A crash anywhere before commitVersion leaves v<cur>
+    // intact and the redelivered batch overwrites the orphans.
+    writeSegment(bDocs, stateDir, nextV, "docs")
+    writeSegment(bFpMin.select(col("fp"), col("bmin").as("keep_id")),
+      stateDir, nextV, "fp_index")
+    writeSegment(bandB, stateDir, nextV, "band_index")
     writeState(pairsNext, stateDir, nextV, "nd_pairs")
-    writeState(firstMerged.select(col("h"), col("cf.id").as("id"),
-      col("cf.pos").as("pos")), stateDir, nextV, "hash_index")
-    writeState(marksNext, stateDir, nextV, "marks")
+    writeSegment(bFirst.select(col("h"), col("bf.id").as("id"),
+      col("bf.pos").as("pos")), stateDir, nextV, "hash_index")
+    writeSegment(marksAdded, stateDir, nextV, "marks")
     writeState(reportNext, stateDir, nextV, "report")
     writeMarkers(stateDir, curV, nextV, appliedMarker)
     commitVersion(stateDir, nextV)

@@ -132,6 +132,16 @@ class VectorExprSpec extends SparkSuite {
     assert(math.abs(r._1 - 1.0) < 1e-12 && r._2 == 13.0)
     // arity errors are surfaced, not swallowed
     intercept[Exception](spark.sql("SELECT vec_dot(array(1.0F))").collect())
+    // the minhash kernel resolves too, equal to the Column API form
+    val sqlSig = spark.sql(
+      "SELECT minhash_sig(array('a b', 'b c'), 4) AS s").as[Seq[Long]].head()
+    val colSig = Seq(Seq("a b", "b c")).toDF("sh")
+      .select(graft.functions.MinhashSigExpression.minhashSig(col("sh"), 4))
+      .as[Seq[Long]].head()
+    assert(sqlSig == colSig && sqlSig.length == 4)
+    // the numHashes argument must be a literal
+    intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('a'), length('xx'))").collect())
   }
 
   test("interpreted eval agrees with codegen (constant folding path)") {
