@@ -127,13 +127,31 @@ object CutReportMaintenance {
   // unchanged — an orphaned v<n+1> segment is above the pointer, so
   // readers ignore it and the replay overwrites it.
 
+  /** Segment floor: [[compact]] folds every live segment into one and
+    * raises the floor (committed inside the versioned dir, so it flips
+    * atomically WITH the pointer) — readers then ignore the superseded
+    * segment dirs, which are GC'd best-effort after the commit. */
+  private def segFloor(stateDir: String): Long = {
+    val v = currentVersion(stateDir)
+    val f = new java.io.File(s"$stateDir/v$v/_seg_floor")
+    if (v >= 0 && f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    else 0L
+  }
+
   private def readSegments(spark: SparkSession, stateDir: String, name: String,
                            schema: StructType): DataFrame = {
     val cur = currentVersion(stateDir)
+    val floor = segFloor(stateDir)
     val d = new java.io.File(s"$stateDir/seg_$name")
     val dirs = Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong <= cur)
+      .filter { f =>
+        val n = f.getName
+        f.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) && {
+          val v = n.drop(1).toLong
+          v >= floor && v <= cur
+        }
+      }
       .map(_.getPath)
     if (dirs.isEmpty) emptyDf(spark, schema)
     else spark.read.schema(schema).parquet(dirs: _*)
@@ -142,6 +160,69 @@ object CutReportMaintenance {
   private def writeSegment(df: DataFrame, stateDir: String, version: Long,
                            name: String): Unit =
     df.write.mode("overwrite").parquet(s"$stateDir/seg_$name/v$version")
+
+  private val segmentedTables = Seq("docs", "fp_index", "band_index",
+    "hash_index", "marks")
+
+  /** Fold every live segment of each append-only table into ONE segment
+    * at a fresh version and raise the segment floor — the maintenance
+    * window's compaction step. Read-side cost per ingest is
+    * O(live segments); periodic compaction keeps that amortized O(1)
+    * per ingest the way any LSM-ish store does. Crash-safe like ingest:
+    * everything lands under v<next> (merged segments + the raised
+    * `_seg_floor` + carried markers) before the pointer flips; a crash
+    * mid-compaction leaves the old floor and segments intact. */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    val curV = currentVersion(stateDir)
+    require(curV >= 0, s"nothing to compact at $stateDir")
+    val nextV = curV + 1
+    val schemas = Map(
+      "docs" -> docsSchema, "fp_index" -> fpSchema,
+      "band_index" -> bandSchema(portable = true),
+      "hash_index" -> hashSchema, "marks" -> marksSchema)
+    segmentedTables.foreach { name =>
+      // Schema note: band_index's bh column type follows Params.portable;
+      // read with the on-disk schema (merge of one table's segments —
+      // they are all written by the same Params) rather than a guess.
+      val d = new java.io.File(s"$stateDir/seg_$name")
+      val floor = segFloor(stateDir)
+      val dirs = Option(d.listFiles()).toSeq.flatten
+        .filter { f =>
+          val n = f.getName
+          f.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) && {
+            val v = n.drop(1).toLong
+            v >= floor && v <= curV
+          }
+        }.map(_.getPath)
+      // No checkpoint needed: the merge reads the OLD segment dirs and
+      // writes a NEW one — no read-own-overwrite hazard.
+      val merged =
+        if (dirs.isEmpty) emptyDf(spark, schemas(name))
+        else spark.read.parquet(dirs: _*)
+      writeSegment(merged, stateDir, nextV, name)
+    }
+    // Mutating tables carry over unchanged into the new version.
+    Seq("nd_pairs", "report").foreach { name =>
+      val src = new java.io.File(s"$stateDir/v$curV/$name")
+      if (src.exists())
+        writeState(spark.read.parquet(src.getPath), stateDir, nextV, name)
+    }
+    writeMarkers(stateDir, curV, nextV, None)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stateDir/v$nextV/_seg_floor"),
+      nextV.toString.getBytes("UTF-8"))
+    commitVersion(stateDir, nextV)
+    // Best-effort GC of the superseded segment dirs.
+    segmentedTables.foreach { name =>
+      val d = new java.io.File(s"$stateDir/seg_$name")
+      Option(d.listFiles()).toSeq.flatten
+        .filter { f =>
+          val n = f.getName
+          f.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong < nextV
+        }.foreach(deleteTree)
+    }
+  }
 
   /** Per-stream applied-batch markers, committed WITH the version (a
     * marker outside the atomic commit could disagree with the state
@@ -161,7 +242,10 @@ object CutReportMaintenance {
     if (from >= 0) {
       val fromDir = new java.io.File(s"$stateDir/v$from")
       Option(fromDir.listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("_applied_"))
+        // _applied_* replay markers AND the compaction floor both ride
+        // the versioned dir so they flip atomically with the pointer.
+        .filter(f => f.getName.startsWith("_applied_") ||
+          f.getName == "_seg_floor")
         .foreach { f =>
           java.nio.file.Files.copy(f.toPath,
             java.nio.file.Paths.get(s"$stateDir/v$to/${f.getName}"),

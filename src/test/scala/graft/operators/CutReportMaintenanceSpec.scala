@@ -127,6 +127,38 @@ class CutReportMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("maintained cut report: compaction mid-stream preserves convergence and drops superseded segments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-c").toString
+    try {
+      val corpus = plantedCorpus.localCheckpoint(true)
+      CutReportMaintenance.ingest(spark, dir,
+        corpus.filter(col("doc_id") % 3 === 1))
+      CutReportMaintenance.ingest(spark, dir,
+        corpus.filter(col("doc_id") % 3 === 2))
+      CutReportMaintenance.compact(spark, dir)
+      // Superseded per-ingest segments are gone; one merged segment lives.
+      val segDirs = Option(new java.io.File(s"$dir/seg_docs").listFiles())
+        .toSeq.flatten.filter(_.isDirectory).map(_.getName).sorted
+      assert(segDirs.size == 1, s"expected one compacted segment: $segDirs")
+      // A backfill ingest AFTER compaction still repairs and converges.
+      val out = CutReportMaintenance.ingest(spark, dir,
+        corpus.filter(col("doc_id") % 3 === 0))
+      assert(out.filter(col("upd") === "changed").count() > 0)
+      val maintained = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      val batch = graft.QueriesExt11.cutReportOf(corpus)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      assert(maintained == batch,
+        s"extra=${(maintained -- batch).take(5)} missing=${(batch -- maintained).take(5)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("maintained cut report: single full-corpus ingest equals the batch replay (degenerate base case)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint1").toString
     try {
