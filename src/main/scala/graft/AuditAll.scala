@@ -53,7 +53,9 @@ object AuditAll {
     "Smoke.scala" -> 1,
     "QueriesExt6.scala" -> 1,
     "QueriesExt4.scala" -> 1,
-    "JoinAudit.scala" -> 1)
+    "JoinAudit.scala" -> 1,
+    // Harness metric read: per-ingest upd histogram, ≤3 rows.
+    "CutMaintScale.scala" -> 1)
 
   /** (file → collect() OCCURRENCE count) over src/main/scala, excluding
     * this file (its allowlist literals would self-trip the scan).
