@@ -508,6 +508,55 @@ object CutReportMaintenance {
   def report(spark: SparkSession, stateDir: String): DataFrame =
     readState(spark, stateDir, "report", reportSchema)
 
+  /** Consistency self-check — the production safety valve the
+    * convergence spec institutionalizes: recompute the report FROM
+    * SCRATCH over the stored corpus (the same one-shot batch algebra the
+    * incremental path must equal — fp min-groups, star-form LSH over a
+    * single-pass shingle frame, token-window spans) and return every row
+    * where the stored report disagrees. Empty result = the maintained
+    * state is exactly what a full replay would produce; any row is a
+    * bug or corruption, with both versions side by side. O(corpus) —
+    * run it as an audit, not per ingest. */
+  def verifyAgainstReplay(spark: SparkSession, stateDir: String,
+                          p: Params = Params()): DataFrame = {
+    val corpus = readSegments(spark, stateDir, "docs", docsSchema)
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("fp"))
+      .localCheckpoint(true)
+    val exCut = corpus.select(col("doc_id"), col("fp"))
+      .join(corpus.groupBy("fp").agg(min("doc_id").as("keep_id")), Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id").as("ex_dup_of"))
+    val sh = DedupFunctions.shingledDocs(corpus, "text", "doc_id", p.n)
+      .localCheckpoint(true)
+    val ndCut = DedupFunctions.minhashLshStarPairsShingled(sh,
+        p.numHashes, p.bands, p.threshold, p.portable)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("nd_dup_of"))
+    val ssTrim = ExactSubstrings
+      .duplicateTokenSpans(corpus, "text", "doc_id", p.W)
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum(col("tok_len")).as("substr_tokens"))
+    val replay = corpus.select("doc_id", "n_tokens")
+      .join(exCut, Seq("doc_id"), "left")
+      .join(ndCut, Seq("doc_id"), "left")
+      .join(ssTrim, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_dup_of").isNotNull, "exact")
+          .when(col("nd_dup_of").isNotNull, "neardup")
+          .when(col("substr_tokens").isNotNull, "partial")
+          .otherwise("keep").as("r_tier"),
+        when(col("ex_dup_of").isNotNull, col("ex_dup_of"))
+          .when(col("nd_dup_of").isNotNull, col("nd_dup_of")).as("r_dup_of"),
+        when(col("ex_dup_of").isNotNull || col("nd_dup_of").isNotNull,
+            col("n_tokens"))
+          .when(col("substr_tokens").isNotNull, col("substr_tokens"))
+          .otherwise(lit(0L)).cast("long").as("r_cut_tokens"))
+    report(spark, stateDir).join(replay, Seq("doc_id"), "full_outer")
+      .filter(!(col("tier") <=> col("r_tier")) ||
+        !(col("dup_of") <=> col("r_dup_of")) ||
+        !(col("cut_tokens") <=> col("r_cut_tokens")))
+  }
+
   /** Attach the maintenance pipeline to a STREAM: every micro-batch is
     * one [[ingest]], so the stored report tracks the live corpus — the
     * streaming form of the whole arc. `foreachBatch` re-delivers a

@@ -150,6 +150,20 @@ class CutReportMaintenanceSpec extends SparkSuite {
         .as[(Long, String, Option[Long], Long)].collect().toSet
       assert(maintained == batch,
         s"extra=${(maintained -- batch).take(5)} missing=${(batch -- maintained).take(5)}")
+      // The built-in audit agrees: a from-scratch replay over the stored
+      // corpus finds zero disagreements — and a planted corruption is
+      // caught (this is the production safety valve, so prove both
+      // directions).
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      val v = new java.io.File(s"$dir/_version")
+      val cur = new String(java.nio.file.Files.readAllBytes(v.toPath), "UTF-8").trim
+      val rep = s"$dir/v$cur/report"
+      val corrupted = spark.read.parquet(rep)
+        .withColumn("cut_tokens",
+          when(col("doc_id") === 5, lit(999999L)).otherwise(col("cut_tokens")))
+        .localCheckpoint(true)
+      corrupted.write.mode("overwrite").parquet(rep)
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 1)
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
