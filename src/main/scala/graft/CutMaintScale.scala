@@ -26,6 +26,9 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.CutMaintScale [sfDir] [batches]
   */
 object CutMaintScale {
+  private def d2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batches = args.lift(1).map(_.toInt).getOrElse(5)
@@ -66,7 +69,9 @@ object CutMaintScale {
         require(finalRows == totalDocs,
           s"$arm report must cover every ingested doc ($finalRows != $totalDocs)")
         val legsJson = legs.map { case (n, s, touched, changed) =>
-          f"""{"docs":$n,"secs":$s%.2f,"docs_per_sec":${(n / s).toLong},""" +
+          // Locale-pinned (r13 review): f"%.2f" uses the default locale,
+          // which can emit "0,42" and break the one-line JSON artifact.
+          s"""{"docs":$n,"secs":${d2(s)},"docs_per_sec":${(n / s).toLong},""" +
             s""""touched":$touched,"changed":$changed}"""
         }.mkString("[", ",", "]")
         s""""$arm":{"total_docs":$totalDocs,""" +

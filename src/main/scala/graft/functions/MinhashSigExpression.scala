@@ -38,7 +38,11 @@ object MinhashSigExpression {
 
   /** Tight-loop kernel: one byte-hash per shingle, `numHashes` int
     * mixes per shingle. Returns null on an empty array (no shingles →
-    * no signature). */
+    * no signature). A NULL element matches the HOF path's semantics
+    * exactly: Spark's hash expressions SKIP null children, so
+    * `xxhash64(null, seed)` leaves the running hash at the initial 42L
+    * before the seed mix — here, `base = 42L` (r13 review: the kernel
+    * previously dereferenced the element and NPE'd). */
   def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
@@ -46,7 +50,9 @@ object MinhashSigExpression {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var j = 0
     while (j < n) {
-      val base = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      val base =
+        if (arr.isNullAt(j)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
       var i = 0
       while (i < numHashes) {
         val h = XXH64.hashInt(i + 1, base)

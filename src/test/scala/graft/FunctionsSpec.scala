@@ -122,6 +122,12 @@ class FunctionsSpec extends SparkSuite {
     val sh = docs.select(col("doc_id"),
         DedupFunctions.shingles(col("text"), 2).as("sh"))
       .filter(size(col("sh")) > 0)
+      // NULL elements too (r13 review): the HOF path skips a null
+      // shingle inside xxhash64 (running hash stays 42L before the seed
+      // mix); the kernel must produce the identical signature, not NPE.
+      .unionByName(Seq(910001L, 910002L).toDF("doc_id")
+        .select(col("doc_id"), array(lit("alpha beta"),
+          lit(null).cast("string"), lit("gamma delta")).as("sh")))
     val mismatches = sh.select(col("doc_id"),
         DedupFunctions.minhashSignature(col("sh"), 32).as("hof"),
         MinhashSigExpression.minhashSig(col("sh"), 32).as("native"))
