@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throughput measurement for the maintained cut report (the r13
-  * flagship), TWO workload arms over the planted sf corpus against
-  * fresh state dirs, each ingest timed end-to-end INCLUDING all state
-  * writes and the atomic version commit:
+  * flagship, r14: segment-maintained report/pairs), FOUR workload arms
+  * over the planted sf corpus against fresh state dirs, each ingest
+  * timed end-to-end INCLUDING all state writes and the atomic version
+  * commit:
   *
   *  - `append`   — contiguous doc_id ranges in ascending order, the
   *    production ingest shape: owners never change, so every bucket
@@ -19,11 +20,22 @@ import org.apache.spark.sql.functions._
   *    cost GROWS with the repaired set, which is the honest price of a
   *    backfill, not overhead (the touched counts in the JSON are the
   *    receipts).
+  *  - `steady`   — MANY fixed-size appends with NO compaction: the r14
+  *    claim under test is that per-ingest wall is INDEPENDENT of the
+  *    accumulated corpus (every per-ingest write is O(batch + touched);
+  *    reads union O(#segments) per table, so any drift across the legs
+  *    is the segment-count tax compaction exists to pay down).
+  *  - `compacted` — the same fixed-size appends with a timed
+  *    [[graft.operators.CutReportMaintenance.compact]] every
+  *    `compactEvery` ingests: compaction wall + the ingest cost
+  *    before/after give the segment-count → ingest-cost curve and a
+  *    measured cadence recommendation.
   *
   * Prints ONE JSON line with per-ingest docs/s + touched/changed per
-  * arm — the measured twin of SpineScale for the maintenance pipeline.
+  * arm (+ per-compaction wall) — the measured twin of SpineScale for
+  * the maintenance pipeline.
   *
-  * Usage: runMain graft.CutMaintScale [sfDir] [batches]
+  * Usage: runMain graft.CutMaintScale [sfDir] [batches] [steadyBatches] [compactEvery]
   */
 object CutMaintScale {
   private def d2(v: Double): String =
@@ -32,6 +44,8 @@ object CutMaintScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batches = args.lift(1).map(_.toInt).getOrElse(5)
+    val steadyBatches = args.lift(2).map(_.toInt).getOrElse(12)
+    val compactEvery = args.lift(3).map(_.toInt).getOrElse(4)
     require(batches >= 2, "need at least 2 batches to exercise maintenance")
     val spark = SparkSession.builder()
       .master(s"local[${Launch.cpus}]")
@@ -51,9 +65,14 @@ object CutMaintScale {
         .localCheckpoint(true) // corpus materialization is untimed input
       val maxId = corpus.agg(max("doc_id")).head().getLong(0)
 
-      def runArm(arm: String, batchOf: Int => DataFrame): String = {
+      def runArm(arm: String, nBatches: Int, batchOf: Int => DataFrame,
+                 compactPeriod: Int = 0): String = {
         val dir = s"$root/$arm"
-        val legs = (0 until batches).map { r =>
+        val legs = Vector.newBuilder[String]
+        val compactions = Vector.newBuilder[String]
+        var totalDocs = 0L
+        var totalSecs = 0.0
+        (0 until nBatches).foreach { r =>
           val b = batchOf(r).localCheckpoint(true)
           val n = b.count()
           val t0 = System.nanoTime()
@@ -61,35 +80,55 @@ object CutMaintScale {
           val byUpd = out.groupBy("upd").count().collect()
             .map(x => x.getString(0) -> x.getLong(1)).toMap
           val secs = (System.nanoTime() - t0) / 1e9
-          (n, secs, byUpd.values.sum, byUpd.getOrElse("changed", 0L))
+          totalDocs += n; totalSecs += secs
+          // Locale-pinned (r13 review): f"%.2f" uses the default locale,
+          // which can emit "0,42" and break the one-line JSON artifact.
+          legs += s"""{"docs":$n,"secs":${d2(secs)},""" +
+            s""""docs_per_sec":${(n / secs).toLong},""" +
+            s""""touched":${byUpd.values.sum},""" +
+            s""""changed":${byUpd.getOrElse("changed", 0L)}}"""
+          if (compactPeriod > 0 && (r + 1) % compactPeriod == 0 &&
+              r + 1 < nBatches) {
+            val c0 = System.nanoTime()
+            operators.CutReportMaintenance.compact(spark, dir)
+            compactions += s"""{"after_ingest":${r + 1},""" +
+              s""""secs":${d2((System.nanoTime() - c0) / 1e9)}}"""
+          }
         }
-        val totalDocs = legs.map(_._1).sum
-        val totalSecs = legs.map(_._2).sum
         val finalRows = operators.CutReportMaintenance.report(spark, dir).count()
         require(finalRows == totalDocs,
           s"$arm report must cover every ingested doc ($finalRows != $totalDocs)")
-        val legsJson = legs.map { case (n, s, touched, changed) =>
-          // Locale-pinned (r13 review): f"%.2f" uses the default locale,
-          // which can emit "0,42" and break the one-line JSON artifact.
-          s"""{"docs":$n,"secs":${d2(s)},"docs_per_sec":${(n / s).toLong},""" +
-            s""""touched":$touched,"changed":$changed}"""
-        }.mkString("[", ",", "]")
+        val compactJson = {
+          val c = compactions.result()
+          if (c.isEmpty) "" else c.mkString(""","compactions":[""", ",", "]")
+        }
         s""""$arm":{"total_docs":$totalDocs,""" +
-          s""""total_secs":${math.round(totalSecs * 100) / 100.0},""" +
-          s""""docs_per_sec":${(totalDocs / totalSecs).toLong},"ingests":$legsJson}"""
+          s""""total_secs":${d2(totalSecs)},""" +
+          s""""docs_per_sec":${(totalDocs / totalSecs).toLong},""" +
+          s""""ingests":${legs.result().mkString("[", ",", "]")}$compactJson}"""
       }
 
       // Append arm: contiguous ascending id ranges (owner-stable by
       // construction). Backfill arm: interleaved residues, highest
-      // residue first (every ingest undercuts owners).
+      // residue first (every ingest undercuts owners). Steady/compacted
+      // arms: many fixed-size ascending slices.
       val stride = maxId / batches + 1
-      val appendJson = runArm("append", r =>
+      val appendJson = runArm("append", batches, r =>
         corpus.filter(col("doc_id") >= r * stride &&
           col("doc_id") < (r + 1) * stride))
-      val backfillJson = runArm("backfill", r =>
+      val backfillJson = runArm("backfill", batches, r =>
         corpus.filter(col("doc_id") % batches === (batches - 1 - r)))
+      val steadyStride = maxId / steadyBatches + 1
+      def steadySlice(r: Int) = corpus.filter(
+        col("doc_id") >= r * steadyStride &&
+          col("doc_id") < (r + 1) * steadyStride)
+      val steadyJson = runArm("steady", steadyBatches, steadySlice)
+      val compactedJson = runArm("compacted", steadyBatches, steadySlice,
+        compactPeriod = compactEvery)
       println(s"""{"metric":"cut_maint_scale","sf":"$sfDir",""" +
-        s""""batches":$batches,$appendJson,$backfillJson}""")
+        s""""batches":$batches,"steady_batches":$steadyBatches,""" +
+        s""""compact_every":$compactEvery,""" +
+        s"""$appendJson,$backfillJson,$steadyJson,$compactedJson}""")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

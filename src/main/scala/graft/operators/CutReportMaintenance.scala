@@ -1,13 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{DedupFunctions, ExactSubstrings, TextFunctions}
+import graft.functions.{DedupFunctions, ExactSubstrings, Similarity, TextFunctions}
 
 /** MAINTAINED composed cut report — the persistent-state form of the
-  * dedup arc (batch q292 → incremental probes q291/q293/q294 →
+  * dedup arc (batch q292 → incremental probes q291/q293/q294/q297 →
   * one-query incremental q295): a pipeline that owns parquet-backed
   * indexes and, per ingest batch, does work proportional to the BATCH
   * and the state it touches — never to the corpus — while its stored
@@ -18,58 +18,157 @@ import graft.functions.{DedupFunctions, ExactSubstrings, TextFunctions}
   * executes in production: the q295 query demonstrates one delta in one
   * plan; this operator RETAINS the indexes between deltas.
   *
-  * State tables under `stateDir` (each a plain parquet dir, swapped
-  * atomically per ingest — production would use a transactional table
-  * format; the swap discipline is the same):
+  * Every state table is a family of per-version parquet SEGMENTS under
+  * `stateDir` (r14: the r13 design still rewrote `nd_pairs` and
+  * `report` whole per ingest — an O(corpus) write that defeated the
+  * delta shape everywhere else; both are now segment-maintained too):
   *
   *  - `docs`       (doc_id, text, n_tokens, fp) — the corpus itself;
   *                 text is retained because exact-Jaccard verification
   *                 of a later bucket collision needs the OLD member's
   *                 shingles (bounded: only affected buckets' members
-  *                 are ever re-read).
-  *  - `fp_index`   (fp, keep_id) — exact tier: earliest doc per
-  *                 fingerprint.
+  *                 are ever re-read). Append-only.
+  *  - `fp_index`   (fp, keep_id) — exact tier, per-ingest partial
+  *                 minima; min is associative, so the read-side
+  *                 re-aggregation IS the global index.
   *  - `band_index` (band, bh, id, n_sh) — near-dup tier: every doc's
-  *                 LSH band keys, the q291 probe target.
-  *  - `nd_pairs`   (band, bh, id_a, id_b) — VERIFIED star pairs with
-  *                 bucket provenance, so a bucket whose owner changes
-  *                 can retract exactly its own pairs (the q295
-  *                 rescission case) without touching any other bucket.
-  *  - `hash_index` (h, id, pos) — substring tier: each window hash's
-  *                 earliest (id, pos) occurrence.
+  *                 LSH band keys, the q291 probe target. Append-only.
+  *  - `nd_pairs`   (band, bh, id_a, id_b, v) — VERIFIED star pairs with
+  *                 bucket provenance and the writing version;
+  *  - `nd_tombs`   (band, bh, v) — bucket-keyed TOMBSTONES: a bucket
+  *                 whose owner changes retracts exactly its own pairs
+  *                 (every pair row older than the newest tombstone for
+  *                 its bucket is dead) without touching any other
+  *                 bucket — the per-ingest write is O(new pairs +
+  *                 changed buckets), never O(stored pairs).
+  *  - `hash_index` (h, id, pos) — substring tier, per-ingest
+  *                 first-occurrence partials (min-mergeable like fp).
   *  - `marks`      (id, pos) — accumulated duplicate-window marks
-  *                 (monotone: marks only ever grow).
-  *  - `report`     (doc_id, tier, dup_of, cut_tokens) — the served
-  *                 artifact.
+  *                 (monotone: marks only ever grow). Append-only.
+  *  - `vecs`       (doc_id, emb, nrm) — the embedding tier's vectors
+  *                 (optional: batches without an `emb` column skip the
+  *                 tier). Append-only.
+  *  - `vec_index`  (band, bkey, id) — SRP band keys (the q297 probe
+  *                 target). Append-only.
+  *  - `vec_pairs` / `vec_tombs` — the embedding tier's verified star
+  *                 pairs + bucket tombstones, maintained exactly like
+  *                 nd_pairs/nd_tombs.
+  *  - `report`     (doc_id, tier, dup_of, cut_tokens, v) — the served
+  *                 artifact as touched-row OVERLAY segments: each
+  *                 ingest lands only the rows it touched, stamped with
+  *                 its version; [[report]] folds latest-version-wins
+  *                 (one `max_by` per doc — skipped entirely when
+  *                 compaction has left a single live segment).
   *
   * Per-ingest delta shape: the batch's fingerprints/band keys/window
-  * hashes probe the indexes (equi-joins on bounded keys, the q291/q293/
-  * q294 algebra); only AFFECTED buckets re-star and re-verify; only
-  * hashes the batch undercuts repair old marks; and the report is
-  * re-assembled ONLY for touched doc_ids, everything else carried over
-  * by an anti-join. At 100 TB each index is a key-bucketed table and
-  * every probe above is a co-located equi-join.
+  * hashes/SRP keys probe the indexes (equi-joins on bounded keys, the
+  * q291/q293/q294/q297 algebra); only AFFECTED buckets re-star and
+  * re-verify; only hashes the batch undercuts repair old marks; and the
+  * report overlay holds ONLY touched doc_ids. Nothing O(corpus) is
+  * materialized or written per ingest — the index probes above scan
+  * committed segments but aggregate only the keys the batch touches
+  * (at 100 TB each index is a key-bucketed table and every probe is a
+  * co-located equi-join; the CutMaintScale `steady` arm measures the
+  * fixed-batch ingest wall staying flat as the corpus accumulates).
+  *
+  * Concurrency: a state dir is SINGLE-WRITER. [[ingest]] and
+  * [[compact]] take an exclusive OS file lock (`_lock`) for their
+  * duration — a second concurrent writer fails fast instead of racing
+  * the version pointer and silently interleaving half-applied state
+  * (r13 review). The lock is advisory between processes and re-entrant
+  * nowhere; readers never take it (they see the last committed version).
   *
   * Assumes append/backfill ingest: doc_ids are unique across all
   * ingests (a re-crawled id is a different pipeline — SnapshotDiff —
   * not this one). */
 object CutReportMaintenance {
 
+  /** `n`/`numHashes`/`bands`/`threshold` — the text near-dup tier;
+    * `W` — the substring tier's window; `vecBits`/`vecBands`/`vecDim`/
+    * `vecThreshold` — the embedding tier's SRP family. All of them are
+    * STATE-SHAPING: the first ingest persists them into `_params` and
+    * every later writer must present the same values (mixing families
+    * across ingests would silently corrupt every index). */
   final case class Params(n: Int = 2, numHashes: Int = 32, bands: Int = 16,
                           threshold: Double = 0.05, W: Int = 20,
-                          portable: Boolean = true)
+                          portable: Boolean = true,
+                          vecBits: Int = 8, vecBands: Int = 2,
+                          vecDim: Int = 64, vecThreshold: Double = 0.9)
 
   private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  // ---- persisted params: written once by the first ingest, immutable
+  // after (r13 review: compact() guessed `portable` for empty-table
+  // schemas; now every reader that lacks a Params argument reads the
+  // stored truth, and a writer presenting different params fails fast).
+
+  private def paramsPath(stateDir: String) =
+    java.nio.file.Paths.get(s"$stateDir/_params")
+
+  private def writeParams(stateDir: String, p: Params): Unit = {
+    val body = Seq(
+      s"n=${p.n}", s"numHashes=${p.numHashes}", s"bands=${p.bands}",
+      s"threshold=${p.threshold}", s"W=${p.W}", s"portable=${p.portable}",
+      s"vecBits=${p.vecBits}", s"vecBands=${p.vecBands}",
+      s"vecDim=${p.vecDim}", s"vecThreshold=${p.vecThreshold}"
+    ).mkString("", "\n", "\n")
+    java.nio.file.Files.write(paramsPath(stateDir), body.getBytes("UTF-8"))
+  }
+
+  private[operators] def storedParams(stateDir: String): Option[Params] = {
+    val f = paramsPath(stateDir)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val kv = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .linesIterator.filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.split("=", 2); (k.trim, v.trim)
+        }.toMap
+      Some(Params(kv("n").toInt, kv("numHashes").toInt, kv("bands").toInt,
+        kv("threshold").toDouble, kv("W").toInt, kv("portable").toBoolean,
+        kv("vecBits").toInt, kv("vecBands").toInt, kv("vecDim").toInt,
+        kv("vecThreshold").toDouble))
+    }
+  }
+
+  private def requireOrPersistParams(stateDir: String, p: Params): Unit =
+    storedParams(stateDir) match {
+      case Some(stored) => require(stored == p,
+        s"state at $stateDir was built with $stored; refusing to ingest " +
+          s"with mismatched $p — mixed hash families would corrupt every index")
+      case None => writeParams(stateDir, p)
+    }
+
+  // ---- single-writer guard (r13 review): an exclusive OS file lock for
+  // the duration of each ingest/compact. tryLock (never a blocking wait)
+  // so a second writer FAILS FAST; the OS releases the lock on process
+  // death, so a crash never wedges the state dir (unlike an
+  // O_EXCL-created lock file, which would survive the crash and block
+  // the redelivered batch that crash-safety depends on).
+
+  private def withWriterLock[T](stateDir: String)(body: => T): T = {
+    new java.io.File(stateDir).mkdirs()
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(s"$stateDir/_lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      require(lock != null,
+        s"another writer holds $stateDir/_lock — CutReportMaintenance " +
+          "state dirs are single-writer (one ingest/compact at a time)")
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
   // ---- versioned state with an atomic commit pointer (r13 review):
-  // every ingest writes ALL its tables under a fresh v<n+1>/ directory
-  // and then atomically renames the `_version` pointer onto it. A crash
-  // anywhere mid-ingest leaves the pointer on v<n> — every table still
-  // mutually consistent — and the redelivered batch simply overwrites
-  // the orphaned v<n+1> files. Without this, seven sequential parquet
-  // overwrites could die half-applied AND the replay would double-enter
-  // the already-overwritten indexes.
+  // every ingest writes ALL its segments under version n+1 and then
+  // atomically renames the `_version` pointer onto it. A crash anywhere
+  // mid-ingest leaves the pointer on v<n> — every table still mutually
+  // consistent, orphaned v<n+1> segments invisible to readers — and the
+  // redelivered batch simply overwrites them.
 
   private def currentVersion(stateDir: String): Long = {
     val f = new java.io.File(s"$stateDir/_version")
@@ -86,11 +185,12 @@ object CutReportMaintenance {
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$stateDir/_version"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // Best-effort GC of superseded version dirs (a crash here is
-    // harmless — stale dirs are never read once the pointer moved on).
+    // Best-effort GC of superseded version dirs, DEFERRED one version
+    // (r13 review): a lazy DataFrame handed out under v-1 stays
+    // readable across the commit; v-2 and older go.
     Option(dir.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < v)
+        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < v - 1)
       .foreach(deleteTree)
   }
 
@@ -99,38 +199,19 @@ object CutReportMaintenance {
     f.delete(); ()
   }
 
-  private def readState(spark: SparkSession, stateDir: String, name: String,
-                        schema: StructType): DataFrame = {
-    val v = currentVersion(stateDir)
-    val p = s"$stateDir/v$v/$name"
-    if (v >= 0 && new java.io.File(p).exists()) spark.read.parquet(p)
-    else emptyDf(spark, schema)
-  }
-
-  /** Materialize `df` (localCheckpoint — the state tables are bounded at
-    * this harness's scale; production swaps in a transactional table
-    * format), then land it in the NEXT version's directory. */
-  private def writeState(df: DataFrame, stateDir: String, version: Long,
-                         name: String): Unit =
-    df.localCheckpoint(true).write.mode("overwrite")
-      .parquet(s"$stateDir/v$version/$name")
-
-  // ---- append-only tables as per-version SEGMENTS (r13 CutMaintScale
-  // measurement): docs (the corpus text!), the band index, the marks,
-  // and the fp/hash-first partials only ever GROW, so rewriting them
-  // whole per ingest made the state-persistence leg O(corpus) per batch
-  // — the dominant per-ingest cost once the probe algebra went
-  // delta-shaped. Each ingest now lands only ITS rows under
-  // seg_<name>/v<n>; readers union every segment ≤ the committed
-  // version (index tables re-aggregate on read: min is associative, so
-  // per-batch partial minima ARE the global index). Crash safety is
-  // unchanged — an orphaned v<n+1> segment is above the pointer, so
-  // readers ignore it and the replay overwrites it.
+  // ---- per-version SEGMENTS (r13 CutMaintScale measurement): each
+  // ingest lands only ITS rows under seg_<name>/v<n>; readers union
+  // every segment in [floor, committed version]. Index tables
+  // re-aggregate on read (min is associative, so per-batch partial
+  // minima ARE the global index); pair tables apply tombstones; the
+  // report folds latest-version-wins. Crash safety is unchanged — an
+  // orphaned v<n+1> segment is above the pointer, so readers ignore it
+  // and the replay overwrites it.
 
   /** Segment floor: [[compact]] folds every live segment into one and
     * raises the floor (committed inside the versioned dir, so it flips
     * atomically WITH the pointer) — readers then ignore the superseded
-    * segment dirs, which are GC'd best-effort after the commit. */
+    * segment dirs, which are GC'd one compaction later. */
   private def segFloor(stateDir: String): Long = {
     val v = currentVersion(stateDir)
     val f = new java.io.File(s"$stateDir/v$v/_seg_floor")
@@ -139,20 +220,26 @@ object CutReportMaintenance {
     else 0L
   }
 
-  private def readSegments(spark: SparkSession, stateDir: String, name: String,
-                           schema: StructType): DataFrame = {
-    val cur = currentVersion(stateDir)
-    val floor = segFloor(stateDir)
+  private def segmentDirs(stateDir: String, name: String): Seq[(Long, String)] = {
     val d = new java.io.File(s"$stateDir/seg_$name")
-    val dirs = Option(d.listFiles()).toSeq.flatten
+    Option(d.listFiles()).toSeq.flatten
       .filter { f =>
         val n = f.getName
-        f.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) && {
-          val v = n.drop(1).toLong
-          v >= floor && v <= cur
-        }
+        f.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit)
       }
-      .map(_.getPath)
+      .map(f => (f.getName.drop(1).toLong, f.getPath))
+  }
+
+  private def liveSegmentDirs(stateDir: String, name: String): Seq[String] = {
+    val cur = currentVersion(stateDir)
+    val floor = segFloor(stateDir)
+    segmentDirs(stateDir, name)
+      .collect { case (v, p) if v >= floor && v <= cur => p }
+  }
+
+  private def readSegments(spark: SparkSession, stateDir: String, name: String,
+                           schema: StructType): DataFrame = {
+    val dirs = liveSegmentDirs(stateDir, name)
     if (dirs.isEmpty) emptyDf(spark, schema)
     else spark.read.schema(schema).parquet(dirs: _*)
   }
@@ -161,68 +248,82 @@ object CutReportMaintenance {
                            name: String): Unit =
     df.write.mode("overwrite").parquet(s"$stateDir/seg_$name/v$version")
 
-  private val segmentedTables = Seq("docs", "fp_index", "band_index",
-    "hash_index", "marks")
+  /** Tombstone semantics for the pair tables: a pair row written at
+    * version `v` is live iff no tombstone for its bucket carries a
+    * LATER version (an ingest that re-stars a bucket tombstones it at
+    * version n and writes the re-verified pairs at the same n — they
+    * survive their own tombstone, everything older dies). When there
+    * are no tombstones at all the fold is skipped — post-compaction
+    * reads are a plain segment union. */
+  private def livePairs(pairSegs: DataFrame, tombs: DataFrame,
+                        k1: String, k2: String,
+                        tombsKnownEmpty: Boolean): DataFrame =
+    if (tombsKnownEmpty) pairSegs
+    else {
+      val mt = tombs.groupBy(k1, k2).agg(max("v").as("_tv"))
+      pairSegs.join(mt, Seq(k1, k2), "left")
+        .filter(col("_tv").isNull || col("v") >= col("_tv"))
+        .drop("_tv")
+    }
 
-  /** Fold every live segment of each append-only table into ONE segment
-    * at a fresh version and raise the segment floor — the maintenance
-    * window's compaction step. Read-side cost per ingest is
-    * O(live segments); periodic compaction keeps that amortized O(1)
-    * per ingest the way any LSM-ish store does. Crash-safe like ingest:
-    * everything lands under v<next> (merged segments + the raised
-    * `_seg_floor` + carried markers) before the pointer flips; a crash
-    * mid-compaction leaves the old floor and segments intact. */
-  def compact(spark: SparkSession, stateDir: String): Unit = {
-    val curV = currentVersion(stateDir)
-    require(curV >= 0, s"nothing to compact at $stateDir")
-    val nextV = curV + 1
-    val schemas = Map(
-      "docs" -> docsSchema, "fp_index" -> fpSchema,
-      "band_index" -> bandSchema(portable = true),
-      "hash_index" -> hashSchema, "marks" -> marksSchema)
-    segmentedTables.foreach { name =>
-      // Schema note: band_index's bh column type follows Params.portable;
-      // read with the on-disk schema (merge of one table's segments —
-      // they are all written by the same Params) rather than a guess.
-      val d = new java.io.File(s"$stateDir/seg_$name")
-      val floor = segFloor(stateDir)
-      val dirs = Option(d.listFiles()).toSeq.flatten
-        .filter { f =>
-          val n = f.getName
-          f.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) && {
-            val v = n.drop(1).toLong
-            v >= floor && v <= curV
-          }
-        }.map(_.getPath)
-      // No checkpoint needed: the merge reads the OLD segment dirs and
-      // writes a NEW one — no read-own-overwrite hazard.
-      val merged =
-        if (dirs.isEmpty) emptyDf(spark, schemas(name))
-        else spark.read.parquet(dirs: _*)
-      writeSegment(merged, stateDir, nextV, name)
+  private val appendOnlyTables = Seq("docs", "fp_index", "band_index",
+    "hash_index", "marks", "vecs", "vec_index")
+
+  /** Fold every live segment of each table into ONE segment at a fresh
+    * version and raise the segment floor — the maintenance window's
+    * compaction step. Append-only tables union-fold; the pair tables
+    * fold to their LIVE rows (tombstones applied, then dropped); the
+    * report folds latest-version-wins to one row per doc. Read-side
+    * cost per ingest is O(live segments); periodic compaction keeps
+    * that amortized O(1) per ingest the way any LSM-ish store does
+    * (the CutMaintScale `compactArm` measures the wall and the
+    * before/after ingest cost). Crash-safe like ingest: everything
+    * lands under v<next> (merged segments + the raised `_seg_floor` +
+    * carried markers) before the pointer flips; a crash mid-compaction
+    * leaves the old floor and segments intact. Superseded segment dirs
+    * are GC'd ONE COMPACTION LATER (r13 review: a lazy [[report]]
+    * DataFrame handed out before the compaction stays readable). */
+  def compact(spark: SparkSession, stateDir: String): Unit =
+    withWriterLock(stateDir) {
+      val curV = currentVersion(stateDir)
+      require(curV >= 0, s"nothing to compact at $stateDir")
+      val p = storedParams(stateDir).getOrElse(Params())
+      val nextV = curV + 1
+      val floorBefore = segFloor(stateDir)
+      appendOnlyTables.foreach { name =>
+        // No checkpoint needed: the merge reads the OLD segment dirs and
+        // writes a NEW one — no read-own-overwrite hazard.
+        writeSegment(readSegments(spark, stateDir, name, tableSchema(name, p)),
+          stateDir, nextV, name)
+      }
+      Seq(("nd_pairs", "nd_tombs", "bh"), ("vec_pairs", "vec_tombs", "bkey"))
+        .foreach { case (pairsName, tombsName, k2) =>
+          val live = livePairs(
+            readSegments(spark, stateDir, pairsName, tableSchema(pairsName, p)),
+            readSegments(spark, stateDir, tombsName, tableSchema(tombsName, p)),
+            "band", k2,
+            tombsKnownEmpty = liveSegmentDirs(stateDir, tombsName).isEmpty)
+          writeSegment(live.withColumn("v", lit(nextV)), stateDir, nextV, pairsName)
+          // Tombstones fold away entirely: the raised floor hides every
+          // old tombstone segment and the folded pairs are all live.
+        }
+      writeSegment(foldReport(spark, stateDir).withColumn("v", lit(nextV)),
+        stateDir, nextV, "report")
+      writeMarkers(stateDir, curV, nextV, None)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$stateDir/v$nextV/_seg_floor"),
+        nextV.toString.getBytes("UTF-8"))
+      commitVersion(stateDir, nextV)
+      // Deferred GC: drop only segments superseded by the PREVIOUS
+      // compaction (below the old floor); the ones this compaction just
+      // folded stay one more generation for in-flight lazy readers.
+      (appendOnlyTables ++ Seq("nd_pairs", "nd_tombs", "vec_pairs",
+        "vec_tombs", "report")).foreach { name =>
+        segmentDirs(stateDir, name)
+          .collect { case (v, path) if v < floorBefore => new java.io.File(path) }
+          .foreach(deleteTree)
+      }
     }
-    // Mutating tables carry over unchanged into the new version.
-    Seq("nd_pairs", "report").foreach { name =>
-      val src = new java.io.File(s"$stateDir/v$curV/$name")
-      if (src.exists())
-        writeState(spark.read.parquet(src.getPath), stateDir, nextV, name)
-    }
-    writeMarkers(stateDir, curV, nextV, None)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$stateDir/v$nextV/_seg_floor"),
-      nextV.toString.getBytes("UTF-8"))
-    commitVersion(stateDir, nextV)
-    // Best-effort GC of the superseded segment dirs.
-    segmentedTables.foreach { name =>
-      val d = new java.io.File(s"$stateDir/seg_$name")
-      Option(d.listFiles()).toSeq.flatten
-        .filter { f =>
-          val n = f.getName
-          f.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toLong < nextV
-        }.foreach(deleteTree)
-    }
-  }
 
   /** Per-stream applied-batch markers, committed WITH the version (a
     * marker outside the atomic commit could disagree with the state
@@ -264,10 +365,15 @@ object CutReportMaintenance {
     StructField("band", IntegerType), StructField("bh",
       if (portable) StringType else bhType),
     StructField("id", LongType), StructField("n_sh", IntegerType)))
-  private def pairSchema(portable: Boolean) = StructType(Seq(
+  private def pairSchemaV(portable: Boolean) = StructType(Seq(
     StructField("band", IntegerType), StructField("bh",
       if (portable) StringType else bhType),
-    StructField("id_a", LongType), StructField("id_b", LongType)))
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("v", LongType)))
+  private def ndTombSchema(portable: Boolean) = StructType(Seq(
+    StructField("band", IntegerType), StructField("bh",
+      if (portable) StringType else bhType),
+    StructField("v", LongType)))
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("n_tokens", LongType), StructField("fp", StringType)))
@@ -278,9 +384,38 @@ object CutReportMaintenance {
     StructField("pos", LongType)))
   private val marksSchema = StructType(Seq(
     StructField("id", LongType), StructField("pos", LongType)))
+  private val vecsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("emb", ArrayType(DoubleType)), StructField("nrm", DoubleType)))
+  private val vecIndexSchema = StructType(Seq(
+    StructField("band", IntegerType), StructField("bkey", LongType),
+    StructField("id", LongType)))
+  private val vecPairSchemaV = StructType(Seq(
+    StructField("band", IntegerType), StructField("bkey", LongType),
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("v", LongType)))
+  private val vecTombSchema = StructType(Seq(
+    StructField("band", IntegerType), StructField("bkey", LongType),
+    StructField("v", LongType)))
   private val reportSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("tier", StringType),
     StructField("dup_of", LongType), StructField("cut_tokens", LongType)))
+  private val reportSchemaV = reportSchema.add(StructField("v", LongType))
+
+  private def tableSchema(name: String, p: Params): StructType = name match {
+    case "docs" => docsSchema
+    case "fp_index" => fpSchema
+    case "band_index" => bandSchema(p.portable)
+    case "hash_index" => hashSchema
+    case "marks" => marksSchema
+    case "vecs" => vecsSchema
+    case "vec_index" => vecIndexSchema
+    case "nd_pairs" => pairSchemaV(p.portable)
+    case "nd_tombs" => ndTombSchema(p.portable)
+    case "vec_pairs" => vecPairSchemaV
+    case "vec_tombs" => vecTombSchema
+    case "report" => reportSchemaV
+  }
 
   private def bandedOf(pre: DataFrame, p: Params): DataFrame = {
     val sig = DedupFunctions.minhashSignaturesFromShingles(
@@ -293,15 +428,100 @@ object CutReportMaintenance {
         col("id").cast("long").as("id"), col("n_sh").cast("int").as("n_sh"))
   }
 
-  /** Ingest one batch `(doc_id, text)`: probe + repair + write back all
-    * state tables as one atomically-committed version; returns the
-    * TOUCHED report rows (batch docs and every existing doc whose
+  /** SRP band keys of `(doc_id, emb, nrm)` vectors — the q297 probe
+    * grain: one bucket per vector, `vecBands` keys sliced out of it. */
+  private def vecBandedOf(vecs: DataFrame, p: Params,
+                          planes: Seq[Seq[Int]]): DataFrame = {
+    val w = p.vecBits / p.vecBands
+    vecs.select(col("doc_id").as("id"),
+        Similarity.srpBucketPlanes(col("emb"), planes).as("bucket"))
+      .select(col("id"),
+        posexplode(array((0 until p.vecBands).map(k =>
+          shiftright(col("bucket"), k * w).bitwiseAND(lit((1 << w) - 1))): _*))
+          .as(Seq("band", "bkey")))
+      .select(col("band").cast("int").as("band"),
+        col("bkey").cast("long").as("bkey"), col("id"))
+  }
+
+  /** One tier's bucket maintenance, shared by the text-LSH and SRP
+    * tiers: split the batch's affected buckets by OWNERSHIP (r13
+    * CutMaintScale measurement — re-starring every affected bucket's
+    * full membership made per-ingest cost grow with hot-bucket size):
+    *
+    *  - OWNER-STABLE bucket (every batch id > the stored owner — the
+    *    only case an append-only ingest ever sees): the old members'
+    *    star pairs are untouched by construction, so ONLY the batch's
+    *    (owner, new-member) pairs are candidates — per-ingest work is
+    *    |batch| × bands rows no matter how hot the bucket is.
+    *  - OWNER-CHANGED bucket (a backfill id undercuts the owner): the
+    *    star root moves, so the bucket's pairs retract (a tombstone
+    *    row) and the full membership re-stars — bounded by the
+    *    backfill's reach, and impossible under monotone ingest ids.
+    *
+    * Returns (candidates with bucket provenance [+ any `payload`
+    * columns carried off the index/batch rows], retract-bucket keys —
+    * changed buckets that HAD a prior owner, i.e. the only ones whose
+    * stored pairs must die; a brand-new bucket never gets a tombstone,
+    * or the append path would accumulate O(corpus × bands) tombstone
+    * rows for buckets with nothing to retract). */
+  private def bucketCandidates(indexOld: DataFrame, bandB: DataFrame,
+                               k2: String, payload: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val keys = Seq("band", k2)
+    val affected = bandB.select("band", k2).distinct()
+    val ownersOld = indexOld.join(affected, keys)
+      .groupBy("band", k2)
+      .agg(min("id").as("old_owner"),
+        payload.map(c => min_by(col(c), col("id")).as(s"o_$c")): _*)
+      .localCheckpoint(true)
+    val batchMin = bandB.groupBy("band", k2).agg(min("id").as("bmin"))
+    val stableB = ownersOld.join(batchMin, keys)
+      .filter(col("bmin") > col("old_owner"))
+      .select(col("band") +: col(k2) +: col("old_owner") +:
+        payload.map(c => col(s"o_$c")): _*)
+    val changedB = affected.join(stableB.select("band", k2), keys, "left_anti")
+    // Retraction is owed only where an old owner existed and moved.
+    val retractB = ownersOld.select("band", k2)
+      .join(stableB.select("band", k2), keys, "left_anti")
+      .localCheckpoint(true)
+    // Stable buckets: batch members pair with the stored owner only.
+    val candStable = bandB.join(stableB, keys)
+      .select(col("band") +: col(k2) +: col("old_owner").as("id_a") +:
+        col("id").as("id_b") +:
+        (payload.map(c => col(s"o_$c").as(s"${c}_a")) ++
+          payload.map(c => col(c).as(s"${c}_b"))): _*)
+    // Changed (or brand-new) buckets: full membership re-star.
+    val membersChanged = indexOld.join(changedB, keys)
+      .unionByName(bandB.join(changedB, keys))
+      .localCheckpoint(true)
+    val ownersChanged = membersChanged.groupBy("band", k2)
+      .agg(min("id").as("id_a"),
+        payload.map(c => min_by(col(c), col("id")).as(s"${c}_a")): _*)
+    val candChanged = membersChanged.join(ownersChanged, keys)
+      .filter(col("id") > col("id_a"))
+      .select(col("band") +: col(k2) +: col("id_a") +: col("id").as("id_b") +:
+        (payload.map(c => col(s"${c}_a")) ++
+          payload.map(c => col(c).as(s"${c}_b"))): _*)
+    (candStable.unionByName(candChanged).localCheckpoint(true), retractB)
+  }
+
+  /** Ingest one batch `(doc_id, text[, emb])`: probe + repair + write
+    * back all state tables as one atomically-committed version; returns
+    * the TOUCHED report rows (batch docs and every existing doc whose
     * disposition inputs changed) with an `upd` column — `new` /
     * `changed` / `same`. `appliedMarker` (streamId → batchId) commits a
     * replay marker with the version — see [[streamWriter]]. */
   def ingest(spark: SparkSession, stateDir: String, batch: DataFrame,
              p: Params = Params(),
-             appliedMarker: Option[(String, Long)] = None): DataFrame = {
+             appliedMarker: Option[(String, Long)] = None): DataFrame =
+    withWriterLock(stateDir) {
+      requireOrPersistParams(stateDir, p)
+      ingestLocked(spark, stateDir, batch, p, appliedMarker)
+    }
+
+  private def ingestLocked(spark: SparkSession, stateDir: String,
+                           batch: DataFrame, p: Params,
+                           appliedMarker: Option[(String, Long)]): DataFrame = {
     val curV = currentVersion(stateDir)
     val nextV = curV + 1
     val bDocs = batch.select(col("doc_id").cast("long").as("doc_id"),
@@ -313,70 +533,31 @@ object CutReportMaintenance {
 
     // ---- exact tier: merge the batch's per-fp minimum into the index.
     // The stored index is per-ingest (fp, keep_id) partial minima; min
-    // is associative, so the read-side aggregate IS the global index.
-    val fpOld = readSegments(spark, stateDir, "fp_index", fpSchema)
-      .groupBy("fp").agg(min("keep_id").as("keep_id"))
+    // is associative, so the read-side aggregate IS the global index —
+    // and only the BATCH's fps are ever aggregated here (r14: the old
+    // full-keyspace merge materialized O(corpus) rows per ingest).
+    val fpSegs = readSegments(spark, stateDir, "fp_index", fpSchema)
     val bFpMin = bDocs.groupBy("fp").agg(min("doc_id").as("bmin"))
-    val fpMerged = fpOld.join(bFpMin, Seq("fp"), "full_outer")
-      .select(col("fp"), least(col("keep_id"), col("bmin")).as("keep_id"),
-        col("keep_id").as("old_keep"), col("bmin"))
       .localCheckpoint(true)
+    val fpOldB = fpSegs.join(bFpMin.select("fp"), Seq("fp"))
+      .groupBy("fp").agg(min("keep_id").as("old_keep"))
     // Old docs whose keeper the batch undercut — their ex_dup_of moves.
-    val exTouched = docsOld
-      .join(fpMerged.filter(col("bmin").isNotNull &&
-          col("old_keep").isNotNull && col("bmin") < col("old_keep"))
-          .select("fp"),
-        Seq("fp"))
-      .select(col("doc_id"))
+    val undercutFps = bFpMin.join(fpOldB, Seq("fp"))
+      .filter(col("bmin") < col("old_keep")).select("fp")
+    val exTouched = docsOld.join(undercutFps, Seq("fp")).select(col("doc_id"))
 
     // ---- near-dup tier: affected buckets re-star; their old pairs
-    // retract, everything else carries over untouched.
+    // retract via a tombstone row, everything else stays untouched on
+    // disk (r14: the old path re-read and re-wrote the WHOLE pair set).
     val bandOld = readSegments(spark, stateDir, "band_index", bandSchema(p.portable))
-    val pairsOld = readState(spark, stateDir, "nd_pairs", pairSchema(p.portable))
+    val pairSegsOld = readSegments(spark, stateDir, "nd_pairs", pairSchemaV(p.portable))
+    val ndTombsOld = readSegments(spark, stateDir, "nd_tombs", ndTombSchema(p.portable))
+    val ndTombsEmpty = liveSegmentDirs(stateDir, "nd_tombs").isEmpty
+    val pairsOldLive = livePairs(pairSegsOld, ndTombsOld, "band", "bh", ndTombsEmpty)
     val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
       .localCheckpoint(true)
     val bandB = bandedOf(bSh, p).localCheckpoint(true)
-    val affected = bandB.select("band", "bh").distinct().localCheckpoint(true)
-    // Split the affected buckets by OWNERSHIP (r13 CutMaintScale
-    // measurement: re-starring every affected bucket's full membership
-    // made per-ingest cost grow with the size of hot buckets — a
-    // corpus-wide boilerplate passage concentrates O(corpus) members
-    // into one bucket and the 5th sf1 ingest cost 2.7× the 1st):
-    //
-    //  - OWNER-STABLE bucket (every batch id > the stored owner — the
-    //    only case an append-only ingest ever sees): the old members'
-    //    star pairs are untouched by construction, so ONLY the batch's
-    //    (owner, new-member) pairs are candidates — per-ingest work is
-    //    |batch| × bands rows no matter how hot the bucket is.
-    //  - OWNER-CHANGED bucket (a backfill id undercuts the owner): the
-    //    star root moves, so the bucket's pairs retract and the full
-    //    membership re-stars — bounded by the backfill's reach, and
-    //    impossible under monotone ingest ids.
-    val ownersOld = bandOld.join(affected, Seq("band", "bh"))
-      .groupBy("band", "bh")
-      .agg(min("id").as("old_owner"), min_by(col("n_sh"), col("id")).as("old_n"))
-      .localCheckpoint(true)
-    val batchMin = bandB.groupBy("band", "bh").agg(min("id").as("bmin"))
-    val stableB = ownersOld.join(batchMin, Seq("band", "bh"))
-      .filter(col("bmin") > col("old_owner"))
-      .select(col("band"), col("bh"), col("old_owner"), col("old_n"))
-    val changedB = affected.join(
-      stableB.select("band", "bh"), Seq("band", "bh"), "left_anti")
-    // Stable buckets: batch members pair with the stored owner only.
-    val candStable = bandB.join(stableB, Seq("band", "bh"))
-      .select(col("band"), col("bh"), col("old_owner").as("id_a"),
-        col("id").as("id_b"), col("old_n").as("n_a"), col("n_sh").as("n_b"))
-    // Changed (or brand-new) buckets: full membership re-star.
-    val membersChanged = bandOld.join(changedB, Seq("band", "bh"))
-      .unionByName(bandB.join(changedB, Seq("band", "bh")))
-      .localCheckpoint(true)
-    val ownersChanged = membersChanged.groupBy("band", "bh")
-      .agg(min("id").as("id_a"), min_by(col("n_sh"), col("id")).as("n_a"))
-    val candChanged = membersChanged.join(ownersChanged, Seq("band", "bh"))
-      .filter(col("id") > col("id_a"))
-      .select(col("band"), col("bh"), col("id_a"), col("id").as("id_b"),
-        col("n_a"), col("n_sh").as("n_b"))
-    val cand = candStable.unionByName(candChanged).localCheckpoint(true)
+    val (cand, ndRetractB) = bucketCandidates(bandOld, bandB, "bh", Seq("n_sh"))
     // Shingles for verification — only the docs the candidates actually
     // touch (stable-bucket owners + changed-bucket members + batch),
     // re-shingled from the stored corpus.
@@ -389,38 +570,88 @@ object CutReportMaintenance {
     // buckets), then fan the verdict back onto the bucket-provenance
     // rows the stored pair set keeps.
     val verifiedPairs = cand
-      .select("id_a", "id_b", "n_a", "n_b").dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("n_sh_a"), col("n_sh_b"))
+      .dropDuplicates("id_a", "id_b")
       .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(col("shared").cast("double") /
-        (col("n_a") + col("n_b") - col("shared")).cast("double") >= p.threshold)
+        (col("n_sh_a") + col("n_sh_b") - col("shared")).cast("double") >= p.threshold)
       .select(col("id_a"), col("id_b"))
-    val pairsAffNew = cand.join(verifiedPairs, Seq("id_a", "id_b"))
+    val pairsNewSeg = cand.join(verifiedPairs, Seq("id_a", "id_b"))
       .select(col("band"), col("bh"), col("id_a"), col("id_b"))
-    // Only owner-changed buckets retract; stable buckets keep their rows.
-    val pairsRetracted = pairsOld.join(changedB, Seq("band", "bh"))
-    val pairsNext = pairsOld.join(changedB, Seq("band", "bh"), "left_anti")
-      .unionByName(pairsAffNew)
-      .localCheckpoint(true)
+      .withColumn("v", lit(nextV)).localCheckpoint(true)
+    // Only owner-changed buckets retract — one tombstone row each.
+    val ndTombsNewSeg = ndRetractB.withColumn("v", lit(nextV))
+    val pairsNextLive = livePairs(pairSegsOld.unionByName(pairsNewSeg),
+      ndTombsOld.unionByName(ndTombsNewSeg), "band", "bh",
+      tombsKnownEmpty = false)
     // Docs whose pair set may have moved: id_b of anything retracted or
     // newly verified in an affected bucket.
-    val ndTouched = pairsRetracted.select(col("id_b").as("doc_id"))
-      .unionByName(pairsAffNew.select(col("id_b").as("doc_id")))
+    val ndTouched = pairsOldLive.join(ndRetractB, Seq("band", "bh"))
+      .select(col("id_b").as("doc_id"))
+      .unionByName(pairsNewSeg.select(col("id_b").as("doc_id")))
 
-    // ---- substring tier: first-occurrence index merge; marks only grow.
-    // Stored as per-ingest (h → first (id, pos)) partials; min over the
-    // segments is the global first occurrence.
-    val marksOld = readSegments(spark, stateDir, "marks", marksSchema)
+    // ---- embedding tier (optional `emb` column): the q297 probe
+    // algebra maintained — SRP band keys index the stored vectors; the
+    // same owner-stable/owner-changed split; exact-cosine verification.
+    val hasEmb = batch.columns.contains("emb")
+    val planes = Similarity.deterministicPlanes(p.vecBits, p.vecDim)
+    val bVecs =
+      if (hasEmb) batch.filter(col("emb").isNotNull)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("emb").cast("array<double>").as("emb"))
+        .select(col("doc_id"), col("emb"), Similarity.l2Norm(col("emb")).as("nrm"))
+        .localCheckpoint(true)
+      else emptyDf(spark, vecsSchema)
+    val vecSegs = readSegments(spark, stateDir, "vecs", vecsSchema)
+    val vecIdxOld = readSegments(spark, stateDir, "vec_index", vecIndexSchema)
+    val vecPairSegsOld = readSegments(spark, stateDir, "vec_pairs", vecPairSchemaV)
+    val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
+    val vecTombsEmpty = liveSegmentDirs(stateDir, "vec_tombs").isEmpty
+    val vecPairsOldLive = livePairs(vecPairSegsOld, vecTombsOld, "band", "bkey",
+      vecTombsEmpty)
+    val bandVB = vecBandedOf(bVecs, p, planes).localCheckpoint(true)
+    val (vCand, vRetractB) = bucketCandidates(vecIdxOld, bandVB, "bkey", Nil)
+    val vIds = vCand.select(col("id_a").as("doc_id"))
+      .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
+    val vecsForVerify = vecSegs.join(vIds, Seq("doc_id"))
+      .unionByName(bVecs.join(vIds, Seq("doc_id"))).localCheckpoint(true)
+    val vVerified = vCand.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .join(vecsForVerify.select(col("doc_id").as("id_a"),
+        col("emb").as("e_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(vecsForVerify.select(col("doc_id").as("id_b"),
+        col("emb").as("e_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .filter(try_divide(Similarity.dot(col("e_a"), col("e_b")),
+        col("n_a") * col("n_b")) >= p.vecThreshold)
+      .select(col("id_a"), col("id_b"))
+    val vPairsNewSeg = vCand.join(vVerified, Seq("id_a", "id_b"))
+      .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
+      .withColumn("v", lit(nextV)).localCheckpoint(true)
+    val vTombsNewSeg = vRetractB.withColumn("v", lit(nextV))
+    val vecPairsNextLive = livePairs(vecPairSegsOld.unionByName(vPairsNewSeg),
+      vecTombsOld.unionByName(vTombsNewSeg), "band", "bkey",
+      tombsKnownEmpty = false)
+    val vecTouched = vecPairsOldLive.join(vRetractB, Seq("band", "bkey"))
+      .select(col("id_b").as("doc_id"))
+      .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
+
+    // ---- substring tier: first-occurrence index merge; marks only
+    // grow. Stored as per-ingest (h → first (id, pos)) partials; min
+    // over the segments is the global first occurrence — merged here
+    // for the BATCH's hashes only (the only ones marks can move on).
+    val hashSegs = readSegments(spark, stateDir, "hash_index", hashSchema)
+    val marksSegs = readSegments(spark, stateDir, "marks", marksSchema)
     val bH = ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
       .select(col("id").cast("long").as("id"), col("pos").cast("long").as("pos"),
         col("h"))
       .localCheckpoint(true)
     val occ = struct(col("id"), col("pos"))
-    val bFirst = bH.groupBy("h").agg(min(occ).as("bf"))
-    val firstMerged = readSegments(spark, stateDir, "hash_index", hashSchema)
-      .groupBy("h").agg(min(occ).as("of"))
-      .join(bFirst, Seq("h"), "full_outer")
+    val bFirst = bH.groupBy("h").agg(min(occ).as("bf")).localCheckpoint(true)
+    val oldFirstB = hashSegs.select(col("h"), occ.as("o"))
+      .join(bFirst.select("h"), Seq("h"))
+      .groupBy("h").agg(min(col("o")).as("of"))
+    val firstMerged = bFirst.join(oldFirstB, Seq("h"), "left")
       .select(col("h"), col("of"), col("bf"), least(col("of"), col("bf")).as("cf"))
       .localCheckpoint(true)
     val newMarks = bH.join(firstMerged, Seq("h"))
@@ -431,52 +662,74 @@ object CutReportMaintenance {
       .select(col("of.id").as("id"), col("of.pos").as("pos"))
       .dropDuplicates("id", "pos")
     val marksAdded = newMarks.unionByName(repairMarks).localCheckpoint(true)
-    // Lazy unions over committed segments + the checkpointed delta —
-    // materializing these whole per ingest would re-introduce the
-    // O(corpus) persistence cost the segment layout removes.
-    val marksNext = marksOld.unionByName(marksAdded)
     val ssTouched = marksAdded.select(col("id").as("doc_id"))
 
     // ---- touched set + report re-assembly for touched ids only.
-    val docsNext = docsOld.unionByName(bDocs)
     val touched = bDocs.select("doc_id")
-      .unionByName(exTouched).unionByName(ndTouched).unionByName(ssTouched)
+      .unionByName(exTouched).unionByName(ndTouched)
+      .unionByName(vecTouched).unionByName(ssTouched)
       .distinct().localCheckpoint(true)
-    val tDocs = docsNext.join(touched, Seq("doc_id"))
-    val exCut = tDocs.select(col("doc_id"), col("fp"))
-      .join(fpMerged.select("fp", "keep_id"), Seq("fp"))
+    val tDocs = docsOld.select("doc_id", "fp", "n_tokens")
+      .unionByName(bDocs.select("doc_id", "fp", "n_tokens"))
+      .join(touched, Seq("doc_id"))
+      .localCheckpoint(true)
+    // Exact keeper for the touched docs' fps: stored partial minima of
+    // exactly those fps, merged with the batch minima.
+    val tFps = tDocs.select("fp").distinct()
+    val fpOldT = fpSegs.join(tFps, Seq("fp"))
+      .groupBy("fp").agg(min("keep_id").as("okeep"))
+    val keepT = tFps.join(fpOldT, Seq("fp"), "left")
+      .join(bFpMin, Seq("fp"), "left")
+      .select(col("fp"), least(col("okeep"), col("bmin")).as("keep_id"))
+    val exCut = tDocs.select("doc_id", "fp").join(keepT, Seq("fp"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), col("keep_id").as("ex_dup_of"))
-    val ndCut = pairsNext.join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
+    val ndCut = pairsNextLive
+      .join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
       .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("nd_dup_of"))
+    val embCut = vecPairsNextLive
+      .join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
+      .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("emb_dup_of"))
+    val touchedIds = touched.select(col("doc_id").as("id"))
+    val marksT = marksSegs.join(touchedIds, Seq("id"))
+      .unionByName(marksAdded.join(touchedIds, Seq("id")))
     val ssTrim = ExactSubstrings.mergeMarks(
-        marksNext.join(touched.select(col("doc_id").as("id")), Seq("id"))
-          .select(col("id"), col("pos"), (col("pos") + (p.W - 1)).as("e")))
+        marksT.select(col("id"), col("pos"), (col("pos") + (p.W - 1)).as("e")))
       .groupBy(col("id").as("doc_id"))
       .agg(sum("span_len").as("substr_tokens"))
     val touchedRows = tDocs.select("doc_id", "n_tokens")
       .join(exCut, Seq("doc_id"), "left")
       .join(ndCut, Seq("doc_id"), "left")
+      .join(embCut, Seq("doc_id"), "left")
       .join(ssTrim, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("ex_dup_of").isNotNull, "exact")
           .when(col("nd_dup_of").isNotNull, "neardup")
+          .when(col("emb_dup_of").isNotNull, "embdup")
           .when(col("substr_tokens").isNotNull, "partial")
           .otherwise("keep").as("tier"),
         when(col("ex_dup_of").isNotNull, col("ex_dup_of"))
-          .when(col("nd_dup_of").isNotNull, col("nd_dup_of")).as("dup_of"),
-        when(col("ex_dup_of").isNotNull || col("nd_dup_of").isNotNull,
-            col("n_tokens"))
+          .when(col("nd_dup_of").isNotNull, col("nd_dup_of"))
+          .when(col("emb_dup_of").isNotNull, col("emb_dup_of")).as("dup_of"),
+        when(col("ex_dup_of").isNotNull || col("nd_dup_of").isNotNull ||
+            col("emb_dup_of").isNotNull, col("n_tokens"))
           .when(col("substr_tokens").isNotNull, col("substr_tokens"))
           .otherwise(lit(0L)).cast("long").as("cut_tokens"))
       .localCheckpoint(true)
-    val reportOld = readState(spark, stateDir, "report", reportSchema)
-    val reportNext = reportOld.join(touched, Seq("doc_id"), "left_anti")
-      .unionByName(touchedRows).localCheckpoint(true)
+    // The report is an OVERLAY: this ingest's segment holds ONLY the
+    // touched rows (stamped with the version); [[report]] folds
+    // latest-version-wins across segments. The prior dispositions for
+    // the `upd` column come from the same fold restricted to the
+    // touched ids — never the whole report.
+    val reportSegsOld = readSegments(spark, stateDir, "report", reportSchemaV)
+    val reportOldT = reportSegsOld.join(touched, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("tier"), col("dup_of"), col("cut_tokens")),
+        col("v")).as("r"))
+      .select(col("doc_id"), col("r.tier").as("o_tier"),
+        col("r.dup_of").as("o_dup"), col("r.cut_tokens").as("o_cut"))
     val out = touchedRows
-      .join(reportOld.select(col("doc_id"), col("tier").as("o_tier"),
-        col("dup_of").as("o_dup"), col("cut_tokens").as("o_cut")),
-        Seq("doc_id"), "left")
+      .join(reportOldT, Seq("doc_id"), "left")
       .select(col("doc_id"), col("tier"), col("dup_of"), col("cut_tokens"),
         when(col("o_tier").isNull, "new")
           .when(col("tier") <=> col("o_tier") &&
@@ -485,38 +738,101 @@ object CutReportMaintenance {
           .otherwise("changed").as("upd"))
       .localCheckpoint(true)
 
-    // ---- land the batch's state, then flip the pointer: append-only
-    // tables write ONLY their new segment (O(batch), not O(corpus));
-    // the two mutating tables (nd_pairs, report) land whole under
-    // v<next>. A crash anywhere before commitVersion leaves v<cur>
-    // intact and the redelivered batch overwrites the orphans.
+    // ---- land the batch's segments, then flip the pointer: every
+    // write below is O(batch + touched state), never O(corpus). A crash
+    // anywhere before commitVersion leaves v<cur> intact and the
+    // redelivered batch overwrites the orphans.
     writeSegment(bDocs, stateDir, nextV, "docs")
     writeSegment(bFpMin.select(col("fp"), col("bmin").as("keep_id")),
       stateDir, nextV, "fp_index")
     writeSegment(bandB, stateDir, nextV, "band_index")
-    writeState(pairsNext, stateDir, nextV, "nd_pairs")
+    writeSegment(pairsNewSeg, stateDir, nextV, "nd_pairs")
+    writeSegment(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
+    writeSegment(bVecs, stateDir, nextV, "vecs")
+    writeSegment(bandVB, stateDir, nextV, "vec_index")
+    writeSegment(vPairsNewSeg, stateDir, nextV, "vec_pairs")
+    writeSegment(vTombsNewSeg, stateDir, nextV, "vec_tombs")
     writeSegment(bFirst.select(col("h"), col("bf.id").as("id"),
       col("bf.pos").as("pos")), stateDir, nextV, "hash_index")
     writeSegment(marksAdded, stateDir, nextV, "marks")
-    writeState(reportNext, stateDir, nextV, "report")
+    writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
+      col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV, "report")
     writeMarkers(stateDir, curV, nextV, appliedMarker)
     commitVersion(stateDir, nextV)
     out
   }
 
-  /** The served artifact: the stored report, as of the last ingest. */
+  private def foldReport(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = liveSegmentDirs(stateDir, "report")
+    if (dirs.isEmpty) emptyDf(spark, reportSchema)
+    else if (dirs.size == 1)
+      // One live segment (fresh state or just-compacted): its doc_ids
+      // are unique by construction — skip the fold entirely.
+      spark.read.schema(reportSchemaV).parquet(dirs.head).drop("v")
+    else spark.read.schema(reportSchemaV).parquet(dirs: _*)
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("tier"), col("dup_of"), col("cut_tokens")),
+        col("v")).as("r"))
+      .select(col("doc_id"), col("r.tier").as("tier"),
+        col("r.dup_of").as("dup_of"), col("r.cut_tokens").as("cut_tokens"))
+  }
+
+  /** The served artifact: the stored report, as of the last ingest
+    * (latest-version-wins across the overlay segments). The returned
+    * frame reads committed segments lazily — consume it before the
+    * SECOND subsequent [[compact]] (ingests never delete segments;
+    * compaction defers its GC one generation). */
   def report(spark: SparkSession, stateDir: String): DataFrame =
-    readState(spark, stateDir, "report", reportSchema)
+    foldReport(spark, stateDir)
+
+  /** The curated corpus the maintained state SERVES — the q296
+    * span-complement reconstruction executed over the stored marks:
+    * drops every doc the tier ladder cuts outright (`exact`/`neardup`/
+    * `embdup`), removes each marked token span from the rest, and
+    * returns the canonical trimmed text with kept/cut token counts.
+    * This is the artifact a training run reads. Spans per doc are a
+    * bounded list (collect_list at the per-doc grain) joined back to
+    * the stored corpus scan; the reconstruction is a narrow
+    * higher-order projection — TEXT never shuffles. */
+  def curatedCorpus(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = storedParams(stateDir).getOrElse(Params())
+    val kept = report(spark, stateDir)
+      .filter(!col("tier").isin("exact", "neardup", "embdup"))
+      .select("doc_id", "tier")
+    val marksAll = readSegments(spark, stateDir, "marks", marksSchema)
+    val spans = ExactSubstrings.mergeMarks(
+        marksAll.select(col("id"), col("pos"), (col("pos") + (p.W - 1)).as("e")))
+      .groupBy(col("id").as("doc_id"))
+      .agg(collect_list(struct(col("span_start").cast("long").as("tok_start"),
+        col("span_end").cast("long").as("tok_end"))).as("spans"))
+    val toks = TextFunctions.tokens(col("text"))
+    val sp = coalesce(col("spans"),
+      array().cast("array<struct<tok_start:long,tok_end:long>>"))
+    val keptToks = filter(
+      transform(sequence(lit(1L), size(toks).cast("long")), i =>
+        struct(i.as("i"), element_at(toks, i.cast("int")).as("tok"))),
+      x => !exists(sp, sg =>
+        x.getField("i") >= sg.getField("tok_start") &&
+          x.getField("i") <= sg.getField("tok_end")))
+    readSegments(spark, stateDir, "docs", docsSchema)
+      .join(kept, Seq("doc_id"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tier"),
+        size(keptToks).cast("long").as("n_tokens_kept"),
+        (size(toks) - size(keptToks)).cast("long").as("n_tokens_cut"),
+        array_join(transform(keptToks, x => x.getField("tok")), " ").as("text_kept"))
+  }
 
   /** Consistency self-check — the production safety valve the
     * convergence spec institutionalizes: recompute the report FROM
     * SCRATCH over the stored corpus (the same one-shot batch algebra the
     * incremental path must equal — fp min-groups, star-form LSH over a
-    * single-pass shingle frame, token-window spans) and return every row
-    * where the stored report disagrees. Empty result = the maintained
-    * state is exactly what a full replay would produce; any row is a
-    * bug or corruption, with both versions side by side. O(corpus) —
-    * run it as an audit, not per ingest. */
+    * single-pass shingle frame, SRP star pairs over the stored vectors,
+    * token-window spans) and return every row where the stored report
+    * disagrees. Empty result = the maintained state is exactly what a
+    * full replay would produce; any row is a bug or corruption, with
+    * both versions side by side. O(corpus) — run it as an audit, not
+    * per ingest. */
   def verifyAgainstReplay(spark: SparkSession, stateDir: String,
                           p: Params = Params()): DataFrame = {
     val corpus = readSegments(spark, stateDir, "docs", docsSchema)
@@ -532,6 +848,24 @@ object CutReportMaintenance {
         p.numHashes, p.bands, p.threshold, p.portable)
       .groupBy(col("id_b").as("doc_id"))
       .agg(min(col("id_a")).as("nd_dup_of"))
+    // Embedding tier replay: SRP star pairs over the stored vectors.
+    val planes = Similarity.deterministicPlanes(p.vecBits, p.vecDim)
+    val vecs = readSegments(spark, stateDir, "vecs", vecsSchema)
+      .localCheckpoint(true)
+    val bandedV = vecBandedOf(vecs, p, planes)
+    val vOwners = bandedV.groupBy("band", "bkey").agg(min("id").as("id_a"))
+    val vPairs = bandedV.join(vOwners, Seq("band", "bkey"))
+      .filter(col("id") > col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("doc_id").as("id_a"),
+        col("emb").as("e_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(vecs.select(col("doc_id").as("id_b"),
+        col("emb").as("e_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .filter(try_divide(Similarity.dot(col("e_a"), col("e_b")),
+        col("n_a") * col("n_b")) >= p.vecThreshold)
+    val embCut = vPairs.groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("emb_dup_of"))
     val ssTrim = ExactSubstrings
       .duplicateTokenSpans(corpus, "text", "doc_id", p.W)
       .groupBy(col("id").as("doc_id"))
@@ -539,16 +873,19 @@ object CutReportMaintenance {
     val replay = corpus.select("doc_id", "n_tokens")
       .join(exCut, Seq("doc_id"), "left")
       .join(ndCut, Seq("doc_id"), "left")
+      .join(embCut, Seq("doc_id"), "left")
       .join(ssTrim, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("ex_dup_of").isNotNull, "exact")
           .when(col("nd_dup_of").isNotNull, "neardup")
+          .when(col("emb_dup_of").isNotNull, "embdup")
           .when(col("substr_tokens").isNotNull, "partial")
           .otherwise("keep").as("r_tier"),
         when(col("ex_dup_of").isNotNull, col("ex_dup_of"))
-          .when(col("nd_dup_of").isNotNull, col("nd_dup_of")).as("r_dup_of"),
-        when(col("ex_dup_of").isNotNull || col("nd_dup_of").isNotNull,
-            col("n_tokens"))
+          .when(col("nd_dup_of").isNotNull, col("nd_dup_of"))
+          .when(col("emb_dup_of").isNotNull, col("emb_dup_of")).as("r_dup_of"),
+        when(col("ex_dup_of").isNotNull || col("nd_dup_of").isNotNull ||
+            col("emb_dup_of").isNotNull, col("n_tokens"))
           .when(col("substr_tokens").isNotNull, col("substr_tokens"))
           .otherwise(lit(0L)).cast("long").as("r_cut_tokens"))
     report(spark, stateDir).join(replay, Seq("doc_id"), "full_outer")
@@ -574,7 +911,12 @@ object CutReportMaintenance {
     * the id exactly when a restart may redeliver the same data (same
     * checkpoint, or a rebuilt checkpoint over the same source), and
     * pick a new id when attaching a genuinely new source to existing
-    * state.
+    * state. Multiple lineages may feed one state dir, but never
+    * CONCURRENTLY — each ingest takes the state dir's exclusive writer
+    * lock and a second simultaneous writer fails fast.
+    *
+    * `embCol` names an optional embedding column (array of float/
+    * double) to maintain the vector tier from.
     *
     * Caller starts the returned writer (choosing trigger/checkpoint):
     * {{{ CutReportMaintenance.streamWriter(docs, dir, "doc_id", "text",
@@ -582,12 +924,15 @@ object CutReportMaintenance {
     *       .option("checkpointLocation", ckpt).start() }}} */
   def streamWriter(docs: DataFrame, stateDir: String,
                    idCol: String, textCol: String, p: Params = Params(),
-                   streamId: String = "default")
+                   streamId: String = "default",
+                   embCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(streamId.nonEmpty && streamId.forall(c =>
       c.isLetterOrDigit || c == '-' || c == '_'),
       s"streamId '$streamId' must be a filesystem-safe token")
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val cols = col(idCol).as("doc_id") +: col(textCol).as("text") +:
+      embCol.map(e => col(e).as("emb")).toSeq
+    docs.select(cols: _*)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>

@@ -52,6 +52,25 @@ class CutReportMaintenanceSpec extends SparkSuite {
         s"maintained report must equal the batch replay; " +
           s"extra=${(maintained -- batch).take(5)} " +
           s"missing=${(batch -- maintained).take(5)}")
+      // The SERVED artifact: curatedCorpus over the converged state
+      // equals q296's span-complement reconstruction (same planted
+      // corpus), restricted to the docs the tier ladder keeps.
+      val curated = CutReportMaintenance.curatedCorpus(spark, dir)
+        .select("doc_id", "tier", "n_tokens_kept", "n_tokens_cut", "text_kept")
+        .as[(Long, String, Long, Long, String)].collect().toSet
+      val keptTiers = graft.QueriesExt11.cutReportOf(corpus)
+        .filter(!col("tier").isin("exact", "neardup", "embdup"))
+        .select("doc_id", "tier")
+      val expected = graft.QueriesExt11.q296ApplyTrim(spark, sf("sf0.001"))
+        .join(keptTiers, Seq("doc_id"))
+        .select("doc_id", "tier", "n_tokens_kept", "n_tokens_cut", "text_kept")
+        .as[(Long, String, Long, Long, String)].collect().toSet
+      assert(curated.nonEmpty && curated.exists(_._4 > 0),
+        "the curated corpus must include trimmed partial docs")
+      assert(curated == expected,
+        s"curatedCorpus must equal q296's reconstruction on kept docs; " +
+          s"extra=${(curated -- expected).take(3)} " +
+          s"missing=${(expected -- curated).take(3)}")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -136,10 +155,24 @@ class CutReportMaintenanceSpec extends SparkSuite {
       CutReportMaintenance.ingest(spark, dir,
         corpus.filter(col("doc_id") % 3 === 2))
       CutReportMaintenance.compact(spark, dir)
-      // Superseded per-ingest segments are gone; one merged segment lives.
-      val segDirs = Option(new java.io.File(s"$dir/seg_docs").listFiles())
-        .toSeq.flatten.filter(_.isDirectory).map(_.getName).sorted
-      assert(segDirs.size == 1, s"expected one compacted segment: $segDirs")
+      def segVersions(name: String): Seq[Long] =
+        Option(new java.io.File(s"$dir/seg_$name").listFiles())
+          .toSeq.flatten.filter(_.isDirectory).map(_.getName.drop(1).toLong)
+      def floor(): Long = {
+        val v = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/_version")), "UTF-8").trim
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/v$v/_seg_floor")), "UTF-8").trim.toLong
+      }
+      // Exactly one LIVE segment after compaction (the merged one); the
+      // superseded per-ingest segments survive ONE more generation (GC
+      // is deferred so a lazy report() frame stays readable) and are
+      // dropped by the NEXT compaction.
+      val f1 = floor()
+      assert(segVersions("docs").count(_ >= f1) == 1,
+        s"expected one live compacted segment: ${segVersions("docs")} floor=$f1")
+      assert(segVersions("docs").exists(_ < f1),
+        "superseded segments must survive one generation (deferred GC)")
       // A backfill ingest AFTER compaction still repairs and converges.
       val out = CutReportMaintenance.ingest(spark, dir,
         corpus.filter(col("doc_id") % 3 === 0))
@@ -150,20 +183,149 @@ class CutReportMaintenanceSpec extends SparkSuite {
         .as[(Long, String, Option[Long], Long)].collect().toSet
       assert(maintained == batch,
         s"extra=${(maintained -- batch).take(5)} missing=${(batch -- maintained).take(5)}")
+      // A second compaction folds again AND GCs the segments the first
+      // one superseded.
+      CutReportMaintenance.compact(spark, dir)
+      val f2 = floor()
+      assert(segVersions("docs").count(_ >= f2) == 1)
+      assert(!segVersions("docs").exists(_ < f1),
+        "the next compaction must GC segments below the previous floor")
+      assert(CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet == batch,
+        "compaction must not change the served report")
       // The built-in audit agrees: a from-scratch replay over the stored
       // corpus finds zero disagreements — and a planted corruption is
       // caught (this is the production safety valve, so prove both
-      // directions).
+      // directions). The corruption lands in the newest report SEGMENT
+      // (the report is overlay segments now).
       assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
-      val v = new java.io.File(s"$dir/_version")
-      val cur = new String(java.nio.file.Files.readAllBytes(v.toPath), "UTF-8").trim
-      val rep = s"$dir/v$cur/report"
-      val corrupted = spark.read.parquet(rep)
+      val newestRep = s"$dir/seg_report/v${segVersions("report").max}"
+      val corrupted = spark.read.parquet(newestRep)
         .withColumn("cut_tokens",
           when(col("doc_id") === 5, lit(999999L)).otherwise(col("cut_tokens")))
         .localCheckpoint(true)
-      corrupted.write.mode("overwrite").parquet(rep)
+      corrupted.write.mode("overwrite").parquet(newestRep)
       assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("maintained cut report: a second concurrent writer fails fast; mismatched params are refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-l").toString
+    try {
+      val corpus = plantedCorpus.limit(30).localCheckpoint(true)
+      CutReportMaintenance.ingest(spark, dir, corpus)
+      // Single-writer guard: hold the state dir's lock the way another
+      // process would — the next ingest must fail fast (r13 review: two
+      // racing writers would silently interleave half-applied state).
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(s"$dir/_lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val held = ch.lock()
+      try {
+        val e = intercept[IllegalArgumentException] {
+          CutReportMaintenance.ingest(spark, dir, corpus)
+        }
+        assert(e.getMessage.contains("single-writer"))
+        val e2 = intercept[IllegalArgumentException] {
+          CutReportMaintenance.compact(spark, dir)
+        }
+        assert(e2.getMessage.contains("single-writer"))
+      } finally { held.release(); ch.close() }
+      // ...and the lock's release makes the dir writable again.
+      CutReportMaintenance.compact(spark, dir)
+      // Params are state-shaping: the first ingest persisted them, so a
+      // writer presenting a different family is refused outright.
+      val e3 = intercept[IllegalArgumentException] {
+        CutReportMaintenance.ingest(spark, dir, corpus,
+          CutReportMaintenance.Params(W = 30))
+      }
+      assert(e3.getMessage.contains("mismatched"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("maintained cut report: the embedding tier converges — interleaved ingests with vectors equal the replay, twins land as embdup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-v").toString
+    try {
+      // Docs with embeddings: unique short texts (so the text tiers stay
+      // quiet and the vector tier is isolated), vectors from the planted
+      // embeddings table; q32-style perturbed twins (id + 1e6) must land
+      // as embdup of their base vector.
+      val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val base = e.withColumn("text",
+        concat(lit("unique base document body number "), col("doc_id")))
+      val twins = e.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(array(element_at(col("emb"), 1) + lit(0.25)),
+            slice(col("emb"), 2, 63)).as("emb"))
+        .withColumn("text",
+          concat(lit("perturbed twin text variant "), col("doc_id")))
+      val corpus = base.unionByName(twins)
+        .select("doc_id", "text", "emb").localCheckpoint(true)
+      // Interleaved splits: the LAST ingest carries the lowest ids, so
+      // SRP bucket owners change and the vec tier's tombstone/re-star
+      // path runs, not just the owner-stable append path.
+      Seq(1L, 2L, 0L).foreach { r =>
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id") % 3 === r))
+      }
+      val rep = CutReportMaintenance.report(spark, dir).localCheckpoint(true)
+      assert(rep.count() == corpus.count())
+      val embdup = rep.filter(col("tier") === "embdup")
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toMap
+      assert(embdup.nonEmpty, "perturbed twins must land as embdup")
+      assert(embdup.keySet.exists(_ >= 1000000L))
+      // The from-scratch replay (including the SRP star tier over the
+      // stored vectors) agrees row for row — the convergence property,
+      // extended to the vector tier.
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      // Compaction preserves it (vec_pairs/vec_tombs fold too).
+      CutReportMaintenance.compact(spark, dir)
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      // streamWriter plumbs the embedding column through foreachBatch.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-cutmaint-vs").toString
+      try {
+        val rows = corpus.as[(Long, String, Seq[Double])].collect().toSeq
+        val mem = MemoryStream[(Long, String, Seq[Double])]
+        val q = CutReportMaintenance.streamWriter(
+            mem.toDF().toDF("doc_id", "text", "emb"), dir2,
+            "doc_id", "text", embCol = Some("emb"))
+          .option("checkpointLocation", s"$dir2/_ckpt")
+          .start()
+        Seq(1L, 2L, 0L).foreach { r =>
+          mem.addData(rows.filter(_._1 % 3 == r))
+          q.processAllAvailable()
+        }
+        q.stop()
+        val streamed = CutReportMaintenance.report(spark, dir2)
+          .as[(Long, String, Option[Long], Long)].collect().toSet
+        val batchRep = rep.as[(Long, String, Option[Long], Long)].collect().toSet
+        assert(streamed == batchRep,
+          s"extra=${(streamed -- batchRep).take(5)} " +
+            s"missing=${(batchRep -- streamed).take(5)}")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir2))
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
