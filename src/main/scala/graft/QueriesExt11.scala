@@ -582,6 +582,81 @@ object QueriesExt11 {
        |SELECT id_new, id_base, round(sim, 6) AS sim FROM s WHERE sim >= 0.9""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q298
+  /** The MAINTAINED cut report under the value oracle — q292's report
+    * produced not by the one-shot batch sweep but by
+    * [[graft.operators.CutReportMaintenance]] itself: three interleaved
+    * backfill ingests (doc_id ≡ 1, 2, 0 mod 3 — later ingests carry
+    * EARLIER ids, forcing exact-keeper undercuts, star-owner
+    * rescissions, and substring first-occurrence repairs) against a
+    * fresh persistent state dir, then the stored report served back.
+    * The oracle is the COMPLETE q292 chain — so the convergence
+    * property the spec pins (interleaved incremental maintenance ≡
+    * full batch replay) is here VALUE-CHECKED row-for-row by an
+    * independent engine, closing the one gap in the maintained
+    * pipeline's verification story (it was ScalaTest-only).
+    *
+    * The returned frame is checkpoint-backed (the temp state dir is
+    * deleted before returning). Scale shape: each ingest is the q291/
+    * q293/q294 probe algebra against retained segment indexes —
+    * per-ingest work ∝ batch + touched state, measured by
+    * CutMaintScale; this query exists for the oracle, not the plan. */
+  def q298MaintainedCutReport(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + QueriesExt9.q267Plant)))
+        .otherwise(col("text")).as("text"))
+      .localCheckpoint(true)
+    val state = java.nio.file.Files.createTempDirectory("graft-q298").toString
+    try {
+      Seq(1L, 2L, 0L).foreach { r =>
+        graft.operators.CutReportMaintenance.ingest(s, state,
+          corpus.filter(col("doc_id") % 3 === r))
+      }
+      graft.operators.CutReportMaintenance.report(s, state)
+        .localCheckpoint(true)
+    } finally rmTree(state)
+  }
+  val q298Sql: String = cutReportSql("TRUE")
+
+  // ---------------------------------------------------------------- q299
+  /** The maintained APPLY surface under the value oracle — the curated
+    * corpus [[graft.operators.CutReportMaintenance.curatedCorpus]]
+    * serves off its stored marks and report (drop exact/neardup/embdup
+    * docs, span-complement-trim the rest), after one full-corpus
+    * ingest into a fresh state dir. The oracle reconstructs the same
+    * artifact independently: q296's span chain + ordered string_agg,
+    * joined to q292's tier ladder filtered to the kept tiers — the
+    * trimmed TEXT is value-exact, so the maintained marks, the span
+    * merge, and the reconstruction are all pinned by DuckDB, not just
+    * by the ScalaTest equality with q296. Checkpoint-backed like q298. */
+  def q299MaintainedCurated(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" " + QueriesExt9.q267Plant)))
+        .otherwise(col("text")).as("text"))
+      .localCheckpoint(true)
+    val state = java.nio.file.Files.createTempDirectory("graft-q299").toString
+    try {
+      graft.operators.CutReportMaintenance.ingest(s, state, corpus)
+      graft.operators.CutReportMaintenance.curatedCorpus(s, state)
+        .localCheckpoint(true)
+    } finally rmTree(state)
+  }
+  val q299Sql: String =
+    s"""SELECT r.doc_id, r.tier, a.n_tokens_kept, a.n_tokens_cut, a.text_kept
+       |FROM (${q296Sql}) a
+       |JOIN (${cutReportSql("TRUE")}) r USING (doc_id)
+       |WHERE r.tier NOT IN ('exact', 'neardup', 'embdup')""".stripMargin
+
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q291_incremental_neardup" -> (q291IncrementalNeardup _),
@@ -590,7 +665,9 @@ object QueriesExt11 {
     "q294_incremental_substr" -> (q294IncrementalSubstr _),
     "q295_incremental_cut_report" -> (q295IncrementalCutReport _),
     "q296_apply_trim" -> (q296ApplyTrim _),
-    "q297_incremental_embed_neardup" -> (q297IncrementalEmbedNeardup _))
+    "q297_incremental_embed_neardup" -> (q297IncrementalEmbedNeardup _),
+    "q298_maintained_cut_report" -> (q298MaintainedCutReport _),
+    "q299_maintained_curated" -> (q299MaintainedCurated _))
 
   val oracles: Map[String, String] = Map(
     "q291_incremental_neardup" -> q291Sql,
@@ -599,5 +676,7 @@ object QueriesExt11 {
     "q294_incremental_substr" -> q294Sql,
     "q295_incremental_cut_report" -> q295Sql,
     "q296_apply_trim" -> q296Sql,
-    "q297_incremental_embed_neardup" -> q297Sql)
+    "q297_incremental_embed_neardup" -> q297Sql,
+    "q298_maintained_cut_report" -> q298Sql,
+    "q299_maintained_curated" -> q299Sql)
 }
