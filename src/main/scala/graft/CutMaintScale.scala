@@ -125,10 +125,30 @@ object CutMaintScale {
       val steadyJson = runArm("steady", steadyBatches, steadySlice)
       val compactedJson = runArm("compacted", steadyBatches, steadySlice,
         compactPeriod = compactEvery)
+      // Deletion leg on the compacted arm's final state: take down 2%
+      // of the corpus (every 50th id — planted cluster members among
+      // them, so keepers/owners/firsts move and survivors repair).
+      val delIds = corpus.filter(col("doc_id") % 50 === 0)
+        .select("doc_id").localCheckpoint(true)
+      val nDel = delIds.count()
+      val d0 = System.nanoTime()
+      val delOut = operators.CutReportMaintenance.deleteDocs(
+        spark, s"$root/compacted", delIds)
+      val delByUpd = delOut.groupBy("upd").count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      val delSecs = (System.nanoTime() - d0) / 1e9
+      val afterRows = operators.CutReportMaintenance
+        .report(spark, s"$root/compacted").count()
+      require(afterRows == corpus.count() - nDel,
+        s"post-delete report must cover exactly the survivors " +
+          s"($afterRows != ${corpus.count() - nDel})")
+      val deleteJson = s""""delete":{"docs":$nDel,"secs":${d2(delSecs)},""" +
+        s""""docs_per_sec":${(nDel / delSecs).toLong},""" +
+        s""""repaired":${delByUpd.getOrElse("changed", 0L)}}"""
       println(s"""{"metric":"cut_maint_scale","sf":"$sfDir",""" +
         s""""batches":$batches,"steady_batches":$steadyBatches,""" +
         s""""compact_every":$compactEvery,""" +
-        s"""$appendJson,$backfillJson,$steadyJson,$compactedJson}""")
+        s"""$appendJson,$backfillJson,$steadyJson,$compactedJson,$deleteJson}""")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

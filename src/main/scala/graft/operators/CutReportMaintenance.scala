@@ -28,9 +28,11 @@ import graft.functions.{DedupFunctions, ExactSubstrings, Similarity, TextFunctio
   *                 of a later bucket collision needs the OLD member's
   *                 shingles (bounded: only affected buckets' members
   *                 are ever re-read). Append-only.
-  *  - `fp_index`   (fp, keep_id) — exact tier, per-ingest partial
-  *                 minima; min is associative, so the read-side
-  *                 re-aggregation IS the global index.
+  *  - `fp_index`   (fp, keep_id, v) — exact tier, overlay-latest: each
+  *                 write lands the key's MERGED keeper stamped with the
+  *                 version; reads take max_by(v) per key (latest-wins,
+  *                 so [[deleteDocs]] can move a keeper — a min-fold
+  *                 could not un-min).
   *  - `band_index` (band, bh, id, n_sh) — near-dup tier: every doc's
   *                 LSH band keys, the q291 probe target. Append-only.
   *  - `nd_pairs`   (band, bh, id_a, id_b, v) — VERIFIED star pairs with
@@ -41,10 +43,17 @@ import graft.functions.{DedupFunctions, ExactSubstrings, Similarity, TextFunctio
   *                 its bucket is dead) without touching any other
   *                 bucket — the per-ingest write is O(new pairs +
   *                 changed buckets), never O(stored pairs).
-  *  - `hash_index` (h, id, pos) — substring tier, per-ingest
-  *                 first-occurrence partials (min-mergeable like fp).
-  *  - `marks`      (id, pos) — accumulated duplicate-window marks
-  *                 (monotone: marks only ever grow). Append-only.
+  *  - `hash_index` (h, id, pos, v) — substring tier, overlay-latest
+  *                 first occurrences (latest-wins like fp_index).
+  *  - `marks`      (h, id, pos, v) — accumulated duplicate-window marks
+  *                 with their window hash (so deletion can recompute a
+  *                 surviving first FROM the marks) and version;
+  *  - `mark_tombs` (id, pos, v) — versioned un-marks written when a
+  *                 deletion makes a marked occurrence the new first (a
+  *                 later backfill can re-mark it at a higher version).
+  *  - `doc_tombs`  (doc_id, v) — deleted ids; every content-table read
+  *                 anti-joins them (skipped while empty) until the next
+  *                 [[compact]] purges the rows physically.
   *  - `vecs`       (doc_id, emb, nrm) — the embedding tier's vectors
   *                 (optional: batches without an `emb` column skip the
   *                 tier). Append-only.
@@ -79,8 +88,9 @@ import graft.functions.{DedupFunctions, ExactSubstrings, Similarity, TextFunctio
   * nowhere; readers never take it (they see the last committed version).
   *
   * Assumes append/backfill ingest: doc_ids are unique across all
-  * ingests (a re-crawled id is a different pipeline — SnapshotDiff —
-  * not this one). */
+  * ingests. A changed document is a [[deleteDocs]] followed by an
+  * ingest under a fresh id; re-ingesting a previously-deleted id is out
+  * of contract. */
 object CutReportMaintenance {
 
   /** `n`/`numHashes`/`bands`/`threshold` — the text near-dup tier;
@@ -266,8 +276,9 @@ object CutReportMaintenance {
         .drop("_tv")
     }
 
-  private val appendOnlyTables = Seq("docs", "fp_index", "band_index",
-    "hash_index", "marks", "vecs", "vec_index")
+  private val allTables = Seq("docs", "fp_index", "band_index",
+    "hash_index", "marks", "mark_tombs", "vecs", "vec_index",
+    "nd_pairs", "nd_tombs", "vec_pairs", "vec_tombs", "doc_tombs", "report")
 
   /** Fold every live segment of each table into ONE segment at a fresh
     * version and raise the segment floor — the maintenance window's
@@ -290,23 +301,52 @@ object CutReportMaintenance {
       val p = storedParams(stateDir).getOrElse(Params())
       val nextV = curV + 1
       val floorBefore = segFloor(stateDir)
-      appendOnlyTables.foreach { name =>
-        // No checkpoint needed: the merge reads the OLD segment dirs and
-        // writes a NEW one — no read-own-overwrite hazard.
-        writeSegment(readSegments(spark, stateDir, name, tableSchema(name, p)),
-          stateDir, nextV, name)
-      }
+      val (delIds, noDel) = deletedIds(spark, stateDir)
+      def alive(df: DataFrame, c: String) = aliveBy(df, c, delIds, noDel)
+      def rd(name: String) =
+        readSegments(spark, stateDir, name, tableSchema(name, p))
+      // Content tables union-fold, PURGING deleted docs' rows — the
+      // physical half of deletion (deleteDocs is the logical half: a
+      // doc tombstone + repaired survivors). No checkpoint needed: the
+      // merge reads the OLD segment dirs and writes a NEW one.
+      writeSegment(alive(rd("docs"), "doc_id"), stateDir, nextV, "docs")
+      writeSegment(alive(rd("band_index"), "id"), stateDir, nextV, "band_index")
+      writeSegment(alive(rd("vecs"), "doc_id"), stateDir, nextV, "vecs")
+      writeSegment(alive(rd("vec_index"), "id"), stateDir, nextV, "vec_index")
+      // Overlay-latest index tables fold to the latest value per key;
+      // dead keys (keeper/first deleted with no survivor) drop — a
+      // later ingest simply sees no stored entry, same as null.
+      writeSegment(rd("fp_index").groupBy("fp")
+          .agg(max_by(col("keep_id"), col("v")).as("keep_id"))
+          .filter(col("keep_id").isNotNull).withColumn("v", lit(nextV)),
+        stateDir, nextV, "fp_index")
+      writeSegment(rd("hash_index").groupBy("h")
+          .agg(max_by(struct(col("id"), col("pos")), col("v")).as("o"))
+          .filter(col("o.id").isNotNull)
+          .select(col("h"), col("o.id").as("id"), col("o.pos").as("pos"))
+          .withColumn("v", lit(nextV)),
+        stateDir, nextV, "hash_index")
+      // Marks fold to their live rows (mark tombstones applied, deleted
+      // docs' marks purged); the mark tombstones then fold away.
+      writeSegment(
+        alive(livePairs(rd("marks"), rd("mark_tombs"), "id", "pos",
+            tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty),
+          "id").withColumn("v", lit(nextV)),
+        stateDir, nextV, "marks")
       Seq(("nd_pairs", "nd_tombs", "bh"), ("vec_pairs", "vec_tombs", "bkey"))
         .foreach { case (pairsName, tombsName, k2) =>
-          val live = livePairs(
-            readSegments(spark, stateDir, pairsName, tableSchema(pairsName, p)),
-            readSegments(spark, stateDir, tombsName, tableSchema(tombsName, p)),
-            "band", k2,
+          val live = livePairs(rd(pairsName), rd(tombsName), "band", k2,
             tombsKnownEmpty = liveSegmentDirs(stateDir, tombsName).isEmpty)
-          writeSegment(live.withColumn("v", lit(nextV)), stateDir, nextV, pairsName)
-          // Tombstones fold away entirely: the raised floor hides every
-          // old tombstone segment and the folded pairs are all live.
+          writeSegment(alive(alive(live, "id_a"), "id_b")
+              .withColumn("v", lit(nextV)),
+            stateDir, nextV, pairsName)
+          // Bucket tombstones fold away entirely: the raised floor hides
+          // every old tombstone segment and the folded pairs are all live.
         }
+      // Report folds latest-wins; rows whose latest disposition is
+      // 'deleted' drop here (foldReport filters them), completing the
+      // purge — doc tombstones write NOTHING at the new floor, so after
+      // this commit the deletion filter is a no-op again.
       writeSegment(foldReport(spark, stateDir).withColumn("v", lit(nextV)),
         stateDir, nextV, "report")
       writeMarkers(stateDir, curV, nextV, None)
@@ -317,8 +357,7 @@ object CutReportMaintenance {
       // Deferred GC: drop only segments superseded by the PREVIOUS
       // compaction (below the old floor); the ones this compaction just
       // folded stay one more generation for in-flight lazy readers.
-      (appendOnlyTables ++ Seq("nd_pairs", "nd_tombs", "vec_pairs",
-        "vec_tombs", "report")).foreach { name =>
+      allTables.foreach { name =>
         segmentDirs(stateDir, name)
           .collect { case (v, path) if v < floorBefore => new java.io.File(path) }
           .foreach(deleteTree)
@@ -377,13 +416,29 @@ object CutReportMaintenance {
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("n_tokens", LongType), StructField("fp", StringType)))
+  // fp/hash indexes are OVERLAY-LATEST (like the report): each write
+  // lands the key's MERGED value stamped with the version, reads take
+  // max_by(v) per key. (r14 deletion support: a min-fold over partial
+  // minima cannot un-min when a keeper is deleted; latest-wins can.)
   private val fpSchema = StructType(Seq(
-    StructField("fp", StringType), StructField("keep_id", LongType)))
+    StructField("fp", StringType), StructField("keep_id", LongType),
+    StructField("v", LongType)))
   private val hashSchema = StructType(Seq(
     StructField("h", LongType), StructField("id", LongType),
-    StructField("pos", LongType)))
+    StructField("pos", LongType), StructField("v", LongType)))
+  // Marks carry their window hash (so deletion can recompute a hash's
+  // surviving first occurrence FROM the marks — every non-first
+  // occurrence is marked, an invariant the tiers maintain) and their
+  // version (so an un-mark tombstone can itself be superseded when a
+  // later backfill re-marks the same window).
   private val marksSchema = StructType(Seq(
-    StructField("id", LongType), StructField("pos", LongType)))
+    StructField("h", LongType), StructField("id", LongType),
+    StructField("pos", LongType), StructField("v", LongType)))
+  private val markTombSchema = StructType(Seq(
+    StructField("id", LongType), StructField("pos", LongType),
+    StructField("v", LongType)))
+  private val docTombSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("v", LongType)))
   private val vecsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("emb", ArrayType(DoubleType)), StructField("nrm", DoubleType)))
@@ -414,8 +469,27 @@ object CutReportMaintenance {
     case "nd_tombs" => ndTombSchema(p.portable)
     case "vec_pairs" => vecPairSchemaV
     case "vec_tombs" => vecTombSchema
+    case "mark_tombs" => markTombSchema
+    case "doc_tombs" => docTombSchema
     case "report" => reportSchemaV
   }
+
+  /** Deleted-id filter for the content tables: a no-op (skipped
+    * entirely) until the first [[deleteDocs]]; afterwards one anti-join
+    * against the doc tombstones, which [[compact]] purges physically. */
+  private def deletedIds(spark: SparkSession, stateDir: String)
+      : (DataFrame, Boolean) = {
+    val noDel = liveSegmentDirs(stateDir, "doc_tombs").isEmpty
+    (if (noDel) emptyDf(spark, docTombSchema).select("doc_id")
+     else readSegments(spark, stateDir, "doc_tombs", docTombSchema)
+       .select("doc_id"),
+      noDel)
+  }
+
+  private def aliveBy(df: DataFrame, c: String, delIds: DataFrame,
+                      noDel: Boolean): DataFrame =
+    if (noDel) df
+    else df.join(delIds.select(col("doc_id").as(c)), Seq(c), "left_anti")
 
   private def bandedOf(pre: DataFrame, p: Params): DataFrame = {
     val sig = DedupFunctions.minhashSignaturesFromShingles(
@@ -524,33 +598,45 @@ object CutReportMaintenance {
                            appliedMarker: Option[(String, Long)]): DataFrame = {
     val curV = currentVersion(stateDir)
     val nextV = curV + 1
+    // Deleted-id filter over the content tables: free until the first
+    // deleteDocs, one anti-join after (compact purges it back to free).
+    val (delIds, noDel) = deletedIds(spark, stateDir)
+    def alive(df: DataFrame, c: String) = aliveBy(df, c, delIds, noDel)
     val bDocs = batch.select(col("doc_id").cast("long").as("doc_id"),
         col("text"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
         TextFunctions.fingerprint(col("text")).as("fp"))
       .localCheckpoint(true)
-    val docsOld = readSegments(spark, stateDir, "docs", docsSchema)
+    val docsOld = alive(readSegments(spark, stateDir, "docs", docsSchema),
+      "doc_id")
 
     // ---- exact tier: merge the batch's per-fp minimum into the index.
-    // The stored index is per-ingest (fp, keep_id) partial minima; min
-    // is associative, so the read-side aggregate IS the global index —
-    // and only the BATCH's fps are ever aggregated here (r14: the old
-    // full-keyspace merge materialized O(corpus) rows per ingest).
+    // The stored index is overlay-latest (fp, keep_id, v); each ingest
+    // writes the MERGED keeper for the batch's fps — and only the
+    // BATCH's fps are ever aggregated here (r14: the old full-keyspace
+    // merge materialized O(corpus) rows per ingest).
     val fpSegs = readSegments(spark, stateDir, "fp_index", fpSchema)
     val bFpMin = bDocs.groupBy("fp").agg(min("doc_id").as("bmin"))
       .localCheckpoint(true)
     val fpOldB = fpSegs.join(bFpMin.select("fp"), Seq("fp"))
-      .groupBy("fp").agg(min("keep_id").as("old_keep"))
+      .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("old_keep"))
+      .filter(col("old_keep").isNotNull)
     // Old docs whose keeper the batch undercut — their ex_dup_of moves.
     val undercutFps = bFpMin.join(fpOldB, Seq("fp"))
       .filter(col("bmin") < col("old_keep")).select("fp")
     val exTouched = docsOld.join(undercutFps, Seq("fp")).select(col("doc_id"))
+    val fpWriteSeg = bFpMin.join(fpOldB, Seq("fp"), "left")
+      .select(col("fp"), least(col("old_keep"), col("bmin")).as("keep_id"),
+        lit(nextV).as("v"))
 
     // ---- near-dup tier: affected buckets re-star; their old pairs
     // retract via a tombstone row, everything else stays untouched on
     // disk (r14: the old path re-read and re-wrote the WHOLE pair set).
-    val bandOld = readSegments(spark, stateDir, "band_index", bandSchema(p.portable))
-    val pairSegsOld = readSegments(spark, stateDir, "nd_pairs", pairSchemaV(p.portable))
+    val bandOld = alive(
+      readSegments(spark, stateDir, "band_index", bandSchema(p.portable)), "id")
+    val pairSegsOld = alive(alive(
+      readSegments(spark, stateDir, "nd_pairs", pairSchemaV(p.portable)),
+      "id_a"), "id_b")
     val ndTombsOld = readSegments(spark, stateDir, "nd_tombs", ndTombSchema(p.portable))
     val ndTombsEmpty = liveSegmentDirs(stateDir, "nd_tombs").isEmpty
     val pairsOldLive = livePairs(pairSegsOld, ndTombsOld, "band", "bh", ndTombsEmpty)
@@ -604,9 +690,13 @@ object CutReportMaintenance {
         .select(col("doc_id"), col("emb"), Similarity.l2Norm(col("emb")).as("nrm"))
         .localCheckpoint(true)
       else emptyDf(spark, vecsSchema)
-    val vecSegs = readSegments(spark, stateDir, "vecs", vecsSchema)
-    val vecIdxOld = readSegments(spark, stateDir, "vec_index", vecIndexSchema)
-    val vecPairSegsOld = readSegments(spark, stateDir, "vec_pairs", vecPairSchemaV)
+    val vecSegs = alive(readSegments(spark, stateDir, "vecs", vecsSchema),
+      "doc_id")
+    val vecIdxOld = alive(
+      readSegments(spark, stateDir, "vec_index", vecIndexSchema), "id")
+    val vecPairSegsOld = alive(alive(
+      readSegments(spark, stateDir, "vec_pairs", vecPairSchemaV),
+      "id_a"), "id_b")
     val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
     val vecTombsEmpty = liveSegmentDirs(stateDir, "vec_tombs").isEmpty
     val vecPairsOldLive = livePairs(vecPairSegsOld, vecTombsOld, "band", "bkey",
@@ -636,32 +726,39 @@ object CutReportMaintenance {
       .select(col("id_b").as("doc_id"))
       .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
 
-    // ---- substring tier: first-occurrence index merge; marks only
-    // grow. Stored as per-ingest (h → first (id, pos)) partials; min
-    // over the segments is the global first occurrence — merged here
-    // for the BATCH's hashes only (the only ones marks can move on).
+    // ---- substring tier: first-occurrence index merge; the stored
+    // index is overlay-latest (h → first (id, pos), v), merged here for
+    // the BATCH's hashes only (the only ones marks can move on). Marks
+    // are versioned against the mark tombstones deleteDocs writes.
     val hashSegs = readSegments(spark, stateDir, "hash_index", hashSchema)
-    val marksSegs = readSegments(spark, stateDir, "marks", marksSchema)
+    val marksSegs = alive(livePairs(
+      readSegments(spark, stateDir, "marks", marksSchema),
+      readSegments(spark, stateDir, "mark_tombs", markTombSchema),
+      "id", "pos",
+      tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty), "id")
     val bH = ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
       .select(col("id").cast("long").as("id"), col("pos").cast("long").as("pos"),
         col("h"))
       .localCheckpoint(true)
     val occ = struct(col("id"), col("pos"))
     val bFirst = bH.groupBy("h").agg(min(occ).as("bf")).localCheckpoint(true)
-    val oldFirstB = hashSegs.select(col("h"), occ.as("o"))
+    val oldFirstB = hashSegs.select(col("h"), occ.as("o"), col("v"))
       .join(bFirst.select("h"), Seq("h"))
-      .groupBy("h").agg(min(col("o")).as("of"))
+      .groupBy("h").agg(max_by(col("o"), col("v")).as("of0"))
+      .select(col("h"), when(col("of0.id").isNotNull, col("of0")).as("of"))
+      .filter(col("of").isNotNull)
     val firstMerged = bFirst.join(oldFirstB, Seq("h"), "left")
       .select(col("h"), col("of"), col("bf"), least(col("of"), col("bf")).as("cf"))
       .localCheckpoint(true)
     val newMarks = bH.join(firstMerged, Seq("h"))
-      .filter(occ =!= col("cf")).select(col("id"), col("pos"))
+      .filter(occ =!= col("cf")).select(col("h"), col("id"), col("pos"))
       .dropDuplicates("id", "pos")
     val repairMarks = firstMerged
       .filter(col("of").isNotNull && col("bf").isNotNull && col("bf") < col("of"))
-      .select(col("of.id").as("id"), col("of.pos").as("pos"))
+      .select(col("h"), col("of.id").as("id"), col("of.pos").as("pos"))
       .dropDuplicates("id", "pos")
-    val marksAdded = newMarks.unionByName(repairMarks).localCheckpoint(true)
+    val marksAdded = newMarks.unionByName(repairMarks)
+      .withColumn("v", lit(nextV)).localCheckpoint(true)
     val ssTouched = marksAdded.select(col("id").as("doc_id"))
 
     // ---- touched set + report re-assembly for touched ids only.
@@ -673,11 +770,11 @@ object CutReportMaintenance {
       .unionByName(bDocs.select("doc_id", "fp", "n_tokens"))
       .join(touched, Seq("doc_id"))
       .localCheckpoint(true)
-    // Exact keeper for the touched docs' fps: stored partial minima of
-    // exactly those fps, merged with the batch minima.
+    // Exact keeper for the touched docs' fps: the stored latest value
+    // for exactly those fps, merged with the batch minima.
     val tFps = tDocs.select("fp").distinct()
     val fpOldT = fpSegs.join(tFps, Seq("fp"))
-      .groupBy("fp").agg(min("keep_id").as("okeep"))
+      .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
     val keepT = tFps.join(fpOldT, Seq("fp"), "left")
       .join(bFpMin, Seq("fp"), "left")
       .select(col("fp"), least(col("okeep"), col("bmin")).as("keep_id"))
@@ -743,8 +840,7 @@ object CutReportMaintenance {
     // anywhere before commitVersion leaves v<cur> intact and the
     // redelivered batch overwrites the orphans.
     writeSegment(bDocs, stateDir, nextV, "docs")
-    writeSegment(bFpMin.select(col("fp"), col("bmin").as("keep_id")),
-      stateDir, nextV, "fp_index")
+    writeSegment(fpWriteSeg, stateDir, nextV, "fp_index")
     writeSegment(bandB, stateDir, nextV, "band_index")
     writeSegment(pairsNewSeg, stateDir, nextV, "nd_pairs")
     writeSegment(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
@@ -752,8 +848,8 @@ object CutReportMaintenance {
     writeSegment(bandVB, stateDir, nextV, "vec_index")
     writeSegment(vPairsNewSeg, stateDir, nextV, "vec_pairs")
     writeSegment(vTombsNewSeg, stateDir, nextV, "vec_tombs")
-    writeSegment(bFirst.select(col("h"), col("bf.id").as("id"),
-      col("bf.pos").as("pos")), stateDir, nextV, "hash_index")
+    writeSegment(firstMerged.select(col("h"), col("cf.id").as("id"),
+      col("cf.pos").as("pos"), lit(nextV).as("v")), stateDir, nextV, "hash_index")
     writeSegment(marksAdded, stateDir, nextV, "marks")
     writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
       col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV, "report")
@@ -762,19 +858,303 @@ object CutReportMaintenance {
     out
   }
 
+  /** DELETE documents from the maintained state — the takedown /
+    * retention primitive (and, composed with [[ingest]], document
+    * update): tombstone the ids, then REPAIR every surviving doc whose
+    * disposition depended on them, so the stored report equals the
+    * batch replay over the SURVIVING corpus (the convergence property,
+    * extended — [[verifyAgainstReplay]] replays over survivors and is
+    * the built-in oracle). Per-delete work ∝ |deleted| + the state they
+    * touch, never the corpus:
+    *
+    *  - exact tier: fps whose stored KEEPER is deleted get a recomputed
+    *    keeper (min over surviving docs with that fp — an equi-join on
+    *    the affected fps only); every survivor sharing such an fp
+    *    re-reports.
+    *  - near-dup / embedding tiers: buckets whose OWNER is deleted
+    *    tombstone their pairs and re-star over the surviving
+    *    membership (re-verified exactly); pairs whose id_b is deleted
+    *    die via the read-side deleted-id filter with nothing to repair.
+    *  - substring tier: hashes whose stored FIRST occurrence is deleted
+    *    get a recomputed first from the surviving marked occurrences
+    *    (marks carry their hash for exactly this; every non-first
+    *    occurrence is marked, so the marks ARE the occurrence list) —
+    *    the new first is UN-marked via a versioned mark tombstone (a
+    *    later backfill that undercuts it re-marks it at a higher
+    *    version, superseding the tombstone).
+    *
+    * Deletion is LOGICAL here (one doc-tombstone segment + repaired
+    * overlays); the next [[compact]] purges the deleted rows physically
+    * from every folded table and clears the tombstones. A deleted id
+    * must not be re-ingested afterwards (resurrection is out of
+    * contract, like re-crawled ids).
+    *
+    * Returns the repaired survivor rows (`upd` = changed/same) plus one
+    * row per deleted id (`tier` = `deleted`, `upd` = `deleted`). */
+  def deleteDocs(spark: SparkSession, stateDir: String,
+                 ids: DataFrame, p: Params = Params()): DataFrame =
+    withWriterLock(stateDir) {
+      requireOrPersistParams(stateDir, p)
+      val curV = currentVersion(stateDir)
+      require(curV >= 0, s"nothing to delete from at $stateDir")
+      val nextV = curV + 1
+      val (delOld, noDelOld) = deletedIds(spark, stateDir)
+      val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+        .distinct().localCheckpoint(true)
+      // Pre-delete live views; `surv` additionally excludes this batch.
+      def aliveOld(df: DataFrame, c: String) = aliveBy(df, c, delOld, noDelOld)
+      def surv(df: DataFrame, c: String) =
+        aliveBy(df, c, del, noDel = false)
+      val docsLive = aliveOld(
+        readSegments(spark, stateDir, "docs", docsSchema), "doc_id")
+      val dDocs = docsLive.join(del, Seq("doc_id")).localCheckpoint(true)
+      val survDocs = surv(docsLive, "doc_id")
+
+      // ---- exact tier: only fps whose stored keeper dies need repair.
+      val fpSegs = readSegments(spark, stateDir, "fp_index", fpSchema)
+      val dFps = dDocs.select("fp").distinct()
+      val affFps = fpSegs.join(dFps, Seq("fp"))
+        .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
+        .join(del.select(col("doc_id").as("okeep")), Seq("okeep"))
+        .select("fp").localCheckpoint(true)
+      val survAff = survDocs.join(affFps, Seq("fp"))
+        .select("doc_id", "fp").localCheckpoint(true)
+      val fpWriteSeg = affFps
+        .join(survAff.groupBy("fp").agg(min("doc_id").as("keep_id")),
+          Seq("fp"), "left")
+        .select(col("fp"), col("keep_id"), lit(nextV).as("v"))
+      val exTouched = survAff.select("doc_id")
+
+      // ---- near-dup tier: re-star buckets whose owner is deleted.
+      val bandLive = aliveOld(readSegments(spark, stateDir, "band_index",
+        bandSchema(p.portable)), "id")
+      val pairSegsOld = aliveOld(aliveOld(readSegments(spark, stateDir,
+        "nd_pairs", pairSchemaV(p.portable)), "id_a"), "id_b")
+      val ndTombsOld = readSegments(spark, stateDir, "nd_tombs",
+        ndTombSchema(p.portable))
+      val pairsOldLive = livePairs(pairSegsOld, ndTombsOld, "band", "bh",
+        tombsKnownEmpty = liveSegmentDirs(stateDir, "nd_tombs").isEmpty)
+      def ownerDeadBuckets(index: DataFrame, k2: String): DataFrame = {
+        val keys = Seq("band", k2)
+        val bucketsOfDel = index
+          .join(del.select(col("doc_id").as("id")), Seq("id"))
+          .select("band", k2).distinct()
+        index.join(bucketsOfDel, keys)
+          .groupBy("band", k2).agg(min("id").as("owner"))
+          .join(del.select(col("doc_id").as("owner")), Seq("owner"))
+          .select("band", k2).localCheckpoint(true)
+      }
+      val affB = ownerDeadBuckets(bandLive, "bh")
+      val ndMembers = surv(bandLive.join(affB, Seq("band", "bh")), "id")
+        .localCheckpoint(true)
+      val ndOwners = ndMembers.groupBy("band", "bh")
+        .agg(min("id").as("id_a"), min_by(col("n_sh"), col("id")).as("n_sh_a"))
+      val ndCand = ndMembers.join(ndOwners, Seq("band", "bh"))
+        .filter(col("id") > col("id_a"))
+        .select(col("band"), col("bh"), col("id_a"), col("id").as("id_b"),
+          col("n_sh_a"), col("n_sh").as("n_sh_b"))
+        .localCheckpoint(true)
+      val ndMemberIds = ndCand.select(col("id_a").as("doc_id"))
+        .unionByName(ndCand.select(col("id_b").as("doc_id"))).distinct()
+      val ndSh = DedupFunctions.shingledDocs(
+        survDocs.join(ndMemberIds, Seq("doc_id")), "text", "doc_id", p.n)
+        .localCheckpoint(true)
+      val ndVerified = ndCand
+        .select(col("id_a"), col("id_b"), col("n_sh_a"), col("n_sh_b"))
+        .dropDuplicates("id_a", "id_b")
+        .join(ndSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(ndSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("shared").cast("double") /
+          (col("n_sh_a") + col("n_sh_b") - col("shared")).cast("double") >= p.threshold)
+        .select(col("id_a"), col("id_b"))
+      val ndPairsNewSeg = ndCand.join(ndVerified, Seq("id_a", "id_b"))
+        .select(col("band"), col("bh"), col("id_a"), col("id_b"))
+        .withColumn("v", lit(nextV)).localCheckpoint(true)
+      val ndTombsNewSeg = affB.withColumn("v", lit(nextV))
+      val ndPairsNext = surv(surv(livePairs(
+        pairSegsOld.unionByName(ndPairsNewSeg),
+        ndTombsOld.unionByName(ndTombsNewSeg), "band", "bh",
+        tombsKnownEmpty = false), "id_a"), "id_b")
+      val ndTouched = surv(pairsOldLive.join(affB, Seq("band", "bh"))
+          .select(col("id_b").as("doc_id")), "doc_id")
+        .unionByName(ndPairsNewSeg.select(col("id_b").as("doc_id")))
+
+      // ---- embedding tier: same shape over the SRP index.
+      val vecsLive = aliveOld(
+        readSegments(spark, stateDir, "vecs", vecsSchema), "doc_id")
+      val vecIdxLive = aliveOld(
+        readSegments(spark, stateDir, "vec_index", vecIndexSchema), "id")
+      val vecPairSegsOld = aliveOld(aliveOld(readSegments(spark, stateDir,
+        "vec_pairs", vecPairSchemaV), "id_a"), "id_b")
+      val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
+      val vecPairsOldLive = livePairs(vecPairSegsOld, vecTombsOld, "band", "bkey",
+        tombsKnownEmpty = liveSegmentDirs(stateDir, "vec_tombs").isEmpty)
+      val affVB = ownerDeadBuckets(vecIdxLive, "bkey")
+      val vMembers = surv(vecIdxLive.join(affVB, Seq("band", "bkey")), "id")
+        .localCheckpoint(true)
+      val vOwners = vMembers.groupBy("band", "bkey").agg(min("id").as("id_a"))
+      val vCand = vMembers.join(vOwners, Seq("band", "bkey"))
+        .filter(col("id") > col("id_a"))
+        .select(col("band"), col("bkey"), col("id_a"), col("id").as("id_b"))
+        .localCheckpoint(true)
+      val vMemberIds = vCand.select(col("id_a").as("doc_id"))
+        .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
+      val vVecs = surv(vecsLive, "doc_id").join(vMemberIds, Seq("doc_id"))
+        .localCheckpoint(true)
+      val vVerified = vCand.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+        .join(vVecs.select(col("doc_id").as("id_a"),
+          col("emb").as("e_a"), col("nrm").as("n_a")), Seq("id_a"))
+        .join(vVecs.select(col("doc_id").as("id_b"),
+          col("emb").as("e_b"), col("nrm").as("n_b")), Seq("id_b"))
+        .filter(try_divide(Similarity.dot(col("e_a"), col("e_b")),
+          col("n_a") * col("n_b")) >= p.vecThreshold)
+        .select(col("id_a"), col("id_b"))
+      val vPairsNewSeg = vCand.join(vVerified, Seq("id_a", "id_b"))
+        .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
+        .withColumn("v", lit(nextV)).localCheckpoint(true)
+      val vTombsNewSeg = affVB.withColumn("v", lit(nextV))
+      val vecPairsNext = surv(surv(livePairs(
+        vecPairSegsOld.unionByName(vPairsNewSeg),
+        vecTombsOld.unionByName(vTombsNewSeg), "band", "bkey",
+        tombsKnownEmpty = false), "id_a"), "id_b")
+      val vecTouched = surv(vecPairsOldLive.join(affVB, Seq("band", "bkey"))
+          .select(col("id_b").as("doc_id")), "doc_id")
+        .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
+
+      // ---- substring tier: recompute firsts the deletion orphaned.
+      val hashSegs = readSegments(spark, stateDir, "hash_index", hashSchema)
+      val marksLive = aliveOld(livePairs(
+        readSegments(spark, stateDir, "marks", marksSchema),
+        readSegments(spark, stateDir, "mark_tombs", markTombSchema),
+        "id", "pos",
+        tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty), "id")
+      // Candidate hashes: any version ever pointed at a deleted id —
+      // a cheap superset; the latest-value check below narrows it.
+      val candH = hashSegs.join(del.select(col("doc_id").as("id")), Seq("id"))
+        .select("h").distinct()
+      val affH = hashSegs.join(candH, Seq("h"))
+        .groupBy("h")
+        .agg(max_by(struct(col("id"), col("pos")), col("v")).as("of"))
+        .filter(col("of.id").isNotNull)
+        .join(del.select(col("doc_id").as("did")), col("of.id") === col("did"))
+        .select("h").localCheckpoint(true)
+      val survOcc = surv(marksLive.join(affH, Seq("h")), "id")
+      val newFirst = affH.join(
+          survOcc.groupBy("h").agg(min(struct(col("id"), col("pos"))).as("nf")),
+          Seq("h"), "left")
+        .localCheckpoint(true)
+      val hashWriteSeg = newFirst.select(col("h"), col("nf.id").as("id"),
+        col("nf.pos").as("pos"), lit(nextV).as("v"))
+      val markTombsNewSeg = newFirst.filter(col("nf").isNotNull)
+        .select(col("nf.id").as("id"), col("nf.pos").as("pos"),
+          lit(nextV).as("v"))
+      val ssTouched = markTombsNewSeg.select(col("id").as("doc_id"))
+
+      // ---- re-assemble the report for the touched survivors.
+      val touched = exTouched.unionByName(ndTouched).unionByName(vecTouched)
+        .unionByName(ssTouched).distinct().localCheckpoint(true)
+      val tDocs = survDocs.select("doc_id", "fp", "n_tokens")
+        .join(touched, Seq("doc_id")).localCheckpoint(true)
+      val tFps = tDocs.select("fp").distinct()
+      val keepStored = fpSegs.join(tFps, Seq("fp"))
+        .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
+      // Affected fps take this delete's recomputed keeper (a null there
+      // means no survivor carries the fp — impossible for a touched
+      // doc's OWN fp); the rest keep the stored latest.
+      val keepT = tFps.join(keepStored, Seq("fp"), "left")
+        .join(fpWriteSeg.select(col("fp"), col("keep_id").as("nkeep")),
+          Seq("fp"), "left")
+        .join(affFps.withColumn("aff", lit(true)), Seq("fp"), "left")
+        .select(col("fp"),
+          when(col("aff"), col("nkeep")).otherwise(col("okeep")).as("keep_id"))
+      val exCut = tDocs.select("doc_id", "fp").join(keepT, Seq("fp"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"), col("keep_id").as("ex_dup_of"))
+      val ndCut = ndPairsNext
+        .join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
+        .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("nd_dup_of"))
+      val embCut = vecPairsNext
+        .join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
+        .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("emb_dup_of"))
+      val touchedIds = touched.select(col("doc_id").as("id"))
+      val marksT = marksLive.join(touchedIds, Seq("id"))
+        .join(markTombsNewSeg.select("id", "pos"), Seq("id", "pos"), "left_anti")
+      val ssTrim = ExactSubstrings.mergeMarks(
+          marksT.select(col("id"), col("pos"), (col("pos") + (p.W - 1)).as("e")))
+        .groupBy(col("id").as("doc_id"))
+        .agg(sum("span_len").as("substr_tokens"))
+      val touchedRows = tDocs.select("doc_id", "n_tokens")
+        .join(exCut, Seq("doc_id"), "left")
+        .join(ndCut, Seq("doc_id"), "left")
+        .join(embCut, Seq("doc_id"), "left")
+        .join(ssTrim, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ex_dup_of").isNotNull, "exact")
+            .when(col("nd_dup_of").isNotNull, "neardup")
+            .when(col("emb_dup_of").isNotNull, "embdup")
+            .when(col("substr_tokens").isNotNull, "partial")
+            .otherwise("keep").as("tier"),
+          when(col("ex_dup_of").isNotNull, col("ex_dup_of"))
+            .when(col("nd_dup_of").isNotNull, col("nd_dup_of"))
+            .when(col("emb_dup_of").isNotNull, col("emb_dup_of")).as("dup_of"),
+          when(col("ex_dup_of").isNotNull || col("nd_dup_of").isNotNull ||
+              col("emb_dup_of").isNotNull, col("n_tokens"))
+            .when(col("substr_tokens").isNotNull, col("substr_tokens"))
+            .otherwise(lit(0L)).cast("long").as("cut_tokens"))
+        .localCheckpoint(true)
+      val reportSegsOld = readSegments(spark, stateDir, "report", reportSchemaV)
+      val reportOldT = reportSegsOld.join(touched, Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(max_by(struct(col("tier"), col("dup_of"), col("cut_tokens")),
+          col("v")).as("r"))
+        .select(col("doc_id"), col("r.tier").as("o_tier"),
+          col("r.dup_of").as("o_dup"), col("r.cut_tokens").as("o_cut"))
+      val out = touchedRows
+        .join(reportOldT, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("tier"), col("dup_of"), col("cut_tokens"),
+          when(col("tier") <=> col("o_tier") &&
+            col("dup_of") <=> col("o_dup") &&
+            col("cut_tokens") <=> col("o_cut"), "same")
+            .otherwise("changed").as("upd"))
+        .unionByName(dDocs.select(col("doc_id"), lit("deleted").as("tier"),
+          lit(null).cast("long").as("dup_of"), lit(0L).as("cut_tokens"),
+          lit("deleted").as("upd")))
+        .localCheckpoint(true)
+
+      // ---- land the delete's segments (all O(deleted + touched)).
+      writeSegment(fpWriteSeg, stateDir, nextV, "fp_index")
+      writeSegment(ndPairsNewSeg, stateDir, nextV, "nd_pairs")
+      writeSegment(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
+      writeSegment(vPairsNewSeg, stateDir, nextV, "vec_pairs")
+      writeSegment(vTombsNewSeg, stateDir, nextV, "vec_tombs")
+      writeSegment(hashWriteSeg, stateDir, nextV, "hash_index")
+      writeSegment(markTombsNewSeg, stateDir, nextV, "mark_tombs")
+      writeSegment(del.withColumn("v", lit(nextV)), stateDir, nextV, "doc_tombs")
+      writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
+        col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV, "report")
+      writeMarkers(stateDir, curV, nextV, None)
+      commitVersion(stateDir, nextV)
+      out
+    }
+
   private def foldReport(spark: SparkSession, stateDir: String): DataFrame = {
     val dirs = liveSegmentDirs(stateDir, "report")
+    // A doc whose LATEST disposition is 'deleted' vanishes — filtered
+    // AFTER the fold (filtering before it would resurrect older rows).
     if (dirs.isEmpty) emptyDf(spark, reportSchema)
     else if (dirs.size == 1)
       // One live segment (fresh state or just-compacted): its doc_ids
       // are unique by construction — skip the fold entirely.
       spark.read.schema(reportSchemaV).parquet(dirs.head).drop("v")
+        .filter(col("tier") =!= "deleted")
     else spark.read.schema(reportSchemaV).parquet(dirs: _*)
       .groupBy("doc_id")
       .agg(max_by(struct(col("tier"), col("dup_of"), col("cut_tokens")),
         col("v")).as("r"))
       .select(col("doc_id"), col("r.tier").as("tier"),
         col("r.dup_of").as("dup_of"), col("r.cut_tokens").as("cut_tokens"))
+      .filter(col("tier") =!= "deleted")
   }
 
   /** The served artifact: the stored report, as of the last ingest
@@ -799,7 +1179,13 @@ object CutReportMaintenance {
     val kept = report(spark, stateDir)
       .filter(!col("tier").isin("exact", "neardup", "embdup"))
       .select("doc_id", "tier")
-    val marksAll = readSegments(spark, stateDir, "marks", marksSchema)
+    // Live marks (mark tombstones applied); deleted docs drop via the
+    // report join below — a deleted doc is never in `kept`.
+    val marksAll = livePairs(
+      readSegments(spark, stateDir, "marks", marksSchema),
+      readSegments(spark, stateDir, "mark_tombs", markTombSchema),
+      "id", "pos",
+      tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty)
     val spans = ExactSubstrings.mergeMarks(
         marksAll.select(col("id"), col("pos"), (col("pos") + (p.W - 1)).as("e")))
       .groupBy(col("id").as("doc_id"))
@@ -835,7 +1221,9 @@ object CutReportMaintenance {
     * per ingest. */
   def verifyAgainstReplay(spark: SparkSession, stateDir: String,
                           p: Params = Params()): DataFrame = {
-    val corpus = readSegments(spark, stateDir, "docs", docsSchema)
+    val (delIds, noDel) = deletedIds(spark, stateDir)
+    val corpus = aliveBy(readSegments(spark, stateDir, "docs", docsSchema),
+        "doc_id", delIds, noDel)
       .select(col("doc_id"), col("text"), col("n_tokens"), col("fp"))
       .localCheckpoint(true)
     val exCut = corpus.select(col("doc_id"), col("fp"))
@@ -850,7 +1238,8 @@ object CutReportMaintenance {
       .agg(min(col("id_a")).as("nd_dup_of"))
     // Embedding tier replay: SRP star pairs over the stored vectors.
     val planes = Similarity.deterministicPlanes(p.vecBits, p.vecDim)
-    val vecs = readSegments(spark, stateDir, "vecs", vecsSchema)
+    val vecs = aliveBy(readSegments(spark, stateDir, "vecs", vecsSchema),
+        "doc_id", delIds, noDel)
       .localCheckpoint(true)
     val bandedV = vecBandedOf(vecs, p, planes)
     val vOwners = bandedV.groupBy("band", "bkey").agg(min("id").as("id_a"))

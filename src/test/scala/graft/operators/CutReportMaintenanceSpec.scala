@@ -296,6 +296,18 @@ class CutReportMaintenanceSpec extends SparkSuite {
       // Compaction preserves it (vec_pairs/vec_tombs fold too).
       CutReportMaintenance.compact(spark, dir)
       assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      // Deleting embdup TARGETS (base vectors twins point at) re-stars
+      // their SRP buckets over the survivors — the twins re-point or
+      // fall to keep, and the replay (over surviving vectors) agrees.
+      val targets = embdup.values.toSeq.distinct.take(2)
+      val outDel = CutReportMaintenance.deleteDocs(spark, dir,
+        targets.toDF("doc_id"))
+      assert(outDel.filter(col("upd") === "deleted").count() == targets.size)
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0,
+        "vector-tier deletion must keep the maintained report replay-exact")
+      assert(CutReportMaintenance.report(spark, dir)
+        .filter(col("dup_of").isin(targets.map(Long.box): _*)).count() == 0,
+        "no survivor may still point at a deleted doc")
       // streamWriter plumbs the embedding column through foreachBatch.
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -326,6 +338,77 @@ class CutReportMaintenanceSpec extends SparkSuite {
         }
         rm(new java.io.File(dir2))
       }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("maintained cut report: deleteDocs repairs survivors and converges to the replay over the surviving corpus; compaction purges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-d").toString
+    try {
+      val corpus = plantedCorpus.localCheckpoint(true)
+      CutReportMaintenance.ingest(spark, dir,
+        corpus.filter(col("doc_id") % 3 === 1))
+      CutReportMaintenance.ingest(spark, dir,
+        corpus.filter(col("doc_id") % 3 === 2))
+      // Delete the two LOWEST planted ids ingested so far (5 and 10 —
+      // they own the plant passage's substring firsts, the near-dup
+      // star roots, and any exact-keeper role) plus one ordinary doc:
+      // the repair sweep must re-root stars, move keepers, and UN-mark
+      // the new surviving first occurrences.
+      val delIds = Seq(5L, 10L, 7L).toDF("doc_id")
+      val out = CutReportMaintenance.deleteDocs(spark, dir, delIds)
+        .localCheckpoint(true)
+      assert(out.filter(col("upd") === "deleted").count() == 3)
+      assert(out.filter(col("upd") === "changed").count() > 0,
+        "deleting keepers/owners/firsts must repair survivors")
+      // A backfill ingest AFTER the deletion brings doc 0 — the lowest
+      // planted id — which undercuts the post-delete firsts and owners:
+      // the windows the deletion just UN-marked must RE-mark (the
+      // versioned mark-tombstone case) and stars re-root to 0.
+      CutReportMaintenance.ingest(spark, dir,
+        corpus.filter(col("doc_id") % 3 === 0))
+      val surviving = corpus.filter(!col("doc_id").isin(5L, 10L, 7L))
+        .localCheckpoint(true)
+      val maintained = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      val batch = graft.QueriesExt11.cutReportOf(surviving)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      assert(maintained.size == surviving.count())
+      assert(!maintained.exists(r => Set(5L, 10L, 7L)(r._1)))
+      assert(maintained == batch,
+        s"post-delete report must equal the replay over survivors; " +
+          s"extra=${(maintained -- batch).take(5)} " +
+          s"missing=${(batch -- maintained).take(5)}")
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      // curatedCorpus serves no deleted doc.
+      assert(CutReportMaintenance.curatedCorpus(spark, dir)
+        .filter(col("doc_id").isin(5L, 10L, 7L)).count() == 0)
+      // Compaction purges physically: the folded docs segment holds no
+      // deleted row and the doc tombstones fold away (live dirs empty).
+      CutReportMaintenance.compact(spark, dir)
+      assert(CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet == batch)
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      val v = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_version")), "UTF-8").trim
+      val floor = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/v$v/_seg_floor")), "UTF-8").trim.toLong
+      val liveDocSegs = Option(new java.io.File(s"$dir/seg_docs").listFiles())
+        .toSeq.flatten.filter(f => f.isDirectory &&
+          f.getName.drop(1).toLong >= floor).map(_.getPath)
+      assert(spark.read.parquet(liveDocSegs: _*)
+        .filter(col("doc_id").isin(5L, 10L, 7L)).count() == 0,
+        "compaction must purge deleted docs physically")
+      val liveTombSegs = Option(new java.io.File(s"$dir/seg_doc_tombs").listFiles())
+        .toSeq.flatten.filter(f => f.isDirectory &&
+          f.getName.drop(1).toLong >= floor)
+      assert(liveTombSegs.isEmpty,
+        "compaction must clear the doc tombstones it purged")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
