@@ -9,8 +9,17 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?usage: tools/close_round.sh <round-number, e.g. 13>}"
 RN=$(printf 'r%02d' "$ROUND")
 if [ -f BENCH_DETAIL.json ]; then
+  # Guard (added r15 after the r14 mix-up): the drift baseline MUST be the
+  # sf0.1 gate sweep. Refuse to archive an endurance (sf1/sf3) detail —
+  # that would mask every future drift comparison.
+  DETAIL_SF=$(python3 -c "import json; print(json.load(open('BENCH_DETAIL.json')).get('sf',''))")
+  if [ "$DETAIL_SF" != "/root/testdata/sf0.1" ]; then
+    echo "REFUSING to archive: BENCH_DETAIL.json sf='${DETAIL_SF}'" >&2
+    echo "expected '/root/testdata/sf0.1' — rerun the sf0.1 sweep first" >&2
+    exit 1
+  fi
   cp BENCH_DETAIL.json "BENCH_DETAIL_${RN}.json"
-  echo "archived BENCH_DETAIL.json -> BENCH_DETAIL_${RN}.json"
+  echo "archived BENCH_DETAIL.json -> BENCH_DETAIL_${RN}.json (sf0.1 verified)"
 else
   echo "WARN: no BENCH_DETAIL.json in tree — nothing to archive" >&2
 fi
