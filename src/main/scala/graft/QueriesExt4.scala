@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Graphs, HistSketch, Packing, Relevance, Similarity}
 import graft.operators.Expectations
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declared queries q124+ — the graph tier (triangles, communities,
@@ -1353,13 +1353,21 @@ object QueriesExt4 {
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val bins = deg.withColumn("b", (length(bin(col("deg"))) - 1).cast("int"))
       .groupBy(col("b")).agg(count(lit(1)).as("n_nodes"))
-    // log-log OLS over bins: x = b (log2 lower bound), y = ln(n_nodes)
-    // — one defined double chain over the tiny bin frame.
-    val pts = bins.select(col("b").cast("double").as("x"),
-      log(col("n_nodes").cast("double")).as("y"))
-    val ssum = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"))
+    // log-log OLS over bins: x = b (log2 lower bound), y = ln(n_nodes).
+    // The sufficient statistics fold left-to-right over the b-sorted
+    // ≤64-row bin frame (b is unique) — the OLS covariance cancellation
+    // amplifies partition-order double-sum jitter into the 4th rounded
+    // digit (the q223 r14 flake class); same q135/anovaF fold idiom.
+    def fold(f: Column => Column): Column =
+      aggregate(array_sort(collect_list(struct(col("b"), col("n_nodes")))),
+        lit(0.0d), (acc, p) => acc + f(p))
+    def px(p: Column): Column = p.getField("b").cast("double")
+    def py(p: Column): Column = log(p.getField("n_nodes").cast("double"))
+    val ssum = bins.agg(count(lit(1)).as("n"),
+      fold(p => px(p)).as("sx"),
+      fold(p => px(p) * px(p)).as("sxx"),
+      fold(p => py(p)).as("sy"),
+      fold(p => px(p) * py(p)).as("sxy"))
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
       (col("n") * col("sxx") - col("sx") * col("sx"))
     bins.crossJoin(broadcast(ssum.select(round(slope, 4).as("loglog_slope"))))
@@ -1372,11 +1380,16 @@ object QueriesExt4 {
        |bins AS (SELECT (length(bin(deg)) - 1)::INT AS b,
        |           count(*)::BIGINT AS n_nodes
        |         FROM d GROUP BY 1),
-       |pts AS (SELECT b::DOUBLE AS x, ln(n_nodes::DOUBLE) AS y FROM bins),
-       |ss AS (SELECT count(*)::BIGINT AS n, sum(x)::DOUBLE AS sx,
-       |         sum(x * x)::DOUBLE AS sxx, sum(y)::DOUBLE AS sy,
-       |         sum(x * y)::DOUBLE AS sxy
-       |       FROM pts),
+       |ag AS (SELECT list_sort(list(struct_pack(b := b, nn := n_nodes)))
+       |         AS a FROM bins),
+       |ss AS (SELECT len(a)::BIGINT AS n,
+       |         list_sum(list_transform(a, p -> p.b::DOUBLE)) AS sx,
+       |         list_sum(list_transform(a,
+       |           p -> p.b::DOUBLE * p.b::DOUBLE)) AS sxx,
+       |         list_sum(list_transform(a, p -> ln(p.nn::DOUBLE))) AS sy,
+       |         list_sum(list_transform(a,
+       |           p -> p.b::DOUBLE * ln(p.nn::DOUBLE))) AS sxy
+       |       FROM ag),
        |sl AS (SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
        |         AS loglog_slope FROM ss)
        |SELECT b, n_nodes, loglog_slope FROM bins, sl""".stripMargin
@@ -2667,10 +2680,9 @@ object QueriesExt4 {
     * index (Σ share², HHI > 0.25 ≈ concentrated) over supplier revenue
     * within each nation: the supply-risk view of the star schema.
     * Exact micro-cent revenue per supplier (map-side partials), the
-    * nation dimension broadcasts, shares and the HHI fold run over the
-    * ≤|suppliers| frame per nation. */
+    * nation dimension broadcasts; HHI = Σc²/(Σc)² over exact integer
+    * sums so the only double step is one defined division. */
   def q174SupplierHhi(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = Tables.lineitem(s, dir)
       .groupBy(col("l_suppkey"))
       .agg(sum(round(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))
@@ -2681,13 +2693,20 @@ object QueriesExt4 {
       .select(col("n_nationkey"), col("n_name"))
     val j = rev.join(sup, rev("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-      .withColumn("share", col("cents").cast("double") /
-        sum(col("cents")).over(Window.partitionBy(col("n_name")))
-          .cast("double"))
+    // HHI = Σ cents² / (Σ cents)² — both sums exact integers (decimal
+    // partials, order-independent at any partition count), then ONE
+    // defined double division: no partition-order double sum to flip
+    // round(·, 6) on a boundary (the q223 r14 flake class).
     j.groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_suppliers"),
-        round(sum(col("cents")).cast("double") / 100.0d, 2).as("revenue"),
-        round(sum(col("share") * col("share")), 6).as("hhi"))
+        sum(col("cents")).as("tot"),
+        sum(col("cents").cast("decimal(38,0)") *
+          col("cents").cast("decimal(38,0)")).as("sq"))
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("tot").cast("double") / 100.0d, 2).as("revenue"),
+        round(col("sq").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double")), 6)
+          .as("hhi"))
       .withColumn("concentrated", col("hhi") > 0.25d)
   }
   val q174Sql: String =
@@ -2695,17 +2714,19 @@ object QueriesExt4 {
       |        sum(round(l_extendedprice * (1.0 - l_discount) * 100.0)
       |            ::BIGINT)::BIGINT AS cents
       |      FROM lineitem GROUP BY 1),
-      |j AS (SELECT n.n_name, rev.cents,
-      |        rev.cents::DOUBLE /
-      |          (sum(rev.cents) OVER (PARTITION BY n.n_name))::DOUBLE
-      |          AS share
+      |j AS (SELECT n.n_name, rev.cents
       |      FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
-      |      JOIN nation n ON s.s_nationkey = n.n_nationkey)
-      |SELECT n_name, count(*)::BIGINT AS n_suppliers,
-      |       round(sum(cents)::DOUBLE / 100.0, 2) AS revenue,
-      |       round(sum(share * share), 6) AS hhi,
-      |       round(sum(share * share), 6) > 0.25 AS concentrated
-      |FROM j GROUP BY 1""".stripMargin
+      |      JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      |g AS (SELECT n_name, count(*)::BIGINT AS n_suppliers,
+      |        sum(cents)::BIGINT AS tot,
+      |        sum(cents::HUGEINT * cents::HUGEINT)::HUGEINT AS sq
+      |      FROM j GROUP BY 1)
+      |SELECT n_name, n_suppliers,
+      |       round(tot::DOUBLE / 100.0, 2) AS revenue,
+      |       round(sq::DOUBLE / (tot::DOUBLE * tot::DOUBLE), 6) AS hhi,
+      |       round(sq::DOUBLE / (tot::DOUBLE * tot::DOUBLE), 6) > 0.25
+      |         AS concentrated
+      |FROM g""".stripMargin
 
   // ---------------------------------------------------------------- q175
   /** Order-to-ship aging by priority: per order priority, the exact
@@ -3773,29 +3794,39 @@ object QueriesExt4 {
     * the share/ln fold runs over the ≤5-row type frame per day;
     * round-6 absorbs ln's sub-ulp. */
   def q197MixEntropy(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = Tables.events(s, dir)
       .groupBy(expr("ts_ms div 86400000").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val share = col("n").cast("double") /
-      sum(col("n")).over(Window.partitionBy(col("day"))).cast("double")
-    c.withColumn("term", -share * log(share))
-      .groupBy(col("day"))
+    // Entropy folds left-to-right over the type-sorted ≤5-row frame per
+    // day (integer total, then one defined share/ln chain per type) —
+    // a partition-order double sum can flip round(·, 6) on a boundary
+    // (the q223 r14 flake class); same q135/anovaF fold idiom.
+    c.groupBy(col("day"))
       .agg(sum(col("n")).as("n_events"),
         count(lit(1)).as("n_types"),
-        round(sum(col("term")), 6).as("mix_entropy"))
+        array_sort(collect_list(struct(col("event_type"), col("n"))))
+          .as("a"))
+      .select(col("day"), col("n_events"), col("n_types"),
+        round(aggregate(col("a"), lit(0.0d), (acc, p) => {
+          val share = p.getField("n").cast("double") /
+            col("n_events").cast("double")
+          acc - share * log(share)
+        }), 6).as("mix_entropy"))
   }
   val q197Sql: String =
     """WITH c AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type,
       |        count(*)::BIGINT AS n
       |      FROM events GROUP BY 1, 2),
-      |s AS (SELECT day, n,
-      |        n::DOUBLE / (sum(n) OVER (PARTITION BY day))::DOUBLE
-      |          AS share
-      |      FROM c)
-      |SELECT day, sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_types,
-      |       round(sum(-share * ln(share)), 6) AS mix_entropy
-      |FROM s GROUP BY 1""".stripMargin
+      |g AS (SELECT day, sum(n)::BIGINT AS n_events,
+      |        count(*)::BIGINT AS n_types,
+      |        list_sort(list(struct_pack(et := event_type, n := n))) AS a
+      |      FROM c GROUP BY 1)
+      |SELECT day, n_events, n_types,
+      |       round(list_sum(list_transform(a,
+      |         p -> -(p.n::DOUBLE / n_events::DOUBLE)
+      |              * ln(p.n::DOUBLE / n_events::DOUBLE))), 6)
+      |         AS mix_entropy
+      |FROM g""".stripMargin
 
   // ------------------------------------------------------------ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

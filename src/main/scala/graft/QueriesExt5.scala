@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{BoundedWindow, PrefixScan, TextFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declared queries q198+ — distributional statistics on the scale-safe
@@ -285,11 +285,22 @@ object QueriesExt5 {
     val pts = top.withColumn("rk", row_number().over(
         graft.functions.BoundedWindow.orderBy(col("term"),
           col("cnt").desc, col("term").asc)))
-      .select(log(col("rk").cast("double")).as("x"),
-        log(col("cnt").cast("double")).as("y"))
-    val ss = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
-      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("rk"), col("cnt"))
+    // Deterministic left-to-right fold over the rank-sorted top-K (rk is
+    // unique) — q223's r14 hash flake showed the partition-order double
+    // sum can flip round(slope, 4) on a .00005 boundary; same latent
+    // flake here, same q135/anovaF fold idiom as the fix.
+    def fold(f: Column => Column): Column =
+      aggregate(array_sort(collect_list(struct(col("rk"), col("cnt")))),
+        lit(0.0d), (acc, p) => acc + f(p))
+    def px(p: Column): Column = log(p.getField("rk").cast("double"))
+    def py(p: Column): Column = log(p.getField("cnt").cast("double"))
+    val ss = pts.agg(count(lit(1)).as("n"),
+      fold(p => px(p)).as("sx"),
+      fold(p => px(p) * px(p)).as("sxx"),
+      fold(p => py(p)).as("sy"),
+      fold(p => py(p) * py(p)).as("syy"),
+      fold(p => px(p) * py(p)).as("sxy"))
     val cov = col("n") * col("sxy") - col("sx") * col("sy")
     val vx = col("n") * col("sxx") - col("sx") * col("sx")
     val vy = col("n") * col("syy") - col("sy") * col("sy")
@@ -304,14 +315,23 @@ object QueriesExt5 {
        |      WHERE length(term) > 0 GROUP BY 1),
        |top AS (SELECT term, cnt FROM c
        |        ORDER BY cnt DESC, term ASC LIMIT 1000),
-       |p AS (SELECT ln((row_number() OVER (ORDER BY cnt DESC, term ASC))
-       |          ::DOUBLE) AS x,
-       |        ln(cnt::DOUBLE) AS y
+       |p AS (SELECT (row_number() OVER (ORDER BY cnt DESC, term ASC))
+       |          ::BIGINT AS rk, cnt
        |      FROM top),
-       |ss AS (SELECT count(*)::BIGINT AS n, sum(x)::DOUBLE AS sx,
-       |         sum(x * x)::DOUBLE AS sxx, sum(y)::DOUBLE AS sy,
-       |         sum(y * y)::DOUBLE AS syy, sum(x * y)::DOUBLE AS sxy
-       |       FROM p)
+       |ag AS (SELECT list_sort(list(struct_pack(rk := rk, cnt := cnt)))
+       |         AS a FROM p),
+       |ss AS (SELECT len(a)::BIGINT AS n,
+       |         list_sum(list_transform(a, p -> ln(p.rk::DOUBLE)))
+       |           AS sx,
+       |         list_sum(list_transform(a,
+       |           p -> ln(p.rk::DOUBLE) * ln(p.rk::DOUBLE))) AS sxx,
+       |         list_sum(list_transform(a, p -> ln(p.cnt::DOUBLE)))
+       |           AS sy,
+       |         list_sum(list_transform(a,
+       |           p -> ln(p.cnt::DOUBLE) * ln(p.cnt::DOUBLE))) AS syy,
+       |         list_sum(list_transform(a,
+       |           p -> ln(p.rk::DOUBLE) * ln(p.cnt::DOUBLE))) AS sxy
+       |       FROM ag)
        |SELECT n AS n_terms,
        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
        |         AS zipf_slope,
@@ -335,17 +355,33 @@ object QueriesExt5 {
     val l = j.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
     val sc = j.groupBy(col("source")).agg(sum(col("n")).as("ns"))
     val t = j.agg(sum(col("n")).as("nt"))
+    // MI/entropy sums fold left-to-right over key-sorted bounded frames
+    // ((lang, source) grid, lang margin, source margin) — a partition-
+    // order double sum can flip round(·, 6) on a boundary (the q223 r14
+    // flake class); same q135/anovaF fold idiom, mirrored in the oracle.
     val mi = j.join(broadcast(l), "lang").join(broadcast(sc), "source")
       .crossJoin(broadcast(t))
-      .agg(sum((col("n").cast("double") / col("nt")) *
-        log(col("nt").cast("double") * col("n") /
-          (col("nl").cast("double") * col("ns")))).as("mi"))
+      .agg(aggregate(array_sort(collect_list(struct(col("lang"),
+          col("source"), col("n"), col("nl"), col("ns"), col("nt")))),
+        lit(0.0d), (acc, p) => acc +
+          (p.getField("n").cast("double") / p.getField("nt")) *
+            log(p.getField("nt").cast("double") * p.getField("n") /
+              (p.getField("nl").cast("double") * p.getField("ns"))))
+        .as("mi"))
     val hl = l.crossJoin(broadcast(t))
-      .agg(sum(-(col("nl").cast("double") / col("nt")) *
-        log(col("nl").cast("double") / col("nt"))).as("hl"))
+      .agg(aggregate(array_sort(collect_list(struct(col("lang"),
+          col("nl"), col("nt")))),
+        lit(0.0d), (acc, p) => acc -
+          (p.getField("nl").cast("double") / p.getField("nt")) *
+            log(p.getField("nl").cast("double") / p.getField("nt")))
+        .as("hl"))
     val hs = sc.crossJoin(broadcast(t))
-      .agg(sum(-(col("ns").cast("double") / col("nt")) *
-        log(col("ns").cast("double") / col("nt"))).as("hs"))
+      .agg(aggregate(array_sort(collect_list(struct(col("source"),
+          col("ns"), col("nt")))),
+        lit(0.0d), (acc, p) => acc -
+          (p.getField("ns").cast("double") / p.getField("nt")) *
+            log(p.getField("ns").cast("double") / p.getField("nt")))
+        .as("hs"))
     t.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
       .crossJoin(broadcast(hs))
       .select(col("nt").as("n_docs"), round(col("mi"), 6).as("mi_nats"),
@@ -357,12 +393,23 @@ object QueriesExt5 {
       |l AS (SELECT lang, sum(n)::BIGINT AS nl FROM j GROUP BY 1),
       |s AS (SELECT source, sum(n)::BIGINT AS ns FROM j GROUP BY 1),
       |t AS (SELECT sum(n)::BIGINT AS nt FROM j),
-      |mi AS (SELECT sum((n::DOUBLE / nt) * ln(nt::DOUBLE * n
-      |           / (nl::DOUBLE * ns))) AS mi
+      |mi AS (SELECT list_sum(list_transform(
+      |           list_sort(list(struct_pack(lang := lang, source := source,
+      |             n := n, nl := nl, ns := ns, nt := nt))),
+      |           p -> (p.n::DOUBLE / p.nt) * ln(p.nt::DOUBLE * p.n
+      |             / (p.nl::DOUBLE * p.ns)))) AS mi
       |       FROM j JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t),
-      |hl AS (SELECT sum(-(nl::DOUBLE / nt) * ln(nl::DOUBLE / nt)) AS hl
+      |hl AS (SELECT list_sum(list_transform(
+      |           list_sort(list(struct_pack(lang := lang, nl := nl,
+      |             nt := nt))),
+      |           p -> -(p.nl::DOUBLE / p.nt) * ln(p.nl::DOUBLE / p.nt)))
+      |         AS hl
       |       FROM l CROSS JOIN t),
-      |hs AS (SELECT sum(-(ns::DOUBLE / nt) * ln(ns::DOUBLE / nt)) AS hs
+      |hs AS (SELECT list_sum(list_transform(
+      |           list_sort(list(struct_pack(source := source, ns := ns,
+      |             nt := nt))),
+      |           p -> -(p.ns::DOUBLE / p.nt) * ln(p.ns::DOUBLE / p.nt)))
+      |         AS hs
       |       FROM s CROSS JOIN t)
       |SELECT t.nt AS n_docs, round(mi.mi, 6) AS mi_nats,
       |       round(mi.mi / sqrt(hl.hl * hs.hs), 6) AS nmi

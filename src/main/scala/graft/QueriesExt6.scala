@@ -956,12 +956,25 @@ object QueriesExt6 {
     val pts = spine
       .withColumn("tokens_cum", sum(col("nt")).over(w))
       .withColumn("vocab_cum", sum(col("nv")).over(w))
-      .select(log(col("tokens_cum").cast("double")).as("x"),
-        log(col("vocab_cum").cast("double")).as("y"),
-        col("tokens_cum"), col("vocab_cum"))
-    val ss = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
-      sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"),
+      .select(col("tokens_cum"), col("vocab_cum"))
+    // The OLS sufficient statistics fold left-to-right over the SORTED
+    // ≤10-point spine (tokens_cum is cumulative, hence a strict sort
+    // key) — a partition-order double sum here occasionally lands
+    // round(β, 4) on a .00005 boundary and flips the gate hash between
+    // runs (the r14 verdict's one red row). Same deterministic-fold
+    // idiom as q135 / anovaF; the oracle mirrors it with list_sort +
+    // list_transform + list_sum.
+    def fold(f: Column => Column): Column =
+      aggregate(array_sort(collect_list(struct(col("tokens_cum"),
+        col("vocab_cum")))), lit(0.0d), (acc, p) => acc + f(p))
+    def px(p: Column): Column = log(p.getField("tokens_cum").cast("double"))
+    def py(p: Column): Column = log(p.getField("vocab_cum").cast("double"))
+    val ss = pts.agg(count(lit(1)).as("n"),
+      fold(p => px(p)).as("sx"),
+      fold(p => px(p) * px(p)).as("sxx"),
+      fold(p => py(p)).as("sy"),
+      fold(p => py(p) * py(p)).as("syy"),
+      fold(p => px(p) * py(p)).as("sxy"),
       max(col("tokens_cum")).as("total_tokens"),
       max(col("vocab_cum")).as("total_vocab"))
     val cov = col("n") * col("sxy") - col("sx") * col("sy")
@@ -989,14 +1002,24 @@ object QueriesExt6 {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |           AS vocab_cum
        |       FROM sp),
-       |p AS (SELECT ln(tokens_cum::DOUBLE) AS x, ln(vocab_cum::DOUBLE) AS y,
-       |        tokens_cum, vocab_cum FROM cm),
-       |ss AS (SELECT count(*)::BIGINT AS n, sum(x)::DOUBLE AS sx,
-       |         sum(x * x)::DOUBLE AS sxx, sum(y)::DOUBLE AS sy,
-       |         sum(y * y)::DOUBLE AS syy, sum(x * y)::DOUBLE AS sxy,
+       |ag AS (SELECT list_sort(list(struct_pack(tc := tokens_cum,
+       |                vc := vocab_cum))) AS a,
        |         max(tokens_cum)::BIGINT AS total_tokens,
        |         max(vocab_cum)::BIGINT AS total_vocab
-       |       FROM p)
+       |       FROM cm),
+       |ss AS (SELECT len(a)::BIGINT AS n,
+       |         list_sum(list_transform(a, p -> ln(p.tc::DOUBLE)))
+       |           AS sx,
+       |         list_sum(list_transform(a,
+       |           p -> ln(p.tc::DOUBLE) * ln(p.tc::DOUBLE))) AS sxx,
+       |         list_sum(list_transform(a, p -> ln(p.vc::DOUBLE)))
+       |           AS sy,
+       |         list_sum(list_transform(a,
+       |           p -> ln(p.vc::DOUBLE) * ln(p.vc::DOUBLE))) AS syy,
+       |         list_sum(list_transform(a,
+       |           p -> ln(p.tc::DOUBLE) * ln(p.vc::DOUBLE))) AS sxy,
+       |         total_tokens, total_vocab
+       |       FROM ag)
        |SELECT n AS n_points, total_tokens, total_vocab,
        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
        |         AS heaps_beta,
