@@ -56,7 +56,11 @@ object AuditAll {
     "JoinAudit.scala" -> 1,
     // Harness metric reads: per-ingest upd histogram and the delete
     // leg's repair histogram — each ≤4 rows.
-    "CutMaintScale.scala" -> 2)
+    "CutMaintScale.scala" -> 2,
+    // r15 bucketed-segment layout: (1) the touched-bucket set pushed
+    // into a pruned segment read — ≤ min(|distinct keys|, MaxBuckets
+    // = 4096) ints; (2) the id-contract offender probe — limit(5).
+    "CutReportMaintenance.scala" -> 2)
 
   /** (file → collect() OCCURRENCE count) over src/main/scala, excluding
     * this file (its allowlist literals would self-trip the scan).

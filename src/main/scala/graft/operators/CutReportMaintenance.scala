@@ -113,41 +113,96 @@ object CutReportMaintenance {
   // schemas; now every reader that lacks a Params argument reads the
   // stored truth, and a writer presenting different params fails fast).
 
+  /** On-disk layout version, stamped into `_params` (r14 review: a
+    * state dir written by an OLDER layout was silently misread — old
+    * segment paths never read, old schemas read back as nulls). Bump on
+    * any incompatible change; openers fail fast on a mismatch instead
+    * of serving wrong answers. 2 = r15: layout stamp itself + hash-
+    * bucketed compacted segments (`_nbuckets` dirs). */
+  private val LayoutVersion = 2
+
   private def paramsPath(stateDir: String) =
     java.nio.file.Paths.get(s"$stateDir/_params")
 
   private def writeParams(stateDir: String, p: Params): Unit = {
     val body = Seq(
+      s"layout=$LayoutVersion",
       s"n=${p.n}", s"numHashes=${p.numHashes}", s"bands=${p.bands}",
       s"threshold=${p.threshold}", s"W=${p.W}", s"portable=${p.portable}",
       s"vecBits=${p.vecBits}", s"vecBands=${p.vecBands}",
       s"vecDim=${p.vecDim}", s"vecThreshold=${p.vecThreshold}"
     ).mkString("", "\n", "\n")
-    java.nio.file.Files.write(paramsPath(stateDir), body.getBytes("UTF-8"))
+    // Atomic like the version pointer (r14 review): a crash mid-write
+    // must never leave a truncated _params wedging the dir.
+    val tmp = java.nio.file.Paths.get(s"$stateDir/_params.tmp")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, paramsPath(stateDir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private[operators] def storedParams(stateDir: String): Option[Params] = {
     val f = paramsPath(stateDir)
     if (!java.nio.file.Files.exists(f)) None
     else {
-      val kv = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-        .linesIterator.filter(_.contains("=")).map { l =>
-          val Array(k, v) = l.split("=", 2); (k.trim, v.trim)
-        }.toMap
-      Some(Params(kv("n").toInt, kv("numHashes").toInt, kv("bands").toInt,
+      val kv =
+        try new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          .linesIterator.filter(_.contains("=")).map { l =>
+            val Array(k, v) = l.split("=", 2); (k.trim, v.trim)
+          }.toMap
+        catch { case e: Exception => throw new IllegalStateException(
+          s"malformed _params at $f — repair or rebuild the state dir", e) }
+      val layout = kv.get("layout").map(_.toInt).getOrElse(0)
+      if (layout != LayoutVersion) throw new IllegalStateException(
+        s"state dir layout $layout at $f is not the supported layout " +
+          s"$LayoutVersion — written by a different library version; " +
+          "rebuild the state dir (there is no in-place migration)")
+      try Some(Params(kv("n").toInt, kv("numHashes").toInt, kv("bands").toInt,
         kv("threshold").toDouble, kv("W").toInt, kv("portable").toBoolean,
         kv("vecBits").toInt, kv("vecBands").toInt, kv("vecDim").toInt,
         kv("vecThreshold").toDouble))
+      catch { case e: Exception => throw new IllegalStateException(
+        s"malformed _params at $f (missing or unparsable keys) — " +
+          "repair or rebuild the state dir", e) }
     }
   }
 
-  private def requireOrPersistParams(stateDir: String, p: Params): Unit =
+  /** Fail fast on a state dir written by an unknown layout: committed
+    * state (`_version` present) without a readable, version-stamped
+    * `_params` is a pre-r15 or foreign dir — refusing beats silently
+    * reading it wrong (r14 review). Called by every opener. */
+  private def checkLayout(stateDir: String): Unit =
+    if (currentVersion(stateDir) >= 0) {
+      if (!java.nio.file.Files.exists(paramsPath(stateDir)))
+        throw new IllegalStateException(
+          s"state dir $stateDir has a _version pointer but no _params — " +
+            "written by a pre-params layout; rebuild the state dir")
+      storedParams(stateDir)
+      ()
+    }
+
+  /** State-shaping invariants the hash families silently assume
+    * (r14 review: vecBandedOf truncates vecBits/vecBands, dropping SRP
+    * bucket bits without an error for non-default Params). */
+  private def validateParams(p: Params): Unit = {
+    require(p.bands > 0 && p.numHashes > 0 && p.numHashes % p.bands == 0,
+      s"numHashes=${p.numHashes} must split evenly into bands=${p.bands} " +
+        "(bandKeyColumns slices the signature into equal-width bands)")
+    require(p.vecBands > 0 && p.vecBits > 0 && p.vecBits % p.vecBands == 0,
+      s"vecBits=${p.vecBits} must split evenly into vecBands=${p.vecBands} " +
+        "(vecBandedOf slices the SRP bucket into equal-width bands; a " +
+        "remainder would silently drop the top bits)")
+  }
+
+  private def requireOrPersistParams(stateDir: String, p: Params): Unit = {
+    validateParams(p)
     storedParams(stateDir) match {
       case Some(stored) => require(stored == p,
         s"state at $stateDir was built with $stored; refusing to ingest " +
           s"with mismatched $p — mixed hash families would corrupt every index")
       case None => writeParams(stateDir, p)
     }
+  }
 
   // ---- single-writer guard (r13 review): an exclusive OS file lock for
   // the duration of each ingest/compact. tryLock (never a blocking wait)
@@ -247,16 +302,128 @@ object CutReportMaintenance {
       .collect { case (v, p) if v >= floor && v <= cur => p }
   }
 
+  // ---- hash-bucketed segment layout (r15, the r14 verdict's last
+  // named scale item): [[compact]] rewrites the big index/corpus tables
+  // PARTITIONED by `pb = pmod(xxhash64(key…), B)`, B = rows/target
+  // clamped to [1, MaxBuckets] per segment (recorded in the segment
+  // dir's `_nbuckets` marker). Probes push the batch's touched-bucket
+  // set into the read as a PARTITION filter, so a probe against the
+  // compacted base reads only the files its keys can live in — bytes,
+  // not just rows, stay O(batch keys × bucket size) as the corpus
+  // grows (the CutMaintScale `probe` arm measures exactly this via the
+  // scan metrics). Per-ingest batch segments stay unbucketed: they are
+  // batch-sized and the next compaction folds them into the bucketed
+  // base — the standard LSM read story. At 1000 executors the same pb
+  // column is the co-location key.
+  private val TargetBucketRows = 4096L
+  private val MaxBuckets = 4096
+
+  /** Tables with a stable probe key worth bucketing by. The pair /
+    * mark / tombstone tables are read by several different keys (bucket
+    * keys AND member ids) — bucketing them by one would pessimize the
+    * other, and their live size is bounded by dup density anyway. */
+  private def bucketKey(name: String): Option[Seq[String]] = name match {
+    case "docs" | "vecs" => Some(Seq("doc_id"))
+    case "fp_index" => Some(Seq("fp"))
+    case "band_index" => Some(Seq("band", "bh"))
+    case "hash_index" => Some(Seq("h"))
+    case "vec_index" => Some(Seq("band", "bkey"))
+    case _ => None
+  }
+
+  private def pbCol(keys: Seq[String], b: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(b.toLong)).cast("int")
+
+  private def segBuckets(path: String): Option[Int] = {
+    val f = new java.io.File(s"$path/_nbuckets")
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt)
+    else None
+  }
+
   private def readSegments(spark: SparkSession, stateDir: String, name: String,
-                           schema: StructType): DataFrame = {
+                           schema: StructType): DataFrame =
+    readSegmentsPruned(spark, stateDir, name, schema, None)
+
+  /** Union of the live segments; when `keys` is given (a frame whose
+    * columns are the table's bucket key), each BUCKETED segment is read
+    * with a partition filter on the keys' touched-pb set — collected
+    * bounded (≤ min(|distinct keys|, MaxBuckets) ints; AuditAll-
+    * audited) so the planner prunes FILES, not just rows. Unbucketed
+    * (per-ingest) segments read whole — they are batch-sized. */
+  private def readSegmentsPruned(spark: SparkSession, stateDir: String,
+                                 name: String, schema: StructType,
+                                 keys: Option[DataFrame]): DataFrame = {
     val dirs = liveSegmentDirs(stateDir, name)
     if (dirs.isEmpty) emptyDf(spark, schema)
-    else spark.read.schema(schema).parquet(dirs: _*)
+    else {
+      val tagged = dirs.map(d => (d, segBuckets(d)))
+      val plain = tagged.collect { case (d, None) => d }
+      val plainDf =
+        if (plain.isEmpty) Nil
+        else Seq(spark.read.schema(schema).parquet(plain: _*))
+      val bucketedDfs = tagged.collect { case (d, Some(b)) => (b, d) }
+        .groupBy(_._1).toSeq.map { case (b, ds) =>
+          val base = spark.read
+            .schema(StructType(schema.fields :+ StructField("pb", IntegerType)))
+            .parquet(ds.map(_._2): _*)
+          (keys match {
+            case Some(k) =>
+              val touched = k.select(pbCol(bucketKey(name).get, b).as("pb"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              if (touched.isEmpty) base.filter(lit(false))
+              else base.filter(col("pb").isin(touched: _*))
+            case None => base
+          }).drop("pb")
+        }
+      (plainDf ++ bucketedDfs).reduce(_.unionByName(_))
+    }
   }
 
   private def writeSegment(df: DataFrame, stateDir: String, version: Long,
                            name: String): Unit =
     df.write.mode("overwrite").parquet(s"$stateDir/seg_$name/v$version")
+
+  /** Skip-if-empty write (r14 review): unconditionally landing empty
+    * tombstone/vector segments permanently disabled the
+    * `tombsKnownEmpty` fast path for pure-append workloads and taxed
+    * every read with one segment dir per table per version. Callers
+    * pass frames that are (derived from) eager checkpoints, so the
+    * emptiness probe is a cheap limit-1 job, not a recompute. */
+  private def writeSegmentUnlessEmpty(df: DataFrame, stateDir: String,
+                                      version: Long, name: String): Unit =
+    if (!df.isEmpty) writeSegment(df, stateDir, version, name)
+
+  /** Compaction's writer: the folded table lands hash-bucketed when it
+    * has a bucket key and enough rows to matter (the count doubles as
+    * the skip-if-empty probe; callers checkpoint the fold first so the
+    * count does not recompute it). */
+  private def writeSegmentBucketed(df: DataFrame, stateDir: String,
+                                   version: Long, name: String): Unit =
+    bucketKey(name) match {
+      case None => writeSegmentUnlessEmpty(df, stateDir, version, name)
+      case Some(keys) =>
+        val rows = df.count()
+        // Conf override so tests can force B > 1 on tiny corpora; the
+        // recorded per-segment _nbuckets keeps reads self-describing
+        // whatever the writer's setting was.
+        val target = df.sparkSession.conf
+          .getOption("spark.graft.cutmaint.targetBucketRows")
+          .map(_.toLong).getOrElse(TargetBucketRows)
+        val b = math.min(MaxBuckets.toLong,
+          (rows + target - 1) / target).toInt
+        if (rows == 0L) ()
+        else if (b <= 1) writeSegment(df, stateDir, version, name)
+        else {
+          val dir = s"$stateDir/seg_$name/v$version"
+          df.withColumn("pb", pbCol(keys, b))
+            .repartition(col("pb"))
+            .write.mode("overwrite").partitionBy("pb").parquet(dir)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/_nbuckets"),
+            b.toString.getBytes("UTF-8"))
+        }
+    }
 
   /** Tombstone semantics for the pair tables: a pair row written at
     * version `v` is live iff no tombstone for its bucket carries a
@@ -296,6 +463,7 @@ object CutReportMaintenance {
     * DataFrame handed out before the compaction stays readable). */
   def compact(spark: SparkSession, stateDir: String): Unit =
     withWriterLock(stateDir) {
+      checkLayout(stateDir)
       val curV = currentVersion(stateDir)
       require(curV >= 0, s"nothing to compact at $stateDir")
       val p = storedParams(stateDir).getOrElse(Params())
@@ -305,40 +473,49 @@ object CutReportMaintenance {
       def alive(df: DataFrame, c: String) = aliveBy(df, c, delIds, noDel)
       def rd(name: String) =
         readSegments(spark, stateDir, name, tableSchema(name, p))
+      // Each fold is checkpointed once so the bucketed writer's row
+      // count and the write read it from the block store, not twice
+      // from the old segments.
+      def cp(df: DataFrame) = df.localCheckpoint(true)
       // Content tables union-fold, PURGING deleted docs' rows — the
       // physical half of deletion (deleteDocs is the logical half: a
-      // doc tombstone + repaired survivors). No checkpoint needed: the
-      // merge reads the OLD segment dirs and writes a NEW one.
-      writeSegment(alive(rd("docs"), "doc_id"), stateDir, nextV, "docs")
-      writeSegment(alive(rd("band_index"), "id"), stateDir, nextV, "band_index")
-      writeSegment(alive(rd("vecs"), "doc_id"), stateDir, nextV, "vecs")
-      writeSegment(alive(rd("vec_index"), "id"), stateDir, nextV, "vec_index")
+      // doc tombstone + repaired survivors). The keyed tables land
+      // HASH-BUCKETED so every later probe prunes files (see the
+      // layout comment above TargetBucketRows).
+      writeSegmentBucketed(cp(alive(rd("docs"), "doc_id")),
+        stateDir, nextV, "docs")
+      writeSegmentBucketed(cp(alive(rd("band_index"), "id")),
+        stateDir, nextV, "band_index")
+      writeSegmentBucketed(cp(alive(rd("vecs"), "doc_id")),
+        stateDir, nextV, "vecs")
+      writeSegmentBucketed(cp(alive(rd("vec_index"), "id")),
+        stateDir, nextV, "vec_index")
       // Overlay-latest index tables fold to the latest value per key;
       // dead keys (keeper/first deleted with no survivor) drop — a
       // later ingest simply sees no stored entry, same as null.
-      writeSegment(rd("fp_index").groupBy("fp")
+      writeSegmentBucketed(cp(rd("fp_index").groupBy("fp")
           .agg(max_by(col("keep_id"), col("v")).as("keep_id"))
-          .filter(col("keep_id").isNotNull).withColumn("v", lit(nextV)),
+          .filter(col("keep_id").isNotNull).withColumn("v", lit(nextV))),
         stateDir, nextV, "fp_index")
-      writeSegment(rd("hash_index").groupBy("h")
+      writeSegmentBucketed(cp(rd("hash_index").groupBy("h")
           .agg(max_by(struct(col("id"), col("pos")), col("v")).as("o"))
           .filter(col("o.id").isNotNull)
           .select(col("h"), col("o.id").as("id"), col("o.pos").as("pos"))
-          .withColumn("v", lit(nextV)),
+          .withColumn("v", lit(nextV))),
         stateDir, nextV, "hash_index")
       // Marks fold to their live rows (mark tombstones applied, deleted
       // docs' marks purged); the mark tombstones then fold away.
-      writeSegment(
-        alive(livePairs(rd("marks"), rd("mark_tombs"), "id", "pos",
+      writeSegmentUnlessEmpty(
+        cp(alive(livePairs(rd("marks"), rd("mark_tombs"), "id", "pos",
             tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty),
-          "id").withColumn("v", lit(nextV)),
+          "id").withColumn("v", lit(nextV))),
         stateDir, nextV, "marks")
       Seq(("nd_pairs", "nd_tombs", "bh"), ("vec_pairs", "vec_tombs", "bkey"))
         .foreach { case (pairsName, tombsName, k2) =>
           val live = livePairs(rd(pairsName), rd(tombsName), "band", k2,
             tombsKnownEmpty = liveSegmentDirs(stateDir, tombsName).isEmpty)
-          writeSegment(alive(alive(live, "id_a"), "id_b")
-              .withColumn("v", lit(nextV)),
+          writeSegmentUnlessEmpty(cp(alive(alive(live, "id_a"), "id_b")
+              .withColumn("v", lit(nextV))),
             stateDir, nextV, pairsName)
           // Bucket tombstones fold away entirely: the raised floor hides
           // every old tombstone segment and the folded pairs are all live.
@@ -589,6 +766,7 @@ object CutReportMaintenance {
              p: Params = Params(),
              appliedMarker: Option[(String, Long)] = None): DataFrame =
     withWriterLock(stateDir) {
+      checkLayout(stateDir)
       requireOrPersistParams(stateDir, p)
       ingestLocked(spark, stateDir, batch, p, appliedMarker)
     }
@@ -609,16 +787,48 @@ object CutReportMaintenance {
       .localCheckpoint(true)
     val docsOld = alive(readSegments(spark, stateDir, "docs", docsSchema),
       "doc_id")
+    // Pruned point-reads of the corpus for id-keyed probes: only the
+    // buckets the key set can live in are read (text is the heavy
+    // column — this is where bucketing `docs` pays).
+    def docsByIds(ids: DataFrame) = alive(readSegmentsPruned(spark, stateDir,
+      "docs", docsSchema, Some(ids.select("doc_id"))), "doc_id")
+
+    // ---- id contract (r15, r14 verdict #4): doc_ids are append-only-
+    // unique. A batch that repeats a LIVE id, resurrects a TOMBSTONED
+    // id, or repeats an id within itself would silently corrupt every
+    // index — fail fast instead (a changed document is deleteDocs +
+    // re-ingest under a fresh id). The probe is O(batch keys): one
+    // groupBy over the checkpointed batch plus pruned point-reads of
+    // the docs index and the (small) doc tombstones; the offender
+    // collect is bounded by its limit.
+    val batchIds = bDocs.select("doc_id")
+    val dupInBatch = bDocs.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("doc_id")
+    val tombIds = readSegments(spark, stateDir, "doc_tombs", docTombSchema)
+      .select("doc_id")
+    val offenders = dupInBatch
+      .unionByName(batchIds.join(docsByIds(batchIds).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      .unionByName(batchIds.join(tombIds, Seq("doc_id"), "left_semi"))
+      .limit(5).collect().map(_.getLong(0)).distinct
+    require(offenders.isEmpty,
+      s"doc_id contract violation at $stateDir: ids " +
+        s"${offenders.mkString("[", ", ", "]")} are already ingested, " +
+        "tombstoned, or repeated within the batch — re-ingesting an " +
+        "existing or deleted id would silently corrupt the indexes; " +
+        "update = deleteDocs + re-ingest under a FRESH id")
 
     // ---- exact tier: merge the batch's per-fp minimum into the index.
     // The stored index is overlay-latest (fp, keep_id, v); each ingest
     // writes the MERGED keeper for the batch's fps — and only the
     // BATCH's fps are ever aggregated here (r14: the old full-keyspace
     // merge materialized O(corpus) rows per ingest).
-    val fpSegs = readSegments(spark, stateDir, "fp_index", fpSchema)
     val bFpMin = bDocs.groupBy("fp").agg(min("doc_id").as("bmin"))
       .localCheckpoint(true)
-    val fpOldB = fpSegs.join(bFpMin.select("fp"), Seq("fp"))
+    // Probe reads prune the bucketed base by the batch's key set.
+    def fpSegsFor(keys: DataFrame) = readSegmentsPruned(spark, stateDir,
+      "fp_index", fpSchema, Some(keys.select("fp")))
+    val fpOldB = fpSegsFor(bFpMin).join(bFpMin.select("fp"), Seq("fp"))
       .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("old_keep"))
       .filter(col("old_keep").isNotNull)
     // Old docs whose keeper the batch undercut — their ex_dup_of moves.
@@ -632,25 +842,29 @@ object CutReportMaintenance {
     // ---- near-dup tier: affected buckets re-star; their old pairs
     // retract via a tombstone row, everything else stays untouched on
     // disk (r14: the old path re-read and re-wrote the WHOLE pair set).
-    val bandOld = alive(
-      readSegments(spark, stateDir, "band_index", bandSchema(p.portable)), "id")
+    val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
+      .localCheckpoint(true)
+    val bandB = bandedOf(bSh, p).localCheckpoint(true)
+    // The stored band index is read pruned to the batch's bucket set —
+    // bucketCandidates only ever joins it against subsets of bandB's
+    // (band, bh) keys.
+    val bandOld = alive(readSegmentsPruned(spark, stateDir, "band_index",
+      bandSchema(p.portable), Some(bandB.select("band", "bh"))), "id")
     val pairSegsOld = alive(alive(
       readSegments(spark, stateDir, "nd_pairs", pairSchemaV(p.portable)),
       "id_a"), "id_b")
     val ndTombsOld = readSegments(spark, stateDir, "nd_tombs", ndTombSchema(p.portable))
     val ndTombsEmpty = liveSegmentDirs(stateDir, "nd_tombs").isEmpty
     val pairsOldLive = livePairs(pairSegsOld, ndTombsOld, "band", "bh", ndTombsEmpty)
-    val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
-      .localCheckpoint(true)
-    val bandB = bandedOf(bSh, p).localCheckpoint(true)
     val (cand, ndRetractB) = bucketCandidates(bandOld, bandB, "bh", Seq("n_sh"))
     // Shingles for verification — only the docs the candidates actually
     // touch (stable-bucket owners + changed-bucket members + batch),
-    // re-shingled from the stored corpus.
+    // re-shingled from the stored corpus via an id-pruned point-read.
     val memberIds = cand.select(col("id_a").as("doc_id"))
       .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
     val oldMemberSh = DedupFunctions.shingledDocs(
-      docsOld.join(memberIds, Seq("doc_id")), "text", "doc_id", p.n)
+      docsByIds(memberIds).join(memberIds, Seq("doc_id")),
+      "text", "doc_id", p.n)
     val allSh = bSh.unionByName(oldMemberSh).localCheckpoint(true)
     // Verify each DISTINCT pair once (a pair can surface from several
     // buckets), then fan the verdict back onto the bucket-provenance
@@ -690,10 +904,6 @@ object CutReportMaintenance {
         .select(col("doc_id"), col("emb"), Similarity.l2Norm(col("emb")).as("nrm"))
         .localCheckpoint(true)
       else emptyDf(spark, vecsSchema)
-    val vecSegs = alive(readSegments(spark, stateDir, "vecs", vecsSchema),
-      "doc_id")
-    val vecIdxOld = alive(
-      readSegments(spark, stateDir, "vec_index", vecIndexSchema), "id")
     val vecPairSegsOld = alive(alive(
       readSegments(spark, stateDir, "vec_pairs", vecPairSchemaV),
       "id_a"), "id_b")
@@ -702,9 +912,13 @@ object CutReportMaintenance {
     val vecPairsOldLive = livePairs(vecPairSegsOld, vecTombsOld, "band", "bkey",
       vecTombsEmpty)
     val bandVB = vecBandedOf(bVecs, p, planes).localCheckpoint(true)
+    val vecIdxOld = alive(readSegmentsPruned(spark, stateDir, "vec_index",
+      vecIndexSchema, Some(bandVB.select("band", "bkey"))), "id")
     val (vCand, vRetractB) = bucketCandidates(vecIdxOld, bandVB, "bkey", Nil)
     val vIds = vCand.select(col("id_a").as("doc_id"))
       .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
+    val vecSegs = alive(readSegmentsPruned(spark, stateDir, "vecs",
+      vecsSchema, Some(vIds)), "doc_id")
     val vecsForVerify = vecSegs.join(vIds, Seq("doc_id"))
       .unionByName(bVecs.join(vIds, Seq("doc_id"))).localCheckpoint(true)
     val vVerified = vCand.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
@@ -730,7 +944,6 @@ object CutReportMaintenance {
     // index is overlay-latest (h → first (id, pos), v), merged here for
     // the BATCH's hashes only (the only ones marks can move on). Marks
     // are versioned against the mark tombstones deleteDocs writes.
-    val hashSegs = readSegments(spark, stateDir, "hash_index", hashSchema)
     val marksSegs = alive(livePairs(
       readSegments(spark, stateDir, "marks", marksSchema),
       readSegments(spark, stateDir, "mark_tombs", markTombSchema),
@@ -742,7 +955,9 @@ object CutReportMaintenance {
       .localCheckpoint(true)
     val occ = struct(col("id"), col("pos"))
     val bFirst = bH.groupBy("h").agg(min(occ).as("bf")).localCheckpoint(true)
-    val oldFirstB = hashSegs.select(col("h"), occ.as("o"), col("v"))
+    val oldFirstB = readSegmentsPruned(spark, stateDir, "hash_index",
+        hashSchema, Some(bFirst.select("h")))
+      .select(col("h"), occ.as("o"), col("v"))
       .join(bFirst.select("h"), Seq("h"))
       .groupBy("h").agg(max_by(col("o"), col("v")).as("of0"))
       .select(col("h"), when(col("of0.id").isNotNull, col("of0")).as("of"))
@@ -766,14 +981,14 @@ object CutReportMaintenance {
       .unionByName(exTouched).unionByName(ndTouched)
       .unionByName(vecTouched).unionByName(ssTouched)
       .distinct().localCheckpoint(true)
-    val tDocs = docsOld.select("doc_id", "fp", "n_tokens")
+    val tDocs = docsByIds(touched).select("doc_id", "fp", "n_tokens")
       .unionByName(bDocs.select("doc_id", "fp", "n_tokens"))
       .join(touched, Seq("doc_id"))
       .localCheckpoint(true)
     // Exact keeper for the touched docs' fps: the stored latest value
     // for exactly those fps, merged with the batch minima.
     val tFps = tDocs.select("fp").distinct()
-    val fpOldT = fpSegs.join(tFps, Seq("fp"))
+    val fpOldT = fpSegsFor(tFps).join(tFps, Seq("fp"))
       .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
     val keepT = tFps.join(fpOldT, Seq("fp"), "left")
       .join(bFpMin, Seq("fp"), "left")
@@ -839,18 +1054,23 @@ object CutReportMaintenance {
     // write below is O(batch + touched state), never O(corpus). A crash
     // anywhere before commitVersion leaves v<cur> intact and the
     // redelivered batch overwrites the orphans.
+    // Known-empty segments are SKIPPED (r14 review): landing empty
+    // tombstone/vector segments permanently disabled the
+    // tombsKnownEmpty fast path for pure-append workloads and added a
+    // per-version read tax; the emptiness probes run against (frames
+    // trivially derived from) the eager checkpoints above.
     writeSegment(bDocs, stateDir, nextV, "docs")
     writeSegment(fpWriteSeg, stateDir, nextV, "fp_index")
-    writeSegment(bandB, stateDir, nextV, "band_index")
-    writeSegment(pairsNewSeg, stateDir, nextV, "nd_pairs")
-    writeSegment(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
-    writeSegment(bVecs, stateDir, nextV, "vecs")
-    writeSegment(bandVB, stateDir, nextV, "vec_index")
-    writeSegment(vPairsNewSeg, stateDir, nextV, "vec_pairs")
-    writeSegment(vTombsNewSeg, stateDir, nextV, "vec_tombs")
+    writeSegmentUnlessEmpty(bandB, stateDir, nextV, "band_index")
+    writeSegmentUnlessEmpty(pairsNewSeg, stateDir, nextV, "nd_pairs")
+    writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
+    writeSegmentUnlessEmpty(bVecs, stateDir, nextV, "vecs")
+    writeSegmentUnlessEmpty(bandVB, stateDir, nextV, "vec_index")
+    writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV, "vec_pairs")
+    writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV, "vec_tombs")
     writeSegment(firstMerged.select(col("h"), col("cf.id").as("id"),
       col("cf.pos").as("pos"), lit(nextV).as("v")), stateDir, nextV, "hash_index")
-    writeSegment(marksAdded, stateDir, nextV, "marks")
+    writeSegmentUnlessEmpty(marksAdded, stateDir, nextV, "marks")
     writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
       col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV, "report")
     writeMarkers(stateDir, curV, nextV, appliedMarker)
@@ -892,8 +1112,10 @@ object CutReportMaintenance {
     * Returns the repaired survivor rows (`upd` = changed/same) plus one
     * row per deleted id (`tier` = `deleted`, `upd` = `deleted`). */
   def deleteDocs(spark: SparkSession, stateDir: String,
-                 ids: DataFrame, p: Params = Params()): DataFrame =
+                 ids: DataFrame, p: Params = Params(),
+                 appliedMarker: Option[(String, Long)] = None): DataFrame =
     withWriterLock(stateDir) {
+      checkLayout(stateDir)
       requireOrPersistParams(stateDir, p)
       val curV = currentVersion(stateDir)
       require(curV >= 0, s"nothing to delete from at $stateDir")
@@ -907,13 +1129,21 @@ object CutReportMaintenance {
         aliveBy(df, c, del, noDel = false)
       val docsLive = aliveOld(
         readSegments(spark, stateDir, "docs", docsSchema), "doc_id")
-      val dDocs = docsLive.join(del, Seq("doc_id")).localCheckpoint(true)
+      // Id-pruned corpus point-reads (the bucketed base reads only the
+      // key set's files; the fp-keyed survAff join below still needs
+      // the full doc_id+fp projection, which never reads text).
+      def docsLiveByIds(keys: DataFrame) = aliveOld(
+        readSegmentsPruned(spark, stateDir, "docs", docsSchema,
+          Some(keys.select("doc_id"))), "doc_id")
+      val dDocs = docsLiveByIds(del).join(del, Seq("doc_id"))
+        .localCheckpoint(true)
       val survDocs = surv(docsLive, "doc_id")
 
       // ---- exact tier: only fps whose stored keeper dies need repair.
-      val fpSegs = readSegments(spark, stateDir, "fp_index", fpSchema)
+      def fpSegsFor(keys: DataFrame) = readSegmentsPruned(spark, stateDir,
+        "fp_index", fpSchema, Some(keys.select("fp")))
       val dFps = dDocs.select("fp").distinct()
-      val affFps = fpSegs.join(dFps, Seq("fp"))
+      val affFps = fpSegsFor(dFps).join(dFps, Seq("fp"))
         .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
         .join(del.select(col("doc_id").as("okeep")), Seq("okeep"))
         .select("fp").localCheckpoint(true)
@@ -957,7 +1187,8 @@ object CutReportMaintenance {
       val ndMemberIds = ndCand.select(col("id_a").as("doc_id"))
         .unionByName(ndCand.select(col("id_b").as("doc_id"))).distinct()
       val ndSh = DedupFunctions.shingledDocs(
-        survDocs.join(ndMemberIds, Seq("doc_id")), "text", "doc_id", p.n)
+        surv(docsLiveByIds(ndMemberIds), "doc_id")
+          .join(ndMemberIds, Seq("doc_id")), "text", "doc_id", p.n)
         .localCheckpoint(true)
       val ndVerified = ndCand
         .select(col("id_a"), col("id_b"), col("n_sh_a"), col("n_sh_b"))
@@ -981,8 +1212,6 @@ object CutReportMaintenance {
         .unionByName(ndPairsNewSeg.select(col("id_b").as("doc_id")))
 
       // ---- embedding tier: same shape over the SRP index.
-      val vecsLive = aliveOld(
-        readSegments(spark, stateDir, "vecs", vecsSchema), "doc_id")
       val vecIdxLive = aliveOld(
         readSegments(spark, stateDir, "vec_index", vecIndexSchema), "id")
       val vecPairSegsOld = aliveOld(aliveOld(readSegments(spark, stateDir,
@@ -1000,7 +1229,9 @@ object CutReportMaintenance {
         .localCheckpoint(true)
       val vMemberIds = vCand.select(col("id_a").as("doc_id"))
         .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
-      val vVecs = surv(vecsLive, "doc_id").join(vMemberIds, Seq("doc_id"))
+      val vVecs = surv(aliveOld(readSegmentsPruned(spark, stateDir, "vecs",
+          vecsSchema, Some(vMemberIds.select("doc_id"))), "doc_id"), "doc_id")
+        .join(vMemberIds, Seq("doc_id"))
         .localCheckpoint(true)
       val vVerified = vCand.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
         .join(vVecs.select(col("doc_id").as("id_a"),
@@ -1054,10 +1285,11 @@ object CutReportMaintenance {
       // ---- re-assemble the report for the touched survivors.
       val touched = exTouched.unionByName(ndTouched).unionByName(vecTouched)
         .unionByName(ssTouched).distinct().localCheckpoint(true)
-      val tDocs = survDocs.select("doc_id", "fp", "n_tokens")
+      val tDocs = surv(docsLiveByIds(touched), "doc_id")
+        .select("doc_id", "fp", "n_tokens")
         .join(touched, Seq("doc_id")).localCheckpoint(true)
       val tFps = tDocs.select("fp").distinct()
-      val keepStored = fpSegs.join(tFps, Seq("fp"))
+      val keepStored = fpSegsFor(tFps).join(tFps, Seq("fp"))
         .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
       // Affected fps take this delete's recomputed keeper (a null there
       // means no survivor carries the fp — impossible for a touched
@@ -1122,18 +1354,19 @@ object CutReportMaintenance {
           lit("deleted").as("upd")))
         .localCheckpoint(true)
 
-      // ---- land the delete's segments (all O(deleted + touched)).
-      writeSegment(fpWriteSeg, stateDir, nextV, "fp_index")
-      writeSegment(ndPairsNewSeg, stateDir, nextV, "nd_pairs")
-      writeSegment(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
-      writeSegment(vPairsNewSeg, stateDir, nextV, "vec_pairs")
-      writeSegment(vTombsNewSeg, stateDir, nextV, "vec_tombs")
-      writeSegment(hashWriteSeg, stateDir, nextV, "hash_index")
-      writeSegment(markTombsNewSeg, stateDir, nextV, "mark_tombs")
+      // ---- land the delete's segments (all O(deleted + touched));
+      // known-empty ones are skipped like ingest's (r14 review).
+      writeSegmentUnlessEmpty(fpWriteSeg, stateDir, nextV, "fp_index")
+      writeSegmentUnlessEmpty(ndPairsNewSeg, stateDir, nextV, "nd_pairs")
+      writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
+      writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV, "vec_pairs")
+      writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV, "vec_tombs")
+      writeSegmentUnlessEmpty(hashWriteSeg, stateDir, nextV, "hash_index")
+      writeSegmentUnlessEmpty(markTombsNewSeg, stateDir, nextV, "mark_tombs")
       writeSegment(del.withColumn("v", lit(nextV)), stateDir, nextV, "doc_tombs")
       writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
         col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV, "report")
-      writeMarkers(stateDir, curV, nextV, None)
+      writeMarkers(stateDir, curV, nextV, appliedMarker)
       commitVersion(stateDir, nextV)
       out
     }
@@ -1162,8 +1395,10 @@ object CutReportMaintenance {
     * frame reads committed segments lazily — consume it before the
     * SECOND subsequent [[compact]] (ingests never delete segments;
     * compaction defers its GC one generation). */
-  def report(spark: SparkSession, stateDir: String): DataFrame =
+  def report(spark: SparkSession, stateDir: String): DataFrame = {
+    checkLayout(stateDir)
     foldReport(spark, stateDir)
+  }
 
   /** The curated corpus the maintained state SERVES — the q296
     * span-complement reconstruction executed over the stored marks:
@@ -1175,6 +1410,7 @@ object CutReportMaintenance {
     * the stored corpus scan; the reconstruction is a narrow
     * higher-order projection — TEXT never shuffles. */
   def curatedCorpus(spark: SparkSession, stateDir: String): DataFrame = {
+    checkLayout(stateDir)
     val p = storedParams(stateDir).getOrElse(Params())
     val kept = report(spark, stateDir)
       .filter(!col("tier").isin("exact", "neardup", "embdup"))
@@ -1221,6 +1457,7 @@ object CutReportMaintenance {
     * per ingest. */
   def verifyAgainstReplay(spark: SparkSession, stateDir: String,
                           p: Params = Params()): DataFrame = {
+    checkLayout(stateDir)
     val (delIds, noDel) = deletedIds(spark, stateDir)
     val corpus = aliveBy(readSegments(spark, stateDir, "docs", docsSchema),
         "doc_id", delIds, noDel)
@@ -1327,6 +1564,37 @@ object CutReportMaintenance {
                        batchId: Long) =>
         if (batchId > appliedBatch(stateDir, streamId)) {
           ingest(batch.sparkSession, stateDir, batch.toDF(), p,
+            appliedMarker = Some((streamId, batchId)))
+          ()
+        }
+      }
+  }
+
+  /** The TAKEDOWN stream surface (r14 verdict #5) — [[streamWriter]]'s
+    * twin for a deletion feed: every micro-batch of ids is one
+    * [[deleteDocs]], under the same exactly-once-ish discipline (the
+    * applied-batch marker commits atomically with the state version, a
+    * replayed batch is skipped, the writer lock serializes against any
+    * concurrent ingest stream — interleaved ingest/delete streams
+    * converge to the batch replay over the survivors, which the spec
+    * pins via [[verifyAgainstReplay]]). Use a DISTINCT `streamId` from
+    * every ingest lineage feeding the same state dir — markers are per
+    * lineage. A deleted id arriving again in a later batch is a no-op
+    * (deletion is idempotent per id), so an at-least-once deletion feed
+    * needs no dedup upstream. */
+  def deleteStreamWriter(ids: DataFrame, stateDir: String, idCol: String,
+                         p: Params = Params(),
+                         streamId: String = "deletes")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.nonEmpty && streamId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"streamId '$streamId' must be a filesystem-safe token")
+    ids.select(col(idCol).as("doc_id"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (batchId > appliedBatch(stateDir, streamId)) {
+          deleteDocs(batch.sparkSession, stateDir, batch.toDF(), p,
             appliedMarker = Some((streamId, batchId)))
           ()
         }

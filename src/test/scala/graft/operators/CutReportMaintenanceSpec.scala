@@ -418,6 +418,210 @@ class CutReportMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("maintained cut report: hash-bucketed compaction — every keyed table multi-bucket, pruned probes, convergence intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-b").toString
+    try {
+      // Force B > 1 on the tiny corpus so docs/fp_index bucket too (at
+      // the default target only the window-hash tables are big enough).
+      spark.conf.set("spark.graft.cutmaint.targetBucketRows", "8")
+      try {
+        val corpus = plantedCorpus.localCheckpoint(true)
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id") % 3 === 1))
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id") % 3 === 2))
+        CutReportMaintenance.compact(spark, dir)
+        def buckets(name: String): Seq[Int] =
+          Option(new java.io.File(s"$dir/seg_$name").listFiles()).toSeq.flatten
+            .filter(_.isDirectory)
+            .map(d => new java.io.File(d, "_nbuckets"))
+            .filter(_.exists())
+            .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath),
+              "UTF-8").trim.toInt)
+        Seq("docs", "fp_index", "band_index", "hash_index").foreach { t =>
+          assert(buckets(t).exists(_ > 1),
+            s"$t compacted segment must be hash-bucketed (got ${buckets(t)})")
+        }
+        // A backfill ingest now probes the bucketed base through the
+        // partition-pruned reads; convergence and the replay audit must
+        // hold exactly as over plain segments.
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id") % 3 === 0))
+        val maintained = CutReportMaintenance.report(spark, dir)
+          .as[(Long, String, Option[Long], Long)].collect().toSet
+        val batch = graft.QueriesExt11.cutReportOf(corpus)
+          .as[(Long, String, Option[Long], Long)].collect().toSet
+        assert(maintained == batch,
+          s"bucketed-base convergence broke; " +
+            s"extra=${(maintained -- batch).take(5)} " +
+            s"missing=${(batch -- maintained).take(5)}")
+        assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+        // Second compaction folds bucketed + plain segments together.
+        CutReportMaintenance.compact(spark, dir)
+        assert(CutReportMaintenance.report(spark, dir)
+          .as[(Long, String, Option[Long], Long)].collect().toSet == batch)
+      } finally spark.conf.unset("spark.graft.cutmaint.targetBucketRows")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("maintained cut report: the doc_id contract fails fast — live, tombstoned, and in-batch-repeated ids are refused without touching state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-c").toString
+    try {
+      val corpus = plantedCorpus.filter(col("doc_id") < 40).localCheckpoint(true)
+      CutReportMaintenance.ingest(spark, dir, corpus)
+      def version(): String = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_version")), "UTF-8").trim
+      val v0 = version()
+      val before = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      // Re-ingesting LIVE ids must fail fast, naming the offenders.
+      val e1 = intercept[IllegalArgumentException] {
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id").isin(1L, 2L)))
+      }
+      assert(e1.getMessage.contains("contract"))
+      // An id repeated WITHIN one batch must fail too.
+      intercept[IllegalArgumentException] {
+        CutReportMaintenance.ingest(spark, dir,
+          Seq((990001L, "some body"), (990001L, "another body"))
+            .toDF("doc_id", "text"))
+      }
+      // A TOMBSTONED id must not resurrect before compaction purges it.
+      CutReportMaintenance.deleteDocs(spark, dir, Seq(3L).toDF("doc_id"))
+      intercept[IllegalArgumentException] {
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id") === 3L))
+      }
+      // The failed ingests left no trace: the version pointer moved only
+      // for the delete, and the report is exactly the pre-delete rows
+      // minus doc 3 (every failure aborted before any segment landed).
+      assert(version().toLong == v0.toLong + 1,
+        "failed ingests must not advance the version pointer")
+      val after = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      assert(after.map(_._1) == before.map(_._1) - 3L)
+      // After compaction physically purges the tombstone, no stale
+      // state references the id — re-using it is a fresh ingest again.
+      CutReportMaintenance.compact(spark, dir)
+      CutReportMaintenance.ingest(spark, dir,
+        corpus.filter(col("doc_id") === 3L))
+      assert(CutReportMaintenance.report(spark, dir).count() == before.size)
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("maintained cut report: takedown stream — interleaved ingest/delete streams converge to the replay over survivors; a replayed delete batch is skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-ds").toString
+    try {
+      val corpus = plantedCorpus.as[(Long, String)].collect().toSeq
+      val ing = MemoryStream[(Long, String)]
+      val qi = CutReportMaintenance.streamWriter(
+          ing.toDF().toDF("doc_id", "text"), dir, "doc_id", "text")
+        .option("checkpointLocation", s"$dir/_ckpt_i")
+        .start()
+      val dels = MemoryStream[Long]
+      val qd = CutReportMaintenance.deleteStreamWriter(
+          dels.toDF(), dir, "value", streamId = "takedown")
+        .option("checkpointLocation", s"$dir/_ckpt_d")
+        .start()
+      // Interleave: ingest %3=1, delete the planted ids 10/25, ingest
+      // %3=2 (re-roots around the holes), delete 7, backfill %3=0 (doc
+      // 0 undercuts the post-delete firsts again).
+      ing.addData(corpus.filter(_._1 % 3 == 1)); qi.processAllAvailable()
+      dels.addData(Seq(10L, 25L)); qd.processAllAvailable()
+      ing.addData(corpus.filter(_._1 % 3 == 2)); qi.processAllAvailable()
+      dels.addData(Seq(7L)); qd.processAllAvailable()
+      ing.addData(corpus.filter(_._1 % 3 == 0)); qi.processAllAvailable()
+      qi.stop(); qd.stop()
+      val deleted = Set(10L, 25L, 7L)
+      val surviving = plantedCorpus
+        .filter(!col("doc_id").isin(deleted.toSeq.map(Long.box): _*))
+        .localCheckpoint(true)
+      val maintained = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      val batch = graft.QueriesExt11.cutReportOf(surviving)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      assert(maintained == batch,
+        s"interleaved ingest/delete streams must converge; " +
+          s"extra=${(maintained -- batch).take(5)} " +
+          s"missing=${(batch -- maintained).take(5)}")
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      // Replay protection on the DELETE lineage: a fresh checkpoint
+      // with the same streamId redelivers batchId 0 — the marker must
+      // skip it entirely (no new state version, same report).
+      def version(): Long = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_version")), "UTF-8").trim.toLong
+      val v0 = version()
+      val dels2 = MemoryStream[Long]
+      val qd2 = CutReportMaintenance.deleteStreamWriter(
+          dels2.toDF(), dir, "value", streamId = "takedown")
+        .option("checkpointLocation", s"$dir/_ckpt_d2")
+        .start()
+      dels2.addData(Seq(10L, 25L)) // batchId 0 <= marker 1
+      qd2.processAllAvailable()
+      qd2.stop()
+      assert(version() == v0, "a redelivered delete batchId must be skipped")
+      assert(CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet == batch)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("maintained cut report: a pre-r15 or foreign state-dir layout is refused, not misread") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-l").toString
+    try {
+      // Committed state without _params = pre-params layout.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_version"), "0".getBytes("UTF-8"))
+      val e1 = intercept[IllegalStateException] {
+        CutReportMaintenance.report(spark, dir)
+      }
+      assert(e1.getMessage.contains("_params"))
+      // _params without a layout stamp (the r14 on-disk shape).
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_params"),
+        "n=2\nnumHashes=32\nbands=16\nthreshold=0.05\nW=20\nportable=true\nvecBits=8\nvecBands=2\nvecDim=64\nvecThreshold=0.9\n"
+          .getBytes("UTF-8"))
+      val e2 = intercept[IllegalStateException] {
+        CutReportMaintenance.ingest(spark, dir,
+          Seq((1L, "a body")).toDF("doc_id", "text"))
+      }
+      assert(e2.getMessage.contains("layout"))
+      // Invalid state-shaping params are refused up front.
+      val e3 = intercept[IllegalArgumentException] {
+        CutReportMaintenance.ingest(spark,
+          java.nio.file.Files.createTempDirectory("graft-cutmaint-l2").toString,
+          Seq((1L, "a body")).toDF("doc_id", "text"),
+          CutReportMaintenance.Params(vecBits = 9, vecBands = 2))
+      }
+      assert(e3.getMessage.contains("vecBits"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("maintained cut report: single full-corpus ingest equals the batch replay (degenerate base case)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint1").toString
     try {
