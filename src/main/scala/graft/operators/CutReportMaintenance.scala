@@ -315,8 +315,14 @@ object CutReportMaintenance {
   // batch-sized and the next compaction folds them into the bucketed
   // base — the standard LSM read story. At 1000 executors the same pb
   // column is the co-location key.
+  // Default bucket size trades probe pruning against file count: a
+  // production deployment sizes B for ~100 MB bucket files (at 100 TB
+  // the hash index lands on ~10⁶ buckets and any sane batch's key set
+  // touches a vanishing fraction); locally the conf override
+  // `spark.graft.cutmaint.targetBucketRows` lets the harness pick a B
+  // large enough for pruning to be measurable at test corpus sizes.
   private val TargetBucketRows = 4096L
-  private val MaxBuckets = 4096
+  private val MaxBuckets = 32768
 
   /** Tables with a stable probe key worth bucketing by. The pair /
     * mark / tombstone tables are read by several different keys (bucket
@@ -328,6 +334,12 @@ object CutReportMaintenance {
     case "band_index" => Some(Seq("band", "bh"))
     case "hash_index" => Some(Seq("h"))
     case "vec_index" => Some(Seq("band", "bkey"))
+    // marks/report are read per-ingest restricted to the TOUCHED ids
+    // (liveness of a marks row is (id, pos)-local, so an id-pruned
+    // read composes with the tombstone fold); full folds (report(),
+    // curatedCorpus, deletion's h-keyed sweep) read them whole.
+    case "marks" => Some(Seq("id"))
+    case "report" => Some(Seq("doc_id"))
     case _ => None
   }
 
@@ -505,7 +517,7 @@ object CutReportMaintenance {
         stateDir, nextV, "hash_index")
       // Marks fold to their live rows (mark tombstones applied, deleted
       // docs' marks purged); the mark tombstones then fold away.
-      writeSegmentUnlessEmpty(
+      writeSegmentBucketed(
         cp(alive(livePairs(rd("marks"), rd("mark_tombs"), "id", "pos",
             tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty),
           "id").withColumn("v", lit(nextV))),
@@ -524,7 +536,8 @@ object CutReportMaintenance {
       // 'deleted' drop here (foldReport filters them), completing the
       // purge — doc tombstones write NOTHING at the new floor, so after
       // this commit the deletion filter is a no-op again.
-      writeSegment(foldReport(spark, stateDir).withColumn("v", lit(nextV)),
+      writeSegmentBucketed(
+        cp(foldReport(spark, stateDir).withColumn("v", lit(nextV))),
         stateDir, nextV, "report")
       writeMarkers(stateDir, curV, nextV, None)
       java.nio.file.Files.write(
@@ -944,11 +957,6 @@ object CutReportMaintenance {
     // index is overlay-latest (h → first (id, pos), v), merged here for
     // the BATCH's hashes only (the only ones marks can move on). Marks
     // are versioned against the mark tombstones deleteDocs writes.
-    val marksSegs = alive(livePairs(
-      readSegments(spark, stateDir, "marks", marksSchema),
-      readSegments(spark, stateDir, "mark_tombs", markTombSchema),
-      "id", "pos",
-      tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty), "id")
     val bH = ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
       .select(col("id").cast("long").as("id"), col("pos").cast("long").as("pos"),
         col("h"))
@@ -1003,6 +1011,15 @@ object CutReportMaintenance {
       .join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
       .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("emb_dup_of"))
     val touchedIds = touched.select(col("doc_id").as("id"))
+    // Stored marks restricted to the touched ids — an id-pruned read
+    // (mark liveness is (id, pos)-local, so pruning composes with the
+    // tombstone fold).
+    val marksSegs = alive(livePairs(
+      readSegmentsPruned(spark, stateDir, "marks", marksSchema,
+        Some(touchedIds)),
+      readSegments(spark, stateDir, "mark_tombs", markTombSchema),
+      "id", "pos",
+      tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty), "id")
     val marksT = marksSegs.join(touchedIds, Seq("id"))
       .unionByName(marksAdded.join(touchedIds, Seq("id")))
     val ssTrim = ExactSubstrings.mergeMarks(
@@ -1033,7 +1050,8 @@ object CutReportMaintenance {
     // latest-version-wins across segments. The prior dispositions for
     // the `upd` column come from the same fold restricted to the
     // touched ids — never the whole report.
-    val reportSegsOld = readSegments(spark, stateDir, "report", reportSchemaV)
+    val reportSegsOld = readSegmentsPruned(spark, stateDir, "report",
+      reportSchemaV, Some(touched))
     val reportOldT = reportSegsOld.join(touched, Seq("doc_id"))
       .groupBy("doc_id")
       .agg(max_by(struct(col("tier"), col("dup_of"), col("cut_tokens")),
@@ -1335,7 +1353,8 @@ object CutReportMaintenance {
             .when(col("substr_tokens").isNotNull, col("substr_tokens"))
             .otherwise(lit(0L)).cast("long").as("cut_tokens"))
         .localCheckpoint(true)
-      val reportSegsOld = readSegments(spark, stateDir, "report", reportSchemaV)
+      val reportSegsOld = readSegmentsPruned(spark, stateDir, "report",
+        reportSchemaV, Some(touched))
       val reportOldT = reportSegsOld.join(touched, Seq("doc_id"))
         .groupBy("doc_id")
         .agg(max_by(struct(col("tier"), col("dup_of"), col("cut_tokens")),
@@ -1379,9 +1398,9 @@ object CutReportMaintenance {
     else if (dirs.size == 1)
       // One live segment (fresh state or just-compacted): its doc_ids
       // are unique by construction — skip the fold entirely.
-      spark.read.schema(reportSchemaV).parquet(dirs.head).drop("v")
+      readSegments(spark, stateDir, "report", reportSchemaV).drop("v")
         .filter(col("tier") =!= "deleted")
-    else spark.read.schema(reportSchemaV).parquet(dirs: _*)
+    else readSegments(spark, stateDir, "report", reportSchemaV)
       .groupBy("doc_id")
       .agg(max_by(struct(col("tier"), col("dup_of"), col("cut_tokens")),
         col("v")).as("r"))
