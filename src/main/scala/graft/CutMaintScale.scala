@@ -167,14 +167,19 @@ object CutMaintScale {
             }
           }
         })
-      // The listener bus is async: wait for the counters to settle
-      // before reading/resetting them around each timed leg.
+      // The listener bus is async and can lag by more than one poll
+      // under heavy event volume (at sf1 a single 150 ms-quiet check
+      // attributed each leg's reads to the NEXT leg — legs printed 0
+      // then four identical values). Require a sustained quiet window:
+      // counters unchanged across 6 consecutive 250 ms polls.
       def settled(): (Long, Long) = {
-        var last = (-1L, -1L)
         var cur = (inRec.get, inBytes.get)
+        var stable = 0
         var tries = 0
-        while (cur != last && tries < 30) {
-          last = cur; Thread.sleep(150); cur = (inRec.get, inBytes.get)
+        while (stable < 6 && tries < 240) {
+          Thread.sleep(250)
+          val next = (inRec.get, inBytes.get)
+          if (next == cur) stable += 1 else { stable = 0; cur = next }
           tries += 1
         }
         cur
