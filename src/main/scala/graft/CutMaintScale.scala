@@ -186,25 +186,33 @@ object CutMaintScale {
       }
       val probeDir = s"$root/probe"
       val probeLegsN = 5
-      // Small fixed legs (capped so the span fits the 5% id gap between
-      // seed ranges — the id contract fails fast on any overlap; it
-      // caught exactly this at small sf) against a base bucketed at
-      // B ≈ 8k: pruning is only measurable when the probe's key set is
-      // comfortably below the bucket count, so the harness sizes BOTH.
-      // rows/bucket stays CONSTANT as the base grows (B grows instead)
-      // — that is the invariant that keeps probe reads flat, and the
-      // production tuning is the same with B sized for ~100 MB files.
-      val probeSize = math.max(1L, math.min(40L, maxId / 250L))
       val corpusDocs = corpus.count()
+      // Small fixed legs (capped so the span fits the 5% RANK gap
+      // between seed ranges — the id contract fails fast on any
+      // overlap) against a base bucketed at B ≈ 8k: pruning is only
+      // measurable when the probe's key set is comfortably below the
+      // bucket count, so the harness sizes BOTH. rows/bucket stays
+      // CONSTANT as the base grows (B grows instead) — that is the
+      // invariant that keeps probe reads flat, and the production
+      // tuning is the same with B sized for ~100 MB files.
+      val probeSize = math.max(1L, math.min(40L, corpusDocs / 250L))
       val probeTarget = math.max(32L, corpusDocs * 90L / 8192L)
       spark.conf.set("spark.graft.cutmaint.targetBucketRows",
         probeTarget.toString)
-      def idRange(lo: Long, hi: Long) =
-        corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
-      def probeLegs(startId: Long): Seq[String] =
+      // Scaled corpora have SPARSE doc_ids (ScaleUp offsets each copy
+      // by a large stride), so fixed id windows can land in gaps and
+      // ingest nothing — boundaries come from the data: the id at a
+      // given RANK in doc_id order, so every seed/leg holds exactly
+      // the doc count it claims at any sparsity.
+      def idAtRank(k: Long): Long =
+        corpus.select(col("doc_id")).orderBy(col("doc_id")).limit(k.toInt)
+          .agg(max(col("doc_id"))).head().getLong(0)
+      def idRange(loExcl: Long, hiIncl: Long) =
+        corpus.filter(col("doc_id") > loExcl && col("doc_id") <= hiIncl)
+      def probeLegs(startRank: Long): Seq[String] =
         (0 until probeLegsN).map { i =>
-          val b = idRange(startId + i * probeSize,
-            startId + (i + 1) * probeSize).localCheckpoint(true)
+          val b = idRange(idAtRank(startRank + i * probeSize),
+            idAtRank(startRank + (i + 1) * probeSize)).localCheckpoint(true)
           val n = b.count()
           settled(); inRec.set(0L); inBytes.set(0L)
           val t0 = System.nanoTime()
@@ -214,21 +222,22 @@ object CutMaintScale {
           s"""{"docs":$n,"secs":${d2(secs)},"records_read":$r,""" +
             s""""bytes_read":$by}"""
         }
-      val seed1Hi = (maxId * 45L) / 100L
-      val seed2Lo = (maxId * 50L) / 100L
-      val seed2Hi = (maxId * 90L) / 100L
-      def seedAndCompact(lo: Long, hi: Long): (Long, Double) = {
-        val s = idRange(lo, hi).localCheckpoint(true)
+      val rank45 = (corpusDocs * 45L) / 100L
+      val rank50 = (corpusDocs * 50L) / 100L
+      val rank90 = (corpusDocs * 90L) / 100L
+      def seedAndCompact(loRank: Long, hiRank: Long): (Long, Double) = {
+        val lo = if (loRank <= 0L) Long.MinValue else idAtRank(loRank)
+        val s = idRange(lo, idAtRank(hiRank)).localCheckpoint(true)
         val n = s.count()
         val t0 = System.nanoTime()
         operators.CutReportMaintenance.ingest(spark, probeDir, s)
         operators.CutReportMaintenance.compact(spark, probeDir)
         (n, (System.nanoTime() - t0) / 1e9)
       }
-      val (seed1Docs, seed1Secs) = seedAndCompact(0L, seed1Hi)
-      val legsSmall = probeLegs(seed1Hi)
-      val (seed2Docs, seed2Secs) = seedAndCompact(seed2Lo, seed2Hi)
-      val legsLarge = probeLegs(seed2Hi)
+      val (seed1Docs, seed1Secs) = seedAndCompact(0L, rank45)
+      val legsSmall = probeLegs(rank45)
+      val (seed2Docs, seed2Secs) = seedAndCompact(rank50, rank90)
+      val legsLarge = probeLegs(rank90)
       spark.conf.unset("spark.graft.cutmaint.targetBucketRows")
       val probeJson = s""""probe":{"probe_docs":$probeSize,""" +
         s""""bucket_target_rows":$probeTarget,""" +
