@@ -459,6 +459,20 @@ object CutReportMaintenance {
     "hash_index", "marks", "mark_tombs", "vecs", "vec_index",
     "nd_pairs", "nd_tombs", "vec_pairs", "vec_tombs", "doc_tombs", "report")
 
+  /** Purge every table's segment dir at the version about to be
+    * written. A crashed writer leaves orphans at cur+1; "the redelivery
+    * overwrites them" only holds when the next committed operation
+    * writes the SAME tables — a crashed deleteDocs followed by an
+    * ingest would otherwise expose the delete's doc-tombstone segment
+    * (half a deletion, no repairs) the moment the ingest's commit lands
+    * on the same version slot, and skip-if-empty widens the same hole
+    * to every table. Every writer clears the slot first. */
+  private def purgeOrphans(stateDir: String, version: Long): Unit =
+    allTables.foreach { name =>
+      val d = new java.io.File(s"$stateDir/seg_$name/v$version")
+      if (d.exists()) deleteTree(d)
+    }
+
   /** Fold every live segment of each table into ONE segment at a fresh
     * version and raise the segment floor — the maintenance window's
     * compaction step. Append-only tables union-fold; the pair tables
@@ -480,6 +494,7 @@ object CutReportMaintenance {
       require(curV >= 0, s"nothing to compact at $stateDir")
       val p = storedParams(stateDir).getOrElse(Params())
       val nextV = curV + 1
+      purgeOrphans(stateDir, nextV)
       val floorBefore = segFloor(stateDir)
       val (delIds, noDel) = deletedIds(spark, stateDir)
       def alive(df: DataFrame, c: String) = aliveBy(df, c, delIds, noDel)
@@ -789,6 +804,7 @@ object CutReportMaintenance {
                            appliedMarker: Option[(String, Long)]): DataFrame = {
     val curV = currentVersion(stateDir)
     val nextV = curV + 1
+    purgeOrphans(stateDir, nextV)
     // Deleted-id filter over the content tables: free until the first
     // deleteDocs, one anti-join after (compact purges it back to free).
     val (delIds, noDel) = deletedIds(spark, stateDir)
@@ -1138,6 +1154,7 @@ object CutReportMaintenance {
       val curV = currentVersion(stateDir)
       require(curV >= 0, s"nothing to delete from at $stateDir")
       val nextV = curV + 1
+      purgeOrphans(stateDir, nextV)
       val (delOld, noDelOld) = deletedIds(spark, stateDir)
       val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
         .distinct().localCheckpoint(true)

@@ -622,6 +622,46 @@ class CutReportMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("maintained cut report: a crashed writer's orphan segments are purged by the next committed operation, whatever it writes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-o").toString
+    try {
+      val corpus = plantedCorpus.localCheckpoint(true)
+      CutReportMaintenance.ingest(spark, dir,
+        corpus.filter(col("doc_id") % 2 === 0))
+      val v = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_version")), "UTF-8").trim.toLong
+      // Simulate a deleteDocs that CRASHED after landing its doc-
+      // tombstone segment at v+1 but before committing: without the
+      // purge, the next ingest (which never writes doc_tombs) would
+      // expose the half-applied deletion the moment its commit lands
+      // on the same version slot.
+      Seq((0L, v + 1)).toDF("doc_id", "v").write
+        .parquet(s"$dir/seg_doc_tombs/v${v + 1}")
+      val before = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      CutReportMaintenance.ingest(spark, dir,
+        corpus.filter(col("doc_id") % 2 === 1))
+      val maintained = CutReportMaintenance.report(spark, dir)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      val batch = graft.QueriesExt11.cutReportOf(corpus)
+        .as[(Long, String, Option[Long], Long)].collect().toSet
+      assert(maintained.exists(_._1 == 0L),
+        "doc 0 must survive — the orphan tombstone was never committed")
+      assert(maintained == batch,
+        s"orphan segments leaked into the committed state; " +
+          s"extra=${(maintained -- batch).take(5)} " +
+          s"missing=${(batch -- maintained).take(5)}")
+      assert(before.forall(r => maintained.exists(_._1 == r._1)))
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("maintained cut report: single full-corpus ingest equals the batch replay (degenerate base case)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint1").toString
     try {
