@@ -59,7 +59,10 @@ object AuditAll {
     "CutMaintScale.scala" -> 2,
     // r15 bucketed-segment layout: (1) the touched-bucket set pushed
     // into a pruned segment read — ≤ min(|distinct keys|, MaxBuckets
-    // = 4096) ints; (2) the id-contract offender probe — limit(5).
+    // = 32768) ints (r16: count corrected from the 4096 misquote —
+    // 4096 is TargetBucketRows, the per-bucket ROW target, not the
+    // bucket-count clamp); (2) the id-contract offender probe —
+    // limit(5).
     "CutReportMaintenance.scala" -> 2)
 
   /** (file → collect() OCCURRENCE count) over src/main/scala, excluding

@@ -106,6 +106,25 @@ object Bench {
       t <- results.toMap.get("q24_spine_scaled").filter(_ > 0)
       n <- try Some(Queries.scaledSpineCount(spark, sfDir)) catch { case _: Throwable => None }
     } yield s""","spine_records":$n,"spine_records_per_sec":${(n / t).toLong}""").getOrElse("")
+    // ISOLATED spine leg (r15 verdict #4): the in-sweep spine number is
+    // hostage to whatever neighbor load the sweep hit (observed 3×
+    // swings on the permanent record's headline metric). At sweep end,
+    // re-time q24 min-of-3 consecutive (warm JVM, no interleaved
+    // neighbors) and record it BESIDE the in-sweep figure, with the
+    // load at the winning rep as its context.
+    val spineIso =
+      if (only.nonEmpty) ""
+      else (for {
+        fn <- SparkEntry.queries.get("q24_spine_scaled")
+        runs = (1 to 3).flatMap(_ => timeOne("q24_spine_scaled", fn))
+        if runs.nonEmpty
+        n <- try Some(Queries.scaledSpineCount(spark, sfDir)) catch { case _: Throwable => None }
+      } yield {
+        val (t, l) = runs.minBy(_._1)
+        s""","spine_isolated_secs":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))}""" +
+          s""","spine_isolated_records_per_sec":${(n / t).toLong}""" +
+          s""","spine_isolated_load":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(l))}"""
+      }).getOrElse("")
     // Drift triage (VERDICT r11 #4): every round used to burn a verdict
     // item re-litigating neighbor-load noise by hand. The sweep now
     // self-judges: any query ≥1.9× its time in the newest archived
@@ -281,12 +300,12 @@ object Bench {
     // query can never clobber the committed full-sweep detail.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       if (only.nonEmpty) "BENCH_DETAIL_PARTIAL.json" else "BENCH_DETAIL.json")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps$spine$warm$driftSummary$streamProbe,"detail":"$detailPath"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","reps":$reps$spine$spineIso$warm$driftSummary$streamProbe,"detail":"$detailPath"}"""
     val loadJson = loadAtMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps$spine$warm$driftDetail$streamProbe,"queries":$qs,"load_1m":$loadJson}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps$spine$spineIso$warm$driftDetail$streamProbe,"queries":$qs,"load_1m":$loadJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -108,43 +108,56 @@ object CutMaintScale {
           s""""ingests":${legs.result().mkString("[", ",", "]")}$compactJson}"""
       }
 
+      // Arm filter for iterating on ONE arm (e.g. the probe arm's
+      // fixed-target receipt) without paying the full suite; unset =
+      // all arms, the receipt-producing mode. The delete leg rides the
+      // compacted arm; the probe arm is independent.
+      val arms = sys.env.get("SPARK_GRAFT_CUTMAINT_ARMS")
+        .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+      def armOn(a: String) = arms.forall(_.contains(a))
+
       // Append arm: contiguous ascending id ranges (owner-stable by
       // construction). Backfill arm: interleaved residues, highest
       // residue first (every ingest undercuts owners). Steady/compacted
       // arms: many fixed-size ascending slices.
       val stride = maxId / batches + 1
-      val appendJson = runArm("append", batches, r =>
+      val appendJson = if (!armOn("append")) "" else runArm("append", batches, r =>
         corpus.filter(col("doc_id") >= r * stride &&
           col("doc_id") < (r + 1) * stride))
-      val backfillJson = runArm("backfill", batches, r =>
+      val backfillJson = if (!armOn("backfill")) "" else runArm("backfill", batches, r =>
         corpus.filter(col("doc_id") % batches === (batches - 1 - r)))
       val steadyStride = maxId / steadyBatches + 1
       def steadySlice(r: Int) = corpus.filter(
         col("doc_id") >= r * steadyStride &&
           col("doc_id") < (r + 1) * steadyStride)
-      val steadyJson = runArm("steady", steadyBatches, steadySlice)
-      val compactedJson = runArm("compacted", steadyBatches, steadySlice,
-        compactPeriod = compactEvery)
+      val steadyJson = if (!armOn("steady")) "" else
+        runArm("steady", steadyBatches, steadySlice)
+      val compactedJson = if (!armOn("compacted")) "" else
+        runArm("compacted", steadyBatches, steadySlice,
+          compactPeriod = compactEvery)
       // Deletion leg on the compacted arm's final state: take down 2%
       // of the corpus (every 50th id — planted cluster members among
       // them, so keepers/owners/firsts move and survivors repair).
-      val delIds = corpus.filter(col("doc_id") % 50 === 0)
-        .select("doc_id").localCheckpoint(true)
-      val nDel = delIds.count()
-      val d0 = System.nanoTime()
-      val delOut = operators.CutReportMaintenance.deleteDocs(
-        spark, s"$root/compacted", delIds)
-      val delByUpd = delOut.groupBy("upd").count().collect()
-        .map(x => x.getString(0) -> x.getLong(1)).toMap
-      val delSecs = (System.nanoTime() - d0) / 1e9
-      val afterRows = operators.CutReportMaintenance
-        .report(spark, s"$root/compacted").count()
-      require(afterRows == corpus.count() - nDel,
-        s"post-delete report must cover exactly the survivors " +
-          s"($afterRows != ${corpus.count() - nDel})")
-      val deleteJson = s""""delete":{"docs":$nDel,"secs":${d2(delSecs)},""" +
-        s""""docs_per_sec":${(nDel / delSecs).toLong},""" +
-        s""""repaired":${delByUpd.getOrElse("changed", 0L)}}"""
+      // Rides the compacted arm, so it is gated with it.
+      val deleteJson = if (!armOn("compacted")) "" else {
+        val delIds = corpus.filter(col("doc_id") % 50 === 0)
+          .select("doc_id").localCheckpoint(true)
+        val nDel = delIds.count()
+        val d0 = System.nanoTime()
+        val delOut = operators.CutReportMaintenance.deleteDocs(
+          spark, s"$root/compacted", delIds)
+        val delByUpd = delOut.groupBy("upd").count().collect()
+          .map(x => x.getString(0) -> x.getLong(1)).toMap
+        val delSecs = (System.nanoTime() - d0) / 1e9
+        val afterRows = operators.CutReportMaintenance
+          .report(spark, s"$root/compacted").count()
+        require(afterRows == corpus.count() - nDel,
+          s"post-delete report must cover exactly the survivors " +
+            s"($afterRows != ${corpus.count() - nDel})")
+        s""""delete":{"docs":$nDel,"secs":${d2(delSecs)},""" +
+          s""""docs_per_sec":${(nDel / delSecs).toLong},""" +
+          s""""repaired":${delByUpd.getOrElse("changed", 0L)}}"""
+      }
 
       // ---- probe arm (r15): the bucketed-layout receipt. Small FIXED-
       // size ingests against a compacted base measure per-ingest INPUT
@@ -187,26 +200,42 @@ object CutMaintScale {
       val probeDir = s"$root/probe"
       val probeLegsN = 5
       val corpusDocs = corpus.count()
-      // Small fixed legs (capped so the span fits the 5% RANK gap
-      // between seed ranges — the id contract fails fast on any
-      // overlap) against a base bucketed at B ≈ 8k: pruning is only
-      // measurable when the probe's key set is comfortably below the
-      // bucket count, so the harness sizes BOTH. rows/bucket stays
-      // CONSTANT as the base grows (B grows instead) — that is the
-      // invariant that keeps probe reads flat, and the production
-      // tuning is the same with B sized for ~100 MB files.
-      val probeSize = math.max(1L, math.min(40L, corpusDocs / 250L))
-      val probeTarget = math.max(32L, corpusDocs * 90L / 8192L)
-      spark.conf.set("spark.graft.cutmaint.targetBucketRows",
-        probeTarget.toString)
+      require(corpusDocs >= 2000,
+        s"probe arm needs >= 2000 docs for disjoint rank windows (got $corpusDocs)")
+      // FIXED probe size and FIXED bucket-row target across every sf
+      // (r15 verdict #1): with the target fixed, bucket SIZE is the
+      // invariant and bucket COUNT B grows with the corpus — a
+      // fixed-size probe touches the same number of buckets at every
+      // scale, so records_read per probe must stay ~flat while the
+      // corpus grows 30×. That is the production claim ("B grows,
+      // per-probe work doesn't"); the old arm scaled the target with
+      // sf, which held bytes flat but let records grow ~linearly.
+      // Sizing: 160 rows/bucket keeps B under MaxBuckets (32768) for
+      // the hash_index (~35 window hashes/doc) through sf3, while an
+      // 8-doc probe's ~280 window hashes stay below HALF the sf0.1
+      // hash_index bucket count (~930) so the touched-set partition
+      // filter engages at every sf (readSegmentsPruned falls back to
+      // an unpruned read past b/2).
+      val probeSize = sys.env.get("SPARK_GRAFT_PROBE_DOCS")
+        .map(_.toLong).getOrElse(8L)
+      val probeTarget = sys.env.get("SPARK_GRAFT_PROBE_TARGET")
+        .map(_.toLong).getOrElse(160L)
       // Scaled corpora have SPARSE doc_ids (ScaleUp offsets each copy
       // by a large stride), so fixed id windows can land in gaps and
       // ingest nothing — boundaries come from the data: the id at a
       // given RANK in doc_id order, so every seed/leg holds exactly
       // the doc count it claims at any sparsity.
-      def idAtRank(k: Long): Long =
-        corpus.select(col("doc_id")).orderBy(col("doc_id")).limit(k.toInt)
-          .agg(max(col("doc_id"))).head().getLong(0)
+      def idAtRank(k: Long): Long = {
+        // r15 advice: rank 0 has no max (null → NPE) and limit() takes
+        // an Int — guard both ends instead of overflowing silently.
+        if (k < 1L) Long.MinValue
+        else {
+          require(k <= Int.MaxValue.toLong,
+            s"idAtRank($k): rank exceeds Int.MaxValue — limit() cannot express it")
+          corpus.select(col("doc_id")).orderBy(col("doc_id")).limit(k.toInt)
+            .agg(max(col("doc_id"))).head().getLong(0)
+        }
+      }
       def idRange(loExcl: Long, hiIncl: Long) =
         corpus.filter(col("doc_id") > loExcl && col("doc_id") <= hiIncl)
       def probeLegs(startRank: Long): Seq[String] =
@@ -234,23 +263,31 @@ object CutMaintScale {
         operators.CutReportMaintenance.compact(spark, probeDir)
         (n, (System.nanoTime() - t0) / 1e9)
       }
-      val (seed1Docs, seed1Secs) = seedAndCompact(0L, rank45)
-      val legsSmall = probeLegs(rank45)
-      val (seed2Docs, seed2Secs) = seedAndCompact(rank50, rank90)
-      val legsLarge = probeLegs(rank90)
-      spark.conf.unset("spark.graft.cutmaint.targetBucketRows")
-      val probeJson = s""""probe":{"probe_docs":$probeSize,""" +
-        s""""bucket_target_rows":$probeTarget,""" +
-        s""""seed1_docs":$seed1Docs,"seed1_secs":${d2(seed1Secs)},""" +
-        s""""seed2_docs":$seed2Docs,"seed2_secs":${d2(seed2Secs)},""" +
-        s""""small_base":${legsSmall.mkString("[", ",", "]")},""" +
-        s""""large_base":${legsLarge.mkString("[", ",", "]")}}"""
+      // try/finally (r15 advice): an exception mid-probe must not leak
+      // the tiny test bucket target into later work on the session.
+      val probeJson =
+        if (!armOn("probe")) "" else try {
+          spark.conf.set("spark.graft.cutmaint.targetBucketRows",
+            probeTarget.toString)
+          val (seed1Docs, seed1Secs) = seedAndCompact(0L, rank45)
+          val legsSmall = probeLegs(rank45)
+          val (seed2Docs, seed2Secs) = seedAndCompact(rank50, rank90)
+          val legsLarge = probeLegs(rank90)
+          s""""probe":{"probe_docs":$probeSize,""" +
+            s""""bucket_target_rows":$probeTarget,""" +
+            s""""seed1_docs":$seed1Docs,"seed1_secs":${d2(seed1Secs)},""" +
+            s""""seed2_docs":$seed2Docs,"seed2_secs":${d2(seed2Secs)},""" +
+            s""""small_base":${legsSmall.mkString("[", ",", "]")},""" +
+            s""""large_base":${legsLarge.mkString("[", ",", "]")}}"""
+        } finally
+          spark.conf.unset("spark.graft.cutmaint.targetBucketRows")
 
+      val armJsons = Seq(appendJson, backfillJson, steadyJson,
+        compactedJson, deleteJson, probeJson).filter(_.nonEmpty)
       println(s"""{"metric":"cut_maint_scale","sf":"$sfDir",""" +
         s""""batches":$batches,"steady_batches":$steadyBatches,""" +
         s""""compact_every":$compactEvery,""" +
-        s"""$appendJson,$backfillJson,$steadyJson,$compactedJson,""" +
-        s"""$deleteJson,$probeJson}""")
+        armJsons.mkString("", ",", "}"))
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
