@@ -123,9 +123,14 @@ object CutReportMaintenance {
     * segment paths never read, old schemas read back as nulls). Bump on
     * any incompatible change; openers fail fast on a mismatch instead
     * of serving wrong answers. 2 = r15: layout stamp itself + hash-
-    * bucketed compacted segments (`_nbuckets` dirs). (The r16
-    * `marks_byh` sidecar and `id_map` table are ADDITIVE — absent dirs
-    * read as empty/unpruned, so they need no bump.)
+    * bucketed compacted segments (`_nbuckets` dirs). 3 = r16: OWNER-
+    * SUMMARY indexes (`band_owners`/`vec_owners`) that every ingest
+    * consults INSTEAD of aggregating bucket membership — a layout-2
+    * dir has no owner rows, so the new reader would silently treat
+    * every stored bucket as brand-new (no retraction tombstones →
+    * stale pairs served); refusing is mandatory, hence the bump. (The
+    * r16 `marks_byh`/`docs_byfp` sidecars and the `id_map` table ARE
+    * additive — absent dirs read as empty/unpruned.)
     *
     * OPERATOR PLAYBOOK for a refused state dir (there is deliberately
     * no in-place migration — a half-migrated dir is worse than a
@@ -146,7 +151,7 @@ object CutReportMaintenance {
     * Never copy segment dirs between layouts by hand: readers trust
     * `_nbuckets`/`_seg_floor`/`_applied_*` markers that are only
     * coherent as a set. */
-  private val LayoutVersion = 2
+  private val LayoutVersion = 3
 
   private def paramsPath(stateDir: String) =
     java.nio.file.Paths.get(s"$stateDir/_params")
@@ -354,16 +359,30 @@ object CutReportMaintenance {
   private val TargetBucketRows = 4096L
   private val MaxBuckets = 32768
 
-  /** Tables with a stable probe key worth bucketing by. The pair /
-    * mark / tombstone tables are read by several different keys (bucket
-    * keys AND member ids) — bucketing them by one would pessimize the
-    * other, and their live size is bounded by dup density anyway. */
+  /** Tables with a stable probe key worth bucketing by. Tombstone
+    * tables stay unbucketed — their live size is bounded by retraction
+    * density and compaction folds them away. */
   private def bucketKey(name: String): Option[Seq[String]] = name match {
     case "docs" | "vecs" => Some(Seq("doc_id"))
     case "fp_index" => Some(Seq("fp"))
     case "band_index" => Some(Seq("band", "bh"))
     case "hash_index" => Some(Seq("h"))
     case "vec_index" => Some(Seq("band", "bkey"))
+    // r16 owner-summary indexes: one row per LSH/SRP bucket, probed by
+    // the batch's bucket keys (the flat-records fix — the owner-stable
+    // path must never scan a hot bucket's membership just to learn its
+    // min).
+    case "band_owners" => Some(Seq("band", "bh"))
+    case "vec_owners" => Some(Seq("band", "bkey"))
+    // Pair tables are served by id_b (the per-doc dup_of fold reads
+    // them restricted to the touched ids); bucket-keyed retraction
+    // reads only happen for owner-CHANGED buckets, whose members are
+    // already in hand — no pair read needed there at all.
+    case "nd_pairs" | "vec_pairs" => Some(Seq("id_b"))
+    // fp → doc_id sidecar of the docs fold (see docs_byfp below): the
+    // exact tier's "who shares this fp" lookups prune by fp instead of
+    // scanning the whole corpus projection.
+    case "docs_byfp" => Some(Seq("fp"))
     // marks/report are read per-ingest restricted to the TOUCHED ids
     // (liveness of a marks row is (id, pos)-local, so an id-pruned
     // read composes with the tombstone fold); full folds (report(),
@@ -481,40 +500,60 @@ object CutReportMaintenance {
         }
     }
 
-  /** The h-keyed view of the live marks, for deletion's first-
-    * occurrence sweep: versions covered by the compacted h-bucketed
-    * sidecar (seg_marks_byh, same rows as that version's seg_marks
-    * fold) read from it PRUNED to `hKeys`' touched buckets; every
-    * other live version (per-ingest, batch-sized — or a pre-sidecar
-    * compacted dir, which degrades to an unpruned read instead of a
-    * wrong one) reads whole from seg_marks. Union = exactly the live
-    * marks rows, once each. Pruning is file-level — callers still
-    * semi-join their h set. */
-  private def marksPrunedByH(spark: SparkSession, stateDir: String,
-                             hKeys: DataFrame): DataFrame = {
+  /** SIDECAR-backed pruned read: a table read by a key its main copy
+    * is not bucketed for. Versions covered by the compaction-
+    * maintained sidecar (same rows as that version's main fold,
+    * projected to the sidecar schema, bucketed by the OTHER key) read
+    * from it PRUNED to `keys`' touched buckets; every other live
+    * version (per-ingest, batch-sized — or a pre-sidecar dir, which
+    * degrades to an unpruned read instead of a wrong one) reads whole
+    * from the main table and is projected here. Union = exactly the
+    * live rows, once each, at the sidecar schema. Pruning is
+    * file-level — callers still semi-join their key set. */
+  private def sidecarReadPruned(spark: SparkSession, stateDir: String,
+                                mainName: String, sidecarName: String,
+                                mainSchema: StructType,
+                                sidecarSchema: StructType,
+                                keys: DataFrame,
+                                projectMain: DataFrame => DataFrame)
+      : DataFrame = {
     val cur = currentVersion(stateDir)
     val floor = segFloor(stateDir)
-    val sidecarVs = segmentDirs(stateDir, "marks_byh")
+    val sidecarVs = segmentDirs(stateDir, sidecarName)
       .collect { case (v, _) if v >= floor && v <= cur => v }.toSet
-    val dirs = segmentDirs(stateDir, "marks")
+    val dirs = segmentDirs(stateDir, mainName)
       .collect { case (v, p) if v >= floor && v <= cur &&
         !sidecarVs.contains(v) => (p, segBuckets(p)) }
-    val fromMarks: Seq[DataFrame] = {
+    val fromMain: Seq[DataFrame] = {
       val plain = dirs.collect { case (d, None) => d }
       val bucketed = dirs.collect { case (d, Some(b)) => (b, d) }
-      (if (plain.isEmpty) Nil
-       else Seq(spark.read.schema(marksSchema).parquet(plain: _*))) ++
+      ((if (plain.isEmpty) Nil
+        else Seq(spark.read.schema(mainSchema).parquet(plain: _*))) ++
         bucketed.groupBy(_._1).toSeq.map { case (_, ds) =>
           spark.read
-            .schema(StructType(marksSchema.fields :+
+            .schema(StructType(mainSchema.fields :+
               StructField("pb", IntegerType)))
             .parquet(ds.map(_._2): _*).drop("pb")
-        }
+        }).map(projectMain)
     }
-    (fromMarks :+ readSegmentsPruned(spark, stateDir, "marks_byh",
-      marksSchema, Some(hKeys)))
+    (fromMain :+ readSegmentsPruned(spark, stateDir, sidecarName,
+      sidecarSchema, Some(keys)))
       .reduce(_.unionByName(_))
   }
+
+  /** The h-keyed view of the live marks (deletion's first-occurrence
+    * sweep). */
+  private def marksPrunedByH(spark: SparkSession, stateDir: String,
+                             hKeys: DataFrame): DataFrame =
+    sidecarReadPruned(spark, stateDir, "marks", "marks_byh",
+      marksSchema, marksSchema, hKeys, identity)
+
+  /** The fp-keyed (fp, doc_id) view of the live corpus — "who shares
+    * this fingerprint" without scanning the whole docs projection. */
+  private def docsByFp(spark: SparkSession, stateDir: String,
+                       fpKeys: DataFrame): DataFrame =
+    sidecarReadPruned(spark, stateDir, "docs", "docs_byfp",
+      docsSchema, docsByFpSchema, fpKeys, _.select("fp", "doc_id"))
 
   /** Tombstone semantics for the pair tables: a pair row written at
     * version `v` is live iff no tombstone for its bucket carries a
@@ -534,8 +573,9 @@ object CutReportMaintenance {
         .drop("_tv")
     }
 
-  private val allTables = Seq("docs", "fp_index", "band_index",
-    "hash_index", "marks", "marks_byh", "mark_tombs", "vecs", "vec_index",
+  private val allTables = Seq("docs", "docs_byfp", "fp_index",
+    "band_index", "band_owners", "hash_index", "marks", "marks_byh",
+    "mark_tombs", "vecs", "vec_index", "vec_owners",
     "nd_pairs", "nd_tombs", "vec_pairs", "vec_tombs", "doc_tombs", "report",
     "id_map")
 
@@ -589,14 +629,28 @@ object CutReportMaintenance {
       // doc tombstone + repaired survivors). The keyed tables land
       // HASH-BUCKETED so every later probe prunes files (see the
       // layout comment above TargetBucketRows).
-      writeSegmentBucketed(cp(alive(rd("docs"), "doc_id")),
-        stateDir, nextV, "docs")
-      writeSegmentBucketed(cp(alive(rd("band_index"), "id")),
-        stateDir, nextV, "band_index")
+      val docsFold = cp(alive(rd("docs"), "doc_id"))
+      writeSegmentBucketed(docsFold, stateDir, nextV, "docs")
+      // fp → doc_id sidecar of the SAME fold (the exact tier's
+      // fp-keyed survivor sweeps prune by fp through it).
+      writeSegmentBucketed(docsFold.select("fp", "doc_id"),
+        stateDir, nextV, "docs_byfp")
+      val bandFold = cp(alive(rd("band_index"), "id"))
+      writeSegmentBucketed(bandFold, stateDir, nextV, "band_index")
+      // Owner summaries RECOMPUTED from the purged fold (self-healing
+      // and null-owner rows from deletions drop away naturally).
+      writeSegmentBucketed(cp(bandFold.groupBy("band", "bh")
+          .agg(min("id").as("owner"),
+            min_by(col("n_sh"), col("id")).as("n_sh"))
+          .withColumn("v", lit(nextV))),
+        stateDir, nextV, "band_owners")
       writeSegmentBucketed(cp(alive(rd("vecs"), "doc_id")),
         stateDir, nextV, "vecs")
-      writeSegmentBucketed(cp(alive(rd("vec_index"), "id")),
-        stateDir, nextV, "vec_index")
+      val vecIdxFold = cp(alive(rd("vec_index"), "id"))
+      writeSegmentBucketed(vecIdxFold, stateDir, nextV, "vec_index")
+      writeSegmentBucketed(cp(vecIdxFold.groupBy("band", "bkey")
+          .agg(min("id").as("owner")).withColumn("v", lit(nextV))),
+        stateDir, nextV, "vec_owners")
       // Overlay-latest index tables fold to the latest value per key;
       // dead keys (keeper/first deleted with no survivor) drop — a
       // later ingest simply sees no stored entry, same as null.
@@ -626,7 +680,9 @@ object CutReportMaintenance {
         .foreach { case (pairsName, tombsName, k2) =>
           val live = livePairs(rd(pairsName), rd(tombsName), "band", k2,
             tombsKnownEmpty = liveSegmentDirs(stateDir, tombsName).isEmpty)
-          writeSegmentUnlessEmpty(cp(alive(alive(live, "id_a"), "id_b")
+          // Pairs land bucketed by id_b — the serving read (each
+          // touched doc's dup_of fold) is id_b-keyed.
+          writeSegmentBucketed(cp(alive(alive(live, "id_a"), "id_b")
               .withColumn("v", lit(nextV))),
             stateDir, nextV, pairsName)
           // Bucket tombstones fold away entirely: the raised floor hides
@@ -715,6 +771,23 @@ object CutReportMaintenance {
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("n_tokens", LongType), StructField("fp", StringType)))
+  // Skinny fp → doc_id projection of the docs fold, compaction-
+  // maintained, bucketed by fp (the "survivors sharing an affected fp"
+  // sweep). Per-ingest docs segments are batch-sized and read whole.
+  private val docsByFpSchema = StructType(Seq(
+    StructField("fp", StringType), StructField("doc_id", LongType)))
+  // Owner-summary rows, overlay-latest per bucket like fp_index: the
+  // stored MIN live member (+ its payload), so owner-stable ingests
+  // read one row per touched bucket instead of the bucket's whole
+  // membership (a null owner marks a bucket cleared by deletion).
+  private def bandOwnersSchema(portable: Boolean) = StructType(Seq(
+    StructField("band", IntegerType), StructField("bh",
+      if (portable) StringType else bhType),
+    StructField("owner", LongType), StructField("n_sh", IntegerType),
+    StructField("v", LongType)))
+  private val vecOwnersSchema = StructType(Seq(
+    StructField("band", IntegerType), StructField("bkey", LongType),
+    StructField("owner", LongType), StructField("v", LongType)))
   // fp/hash indexes are OVERLAY-LATEST (like the report): each write
   // lands the key's MERGED value stamped with the version, reads take
   // max_by(v) per key. (r14 deletion support: a min-fold over partial
@@ -767,8 +840,11 @@ object CutReportMaintenance {
 
   private def tableSchema(name: String, p: Params): StructType = name match {
     case "docs" => docsSchema
+    case "docs_byfp" => docsByFpSchema
     case "fp_index" => fpSchema
     case "band_index" => bandSchema(p.portable)
+    case "band_owners" => bandOwnersSchema(p.portable)
+    case "vec_owners" => vecOwnersSchema
     case "hash_index" => hashSchema
     case "marks" | "marks_byh" => marksSchema
     case "vecs" => vecsSchema
@@ -826,6 +902,24 @@ object CutReportMaintenance {
         col("bkey").cast("long").as("bkey"), col("id"))
   }
 
+  /** The stored owner summary for a set of bucket keys: overlay-latest
+    * fold of the owners table restricted (file-pruned + semi-joined)
+    * to `keysDf`, cleared buckets (null owner, written by deletion)
+    * reading as absent. One row per touched bucket — never the
+    * bucket's membership. */
+  private def ownersFor(spark: SparkSession, stateDir: String,
+                        name: String, schema: StructType,
+                        keysDf: DataFrame, k2: String,
+                        payload: Seq[String]): DataFrame =
+    readSegmentsPruned(spark, stateDir, name, schema, Some(keysDf))
+      .join(keysDf, Seq("band", k2))
+      .groupBy("band", k2)
+      .agg(max_by(struct(col("owner") +: payload.map(col): _*),
+        col("v")).as("o"))
+      .filter(col("o.owner").isNotNull)
+      .select(col("band") +: col(k2) +: col("o.owner").as("old_owner") +:
+        payload.map(c => col(s"o.$c").as(s"o_$c")): _*)
+
   /** One tier's bucket maintenance, shared by the text-LSH and SRP
     * tiers: split the batch's affected buckets by OWNERSHIP (r13
     * CutMaintScale measurement — re-starring every affected bucket's
@@ -835,36 +929,42 @@ object CutReportMaintenance {
     *    only case an append-only ingest ever sees): the old members'
     *    star pairs are untouched by construction, so ONLY the batch's
     *    (owner, new-member) pairs are candidates — per-ingest work is
-    *    |batch| × bands rows no matter how hot the bucket is.
-    *  - OWNER-CHANGED bucket (a backfill id undercuts the owner): the
-    *    star root moves, so the bucket's pairs retract (a tombstone
-    *    row) and the full membership re-stars — bounded by the
-    *    backfill's reach, and impossible under monotone ingest ids.
+    *    |batch| × bands rows no matter how hot the bucket is. r16: the
+    *    stored owner comes off the OWNER-SUMMARY index (`ownersOld`,
+    *    one row per touched bucket), so the hot bucket's membership is
+    *    never read either — before this, the owner lookup itself
+    *    scanned the membership and per-probe records grew with the
+    *    hottest cluster (the r15 fixed-target probe measured it:
+    *    102k → 395k records per identical 8-doc probe from sf0.1 to
+    *    sf1).
+    *  - OWNER-CHANGED bucket (a backfill id undercuts the owner) or
+    *    BRAND-NEW bucket: membership is genuinely needed — read via
+    *    `membersOf` (a pruned point-read of exactly those buckets),
+    *    re-star, and the changed-with-prior-owner subset retracts its
+    *    pairs (one tombstone row each; a brand-new bucket never gets a
+    *    tombstone, or the append path would accumulate
+    *    O(corpus × bands) tombstone rows with nothing to retract).
     *
-    * Returns (candidates with bucket provenance [+ any `payload`
-    * columns carried off the index/batch rows], retract-bucket keys —
-    * changed buckets that HAD a prior owner, i.e. the only ones whose
-    * stored pairs must die; a brand-new bucket never gets a tombstone,
-    * or the append path would accumulate O(corpus × bands) tombstone
-    * rows for buckets with nothing to retract). */
-  private def bucketCandidates(indexOld: DataFrame, bandB: DataFrame,
-                               k2: String, payload: Seq[String])
-      : (DataFrame, DataFrame) = {
+    * Returns (candidates with bucket provenance [+ `payload` columns],
+    * retract-bucket keys, members of changed buckets [touched-report
+    * superset], owner-summary rows to write — the recomputed owner of
+    * every changed/brand-new bucket; stable buckets need no write). */
+  private def bucketCandidates(ownersOld: DataFrame, bandB: DataFrame,
+                               k2: String, payload: Seq[String],
+                               membersOf: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val keys = Seq("band", k2)
-    val affected = bandB.select("band", k2).distinct()
-    val ownersOld = indexOld.join(affected, keys)
-      .groupBy("band", k2)
-      .agg(min("id").as("old_owner"),
-        payload.map(c => min_by(col(c), col("id")).as(s"o_$c")): _*)
-      .localCheckpoint(true)
+    val oo = ownersOld.localCheckpoint(true)
     val batchMin = bandB.groupBy("band", k2).agg(min("id").as("bmin"))
-    val stableB = ownersOld.join(batchMin, keys)
+    val stableB = oo.join(batchMin, keys)
       .filter(col("bmin") > col("old_owner"))
       .select(col("band") +: col(k2) +: col("old_owner") +:
         payload.map(c => col(s"o_$c")): _*)
-    val changedB = affected.join(stableB.select("band", k2), keys, "left_anti")
+    val changedB = batchMin.select("band", k2)
+      .join(stableB.select("band", k2), keys, "left_anti")
+      .localCheckpoint(true)
     // Retraction is owed only where an old owner existed and moved.
-    val retractB = ownersOld.select("band", k2)
+    val retractB = oo.select("band", k2)
       .join(stableB.select("band", k2), keys, "left_anti")
       .localCheckpoint(true)
     // Stable buckets: batch members pair with the stored owner only.
@@ -874,18 +974,23 @@ object CutReportMaintenance {
         (payload.map(c => col(s"o_$c").as(s"${c}_a")) ++
           payload.map(c => col(c).as(s"${c}_b"))): _*)
     // Changed (or brand-new) buckets: full membership re-star.
-    val membersChanged = indexOld.join(changedB, keys)
+    val membersChanged = membersOf(changedB)
       .unionByName(bandB.join(changedB, keys))
       .localCheckpoint(true)
     val ownersChanged = membersChanged.groupBy("band", k2)
       .agg(min("id").as("id_a"),
         payload.map(c => min_by(col(c), col("id")).as(s"${c}_a")): _*)
+      .localCheckpoint(true)
     val candChanged = membersChanged.join(ownersChanged, keys)
       .filter(col("id") > col("id_a"))
       .select(col("band") +: col(k2) +: col("id_a") +: col("id").as("id_b") +:
         (payload.map(c => col(s"${c}_a")) ++
           payload.map(c => col(c).as(s"${c}_b"))): _*)
-    (candStable.unionByName(candChanged).localCheckpoint(true), retractB)
+    val ownersWrite = ownersChanged
+      .select(col("band") +: col(k2) +: col("id_a").as("owner") +:
+        payload.map(c => col(s"${c}_a").as(c)): _*)
+    (candStable.unionByName(candChanged).localCheckpoint(true), retractB,
+      membersChanged, ownersWrite)
   }
 
   /** Ingest one batch `(doc_id, text[, emb])`: probe + repair + write
@@ -919,8 +1024,6 @@ object CutReportMaintenance {
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
         TextFunctions.fingerprint(col("text")).as("fp"))
       .localCheckpoint(true)
-    val docsOld = alive(readSegments(spark, stateDir, "docs", docsSchema),
-      "doc_id")
     // Pruned point-reads of the corpus for id-keyed probes: only the
     // buckets the key set can live in are read (text is the heavy
     // column — this is where bucketing `docs` pays).
@@ -966,9 +1069,17 @@ object CutReportMaintenance {
       .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("old_keep"))
       .filter(col("old_keep").isNotNull)
     // Old docs whose keeper the batch undercut — their ex_dup_of moves.
+    // Append-shape batches never undercut (higher ids), so the sweep is
+    // SKIPPED entirely; a backfill reads the fp-keyed docs sidecar
+    // pruned to exactly the undercut fps — never the corpus projection.
     val undercutFps = bFpMin.join(fpOldB, Seq("fp"))
       .filter(col("bmin") < col("old_keep")).select("fp")
-    val exTouched = docsOld.join(undercutFps, Seq("fp")).select(col("doc_id"))
+      .localCheckpoint(true)
+    val exTouched =
+      if (undercutFps.isEmpty)
+        emptyDf(spark, StructType(Seq(StructField("doc_id", LongType))))
+      else alive(docsByFp(spark, stateDir, undercutFps), "doc_id")
+        .join(undercutFps, Seq("fp")).select(col("doc_id"))
     val fpWriteSeg = bFpMin.join(fpOldB, Seq("fp"), "left")
       .select(col("fp"), least(col("old_keep"), col("bmin")).as("keep_id"),
         lit(nextV).as("v"))
@@ -979,18 +1090,18 @@ object CutReportMaintenance {
     val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
       .localCheckpoint(true)
     val bandB = bandedOf(bSh, p).localCheckpoint(true)
-    // The stored band index is read pruned to the batch's bucket set —
-    // bucketCandidates only ever joins it against subsets of bandB's
-    // (band, bh) keys.
-    val bandOld = alive(readSegmentsPruned(spark, stateDir, "band_index",
-      bandSchema(p.portable), Some(bandB.select("band", "bh"))), "id")
-    val pairSegsOld = alive(alive(
-      readSegments(spark, stateDir, "nd_pairs", pairSchemaV(p.portable)),
-      "id_a"), "id_b")
+    // Stored owners come off the owner-summary index (one row per
+    // touched bucket); membership is read ONLY for owner-changed /
+    // brand-new buckets, pruned to exactly those keys.
+    val bandKeysB = bandB.select("band", "bh").distinct().localCheckpoint(true)
+    val ownersOldB = ownersFor(spark, stateDir, "band_owners",
+      bandOwnersSchema(p.portable), bandKeysB, "bh", Seq("n_sh"))
+    def bandMembersOf(ks: DataFrame) =
+      alive(readSegmentsPruned(spark, stateDir, "band_index",
+        bandSchema(p.portable), Some(ks)), "id").join(ks, Seq("band", "bh"))
     val ndTombsOld = readSegments(spark, stateDir, "nd_tombs", ndTombSchema(p.portable))
-    val ndTombsEmpty = liveSegmentDirs(stateDir, "nd_tombs").isEmpty
-    val pairsOldLive = livePairs(pairSegsOld, ndTombsOld, "band", "bh", ndTombsEmpty)
-    val (cand, ndRetractB) = bucketCandidates(bandOld, bandB, "bh", Seq("n_sh"))
+    val (cand, ndRetractB, ndMembersChanged, ndOwnersWrite) =
+      bucketCandidates(ownersOldB, bandB, "bh", Seq("n_sh"), bandMembersOf)
     // Shingles for verification — only the docs the candidates actually
     // touch (stable-bucket owners + changed-bucket members + batch),
     // re-shingled from the stored corpus via an id-pruned point-read.
@@ -1017,13 +1128,13 @@ object CutReportMaintenance {
       .withColumn("v", lit(nextV)).localCheckpoint(true)
     // Only owner-changed buckets retract — one tombstone row each.
     val ndTombsNewSeg = ndRetractB.withColumn("v", lit(nextV))
-    val pairsNextLive = livePairs(pairSegsOld.unionByName(pairsNewSeg),
-      ndTombsOld.unionByName(ndTombsNewSeg), "band", "bh",
-      tombsKnownEmpty = false)
-    // Docs whose pair set may have moved: id_b of anything retracted or
-    // newly verified in an affected bucket.
-    val ndTouched = pairsOldLive.join(ndRetractB, Seq("band", "bh"))
-      .select(col("id_b").as("doc_id"))
+    // Docs whose pair set may have moved: any member of a changed
+    // bucket (a SUPERSET of the retracted pairs' id_bs — membership
+    // rows are append-only, so a pair's id_b is always a member; the
+    // superset re-reports a few extra docs as `same` and costs nothing
+    // new, because changed-bucket membership is already in hand) plus
+    // anything newly verified. The stored pair set is NOT read here.
+    val ndTouched = ndMembersChanged.select(col("id").as("doc_id"))
       .unionByName(pairsNewSeg.select(col("id_b").as("doc_id")))
 
     // ---- embedding tier (optional `emb` column): the q297 probe
@@ -1038,17 +1149,17 @@ object CutReportMaintenance {
         .select(col("doc_id"), col("emb"), Similarity.l2Norm(col("emb")).as("nrm"))
         .localCheckpoint(true)
       else emptyDf(spark, vecsSchema)
-    val vecPairSegsOld = alive(alive(
-      readSegments(spark, stateDir, "vec_pairs", vecPairSchemaV),
-      "id_a"), "id_b")
     val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
-    val vecTombsEmpty = liveSegmentDirs(stateDir, "vec_tombs").isEmpty
-    val vecPairsOldLive = livePairs(vecPairSegsOld, vecTombsOld, "band", "bkey",
-      vecTombsEmpty)
     val bandVB = vecBandedOf(bVecs, p, planes).localCheckpoint(true)
-    val vecIdxOld = alive(readSegmentsPruned(spark, stateDir, "vec_index",
-      vecIndexSchema, Some(bandVB.select("band", "bkey"))), "id")
-    val (vCand, vRetractB) = bucketCandidates(vecIdxOld, bandVB, "bkey", Nil)
+    val bandVKeys = bandVB.select("band", "bkey").distinct()
+      .localCheckpoint(true)
+    val ownersOldV = ownersFor(spark, stateDir, "vec_owners",
+      vecOwnersSchema, bandVKeys, "bkey", Nil)
+    def vecMembersOf(ks: DataFrame) =
+      alive(readSegmentsPruned(spark, stateDir, "vec_index",
+        vecIndexSchema, Some(ks)), "id").join(ks, Seq("band", "bkey"))
+    val (vCand, vRetractB, vMembersChanged, vOwnersWrite) =
+      bucketCandidates(ownersOldV, bandVB, "bkey", Nil, vecMembersOf)
     val vIds = vCand.select(col("id_a").as("doc_id"))
       .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
     val vecSegs = alive(readSegmentsPruned(spark, stateDir, "vecs",
@@ -1067,11 +1178,9 @@ object CutReportMaintenance {
       .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
       .withColumn("v", lit(nextV)).localCheckpoint(true)
     val vTombsNewSeg = vRetractB.withColumn("v", lit(nextV))
-    val vecPairsNextLive = livePairs(vecPairSegsOld.unionByName(vPairsNewSeg),
-      vecTombsOld.unionByName(vTombsNewSeg), "band", "bkey",
-      tombsKnownEmpty = false)
-    val vecTouched = vecPairsOldLive.join(vRetractB, Seq("band", "bkey"))
-      .select(col("id_b").as("doc_id"))
+    // Same changed-membership superset as the text tier — no stored
+    // pair read.
+    val vecTouched = vMembersChanged.select(col("id").as("doc_id"))
       .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
 
     // ---- substring tier: first-occurrence index merge; the stored
@@ -1125,11 +1234,26 @@ object CutReportMaintenance {
     val exCut = tDocs.select("doc_id", "fp").join(keepT, Seq("fp"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), col("keep_id").as("ex_dup_of"))
-    val ndCut = pairsNextLive
-      .join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
+    // dup_of folds over the stored pairs RESTRICTED to the touched ids
+    // — an id_b-pruned read of the (id_b-bucketed) pair tables, never
+    // the whole pair set (pre-filtering on the join key commutes with
+    // the join; pair-row liveness is row-local given the tombstones).
+    val touchedAsIdB = touched.select(col("doc_id").as("id_b"))
+    val pairSegsT = alive(alive(readSegmentsPruned(spark, stateDir,
+      "nd_pairs", pairSchemaV(p.portable), Some(touchedAsIdB)),
+      "id_a"), "id_b")
+    val ndCut = livePairs(pairSegsT.unionByName(pairsNewSeg),
+        ndTombsOld.unionByName(ndTombsNewSeg), "band", "bh",
+        tombsKnownEmpty = false)
+      .join(touchedAsIdB, Seq("id_b"))
       .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("nd_dup_of"))
-    val embCut = vecPairsNextLive
-      .join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
+    val vecPairSegsT = alive(alive(readSegmentsPruned(spark, stateDir,
+      "vec_pairs", vecPairSchemaV, Some(touchedAsIdB)),
+      "id_a"), "id_b")
+    val embCut = livePairs(vecPairSegsT.unionByName(vPairsNewSeg),
+        vecTombsOld.unionByName(vTombsNewSeg), "band", "bkey",
+        tombsKnownEmpty = false)
+      .join(touchedAsIdB, Seq("id_b"))
       .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("emb_dup_of"))
     val touchedIds = touched.select(col("doc_id").as("id"))
     // Stored marks restricted to the touched ids — an id-pruned read
@@ -1201,10 +1325,14 @@ object CutReportMaintenance {
     writeSegment(bDocs, stateDir, nextV, "docs")
     writeSegment(fpWriteSeg, stateDir, nextV, "fp_index")
     writeSegmentUnlessEmpty(bandB, stateDir, nextV, "band_index")
+    writeSegmentUnlessEmpty(ndOwnersWrite.withColumn("v", lit(nextV)),
+      stateDir, nextV, "band_owners")
     writeSegmentUnlessEmpty(pairsNewSeg, stateDir, nextV, "nd_pairs")
     writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
     writeSegmentUnlessEmpty(bVecs, stateDir, nextV, "vecs")
     writeSegmentUnlessEmpty(bandVB, stateDir, nextV, "vec_index")
+    writeSegmentUnlessEmpty(vOwnersWrite.withColumn("v", lit(nextV)),
+      stateDir, nextV, "vec_owners")
     writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV, "vec_pairs")
     writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV, "vec_tombs")
     writeSegment(firstMerged.select(col("h"), col("cf.id").as("id"),
@@ -1276,17 +1404,13 @@ object CutReportMaintenance {
       def aliveOld(df: DataFrame, c: String) = aliveBy(df, c, delOld, noDelOld)
       def surv(df: DataFrame, c: String) =
         aliveBy(df, c, del, noDel = false)
-      val docsLive = aliveOld(
-        readSegments(spark, stateDir, "docs", docsSchema), "doc_id")
       // Id-pruned corpus point-reads (the bucketed base reads only the
-      // key set's files; the fp-keyed survAff join below still needs
-      // the full doc_id+fp projection, which never reads text).
+      // key set's files).
       def docsLiveByIds(keys: DataFrame) = aliveOld(
         readSegmentsPruned(spark, stateDir, "docs", docsSchema,
           Some(keys.select("doc_id"))), "doc_id")
       val dDocs = docsLiveByIds(del).join(del, Seq("doc_id"))
         .localCheckpoint(true)
-      val survDocs = surv(docsLive, "doc_id")
 
       // ---- exact tier: only fps whose stored keeper dies need repair.
       def fpSegsFor(keys: DataFrame) = readSegmentsPruned(spark, stateDir,
@@ -1296,7 +1420,12 @@ object CutReportMaintenance {
         .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
         .join(del.select(col("doc_id").as("okeep")), Seq("okeep"))
         .select("fp").localCheckpoint(true)
-      val survAff = survDocs.join(affFps, Seq("fp"))
+      // Survivors sharing an affected fp — an fp-pruned read of the
+      // docs sidecar (r16: this was the exact tier's remaining whole-
+      // corpus scan per delete).
+      val survAff = surv(aliveOld(docsByFp(spark, stateDir, affFps),
+          "doc_id"), "doc_id")
+        .join(affFps, Seq("fp"))
         .select("doc_id", "fp").localCheckpoint(true)
       val fpWriteSeg = affFps
         .join(survAff.groupBy("fp").agg(min("doc_id").as("keep_id")),
@@ -1317,31 +1446,30 @@ object CutReportMaintenance {
         .localCheckpoint(true)
       val dBandKeys = bandedOf(dSh, p).select("band", "bh").distinct()
         .localCheckpoint(true)
-      val bandAff = aliveOld(readSegmentsPruned(spark, stateDir, "band_index",
-          bandSchema(p.portable), Some(dBandKeys)), "id")
-        .join(dBandKeys, Seq("band", "bh"))
-        .localCheckpoint(true)
-      val pairSegsOld = aliveOld(aliveOld(readSegments(spark, stateDir,
-        "nd_pairs", pairSchemaV(p.portable)), "id_a"), "id_b")
+      // Owner-dead buckets straight off the owner-summary index (one
+      // row per candidate bucket — the stored owner is always a live
+      // doc, so owner ∈ del ⟺ the bucket needs a re-star); membership
+      // is then read pruned to exactly THOSE buckets.
+      val ownersAtDel = ownersFor(spark, stateDir, "band_owners",
+        bandOwnersSchema(p.portable), dBandKeys, "bh", Seq("n_sh"))
+      val affB = ownersAtDel
+        .join(del.select(col("doc_id").as("old_owner")), Seq("old_owner"))
+        .select("band", "bh").localCheckpoint(true)
       val ndTombsOld = readSegments(spark, stateDir, "nd_tombs",
         ndTombSchema(p.portable))
-      val pairsOldLive = livePairs(pairSegsOld, ndTombsOld, "band", "bh",
-        tombsKnownEmpty = liveSegmentDirs(stateDir, "nd_tombs").isEmpty)
-      def ownerDeadBuckets(index: DataFrame, k2: String): DataFrame = {
-        val keys = Seq("band", k2)
-        val bucketsOfDel = index
-          .join(del.select(col("doc_id").as("id")), Seq("id"))
-          .select("band", k2).distinct()
-        index.join(bucketsOfDel, keys)
-          .groupBy("band", k2).agg(min("id").as("owner"))
-          .join(del.select(col("doc_id").as("owner")), Seq("owner"))
-          .select("band", k2).localCheckpoint(true)
-      }
-      val affB = ownerDeadBuckets(bandAff, "bh")
-      val ndMembers = surv(bandAff.join(affB, Seq("band", "bh")), "id")
+      val ndMembers = surv(
+          aliveOld(readSegmentsPruned(spark, stateDir, "band_index",
+            bandSchema(p.portable), Some(affB)), "id")
+            .join(affB, Seq("band", "bh")), "id")
         .localCheckpoint(true)
       val ndOwners = ndMembers.groupBy("band", "bh")
         .agg(min("id").as("id_a"), min_by(col("n_sh"), col("id")).as("n_sh_a"))
+        .localCheckpoint(true)
+      // Recomputed owner rows for the re-starred buckets (null owner =
+      // bucket cleared; reads treat it as absent, compaction drops it).
+      val ndOwnersWrite = affB.join(ndOwners, Seq("band", "bh"), "left")
+        .select(col("band"), col("bh"), col("id_a").as("owner"),
+          col("n_sh_a").as("n_sh"))
       val ndCand = ndMembers.join(ndOwners, Seq("band", "bh"))
         .filter(col("id") > col("id_a"))
         .select(col("band"), col("bh"), col("id_a"), col("id").as("id_b"),
@@ -1366,12 +1494,8 @@ object CutReportMaintenance {
         .select(col("band"), col("bh"), col("id_a"), col("id_b"))
         .withColumn("v", lit(nextV)).localCheckpoint(true)
       val ndTombsNewSeg = affB.withColumn("v", lit(nextV))
-      val ndPairsNext = surv(surv(livePairs(
-        pairSegsOld.unionByName(ndPairsNewSeg),
-        ndTombsOld.unionByName(ndTombsNewSeg), "band", "bh",
-        tombsKnownEmpty = false), "id_a"), "id_b")
-      val ndTouched = surv(pairsOldLive.join(affB, Seq("band", "bh"))
-          .select(col("id_b").as("doc_id")), "doc_id")
+      // Changed-membership superset, like ingest — no stored pair read.
+      val ndTouched = ndMembers.select(col("id").as("doc_id"))
         .unionByName(ndPairsNewSeg.select(col("id_b").as("doc_id")))
 
       // ---- embedding tier: same shape over the SRP index, with the
@@ -1386,19 +1510,21 @@ object CutReportMaintenance {
         .join(del, Seq("doc_id")).localCheckpoint(true)
       val dVecKeys = vecBandedOf(dVecs, p, planes)
         .select("band", "bkey").distinct().localCheckpoint(true)
-      val vecIdxAff = aliveOld(readSegmentsPruned(spark, stateDir, "vec_index",
-          vecIndexSchema, Some(dVecKeys)), "id")
-        .join(dVecKeys, Seq("band", "bkey"))
-        .localCheckpoint(true)
-      val vecPairSegsOld = aliveOld(aliveOld(readSegments(spark, stateDir,
-        "vec_pairs", vecPairSchemaV), "id_a"), "id_b")
       val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
-      val vecPairsOldLive = livePairs(vecPairSegsOld, vecTombsOld, "band", "bkey",
-        tombsKnownEmpty = liveSegmentDirs(stateDir, "vec_tombs").isEmpty)
-      val affVB = ownerDeadBuckets(vecIdxAff, "bkey")
-      val vMembers = surv(vecIdxAff.join(affVB, Seq("band", "bkey")), "id")
+      val vOwnersAtDel = ownersFor(spark, stateDir, "vec_owners",
+        vecOwnersSchema, dVecKeys, "bkey", Nil)
+      val affVB = vOwnersAtDel
+        .join(del.select(col("doc_id").as("old_owner")), Seq("old_owner"))
+        .select("band", "bkey").localCheckpoint(true)
+      val vMembers = surv(
+          aliveOld(readSegmentsPruned(spark, stateDir, "vec_index",
+            vecIndexSchema, Some(affVB)), "id")
+            .join(affVB, Seq("band", "bkey")), "id")
         .localCheckpoint(true)
       val vOwners = vMembers.groupBy("band", "bkey").agg(min("id").as("id_a"))
+        .localCheckpoint(true)
+      val vOwnersWrite = affVB.join(vOwners, Seq("band", "bkey"), "left")
+        .select(col("band"), col("bkey"), col("id_a").as("owner"))
       val vCand = vMembers.join(vOwners, Seq("band", "bkey"))
         .filter(col("id") > col("id_a"))
         .select(col("band"), col("bkey"), col("id_a"), col("id").as("id_b"))
@@ -1421,12 +1547,7 @@ object CutReportMaintenance {
         .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
         .withColumn("v", lit(nextV)).localCheckpoint(true)
       val vTombsNewSeg = affVB.withColumn("v", lit(nextV))
-      val vecPairsNext = surv(surv(livePairs(
-        vecPairSegsOld.unionByName(vPairsNewSeg),
-        vecTombsOld.unionByName(vTombsNewSeg), "band", "bkey",
-        tombsKnownEmpty = false), "id_a"), "id_b")
-      val vecTouched = surv(vecPairsOldLive.join(affVB, Seq("band", "bkey"))
-          .select(col("id_b").as("doc_id")), "doc_id")
+      val vecTouched = vMembers.select(col("id").as("doc_id"))
         .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
 
       // ---- substring tier: recompute firsts the deletion orphaned.
@@ -1490,11 +1611,26 @@ object CutReportMaintenance {
       val exCut = tDocs.select("doc_id", "fp").join(keepT, Seq("fp"))
         .filter(col("doc_id") =!= col("keep_id"))
         .select(col("doc_id"), col("keep_id").as("ex_dup_of"))
-      val ndCut = ndPairsNext
-        .join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
+      // dup_of folds over the stored pairs RESTRICTED to the touched
+      // ids (id_b-pruned reads of the id_b-bucketed pair tables), the
+      // survivor filters applied on top — same algebra as before, never
+      // the whole pair set.
+      val touchedAsIdB = touched.select(col("doc_id").as("id_b"))
+      val pairSegsT = aliveOld(aliveOld(readSegmentsPruned(spark, stateDir,
+        "nd_pairs", pairSchemaV(p.portable), Some(touchedAsIdB)),
+        "id_a"), "id_b")
+      val ndCut = surv(surv(livePairs(pairSegsT.unionByName(ndPairsNewSeg),
+          ndTombsOld.unionByName(ndTombsNewSeg), "band", "bh",
+          tombsKnownEmpty = false), "id_a"), "id_b")
+        .join(touchedAsIdB, Seq("id_b"))
         .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("nd_dup_of"))
-      val embCut = vecPairsNext
-        .join(touched.select(col("doc_id").as("id_b")), Seq("id_b"))
+      val vecPairSegsT = aliveOld(aliveOld(readSegmentsPruned(spark, stateDir,
+        "vec_pairs", vecPairSchemaV, Some(touchedAsIdB)),
+        "id_a"), "id_b")
+      val embCut = surv(surv(livePairs(vecPairSegsT.unionByName(vPairsNewSeg),
+          vecTombsOld.unionByName(vTombsNewSeg), "band", "bkey",
+          tombsKnownEmpty = false), "id_a"), "id_b")
+        .join(touchedAsIdB, Seq("id_b"))
         .groupBy(col("id_b").as("doc_id")).agg(min("id_a").as("emb_dup_of"))
       val touchedIds = touched.select(col("doc_id").as("id"))
       // Stored marks restricted to the touched ids — the same id-pruned
@@ -1553,8 +1689,12 @@ object CutReportMaintenance {
       // ---- land the delete's segments (all O(deleted + touched));
       // known-empty ones are skipped like ingest's (r14 review).
       writeSegmentUnlessEmpty(fpWriteSeg, stateDir, nextV, "fp_index")
+      writeSegmentUnlessEmpty(ndOwnersWrite.withColumn("v", lit(nextV)),
+        stateDir, nextV, "band_owners")
       writeSegmentUnlessEmpty(ndPairsNewSeg, stateDir, nextV, "nd_pairs")
       writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
+      writeSegmentUnlessEmpty(vOwnersWrite.withColumn("v", lit(nextV)),
+        stateDir, nextV, "vec_owners")
       writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV, "vec_pairs")
       writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV, "vec_tombs")
       writeSegmentUnlessEmpty(hashWriteSeg, stateDir, nextV, "hash_index")

@@ -605,6 +605,12 @@ class CutReportMaintenanceSpec extends SparkSuite {
           Seq((1L, "a body")).toDF("doc_id", "text"))
       }
       assert(e2.getMessage.contains("layout"))
+      // The refusal names the operator playbook and both of its exits
+      // (rebuild from the source feed / export + re-ingest) — a refused
+      // dir must come with a documented way out, not a dead end.
+      assert(e2.getMessage.contains("playbook"))
+      assert(e2.getMessage.contains("rebuild from the source feed"))
+      assert(e2.getMessage.contains("re-ingest"))
       // Invalid state-shaping params are refused up front.
       val e3 = intercept[IllegalArgumentException] {
         CutReportMaintenance.ingest(spark,
