@@ -434,22 +434,38 @@ object CutReportMaintenance {
         else Seq(spark.read.schema(schema).parquet(plain: _*))
       val bucketedDfs = tagged.collect { case (d, Some(b)) => (b, d) }
         .groupBy(_._1).toSeq.map { case (b, ds) =>
-          val base = spark.read
+          def whole = spark.read
             .schema(StructType(schema.fields :+ StructField("pb", IntegerType)))
             .parquet(ds.map(_._2): _*)
-          (keys match {
+            .drop("pb")
+          keys match {
             case Some(k) =>
               val touched = k.select(pbCol(bucketKey(name).get, b).as("pb"))
                 .distinct().collect().map(_.getInt(0)).toSeq
-              if (touched.isEmpty) base.filter(lit(false))
+              if (touched.isEmpty) emptyDf(spark, schema)
               // A key set touching most buckets prunes almost nothing
-              // while paying an isin over up to MaxBuckets literals in
-              // every scan predicate (r15 advice) — read unpruned past
-              // half the bucket count.
-              else if (touched.size * 2 > b) base
-              else base.filter(col("pb").isin(touched: _*))
-            case None => base
-          }).drop("pb")
+              // (r15 advice) — read unpruned past half the bucket count.
+              else if (touched.size * 2 > b) whole
+              else {
+                // Enumerate the touched partition DIRECTORIES instead
+                // of scanning the table with an isin filter: Spark's
+                // file index lists the whole table (O(B) dirs — at the
+                // harness's deliberately tiny bucket target that is
+                // tens of thousands) before a partition filter prunes,
+                // and the listing came to dominate probe wall time as
+                // B grew. Explicit paths make planning O(touched);
+                // a bucket dir that got no rows simply does not exist.
+                val paths = for {
+                  (_, d) <- ds
+                  pb <- touched
+                  p = s"$d/pb=$pb"
+                  if new java.io.File(p).exists()
+                } yield p
+                if (paths.isEmpty) emptyDf(spark, schema)
+                else spark.read.schema(schema).parquet(paths: _*)
+              }
+            case None => whole
+          }
         }
       (plainDf ++ bucketedDfs).reduce(_.unionByName(_))
     }
