@@ -453,8 +453,15 @@ object CutReportMaintenance {
                 // harness's deliberately tiny bucket target that is
                 // tens of thousands) before a partition filter prunes,
                 // and the listing came to dominate probe wall time as
-                // B grew. Explicit paths make planning O(touched);
+                // B grew (measured 12/30/53 s → 8/9/10 s per probe at
+                // sf0.1/1/3). Explicit paths make planning O(touched);
                 // a bucket dir that got no rows simply does not exist.
+                // The existence probe is java.io.File because this
+                // build targets local state dirs; on an object store
+                // the same role falls to a bucket manifest (e.g. a
+                // nonempty-pb bitmap beside `_nbuckets`) — the read
+                // path is already shaped for it (explicit paths in,
+                // no listing).
                 val paths = for {
                   (_, d) <- ds
                   pb <- touched
