@@ -470,6 +470,63 @@ class CutReportMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("bucket manifest: _pbset records exactly the nonempty partitions; a manifest-less dir degrades to the File probe with identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-m").toString
+    try {
+      spark.conf.set("spark.graft.cutmaint.targetBucketRows", "8")
+      try {
+        val corpus = plantedCorpus.localCheckpoint(true)
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id") % 3 === 1))
+        CutReportMaintenance.compact(spark, dir)
+        // Every bucketed segment carries a manifest naming exactly the
+        // pb dirs that exist — the object-store contract: probe-time
+        // planning needs no listing and no per-path existence check.
+        val segDirs = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+          .flatMap(t => Option(t.listFiles()).toSeq.flatten)
+          .filter(d => d.isDirectory && new java.io.File(d, "_nbuckets").exists())
+        assert(segDirs.nonEmpty, "expected bucketed segments after compact")
+        segDirs.foreach { d =>
+          val mf = new java.io.File(d, "_pbset")
+          assert(mf.exists(), s"missing _pbset beside ${d}/_nbuckets")
+          val recorded = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+            "UTF-8").trim.split(",").filter(_.nonEmpty).map(_.toInt).toSet
+          val present = Option(d.listFiles()).toSeq.flatten
+            .filter(f => f.isDirectory && f.getName.startsWith("pb="))
+            .map(_.getName.drop(3).toInt).toSet
+          assert(recorded == present,
+            s"$d manifest=$recorded differs from on-disk=$present")
+        }
+        // Probes read THROUGH the manifest (backfill forces undercut
+        // repairs against the bucketed base) — convergence intact.
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id") % 3 === 2))
+        assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+        // Degradation: strip every manifest (a pre-r17 dir) — the same
+        // probes fall back to the File existence check, never a wrong
+        // read. The final backfill + replay audit must still hold.
+        segDirs.foreach(d => new java.io.File(d, "_pbset").delete())
+        CutReportMaintenance.ingest(spark, dir,
+          corpus.filter(col("doc_id") % 3 === 0))
+        val maintained = CutReportMaintenance.report(spark, dir)
+          .as[(Long, String, Option[Long], Long)].collect().toSet
+        val batch = graft.QueriesExt11.cutReportOf(corpus)
+          .as[(Long, String, Option[Long], Long)].collect().toSet
+        assert(maintained == batch,
+          s"manifest-less degradation broke convergence; " +
+            s"extra=${(maintained -- batch).take(5)} " +
+            s"missing=${(batch -- maintained).take(5)}")
+      } finally spark.conf.unset("spark.graft.cutmaint.targetBucketRows")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("maintained cut report: the doc_id contract fails fast — live, tombstoned, and in-batch-repeated ids are refused without touching state") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cutmaint-c").toString
     try {
