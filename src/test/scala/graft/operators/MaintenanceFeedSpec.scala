@@ -143,6 +143,81 @@ class MaintenanceFeedSpec extends SparkSuite {
     } finally rm(dir)
   }
 
+  test("unified feed with STRING keys: URL-shaped keys map to stable slots; same-batch delete+re-ingest, deletion, and compaction preserve the mapping; key modes never mix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-feed-k").toString
+    try {
+      val corpus = corpusRows
+      def url(id: Long) = s"https://example.test/doc/$id"
+      def ops(rows: Seq[(String, String, String)]) =
+        rows.toDF("op", "ext_id", "text")
+      // Batch 1: inserts keyed by URL (evens).
+      val evens = corpus.filter(_._1 % 2 == 0)
+      CutReportMaintenance.applyOps(spark, dir,
+        ops(evens.map { case (id, t) => ("insert", url(id), t) }))
+      // Batch 2: the r16 verdict's named case at the string grain —
+      // same-batch delete+re-ingest of one URL (recrawl), an upsert of
+      // another, fresh odd inserts, and a delete of a never-seen URL
+      // (no-op, and it must NOT burn a slot).
+      val odds = corpus.filter(_._1 % 2 == 1)
+      val newText4 = "a completely rewritten body for key four"
+      val newText2 = "key two gets replaced wholesale by this text"
+      CutReportMaintenance.applyOps(spark, dir,
+        ops(Seq(("delete", url(4), null: String), ("ingest", url(4), newText4),
+          ("update", url(2), newText2),
+          ("delete", "https://example.test/never-seen", null: String)) ++
+          odds.map { case (id, t) => ("insert", url(id), t) }))
+      // Batch 3: pure takedown of one URL.
+      CutReportMaintenance.applyOps(spark, dir,
+        ops(Seq(("delete", url(6), null))))
+
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      val view = CutReportMaintenance.maintainedView(spark, dir)
+        .localCheckpoint(true)
+      val liveExt = view.select("ext_key").as[String].collect().toSet
+      val expectedExt = (corpus.map(_._1).toSet - 6L).map(url)
+      assert(liveExt == expectedExt,
+        s"extra=${(liveExt -- expectedExt).take(5)} " +
+          s"missing=${(expectedExt -- liveExt).take(5)}")
+      assert(view.groupBy("ext_key").count().filter(col("count") > 1).isEmpty,
+        "one view row per live external key")
+      // dup targets surface as URLs (the planted near-dup cluster
+      // guarantees dups, and every doc arrived through the feed).
+      val dups = view.filter(col("dup_of_ext").isNotNull)
+      assert(dups.count() > 0)
+      assert(dups.filter(!col("dup_of_ext").startsWith("https://")).isEmpty)
+      // Replaced keys carry their new texts.
+      val curated = CutReportMaintenance.curatedCorpus(spark, dir)
+      assert(curated.filter(col("text_kept") === newText4).count() == 1)
+      assert(curated.filter(col("text_kept") === newText2).count() == 1)
+      // Compaction folds key_map too; the view is unchanged.
+      CutReportMaintenance.compact(spark, dir)
+      assert(CutReportMaintenance.maintainedView(spark, dir)
+        .select("ext_key").as[String].collect().toSet == expectedExt)
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      // Post-compaction re-ingest of a deleted URL gets a FRESH
+      // generation under its ORIGINAL slot — the slot survives
+      // deletion and compaction ("ever seen" is load-bearing).
+      CutReportMaintenance.applyOps(spark, dir,
+        ops(Seq(("ingest", url(6), "key six returns with new words"))))
+      assert(CutReportMaintenance.maintainedView(spark, dir)
+        .filter(col("ext_key") === url(6)).count() == 1)
+      assert(CutReportMaintenance.verifyAgainstReplay(spark, dir).count() == 0)
+      // Mode is stamped: numeric keys are refused on a string-keyed dir.
+      val e = intercept[IllegalArgumentException] {
+        CutReportMaintenance.applyOps(spark, dir,
+          Seq(("insert", 42L, "numeric key body"))
+            .toDF("op", "ext_id", "text"))
+      }
+      assert(e.getMessage.contains("string-keyed"))
+      // Empty/null string keys are refused up front.
+      val e2 = intercept[IllegalArgumentException] {
+        CutReportMaintenance.applyOps(spark, dir,
+          ops(Seq(("insert", "", "x"))))
+      }
+      assert(e2.getMessage.contains("non-empty"))
+    } finally rm(dir)
+  }
+
   test("unified feed on a STREAM: one MemoryStream of mixed ops converges; a redelivered mixed batch is skipped whole; a crashed ingest half redelivers alone") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
