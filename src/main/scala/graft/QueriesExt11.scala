@@ -146,12 +146,27 @@ object QueriesExt11 {
   private def cutReportSql(whereSql: String): String = {
     val planted = "CASE WHEN doc_id % 5 = 0 THEN text || ' " +
       QueriesExt9.q267Plant + "' ELSE text END"
+    cutReportSqlOverCorpus(
+      s"SELECT doc_id, $planted AS text FROM documents WHERE $whereSql",
+      QueriesExt9.q267SqlFor(whereSql))
+  }
+
+  /** The full cut-report chain over an ARBITRARY `(doc_id, text)`
+    * corpus query (the span chain is passed alongside because its
+    * predicate/plant instantiation must match) — q300's oracle replays
+    * it over the unified feed's REPLAYED corpus, where doc ids are the
+    * engine's internal generation-packed ids and texts are the
+    * surviving generations, not a `documents` subset. The corpus SQL
+    * is inlined self-contained into each tier's subquery, so nested
+    * WITH scoping never matters. */
+  private[graft] def cutReportSqlOverCorpus(corpusSql: String,
+                                            spanSql: String): String = {
     val tCte =
       s"""t AS (
          |  SELECT doc_id, list_distinct([x[i] || ' ' || x[i+1] for i in range(1, len(x))]) AS sh
-         |  FROM (SELECT doc_id, string_split_regex(trim(lower($planted)), '\\s+') AS x
-         |        FROM documents WHERE $whereSql))""".stripMargin
-    s"""WITH c AS (SELECT doc_id, $planted AS text FROM documents WHERE $whereSql),
+         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS x
+         |        FROM ($corpusSql)))""".stripMargin
+    s"""WITH c AS ($corpusSql),
        |ntok AS (SELECT doc_id,
        |           len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
        |         FROM c),
@@ -164,7 +179,7 @@ object QueriesExt11 {
        |        WHERE f.doc_id <> k.keep_id),
        |nd0 AS (SELECT * FROM (${QueriesExt.minhashChainSql(tCte, starCandSql)})),
        |ndc AS (SELECT id_b AS doc_id, min(id_a) AS nd_dup_of FROM nd0 GROUP BY 1),
-       |ss0 AS (SELECT * FROM (${QueriesExt9.q267SqlFor(whereSql)})),
+       |ss0 AS (SELECT * FROM ($spanSql)),
        |ssc AS (SELECT doc_id, sum(tok_len)::BIGINT AS substr_tokens FROM ss0 GROUP BY 1)
        |SELECT c.doc_id,
        |  CASE WHEN exc.ex_dup_of IS NOT NULL THEN 'exact'

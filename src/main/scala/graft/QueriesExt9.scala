@@ -446,12 +446,20 @@ object QueriesExt9 {
   /** q267's span chain over a documents subset — parameterized on the
     * corpus predicate so q295's oracle can replay the SAME chain on the
     * base-only and combined corpora (q267/q292 use `TRUE`). */
-  private[graft] def q267SqlFor(whereSql: String): String = {
+  private[graft] def q267SqlFor(whereSql: String): String =
+    q267SqlOverCorpus(
+      s"""SELECT doc_id,
+         |        CASE WHEN doc_id % 5 = 0 THEN text || ' $q267Plant'
+         |             ELSE text END AS text
+         |      FROM documents WHERE $whereSql""".stripMargin)
+
+  /** The q267 duplicate-token-span chain over an ARBITRARY
+    * `(doc_id, text)` corpus query — q300's oracle replays it over a
+    * REPLAYED corpus (the unified feed's surviving generations), so
+    * the plant/predicate form above is just one instantiation. */
+  private[graft] def q267SqlOverCorpus(corpusSql: String): String = {
     def mid(c: String) = s"('0x' || substring(md5($c), 1, 15))::BIGINT"
-    s"""WITH d0 AS (SELECT doc_id,
-       |        CASE WHEN doc_id % 5 = 0 THEN text || ' $q267Plant'
-       |             ELSE text END AS text
-       |      FROM documents WHERE $whereSql),
+    s"""WITH d0 AS ($corpusSql),
        |d AS (SELECT doc_id,
        |        string_split_regex(trim(lower(text)), '\\s+') AS toks
        |      FROM d0),

@@ -38,7 +38,7 @@ object SparkEntry {
     Queries.all ++ QueriesExt.all ++ QueriesExt2.all ++ QueriesExt3.all ++
       QueriesExt4.all ++ QueriesExt5.all ++ QueriesExt6.all ++
       QueriesExt7.all ++ QueriesExt8.all ++ QueriesExt9.all ++
-      QueriesExt10.all ++ QueriesExt11.all
+      QueriesExt10.all ++ QueriesExt11.all ++ QueriesExt12.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +46,6 @@ object SparkEntry {
     Queries.oracles ++ QueriesExt.oracles ++ QueriesExt2.oracles ++
       QueriesExt3.oracles ++ QueriesExt4.oracles ++ QueriesExt5.oracles ++
       QueriesExt6.oracles ++ QueriesExt7.oracles ++ QueriesExt8.oracles ++
-      QueriesExt9.oracles ++ QueriesExt10.oracles ++ QueriesExt11.oracles
+      QueriesExt9.oracles ++ QueriesExt10.oracles ++ QueriesExt11.oracles ++
+      QueriesExt12.oracles
 }
