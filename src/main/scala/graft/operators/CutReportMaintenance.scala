@@ -514,6 +514,34 @@ object CutReportMaintenance {
                            name: String): Unit =
     df.write.mode("overwrite").parquet(s"$stateDir/seg_$name/v$version")
 
+  /** Land independent per-version segments CONCURRENTLY (guide §2.6 —
+    * actions are only sequential because the driver calls them
+    * sequentially): each table's write is an independent job over an
+    * already-checkpointed (or trivially derived) frame, targets its own
+    * directory, and nothing below [[commitVersion]] orders them among
+    * themselves — only the commit must come after ALL of them. A
+    * sequential landing pays one scheduler round-trip per tiny job
+    * (~14 writes/ingest dominated the maintained-query wall); the pool
+    * overlaps them and the stage tails back-fill each other. Any
+    * failure propagates before the version pointer flips, so the
+    * crash-safety story is unchanged (orphans at v<next> are purged by
+    * the next writer). */
+  private def landParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tasks.size, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            tasks.map(t => scala.concurrent.Future(t()))),
+          scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+      ()
+    }
+
   /** Skip-if-empty write (r14 review): unconditionally landing empty
     * tombstone/vector segments permanently disabled the
     * `tombsKnownEmpty` fast path for pure-append workloads and taxed
@@ -1117,110 +1145,150 @@ object CutReportMaintenance {
     // groupBy over the checkpointed batch plus pruned point-reads of
     // the docs index and the (small) doc tombstones; the offender
     // collect is bounded by its limit.
-    val batchIds = bDocs.select("doc_id")
-    val dupInBatch = bDocs.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("doc_id")
-    val tombIds = readSegments(spark, stateDir, "doc_tombs", docTombSchema)
-      .select("doc_id")
-    val offenders = dupInBatch
-      .unionByName(batchIds.join(docsByIds(batchIds).select("doc_id"),
-        Seq("doc_id"), "left_semi"))
-      .unionByName(batchIds.join(tombIds, Seq("doc_id"), "left_semi"))
-      .limit(5).collect().map(_.getLong(0)).distinct
-    require(offenders.isEmpty,
-      s"doc_id contract violation at $stateDir: ids " +
-        s"${offenders.mkString("[", ", ", "]")} are already ingested, " +
-        "tombstoned, or repeated within the batch — re-ingesting an " +
-        "existing or deleted id would silently corrupt the indexes; " +
-        "update = deleteDocs + re-ingest under a FRESH id")
+    // r17 (optimization, guide §2.6 "overlap independent jobs"): the
+    // id-contract probe and the four tier front-ends below are
+    // independent DAGs over the checkpointed batch until the touched-id
+    // union — yet they used to evaluate strictly sequentially, dozens
+    // of tiny eager jobs paying one scheduler round-trip each while the
+    // executor sat idle. Each tier now materializes inside its own
+    // Future from a bounded pool; every WRITE still happens after all
+    // tiers (and the contract gate) complete, so the
+    // abort-before-any-write discipline and crash-safety are unchanged.
+    // Tier results are Awaited in declaration order right below, so
+    // failure propagation is also unchanged.
+    val tierPool = java.util.concurrent.Executors.newFixedThreadPool(5,
+      new java.util.concurrent.ThreadFactory {
+        // Daemon threads: an exception on the await path (e.g. the id
+        // contract gate) must not leave a non-daemon pool pinning the
+        // JVM; the pool is also shut down explicitly after the barrier.
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "cutmaint-tier"); t.setDaemon(true); t
+        }
+      })
+    implicit val tierEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(tierPool)
+    def await[T](f: scala.concurrent.Future[T]): T =
+      try scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf)
+      catch { case e: Throwable => tierPool.shutdown(); throw e }
+
+    val offendersF = scala.concurrent.Future {
+      val batchIds = bDocs.select("doc_id")
+      val dupInBatch = bDocs.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("doc_id")
+      val tombIds = readSegments(spark, stateDir, "doc_tombs", docTombSchema)
+        .select("doc_id")
+      dupInBatch
+        .unionByName(batchIds.join(docsByIds(batchIds).select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+        .unionByName(batchIds.join(tombIds, Seq("doc_id"), "left_semi"))
+        .limit(5).collect().map(_.getLong(0)).distinct
+    }
 
     // ---- exact tier: merge the batch's per-fp minimum into the index.
     // The stored index is overlay-latest (fp, keep_id, v); each ingest
     // writes the MERGED keeper for the batch's fps — and only the
     // BATCH's fps are ever aggregated here (r14: the old full-keyspace
     // merge materialized O(corpus) rows per ingest).
-    val bFpMin = bDocs.groupBy("fp").agg(min("doc_id").as("bmin"))
-      .localCheckpoint(true)
-    // Probe reads prune the bucketed base by the batch's key set.
     def fpSegsFor(keys: DataFrame) = readSegmentsPruned(spark, stateDir,
       "fp_index", fpSchema, Some(keys.select("fp")))
-    val fpOldB = fpSegsFor(bFpMin).join(bFpMin.select("fp"), Seq("fp"))
-      .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("old_keep"))
-      .filter(col("old_keep").isNotNull)
-    // Old docs whose keeper the batch undercut — their ex_dup_of moves.
-    // Append-shape batches never undercut (higher ids), so the sweep is
-    // SKIPPED entirely; a backfill reads the fp-keyed docs sidecar
-    // pruned to exactly the undercut fps — never the corpus projection.
-    val undercutFps = bFpMin.join(fpOldB, Seq("fp"))
-      .filter(col("bmin") < col("old_keep")).select("fp")
-      .localCheckpoint(true)
-    val exTouched =
-      if (undercutFps.isEmpty)
-        emptyDf(spark, StructType(Seq(StructField("doc_id", LongType))))
-      else alive(docsByFp(spark, stateDir, undercutFps), "doc_id")
-        .join(undercutFps, Seq("fp")).select(col("doc_id"))
-    val fpWriteSeg = bFpMin.join(fpOldB, Seq("fp"), "left")
-      .select(col("fp"), least(col("old_keep"), col("bmin")).as("keep_id"),
-        lit(nextV).as("v"))
+    val exactF = scala.concurrent.Future {
+      val bFpMin = bDocs.groupBy("fp").agg(min("doc_id").as("bmin"))
+        .localCheckpoint(true)
+      // Probe reads prune the bucketed base by the batch's key set.
+      val fpOldB = fpSegsFor(bFpMin).join(bFpMin.select("fp"), Seq("fp"))
+        .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("old_keep"))
+        .filter(col("old_keep").isNotNull)
+      // Old docs whose keeper the batch undercut — their ex_dup_of moves.
+      // Append-shape batches never undercut (higher ids), so the sweep is
+      // SKIPPED entirely; a backfill reads the fp-keyed docs sidecar
+      // pruned to exactly the undercut fps — never the corpus projection.
+      val undercutFps = bFpMin.join(fpOldB, Seq("fp"))
+        .filter(col("bmin") < col("old_keep")).select("fp")
+        .localCheckpoint(true)
+      val exTouched =
+        if (undercutFps.isEmpty)
+          emptyDf(spark, StructType(Seq(StructField("doc_id", LongType))))
+        else alive(docsByFp(spark, stateDir, undercutFps), "doc_id")
+          .join(undercutFps, Seq("fp")).select(col("doc_id"))
+      val fpWriteSeg = bFpMin.join(fpOldB, Seq("fp"), "left")
+        .select(col("fp"), least(col("old_keep"), col("bmin")).as("keep_id"),
+          lit(nextV).as("v"))
+      (bFpMin, exTouched, fpWriteSeg)
+    }
 
     // ---- near-dup tier: affected buckets re-star; their old pairs
     // retract via a tombstone row, everything else stays untouched on
     // disk (r14: the old path re-read and re-wrote the WHOLE pair set).
-    val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
-      .localCheckpoint(true)
-    val bandB = bandedOf(bSh, p).localCheckpoint(true)
-    // Stored owners come off the owner-summary index (one row per
-    // touched bucket); membership is read ONLY for owner-changed /
-    // brand-new buckets, pruned to exactly those keys.
-    val bandKeysB = bandB.select("band", "bh").distinct().localCheckpoint(true)
-    val ownersOldB = ownersFor(spark, stateDir, "band_owners",
-      bandOwnersSchema(p.portable), bandKeysB, "bh", Seq("n_sh"))
-    def bandMembersOf(ks: DataFrame) =
-      alive(readSegmentsPruned(spark, stateDir, "band_index",
-        bandSchema(p.portable), Some(ks)), "id").join(ks, Seq("band", "bh"))
     val ndTombsOld = readSegments(spark, stateDir, "nd_tombs", ndTombSchema(p.portable))
-    val (cand, ndRetractB, ndMembersChanged, ndOwnersWrite) =
-      bucketCandidates(ownersOldB, bandB, "bh", Seq("n_sh"), bandMembersOf)
-    // Shingles for verification — only the docs the candidates actually
-    // touch (stable-bucket owners + changed-bucket members + batch),
-    // re-shingled from the stored corpus via an id-pruned point-read.
-    val memberIds = cand.select(col("id_a").as("doc_id"))
-      .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
-    val oldMemberSh = DedupFunctions.shingledDocs(
-      docsByIds(memberIds).join(memberIds, Seq("doc_id")),
-      "text", "doc_id", p.n)
-    val allSh = bSh.unionByName(oldMemberSh).localCheckpoint(true)
-    // Verify each DISTINCT pair once (a pair can surface from several
-    // buckets), then fan the verdict back onto the bucket-provenance
-    // rows the stored pair set keeps.
-    val verifiedPairs = cand
-      .select(col("id_a"), col("id_b"), col("n_sh_a"), col("n_sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .filter(col("shared").cast("double") /
-        (col("n_sh_a") + col("n_sh_b") - col("shared")).cast("double") >= p.threshold)
-      .select(col("id_a"), col("id_b"))
-    val pairsNewSeg = cand.join(verifiedPairs, Seq("id_a", "id_b"))
-      .select(col("band"), col("bh"), col("id_a"), col("id_b"))
-      .withColumn("v", lit(nextV)).localCheckpoint(true)
-    // Only owner-changed buckets retract — one tombstone row each.
-    val ndTombsNewSeg = ndRetractB.withColumn("v", lit(nextV))
-    // Docs whose pair set may have moved: any member of a changed
-    // bucket (a SUPERSET of the retracted pairs' id_bs — membership
-    // rows are append-only, so a pair's id_b is always a member; the
-    // superset re-reports a few extra docs as `same` and costs nothing
-    // new, because changed-bucket membership is already in hand) plus
-    // anything newly verified. The stored pair set is NOT read here.
-    val ndTouched = ndMembersChanged.select(col("id").as("doc_id"))
-      .unionByName(pairsNewSeg.select(col("id_b").as("doc_id")))
+    val ndF = scala.concurrent.Future {
+      val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
+        .localCheckpoint(true)
+      val bandB = bandedOf(bSh, p).localCheckpoint(true)
+      // Stored owners come off the owner-summary index (one row per
+      // touched bucket); membership is read ONLY for owner-changed /
+      // brand-new buckets, pruned to exactly those keys.
+      val bandKeysB = bandB.select("band", "bh").distinct().localCheckpoint(true)
+      val ownersOldB = ownersFor(spark, stateDir, "band_owners",
+        bandOwnersSchema(p.portable), bandKeysB, "bh", Seq("n_sh"))
+      def bandMembersOf(ks: DataFrame) =
+        alive(readSegmentsPruned(spark, stateDir, "band_index",
+          bandSchema(p.portable), Some(ks)), "id").join(ks, Seq("band", "bh"))
+      val (cand, ndRetractB, ndMembersChanged, ndOwnersWrite) =
+        bucketCandidates(ownersOldB, bandB, "bh", Seq("n_sh"), bandMembersOf)
+      // Shingles for verification — only the docs the candidates actually
+      // touch (stable-bucket owners + changed-bucket members + batch),
+      // re-shingled from the stored corpus via an id-pruned point-read.
+      val memberIds = cand.select(col("id_a").as("doc_id"))
+        .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+      val oldMemberSh = DedupFunctions.shingledDocs(
+        docsByIds(memberIds).join(memberIds, Seq("doc_id")),
+        "text", "doc_id", p.n)
+      val allSh = bSh.unionByName(oldMemberSh).localCheckpoint(true)
+      // Verify each DISTINCT pair once (a pair can surface from several
+      // buckets), then fan the verdict back onto the bucket-provenance
+      // rows the stored pair set keeps.
+      val verifiedPairs = cand
+        .select(col("id_a"), col("id_b"), col("n_sh_a"), col("n_sh_b"))
+        .dropDuplicates("id_a", "id_b")
+        .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("shared").cast("double") /
+          (col("n_sh_a") + col("n_sh_b") - col("shared")).cast("double") >= p.threshold)
+        .select(col("id_a"), col("id_b"))
+      val pairsNewSeg = cand.join(verifiedPairs, Seq("id_a", "id_b"))
+        .select(col("band"), col("bh"), col("id_a"), col("id_b"))
+        .withColumn("v", lit(nextV)).localCheckpoint(true)
+      // Only owner-changed buckets retract — one tombstone row each.
+      val ndTombsNewSeg = ndRetractB.withColumn("v", lit(nextV))
+      // Docs whose pair set may have moved: any member of a changed
+      // bucket (a SUPERSET of the retracted pairs' id_bs — membership
+      // rows are append-only, so a pair's id_b is always a member; the
+      // superset re-reports a few extra docs as `same` and costs nothing
+      // new, because changed-bucket membership is already in hand) plus
+      // anything newly verified. The stored pair set is NOT read here.
+      val ndTouched = ndMembersChanged.select(col("id").as("doc_id"))
+        .unionByName(pairsNewSeg.select(col("id_b").as("doc_id")))
+      (bandB, pairsNewSeg, ndTombsNewSeg, ndOwnersWrite, ndTouched)
+    }
 
     // ---- embedding tier (optional `emb` column): the q297 probe
     // algebra maintained — SRP band keys index the stored vectors; the
     // same owner-stable/owner-changed split; exact-cosine verification.
+    // r17 (optimization, guide §1.2 "don't compute things you throw
+    // away"): a batch with NO vectors provably yields empty frames at
+    // every step of this tier REGARDLESS of stored vec state — each
+    // batch-side product is keyed by the batch's SRP keys, of which
+    // there are none (ownersFor over no keys, bucketCandidates over an
+    // empty banded frame, verify over no candidates) — yet the block
+    // still cost ~10 eager no-op jobs plus 4 empty-write probes per
+    // ingest. It now collapses to schema-typed empties. Stored vec
+    // pairs still serve `embCut` below via the touched-id pruned
+    // reads, unchanged.
     val hasEmb = batch.columns.contains("emb")
-    val planes = Similarity.deterministicPlanes(p.vecBits, p.vecDim)
+    val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
+    val vecF = scala.concurrent.Future {
     val bVecs =
       if (hasEmb) batch.filter(col("emb").isNotNull)
         .select(col("doc_id").cast("long").as("doc_id"),
@@ -1228,70 +1296,106 @@ object CutReportMaintenance {
         .select(col("doc_id"), col("emb"), Similarity.l2Norm(col("emb")).as("nrm"))
         .localCheckpoint(true)
       else emptyDf(spark, vecsSchema)
-    val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
-    val bandVB = vecBandedOf(bVecs, p, planes).localCheckpoint(true)
-    val bandVKeys = bandVB.select("band", "bkey").distinct()
-      .localCheckpoint(true)
-    val ownersOldV = ownersFor(spark, stateDir, "vec_owners",
-      vecOwnersSchema, bandVKeys, "bkey", Nil)
-    def vecMembersOf(ks: DataFrame) =
-      alive(readSegmentsPruned(spark, stateDir, "vec_index",
-        vecIndexSchema, Some(ks)), "id").join(ks, Seq("band", "bkey"))
-    val (vCand, vRetractB, vMembersChanged, vOwnersWrite) =
-      bucketCandidates(ownersOldV, bandVB, "bkey", Nil, vecMembersOf)
-    val vIds = vCand.select(col("id_a").as("doc_id"))
-      .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
-    val vecSegs = alive(readSegmentsPruned(spark, stateDir, "vecs",
-      vecsSchema, Some(vIds)), "doc_id")
-    val vecsForVerify = vecSegs.join(vIds, Seq("doc_id"))
-      .unionByName(bVecs.join(vIds, Seq("doc_id"))).localCheckpoint(true)
-    val vVerified = vCand.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-      .join(vecsForVerify.select(col("doc_id").as("id_a"),
-        col("emb").as("e_a"), col("nrm").as("n_a")), Seq("id_a"))
-      .join(vecsForVerify.select(col("doc_id").as("id_b"),
-        col("emb").as("e_b"), col("nrm").as("n_b")), Seq("id_b"))
-      .filter(try_divide(Similarity.dot(col("e_a"), col("e_b")),
-        col("n_a") * col("n_b")) >= p.vecThreshold)
-      .select(col("id_a"), col("id_b"))
-    val vPairsNewSeg = vCand.join(vVerified, Seq("id_a", "id_b"))
-      .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
-      .withColumn("v", lit(nextV)).localCheckpoint(true)
-    val vTombsNewSeg = vRetractB.withColumn("v", lit(nextV))
-    // Same changed-membership superset as the text tier — no stored
-    // pair read.
-    val vecTouched = vMembersChanged.select(col("id").as("doc_id"))
-      .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
+    val vecTierActive = hasEmb && !bVecs.isEmpty
+    val (bandVB, vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched) =
+      if (!vecTierActive)
+        (emptyDf(spark, vecIndexSchema), emptyDf(spark, vecPairSchemaV),
+          emptyDf(spark, vecTombSchema),
+          emptyDf(spark, StructType(vecOwnersSchema.fields.toSeq
+            .filter(_.name != "v"))),
+          emptyDf(spark, StructType(Seq(StructField("doc_id", LongType)))))
+      else {
+        val planes = Similarity.deterministicPlanes(p.vecBits, p.vecDim)
+        val bandVB = vecBandedOf(bVecs, p, planes).localCheckpoint(true)
+        val bandVKeys = bandVB.select("band", "bkey").distinct()
+          .localCheckpoint(true)
+        val ownersOldV = ownersFor(spark, stateDir, "vec_owners",
+          vecOwnersSchema, bandVKeys, "bkey", Nil)
+        def vecMembersOf(ks: DataFrame) =
+          alive(readSegmentsPruned(spark, stateDir, "vec_index",
+            vecIndexSchema, Some(ks)), "id").join(ks, Seq("band", "bkey"))
+        val (vCand, vRetractB, vMembersChanged, vOwnersWrite) =
+          bucketCandidates(ownersOldV, bandVB, "bkey", Nil, vecMembersOf)
+        val vIds = vCand.select(col("id_a").as("doc_id"))
+          .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
+        val vecSegs = alive(readSegmentsPruned(spark, stateDir, "vecs",
+          vecsSchema, Some(vIds)), "doc_id")
+        val vecsForVerify = vecSegs.join(vIds, Seq("doc_id"))
+          .unionByName(bVecs.join(vIds, Seq("doc_id"))).localCheckpoint(true)
+        val vVerified = vCand.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+          .join(vecsForVerify.select(col("doc_id").as("id_a"),
+            col("emb").as("e_a"), col("nrm").as("n_a")), Seq("id_a"))
+          .join(vecsForVerify.select(col("doc_id").as("id_b"),
+            col("emb").as("e_b"), col("nrm").as("n_b")), Seq("id_b"))
+          .filter(try_divide(Similarity.dot(col("e_a"), col("e_b")),
+            col("n_a") * col("n_b")) >= p.vecThreshold)
+          .select(col("id_a"), col("id_b"))
+        val vPairsNewSeg = vCand.join(vVerified, Seq("id_a", "id_b"))
+          .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
+          .withColumn("v", lit(nextV)).localCheckpoint(true)
+        val vTombsNewSeg = vRetractB.withColumn("v", lit(nextV))
+        // Same changed-membership superset as the text tier — no stored
+        // pair read.
+        val vecTouched = vMembersChanged.select(col("id").as("doc_id"))
+          .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
+        (bandVB, vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched)
+      }
+    (bVecs, bandVB, vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched,
+      vecTierActive)
+    }
 
     // ---- substring tier: first-occurrence index merge; the stored
     // index is overlay-latest (h → first (id, pos), v), merged here for
     // the BATCH's hashes only (the only ones marks can move on). Marks
     // are versioned against the mark tombstones deleteDocs writes.
-    val bH = ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
-      .select(col("id").cast("long").as("id"), col("pos").cast("long").as("pos"),
-        col("h"))
-      .localCheckpoint(true)
-    val occ = struct(col("id"), col("pos"))
-    val bFirst = bH.groupBy("h").agg(min(occ).as("bf")).localCheckpoint(true)
-    val oldFirstB = readSegmentsPruned(spark, stateDir, "hash_index",
-        hashSchema, Some(bFirst.select("h")))
-      .select(col("h"), occ.as("o"), col("v"))
-      .join(bFirst.select("h"), Seq("h"))
-      .groupBy("h").agg(max_by(col("o"), col("v")).as("of0"))
-      .select(col("h"), when(col("of0.id").isNotNull, col("of0")).as("of"))
-      .filter(col("of").isNotNull)
-    val firstMerged = bFirst.join(oldFirstB, Seq("h"), "left")
-      .select(col("h"), col("of"), col("bf"), least(col("of"), col("bf")).as("cf"))
-      .localCheckpoint(true)
-    val newMarks = bH.join(firstMerged, Seq("h"))
-      .filter(occ =!= col("cf")).select(col("h"), col("id"), col("pos"))
-      .dropDuplicates("id", "pos")
-    val repairMarks = firstMerged
-      .filter(col("of").isNotNull && col("bf").isNotNull && col("bf") < col("of"))
-      .select(col("h"), col("of.id").as("id"), col("of.pos").as("pos"))
-      .dropDuplicates("id", "pos")
-    val marksAdded = newMarks.unionByName(repairMarks)
-      .withColumn("v", lit(nextV)).localCheckpoint(true)
-    val ssTouched = marksAdded.select(col("id").as("doc_id"))
+    val ssF = scala.concurrent.Future {
+      val bH = ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
+        .select(col("id").cast("long").as("id"), col("pos").cast("long").as("pos"),
+          col("h"))
+        .localCheckpoint(true)
+      val occ = struct(col("id"), col("pos"))
+      val bFirst = bH.groupBy("h").agg(min(occ).as("bf")).localCheckpoint(true)
+      val oldFirstB = readSegmentsPruned(spark, stateDir, "hash_index",
+          hashSchema, Some(bFirst.select("h")))
+        .select(col("h"), occ.as("o"), col("v"))
+        .join(bFirst.select("h"), Seq("h"))
+        .groupBy("h").agg(max_by(col("o"), col("v")).as("of0"))
+        .select(col("h"), when(col("of0.id").isNotNull, col("of0")).as("of"))
+        .filter(col("of").isNotNull)
+      val firstMerged = bFirst.join(oldFirstB, Seq("h"), "left")
+        .select(col("h"), col("of"), col("bf"), least(col("of"), col("bf")).as("cf"))
+        .localCheckpoint(true)
+      val newMarks = bH.join(firstMerged, Seq("h"))
+        .filter(occ =!= col("cf")).select(col("h"), col("id"), col("pos"))
+        .dropDuplicates("id", "pos")
+      val repairMarks = firstMerged
+        .filter(col("of").isNotNull && col("bf").isNotNull && col("bf") < col("of"))
+        .select(col("h"), col("of.id").as("id"), col("of.pos").as("pos"))
+        .dropDuplicates("id", "pos")
+      val marksAdded = newMarks.unionByName(repairMarks)
+        .withColumn("v", lit(nextV)).localCheckpoint(true)
+      val ssTouched = marksAdded.select(col("id").as("doc_id"))
+      (firstMerged, marksAdded, ssTouched)
+    }
+
+    // ---- barrier: every tier materialized, the contract gate passed —
+    // nothing has been written yet. Await order fixes which failure
+    // surfaces first; the semantics of each tier are byte-identical to
+    // the sequential form.
+    val offenders = await(offendersF)
+    require(offenders.isEmpty,
+      s"doc_id contract violation at $stateDir: ids " +
+        s"${offenders.mkString("[", ", ", "]")} are already ingested, " +
+        "tombstoned, or repeated within the batch — re-ingesting an " +
+        "existing or deleted id would silently corrupt the indexes; " +
+        "update = deleteDocs + re-ingest under a FRESH id")
+    val (bFpMin, exTouched, fpWriteSeg) = await(exactF)
+    val (bandB, pairsNewSeg, ndTombsNewSeg, ndOwnersWrite, ndTouched) =
+      await(ndF)
+    val (bVecs, bandVB, vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched,
+      vecTierActive) = await(vecF)
+    val (firstMerged, marksAdded, ssTouched) = await(ssF)
+    tierPool.shutdown()
 
     // ---- touched set + report re-assembly for touched ids only.
     val touched = bDocs.select("doc_id")
@@ -1401,28 +1505,33 @@ object CutReportMaintenance {
     // tombsKnownEmpty fast path for pure-append workloads and added a
     // per-version read tax; the emptiness probes run against (frames
     // trivially derived from) the eager checkpoints above.
-    writeSegment(bDocs, stateDir, nextV, "docs")
-    writeSegment(fpWriteSeg, stateDir, nextV, "fp_index")
-    writeSegmentUnlessEmpty(bandB, stateDir, nextV, "band_index")
-    writeSegmentUnlessEmpty(ndOwnersWrite.withColumn("v", lit(nextV)),
-      stateDir, nextV, "band_owners")
-    writeSegmentUnlessEmpty(pairsNewSeg, stateDir, nextV, "nd_pairs")
-    writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
-    writeSegmentUnlessEmpty(bVecs, stateDir, nextV, "vecs")
-    writeSegmentUnlessEmpty(bandVB, stateDir, nextV, "vec_index")
-    writeSegmentUnlessEmpty(vOwnersWrite.withColumn("v", lit(nextV)),
-      stateDir, nextV, "vec_owners")
-    writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV, "vec_pairs")
-    writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV, "vec_tombs")
-    writeSegment(firstMerged.select(col("h"), col("cf.id").as("id"),
-      col("cf.pos").as("pos"), lit(nextV).as("v")), stateDir, nextV, "hash_index")
-    writeSegmentUnlessEmpty(marksAdded, stateDir, nextV, "marks")
-    writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
-      col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV, "report")
-    idMapSeg.foreach(m => writeSegmentUnlessEmpty(
-      m.withColumn("v", lit(nextV)), stateDir, nextV, "id_map"))
-    keyMapSeg.foreach(m => writeSegmentUnlessEmpty(
-      m.withColumn("v", lit(nextV)), stateDir, nextV, "key_map"))
+    landParallel(Seq[() => Unit](
+      () => writeSegment(bDocs, stateDir, nextV, "docs"),
+      () => writeSegment(fpWriteSeg, stateDir, nextV, "fp_index"),
+      () => writeSegmentUnlessEmpty(bandB, stateDir, nextV, "band_index"),
+      () => writeSegmentUnlessEmpty(ndOwnersWrite.withColumn("v", lit(nextV)),
+        stateDir, nextV, "band_owners"),
+      () => writeSegmentUnlessEmpty(pairsNewSeg, stateDir, nextV, "nd_pairs"),
+      () => writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs"),
+      () => writeSegment(firstMerged.select(col("h"), col("cf.id").as("id"),
+        col("cf.pos").as("pos"), lit(nextV).as("v")), stateDir, nextV,
+        "hash_index"),
+      () => writeSegmentUnlessEmpty(marksAdded, stateDir, nextV, "marks"),
+      () => writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
+        col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV,
+        "report")) ++
+      (if (vecTierActive) Seq[() => Unit](
+        () => writeSegmentUnlessEmpty(bVecs, stateDir, nextV, "vecs"),
+        () => writeSegmentUnlessEmpty(bandVB, stateDir, nextV, "vec_index"),
+        () => writeSegmentUnlessEmpty(vOwnersWrite.withColumn("v", lit(nextV)),
+          stateDir, nextV, "vec_owners"),
+        () => writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV, "vec_pairs"),
+        () => writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV, "vec_tombs"))
+      else Nil) ++
+      idMapSeg.map(m => () => writeSegmentUnlessEmpty(
+        m.withColumn("v", lit(nextV)), stateDir, nextV, "id_map")).toSeq ++
+      keyMapSeg.map(m => () => writeSegmentUnlessEmpty(
+        m.withColumn("v", lit(nextV)), stateDir, nextV, "key_map")).toSeq)
     writeMarkers(stateDir, curV, nextV, appliedMarker)
     // The slot counter lands AFTER writeMarkers (which carries the old
     // value forward) so the bump overwrites the carried copy, and
@@ -1502,26 +1611,46 @@ object CutReportMaintenance {
       val dDocs = docsLiveByIds(del).join(del, Seq("doc_id"))
         .localCheckpoint(true)
 
+      // r17 (optimization, guide §2.6): same tier-level concurrency as
+      // [[ingestLocked]] — the four repair front-ends are independent
+      // DAGs over the checkpointed doomed set until the touched union;
+      // all writes still land after every tier completes.
+      val tierPool = java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, "cutmaint-del-tier"); t.setDaemon(true); t
+          }
+        })
+      implicit val tierEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(tierPool)
+      def await[T](f: scala.concurrent.Future[T]): T =
+        try scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf)
+        catch { case e: Throwable => tierPool.shutdown(); throw e }
+
       // ---- exact tier: only fps whose stored keeper dies need repair.
       def fpSegsFor(keys: DataFrame) = readSegmentsPruned(spark, stateDir,
         "fp_index", fpSchema, Some(keys.select("fp")))
-      val dFps = dDocs.select("fp").distinct()
-      val affFps = fpSegsFor(dFps).join(dFps, Seq("fp"))
-        .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
-        .join(del.select(col("doc_id").as("okeep")), Seq("okeep"))
-        .select("fp").localCheckpoint(true)
-      // Survivors sharing an affected fp — an fp-pruned read of the
-      // docs sidecar (r16: this was the exact tier's remaining whole-
-      // corpus scan per delete).
-      val survAff = surv(aliveOld(docsByFp(spark, stateDir, affFps),
-          "doc_id"), "doc_id")
-        .join(affFps, Seq("fp"))
-        .select("doc_id", "fp").localCheckpoint(true)
-      val fpWriteSeg = affFps
-        .join(survAff.groupBy("fp").agg(min("doc_id").as("keep_id")),
-          Seq("fp"), "left")
-        .select(col("fp"), col("keep_id"), lit(nextV).as("v"))
-      val exTouched = survAff.select("doc_id")
+      val exactF = scala.concurrent.Future {
+        val dFps = dDocs.select("fp").distinct()
+        val affFps = fpSegsFor(dFps).join(dFps, Seq("fp"))
+          .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
+          .join(del.select(col("doc_id").as("okeep")), Seq("okeep"))
+          .select("fp").localCheckpoint(true)
+        // Survivors sharing an affected fp — an fp-pruned read of the
+        // docs sidecar (r16: this was the exact tier's remaining whole-
+        // corpus scan per delete).
+        val survAff = surv(aliveOld(docsByFp(spark, stateDir, affFps),
+            "doc_id"), "doc_id")
+          .join(affFps, Seq("fp"))
+          .select("doc_id", "fp").localCheckpoint(true)
+        val fpWriteSeg = affFps
+          .join(survAff.groupBy("fp").agg(min("doc_id").as("keep_id")),
+            Seq("fp"), "left")
+          .select(col("fp"), col("keep_id"), lit(nextV).as("v"))
+        val exTouched = survAff.select("doc_id")
+        (affFps, fpWriteSeg, exTouched)
+      }
 
       // ---- near-dup tier: re-star buckets whose owner is deleted.
       // The doomed docs' band keys are RECOMPUTED from their stored
@@ -1532,61 +1661,64 @@ object CutReportMaintenance {
       // throughput corpus-growth term). `bandAff` is the FULL live
       // membership of every bucket a deleted doc belongs to — exactly
       // what the owner check and the re-star need.
-      val dSh = DedupFunctions.shingledDocs(dDocs, "text", "doc_id", p.n)
-        .localCheckpoint(true)
-      val dBandKeys = bandedOf(dSh, p).select("band", "bh").distinct()
-        .localCheckpoint(true)
-      // Owner-dead buckets straight off the owner-summary index (one
-      // row per candidate bucket — the stored owner is always a live
-      // doc, so owner ∈ del ⟺ the bucket needs a re-star); membership
-      // is then read pruned to exactly THOSE buckets.
-      val ownersAtDel = ownersFor(spark, stateDir, "band_owners",
-        bandOwnersSchema(p.portable), dBandKeys, "bh", Seq("n_sh"))
-      val affB = ownersAtDel
-        .join(del.select(col("doc_id").as("old_owner")), Seq("old_owner"))
-        .select("band", "bh").localCheckpoint(true)
       val ndTombsOld = readSegments(spark, stateDir, "nd_tombs",
         ndTombSchema(p.portable))
-      val ndMembers = surv(
-          aliveOld(readSegmentsPruned(spark, stateDir, "band_index",
-            bandSchema(p.portable), Some(affB)), "id")
-            .join(affB, Seq("band", "bh")), "id")
-        .localCheckpoint(true)
-      val ndOwners = ndMembers.groupBy("band", "bh")
-        .agg(min("id").as("id_a"), min_by(col("n_sh"), col("id")).as("n_sh_a"))
-        .localCheckpoint(true)
-      // Recomputed owner rows for the re-starred buckets (null owner =
-      // bucket cleared; reads treat it as absent, compaction drops it).
-      val ndOwnersWrite = affB.join(ndOwners, Seq("band", "bh"), "left")
-        .select(col("band"), col("bh"), col("id_a").as("owner"),
-          col("n_sh_a").as("n_sh"))
-      val ndCand = ndMembers.join(ndOwners, Seq("band", "bh"))
-        .filter(col("id") > col("id_a"))
-        .select(col("band"), col("bh"), col("id_a"), col("id").as("id_b"),
-          col("n_sh_a"), col("n_sh").as("n_sh_b"))
-        .localCheckpoint(true)
-      val ndMemberIds = ndCand.select(col("id_a").as("doc_id"))
-        .unionByName(ndCand.select(col("id_b").as("doc_id"))).distinct()
-      val ndSh = DedupFunctions.shingledDocs(
-        surv(docsLiveByIds(ndMemberIds), "doc_id")
-          .join(ndMemberIds, Seq("doc_id")), "text", "doc_id", p.n)
-        .localCheckpoint(true)
-      val ndVerified = ndCand
-        .select(col("id_a"), col("id_b"), col("n_sh_a"), col("n_sh_b"))
-        .dropDuplicates("id_a", "id_b")
-        .join(ndSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(ndSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .filter(col("shared").cast("double") /
-          (col("n_sh_a") + col("n_sh_b") - col("shared")).cast("double") >= p.threshold)
-        .select(col("id_a"), col("id_b"))
-      val ndPairsNewSeg = ndCand.join(ndVerified, Seq("id_a", "id_b"))
-        .select(col("band"), col("bh"), col("id_a"), col("id_b"))
-        .withColumn("v", lit(nextV)).localCheckpoint(true)
-      val ndTombsNewSeg = affB.withColumn("v", lit(nextV))
-      // Changed-membership superset, like ingest — no stored pair read.
-      val ndTouched = ndMembers.select(col("id").as("doc_id"))
-        .unionByName(ndPairsNewSeg.select(col("id_b").as("doc_id")))
+      val ndF = scala.concurrent.Future {
+        val dSh = DedupFunctions.shingledDocs(dDocs, "text", "doc_id", p.n)
+          .localCheckpoint(true)
+        val dBandKeys = bandedOf(dSh, p).select("band", "bh").distinct()
+          .localCheckpoint(true)
+        // Owner-dead buckets straight off the owner-summary index (one
+        // row per candidate bucket — the stored owner is always a live
+        // doc, so owner ∈ del ⟺ the bucket needs a re-star); membership
+        // is then read pruned to exactly THOSE buckets.
+        val ownersAtDel = ownersFor(spark, stateDir, "band_owners",
+          bandOwnersSchema(p.portable), dBandKeys, "bh", Seq("n_sh"))
+        val affB = ownersAtDel
+          .join(del.select(col("doc_id").as("old_owner")), Seq("old_owner"))
+          .select("band", "bh").localCheckpoint(true)
+        val ndMembers = surv(
+            aliveOld(readSegmentsPruned(spark, stateDir, "band_index",
+              bandSchema(p.portable), Some(affB)), "id")
+              .join(affB, Seq("band", "bh")), "id")
+          .localCheckpoint(true)
+        val ndOwners = ndMembers.groupBy("band", "bh")
+          .agg(min("id").as("id_a"), min_by(col("n_sh"), col("id")).as("n_sh_a"))
+          .localCheckpoint(true)
+        // Recomputed owner rows for the re-starred buckets (null owner =
+        // bucket cleared; reads treat it as absent, compaction drops it).
+        val ndOwnersWrite = affB.join(ndOwners, Seq("band", "bh"), "left")
+          .select(col("band"), col("bh"), col("id_a").as("owner"),
+            col("n_sh_a").as("n_sh"))
+        val ndCand = ndMembers.join(ndOwners, Seq("band", "bh"))
+          .filter(col("id") > col("id_a"))
+          .select(col("band"), col("bh"), col("id_a"), col("id").as("id_b"),
+            col("n_sh_a"), col("n_sh").as("n_sh_b"))
+          .localCheckpoint(true)
+        val ndMemberIds = ndCand.select(col("id_a").as("doc_id"))
+          .unionByName(ndCand.select(col("id_b").as("doc_id"))).distinct()
+        val ndSh = DedupFunctions.shingledDocs(
+          surv(docsLiveByIds(ndMemberIds), "doc_id")
+            .join(ndMemberIds, Seq("doc_id")), "text", "doc_id", p.n)
+          .localCheckpoint(true)
+        val ndVerified = ndCand
+          .select(col("id_a"), col("id_b"), col("n_sh_a"), col("n_sh_b"))
+          .dropDuplicates("id_a", "id_b")
+          .join(ndSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(ndSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .filter(col("shared").cast("double") /
+            (col("n_sh_a") + col("n_sh_b") - col("shared")).cast("double") >= p.threshold)
+          .select(col("id_a"), col("id_b"))
+        val ndPairsNewSeg = ndCand.join(ndVerified, Seq("id_a", "id_b"))
+          .select(col("band"), col("bh"), col("id_a"), col("id_b"))
+          .withColumn("v", lit(nextV)).localCheckpoint(true)
+        val ndTombsNewSeg = affB.withColumn("v", lit(nextV))
+        // Changed-membership superset, like ingest — no stored pair read.
+        val ndTouched = ndMembers.select(col("id").as("doc_id"))
+          .unionByName(ndPairsNewSeg.select(col("id_b").as("doc_id")))
+        (ndOwnersWrite, ndPairsNewSeg, ndTombsNewSeg, ndTouched)
+      }
 
       // ---- embedding tier: same shape over the SRP index, with the
       // same recompute-the-doomed-keys trick — the deleted docs'
@@ -1594,51 +1726,72 @@ object CutReportMaintenance {
       // read), their SRP band keys are recomputed (deterministic
       // planes), and the (band, bkey)-bucketed index reads only those
       // buckets' files.
-      val planes = Similarity.deterministicPlanes(p.vecBits, p.vecDim)
+      // r17 (optimization): a state with NO stored vectors — or a
+      // delete batch none of whose ids carry one — provably produces
+      // empty frames at every step (the tier is keyed by the doomed
+      // docs' recomputed SRP keys, of which there are none), so the
+      // 8 eager no-op jobs + 3 empty-write probes collapse to typed
+      // empties, mirroring ingest's batch-side short-circuit.
+      val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
+      val vecF = scala.concurrent.Future {
       val dVecs = aliveOld(readSegmentsPruned(spark, stateDir, "vecs",
           vecsSchema, Some(del)), "doc_id")
-        .join(del, Seq("doc_id")).localCheckpoint(true)
-      val dVecKeys = vecBandedOf(dVecs, p, planes)
-        .select("band", "bkey").distinct().localCheckpoint(true)
-      val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
-      val vOwnersAtDel = ownersFor(spark, stateDir, "vec_owners",
-        vecOwnersSchema, dVecKeys, "bkey", Nil)
-      val affVB = vOwnersAtDel
-        .join(del.select(col("doc_id").as("old_owner")), Seq("old_owner"))
-        .select("band", "bkey").localCheckpoint(true)
-      val vMembers = surv(
-          aliveOld(readSegmentsPruned(spark, stateDir, "vec_index",
-            vecIndexSchema, Some(affVB)), "id")
-            .join(affVB, Seq("band", "bkey")), "id")
-        .localCheckpoint(true)
-      val vOwners = vMembers.groupBy("band", "bkey").agg(min("id").as("id_a"))
-        .localCheckpoint(true)
-      val vOwnersWrite = affVB.join(vOwners, Seq("band", "bkey"), "left")
-        .select(col("band"), col("bkey"), col("id_a").as("owner"))
-      val vCand = vMembers.join(vOwners, Seq("band", "bkey"))
-        .filter(col("id") > col("id_a"))
-        .select(col("band"), col("bkey"), col("id_a"), col("id").as("id_b"))
-        .localCheckpoint(true)
-      val vMemberIds = vCand.select(col("id_a").as("doc_id"))
-        .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
-      val vVecs = surv(aliveOld(readSegmentsPruned(spark, stateDir, "vecs",
-          vecsSchema, Some(vMemberIds.select("doc_id"))), "doc_id"), "doc_id")
-        .join(vMemberIds, Seq("doc_id"))
-        .localCheckpoint(true)
-      val vVerified = vCand.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-        .join(vVecs.select(col("doc_id").as("id_a"),
-          col("emb").as("e_a"), col("nrm").as("n_a")), Seq("id_a"))
-        .join(vVecs.select(col("doc_id").as("id_b"),
-          col("emb").as("e_b"), col("nrm").as("n_b")), Seq("id_b"))
-        .filter(try_divide(Similarity.dot(col("e_a"), col("e_b")),
-          col("n_a") * col("n_b")) >= p.vecThreshold)
-        .select(col("id_a"), col("id_b"))
-      val vPairsNewSeg = vCand.join(vVerified, Seq("id_a", "id_b"))
-        .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
-        .withColumn("v", lit(nextV)).localCheckpoint(true)
-      val vTombsNewSeg = affVB.withColumn("v", lit(nextV))
-      val vecTouched = vMembers.select(col("id").as("doc_id"))
-        .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
+        .join(del, Seq("doc_id"))
+      val vecTierActive = liveSegmentDirs(stateDir, "vecs").nonEmpty &&
+        !dVecs.isEmpty
+      val (vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched) =
+        if (!vecTierActive)
+          (emptyDf(spark, vecPairSchemaV), emptyDf(spark, vecTombSchema),
+            emptyDf(spark, StructType(vecOwnersSchema.fields.toSeq
+              .filter(_.name != "v"))),
+            emptyDf(spark, StructType(Seq(StructField("doc_id", LongType)))))
+        else {
+          val planes = Similarity.deterministicPlanes(p.vecBits, p.vecDim)
+          val dVecsC = dVecs.localCheckpoint(true)
+          val dVecKeys = vecBandedOf(dVecsC, p, planes)
+            .select("band", "bkey").distinct().localCheckpoint(true)
+          val vOwnersAtDel = ownersFor(spark, stateDir, "vec_owners",
+            vecOwnersSchema, dVecKeys, "bkey", Nil)
+          val affVB = vOwnersAtDel
+            .join(del.select(col("doc_id").as("old_owner")), Seq("old_owner"))
+            .select("band", "bkey").localCheckpoint(true)
+          val vMembers = surv(
+              aliveOld(readSegmentsPruned(spark, stateDir, "vec_index",
+                vecIndexSchema, Some(affVB)), "id")
+                .join(affVB, Seq("band", "bkey")), "id")
+            .localCheckpoint(true)
+          val vOwners = vMembers.groupBy("band", "bkey").agg(min("id").as("id_a"))
+            .localCheckpoint(true)
+          val vOwnersWrite = affVB.join(vOwners, Seq("band", "bkey"), "left")
+            .select(col("band"), col("bkey"), col("id_a").as("owner"))
+          val vCand = vMembers.join(vOwners, Seq("band", "bkey"))
+            .filter(col("id") > col("id_a"))
+            .select(col("band"), col("bkey"), col("id_a"), col("id").as("id_b"))
+            .localCheckpoint(true)
+          val vMemberIds = vCand.select(col("id_a").as("doc_id"))
+            .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
+          val vVecs = surv(aliveOld(readSegmentsPruned(spark, stateDir, "vecs",
+              vecsSchema, Some(vMemberIds.select("doc_id"))), "doc_id"), "doc_id")
+            .join(vMemberIds, Seq("doc_id"))
+            .localCheckpoint(true)
+          val vVerified = vCand.select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+            .join(vVecs.select(col("doc_id").as("id_a"),
+              col("emb").as("e_a"), col("nrm").as("n_a")), Seq("id_a"))
+            .join(vVecs.select(col("doc_id").as("id_b"),
+              col("emb").as("e_b"), col("nrm").as("n_b")), Seq("id_b"))
+            .filter(try_divide(Similarity.dot(col("e_a"), col("e_b")),
+              col("n_a") * col("n_b")) >= p.vecThreshold)
+            .select(col("id_a"), col("id_b"))
+          val vPairsNewSeg = vCand.join(vVerified, Seq("id_a", "id_b"))
+            .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
+            .withColumn("v", lit(nextV)).localCheckpoint(true)
+          val vTombsNewSeg = affVB.withColumn("v", lit(nextV))
+          val vecTouched = vMembers.select(col("id").as("doc_id"))
+            .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
+          (vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched)
+        }
+      (vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched, vecTierActive)
+      }
 
       // ---- substring tier: recompute firsts the deletion orphaned.
       // Candidate hashes are RECOMPUTED from the doomed docs' own text:
@@ -1649,36 +1802,48 @@ object CutReportMaintenance {
       // doc occurs in that doc's windows — dH is a sound superset, and
       // it lets the h-bucketed hash_index read prune files instead of
       // being scanned whole for a by-id lookup (r15 verdict #3).
-      val dH = ExactSubstrings.tokenWindowHashes(dDocs, "text", "doc_id", p.W)
-        .select("h").distinct().localCheckpoint(true)
-      val affH = readSegmentsPruned(spark, stateDir, "hash_index",
-          hashSchema, Some(dH))
-        .join(dH, Seq("h"))
-        .groupBy("h")
-        .agg(max_by(struct(col("id"), col("pos")), col("v")).as("of"))
-        .filter(col("of.id").isNotNull)
-        .join(del.select(col("doc_id").as("did")), col("of.id") === col("did"))
-        .select("h").localCheckpoint(true)
-      // Surviving occurrences of the affected hashes, via the h-keyed
-      // marks sidecar — the r15 "deletion reads marks whole" residual:
-      // compacted marks come h-pruned from seg_marks_byh, per-ingest
-      // segments (batch-sized) read whole.
-      val marksAffH = aliveOld(livePairs(
-        marksPrunedByH(spark, stateDir, affH),
-        readSegments(spark, stateDir, "mark_tombs", markTombSchema),
-        "id", "pos",
-        tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty), "id")
-      val survOcc = surv(marksAffH.join(affH, Seq("h")), "id")
-      val newFirst = affH.join(
-          survOcc.groupBy("h").agg(min(struct(col("id"), col("pos"))).as("nf")),
-          Seq("h"), "left")
-        .localCheckpoint(true)
-      val hashWriteSeg = newFirst.select(col("h"), col("nf.id").as("id"),
-        col("nf.pos").as("pos"), lit(nextV).as("v"))
-      val markTombsNewSeg = newFirst.filter(col("nf").isNotNull)
-        .select(col("nf.id").as("id"), col("nf.pos").as("pos"),
-          lit(nextV).as("v"))
-      val ssTouched = markTombsNewSeg.select(col("id").as("doc_id"))
+      val ssF = scala.concurrent.Future {
+        val dH = ExactSubstrings.tokenWindowHashes(dDocs, "text", "doc_id", p.W)
+          .select("h").distinct().localCheckpoint(true)
+        val affH = readSegmentsPruned(spark, stateDir, "hash_index",
+            hashSchema, Some(dH))
+          .join(dH, Seq("h"))
+          .groupBy("h")
+          .agg(max_by(struct(col("id"), col("pos")), col("v")).as("of"))
+          .filter(col("of.id").isNotNull)
+          .join(del.select(col("doc_id").as("did")), col("of.id") === col("did"))
+          .select("h").localCheckpoint(true)
+        // Surviving occurrences of the affected hashes, via the h-keyed
+        // marks sidecar — the r15 "deletion reads marks whole" residual:
+        // compacted marks come h-pruned from seg_marks_byh, per-ingest
+        // segments (batch-sized) read whole.
+        val marksAffH = aliveOld(livePairs(
+          marksPrunedByH(spark, stateDir, affH),
+          readSegments(spark, stateDir, "mark_tombs", markTombSchema),
+          "id", "pos",
+          tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty), "id")
+        val survOcc = surv(marksAffH.join(affH, Seq("h")), "id")
+        val newFirst = affH.join(
+            survOcc.groupBy("h").agg(min(struct(col("id"), col("pos"))).as("nf")),
+            Seq("h"), "left")
+          .localCheckpoint(true)
+        val hashWriteSeg = newFirst.select(col("h"), col("nf.id").as("id"),
+          col("nf.pos").as("pos"), lit(nextV).as("v"))
+        val markTombsNewSeg = newFirst.filter(col("nf").isNotNull)
+          .select(col("nf.id").as("id"), col("nf.pos").as("pos"),
+            lit(nextV).as("v"))
+        val ssTouched = markTombsNewSeg.select(col("id").as("doc_id"))
+        (hashWriteSeg, markTombsNewSeg, ssTouched)
+      }
+
+      // ---- barrier: every repair tier materialized; nothing written
+      // yet. Semantics identical to the sequential form.
+      val (affFps, fpWriteSeg, exTouched) = await(exactF)
+      val (ndOwnersWrite, ndPairsNewSeg, ndTombsNewSeg, ndTouched) = await(ndF)
+      val (vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched,
+        vecTierActive) = await(vecF)
+      val (hashWriteSeg, markTombsNewSeg, ssTouched) = await(ssF)
+      tierPool.shutdown()
 
       // ---- re-assemble the report for the touched survivors.
       val touched = exTouched.unionByName(ndTouched).unionByName(vecTouched)
@@ -1778,22 +1943,30 @@ object CutReportMaintenance {
 
       // ---- land the delete's segments (all O(deleted + touched));
       // known-empty ones are skipped like ingest's (r14 review).
-      writeSegmentUnlessEmpty(fpWriteSeg, stateDir, nextV, "fp_index")
-      writeSegmentUnlessEmpty(ndOwnersWrite.withColumn("v", lit(nextV)),
-        stateDir, nextV, "band_owners")
-      writeSegmentUnlessEmpty(ndPairsNewSeg, stateDir, nextV, "nd_pairs")
-      writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs")
-      writeSegmentUnlessEmpty(vOwnersWrite.withColumn("v", lit(nextV)),
-        stateDir, nextV, "vec_owners")
-      writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV, "vec_pairs")
-      writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV, "vec_tombs")
-      writeSegmentUnlessEmpty(hashWriteSeg, stateDir, nextV, "hash_index")
-      writeSegmentUnlessEmpty(markTombsNewSeg, stateDir, nextV, "mark_tombs")
-      writeSegment(del.withColumn("v", lit(nextV)), stateDir, nextV, "doc_tombs")
-      writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
-        col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV, "report")
-      idMapSeg.foreach(m => writeSegmentUnlessEmpty(
-        m.withColumn("v", lit(nextV)), stateDir, nextV, "id_map"))
+      landParallel(Seq[() => Unit](
+        () => writeSegmentUnlessEmpty(fpWriteSeg, stateDir, nextV, "fp_index"),
+        () => writeSegmentUnlessEmpty(ndOwnersWrite.withColumn("v", lit(nextV)),
+          stateDir, nextV, "band_owners"),
+        () => writeSegmentUnlessEmpty(ndPairsNewSeg, stateDir, nextV, "nd_pairs"),
+        () => writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs"),
+        () => writeSegmentUnlessEmpty(hashWriteSeg, stateDir, nextV, "hash_index"),
+        () => writeSegmentUnlessEmpty(markTombsNewSeg, stateDir, nextV,
+          "mark_tombs"),
+        () => writeSegment(del.withColumn("v", lit(nextV)), stateDir, nextV,
+          "doc_tombs"),
+        () => writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
+          col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV,
+          "report")) ++
+        (if (vecTierActive) Seq[() => Unit](
+          () => writeSegmentUnlessEmpty(vOwnersWrite.withColumn("v", lit(nextV)),
+            stateDir, nextV, "vec_owners"),
+          () => writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV,
+            "vec_pairs"),
+          () => writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV,
+            "vec_tombs"))
+        else Nil) ++
+        idMapSeg.map(m => () => writeSegmentUnlessEmpty(
+          m.withColumn("v", lit(nextV)), stateDir, nextV, "id_map")).toSeq)
       writeMarkers(stateDir, curV, nextV, appliedMarker)
       commitVersion(stateDir, nextV)
       out
