@@ -28,23 +28,46 @@ object JobCount {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = new AtomicLong(0)
+    // SPARK_GRAFT_JOBCOUNT_TRACE=1: per-callsite histogram of the jobs,
+    // so a fusion round knows WHICH eager action still pays round-trips.
+    val trace = sys.env.get("SPARK_GRAFT_JOBCOUNT_TRACE").contains("1")
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        n.incrementAndGet(); ()
+        n.incrementAndGet()
+        if (trace) {
+          // The result stage's name is the action's short callsite.
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          sites.computeIfAbsent(site, _ => new AtomicLong(0)).incrementAndGet()
+        }
+        ()
       }
     })
+    // NonFatal only (r17 advice): swallowing a fatal warmup error left
+    // the generated inputs silently cold, charging input generation to
+    // the first measured query — the exact skew this tool exists to
+    // avoid. A failed warmup is now loudly flagged.
     try Queries.warmGeneratedInputs(spark, sfDir)
-    catch { case _: Throwable => }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[jobcount] WARM FAILED (first query will " +
+        s"absorb input generation): ${e.getMessage}")
+    }
     val names = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty)
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        Thread.sleep(200); n.set(0)
+        Thread.sleep(200); n.set(0); sites.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
         Thread.sleep(200)
         println(f"[jobcount] $name jobs=${n.get()} wall=$secs%.1f")
+        if (trace) {
+          import scala.jdk.CollectionConverters._
+          sites.asScala.toSeq.sortBy(-_._2.get()).foreach { case (s, c) =>
+            println(s"[jobsite] $name ${c.get()} $s")
+          }
+        }
       }
     }
     spark.stop()

@@ -510,9 +510,61 @@ object CutReportMaintenance {
     }
   }
 
+  /** Per-ingest segments are BATCH-grain by contract (never O(corpus)),
+    * so their file count is bounded explicitly instead of relying on
+    * AQE coalescing (disabled inside the delta-grain writers, see
+    * [[withDeltaGrainConf]]): default one file per table per version —
+    * the LSM layout compaction folds anyway — overridable for
+    * deployments whose micro-batches are big enough to want parallel
+    * segment writes (`spark.graft.cutmaint.segmentWriteFiles`). */
   private def writeSegment(df: DataFrame, stateDir: String, version: Long,
-                           name: String): Unit =
-    df.write.mode("overwrite").parquet(s"$stateDir/seg_$name/v$version")
+                           name: String): Unit = {
+    val files = df.sparkSession.conf
+      .getOption("spark.graft.cutmaint.segmentWriteFiles")
+      .map(_.toInt).getOrElse(1)
+    val w = if (files > 0) df.coalesce(files) else df
+    w.write.mode("overwrite").parquet(s"$stateDir/seg_$name/v$version")
+  }
+
+  /** Run `body` with AQE off on the session, restoring the previous
+    * setting after — the delta-grain writers' job-count fix (r18,
+    * measured): AQE materializes EVERY exchange of every eager action
+    * as its own stage job (241 of 299 Spark jobs in one traced q298
+    * run were AQE stage jobs, 544 of 652 in q300), and per-batch
+    * maintenance frames are O(batch + touched) by contract — there is
+    * no skew to split and nothing to coalesce that [[writeSegment]]'s
+    * explicit file bound does not already handle, while each stage job
+    * costs a full driver round-trip (network on a real cluster). A
+    * static plan also lets independent stages of one action launch
+    * together instead of through AQE's materialize-replan waves.
+    * Scope: ingest/delete/applyOps only — compact() folds the CORPUS,
+    * where AQE's coalescing genuinely earns its jobs, and the serving
+    * reads (report/curatedCorpus/maintainedView) plan outside this
+    * scope with the session's own setting. */
+  private def withDeltaGrainConf[T](spark: SparkSession)(body: => T): T = {
+    // With AQE no longer coalescing, the delta frames' shuffles need a
+    // static partition count sized for MICRO-BATCH grain, not for the
+    // session's corpus-grain setting: at the guide's 100 MB–1 GB per
+    // shuffle partition, a delta batch stays within the default up to
+    // ~1 GB of batch — deployments ingesting bigger micro-batches set
+    // `spark.graft.cutmaint.deltaShufflePartitions` (this is the same
+    // number AQE's coalescing converged to at measured batch sizes, as
+    // a static conf instead of per-exchange replanning jobs).
+    val kAqe = "spark.sql.adaptive.enabled"
+    val kShuf = "spark.sql.shuffle.partitions"
+    val deltaParts = spark.conf
+      .getOption("spark.graft.cutmaint.deltaShufflePartitions")
+      .map(_.toInt).getOrElse(8)
+    val prevAqe = spark.conf.getOption(kAqe)
+    val prevShuf = spark.conf.getOption(kShuf)
+    spark.conf.set(kAqe, "false")
+    spark.conf.set(kShuf, deltaParts.toString)
+    try body
+    finally {
+      prevAqe.fold(spark.conf.unset(kAqe))(v => spark.conf.set(kAqe, v))
+      prevShuf.fold(spark.conf.unset(kShuf))(v => spark.conf.set(kShuf, v))
+    }
+  }
 
   /** Land independent per-version segments CONCURRENTLY (guide §2.6 —
     * actions are only sequential because the driver calls them
@@ -533,12 +585,20 @@ object CutReportMaintenance {
         math.min(tasks.size, 8))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try
-        scala.concurrent.Await.result(
+      // Every task is wrapped in Try and ALL completions are awaited
+      // before the first failure rethrows (r17 advice): rethrowing on
+      // the first failure while sibling write futures were still in
+      // flight let a straggler keep writing seg_*/v<next> after the
+      // writer lock was released — a retrying writer computing the same
+      // nextV could then race it on the same segment directory. With
+      // the full barrier, no state-dir write can outlive this call.
+      try {
+        val results = scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(
-            tasks.map(t => scala.concurrent.Future(t()))),
+            tasks.map(t => scala.concurrent.Future(scala.util.Try(t())))),
           scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+        results.foreach(_.get)
+      } finally pool.shutdown()
       ()
     }
 
@@ -547,10 +607,24 @@ object CutReportMaintenance {
     * `tombsKnownEmpty` fast path for pure-append workloads and taxed
     * every read with one segment dir per table per version. Callers
     * pass frames that are (derived from) eager checkpoints, so the
-    * emptiness probe is a cheap limit-1 job, not a recompute. */
+    * emptiness probe is a cheap limit-1 job, not a recompute. Prefer
+    * [[cpCount]] + a count-gated [[writeSegment]] where the frame is
+    * checkpointed anyway — that learns emptiness for free. */
   private def writeSegmentUnlessEmpty(df: DataFrame, stateDir: String,
                                       version: Long, name: String): Unit =
     if (!df.isEmpty) writeSegment(df, stateDir, version, name)
+
+  /** Materialize AND count in ONE Spark job (r18, guide §1.2 — the
+    * maintained family's cost is driver round-trips, not compute): a
+    * LAZY localCheckpoint's first action both caches the partitions
+    * and truncates lineage, so running `count()` as that first action
+    * doubles as the materialization job. The old shape paid one eager-
+    * checkpoint job plus a separate `isEmpty` probe before most writes
+    * — two scheduler round-trips for one answer. */
+  private def cpCount(df: DataFrame): (DataFrame, Long) = {
+    val cp = df.localCheckpoint(false)
+    (cp, cp.count())
+  }
 
   /** Compaction's writer: the folded table lands hash-bucketed when it
     * has a bucket key and enough rows to matter (the count doubles as
@@ -704,100 +778,118 @@ object CutReportMaintenance {
       def alive(df: DataFrame, c: String) = aliveBy(df, c, delIds, noDel)
       def rd(name: String) =
         readSegments(spark, stateDir, name, tableSchema(name, p))
-      // Each fold is checkpointed once so the bucketed writer's row
-      // count and the write read it from the block store, not twice
-      // from the old segments.
-      def cp(df: DataFrame) = df.localCheckpoint(true)
+      // Each fold is checkpointed LAZILY (r18): the bucketed writer's
+      // row count is the checkpoint's first action, so one job both
+      // materializes the fold and sizes the buckets — the eager form
+      // paid a separate checkpoint job per table.
+      def cp(df: DataFrame) = df.localCheckpoint(false)
       // Content tables union-fold, PURGING deleted docs' rows — the
       // physical half of deletion (deleteDocs is the logical half: a
       // doc tombstone + repaired survivors). The keyed tables land
       // HASH-BUCKETED so every later probe prunes files (see the
       // layout comment above TargetBucketRows).
-      val docsFold = cp(alive(rd("docs"), "doc_id"))
-      writeSegmentBucketed(docsFold, stateDir, nextV, "docs")
-      // fp → doc_id sidecar of the SAME fold (the exact tier's
-      // fp-keyed survivor sweeps prune by fp through it).
-      writeSegmentBucketed(docsFold.select("fp", "doc_id"),
-        stateDir, nextV, "docs_byfp")
-      val bandFold = cp(alive(rd("band_index"), "id"))
-      writeSegmentBucketed(bandFold, stateDir, nextV, "band_index")
-      // Owner summaries RECOMPUTED from the purged fold (self-healing
-      // and null-owner rows from deletions drop away naturally).
-      writeSegmentBucketed(cp(bandFold.groupBy("band", "bh")
-          .agg(min("id").as("owner"),
-            min_by(col("n_sh"), col("id")).as("n_sh"))
-          .withColumn("v", lit(nextV))),
-        stateDir, nextV, "band_owners")
-      writeSegmentBucketed(cp(alive(rd("vecs"), "doc_id")),
-        stateDir, nextV, "vecs")
-      val vecIdxFold = cp(alive(rd("vec_index"), "id"))
-      writeSegmentBucketed(vecIdxFold, stateDir, nextV, "vec_index")
-      writeSegmentBucketed(cp(vecIdxFold.groupBy("band", "bkey")
-          .agg(min("id").as("owner")).withColumn("v", lit(nextV))),
-        stateDir, nextV, "vec_owners")
-      // Overlay-latest index tables fold to the latest value per key;
-      // dead keys (keeper/first deleted with no survivor) drop — a
-      // later ingest simply sees no stored entry, same as null.
-      writeSegmentBucketed(cp(rd("fp_index").groupBy("fp")
-          .agg(max_by(col("keep_id"), col("v")).as("keep_id"))
-          .filter(col("keep_id").isNotNull).withColumn("v", lit(nextV))),
-        stateDir, nextV, "fp_index")
-      writeSegmentBucketed(cp(rd("hash_index").groupBy("h")
-          .agg(max_by(struct(col("id"), col("pos")), col("v")).as("o"))
-          .filter(col("o.id").isNotNull)
-          .select(col("h"), col("o.id").as("id"), col("o.pos").as("pos"))
-          .withColumn("v", lit(nextV))),
-        stateDir, nextV, "hash_index")
-      // Marks fold to their live rows (mark tombstones applied, deleted
-      // docs' marks purged); the mark tombstones then fold away. The
-      // SAME fold is dual-published as an h-bucketed sidecar
-      // (seg_marks_byh) so deletion's h-keyed first-occurrence sweep
-      // prunes files like every other probe (r15 verdict #3) — the
-      // id-bucketed copy keeps serving the touched-id reads.
-      val marksFold = cp(alive(livePairs(rd("marks"), rd("mark_tombs"),
-          "id", "pos",
-          tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty),
-        "id").withColumn("v", lit(nextV)))
-      writeSegmentBucketed(marksFold, stateDir, nextV, "marks")
-      writeSegmentBucketed(marksFold, stateDir, nextV, "marks_byh")
-      Seq(("nd_pairs", "nd_tombs", "bh"), ("vec_pairs", "vec_tombs", "bkey"))
-        .foreach { case (pairsName, tombsName, k2) =>
-          val live = livePairs(rd(pairsName), rd(tombsName), "band", k2,
-            tombsKnownEmpty = liveSegmentDirs(stateDir, tombsName).isEmpty)
-          // Pairs land bucketed by id_b — the serving read (each
-          // touched doc's dup_of fold) is id_b-keyed.
-          writeSegmentBucketed(cp(alive(alive(live, "id_a"), "id_b")
+      // r18 (guide §2.6, the r17 ledger's item 2): the fold+write
+      // groups below are independent jobs into distinct directories —
+      // they land through the same bounded pool as ingest's segments
+      // instead of one at a time; tables sharing a fold stay in one
+      // task so the shared checkpoint materializes exactly once.
+      landParallel(Seq[() => Unit](
+        () => {
+          val docsFold = cp(alive(rd("docs"), "doc_id"))
+          writeSegmentBucketed(docsFold, stateDir, nextV, "docs")
+          // fp → doc_id sidecar of the SAME fold (the exact tier's
+          // fp-keyed survivor sweeps prune by fp through it).
+          writeSegmentBucketed(docsFold.select("fp", "doc_id"),
+            stateDir, nextV, "docs_byfp")
+        },
+        () => {
+          val bandFold = cp(alive(rd("band_index"), "id"))
+          writeSegmentBucketed(bandFold, stateDir, nextV, "band_index")
+          // Owner summaries RECOMPUTED from the purged fold (self-
+          // healing; null-owner rows from deletions drop away naturally).
+          writeSegmentBucketed(cp(bandFold.groupBy("band", "bh")
+              .agg(min("id").as("owner"),
+                min_by(col("n_sh"), col("id")).as("n_sh"))
               .withColumn("v", lit(nextV))),
-            stateDir, nextV, pairsName)
-          // Bucket tombstones fold away entirely: the raised floor hides
-          // every old tombstone segment and the folded pairs are all live.
-        }
-      // Report folds latest-wins; rows whose latest disposition is
-      // 'deleted' drop here (foldReport filters them), completing the
-      // purge — doc tombstones write NOTHING at the new floor, so after
-      // this commit the deletion filter is a no-op again.
-      writeSegmentBucketed(
-        cp(foldReport(spark, stateDir).withColumn("v", lit(nextV))),
-        stateDir, nextV, "report")
-      // Unified-feed mapping folds latest-wins per external key. Dead
-      // keys (doc_id null) are KEPT: the generation counter must
-      // survive deletion, or a later re-ingest of the same external
-      // key would reuse a tombstoned internal id.
-      writeSegmentBucketed(cp(rd("id_map").groupBy("ext_id")
-          .agg(max_by(struct(col("doc_id"), col("gen")), col("v")).as("m"))
-          .select(col("ext_id"), col("m.doc_id").as("doc_id"),
-            col("m.gen").as("gen"), lit(nextV).as("v"))),
-        stateDir, nextV, "id_map")
-      // String-key slots never change once allocated — the fold is a
-      // dedup. Dead keys are KEPT for the same reason id_map keeps
-      // them: "ever seen" is load-bearing for slot stability. Numeric-
-      // mode dirs have no key_map segments at all — skip the fold's
-      // jobs entirely, not just its write.
-      if (liveSegmentDirs(stateDir, "key_map").nonEmpty)
-        writeSegmentBucketed(cp(rd("key_map").groupBy("ext_key")
-            .agg(max_by(col("ext_id"), col("v")).as("ext_id"))
-            .select(col("ext_key"), col("ext_id"), lit(nextV).as("v"))),
-          stateDir, nextV, "key_map")
+            stateDir, nextV, "band_owners")
+        },
+        () => writeSegmentBucketed(cp(alive(rd("vecs"), "doc_id")),
+          stateDir, nextV, "vecs"),
+        () => {
+          val vecIdxFold = cp(alive(rd("vec_index"), "id"))
+          writeSegmentBucketed(vecIdxFold, stateDir, nextV, "vec_index")
+          writeSegmentBucketed(cp(vecIdxFold.groupBy("band", "bkey")
+              .agg(min("id").as("owner")).withColumn("v", lit(nextV))),
+            stateDir, nextV, "vec_owners")
+        },
+        // Overlay-latest index tables fold to the latest value per key;
+        // dead keys (keeper/first deleted with no survivor) drop — a
+        // later ingest simply sees no stored entry, same as null.
+        () => writeSegmentBucketed(cp(rd("fp_index").groupBy("fp")
+            .agg(max_by(col("keep_id"), col("v")).as("keep_id"))
+            .filter(col("keep_id").isNotNull).withColumn("v", lit(nextV))),
+          stateDir, nextV, "fp_index"),
+        () => writeSegmentBucketed(cp(rd("hash_index").groupBy("h")
+            .agg(max_by(struct(col("id"), col("pos")), col("v")).as("o"))
+            .filter(col("o.id").isNotNull)
+            .select(col("h"), col("o.id").as("id"), col("o.pos").as("pos"))
+            .withColumn("v", lit(nextV))),
+          stateDir, nextV, "hash_index"),
+        // Marks fold to their live rows (mark tombstones applied, deleted
+        // docs' marks purged); the mark tombstones then fold away. The
+        // SAME fold is dual-published as an h-bucketed sidecar
+        // (seg_marks_byh) so deletion's h-keyed first-occurrence sweep
+        // prunes files like every other probe (r15 verdict #3) — the
+        // id-bucketed copy keeps serving the touched-id reads.
+        () => {
+          val marksFold = cp(alive(livePairs(rd("marks"), rd("mark_tombs"),
+              "id", "pos",
+              tombsKnownEmpty = liveSegmentDirs(stateDir, "mark_tombs").isEmpty),
+            "id").withColumn("v", lit(nextV)))
+          writeSegmentBucketed(marksFold, stateDir, nextV, "marks")
+          writeSegmentBucketed(marksFold, stateDir, nextV, "marks_byh")
+        }) ++
+        Seq(("nd_pairs", "nd_tombs", "bh"), ("vec_pairs", "vec_tombs", "bkey"))
+          .map { case (pairsName, tombsName, k2) => () => {
+            val live = livePairs(rd(pairsName), rd(tombsName), "band", k2,
+              tombsKnownEmpty = liveSegmentDirs(stateDir, tombsName).isEmpty)
+            // Pairs land bucketed by id_b — the serving read (each
+            // touched doc's dup_of fold) is id_b-keyed.
+            writeSegmentBucketed(cp(alive(alive(live, "id_a"), "id_b")
+                .withColumn("v", lit(nextV))),
+              stateDir, nextV, pairsName)
+            // Bucket tombstones fold away entirely: the raised floor
+            // hides every old tombstone segment and the folded pairs
+            // are all live.
+          }} ++
+        Seq[() => Unit](
+        // Report folds latest-wins; rows whose latest disposition is
+        // 'deleted' drop here (foldReport filters them), completing the
+        // purge — doc tombstones write NOTHING at the new floor, so
+        // after this commit the deletion filter is a no-op again.
+        () => writeSegmentBucketed(
+          cp(foldReport(spark, stateDir).withColumn("v", lit(nextV))),
+          stateDir, nextV, "report"),
+        // Unified-feed mapping folds latest-wins per external key. Dead
+        // keys (doc_id null) are KEPT: the generation counter must
+        // survive deletion, or a later re-ingest of the same external
+        // key would reuse a tombstoned internal id.
+        () => writeSegmentBucketed(cp(rd("id_map").groupBy("ext_id")
+            .agg(max_by(struct(col("doc_id"), col("gen")), col("v")).as("m"))
+            .select(col("ext_id"), col("m.doc_id").as("doc_id"),
+              col("m.gen").as("gen"), lit(nextV).as("v"))),
+          stateDir, nextV, "id_map")) ++
+        // String-key slots never change once allocated — the fold is a
+        // dedup. Dead keys are KEPT for the same reason id_map keeps
+        // them: "ever seen" is load-bearing for slot stability. Numeric-
+        // mode dirs have no key_map segments at all — skip the fold's
+        // jobs entirely, not just its write.
+        (if (liveSegmentDirs(stateDir, "key_map").isEmpty) Nil
+         else Seq[() => Unit](
+          () => writeSegmentBucketed(cp(rd("key_map").groupBy("ext_key")
+              .agg(max_by(col("ext_id"), col("v")).as("ext_id"))
+              .select(col("ext_key"), col("ext_id"), lit(nextV).as("v"))),
+            stateDir, nextV, "key_map"))))
       writeMarkers(stateDir, curV, nextV, None)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$stateDir/v$nextV/_seg_floor"),
@@ -1051,13 +1143,21 @@ object CutReportMaintenance {
     *    O(corpus × bands) tombstone rows with nothing to retract).
     *
     * Returns (candidates with bucket provenance [+ `payload` columns],
-    * retract-bucket keys, members of changed buckets [touched-report
-    * superset], owner-summary rows to write — the recomputed owner of
-    * every changed/brand-new bucket; stable buckets need no write). */
+    * retract-bucket keys + their count, members of changed buckets
+    * [touched-report superset], owner-summary rows to write — the
+    * recomputed owner of every changed/brand-new bucket; stable buckets
+    * need no write — and the changed-bucket count, which gates the
+    * owner write). r18 (guide §1.2, the job-count cut): the changed/
+    * retract frames carry their counts out of their materialization
+    * jobs via [[cpCount]] so the landing needs no isEmpty probes; the
+    * all-stable case (steady append) skips the membership read and the
+    * re-star materializations outright; and `ownersChanged` is no
+    * longer checkpointed — both its uses are tiny groupBys over the
+    * checkpointed membership, cheaper to recompute than to schedule. */
   private def bucketCandidates(ownersOld: DataFrame, bandB: DataFrame,
                                k2: String, payload: Seq[String],
                                membersOf: DataFrame => DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Long, DataFrame, DataFrame, Long) = {
     val keys = Seq("band", k2)
     val oo = ownersOld.localCheckpoint(true)
     val batchMin = bandB.groupBy("band", k2).agg(min("id").as("bmin"))
@@ -1065,37 +1165,80 @@ object CutReportMaintenance {
       .filter(col("bmin") > col("old_owner"))
       .select(col("band") +: col(k2) +: col("old_owner") +:
         payload.map(c => col(s"o_$c")): _*)
-    val changedB = batchMin.select("band", k2)
-      .join(stableB.select("band", k2), keys, "left_anti")
-      .localCheckpoint(true)
-    // Retraction is owed only where an old owner existed and moved.
-    val retractB = oo.select("band", k2)
-      .join(stableB.select("band", k2), keys, "left_anti")
-      .localCheckpoint(true)
+    val (changedB, nChanged) = cpCount(batchMin.select("band", k2)
+      .join(stableB.select("band", k2), keys, "left_anti"))
     // Stable buckets: batch members pair with the stored owner only.
     val candStable = bandB.join(stableB, keys)
       .select(col("band") +: col(k2) +: col("old_owner").as("id_a") +:
         col("id").as("id_b") +:
         (payload.map(c => col(s"o_$c").as(s"${c}_a")) ++
           payload.map(c => col(c).as(s"${c}_b"))): _*)
-    // Changed (or brand-new) buckets: full membership re-star.
-    val membersChanged = membersOf(changedB)
-      .unionByName(bandB.join(changedB, keys))
+    if (nChanged == 0L) {
+      // Every affected bucket is owner-stable: no membership read, no
+      // re-star, no retraction (retract ⊆ changed — a retracting
+      // bucket is one whose stored owner moved, which makes it
+      // changed), no owner rewrite — and none of their jobs.
+      val emptyMembers = bandB.limit(0)
+      val emptyOwnersWrite = emptyMembers.groupBy("band", k2)
+        .agg(min("id").as("owner"),
+          payload.map(c => min_by(col(c), col("id")).as(c)): _*)
+      (candStable.localCheckpoint(true), changedB.limit(0), 0L,
+        emptyMembers, emptyOwnersWrite, 0L)
+    } else {
+      // Retraction is owed only where an old owner existed and moved.
+      val (retractB, nRetract) = cpCount(oo.select("band", k2)
+        .join(stableB.select("band", k2), keys, "left_anti"))
+      // Changed (or brand-new) buckets: full membership re-star.
+      val membersChanged = membersOf(changedB)
+        .unionByName(bandB.join(changedB, keys))
+        .localCheckpoint(true)
+      val ownersChanged = membersChanged.groupBy("band", k2)
+        .agg(min("id").as("id_a"),
+          payload.map(c => min_by(col(c), col("id")).as(s"${c}_a")): _*)
+      val candChanged = membersChanged.join(ownersChanged, keys)
+        .filter(col("id") > col("id_a"))
+        .select(col("band") +: col(k2) +: col("id_a") +: col("id").as("id_b") +:
+          (payload.map(c => col(s"${c}_a")) ++
+            payload.map(c => col(c).as(s"${c}_b"))): _*)
+      val ownersWrite = ownersChanged
+        .select(col("band") +: col(k2) +: col("id_a").as("owner") +:
+          payload.map(c => col(s"${c}_a").as(c)): _*)
+      (candStable.unionByName(candChanged).localCheckpoint(true), retractB,
+        nRetract, membersChanged, ownersWrite, nChanged)
+    }
+  }
+
+  /** Batch-derived tier inputs of one ingest — everything the tiers
+    * compute from the batch ALONE (no state read, no version stamp), so
+    * [[applyOps]] can prepare them concurrently with its delete half
+    * (guide §2.6) and hand them to [[ingestLocked]]. */
+  private final case class BatchPrep(bDocs: DataFrame, bSh: DataFrame,
+    bandB: DataFrame, nBandB: Long, bH: DataFrame,
+    bVecs: DataFrame, nBVecs: Long)
+
+  private def prepBatch(spark: SparkSession, batch: DataFrame, p: Params)
+      : BatchPrep = {
+    val bDocs = batch.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
       .localCheckpoint(true)
-    val ownersChanged = membersChanged.groupBy("band", k2)
-      .agg(min("id").as("id_a"),
-        payload.map(c => min_by(col(c), col("id")).as(s"${c}_a")): _*)
+    val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
       .localCheckpoint(true)
-    val candChanged = membersChanged.join(ownersChanged, keys)
-      .filter(col("id") > col("id_a"))
-      .select(col("band") +: col(k2) +: col("id_a") +: col("id").as("id_b") +:
-        (payload.map(c => col(s"${c}_a")) ++
-          payload.map(c => col(c).as(s"${c}_b"))): _*)
-    val ownersWrite = ownersChanged
-      .select(col("band") +: col(k2) +: col("id_a").as("owner") +:
-        payload.map(c => col(s"${c}_a").as(c)): _*)
-    (candStable.unionByName(candChanged).localCheckpoint(true), retractB,
-      membersChanged, ownersWrite)
+    val (bandB, nBandB) = cpCount(bandedOf(bSh, p))
+    val bH = ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
+      .select(col("id").cast("long").as("id"),
+        col("pos").cast("long").as("pos"), col("h"))
+      .localCheckpoint(true)
+    val (bVecs, nBVecs) =
+      if (batch.columns.contains("emb"))
+        cpCount(batch.filter(col("emb").isNotNull)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("emb").cast("array<double>").as("emb"))
+          .select(col("doc_id"), col("emb"),
+            Similarity.l2Norm(col("emb")).as("nrm")))
+      else (emptyDf(spark, vecsSchema), 0L)
+    BatchPrep(bDocs, bSh, bandB, nBandB, bH, bVecs, nBVecs)
   }
 
   /** Ingest one batch `(doc_id, text[, emb])`: probe + repair + write
@@ -1110,7 +1253,9 @@ object CutReportMaintenance {
     withWriterLock(stateDir) {
       checkLayout(stateDir)
       requireOrPersistParams(stateDir, p)
-      ingestLocked(spark, stateDir, batch, p, appliedMarker)
+      withDeltaGrainConf(spark) {
+        ingestLocked(spark, stateDir, batch, p, appliedMarker)
+      }
     }
 
   private def ingestLocked(spark: SparkSession, stateDir: String,
@@ -1118,7 +1263,8 @@ object CutReportMaintenance {
                            appliedMarker: Option[(String, Long)],
                            idMapSeg: Option[DataFrame] = None,
                            keyMapSeg: Option[DataFrame] = None,
-                           nextSlot: Option[Long] = None): DataFrame = {
+                           nextSlot: Option[Long] = None,
+                           prep: Option[BatchPrep] = None): DataFrame = {
     val curV = currentVersion(stateDir)
     val nextV = curV + 1
     purgeOrphans(stateDir, nextV)
@@ -1126,11 +1272,12 @@ object CutReportMaintenance {
     // deleteDocs, one anti-join after (compact purges it back to free).
     val (delIds, noDel) = deletedIds(spark, stateDir)
     def alive(df: DataFrame, c: String) = aliveBy(df, c, delIds, noDel)
-    val bDocs = batch.select(col("doc_id").cast("long").as("doc_id"),
+    val bDocs = prep.map(_.bDocs).getOrElse(
+      batch.select(col("doc_id").cast("long").as("doc_id"),
         col("text"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
         TextFunctions.fingerprint(col("text")).as("fp"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // Pruned point-reads of the corpus for id-keyed probes: only the
     // buckets the key set can live in are read (text is the heavy
     // column — this is where bucketing `docs` pays).
@@ -1168,9 +1315,8 @@ object CutReportMaintenance {
     implicit val tierEc: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(tierPool)
     def await[T](f: scala.concurrent.Future[T]): T =
-      try scala.concurrent.Await.result(f,
+      scala.concurrent.Await.result(f,
         scala.concurrent.duration.Duration.Inf)
-      catch { case e: Throwable => tierPool.shutdown(); throw e }
 
     val offendersF = scala.concurrent.Future {
       val batchIds = bDocs.select("doc_id")
@@ -1203,11 +1349,10 @@ object CutReportMaintenance {
       // Append-shape batches never undercut (higher ids), so the sweep is
       // SKIPPED entirely; a backfill reads the fp-keyed docs sidecar
       // pruned to exactly the undercut fps — never the corpus projection.
-      val undercutFps = bFpMin.join(fpOldB, Seq("fp"))
-        .filter(col("bmin") < col("old_keep")).select("fp")
-        .localCheckpoint(true)
+      val (undercutFps, nUndercut) = cpCount(bFpMin.join(fpOldB, Seq("fp"))
+        .filter(col("bmin") < col("old_keep")).select("fp"))
       val exTouched =
-        if (undercutFps.isEmpty)
+        if (nUndercut == 0L)
           emptyDf(spark, StructType(Seq(StructField("doc_id", LongType))))
         else alive(docsByFp(spark, stateDir, undercutFps), "doc_id")
           .join(undercutFps, Seq("fp")).select(col("doc_id"))
@@ -1222,19 +1367,25 @@ object CutReportMaintenance {
     // disk (r14: the old path re-read and re-wrote the WHOLE pair set).
     val ndTombsOld = readSegments(spark, stateDir, "nd_tombs", ndTombSchema(p.portable))
     val ndF = scala.concurrent.Future {
-      val bSh = DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
-        .localCheckpoint(true)
-      val bandB = bandedOf(bSh, p).localCheckpoint(true)
+      val bSh = prep.map(_.bSh).getOrElse(
+        DedupFunctions.shingledDocs(bDocs, "text", "doc_id", p.n)
+          .localCheckpoint(true))
+      val (bandB, nBandB) = prep.map(pr => (pr.bandB, pr.nBandB))
+        .getOrElse(cpCount(bandedOf(bSh, p)))
       // Stored owners come off the owner-summary index (one row per
       // touched bucket); membership is read ONLY for owner-changed /
-      // brand-new buckets, pruned to exactly those keys.
-      val bandKeysB = bandB.select("band", "bh").distinct().localCheckpoint(true)
+      // brand-new buckets, pruned to exactly those keys. The key set is
+      // NOT checkpointed (r18): it is a small distinct over the
+      // checkpointed banded batch, recomputed inside the two jobs that
+      // consume it for less than its own scheduler round-trip cost.
+      val bandKeysB = bandB.select("band", "bh").distinct()
       val ownersOldB = ownersFor(spark, stateDir, "band_owners",
         bandOwnersSchema(p.portable), bandKeysB, "bh", Seq("n_sh"))
       def bandMembersOf(ks: DataFrame) =
         alive(readSegmentsPruned(spark, stateDir, "band_index",
           bandSchema(p.portable), Some(ks)), "id").join(ks, Seq("band", "bh"))
-      val (cand, ndRetractB, ndMembersChanged, ndOwnersWrite) =
+      val (cand, ndRetractB, nNdRetract, ndMembersChanged, ndOwnersWrite,
+        nNdChanged) =
         bucketCandidates(ownersOldB, bandB, "bh", Seq("n_sh"), bandMembersOf)
       // Shingles for verification — only the docs the candidates actually
       // touch (stable-bucket owners + changed-bucket members + batch),
@@ -1257,9 +1408,10 @@ object CutReportMaintenance {
         .filter(col("shared").cast("double") /
           (col("n_sh_a") + col("n_sh_b") - col("shared")).cast("double") >= p.threshold)
         .select(col("id_a"), col("id_b"))
-      val pairsNewSeg = cand.join(verifiedPairs, Seq("id_a", "id_b"))
-        .select(col("band"), col("bh"), col("id_a"), col("id_b"))
-        .withColumn("v", lit(nextV)).localCheckpoint(true)
+      val (pairsNewSeg, nNdPairs) = cpCount(
+        cand.join(verifiedPairs, Seq("id_a", "id_b"))
+          .select(col("band"), col("bh"), col("id_a"), col("id_b"))
+          .withColumn("v", lit(nextV)))
       // Only owner-changed buckets retract — one tombstone row each.
       val ndTombsNewSeg = ndRetractB.withColumn("v", lit(nextV))
       // Docs whose pair set may have moved: any member of a changed
@@ -1270,7 +1422,8 @@ object CutReportMaintenance {
       // anything newly verified. The stored pair set is NOT read here.
       val ndTouched = ndMembersChanged.select(col("id").as("doc_id"))
         .unionByName(pairsNewSeg.select(col("id_b").as("doc_id")))
-      (bandB, pairsNewSeg, ndTombsNewSeg, ndOwnersWrite, ndTouched)
+      (bandB, nBandB, pairsNewSeg, nNdPairs, ndTombsNewSeg, nNdRetract,
+        ndOwnersWrite, nNdChanged, ndTouched)
     }
 
     // ---- embedding tier (optional `emb` column): the q297 probe
@@ -1289,32 +1442,32 @@ object CutReportMaintenance {
     val hasEmb = batch.columns.contains("emb")
     val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
     val vecF = scala.concurrent.Future {
-    val bVecs =
-      if (hasEmb) batch.filter(col("emb").isNotNull)
+    val (bVecs, nBVecs) = prep.map(pr => (pr.bVecs, pr.nBVecs)).getOrElse(
+      if (hasEmb) cpCount(batch.filter(col("emb").isNotNull)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("emb").cast("array<double>").as("emb"))
-        .select(col("doc_id"), col("emb"), Similarity.l2Norm(col("emb")).as("nrm"))
-        .localCheckpoint(true)
-      else emptyDf(spark, vecsSchema)
-    val vecTierActive = hasEmb && !bVecs.isEmpty
-    val (bandVB, vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched) =
+        .select(col("doc_id"), col("emb"), Similarity.l2Norm(col("emb")).as("nrm")))
+      else (emptyDf(spark, vecsSchema), 0L))
+    val vecTierActive = hasEmb && nBVecs > 0L
+    val (bandVB, nBandVB, vPairsNewSeg, nVPairs, vTombsNewSeg, nVRetract,
+      vOwnersWrite, nVChanged, vecTouched) =
       if (!vecTierActive)
-        (emptyDf(spark, vecIndexSchema), emptyDf(spark, vecPairSchemaV),
-          emptyDf(spark, vecTombSchema),
+        (emptyDf(spark, vecIndexSchema), 0L, emptyDf(spark, vecPairSchemaV),
+          0L, emptyDf(spark, vecTombSchema), 0L,
           emptyDf(spark, StructType(vecOwnersSchema.fields.toSeq
-            .filter(_.name != "v"))),
+            .filter(_.name != "v"))), 0L,
           emptyDf(spark, StructType(Seq(StructField("doc_id", LongType)))))
       else {
         val planes = Similarity.deterministicPlanes(p.vecBits, p.vecDim)
-        val bandVB = vecBandedOf(bVecs, p, planes).localCheckpoint(true)
+        val (bandVB, nBandVB) = cpCount(vecBandedOf(bVecs, p, planes))
         val bandVKeys = bandVB.select("band", "bkey").distinct()
-          .localCheckpoint(true)
         val ownersOldV = ownersFor(spark, stateDir, "vec_owners",
           vecOwnersSchema, bandVKeys, "bkey", Nil)
         def vecMembersOf(ks: DataFrame) =
           alive(readSegmentsPruned(spark, stateDir, "vec_index",
             vecIndexSchema, Some(ks)), "id").join(ks, Seq("band", "bkey"))
-        val (vCand, vRetractB, vMembersChanged, vOwnersWrite) =
+        val (vCand, vRetractB, nVRetract, vMembersChanged, vOwnersWrite,
+          nVChanged) =
           bucketCandidates(ownersOldV, bandVB, "bkey", Nil, vecMembersOf)
         val vIds = vCand.select(col("id_a").as("doc_id"))
           .unionByName(vCand.select(col("id_b").as("doc_id"))).distinct()
@@ -1330,18 +1483,20 @@ object CutReportMaintenance {
           .filter(try_divide(Similarity.dot(col("e_a"), col("e_b")),
             col("n_a") * col("n_b")) >= p.vecThreshold)
           .select(col("id_a"), col("id_b"))
-        val vPairsNewSeg = vCand.join(vVerified, Seq("id_a", "id_b"))
-          .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
-          .withColumn("v", lit(nextV)).localCheckpoint(true)
+        val (vPairsNewSeg, nVPairs) = cpCount(
+          vCand.join(vVerified, Seq("id_a", "id_b"))
+            .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
+            .withColumn("v", lit(nextV)))
         val vTombsNewSeg = vRetractB.withColumn("v", lit(nextV))
         // Same changed-membership superset as the text tier — no stored
         // pair read.
         val vecTouched = vMembersChanged.select(col("id").as("doc_id"))
           .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
-        (bandVB, vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched)
+        (bandVB, nBandVB, vPairsNewSeg, nVPairs, vTombsNewSeg, nVRetract,
+          vOwnersWrite, nVChanged, vecTouched)
       }
-    (bVecs, bandVB, vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched,
-      vecTierActive)
+    (bVecs, nBVecs, bandVB, nBandVB, vPairsNewSeg, nVPairs, vTombsNewSeg,
+      nVRetract, vOwnersWrite, nVChanged, vecTouched, vecTierActive)
     }
 
     // ---- substring tier: first-occurrence index merge; the stored
@@ -1349,12 +1504,16 @@ object CutReportMaintenance {
     // the BATCH's hashes only (the only ones marks can move on). Marks
     // are versioned against the mark tombstones deleteDocs writes.
     val ssF = scala.concurrent.Future {
-      val bH = ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
-        .select(col("id").cast("long").as("id"), col("pos").cast("long").as("pos"),
-          col("h"))
-        .localCheckpoint(true)
+      val bH = prep.map(_.bH).getOrElse(
+        ExactSubstrings.tokenWindowHashes(bDocs, "text", "doc_id", p.W)
+          .select(col("id").cast("long").as("id"),
+            col("pos").cast("long").as("pos"), col("h"))
+          .localCheckpoint(true))
       val occ = struct(col("id"), col("pos"))
-      val bFirst = bH.groupBy("h").agg(min(occ).as("bf")).localCheckpoint(true)
+      // Not checkpointed (r18): a batch-grain groupBy over the
+      // checkpointed window hashes, recomputed inside its consumers'
+      // jobs for less than one scheduler round-trip.
+      val bFirst = bH.groupBy("h").agg(min(occ).as("bf"))
       val oldFirstB = readSegmentsPruned(spark, stateDir, "hash_index",
           hashSchema, Some(bFirst.select("h")))
         .select(col("h"), occ.as("o"), col("v"))
@@ -1372,16 +1531,19 @@ object CutReportMaintenance {
         .filter(col("of").isNotNull && col("bf").isNotNull && col("bf") < col("of"))
         .select(col("h"), col("of.id").as("id"), col("of.pos").as("pos"))
         .dropDuplicates("id", "pos")
-      val marksAdded = newMarks.unionByName(repairMarks)
-        .withColumn("v", lit(nextV)).localCheckpoint(true)
+      val (marksAdded, nMarks) = cpCount(newMarks.unionByName(repairMarks)
+        .withColumn("v", lit(nextV)))
       val ssTouched = marksAdded.select(col("id").as("doc_id"))
-      (firstMerged, marksAdded, ssTouched)
+      (firstMerged, marksAdded, nMarks, ssTouched)
     }
 
     // ---- barrier: every tier materialized, the contract gate passed —
     // nothing has been written yet. Await order fixes which failure
     // surfaces first; the semantics of each tier are byte-identical to
-    // the sequential form.
+    // the sequential form. The pool shuts down in a finally (r17
+    // advice: a contract-gate abort used to skip the happy-path
+    // shutdown and leak the pool per rejected batch).
+    try {
     val offenders = await(offendersF)
     require(offenders.isEmpty,
       s"doc_id contract violation at $stateDir: ids " +
@@ -1390,12 +1552,12 @@ object CutReportMaintenance {
         "existing or deleted id would silently corrupt the indexes; " +
         "update = deleteDocs + re-ingest under a FRESH id")
     val (bFpMin, exTouched, fpWriteSeg) = await(exactF)
-    val (bandB, pairsNewSeg, ndTombsNewSeg, ndOwnersWrite, ndTouched) =
-      await(ndF)
-    val (bVecs, bandVB, vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched,
-      vecTierActive) = await(vecF)
-    val (firstMerged, marksAdded, ssTouched) = await(ssF)
-    tierPool.shutdown()
+    val (bandB, nBandB, pairsNewSeg, nNdPairs, ndTombsNewSeg, nNdRetract,
+      ndOwnersWrite, nNdChanged, ndTouched) = await(ndF)
+    val (bVecs, nBVecs, bandVB, nBandVB, vPairsNewSeg, nVPairs, vTombsNewSeg,
+      nVRetract, vOwnersWrite, nVChanged, vecTouched, vecTierActive) =
+      await(vecF)
+    val (firstMerged, marksAdded, nMarks, ssTouched) = await(ssF)
 
     // ---- touched set + report re-assembly for touched ids only.
     val touched = bDocs.select("doc_id")
@@ -1472,7 +1634,9 @@ object CutReportMaintenance {
             col("emb_dup_of").isNotNull, col("n_tokens"))
           .when(col("substr_tokens").isNotNull, col("substr_tokens"))
           .otherwise(lit(0L)).cast("long").as("cut_tokens"))
-      .localCheckpoint(true)
+    // Not checkpointed (r18): consumed exactly once, by `out`'s own
+    // checkpoint job right below — an eager materialization here was a
+    // pure extra scheduler round-trip.
     // The report is an OVERLAY: this ingest's segment holds ONLY the
     // touched rows (stamped with the version); [[report]] folds
     // latest-version-wins across segments. The prior dispositions for
@@ -1503,34 +1667,51 @@ object CutReportMaintenance {
     // Known-empty segments are SKIPPED (r14 review): landing empty
     // tombstone/vector segments permanently disabled the
     // tombsKnownEmpty fast path for pure-append workloads and added a
-    // per-version read tax; the emptiness probes run against (frames
-    // trivially derived from) the eager checkpoints above.
+    // per-version read tax. r18 (guide §1.2): emptiness comes from the
+    // counts the tiers' own materialization jobs already produced
+    // (cpCount) — the per-write isEmpty probe jobs are gone. The
+    // derived frames' row counts equal their source's: ndTombsNewSeg /
+    // vTombsNewSeg add a literal to the retract frames; the owner
+    // writes hold one row per changed bucket (empty iff no bucket
+    // changed); ingest-half id/key map segments are built from the
+    // nonempty winning-ingest set by the caller.
     landParallel(Seq[() => Unit](
       () => writeSegment(bDocs, stateDir, nextV, "docs"),
-      () => writeSegment(fpWriteSeg, stateDir, nextV, "fp_index"),
-      () => writeSegmentUnlessEmpty(bandB, stateDir, nextV, "band_index"),
-      () => writeSegmentUnlessEmpty(ndOwnersWrite.withColumn("v", lit(nextV)),
-        stateDir, nextV, "band_owners"),
-      () => writeSegmentUnlessEmpty(pairsNewSeg, stateDir, nextV, "nd_pairs"),
-      () => writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs"),
+      () => writeSegment(fpWriteSeg, stateDir, nextV, "fp_index")) ++
+      (if (nBandB > 0) Seq[() => Unit](
+        () => writeSegment(bandB, stateDir, nextV, "band_index")) else Nil) ++
+      (if (nNdChanged > 0) Seq[() => Unit](
+        () => writeSegment(ndOwnersWrite.withColumn("v", lit(nextV)),
+          stateDir, nextV, "band_owners")) else Nil) ++
+      (if (nNdPairs > 0) Seq[() => Unit](
+        () => writeSegment(pairsNewSeg, stateDir, nextV, "nd_pairs")) else Nil) ++
+      (if (nNdRetract > 0) Seq[() => Unit](
+        () => writeSegment(ndTombsNewSeg, stateDir, nextV, "nd_tombs")) else Nil) ++
+      Seq[() => Unit](
       () => writeSegment(firstMerged.select(col("h"), col("cf.id").as("id"),
         col("cf.pos").as("pos"), lit(nextV).as("v")), stateDir, nextV,
-        "hash_index"),
-      () => writeSegmentUnlessEmpty(marksAdded, stateDir, nextV, "marks"),
+        "hash_index")) ++
+      (if (nMarks > 0) Seq[() => Unit](
+        () => writeSegment(marksAdded, stateDir, nextV, "marks")) else Nil) ++
+      Seq[() => Unit](
       () => writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
         col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV,
         "report")) ++
       (if (vecTierActive) Seq[() => Unit](
-        () => writeSegmentUnlessEmpty(bVecs, stateDir, nextV, "vecs"),
-        () => writeSegmentUnlessEmpty(bandVB, stateDir, nextV, "vec_index"),
-        () => writeSegmentUnlessEmpty(vOwnersWrite.withColumn("v", lit(nextV)),
-          stateDir, nextV, "vec_owners"),
-        () => writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV, "vec_pairs"),
-        () => writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV, "vec_tombs"))
+        () => writeSegment(bVecs, stateDir, nextV, "vecs")) ++
+        (if (nBandVB > 0) Seq[() => Unit](
+          () => writeSegment(bandVB, stateDir, nextV, "vec_index")) else Nil) ++
+        (if (nVChanged > 0) Seq[() => Unit](
+          () => writeSegment(vOwnersWrite.withColumn("v", lit(nextV)),
+            stateDir, nextV, "vec_owners")) else Nil) ++
+        (if (nVPairs > 0) Seq[() => Unit](
+          () => writeSegment(vPairsNewSeg, stateDir, nextV, "vec_pairs")) else Nil) ++
+        (if (nVRetract > 0) Seq[() => Unit](
+          () => writeSegment(vTombsNewSeg, stateDir, nextV, "vec_tombs")) else Nil)
       else Nil) ++
-      idMapSeg.map(m => () => writeSegmentUnlessEmpty(
+      idMapSeg.map(m => () => writeSegment(
         m.withColumn("v", lit(nextV)), stateDir, nextV, "id_map")).toSeq ++
-      keyMapSeg.map(m => () => writeSegmentUnlessEmpty(
+      keyMapSeg.map(m => () => writeSegment(
         m.withColumn("v", lit(nextV)), stateDir, nextV, "key_map")).toSeq)
     writeMarkers(stateDir, curV, nextV, appliedMarker)
     // The slot counter lands AFTER writeMarkers (which carries the old
@@ -1544,6 +1725,7 @@ object CutReportMaintenance {
     }
     commitVersion(stateDir, nextV)
     out
+    } finally tierPool.shutdown()
   }
 
   /** DELETE documents from the maintained state — the takedown /
@@ -1585,7 +1767,9 @@ object CutReportMaintenance {
     withWriterLock(stateDir) {
       checkLayout(stateDir)
       requireOrPersistParams(stateDir, p)
-      deleteLocked(spark, stateDir, ids, p, appliedMarker)
+      withDeltaGrainConf(spark) {
+        deleteLocked(spark, stateDir, ids, p, appliedMarker)
+      }
     }
 
   private def deleteLocked(spark: SparkSession, stateDir: String,
@@ -1624,32 +1808,40 @@ object CutReportMaintenance {
       implicit val tierEc: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(tierPool)
       def await[T](f: scala.concurrent.Future[T]): T =
-        try scala.concurrent.Await.result(f,
+        scala.concurrent.Await.result(f,
           scala.concurrent.duration.Duration.Inf)
-        catch { case e: Throwable => tierPool.shutdown(); throw e }
 
       // ---- exact tier: only fps whose stored keeper dies need repair.
       def fpSegsFor(keys: DataFrame) = readSegmentsPruned(spark, stateDir,
         "fp_index", fpSchema, Some(keys.select("fp")))
       val exactF = scala.concurrent.Future {
         val dFps = dDocs.select("fp").distinct()
-        val affFps = fpSegsFor(dFps).join(dFps, Seq("fp"))
+        val (affFps, nAffFps) = cpCount(fpSegsFor(dFps).join(dFps, Seq("fp"))
           .groupBy("fp").agg(max_by(col("keep_id"), col("v")).as("okeep"))
           .join(del.select(col("doc_id").as("okeep")), Seq("okeep"))
-          .select("fp").localCheckpoint(true)
-        // Survivors sharing an affected fp — an fp-pruned read of the
-        // docs sidecar (r16: this was the exact tier's remaining whole-
-        // corpus scan per delete).
-        val survAff = surv(aliveOld(docsByFp(spark, stateDir, affFps),
-            "doc_id"), "doc_id")
-          .join(affFps, Seq("fp"))
-          .select("doc_id", "fp").localCheckpoint(true)
-        val fpWriteSeg = affFps
-          .join(survAff.groupBy("fp").agg(min("doc_id").as("keep_id")),
-            Seq("fp"), "left")
-          .select(col("fp"), col("keep_id"), lit(nextV).as("v"))
-        val exTouched = survAff.select("doc_id")
-        (affFps, fpWriteSeg, exTouched)
+          .select("fp"))
+        if (nAffFps == 0L) {
+          // No stored keeper dies: no survivor sweep, no index rewrite
+          // — and none of their jobs (r18, guide §1.2).
+          val noFp = affFps.select(col("fp"),
+            lit(null).cast("long").as("keep_id"), lit(nextV).as("v"))
+          (affFps, noFp, 0L, emptyDf(spark,
+            StructType(Seq(StructField("doc_id", LongType)))))
+        } else {
+          // Survivors sharing an affected fp — an fp-pruned read of the
+          // docs sidecar (r16: this was the exact tier's remaining whole-
+          // corpus scan per delete).
+          val survAff = surv(aliveOld(docsByFp(spark, stateDir, affFps),
+              "doc_id"), "doc_id")
+            .join(affFps, Seq("fp"))
+            .select("doc_id", "fp").localCheckpoint(true)
+          val fpWriteSeg = affFps
+            .join(survAff.groupBy("fp").agg(min("doc_id").as("keep_id")),
+              Seq("fp"), "left")
+            .select(col("fp"), col("keep_id"), lit(nextV).as("v"))
+          val exTouched = survAff.select("doc_id")
+          (affFps, fpWriteSeg, nAffFps, exTouched)
+        }
       }
 
       // ---- near-dup tier: re-star buckets whose owner is deleted.
@@ -1664,8 +1856,9 @@ object CutReportMaintenance {
       val ndTombsOld = readSegments(spark, stateDir, "nd_tombs",
         ndTombSchema(p.portable))
       val ndF = scala.concurrent.Future {
+        // dSh is consumed exactly once (the banded-key distinct right
+        // below, itself checkpointed) — not checkpointed (r18).
         val dSh = DedupFunctions.shingledDocs(dDocs, "text", "doc_id", p.n)
-          .localCheckpoint(true)
         val dBandKeys = bandedOf(dSh, p).select("band", "bh").distinct()
           .localCheckpoint(true)
         // Owner-dead buckets straight off the owner-summary index (one
@@ -1674,17 +1867,29 @@ object CutReportMaintenance {
         // is then read pruned to exactly THOSE buckets.
         val ownersAtDel = ownersFor(spark, stateDir, "band_owners",
           bandOwnersSchema(p.portable), dBandKeys, "bh", Seq("n_sh"))
-        val affB = ownersAtDel
+        val (affB, nAffB) = cpCount(ownersAtDel
           .join(del.select(col("doc_id").as("old_owner")), Seq("old_owner"))
-          .select("band", "bh").localCheckpoint(true)
+          .select("band", "bh"))
+        if (nAffB == 0L) {
+          // No deleted doc owned a bucket: nothing to re-star, retract
+          // or rewrite — skip the membership read and every re-star
+          // materialization (r18, guide §1.2).
+          val emptyIds = emptyDf(spark,
+            StructType(Seq(StructField("doc_id", LongType))))
+          (emptyDf(spark, StructType(bandOwnersSchema(p.portable)
+            .fields.toSeq.filter(_.name != "v"))),
+            emptyDf(spark, pairSchemaV(p.portable)), 0L,
+            affB.withColumn("v", lit(nextV)), 0L, emptyIds)
+        } else {
         val ndMembers = surv(
             aliveOld(readSegmentsPruned(spark, stateDir, "band_index",
               bandSchema(p.portable), Some(affB)), "id")
               .join(affB, Seq("band", "bh")), "id")
           .localCheckpoint(true)
+        // Tiny groupBy over the checkpointed membership, recomputed by
+        // its two consumers — not checkpointed (r18).
         val ndOwners = ndMembers.groupBy("band", "bh")
           .agg(min("id").as("id_a"), min_by(col("n_sh"), col("id")).as("n_sh_a"))
-          .localCheckpoint(true)
         // Recomputed owner rows for the re-starred buckets (null owner =
         // bucket cleared; reads treat it as absent, compaction drops it).
         val ndOwnersWrite = affB.join(ndOwners, Seq("band", "bh"), "left")
@@ -1710,14 +1915,17 @@ object CutReportMaintenance {
           .filter(col("shared").cast("double") /
             (col("n_sh_a") + col("n_sh_b") - col("shared")).cast("double") >= p.threshold)
           .select(col("id_a"), col("id_b"))
-        val ndPairsNewSeg = ndCand.join(ndVerified, Seq("id_a", "id_b"))
-          .select(col("band"), col("bh"), col("id_a"), col("id_b"))
-          .withColumn("v", lit(nextV)).localCheckpoint(true)
+        val (ndPairsNewSeg, nNdPairs) = cpCount(
+          ndCand.join(ndVerified, Seq("id_a", "id_b"))
+            .select(col("band"), col("bh"), col("id_a"), col("id_b"))
+            .withColumn("v", lit(nextV)))
         val ndTombsNewSeg = affB.withColumn("v", lit(nextV))
         // Changed-membership superset, like ingest — no stored pair read.
         val ndTouched = ndMembers.select(col("id").as("doc_id"))
           .unionByName(ndPairsNewSeg.select(col("id_b").as("doc_id")))
-        (ndOwnersWrite, ndPairsNewSeg, ndTombsNewSeg, ndTouched)
+        (ndOwnersWrite, ndPairsNewSeg, nNdPairs, ndTombsNewSeg, nAffB,
+          ndTouched)
+        }
       }
 
       // ---- embedding tier: same shape over the SRP index, with the
@@ -1734,34 +1942,49 @@ object CutReportMaintenance {
       // empties, mirroring ingest's batch-side short-circuit.
       val vecTombsOld = readSegments(spark, stateDir, "vec_tombs", vecTombSchema)
       val vecF = scala.concurrent.Future {
-      val dVecs = aliveOld(readSegmentsPruned(spark, stateDir, "vecs",
-          vecsSchema, Some(del)), "doc_id")
-        .join(del, Seq("doc_id"))
-      val vecTierActive = liveSegmentDirs(stateDir, "vecs").nonEmpty &&
-        !dVecs.isEmpty
-      val (vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched) =
+      // Checkpoint-and-count in ONE job and gate on the count (r17
+      // advice: probing isEmpty on the un-checkpointed read and then
+      // checkpointing it ran the pruned vecs scan twice per vector-
+      // bearing delete).
+      val (dVecsC, nDVecs) =
+        if (liveSegmentDirs(stateDir, "vecs").isEmpty)
+          (emptyDf(spark, vecsSchema), 0L)
+        else cpCount(aliveOld(readSegmentsPruned(spark, stateDir, "vecs",
+            vecsSchema, Some(del)), "doc_id")
+          .join(del, Seq("doc_id")))
+      val vecTierActive = nDVecs > 0L
+      val (vPairsNewSeg, nVPairs, vTombsNewSeg, nVAffB, vOwnersWrite,
+        vecTouched) =
         if (!vecTierActive)
-          (emptyDf(spark, vecPairSchemaV), emptyDf(spark, vecTombSchema),
+          (emptyDf(spark, vecPairSchemaV), 0L, emptyDf(spark, vecTombSchema),
+            0L,
             emptyDf(spark, StructType(vecOwnersSchema.fields.toSeq
               .filter(_.name != "v"))),
             emptyDf(spark, StructType(Seq(StructField("doc_id", LongType)))))
         else {
           val planes = Similarity.deterministicPlanes(p.vecBits, p.vecDim)
-          val dVecsC = dVecs.localCheckpoint(true)
           val dVecKeys = vecBandedOf(dVecsC, p, planes)
             .select("band", "bkey").distinct().localCheckpoint(true)
           val vOwnersAtDel = ownersFor(spark, stateDir, "vec_owners",
             vecOwnersSchema, dVecKeys, "bkey", Nil)
-          val affVB = vOwnersAtDel
+          val (affVB, nVAffB) = cpCount(vOwnersAtDel
             .join(del.select(col("doc_id").as("old_owner")), Seq("old_owner"))
-            .select("band", "bkey").localCheckpoint(true)
+            .select("band", "bkey"))
+          if (nVAffB == 0L)
+            (emptyDf(spark, vecPairSchemaV), 0L,
+              affVB.withColumn("v", lit(nextV)), 0L,
+              emptyDf(spark, StructType(vecOwnersSchema.fields.toSeq
+                .filter(_.name != "v"))),
+              emptyDf(spark, StructType(Seq(StructField("doc_id", LongType)))))
+          else {
           val vMembers = surv(
               aliveOld(readSegmentsPruned(spark, stateDir, "vec_index",
                 vecIndexSchema, Some(affVB)), "id")
                 .join(affVB, Seq("band", "bkey")), "id")
             .localCheckpoint(true)
+          // Tiny groupBy over checkpointed membership — not
+          // checkpointed (r18), recomputed by its two consumers.
           val vOwners = vMembers.groupBy("band", "bkey").agg(min("id").as("id_a"))
-            .localCheckpoint(true)
           val vOwnersWrite = affVB.join(vOwners, Seq("band", "bkey"), "left")
             .select(col("band"), col("bkey"), col("id_a").as("owner"))
           val vCand = vMembers.join(vOwners, Seq("band", "bkey"))
@@ -1782,15 +2005,19 @@ object CutReportMaintenance {
             .filter(try_divide(Similarity.dot(col("e_a"), col("e_b")),
               col("n_a") * col("n_b")) >= p.vecThreshold)
             .select(col("id_a"), col("id_b"))
-          val vPairsNewSeg = vCand.join(vVerified, Seq("id_a", "id_b"))
-            .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
-            .withColumn("v", lit(nextV)).localCheckpoint(true)
+          val (vPairsNewSeg, nVPairs) = cpCount(
+            vCand.join(vVerified, Seq("id_a", "id_b"))
+              .select(col("band"), col("bkey"), col("id_a"), col("id_b"))
+              .withColumn("v", lit(nextV)))
           val vTombsNewSeg = affVB.withColumn("v", lit(nextV))
           val vecTouched = vMembers.select(col("id").as("doc_id"))
             .unionByName(vPairsNewSeg.select(col("id_b").as("doc_id")))
-          (vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched)
+          (vPairsNewSeg, nVPairs, vTombsNewSeg, nVAffB, vOwnersWrite,
+            vecTouched)
+          }
         }
-      (vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched, vecTierActive)
+      (vPairsNewSeg, nVPairs, vTombsNewSeg, nVAffB, vOwnersWrite, vecTouched,
+        vecTierActive)
       }
 
       // ---- substring tier: recompute firsts the deletion orphaned.
@@ -1805,14 +2032,23 @@ object CutReportMaintenance {
       val ssF = scala.concurrent.Future {
         val dH = ExactSubstrings.tokenWindowHashes(dDocs, "text", "doc_id", p.W)
           .select("h").distinct().localCheckpoint(true)
-        val affH = readSegmentsPruned(spark, stateDir, "hash_index",
-            hashSchema, Some(dH))
+        val (affH, nAffH) = cpCount(readSegmentsPruned(spark, stateDir,
+            "hash_index", hashSchema, Some(dH))
           .join(dH, Seq("h"))
           .groupBy("h")
           .agg(max_by(struct(col("id"), col("pos")), col("v")).as("of"))
           .filter(col("of.id").isNotNull)
           .join(del.select(col("doc_id").as("did")), col("of.id") === col("did"))
-          .select("h").localCheckpoint(true)
+          .select("h"))
+        if (nAffH == 0L) {
+          // No stored first occurrence dies: skip the marks sweep and
+          // its materializations outright (r18, guide §1.2).
+          val emptyTombs = emptyDf(spark, markTombSchema)
+          (affH.select(col("h"), lit(null).cast("long").as("id"),
+            lit(null).cast("long").as("pos"), lit(nextV).as("v")), 0L,
+            emptyTombs, 0L,
+            emptyDf(spark, StructType(Seq(StructField("doc_id", LongType)))))
+        } else {
         // Surviving occurrences of the affected hashes, via the h-keyed
         // marks sidecar — the r15 "deletion reads marks whole" residual:
         // compacted marks come h-pruned from seg_marks_byh, per-ingest
@@ -1829,21 +2065,26 @@ object CutReportMaintenance {
           .localCheckpoint(true)
         val hashWriteSeg = newFirst.select(col("h"), col("nf.id").as("id"),
           col("nf.pos").as("pos"), lit(nextV).as("v"))
-        val markTombsNewSeg = newFirst.filter(col("nf").isNotNull)
-          .select(col("nf.id").as("id"), col("nf.pos").as("pos"),
-            lit(nextV).as("v"))
+        val (markTombsNewSeg, nMarkTombs) = cpCount(
+          newFirst.filter(col("nf").isNotNull)
+            .select(col("nf.id").as("id"), col("nf.pos").as("pos"),
+              lit(nextV).as("v")))
         val ssTouched = markTombsNewSeg.select(col("id").as("doc_id"))
-        (hashWriteSeg, markTombsNewSeg, ssTouched)
+        (hashWriteSeg, nAffH, markTombsNewSeg, nMarkTombs, ssTouched)
+        }
       }
 
       // ---- barrier: every repair tier materialized; nothing written
-      // yet. Semantics identical to the sequential form.
-      val (affFps, fpWriteSeg, exTouched) = await(exactF)
-      val (ndOwnersWrite, ndPairsNewSeg, ndTombsNewSeg, ndTouched) = await(ndF)
-      val (vPairsNewSeg, vTombsNewSeg, vOwnersWrite, vecTouched,
-        vecTierActive) = await(vecF)
-      val (hashWriteSeg, markTombsNewSeg, ssTouched) = await(ssF)
-      tierPool.shutdown()
+      // yet. Semantics identical to the sequential form. Pool shutdown
+      // rides a finally (r17 advice), closing at the end of the method.
+      try {
+      val (affFps, fpWriteSeg, nAffFps, exTouched) = await(exactF)
+      val (ndOwnersWrite, ndPairsNewSeg, nNdPairs, ndTombsNewSeg, nAffB,
+        ndTouched) = await(ndF)
+      val (vPairsNewSeg, nVPairs, vTombsNewSeg, nVAffB, vOwnersWrite,
+        vecTouched, vecTierActive) = await(vecF)
+      val (hashWriteSeg, nAffH, markTombsNewSeg, nMarkTombs, ssTouched) =
+        await(ssF)
 
       // ---- re-assemble the report for the touched survivors.
       val touched = exTouched.unionByName(ndTouched).unionByName(vecTouched)
@@ -1920,7 +2161,7 @@ object CutReportMaintenance {
               col("emb_dup_of").isNotNull, col("n_tokens"))
             .when(col("substr_tokens").isNotNull, col("substr_tokens"))
             .otherwise(lit(0L)).cast("long").as("cut_tokens"))
-        .localCheckpoint(true)
+      // Not checkpointed (r18): consumed once, by `out`'s checkpoint.
       val reportSegsOld = readSegmentsPruned(spark, stateDir, "report",
         reportSchemaV, Some(touched))
       val reportOldT = reportSegsOld.join(touched, Seq("doc_id"))
@@ -1942,34 +2183,48 @@ object CutReportMaintenance {
         .localCheckpoint(true)
 
       // ---- land the delete's segments (all O(deleted + touched));
-      // known-empty ones are skipped like ingest's (r14 review).
-      landParallel(Seq[() => Unit](
-        () => writeSegmentUnlessEmpty(fpWriteSeg, stateDir, nextV, "fp_index"),
-        () => writeSegmentUnlessEmpty(ndOwnersWrite.withColumn("v", lit(nextV)),
-          stateDir, nextV, "band_owners"),
-        () => writeSegmentUnlessEmpty(ndPairsNewSeg, stateDir, nextV, "nd_pairs"),
-        () => writeSegmentUnlessEmpty(ndTombsNewSeg, stateDir, nextV, "nd_tombs"),
-        () => writeSegmentUnlessEmpty(hashWriteSeg, stateDir, nextV, "hash_index"),
-        () => writeSegmentUnlessEmpty(markTombsNewSeg, stateDir, nextV,
-          "mark_tombs"),
+      // known-empty ones are skipped like ingest's (r14 review) — via
+      // the repair tiers' own counts, not isEmpty probes (r18). The
+      // delete half's id_map segment keeps its probe: its emptiness
+      // (any PURE delete among the doomed?) is not otherwise known.
+      landParallel(
+      (if (nAffFps > 0) Seq[() => Unit](
+        () => writeSegment(fpWriteSeg, stateDir, nextV, "fp_index")) else Nil) ++
+      (if (nAffB > 0) Seq[() => Unit](
+        () => writeSegment(ndOwnersWrite.withColumn("v", lit(nextV)),
+          stateDir, nextV, "band_owners")) else Nil) ++
+      (if (nNdPairs > 0) Seq[() => Unit](
+        () => writeSegment(ndPairsNewSeg, stateDir, nextV, "nd_pairs")) else Nil) ++
+      (if (nAffB > 0) Seq[() => Unit](
+        () => writeSegment(ndTombsNewSeg, stateDir, nextV, "nd_tombs")) else Nil) ++
+      (if (nAffH > 0) Seq[() => Unit](
+        () => writeSegment(hashWriteSeg, stateDir, nextV, "hash_index")) else Nil) ++
+      (if (nMarkTombs > 0) Seq[() => Unit](
+        () => writeSegment(markTombsNewSeg, stateDir, nextV,
+          "mark_tombs")) else Nil) ++
+      Seq[() => Unit](
         () => writeSegment(del.withColumn("v", lit(nextV)), stateDir, nextV,
           "doc_tombs"),
         () => writeSegment(out.select(col("doc_id"), col("tier"), col("dup_of"),
           col("cut_tokens")).withColumn("v", lit(nextV)), stateDir, nextV,
           "report")) ++
-        (if (vecTierActive) Seq[() => Unit](
-          () => writeSegmentUnlessEmpty(vOwnersWrite.withColumn("v", lit(nextV)),
-            stateDir, nextV, "vec_owners"),
-          () => writeSegmentUnlessEmpty(vPairsNewSeg, stateDir, nextV,
-            "vec_pairs"),
-          () => writeSegmentUnlessEmpty(vTombsNewSeg, stateDir, nextV,
-            "vec_tombs"))
+        (if (vecTierActive)
+          (if (nVAffB > 0) Seq[() => Unit](
+            () => writeSegment(vOwnersWrite.withColumn("v", lit(nextV)),
+              stateDir, nextV, "vec_owners")) else Nil) ++
+          (if (nVPairs > 0) Seq[() => Unit](
+            () => writeSegment(vPairsNewSeg, stateDir, nextV,
+              "vec_pairs")) else Nil) ++
+          (if (nVAffB > 0) Seq[() => Unit](
+            () => writeSegment(vTombsNewSeg, stateDir, nextV,
+              "vec_tombs")) else Nil)
         else Nil) ++
         idMapSeg.map(m => () => writeSegmentUnlessEmpty(
           m.withColumn("v", lit(nextV)), stateDir, nextV, "id_map")).toSeq)
       writeMarkers(stateDir, curV, nextV, appliedMarker)
       commitVersion(stateDir, nextV)
       out
+      } finally tierPool.shutdown()
   }
 
   private def foldReport(spark: SparkSession, stateDir: String): DataFrame = {
@@ -2299,6 +2554,7 @@ object CutReportMaintenance {
       streamId.foreach(s => require(s.nonEmpty && s.forall(c =>
         c.isLetterOrDigit || c == '-' || c == '_'),
         s"streamId '$s' must be a filesystem-safe token"))
+      withDeltaGrainConf(spark) {
       def halfDone(half: String): Boolean = streamId.exists(s =>
         batchId >= 0 && batchId <= appliedBatch(stateDir, s"$s-$half"))
       def halfMarker(half: String): Option[(String, Long)] =
@@ -2320,19 +2576,23 @@ object CutReportMaintenance {
          else col("ext_id").cast("long").as("ext_id")) +: col("text") +:
         (embCol.map(e => col(e).as("emb")).toSeq ++
           seqCol.map(s => col(s).cast("long").as("seq")).toSeq)
-      val rows = batch.select(cols: _*).localCheckpoint(true)
-      require(rows.filter(!col("op").isin("ingest", "insert", "update",
-        "upsert", "delete")).isEmpty,
+      // One materialization job answers every row-shape contract check
+      // (r18, guide §1.2): the bad-op and bad-key counts ride the lazy
+      // checkpoint's first action instead of two later probe jobs.
+      val rows = batch.select(cols: _*).localCheckpoint(false)
+      val badKey =
+        if (stringKeys) col("ext_key").isNull || col("ext_key") === ""
+        else col("ext_id") < 0L || col("ext_id") >= ExtIdBound
+      val contract = rows.select(
+        count(when(!col("op").isin("ingest", "insert", "update",
+          "upsert", "delete"), 1)).as("bad_op"),
+        count(when(badKey, 1)).as("bad_key")).first()
+      require(contract.getLong(0) == 0L,
         "unified feed ops must be ingest/insert/update/upsert/delete")
-      if (stringKeys)
-        require(rows.filter(col("ext_key").isNull ||
-          col("ext_key") === "").isEmpty,
-          "unified-feed string keys must be non-null and non-empty")
-      else
-        require(rows.filter(col("ext_id") < 0L ||
-          col("ext_id") >= ExtIdBound).isEmpty,
-          s"unified-feed ext ids must be in [0, 2^40) — the internal " +
-            "generation scheme packs the generation above bit 40")
+      require(contract.getLong(1) == 0L,
+        if (stringKeys) "unified-feed string keys must be non-null and non-empty"
+        else s"unified-feed ext ids must be in [0, 2^40) — the internal " +
+          "generation scheme packs the generation above bit 40")
       val isIngest = col("op") =!= "delete"
       // Winning row per key: max (seq, ingest-beats-delete); ambiguity
       // among ingests (same key, same ord) is refused, duplicate
@@ -2371,14 +2631,12 @@ object CutReportMaintenance {
           // The rank window is batch-sized (one micro-batch's new
           // keys), not corpus-sized — a global sort here is the
           // deterministic-allocation contract, not a scale hazard.
-          val alloc = winningK.filter(isIngest)
+          val (alloc, nAlloc) = cpCount(winningK.filter(isIngest)
             .join(km.select("ext_key"), Seq("ext_key"), "left_anti")
             .select(col("ext_key"))
             .withColumn("slot", lit(slot0) - 1 +
               row_number().over(org.apache.spark.sql.expressions.Window
-                .orderBy("ext_key")))
-            .localCheckpoint(true)
-          val nAlloc = alloc.count()
+                .orderBy("ext_key"))))
           require(slot0 + nAlloc <= ExtIdBound,
             s"string-key slot space exhausted at $stateDir — " +
               s"$slot0 slots allocated of ${ExtIdBound}")
@@ -2411,42 +2669,86 @@ object CutReportMaintenance {
       // (an upsert's new mapping rides the ingest half's commit).
       val emptyOut = emptyDf(spark, reportSchema.add(
         StructField("upd", StringType)))
-      val doomed = withMap.filter(col("cur_id").isNotNull)
+      val (doomed, nDoomed) = cpCount(withMap.filter(col("cur_id").isNotNull)
         .select(col("cur_id").as("doc_id"), col("op"), col("ext_id"),
-          col("cur_gen"))
-        .localCheckpoint(true)
-      val delOut =
-        if (halfDone("del") || batchDone || doomed.isEmpty) emptyOut
-        else deleteLocked(spark, stateDir, doomed.select("doc_id"), p,
-          halfMarker("del"),
-          idMapSeg = Some(doomed.filter(col("op") === "delete")
-            .select(col("ext_id"), lit(null).cast("long").as("doc_id"),
-              col("cur_gen").as("gen"))))
+          col("cur_gen")))
 
-      // ---- ingest half: winning ingests land under the next
-      // generation of their key ((gen+1)<<40 | ext for a seen key,
-      // the ext id itself for a brand-new one) — deterministic from
-      // committed state, so a redelivered half recomputes identical
-      // internal ids.
+      // ---- ingest half's internal rows, resolved BEFORE the delete
+      // half commits: `mapping` above is an eager checkpoint of the
+      // PRE-delete committed state, so the winning-ingest resolution
+      // (generation bump, packed internal ids) is identical either
+      // side of the delete — and one job instead of a checkpoint plus
+      // two probe jobs (count + generation bound ride the same agg).
       val ing = withMap.filter(isIngest)
         .withColumn("gen", when(col("cur_gen").isNotNull,
           col("cur_gen") + 1L).otherwise(lit(0L)))
         .withColumn("doc_id", when(col("gen") === 0L, col("ext_id"))
           .otherwise(shiftleft(col("gen"), 40).bitwiseOR(col("ext_id"))))
-        .localCheckpoint(true)
-      require(ing.filter(col("gen") >= MaxGen).isEmpty,
+        .localCheckpoint(false)
+      val ingStats = ing.select(count(lit(1)).as("n"),
+        max("gen").as("max_gen")).first()
+      val nIng = ingStats.getLong(0)
+      require(nIng == 0L || ingStats.getLong(1) < MaxGen,
         s"a key exceeded $MaxGen re-ingest generations — the packed " +
           "internal id would overflow")
-      val ingOut =
-        if (halfDone("ing") || ing.isEmpty) emptyOut
-        else ingestLocked(spark, stateDir,
-          ing.select(col("doc_id") +: col("text") +:
-            embCol.map(_ => col("emb")).toSeq: _*),
-          p, halfMarker("ing"),
-          idMapSeg = Some(ing.select(col("ext_id"), col("doc_id"),
-            col("gen"))),
-          keyMapSeg = keyMapSeg, nextSlot = nextSlotAfter)
-      delOut.unionByName(ingOut)
+
+      // ---- overlap (r17 ledger item 3, guide §2.6): the ingest half's
+      // batch-derived tier inputs (fingerprints, shingles, band keys,
+      // window hashes, vectors) depend only on the resolved batch — not
+      // on the delete's commit — so they are prepared concurrently with
+      // the delete half's repair tiers and handed to ingestLocked. The
+      // prep writes nothing; state reads inside ingestLocked still
+      // happen strictly after the delete's commitVersion.
+      val willIngest = !halfDone("ing") && nIng > 0L
+      val ingBatch =
+        if (!willIngest) None
+        else Some(ing.select(col("doc_id") +: col("text") +:
+          embCol.map(_ => col("emb")).toSeq: _*))
+      val prepPool = java.util.concurrent.Executors.newFixedThreadPool(1,
+        new java.util.concurrent.ThreadFactory {
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, "cutmaint-ing-prep"); t.setDaemon(true); t
+          }
+        })
+      try {
+        implicit val prepEc: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(prepPool)
+        val runDelete = !(halfDone("del") || batchDone || nDoomed == 0L)
+        val prepF = ingBatch.map(b => scala.concurrent.Future(
+          prepBatch(spark, b, p)))
+        val delOut =
+          if (!runDelete) emptyOut
+          else deleteLocked(spark, stateDir, doomed.select("doc_id"), p,
+            halfMarker("del"),
+            idMapSeg = Some(doomed.filter(col("op") === "delete")
+              .select(col("ext_id"), lit(null).cast("long").as("doc_id"),
+                col("cur_gen").as("gen"))))
+
+        // ---- ingest half: winning ingests land under the next
+        // generation of their key ((gen+1)<<40 | ext for a seen key,
+        // the ext id itself for a brand-new one) — deterministic from
+        // committed state, so a redelivered half recomputes identical
+        // internal ids.
+        val ingOut = ingBatch match {
+          case None => emptyOut
+          case Some(b) =>
+            ingestLocked(spark, stateDir, b, p, halfMarker("ing"),
+              idMapSeg = Some(ing.select(col("ext_id"), col("doc_id"),
+                col("gen"))),
+              keyMapSeg = keyMapSeg, nextSlot = nextSlotAfter,
+              prep = prepF.map(f => scala.concurrent.Await.result(f,
+                scala.concurrent.duration.Duration.Inf)))
+        }
+        delOut.unionByName(ingOut)
+      } finally {
+        // The prep future writes no state, but nothing may outlive the
+        // writer lock (same discipline as landParallel): the pool is
+        // drained before the lock scope closes, failure or not.
+        prepPool.shutdown()
+        prepPool.awaitTermination(1L, java.util.concurrent.TimeUnit.HOURS)
+        ()
+      }
+      }
     }
 
   /** The unified feed's EXTERNAL view of the maintained report: one
