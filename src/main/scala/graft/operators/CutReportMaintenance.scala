@@ -578,7 +578,7 @@ object CutReportMaintenance {
     * failure propagates before the version pointer flips, so the
     * crash-safety story is unchanged (orphans at v<next> are purged by
     * the next writer). */
-  private def landParallel(tasks: Seq[() => Unit]): Unit =
+  private[operators] def landParallel(tasks: Seq[() => Unit]): Unit =
     if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -744,4 +744,35 @@ class CutReportMaintenanceSpec extends SparkSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("parallel segment landing: a failing task's error escapes only after EVERY sibling task completes — no landing write can outlive the writer lock") {
+    // The r17 failure-path hazard: landParallel rethrew the first
+    // failure while sibling write futures were still in flight, so a
+    // straggler could keep writing seg_*/v<next> after the lock was
+    // released and race a retrying writer on the same directory. The
+    // fix awaits ALL completions before rethrowing; this pins it by
+    // racing a fast failure against deliberately slow siblings.
+    val slowDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val boom = new RuntimeException("segment write failed (injected)")
+    val tasks: Seq[() => Unit] =
+      Seq[() => Unit](() => { Thread.sleep(50); throw boom }) ++
+        (1 to 4).map(_ => () => {
+          Thread.sleep(400); slowDone.incrementAndGet(); ()
+        })
+    val thrown = intercept[RuntimeException] {
+      CutReportMaintenance.landParallel(tasks)
+    }
+    assert(thrown eq boom, "the injected failure must propagate")
+    // The moment the exception escapes (= the moment ingest would
+    // release the writer lock), every sibling landing task has already
+    // finished — nothing is still writing in the background.
+    assert(slowDone.get() == 4,
+      s"only ${slowDone.get()}/4 sibling landings had completed when " +
+        "the failure escaped — a straggler write outlived the call")
+    // And a fully-successful landing still runs every task exactly once.
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+    CutReportMaintenance.landParallel(
+      (1 to 5).map(_ => () => { ok.incrementAndGet(); () }))
+    assert(ok.get() == 5)
+  }
 }
